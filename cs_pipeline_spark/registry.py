@@ -1,0 +1,81 @@
+"""Central query registry: Op-ID → (Spark builder, DuckDB oracle SQL).
+
+Every operator from SURVEY.md §2 registers here. The driver contract
+(``__spark_entry__.py``) exposes ``queries()`` / ``oracle_sql()`` from
+this registry; ``tools/check.py`` replays the driver's DuckDB
+comparison locally.
+
+A ``QuerySpec.oracle`` of None means the op is not SQL-expressible
+(e.g. MinHash-LSH); the driver then records a rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: QueryFn
+    oracle: str | None
+    doc: str = ""
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    """Decorator: register a query builder under an Op-ID."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query id: {name}")
+        _REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def all_specs() -> dict[str, QuerySpec]:
+    _load_all_modules()
+    return dict(_REGISTRY)
+
+
+def queries() -> dict[str, QueryFn]:
+    return {k: v.fn for k, v in all_specs().items()}
+
+
+def oracles() -> dict[str, str]:
+    return {k: v.oracle for k, v in all_specs().items() if v.oracle is not None}
+
+
+_LOADED = False
+
+
+def _load_all_modules() -> None:
+    """Import every module that registers queries (idempotent)."""
+    global _LOADED
+    if _LOADED:
+        return
+    from cs_pipeline_spark.operators import (  # noqa: F401
+        aggregate,
+        dedup,
+        filters,
+        joins,
+        multimodal,
+        relational,
+        reshape,
+        similarity,
+        spatial,
+        text,
+        windows,
+    )
+    from cs_pipeline_spark import sources as _sources  # noqa: F401
+    from cs_pipeline_spark.streaming import batch_twins  # noqa: F401
+
+    _LOADED = True

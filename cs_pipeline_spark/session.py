@@ -1,0 +1,58 @@
+"""SparkSession factory tuned for this engine.
+
+Defaults target the driver's local[32] harness but every knob is the
+one you would set on a 1000-executor cluster too:
+
+- AQE on (runtime shuffle-partition coalescing, skew-join splitting) —
+  at 100 TB the static ``shuffle.partitions`` is only an upper bound;
+  AQE right-sizes post-shuffle partitions from actual map output stats.
+- Arrow on — every Pandas-UDF boundary is Arrow-batched.
+- Session timezone pinned to UTC — the reference's time axes are UTC
+  (ERA5 valid_time); pinning makes timestamp semantics deterministic
+  and oracle-comparable.
+- ``parquet.aggregatePushdown`` — MIN/MAX/COUNT served from footer
+  statistics when possible (free at any scale).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+
+def get_spark(
+    app_name: str = "cs_pipeline_spark",
+    master: str | None = None,
+    shuffle_partitions: int = DEFAULT_SHUFFLE_PARTITIONS,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, else ``*``)
+    when no cluster master is supplied; on a real cluster pass None and
+    rely on spark-submit.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
