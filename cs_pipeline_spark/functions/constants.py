@@ -1,0 +1,215 @@
+"""Variable dictionaries driving the engine's schema system.
+
+The reference's whole variable universe is three dictionaries plus a
+declarative aggregation schema (reference
+``pipeline/carbonpipeline/Processing/constants.py:8-86`` and
+``Processing/processing_utils.py:142-256``). These are public
+ERA5/AmeriFlux vocabulary facts; we keep the same contract:
+
+- ``ERA5_VARIABLES``: the downloadable ERA5 fields.
+- ``SHORTNAME_TO_FULLNAME``: NetCDF shortname → CDS long name (drives
+  the ``rename_shortnames`` operator).
+- ``VARIABLES_FOR_PREDICTOR``: AmeriFlux predictor → required input
+  variables (drives column pruning: only the inputs a requested
+  predictor needs are read — Catalyst prunes the parquet scan).
+- ``AGG_SCHEMA``: predictor → named daily/monthly aggregates,
+  compiled to Spark aggregate Columns by
+  ``plans/agg_compiler.py``. ``DROP`` means the predictor is omitted
+  at that granularity.
+"""
+
+from __future__ import annotations
+
+ZERO_C_IN_K = 273.15
+
+# Dry-air composition (mole fractions) for dry→wet CO₂ conversion.
+DRY_AIR_N2 = 0.7808
+DRY_AIR_O2 = 0.2095
+DRY_AIR_AR = 0.0093
+
+# NetCDF shortname → ERA5/CDS long name (reference constants.py:31-52).
+SHORTNAME_TO_FULLNAME: dict[str, str] = {
+    "u10": "10m_u_component_of_wind",
+    "v10": "10m_v_component_of_wind",
+    "t2m": "2m_temperature",
+    "d2m": "2m_dewpoint_temperature",
+    "sp": "surface_pressure",
+    "tp": "total_precipitation",
+    "avg_sdlwrf": "mean_surface_downward_long_wave_radiation_flux",
+    "avg_sdswrf": "mean_surface_downward_short_wave_radiation_flux",
+    "avg_sdswrfcs": "mean_surface_downward_short_wave_radiation_flux_clear_sky",
+    "avg_snlwrf": "mean_surface_net_long_wave_radiation_flux",
+    "avg_slhtf": "mean_surface_latent_heat_flux",
+    "avg_ishf": "mean_surface_sensible_heat_flux",
+    "stl1": "soil_temperature_level_1",
+    "stl2": "soil_temperature_level_2",
+    "stl3": "soil_temperature_level_3",
+    "swvl1": "volumetric_soil_water_layer_1",
+    "swvl2": "volumetric_soil_water_layer_2",
+    "swvl3": "volumetric_soil_water_layer_3",
+    "fal": "forecast_albedo",
+    "zust": "friction_velocity",
+}
+
+FULLNAME_TO_SHORTNAME = {v: k for k, v in SHORTNAME_TO_FULLNAME.items()}
+
+# The 20 downloadable ERA5 fields (reference constants.py:8-29).
+ERA5_VARIABLES: list[str] = list(SHORTNAME_TO_FULLNAME.values())
+
+# Predictor → required input variables (reference constants.py:54-86).
+# Keys are AmeriFlux predictor names; values use ERA5 long names plus
+# the two enrichment variables (xco2, wtd).
+VARIABLES_FOR_PREDICTOR: dict[str, list[str]] = {
+    "TA": ["2m_temperature"],
+    "P": ["total_precipitation"],
+    "RH": ["2m_temperature", "2m_dewpoint_temperature"],
+    "VPD": ["2m_temperature", "2m_dewpoint_temperature"],
+    "PA": ["surface_pressure"],
+    "CO2": ["2m_temperature", "2m_dewpoint_temperature", "surface_pressure", "xco2"],
+    "SW_IN": ["mean_surface_downward_short_wave_radiation_flux"],
+    "SW_IN_POT": ["mean_surface_downward_short_wave_radiation_flux_clear_sky"],
+    "SW_OUT": ["mean_surface_downward_short_wave_radiation_flux", "forecast_albedo"],
+    "LW_IN": ["mean_surface_downward_long_wave_radiation_flux"],
+    "LW_OUT": [
+        "mean_surface_downward_long_wave_radiation_flux",
+        "mean_surface_net_long_wave_radiation_flux",
+    ],
+    "NETRAD": [
+        "mean_surface_downward_short_wave_radiation_flux",
+        "mean_surface_downward_long_wave_radiation_flux",
+        "mean_surface_net_long_wave_radiation_flux",
+        "forecast_albedo",
+    ],
+    "WS": ["10m_u_component_of_wind", "10m_v_component_of_wind"],
+    "WD": ["10m_u_component_of_wind", "10m_v_component_of_wind"],
+    "USTAR": ["friction_velocity"],
+    "SWC_1": ["volumetric_soil_water_layer_1"],
+    "SWC_2": ["volumetric_soil_water_layer_1"],
+    "SWC_3": ["volumetric_soil_water_layer_2"],
+    "SWC_4": ["volumetric_soil_water_layer_2"],
+    "SWC_5": ["volumetric_soil_water_layer_3"],
+    "TS_1": ["soil_temperature_level_1"],
+    "TS_2": ["soil_temperature_level_1"],
+    "TS_3": ["soil_temperature_level_2"],
+    "TS_4": ["soil_temperature_level_2"],
+    "TS_5": ["soil_temperature_level_3"],
+    "G": [
+        "mean_surface_sensible_heat_flux",
+        "mean_surface_latent_heat_flux",
+        "mean_surface_downward_short_wave_radiation_flux",
+        "mean_surface_downward_long_wave_radiation_flux",
+        "mean_surface_net_long_wave_radiation_flux",
+        "forecast_albedo",
+    ],
+    "H": ["mean_surface_sensible_heat_flux"],
+    "LE": ["mean_surface_latent_heat_flux"],
+    "PPFD_IN": ["mean_surface_downward_short_wave_radiation_flux"],
+    "PPFD_OUT": ["mean_surface_downward_short_wave_radiation_flux", "forecast_albedo"],
+    "WTD": ["wtd"],
+}
+
+ALL_PREDICTORS: list[str] = list(VARIABLES_FOR_PREDICTOR)
+
+# Declarative per-predictor aggregation schema (reference
+# processing_utils.py:142-256). "std" is POPULATION std (xarray
+# ddof=0); "delta" is last-minus-first within the bucket ordered by
+# time (reference: s.iloc[-1] - s.iloc[0]); "DROP" = omit at that
+# granularity. Compiled by plans/agg_compiler.compile_agg_schema.
+AggMap = dict[str, str]  # output column -> agg kind
+AGG_SCHEMA: dict[str, dict[str, AggMap | str]] = {
+    "TA": {
+        "daily": {"TA_mean": "mean", "TA_std": "std", "TA_min": "min", "TA_max": "max"},
+        "monthly": {"TA_mean": "mean", "TA_std": "std", "TA_min": "min", "TA_max": "max"},
+    },
+    "PA": {"daily": {"PA_mean": "mean"}, "monthly": {"PA_mean": "mean"}},
+    "P": {
+        "daily": {"P_sum": "sum", "P_max": "max"},
+        "monthly": {"P_sum": "sum", "P_max_daily": "max"},
+    },
+    "RH": {
+        "daily": {"RH_mean": "mean", "RH_std": "std", "RH_max": "max", "RH_min": "min"},
+        "monthly": {"RH_mean": "mean", "RH_std": "std"},
+    },
+    "VPD": {
+        "daily": {"RH_mean": "mean", "VPD_std": "std", "VPD_max": "max"},
+        "monthly": {"VPD_mean": "mean", "VPD_std": "std"},
+    },
+    "WS": {
+        "daily": {"WS_mean": "mean", "WS_std": "std", "WS_max": "max"},
+        "monthly": {"WS_mean": "mean", "WS_std": "std"},
+    },
+    "WD": {"daily": "DROP", "monthly": "DROP"},
+    "SW_IN": {
+        "daily": {
+            "SW_IN_mean": "mean",
+            "SW_IN_std": "std",
+            "SW_IN_total": "sum",
+            "SW_IN_max": "max",
+        },
+        "monthly": {"SW_IN_mean": "mean", "SW_IN_std": "std", "SW_IN_total": "sum"},
+    },
+    "SW_IN_POT": {
+        "daily": {"SW_IN_POT_total": "sum"},
+        "monthly": {"SW_IN_POT_total": "sum"},
+    },
+    "SW_OUT": {"daily": {"SW_OUT_mean": "mean"}, "monthly": {"SW_OUT_mean": "mean"}},
+    "LW_IN": {"daily": {"LW_IN_mean": "mean"}, "monthly": {"LW_IN_mean": "mean"}},
+    "LW_OUT": {"daily": {"LW_OUT_mean": "mean"}, "monthly": {"LW_OUT_mean": "mean"}},
+    "NETRAD": {
+        "daily": {"NETRAD_mean": "mean", "NETRAD_std": "std", "NETRAD_total": "sum"},
+        "monthly": {"NETRAD_mean": "mean", "NETRAD_std": "std", "NETRAD_total": "sum"},
+    },
+    "LE": {
+        "daily": {"LE_mean": "mean", "LE_total": "sum"},
+        "monthly": {"LE_mean": "mean", "LE_total": "sum"},
+    },
+    "H": {
+        "daily": {"H_mean": "mean", "H_total": "sum"},
+        "monthly": {"H_mean": "mean", "H_total": "sum"},
+    },
+    "G": {
+        "daily": {"G_mean": "mean", "G_total": "sum"},
+        "monthly": {"G_mean": "mean", "G_total": "sum"},
+    },
+    "USTAR": {
+        "daily": {"USTAR_mean": "mean", "USTAR_max": "max"},
+        "monthly": {"USTAR_mean": "mean"},
+    },
+    "PPFD_IN": {
+        "daily": {"PPFD_IN_integral": "sum", "PPFD_IN_max": "max"},
+        "monthly": "DROP",
+    },
+    "PPFD_OUT": {"daily": {"PPFD_OUT_integral": "sum"}, "monthly": "DROP"},
+    **{
+        f"SWC_{k}": {
+            "daily": {
+                f"SWC_{k}_mean": "mean",
+                f"SWC_{k}_min": "min",
+                f"SWC_{k}_delta": "delta",
+            },
+            "monthly": {
+                f"SWC_{k}_mean": "mean",
+                f"SWC_{k}_min": "min",
+                f"SWC_{k}_delta": "delta",
+            },
+        }
+        for k in range(1, 6)
+    },
+    **{
+        f"TS_{k}": {
+            "daily": {
+                f"TS_{k}_mean": "mean",
+                f"TS_{k}_min": "min",
+                f"TS_{k}_max": "max",
+            },
+            "monthly": {
+                f"TS_{k}_mean": "mean",
+                f"TS_{k}_min": "min",
+                f"TS_{k}_max": "max",
+            },
+        }
+        for k in range(1, 6)
+    },
+    "CO2": {"daily": {"CO2_mean": "mean"}, "monthly": {"CO2_mean": "mean"}},
+    "WTD": {"daily": {"WTD_mean": "mean"}, "monthly": {"WTD_mean": "mean"}},
+}

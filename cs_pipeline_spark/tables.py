@@ -15,6 +15,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLE_NAMES = (
     "region",
@@ -32,9 +33,22 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
+# rejects. We read nanos as long (runtime conf) and truncate to
+# microsecond TimestampType. DuckDB oracles must mirror with
+# CAST(ts AS TIMESTAMP) — DuckDB's ns→µs cast also truncates.
+EVENTS_TS_SQL = "CAST(ts AS TIMESTAMP)"
+
+
 def load(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Load one table from an sf directory (file or partitioned dir)."""
     path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+        )
     return spark.read.parquet(path)
 
 
