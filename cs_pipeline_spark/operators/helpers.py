@@ -1,27 +1,38 @@
 """Hash-stable aggregate builders (Spark Column + DuckDB SQL twins).
 
 The driver verifies every query by order-insensitive VALUE HASH against
-a DuckDB oracle (``__spark_entry__.py`` docstring). Double-precision
-sums are not associative, so a plain ``SUM(double)`` can differ between
-Spark's partial/final aggregation and DuckDB's scan order by a few
-ULPs — enough to break the hash. Convention used by every query here:
+a DuckDB oracle. Two engine-difference traps make naive double
+aggregation non-reproducible:
 
-- **Sums** go through ``DECIMAL(38,10)``: the double→decimal cast is a
-  deterministic rounding of the exact binary value, and decimal
-  addition is exact and associative, so both engines produce the
-  identical decimal; the final cast back to double is correctly
-  rounded in both. Engine-agnostic by construction.
-- **Averages** = exact-decimal sum (as double) / count — one IEEE
-  division, bit-identical in both engines.
-- **Std/variance** are derived from exact sums with the *same* double
-  expression on both sides (sqrt(max(0, s2/n − (s1/n)²))) — IEEE ops
-  are correctly rounded, so bit-identical.
-- **Transcendentals** (exp/atan2/…) are not correctly rounded in
-  either engine → round scalar outputs to 6 dp on both sides.
+1. **Double sums are not associative** — Spark's partial/final
+   aggregation order differs from DuckDB's scan order (ULP drift).
+2. **double→decimal casts disagree**: Spark rounds the *shortest
+   decimal representation* (BigDecimal.valueOf → HALF_UP), DuckDB
+   rounds the *exact binary value*. Near a decimal-grid tie these
+   pick different sides (~1e-4 of values at scale 10) — empirically
+   observed as 2/10000 RH² casts differing by 1e-10.
 
-This costs one decimal conversion per row in the aggregate — negligible
-against shuffle cost at 100 TB — and buys bit-exact reproducibility,
-which a production pipeline wants anyway (re-runs hash-identical).
+Convention that is deterministic by construction:
+
+- Quantize with ``FLOOR(x·1e6 + 0.5)`` — multiply/add/floor are all
+  exactly-rounded IEEE ops, bit-identical in both engines, and the
+  result is an *integer* (≤ ~1e17 here), so the subsequent cast to
+  DECIMAL is exact in both engines: no rounding ever happens on the
+  decimal side.
+- Sum the integers in DECIMAL(38,0) (exact, associative), convert
+  the total to double via a *string* cast (string→double parsing is
+  correctly rounded in both engines; DuckDB's direct decimal→double
+  cast is not), then divide by the quantum.
+- Second moments square the quantized integers in DECIMAL(19,0)
+  (exact), so variance/std derive from exact sums with the same
+  double expression on both sides.
+
+Semantics: aggregates are computed over values rounded half-up to
+1e-6 — i.e. ``dsum`` is Σ round₆(x). The 1e-6 quantum is far below
+any physical meaning in this pipeline and buys bit-exact re-runs on
+any cluster topology (a property a production pipeline wants anyway).
+Cost: one multiply+floor per row pre-shuffle — negligible.
+``min``/``max``/``max_by`` need no treatment (exact, order-free).
 """
 
 from __future__ import annotations
@@ -29,36 +40,45 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-DEC = "decimal(38,10)"
+Q1 = 1000000.0  # quantum⁻¹ for first moments (6 dp)
+Q2 = 1000000000000.0  # Q1² for second moments
 
 
 def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def _quant(c: Column) -> Column:
+    # exact in both engines: *, + are correctly-rounded IEEE, floor exact
+    return F.floor(c * F.lit(Q1) + F.lit(0.5))
+
+
 def _dec_to_double(c: Column) -> Column:
-    # decimal → string → double: string parsing is correctly rounded in
-    # both engines, whereas DuckDB's direct decimal→double cast
-    # (int128 * 1e-scale) is not. Keeps the hash engine-agnostic.
     return c.cast("string").cast("double")
 
 
 def dsum(col: Column | str) -> Column:
-    """Engine-agnostic sum of a double column (exact decimal path)."""
-    return _dec_to_double(F.sum(_c(col).cast(DEC)))
+    """Engine-agnostic sum: Σ round₆(x), exact integer-decimal path."""
+    q = _quant(_c(col))
+    return _dec_to_double(F.sum(q.cast("decimal(38,0)"))) / F.lit(Q1)
 
 
 def davg(col: Column | str) -> Column:
-    """Engine-agnostic mean: exact sum / non-null count."""
+    """Engine-agnostic mean: exact quantized sum / non-null count."""
     return dsum(col) / F.count(_c(col))
 
 
+def _sum_sq(col: Column | str) -> Column:
+    q = _quant(_c(col)).cast("decimal(19,0)")
+    return _dec_to_double(F.sum(q * q)) / F.lit(Q2)
+
+
 def dstd_pop(col: Column | str) -> Column:
-    """Engine-agnostic population stddev from exact sums."""
+    """Engine-agnostic population stddev from exact quantized sums."""
     c = _c(col)
     n = F.count(c).cast("double")
     s1 = dsum(c)
-    s2 = _dec_to_double(F.sum((c * c).cast(DEC)))
+    s2 = _sum_sq(c)
     m = s1 / n
     return F.sqrt(F.greatest(s2 / n - m * m, F.lit(0.0)))
 
@@ -67,7 +87,7 @@ def dvar_pop(col: Column | str) -> Column:
     c = _c(col)
     n = F.count(c).cast("double")
     s1 = dsum(c)
-    s2 = _dec_to_double(F.sum((c * c).cast(DEC)))
+    s2 = _sum_sq(c)
     m = s1 / n
     return F.greatest(s2 / n - m * m, F.lit(0.0))
 
@@ -76,7 +96,15 @@ def dvar_pop(col: Column | str) -> Column:
 
 
 def sql_dsum(expr: str) -> str:
-    return f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)"
+    return (
+        "(CAST(CAST(SUM(CAST(FLOOR((" + expr + ") * 1000000.0 + 0.5) "
+        "AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 1000000.0)"
+    )
+
+
+def _sql_sum_sq(expr: str) -> str:
+    q = f"CAST(FLOOR(({expr}) * 1000000.0 + 0.5) AS DECIMAL(19,0))"
+    return f"(CAST(CAST(SUM({q} * {q}) AS VARCHAR) AS DOUBLE) / 1000000000000.0)"
 
 
 def sql_davg(expr: str) -> str:
@@ -86,7 +114,7 @@ def sql_davg(expr: str) -> str:
 def sql_dstd_pop(expr: str) -> str:
     n = f"CAST(COUNT({expr}) AS DOUBLE)"
     s1 = sql_dsum(expr)
-    s2 = sql_dsum(f"({expr}) * ({expr})")
+    s2 = _sql_sum_sq(expr)
     m = f"({s1} / {n})"
     return f"SQRT(GREATEST({s2} / {n} - {m} * {m}, 0.0))"
 
@@ -94,6 +122,6 @@ def sql_dstd_pop(expr: str) -> str:
 def sql_dvar_pop(expr: str) -> str:
     n = f"CAST(COUNT({expr}) AS DOUBLE)"
     s1 = sql_dsum(expr)
-    s2 = sql_dsum(f"({expr}) * ({expr})")
+    s2 = _sql_sum_sq(expr)
     m = f"({s1} / {n})"
     return f"GREATEST({s2} / {n} - {m} * {m}, 0.0)"

@@ -23,6 +23,41 @@ from cs_pipeline_spark.functions.physics import (
 from cs_pipeline_spark.registry import register
 
 
+def predictors_frame(
+    spark: SparkSession,
+    sf_dir: str,
+    preds: list[str],
+    keys: tuple[str, ...] = ("latitude", "longitude", "valid_time"),
+) -> DataFrame:
+    """ERA5 fixture + derived predictor columns (transcendental-based
+    predictors rounded to 6 dp for hash stability)."""
+    df = era5_events(spark, sf_dir)
+    cols = [F.col("event_id"), *[F.col(k) for k in keys]]
+    for p in preds:
+        c = predictor_col(p)
+        if p in TRANSCENDENTAL:
+            c = F.round(c, 6)
+        cols.append(c.alias(p))
+    return df.select(*cols)
+
+
+def predictors_cte(
+    preds: list[str], keys: tuple[str, ...] = ("latitude", "longitude", "valid_time")
+) -> str:
+    """Oracle CTE mirroring :func:`predictors_frame` (named ``preds``)."""
+    exprs = ", ".join(
+        (
+            f"ROUND({predictor_sql(p)}, 6)"
+            if p in TRANSCENDENTAL
+            else predictor_sql(p)
+        )
+        + f" AS {p}"
+        for p in preds
+    )
+    keycols = ", ".join(keys)
+    return f"preds AS (SELECT event_id, {keycols}, {exprs} FROM era5)"
+
+
 def _make(preds: list[str]):
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = era5_events(spark, sf_dir)
