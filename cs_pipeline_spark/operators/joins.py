@@ -1,1 +1,417 @@
-"""joins operators (stub, populated in later milestones)."""
+"""Join layer (SURVEY §2.4): nearest-coordinate snap, enrichment
+pipelines, gap-fill, as-of, outer alignment.
+
+The reference never calls a relational join by name — every join is a
+coordinate-aligned xarray ``sel``/assignment. Re-expressed Spark-first:
+
+- ``join_nearest_coord``: snap values to the nearest reference
+  coordinate (reference ``dataset.py:224-235`` ``_nearest_point`` /
+  ``_match_to_closest``). Coordinate sets are tiny relative to data
+  (≤ ~10⁶ distinct grid coords vs 10⁹+ rows), so the snap *mapping* is
+  built on distincts and **broadcast** — the fact table is never
+  shuffled for the snap. Determinism: ties broken by smaller reference
+  coord via ``row_number`` ordering (exactly mirrored in the oracle).
+- ``join_enrich_co2`` (reference ``dataset.py:36-64``): monthly-mean →
+  month semi-join → per-axis nearest snap → broadcast equi-join.
+- ``join_enrich_wtd`` (reference ``dataset.py:66-114``): reversed
+  projection (WTD snapped onto the ERA5 grid) + deterministic dedup of
+  snapped keys (reference ``drop_duplicates``, dataset.py:99 — made
+  order-independent with ``min_by`` on the unique source key).
+- ``join_gapfill_station`` (reference ``core.py:273-295``): the
+  reference assigns ERA5 values into the station frame *positionally*
+  (``dfr.loc[:, (pred,'ERA5')] = values``); we do the intended
+  semantics as an explicit timestamp equi-join.
+- ``join_asof``: generic event-time nearest join (per-key latest
+  marker ≤ t), the scalable generalization of the reference's 1-D
+  nearest lookups; windowed per user_id (shuffle on user_id only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cs_pipeline_spark.functions.era5_fixture import ERA5_CTE, era5_events
+from cs_pipeline_spark.operators.helpers import davg, dsum, sql_davg, sql_dsum
+from cs_pipeline_spark.registry import register
+from cs_pipeline_spark.tables import EVENTS_TS_SQL, load
+
+
+# ---------- API ----------
+
+
+def nearest_coord_mapping(
+    values: DataFrame, refs: DataFrame, value_col: str, ref_col: str
+) -> DataFrame:
+    """Mapping (value_col → nearest ref_col), deterministic on ties.
+
+    Both inputs should be distinct 1-D coordinate sets (config-scale).
+    Cross-join of distincts + row_number over (|diff|, ref) — the
+    result is a tiny frame meant to be broadcast into the fact join.
+    """
+    v = values.select(value_col).distinct()
+    r = refs.select(ref_col).distinct()
+    w = Window.partitionBy(value_col).orderBy(
+        F.abs(F.col(value_col) - F.col(ref_col)), F.col(ref_col)
+    )
+    return (
+        v.crossJoin(F.broadcast(r))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def join_nearest_coord(
+    df: DataFrame,
+    refs: DataFrame,
+    value_col: str,
+    ref_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Attach the nearest reference coordinate to every row of ``df``.
+
+    The mapping (distinct values × distinct refs) is broadcast; ``df``
+    itself is not shuffled — at 100 TB the fact table streams through
+    a broadcast hash join.
+    """
+    mapping = nearest_coord_mapping(df, refs, value_col, ref_col)
+    out = out_col or f"{value_col}_nearest"
+    mapping = mapping.withColumnRenamed(ref_col, out)
+    return df.join(F.broadcast(mapping), value_col, "left")
+
+
+def _sql_nearest_cte(
+    name: str, values_sql: str, refs_sql: str, value_col: str, ref_col: str, out: str
+) -> str:
+    """Oracle twin of nearest_coord_mapping (identical ordering)."""
+    return (
+        f"{name} AS (SELECT {value_col}, {out} FROM ("
+        f"SELECT v.{value_col}, r.{ref_col} AS {out}, "
+        f"ROW_NUMBER() OVER (PARTITION BY v.{value_col} "
+        f"ORDER BY ABS(v.{value_col} - r.{ref_col}), r.{ref_col}) AS rn "
+        f"FROM ({values_sql}) v CROSS JOIN ({refs_sql}) r) WHERE rn = 1)"
+    )
+
+
+# ---------- fixtures: CO₂ / WTD lookalikes derived from events ----------
+
+# Monthly CO₂ cube on a coarser, offset grid (reference dataset.py:40,
+# 138-146; FIXTURES.md §F2). Months spread over 3 values so the month
+# semi-join actually cuts rows.
+_CO2_DERIVE = (
+    "SELECT event_id, "
+    "make_timestamp(2024, CAST(1 + event_id % 3 AS INT), 1, 0, 0, 0) AS month, "
+    "44.9 + CAST(user_id % 4 AS DOUBLE) * 0.5 AS clat, "
+    "-74.1 + CAST(event_id % 4 AS DOUBLE) * 0.5 AS clon, "
+    "(400.0 + value / 100.0) AS xco2 FROM events"
+)
+_CO2_CTE = f"co2 AS ({_CO2_DERIVE})"
+
+# Fine-grid monthly WTD raster (reference dataset.py:148-169; F3).
+_WTD_DERIVE = (
+    "SELECT event_id, "
+    "make_timestamp(2024, CAST(1 + user_id % 2 AS INT), 1, 0, 0, 0) AS month, "
+    "44.87 + CAST(event_id % 16 AS DOUBLE) * 0.125 AS y, "
+    "-74.03 + CAST(user_id % 16 AS DOUBLE) * 0.125 AS x, "
+    "(value / 40.0) AS wtd FROM events"
+)
+_WTD_CTE = f"wtd_raster AS ({_WTD_DERIVE})"
+
+
+def _co2_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, "events", sf_dir)
+    return ev.selectExpr(
+        "event_id",
+        "make_timestamp(2024, CAST(1 + event_id % 3 AS INT), 1, 0, 0, 0) AS month",
+        "44.9 + CAST(user_id % 4 AS DOUBLE) * 0.5 AS clat",
+        "-74.1 + CAST(event_id % 4 AS DOUBLE) * 0.5 AS clon",
+        "(400.0 + value / 100.0) AS xco2",
+    )
+
+
+def _wtd_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, "events", sf_dir)
+    return ev.selectExpr(
+        "event_id",
+        "make_timestamp(2024, CAST(1 + user_id % 2 AS INT), 1, 0, 0, 0) AS month",
+        "44.87 + CAST(event_id % 16 AS DOUBLE) * 0.125 AS y",
+        "-74.03 + CAST(user_id % 16 AS DOUBLE) * 0.125 AS x",
+        "(value / 40.0) AS wtd",
+    )
+
+
+# ---------- queries ----------
+
+
+@register(
+    "join_nearest_grid",
+    f"WITH {ERA5_CTE}, {_CO2_CTE}, "
+    + _sql_nearest_cte(
+        "snap",
+        "SELECT DISTINCT latitude FROM era5",
+        "SELECT DISTINCT clat FROM co2",
+        "latitude",
+        "clat",
+        "latitude_nearest",
+    )
+    + " SELECT latitude, latitude_nearest FROM snap",
+    doc="generic 1-D nearest-coordinate snap (dataset.py:224-235)",
+)
+def join_nearest_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    era5 = era5_events(spark, sf_dir)
+    co2 = _co2_frame(spark, sf_dir)
+    return nearest_coord_mapping(era5, co2.withColumnRenamed("clat", "clat"), "latitude", "clat").withColumnRenamed(
+        "clat", "latitude_nearest"
+    )
+
+
+@register(
+    "join_enrich_co2",
+    f"WITH {ERA5_CTE}, {_CO2_CTE}, "
+    "era5m AS (SELECT event_id, latitude, longitude, "
+    "date_trunc('month', valid_time) AS month FROM era5), "
+    "co2m AS (SELECT month, clat, clon, "
+    + sql_davg("xco2")
+    + " AS xco2 FROM co2 GROUP BY month, clat, clon), "
+    "co2s AS (SELECT * FROM co2m WHERE month IN (SELECT DISTINCT month FROM era5m)), "
+    + _sql_nearest_cte(
+        "slat",
+        "SELECT DISTINCT latitude FROM era5m",
+        "SELECT DISTINCT clat FROM co2",
+        "latitude",
+        "clat",
+        "snap_lat",
+    )
+    + ", "
+    + _sql_nearest_cte(
+        "slon",
+        "SELECT DISTINCT longitude FROM era5m",
+        "SELECT DISTINCT clon FROM co2",
+        "longitude",
+        "clon",
+        "snap_lon",
+    )
+    + " SELECT e.event_id, e.latitude, e.longitude, c.xco2 "
+    "FROM era5m e "
+    "JOIN slat ON e.latitude = slat.latitude "
+    "JOIN slon ON e.longitude = slon.longitude "
+    "LEFT JOIN co2s c ON c.month = e.month "
+    "AND c.clat = slat.snap_lat AND c.clon = slon.snap_lon",
+    doc="CO₂ enrichment: monthly mean → month semi-join → snap → equi-join (dataset.py:36-64)",
+)
+def join_enrich_co2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CO₂ enrichment pipeline.
+
+    Scale: the CO₂ cube is small next to hourly ERA5 (monthly ×
+    coarse grid) → monthly-mean agg shuffles only CO₂; snap mappings
+    and the aggregated cube are broadcast, so the big side is joined
+    without a shuffle.
+    """
+    era5 = era5_events(spark, sf_dir).select(
+        "event_id",
+        "latitude",
+        "longitude",
+        F.date_trunc("month", "valid_time").alias("month"),
+    )
+    co2 = _co2_frame(spark, sf_dir)
+    co2m = co2.groupBy("month", "clat", "clon").agg(davg("xco2").alias("xco2"))
+    months = era5.select("month").distinct()
+    co2s = co2m.join(F.broadcast(months), "month", "left_semi")
+    slat = nearest_coord_mapping(era5, co2, "latitude", "clat").withColumnRenamed(
+        "clat", "snap_lat"
+    )
+    slon = nearest_coord_mapping(era5, co2, "longitude", "clon").withColumnRenamed(
+        "clon", "snap_lon"
+    )
+    return (
+        era5.alias("e")
+        .join(F.broadcast(slat), "latitude")
+        .join(F.broadcast(slon), "longitude")
+        .join(
+            F.broadcast(co2s).alias("c"),
+            (F.col("snap_lat") == F.col("c.clat"))
+            & (F.col("snap_lon") == F.col("c.clon"))
+            & (F.col("e.month") == F.col("c.month")),
+            "left",
+        )
+        .select("event_id", "latitude", "longitude", "xco2")
+    )
+
+
+@register(
+    "join_enrich_wtd",
+    f"WITH {ERA5_CTE}, {_WTD_CTE}, "
+    "era5m AS (SELECT event_id, latitude, longitude, "
+    "date_trunc('month', valid_time) AS month FROM era5), "
+    + _sql_nearest_cte(
+        "sy",
+        "SELECT DISTINCT y FROM wtd_raster",
+        "SELECT DISTINCT latitude FROM era5m",
+        "y",
+        "latitude",
+        "snap_lat",
+    )
+    + ", "
+    + _sql_nearest_cte(
+        "sx",
+        "SELECT DISTINCT x FROM wtd_raster",
+        "SELECT DISTINCT longitude FROM era5m",
+        "x",
+        "longitude",
+        "snap_lon",
+    )
+    + ", wtd_snapped AS (SELECT w.month, sy.snap_lat, sx.snap_lon, "
+    "arg_min(w.wtd, w.event_id) AS wtd "
+    "FROM wtd_raster w JOIN sy ON w.y = sy.y JOIN sx ON w.x = sx.x "
+    "GROUP BY w.month, sy.snap_lat, sx.snap_lon) "
+    "SELECT e.event_id, e.latitude, e.longitude, w.wtd "
+    "FROM era5m e LEFT JOIN wtd_snapped w ON w.month = e.month "
+    "AND w.snap_lat = e.latitude AND w.snap_lon = e.longitude",
+    doc="WTD enrichment: snap onto ERA5 grid + dedup + equi-join (dataset.py:66-114)",
+)
+def join_enrich_wtd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WTD enrichment — reversed snap direction + deterministic dedup.
+
+    The reference dedups snapped keys with order-dependent
+    ``drop_duplicates`` (dataset.py:99); we keep the row with the
+    smallest source key (``min_by``) — order-independent, same intent.
+    """
+    era5 = era5_events(spark, sf_dir).select(
+        "event_id",
+        "latitude",
+        "longitude",
+        F.date_trunc("month", "valid_time").alias("month"),
+    )
+    wtd = _wtd_frame(spark, sf_dir)
+    sy = nearest_coord_mapping(wtd, era5, "y", "latitude").withColumnRenamed(
+        "latitude", "snap_lat"
+    )
+    sx = nearest_coord_mapping(wtd, era5, "x", "longitude").withColumnRenamed(
+        "longitude", "snap_lon"
+    )
+    snapped = (
+        wtd.join(F.broadcast(sy), "y")
+        .join(F.broadcast(sx), "x")
+        .groupBy("month", "snap_lat", "snap_lon")
+        .agg(F.min_by("wtd", "event_id").alias("wtd"))
+    )
+    return (
+        era5.alias("e")
+        .join(
+            F.broadcast(snapped).alias("w"),
+            (F.col("w.month") == F.col("e.month"))
+            & (F.col("w.snap_lat") == F.col("e.latitude"))
+            & (F.col("w.snap_lon") == F.col("e.longitude")),
+            "left",
+        )
+        .select("e.event_id", "e.latitude", "e.longitude", "w.wtd")
+    )
+
+
+_GAPFILL_PREDS = ["TA", "PA", "WS", "RH"]
+
+
+@register(
+    "join_gapfill_station",
+    f"WITH {ERA5_CTE}, "
+    "station AS (SELECT "
+    f"{EVENTS_TS_SQL} AS timestamp, "
+    "value / 10.0 AS TA_AMF, 101.0 + value / 1000.0 AS PA_AMF, "
+    "value / 50.0 AS WS_AMF, 50.0 + value % 50.0 AS RH_AMF "
+    "FROM events WHERE user_id % 2 = 0), "
+    "era5p AS (SELECT valid_time, "
+    "(t2m - 273.15) AS TA_ERA5, (sp / 1000.0) AS PA_ERA5, "
+    "SQRT(u10 * u10 + v10 * v10) AS WS_ERA5, "
+    "ROUND((100.0 * EXP((17.625 * (d2m - 273.15)) / (243.04 + (d2m - 273.15)) "
+    "- (17.625 * (t2m - 273.15)) / (243.04 + (t2m - 273.15)))), 6) AS RH_ERA5 "
+    "FROM era5) "
+    "SELECT s.timestamp, s.TA_AMF, e.TA_ERA5, s.PA_AMF, e.PA_ERA5, "
+    "s.WS_AMF, e.WS_ERA5, s.RH_AMF, e.RH_ERA5 "
+    "FROM station s LEFT JOIN era5p e ON e.valid_time = s.timestamp",
+    doc="gap-fill: station ←timestamp-join→ ERA5 predictors, {p}_AMF/{p}_ERA5 (core.py:273-295)",
+)
+def join_gapfill_station(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, "events", sf_dir)
+    station = ev.filter(F.col("user_id") % 2 == 0).select(
+        F.col("ts").alias("timestamp"),
+        (F.col("value") / 10.0).alias("TA_AMF"),
+        (F.lit(101.0) + F.col("value") / 1000.0).alias("PA_AMF"),
+        (F.col("value") / 50.0).alias("WS_AMF"),
+        (F.lit(50.0) + F.col("value") % 50.0).alias("RH_AMF"),
+    )
+    from cs_pipeline_spark.functions.physics import predictor_col
+
+    era5p = era5_events(spark, sf_dir).select(
+        "valid_time",
+        predictor_col("TA").alias("TA_ERA5"),
+        predictor_col("PA").alias("PA_ERA5"),
+        predictor_col("WS").alias("WS_ERA5"),
+        F.round(predictor_col("RH"), 6).alias("RH_ERA5"),
+    )
+    return station.join(
+        era5p, era5p.valid_time == station.timestamp, "left"
+    ).select(
+        "timestamp",
+        "TA_AMF", "TA_ERA5",
+        "PA_AMF", "PA_ERA5",
+        "WS_AMF", "WS_ERA5",
+        "RH_AMF", "RH_ERA5",
+    )
+
+
+@register(
+    "join_asof",
+    f"SELECT e.event_id, m.value AS last_error_value "
+    f"FROM (SELECT event_id, user_id, {EVENTS_TS_SQL} AS ts FROM events) e "
+    f"ASOF LEFT JOIN (SELECT user_id, {EVENTS_TS_SQL} AS ts, value FROM events "
+    "WHERE event_type = 'error') m "
+    "ON e.user_id = m.user_id AND e.ts >= m.ts",
+    doc="per-key as-of join: latest marker ≤ t (generic nearest-in-time)",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via a per-key ordered window (scalable: one shuffle
+    on user_id, no range explosion). Oracle uses DuckDB ASOF JOIN."""
+    ev = load(spark, "events", sf_dir)
+    marker = F.when(F.col("event_type") == "error", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.withColumn(
+        "last_error_value", F.last(marker, ignorenulls=True).over(w)
+    ).select("event_id", "last_error_value")
+
+
+@register(
+    "join_align_files",
+    "SELECT COALESCE(o.month, l.month) AS month, o.n_orders, l.sum_qty FROM "
+    "(SELECT date_trunc('month', o_orderdate) AS month, COUNT(*) AS n_orders "
+    "FROM orders GROUP BY 1) o "
+    "FULL JOIN "
+    "(SELECT date_trunc('month', l_shipdate) AS month, "
+    + sql_dsum("l_quantity")
+    + " AS sum_qty FROM lineitem GROUP BY 1) l ON o.month = l.month",
+    doc="outer coordinate alignment of two sources (dataset.py:33, combine_by_coords)",
+)
+def join_align_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        load(spark, "orders", sf_dir)
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    l = (
+        load(spark, "lineitem", sf_dir)
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("month"))
+        .agg(dsum("l_quantity").alias("sum_qty"))
+    )
+    return (
+        o.alias("o")
+        .join(l.alias("l"), F.col("o.month") == F.col("l.month"), "full")
+        .select(
+            F.coalesce(F.col("o.month"), F.col("l.month")).alias("month"),
+            "n_orders",
+            "sum_qty",
+        )
+    )
