@@ -1,1 +1,162 @@
-"""filters operators (stub, populated in later milestones)."""
+"""Projection / filter / predicate operators (SURVEY §2.2).
+
+All are single-pass narrow transformations — they fuse into the scan's
+WholeStageCodegen stage and (for parquet-native columns) push down to
+the reader as PushedFilters / ReadSchema. No shuffles anywhere here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cs_pipeline_spark.functions.constants import (
+    SHORTNAME_TO_FULLNAME,
+    VARIABLES_FOR_PREDICTOR,
+)
+from cs_pipeline_spark.functions.era5_fixture import ERA5_CTE, era5_events
+from cs_pipeline_spark.registry import register
+from cs_pipeline_spark.tables import EVENTS_TS_SQL, load
+
+_RENAME_COLS = ["u10", "v10", "t2m", "d2m", "sp", "fal"]
+
+
+@register(
+    "rename_shortnames",
+    f"WITH {ERA5_CTE} SELECT event_id, "
+    + ", ".join(f'{c} AS "{SHORTNAME_TO_FULLNAME[c]}"' for c in _RENAME_COLS)
+    + " FROM era5",
+    doc="shortname→CDS-fullname rename map (dataset.py:237-244, constants.py:31-52)",
+)
+def rename_shortnames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-driven rename: only names present in the map are
+    renamed (reference guards with ``if var in ds``)."""
+    df = era5_events(spark, sf_dir).select("event_id", *_RENAME_COLS)
+    mapping = {c: SHORTNAME_TO_FULLNAME[c] for c in _RENAME_COLS if c in df.columns}
+    return df.withColumnsRenamed(mapping)
+
+
+@register(
+    "drop_cols",
+    "SELECT l_orderkey, l_partkey, l_suppkey, l_quantity, l_extendedprice, "
+    "l_discount, l_returnflag, l_linestatus, l_shipdate FROM lineitem",
+    doc="drop bookkeeping columns (dataset.py:31 number/expver pattern)",
+)
+def drop_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, "lineitem", sf_dir).drop("l_linenumber", "l_tax")
+
+
+@register(
+    "filter_sentinel_to_null",
+    "SELECT event_id, CASE WHEN xv < 1e10 THEN xv END AS xco2 FROM "
+    "(SELECT event_id, CASE WHEN event_id % 37 = 0 THEN 1e12 "
+    "ELSE 400.0 + value / 100.0 END AS xv FROM events) t",
+    doc="sentinel ≥1e10 → null (dataset.py:144)",
+)
+def filter_sentinel_to_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, "events", sf_dir)
+    xv = F.when(F.col("event_id") % 37 == 0, F.lit(1e12)).otherwise(
+        F.lit(400.0) + F.col("value") / 100.0
+    )
+    return ev.select(
+        "event_id",
+        F.when(xv < 1e10, xv).alias("xco2"),
+    )
+
+
+@register(
+    "filter_top_of_hour",
+    f"SELECT event_id, {EVENTS_TS_SQL} AS ts FROM events "
+    f"WHERE minute({EVENTS_TS_SQL}) = 0 AND CAST(second({EVENTS_TS_SQL}) AS INT) = 0",
+    doc="keep rows at minute==0 and second==0 (processor.py:52)",
+)
+def filter_top_of_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, "events", sf_dir)
+    return ev.filter((F.minute("ts") == 0) & (F.second("ts") == 0)).select(
+        "event_id", "ts"
+    )
+
+
+_T0, _T1 = "2024-01-10 00:00:00", "2024-01-20 00:00:00"
+
+
+@register(
+    "filter_time_range",
+    f"SELECT event_id, {EVENTS_TS_SQL} AS ts, value FROM events "
+    f"WHERE {EVENTS_TS_SQL} BETWEEN TIMESTAMP '{_T0}' AND TIMESTAMP '{_T1}'",
+    doc="timestamp.between(start, end) (processor.py:54-62)",
+)
+def filter_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, "events", sf_dir)
+    return ev.filter(
+        F.col("ts").between(F.to_timestamp(F.lit(_T0)), F.to_timestamp(F.lit(_T1)))
+    ).select("event_id", "ts", "value")
+
+
+@register(
+    "filter_missing_rows",
+    "SELECT event_id, "
+    f"CAST(year({EVENTS_TS_SQL}) AS BIGINT) AS year, "
+    f"CAST(month({EVENTS_TS_SQL}) AS BIGINT) AS month, "
+    f"CAST(day({EVENTS_TS_SQL}) AS BIGINT) AS day, "
+    f"strftime({EVENTS_TS_SQL}, '%H:%M:%S') AS time, va, vb FROM "
+    "(SELECT event_id, ts, "
+    "CASE WHEN value % 11.0 < 1.0 THEN NULL ELSE value END AS va, "
+    "CASE WHEN value % 13.0 < 1.0 THEN NULL ELSE value * 2.0 END AS vb "
+    "FROM events) t WHERE va IS NULL OR vb IS NULL",
+    doc="isolate rows with any missing value + calendar parts (processor.py:89-109)",
+)
+def filter_missing_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, "events", sf_dir)
+    va = F.when(F.col("value") % 11.0 < 1.0, F.lit(None)).otherwise(F.col("value"))
+    vb = F.when(F.col("value") % 13.0 < 1.0, F.lit(None)).otherwise(
+        F.col("value") * 2.0
+    )
+    df = ev.select("event_id", "ts", va.alias("va"), vb.alias("vb"))
+    return df.filter(F.col("va").isNull() | F.col("vb").isNull()).select(
+        "event_id",
+        F.year("ts").cast("bigint").alias("year"),
+        F.month("ts").cast("bigint").alias("month"),
+        F.dayofmonth("ts").cast("bigint").alias("day"),
+        F.date_format("ts", "HH:mm:ss").alias("time"),
+        "va",
+        "vb",
+    )
+
+
+# Snapped-coordinate → requested-value remap with identity fallback
+# (reference dataset.py:197-210: dict .map with fallback).
+_REMAP = {45.0: 45.017, 46.75: 46.735}
+
+
+@register(
+    "coord_value_remap",
+    f"WITH {ERA5_CTE} SELECT event_id, latitude, "
+    "CASE WHEN latitude = 45.0 THEN 45.017 "
+    "WHEN latitude = 46.75 THEN 46.735 ELSE latitude END AS latitude_remapped "
+    "FROM era5",
+    doc="snapped→requested coord remap, identity fallback (dataset.py:197-210)",
+)
+def coord_value_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = era5_events(spark, sf_dir)
+    expr = F.col("latitude")
+    for k, v in _REMAP.items():
+        expr = F.when(F.col("latitude") == k, F.lit(v)).otherwise(expr)
+    return df.select("event_id", "latitude", expr.alias("latitude_remapped"))
+
+
+@register(
+    "project_predictor_inputs",
+    f"WITH {ERA5_CTE} SELECT event_id, avg_ishf, avg_slhtf, avg_sdswrf, "
+    "avg_sdlwrf, avg_snlwrf, fal FROM era5",
+    doc="select only the inputs a predictor needs → Catalyst column pruning (processor.py:40-42)",
+)
+def project_predictor_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column pruning driven by VARIABLES_FOR_PREDICTOR: asking for G
+    reads exactly its six inputs (verified in ReadSchema)."""
+    from cs_pipeline_spark.functions.constants import FULLNAME_TO_SHORTNAME
+
+    shortnames = [
+        FULLNAME_TO_SHORTNAME[v] for v in VARIABLES_FOR_PREDICTOR["G"]
+    ]
+    return era5_events(spark, sf_dir).select("event_id", *shortnames)

@@ -1,1 +1,175 @@
-"""spatial operators (stub, populated in later milestones)."""
+"""Spatial operators: bbox clip, corner-snap clip, region tagging
+(SURVEY §2.2 ``filter_bbox_clip``, reference ``dataset.py:171-222``).
+
+Regions are config-scale (3…1000s of bboxes) → they live in a
+broadcast frame; the grid-side filter is a broadcast range join, so
+the fact table is clipped without any shuffle. At 100 TB with many
+regions, a non-equi broadcast join stays the right shape (regions are
+tiny); for millions of regions you'd bucket both sides to a coarse
+grid first (documented in SCALE.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cs_pipeline_spark.functions.era5_fixture import ERA5_CTE, era5_events
+from cs_pipeline_spark.registry import register
+
+# Three regions over the fixture's 8×8 grid (FIXTURES.md §F5): one
+# aligned, one between grid points, one degenerate (smaller than one
+# cell — the corner-snap must still pick 2 distinct coords).
+_REGIONS: list[tuple[str, float, float, float, float]] = [
+    # (region_id, north, west, south, east)
+    ("r0", 46.0, -74.0, 45.0, -73.0),
+    ("r1", 46.6, -73.4, 45.9, -72.4),
+    ("r2", 45.6, -73.6, 45.55, -73.55),
+]
+
+_REGIONS_SQL = (
+    "regions(region_id, north, west, south, east) AS (VALUES "
+    + ", ".join(f"('{r}', {n}, {w}, {s}, {e})" for r, n, w, s, e in _REGIONS)
+    + ")"
+)
+
+
+def regions_frame(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        _REGIONS, ["region_id", "north", "west", "south", "east"]
+    )
+
+
+def clip_bbox(df: DataFrame, regions: DataFrame) -> DataFrame:
+    """General bbox clip: broadcast range join + region_id tag.
+
+    A cell inside two overlapping regions is emitted once per region
+    (the reference processes regions independently and concatenates).
+    """
+    cond = (
+        F.col("latitude").between(F.col("south"), F.col("north"))
+        & F.col("longitude").between(F.col("west"), F.col("east"))
+    )
+    return df.join(F.broadcast(regions), cond, "inner").drop(
+        "north", "west", "south", "east"
+    )
+
+
+@register(
+    "filter_bbox_clip",
+    f"WITH {ERA5_CTE}, {_REGIONS_SQL} "
+    "SELECT e.event_id, r.region_id, e.latitude, e.longitude, e.t2m "
+    "FROM era5 e JOIN regions r ON e.latitude BETWEEN r.south AND r.north "
+    "AND e.longitude BETWEEN r.west AND r.east",
+    doc="bbox clip + region_id tag via broadcast range join (dataset.py:171-222)",
+)
+def filter_bbox_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = era5_events(spark, sf_dir).select(
+        "event_id", "latitude", "longitude", "t2m"
+    )
+    return clip_bbox(df, regions_frame(spark)).select(
+        "event_id", "region_id", "latitude", "longitude", "t2m"
+    )
+
+
+# --- corner-snap mode (exact reference parity, dataset.py:179-187) ---
+#
+# xarray's `sel(method='nearest')` on the two bbox corners snaps each
+# edge to the nearest grid coordinate INDEPENDENTLY PER AXIS, and
+# `_nearest_point` (dataset.py:224-230) EXCLUDES the already-chosen
+# point when snapping the second edge — so a degenerate bbox still
+# selects 2 distinct coordinates per axis. The clip then keeps grid
+# points between the two snapped values (inclusive).
+
+
+def _snap_two_sql(axis: str, hi: str, lo: str) -> str:
+    """CTEs: per region, snap hi/lo edges to 2 distinct grid coords
+    (second pick excludes the first — dataset.py:224-230)."""
+    grid = f"(SELECT DISTINCT {axis} FROM era5)"
+    return (
+        f"first_{axis} AS ("
+        f"SELECT r.region_id, arg_min(g.{axis}, ABS(g.{axis} - r.{hi})) AS c1 "
+        f"FROM regions r CROSS JOIN {grid} g GROUP BY r.region_id, r.{hi}), "
+        f"second_{axis} AS ("
+        f"SELECT r.region_id, arg_min(g.{axis}, ABS(g.{axis} - r.{lo})) AS c2 "
+        f"FROM regions r JOIN first_{axis} f ON f.region_id = r.region_id "
+        f"CROSS JOIN {grid} g WHERE g.{axis} <> f.c1 GROUP BY r.region_id, r.{lo}), "
+        f"snap_{axis} AS ("
+        f"SELECT f.region_id, f.c1 AS {axis}_hi, s.c2 AS {axis}_lo "
+        f"FROM first_{axis} f JOIN second_{axis} s ON s.region_id = f.region_id)"
+    )
+
+
+def corner_snap_regions(
+    grid: DataFrame, regions: DataFrame, axis: str, hi: str, lo: str
+) -> DataFrame:
+    """Per region: snapped (hi, lo) coords on one axis, second pick
+    excluding the first (reference ``_nearest_point`` exclusion)."""
+    coords = grid.select(axis).distinct()
+    pairs = regions.crossJoin(F.broadcast(coords))
+    first = pairs.groupBy("region_id", hi, lo).agg(
+        F.min_by(axis, F.abs(F.col(axis) - F.col(hi))).alias("c1")
+    )
+    second = (
+        pairs.join(first.select("region_id", "c1"), "region_id")
+        .filter(F.col(axis) != F.col("c1"))
+        .groupBy("region_id")
+        .agg(F.min_by(axis, F.abs(F.col(axis) - F.col(lo))).alias("c2"))
+    )
+    return (
+        first.select("region_id", "c1")
+        .join(second, "region_id")
+        .select(
+            "region_id",
+            F.col("c1").alias(f"{axis}_hi"),
+            F.col("c2").alias(f"{axis}_lo"),
+        )
+    )
+
+
+@register(
+    "filter_bbox_corner_snap",
+    f"WITH {ERA5_CTE}, {_REGIONS_SQL}, "
+    + _snap_two_sql("latitude", "north", "south")
+    + ", "
+    + _snap_two_sql("longitude", "east", "west")
+    + " SELECT e.event_id, s.region_id, e.latitude, e.longitude "
+    "FROM era5 e "
+    "JOIN snap_latitude s ON e.latitude "
+    "BETWEEN LEAST(s.latitude_hi, s.latitude_lo) AND GREATEST(s.latitude_hi, s.latitude_lo) "
+    "JOIN snap_longitude t ON t.region_id = s.region_id AND e.longitude "
+    "BETWEEN LEAST(t.longitude_hi, t.longitude_lo) AND GREATEST(t.longitude_hi, t.longitude_lo)",
+    doc="corner-snap bbox clip with second-pick exclusion (dataset.py:179-187,224-230)",
+)
+def filter_bbox_corner_snap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid = era5_events(spark, sf_dir).select(
+        "event_id", "latitude", "longitude"
+    )
+    regions = regions_frame(spark)
+    slat = corner_snap_regions(grid, regions, "latitude", "north", "south").alias("a")
+    slon = corner_snap_regions(grid, regions, "longitude", "east", "west").alias("b")
+    return (
+        grid.join(
+            F.broadcast(slat),
+            F.col("latitude").between(
+                F.least("a.latitude_hi", "a.latitude_lo"),
+                F.greatest("a.latitude_hi", "a.latitude_lo"),
+            ),
+            "inner",
+        )
+        .join(
+            F.broadcast(slon),
+            (F.col("b.region_id") == F.col("a.region_id"))
+            & F.col("longitude").between(
+                F.least("b.longitude_hi", "b.longitude_lo"),
+                F.greatest("b.longitude_hi", "b.longitude_lo"),
+            ),
+            "inner",
+        )
+        .select(
+            "event_id",
+            F.col("a.region_id").alias("region_id"),
+            "latitude",
+            "longitude",
+        )
+    )

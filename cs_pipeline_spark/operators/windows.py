@@ -1,1 +1,142 @@
-"""windows operators (stub, populated in later milestones)."""
+"""Window / time-series operators (SURVEY §2.6).
+
+``win_sliding_time`` mirrors the inference adapter's sliding
+window_size=32 sample extraction (reference
+``inference/carboninference/core.py:73-117``): per grid cell, a
+bounded ``rowsBetween`` window ordered by time, keeping only full
+windows. The oracle-checked variant returns scalarized window stats
+(rolling sums are summed as quantized integers so any evaluation
+order — Spark running-frame vs DuckDB segment tree — gives the same
+bits); the tensor-shaped ``collect_list`` variant is rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cs_pipeline_spark.functions.era5_fixture import ERA5_CTE, era5_events
+from cs_pipeline_spark.registry import register
+from cs_pipeline_spark.tables import EVENTS_TS_SQL, load
+
+WINDOW_SIZE = 4  # driver-fixture analogue of the reference's 32
+
+
+@register(
+    "win_sliding_time",
+    f"WITH {ERA5_CTE} SELECT * FROM ("
+    "SELECT event_id, latitude, longitude, "
+    f"COUNT(*) OVER w AS win_n, "
+    "(CAST(CAST(SUM(CAST(FLOOR(t2m * 1000000.0 + 0.5) AS DECIMAL(38,0))) OVER w "
+    "AS VARCHAR) AS DOUBLE) / 1000000.0) AS win_sum_t2m, "
+    "MIN(u10) OVER w AS win_min_u10, MAX(v10) OVER w AS win_max_v10 "
+    "FROM era5 "
+    f"WINDOW w AS (PARTITION BY latitude, longitude ORDER BY event_id "
+    f"ROWS BETWEEN {WINDOW_SIZE - 1} PRECEDING AND CURRENT ROW)"
+    f") t WHERE win_n = {WINDOW_SIZE}",
+    doc="sliding full-window extraction per grid cell (inference core.py:73-117)",
+)
+def win_sliding_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = era5_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("latitude", "longitude")
+        .orderBy("event_id")
+        .rowsBetween(-(WINDOW_SIZE - 1), Window.currentRow)
+    )
+    qsum = (
+        F.sum(F.floor(F.col("t2m") * 1000000.0 + 0.5).cast("decimal(38,0)")).over(w)
+        .cast("string")
+        .cast("double")
+        / 1000000.0
+    )
+    out = df.select(
+        "event_id",
+        "latitude",
+        "longitude",
+        F.count(F.lit(1)).over(w).alias("win_n"),
+        qsum.alias("win_sum_t2m"),
+        F.min("u10").over(w).alias("win_min_u10"),
+        F.max("v10").over(w).alias("win_max_v10"),
+    )
+    return out.filter(F.col("win_n") == WINDOW_SIZE)
+
+
+@register(
+    "win_collect_series",
+    None,  # array-valued tensor output — rows-only check
+    doc="(n_vars, window) tensor samples via collect_list (inference core.py:98-117)",
+)
+def win_collect_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual ML-sample operator: arrays of the last WINDOW_SIZE
+    values per variable per cell — feed to a batch inference source."""
+    df = era5_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("latitude", "longitude")
+        .orderBy("event_id")
+        .rowsBetween(-(WINDOW_SIZE - 1), Window.currentRow)
+    )
+    out = df.select(
+        "event_id",
+        "latitude",
+        "longitude",
+        F.collect_list("t2m").over(w).alias("t2m_series"),
+        F.collect_list("u10").over(w).alias("u10_series"),
+        F.size(F.collect_list("t2m").over(w)).alias("win_n"),
+    )
+    return out.filter(F.col("win_n") == WINDOW_SIZE)
+
+
+@register(
+    "win_rank_lag",
+    f"SELECT event_id, user_id, "
+    "CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn, "
+    "LAG(value) OVER w AS prev_value, "
+    "LEAD(value) OVER w AS next_value, "
+    "value - LAG(value) OVER w AS delta "
+    f"FROM (SELECT event_id, user_id, {EVENTS_TS_SQL} AS ts, value FROM events) t "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY ts)",
+    doc="ranking + lead/lag per key (completeness; absent in reference)",
+)
+def win_rank_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+
+
+@register(
+    "time_features",
+    f"SELECT event_id, "
+    f"CAST(dayofyear({EVENTS_TS_SQL}) AS BIGINT) AS doy, "
+    f"CAST(hour({EVENTS_TS_SQL}) AS BIGINT) AS tod "
+    "FROM events",
+    doc="DOY/TOD cyclical features (inference core.py:54-58)",
+)
+def time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, "events", sf_dir)
+    return ev.select(
+        "event_id",
+        F.dayofyear("ts").cast("bigint").alias("doy"),
+        F.hour("ts").cast("bigint").alias("tod"),
+    )
+
+
+@register(
+    "sort_coords",
+    f"WITH {ERA5_CTE} SELECT DISTINCT latitude, longitude FROM era5 "
+    "ORDER BY latitude DESC, longitude DESC",
+    doc="descending coordinate sort at sink (dataset.py:51,54,80)",
+)
+def sort_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = era5_events(spark, sf_dir)
+    return (
+        df.select("latitude", "longitude")
+        .distinct()
+        .orderBy(F.desc("latitude"), F.desc("longitude"))
+    )

@@ -103,7 +103,9 @@ def main() -> int:
             n_rows_only += 1
             continue
         try:
-            odf = con.execute(spec.oracle).fetchdf()
+            # fresh cursor per query: a failed statement must not
+            # poison the shared connection for the remaining queries
+            odf = con.cursor().execute(spec.oracle).fetchdf()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: oracle error: {e}")
             n_fail += 1
