@@ -1,0 +1,82 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: ``{"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}``.
+
+Each query is built from the central registry and executed to
+completion with a count-style action (``df.write.format("noop")``
+semantics via ``_to_java_object_rdd``-free ``count()``), so the
+timing covers scan → shuffle → result, not plan construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: one per pipeline family (relational agg, join-heavy,
+# calendar resample, enrichment join, window, reshape, text dedup,
+# fuzzy dedup, vector similarity). Keep ~10 so the bench stays a
+# feedback loop, not a marathon.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "agg_resample_daily",
+    "agg_resample_monthly",
+    "convert_predictors",
+    "join_enrich_co2",
+    "join_gapfill_station",
+    "win_sliding_time",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from cs_pipeline_spark import registry
+    from cs_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="cs_pipeline_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = registry.all_specs()
+
+    # JVM + first-scan warmup outside the timed region.
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in specs:
+            continue
+        t0 = time.perf_counter()
+        df = specs[name].fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
