@@ -1,1 +1,181 @@
-"""multimodal operators (stub, populated in later milestones)."""
+"""Multimodal-column operators (SURVEY §2.10 extension, north star).
+
+Design for image/audio/video at 100 TB: media ride as opaque
+``binary`` columns with *typed metadata columns next to them*; decode
+/ feature-extraction is per-row map work in Arrow-batched
+``mapInPandas`` (no shuffle), so it scales linearly with executors
+and pipelines with the parquet scan. The image/audio codecs are not
+in this container, so the decode step is a DETERMINISTIC STUB (see
+``_fake_decode``) — the Spark-side plumbing (schema, batching, UDF
+signature, partitioning) is real and tested; swap ``_fake_decode``
+for PIL/ffmpeg calls in production.
+
+The test corpus has no binary table, so binaries are derived
+deterministically from ``documents.text`` (utf-8 encode) — the
+operators themselves are written against a ``(id, payload binary)``
+contract.
+
+- ``mm_binary_meta`` — typed metadata extraction: byte length, md5
+  digest, magic-bytes prefix. Oracle-checked (md5/hex agree across
+  engines on utf-8 payloads).
+- ``mm_frame_sample`` — fixed-stride frame/window sampling from a
+  payload: frame index + per-frame digest (audio frame / video
+  keyframe selection shape). Oracle-checked.
+- ``mm_decode_image_stub`` — the mapInPandas decode pipeline:
+  payload → (width, height, channels, 8-dim feature vector), all
+  derived from a blake2b digest (STUB for a real decoder). Rows-only
+  check (Python hash has no DuckDB twin).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from cs_pipeline_spark.registry import register
+from cs_pipeline_spark.tables import load
+
+# ---------- typed metadata over binary payloads ----------
+
+
+@register(
+    "mm_binary_meta",
+    "SELECT doc_id, octet_length(encode(text)) AS byte_len, "
+    "md5(text) AS digest, left(hex(encode(text)), 8) AS magic "
+    "FROM documents",
+    doc="binary payload metadata: byte length, md5, magic-byte prefix",
+)
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata lives in plain columns NEXT to the payload so filters
+    (dedup by digest, route by magic) push down without touching the
+    bytes — at 100 TB the payload column is never read unless needed
+    (parquet column pruning)."""
+    docs = load(spark, "documents", sf_dir)
+    payload = F.encode("text", "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.length(payload).alias("byte_len"),
+        F.md5(payload).alias("digest"),
+        F.substring(F.hex(payload), 1, 8).alias("magic"),
+    )
+
+
+# ---------- fixed-stride frame sampling ----------
+
+_FRAME_LEN = 16
+_STRIDE = 64
+
+
+@register(
+    "mm_frame_sample",
+    "SELECT doc_id, "
+    f"unnest(range(0, greatest((length(text) - {_FRAME_LEN}) // {_STRIDE}, -1) + 1)) AS frame_idx, "
+    f"unnest(list_transform(range(0, greatest((length(text) - {_FRAME_LEN}) // {_STRIDE}, -1) + 1), "
+    f"i -> md5(substring(text, CAST(i * {_STRIDE} + 1 AS INT), {_FRAME_LEN})))) AS frame_md5 "
+    "FROM documents",
+    doc="fixed-stride frame sampling from payloads (frame idx + digest)",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video/audio frame-sampling shape: emit every stride-th window of
+    the payload as a frame row. Pure per-row explode — parallel by
+    construction; the downstream decode consumes frame rows."""
+    docs = load(spark, "documents", sf_dir)
+    n_frames = (
+        F.greatest(
+            F.floor((F.length("text") - _FRAME_LEN) / _STRIDE), F.lit(-1)
+        )
+        + 1
+    ).cast("int")
+    frames = F.transform(
+        F.sequence(F.lit(0), n_frames - 1),
+        lambda i: F.md5(F.col("text").substr(i * _STRIDE + 1, F.lit(_FRAME_LEN))),
+    )
+    return docs.select(
+        "doc_id", F.posexplode(frames).alias("frame_idx", "frame_md5")
+    )
+
+
+# ---------- mapInPandas decode pipeline (STUB decoder) ----------
+
+_DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("format", StringType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int, str, list[float]]:
+    """STUB for an image decoder (PIL/libjpeg not in this container).
+
+    Deterministic: all outputs derive from a blake2b digest of the
+    payload, so the operator is replay-stable. Replace with
+    ``PIL.Image.open(io.BytesIO(payload))`` + a real featurizer in
+    production — the surrounding plumbing does not change.
+    """
+    d = hashlib.blake2b(payload, digest_size=16).digest()
+    width = 16 * (8 + d[0] % 120)  # plausible 128..2032 px
+    height = 16 * (8 + d[1] % 120)
+    channels = 3 if d[2] % 4 else 1
+    fmt = ("jpeg", "png", "webp")[d[3] % 3]
+    features = [round(b / 255.0, 6) for b in d[4:12]]
+    return width, height, channels, fmt, features
+
+
+def decode_images(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
+    """mapInPandas decode: Arrow batches in, one decoded row per image.
+
+    The iterator-of-batches signature keeps peak memory at one Arrow
+    batch per task regardless of partition size — the shape a real
+    decoder needs (decode is CPU-bound; batches pipeline with the
+    scan)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (int(i), *_fake_decode(bytes(p)))
+                for i, p in zip(pdf[id_col], pdf[payload_col])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "channels",
+                    "format",
+                    "features",
+                ],
+            )
+
+    return df.mapInPandas(fn, schema=_DECODE_SCHEMA)
+
+
+@register(
+    "mm_decode_image_stub",
+    None,  # blake2b-derived fake decode has no SQL twin → rows-only
+    doc="mapInPandas image-decode pipeline (deterministic stub decoder)",
+)
+def mm_decode_image_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir)
+    payloads = docs.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    ).repartition(spark.sparkContext.defaultParallelism)
+    return decode_images(payloads, "payload", "doc_id")

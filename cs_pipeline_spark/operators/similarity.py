@@ -1,1 +1,255 @@
-"""similarity operators (stub, populated in later milestones)."""
+"""Similarity search over embedding columns (SURVEY §2.10 extension).
+
+North-star LLM-pipeline operators on the ``embeddings`` table
+(``vec_id``, ``embedding: array<float>``, ``label``) — no reference
+citation (the reference is climate-only). Three tiers:
+
+- ``sim_topk_bruteforce`` — exact top-k cosine for a broadcast query
+  set. One pass over the corpus; the only shuffle carries
+  ``(query_id, vec_id, cos)`` triples (12B payload/row), never the
+  vectors. This is the correctness baseline every ANN variant is
+  measured against.
+- ``sim_ivf_topk`` — IVF-style: search only the query's own coarse
+  cell. Here the cell is the ``label`` column (stand-in for a k-means
+  assignment at 100 TB); the cross join becomes an equi-join on the
+  cell id — hash join, shuffle bounded by cell size, broadcast-able
+  query side.
+- ``sim_lsh_hyperplane`` — sign-bit LSH: 4 fixed hyperplanes → 16
+  buckets; candidates = corpus vectors in the query's bucket. Plane
+  constants are literals (deterministic, oracle-expressible); at
+  100 TB the bucket id becomes a shuffle/bucketing key so candidate
+  generation is a co-partitioned equi-join.
+
+Determinism: all dot products go through the quantized-integer path
+(``operators/dedup.qdot`` — exact, associative, engine-agnostic) and
+every top-k window orders by ``(cos DESC, vec_id ASC)`` so rank
+boundaries are tie-free.
+
+Scale note (exact global top-k): ``row_number() OVER (PARTITION BY
+query_id)`` shuffles each query's scored rows to one task. With q
+queries that is q reducers over (corpus × q) 12-byte rows — fine for
+broadcast-sized query sets. For large query batches, pre-reduce with a
+per-partition heap (``mapInPandas`` keeping k per query per partition)
+before the final window; same semantics, shuffle shrinks corpus× →
+(k·partitions)×.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cs_pipeline_spark.operators.dedup import _sql_qdot, qdot
+from cs_pipeline_spark.registry import register
+from cs_pipeline_spark.tables import load
+
+TOP_K = 10
+N_QUERIES = 8  # query set = vec_id < 8
+
+
+def _scored(a_emb, b_emb, a_nrm, b_nrm):
+    """Cosine from precomputed squared norms (qdot path, exact)."""
+    return qdot(a_emb, b_emb) / (F.sqrt(a_nrm) * F.sqrt(b_nrm))
+
+
+def _with_norm(df: DataFrame) -> DataFrame:
+    return df.withColumn("nrm", qdot(F.col("embedding"), F.col("embedding")))
+
+
+_SQL_NORMED = (
+    "SELECT vec_id, label, embedding, "
+    + _sql_qdot("embedding", "embedding")
+    + " AS nrm FROM embeddings"
+)
+
+_SQL_COS = (
+    _sql_qdot("q.embedding", "c.embedding") + " / (SQRT(q.nrm) * SQRT(c.nrm))"
+)
+
+
+@register(
+    "sim_topk_bruteforce",
+    f"WITH n AS ({_SQL_NORMED}), q AS (SELECT * FROM n WHERE vec_id < {N_QUERIES}) "
+    "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+    f"{_SQL_COS} AS cos_sim "
+    "FROM q JOIN n c ON c.vec_id <> q.vec_id "
+    f"QUALIFY row_number() OVER (PARTITION BY q.vec_id "
+    f"ORDER BY {_SQL_COS} DESC, c.vec_id) <= {TOP_K}",
+    doc="exact top-k cosine neighbors for a broadcast query set (brute force)",
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _with_norm(load(spark, "embeddings", sf_dir))
+    queries = F.broadcast(
+        corpus.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+        )
+    )
+    scored = (
+        corpus.crossJoin(queries)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _scored(
+                F.col("q_emb"), F.col("embedding"), F.col("q_nrm"), F.col("nrm")
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .drop("rnk")
+    )
+
+
+@register(
+    "sim_ivf_topk",
+    f"WITH n AS ({_SQL_NORMED}), q AS (SELECT * FROM n WHERE vec_id < {N_QUERIES}) "
+    "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+    f"{_SQL_COS} AS cos_sim "
+    "FROM q JOIN n c ON c.label = q.label AND c.vec_id <> q.vec_id "
+    f"QUALIFY row_number() OVER (PARTITION BY q.vec_id "
+    f"ORDER BY {_SQL_COS} DESC, c.vec_id) <= {TOP_K}",
+    doc="IVF-style top-k: search only the query's coarse cell (label)",
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path: candidate generation is an equi-join on the cell
+    id, so Spark plans a hash join co-partitioned on ``label`` instead
+    of a corpus-wide cross join. ~1/|cells| of the work of brute force
+    at the cost of recall across cell boundaries (probe more cells to
+    trade back)."""
+    corpus = _with_norm(load(spark, "embeddings", sf_dir))
+    queries = F.broadcast(
+        corpus.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("q_label"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+        )
+    )
+    scored = (
+        corpus.join(
+            queries,
+            (F.col("label") == F.col("q_label"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _scored(
+                F.col("q_emb"), F.col("embedding"), F.col("q_nrm"), F.col("nrm")
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .drop("rnk")
+    )
+
+
+# ---------- sign-bit (random-hyperplane) LSH ----------
+
+N_PLANES = 4
+_DIM = 64
+
+
+def _plane(j: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane: sin of an integer grid,
+    rounded to 6 dp so the literal is identical in Spark and DuckDB."""
+    return [round(math.sin(1.0 + j * _DIM + d), 6) for d in range(_DIM)]
+
+
+_PLANES = [_plane(j) for j in range(N_PLANES)]
+
+
+def _bucket_col(emb) -> F.Column:
+    """Bucket id = Σ_j (qdot(v, plane_j) >= 0) << j, planes as literals."""
+    bits = [
+        F.when(
+            qdot(emb, F.array(*[F.lit(v) for v in _PLANES[j]])) >= 0,
+            F.lit(1 << j),
+        ).otherwise(F.lit(0))
+        for j in range(N_PLANES)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def _sql_plane_literal(j: int) -> str:
+    return "[" + ", ".join(repr(v) for v in _PLANES[j]) + "]"
+
+
+def _sql_bucket(emb: str) -> str:
+    terms = [
+        f"(CASE WHEN {_sql_qdot(emb, _sql_plane_literal(j))} >= 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(N_PLANES)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "sim_lsh_hyperplane",
+    f"WITH n AS (SELECT vec_id, embedding, {_sql_qdot('embedding', 'embedding')} AS nrm, "
+    f"{_sql_bucket('embedding')} AS bucket FROM embeddings), "
+    f"q AS (SELECT * FROM n WHERE vec_id < {N_QUERIES}) "
+    "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+    f"{_SQL_COS} AS cos_sim "
+    "FROM q JOIN n c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id "
+    f"QUALIFY row_number() OVER (PARTITION BY q.vec_id "
+    f"ORDER BY {_SQL_COS} DESC, c.vec_id) <= {TOP_K}",
+    doc="ANN top-k via 4-hyperplane sign-bit LSH buckets (16 buckets)",
+)
+def sim_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidates share the query's sign-bit bucket; the bucket id is a
+    plain integer column, so at scale the corpus can be *bucketed on
+    disk* by it and candidate generation is a pruned scan + equi-join,
+    never a cross join. Recall is tunable with more tables (OR of
+    several independent plane sets)."""
+    corpus = _with_norm(load(spark, "embeddings", sf_dir)).withColumn(
+        "bucket", _bucket_col(F.col("embedding"))
+    )
+    queries = F.broadcast(
+        corpus.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("bucket").alias("q_bucket"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+        )
+    )
+    scored = (
+        corpus.join(
+            queries,
+            (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _scored(
+                F.col("q_emb"), F.col("embedding"), F.col("q_nrm"), F.col("nrm")
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .drop("rnk")
+    )

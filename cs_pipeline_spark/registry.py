@@ -76,7 +76,7 @@ def _load_all_modules() -> None:
         text,
         windows,
     )
-    from cs_pipeline_spark import sources as _sources  # noqa: F401
+    from cs_pipeline_spark.sources import scans, sinks  # noqa: F401
     from cs_pipeline_spark.streaming import batch_twins  # noqa: F401
 
     _LOADED = True

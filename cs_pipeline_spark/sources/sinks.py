@@ -1,0 +1,99 @@
+"""Sinks (SURVEY §2.1): partitioned parquet, float32-downcast parquet,
+CSV round-trip.
+
+Reference sinks: compressed NetCDF with float64→float32 encoding
+(`core.py:325-369`), one-file-per-region chunk spill
+(`dataset.py:270-295`), CSV for the gap-fill table
+(`dataset.py:314-318`). Spark-first: `write.partitionBy(...).parquet`
+replaces the manual per-region spill (shuffle/spill is the engine's
+job), zstd/snappy replaces zlib, and the float32 cast is an explicit
+column cast at the sink.
+
+Each op WRITES to a scratch dir, RE-READS, and returns the re-read
+frame — so the oracle verifies the full encode→decode round-trip, not
+just the plan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from cs_pipeline_spark.operators.helpers import dsum, sql_dsum
+from cs_pipeline_spark.registry import register
+from cs_pipeline_spark.sources.scans import _scratch
+from cs_pipeline_spark.tables import load
+
+
+@register(
+    "sink_partitioned_parquet",
+    "SELECT o_orderstatus, COUNT(*) AS n_orders, "
+    f"{sql_dsum('o_totalprice')} AS sum_price "
+    "FROM orders GROUP BY o_orderstatus",
+    doc="hive-partitioned parquet sink (partitionBy) + re-read aggregation",
+)
+def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`partitionBy(status)` is the Spark shape of the reference's
+    one-file-per-region spill: the engine routes rows to partition
+    dirs during the write (no driver loop), and the re-read prunes by
+    partition value for free."""
+    path = _scratch(sf_dir, "orders_by_status.parquet")
+    if not os.path.exists(path):
+        load(spark, "orders", sf_dir).write.mode("overwrite").partitionBy(
+            "o_orderstatus"
+        ).parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("sum_price"),
+    )
+
+
+@register(
+    "sink_float32_cast",
+    "SELECT o_orderkey, CAST(CAST(o_totalprice AS REAL) AS DOUBLE) AS price_f32 "
+    "FROM orders WHERE o_orderkey < 2000",
+    doc="float64→float32 downcast at the sink (reference NetCDF encoding)",
+)
+def sink_float32_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference downcasts science values to float32 on write
+    (`core.py:351-357`); IEEE double→float rounding is identical in
+    both engines, so the round-trip is hash-checkable."""
+    path = _scratch(sf_dir, "orders_f32.parquet")
+    if not os.path.exists(path):
+        load(spark, "orders", sf_dir).filter(F.col("o_orderkey") < 2000).select(
+            "o_orderkey", F.col("o_totalprice").cast("float").alias("price_f32")
+        ).write.mode("overwrite").option("compression", "zstd").parquet(path)
+    return spark.read.parquet(path).select(
+        "o_orderkey", F.col("price_f32").cast("double").alias("price_f32")
+    )
+
+
+_CSV_BACK_SCHEMA = StructType(
+    [
+        StructField("r_regionkey", IntegerType()),
+        StructField("r_name", StringType()),
+    ]
+)
+
+
+@register(
+    "sink_csv_roundtrip",
+    "SELECT r_regionkey, r_name FROM region",
+    doc="header CSV sink + tolerant re-read (gap-fill output shape)",
+)
+def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch(sf_dir, "region_out.csv")
+    if not os.path.exists(path):
+        load(spark, "region", sf_dir).select(
+            "r_regionkey", "r_name"
+        ).coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+    return spark.read.schema(_CSV_BACK_SCHEMA).option("header", True).csv(path)

@@ -1,1 +1,88 @@
-"""Batch twins of streaming windows (stub)."""
+"""Driver-checkable batch twins of the streaming windows (SURVEY §2.9).
+
+Each op runs the shared transformation from ``streaming/windows.py``
+on the batch ``events`` table and carries a DuckDB oracle. Window
+boundary semantics mirrored in SQL:
+
+- tumbling/sliding starts are epoch-aligned — ``time_bucket`` in
+  DuckDB matches Spark's ``window()`` alignment.
+- an event belongs to width/slide sliding windows (here 2); the twin
+  enumerates them with a positional double-``unnest``.
+- sessions: new session when the gap to the previous event is ≥ the
+  inactivity gap (Spark merges while next < previous end), end =
+  last_ts + gap.
+
+``events.ts`` is TIMESTAMP(NANOS) in parquet; Spark reads nanos-as-
+long and truncates to µs (``tables.EVENTS_TS_SQL``), the oracle casts
+the same way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cs_pipeline_spark.operators.helpers import sql_davg, sql_dsum
+from cs_pipeline_spark.registry import register
+from cs_pipeline_spark.streaming import windows as W
+from cs_pipeline_spark.tables import EVENTS_TS_SQL, load
+
+_TS = EVENTS_TS_SQL
+
+
+@register(
+    "stream_tumbling_window",
+    "SELECT time_bucket(INTERVAL '10 minutes', "
+    f"{_TS}) AS win_start, "
+    f"time_bucket(INTERVAL '10 minutes', {_TS}) + INTERVAL '10 minutes' AS win_end, "
+    f"event_type, COUNT(*) AS n_events, {sql_dsum('value')} AS sum_value "
+    "FROM events GROUP BY 1, 2, 3",
+    doc="tumbling 10-min window counts/sums (batch twin of streaming agg)",
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.tumbling_counts(load(spark, "events", sf_dir))
+
+
+@register(
+    "stream_sliding_window",
+    "WITH e AS (SELECT "
+    f"unnest([time_bucket(INTERVAL '5 minutes', {_TS}), "
+    f"time_bucket(INTERVAL '5 minutes', {_TS}) - INTERVAL '5 minutes']) AS win_start, "
+    "value FROM events) "
+    "SELECT win_start, win_start + INTERVAL '10 minutes' AS win_end, "
+    f"COUNT(*) AS n_events, {sql_davg('value')} AS avg_value "
+    "FROM e GROUP BY 1, 2",
+    doc="sliding 10-min/5-min window stats (batch twin of streaming agg)",
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.sliding_counts(load(spark, "events", sf_dir))
+
+
+@register(
+    "stream_session_window",
+    "WITH o AS (SELECT user_id, value, "
+    f"{_TS} AS ts, "
+    f"CASE WHEN {_TS} >= lag({_TS}) OVER w + INTERVAL '5 minutes' "
+    "OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess "
+    "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+    "s AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts "
+    "ROWS UNBOUNDED PRECEDING) AS sess_id FROM o) "
+    "SELECT user_id, MIN(ts) AS session_start, "
+    "MAX(ts) + INTERVAL '5 minutes' AS session_end, "
+    f"COUNT(*) AS n_events, {sql_dsum('value')} AS sum_value "
+    "FROM s GROUP BY user_id, sess_id",
+    doc="per-user 5-min-gap session windows (batch twin of session_window)",
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.session_stats(load(spark, "events", sf_dir))
+
+
+@register(
+    "stream_dedup_earliest",
+    "SELECT user_id, event_type, "
+    f"MIN({_TS}) AS first_ts, "
+    "MIN(event_id) AS min_event_id, COUNT(*) AS n_dups "
+    "FROM events GROUP BY user_id, event_type",
+    doc="streaming-dedup shape: earliest event per (user, type)",
+)
+def stream_dedup_earliest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.dedup_earliest(load(spark, "events", sf_dir))

@@ -1,0 +1,82 @@
+"""Structured-Streaming job builders over the events schema.
+
+Real ``readStream`` pipelines around the shared transformations in
+``streaming/windows.py``. At scale the source is Kafka/Kinesis; here
+a file source replays parquet micro-batches — the transformation and
+sink wiring are identical either way, only ``format()`` changes.
+
+Late data: every job bounds state with ``withWatermark`` before the
+stateful op. Tumbling/sliding/session aggregations then emit finalized
+windows in append mode once the watermark passes the window end;
+``dropDuplicates`` evicts seen-key state past the watermark.
+
+Custom stateful operators beyond windows (counters, sessionization
+with business rules) belong in ``applyInPandasWithState`` — the
+``dedup_earliest`` shape shows the aggregation-based alternative that
+needs no custom state and replays idempotently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import DataStreamWriter
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from cs_pipeline_spark.streaming import windows as W
+
+EVENTS_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over parquet micro-batches (µs timestamps —
+    write with ``tables.load``'s normalized ts, not the raw ns file)."""
+    return (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+
+def tumbling_job(events: DataFrame) -> DataFrame:
+    return W.tumbling_counts(W.with_watermark(events))
+
+
+def sliding_job(events: DataFrame) -> DataFrame:
+    return W.sliding_counts(W.with_watermark(events))
+
+
+def session_job(events: DataFrame) -> DataFrame:
+    return W.session_stats(W.with_watermark(events))
+
+
+def dedup_job(events: DataFrame) -> DataFrame:
+    """Watermarked exact-once dedup on event_id (state evicted past the
+    watermark — bounded memory under unbounded input)."""
+    return W.with_watermark(events).dropDuplicates(["event_id"])
+
+
+def to_memory_sink(
+    df: DataFrame, name: str, output_mode: str = "complete"
+) -> DataStreamWriter:
+    """Memory sink for tests; swap for parquet/kafka sinks in prod."""
+    return df.writeStream.format("memory").queryName(name).outputMode(
+        output_mode
+    )

@@ -1,0 +1,111 @@
+"""Streaming window transformations (SURVEY §2.9 — extension surface).
+
+The reference is batch-only (its asyncio/thread use is download
+concurrency, not stream processing — ``main.py:143``,
+``downloader.py:95-105``); this module adds the Structured-Streaming
+surface the ``events`` table calls for. Each transformation is a plain
+``DataFrame -> DataFrame`` function, so the SAME code runs in three
+places:
+
+1. a real ``readStream`` pipeline (see ``streaming/jobs.py``),
+2. the driver-checkable batch twins (``streaming/batch_twins.py``),
+3. tests replaying the parquet through a file-source stream.
+
+Spark guarantees window/session_window/dropDuplicates semantics agree
+between the batch and streaming engines (same expressions, same plans
+modulo state management), which is exactly what makes the batch twin a
+valid oracle for the streaming query.
+
+Aggregates use the quantized-decimal helpers (``operators/helpers``)
+so sums are bit-identical across engines and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cs_pipeline_spark.operators.helpers import davg, dsum
+
+TUMBLE_WIDTH = "10 minutes"
+SLIDE_WIDTH = "10 minutes"
+SLIDE_STEP = "5 minutes"
+SESSION_GAP = "5 minutes"
+WATERMARK = "30 minutes"
+
+
+def tumbling_counts(events: DataFrame) -> DataFrame:
+    """Tumbling 10-minute windows × event_type: count + exact sum."""
+    return (
+        events.groupBy(
+            F.window("ts", TUMBLE_WIDTH).alias("win"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame) -> DataFrame:
+    """Sliding 10-minute windows every 5 minutes: each event lands in
+    width/slide = 2 windows (Spark emits one row per window)."""
+    return (
+        events.groupBy(F.window("ts", SLIDE_WIDTH, SLIDE_STEP).alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            davg("value").alias("avg_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+def session_stats(events: DataFrame) -> DataFrame:
+    """Per-user session windows (5-minute inactivity gap): a session
+    ends when the next event is ≥ gap after the previous one; the
+    emitted end is last_ts + gap (Spark session_window semantics)."""
+    return (
+        events.groupBy(
+            F.session_window("ts", SESSION_GAP).alias("sess"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_earliest(events: DataFrame) -> DataFrame:
+    """Streaming-dedup shape: first event per (user_id, event_type).
+    In a stream this is ``withWatermark + dropDuplicates``; as an
+    aggregation (min) it is expressible in both engines and restart-
+    safe (min is idempotent under replay)."""
+    return events.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("first_ts"),
+        F.min("event_id").alias("min_event_id"),
+        F.count(F.lit(1)).alias("n_dups"),
+    )
+
+
+def with_watermark(events: DataFrame, delay: str = WATERMARK) -> DataFrame:
+    """Late-data bound for streaming runs; no-op semantics in batch."""
+    return events.withWatermark("ts", delay)

@@ -1,0 +1,77 @@
+"""Streaming replay tests: the REAL Structured-Streaming engine must
+agree with the batch twins the driver verifies against DuckDB.
+
+Replays the events table through a file-source stream in micro-batches
+(2 files ⇒ at least 2 triggers ⇒ state crosses a batch boundary, which
+is what distinguishes a real streaming run from a one-shot batch)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cs_pipeline_spark.streaming import jobs
+from cs_pipeline_spark.tables import load
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    events = load(spark, "events", SF_DIR)
+    # two files ⇒ two micro-batches with maxFilesPerTrigger=1
+    events.repartition(2).write.mode("overwrite").parquet(out)
+    return out
+
+
+def _run_stream(spark, stream_df, name):
+    q = jobs.to_memory_sink(stream_df, name).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def _canon(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_tumbling_stream_matches_batch(spark, events_stream_dir):
+    stream = jobs.read_events_stream(spark, events_stream_dir)
+    got = _run_stream(spark, jobs.tumbling_job(stream), "t_tumbling")
+    want = jobs.W.tumbling_counts(load(spark, "events", SF_DIR))
+    cols = ["win_start", "win_end", "event_type", "n_events", "sum_value"]
+    assert _canon(got, cols) == _canon(want, cols)
+
+
+def test_session_stream_matches_batch(spark, events_stream_dir):
+    stream = jobs.read_events_stream(spark, events_stream_dir)
+    got = _run_stream(spark, jobs.session_job(stream), "t_session")
+    want = jobs.W.session_stats(load(spark, "events", SF_DIR))
+    cols = ["user_id", "session_start", "session_end", "n_events", "sum_value"]
+    assert _canon(got, cols) == _canon(want, cols)
+
+
+def test_watermark_dedup_stream(spark, events_stream_dir):
+    stream = jobs.read_events_stream(spark, events_stream_dir)
+    q = (
+        jobs.to_memory_sink(jobs.dedup_job(stream), "t_dedup", "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("t_dedup")
+    n_batch = load(spark, "events", SF_DIR).select("event_id").distinct().count()
+    assert got.count() == n_batch
+    assert got.select("event_id").distinct().count() == n_batch
+
+
+def test_stream_is_incremental(spark, events_stream_dir):
+    """maxFilesPerTrigger=1 over 2 files must produce ≥2 micro-batches."""
+    stream = jobs.read_events_stream(spark, events_stream_dir)
+    q = (
+        jobs.to_memory_sink(jobs.tumbling_job(stream), "t_incr")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(q.recentProgress) >= 2
