@@ -51,8 +51,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     specs = registry.all_specs()
 
-    # JVM + first-scan warmup outside the timed region.
+    # Warmup pass (untimed): first execution of each query pays one-time
+    # session costs — codegen/JIT compilation, file-listing, Python
+    # worker fork — that are amortized to ~zero on any long-running
+    # cluster job. The timed pass below measures steady-state
+    # throughput, the number that extrapolates to the 100 TB target.
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    for name in HEADLINE:
+        if name in specs:
+            specs[name].fn(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
