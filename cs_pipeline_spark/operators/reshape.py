@@ -36,6 +36,31 @@ def reshape_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rename_axes",
+    "SELECT CAST(ts AS TIMESTAMP) AS valid_time, "
+    "44.87 + CAST(event_id % 16 AS DOUBLE) * 0.125 AS latitude, "
+    "-74.03 + CAST(user_id % 16 AS DOUBLE) * 0.125 AS longitude, "
+    "value AS wtd FROM events",
+    doc="coordinate-axis rename: time→valid_time, y/x→latitude/longitude "
+    "(dataset.py:40,73; inference core.py:45-50)",
+)
+def rename_axes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference renames cube axes (`time`→`valid_time`, WTD
+    `y/x`→lat/lon) before any join so both sides share key names. Pure
+    projection — zero cost, folded into the scan by Catalyst."""
+    ev = load(spark, "events", sf_dir)
+    raster = ev.select(
+        F.col("ts").alias("time"),
+        (44.87 + (F.col("event_id") % 16).cast("double") * 0.125).alias("y"),
+        (-74.03 + (F.col("user_id") % 16).cast("double") * 0.125).alias("x"),
+        F.col("value").alias("wtd"),
+    )
+    return raster.withColumnsRenamed(
+        {"time": "valid_time", "y": "latitude", "x": "longitude"}
+    )
+
+
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
