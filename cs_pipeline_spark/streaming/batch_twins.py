@@ -77,6 +77,57 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_threshold_alerts",
+    "WITH e AS (SELECT user_id, event_id, "
+    f"{_TS} AS ts, "
+    "CAST(FLOOR(COALESCE(value, 0) * 1000000.0 + 0.5) AS BIGINT) AS qv "
+    "FROM events), "
+    "c AS (SELECT user_id, event_id, ts, qv, "
+    "SUM(qv) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM e) "
+    "SELECT user_id, event_id, ts, "
+    "CAST(cum AS DOUBLE) / 1000000.0 AS cum_value, "
+    "CAST(FLOOR(CAST(cum AS DOUBLE) / 100000000.0) AS BIGINT) AS level "
+    "FROM c WHERE FLOOR(CAST(cum AS DOUBLE) / 100000000.0) > "
+    "FLOOR(CAST(cum - qv AS DOUBLE) / 100000000.0)",
+    doc="custom stateful op batch twin: per-user running-total threshold "
+    "crossings (stream side: applyInPandasWithState, streaming/stateful.py)",
+)
+def stream_threshold_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of ``streaming/stateful.threshold_alerts_stateful``:
+    quantized-integer cumulative sum per user in (ts, event_id) order,
+    alert row on each crossing of a multiple of 100. Integer
+    accumulation makes stream/batch/oracle agree exactly (window-sum
+    implementations differ in float addition order; integer sums
+    don't care)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = load(spark, "events", sf_dir)
+    qv = F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 1e6 + 0.5).cast(
+        "long"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    step = 100.0 * 1e6
+    c = ev.select(
+        "user_id", "event_id", "ts", qv.alias("qv")
+    ).withColumn("cum", F.sum("qv").over(w))
+    lvl = F.floor(F.col("cum").cast("double") / F.lit(step))
+    prev_lvl = F.floor((F.col("cum") - F.col("qv")).cast("double") / F.lit(step))
+    return c.filter(lvl > prev_lvl).select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.col("cum").cast("double") / 1e6).alias("cum_value"),
+        lvl.cast("long").alias("level"),
+    )
+
+
+@register(
     "stream_dedup_earliest",
     "SELECT user_id, event_type, "
     f"MIN({_TS}) AS first_ts, "

@@ -75,3 +75,53 @@ def test_stream_is_incremental(spark, events_stream_dir):
     )
     q.awaitTermination(120)
     assert len(q.recentProgress) >= 2
+
+
+def test_stateful_threshold_alerts_matches_batch(spark, tmp_path):
+    """applyInPandasWithState replay: per-user state (running quantized
+    sum) must survive micro-batch boundaries and reproduce the batch
+    twin exactly. Files are written as time-ordered halves with
+    increasing mtimes so the file source replays in event order (as a
+    log source would deliver)."""
+    import os
+    import time as _time
+
+    from cs_pipeline_spark.streaming import stateful
+    from cs_pipeline_spark.streaming.batch_twins import (
+        stream_threshold_alerts,
+    )
+
+    src = str(tmp_path / "ordered_events")
+    os.makedirs(src)
+    ev = load(spark, "events", SF_DIR).orderBy("ts", "event_id")
+    rows = ev.count()
+    first = ev.limit(rows // 2)
+    second = ev.subtract(first)
+    first.coalesce(1).write.mode("overwrite").parquet(src + "/b0")
+    second.coalesce(1).write.mode("overwrite").parquet(src + "/b1")
+    # file source orders by modification time: force b0 < b1
+    now = _time.time()
+    for i, d in enumerate(("b0", "b1")):
+        for f in os.listdir(os.path.join(src, d)):
+            os.utime(os.path.join(src, d, f), (now + i * 10, now + i * 10))
+
+    stream = (
+        spark.readStream.schema(jobs.EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", True)
+        .parquet(src)
+    )
+    q = (
+        stateful.threshold_alerts_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("t_alerts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("t_alerts")
+    want = stream_threshold_alerts(spark, SF_DIR)
+    cols = ["user_id", "event_id", "ts", "cum_value", "level"]
+    assert len(q.recentProgress) >= 2  # state crossed a batch boundary
+    assert _canon(got, cols) == _canon(want, cols)
