@@ -71,6 +71,7 @@ def _load_all_modules() -> None:
         predictors,
         relational,
         reshape,
+        scale,
         similarity,
         spatial,
         text,

@@ -1,0 +1,70 @@
+"""Scale-pattern assertions: the bucketed join must be exchange-free
+and the salted join must agree with the plain join."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from cs_pipeline_spark.operators import scale
+from cs_pipeline_spark.tables import load
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    t_orders, t_cust = scale.bucketed_tables(spark, SF_DIR)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable broadcast so the join must rely on the bucketing
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        o, c = spark.table(t_orders), spark.table(t_cust)
+        joined = c.join(o, c.c_custkey == o.o_custkey).groupBy(
+            "c_custkey"
+        ).count()
+        plan = _plan(joined)
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_salted_join_matches_plain(spark):
+    salted = {
+        (r.skew_key): (r.n_rows, round(r.weighted_price, 6))
+        for r in scale.join_skew_salted(spark, SF_DIR).collect()
+    }
+    li = load(spark, "lineitem", SF_DIR)
+    fact = li.select(
+        F.expr(scale._SKEW_KEY_SQL).alias("skew_key"), "l_extendedprice"
+    )
+    dim = spark.range(100).select(
+        F.col("id").alias("skew_key"),
+        (1.0 + F.col("id").cast("double") * 0.01).alias("factor"),
+    )
+    from cs_pipeline_spark.operators.helpers import dsum
+
+    plain = {
+        (r.skew_key): (r.n_rows, round(r.weighted_price, 6))
+        for r in fact.join(dim, "skew_key")
+        .groupBy("skew_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("l_extendedprice") * F.col("factor")).alias(
+                "weighted_price"
+            ),
+        )
+        .collect()
+    }
+    assert salted == plain
+    # the hot key really is hot (~70% of rows)
+    total = sum(n for n, _ in plain.values())
+    assert plain[0][0] / total > 0.6
