@@ -43,12 +43,17 @@ def bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     ``bucketBy`` requires the table catalog; the bucket count must
     match on both sides for the exchange-free join.
     """
+    from cs_pipeline_spark.sources.scans import _scratch
+
     t_orders = f"orders_b_{_tag(sf_dir)}"
     t_cust = f"customer_b_{_tag(sf_dir)}"
+    # explicit external-table paths: keeps bucket data in the repo
+    # scratch dir no matter what the session's warehouse dir is
     if not spark.catalog.tableExists(t_orders):
         (
             load(spark, "orders", sf_dir)
             .write.mode("overwrite")
+            .option("path", _scratch(sf_dir, t_orders))
             .bucketBy(N_BUCKETS, "o_custkey")
             .sortBy("o_custkey")
             .saveAsTable(t_orders)
@@ -57,6 +62,7 @@ def bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         (
             load(spark, "customer", sf_dir)
             .write.mode("overwrite")
+            .option("path", _scratch(sf_dir, t_cust))
             .bucketBy(N_BUCKETS, "c_custkey")
             .sortBy("c_custkey")
             .saveAsTable(t_cust)
