@@ -19,10 +19,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    from cs_pipeline_spark.operators.relational import pricing_summary
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
-    return pricing_summary(spark, "/root/testdata/sf0.001")
+    The flagship is the reference's headline workload end-to-end:
+    scan → CO₂/WTD enrichment joins → bbox clip → predictor
+    projection → AGG_SCHEMA daily resample (core.py:170-257).
+    """
+    from cs_pipeline_spark.operators.pipeline_e2e import process_area
+
+    return process_area(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

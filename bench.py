@@ -26,6 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # fuzzy dedup, vector similarity). Keep ~10 so the bench stays a
 # feedback loop, not a marathon.
 HEADLINE = [
+    "process_area_e2e",
     "q1_pricing_summary",
     "q3_top_orders",
     "agg_resample_daily",

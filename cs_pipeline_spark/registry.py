@@ -68,6 +68,7 @@ def _load_all_modules() -> None:
         filters,
         joins,
         multimodal,
+        pipeline_e2e,
         predictors,
         relational,
         reshape,

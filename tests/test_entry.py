@@ -7,7 +7,10 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.collect()
     assert len(rows) > 0
-    assert "sum_qty" in df.columns
+    # flagship = end-to-end area process: region-tagged daily buckets
+    # with AGG_SCHEMA columns incl. enrichment-fed CO2/WTD means
+    for col in ("region_id", "bucket", "TA_mean", "CO2_mean", "WTD_mean"):
+        assert col in df.columns
 
 
 def test_registry_contract(spark):
