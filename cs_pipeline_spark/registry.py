@@ -69,6 +69,7 @@ def _load_all_modules() -> None:
         joins,
         multimodal,
         pipeline_e2e,
+        pipeline_point,
         predictors,
         relational,
         reshape,
