@@ -108,6 +108,57 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------- aspect-preserving resize planning ----------
+
+_TARGET = 224  # fit into 224×224, aspect preserved
+
+
+@register(
+    "mm_resize_dims",
+    "WITH meta AS (SELECT doc_id, "
+    "CAST(16 * (8 + (doc_id * 7) % 120) AS INT) AS width, "
+    "CAST(16 * (8 + (doc_id * 13) % 120) AS INT) AS height FROM documents) "
+    "SELECT doc_id, width, height, "
+    f"CAST(GREATEST(ROUND(width * LEAST(CAST({_TARGET} AS DOUBLE) / width, "
+    f"CAST({_TARGET} AS DOUBLE) / height)), 1) AS INT) AS out_w, "
+    f"CAST(GREATEST(ROUND(height * LEAST(CAST({_TARGET} AS DOUBLE) / width, "
+    f"CAST({_TARGET} AS DOUBLE) / height)), 1) AS INT) AS out_h, "
+    f"ROUND(LEAST(CAST({_TARGET} AS DOUBLE) / width, "
+    f"CAST({_TARGET} AS DOUBLE) / height), 6) AS scale "
+    "FROM meta",
+    doc="aspect-preserving resize planning from typed metadata (resize "
+    "compute itself is the mapInPandas decode stage)",
+)
+def mm_resize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize *planning* stays in typed-metadata columns (pure
+    expressions — width/height never require touching the payload);
+    only the pixel work belongs in the mapInPandas decode stage. At
+    100 TB that ordering matters: plan → filter no-op resizes → decode
+    only what changes."""
+    docs = load(spark, "documents", sf_dir)
+    meta = docs.select(
+        "doc_id",
+        (16 * (8 + (F.col("doc_id") * 7) % 120)).cast("int").alias("width"),
+        (16 * (8 + (F.col("doc_id") * 13) % 120)).cast("int").alias("height"),
+    )
+    scale = F.least(
+        F.lit(float(_TARGET)) / F.col("width"),
+        F.lit(float(_TARGET)) / F.col("height"),
+    )
+    return meta.select(
+        "doc_id",
+        "width",
+        "height",
+        F.greatest(F.round(F.col("width") * scale), F.lit(1))
+        .cast("int")
+        .alias("out_w"),
+        F.greatest(F.round(F.col("height") * scale), F.lit(1))
+        .cast("int")
+        .alias("out_h"),
+        F.round(scale, 6).alias("scale"),
+    )
+
+
 # ---------- mapInPandas decode pipeline (STUB decoder) ----------
 
 _DECODE_SCHEMA = StructType(
