@@ -159,6 +159,70 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sim_topk_prereduce",
+    # identical results to brute force → same oracle
+    f"WITH n AS ({_SQL_NORMED}), q AS (SELECT * FROM n WHERE vec_id < {N_QUERIES}) "
+    "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+    f"{_SQL_COS} AS cos_sim "
+    "FROM q JOIN n c ON c.vec_id <> q.vec_id "
+    f"QUALIFY row_number() OVER (PARTITION BY q.vec_id "
+    f"ORDER BY {_SQL_COS} DESC, c.vec_id) <= {TOP_K}",
+    doc="exact top-k with per-partition heap pre-reduce — the "
+    "large-query-batch scale path (shuffle shrinks corpus× → k·partitions×)",
+)
+def sim_topk_prereduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result as ``sim_topk_bruteforce``, different physical plan:
+    each scan partition keeps only its local top-k per query
+    (mapInPandas heap — pure *selection*, the cosine itself is still
+    the JVM-side exact expression, so no float drift), then the final
+    window ranks k·partitions rows per query instead of the whole
+    corpus. At 100 TB this is the difference between shuffling every
+    scored pair and shuffling ~k rows per (query, partition)."""
+    import pandas as pd
+
+    corpus = _with_norm(load(spark, "embeddings", sf_dir))
+    queries = F.broadcast(
+        corpus.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+        )
+    )
+    scored = (
+        corpus.crossJoin(queries)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _scored(
+                F.col("q_emb"), F.col("embedding"), F.col("q_nrm"), F.col("nrm")
+            ).alias("cos_sim"),
+        )
+    )
+
+    def local_topk(pdfs):
+        for pdf in pdfs:
+            yield (
+                pdf.sort_values(
+                    ["query_id", "cos_sim", "neighbor_id"],
+                    ascending=[True, False, True],
+                )
+                .groupby("query_id", sort=False)
+                .head(TOP_K)
+            )
+
+    partial = scored.mapInPandas(local_topk, schema=scored.schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        partial.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .drop("rnk")
+    )
+
+
 # ---------- sign-bit (random-hyperplane) LSH ----------
 
 N_PLANES = 4
