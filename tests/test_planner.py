@@ -50,3 +50,65 @@ def test_simhash_deterministic(spark):
     a = sorted(map(tuple, dedup_simhash(spark, SF_DIR).collect()))
     b = sorted(map(tuple, dedup_simhash(spark, SF_DIR).collect()))
     assert a == b and len(a) > 0
+
+
+# ---------- property: planner ≡ reference semantics ----------
+
+from calendar import monthrange  # noqa: E402
+
+import pandas as pd  # noqa: E402
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_BASE = pd.Timestamp("2023-01-01 00:00:00")
+
+
+def _reference_groups(start: pd.Timestamp, end: pd.Timestamp) -> set:
+    """Clean-room port of the reference's hourly grouping rules
+    (processor.py:157-186) for hour-aligned inputs."""
+    out = set()
+    for month in pd.period_range(start=start, end=end, freq="M"):
+        ms, me = month.start_time, month.end_time
+        a, b = max(start, ms), min(end, me)
+        if a > b:
+            continue
+        if a.floor("h") == ms and b.floor("h") >= me.floor("h"):
+            out.add(
+                (
+                    month.year,
+                    month.month,
+                    None,
+                    monthrange(month.year, month.month)[1],
+                    24,
+                    "month",
+                )
+            )
+            continue
+        days = pd.date_range(a.floor("D"), b.floor("D"), freq="D")
+        for d in days:
+            h0 = a.hour if d == days[0] else 0
+            h1 = b.hour if d == days[-1] else 23
+            if h0 > h1:
+                continue
+            out.add(
+                (d.year, d.month, d.strftime("%Y-%m-%d"), 1, h1 - h0 + 1, "day")
+            )
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(off=st.integers(0, 20000), dur=st.integers(1, 6000))
+def test_request_groups_property(spark, off, dur):
+    start = _BASE + pd.Timedelta(hours=off)
+    end = start + pd.Timedelta(hours=dur)
+    got = {
+        (r.y, r.m, r.day, r.n_days, r.n_hours, r.granularity)
+        for r in request_groups(
+            spark, str(start), str(end)
+        ).collect()
+    }
+    assert got == _reference_groups(start, end)
