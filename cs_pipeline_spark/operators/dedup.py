@@ -523,3 +523,90 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_sim") >= _COS_THRESHOLD)
     )
+
+
+# ---------- duplicate clustering (connected components) ----------
+
+_CC_MAX_ITERS = 20
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Min-label propagation to fixpoint → (node, canonical_id).
+
+    Iterative joins on the PAIR graph (orders of magnitude smaller
+    than the corpus — only near-dup candidates appear). Converges in
+    O(component diameter) rounds; near-dup clusters are shallow, so
+    this is a handful of small joins. For adversarially long chains at
+    100 TB, switch to the large-star/small-star variant (same join
+    primitives, O(log n) rounds).
+    """
+    both = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    labels = (
+        both.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(_CC_MAX_ITERS):
+        # smallest label among self + neighbors
+        prop = (
+            both.join(labels, both.a == labels.node)
+            .groupBy(F.col("b").alias("node2"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new = (
+            labels.join(prop, labels.node == prop.node2, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+@register(
+    "dedup_clusters",
+    # edges = embedding-cosine near-dup pairs (SQL-expressible), then
+    # min-label propagation as a recursive CTE
+    "WITH RECURSIVE pairs AS ("
+    "SELECT a.vec_id AS src, b.vec_id AS dst "
+    "FROM embeddings a JOIN embeddings b "
+    "ON a.label = b.label AND a.vec_id < b.vec_id "
+    "WHERE " + _sql_cosine("a.embedding", "b.embedding") + f" >= {_COS_THRESHOLD}), "
+    "edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs), "
+    "reach(node, label) AS ("
+    "SELECT DISTINCT src, src FROM edges "
+    "UNION "
+    "SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node) "
+    "SELECT node AS vec_id, MIN(label) AS canonical_id FROM reach GROUP BY node",
+    doc="near-dup clustering: connected components over candidate pairs "
+    "(iterative min-label propagation; keep-canonical workflow)",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep-one-per-cluster half of fuzzy dedup: candidate pairs →
+    undirected components → ``(vec_id, canonical_id)`` (canonical =
+    smallest member). Downstream: anti-join the corpus against
+    ``vec_id != canonical_id`` to drop duplicates."""
+    pairs = dedup_embedding_cosine(spark, sf_dir).select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    )
+    return connected_components(pairs).select(
+        F.col("node").alias("vec_id"), F.col("label").alias("canonical_id")
+    )
