@@ -179,3 +179,43 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
+
+
+@register(
+    "q_parts_by_supplier_nation",
+    f"""
+    SELECT n.n_name AS nation, p.p_brand,
+           COUNT(*) AS n_lineitems,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           {sql_davg('p.p_retailprice')} AS avg_retail
+    FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_size <= 25
+    GROUP BY n.n_name, p.p_brand
+    """,
+    doc="4-way star join: fact ⋈ part/supplier/nation dims, all broadcast",
+)
+def parts_by_supplier_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema shape: lineitem is the only big side; part,
+    supplier, nation are dims → three broadcast joins, zero fact-side
+    shuffles before the final aggregation. The p_size filter prunes
+    the part dim BEFORE the broadcast (filter-then-broadcast, never
+    the reverse)."""
+    l = load(spark, "lineitem", sf_dir)
+    p = load(spark, "part", sf_dir).filter(F.col("p_size") <= 25)
+    s = load(spark, "supplier", sf_dir)
+    n = load(spark, "nation", sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            dsum(rev).alias("revenue"),
+            davg("p_retailprice").alias("avg_retail"),
+        )
+    )
