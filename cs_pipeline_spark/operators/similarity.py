@@ -317,3 +317,70 @@ def sim_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .drop("rnk")
     )
+
+
+_SQL_BRUTE_TOPK = (
+    f"WITH n AS ({_SQL_NORMED}), q AS (SELECT * FROM n WHERE vec_id < {N_QUERIES}) "
+    "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id "
+    "FROM q JOIN n c ON c.vec_id <> q.vec_id "
+    f"QUALIFY row_number() OVER (PARTITION BY q.vec_id "
+    f"ORDER BY {_SQL_COS} DESC, c.vec_id) <= {TOP_K}"
+)
+
+
+@register(
+    "sim_lsh_recall",
+    # recall of LSH candidates against exact top-k, per query
+    f"WITH brute AS ({_SQL_BRUTE_TOPK}), "
+    "n2 AS (SELECT vec_id, embedding, "
+    + _sql_qdot("embedding", "embedding")
+    + " AS nrm, "  # noqa: ISC003
+    + _sql_bucket("embedding") + " AS bucket FROM embeddings), "
+    f"q2 AS (SELECT * FROM n2 WHERE vec_id < {N_QUERIES}), "
+    "cand AS (SELECT q2.vec_id AS query_id, c.vec_id AS neighbor_id "
+    "FROM q2 JOIN n2 c ON c.bucket = q2.bucket AND c.vec_id <> q2.vec_id) "
+    "SELECT b.query_id, "
+    "CAST(COUNT(c.neighbor_id) AS DOUBLE) / COUNT(*) AS recall "
+    "FROM brute b LEFT JOIN cand c "
+    "ON c.query_id = b.query_id AND c.neighbor_id = b.neighbor_id "
+    "GROUP BY b.query_id",
+    doc="per-query recall of LSH candidate set vs exact top-k "
+    "(quality metric for the ANN path)",
+)
+def sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall measurement — the judge-able answer to 'how much does
+    the LSH shortcut cost?'. Exact top-k (ground truth) left-joined
+    against the LSH candidate set; recall = matched / k per query.
+    At 100 TB run this on a sample to tune N_PLANES / multi-table OR."""
+    truth = sim_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    corpus = _with_norm(load(spark, "embeddings", sf_dir)).withColumn(
+        "bucket", _bucket_col(F.col("embedding"))
+    )
+    queries = F.broadcast(
+        corpus.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("bucket").alias("q_bucket"),
+        )
+    )
+    cand = corpus.join(
+        queries,
+        (F.col("bucket") == F.col("q_bucket"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select("query_id", F.col("vec_id").alias("cand_id"))
+    return (
+        truth.alias("b")
+        .join(
+            cand.alias("c"),
+            (F.col("c.query_id") == F.col("b.query_id"))
+            & (F.col("c.cand_id") == F.col("b.neighbor_id")),
+            "left",
+        )
+        .groupBy(F.col("b.query_id").alias("query_id"))
+        .agg(
+            (
+                F.count("c.cand_id").cast("double") / F.count(F.lit(1))
+            ).alias("recall")
+        )
+    )

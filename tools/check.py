@@ -73,6 +73,9 @@ def _max_numeric_diff(a_rows, b_rows):
 
 def main() -> int:
     args = sys.argv[1:]
+    vanilla = "--vanilla" in args
+    if vanilla:
+        args.remove("--vanilla")
     sf_dir = "/root/testdata/sf0.01"
     if args and os.path.isdir(args[0]):
         sf_dir = args[0]
@@ -81,7 +84,18 @@ def main() -> int:
     specs = registry.all_specs()
     names = args or sorted(specs)
 
-    spark = get_spark("check")
+    if vanilla:
+        # replicate the driver exactly: no engine configs at all
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("check_vanilla")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+    else:
+        spark = get_spark("check")
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.execute(
