@@ -39,9 +39,31 @@ from cs_pipeline_spark.tables import load
 _SCRATCH = "/root/repo/.tmp/sources"
 
 
+def _sf_fingerprint(sf_dir: str) -> str:
+    """Short digest of the sf dir's file listing (name, size, mtime).
+
+    Scratch inputs are DERIVED from the parquet tables; if the driver
+    regenerates testdata, stale scratch from a previous round would
+    silently diverge from the oracle (which always reads the fresh
+    parquet). Keying the scratch dir by this fingerprint forces
+    regeneration whenever the source data changes.
+    """
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=6)
+    try:
+        for fn in sorted(os.listdir(sf_dir)):
+            if fn.endswith(".parquet"):
+                st = os.stat(os.path.join(sf_dir, fn))
+                h.update(f"{fn}:{st.st_size}:{int(st.st_mtime)}".encode())
+    except OSError:
+        pass
+    return h.hexdigest()
+
+
 def _scratch(sf_dir: str, name: str) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(_SCRATCH, tag, name)
+    path = os.path.join(_SCRATCH, f"{tag}-{_sf_fingerprint(sf_dir)}", name)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     return path
 
