@@ -33,6 +33,12 @@ any physical meaning in this pipeline and buys bit-exact re-runs on
 any cluster topology (a property a production pipeline wants anyway).
 Cost: one multiply+floor per row pre-shuffle — negligible.
 ``min``/``max``/``max_by`` need no treatment (exact, order-free).
+
+TRAP: when the aggregated expression is a raw FLOAT column, wrap it
+in ``CAST(... AS DOUBLE)`` on the DuckDB side — DuckDB's
+FLOAT*DOUBLE arithmetic does not match Spark's float→double
+promotion (observed: one-quantum drift in sim_ivf_kmeans until the
+explicit cast). Spark's Column path promotes exactly.
 """
 
 from __future__ import annotations

@@ -384,3 +384,115 @@ def sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall")
         )
     )
+
+
+# ---------- IVF with real (deterministic) k-means centroids ----------
+
+K_CELLS = 8
+_KM_DIM = 64
+
+
+def _sql_ivf_kmeans() -> str:
+    """Oracle: init centroids from vec_id < K, one assign → update →
+    re-assign round, every aggregate through the exact quantized path."""
+    from cs_pipeline_spark.operators.helpers import sql_davg
+
+    cos0 = (
+        _sql_qdot("n.embedding", "c0.cen")
+        + " / (SQRT(n.nrm) * SQRT(c0.cnrm))"
+    )
+    cos1 = (
+        _sql_qdot("n.embedding", "c1.cen")
+        + " / (SQRT(n.nrm) * SQRT(c1.cnrm))"
+    )
+    return (
+        "WITH n AS (SELECT vec_id, embedding, "
+        + _sql_qdot("embedding", "embedding")
+        + " AS nrm FROM embeddings), "
+        f"c0 AS (SELECT vec_id AS cluster_id, embedding AS cen, nrm AS cnrm "
+        f"FROM n WHERE vec_id < {K_CELLS}), "
+        "a0 AS (SELECT vec_id, cluster_id FROM ("
+        "SELECT n.vec_id, c0.cluster_id, ROW_NUMBER() OVER ("
+        f"PARTITION BY n.vec_id ORDER BY {cos0} DESC, c0.cluster_id) AS rn "
+        "FROM n CROSS JOIN c0) t WHERE rn = 1), "
+        # explicit double cast: DuckDB's FLOAT*DOUBLE does not promote
+        # like Spark's — same reason _sql_qdot casts its elements
+        "dims AS (SELECT a0.cluster_id, r.i AS pos, "
+        + sql_davg("CAST(n.embedding[r.i + 1] AS DOUBLE)")
+        + " AS val FROM a0 JOIN n USING (vec_id) "
+        f"CROSS JOIN range({_KM_DIM}) r(i) GROUP BY a0.cluster_id, r.i), "
+        "c1m AS (SELECT cluster_id, list(val ORDER BY pos) AS cen "
+        "FROM dims GROUP BY cluster_id), "
+        "c1 AS (SELECT cluster_id, cen, "
+        + _sql_qdot("cen", "cen")
+        + " AS cnrm FROM c1m) "
+        "SELECT vec_id, cluster_id, cos_sim FROM ("
+        "SELECT n.vec_id, c1.cluster_id, "
+        f"{cos1} AS cos_sim, ROW_NUMBER() OVER ("
+        f"PARTITION BY n.vec_id ORDER BY {cos1} DESC, c1.cluster_id) AS rn "
+        "FROM n CROSS JOIN c1) t WHERE rn = 1"
+    )
+
+
+@register(
+    "sim_ivf_kmeans",
+    _sql_ivf_kmeans(),
+    doc="IVF cells from real deterministic k-means (init=first K vectors, "
+    "one assign→update→re-assign round), exact quantized means",
+)
+def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means for IVF cell assignment — the upgrade
+    from the label stand-in to computed centroids. Every step is
+    exact: cosine via quantized dot products, centroid update via the
+    decimal mean path, ties broken by cluster id. One round is enough
+    to demonstrate the full machinery (more rounds = loop the same two
+    steps; at 100 TB run them on a sample, then assign the full corpus
+    in one broadcast pass)."""
+    from cs_pipeline_spark.operators.helpers import davg
+
+    corpus = _with_norm(load(spark, "embeddings", sf_dir))
+
+    def assign(cens: DataFrame) -> DataFrame:
+        cos = _scored(
+            F.col("embedding"), F.col("cen"), F.col("nrm"), F.col("cnrm")
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.desc("cos_sim"), F.asc("cluster_id")
+        )
+        return (
+            corpus.crossJoin(F.broadcast(cens))
+            .select(
+                "vec_id", "embedding", "nrm", "cluster_id", cos.alias("cos_sim")
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    c0 = corpus.filter(F.col("vec_id") < K_CELLS).select(
+        F.col("vec_id").alias("cluster_id"),
+        F.col("embedding").alias("cen"),
+        F.col("nrm").alias("cnrm"),
+    )
+    a0 = assign(c0).select("vec_id", "cluster_id")
+
+    # centroid update: element-wise exact-decimal mean per cluster
+    dims = (
+        a0.join(corpus, "vec_id")
+        .select("cluster_id", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("cluster_id", "pos")
+        .agg(davg("v").alias("val"))
+    )
+    c1 = (
+        dims.groupBy("cluster_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("val")))
+                ),
+                lambda s: s.getField("val"),
+            ).alias("cen")
+        )
+        .withColumn("cnrm", qdot(F.col("cen"), F.col("cen")))
+    )
+    return assign(c1).select("vec_id", "cluster_id", "cos_sim")
