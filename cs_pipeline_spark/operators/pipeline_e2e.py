@@ -49,13 +49,17 @@ from cs_pipeline_spark.registry import register
 
 # Representative predictor set spanning every formula family, incl.
 # the two that consume the enrichment joins (CO2 ← xco2, WTD ← wtd).
-_PREDS = active_predictors(
-    "daily", ["TA", "RH", "WS", "VPD", "NETRAD", "SWC_1", "CO2", "WTD", "P"]
-)
+_PRED_POOL = ["TA", "RH", "WS", "VPD", "NETRAD", "SWC_1", "CO2", "WTD", "P"]
 
 
-def process_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+def process_area(
+    spark: SparkSession,
+    sf_dir: str,
+    granularity: str = "daily",
+    trunc: str = "day",
+) -> DataFrame:
     """The full chain; see module docstring."""
+    preds = active_predictors(granularity, _PRED_POOL)
     era5 = (
         era5_events(spark, sf_dir)
         .drop("xco2", "wtd")  # enrichment must supply these
@@ -125,23 +129,24 @@ def process_area(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("valid_time"),
         F.col("event_id"),
     ]
-    for p in _PREDS:
+    for p in preds:
         c = predictor_col(p)
         if p in TRANSCENDENTAL:
             c = F.round(c, 6)
         cols.append(c.alias(p))
-    preds = clipped.select(*cols)
+    out = clipped.select(*cols)
 
-    # --- AGG_SCHEMA daily resample (core.py:217-248) ---
-    return preds.groupBy(
+    # --- AGG_SCHEMA resample (core.py:217-248) ---
+    return out.groupBy(
         "region_id",
         "latitude",
         "longitude",
-        F.date_trunc("day", "valid_time").alias("bucket"),
-    ).agg(*compile_agg_schema("daily", _PREDS, order_col="event_id"))
+        F.date_trunc(trunc, "valid_time").alias("bucket"),
+    ).agg(*compile_agg_schema(granularity, preds, order_col="event_id"))
 
 
-def _oracle() -> str:
+def _oracle(granularity: str = "daily", trunc: str = "day") -> str:
+    preds = active_predictors(granularity, _PRED_POOL)
     era5b = (
         "era5b AS (SELECT event_id, "
         + ", ".join(
@@ -158,9 +163,11 @@ def _oracle() -> str:
             else predictor_sql(p)
         )
         + f" AS {p}"
-        for p in _PREDS
+        for p in preds
     )
-    aggs = ", ".join(compile_agg_schema_sql("daily", _PREDS, order_col="event_id"))
+    aggs = ", ".join(
+        compile_agg_schema_sql(granularity, preds, order_col="event_id")
+    )
     return (
         f"WITH {era5b}, {_CO2_CTE}, {_WTD_CTE}, {_REGIONS_SQL}, "
         "co2m AS (SELECT month, clat, clon, "
@@ -220,7 +227,7 @@ def _oracle() -> str:
         f"p AS (SELECT region_id, latitude, longitude, valid_time, event_id, "
         f"{pred_exprs} FROM clipped) "
         "SELECT region_id, latitude, longitude, "
-        f"date_trunc('day', valid_time) AS bucket, {aggs} "
+        f"date_trunc('{trunc}', valid_time) AS bucket, {aggs} "
         "FROM p GROUP BY region_id, latitude, longitude, bucket"
     )
 
@@ -231,3 +238,15 @@ register(
     doc="flagship: full area-process chain — scan → CO₂/WTD enrichment → "
     "clip → predictors → daily AGG_SCHEMA resample (core.py:170-257)",
 )(process_area)
+
+
+def process_area_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return process_area(spark, sf_dir, granularity="monthly", trunc="month")
+
+
+register(
+    "process_area_monthly_e2e",
+    _oracle("monthly", "month"),
+    doc="flagship (monthly): same chain with MONTHLY AGG_SCHEMA resample "
+    "(PPFD DROPped at this granularity — core.py:246)",
+)(process_area_monthly)
