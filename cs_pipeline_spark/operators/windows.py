@@ -63,7 +63,17 @@ def win_sliding_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "win_collect_series",
-    None,  # array-valued tensor output — rows-only check
+    # array outputs ARE oracle-comparable: both engines emit the frame's
+    # values in frame order (ORDER BY the unique event_id)
+    f"WITH {ERA5_CTE} SELECT * FROM ("
+    "SELECT event_id, latitude, longitude, "
+    "list(t2m) OVER w AS t2m_series, "
+    "list(u10) OVER w AS u10_series, "
+    "CAST(len(list(t2m) OVER w) AS INT) AS win_n "
+    "FROM era5 "
+    f"WINDOW w AS (PARTITION BY latitude, longitude ORDER BY event_id "
+    f"ROWS BETWEEN {WINDOW_SIZE - 1} PRECEDING AND CURRENT ROW)"
+    f") t WHERE win_n = {WINDOW_SIZE}",
     doc="(n_vars, window) tensor samples via collect_list (inference core.py:98-117)",
 )
 def win_collect_series(spark: SparkSession, sf_dir: str) -> DataFrame:
