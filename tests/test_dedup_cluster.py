@@ -41,3 +41,41 @@ def test_prereduce_equals_bruteforce(spark):
     a = sorted(map(tuple, sim_topk_bruteforce(spark, SF_DIR).collect()))
     b = sorted(map(tuple, sim_topk_prereduce(spark, SF_DIR).collect()))
     assert a == b and len(a) > 0
+
+
+def test_minhash_lsh_catches_high_jaccard_pairs(spark):
+    """LSH guarantee check: every pair with exact word-3-gram Jaccard
+    >= 0.8 must appear in the verified MinHash-LSH output (4 bands x 4
+    rows catches J>=0.6 w.h.p.; 0.8 is far above the S-curve knee).
+    Deterministic: fixed hash functions, fixed corpus."""
+    from pyspark.sql import functions as F
+
+    from cs_pipeline_spark.operators.dedup import (
+        _NORM,
+        _tokens,
+        dedup_minhash_lsh,
+        exact_jaccard,
+        shingles,
+    )
+    from cs_pipeline_spark.tables import load
+
+    docs = load(spark, "documents", SF_DIR)
+    grams = F.array_distinct(shingles(_tokens(F.expr(_NORM))))
+    d = docs.select("doc_id", grams.alias("g"))
+    a, b = d.alias("a"), d.alias("b")
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            exact_jaccard(F.col("a.g"), F.col("b.g")).alias("j"),
+        )
+        .filter(F.col("j") >= 0.8)
+        .collect()
+    }
+    assert truth, "fixture should contain at least one high-overlap pair"
+    found = {
+        (r.doc_a, r.doc_b) for r in dedup_minhash_lsh(spark, SF_DIR).collect()
+    }
+    assert truth <= found
