@@ -407,3 +407,29 @@ def scan_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("predictors").alias("n_predictors"),
         "gapfilling",
     )
+
+
+# ---------- semi-structured (JSON) column extraction ----------
+# No direct reference analogue (the reference's JSON is driver-side
+# manifest/geojson); at 100 TB, typed extraction from JSON payload
+# columns is a core scan-adjacent surface: from_json with an explicit
+# schema keeps the parse vectorized and the extracted column typed, so
+# downstream filters/aggregations behave like any other column.
+
+
+@register(
+    "scan_json_props",
+    "SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k "
+    "FROM events WHERE CAST(props->>'$.k' AS BIGINT) >= 50",
+    doc="typed JSON field extraction from a payload column (from_json "
+    "with explicit schema; never schema-inferred at scale)",
+)
+def scan_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit-schema ``from_json``: schema inference over a payload
+    column is an extra full scan at 100 TB — never let Spark infer."""
+    ev = load(spark, "events", sf_dir)
+    parsed = F.from_json("props", "k BIGINT")
+    return (
+        ev.select("event_id", parsed.getField("k").alias("k"))
+        .filter(F.col("k") >= 50)
+    )
