@@ -27,6 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # feedback loop, not a marathon.
 HEADLINE = [
     "process_area_e2e",
+    "process_point_e2e",
     "q1_pricing_summary",
     "q3_top_orders",
     "agg_resample_daily",
@@ -37,6 +38,10 @@ HEADLINE = [
     "win_sliding_time",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "sim_topk_bruteforce",
+    "text_stats",
+    "mm_frame_sample",
 ]
 
 
