@@ -228,3 +228,71 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("sum_qty")
     )
+
+
+@register(
+    "agg_grouping_sets",
+    f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           {sql_dsum('l_extendedprice')} AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    doc="explicit grouping sets (engine extension; absent in reference)",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets — one shuffle computes all three
+    groupings (Spark expands to a single Expand + hash aggregate, not
+    three scans)."""
+    load(spark, "lineitem", sf_dir).createOrReplaceTempView("_li_gs")
+    return spark.sql(
+        "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, "
+        "CAST(CAST(SUM(CAST(FLOOR(l_extendedprice * 1000000.0 + 0.5) "
+        "AS DECIMAL(38,0))) AS STRING) AS DOUBLE) / 1000000.0 AS sum_price "
+        "FROM _li_gs "
+        "GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"
+    )
+
+
+# ---------- deterministic train/val/test split ----------
+# LLM-pipeline op: split assignment must be a PURE FUNCTION of the row
+# key — rand() splits are irreproducible across retries/partitionings
+# and leak rows between splits on re-runs. Multiplicative hashing on
+# the key is engine-agnostic (exact int64 arithmetic) and stable
+# forever. 80/10/10 by bucket.
+
+_SPLIT_MULT = 2654435761  # Knuth multiplicative constant
+_SPLIT_MOD = 100
+
+
+@register(
+    "sample_train_split",
+    f"""
+    WITH s AS (SELECT doc_id, lang,
+               ((doc_id * {_SPLIT_MULT}) % 1000000007) % {_SPLIT_MOD} AS bucket
+               FROM documents)
+    SELECT lang,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+           COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
+    FROM s GROUP BY lang, split
+    """,
+    doc="deterministic 80/10/10 train/val/test split by multiplicative "
+    "key hash (reproducible across runs/partitionings, unlike rand())",
+)
+def sample_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir)
+    bucket = (F.col("doc_id") * F.lit(_SPLIT_MULT)) % F.lit(1000000007) % F.lit(
+        _SPLIT_MOD
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select("doc_id", "lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
