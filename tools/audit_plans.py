@@ -38,6 +38,11 @@ AUDIT: dict[str, dict] = {
     "sim_topk_bruteforce": {"smj": 0},
     "filter_time_range": {"pushed": True, "exchange": 0},
     "filter_bbox_clip": {"smj": 0},
+    "dedup_embedding_cosine": {"smj": 0},
+    "text_stats": {"exchange": 0},
+    "mm_frame_sample": {"exchange": 0},
+    "q_parts_by_supplier_nation": {"smj": 0, "pushed": True},
+    "sample_train_split": {"smj": 0},
 }
 
 
