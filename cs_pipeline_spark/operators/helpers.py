@@ -80,13 +80,20 @@ def _sum_sq(col: Column | str) -> Column:
 
 
 def dstd_pop(col: Column | str) -> Column:
-    """Engine-agnostic population stddev from exact quantized sums."""
+    """Engine-agnostic population stddev from exact quantized sums.
+
+    Null (not 0.0) on an all-null group — xarray-skipna semantics;
+    GREATEST ignores nulls in BOTH engines, so the count guard is
+    required on both sides.
+    """
     c = _c(col)
     n = F.count(c).cast("double")
     s1 = dsum(c)
     s2 = _sum_sq(c)
     m = s1 / n
-    return F.sqrt(F.greatest(s2 / n - m * m, F.lit(0.0)))
+    return F.when(
+        F.count(c) > 0, F.sqrt(F.greatest(s2 / n - m * m, F.lit(0.0)))
+    )
 
 
 def dvar_pop(col: Column | str) -> Column:
@@ -95,7 +102,7 @@ def dvar_pop(col: Column | str) -> Column:
     s1 = dsum(c)
     s2 = _sum_sq(c)
     m = s1 / n
-    return F.greatest(s2 / n - m * m, F.lit(0.0))
+    return F.when(F.count(c) > 0, F.greatest(s2 / n - m * m, F.lit(0.0)))
 
 
 # --- DuckDB SQL twins (must mirror the expressions above exactly) ---
@@ -122,7 +129,10 @@ def sql_dstd_pop(expr: str) -> str:
     s1 = sql_dsum(expr)
     s2 = _sql_sum_sq(expr)
     m = f"({s1} / {n})"
-    return f"SQRT(GREATEST({s2} / {n} - {m} * {m}, 0.0))"
+    return (
+        f"CASE WHEN COUNT({expr}) > 0 THEN "
+        f"SQRT(GREATEST({s2} / {n} - {m} * {m}, 0.0)) END"
+    )
 
 
 def sql_dvar_pop(expr: str) -> str:
@@ -130,4 +140,7 @@ def sql_dvar_pop(expr: str) -> str:
     s1 = sql_dsum(expr)
     s2 = _sql_sum_sq(expr)
     m = f"({s1} / {n})"
-    return f"GREATEST({s2} / {n} - {m} * {m}, 0.0)"
+    return (
+        f"CASE WHEN COUNT({expr}) > 0 THEN "
+        f"GREATEST({s2} / {n} - {m} * {m}, 0.0) END"
+    )

@@ -66,15 +66,22 @@ def process_area(
         .withColumn("month", F.date_trunc("month", "valid_time"))
     )
 
+    # Distinct fact-side coordinate sets, computed ONCE and reused by
+    # both enrichment snaps — without this the CO₂ and WTD snap
+    # mappings each re-scan the fact table for the same distincts
+    # (2 extra full-table aggregations at 100 TB).
+    lat_d = era5.select("latitude").distinct().persist()
+    lon_d = era5.select("longitude").distinct().persist()
+
     # --- CO₂ enrichment (dataset.py:36-64) ---
     co2 = _co2_frame(spark, sf_dir)
     co2m = co2.groupBy("month", "clat", "clon").agg(davg("xco2").alias("xco2"))
     months = era5.select("month").distinct()
     co2s = co2m.join(F.broadcast(months), "month", "left_semi")
-    slat = nearest_coord_mapping(era5, co2, "latitude", "clat").withColumnRenamed(
+    slat = nearest_coord_mapping(lat_d, co2, "latitude", "clat").withColumnRenamed(
         "clat", "snap_lat"
     )
-    slon = nearest_coord_mapping(era5, co2, "longitude", "clon").withColumnRenamed(
+    slon = nearest_coord_mapping(lon_d, co2, "longitude", "clon").withColumnRenamed(
         "clon", "snap_lon"
     )
     e1 = (
@@ -94,10 +101,10 @@ def process_area(
 
     # --- WTD enrichment (dataset.py:66-114; snap direction reversed) ---
     wtd = _wtd_frame(spark, sf_dir)
-    sy = nearest_coord_mapping(wtd, era5, "y", "latitude").withColumnRenamed(
+    sy = nearest_coord_mapping(wtd, lat_d, "y", "latitude").withColumnRenamed(
         "latitude", "wsnap_lat"
     )
-    sx = nearest_coord_mapping(wtd, era5, "x", "longitude").withColumnRenamed(
+    sx = nearest_coord_mapping(wtd, lon_d, "x", "longitude").withColumnRenamed(
         "longitude", "wsnap_lon"
     )
     wtd_snapped = (

