@@ -79,3 +79,22 @@ def test_minhash_lsh_catches_high_jaccard_pairs(spark):
         (r.doc_a, r.doc_b) for r in dedup_minhash_lsh(spark, SF_DIR).collect()
     }
     assert truth <= found
+
+
+def test_train_split_deterministic_and_partitioned(spark):
+    """Split assignment is a pure function of doc_id: stable across
+    runs, every doc in exactly one split, proportions near 80/10/10."""
+    from cs_pipeline_spark.operators.aggregate import sample_train_split
+
+    a = sorted(map(tuple, sample_train_split(spark, SF_DIR).collect()))
+    b = sorted(map(tuple, sample_train_split(spark, SF_DIR).collect()))
+    assert a == b
+    totals = {}
+    for _lang, split, n, _mn in a:
+        totals[split] = totals.get(split, 0) + n
+    n_all = sum(totals.values())
+    from cs_pipeline_spark.tables import load
+
+    assert n_all == load(spark, "documents", SF_DIR).count()
+    assert 0.6 < totals["train"] / n_all < 0.95
+    assert totals.get("val", 0) > 0 and totals.get("test", 0) > 0
