@@ -150,3 +150,46 @@ def sort_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy(F.desc("latitude"), F.desc("longitude"))
     )
+
+
+@register(
+    "win_sessionize",
+    "WITH o AS (SELECT event_id, user_id, "
+    f"{EVENTS_TS_SQL} AS ts, "
+    f"CASE WHEN {EVENTS_TS_SQL} >= lag({EVENTS_TS_SQL}) OVER w + INTERVAL '5 minutes' "
+    "OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess "
+    "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+    "SELECT event_id, user_id, ts, "
+    "CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq "
+    "FROM o",
+    doc="per-event session assignment (5-min gap): lag + running count — "
+    "the event→session_id labeling that session aggregates are built on",
+)
+def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign each event its session ordinal per user (gap ≥ 5 min
+    starts a new session). One shuffle on user_id; integer running
+    count — engine-agnostic. At 100 TB this is the conversation/
+    activity threading primitive for training-data assembly."""
+    ev = load(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_sess = (
+        F.when(
+            F.col("ts")
+            >= F.lag("ts").over(w) + F.expr("INTERVAL 5 MINUTES"),
+            1,
+        )
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0)
+    )
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(new_sess).over(wc).cast("long").alias("session_seq"),
+    )
