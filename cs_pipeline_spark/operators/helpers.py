@@ -74,35 +74,40 @@ def davg(col: Column | str) -> Column:
     return dsum(col) / F.count(_c(col))
 
 
-def _sum_sq(col: Column | str) -> Column:
-    q = _quant(_c(col)).cast("decimal(19,0)")
-    return _dec_to_double(F.sum(q * q)) / F.lit(Q2)
+def _var_numerator(col: Column | str) -> Column:
+    """Exact integer numerator n·Σq² − (Σq)² of the population variance
+    of the quantized values (×Q2·n² the real variance).
 
-
-def dstd_pop(col: Column | str) -> Column:
-    """Engine-agnostic population stddev from exact quantized sums.
-
-    Null (not 0.0) on an all-null group — xarray-skipna semantics;
-    GREATEST ignores nulls in BOTH engines, so the count guard is
-    required on both sides.
+    The subtraction happens in exact DECIMAL integer arithmetic, so the
+    catastrophic cancellation of the naive E[x²]−E[x]² float formula is
+    impossible: a constant group yields exactly 0. Value bounds (|x| ≤
+    1e7, group size ≤ 1e5) keep every intermediate < 1e37 < decimal(38).
     """
     c = _c(col)
-    n = F.count(c).cast("double")
-    s1 = dsum(c)
-    s2 = _sum_sq(c)
-    m = s1 / n
-    return F.when(
-        F.count(c) > 0, F.sqrt(F.greatest(s2 / n - m * m, F.lit(0.0)))
-    )
+    q = _quant(c).cast("decimal(14,0)")
+    s1 = F.sum(q)  # decimal(24,0), exact
+    s2 = F.sum(q * q)  # q² decimal(29,0) → sum decimal(38,0), exact
+    n = F.count(c).cast("decimal(20,0)")
+    return s2 * n - s1 * s1  # decimal(38,0), exact
 
 
 def dvar_pop(col: Column | str) -> Column:
+    """Engine-agnostic population variance from the exact integer
+    numerator: (n·Σq² − (Σq)²) / n² / Q2 — only the final divisions are
+    float, each correctly rounded identically in Spark and DuckDB.
+
+    Null (not 0.0) on an all-null group — xarray-skipna semantics
+    (/root/reference/pipeline/carbonpipeline/core.py:217-248, ddof=0).
+    """
     c = _c(col)
-    n = F.count(c).cast("double")
-    s1 = dsum(c)
-    s2 = _sum_sq(c)
-    m = s1 / n
-    return F.when(F.count(c) > 0, F.greatest(s2 / n - m * m, F.lit(0.0)))
+    nd = F.count(c).cast("double")
+    num = _dec_to_double(_var_numerator(c))
+    return F.when(F.count(c) > 0, num / (nd * nd) / F.lit(Q2))
+
+
+def dstd_pop(col: Column | str) -> Column:
+    """Engine-agnostic population stddev: sqrt of ``dvar_pop``."""
+    return F.sqrt(dvar_pop(col))
 
 
 # --- DuckDB SQL twins (must mirror the expressions above exactly) ---
@@ -115,32 +120,28 @@ def sql_dsum(expr: str) -> str:
     )
 
 
-def _sql_sum_sq(expr: str) -> str:
-    q = f"CAST(FLOOR(({expr}) * 1000000.0 + 0.5) AS DECIMAL(19,0))"
-    return f"(CAST(CAST(SUM({q} * {q}) AS VARCHAR) AS DOUBLE) / 1000000000000.0)"
-
-
 def sql_davg(expr: str) -> str:
     return f"({sql_dsum(expr)} / COUNT({expr}))"
 
 
-def sql_dstd_pop(expr: str) -> str:
-    n = f"CAST(COUNT({expr}) AS DOUBLE)"
-    s1 = sql_dsum(expr)
-    s2 = _sql_sum_sq(expr)
-    m = f"({s1} / {n})"
+def _sql_var_numerator(expr: str) -> str:
+    # HUGEINT (int128) mirrors Spark's decimal(38,0): the n·Σq² − (Σq)²
+    # subtraction is exact integer arithmetic in BOTH engines.
+    q = f"CAST(FLOOR(({expr}) * 1000000.0 + 0.5) AS HUGEINT)"
     return (
-        f"CASE WHEN COUNT({expr}) > 0 THEN "
-        f"SQRT(GREATEST({s2} / {n} - {m} * {m}, 0.0)) END"
+        f"(SUM({q} * {q}) * CAST(COUNT({expr}) AS HUGEINT)"
+        f" - SUM({q}) * SUM({q}))"
     )
 
 
 def sql_dvar_pop(expr: str) -> str:
     n = f"CAST(COUNT({expr}) AS DOUBLE)"
-    s1 = sql_dsum(expr)
-    s2 = _sql_sum_sq(expr)
-    m = f"({s1} / {n})"
+    num = f"CAST(CAST({_sql_var_numerator(expr)} AS VARCHAR) AS DOUBLE)"
     return (
         f"CASE WHEN COUNT({expr}) > 0 THEN "
-        f"GREATEST({s2} / {n} - {m} * {m}, 0.0) END"
+        f"(({num} / ({n} * {n})) / 1000000000000.0) END"
     )
+
+
+def sql_dstd_pop(expr: str) -> str:
+    return f"SQRT({sql_dvar_pop(expr)})"
