@@ -30,6 +30,8 @@ pure-DataFrame, and judge-verifiable.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -567,6 +569,141 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------- LSH-blocked embedding near-dup (the 100 TB path) ----------
+
+_LSH_BANDS = 4
+_LSH_PLANES = 8  # sign bits per band → 256 buckets/band
+_LSH_BUCKET_CAP = 500  # hot-bucket guard: bound the per-bucket self-join
+
+
+def _band_plane(band: int, p: int) -> list[float]:
+    """Deterministic hyperplane for (band, plane): sin of an integer
+    grid rounded to 6 dp — the literal is identical in Spark & DuckDB."""
+    j = band * _LSH_PLANES + p
+    return [round(math.sin(1.0 + j * _DIM + d), 6) for d in range(_DIM)]
+
+
+def _band_bucket_col(emb: Column, band: int) -> Column:
+    out = F.lit(0)
+    for p in range(_LSH_PLANES):
+        plane = F.array(*[F.lit(v) for v in _band_plane(band, p)])
+        out = out + F.when(qdot(emb, plane) >= 0, F.lit(1 << p)).otherwise(
+            F.lit(0)
+        )
+    return out
+
+
+def _sql_band_bucket(emb: str, band: int) -> str:
+    terms = []
+    for p in range(_LSH_PLANES):
+        lit = "[" + ", ".join(repr(v) for v in _band_plane(band, p)) + "]"
+        terms.append(
+            f"(CASE WHEN {_sql_qdot(emb, lit)} >= 0 THEN {1 << p} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _sql_lsh_candidates() -> str:
+    """WITH-clause body producing deduped candidate pairs (va < vb)."""
+    keys = ", ".join(
+        f"{_sql_band_bucket('embedding', b)} AS k{b}"
+        for b in range(_LSH_BANDS)
+    )
+    per_band = [
+        f"SELECT a.vec_id AS va, b.vec_id AS vb "
+        f"FROM v a JOIN v b ON a.k{b} = b.k{b} AND a.vec_id < b.vec_id "
+        f"WHERE a.c{b} <= {_LSH_BUCKET_CAP}"
+        for b in range(_LSH_BANDS)
+    ]
+    counts = ", ".join(
+        f"COUNT(*) OVER (PARTITION BY k{b}) AS c{b}"
+        for b in range(_LSH_BANDS)
+    )
+    return (
+        f"v0 AS (SELECT vec_id, embedding, {keys} FROM embeddings), "
+        f"v AS (SELECT *, {counts} FROM v0), "
+        "cand AS (" + " UNION ".join(per_band) + ")"
+    )
+
+
+@register(
+    "dedup_embedding_lsh",
+    "WITH " + _sql_lsh_candidates() + " "
+    "SELECT cand.va AS vec_a, cand.vb AS vec_b, "
+    + _sql_cosine("ea.embedding", "eb.embedding")
+    + " AS cos_sim "
+    "FROM cand JOIN embeddings ea ON ea.vec_id = cand.va "
+    "JOIN embeddings eb ON eb.vec_id = cand.vb "
+    "WHERE " + _sql_cosine("ea.embedding", "eb.embedding")
+    + f" >= {_COS_THRESHOLD}",
+    doc="embedding near-dup pairs via banded sign-bit LSH candidates + "
+    "exact quantized-cosine verify (bounded buckets — the scale path)",
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe near-dup: banded LSH candidate generation, exact verify.
+
+    Unlike ``dedup_embedding_cosine`` (all-pairs inside label blocks —
+    O(B²) with an unbounded block key), work here is bounded by
+    construction: each of the 4 bands hashes a vector to one of 256
+    sign-bit buckets, buckets larger than ``_LSH_BUCKET_CAP`` are
+    skipped (hot-bucket guard — a degenerate bucket means the band
+    carries no selectivity), and only bucket-mates are paired. The
+    verify stage recomputes the EXACT quantized cosine on the
+    candidate pairs, so false positives from bucketing never reach the
+    output. Hyperplanes are deterministic literals, so the DuckDB
+    oracle reproduces candidate generation bit-for-bit — the contract
+    is 'bucket-mates with cos ≥ τ', not a recall gamble.
+
+    100 TB shape: the per-band self-join shuffles ids+bucket keys only
+    (embeddings are hydrated per-pair afterwards, candidate set ≪
+    corpus); bucket keys are near-uniform by construction. Recall is
+    tuned with more bands (union stays cheap: pairs are deduped before
+    hydration).
+    """
+    emb = load(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    keyed = emb.select(
+        "vec_id",
+        *[
+            _band_bucket_col(F.col("embedding"), b).alias(f"k{b}")
+            for b in range(_LSH_BANDS)
+        ],
+    )
+    cands = None
+    for b in range(_LSH_BANDS):
+        band = keyed.select("vec_id", F.col(f"k{b}").alias("bkt"))
+        sizes = band.groupBy("bkt").agg(F.count(F.lit(1)).alias("sz"))
+        bounded = band.join(
+            F.broadcast(sizes.filter(F.col("sz") <= _LSH_BUCKET_CAP)),
+            "bkt",
+        )
+        pairs = (
+            bounded.alias("a")
+            .join(bounded.alias("b"), "bkt")
+            .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(
+                F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb")
+            )
+        )
+        cands = pairs if cands is None else cands.union(pairs)
+    cands = cands.distinct()
+    ea = emb.select(
+        F.col("vec_id").alias("va"), F.col("embedding").alias("ea")
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("vb"), F.col("embedding").alias("eb")
+    )
+    return (
+        cands.join(ea, "va")
+        .join(eb, "vb")
+        .select(
+            F.col("va").alias("vec_a"),
+            F.col("vb").alias("vec_b"),
+            cosine(F.col("ea"), F.col("eb")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= _COS_THRESHOLD)
+    )
+
+
 # ---------- duplicate clustering (connected components) ----------
 
 _CC_MAX_ITERS = 20
@@ -584,6 +721,12 @@ def connected_components(
     100 TB, switch to the large-star/small-star variant (same join
     primitives, O(log n) rounds).
     """
+    # Materialize the edge set once and cut its lineage: the candidate
+    # generator upstream (e.g. banded LSH) has a large plan tree that an
+    # iterative loop would otherwise re-analyze and re-embed every
+    # round — linear plan growth is the classic driver-OOM of iterative
+    # Spark algorithms.
+    edges = edges.localCheckpoint()
     both = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -593,6 +736,12 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .persist()
     )
+    # Labels start at node-id and only ever DECREASE (least of self,
+    # neighbors, and label-of-label), so Σlabel is a strictly-decreasing
+    # progress measure: unchanged sum ⟺ fixpoint. That makes the
+    # convergence check one tiny aggregation instead of a self-join.
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    converged = False
     for _ in range(_CC_MAX_ITERS):
         # smallest label among self + neighbors
         prop = (
@@ -600,53 +749,69 @@ def connected_components(
             .groupBy(F.col("b").alias("node2"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        new = (
-            labels.join(prop, labels.node == prop.node2, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", "label")
-                ).alias("label"),
-            )
-            .persist()
+        new = labels.join(prop, labels.node == prop.node2, "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
+                "label"
+            ),
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
+        # pointer jumping: label ← label(label). Doubles the effective
+        # propagation distance per round → O(log diameter) rounds, the
+        # property that makes iterative CC viable on long chains.
+        ptr = new.select(
+            F.col("node").alias("pnode"), F.col("label").alias("plabel")
         )
-        labels.unpersist()
+        # localCheckpoint (not persist): truncates the logical plan so
+        # the per-round lineage cannot nest — iterative joins otherwise
+        # grow the analyzed tree until Catalyst stack-overflows.
+        new = new.join(ptr, new.label == ptr.pnode, "left").select(
+            "node", F.coalesce("plabel", "label").alias("label")
+        ).localCheckpoint()
+        cur_sum = new.agg(F.sum("label")).collect()[0][0]
         labels = new
-        if changed == 0:
+        if cur_sum == prev_sum:
+            converged = True
             break
+        prev_sum = cur_sum
+    if not converged:
+        # A silently-unconverged result would diverge from the exact
+        # recursive-CTE oracle — fail loudly instead.
+        raise RuntimeError(
+            f"connected_components did not converge within "
+            f"{_CC_MAX_ITERS} pointer-jumping rounds (diameter > "
+            f"2^{_CC_MAX_ITERS}) — inspect the candidate graph"
+        )
     return labels
 
 
 @register(
     "dedup_clusters",
-    # edges = embedding-cosine near-dup pairs (SQL-expressible), then
-    # min-label propagation as a recursive CTE
-    "WITH RECURSIVE pairs AS ("
-    "SELECT a.vec_id AS src, b.vec_id AS dst "
-    "FROM embeddings a JOIN embeddings b "
-    "ON a.label = b.label AND a.vec_id < b.vec_id "
-    "WHERE " + _sql_cosine("a.embedding", "b.embedding") + f" >= {_COS_THRESHOLD}), "
+    # edges = LSH-blocked near-dup pairs (scale path — no all-pairs
+    # stage anywhere in the plan), then min-label propagation as a
+    # recursive CTE
+    "WITH RECURSIVE " + _sql_lsh_candidates() + ", "
+    "pairs AS ("
+    "SELECT cand.va AS src, cand.vb AS dst "
+    "FROM cand JOIN embeddings ea ON ea.vec_id = cand.va "
+    "JOIN embeddings eb ON eb.vec_id = cand.vb "
+    "WHERE " + _sql_cosine("ea.embedding", "eb.embedding")
+    + f" >= {_COS_THRESHOLD}), "
     "edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs), "
     "reach(node, label) AS ("
     "SELECT DISTINCT src, src FROM edges "
     "UNION "
     "SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node) "
     "SELECT node AS vec_id, MIN(label) AS canonical_id FROM reach GROUP BY node",
-    doc="near-dup clustering: connected components over candidate pairs "
-    "(iterative min-label propagation; keep-canonical workflow)",
+    doc="near-dup clustering: connected components over LSH candidate "
+    "pairs (iterative min-label propagation; keep-canonical workflow)",
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The keep-one-per-cluster half of fuzzy dedup: candidate pairs →
     undirected components → ``(vec_id, canonical_id)`` (canonical =
     smallest member). Downstream: anti-join the corpus against
-    ``vec_id != canonical_id`` to drop duplicates."""
-    pairs = dedup_embedding_cosine(spark, sf_dir).select(
+    ``vec_id != canonical_id`` to drop duplicates. Edges come from the
+    LSH-blocked generator, so the whole plan is bounded-work."""
+    pairs = dedup_embedding_lsh(spark, sf_dir).select(
         F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
     )
     return connected_components(pairs).select(
