@@ -261,7 +261,12 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the key is engine-agnostic (exact int64 arithmetic) and stable
 # forever. 80/10/10 by bucket.
 
-_SPLIT_MULT = 2654435761  # Knuth multiplicative constant
+_SPLIT_PRIME = 1000000007
+# Knuth multiplicative constant, pre-reduced mod the prime so that
+# (doc_id % p) * mult stays < 2^62: int64 can NEVER overflow, for any
+# doc_id — Spark wraps silently on overflow while DuckDB raises, so an
+# unreduced product would break engine-agnosticism at ~3.5e9 ids.
+_SPLIT_MULT = 2654435761 % _SPLIT_PRIME
 _SPLIT_MOD = 100
 
 
@@ -269,7 +274,8 @@ _SPLIT_MOD = 100
     "sample_train_split",
     f"""
     WITH s AS (SELECT doc_id, lang,
-               ((doc_id * {_SPLIT_MULT}) % 1000000007) % {_SPLIT_MOD} AS bucket
+               (((doc_id % {_SPLIT_PRIME}) * {_SPLIT_MULT}) % {_SPLIT_PRIME})
+               % {_SPLIT_MOD} AS bucket
                FROM documents)
     SELECT lang,
            CASE WHEN bucket < 80 THEN 'train'
@@ -282,9 +288,9 @@ _SPLIT_MOD = 100
 )
 def sample_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, "documents", sf_dir)
-    bucket = (F.col("doc_id") * F.lit(_SPLIT_MULT)) % F.lit(1000000007) % F.lit(
-        _SPLIT_MOD
-    )
+    bucket = (
+        (F.col("doc_id") % F.lit(_SPLIT_PRIME)) * F.lit(_SPLIT_MULT)
+    ) % F.lit(_SPLIT_PRIME) % F.lit(_SPLIT_MOD)
     split = (
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     )

@@ -43,6 +43,8 @@ _T0, _T1 = "2024-01-05 00:00:00", "2024-01-25 00:00:00"
 
 # station timestamp: hour-truncated event ts + (event_id%4)·15 min, so
 # only the %4==0 rows survive the top-of-hour filter
+_ST_ROW_CAP = 200000  # driver-side fixture collect bound (see below)
+
 _ST_TS_US = (
     f"epoch_us(date_trunc('hour', {EVENTS_TS_SQL})) "
     "+ (event_id % 4) * 900000000"
@@ -74,6 +76,11 @@ def _write_station_csv(spark: SparkSession, sf_dir: str) -> str:
             *[f"{sql} AS {p}" for p, sql in _AMF_SQL.items()],
         )
         .orderBy("event_id")
+        # Hard cap on the driver-side collect (station CSVs are small
+        # by nature; a future sf bump must not OOM fixture generation).
+        # Deterministic: ordered by unique event_id; the oracle's `st`
+        # CTE carries the same ORDER BY/LIMIT.
+        .limit(_ST_ROW_CAP)
         .collect()
     )
     with open(path, "w") as f:
@@ -106,7 +113,8 @@ def _oracle() -> str:
     return (
         f"WITH {ERA5_CTE}, "
         f"st AS (SELECT event_id, make_timestamp({_ST_TS_US}) AS st_ts, "
-        f"{st_cols} FROM events WHERE user_id % 2 = 0), "
+        f"{st_cols} FROM events WHERE user_id % 2 = 0 "
+        f"ORDER BY event_id LIMIT {_ST_ROW_CAP}), "
         "kept AS (SELECT * FROM st WHERE event_id % 97 <> 0 "
         "AND minute(st_ts) = 0 AND CAST(second(st_ts) AS INT) = 0 "
         f"AND st_ts BETWEEN TIMESTAMP '{_T0}' AND TIMESTAMP '{_T1}'), "

@@ -33,8 +33,9 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from cs_pipeline_spark.operators import helpers as _h
 from cs_pipeline_spark.registry import register
-from cs_pipeline_spark.tables import load
+from cs_pipeline_spark.tables import load, nan_to_null
 
 _SCRATCH = "/root/repo/.tmp/sources"
 
@@ -98,6 +99,9 @@ def scan_csv_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("o_orderkey") < 500)
             .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
             .orderBy("o_orderkey")
+            # no-op today (the key filter already bounds the set) —
+            # explicit guard so the driver-side collect can never grow
+            .limit(500)
             .collect()
         )
         with open(path, "w") as f:
@@ -112,6 +116,50 @@ def scan_csv_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("header", True)
         .option("mode", "DROPMALFORMED")
         .csv(path)
+    )
+
+
+# ---------- NaN→null ingest normalization ----------
+# Reference: xarray skipna semantics — NaN is *missing* in every
+# reduction (dataset.py:144). Spark aggregates do not skip NaN, so
+# `tables.load` normalizes NaN→null at ingest; this query proves the
+# behavior on a parquet file containing REAL NaN values.
+
+
+@register(
+    "ingest_nan_skipna",
+    "SELECT user_id % 5 AS grp, COUNT(v) AS n_obs, "
+    + _h.sql_davg("v")
+    + " AS mean_value, "
+    + _h.sql_dstd_pop("v")
+    + " AS std_value FROM (SELECT user_id, "
+    "CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v "
+    "FROM events) GROUP BY user_id % 5",
+    doc="NaN→null at ingest: aggregates over NaN-bearing parquet match "
+    "null-skipping (xarray skipna) semantics",
+)
+def ingest_nan_skipna(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writes a parquet with real NaN holes (every 7th event), reads it
+    back through the ``nan_to_null`` ingest normalization, and
+    aggregates — count/mean/std must treat NaN exactly like null. The
+    oracle states the same reductions over CASE-nulled values, which is
+    precisely the skipna contract."""
+    path = _scratch(sf_dir, "events_nan.parquet")
+    if not os.path.exists(path):
+        load(spark, "events", sf_dir).select(
+            "event_id",
+            "user_id",
+            F.when(
+                F.col("event_id") % 7 == 0, F.lit(float("nan"))
+            )
+            .otherwise(F.col("value"))
+            .alias("value"),
+        ).write.mode("overwrite").parquet(path)
+    df = nan_to_null(spark.read.parquet(path))
+    return df.groupBy((F.col("user_id") % 5).alias("grp")).agg(
+        F.count("value").alias("n_obs"),
+        _h.davg("value").alias("mean_value"),
+        _h.dstd_pop("value").alias("std_value"),
     )
 
 
@@ -170,6 +218,9 @@ def scan_geojson(spark: SparkSession, sf_dir: str) -> DataFrame:
             (r[0], r[1])
             for r in load(spark, "region", sf_dir)
             .select("r_regionkey", "r_name")
+            # region is a constant 5-row dimension at every sf; the
+            # limit is a driver-OOM guard, not a semantic bound
+            .limit(1000)
             .collect()
         )
         fc = {

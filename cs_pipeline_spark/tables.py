@@ -40,16 +40,46 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 EVENTS_TS_SQL = "CAST(ts AS TIMESTAMP)"
 
 
+def nan_to_null(df: DataFrame) -> DataFrame:
+    """NaN→null on every top-level float/double column.
+
+    The reference's xarray pipeline treats NaN as *missing* and every
+    reduction skips it (/root/reference/pipeline/carbonpipeline/
+    dataset.py:144, skipna throughout). Spark aggregates do NOT skip
+    NaN, so parity requires normalizing at ingest — after this, null
+    is the single missing-value representation and count/avg/std all
+    agree with skipna semantics. No-op on NaN-free data.
+    """
+    from pyspark.sql.types import DoubleType, FloatType
+
+    cols, changed = [], False
+    for f in df.schema.fields:
+        if isinstance(f.dataType, (DoubleType, FloatType)):
+            cols.append(
+                F.nanvl(F.col(f.name), F.lit(None).cast(f.dataType)).alias(
+                    f.name
+                )
+            )
+            changed = True
+        else:
+            cols.append(F.col(f.name))
+    return df.select(*cols) if changed else df
+
+
 def load(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
-    """Load one table from an sf directory (file or partitioned dir)."""
+    """Load one table from an sf directory (file or partitioned dir).
+
+    All float/double columns are NaN→null normalized (skipna parity
+    with the reference — see ``nan_to_null``).
+    """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+        return nan_to_null(
+            df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
         )
-    return spark.read.parquet(path)
+    return nan_to_null(spark.read.parquet(path))
 
 
 def load_all(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:

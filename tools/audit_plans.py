@@ -60,8 +60,12 @@ def main() -> None:
             df.explain("formatted")
         plan = buf.getvalue()
         # "formatted" lists each operator once in the tree and once in
-        # the details — halve the raw counts.
-        n_exch = plan.count("Exchange") // 2
+        # the details — halve the raw counts. Count only true shuffle
+        # Exchanges: the bare word, so BroadcastExchange/ReusedExchange
+        # (not data shuffles) don't inflate the number.
+        n_exch = (
+            len(re.findall(r"(?<![A-Za-z])Exchange(?![A-Za-z])", plan)) // 2
+        )
         n_smj = plan.count("SortMergeJoin") // 2
         n_bhj = plan.count("BroadcastHashJoin") // 2
         pushed = any(
