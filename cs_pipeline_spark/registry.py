@@ -79,7 +79,7 @@ def _load_all_modules() -> None:
         text,
         windows,
     )
-    from cs_pipeline_spark.plans import request_groups  # noqa: F401
+    from cs_pipeline_spark.plans import request_groups, validate  # noqa: F401
     from cs_pipeline_spark.sources import scans, sinks  # noqa: F401
     from cs_pipeline_spark.streaming import batch_twins  # noqa: F401
 
