@@ -26,6 +26,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -201,17 +202,97 @@ def scan_multifile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # GeoJSON files, region id from an id property else a counter.
 
 
+def _geom_coords(k: int) -> tuple[str, list]:
+    """Deterministic mixed-type geometry for region key ``k``.
+
+    Key 4 carries a malformed 3-element 'pair' — the structure-
+    validation negative case."""
+    ring = [
+        [float(k), 0.0],
+        [float(k + 1), 0.0],
+        [float(k + 1), 1.0],
+        [float(k), 1.0],
+        [float(k), 0.0],
+    ]
+    kind = k % 4
+    if kind == 0:
+        if k == 4:
+            return "Point", [float(k), 0.5, 99.0]  # invalid triple
+        return "Point", [float(k), 0.5]
+    if kind == 1:
+        return "LineString", [[float(k), 0.0], [float(k + 1), 1.0]]
+    if kind == 2:
+        return "Polygon", [ring]
+    return "MultiPolygon", [[ring], [[[float(k) + 2.0, 0.0], [float(k) + 3.0, 0.0], [float(k) + 2.5, 1.0], [float(k) + 2.0, 0.0]]]]
+
+
+# Geometry.coordinates is read as a raw JSON STRING (one schema for
+# every nesting depth); classification is then pure expression work.
+_GEOJSON_SCHEMA = StructType(
+    [
+        StructField("type", StringType()),
+        StructField(
+            "features",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("type", StringType()),
+                        StructField(
+                            "properties",
+                            StructType(
+                                [
+                                    StructField("id", StringType()),
+                                    StructField("name", StringType()),
+                                ]
+                            ),
+                        ),
+                        StructField(
+                            "geometry",
+                            StructType(
+                                [
+                                    StructField("type", StringType()),
+                                    StructField(
+                                        "coordinates", StringType()
+                                    ),
+                                ]
+                            ),
+                        ),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+_GEOM_BY_KIND = "WHEN 0 THEN 'Point' WHEN 1 THEN 'LineString' WHEN 2 THEN 'Polygon' ELSE 'MultiPolygon'"
+
+
 @register(
     "scan_geojson",
     "SELECT 'r' || CAST(r_regionkey AS VARCHAR) AS region_id, "
-    "'Polygon' AS geom_type, CAST(r_regionkey AS DOUBLE) AS west, "
-    "CAST(r_regionkey + 1 AS DOUBLE) AS east FROM region",
-    doc="GeoJSON FeatureCollection scan: multiLine JSON + explode(features)",
+    f"CASE r_regionkey % 4 {_GEOM_BY_KIND} END AS declared_type, "
+    f"CASE r_regionkey % 4 {_GEOM_BY_KIND} END AS geom_type, "
+    "CAST(r_regionkey % 4 + 1 AS INT) AS coord_depth, "
+    "(r_regionkey <> 4) AS coords_valid FROM region",
+    doc="GeoJSON FeatureCollection scan with geometry classification: "
+    "nesting depth → Point/LineString/Polygon/MultiPolygon + leaf-pair "
+    "structure validation (Geometry/geometry.py:5-82)",
 )
 def scan_geojson(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Writes a FeatureCollection derived from `region`, then the real
-    reader: multiLine spark.read.json → explode(features) → property
-    extraction. Nested coordinate arrays stay ArrayType — no UDF."""
+    """Writes a FeatureCollection with MIXED geometry types derived
+    from `region` (plus one malformed coordinate triple), then the
+    real reader: multiLine spark.read.json with coordinates captured
+    as a raw JSON string → explode(features) → expression-side
+    classification, mirroring the reference's Geometry class:
+
+    - ``coord_depth``: bracket-nesting depth of the coordinate
+      structure (count of leading '['), reference ``_get_depth``;
+    - ``geom_type``: depth 1→Point, 2→LineString, 3→Polygon,
+      4→MultiPolygon (reference ``_infer_geom_type``);
+    - ``coords_valid``: every innermost bracket group is exactly a
+      2-number pair (reference ``_validation``).
+
+    All three are regexp/CASE expressions — no UDF, scan-parallel."""
     path = _scratch(sf_dir, "regions.geojson")
     if not os.path.exists(path):
         regions = sorted(
@@ -223,42 +304,46 @@ def scan_geojson(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1000)
             .collect()
         )
-        fc = {
-            "type": "FeatureCollection",
-            "features": [
+        feats = []
+        for k, n in regions:
+            gtype, coords = _geom_coords(k)
+            feats.append(
                 {
                     "type": "Feature",
                     "properties": {"id": f"r{k}", "name": n},
-                    "geometry": {
-                        "type": "Polygon",
-                        "coordinates": [
-                            [
-                                [float(k), 0.0],
-                                [float(k + 1), 0.0],
-                                [float(k + 1), 1.0],
-                                [float(k), 1.0],
-                                [float(k), 0.0],
-                            ]
-                        ],
-                    },
+                    "geometry": {"type": gtype, "coordinates": coords},
                 }
-                for k, n in regions
-            ],
-        }
+            )
         with open(path, "w") as f:
-            json.dump(fc, f)
+            json.dump({"type": "FeatureCollection", "features": feats}, f)
     feats = (
-        spark.read.option("multiLine", True)
+        spark.read.schema(_GEOJSON_SCHEMA)
+        .option("multiLine", True)
         .json(path)
         .select(F.explode("features").alias("f"))
     )
-    ring = F.col("f.geometry.coordinates").getItem(0)
-    lons = F.transform(ring, lambda p: p.getItem(0))
+    coords = F.col("f.geometry.coordinates")
+    depth = F.length(F.regexp_extract(coords, r"^\[+", 0))
+    innermost = F.expr(
+        r"regexp_extract_all(f.geometry.coordinates, '\\[[^\\[\\]]*\\]', 0)"
+    )
+    pair_ok = F.forall(
+        innermost,
+        lambda g: g.rlike(
+            r"^\[ *-?[0-9]+(\.[0-9]+)? *, *-?[0-9]+(\.[0-9]+)? *\]$"
+        ),
+    )
     return feats.select(
         F.coalesce(F.col("f.properties.id"), F.lit("r?")).alias("region_id"),
-        F.col("f.geometry.type").alias("geom_type"),
-        F.array_min(lons).alias("west"),
-        F.array_max(lons).alias("east"),
+        F.col("f.geometry.type").alias("declared_type"),
+        F.when(depth == 1, "Point")
+        .when(depth == 2, "LineString")
+        .when(depth == 3, "Polygon")
+        .when(depth == 4, "MultiPolygon")
+        .otherwise("Unknown")
+        .alias("geom_type"),
+        depth.alias("coord_depth"),
+        pair_ok.alias("coords_valid"),
     )
 
 
