@@ -270,3 +270,145 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("hs").alias("fp_max"),
         F.size("hs").alias("n_windows"),
     )
+
+
+# ---------- text_repetition_score ----------
+# Gopher-style repetition signals: heavily repetitive documents are
+# low-quality training data. All ratios are exact integer counts
+# divided identically in both engines.
+
+
+@register(
+    "text_repetition_score",
+    "WITH t AS (SELECT doc_id, " + _DUCK_TOKENS + " AS ws FROM documents), "
+    "g AS (SELECT doc_id, ws, len(ws) AS n, "
+    "list_transform(range(1, greatest(len(ws), 1)), "
+    "i -> ws[i] || ' ' || ws[i + 1]) AS bi, "
+    "list_transform(range(1, greatest(len(ws) - 1, 1)), "
+    "i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]) AS tri FROM t) "
+    "SELECT doc_id, n AS n_words, "
+    "CASE WHEN len(bi) > 0 THEN 1.0 - CAST(len(list_distinct(bi)) AS DOUBLE)"
+    " / CAST(len(bi) AS DOUBLE) ELSE 0.0 END AS dup_bigram_frac, "
+    "CASE WHEN len(tri) > 0 THEN 1.0 - CAST(len(list_distinct(tri)) AS DOUBLE)"
+    " / CAST(len(tri) AS DOUBLE) ELSE 0.0 END AS dup_trigram_frac, "
+    "len(list_filter(range(1, greatest(len(ws), 1)), "
+    "i -> ws[i] = ws[i + 1])) AS n_immediate_repeats FROM g",
+    doc="repetition quality signals: duplicate bigram/trigram fraction "
+    "+ immediate word repeats (Gopher-style rep filters)",
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-n-gram fractions — the standard 'repetitious document'
+    quality signal for corpus curation. Pure per-row expressions (no
+    shuffle); ratios are exact-integer divisions so the hashes match
+    DuckDB bit-for-bit.
+
+    DuckDB's ``range(1, k)`` is empty when k ≤ 1, while Spark's
+    ``sequence(1, 0)`` DESCENDS — the `greatest(n-1, 0)`-style guards
+    keep the two aligned on tiny documents."""
+    docs = load(spark, "documents", sf_dir)
+    ws = _tokens(F.expr(_NORM))
+    n = F.size(ws)
+
+    empty = F.array().cast("array<int>")
+
+    def positions(last: Column) -> Column:
+        # Spark's sequence(1, 0) DESCENDS instead of returning [] —
+        # guard explicitly so sub-width documents yield no positions.
+        return F.when(last >= 1, F.sequence(F.lit(1), last)).otherwise(empty)
+
+    def grams(width: int) -> Column:
+        # 1-based positions 1..n-width+1; empty when n < width
+        return F.transform(
+            positions(n - (width - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(ws, i + j) for j in range(width)]
+            ),
+        )
+
+    bi, tri = grams(2), grams(3)
+    rep = F.size(
+        F.filter(
+            positions(n - 1),
+            lambda i: F.element_at(ws, i) == F.element_at(ws, i + 1),
+        )
+    )
+
+    def dup_frac(g: Column) -> Column:
+        return F.when(
+            F.size(g) > 0,
+            F.lit(1.0)
+            - F.size(F.array_distinct(g)).cast("double")
+            / F.size(g).cast("double"),
+        ).otherwise(F.lit(0.0))
+
+    return docs.select(
+        "doc_id",
+        n.alias("n_words"),
+        dup_frac(bi).alias("dup_bigram_frac"),
+        dup_frac(tri).alias("dup_trigram_frac"),
+        rep.alias("n_immediate_repeats"),
+    )
+
+
+# ---------- text_pii_scrub ----------
+# PII redaction: the removal pass every training-data pipeline runs.
+# The corpus has no PII, so each doc gets a deterministic synthetic
+# email/phone/IP suffix first — the scrub then provably removes it.
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IP = "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b"
+_PII_PHONE = "\\b555-[0-9]{4}\\b"
+
+_PII_SYNTH_DUCK = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+    "'@mail.example.com or 555-' || CAST(1000 + doc_id % 9000 AS VARCHAR) "
+    "|| ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || "
+    "CAST((doc_id * 7) % 256 AS VARCHAR)"
+)
+
+
+@register(
+    "text_pii_scrub",
+    f"WITH s AS (SELECT doc_id, {_PII_SYNTH_DUCK} AS t FROM documents) "
+    "SELECT doc_id, "
+    f"len(regexp_extract_all(t, '{_PII_EMAIL}')) AS n_emails, "
+    f"len(regexp_extract_all(t, '{_PII_IP}')) AS n_ips, "
+    f"len(regexp_extract_all(t, '{_PII_PHONE}')) AS n_phones, "
+    f"regexp_replace(regexp_replace(regexp_replace(t, "
+    f"'{_PII_EMAIL}', '<EMAIL>', 'g'), "
+    f"'{_PII_IP}', '<IP>', 'g'), "
+    f"'{_PII_PHONE}', '<PHONE>', 'g') AS scrubbed FROM s",
+    doc="PII redaction: email/IP/phone regex counts + scrub to typed "
+    "placeholders (expression-side, scan-fused)",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII scrub with per-type counts. Patterns are chosen to
+    parse identically under Java regex (Spark) and RE2 (DuckDB); the
+    replace order (email → IP → phone) is part of the contract and
+    identical on both sides. Pure per-row map — fuses with the scan."""
+    docs = load(spark, "documents", sf_dir)
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or 555-"),
+        (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+        F.lit(" ip 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit("."),
+        ((F.col("doc_id") * 7) % 256).cast("string"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, _PII_EMAIL, "<EMAIL>"), _PII_IP, "<IP>"
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(_PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(t, F.lit(_PII_IP)).alias("n_ips"),
+        F.regexp_count(t, F.lit(_PII_PHONE)).alias("n_phones"),
+        scrubbed.alias("scrubbed"),
+    )
