@@ -12,7 +12,7 @@ oracle hash-matches bit-for-bit (see operators/helpers.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cs_pipeline_spark.functions.era5_fixture import ERA5_CTE, era5_events
@@ -301,4 +301,54 @@ def sample_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.min("doc_id").alias("min_doc_id"),
         )
+    )
+
+
+# ---------- exact discrete quantiles ----------
+# Interpolated quantiles (percentile_cont) mix doubles in an
+# engine-specific op order; DISCRETE quantiles pick an actual element
+# by rank — exact, order-free, and the right default for corpus
+# length/score distributions anyway.
+
+
+@register(
+    "agg_quantiles_disc",
+    "WITH r AS (SELECT event_type, value, "
+    "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) "
+    "AS rn, COUNT(*) OVER (PARTITION BY event_type) AS n FROM events) "
+    "SELECT event_type, MAX(n) AS n_rows, "
+    "MAX(CASE WHEN rn = CEIL(0.25 * n) THEN value END) AS p25, "
+    "MAX(CASE WHEN rn = CEIL(0.5 * n) THEN value END) AS p50, "
+    "MAX(CASE WHEN rn = CEIL(0.75 * n) THEN value END) AS p75 "
+    "FROM r GROUP BY event_type",
+    doc="exact discrete p25/p50/p75 per group via rank selection "
+    "(element-picking: engine-agnostic, no float interpolation)",
+)
+def agg_quantiles_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete quantiles by rank selection: value at row_number
+    ceil(q·n) under a total order (value, event_id). Picks real
+    elements — no interpolation arithmetic to diverge between
+    engines. Plan: one shuffle on the group key; the rank window and
+    the final aggregation share that partitioning (no second
+    exchange)."""
+    ev = load(spark, "events", sf_dir)
+    wq = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(wq).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def pick(q: float) -> Column:
+        return F.max(
+            F.when(F.col("rn") == F.ceil(F.lit(q) * F.col("n")), F.col("value"))
+        )
+
+    return r.groupBy("event_type").agg(
+        F.max("n").alias("n_rows"),
+        pick(0.25).alias("p25"),
+        pick(0.5).alias("p50"),
+        pick(0.75).alias("p75"),
     )

@@ -193,3 +193,50 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.sum(new_sess).over(wc).cast("long").alias("session_seq"),
     )
+
+
+# ---------- running (cumulative) per-key statistics ----------
+
+
+@register(
+    "win_running_stats",
+    "SELECT event_id, user_id, "
+    "COUNT(value) OVER w AS running_n, "
+    "(CAST(CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS DECIMAL(38,0))) "
+    "OVER w AS VARCHAR) AS DOUBLE) / 1000000.0) AS running_sum, "
+    "MIN(value) OVER w AS running_min, MAX(value) OVER w AS running_max "
+    f"FROM (SELECT event_id, user_id, {EVENTS_TS_SQL} AS ts, value "
+    "FROM events) "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+    doc="cumulative per-user count/sum/min/max in time order "
+    "(quantized-integer running sum — engine-agnostic bits)",
+)
+def win_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregates per key in event-time order — the
+    online-feature / monitoring primitive. The running sum accumulates
+    QUANTIZED INTEGERS in decimal, so Spark's running-frame evaluation
+    and DuckDB's segment tree produce identical bits regardless of
+    association order; min/max/count are order-free. One shuffle on
+    the partition key; the frame is rowsBetween so Spark streams it
+    without buffering the whole partition."""
+    ev = load(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    q = F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5)).cast(
+        "decimal(38,0)"
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("value").over(w).alias("running_n"),
+        (
+            F.sum(q).over(w).cast("string").cast("double")
+            / F.lit(1000000.0)
+        ).alias("running_sum"),
+        F.min("value").over(w).alias("running_min"),
+        F.max("value").over(w).alias("running_max"),
+    )

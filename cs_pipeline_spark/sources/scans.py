@@ -569,3 +569,71 @@ def scan_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("event_id", parsed.getField("k").alias("k"))
         .filter(F.col("k") >= 50)
     )
+
+
+# ---------- JSONL scan with corrupt-record isolation ----------
+# The lake format every crawl/LLM corpus lands in first. PERMISSIVE
+# mode + columnNameOfCorruptRecord keeps bad lines addressable instead
+# of silently dropping them (the audit-friendly counterpart of
+# DROPMALFORMED above).
+
+_JSONL_SCHEMA = StructType(
+    [
+        StructField("o_orderkey", LongType()),
+        StructField("o_custkey", LongType()),
+        StructField("o_orderstatus", StringType()),
+        StructField("o_totalprice", DoubleType()),
+        StructField("_corrupt_record", StringType()),
+    ]
+)
+
+
+@register(
+    "scan_jsonl",
+    "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice "
+    "FROM orders WHERE o_orderkey < 300 AND o_orderkey % 7 <> 0",
+    doc="JSONL scan, PERMISSIVE + corrupt-record column: clean rows "
+    "survive, every 7th line is garbage the scan must isolate",
+)
+def scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writes a JSONL file where every 7th record is replaced by a
+    truncated/garbage line, reads it back in PERMISSIVE mode with a
+    corrupt-record column, and returns the clean rows. Floats are
+    serialized with repr (shortest round-trip), so parsed doubles are
+    bit-identical to the parquet source and the oracle hash-matches.
+    Line-delimited JSON splits by line at scale — fully scan-parallel."""
+    path = _scratch(sf_dir, "orders_tolerant.jsonl")
+    if not os.path.exists(path):
+        rows = (
+            load(spark, "orders", sf_dir)
+            .filter(F.col("o_orderkey") < 300)
+            .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+            .orderBy("o_orderkey")
+            .limit(300)
+            .collect()
+        )
+        with open(path, "w") as f:
+            for r in rows:
+                if r[0] % 7 == 0:
+                    f.write('{"o_orderkey": ' + str(r[0]) + ", BAD JSON\n")
+                else:
+                    f.write(
+                        json.dumps(
+                            {
+                                "o_orderkey": r[0],
+                                "o_custkey": r[1],
+                                "o_orderstatus": r[2],
+                                "o_totalprice": r[3],
+                            }
+                        )
+                        + "\n"
+                    )
+    df = (
+        spark.read.schema(_JSONL_SCHEMA)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    return df.filter(F.col("_corrupt_record").isNull()).drop(
+        "_corrupt_record"
+    )
