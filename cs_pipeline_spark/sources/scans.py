@@ -637,3 +637,78 @@ def scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.filter(F.col("_corrupt_record").isNull()).drop(
         "_corrupt_record"
     )
+
+
+# ---------- zip extraction + multi-member scan ----------
+# Reference: Downloader._extract_zip (downloader.py:188-202) — CDS
+# deliveries arrive as ZIP archives that are extracted before the
+# engine reads the members. The extraction itself is a filesystem
+# utility (zipfile, driver-side, one archive at a time); the ENGINE
+# part — reading the extracted directory as one dataset — is the
+# Spark-shaped piece verified here.
+
+
+def extract_zip(zip_fp: str, unzip_fp: str) -> bool:
+    """Extract all members of ``zip_fp`` into ``unzip_fp``; returns
+    False (no raise) when the archive is absent, mirroring the
+    reference's warn-and-skip. The archive is removed on success, like
+    the reference (downloader.py:188-202)."""
+    import zipfile
+
+    if not os.path.exists(zip_fp):
+        return False
+    os.makedirs(unzip_fp, exist_ok=True)
+    with zipfile.ZipFile(zip_fp, "r") as zp:
+        zp.extractall(unzip_fp)
+    os.remove(zip_fp)
+    return True
+
+
+@register(
+    "scan_zip_members",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    doc="zip delivery → extract members → directory scan as one "
+    "dataset (downloader.py:188-202 + dataset.py:25-34)",
+)
+def scan_zip_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Builds a ZIP containing one CSV member per region (the CDS
+    delivery shape), extracts it with ``extract_zip``, then reads the
+    whole extracted directory with ONE spark.read.csv call — member
+    files parallelize as ordinary splits. Oracle: the original rows."""
+    import zipfile
+
+    out_dir = _scratch(sf_dir, "zip_extracted")
+    marker = os.path.join(out_dir, "_done")
+    if not os.path.exists(marker):
+        rows = (
+            load(spark, "nation", sf_dir)
+            .select("n_nationkey", "n_name", "n_regionkey")
+            .orderBy("n_nationkey")
+            .limit(1000)  # nation is a constant 25-row dimension
+            .collect()
+        )
+        zpath = _scratch(sf_dir, "delivery.zip")
+        with zipfile.ZipFile(zpath, "w") as zp:
+            by_region: dict[int, list] = {}
+            for r in rows:
+                by_region.setdefault(r[2], []).append(r)
+            for rk, rs in sorted(by_region.items()):
+                body = "n_nationkey,n_name,n_regionkey\n" + "".join(
+                    f"{a},{b},{c}\n" for a, b, c in rs
+                )
+                zp.writestr(f"part_region_{rk}.csv", body)
+        assert extract_zip(zpath, out_dir)
+        with open(marker, "w") as f:
+            f.write("ok")
+    schema = StructType(
+        [
+            StructField("n_nationkey", LongType()),
+            StructField("n_name", StringType()),
+            StructField("n_regionkey", LongType()),
+        ]
+    )
+    return (
+        spark.read.schema(schema)
+        .option("header", True)
+        .csv(os.path.join(out_dir, "part_region_*.csv"))
+    )

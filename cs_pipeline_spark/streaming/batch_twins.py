@@ -137,3 +137,17 @@ def stream_threshold_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_dedup_earliest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.dedup_earliest(load(spark, "events", sf_dir))
+
+
+@register(
+    "stream_static_join",
+    "SELECT e.event_id, e.user_id, e.event_type, "
+    "c.c_mktsegment AS mktsegment, e.value "
+    "FROM events e JOIN customer c ON c.c_custkey = e.user_id",
+    doc="stream-static dimension enrichment: broadcast join, no stream "
+    "shuffle, no state store (batch twin of the streaming job)",
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.enrich_with_customers(
+        load(spark, "events", sf_dir), load(spark, "customer", sf_dir)
+    )

@@ -80,3 +80,9 @@ def to_memory_sink(
     return df.writeStream.format("memory").queryName(name).outputMode(
         output_mode
     )
+
+
+def enrich_job(events: DataFrame, customers: DataFrame) -> DataFrame:
+    """Stream-static join job: the static dimension is re-resolved per
+    micro-batch; no watermark needed (stateless)."""
+    return W.enrich_with_customers(events, customers)

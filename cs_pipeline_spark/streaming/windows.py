@@ -109,3 +109,20 @@ def dedup_earliest(events: DataFrame) -> DataFrame:
 def with_watermark(events: DataFrame, delay: str = WATERMARK) -> DataFrame:
     """Late-data bound for streaming runs; no-op semantics in batch."""
     return events.withWatermark("ts", delay)
+
+
+def enrich_with_customers(events: DataFrame, customers: DataFrame) -> DataFrame:
+    """Stream-static join: each event picks up its customer's market
+    segment. The static side is broadcast to every task, so the stream
+    side never shuffles and no state store is needed — the canonical
+    dimension-enrichment shape for streams (works identically in batch,
+    which is what the driver verifies)."""
+    dim = F.broadcast(
+        customers.select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("mktsegment"),
+        )
+    )
+    return events.join(dim, "user_id").select(
+        "event_id", "user_id", "event_type", "mktsegment", "value"
+    )

@@ -25,8 +25,12 @@ def events_stream_dir(spark, tmp_path_factory):
     return out
 
 
-def _run_stream(spark, stream_df, name):
-    q = jobs.to_memory_sink(stream_df, name).trigger(availableNow=True).start()
+def _run_stream(spark, stream_df, name, mode="complete"):
+    q = (
+        jobs.to_memory_sink(stream_df, name, output_mode=mode)
+        .trigger(availableNow=True)
+        .start()
+    )
     q.awaitTermination(120)
     return spark.table(name)
 
@@ -124,4 +128,17 @@ def test_stateful_threshold_alerts_matches_batch(spark, tmp_path):
     want = stream_threshold_alerts(spark, SF_DIR)
     cols = ["user_id", "event_id", "ts", "cum_value", "level"]
     assert len(q.recentProgress) >= 2  # state crossed a batch boundary
+    assert _canon(got, cols) == _canon(want, cols)
+
+
+def test_stream_static_join_matches_batch(spark, events_stream_dir):
+    stream = jobs.read_events_stream(spark, events_stream_dir)
+    customers = load(spark, "customer", SF_DIR)
+    got = _run_stream(
+        spark, jobs.enrich_job(stream, customers), "t_enrich", mode="append"
+    )
+    want = jobs.W.enrich_with_customers(
+        load(spark, "events", SF_DIR), customers
+    )
+    cols = ["event_id", "user_id", "event_type", "mktsegment", "value"]
     assert _canon(got, cols) == _canon(want, cols)
