@@ -459,6 +459,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _COS_THRESHOLD = 0.30
 _DIM = 64
+_COS_BLOCK_CAP = 20000  # all-pairs block guard (see block_pairs)
 
 
 def qdot(a: Column, b: Column) -> Column:
@@ -536,6 +537,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > _COS_BLOCK_CAP:
+            # A hot label would make this task O(B²) compute with an
+            # O(B·D) stacked matrix — the exact skew failure mode the
+            # LSH variant exists to avoid. Fail loudly, don't straggle.
+            raise ValueError(
+                f"label block of {len(pdf)} rows exceeds "
+                f"{_COS_BLOCK_CAP}; use dedup_embedding_lsh (bounded "
+                "LSH buckets) for unbounded label cardinality"
+            )
         ids = pdf["vec_id"].to_numpy()
         order = np.argsort(ids)
         ids = ids[order]
