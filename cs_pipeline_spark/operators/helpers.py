@@ -84,11 +84,16 @@ def _var_numerator(col: Column | str) -> Column:
     1e7, group size ≤ 1e5) keep every intermediate < 1e37 < decimal(38).
     """
     c = _c(col)
-    q = _quant(c).cast("decimal(14,0)")
-    s1 = F.sum(q)  # decimal(24,0), exact
-    s2 = F.sum(q * q)  # q² decimal(29,0) → sum decimal(38,0), exact
+    q = _quant(c)
+    # s1 is the IDENTICAL expression dsum/davg aggregate — Catalyst
+    # dedups equal aggregate expressions, so mean+std on one column
+    # share one sum buffer instead of computing two.
+    s1 = F.sum(q.cast("decimal(38,0)"))
+    s2 = F.sum(
+        q.cast("decimal(19,0)") * q.cast("decimal(19,0)")
+    )  # q² ≤ 1e26 → exact in decimal(38,0)
     n = F.count(c).cast("decimal(20,0)")
-    return s2 * n - s1 * s1  # decimal(38,0), exact
+    return s2 * n - s1 * s1  # capped decimal(38,0); values ≤ ~1e34, exact
 
 
 def dvar_pop(col: Column | str) -> Column:
