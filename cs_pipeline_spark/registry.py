@@ -76,6 +76,7 @@ def _load_all_modules() -> None:
         scale,
         similarity,
         spatial,
+        subqueries,
         text,
         windows,
     )
