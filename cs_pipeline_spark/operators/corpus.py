@@ -1,0 +1,124 @@
+"""Corpus-level text statistics (SURVEY §2.10 extension, north star).
+
+Where ``operators/text.py`` is per-row (zero-shuffle) curation, these
+operators aggregate ACROSS the corpus — the n-gram count tables and
+document-frequency statistics every large-scale training-data
+pipeline maintains (vocabulary building, contamination checks,
+keyword extraction).
+
+Scale design (100 TB):
+
+- ``text_ngram_topk``: explode → hash-aggregate. The shuffle carries
+  (ngram, partial count) pairs AFTER map-side combine, so the heavy
+  hitters (stop-bigrams) that dominate raw token volume are already
+  collapsed per task before the wire; the final top-k is a single
+  ``TakeOrderedAndProject`` (no global sort materialization).
+- ``text_keywords_rare``: tf table (doc, term) → df table (term) →
+  join-back on term → per-doc ranking window. The df join shuffles on
+  term — the same key the df aggregation just shuffled on, so the
+  exchange is reused. Ranking is integer-only (df asc, tf desc, term
+  asc): no float score, hence no cross-engine ULP risk and no
+  quantization needed.
+
+Both are registered with exact DuckDB oracles (integer counts only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cs_pipeline_spark.operators.dedup import (
+    _NORM,
+    _NORM_DUCK,
+    _sql_shingles,
+    _tokens,
+    shingles,
+)
+from cs_pipeline_spark.registry import register
+from cs_pipeline_spark.tables import load
+
+_DUCK_TOKENS = f"string_split({_NORM_DUCK}, ' ')"
+
+_TOPK = 20
+
+
+@register(
+    "text_ngram_topk",
+    f"""
+    WITH toks AS (SELECT {_DUCK_TOKENS} AS t FROM documents),
+    grams AS (SELECT unnest({_sql_shingles('t', 2)}) AS ngram FROM toks)
+    SELECT ngram, COUNT(*) AS n
+    FROM grams GROUP BY ngram
+    ORDER BY n DESC, ngram
+    LIMIT {_TOPK}
+    """,
+    doc=f"corpus top-{_TOPK} word bigrams: explode → map-side-combined count → TakeOrdered (vocabulary/contamination-check shape)",
+)
+def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequency table, top-k by (count desc, ngram asc)
+    — a total order, so the LIMIT selects a unique row set and the
+    order-insensitive hash check is well-defined."""
+    docs = load(spark, "documents", sf_dir)
+    grams = docs.select(
+        F.explode(shingles(_tokens(F.expr(_NORM)), 2)).alias("ngram")
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("ngram"))
+        .limit(_TOPK)
+    )
+
+
+_KEYWORDS_PER_DOC = 3
+
+
+@register(
+    "text_keywords_rare",
+    f"""
+    WITH tf AS (
+      SELECT doc_id, unnest({_DUCK_TOKENS}) AS term FROM documents
+    ), tfc AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY doc_id, term
+    ), dfc AS (
+      SELECT term, COUNT(*) AS df FROM tfc GROUP BY term
+    )
+    SELECT doc_id, term, tf, df, rn FROM (
+      SELECT tfc.doc_id, tfc.term, tfc.tf, dfc.df,
+             ROW_NUMBER() OVER (
+               PARTITION BY tfc.doc_id
+               ORDER BY dfc.df, tfc.tf DESC, tfc.term
+             ) AS rn
+      FROM tfc JOIN dfc ON dfc.term = tfc.term
+    ) WHERE rn <= {_KEYWORDS_PER_DOC}
+    """,
+    doc=f"per-doc top-{_KEYWORDS_PER_DOC} rare-term keywords: tf × corpus document-frequency join-back, integer-only TF-IDF-style ranking (df asc, tf desc)",
+)
+def text_keywords_rare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-shaped keyword extraction with an integer-only ranking
+    (df ascending ≈ idf descending; tf descending; term as tie-break)
+    — monotone-equivalent to tf·idf ranking for the rare-term regime
+    and bit-exact across engines, unlike a float log score.
+
+    df counts documents-containing-term (distinct via the tf
+    pre-aggregation), the standard DF definition.
+    """
+    docs = load(spark, "documents", sf_dir)
+    tf = (
+        docs.select(
+            "doc_id", F.explode(_tokens(F.expr(_NORM))).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("df").asc(), F.col("tf").desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(df, "term")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KEYWORDS_PER_DOC)
+        .select("doc_id", "term", "tf", "df", "rn")
+    )

@@ -51,9 +51,20 @@ def _tokens(norm_col: Column) -> Column:
 
 
 def shingles(tokens: Column, n: int = 3) -> Column:
-    """Word n-gram shingle strings (1-based element_at, both engines)."""
+    """Word n-gram shingle strings (1-based element_at, both engines).
+
+    Guarded for short docs: with fewer than n tokens the index list is
+    EMPTY — ``sequence(1, 0)`` would otherwise generate a *descending*
+    [1, 0] sequence and ``element_at(_, 0)`` throws under ANSI mode
+    (Spark 4 default). DuckDB's ``range(1, 0+1)`` is already empty, so
+    this also keeps the two engines aligned on degenerate inputs.
+    """
+    idx = F.when(
+        F.size(tokens) >= n,
+        F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
     return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(0))),
+        idx,
         lambda i: F.concat_ws(
             " ", *[F.element_at(tokens, i + k) for k in range(n)]
         ),
