@@ -415,3 +415,71 @@ def join_align_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_qty",
         )
     )
+
+
+@register(
+    "join_interval_buckets",
+    f"""
+    SELECT o.o_orderkey, COUNT(*) AS n_items,
+           {sql_dsum('l.l_quantity')} AS sum_qty
+    FROM orders o JOIN lineitem l
+      ON l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate <  o.o_orderdate + INTERVAL 7 DAY
+    WHERE o.o_orderpriority = '1-URGENT'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-03-01'
+    GROUP BY o.o_orderkey
+    """,
+    doc="interval-overlap (range) join via day-bucket explode + equi-join + residual filter — the scale path that avoids the O(N·M) theta-join",
+)
+def join_interval_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join, bucketed. A naive theta-join (`ts BETWEEN start
+    AND end`) has no equi-key, so Spark plans BroadcastNestedLoopJoin
+    — O(N·M) and a non-starter at 100 TB. The standard rewrite:
+
+    1. explode each interval into the DAY buckets it covers
+       (bounded: a 7-day interval → 8 bucket rows);
+    2. equi-join fact rows on their own day bucket — a plain
+       shuffle/broadcast hash join;
+    3. residual-filter the exact containment inside the join.
+
+    Each fact row has exactly ONE bucket, so a (interval, row) pair
+    can match at most once — no post-join dedup needed. Bucket
+    granularity trades replication (intervals × buckets) against join
+    selectivity; pick it ≈ median interval length. AQE handles the
+    residual skew if many intervals cover one hot day.
+    """
+    o = load(spark, "orders", sf_dir).filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-03-01").cast("timestamp"))
+    )
+    iv = o.select(
+        "o_orderkey",
+        F.col("o_orderdate").alias("iv_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")).alias("iv_end"),
+    ).withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.date_trunc("day", F.col("iv_start")),
+                F.date_trunc("day", F.col("iv_end")),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ),
+    )
+    li = load(spark, "lineitem", sf_dir).withColumn(
+        "bucket", F.date_trunc("day", F.col("l_shipdate"))
+    )
+    return (
+        li.join(iv, "bucket")
+        .filter(
+            (F.col("l_shipdate") >= F.col("iv_start"))
+            & (F.col("l_shipdate") < F.col("iv_end"))
+        )
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_quantity").alias("sum_qty"),
+        )
+    )

@@ -240,3 +240,42 @@ def win_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").over(w).alias("running_min"),
         F.max("value").over(w).alias("running_max"),
     )
+
+
+@register(
+    "win_fill_forward",
+    "WITH e AS (SELECT event_id, user_id, "
+    f"{EVENTS_TS_SQL} AS ts, "
+    "CASE WHEN event_type <> 'click' THEN value END AS raw_value "
+    "FROM events) "
+    "SELECT event_id, user_id, raw_value, "
+    "last_value(raw_value IGNORE NULLS) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value "
+    "FROM e",
+    doc="per-key forward-fill (LOCF) of missing values in event-time order — the gap-fill primitive under join_gapfill_station, generalized",
+)
+def win_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward per key: nulls take the most
+    recent non-null value earlier in event time (here nulls are
+    derived deterministically: 'click' events carry no value).
+
+    The fill is a pure VALUE CARRY — no arithmetic touches the
+    double, so cross-engine determinism is free. One shuffle on the
+    partition key; the running frame streams (no whole-partition
+    buffering). The same plan at 100 TB: partition pruning applies
+    upstream, and the window state is one value per key.
+    """
+    ev = load(spark, "events", sf_dir)
+    raw = F.when(F.col("event_type") != "click", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        raw.alias("raw_value"),
+        F.last(raw, ignorenulls=True).over(w).alias("filled_value"),
+    )

@@ -20,6 +20,7 @@ the same way.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from cs_pipeline_spark.operators.helpers import sql_davg, sql_dsum
 from cs_pipeline_spark.registry import register
@@ -150,4 +151,46 @@ def stream_dedup_earliest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.enrich_with_customers(
         load(spark, "events", sf_dir), load(spark, "customer", sf_dir)
+    )
+
+
+@register(
+    "stream_late_data_drop",
+    "WITH c AS (SELECT MAX("
+    f"{_TS}) - INTERVAL '30 minutes' AS cutoff FROM events) "
+    f"SELECT time_bucket(INTERVAL '10 minutes', {_TS}) AS win_start, "
+    f"time_bucket(INTERVAL '10 minutes', {_TS}) + INTERVAL '10 minutes' AS win_end, "
+    "event_type, COUNT(*) AS n_events "
+    f"FROM events, c WHERE {_TS} >= c.cutoff "
+    "GROUP BY 1, 2, 3",
+    doc="watermark late-data semantics, batch twin: events older than max-event-time − 30min are dropped before the windowed count (withWatermark end-state)",
+)
+def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-state twin of ``withWatermark('ts', '30 minutes')`` (the
+    real streaming jobs in streaming/jobs.py bound their state the
+    same way): an event is late — and dropped — once the watermark
+    (max event time seen, minus the delay) has passed it. The batch
+    rendering uses the FINAL watermark, i.e. the global max.
+
+    Plan: the scalar max is one tiny aggregate broadcast back over
+    the scan (BroadcastNestedLoopJoin on a 1-row side — constant
+    cost); the windowed count is then one map-side-combined shuffle.
+    No per-row state survives, exactly like the streaming state store
+    after watermark eviction.
+    """
+    ev = load(spark, "events", sf_dir)
+    cutoff = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 30 MINUTES")).alias("cutoff")
+    )
+    return (
+        ev.join(F.broadcast(cutoff))
+        .filter(F.col("ts") >= F.col("cutoff"))
+        .groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "event_type",
+            "n_events",
+        )
     )

@@ -1,0 +1,57 @@
+"""Invariants for forward-fill, interval-bucket join, late-data drop."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+
+from cs_pipeline_spark.operators.joins import join_interval_buckets
+from cs_pipeline_spark.operators.windows import win_fill_forward
+from cs_pipeline_spark.streaming.batch_twins import stream_late_data_drop
+
+
+def test_fill_forward_carries_last_nonnull(spark, sf_dir):
+    rows = win_fill_forward(spark, sf_dir).collect()
+    # replay per user in (no order guarantee from collect — re-sort)
+    from cs_pipeline_spark.tables import load
+    from pyspark.sql import functions as F
+
+    ev = (
+        load(spark, "events", sf_dir)
+        .select("event_id", "user_id", "ts", "event_type", "value")
+        .collect()
+    )
+    order = {r["event_id"]: (r["ts"], r["event_id"]) for r in ev}
+    raw_null = {r["event_id"] for r in ev if r["event_type"] == "click"}
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for user, grp in by_user.items():
+        grp.sort(key=lambda r: order[r["event_id"]])
+        carry = None
+        for r in grp:
+            if r["event_id"] in raw_null:
+                assert r["raw_value"] is None
+                assert r["filled_value"] == carry
+            else:
+                assert r["filled_value"] == r["raw_value"]
+                carry = r["raw_value"]
+
+
+def test_interval_join_no_nested_loop(spark, sf_dir):
+    out = join_interval_buckets(spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan  # the whole point of the bucketing
+    rows = out.collect()
+    assert all(r["n_items"] >= 1 for r in rows)
+
+
+def test_late_data_drop_window_span(spark, sf_dir):
+    rows = stream_late_data_drop(spark, sf_dir).collect()
+    assert rows, "cutoff must keep the last 30 minutes"
+    # all surviving windows sit within 40min of the max window end
+    max_end = max(r["win_end"] for r in rows)
+    for r in rows:
+        assert (max_end - r["win_start"]) <= dt.timedelta(minutes=40)
+        assert r["n_events"] >= 1
