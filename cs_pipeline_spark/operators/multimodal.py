@@ -239,3 +239,121 @@ def mm_decode_image_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("features", lambda v: v.cast("string")), ","
         ),
     )
+
+
+# ---------- modality routing ----------
+
+_MAGIC_SQL = r"""CASE doc_id % 4
+      WHEN 0 THEN '\xFF\xD8\xFF'::BLOB
+      WHEN 1 THEN 'RIFF'::BLOB
+      WHEN 2 THEN '\x00\x00\x01\xBA'::BLOB
+      ELSE ''::BLOB END || encode(text)"""
+
+
+@register(
+    "mm_modality_route",
+    f"""
+    WITH p AS (SELECT doc_id, source, {_MAGIC_SQL} AS payload FROM documents),
+    r AS (SELECT doc_id, source, octet_length(payload) AS n_bytes,
+            CASE WHEN hex(payload) LIKE 'FFD8FF%'   THEN 'image'
+                 WHEN hex(payload) LIKE '52494646%' THEN 'audio'
+                 WHEN hex(payload) LIKE '000001BA%' THEN 'video'
+                 ELSE 'text' END AS modality
+          FROM p)
+    SELECT modality, COUNT(*) AS n_docs,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           COUNT(DISTINCT source) AS n_sources
+    FROM r GROUP BY modality
+    """,
+    doc="magic-byte modality routing: classify binary payloads (JPEG/RIFF/MPEG-PS prefixes) and aggregate per modality — the dispatch step in front of per-modality decode pipelines",
+)
+def mm_modality_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Route rows to modality-specific pipelines by sniffing magic
+    bytes — never by trusting a filename/extension column. The test
+    corpus has no binary table, so payloads get a deterministic magic
+    prefix stamped by ``doc_id % 4`` and the classifier must recover
+    it (round-trip check).
+
+    Scale: classification is a per-row prefix compare on the FIRST
+    bytes only — with payload metadata stored columnar, the router
+    reads the magic/prefix column and defers the heavy bytes until a
+    modality pipeline actually consumes them (parquet column pruning
+    + lazy materialization). The aggregate is a 4-group hash-agg.
+    """
+    docs = load(spark, "documents", sf_dir)
+    m = F.col("doc_id") % 4
+    magic = (
+        F.when(m == 0, F.lit(bytes([0xFF, 0xD8, 0xFF])))
+        .when(m == 1, F.lit(b"RIFF"))
+        .when(m == 2, F.lit(bytes([0x00, 0x00, 0x01, 0xBA])))
+        .otherwise(F.lit(b""))
+    )
+    payload = F.concat(magic, F.encode("text", "UTF-8"))
+    hx = F.hex(payload)
+    modality = (
+        F.when(hx.startswith("FFD8FF"), F.lit("image"))
+        .when(hx.startswith("52494646"), F.lit("audio"))
+        .when(hx.startswith("000001BA"), F.lit("video"))
+        .otherwise(F.lit("text"))
+    )
+    return (
+        docs.select(
+            "source",
+            F.length(payload).alias("n_bytes"),
+            modality.alias("modality"),
+        )
+        .groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )
+
+
+# ---------- audio chunking plan ----------
+
+_CHUNK_MS = 10000
+_MS_PER_CHAR = 25  # fake duration metadata: 25 ms of audio per char
+
+
+@register(
+    "mm_audio_chunk_plan",
+    f"""
+    WITH d AS (SELECT doc_id, n_chars * {_MS_PER_CHAR} AS duration_ms
+               FROM documents),
+    c AS (SELECT doc_id, duration_ms,
+            unnest(generate_series(0,
+              CAST(FLOOR((duration_ms - 1) / {_CHUNK_MS}.0) AS BIGINT))) AS chunk_idx
+          FROM d)
+    SELECT doc_id, chunk_idx,
+           chunk_idx * {_CHUNK_MS} AS chunk_start_ms,
+           least({_CHUNK_MS}, duration_ms - chunk_idx * {_CHUNK_MS}) AS chunk_len_ms
+    FROM c
+    """,
+    doc="audio chunking plan from typed duration metadata: fixed 10 s chunks via sequence+explode (integer-only; the chunk DECODE is the mapInPandas stage, this is the shuffle-free planning step)",
+)
+def mm_audio_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunking long media into fixed windows is planned from METADATA
+    (duration), never by decoding bytes: one `sequence`+`explode` per
+    row, zero shuffle, and the resulting (doc, chunk) rows drive the
+    Arrow-batched decode stage (see ``decode_images``) with byte
+    ranges. Duration here is synthesized as n_chars·25 ms (no real
+    audio in the corpus); all chunk math is integer-exact.
+    """
+    docs = load(spark, "documents", sf_dir)
+    dur = (F.col("n_chars") * F.lit(_MS_PER_CHAR)).alias("duration_ms")
+    d = docs.select("doc_id", dur)
+    n_last = F.floor((F.col("duration_ms") - 1) / F.lit(float(_CHUNK_MS)))
+    return (
+        d.withColumn("chunk_idx", F.explode(F.sequence(F.lit(0).cast("long"), n_last)))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            (F.col("chunk_idx") * _CHUNK_MS).alias("chunk_start_ms"),
+            F.least(
+                F.lit(_CHUNK_MS).cast("long"),
+                F.col("duration_ms") - F.col("chunk_idx") * _CHUNK_MS,
+            ).alias("chunk_len_ms"),
+        )
+    )

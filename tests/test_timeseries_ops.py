@@ -55,3 +55,39 @@ def test_late_data_drop_window_span(spark, sf_dir):
     for r in rows:
         assert (max_end - r["win_start"]) <= dt.timedelta(minutes=40)
         assert r["n_events"] >= 1
+
+
+def test_modality_route_partitions_docs(spark, sf_dir):
+    from cs_pipeline_spark.operators.multimodal import mm_modality_route
+    from cs_pipeline_spark.tables import load
+
+    rows = {r["modality"]: r for r in mm_modality_route(spark, sf_dir).collect()}
+    n_docs = load(spark, "documents", sf_dir).count()
+    assert set(rows) == {"image", "audio", "video", "text"}
+    assert sum(r["n_docs"] for r in rows.values()) == n_docs
+
+
+def test_audio_chunks_tile_duration_exactly(spark, sf_dir):
+    from cs_pipeline_spark.operators.multimodal import (
+        _CHUNK_MS,
+        _MS_PER_CHAR,
+        mm_audio_chunk_plan,
+    )
+    from cs_pipeline_spark.tables import load
+
+    chunks = mm_audio_chunk_plan(spark, sf_dir).collect()
+    durs = {
+        r["doc_id"]: r["n_chars"] * _MS_PER_CHAR
+        for r in load(spark, "documents", sf_dir).collect()
+    }
+    per_doc: dict[int, list] = {}
+    for c in chunks:
+        per_doc.setdefault(c["doc_id"], []).append(c)
+    for doc_id, grp in per_doc.items():
+        grp.sort(key=lambda c: c["chunk_idx"])
+        assert [c["chunk_idx"] for c in grp] == list(range(len(grp)))
+        assert sum(c["chunk_len_ms"] for c in grp) == durs[doc_id]
+        assert all(0 < c["chunk_len_ms"] <= _CHUNK_MS for c in grp)
+        assert all(
+            c["chunk_start_ms"] == c["chunk_idx"] * _CHUNK_MS for c in grp
+        )
