@@ -43,6 +43,16 @@ AUDIT: dict[str, dict] = {
     "mm_frame_sample": {"exchange": 0},
     "q_parts_by_supplier_nation": {"smj": 0, "pushed": True},
     "sample_train_split": {"smj": 0},
+    "q_exists_late_orders": {"pushed": True},
+    "q_avg_qty_threshold": {"pushed": True},
+    "q_top_orders_per_nation": {},
+    "q_promo_share": {"smj": 0, "pushed": True},
+    "text_ngram_topk": {},
+    "text_keywords_rare": {},
+    "win_fill_forward": {"exchange": 1},
+    "join_interval_buckets": {"nlj": 0},
+    "mm_modality_route": {},
+    "mm_audio_chunk_plan": {"exchange": 0},
 }
 
 
@@ -68,6 +78,7 @@ def main() -> None:
         )
         n_smj = plan.count("SortMergeJoin") // 2
         n_bhj = plan.count("BroadcastHashJoin") // 2
+        n_nlj = plan.count("NestedLoopJoin") // 2
         pushed = any(
             m.strip()
             for m in re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
@@ -79,6 +90,10 @@ def main() -> None:
             failures.append(f"{name}: {n_exch} Exchange (want ≤{want['exchange']})")
         if want.get("pushed") and not pushed:
             failures.append(f"{name}: no PushedFilters")
+        if want.get("nlj") is not None and n_nlj > want["nlj"]:
+            failures.append(
+                f"{name}: {n_nlj} NestedLoopJoin (want ≤{want['nlj']})"
+            )
 
     out = [
         "# PLANS — physical-plan audit (tools/audit_plans.py)",
