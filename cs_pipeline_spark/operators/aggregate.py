@@ -352,3 +352,76 @@ def agg_quantiles_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(0.5).alias("p50"),
         pick(0.75).alias("p75"),
     )
+
+
+@register(
+    "sample_stratified",
+    f"""
+    WITH h AS (SELECT doc_id, lang,
+               ((doc_id % {_SPLIT_PRIME}) * {_SPLIT_MULT}) % {_SPLIT_PRIME} AS hkey
+               FROM documents)
+    SELECT doc_id, lang, rn FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hkey, doc_id) AS rn
+      FROM h
+    ) WHERE rn <= 10
+    """,
+    doc="deterministic stratified sampling: exact per-stratum quota (10/lang) by multiplicative-hash order — reproducible across runs/partitionings, unlike sampleBy()",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota stratified sample. ``df.sampleBy`` gives only an
+    EXPECTED fraction and changes with partitioning/seed layout; for
+    curation pipelines the sample must be a pure function of the data.
+    Ranking by the multiplicative key hash = a reproducible shuffle of
+    each stratum; `rn <= q` takes an exact quota.
+
+    Scale: one shuffle on the stratum key; row_number keeps q rows per
+    partition. If a stratum is hot (one lang dominating 100 TB), the
+    same hash supports a two-level quota: per (lang, hkey % S) sub-
+    quota then a q-of-S·q re-rank — bounded partitions, same output.
+    """
+    docs = load(spark, "documents", sf_dir)
+    hkey = (
+        (F.col("doc_id") % F.lit(_SPLIT_PRIME)) * F.lit(_SPLIT_MULT)
+    ) % F.lit(_SPLIT_PRIME)
+    w = Window.partitionBy("lang").orderBy(hkey.asc(), F.col("doc_id"))
+    return (
+        docs.select("doc_id", "lang")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+    )
+
+
+_HIST_BIN = 50000.0
+
+
+@register(
+    "agg_histogram",
+    f"""
+    SELECT CAST(FLOOR(o_totalprice / {_HIST_BIN}) AS BIGINT) AS bin,
+           CAST(FLOOR(o_totalprice / {_HIST_BIN}) AS BIGINT) * {_HIST_BIN} AS bin_low,
+           COUNT(*) AS n,
+           MIN(o_totalprice) AS min_v, MAX(o_totalprice) AS max_v
+    FROM orders GROUP BY 1, 2
+    """,
+    doc="fixed-width histogram (data-profiling primitive): integer bin keys from one IEEE division — exact same bits both engines, one map-side-combined shuffle",
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-distribution profile in one pass. The bin id is
+    floor(x / width) — a single correctly-rounded IEEE division then
+    an exact floor, so Spark and DuckDB agree bit-for-bit even at bin
+    boundaries. At 100 TB: the shuffle carries (bin, partial count/
+    min/max) after map-side combine — O(bins), not O(rows)."""
+    o = load(spark, "orders", sf_dir)
+    bin_ = F.floor(F.col("o_totalprice") / F.lit(_HIST_BIN))
+    return (
+        o.groupBy(
+            bin_.alias("bin"),
+            (bin_ * F.lit(_HIST_BIN)).alias("bin_low"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("min_v"),
+            F.max("o_totalprice").alias("max_v"),
+        )
+    )

@@ -496,3 +496,26 @@ def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cnrm", qdot(F.col("cen"), F.col("cen")))
     )
     return assign(c1).select("vec_id", "cluster_id", "cos_sim")
+
+
+@register(
+    "emb_norm_stats",
+    "SELECT vec_id, label, len(embedding) AS dim, "
+    f"SQRT({_sql_qdot('embedding', 'embedding')}) AS l2_norm "
+    "FROM embeddings",
+    doc="embedding hygiene profile: per-vector dimension + L2 norm (quantized-exact dot, correctly-rounded sqrt) — the zero-norm/dim-mismatch guard every ANN index build runs first",
+)
+def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-index hygiene scan: dimensions and L2 norms in one
+    shuffle-free pass. Norms come from the quantized self-dot (exact
+    integer sum → one division → one sqrt, each correctly rounded
+    identically in both engines). Zero-norm or wrong-dim vectors are
+    exactly the rows that break cosine math downstream — filter on
+    this BEFORE building IVF/LSH structures, not after."""
+    emb = load(spark, "embeddings", sf_dir)
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.sqrt(qdot(F.col("embedding"), F.col("embedding"))).alias("l2_norm"),
+    )

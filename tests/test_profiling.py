@@ -1,0 +1,58 @@
+"""Invariants for sampling, histogram, and embedding-profile ops."""
+
+from __future__ import annotations
+
+import math
+
+from cs_pipeline_spark.operators.aggregate import (
+    agg_histogram,
+    sample_stratified,
+)
+from cs_pipeline_spark.operators.similarity import emb_norm_stats
+from cs_pipeline_spark.tables import load
+
+
+def test_stratified_exact_quota_and_stability(spark, sf_dir):
+    a = sample_stratified(spark, sf_dir).collect()
+    b = sample_stratified(spark, sf_dir).collect()
+    # deterministic: identical across runs
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    per_lang: dict[str, list] = {}
+    for r in a:
+        per_lang.setdefault(r["lang"], []).append(r)
+    n_docs_per_lang = {
+        r["lang"]: r["n"]
+        for r in load(spark, "documents", sf_dir)
+        .groupBy("lang")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    for lang, grp in per_lang.items():
+        assert len(grp) == min(10, n_docs_per_lang[lang])
+        assert sorted(r["rn"] for r in grp) == list(range(1, len(grp) + 1))
+
+
+def test_histogram_partitions_all_rows(spark, sf_dir):
+    rows = agg_histogram(spark, sf_dir).collect()
+    n_orders = load(spark, "orders", sf_dir).count()
+    assert sum(r["n"] for r in rows) == n_orders
+    for r in rows:
+        assert r["bin_low"] <= r["min_v"] <= r["max_v"] < r["bin_low"] + 50000.0
+        assert r["bin"] == int(r["bin_low"] // 50000.0)
+
+
+def test_emb_norms_match_numpy(spark, sf_dir):
+    rows = emb_norm_stats(spark, sf_dir).collect()
+    embs = {
+        r["vec_id"]: r["embedding"]
+        for r in load(spark, "embeddings", sf_dir).collect()
+    }
+    assert len(rows) == len(embs)
+    for r in rows:
+        v = embs[r["vec_id"]]
+        assert r["dim"] == len(v)
+        true_norm = math.sqrt(sum(float(x) * float(x) for x in v))
+        # quantized self-dot ⇒ ≤ dim·5e-7 absolute error on the square
+        assert abs(r["l2_norm"] - true_norm) < 1e-3
+        assert r["l2_norm"] >= 0.0

@@ -142,3 +142,78 @@ def test_stream_static_join_matches_batch(spark, events_stream_dir):
     )
     cols = ["event_id", "user_id", "event_type", "mktsegment", "value"]
     assert _canon(got, cols) == _canon(want, cols)
+
+
+def test_watermark_drops_late_rows(spark, tmp_path_factory):
+    """A row arriving AFTER the watermark passed its window must be
+    dropped by the real engine (the semantics stream_late_data_drop
+    pins as a batch twin). File order forces the arrival order:
+    batch 1 advances the watermark far past the late row's window,
+    batch 2 delivers the late row."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import Row
+
+    base = dt.datetime(2024, 6, 1, 12, 0, 0)
+    out = str(tmp_path_factory.mktemp("late_stream"))
+
+    def _rows(ts_offsets_min, start_id):
+        return [
+            Row(
+                event_id=start_id + i,
+                ts=base + dt.timedelta(minutes=m),
+                user_id=1,
+                event_type="view",
+                value=1.0,
+                props="{}",
+            )
+            for i, m in enumerate(ts_offsets_min)
+        ]
+
+    # Watermark semantics under test: a late row is GUARANTEED to be
+    # dropped only once its window's state was already evicted+emitted
+    # (append's emit-once contract); while the state is live a late
+    # row may still merge. So: batch 1 advances the watermark past
+    # window A, batch 2 triggers A's eviction/emission, batch 3
+    # delivers the too-late row for A.
+    spark.createDataFrame(_rows([0, 120], 0)).coalesce(1).write.parquet(
+        os.path.join(out, "f=1")
+    )  # window A gets 1 event; watermark → t+90 after this batch
+    spark.createDataFrame(_rows([121], 10)).coalesce(1).write.parquet(
+        os.path.join(out, "f=2")
+    )  # A (end t+10 ≤ watermark t+90) evicts and EMITS with n=1
+    spark.createDataFrame(_rows([5, 125], 20)).coalesce(1).write.parquet(
+        os.path.join(out, "f=3")
+    )  # t+5 targets the evicted A → must be dropped, never re-emitted
+    # the file source orders micro-batches by modification time —
+    # pin it so the files replay in order
+    import time as _time
+
+    now = _time.time()
+    for i, sub in enumerate(("f=1", "f=2", "f=3")):
+        d = os.path.join(out, sub)
+        mtime = now - 3600 + i * 60
+        for fn in os.listdir(d):
+            os.utime(os.path.join(d, fn), (mtime, mtime))
+
+    from cs_pipeline_spark.streaming import jobs
+
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(os.path.join(out, "f=1")).schema
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(out + "/f=*")
+    )
+    q = (
+        jobs.to_memory_sink(jobs.tumbling_job(stream), "t_late", "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("t_late").collect()
+    win_a = [r for r in rows if r["win_start"] == base]
+    # window A emitted exactly once, with ONLY its on-time event —
+    # the too-late batch-3 row neither re-emitted nor re-counted it
+    assert [r["n_events"] for r in win_a] == [1]
