@@ -425,3 +425,150 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("max_v"),
         )
     )
+
+
+# ---------- approximate aggregates (contract-checked) ----------
+# Sketches (HLL, quantile summaries) have engine-specific values, so
+# the oracle cannot reproduce them. Instead the CONTRACT is encoded:
+# the Spark side emits exact values (hash-compared as usual) plus a
+# boolean "within error bound" verdict; the oracle emits TRUE. If the
+# sketch ever drifts outside its bound, the verdict flips and the
+# driver's hash check FAILS — the approximation quality is verified
+# every round, not merely claimed.
+
+
+@register(
+    "agg_approx_distinct",
+    "SELECT event_type, "
+    "COUNT(DISTINCT user_id) AS n_exact, "
+    "TRUE AS approx_ok "
+    "FROM events GROUP BY event_type",
+    doc="HLL distinct-count with contract oracle: exact count hash-checked + a within-5% verdict on approx_count_distinct (rsd 2%) the oracle pins to TRUE",
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At 100 TB the exact distinct is a full shuffle of the key set;
+    the HLL sketch is a few KB per group and merges map-side — the
+    production path for cardinality monitoring. HLL register maxima
+    are commutative, so the sketch value is order- and
+    partitioning-independent (safe to gate a boolean on)."""
+    ev = load(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", rsd=0.02)
+                - F.countDistinct("user_id")
+            )
+            <= F.lit(0.05) * F.countDistinct("user_id")
+        ).alias("approx_ok"),
+    )
+
+
+@register(
+    "agg_approx_quantile",
+    f"""
+    WITH r AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type,
+           MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT) THEN value END) AS p50_exact,
+           TRUE AS approx_ok
+    FROM r GROUP BY event_type
+    """,
+    doc="approximate median with contract oracle: exact discrete p50 hash-checked + a tolerance verdict on approx_percentile the oracle pins to TRUE",
+)
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantiles need a per-group sort (rank selection); the
+    quantile-summary sketch is mergeable, single-pass, bounded-memory
+    — the 100 TB path. The verdict tolerance (±5% of |exact| + 0.5)
+    is loose enough to absorb the sketch's partition-merge-order
+    dependence while still failing on real regressions."""
+    ev = load(spark, "events", sf_dir)
+    wq = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(wq).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    exact = F.max(
+        F.when(
+            F.col("rn") == F.ceil(F.lit(0.5) * F.col("n")), F.col("value")
+        )
+    )
+    approx = F.percentile_approx("value", 0.5, 10000)
+    return r.groupBy("event_type").agg(
+        exact.alias("p50_exact"),
+        (F.abs(approx - exact) <= F.lit(0.05) * F.abs(exact) + F.lit(0.5)).alias(
+            "approx_ok"
+        ),
+    )
+
+
+@register(
+    "profile_nulls",
+    f"""
+    WITH d AS (SELECT
+        CASE WHEN value % 11.0 < 1.0 THEN NULL ELSE value END AS v_value,
+        CASE WHEN value % 7.0 < 1.0 THEN NULL ELSE props END AS v_props,
+        CASE WHEN value % 13.0 < 1.0 THEN NULL ELSE event_type END AS v_type
+      FROM events)
+    SELECT col, n_rows, n_nulls,
+           CAST(n_nulls AS DOUBLE) / n_rows AS null_ratio
+    FROM (
+      SELECT 'value' AS col, COUNT(*) AS n_rows,
+             COUNT(*) - COUNT(v_value) AS n_nulls FROM d
+      UNION ALL
+      SELECT 'props', COUNT(*), COUNT(*) - COUNT(v_props) FROM d
+      UNION ALL
+      SELECT 'event_type', COUNT(*), COUNT(*) - COUNT(v_type) FROM d
+    )
+    """,
+    doc="per-column null profile (completeness report): one pass, all columns counted simultaneously, unpivoted to (col, n_rows, n_nulls, ratio) rows",
+)
+def profile_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-completeness profiling — the first thing a curation
+    pipeline reports per ingest batch. ONE aggregation computes every
+    column's null count simultaneously (count(col) skips nulls); the
+    unpivot to rows happens on the 1-row aggregate, so the scan is
+    single-pass regardless of column count. Nulls here are derived
+    (driver's events table has none — same convention as
+    agg_missing_groups)."""
+    ev = load(spark, "events", sf_dir)
+    cols = {
+        "value": F.when(F.col("value") % 11.0 < 1.0, None).otherwise(
+            F.col("value")
+        ),
+        "props": F.when(F.col("value") % 7.0 < 1.0, None).otherwise(
+            F.col("props")
+        ),
+        "event_type": F.when(F.col("value") % 13.0 < 1.0, None).otherwise(
+            F.col("event_type")
+        ),
+    }
+    agg = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            (F.count(F.lit(1)) - F.count(c)).alias(f"nulls_{name}")
+            for name, c in cols.items()
+        ],
+    )
+    stacked = agg.select(
+        F.expr(
+            "stack(3, 'value', nulls_value, 'props', nulls_props, "
+            "'event_type', nulls_event_type) AS (col, n_nulls)"
+        ),
+        "n_rows",
+    )
+    return stacked.select(
+        "col",
+        "n_rows",
+        "n_nulls",
+        (F.col("n_nulls").cast("double") / F.col("n_rows")).alias(
+            "null_ratio"
+        ),
+    )

@@ -256,3 +256,57 @@ def q_having_big_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.join(c, s.o_custkey == c.c_custkey).select(
         "c_custkey", "c_name", "n_orders", "total_spend"
     )
+
+
+# ---------- argmin join (q2 shape) ----------
+
+
+@register(
+    "q_min_cost_supplier",
+    """
+    SELECT p_partkey, best_suppkey, best_acctbal FROM (
+      SELECT l.l_partkey AS p_partkey, s.s_suppkey AS best_suppkey,
+             s.s_acctbal AS best_acctbal,
+             ROW_NUMBER() OVER (
+               PARTITION BY l.l_partkey
+               ORDER BY s.s_acctbal, s.s_suppkey
+             ) AS rn
+      FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    ) WHERE rn = 1
+    """,
+    doc="argmin join (q2 shape): per part, the supplier with minimal account balance — min-of-struct aggregation, no ranking shuffle",
+)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'row with the per-group minimum' pattern. Instead of a
+    ranking window (sort within every partition), aggregate
+    ``min(struct(orderkey..))`` — lexicographic struct min is a plain
+    partial-aggregatable min, so map-side combine applies and no
+    per-group sort happens. Tie-break rides inside the struct
+    (acctbal, then suppkey). The oracle uses the equivalent
+    row_number formulation.
+
+    Scale: distinct (part, supp) pairs shuffle once (the dedup);
+    supplier dim broadcasts; the argmin aggregate shuffles partial
+    minima only — O(parts), not O(pairs).
+    """
+    li = load(spark, "lineitem", sf_dir)
+    s = load(spark, "supplier", sf_dir)
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    joined = pairs.join(F.broadcast(s), pairs.l_suppkey == s.s_suppkey)
+    best = (
+        joined.groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("s_acctbal").alias("a"),
+                    F.col("s_suppkey").alias("k"),
+                )
+            ).alias("b")
+        )
+    )
+    return best.select(
+        "p_partkey",
+        F.col("b.k").alias("best_suppkey"),
+        F.col("b.a").alias("best_acctbal"),
+    )

@@ -56,3 +56,48 @@ def test_emb_norms_match_numpy(spark, sf_dir):
         # quantized self-dot ⇒ ≤ dim·5e-7 absolute error on the square
         assert abs(r["l2_norm"] - true_norm) < 1e-3
         assert r["l2_norm"] >= 0.0
+
+
+def test_approx_verdicts_hold(spark, sf_dir):
+    from cs_pipeline_spark.operators.aggregate import (
+        agg_approx_distinct,
+        agg_approx_quantile,
+    )
+
+    for r in agg_approx_distinct(spark, sf_dir).collect():
+        assert r["approx_ok"] is True
+        assert r["n_exact"] > 0
+    for r in agg_approx_quantile(spark, sf_dir).collect():
+        assert r["approx_ok"] is True
+
+
+def test_profile_nulls_ratios(spark, sf_dir):
+    from cs_pipeline_spark.operators.aggregate import profile_nulls
+
+    rows = {r["col"]: r for r in profile_nulls(spark, sf_dir).collect()}
+    assert set(rows) == {"value", "props", "event_type"}
+    for r in rows.values():
+        assert 0 <= r["n_nulls"] <= r["n_rows"]
+        assert abs(r["null_ratio"] - r["n_nulls"] / r["n_rows"]) < 1e-12
+    # derivation rates differ by construction (%11 vs %7 vs %13)
+    assert rows["props"]["n_nulls"] > rows["value"]["n_nulls"]
+
+
+def test_min_cost_supplier_is_true_argmin(spark, sf_dir):
+    from cs_pipeline_spark.operators.subqueries import q_min_cost_supplier
+
+    best = {
+        r["p_partkey"]: (r["best_acctbal"], r["best_suppkey"])
+        for r in q_min_cost_supplier(spark, sf_dir).collect()
+    }
+    li = load(spark, "lineitem", sf_dir).select("l_partkey", "l_suppkey").distinct()
+    sup = {
+        r["s_suppkey"]: r["s_acctbal"]
+        for r in load(spark, "supplier", sf_dir).collect()
+    }
+    pairs: dict[int, list] = {}
+    for r in li.collect():
+        pairs.setdefault(r["l_partkey"], []).append(r["l_suppkey"])
+    for pk, supps in pairs.items():
+        want = min((sup[s], s) for s in supps)
+        assert best[pk] == want
