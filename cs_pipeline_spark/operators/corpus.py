@@ -122,3 +122,53 @@ def text_keywords_rare(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _KEYWORDS_PER_DOC)
         .select("doc_id", "term", "tf", "df", "rn")
     )
+
+
+# ---------- benchmark decontamination ----------
+
+_CONTAM_N = 4  # shingle width (tokens)
+_BENCH_MOD = 97  # doc_id % mod == 0 → benchmark ("eval") set
+
+
+@register(
+    "text_contamination_check",
+    f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+    g AS (SELECT doc_id, unnest(list_distinct({_sql_shingles('t', _CONTAM_N)})) AS g
+          FROM toks),
+    bench AS (SELECT doc_id AS bench_id, g FROM g WHERE doc_id % {_BENCH_MOD} = 0),
+    corp AS (SELECT doc_id, g FROM g WHERE doc_id % {_BENCH_MOD} <> 0)
+    SELECT c.doc_id, COUNT(DISTINCT c.g) AS n_shared,
+           COUNT(DISTINCT b.bench_id) AS n_bench_docs
+    FROM corp c JOIN bench b ON b.g = c.g
+    GROUP BY c.doc_id
+    """,
+    doc=f"benchmark decontamination: training docs sharing ≥1 distinct {_CONTAM_N}-token shingle with the eval set (doc_id%{_BENCH_MOD}=0) — the overlap check run before every training corpus release",
+)
+def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set contamination scan. The benchmark's shingle set is
+    tiny next to the corpus (eval sets are thousands of docs, the
+    corpus billions) → it BROADCASTS; the corpus streams through the
+    join unshuffled, and only matching (doc, shingle) hits reach the
+    final per-doc aggregation. At 100 TB: corpus scan → broadcast
+    hash join → O(hits) shuffle. Shingles are compared as exact
+    strings here; hash them (xxhash64) to shrink the broadcast when
+    the eval set is large."""
+    docs = load(spark, "documents", sf_dir)
+    grams = F.array_distinct(
+        shingles(_tokens(F.expr(_NORM)), _CONTAM_N)
+    )
+    with_g = docs.select("doc_id", F.explode(grams).alias("g"))
+    bench = (
+        with_g.filter(F.col("doc_id") % _BENCH_MOD == 0)
+        .select(F.col("doc_id").alias("bench_id"), "g")
+    )
+    corp = with_g.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    return (
+        corp.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("g").alias("n_shared"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+    )

@@ -279,3 +279,47 @@ def win_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw.alias("raw_value"),
         F.last(raw, ignorenulls=True).over(w).alias("filled_value"),
     )
+
+
+_GAP_US = 30 * 60 * 1000000  # 30-minute inactivity gap
+
+
+@register(
+    "win_gap_detect",
+    "WITH e AS (SELECT event_id, user_id, "
+    f"epoch_us({EVENTS_TS_SQL}) AS ts_us, "
+    "LAG(event_id) OVER w AS prev_event_id, "
+    f"LAG(epoch_us({EVENTS_TS_SQL})) OVER w AS prev_ts_us "
+    "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY "
+    f"{EVENTS_TS_SQL}, event_id)) "
+    "SELECT user_id, prev_event_id, event_id, "
+    "ts_us - prev_ts_us AS gap_us FROM e "
+    f"WHERE prev_ts_us IS NOT NULL AND ts_us - prev_ts_us > {_GAP_US}",
+    doc="event-gap detection: per-key consecutive pairs more than 30 min apart (lag + integer µs diff) — the outage/session-boundary report dual of win_sessionize",
+)
+def win_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monitoring primitive: where did a key go silent? ``lag`` over
+    the per-key time order, gap computed in integer MICROSECONDS
+    (epoch µs both engines — no float time arithmetic). One shuffle
+    on the key; rows stream through the running frame. The 100 TB
+    companion trick: pre-filter with a partition-pruned time range so
+    the window reads days, not years."""
+    ev = load(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    d = ev.select(
+        "user_id",
+        "event_id",
+        us.alias("ts_us"),
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        F.lag(us).over(w).alias("prev_ts_us"),
+    )
+    return d.filter(
+        F.col("prev_ts_us").isNotNull()
+        & ((F.col("ts_us") - F.col("prev_ts_us")) > _GAP_US)
+    ).select(
+        "user_id",
+        "prev_event_id",
+        "event_id",
+        (F.col("ts_us") - F.col("prev_ts_us")).alias("gap_us"),
+    )

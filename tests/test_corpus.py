@@ -62,3 +62,39 @@ def test_keywords_df_counts_docs_not_occurrences(spark):
     dfc = {r["term"]: r["n"] for r in tf.groupBy("term").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert dfc["dup"] == 2  # two docs contain it
     assert dfc["rare"] == 1
+
+
+def test_contamination_excludes_bench_and_finds_planted(spark):
+    # plant: doc 97*2=194 is in the bench set; doc 7 shares a 4-gram
+    # with it; doc 8 does not
+    from cs_pipeline_spark.operators.corpus import _BENCH_MOD  # noqa
+    from cs_pipeline_spark.operators.dedup import _NORM, _tokens, shingles
+
+    rows = [
+        Row(doc_id=0, text="alpha beta gamma delta epsilon"),  # bench
+        Row(doc_id=7, text="x alpha beta gamma delta y"),  # contaminated
+        Row(doc_id=8, text="totally different words here now"),
+    ]
+    df = spark.createDataFrame(rows)
+    grams = F.array_distinct(shingles(_tokens(F.expr(_NORM)), 4))
+    with_g = df.select("doc_id", F.explode(grams).alias("g"))
+    bench = with_g.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), "g"
+    )
+    corp = with_g.filter(F.col("doc_id") % 97 != 0)
+    hits = (
+        corp.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_shared"))
+        .collect()
+    )
+    assert {r["doc_id"]: r["n_shared"] for r in hits} == {7: 1}
+
+
+def test_gap_detect_threshold(spark, sf_dir):
+    from cs_pipeline_spark.operators.windows import win_gap_detect
+
+    rows = win_gap_detect(spark, sf_dir).collect()
+    assert all(r["gap_us"] > 30 * 60 * 1000000 for r in rows)
+    # consecutive pair ids are distinct
+    assert all(r["prev_event_id"] != r["event_id"] for r in rows)
