@@ -42,6 +42,10 @@ HEADLINE = [
     "sim_topk_bruteforce",
     "text_stats",
     "mm_frame_sample",
+    # round-2 additions: corpus shuffle ops, range join, decontamination
+    "text_keywords_rare",
+    "join_interval_buckets",
+    "text_contamination_check",
 ]
 
 

@@ -60,8 +60,11 @@ def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     — a total order, so the LIMIT selects a unique row set and the
     order-insensitive hash check is well-defined."""
     docs = load(spark, "documents", sf_dir)
-    grams = docs.select(
-        F.explode(shingles(_tokens(F.expr(_NORM)), 2)).alias("ngram")
+    # tokens materialized first — inlining the split into the shingle
+    # lambda re-evaluates it per element (no CSE in HOF lambdas)
+    toked = docs.select(_tokens(F.expr(_NORM)).alias("toks"))
+    grams = toked.select(
+        F.explode(shingles(F.col("toks"), 2)).alias("ngram")
     )
     return (
         grams.groupBy("ngram")
@@ -155,10 +158,10 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     strings here; hash them (xxhash64) to shrink the broadcast when
     the eval set is large."""
     docs = load(spark, "documents", sf_dir)
-    grams = F.array_distinct(
-        shingles(_tokens(F.expr(_NORM)), _CONTAM_N)
-    )
-    with_g = docs.select("doc_id", F.explode(grams).alias("g"))
+    # tokens materialized first (see text_ngram_topk)
+    toked = docs.select("doc_id", _tokens(F.expr(_NORM)).alias("toks"))
+    grams = F.array_distinct(shingles(F.col("toks"), _CONTAM_N))
+    with_g = toked.select("doc_id", F.explode(grams).alias("g"))
     bench = (
         with_g.filter(F.col("doc_id") % _BENCH_MOD == 0)
         .select(F.col("doc_id").alias("bench_id"), "g")
