@@ -572,3 +572,40 @@ def profile_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
             "null_ratio"
         ),
     )
+
+
+@register(
+    "agg_mode_per_group",
+    """
+    SELECT user_id, mode_type, n_mode FROM (
+      SELECT user_id, event_type AS mode_type, COUNT(*) AS n_mode,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY COUNT(*) DESC, event_type
+             ) AS rn
+      FROM events GROUP BY user_id, event_type
+    ) WHERE rn = 1
+    """,
+    doc="per-key mode (most frequent value) with deterministic tie-break — two partial-aggregatable passes, no per-group sort of raw rows",
+)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode = argmax over (count desc, value asc). Implemented as
+    count-per-(key,value) then max_by(struct) — both stages partial-
+    aggregate map-side, so the shuffles carry (key,value,count) and
+    (key, best) rather than raw rows. The oracle states the same
+    thing with a ranking window. Scale: shuffle #2 is O(keys); a hot
+    key inflates only its stage-1 combine input, which map-side
+    combine absorbs."""
+    ev = load(spark, "events", sf_dir)
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # argmax via min(struct(-n, type)): lexicographic struct min picks
+    # highest n, then lexicographically smallest type — deterministic
+    best = counts.groupBy("user_id").agg(
+        F.min(F.struct((-F.col("n")).alias("neg_n"), F.col("event_type").alias("t"))).alias("b")
+    )
+    return best.select(
+        "user_id",
+        F.col("b.t").alias("mode_type"),
+        (-F.col("b.neg_n")).alias("n_mode"),
+    )

@@ -323,3 +323,39 @@ def win_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         (F.col("ts_us") - F.col("prev_ts_us")).alias("gap_us"),
     )
+
+
+@register(
+    "win_ntile_decile",
+    "WITH e AS (SELECT event_id, event_type, value, "
+    "NTILE(10) OVER (PARTITION BY event_type ORDER BY "
+    f"CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT), event_id) AS decile "
+    f"FROM (SELECT event_id, event_type, value FROM events) t) "
+    "SELECT event_type, decile, COUNT(*) AS n, "
+    "MIN(value) AS lo, MAX(value) AS hi "
+    "FROM e GROUP BY event_type, decile",
+    doc="decile bucketing (feature binning): ntile(10) per group on a quantized total order, summarized to bucket boundaries",
+)
+def win_ntile_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency binning — the feature-engineering step behind
+    'convert this score to a decile'. The order key is quantized (+
+    event_id tie-break) so bucket boundaries are a total order and
+    both engines cut identical buckets. One shuffle on the group key;
+    the summary collapses rows to 10 buckets per group before any
+    further join. For a global (ungrouped) decile at 100 TB, swap the
+    window for quantile-sketch cut points + a map-side bucket lookup."""
+    ev = load(spark, "events", sf_dir)
+    w = Window.partitionBy("event_type").orderBy(
+        F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)), F.col("event_id")
+    )
+    return (
+        ev.select(
+            "event_type", "value", F.ntile(10).over(w).alias("decile")
+        )
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )

@@ -97,3 +97,38 @@ def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "r_regionkey", "r_name"
         ).coalesce(1).write.mode("overwrite").option("header", True).csv(path)
     return spark.read.schema(_CSV_BACK_SCHEMA).option("header", True).csv(path)
+
+
+@register(
+    "sink_sorted_stats",
+    "SELECT COUNT(*) AS n_jan, MIN(ts) AS min_ts, MAX(ts) AS max_ts "
+    "FROM (SELECT CAST(ts AS TIMESTAMP) AS ts FROM events) "
+    "WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-11'",
+    doc="zone-map sink: sortWithinPartitions(ts) before the parquet write so row-group min/max stats are tight → a time-range re-read skips most row groups (data-skipping layout, no extra shuffle)",
+)
+def sink_sorted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout-for-skipping sink. ``sortWithinPartitions("ts")`` costs
+    a LOCAL per-task sort (no exchange — verified in the plan) and
+    yields parquet row groups with tight, disjoint ts min/max ranges;
+    any later time-range scan then prunes row groups via statistics
+    instead of reading them. At 100 TB this is the difference between
+    scanning a day and scanning a year for `WHERE ts BETWEEN ...`.
+    The registered result is the round-trip: write sorted → re-read
+    with a range predicate (pushed to the reader) → aggregate."""
+    ev = load(spark, "events", sf_dir)
+    path = _scratch(sf_dir, "events_sorted.parquet")
+    (
+        ev.select("event_id", "ts", "user_id", "value")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).filter(
+        (F.col("ts") >= F.lit("2024-01-10").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-11").cast("timestamp"))
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_jan"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    )

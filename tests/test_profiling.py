@@ -101,3 +101,52 @@ def test_min_cost_supplier_is_true_argmin(spark, sf_dir):
     for pk, supps in pairs.items():
         want = min((sup[s], s) for s in supps)
         assert best[pk] == want
+
+
+def test_ntile_deciles_balanced(spark, sf_dir):
+    from cs_pipeline_spark.operators.windows import win_ntile_decile
+
+    rows = win_ntile_decile(spark, sf_dir).collect()
+    per_type: dict[str, list] = {}
+    for r in rows:
+        per_type.setdefault(r["event_type"], []).append(r)
+    for t, grp in per_type.items():
+        grp.sort(key=lambda r: r["decile"])
+        assert [r["decile"] for r in grp] == list(range(1, 11))
+        # equal-frequency: sizes differ by at most 1
+        sizes = [r["n"] for r in grp]
+        assert max(sizes) - min(sizes) <= 1
+        # bucket value ranges are non-decreasing
+        for a, b in zip(grp, grp[1:]):
+            assert a["lo"] <= a["hi"] <= b["hi"]
+
+
+def test_mode_matches_bruteforce(spark, sf_dir):
+    from collections import Counter
+
+    from cs_pipeline_spark.operators.aggregate import agg_mode_per_group
+
+    got = {
+        r["user_id"]: (r["mode_type"], r["n_mode"])
+        for r in agg_mode_per_group(spark, sf_dir).collect()
+    }
+    events = load(spark, "events", sf_dir).select("user_id", "event_type").collect()
+    per_user: dict[int, Counter] = {}
+    for r in events:
+        per_user.setdefault(r["user_id"], Counter())[r["event_type"]] += 1
+    for u, c in per_user.items():
+        want = min(((-n, t) for t, n in c.items()))
+        assert got[u] == (want[1], -want[0])
+
+
+def test_sorted_sink_no_exchange(spark, sf_dir):
+    from cs_pipeline_spark.tables import load as _load
+
+    ev = _load(spark, "events", sf_dir).select("event_id", "ts")
+    plan = (
+        ev.sortWithinPartitions("ts")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # local sort only — the layout is free
