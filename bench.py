@@ -46,6 +46,7 @@ HEADLINE = [
     "text_keywords_rare",
     "join_interval_buckets",
     "text_contamination_check",
+    "curate_corpus_e2e",
 ]
 
 

@@ -1,0 +1,246 @@
+"""Flagship #3: the LLM-corpus curation funnel, end to end.
+
+``curate_corpus_e2e`` chains the whole training-data pipeline the
+§2.10 operators exist for — eval-set holdout → quality filter →
+exact dedup → near-dup removal → benchmark decontamination →
+train/val/test split — and reports the funnel: one (stage, n_docs)
+row per stage. This is the composed "would a real corpus release run
+on this engine?" query, with a full DuckDB oracle (every stage is
+integer-set algebra, so the funnel is bit-exact across engines).
+
+Stage semantics (all deterministic):
+
+1. ``ingest``        — every document.
+2. ``holdout_eval``  — the benchmark set (doc_id % 97 == 0), held out.
+3. ``quality``       — non-bench docs passing the Gopher-style rules
+                       (same predicate as ``text_quality_filter``).
+4. ``exact_dedup``   — keep the smallest doc_id per md5(normalized
+                       text) digest (same policy as ``dedup_exact``).
+5. ``near_dedup``    — drop any doc with a word-3-gram Jaccard ≥ 0.15
+                       partner of SMALLER doc_id in its (lang,
+                       source) block (keep-first policy over
+                       ``dedup_ngram_jaccard`` pairs).
+6. ``decontam``      — drop docs sharing a distinct 4-token shingle
+                       with any held-out doc (``text_contamination_
+                       check`` semantics).
+7. ``train``/``val``/``test`` — 80/10/10 multiplicative-hash split of
+                       the survivors (``sample_train_split`` hash).
+
+Scale (100 TB): stages 1–4 and 6–7 are scan + hash-agg/broadcast
+shapes (see the source ops); stage 5's pair join is the blocked
+verify stage — at full scale its candidate pairs come from MinHash-
+LSH buckets instead of (lang, source) blocks (dedup.py), which
+changes the candidate generator, not the funnel algebra. Production
+would persist each stage's id-set (small: ids only) so the funnel is
+one pass per stage over ids, never re-reading text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cs_pipeline_spark.operators.aggregate import (
+    _SPLIT_MOD,
+    _SPLIT_MULT,
+    _SPLIT_PRIME,
+)
+from cs_pipeline_spark.operators.dedup import (
+    _NGRAM_THRESHOLD,
+    _NORM,
+    _NORM_DUCK,
+    _sql_shingles,
+    _tokens,
+    shingles,
+)
+from cs_pipeline_spark.operators.text import (
+    _MAX_AVG_LEN,
+    _MAX_TOKENS,
+    _MIN_AVG_LEN,
+    _MIN_STOPWORD,
+    _MIN_TOKENS,
+    _STOPWORDS,
+    _hits,
+    _sql_hits,
+)
+from cs_pipeline_spark.registry import register
+from cs_pipeline_spark.tables import load
+
+_BENCH_MOD = 97  # keep in sync with corpus.text_contamination_check
+
+_DUCK_TOKENS = f"string_split({_NORM_DUCK}, ' ')"
+
+_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, lang, source,
+         {_NORM_DUCK} AS norm,
+         {_DUCK_TOKENS} AS t
+  FROM documents
+),
+bench AS (SELECT * FROM base WHERE doc_id % {_BENCH_MOD} = 0),
+corp  AS (SELECT * FROM base WHERE doc_id % {_BENCH_MOD} <> 0),
+q AS (
+  SELECT * FROM (
+    SELECT *,
+           len(t) AS n_tokens,
+           CAST(length(replace(norm, ' ', '')) AS DOUBLE) / len(t) AS avg_len,
+           CAST({_sql_hits('t', _STOPWORDS)} AS DOUBLE) / len(t) AS stop_ratio
+    FROM corp
+  ) WHERE NOT (n_tokens < {_MIN_TOKENS} OR n_tokens > {_MAX_TOKENS}
+           OR avg_len < {_MIN_AVG_LEN} OR avg_len > {_MAX_AVG_LEN}
+           OR stop_ratio < {_MIN_STOPWORD})
+),
+ek AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(norm) ORDER BY doc_id) AS rn
+    FROM q
+  ) WHERE rn = 1
+),
+g3 AS (SELECT doc_id, lang, source, list_distinct({_sql_shingles('t', 3)}) AS grams FROM ek),
+near_removed AS (
+  SELECT DISTINCT b.doc_id FROM g3 a JOIN g3 b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+        >= {_NGRAM_THRESHOLD}
+),
+nk AS (SELECT * FROM ek WHERE doc_id NOT IN (SELECT doc_id FROM near_removed)),
+bench_g AS (SELECT DISTINCT unnest(list_distinct({_sql_shingles('t', 4)})) AS g FROM bench),
+contam AS (
+  SELECT DISTINCT n.doc_id FROM (
+    SELECT doc_id, unnest(list_distinct({_sql_shingles('t', 4)})) AS g FROM nk
+  ) n JOIN bench_g b ON b.g = n.g
+),
+dk AS (SELECT * FROM nk WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+split AS (
+  SELECT doc_id,
+         (((doc_id % {_SPLIT_PRIME}) * {_SPLIT_MULT}) % {_SPLIT_PRIME})
+         % {_SPLIT_MOD} AS bucket
+  FROM dk
+)
+SELECT 'ingest' AS stage, COUNT(*) AS n_docs FROM base
+UNION ALL SELECT 'holdout_eval', COUNT(*) FROM bench
+UNION ALL SELECT 'quality', COUNT(*) FROM q
+UNION ALL SELECT 'exact_dedup', COUNT(*) FROM ek
+UNION ALL SELECT 'near_dedup', COUNT(*) FROM nk
+UNION ALL SELECT 'decontam', COUNT(*) FROM dk
+UNION ALL SELECT 'train', COUNT(*) FROM split WHERE bucket < 80
+UNION ALL SELECT 'val', COUNT(*) FROM split WHERE bucket >= 80 AND bucket < 90
+UNION ALL SELECT 'test', COUNT(*) FROM split WHERE bucket >= 90
+"""
+
+
+def _stage_count(df: DataFrame, stage: str) -> DataFrame:
+    return df.agg(F.count(F.lit(1)).alias("n_docs")).select(
+        F.lit(stage).alias("stage"), "n_docs"
+    )
+
+
+@register(
+    "curate_corpus_e2e",
+    _ORACLE,
+    doc="flagship #3: full corpus-curation funnel — holdout → quality → exact dedup → near-dup → decontamination → 80/10/10 split, one (stage, n_docs) row per stage",
+)
+def curate_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir)
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.expr(_NORM).alias("norm"),
+        _tokens(F.expr(_NORM)).alias("t"),
+    )
+    bench = base.filter(F.col("doc_id") % _BENCH_MOD == 0)
+    corp = base.filter(F.col("doc_id") % _BENCH_MOD != 0)
+
+    # quality (text_quality_filter predicate, on materialized tokens)
+    n_tokens = F.size("t")
+    avg_len = (
+        F.length(F.replace(F.col("norm"), F.lit(" "), F.lit(""))).cast(
+            "double"
+        )
+        / n_tokens
+    )
+    stop_ratio = _hits(F.col("t"), _STOPWORDS).cast("double") / n_tokens
+    bad = (
+        (n_tokens < _MIN_TOKENS)
+        | (n_tokens > _MAX_TOKENS)
+        | (avg_len < _MIN_AVG_LEN)
+        | (avg_len > _MAX_AVG_LEN)
+        | (stop_ratio < _MIN_STOPWORD)
+    )
+    q = corp.filter(~bad)
+
+    # exact dedup: keep smallest doc_id per normalized-text digest.
+    # ek feeds FIVE funnel branches (near-dup pairs, decontam, three
+    # splits) — persist it so the scan→quality→dedup prefix runs once
+    # (at 100 TB: persist the id-set + token arrays, not raw text).
+    w = Window.partitionBy(F.md5("norm")).orderBy("doc_id")
+    ek = (
+        q.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .persist()
+    )
+
+    # near-dup removal: blocked 3-gram Jaccard, keep-first
+    g3 = ek.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.array_distinct(shingles(F.col("t"), 3)).alias("grams"),
+    )
+    a, b = g3.alias("a"), g3.alias("b")
+    inter = F.size(
+        F.array_intersect(F.col("a.grams"), F.col("b.grams"))
+    ).cast("double")
+    union = F.size(F.col("a.grams")) + F.size(F.col("b.grams")) - inter
+    near_removed = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(inter / union >= _NGRAM_THRESHOLD)
+        .select(F.col("b.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    nk = ek.join(near_removed, "doc_id", "left_anti").persist()
+
+    # decontamination: 4-gram overlap vs the held-out set
+    bench_g = bench.select(
+        F.explode(F.array_distinct(shingles(F.col("t"), 4))).alias("g")
+    ).distinct()
+    contam = (
+        nk.select(
+            "doc_id",
+            F.explode(F.array_distinct(shingles(F.col("t"), 4))).alias("g"),
+        )
+        .join(F.broadcast(bench_g), "g")
+        .select("doc_id")
+        .distinct()
+    )
+    dk = nk.join(contam, "doc_id", "left_anti").persist()
+
+    # 80/10/10 split (sample_train_split hash)
+    bucket = (
+        (F.col("doc_id") % F.lit(_SPLIT_PRIME)) * F.lit(_SPLIT_MULT)
+    ) % F.lit(_SPLIT_PRIME) % F.lit(_SPLIT_MOD)
+    split = dk.select("doc_id", bucket.alias("bucket"))
+
+    return (
+        _stage_count(base, "ingest")
+        .unionByName(_stage_count(bench, "holdout_eval"))
+        .unionByName(_stage_count(q, "quality"))
+        .unionByName(_stage_count(ek, "exact_dedup"))
+        .unionByName(_stage_count(nk, "near_dedup"))
+        .unionByName(_stage_count(dk, "decontam"))
+        .unionByName(_stage_count(split.filter(F.col("bucket") < 80), "train"))
+        .unionByName(
+            _stage_count(
+                split.filter((F.col("bucket") >= 80) & (F.col("bucket") < 90)),
+                "val",
+            )
+        )
+        .unionByName(_stage_count(split.filter(F.col("bucket") >= 90), "test"))
+    )

@@ -69,6 +69,7 @@ def _load_all_modules() -> None:
         filters,
         joins,
         multimodal,
+        pipeline_curate,
         pipeline_e2e,
         pipeline_point,
         predictors,

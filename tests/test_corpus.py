@@ -98,3 +98,26 @@ def test_gap_detect_threshold(spark, sf_dir):
     assert all(r["gap_us"] > 30 * 60 * 1000000 for r in rows)
     # consecutive pair ids are distinct
     assert all(r["prev_event_id"] != r["event_id"] for r in rows)
+
+
+def test_curation_funnel_invariants(spark, sf_dir):
+    from cs_pipeline_spark.operators.pipeline_curate import curate_corpus_e2e
+
+    n = {r["stage"]: r["n_docs"] for r in curate_corpus_e2e(spark, sf_dir).collect()}
+    assert set(n) == {
+        "ingest", "holdout_eval", "quality", "exact_dedup",
+        "near_dedup", "decontam", "train", "val", "test",
+    }
+    # corpus partition: eval holdout + curated input = everything
+    assert n["holdout_eval"] + (n["ingest"] - n["holdout_eval"]) == n["ingest"]
+    # the funnel only ever narrows
+    assert (
+        n["ingest"] - n["holdout_eval"]
+        >= n["quality"]
+        >= n["exact_dedup"]
+        >= n["near_dedup"]
+        >= n["decontam"]
+    )
+    # split partitions the survivors exactly
+    assert n["train"] + n["val"] + n["test"] == n["decontam"]
+    assert n["decontam"] > 0
