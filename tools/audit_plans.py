@@ -53,6 +53,16 @@ AUDIT: dict[str, dict] = {
     "join_interval_buckets": {"nlj": 0},
     "mm_modality_route": {},
     "mm_audio_chunk_plan": {"exchange": 0},
+    "text_contamination_check": {"smj": 0},
+    "curate_corpus_e2e": {},
+    "agg_mode_per_group": {},
+    "win_ntile_decile": {},
+    "agg_histogram": {},
+    "sample_stratified": {},
+    "emb_norm_stats": {"exchange": 0},
+    "q_min_cost_supplier": {"smj": 0},
+    "win_gap_detect": {"exchange": 1},
+    "profile_nulls": {},
 }
 
 
