@@ -519,3 +519,110 @@ def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("embedding").alias("dim"),
         F.sqrt(qdot(F.col("embedding"), F.col("embedding"))).alias("l2_norm"),
     )
+
+
+_N_PROBE = 2
+
+
+def _sql_ivf_multiprobe() -> str:
+    cos_c = _sql_qdot("n.embedding", "c0.cen") + " / (SQRT(n.nrm) * SQRT(c0.cnrm))"
+    cos_qc = _sql_qdot("q.embedding", "c0.cen") + " / (SQRT(q.nrm) * SQRT(c0.cnrm))"
+    cos_sim = _sql_qdot("q.embedding", "c.embedding") + " / (SQRT(q.nrm) * SQRT(c.nrm))"
+    return (
+        "WITH n AS (SELECT vec_id, embedding, "
+        + _sql_qdot("embedding", "embedding")
+        + " AS nrm FROM embeddings), "
+        f"c0 AS (SELECT vec_id AS cluster_id, embedding AS cen, nrm AS cnrm "
+        f"FROM n WHERE vec_id < {K_CELLS}), "
+        "cells AS (SELECT vec_id, cluster_id FROM ("
+        "SELECT n.vec_id, c0.cluster_id, ROW_NUMBER() OVER ("
+        f"PARTITION BY n.vec_id ORDER BY {cos_c} DESC, c0.cluster_id) AS rn "
+        "FROM n CROSS JOIN c0) t WHERE rn = 1), "
+        "probes AS (SELECT query_id, cluster_id FROM ("
+        "SELECT q.vec_id AS query_id, c0.cluster_id, ROW_NUMBER() OVER ("
+        f"PARTITION BY q.vec_id ORDER BY {cos_qc} DESC, c0.cluster_id) AS rn "
+        f"FROM n q CROSS JOIN c0 WHERE q.vec_id < {N_QUERIES}) t "
+        f"WHERE rn <= {_N_PROBE}) "
+        "SELECT query_id, neighbor_id, cos_sim FROM ("
+        "SELECT p.query_id, c.vec_id AS neighbor_id, "
+        f"{cos_sim} AS cos_sim, ROW_NUMBER() OVER ("
+        f"PARTITION BY p.query_id ORDER BY {cos_sim} DESC, c.vec_id) AS rn "
+        "FROM probes p JOIN cells ce ON ce.cluster_id = p.cluster_id "
+        "JOIN n c ON c.vec_id = ce.vec_id "
+        "JOIN n q ON q.vec_id = p.query_id "
+        "WHERE c.vec_id <> p.query_id) t "
+        f"WHERE rn <= {TOP_K}"
+    )
+
+
+@register(
+    "sim_ivf_multiprobe",
+    _sql_ivf_multiprobe(),
+    doc=f"multi-probe IVF top-k: each query searches its {_N_PROBE} nearest cells — the standard recall knob over single-probe IVF, still only |probes|/|cells| of the corpus per query",
+)
+def sim_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe ANN: corpus vectors live in ONE cell (nearest init
+    centroid); queries search their ``_N_PROBE`` nearest cells. This
+    recovers most neighbors lost across cell boundaries (the IVF
+    recall failure mode) while still touching a fixed fraction of the
+    corpus. All rankings use the exact quantized cosine, ties broken
+    by id — bit-stable in both engines.
+
+    Scale: the centroid table is tiny → both assignment passes are
+    broadcast cross-joins pruned by row_number (corpus never
+    shuffles); candidates equi-join on cell id; the probe factor
+    multiplies only the QUERY side (queries × probes), never the
+    corpus.
+    """
+    corpus = _with_norm(load(spark, "embeddings", sf_dir))
+    c0 = corpus.filter(F.col("vec_id") < K_CELLS).select(
+        F.col("vec_id").alias("cluster_id"),
+        F.col("embedding").alias("cen"),
+        F.col("nrm").alias("cnrm"),
+    )
+    cell_cos = _scored(
+        F.col("embedding"), F.col("cen"), F.col("nrm"), F.col("cnrm")
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy(
+        F.desc("cell_cos"), F.asc("cluster_id")
+    )
+    ranked = (
+        corpus.crossJoin(F.broadcast(c0))
+        .select(
+            "vec_id", "embedding", "nrm", "cluster_id",
+            cell_cos.alias("cell_cos"),
+        )
+        .withColumn("rn", F.row_number().over(w_cell))
+    )
+    cells = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", "embedding", "nrm", "cluster_id"
+    )
+    probes = (
+        ranked.filter(
+            (F.col("vec_id") < N_QUERIES) & (F.col("rn") <= _N_PROBE)
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+            "cluster_id",
+        )
+    )
+    cand = cells.join(F.broadcast(probes), "cluster_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    w_k = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        cand.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _scored(
+                F.col("q_emb"), F.col("embedding"), F.col("q_nrm"), F.col("nrm")
+            ).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w_k))
+        .filter(F.col("rn") <= TOP_K)
+        .drop("rn")
+    )

@@ -87,3 +87,37 @@ def test_agg_schema_matches_pandas(spark, data):
                 assert v is not None and abs(v - w) <= 1e-6 * max(
                     1.0, abs(w)
                 ), (g, k, v, w)
+
+
+@given(
+    st.lists(
+        st.floats(
+            min_value=-100.0,
+            max_value=100.0,
+            allow_nan=False,
+            allow_infinity=False,
+            width=32,
+        ),
+        min_size=1,
+        max_size=16,
+    )
+)
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_qdot_matches_exact_python(spark, vec):
+    """qdot's quantized self-dot must equal the exact Python
+    recomputation bit-for-bit (same floor/quantum), for any floats."""
+    from pyspark.sql import Row
+
+    from cs_pipeline_spark.operators.dedup import qdot
+    df = spark.createDataFrame(
+        [Row(v=[float(x) for x in vec])], "v array<double>"
+    )
+    got = df.select(qdot(F.col("v"), F.col("v")).alias("d")).collect()[0]["d"]
+    want = (
+        sum(math.floor(x * x * 1000000.0 + 0.5) for x in vec) / 1000000.0
+    )
+    assert got == want

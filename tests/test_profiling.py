@@ -150,3 +150,23 @@ def test_sorted_sink_no_exchange(spark, sf_dir):
         .toString()
     )
     assert "Exchange" not in plan  # local sort only — the layout is free
+
+
+def test_multiprobe_structure_and_order(spark, sf_dir):
+    from cs_pipeline_spark.operators.similarity import (
+        TOP_K,
+        sim_ivf_multiprobe,
+    )
+
+    rows = sim_ivf_multiprobe(spark, sf_dir).collect()
+    per_q: dict[int, list] = {}
+    for r in rows:
+        assert r["neighbor_id"] != r["query_id"]
+        per_q.setdefault(r["query_id"], []).append(r)
+    for q, grp in per_q.items():
+        assert len(grp) <= TOP_K
+        sims = sorted((r["cos_sim"] for r in grp), reverse=True)
+        assert all(-1.001 <= s <= 1.001 for s in sims)
+        # no duplicate neighbors
+        ids = [r["neighbor_id"] for r in grp]
+        assert len(ids) == len(set(ids))

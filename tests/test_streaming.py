@@ -217,3 +217,53 @@ def test_watermark_drops_late_rows(spark, tmp_path_factory):
     # window A emitted exactly once, with ONLY its on-time event —
     # the too-late batch-3 row neither re-emitted nor re-counted it
     assert [r["n_events"] for r in win_a] == [1]
+
+
+def test_checkpoint_resume_no_reprocessing(spark, tmp_path_factory):
+    """Restarting from a checkpoint must process ONLY files that
+    arrived after the first run — the offsets log is the exactly-once
+    backbone every production sink relies on."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cs_pipeline_spark.streaming import jobs
+    from cs_pipeline_spark.tables import load
+
+    data = str(tmp_path_factory.mktemp("ckpt_data"))
+    ckpt = str(tmp_path_factory.mktemp("ckpt_state"))
+    sink = str(tmp_path_factory.mktemp("ckpt_sink"))
+    events = load(spark, "events", SF_DIR).limit(100).cache()
+    first = events.filter(F.col("event_id") % 2 == 0)
+    second = events.filter(F.col("event_id") % 2 == 1)
+    first.coalesce(1).write.parquet(os.path.join(data, "f=1"))
+
+    schema = events.schema
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(data + "/f=*")
+        )
+        q = (
+            stream.select("event_id", "user_id")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert spark.read.parquet(sink).count() == first.count()
+
+    second.coalesce(1).write.parquet(os.path.join(data, "f=2"))
+    run_once()
+    # restart resumed from the offsets log: f=1 was NOT re-read, so
+    # the sink holds every row exactly once
+    got = spark.read.parquet(sink)
+    assert got.count() == events.count()
+    assert got.select("event_id").distinct().count() == events.count()
