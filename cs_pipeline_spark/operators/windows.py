@@ -359,3 +359,67 @@ def win_ntile_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("hi"),
         )
     )
+
+
+_Z_WIN = 8  # rolling frame: last 8 events per key
+
+
+@register(
+    "win_rolling_zscore",
+    "WITH e AS (SELECT event_id, user_id, value, "
+    f"{EVENTS_TS_SQL} AS ts, "
+    "CAST(FLOOR(value * 1000000.0 + 0.5) AS HUGEINT) AS q "
+    "FROM events), "
+    "w AS (SELECT event_id, user_id, value, "
+    "COUNT(value) OVER fr AS n_win, "
+    "SUM(q) OVER fr AS s1, "
+    "SUM(q * q) OVER fr AS s2 "
+    "FROM e WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id "
+    f"ROWS BETWEEN {_Z_WIN - 1} PRECEDING AND CURRENT ROW)) "
+    "SELECT event_id, user_id, n_win, "
+    "CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / 1000000.0 / n_win AS roll_mean, "
+    "CASE WHEN n_win > 1 AND (s2 * n_win - s1 * s1) > 0 THEN "
+    "(value - CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / 1000000.0 / n_win) / "
+    "SQRT(CAST(CAST((s2 * n_win - s1 * s1) AS VARCHAR) AS DOUBLE) "
+    "/ (CAST(n_win AS DOUBLE) * n_win) / 1000000000000.0) END AS zscore "
+    "FROM w",
+    doc=f"rolling z-score (anomaly detection): mean/std over the last {_Z_WIN} events per key via exact quantized window sums — the windowed twin of the dvar_pop integer path",
+)
+def win_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key rolling anomaly score. The rolling variance uses the
+    SAME exact-integer numerator as ``helpers.dvar_pop`` (n·Σq² −
+    (Σq)² in decimal), just computed over a window frame — so the
+    cancellation-free determinism carries over to running stats, any
+    partitioning, both engines. Zero/low-variance frames yield null
+    (no divide-by-~0 blowups). One shuffle on the key; bounded frame
+    state (8 rows)."""
+    ev = load(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_Z_WIN - 1), Window.currentRow)
+    )
+    q = F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast(
+        "decimal(38,0)"
+    )
+    q2 = F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast(
+        "decimal(19,0)"
+    )
+    n = F.count("value").over(w)
+    s1 = F.sum(q).over(w)
+    s2 = F.sum(q2 * q2).over(w)
+    s1d = s1.cast("string").cast("double")
+    mean = s1d / F.lit(1e6) / n
+    num = s2 * n.cast("decimal(20,0)") - s1 * s1
+    numd = num.cast("string").cast("double")
+    var = numd / (n.cast("double") * n) / F.lit(1e12)
+    z = F.when(
+        (n > 1) & (num > 0), (F.col("value") - mean) / F.sqrt(var)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        n.alias("n_win"),
+        mean.alias("roll_mean"),
+        z.alias("zscore"),
+    )

@@ -170,3 +170,34 @@ def test_multiprobe_structure_and_order(spark, sf_dir):
         # no duplicate neighbors
         ids = [r["neighbor_id"] for r in grp]
         assert len(ids) == len(set(ids))
+
+
+def test_rolling_zscore_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from cs_pipeline_spark.operators.windows import win_rolling_zscore
+
+    got = {r["event_id"]: r for r in win_rolling_zscore(spark, sf_dir).collect()}
+    ev = sorted(
+        load(spark, "events", sf_dir)
+        .select("event_id", "user_id", "ts", "value")
+        .collect(),
+        key=lambda r: (r["ts"], r["event_id"]),
+    )
+    per_user: dict[int, list] = {}
+    for r in ev:
+        per_user.setdefault(r["user_id"], []).append(r)
+    checked = 0
+    for u, rows in per_user.items():
+        for i, r in enumerate(rows):
+            win = [x["value"] for x in rows[max(0, i - 7) : i + 1]]
+            g = got[r["event_id"]]
+            assert g["n_win"] == len(win)
+            vq = np.floor(np.array(win) * 1e6 + 0.5) / 1e6
+            assert abs(g["roll_mean"] - vq.mean()) < 1e-9 * max(1, abs(vq.mean()))
+            std = float(np.sqrt(max((vq**2).mean() - vq.mean() ** 2, 0.0)))
+            if len(win) > 1 and std > 1e-9:
+                want = (r["value"] - vq.mean()) / std
+                assert abs(g["zscore"] - want) < 1e-6 * max(1.0, abs(want))
+                checked += 1
+    assert checked > 100
