@@ -609,3 +609,62 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.t").alias("mode_type"),
         (-F.col("b.neg_n")).alias("n_mode"),
     )
+
+
+@register(
+    "agg_corr",
+    """
+    WITH q AS (SELECT l_returnflag,
+        CAST(FLOOR(l_quantity * 1000000.0 + 0.5) AS HUGEINT) AS qx,
+        CAST(FLOOR(l_extendedprice * 1000000.0 + 0.5) AS HUGEINT) AS qy
+      FROM lineitem),
+    m AS (SELECT l_returnflag, CAST(COUNT(*) AS HUGEINT) AS n,
+        SUM(qx) AS sx, SUM(qy) AS sy, SUM(qx * qx) AS sxx,
+        SUM(qy * qy) AS syy, SUM(qx * qy) AS sxy
+      FROM q GROUP BY l_returnflag)
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+      CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 THEN
+        CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE) /
+        SQRT(CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) *
+             CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE))
+      END AS corr_qty_price
+    FROM m
+    """,
+    doc="per-group Pearson correlation from exact integer moments (n·Σxy−ΣxΣy over quantized values) — cancellation-free and bit-stable, unlike float corr()",
+)
+def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation with the same exact-integer-moment discipline as
+    ``dvar_pop``: all five sums are exact decimals, the covariance
+    and variance numerators are exact integer differences, and only
+    the final divide/sqrt are (correctly-rounded) floats. Built-in
+    ``corr()`` accumulates floating co-moments whose partial-merge
+    order varies with partitioning — fine statistically, but not
+    reproducible bit-for-bit across engines or cluster layouts.
+    One map-side-combined shuffle, O(groups) rows moved."""
+    li = load(spark, "lineitem", sf_dir)
+    qx = F.floor(F.col("l_quantity") * F.lit(1e6) + F.lit(0.5)).cast(
+        "decimal(19,0)"
+    )
+    qy = F.floor(F.col("l_extendedprice") * F.lit(1e6) + F.lit(0.5)).cast(
+        "decimal(19,0)"
+    )
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("decimal(20,0)").alias("n"),
+        F.sum(qx.cast("decimal(38,0)")).alias("sx"),
+        F.sum(qy.cast("decimal(38,0)")).alias("sy"),
+        F.sum(qx * qx).alias("sxx"),
+        F.sum(qy * qy).alias("syy"),
+        F.sum(qx * qy).alias("sxy"),
+    )
+    d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    varx = m.n * m.sxx - m.sx * m.sx
+    vary = m.n * m.syy - m.sy * m.sy
+    cov = m.n * m.sxy - m.sx * m.sy
+    r = F.when(
+        (varx > 0) & (vary > 0), d(cov) / F.sqrt(d(varx) * d(vary))
+    )
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n_rows"),
+        r.alias("corr_qty_price"),
+    )

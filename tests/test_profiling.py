@@ -201,3 +201,27 @@ def test_rolling_zscore_matches_numpy(spark, sf_dir):
                 assert abs(g["zscore"] - want) < 1e-6 * max(1.0, abs(want))
                 checked += 1
     assert checked > 100
+
+
+def test_corr_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from cs_pipeline_spark.operators.aggregate import agg_corr
+
+    got = {
+        r["l_returnflag"]: r["corr_qty_price"]
+        for r in agg_corr(spark, sf_dir).collect()
+    }
+    rows = load(spark, "lineitem", sf_dir).select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    ).collect()
+    per_flag: dict[str, list] = {}
+    for r in rows:
+        per_flag.setdefault(r["l_returnflag"], []).append(
+            (r["l_quantity"], r["l_extendedprice"])
+        )
+    for flag, pairs in per_flag.items():
+        x = np.floor(np.array([p[0] for p in pairs]) * 1e6 + 0.5) / 1e6
+        y = np.floor(np.array([p[1] for p in pairs]) * 1e6 + 0.5) / 1e6
+        want = float(np.corrcoef(x, y)[0, 1])
+        assert abs(got[flag] - want) < 1e-9
