@@ -712,3 +712,47 @@ def scan_zip_members(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("header", True)
         .csv(os.path.join(out_dir, "part_region_*.csv"))
     )
+
+
+@register(
+    "scan_binary_files",
+    "SELECT doc_id, octet_length(encode(text)) AS byte_len, "
+    "md5(text) AS digest FROM documents WHERE doc_id < 40",
+    doc="binaryFile-format scan: opaque media files ingested as (path, length, binary content) rows — the real multimodal ingestion source (content column pruned unless touched)",
+)
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``spark.read.format('binaryFile')`` is the production path for
+    media sitting in object storage as loose files: each file becomes
+    one row (path, modificationTime, length, content). The driver-
+    visible id is parsed from the FILENAME (paths are machine-local
+    and must never leak into results). Scale: the format supports
+    ``pathGlobFilter``/``recursiveFileLookup`` for layout pruning, and
+    `length` comes from file metadata — a metadata-only profile never
+    reads `content` (column pruning on the binary column).
+
+    Fixture: the first 40 documents, utf-8 encoded, one file each.
+    """
+    import hashlib as _hl
+
+    src = _scratch(sf_dir, "binfiles")
+    docs_small = (
+        load(spark, "documents", sf_dir).filter(F.col("doc_id") < 40).collect()
+    )
+    os.makedirs(src, exist_ok=True)
+    for r in docs_small:
+        p = os.path.join(src, f"doc_{r['doc_id']:06d}.bin")
+        if not os.path.exists(p):
+            with open(p, "wb") as fh:
+                fh.write(r["text"].encode("utf-8"))
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(src)
+    )
+    return bf.select(
+        F.regexp_extract(
+            F.col("path"), r"doc_(\d+)\.bin$", 1
+        ).cast("bigint").alias("doc_id"),
+        F.col("length").alias("byte_len"),
+        F.md5("content").alias("digest"),
+    )
