@@ -169,13 +169,19 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_anti",
     """
     SELECT c.c_custkey, c.c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT'
+                        AND o.o_orderdate >= TIMESTAMP '1997-01-01')
     """,
-    doc="left-anti join: customers with no orders",
+    doc="left-anti join: customers with no urgent order since 1997 (filtered right side keeps the anti-set non-empty at every sf — a 0-row result would make the check vacuous)",
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, "customer", sf_dir)
-    o = load(spark, "orders", sf_dir)
+    o = load(spark, "orders", sf_dir).filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
