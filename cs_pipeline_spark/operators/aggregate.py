@@ -668,3 +668,26 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_rows"),
         r.alias("corr_qty_price"),
     )
+
+
+@register(
+    "agg_cube",
+    f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           {sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE over two dims — all 4 grouping combinations in ONE Expand + hash-agg pass (completes the rollup/grouping-sets/cube trio)",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`cube()` expands each input row into one row per grouping set
+    (4 here) BEFORE the aggregation, so a single shuffle computes all
+    combinations — at 100 TB that's one pass instead of four scans.
+    The expansion factor is 2^dims: keep cube dims low-cardinality
+    and few, or switch to explicit grouping sets."""
+    li = load(spark, "lineitem", sf_dir)
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_quantity").alias("sum_qty"),
+    )

@@ -175,3 +175,67 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("bench_id").alias("n_bench_docs"),
         )
     )
+
+
+# ---------- out-of-vocabulary ratio ----------
+
+_VOCAB_K = 20  # vocabulary = top-K corpus terms by document frequency
+# (the synthetic corpus draws from ~31 distinct words, so K=20 leaves a
+# real OOV tail; production would use a 10^5-10^6-term vocabulary)
+
+
+@register(
+    "text_oov_ratio",
+    f"""
+    WITH tf AS (
+      SELECT doc_id, unnest({_DUCK_TOKENS}) AS term FROM documents
+    ), dfc AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    ), vocab AS (
+      SELECT term FROM dfc ORDER BY df DESC, term LIMIT {_VOCAB_K}
+    )
+    SELECT tf.doc_id, COUNT(*) AS n_tokens,
+           COUNT(*) - COUNT(v.term) AS n_oov,
+           CAST(COUNT(*) - COUNT(v.term) AS DOUBLE) / COUNT(*) AS oov_ratio
+    FROM tf LEFT JOIN vocab v ON v.term = tf.term
+    GROUP BY tf.doc_id
+    """,
+    doc=f"out-of-vocabulary rate per doc against the corpus top-{_VOCAB_K} DF vocabulary — the integer-deterministic perplexity stand-in for quality filtering",
+)
+def text_oov_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model-free quality proxy: documents whose tokens
+    rarely appear in the corpus vocabulary (gibberish, boilerplate,
+    wrong-language) score high. Two corpus passes: (1) build the
+    top-K document-frequency vocabulary — total order (df desc, term
+    asc) so the vocabulary set is identical in both engines; (2)
+    broadcast it and count per-doc misses. At 100 TB the vocabulary
+    (fixed K) always broadcasts, so pass 2 adds no shuffle beyond the
+    per-doc aggregation; ratios are exact-integer divisions."""
+    docs = load(spark, "documents", sf_dir)
+    tf = docs.select(
+        "doc_id", F.explode(_tokens(F.expr(_NORM))).alias("term")
+    )
+    dfc = tf.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    vocab = (
+        dfc.orderBy(F.col("df").desc(), F.col("term"))
+        .limit(_VOCAB_K)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        tf.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.count(F.lit(1)) - F.count("in_vocab")).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            (F.col("n_oov").cast("double") / F.col("n_tokens")).alias(
+                "oov_ratio"
+            ),
+        )
+    )

@@ -626,3 +626,45 @@ def sim_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .drop("rn")
     )
+
+
+_RANGE_THRESHOLD = 0.25
+
+
+@register(
+    "sim_range_search",
+    f"WITH n AS ({_SQL_NORMED}), q AS (SELECT * FROM n WHERE vec_id < {N_QUERIES}) "
+    "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+    f"{_SQL_COS} AS cos_sim "
+    "FROM q JOIN n c ON c.vec_id <> q.vec_id "
+    f"WHERE {_SQL_COS} >= {_RANGE_THRESHOLD}",
+    doc=f"range similarity search: ALL neighbors with cosine ≥ {_RANGE_THRESHOLD} (threshold query, the dual of top-k) — same broadcast scan, selection instead of ranking",
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold ('radius') search — near-duplicate detection wants
+    every match above a bar, not a fixed k. Same plan as brute-force
+    top-k minus the ranking window: broadcast queries, stream the
+    corpus, keep rows passing the exact quantized-cosine threshold.
+    No shuffle at all (the window in top-k was the only one). The LSH
+    and IVF candidate generators compose in front of this filter
+    unchanged at 100 TB."""
+    corpus = _with_norm(load(spark, "embeddings", sf_dir))
+    queries = F.broadcast(
+        corpus.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+        )
+    )
+    cos = _scored(
+        F.col("q_emb"), F.col("embedding"), F.col("q_nrm"), F.col("nrm")
+    )
+    return (
+        corpus.join(queries, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= _RANGE_THRESHOLD)
+    )

@@ -121,3 +121,29 @@ def test_curation_funnel_invariants(spark, sf_dir):
     # split partitions the survivors exactly
     assert n["train"] + n["val"] + n["test"] == n["decontam"]
     assert n["decontam"] > 0
+
+
+def test_oov_ratio_bounds_and_vocab_coverage(spark, sf_dir):
+    from cs_pipeline_spark.operators.corpus import text_oov_ratio
+
+    rows = text_oov_ratio(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_oov"] <= r["n_tokens"]
+        assert abs(r["oov_ratio"] - r["n_oov"] / r["n_tokens"]) < 1e-12
+    # OOV exists exactly when the corpus has more distinct terms than
+    # the vocabulary cap (the tiny test fixture may have fewer)
+    from cs_pipeline_spark.operators.corpus import _VOCAB_K
+    from cs_pipeline_spark.operators.dedup import _NORM, _tokens
+    from cs_pipeline_spark.tables import load
+
+    n_terms = (
+        load(spark, "documents", sf_dir)
+        .select(F.explode(_tokens(F.expr(_NORM))).alias("t"))
+        .distinct()
+        .count()
+    )
+    total = sum(r["n_tokens"] for r in rows)
+    oov = sum(r["n_oov"] for r in rows)
+    assert (oov > 0) == (n_terms > _VOCAB_K)
+    assert oov < total
