@@ -28,7 +28,7 @@ coordinate-aligned xarray ``sel``/assignment. Re-expressed Spark-first:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cs_pipeline_spark.functions.era5_fixture import ERA5_CTE, era5_events
@@ -161,7 +161,7 @@ def _wtd_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_nearest_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     era5 = era5_events(spark, sf_dir)
     co2 = _co2_frame(spark, sf_dir)
-    return nearest_coord_mapping(era5, co2.withColumnRenamed("clat", "clat"), "latitude", "clat").withColumnRenamed(
+    return nearest_coord_mapping(era5, co2, "latitude", "clat").withColumnRenamed(
         "clat", "latitude_nearest"
     )
 

@@ -7,7 +7,7 @@ wide↔long melts, pivots, unions and deterministic dedup.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cs_pipeline_spark.operators.helpers import dsum, sql_dsum
