@@ -691,3 +691,37 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         dsum("l_quantity").alias("sum_qty"),
     )
+
+
+@register(
+    "agg_weighted_avg",
+    """
+    WITH q AS (SELECT l_returnflag,
+        CAST(FLOOR(l_quantity * 1000000.0 + 0.5) AS HUGEINT) AS qw,
+        CAST(FLOOR(l_extendedprice * 1000000.0 + 0.5) AS HUGEINT) AS qx
+      FROM lineitem)
+    SELECT l_returnflag,
+      CAST(CAST(SUM(qw * qx) AS VARCHAR) AS DOUBLE)
+        / CAST(CAST(SUM(qw) AS VARCHAR) AS DOUBLE) / 1000000.0
+        AS qty_weighted_price
+    FROM q GROUP BY l_returnflag
+    """,
+    doc="quantity-weighted average price per group — exact integer Σwx / Σw, the weighted twin of davg",
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mean with both sums exact (quantized products in
+    decimal), one division at the end — partial-aggregatable, so
+    map-side combine applies exactly like plain davg."""
+    li = load(spark, "lineitem", sf_dir)
+    qw = F.floor(F.col("l_quantity") * F.lit(1e6) + F.lit(0.5)).cast(
+        "decimal(19,0)"
+    )
+    qx = F.floor(F.col("l_extendedprice") * F.lit(1e6) + F.lit(0.5)).cast(
+        "decimal(19,0)"
+    )
+    d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    return li.groupBy("l_returnflag").agg(
+        (d(F.sum(qw * qx)) / d(F.sum(qw.cast("decimal(38,0)"))) / F.lit(1e6)).alias(
+            "qty_weighted_price"
+        )
+    )

@@ -483,3 +483,77 @@ def join_interval_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_quantity").alias("sum_qty"),
         )
     )
+
+
+@register(
+    "join_asof_nearest",
+    "WITH e AS (SELECT event_id, user_id, "
+    f"{EVENTS_TS_SQL} AS ts, "
+    "CASE WHEN event_type = 'error' THEN value END AS mv, "
+    f"CASE WHEN event_type = 'error' THEN epoch_us({EVENTS_TS_SQL}) END AS mts "
+    "FROM events), "
+    "w AS (SELECT event_id, epoch_us(ts) AS t_us, "
+    "last_value(mv IGNORE NULLS) OVER wb AS back_val, "
+    "last_value(mts IGNORE NULLS) OVER wb AS back_ts, "
+    "first_value(mv IGNORE NULLS) OVER wf AS fwd_val, "
+    "first_value(mts IGNORE NULLS) OVER wf AS fwd_ts "
+    "FROM e WINDOW "
+    "wb AS (PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), "
+    "wf AS (PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) "
+    "SELECT event_id, "
+    "CASE WHEN back_ts IS NULL THEN fwd_val "
+    "WHEN fwd_ts IS NULL THEN back_val "
+    "WHEN (t_us - back_ts) <= (fwd_ts - t_us) THEN back_val "
+    "ELSE fwd_val END AS nearest_error_value, "
+    "CASE WHEN back_ts IS NULL THEN fwd_ts - t_us "
+    "WHEN fwd_ts IS NULL THEN t_us - back_ts "
+    "WHEN (t_us - back_ts) <= (fwd_ts - t_us) THEN t_us - back_ts "
+    "ELSE fwd_ts - t_us END AS nearest_dt_us "
+    "FROM w",
+    doc="nearest-in-time join (|Δt| argmin, tie → earlier): backward + forward as-of passes merged — the time-axis analogue of the reference's _nearest_point (dataset.py:224-235)",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-marker join in either time direction. Two ordered
+    window passes per key (backward carry + forward carry) and an
+    integer-µs argmin — no range join, no explosion; exactly two
+    passes over one user_id shuffle. Ties at equal |Δt| take the
+    earlier marker (deterministic in both engines via the shared
+    (ts, event_id) window order)."""
+    ev = load(spark, "events", sf_dir)
+    mv = F.when(F.col("event_type") == "error", F.col("value"))
+    mts = F.when(
+        F.col("event_type") == "error", F.unix_micros("ts")
+    )
+    order = [F.col("ts"), F.col("event_id")]
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    d = ev.select(
+        "event_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.last(mv, ignorenulls=True).over(wb).alias("back_val"),
+        F.last(mts, ignorenulls=True).over(wb).alias("back_ts"),
+        F.first(mv, ignorenulls=True).over(wf).alias("fwd_val"),
+        F.first(mts, ignorenulls=True).over(wf).alias("fwd_ts"),
+    )
+    back_d = F.col("t_us") - F.col("back_ts")
+    fwd_d = F.col("fwd_ts") - F.col("t_us")
+    pick_back = F.col("fwd_ts").isNull() | (
+        F.col("back_ts").isNotNull() & (back_d <= fwd_d)
+    )
+    return d.select(
+        "event_id",
+        F.when(pick_back, F.col("back_val"))
+        .otherwise(F.col("fwd_val"))
+        .alias("nearest_error_value"),
+        F.when(pick_back, back_d).otherwise(fwd_d).alias("nearest_dt_us"),
+    )

@@ -91,3 +91,36 @@ def test_audio_chunks_tile_duration_exactly(spark, sf_dir):
         assert all(
             c["chunk_start_ms"] == c["chunk_idx"] * _CHUNK_MS for c in grp
         )
+
+
+def test_asof_nearest_is_true_argmin(spark, sf_dir):
+    from cs_pipeline_spark.operators.joins import join_asof_nearest
+    from cs_pipeline_spark.tables import load
+
+    got = {
+        r["event_id"]: (r["nearest_error_value"], r["nearest_dt_us"])
+        for r in join_asof_nearest(spark, sf_dir).collect()
+    }
+    ev = load(spark, "events", sf_dir).select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    ).collect()
+    per_user: dict[int, list] = {}
+    for r in ev:
+        per_user.setdefault(r["user_id"], []).append(r)
+    checked = 0
+    for u, rows in per_user.items():
+        errors = [
+            (int(r["ts"].timestamp() * 1e6), r["value"], r["event_id"])
+            for r in rows
+            if r["event_type"] == "error"
+        ]
+        for r in rows:
+            t = int(r["ts"].timestamp() * 1e6)
+            want_val, want_dt = got[r["event_id"]]
+            if not errors:
+                assert want_val is None and want_dt is None
+                continue
+            best = min(abs(et - t) for et, _, _ in errors)
+            assert want_dt == best
+            checked += 1
+    assert checked >= 1000
