@@ -132,3 +132,46 @@ def sink_sorted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("min_ts"),
         F.max("ts").alias("max_ts"),
     )
+
+
+_COMPACT_TARGET = 2
+
+
+@register(
+    "sink_compact_small_files",
+    f"""
+    SELECT COUNT(*) AS n_rows, COUNT(DISTINCT event_id) AS n_ids,
+           {_COMPACT_TARGET} AS n_files
+    FROM events
+    """,
+    doc=f"small-file compaction: 32-part scatter → coalesce({_COMPACT_TARGET}) rewrite; the oracle pins the contract (row fidelity + exact output file count)",
+)
+def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-maintenance op. Streaming sinks and per-region writers
+    leave thousands of KB-sized files; scan throughput then dies on
+    file-open overhead and tiny row groups. Compaction = read →
+    ``coalesce(target)`` → rewrite: coalesce MERGES partitions
+    without a shuffle (unlike repartition), so the rewrite is
+    scan+write only. The result re-reads the compacted table and
+    proves fidelity (row count, distinct ids) plus the exact file
+    count — the n_files column is the contract the oracle pins, like
+    the approx-aggregate verdicts. At 100 TB: compact per partition
+    directory, target ≈ 512 MB-1 GB per file."""
+    ev = load(spark, "events", sf_dir)
+    scattered = _scratch(sf_dir, "events_scattered.parquet")
+    compacted = _scratch(sf_dir, "events_compacted.parquet")
+    ev.repartition(32).write.mode("overwrite").parquet(scattered)
+    (
+        spark.read.parquet(scattered)
+        .coalesce(_COMPACT_TARGET)
+        .write.mode("overwrite")
+        .parquet(compacted)
+    )
+    back = spark.read.parquet(compacted).select(
+        "event_id", F.input_file_name().alias("fname")
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("event_id").alias("n_ids"),
+        F.countDistinct("fname").cast("int").alias("n_files"),
+    )
