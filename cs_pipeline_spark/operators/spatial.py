@@ -173,3 +173,45 @@ def filter_bbox_corner_snap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "longitude",
         )
     )
+
+
+_EARTH_R_KM = 6371.0088
+_REF_LAT, _REF_LON = 45.5, -73.6  # fixed reference point (Montreal-ish)
+
+
+@register(
+    "f_haversine",
+    f"WITH {ERA5_CTE}, pts AS (SELECT DISTINCT latitude, longitude FROM era5) "
+    "SELECT latitude, longitude, ROUND("
+    f"2.0 * {_EARTH_R_KM} * ASIN(SQRT("
+    f"POW(SIN(RADIANS(latitude - ({_REF_LAT})) / 2.0), 2) "
+    f"+ COS(RADIANS(latitude)) * COS(RADIANS({_REF_LAT})) "
+    f"* POW(SIN(RADIANS(longitude - ({_REF_LON})) / 2.0), 2)"
+    ")), 6) AS dist_km FROM pts",
+    doc="haversine great-circle distance to a reference point per grid cell (the geodesic metric behind nearest-station lookups; transcendental output rounded to 6 dp like the physics ops)",
+)
+def f_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle distance as a pure Column expression (sin/cos/
+    asin — JVM codegen, no UDF). The proper metric when 1-D
+    per-axis nearest snapping (join_nearest_grid) isn't enough —
+    e.g. picking the closest STATION to a grid cell. At 100 TB:
+    compute against a broadcast station list and min_by the
+    distance; the expression fuses into the scan stage."""
+    grid = (
+        era5_events(spark, sf_dir)
+        .select("latitude", "longitude")
+        .distinct()
+    )
+    dphi = F.radians(F.col("latitude") - F.lit(_REF_LAT)) / 2
+    dlmb = F.radians(F.col("longitude") - F.lit(_REF_LON)) / 2
+    h = (
+        F.sin(dphi) * F.sin(dphi)
+        + F.cos(F.radians("latitude"))
+        * F.cos(F.radians(F.lit(_REF_LAT)))
+        * F.sin(dlmb)
+        * F.sin(dlmb)
+    )
+    dist = F.lit(2.0 * _EARTH_R_KM) * F.asin(F.sqrt(h))
+    return grid.select(
+        "latitude", "longitude", F.round(dist, 6).alias("dist_km")
+    )

@@ -86,3 +86,31 @@ def test_no_python_udfs_in_plan(grid):
     plan = derive_predictors(grid)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_haversine_known_values(spark, sf_dir):
+    # reference point to itself = 0; ~111.19 km per degree of latitude
+    from cs_pipeline_spark.operators.spatial import (
+        _REF_LAT,
+        _REF_LON,
+        f_haversine,
+    )
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    rows = f_haversine(spark, sf_dir).collect()
+    assert rows
+    import math
+
+    for r in rows:
+        # recompute in python
+        phi1, phi2 = math.radians(r["latitude"]), math.radians(_REF_LAT)
+        dphi = math.radians(r["latitude"] - _REF_LAT)
+        dlmb = math.radians(r["longitude"] - _REF_LON)
+        h = (
+            math.sin(dphi / 2) ** 2
+            + math.cos(phi1) * math.cos(phi2) * math.sin(dlmb / 2) ** 2
+        )
+        want = 2 * 6371.0088 * math.asin(math.sqrt(h))
+        assert abs(r["dist_km"] - want) < 1e-5
+        assert r["dist_km"] >= 0
