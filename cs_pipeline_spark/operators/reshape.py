@@ -176,3 +176,42 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c_custkey"))
     )
     return c.exceptAll(o).distinct()
+
+
+@register(
+    "set_intersect_all",
+    "SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT' "
+    "INTERSECT ALL "
+    "SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'",
+    doc="bag-semantics intersection (INTERSECT ALL): multiplicity = min of the two sides — completes the set-op family alongside the distinct variants",
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`intersectAll` keeps duplicate multiplicity (min of both
+    sides) — Spark plans it as a count-compare aggregation, one
+    shuffle per side on the value, no pairwise join."""
+    o = load(spark, "orders", sf_dir)
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = o.filter(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.intersectAll(b)
+
+
+@register(
+    "set_except_all",
+    "SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT' "
+    "EXCEPT ALL "
+    "SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'",
+    doc="bag-semantics difference (EXCEPT ALL): multiplicity = left minus right, floor 0",
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, "orders", sf_dir)
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = o.filter(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.exceptAll(b)

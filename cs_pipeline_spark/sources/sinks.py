@@ -175,3 +175,26 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("event_id").alias("n_ids"),
         F.countDistinct("fname").cast("int").alias("n_files"),
     )
+
+
+@register(
+    "sink_orc_roundtrip",
+    "SELECT o_orderstatus, COUNT(*) AS n, "
+    "MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key "
+    "FROM orders GROUP BY o_orderstatus",
+    doc="ORC sink/scan roundtrip: second columnar format (write orc → re-read → aggregate matches the parquet-derived oracle) — format interchange without value drift",
+)
+def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format portability: the same frame through ORC must carry
+    identical values (both formats are lossless for these types).
+    ORC brings its own zone-map-style stats and predicate pushdown —
+    the layout guidance in SCALE.md applies unchanged."""
+    o = load(spark, "orders", sf_dir)
+    path = _scratch(sf_dir, "orders_orc")
+    o.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
