@@ -557,3 +557,59 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("nearest_error_value"),
         F.when(pick_back, back_d).otherwise(fwd_d).alias("nearest_dt_us"),
     )
+
+
+@register(
+    "merge_upsert_snapshot",
+    """
+    WITH upd AS (
+      SELECT o_orderkey, o_totalprice + 1000.0 AS new_price
+      FROM orders WHERE o_orderkey % 100 = 0
+      UNION ALL
+      SELECT -k AS o_orderkey, 111.0 * k AS new_price
+      FROM (SELECT unnest(generate_series(1, 5)) AS k)
+    )
+    SELECT COALESCE(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+           COALESCE(u.new_price, b.o_totalprice) AS price,
+           CASE WHEN b.o_orderkey IS NULL THEN 'insert'
+                WHEN u.o_orderkey IS NULL THEN 'keep'
+                ELSE 'update' END AS op
+    FROM orders b FULL JOIN upd u ON u.o_orderkey = b.o_orderkey
+    """,
+    doc="MERGE/upsert semantics without a lakehouse format: full-outer join base ⟗ updates → coalesce columns + insert/update/keep disposition — the snapshot-rewrite pattern",
+)
+def merge_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO for plain parquet: the new snapshot is a full-outer
+    join of the base table with the update set, coalescing updated
+    columns and tagging each row's disposition. At 100 TB: the update
+    set is normally ≪ base → broadcast it and the plan degrades to a
+    single base scan + broadcast outer join (no base shuffle); a
+    snapshot rewrite touches only the partitions containing updated
+    keys when the base is partitioned by a key prefix (dynamic
+    partition overwrite). Deterministic: the update set is a pure
+    function of the base."""
+    o = load(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    upd_existing = o.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey", (F.col("o_totalprice") + 1000.0).alias("new_price")
+    )
+    upd_new = spark.range(1, 6).select(
+        (-F.col("id")).alias("o_orderkey"),
+        (111.0 * F.col("id")).alias("new_price"),
+    )
+    upd = upd_existing.unionByName(upd_new)
+    b, u = o.alias("b"), upd.alias("u")
+    merged = b.join(
+        u, F.col("b.o_orderkey") == F.col("u.o_orderkey"), "full_outer"
+    )
+    return merged.select(
+        F.coalesce(F.col("u.o_orderkey"), F.col("b.o_orderkey")).alias(
+            "o_orderkey"
+        ),
+        F.coalesce(F.col("u.new_price"), F.col("b.o_totalprice")).alias(
+            "price"
+        ),
+        F.when(F.col("b.o_orderkey").isNull(), "insert")
+        .when(F.col("u.o_orderkey").isNull(), "keep")
+        .otherwise("update")
+        .alias("op"),
+    )

@@ -124,3 +124,28 @@ def test_asof_nearest_is_true_argmin(spark, sf_dir):
             assert want_dt == best
             checked += 1
     assert checked >= 1000
+
+
+def test_merge_upsert_dispositions(spark, sf_dir):
+    from cs_pipeline_spark.operators.joins import merge_upsert_snapshot
+    from cs_pipeline_spark.tables import load
+
+    rows = merge_upsert_snapshot(spark, sf_dir).collect()
+    base = {
+        r["o_orderkey"]: r["o_totalprice"]
+        for r in load(spark, "orders", sf_dir)
+        .select("o_orderkey", "o_totalprice")
+        .collect()
+    }
+    ops = {"insert": 0, "update": 0, "keep": 0}
+    for r in rows:
+        ops[r["op"]] += 1
+        if r["op"] == "insert":
+            assert r["o_orderkey"] < 0 and r["o_orderkey"] not in base
+        elif r["op"] == "update":
+            assert r["price"] == base[r["o_orderkey"]] + 1000.0
+        else:
+            assert r["price"] == base[r["o_orderkey"]]
+    assert ops["insert"] == 5
+    assert ops["update"] == sum(1 for k in base if k % 100 == 0)
+    assert len(rows) == len(base) + 5
