@@ -160,3 +160,47 @@ def project_predictor_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
         FULLNAME_TO_SHORTNAME[v] for v in VARIABLES_FOR_PREDICTOR["G"]
     ]
     return era5_events(spark, sf_dir).select("event_id", *shortnames)
+
+
+@register(
+    "f_parse_messy_numbers",
+    """
+    WITH m AS (SELECT o_orderkey,
+        CASE o_orderkey % 4
+          WHEN 0 THEN '$' || CAST(o_totalprice AS VARCHAR)
+          WHEN 1 THEN CAST(o_totalprice AS VARCHAR) || ' USD'
+          WHEN 2 THEN 'n/a'
+          ELSE CAST(o_totalprice AS VARCHAR) END AS raw
+      FROM orders WHERE o_orderkey < 4000)
+    SELECT o_orderkey, raw,
+           TRY_CAST(regexp_replace(raw, '[$, ]|USD', '', 'g') AS DOUBLE) AS parsed
+    FROM m
+    """,
+    doc="tolerant numeric parsing: strip currency/unit decoration + try_cast (null on garbage, never a job-killing ANSI error) — the messy-CSV cleaning primitive",
+)
+def f_parse_messy_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real ingest data carries '$1,234.5', '99 USD', 'n/a'. Under
+    ANSI mode (engine default) a plain CAST on garbage KILLS the job
+    — `try_cast` + a stripping regex turns unparseable cells into
+    nulls that flow into the null-skipping aggregates instead.
+    Expression-side only, scan-fused; the messy strings here are
+    derived deterministically (the corpus has no dirty column)."""
+    o = load(spark, "orders", sf_dir).filter(F.col("o_orderkey") < 4000)
+    raw = (
+        F.when(
+            F.col("o_orderkey") % 4 == 0,
+            F.concat(F.lit("$"), F.col("o_totalprice").cast("string")),
+        )
+        .when(
+            F.col("o_orderkey") % 4 == 1,
+            F.concat(F.col("o_totalprice").cast("string"), F.lit(" USD")),
+        )
+        .when(F.col("o_orderkey") % 4 == 2, F.lit("n/a"))
+        .otherwise(F.col("o_totalprice").cast("string"))
+    )
+    return (
+        o.select("o_orderkey", raw.alias("raw"))
+        .withColumn("parsed", F.expr(
+            "try_cast(regexp_replace(raw, '[$, ]|USD', '') AS DOUBLE)"
+        ))
+    )

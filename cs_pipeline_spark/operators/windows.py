@@ -423,3 +423,35 @@ def win_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean.alias("roll_mean"),
         z.alias("zscore"),
     )
+
+
+@register(
+    "win_scd2_intervals",
+    "WITH e AS (SELECT event_id, user_id, event_type, value, "
+    f"{EVENTS_TS_SQL} AS ts FROM events WHERE event_type = 'signup' OR event_type = 'purchase') "
+    "SELECT event_id, user_id, value, ts AS valid_from, "
+    "LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to, "
+    "LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current "
+    "FROM e",
+    doc="SCD2 validity intervals from a change log: valid_from = event time, valid_to = next change (lead), open interval flags the current row",
+)
+def win_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) construction: a change log
+    becomes per-key [valid_from, valid_to) history rows with one
+    ``lead`` pass — the dimension-table build every warehouse
+    pipeline runs. One shuffle on the key; as-of joins against the
+    result use the interval (join_asof / join_interval_buckets
+    patterns). The open (null valid_to) row is the current version."""
+    ev = load(spark, "events", sf_dir).filter(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )

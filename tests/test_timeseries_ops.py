@@ -149,3 +149,30 @@ def test_merge_upsert_dispositions(spark, sf_dir):
     assert ops["insert"] == 5
     assert ops["update"] == sum(1 for k in base if k % 100 == 0)
     assert len(rows) == len(base) + 5
+
+
+def test_scd2_intervals_chain(spark, sf_dir):
+    from cs_pipeline_spark.operators.windows import win_scd2_intervals
+
+    rows = win_scd2_intervals(spark, sf_dir).collect()
+    per_user: dict[int, list] = {}
+    for r in rows:
+        per_user.setdefault(r["user_id"], []).append(r)
+    for u, grp in per_user.items():
+        grp.sort(key=lambda r: (r["valid_from"], r["event_id"]))
+        assert sum(1 for r in grp if r["is_current"]) == 1
+        assert grp[-1]["valid_to"] is None
+        for a, b in zip(grp, grp[1:]):
+            assert a["valid_to"] == b["valid_from"]  # gapless chain
+
+
+def test_messy_numbers_null_on_garbage(spark, sf_dir):
+    from cs_pipeline_spark.operators.filters import f_parse_messy_numbers
+
+    rows = f_parse_messy_numbers(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r["raw"] == "n/a":
+            assert r["parsed"] is None
+        else:
+            assert r["parsed"] is not None and r["parsed"] > 0
