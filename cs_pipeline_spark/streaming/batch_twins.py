@@ -194,3 +194,38 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "stream_record_highs",
+    "WITH e AS (SELECT event_id, user_id, value, "
+    f"{_TS} AS ts, "
+    "MAX(value) OVER (PARTITION BY user_id ORDER BY "
+    f"{_TS}, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max "
+    "FROM events) "
+    "SELECT user_id, event_id, ts, value FROM e "
+    "WHERE value IS NOT NULL AND (prev_max IS NULL OR value > prev_max)",
+    doc="custom stateful op #2 batch twin: per-user personal-record (high-watermark) events — running-max state, pure value compare (stream side: applyInPandasWithState, streaming/stateful.py)",
+)
+def stream_record_highs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of ``record_highs_stateful``: a row is a record iff
+    it strictly exceeds the max of all EARLIER rows of its key (frame
+    ends at 1 PRECEDING — the current row never masks itself)."""
+    from pyspark.sql import Window
+
+    ev = load(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_max = F.max("value").over(w)
+    return (
+        ev.withColumn("prev_max", prev_max)
+        .filter(
+            F.col("value").isNotNull()
+            & (F.col("prev_max").isNull() | (F.col("value") > F.col("prev_max")))
+        )
+        .select("user_id", "event_id", "ts", "value")
+    )

@@ -91,3 +91,53 @@ def threshold_alerts_stateful(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------- personal-record (high-watermark) detector ----------
+
+RECORD_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+_MAX_STATE_SCHEMA = StructType([StructField("maxv", DoubleType())])
+
+
+def _records_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Emit a row whenever a user's value strictly exceeds every
+    earlier value of theirs. State = ONE double (the running max); the
+    comparison is a pure value compare — no arithmetic, so stream,
+    batch twin, and oracle agree with no quantization needed."""
+    cur = state.get[0] if state.exists else None
+    out: list[tuple] = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for r in pdf.itertuples(index=False):
+            if pd.isna(r.value):
+                continue
+            v = float(r.value)
+            if cur is None or v > cur:
+                out.append((key[0], r.event_id, r.ts, v))
+                cur = v
+    if cur is not None:
+        state.update((cur,))
+    yield pd.DataFrame(
+        out, columns=["user_id", "event_id", "ts", "value"]
+    )
+
+
+def record_highs_stateful(events: DataFrame) -> DataFrame:
+    """Streaming personal-record detector (custom stateful op #2)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _records_fn,
+        outputStructType=RECORD_SCHEMA,
+        stateStructType=_MAX_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -267,3 +267,47 @@ def test_checkpoint_resume_no_reprocessing(spark, tmp_path_factory):
     got = spark.read.parquet(sink)
     assert got.count() == events.count()
     assert got.select("event_id").distinct().count() == events.count()
+
+
+def test_stateful_record_highs_matches_batch(spark, tmp_path):
+    """Custom stateful op #2 replay: the running-max state must
+    survive micro-batch boundaries and reproduce the batch twin."""
+    import os
+    import time as _time
+
+    from cs_pipeline_spark.streaming import stateful
+    from cs_pipeline_spark.streaming.batch_twins import stream_record_highs
+
+    src = str(tmp_path / "ordered_events_rh")
+    os.makedirs(src)
+    ev = load(spark, "events", SF_DIR).orderBy("ts", "event_id")
+    rows = ev.count()
+    first = ev.limit(rows // 2)
+    second = ev.subtract(first)
+    first.coalesce(1).write.mode("overwrite").parquet(src + "/b0")
+    second.coalesce(1).write.mode("overwrite").parquet(src + "/b1")
+    now = _time.time()
+    for i, d in enumerate(("b0", "b1")):
+        for f in os.listdir(os.path.join(src, d)):
+            os.utime(os.path.join(src, d, f), (now + i * 10, now + i * 10))
+
+    stream = (
+        spark.readStream.schema(jobs.EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", True)
+        .parquet(src)
+    )
+    q = (
+        stateful.record_highs_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("t_records")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("t_records")
+    want = stream_record_highs(spark, SF_DIR)
+    cols = ["user_id", "event_id", "ts", "value"]
+    assert len(q.recentProgress) >= 2  # state crossed a batch boundary
+    assert _canon(got, cols) == _canon(want, cols)
