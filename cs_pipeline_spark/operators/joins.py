@@ -581,11 +581,14 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def merge_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO for plain parquet: the new snapshot is a full-outer
     join of the base table with the update set, coalescing updated
-    columns and tagging each row's disposition. At 100 TB: the update
-    set is normally ≪ base → broadcast it and the plan degrades to a
-    single base scan + broadcast outer join (no base shuffle); a
-    snapshot rewrite touches only the partitions containing updated
-    keys when the base is partitioned by a key prefix (dynamic
+    columns and tagging each row's disposition. At 100 TB: Spark
+    cannot broadcast-hash a FULL outer join, so for an update set ≪
+    base decompose it — base LEFT-broadcast-JOIN updates (update/keep
+    rows, no base shuffle) UNION updates ANTI-broadcast-JOIN base
+    (insert rows); same result, zero base-side shuffles. The single
+    full-outer form here is the general fact-to-fact shape (sort-merge
+    on the key). A snapshot rewrite touches only partitions containing
+    updated keys when the base is partitioned by a key prefix (dynamic
     partition overwrite). Deterministic: the update set is a pure
     function of the base."""
     o = load(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
