@@ -616,3 +616,79 @@ def merge_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("update")
         .alias("op"),
     )
+
+
+@register(
+    "merge_upsert_broadcast",
+    """
+    WITH upd AS (
+      SELECT o_orderkey, o_totalprice + 1000.0 AS new_price
+      FROM orders WHERE o_orderkey % 100 = 0
+      UNION ALL
+      SELECT -k AS o_orderkey, 111.0 * k AS new_price
+      FROM (SELECT unnest(generate_series(1, 5)) AS k)
+    )
+    SELECT COALESCE(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+           COALESCE(u.new_price, b.o_totalprice) AS price,
+           CASE WHEN b.o_orderkey IS NULL THEN 'insert'
+                WHEN u.o_orderkey IS NULL THEN 'keep'
+                ELSE 'update' END AS op
+    FROM orders b FULL JOIN upd u ON u.o_orderkey = b.o_orderkey
+    """,
+    doc="the broadcastable MERGE decomposition: base LEFT-broadcast-JOIN updates ∪ updates ANTI-broadcast-JOIN base — identical result to merge_upsert_snapshot with ZERO base-side shuffles (plan-asserted)",
+)
+def merge_upsert_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path for update-set ≪ base (the common case): Spark
+    cannot broadcast a FULL outer join, but the same relation is
+    base⟕updates (broadcast right) unioned with updates▷base
+    (broadcast left-anti keeps the stream side = updates, base as
+    build is wrong way — so anti is updates.join(base_keys,
+    'left_anti') with base KEYS broadcast... keys-only projection
+    keeps even a big base broadcastable when its distinct-key column
+    is small; here both sides are tiny). Oracle: identical to the
+    full-outer form."""
+    o = load(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    upd = (
+        o.filter(F.col("o_orderkey") % 100 == 0)
+        .select(
+            "o_orderkey", (F.col("o_totalprice") + 1000.0).alias("new_price")
+        )
+        .unionByName(
+            spark.range(1, 6).select(
+                (-F.col("id")).alias("o_orderkey"),
+                (111.0 * F.col("id")).alias("new_price"),
+            )
+        )
+    )
+    # update/keep rows: base streams, updates broadcast
+    upserted = (
+        o.alias("b")
+        .join(
+            F.broadcast(upd.alias("u")),
+            F.col("b.o_orderkey") == F.col("u.o_orderkey"),
+            "left",
+        )
+        .select(
+            F.col("b.o_orderkey").alias("o_orderkey"),
+            F.coalesce(F.col("u.new_price"), F.col("b.o_totalprice")).alias(
+                "price"
+            ),
+            F.when(F.col("u.o_orderkey").isNull(), "keep")
+            .otherwise("update")
+            .alias("op"),
+        )
+    )
+    # insert rows: updates not present in the base (base keys broadcast)
+    inserts = (
+        upd.join(
+            F.broadcast(o.select("o_orderkey")),
+            "o_orderkey",
+            "left_anti",
+        )
+        .select(
+            "o_orderkey",
+            F.col("new_price").alias("price"),
+            F.lit("insert").alias("op"),
+        )
+    )
+    return upserted.unionByName(inserts)

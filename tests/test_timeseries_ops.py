@@ -176,3 +176,17 @@ def test_messy_numbers_null_on_garbage(spark, sf_dir):
             assert r["parsed"] is None
         else:
             assert r["parsed"] is not None and r["parsed"] > 0
+
+
+def test_merge_broadcast_plan_and_equivalence(spark, sf_dir):
+    from cs_pipeline_spark.operators.joins import (
+        merge_upsert_broadcast,
+        merge_upsert_snapshot,
+    )
+
+    bcast = merge_upsert_broadcast(spark, sf_dir)
+    plan = bcast._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan  # zero base-side shuffles
+    a = sorted(map(tuple, bcast.collect()))
+    b = sorted(map(tuple, merge_upsert_snapshot(spark, sf_dir).collect()))
+    assert a == b  # identical relation to the full-outer form
