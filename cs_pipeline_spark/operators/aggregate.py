@@ -725,3 +725,56 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qty_weighted_price"
         )
     )
+
+
+@register(
+    "agg_incremental_merge",
+    f"""
+    SELECT event_type, COUNT(*) AS n,
+           {sql_dsum('value')} AS sum_value,
+           {sql_davg('value')} AS avg_value
+    FROM events GROUP BY event_type
+    """,
+    doc="incremental aggregation: two half-corpus partial states merged = one full-scan aggregate, bit-exact — the backfill/daily-increment pattern the quantized-integer sums exist for",
+)
+def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ETL contract: aggregate each data increment to a
+    PARTIAL state (quantized integer sum + count), persist it, and
+    fold new increments in by summing states — the result must equal
+    a full rescan bit-for-bit, which only holds because the state is
+    exact integers (float partials would drift with the merge order).
+    Here: the events table split at its median timestamp into two
+    'increments', each aggregated separately, states unioned and
+    re-reduced; the ORACLE aggregates the whole table in one pass —
+    the hash match IS the incremental-equals-batch proof. At 100 TB
+    this is how daily partitions fold into monthly rollups without
+    re-reading history."""
+    ev = load(spark, "events", sf_dir)
+    mid = "2024-01-15 00:00:00"
+    q = F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast(
+        "decimal(38,0)"
+    )
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count("value").alias("n_part"),
+            F.sum(q).alias("sum_q"),
+        )
+
+    inc1 = partial(ev.filter(F.col("ts") < F.lit(mid).cast("timestamp")))
+    inc2 = partial(ev.filter(F.col("ts") >= F.lit(mid).cast("timestamp")))
+    merged = (
+        inc1.unionByName(inc2)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_part").alias("n"),
+            F.sum("sum_q").alias("sum_q"),
+        )
+    )
+    sum_value = F.col("sum_q").cast("string").cast("double") / F.lit(1e6)
+    return merged.select(
+        "event_type",
+        "n",
+        sum_value.alias("sum_value"),
+        (sum_value / F.col("n")).alias("avg_value"),
+    )

@@ -204,3 +204,78 @@ def f_parse_messy_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "try_cast(regexp_replace(raw, '[$, ]|USD', '') AS DOUBLE)"
         ))
     )
+
+
+@register(
+    "dq_expectations",
+    """
+    SELECT rule, n_violations, n_rows,
+           CAST(n_violations AS DOUBLE) / n_rows AS violation_ratio,
+           n_violations = 0 AS passed
+    FROM (
+      SELECT 'value_non_negative' AS rule,
+             COUNT(CASE WHEN value < 0 THEN 1 END) AS n_violations,
+             COUNT(*) AS n_rows FROM events
+      UNION ALL
+      SELECT 'event_type_in_domain',
+             COUNT(CASE WHEN event_type NOT IN
+               ('view','click','purchase','signup','error') THEN 1 END),
+             COUNT(*) FROM events
+      UNION ALL
+      SELECT 'ts_in_expected_range',
+             COUNT(CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-01'
+                         OR CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-02-01'
+                   THEN 1 END),
+             COUNT(*) FROM events
+      UNION ALL
+      SELECT 'user_id_positive',
+             COUNT(CASE WHEN user_id <= 0 THEN 1 END),
+             COUNT(*) FROM events
+    )
+    """,
+    doc="data-quality expectations report: domain/range/sign rules evaluated in ONE scan (conditional counts), rendered as (rule, violations, ratio, passed) rows — the per-batch DQ gate",
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation-suite evaluation (Great-Expectations shape): every
+    rule is a conditional count inside a single aggregation, so N
+    rules cost one scan — never one scan per rule. The report is
+    unpivoted from the 1-row aggregate, and a `passed` verdict per
+    rule gates the downstream pipeline. At 100 TB: run per ingest
+    partition and store the report next to the data (the audit trail
+    data contracts want)."""
+    ev = load(spark, "events", sf_dir)
+    rules = {
+        "value_non_negative": F.col("value") < 0,
+        "event_type_in_domain": ~F.col("event_type").isin(
+            "view", "click", "purchase", "signup", "error"
+        ),
+        "ts_in_expected_range": (
+            F.col("ts") < F.lit("2024-01-01").cast("timestamp")
+        ) | (F.col("ts") >= F.lit("2024-02-01").cast("timestamp")),
+        "user_id_positive": F.col("user_id") <= 0,
+    }
+    agg = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            F.count(F.when(cond, F.lit(1))).alias(f"v_{name}")
+            for name, cond in rules.items()
+        ],
+    )
+    stack_args = ", ".join(
+        f"'{name}', v_{name}" for name in rules
+    )
+    stacked = agg.select(
+        F.expr(
+            f"stack({len(rules)}, {stack_args}) AS (rule, n_violations)"
+        ),
+        "n_rows",
+    )
+    return stacked.select(
+        "rule",
+        "n_violations",
+        "n_rows",
+        (F.col("n_violations").cast("double") / F.col("n_rows")).alias(
+            "violation_ratio"
+        ),
+        (F.col("n_violations") == 0).alias("passed"),
+    )

@@ -225,3 +225,45 @@ def test_corr_matches_numpy(spark, sf_dir):
         y = np.floor(np.array([p[1] for p in pairs]) * 1e6 + 0.5) / 1e6
         want = float(np.corrcoef(x, y)[0, 1])
         assert abs(got[flag] - want) < 1e-9
+
+
+def test_incremental_merge_equals_full_scan(spark, sf_dir):
+    from cs_pipeline_spark.operators.aggregate import agg_incremental_merge
+    from pyspark.sql import functions as F
+
+    got = {
+        r["event_type"]: (r["n"], r["sum_value"])
+        for r in agg_incremental_merge(spark, sf_dir).collect()
+    }
+    ev = load(spark, "events", sf_dir)
+    q = F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,0)")
+    full = {
+        r["event_type"]: (r["n"], r["s"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count("value").alias("n"),
+            (F.sum(q).cast("string").cast("double") / F.lit(1e6)).alias("s"),
+        )
+        .collect()
+    }
+    assert got == full  # bit-exact, not approximately equal
+
+
+def test_dq_one_scan_and_verdicts(spark, sf_dir):
+    from cs_pipeline_spark.operators.filters import dq_expectations
+
+    rows = {r["rule"]: r for r in dq_expectations(spark, sf_dir).collect()}
+    assert len(rows) == 4
+    for r in rows.values():
+        assert r["passed"] == (r["n_violations"] == 0)
+        assert 0 <= r["violation_ratio"] <= 1
+    # the synthetic corpus is clean on these rules
+    assert all(r["passed"] for r in rows.values())
+    # one scan: a single aggregate node feeds the stack
+    plan = (
+        dq_expectations(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") - plan.count("ReusedExchange") <= 1
