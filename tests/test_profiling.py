@@ -257,8 +257,13 @@ def test_dq_one_scan_and_verdicts(spark, sf_dir):
     for r in rows.values():
         assert r["passed"] == (r["n_violations"] == 0)
         assert 0 <= r["violation_ratio"] <= 1
-    # the synthetic corpus is clean on these rules
-    assert all(r["passed"] for r in rows.values())
+    # a useful report contains BOTH verdicts on this corpus: the
+    # value/domain/range rules hold, user_id=0 rows violate the
+    # positivity rule
+    assert rows["value_non_negative"]["passed"]
+    assert rows["event_type_in_domain"]["passed"]
+    assert not rows["user_id_positive"]["passed"]
+    assert rows["user_id_positive"]["n_violations"] > 0
     # one scan: a single aggregate node feeds the stack
     plan = (
         dq_expectations(spark, sf_dir)
