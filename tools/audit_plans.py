@@ -63,6 +63,14 @@ AUDIT: dict[str, dict] = {
     "q_min_cost_supplier": {"smj": 0},
     "win_gap_detect": {"exchange": 1},
     "profile_nulls": {},
+    "merge_upsert_broadcast": {"smj": 0},
+    "dq_expectations": {},
+    "agg_incremental_merge": {},
+    "win_scd2_intervals": {"exchange": 1},
+    "f_haversine": {},
+    "join_asof_nearest": {"exchange": 1},
+    "sim_range_search": {"exchange": 0},
+    "agg_corr": {"exchange": 1},
 }
 
 
