@@ -310,3 +310,59 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.k").alias("best_suppkey"),
         F.col("b.a").alias("best_acctbal"),
     )
+
+
+# ---------- threshold + anti-join composite (q22 shape) ----------
+
+
+@register(
+    "q_rich_inactive_customers",
+    """
+    WITH pos AS (SELECT c_acctbal,
+                   CAST(FLOOR(c_acctbal * 1000000.0 + 0.5) AS HUGEINT) AS qb
+                 FROM customer WHERE c_acctbal > 0.0),
+    thr AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(qb) AS s FROM pos)
+    SELECT c.c_nationkey, COUNT(*) AS n_custs,
+           CAST(CAST(SUM(CAST(FLOOR(c.c_acctbal * 1000000.0 + 0.5)
+             AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 1000000.0 AS total_bal
+    FROM customer c, thr
+    WHERE CAST(FLOOR(c.c_acctbal * 1000000.0 + 0.5) AS HUGEINT) * thr.n > thr.s
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c.c_nationkey
+    """,
+    doc="q22 shape: above-average balance (exact integer threshold q·n > Σq) AND no order since 2000 (anti-join on a filtered right side — keeps the cohort non-empty at every sf), grouped by nation",
+)
+def q_rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic 'valuable but dormant' cohort: a global scalar
+    threshold (avg positive balance — rewritten q·n > Σq, exact
+    integers, no float boundary) intersected with an anti-join
+    against orders. Scale: the 1-row threshold broadcasts; the
+    anti-join shuffles on custkey (or broadcasts the distinct order
+    keys if they fit); one final small aggregation."""
+    c = load(spark, "customer", sf_dir)
+    o = load(spark, "orders", sf_dir)
+    qb = F.floor(F.col("c_acctbal") * F.lit(1e6) + F.lit(0.5)).cast(
+        "decimal(38,0)"
+    )
+    thr = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            F.count(F.lit(1)).cast("decimal(20,0)").alias("n"),
+            F.sum(qb).alias("s"),
+        )
+    )
+    rich = (
+        c.join(F.broadcast(thr))
+        .filter(qb * F.col("n") > F.col("s"))
+        .drop("n", "s")
+    )
+    recent = o.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    inactive = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+    return inactive.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        dsum("c_acctbal").alias("total_bal"),
+    )

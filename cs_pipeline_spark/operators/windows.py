@@ -455,3 +455,33 @@ def win_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@register(
+    "win_percent_rank",
+    "WITH e AS (SELECT event_id, event_type, value, "
+    "PERCENT_RANK() OVER (PARTITION BY event_type ORDER BY "
+    f"CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT), event_id) AS pct "
+    "FROM events) "
+    "SELECT event_id, event_type, value, pct FROM e WHERE pct >= 0.99",
+    doc="percent_rank tail selection: top-1% rows per group on a quantized total order — (rank−1)/(n−1) is an exact integer ratio, identical both engines",
+)
+def win_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-rank tail extraction (outlier/top-percentile pulls).
+    percent_rank = (rank−1)/(n−1): integers in, one exact division
+    out — no cross-engine drift, and the quantized order key +
+    event_id tie-break make the rank itself deterministic. One
+    shuffle on the group key."""
+    ev = load(spark, "events", sf_dir)
+    w = Window.partitionBy("event_type").orderBy(
+        F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)), F.col("event_id")
+    )
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            "value",
+            F.percent_rank().over(w).alias("pct"),
+        )
+        .filter(F.col("pct") >= 0.99)
+    )
