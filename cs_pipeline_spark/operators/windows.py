@@ -485,3 +485,120 @@ def win_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("pct") >= 0.99)
     )
+
+
+# ---------- full inference-batch assembly (reference parity) ----------
+
+_IGBP_N = 4  # 4×4 coarse static-raster grid
+
+
+def _igbp_grid(spark: SparkSession) -> DataFrame:
+    """Static IGBP-style categorical raster on a coarser grid
+    (deterministic codes 0..16 — the 17 IGBP classes)."""
+    ky = spark.range(_IGBP_N).select(F.col("id").alias("ky"))
+    kx = spark.range(_IGBP_N).select(F.col("id").alias("kx"))
+    return ky.crossJoin(kx).select(
+        (44.9 + F.col("ky").cast("double") * 0.5).alias("ilat"),
+        (-74.1 + F.col("kx").cast("double") * 0.5).alias("ilon"),
+        ((F.col("ky") * _IGBP_N + F.col("kx")) % 17).alias("igbp_code"),
+    )
+
+
+_IGBP_SQL = (
+    f"igbp AS (SELECT 44.9 + CAST(ky.k AS DOUBLE) * 0.5 AS ilat, "
+    f"-74.1 + CAST(kx.k AS DOUBLE) * 0.5 AS ilon, "
+    f"(ky.k * {_IGBP_N} + kx.k) % 17 AS igbp_code "
+    f"FROM range({_IGBP_N}) ky(k) CROSS JOIN range({_IGBP_N}) kx(k))"
+)
+
+
+def _sql_snap(name, vcol, rcol, out):
+    return (
+        f"{name} AS (SELECT {vcol}, {out} FROM ("
+        f"SELECT v.{vcol}, r.{rcol} AS {out}, "
+        f"ROW_NUMBER() OVER (PARTITION BY v.{vcol} "
+        f"ORDER BY ABS(v.{vcol} - r.{rcol}), r.{rcol}) AS rn "
+        f"FROM (SELECT DISTINCT {vcol} FROM era5) v "
+        f"CROSS JOIN (SELECT DISTINCT {rcol} FROM igbp) r) WHERE rn = 1)"
+    )
+
+
+_ML_ORACLE = (
+    f"WITH {ERA5_CTE}, {_IGBP_SQL}, "
+    + _sql_snap("slat", "latitude", "ilat", "snap_lat")
+    + ", "
+    + _sql_snap("slon", "longitude", "ilon", "snap_lon")
+    + ", e AS (SELECT era5.*, g.igbp_code "
+    "FROM era5 JOIN slat USING (latitude) JOIN slon USING (longitude) "
+    "LEFT JOIN igbp g ON g.ilat = slat.snap_lat AND g.ilon = slon.snap_lon) "
+    "SELECT event_id, latitude, longitude, igbp_code, win_sum_t2m, doy, tod "
+    "FROM (SELECT event_id, latitude, longitude, igbp_code, "
+    "COUNT(*) OVER w AS win_n, "
+    "(CAST(CAST(SUM(CAST(FLOOR(t2m * 1000000.0 + 0.5) AS DECIMAL(38,0))) "
+    "OVER w AS VARCHAR) AS DOUBLE) / 1000000.0) AS win_sum_t2m, "
+    "CAST(dayofyear(valid_time) AS BIGINT) AS doy, "
+    "CAST(hour(valid_time) AS BIGINT) AS tod "
+    "FROM e WINDOW w AS (PARTITION BY latitude, longitude ORDER BY event_id "
+    f"ROWS BETWEEN {WINDOW_SIZE - 1} PRECEDING AND CURRENT ROW)) t "
+    f"WHERE win_n = {WINDOW_SIZE}"
+)
+
+
+@register(
+    "ml_sample_assembly",
+    _ML_ORACLE,
+    doc="full inference-batch assembly (inference core.py:37-135): sliding window stats + nearest-interpolated static IGBP label + DOY/TOD aux per sample — the complete ERA5Dataset.__getitem__ as one query",
+)
+def ml_sample_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ``ERA5Dataset`` emits, per (t, y, x): a
+    window_size tensor slice, the cell's nearest-interpolated IGBP
+    class (static raster, ``interp(method='nearest')``,
+    inference core.py:61-71), and DOY/TOD aux features (core.py:54-58).
+    Spark-first assembly: per-cell sliding window (one shuffle) ⋈
+    broadcast nearest-snapped IGBP mapping (axis-independent 1-D
+    snaps, like the reference's xarray interp) + calendar features —
+    all in one plan; the windowed tensor itself is the
+    ``win_collect_series`` column, summarized here by the quantized
+    window sum so the driver can hash it."""
+    from cs_pipeline_spark.operators.joins import join_nearest_coord
+
+    df = era5_events(spark, sf_dir)
+    igbp = _igbp_grid(spark)
+    snapped = join_nearest_coord(
+        join_nearest_coord(
+            df, igbp.select("ilat"), "latitude", "ilat", "snap_lat"
+        ),
+        igbp.select("ilon"),
+        "longitude",
+        "ilon",
+        "snap_lon",
+    ).join(
+        F.broadcast(igbp),
+        (F.col("snap_lat") == F.col("ilat"))
+        & (F.col("snap_lon") == F.col("ilon")),
+        "left",
+    )
+    w = (
+        Window.partitionBy("latitude", "longitude")
+        .orderBy("event_id")
+        .rowsBetween(-(WINDOW_SIZE - 1), Window.currentRow)
+    )
+    qsum = (
+        F.sum(
+            F.floor(F.col("t2m") * 1000000.0 + 0.5).cast("decimal(38,0)")
+        ).over(w)
+        .cast("string")
+        .cast("double")
+        / 1000000.0
+    )
+    out = snapped.select(
+        "event_id",
+        "latitude",
+        "longitude",
+        "igbp_code",
+        F.count(F.lit(1)).over(w).alias("win_n"),
+        qsum.alias("win_sum_t2m"),
+        F.dayofyear("valid_time").cast("bigint").alias("doy"),
+        F.hour("valid_time").cast("bigint").alias("tod"),
+    )
+    return out.filter(F.col("win_n") == WINDOW_SIZE).drop("win_n")

@@ -190,3 +190,21 @@ def test_merge_broadcast_plan_and_equivalence(spark, sf_dir):
     a = sorted(map(tuple, bcast.collect()))
     b = sorted(map(tuple, merge_upsert_snapshot(spark, sf_dir).collect()))
     assert a == b  # identical relation to the full-outer form
+
+
+def test_ml_sample_assembly_igbp_is_nearest(spark, sf_dir):
+    from cs_pipeline_spark.operators.windows import (
+        _IGBP_N,
+        ml_sample_assembly,
+    )
+
+    rows = ml_sample_assembly(spark, sf_dir).collect()
+    assert rows
+    for r in rows[:200]:
+        # recompute nearest igbp cell per axis (ties -> smaller ref)
+        lats = [44.9 + k * 0.5 for k in range(_IGBP_N)]
+        lons = [-74.1 + k * 0.5 for k in range(_IGBP_N)]
+        ky = min(range(_IGBP_N), key=lambda k: (abs(r["latitude"] - lats[k]), lats[k]))
+        kx = min(range(_IGBP_N), key=lambda k: (abs(r["longitude"] - lons[k]), lons[k]))
+        assert r["igbp_code"] == (ky * _IGBP_N + kx) % 17
+        assert 1 <= r["doy"] <= 366 and 0 <= r["tod"] <= 23
