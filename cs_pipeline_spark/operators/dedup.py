@@ -849,3 +849,54 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).select(
         F.col("node").alias("vec_id"), F.col("label").alias("canonical_id")
     )
+
+
+_LEV_PREFIX = 40  # compare the first 40 normalized chars ("title")
+_LEV_MAX = 3
+
+
+@register(
+    "dedup_levenshtein",
+    f"""
+    WITH d AS (SELECT doc_id, lang, source,
+                 substr({_NORM_DUCK}, 1, {_LEV_PREFIX}) AS title
+               FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.title, b.title) AS edit_dist
+    FROM d a JOIN d b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.title, b.title) <= {_LEV_MAX}
+    """,
+    doc=f"edit-distance near-dup verification for short strings: ≤{_LEV_MAX} Levenshtein on the {_LEV_PREFIX}-char normalized prefix within (lang, source) blocks — the title/short-text dedup verify stage",
+)
+def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit distance is the right near-dup metric for SHORT strings
+    (titles, names, queries) where shingle Jaccard degenerates. Like
+    dedup_ngram_jaccard, this is the blocked VERIFY stage: O(B²·L²)
+    per block, so at 100 TB candidates come from LSH buckets or a
+    prefix/length blocking key (|len(a)−len(b)| > k ⟹ dist > k — a
+    free pre-filter), never all-pairs. Both engines implement the
+    classic DP — integer distances, deterministic."""
+    docs = load(spark, "documents", sf_dir)
+    d = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.substring(F.expr(_NORM), 1, _LEV_PREFIX).alias("title"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    dist = F.levenshtein(F.col("a.title"), F.col("b.title"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= _LEV_MAX)
+    )
