@@ -602,3 +602,42 @@ def ml_sample_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour("valid_time").cast("bigint").alias("tod"),
     )
     return out.filter(F.col("win_n") == WINDOW_SIZE).drop("win_n")
+
+
+@register(
+    "win_streak_islands",
+    "WITH e AS (SELECT event_id, user_id, event_type, "
+    f"{EVENTS_TS_SQL} AS ts FROM events), "
+    "g AS (SELECT user_id, event_type, "
+    "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+    "- ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS island "
+    "FROM e), "
+    "s AS (SELECT user_id, event_type, island, COUNT(*) AS streak_len "
+    "FROM g GROUP BY user_id, event_type, island) "
+    "SELECT user_id, event_type, MAX(streak_len) AS max_streak, "
+    "COUNT(*) AS n_streaks FROM s GROUP BY user_id, event_type",
+    doc="gaps-and-islands: longest consecutive same-type run per user (double row_number difference) — the streak/run-length primitive behind retention and anomaly-burst analysis",
+)
+def win_streak_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gaps-and-islands rewrite: rows of one type form an island
+    exactly when (global row_number − per-type row_number) is
+    constant — two window passes over ONE user_id shuffle (same
+    partition key, Spark plans a single exchange), then two small
+    aggregations. No self-join, no iteration, scale-indifferent."""
+    ev = load(spark, "events", sf_dir)
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_typ = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    island = F.row_number().over(w_all) - F.row_number().over(w_typ)
+    streaks = (
+        ev.select(
+            "user_id", "event_type", island.alias("island")
+        )
+        .groupBy("user_id", "event_type", "island")
+        .agg(F.count(F.lit(1)).alias("streak_len"))
+    )
+    return streaks.groupBy("user_id", "event_type").agg(
+        F.max("streak_len").alias("max_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )

@@ -208,3 +208,35 @@ def test_ml_sample_assembly_igbp_is_nearest(spark, sf_dir):
         kx = min(range(_IGBP_N), key=lambda k: (abs(r["longitude"] - lons[k]), lons[k]))
         assert r["igbp_code"] == (ky * _IGBP_N + kx) % 17
         assert 1 <= r["doy"] <= 366 and 0 <= r["tod"] <= 23
+
+
+def test_streak_islands_bruteforce(spark, sf_dir):
+    from cs_pipeline_spark.operators.windows import win_streak_islands
+    from cs_pipeline_spark.tables import load
+
+    got = {
+        (r["user_id"], r["event_type"]): (r["max_streak"], r["n_streaks"])
+        for r in win_streak_islands(spark, sf_dir).collect()
+    }
+    ev = sorted(
+        load(spark, "events", sf_dir)
+        .select("user_id", "event_type", "ts", "event_id")
+        .collect(),
+        key=lambda r: (r["ts"], r["event_id"]),
+    )
+    per_user: dict[int, list] = {}
+    for r in ev:
+        per_user.setdefault(r["user_id"], []).append(r["event_type"])
+    want: dict[tuple, list] = {}
+    for u, seq in per_user.items():
+        run, prev = 0, None
+        for t in seq + [None]:
+            if t == prev:
+                run += 1
+            else:
+                if prev is not None:
+                    want.setdefault((u, prev), []).append(run)
+                run, prev = 1, t
+    for key, runs in want.items():
+        assert got[key] == (max(runs), len(runs))
+    assert set(got) == set(want)
