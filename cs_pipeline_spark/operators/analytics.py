@@ -1,0 +1,301 @@
+"""Multi-join analytic query shapes (TPC-H q5/q9/q18/q19 analogues)
+plus event-funnel analysis.
+
+These widen the relational surface beyond the reference's ETL queries
+(reference `pipeline/carbonpipeline/core.py` joins at most two frames at
+a time — `main.py:240-280` CO₂/WTD enrichment): a user of a general
+engine runs star-schema joins with region/nation dimension chains,
+HAVING-gated semi-joins, and disjunctive pushdown predicates daily.
+
+Scale notes (100 TB): in every query here the fact table (`lineitem` /
+`orders` / `events`) streams through broadcast hash joins against the
+filtered dimensions; the only shuffles are (a) the orders⇄lineitem
+key join, which AQE plans as SMJ/shuffled-hash on the *pre-filtered*
+fact sides, and (b) the final few-group aggregation, whose partial
+(map-side) combine means the wire carries agg states, not rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from cs_pipeline_spark.operators.helpers import dsum, sql_dsum
+from cs_pipeline_spark.registry import register
+from cs_pipeline_spark.tables import load
+
+
+@register(
+    "q5_local_supplier_volume",
+    f"""
+    SELECT n.n_name,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM customer c
+      JOIN orders o   ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                     AND c.c_nationkey = s.s_nationkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+    doc="6-table star join, region→nation→supplier dim chain broadcast",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue by nation where the customer and the
+    supplier sit in the same ASIA nation.
+
+    Scale: region⋈nation collapses to ≤25 rows and is broadcast into
+    supplier; the (supplier × nation) side stays dimension-sized and is
+    broadcast into lineitem, so the 100 TB fact never shuffles for the
+    dimension chain. The only fact shuffle is orders⇄lineitem on
+    orderkey (both sides pre-filtered by the date pushdown); the final
+    groupBy has ≤25 groups → map-side partial agg carries the wire.
+    """
+    c = load(spark, "customer", sf_dir)
+    o = load(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01")))
+    )
+    li = load(spark, "lineitem", sf_dir)
+    s = load(spark, "supplier", sf_dir)
+    n = load(spark, "nation", sf_dir)
+    r = load(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
+
+    dim = s.join(
+        F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+        s.s_nationkey == n.n_nationkey,
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(dim),
+            (li.l_suppkey == dim.s_suppkey) & (c.c_nationkey == dim.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(dsum(rev).alias("revenue"))
+    )
+
+
+@register(
+    "q9_product_profit",
+    f"""
+    SELECT n.n_name AS nation,
+           EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)'
+                     ' - p.p_retailprice * l.l_quantity')} AS sum_profit
+    FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY nation, o_year
+    """,
+    doc="q9-shape profit rollup by supplier nation × order year",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (no partsupp table in this corpus, so cost =
+    retail price × quantity): profit per supplier-nation per year for
+    '%widget%' parts.
+
+    Scale: the `p_name LIKE` filter prunes part before its broadcast;
+    supplier⋈nation is dimension-sized and broadcast. The fact flows
+    through two broadcasts, one shuffle against orders on orderkey, and
+    a (25 nations × ~7 years)-group aggregation — partial agg makes the
+    final shuffle negligible. `LIKE '%…%'` cannot prune row groups, but
+    it is still evaluated in the scan operator (no extra pass).
+    """
+    p = load(spark, "part", sf_dir).filter(F.col("p_name").like("%widget%"))
+    li = load(spark, "lineitem", sf_dir)
+    s = load(spark, "supplier", sf_dir)
+    o = load(spark, "orders", sf_dir)
+    n = load(spark, "nation", sf_dir)
+
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", F.col("n_name").alias("nation")
+    )
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(dsum(profit).alias("sum_profit"))
+    )
+
+
+@register(
+    "q18_large_orders",
+    f"""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice, {sql_dsum('l.l_quantity')} AS sum_qty
+    FROM customer c
+      JOIN orders o   ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING {sql_dsum('l_quantity')} > 300
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+    doc="q18-shape: HAVING-gated semi-join selecting large-volume orders",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total line quantity exceeds 300,
+    with their customer.
+
+    Scale: the HAVING aggregate reduces lineitem to (orderkey, sum) —
+    after the >300 filter this survivor set is tiny (heavy-hitter tail),
+    so it is broadcast back as a semi-join filter onto lineitem and
+    orders; the re-aggregation then runs on a fact already cut to the
+    survivors. The expensive full-fact aggregation happens exactly once
+    and ships only agg states (map-side combine on orderkey).
+    """
+    c = load(spark, "customer", sf_dir)
+    o = load(spark, "orders", sf_dir)
+    li = load(spark, "lineitem", sf_dir)
+
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(F.broadcast(big), "l_orderkey", "left_semi")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum("l_quantity").alias("sum_qty"))
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    f"""
+    SELECT {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#20' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#9' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="q19-shape disjunctive predicate over a broadcast join",
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR of brand/size/quantity
+    conjunctions.
+
+    Scale: Catalyst factors the disjunction — the part-only disjuncts
+    (`p_brand ∈ {…} AND size ranges`) are extracted and pushed below the
+    join onto the part scan, and `l_quantity BETWEEN 1 AND 30` (the
+    hull of the quantity disjuncts) is pushed onto the lineitem scan —
+    so both inputs shrink before the broadcast join; the residual OR
+    runs post-join. Single-row output: the aggregation is all map-side.
+    """
+    li = load(spark, "lineitem", sf_dir)
+    p = load(spark, "part", sf_dir)
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#20")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#9")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.filter(cond).agg(dsum(rev).alias("revenue"))
+
+
+@register(
+    "events_funnel",
+    """
+    WITH first_signup AS (
+      SELECT user_id, min(ts) AS signup_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    first_view AS (
+      SELECT e.user_id, min(e.ts) AS view_ts
+      FROM events e JOIN first_signup s ON e.user_id = s.user_id
+      WHERE e.event_type = 'view' AND e.ts > s.signup_ts
+      GROUP BY e.user_id
+    ),
+    first_purchase AS (
+      SELECT e.user_id, min(e.ts) AS purchase_ts
+      FROM events e JOIN first_view v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > v.view_ts
+      GROUP BY e.user_id
+    )
+    SELECT 1 AS stage, 'signup' AS step,
+           (SELECT count(*) FROM first_signup) AS users
+    UNION ALL
+    SELECT 2, 'view', (SELECT count(*) FROM first_view)
+    UNION ALL
+    SELECT 3, 'purchase', (SELECT count(*) FROM first_purchase)
+    """,
+    doc="ordered signup→view→purchase funnel with strict event ordering",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: users counted at each stage only if
+    the stage event happened strictly after their previous stage.
+
+    Scale: one scan of events, three per-user min-aggregations — each a
+    shuffle on user_id, and Spark reuses the same hash partitioning for
+    all three (one real exchange of the fact, then co-partitioned
+    joins). Stage frames shrink monotonically; the final counts are
+    single-row map-side aggs.
+    """
+    ev = load(spark, "events", sf_dir)
+
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    view = (
+        ev.filter(F.col("event_type") == "view")
+        .join(signup, "user_id")
+        .filter(F.col("ts") > F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(view, "user_id")
+        .filter(F.col("ts") > F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    rows = [
+        (1, "signup", signup),
+        (2, "view", view),
+        (3, "purchase", purchase),
+    ]
+    out = None
+    for stage, step, df in rows:
+        one = df.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(stage).alias("stage"), F.lit(step).alias("step"), "users"
+        )
+        out = one if out is None else out.unionAll(one)
+    return out

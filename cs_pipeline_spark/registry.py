@@ -64,6 +64,7 @@ def _load_all_modules() -> None:
         return
     from cs_pipeline_spark.operators import (  # noqa: F401
         aggregate,
+        analytics,
         corpus,
         dedup,
         filters,
