@@ -33,10 +33,12 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-# events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
-# rejects. We read nanos as long (runtime conf) and truncate to
-# microsecond TimestampType. DuckDB oracles must mirror with
-# CAST(ts AS TIMESTAMP) — DuckDB's ns→µs cast also truncates.
+# events.parquet has shipped as either TIMESTAMP(NANOS) (read as long
+# via the legacy conf, truncated to µs) or plain timestamp[us] (read as
+# TIMESTAMP_NTZ under inferTimestampNTZ). ``load`` normalizes both to
+# session-UTC TimestampType, so downstream code sees one type. DuckDB
+# oracles mirror with CAST(ts AS TIMESTAMP) — a no-op on µs files and a
+# truncating cast on ns files, matching the Spark side exactly.
 EVENTS_TS_SQL = "CAST(ts AS TIMESTAMP)"
 
 
@@ -74,11 +76,19 @@ def load(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFr
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
+        from pyspark.sql.types import LongType, TimestampNTZType
+
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return nan_to_null(
-            df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        )
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            # legacy nanos file: truncate ns → µs
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif isinstance(ts_type, TimestampNTZType):
+            # µs file read as NTZ: reinterpret in the session tz (UTC —
+            # session.py pins it), value-preserving
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return nan_to_null(df)
     return nan_to_null(spark.read.parquet(path))
 
 
