@@ -54,6 +54,20 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def _nn(col: Column | str) -> Column:
+    """NaN→null + float→double promotion on the aggregated expression.
+
+    Makes every deterministic aggregate *skipna* (xarray semantics,
+    /root/reference/pipeline/carbonpipeline/dataset.py:144) at the
+    expression level, where it costs one codegen op per row and — unlike
+    an ingest-wide projection — cannot block parquet filter pushdown on
+    the raw columns. The explicit double cast also closes the
+    FLOAT*DOUBLE promotion trap (module docstring) on both engines.
+    """
+    d = _c(col).cast("double")
+    return F.nanvl(d, F.lit(None).cast("double"))
+
+
 def _quant(c: Column) -> Column:
     # exact in both engines: *, + are correctly-rounded IEEE, floor exact
     return F.floor(c * F.lit(Q1) + F.lit(0.5))
@@ -64,14 +78,16 @@ def _dec_to_double(c: Column) -> Column:
 
 
 def dsum(col: Column | str) -> Column:
-    """Engine-agnostic sum: Σ round₆(x), exact integer-decimal path."""
-    q = _quant(_c(col))
+    """Engine-agnostic skipna sum: Σ round₆(x), exact integer-decimal
+    path; NaN treated as missing (``_nn``)."""
+    q = _quant(_nn(col))
     return _dec_to_double(F.sum(q.cast("decimal(38,0)"))) / F.lit(Q1)
 
 
 def davg(col: Column | str) -> Column:
-    """Engine-agnostic mean: exact quantized sum / non-null count."""
-    return dsum(col) / F.count(_c(col))
+    """Engine-agnostic skipna mean: exact quantized sum / non-NaN
+    non-null count."""
+    return dsum(col) / F.count(_nn(col))
 
 
 def _var_numerator(col: Column | str) -> Column:
@@ -83,12 +99,15 @@ def _var_numerator(col: Column | str) -> Column:
     impossible: a constant group yields exactly 0. Value bounds (|x| ≤
     1e7, group size ≤ 1e5) keep every intermediate < 1e37 < decimal(38).
     """
-    c = _c(col)
+    c = _nn(col)
     q = _quant(c)
     # s1 is the IDENTICAL expression dsum/davg aggregate — Catalyst
     # dedups equal aggregate expressions, so mean+std on one column
     # share one sum buffer instead of computing two.
     s1 = F.sum(q.cast("decimal(38,0)"))
+    # NOTE: a long-split variant (q = h·2¹⁶+l, three long products
+    # summed separately) was benchmarked and is SLOWER — three
+    # decimal sum buffers cost more than one per-row decimal multiply.
     s2 = F.sum(
         q.cast("decimal(19,0)") * q.cast("decimal(19,0)")
     )  # q² ≤ 1e26 → exact in decimal(38,0)
@@ -104,7 +123,7 @@ def dvar_pop(col: Column | str) -> Column:
     Null (not 0.0) on an all-null group — xarray-skipna semantics
     (/root/reference/pipeline/carbonpipeline/core.py:217-248, ddof=0).
     """
-    c = _c(col)
+    c = _nn(col)
     nd = F.count(c).cast("double")
     num = _dec_to_double(_var_numerator(c))
     return F.when(F.count(c) > 0, num / (nd * nd) / F.lit(Q2))
@@ -118,32 +137,42 @@ def dstd_pop(col: Column | str) -> Column:
 # --- DuckDB SQL twins (must mirror the expressions above exactly) ---
 
 
+def _sql_nn(expr: str) -> str:
+    # mirror of ``_nn``: NaN→NULL + double promotion, identical skipna
+    # semantics on the oracle side
+    d = f"CAST(({expr}) AS DOUBLE)"
+    return f"(CASE WHEN ISNAN({d}) THEN NULL ELSE {d} END)"
+
+
 def sql_dsum(expr: str) -> str:
+    e = _sql_nn(expr)
     return (
-        "(CAST(CAST(SUM(CAST(FLOOR((" + expr + ") * 1000000.0 + 0.5) "
+        "(CAST(CAST(SUM(CAST(FLOOR((" + e + ") * 1000000.0 + 0.5) "
         "AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 1000000.0)"
     )
 
 
 def sql_davg(expr: str) -> str:
-    return f"({sql_dsum(expr)} / COUNT({expr}))"
+    return f"({sql_dsum(expr)} / COUNT({_sql_nn(expr)}))"
 
 
 def _sql_var_numerator(expr: str) -> str:
     # HUGEINT (int128) mirrors Spark's decimal(38,0): the n·Σq² − (Σq)²
     # subtraction is exact integer arithmetic in BOTH engines.
-    q = f"CAST(FLOOR(({expr}) * 1000000.0 + 0.5) AS HUGEINT)"
+    e = _sql_nn(expr)
+    q = f"CAST(FLOOR(({e}) * 1000000.0 + 0.5) AS HUGEINT)"
     return (
-        f"(SUM({q} * {q}) * CAST(COUNT({expr}) AS HUGEINT)"
+        f"(SUM({q} * {q}) * CAST(COUNT({e}) AS HUGEINT)"
         f" - SUM({q}) * SUM({q}))"
     )
 
 
 def sql_dvar_pop(expr: str) -> str:
-    n = f"CAST(COUNT({expr}) AS DOUBLE)"
+    e = _sql_nn(expr)
+    n = f"CAST(COUNT({e}) AS DOUBLE)"
     num = f"CAST(CAST({_sql_var_numerator(expr)} AS VARCHAR) AS DOUBLE)"
     return (
-        f"CASE WHEN COUNT({expr}) > 0 THEN "
+        f"CASE WHEN COUNT({e}) > 0 THEN "
         f"(({num} / ({n} * {n})) / 1000000000000.0) END"
     )
 

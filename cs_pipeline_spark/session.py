@@ -52,6 +52,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # The generated-code cache defaults to 100 entries; a session
+        # running the full query inventory compiles far more distinct
+        # WholeStageCodegen stages than that, and eviction forces a
+        # re-JIT of every stage on every re-run (measured: steady-state
+        # 0.35 s resample reported ~1.5 s inside a 20-query bench
+        # session). Same knob you'd set on a long-lived cluster driver
+        # serving many query shapes.
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -48,9 +48,18 @@ def nan_to_null(df: DataFrame) -> DataFrame:
     The reference's xarray pipeline treats NaN as *missing* and every
     reduction skips it (/root/reference/pipeline/carbonpipeline/
     dataset.py:144, skipna throughout). Spark aggregates do NOT skip
-    NaN, so parity requires normalizing at ingest — after this, null
-    is the single missing-value representation and count/avg/std all
-    agree with skipna semantics. No-op on NaN-free data.
+    NaN, so NaN-capable sources (ERA5 fixtures, scratch parquet with
+    real holes) normalize at ingest with this; after it, null is the
+    single missing-value representation.
+
+    Deliberately NOT applied blanket in ``load``: wrapping every double
+    column in ``nanvl`` makes filters on those columns non-pushable
+    (the parquet scan sees ``nanvl(col)``, not ``col`` — PushedFilters
+    goes empty), which at the 100 TB design point turns row-group
+    pruning into full scans. The driver tables are NaN-free by
+    construction, and the deterministic aggregate helpers
+    (``operators/helpers._nn``) skip NaN at the expression level on
+    both engines, so skipna parity holds without the scan-side cost.
     """
     from pyspark.sql.types import DoubleType, FloatType
 
@@ -71,8 +80,9 @@ def nan_to_null(df: DataFrame) -> DataFrame:
 def load(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Load one table from an sf directory (file or partitioned dir).
 
-    All float/double columns are NaN→null normalized (skipna parity
-    with the reference — see ``nan_to_null``).
+    Raw columns pass through untouched so scan-column filters stay
+    pushable (see ``nan_to_null`` for why NaN normalization is NOT
+    done here); only ``events.ts`` is type-normalized.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
@@ -88,8 +98,8 @@ def load(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFr
             # µs file read as NTZ: reinterpret in the session tz (UTC —
             # session.py pins it), value-preserving
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return nan_to_null(df)
-    return nan_to_null(spark.read.parquet(path))
+        return df
+    return spark.read.parquet(path)
 
 
 def load_all(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
