@@ -47,6 +47,9 @@ HEADLINE = [
     "join_interval_buckets",
     "text_contamination_check",
     "curate_corpus_e2e",
+    # round-2 additions: retrieval scoring, stream-stream band join
+    "text_bm25_rank",
+    "stream_interval_join",
 ]
 
 

@@ -778,3 +778,91 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         sum_value.alias("sum_value"),
         (sum_value / F.col("n")).alias("avg_value"),
     )
+
+
+# ---------- robust outlier detection (median / MAD) ----------
+
+_MAD_K = 3.0  # outlier threshold multiplier
+
+
+@register(
+    "agg_mad_outliers",
+    """
+    WITH qv AS (
+      SELECT event_type, CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS q
+      FROM events
+    ), med AS (
+      SELECT event_type, quantile_cont(q, 0.5) AS mq
+      FROM qv GROUP BY event_type
+    ), dev AS (
+      SELECT qv.event_type, ABS(qv.q - med.mq) AS d
+      FROM qv JOIN med USING (event_type)
+    ), mad AS (
+      SELECT event_type, quantile_cont(d, 0.5) AS md
+      FROM dev GROUP BY event_type
+    ), out_c AS (
+      SELECT dev.event_type,
+             COUNT(CASE WHEN dev.d > 3.0 * mad.md THEN 1 END) AS n_outliers
+      FROM dev JOIN mad USING (event_type) GROUP BY dev.event_type
+    )
+    SELECT o.event_type,
+           (med.mq / 1000000.0) AS med_value,
+           (mad.md / 1000000.0) AS mad_value,
+           o.n_outliers
+    FROM out_c o
+    JOIN med USING (event_type) JOIN mad USING (event_type)
+    """,
+    doc="per-type robust outliers: median + median-absolute-deviation "
+    "over quantized integers (exact interpolation), |dev| > 3·MAD",
+)
+def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD outlier counts, cross-engine-exact by construction.
+
+    Exact medians over FLOATS are not portable (interpolation ULP), so
+    both engines take medians of the QUANTIZED integers q =
+    floor(v·1e6+0.5): the interpolated midpoint (a+b)/2 of two ≤1e13
+    integers is exact in double, deviations |q−med| are exact halves,
+    the second median is an exact quarter, and 3·MAD is still exact —
+    every comparison and output value is bit-identical in Spark and
+    DuckDB with no rounding step.
+
+    Scale: three aggregations keyed by the low-cardinality event_type
+    with two broadcast join-backs of per-type scalars; exact
+    percentile needs the group's values on one node, which is safe
+    precisely because the key space is small and each group's digest
+    is the sort buffer — for high-cardinality keys switch to
+    ``agg_approx_quantile`` (t-digest sketch, mergeable map-side).
+    """
+    ev = load(spark, "events", sf_dir)
+    qv = ev.select(
+        "event_type",
+        F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5)).alias("q"),
+    )
+    med = qv.groupBy("event_type").agg(
+        F.expr("percentile(q, 0.5)").alias("mq")
+    )
+    dev = qv.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("q") - F.col("mq")).alias("d")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(d, 0.5)").alias("md")
+    )
+    out_c = (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(
+                F.when(F.col("d") > F.lit(_MAD_K) * F.col("md"), 1)
+            ).alias("n_outliers")
+        )
+    )
+    return (
+        out_c.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .select(
+            "event_type",
+            (F.col("mq") / F.lit(1000000.0)).alias("med_value"),
+            (F.col("md") / F.lit(1000000.0)).alias("mad_value"),
+            "n_outliers",
+        )
+    )

@@ -299,3 +299,40 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = one if out is None else out.unionAll(one)
     return out
+
+
+@register(
+    "q6_forecast_revenue",
+    f"""
+    SELECT {sql_dsum('l_extendedprice * l_discount')} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="q6-shape selective scan: every predicate (timestamp range + two "
+    "double ranges) reaches the parquet reader as a pushed filter",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: a pure scan-side query — no join, no window.
+
+    Scale: this query IS its scan. All four predicates (including the
+    two on double columns) appear in PushedFilters, so row groups
+    outside the shipdate year or the discount band are skipped from
+    footer statistics alone; the projection prunes to 4 columns. The
+    aggregation is a single map-side partial → one-row exchange. This
+    is the query shape that motivated keeping table loaders
+    projection-free (see ``tables.nan_to_null``): any ingest-side
+    column wrapping would strip PushedFilters and force a full scan.
+    """
+    li = load(spark, "lineitem", sf_dir)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1994-01-01 00:00:00")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1995-01-01 00:00:00")))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )

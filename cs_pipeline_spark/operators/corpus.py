@@ -239,3 +239,195 @@ def text_oov_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------- float TF-IDF / BM25 relevance scoring ----------
+# text_keywords_rare above ranks integer-only (cross-engine-exact by
+# construction); these two compute the REAL float scores a retrieval /
+# curation pipeline wants, made hash-stable by rounding the final
+# score to 6 dp on both engines (ln/division ULP drift ≪ 1e-6 grid).
+
+_TFIDF_PER_DOC = 3
+
+
+@register(
+    "text_tfidf_topk",
+    f"""
+    WITH tf AS (
+      SELECT doc_id, unnest({_DUCK_TOKENS}) AS term FROM documents
+    ), tfc AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY doc_id, term
+    ), dfc AS (
+      SELECT term, COUNT(*) AS df FROM tfc GROUP BY term
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, term, tfidf, rn FROM (
+      SELECT tfc.doc_id, tfc.term,
+             ROUND(tfc.tf * (LN((n.n_docs + 1.0) / (dfc.df + 1.0)) + 1.0), 6)
+               AS tfidf,
+             ROW_NUMBER() OVER (
+               PARTITION BY tfc.doc_id
+               ORDER BY ROUND(tfc.tf * (LN((n.n_docs + 1.0) / (dfc.df + 1.0)) + 1.0), 6) DESC,
+                        tfc.term
+             ) AS rn
+      FROM tfc JOIN dfc ON dfc.term = tfc.term CROSS JOIN n
+    ) WHERE rn <= {_TFIDF_PER_DOC}
+    """,
+    doc=f"per-doc top-{_TFIDF_PER_DOC} terms by smoothed float tf·idf "
+    "(sklearn-style idf = ln((N+1)/(df+1))+1), 6-dp-rounded score",
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True float TF-IDF keyword extraction.
+
+    idf uses the smoothed sklearn form ln((N+1)/(df+1))+1 (never
+    negative, defined for df=N). Ranking happens on the ROUNDED score
+    (plus term tie-break) so both engines rank the same total order.
+
+    Scale: tf is a (doc, term) hash-agg; df reuses tf's term shuffle;
+    N is a scalar broadcast. Same two-shuffle shape as
+    ``text_keywords_rare`` — the float math adds no exchange.
+    """
+    docs = load(spark, "documents", sf_dir)
+    tf = (
+        docs.select("doc_id", F.explode(_tokens(F.expr(_NORM))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfc, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("n_docs") + F.lit(1.0))
+                        / (F.col("df") + F.lit(1.0))
+                    )
+                    + F.lit(1.0)
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TFIDF_PER_DOC)
+        .select("doc_id", "term", "tfidf", "rn")
+    )
+
+
+_BM25_TERMS = ("join", "vector", "scan")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 20
+
+
+@register(
+    "text_bm25_rank",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKENS}) AS term FROM documents
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs,
+             (CAST(SUM(dl) AS DOUBLE) / COUNT(*)) AS avgdl
+      FROM dl
+    ), tfc AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE term IN {str(tuple(_BM25_TERMS))} GROUP BY doc_id, term
+    ), dfc AS (
+      SELECT term, COUNT(*) AS df FROM tfc GROUP BY term
+    )
+    SELECT doc_id, score, rn FROM (
+      SELECT s.doc_id, s.score,
+             ROW_NUMBER() OVER (ORDER BY s.score DESC, s.doc_id) AS rn
+      FROM (
+        SELECT tfc.doc_id,
+               ROUND(SUM(
+                 LN(1.0 + (stats.n_docs - dfc.df + 0.5) / (dfc.df + 0.5))
+                 * (tfc.tf * ({_BM25_K1} + 1.0))
+                 / (tfc.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                    + {_BM25_B} * dl.dl / stats.avgdl))
+               ), 6) AS score
+        FROM tfc
+        JOIN dfc ON dfc.term = tfc.term
+        JOIN dl ON dl.doc_id = tfc.doc_id
+        CROSS JOIN stats
+        GROUP BY tfc.doc_id
+      ) s
+    ) WHERE rn <= {_BM25_TOPK}
+    """,
+    doc=f"BM25 retrieval scoring for query {_BM25_TERMS}, top-{_BM25_TOPK} "
+    "docs (k1=1.2, b=0.75, Robertson idf), 6-dp-rounded",
+)
+def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 against a fixed query term set.
+
+    Per matching (doc, term): idf·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)),
+    idf = ln(1 + (N−df+0.5)/(df+0.5)); summed per doc, rounded to 6 dp,
+    top-k by (score desc, doc_id). The per-doc sum runs over ≤3 terms
+    so 6-dp rounding absorbs any ULP-order drift.
+
+    Scale: the tf table is filtered to the query terms BEFORE its
+    aggregation — the corpus-wide explode never shuffles, only the
+    tiny matching subset does. dl/avgdl reuse the same token frame;
+    stats is a scalar broadcast. At 100 TB this is the standard
+    inverted-index-free scoring pass: one scan, two small shuffles.
+    """
+    docs = load(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", F.explode(_tokens(F.expr(_NORM))).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tfc = (
+        toks.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfc = tfc.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    k1, b = F.lit(_BM25_K1), F.lit(_BM25_B)
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    contrib = (
+        idf
+        * (F.col("tf") * (k1 + F.lit(1.0)))
+        / (
+            F.col("tf")
+            + k1
+            * (
+                F.lit(1.0)
+                - b
+                + b * F.col("dl") / F.col("avgdl")
+            )
+        )
+    )
+    scored = (
+        tfc.join(F.broadcast(dfc), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("score"))
+    )
+    # limit FIRST (TakeOrderedAndProject — per-partition top-k, no
+    # global sort), then rank the k survivors; the unpartitioned
+    # row_number window only ever sees _BM25_TOPK rows.
+    topk = scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(
+        _BM25_TOPK
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return topk.withColumn("rn", F.row_number().over(w)).select(
+        "doc_id", "score", "rn"
+    )

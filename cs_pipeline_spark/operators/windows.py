@@ -641,3 +641,67 @@ def win_streak_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("streak_len").alias("max_streak"),
         F.count(F.lit(1)).alias("n_streaks"),
     )
+
+
+# ---------- exponentially-decayed moving average ----------
+
+_EMA_DEPTH = 8  # look-back; weight of lag k is 2^-k
+
+
+def _ema_weight(k: int) -> float:
+    return 1.0 / (1 << k)  # exactly representable (power of two)
+
+
+def _sql_ema() -> str:
+    num = " + ".join(
+        f"COALESCE(LAG(value, {k}) OVER w * {_ema_weight(k)!r}, 0.0)"
+        if k
+        else "value * 1.0"
+        for k in range(_EMA_DEPTH)
+    )
+    den = " + ".join(
+        f"(CASE WHEN LAG(value, {k}) OVER w IS NOT NULL "
+        f"THEN {_ema_weight(k)!r} ELSE 0.0 END)"
+        if k
+        else "1.0"
+        for k in range(_EMA_DEPTH)
+    )
+    return (
+        f"SELECT event_id, user_id, (({num}) / ({den})) AS ewma "
+        "FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY event_id)"
+    )
+
+
+@register(
+    "win_decay_ema",
+    _sql_ema(),
+    doc=f"per-user exponentially-decayed moving average over the last "
+    f"{_EMA_DEPTH} events (weight 2^-k), bit-exact across engines",
+)
+def win_decay_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Finite-horizon EMA as an explicit weighted lag sum.
+
+    Bit-exact WITHOUT quantization or rounding: every weight 2^-k is a
+    power of two (value·2^-k only shifts the exponent — exact), and
+    numerator/denominator are written as the same left-associated
+    addition chain on both engines, so each intermediate is the
+    correctly-rounded sum of identical operands. One final division.
+
+    Scale: a single window function pass — one shuffle on user_id,
+    running state of 8 values per partition stream. The classic
+    recursive EMA (α·x + (1−α)·prev) needs a sequential scan per key;
+    this windowed form is the order-parallel equivalent a cluster
+    wants.
+    """
+    ev = load(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    num = F.col("value") * F.lit(1.0)
+    den = F.lit(1.0)
+    for k in range(1, _EMA_DEPTH):
+        lagk = F.lag("value", k).over(w)
+        num = num + F.coalesce(lagk * F.lit(_ema_weight(k)), F.lit(0.0))
+        den = den + F.when(lagk.isNotNull(), F.lit(_ema_weight(k))).otherwise(
+            F.lit(0.0)
+        )
+    return ev.select("event_id", "user_id", (num / den).alias("ewma"))

@@ -229,3 +229,25 @@ def stream_record_highs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "event_id", "ts", "value")
     )
+
+
+@register(
+    "stream_interval_join",
+    f"""
+    SELECT e.user_id, e.event_id AS err_id, {_TS.replace('ts', 'e.ts')} AS err_ts,
+           c.event_id AS click_id, {_TS.replace('ts', 'c.ts')} AS click_ts
+    FROM events e JOIN events c
+      ON c.user_id = e.user_id
+     AND {_TS.replace('ts', 'c.ts')} >= {_TS.replace('ts', 'e.ts')} - INTERVAL '6 hours'
+     AND {_TS.replace('ts', 'c.ts')} <= {_TS.replace('ts', 'e.ts')}
+    WHERE e.event_type = 'error' AND c.event_type = 'click'
+    """,
+    doc="stream-stream interval join (error ← same-user clicks in the "
+    "last 6 h), batch twin of the watermark-bounded streaming join",
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, "events", sf_dir)
+    return W.error_click_attribution(
+        ev.filter(F.col("event_type") == "error"),
+        ev.filter(F.col("event_type") == "click"),
+    )

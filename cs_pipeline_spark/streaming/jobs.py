@@ -19,6 +19,7 @@ needs no custom state and replays idempotently.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import DataStreamWriter
 from pyspark.sql.types import (
     DoubleType,
@@ -86,3 +87,14 @@ def enrich_job(events: DataFrame, customers: DataFrame) -> DataFrame:
     """Stream-static join job: the static dimension is re-resolved per
     micro-batch; no watermark needed (stateless)."""
     return W.enrich_with_customers(events, customers)
+
+
+def interval_join_job(events: DataFrame) -> DataFrame:
+    """Stream-stream interval join: split one watermarked source into
+    error and click substreams and band-join them. Both sides carry
+    watermarks, so the click state store is bounded to
+    lookback + watermark — the canonical attribution-join shape."""
+    wm = W.with_watermark(events)
+    errors = wm.filter(F.col("event_type") == "error")
+    clicks = wm.filter(F.col("event_type") == "click")
+    return W.error_click_attribution(errors, clicks)

@@ -126,3 +126,36 @@ def enrich_with_customers(events: DataFrame, customers: DataFrame) -> DataFrame:
     return events.join(dim, "user_id").select(
         "event_id", "user_id", "event_type", "mktsegment", "value"
     )
+
+
+INTERVAL_LOOKBACK = "6 hours"
+
+
+def error_click_attribution(errors: DataFrame, clicks: DataFrame) -> DataFrame:
+    """Stream-stream interval join: each error event pairs with the
+    same user's click events from the preceding 6 hours.
+
+    The join condition is an equi-key (user_id) plus an event-time
+    band — exactly the constraint shape Structured Streaming needs to
+    bound state: with watermarks on both inputs, Spark derives how
+    long click state must be retained (lookback + watermark) and
+    evicts beyond it. The same expression runs in batch, which is what
+    the driver's oracle checks.
+    """
+    e = errors.select(
+        F.col("user_id"),
+        F.col("event_id").alias("err_id"),
+        F.col("ts").alias("err_ts"),
+    )
+    c = clicks.select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    return e.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") >= F.col("err_ts") - F.expr(f"INTERVAL {INTERVAL_LOOKBACK}"))
+        & (F.col("click_ts") <= F.col("err_ts")),
+        "inner",
+    ).select("user_id", "err_id", "err_ts", "click_id", "click_ts")

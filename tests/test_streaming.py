@@ -311,3 +311,27 @@ def test_stateful_record_highs_matches_batch(spark, tmp_path):
     cols = ["user_id", "event_id", "ts", "value"]
     assert len(q.recentProgress) >= 2  # state crossed a batch boundary
     assert _canon(got, cols) == _canon(want, cols)
+
+
+def test_interval_join_stream_matches_batch(spark, events_stream_dir):
+    """The REAL stream-stream band join (watermarks on both sides,
+    state crossing micro-batch boundaries) must emit exactly the batch
+    pairs."""
+    stream = jobs.read_events_stream(spark, events_stream_dir)
+    q = (
+        jobs.to_memory_sink(
+            jobs.interval_join_job(stream), "t_ivjoin", "append"
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("t_ivjoin")
+    ev = load(spark, "events", SF_DIR)
+    want = jobs.W.error_click_attribution(
+        ev.filter(F.col("event_type") == "error"),
+        ev.filter(F.col("event_type") == "click"),
+    )
+    cols = ["user_id", "err_id", "err_ts", "click_id", "click_ts"]
+    assert want.count() > 0
+    assert _canon(got, cols) == _canon(want, cols)

@@ -71,6 +71,13 @@ AUDIT: dict[str, dict] = {
     "join_asof_nearest": {"exchange": 1},
     "sim_range_search": {"exchange": 0},
     "agg_corr": {"exchange": 1},
+    # round-2 wave 3
+    "q6_forecast_revenue": {"smj": 0, "pushed": True},
+    "text_tfidf_topk": {"smj": 0},
+    "text_bm25_rank": {"smj": 0},
+    "win_decay_ema": {"exchange": 1},
+    "agg_mad_outliers": {"smj": 0},
+    "stream_interval_join": {"smj": 0},
 }
 
 
