@@ -668,3 +668,235 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_sim") >= _RANGE_THRESHOLD)
     )
+
+
+# ---------- product quantization (PQ) + ADC with exact re-rank ----------
+# The billion-scale ANN layout (Jégou, Douze, Schmid, "Product
+# Quantization for Nearest Neighbor Search", TPAMI 2011; FAISS IVFPQ):
+# split each vector into M subvectors, quantize each against a tiny
+# per-subspace codebook, and approximate distances as sums of M table
+# lookups (Asymmetric Distance Computation). Codes here are M=4 small
+# ints per vector — at 100 TB the corpus column shrinks from 256 B of
+# floats to ~4 B of codes, the scan streams codes only, and the
+# re-rank touches full vectors for just top-candidate rows.
+
+PQ_M = 4  # subspaces
+PQ_SUB = _DIM // PQ_M  # dims per subspace
+PQ_K = 8  # codebook entries per subspace (init = first K vectors)
+PQ_CAND = 2 * TOP_K  # ADC candidate pool before exact re-rank
+
+
+def _ql2(a, b) -> F.Column:
+    """Quantized squared L2 over equal-length arrays: Σ floor((xᵢ−yᵢ)²·1e6
+    + 0.5) as exact long, /1e6 at the end — same determinism contract
+    as ``qdot`` (integer addition is associative)."""
+    d = F.zip_with(
+        a,
+        b,
+        lambda x, y: F.floor(
+            (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))
+            * 1000000.0
+            + 0.5
+        ),
+    )
+    return (
+        F.aggregate(d, F.lit(0).cast("long"), lambda acc, x: acc + x)
+        .cast("double")
+        / 1000000.0
+    )
+
+
+def _sql_ql2_sub(a: str, b: str, m: str) -> str:
+    """DuckDB twin of ``_ql2`` over subspace ``m`` of full vectors."""
+    ax = f"CAST({a}[{m} * {PQ_SUB} + i.x + 1] AS DOUBLE)"
+    bx = f"CAST({b}[{m} * {PQ_SUB} + i.x + 1] AS DOUBLE)"
+    return (
+        f"(CAST((SELECT SUM(CAST(FLOOR((({ax}) - ({bx})) * (({ax}) - ({bx})) "
+        f"* 1000000.0 + 0.5) AS BIGINT)) FROM range({PQ_SUB}) i(x)) "
+        "AS DOUBLE) / 1000000.0)"
+    )
+
+
+def _pq_subs(corpus: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """(id, m, sub) — each vector exploded into its M subvectors."""
+    return corpus.select(
+        F.col("vec_id").alias(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col("embedding"), m * PQ_SUB + 1, PQ_SUB)
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("m", "sub"),
+    )
+
+
+def _pq_parts(spark: SparkSession, sf_dir: str):
+    """Shared PQ machinery: corpus+norms, codebook, codes, ADC table."""
+    corpus = _with_norm(load(spark, "embeddings", sf_dir))
+    subs = _pq_subs(corpus)
+    cb = F.broadcast(
+        _pq_subs(corpus.filter(F.col("vec_id") < PQ_K), "cen_id").select(
+            "cen_id", "m", F.col("sub").alias("cen")
+        )
+    )
+    dist = _ql2(F.col("sub"), F.col("cen"))
+    w_code = Window.partitionBy("vec_id", "m").orderBy(
+        F.asc("d"), F.asc("cen_id")
+    )
+    codes = (
+        subs.join(cb, "m")
+        .select("vec_id", "m", "cen_id", dist.alias("d"))
+        .withColumn("rn", F.row_number().over(w_code))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "cen_id")
+    )
+    q_subs = _pq_subs(
+        corpus.filter(F.col("vec_id") < N_QUERIES), "query_id"
+    )
+    dtab = F.broadcast(
+        q_subs.join(cb, "m").select(
+            "query_id", "m", "cen_id", dist.alias("d")
+        )
+    )
+    return corpus, codes, dtab
+
+
+_SQL_PQ_PARTS = (
+    "n AS (SELECT vec_id, embedding, "
+    + _sql_qdot("embedding", "embedding")
+    + " AS nrm FROM embeddings), "
+    f"ms AS (SELECT CAST(r.i AS BIGINT) AS m FROM range({PQ_M}) r(i)), "
+    f"cb AS (SELECT vec_id AS cen_id, m, embedding AS cen_emb "
+    f"FROM n CROSS JOIN ms WHERE vec_id < {PQ_K}), "
+    "codes AS (SELECT vec_id, m, cen_id FROM ("
+    "SELECT n.vec_id, cb.m, cb.cen_id, ROW_NUMBER() OVER ("
+    "PARTITION BY n.vec_id, cb.m ORDER BY "
+    + _sql_ql2_sub("n.embedding", "cb.cen_emb", "cb.m")
+    + " ASC, cb.cen_id) AS rn FROM n CROSS JOIN cb) t WHERE rn = 1), "
+    f"q AS (SELECT vec_id AS query_id, embedding, nrm FROM n "
+    f"WHERE vec_id < {N_QUERIES}), "
+    "dtab AS (SELECT q.query_id, cb.m, cb.cen_id, "
+    + _sql_ql2_sub("q.embedding", "cb.cen_emb", "cb.m")
+    + " AS d FROM q CROSS JOIN cb), "
+    "adist AS (SELECT dtab.query_id, codes.vec_id, SUM(dtab.d) AS adist "
+    "FROM codes JOIN dtab ON dtab.m = codes.m AND dtab.cen_id = codes.cen_id "
+    "WHERE codes.vec_id <> dtab.query_id "
+    "GROUP BY dtab.query_id, codes.vec_id), "
+    "cand AS (SELECT query_id, vec_id FROM ("
+    "SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id "
+    f"ORDER BY adist ASC, vec_id) AS rn FROM adist) t WHERE rn <= {PQ_CAND})"
+)
+
+_SQL_PQ_TOPK = (
+    f"WITH {_SQL_PQ_PARTS} "
+    "SELECT query_id, neighbor_id, cos_sim, rank FROM ("
+    "SELECT cand.query_id, cand.vec_id AS neighbor_id, "
+    + _sql_qdot("q.embedding", "c.embedding")
+    + " / (SQRT(q.nrm) * SQRT(c.nrm)) AS cos_sim, "
+    "ROW_NUMBER() OVER (PARTITION BY cand.query_id ORDER BY "
+    + _sql_qdot("q.embedding", "c.embedding")
+    + " / (SQRT(q.nrm) * SQRT(c.nrm)) DESC, cand.vec_id) AS rank "
+    "FROM cand JOIN n c ON c.vec_id = cand.vec_id "
+    "JOIN q ON q.query_id = cand.query_id) t "
+    f"WHERE rank <= {TOP_K}"
+)
+
+
+@register(
+    "sim_pq_adc_topk",
+    _SQL_PQ_TOPK,
+    doc=f"product-quantization ANN: {PQ_M}×{PQ_SUB}-dim codebooks, ADC "
+    f"candidate generation (top {PQ_CAND}), exact-cosine re-rank to "
+    f"top {TOP_K}",
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC top-k with exact re-rank, deterministic end to end.
+
+    Every distance is the quantized integer path (``_ql2``/``qdot``),
+    argmins and both top-k windows tie-break on ids, and the ADC sum
+    adds 4 exact multiples of 1e-6 — so Spark and DuckDB produce
+    identical candidates, ranks, and scores.
+
+    Scale: codes are ~4 B/vector vs 256 B of floats; the ADC pass
+    joins the code table against a broadcast (query × M × K) distance
+    table — the corpus vectors themselves are touched only by the
+    re-rank on PQ_CAND rows per query. Codebook training here is
+    init-by-first-K (deterministic); production would loop the same
+    assign/update as ``sim_ivf_kmeans`` per subspace, on a sample.
+    """
+    corpus, codes, dtab = _pq_parts(spark, sf_dir)
+    adist = (
+        codes.join(dtab, ["m", "cen_id"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d").alias("adist"))
+    )
+    w_cand = Window.partitionBy("query_id").orderBy(
+        F.asc("adist"), F.asc("vec_id")
+    )
+    cand = (
+        adist.withColumn("rn", F.row_number().over(w_cand))
+        .filter(F.col("rn") <= PQ_CAND)
+        .select("query_id", "vec_id")
+    )
+    q = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cos = _scored(F.col("q_emb"), F.col("embedding"), F.col("q_nrm"), F.col("nrm"))
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        cand.join(corpus, "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos.alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+@register(
+    "sim_pq_recall",
+    f"WITH brute AS ({_SQL_BRUTE_TOPK}), {_SQL_PQ_PARTS}, "
+    f"pq AS ({_SQL_PQ_TOPK.split('WITH ', 1)[1].replace(_SQL_PQ_PARTS + ' ', '', 1)}) "
+    "SELECT b.query_id, "
+    "CAST(COUNT(p.neighbor_id) AS DOUBLE) / COUNT(*) AS recall "
+    "FROM brute b LEFT JOIN pq p "
+    "ON p.query_id = b.query_id AND p.neighbor_id = b.neighbor_id "
+    "GROUP BY b.query_id",
+    doc="per-query recall of the PQ/ADC top-k vs exact top-k (end-to-end "
+    "ANN quality metric)",
+)
+def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end PQ quality: how much of the TRUE top-k the
+    PQ-candidate + re-rank pipeline returns. The judge-able number for
+    tuning (M, K, PQ_CAND) before committing the 100 TB encode."""
+    truth = sim_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    pq = sim_pq_adc_topk(spark, sf_dir).select(
+        F.col("query_id").alias("p_qid"), F.col("neighbor_id").alias("p_nid")
+    )
+    return (
+        truth.join(
+            pq,
+            (F.col("p_qid") == F.col("query_id"))
+            & (F.col("p_nid") == F.col("neighbor_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            (F.count("p_nid").cast("double") / F.count(F.lit(1))).alias(
+                "recall"
+            )
+        )
+    )

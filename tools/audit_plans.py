@@ -78,6 +78,7 @@ AUDIT: dict[str, dict] = {
     "win_decay_ema": {"exchange": 1},
     "agg_mad_outliers": {"smj": 0},
     "stream_interval_join": {"smj": 0},
+    "sim_pq_adc_topk": {"smj": 0},
 }
 
 
