@@ -866,3 +866,95 @@ def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+# ---------- higher central moments: skewness / excess kurtosis ----------
+# Same exactness discipline as dvar_pop, extended to 3rd/4th moments.
+# Skew/kurtosis are affine-invariant, so values quantize at 1e3 (not
+# 1e6) to bound d^4 sums: d = q - min(q) <= ~1e6 for a value span of
+# 1e3 => sum(d^4) <= 1e24*rows -- exact in decimal(38,0)/HUGEINT up to
+# ~1e14 rows per group. All float arithmetic happens AFTER the exact
+# integer sums, with identical expression text on both engines.
+
+_MQ = 1000.0  # moment quantum (3 dp)
+
+
+@register(
+    "agg_skew_kurtosis",
+    f"""
+    WITH qv AS (
+      SELECT event_type, CAST(FLOOR(value * {_MQ} + 0.5) AS HUGEINT) AS q
+      FROM events
+    ), mn AS (
+      SELECT event_type, MIN(q) AS p FROM qv GROUP BY event_type
+    ), s AS (
+      SELECT qv.event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(CAST(SUM(qv.q - mn.p) AS VARCHAR) AS DOUBLE) AS s1,
+             CAST(CAST(SUM((qv.q - mn.p) * (qv.q - mn.p)) AS VARCHAR) AS DOUBLE) AS s2,
+             CAST(CAST(SUM((qv.q - mn.p) * (qv.q - mn.p) * (qv.q - mn.p)) AS VARCHAR) AS DOUBLE) AS s3,
+             CAST(CAST(SUM((qv.q - mn.p) * (qv.q - mn.p) * (qv.q - mn.p) * (qv.q - mn.p)) AS VARCHAR) AS DOUBLE) AS s4
+      FROM qv JOIN mn USING (event_type) GROUP BY qv.event_type
+    )
+    SELECT event_type,
+           ROUND(((s3 / n) - (3.0 * (s1 / n) * (s2 / n)) + (2.0 * ((s1 / n) * (s1 / n) * (s1 / n))))
+                 / POWER(((s2 / n) - ((s1 / n) * (s1 / n))), 1.5), 6) AS skewness,
+           ROUND(((s4 / n) - (4.0 * (s1 / n) * (s3 / n)) + (6.0 * ((s1 / n) * (s1 / n)) * (s2 / n))
+                  - (3.0 * ((s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))))
+                 / (((s2 / n) - ((s1 / n) * (s1 / n))) * ((s2 / n) - ((s1 / n) * (s1 / n)))) - 3.0,
+                 6) AS kurtosis_excess
+    FROM s
+    """,
+    doc="per-type skewness + excess kurtosis from exact min-shifted "
+    "integer moment sums (cancellation-bounded, engine-identical floats)",
+)
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness m3/m2^1.5 and excess kurtosis m4/m2^2 - 3.
+
+    Two passes: per-group integer MIN (exact, order-free pivot), then
+    one aggregation of d, d^2, d^3, d^4 over d = q - min(q) in exact
+    integer arithmetic (d^2, d^3 fit long per-row; only d^4 needs one
+    decimal multiply). Central moments derive from the raw sums with
+    the SAME left-associated float expression text as the oracle, so
+    every double is bit-identical; the min-shift keeps magnitudes at
+    the spread scale, so the m2 = S2/n - mu^2 subtraction loses no
+    meaningful precision (unlike the unshifted naive formula dvar_pop
+    replaced). 6-dp rounding absorbs POWER()'s libm ULP only.
+    """
+    ev = load(spark, "events", sf_dir)
+    qv = ev.select(
+        "event_type",
+        F.floor(F.col("value") * F.lit(_MQ) + F.lit(0.5)).alias("q"),
+    )
+    mn = qv.groupBy("event_type").agg(F.min("q").alias("p"))
+    d = F.col("q") - F.col("p")
+    d2 = d * d  # <= 1e12, long
+    d3 = d2 * d  # <= 1e18, long
+    d4 = d2.cast("decimal(19,0)") * d2.cast("decimal(19,0)")  # decimal
+    dec = lambda c: c.cast("string").cast("double")  # noqa: E731
+    s = (
+        qv.join(F.broadcast(mn), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            dec(F.sum(d.cast("decimal(38,0)"))).alias("s1"),
+            dec(F.sum(d2.cast("decimal(38,0)"))).alias("s2"),
+            dec(F.sum(d3.cast("decimal(38,0)"))).alias("s3"),
+            dec(F.sum(d4)).alias("s4"),
+        )
+    )
+    n, s1, s2, s3, s4 = (F.col(x) for x in ("n", "s1", "s2", "s3", "s4"))
+    mu = s1 / n
+    m2 = (s2 / n) - (mu * mu)
+    m3 = (s3 / n) - (F.lit(3.0) * mu * (s2 / n)) + (F.lit(2.0) * (mu * mu * mu))
+    m4 = (
+        (s4 / n)
+        - (F.lit(4.0) * mu * (s3 / n))
+        + (F.lit(6.0) * (mu * mu) * (s2 / n))
+        - (F.lit(3.0) * (mu * mu * mu * mu))
+    )
+    return s.select(
+        "event_type",
+        F.round(m3 / F.pow(m2, F.lit(1.5)), 6).alias("skewness"),
+        F.round(m4 / (m2 * m2) - F.lit(3.0), 6).alias("kurtosis_excess"),
+    )

@@ -198,3 +198,32 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").alias("min_key"),
         F.max("o_orderkey").alias("max_key"),
     )
+
+
+@register(
+    "scan_partition_pruned",
+    "SELECT user_id, COUNT(*) AS n_events, "
+    f"{sql_dsum('value')} AS sum_value "
+    "FROM events WHERE event_type = 'click' GROUP BY user_id",
+    doc="partition-pruned read-back: hive-partitioned scratch dataset "
+    "scanned with a partition-value filter (PartitionFilters, zero "
+    "data files from other partitions)",
+)
+def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The read side of the partitioned sink: filtering on the
+    partition column prunes at PLANNING time (directory listing), so
+    non-matching partitions contribute zero scanned files — the
+    mechanism that makes 100 TB hive layouts queryable. The plan shows
+    the predicate under PartitionFilters (not PushedFilters: it never
+    reaches row groups at all); ``tools/audit_plans.py`` asserts it.
+    """
+    path = _scratch(sf_dir, "events_by_type.parquet")
+    if not os.path.exists(path):
+        load(spark, "events", sf_dir).write.mode("overwrite").partitionBy(
+            "event_type"
+        ).parquet(path)
+    back = spark.read.parquet(path).filter(F.col("event_type") == "click")
+    return back.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("sum_value"),
+    )

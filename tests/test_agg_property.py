@@ -121,3 +121,57 @@ def test_qdot_matches_exact_python(spark, vec):
         sum(math.floor(x * x * 1000000.0 + 0.5) for x in vec) / 1000000.0
     )
     assert got == want
+
+
+@given(
+    st.lists(
+        st.floats(
+            min_value=-100.0,
+            max_value=100.0,
+            allow_nan=False,
+            allow_infinity=False,
+            width=32,
+        ),
+        min_size=1,
+        max_size=16,
+    ),
+    st.lists(
+        st.floats(
+            min_value=-100.0,
+            max_value=100.0,
+            allow_nan=False,
+            allow_infinity=False,
+            width=32,
+        ),
+        min_size=1,
+        max_size=16,
+    ),
+)
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_ql2_matches_exact_python(spark, a, b):
+    """_ql2's quantized squared-L2 must equal the exact Python
+    recomputation bit-for-bit, for any float pair (PQ distance
+    kernel)."""
+    from pyspark.sql import Row
+
+    from cs_pipeline_spark.operators.similarity import _ql2
+
+    n = min(len(a), len(b))
+    a, b = a[:n], b[:n]
+    df = spark.createDataFrame(
+        [Row(a=[float(x) for x in a], b=[float(y) for y in b])],
+        "a array<double>, b array<double>",
+    )
+    got = df.select(_ql2(F.col("a"), F.col("b")).alias("d")).collect()[0]["d"]
+    want = (
+        sum(
+            math.floor((x - y) * (x - y) * 1000000.0 + 0.5)
+            for x, y in zip(a, b)
+        )
+        / 1000000.0
+    )
+    assert got == want

@@ -79,6 +79,8 @@ AUDIT: dict[str, dict] = {
     "agg_mad_outliers": {"smj": 0},
     "stream_interval_join": {"smj": 0},
     "sim_pq_adc_topk": {"smj": 0},
+    "scan_partition_pruned": {"smj": 0, "partition_pruned": True},
+    "agg_skew_kurtosis": {"smj": 0},
 }
 
 
@@ -120,6 +122,14 @@ def main() -> None:
             failures.append(
                 f"{name}: {n_nlj} NestedLoopJoin (want ≤{want['nlj']})"
             )
+        if want.get("partition_pruned"):
+            # a non-empty PartitionFilters entry = planning-time pruning
+            ppruned = any(
+                m.strip()
+                for m in re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+            )
+            if not ppruned:
+                failures.append(f"{name}: no PartitionFilters")
 
     out = [
         "# PLANS — physical-plan audit (tools/audit_plans.py)",
