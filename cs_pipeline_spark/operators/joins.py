@@ -692,3 +692,40 @@ def merge_upsert_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return upserted.unionByName(inserts)
+
+
+@register(
+    "join_asof_tolerance",
+    f"SELECT e.event_id, "
+    "CASE WHEN m.ts >= e.ts - INTERVAL 1 HOUR THEN m.value END "
+    "AS last_error_value_1h "
+    f"FROM (SELECT event_id, user_id, {EVENTS_TS_SQL} AS ts FROM events) e "
+    f"ASOF LEFT JOIN (SELECT user_id, {EVENTS_TS_SQL} AS ts, value FROM events "
+    "WHERE event_type = 'error') m "
+    "ON e.user_id = m.user_id AND e.ts >= m.ts",
+    doc="as-of join with tolerance: latest marker <= t only if within "
+    "1 h (stale matches nulled) -- pandas merge_asof(tolerance=...) "
+    "semantics",
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of with a max-staleness bound. Same single-shuffle ordered
+    window as ``join_asof`` -- carrying the matched marker TIMESTAMP
+    alongside its value costs one more window column, and the
+    tolerance is a post-hoc null-out, not a join-condition change, so
+    the plan shape (one exchange on user_id, no range explosion) is
+    identical at any scale."""
+    ev = load(spark, "events", sf_dir)
+    is_m = F.col("event_type") == "error"
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_val = F.last(F.when(is_m, F.col("value")), ignorenulls=True).over(w)
+    last_mts = F.last(F.when(is_m, F.col("ts")), ignorenulls=True).over(w)
+    return ev.select(
+        "event_id",
+        F.when(
+            last_mts >= F.col("ts") - F.expr("INTERVAL 1 HOUR"), last_val
+        ).alias("last_error_value_1h"),
+    )

@@ -215,3 +215,54 @@ def f_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid.select(
         "latitude", "longitude", F.round(dist, 6).alias("dist_km")
     )
+
+
+# ---------- Z-order (Morton) clustering key ----------
+
+_ZBITS = 3  # 8x8 grid -> 3 bits per axis
+
+
+def _z_expr(li: str, xi: str) -> str:
+    """Bit-interleave SQL text (identical in Spark SQL and DuckDB):
+    z = lat_b0 | lon_b0<<1 | lat_b1<<2 | lon_b1<<3 | ..."""
+    terms = []
+    for k in range(_ZBITS):
+        terms.append(f"((({li} >> {k}) & 1) << {2 * k})")
+        terms.append(f"((({xi} >> {k}) & 1) << {2 * k + 1})")
+    return "(" + " | ".join(terms) + ")"
+
+
+_LAT_IDX = "CAST(FLOOR((latitude - 45.0) / 0.25 + 0.5) AS BIGINT)"
+_LON_IDX = "CAST(FLOOR((longitude + 74.0) / 0.25 + 0.5) AS BIGINT)"
+
+
+@register(
+    "f_zorder_cells",
+    f"WITH {ERA5_CTE}, cells AS "
+    "(SELECT DISTINCT latitude, longitude FROM era5) "
+    f"SELECT latitude, longitude, "
+    f"{_z_expr(_LAT_IDX, _LON_IDX)} AS zorder FROM cells",
+    doc="Z-order (Morton) clustering key per grid cell: bit-interleaved "
+    "lat/lon indices — the multi-dimensional sort key for data skipping",
+)
+def f_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton curve key for 2-D clustering, as pure integer bit
+    arithmetic (exact, engine-identical — the same expression text
+    runs in Spark SQL and DuckDB).
+
+    Scale: a 1-D sort by zorder co-locates 2-D-nearby cells in the
+    same files, so min/max footer stats prune BOTH dimensions of a
+    bbox query — `repartitionByRange(zorder).sortWithinPartitions`
+    before the write is the lakehouse OPTIMIZE ZORDER BY in plain
+    DataFrame code (pair with the zone-map sink `sink_sorted_stats`).
+    """
+    cells = (
+        era5_events(spark, sf_dir)
+        .select("latitude", "longitude")
+        .distinct()
+    )
+    return cells.select(
+        "latitude",
+        "longitude",
+        F.expr(_z_expr(_LAT_IDX, _LON_IDX)).alias("zorder"),
+    )

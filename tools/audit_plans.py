@@ -81,6 +81,8 @@ AUDIT: dict[str, dict] = {
     "sim_pq_adc_topk": {"smj": 0},
     "scan_partition_pruned": {"smj": 0, "partition_pruned": True},
     "agg_skew_kurtosis": {"smj": 0},
+    "join_asof_tolerance": {"exchange": 1},
+    "f_zorder_cells": {"smj": 0},
 }
 
 
