@@ -900,3 +900,109 @@ def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ---------- prefix-dimension screening (Matryoshka-style) ----------
+# Modern embedding models are trained so that a PREFIX of the vector
+# is itself a usable lower-dim embedding (Kusupati et al.,
+# "Matryoshka Representation Learning", NeurIPS 2022). Screening with
+# the first P dims cuts the scoring FLOPs by D/P and the scanned
+# bytes likewise if the prefix is stored as its own column.
+
+PREFIX_DIMS = 16
+
+
+def _sql_qdot_prefix(a: str, b: str) -> str:
+    return (
+        f"(CAST((SELECT SUM(CAST(FLOOR(CAST({a}[i.x + 1] AS DOUBLE) * "
+        f"CAST({b}[i.x + 1] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) "
+        f"FROM range({PREFIX_DIMS}) i(x)) AS DOUBLE) / 1000000.0)"
+    )
+
+
+_SQL_PREFIX_COS = (
+    _sql_qdot_prefix("q.embedding", "c.embedding")
+    + " / (SQRT("
+    + _sql_qdot_prefix("q.embedding", "q.embedding")
+    + ") * SQRT("
+    + _sql_qdot_prefix("c.embedding", "c.embedding")
+    + "))"
+)
+
+
+@register(
+    "sim_prefix_rerank",
+    f"WITH n AS ({_SQL_NORMED}), q AS (SELECT * FROM n WHERE vec_id < {N_QUERIES}), "
+    "cand AS (SELECT query_id, vec_id FROM ("
+    "SELECT q.vec_id AS query_id, c.vec_id, ROW_NUMBER() OVER ("
+    f"PARTITION BY q.vec_id ORDER BY {_SQL_PREFIX_COS} DESC, c.vec_id) AS rn "
+    "FROM q JOIN n c ON c.vec_id <> q.vec_id) t "
+    f"WHERE rn <= {PQ_CAND}) "
+    "SELECT query_id, neighbor_id, cos_sim, rank FROM ("
+    "SELECT cand.query_id, cand.vec_id AS neighbor_id, "
+    + _sql_qdot("q.embedding", "c.embedding")
+    + " / (SQRT(q.nrm) * SQRT(c.nrm)) AS cos_sim, "
+    "ROW_NUMBER() OVER (PARTITION BY cand.query_id ORDER BY "
+    + _sql_qdot("q.embedding", "c.embedding")
+    + " / (SQRT(q.nrm) * SQRT(c.nrm)) DESC, cand.vec_id) AS rank "
+    "FROM cand JOIN n c ON c.vec_id = cand.vec_id "
+    "JOIN q ON q.vec_id = cand.query_id) t "
+    f"WHERE rank <= {TOP_K}",
+    doc=f"Matryoshka-style two-stage ANN: screen on the first "
+    f"{PREFIX_DIMS} dims (top {PQ_CAND}), exact full-dim re-rank to "
+    f"top {TOP_K}",
+)
+def sim_prefix_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix screen + exact re-rank, deterministic end to end (same
+    quantized arithmetic and id tie-breaks as the PQ pipeline).
+
+    Scale: stage 1 scores D/P = 4× cheaper per pair than full cosine
+    and reads 4× fewer bytes when the prefix is materialized as its
+    own column; stage 2 touches full vectors only for PQ_CAND rows
+    per query. Unlike PQ there is no codebook to train — the tradeoff
+    is prefix quality, which is what the model's MRL training buys.
+    """
+    corpus = _with_norm(load(spark, "embeddings", sf_dir))
+    pre = F.slice(F.col("embedding"), 1, PREFIX_DIMS)
+    corpus_p = corpus.withColumn("pnrm", qdot(pre, pre)).withColumn(
+        "pre", pre
+    )
+    q = F.broadcast(
+        corpus_p.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("pre").alias("q_pre"),
+            F.col("pnrm").alias("q_pnrm"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+        )
+    )
+    pcos = qdot(F.col("q_pre"), F.col("pre")) / (
+        F.sqrt(F.col("q_pnrm")) * F.sqrt(F.col("pnrm"))
+    )
+    w_screen = Window.partitionBy("query_id").orderBy(
+        F.desc("pcos"), F.asc("vec_id")
+    )
+    cand = (
+        corpus_p.join(q, F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", pcos.alias("pcos"))
+        .withColumn("rn", F.row_number().over(w_screen))
+        .filter(F.col("rn") <= PQ_CAND)
+        .select("query_id", "vec_id")
+    )
+    cos = _scored(
+        F.col("q_emb"), F.col("embedding"), F.col("q_nrm"), F.col("nrm")
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        cand.join(corpus, "vec_id")
+        .join(q, "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos.alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= TOP_K)
+    )

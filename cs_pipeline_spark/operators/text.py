@@ -412,3 +412,54 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(t, F.lit(_PII_PHONE)).alias("n_phones"),
         scrubbed.alias("scrubbed"),
     )
+
+
+# ---------- character-entropy quality signal ----------
+# Low-entropy documents (repeated characters, template boilerplate,
+# degenerate generations) are a standard curation cut alongside the
+# length/punct/stopword ratios in text_quality_filter.
+
+
+@register(
+    "text_char_entropy",
+    """
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '')) AS ch,
+             length(text) AS n
+      FROM documents WHERE length(text) > 0
+    ), freq AS (
+      SELECT doc_id, ch, n, COUNT(*) AS c
+      FROM chars WHERE ch <> '' GROUP BY doc_id, ch, n
+    )
+    SELECT doc_id,
+           ROUND(SUM(-(CAST(c AS DOUBLE) / n)
+                     * LN(CAST(c AS DOUBLE) / n)), 6) AS char_entropy
+    FROM freq GROUP BY doc_id
+    """,
+    doc="per-doc character-level Shannon entropy (nats, 6 dp) — the "
+    "low-entropy boilerplate/degeneration curation signal",
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H = −Σ p·ln p over the document's character distribution.
+
+    Per-character p uses the document length as denominator on both
+    engines; the sum runs over ≤ |alphabet| terms so 6-dp rounding
+    absorbs ULP-order drift in the float accumulation.
+
+    Scale: explode → (doc, char) hash-agg with map-side combine — the
+    shuffle carries at most alphabet-size rows per document, not
+    characters. No corpus-wide state; embarrassingly parallel.
+    """
+    docs = load(spark, "documents", sf_dir).filter(F.length("text") > 0)
+    chars = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "")).alias("ch"),
+        F.length("text").alias("n"),
+    ).filter(F.col("ch") != "")
+    freq = chars.groupBy("doc_id", "ch", "n").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    return freq.groupBy("doc_id").agg(
+        F.round(F.sum(-p * F.log(p)), 6).alias("char_entropy")
+    )

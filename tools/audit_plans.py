@@ -83,6 +83,8 @@ AUDIT: dict[str, dict] = {
     "agg_skew_kurtosis": {"smj": 0},
     "join_asof_tolerance": {"exchange": 1},
     "f_zorder_cells": {"smj": 0},
+    "text_char_entropy": {"smj": 0},
+    "sim_prefix_rerank": {"smj": 0},
 }
 
 
