@@ -958,3 +958,72 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(m3 / F.pow(m2, F.lit(1.5)), 6).alias("skewness"),
         F.round(m4 / (m2 * m2) - F.lit(3.0), 6).alias("kurtosis_excess"),
     )
+
+
+# ---------- Gini coefficient (inequality profiling) ----------
+
+
+@register(
+    "agg_gini",
+    """
+    WITH qv AS (
+      SELECT event_type,
+             CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS q,
+             event_id
+      FROM events WHERE value >= 0
+    ), rk AS (
+      SELECT event_type, q,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY q, event_id) AS rn
+      FROM qv
+    ), s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(CAST(SUM(CAST(rn AS HUGEINT) * q) AS VARCHAR) AS DOUBLE) AS s_iq,
+             CAST(CAST(SUM(CAST(q AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS s_q
+      FROM rk GROUP BY event_type
+    )
+    SELECT event_type,
+           ROUND(((2.0 * s_iq) / (n * s_q)) - ((n + 1.0) / n), 6) AS gini
+    FROM s WHERE s_q > 0
+    """,
+    doc="per-type Gini coefficient from exact rank-weighted integer "
+    "sums (G = 2*sum(i*x_(i))/(n*sum(x)) - (n+1)/n)",
+)
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inequality of the value distribution per event type — the
+    standard skew-of-mass profiling number for partition/key sizing
+    (a high Gini on a prospective shuffle key predicts stragglers).
+
+    Exactness: values quantize to integers, ranks are tie-broken by
+    the unique event_id, and both the rank-weighted sum and the plain
+    sum stay in exact integer arithmetic (rn·q ≤ 1e4·1e13 per row,
+    sums in decimal(38,0)/HUGEINT); the closed-form float expression
+    at the end is textually identical on both engines.
+
+    Scale: one shuffle to rank within groups, one aggregation — the
+    sort is per-group (window), never global.
+    """
+    ev = load(spark, "events", sf_dir).filter(F.col("value") >= 0)
+    qv = ev.select(
+        "event_type",
+        F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5)).alias("q"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type").orderBy("q", "event_id")
+    rk = qv.withColumn("rn", F.row_number().over(w))
+    dec = lambda c: c.cast("string").cast("double")  # noqa: E731
+    s = rk.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dec(
+            F.sum((F.col("rn") * F.col("q")).cast("decimal(38,0)"))
+        ).alias("s_iq"),
+        dec(F.sum(F.col("q").cast("decimal(38,0)"))).alias("s_q"),
+    )
+    n, s_iq, s_q = F.col("n"), F.col("s_iq"), F.col("s_q")
+    return s.filter(s_q > 0).select(
+        "event_type",
+        F.round(
+            ((F.lit(2.0) * s_iq) / (n * s_q)) - ((n + F.lit(1.0)) / n), 6
+        ).alias("gini"),
+    )

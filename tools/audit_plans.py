@@ -85,6 +85,7 @@ AUDIT: dict[str, dict] = {
     "f_zorder_cells": {"smj": 0},
     "text_char_entropy": {"smj": 0},
     "sim_prefix_rerank": {"smj": 0},
+    "agg_gini": {"smj": 0},
 }
 
 
