@@ -336,3 +336,286 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
     )
+
+
+@register(
+    "q7_volume_shipping",
+    f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           EXTRACT(YEAR FROM l.l_shipdate) AS l_year,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM lineitem l
+      JOIN orders o    ON o.o_orderkey = l.l_orderkey
+      JOIN customer c  ON c.c_custkey = o.o_custkey
+      JOIN supplier s  ON s.s_suppkey = l.l_suppkey
+      JOIN nation sn   ON sn.n_nationkey = s.s_nationkey
+      JOIN nation cn   ON cn.n_nationkey = c.c_nationkey
+    WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    doc="q7-shape: bidirectional two-nation trade volume, nation dim "
+    "joined twice (supplier side and customer side) under one scan",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: revenue shipped between NATION_1 and NATION_2 in
+    either direction, by supplier nation × customer nation × ship year.
+
+    Scale: the nation dimension enters twice under different aliases
+    (supplier-side and customer-side) — both collapse with their parent
+    dims (supplier⋈nation, customer⋈nation) into broadcast inputs, so
+    the fact crosses the wire only for the orders⇄lineitem key join.
+    The symmetric two-nation disjunction is evaluated post-join on
+    dimension columns (25² combinations — trivially cheap); the
+    shipdate range is pushed to the lineitem scan. ≤ 2 nations ×
+    2 years of output groups → all map-side partial aggregation.
+    """
+    li = load(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1995-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01")))
+    )
+    o = load(spark, "orders", sf_dir)
+    c = load(spark, "customer", sf_dir)
+    s = load(spark, "supplier", sf_dir)
+    n = load(spark, "nation", sf_dir)
+
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", F.col("n_name").alias("supp_nation")
+    )
+    cn = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "c_custkey", F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cn), o.o_custkey == cn.c_custkey)
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(dsum(rev).alias("revenue"))
+    )
+
+
+@register(
+    "q8_market_share",
+    f"""
+    WITH vol AS (
+      SELECT EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             sn.n_name AS supp_nation
+      FROM lineitem l
+        JOIN part p     ON p.p_partkey = l.l_partkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+        JOIN region r   ON r.r_regionkey = cn.n_regionkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'AMERICA'
+        AND p.p_type IN ('STANDARD', 'LARGE')
+        AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    )
+    SELECT o_year,
+           {sql_dsum("CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0.0 END")}
+             AS focal_volume,
+           {sql_dsum('volume')} AS total_volume
+    FROM vol GROUP BY o_year
+    """,
+    doc="q8-shape: national market share via conditional aggregation "
+    "over an 8-table star (share numerator and denominator in one pass)",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of AMERICA-region STANDARD/LARGE-part
+    order volume per year — numerator (conditional sum) and denominator
+    (total sum) computed in the same aggregation pass.
+
+    The share itself (numerator/denominator) is left to the caller: a
+    single float division, trivially derivable from the two exact
+    quantized sums returned (returning both keeps the hash check on
+    integer-exact ground instead of a float ratio).
+
+    Scale: every dimension chain (region→nation→customer,
+    nation→supplier, filtered part) is broadcast; the fact shuffles
+    once on orderkey. The conditional sum rides the same aggregate
+    buffer layout as the total — one pass, two accumulators, ≤ 2
+    output groups.
+    """
+    li = load(spark, "lineitem", sf_dir)
+    p = load(spark, "part", sf_dir).filter(F.col("p_type").isin("STANDARD", "LARGE"))
+    o = load(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1995-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01")))
+    )
+    c = load(spark, "customer", sf_dir)
+    n = load(spark, "nation", sf_dir)
+    r = load(spark, "region", sf_dir).filter(F.col("r_name") == "AMERICA")
+    s = load(spark, "supplier", sf_dir)
+
+    cn = c.join(
+        F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+        c.c_nationkey == n.n_nationkey,
+    ).select("c_custkey")
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", F.col("n_name").alias("supp_nation")
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cn), o.o_custkey == cn.c_custkey)
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            dsum(
+                F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(0.0)
+            ).alias("focal_volume"),
+            dsum(volume).alias("total_volume"),
+        )
+    )
+
+
+@register(
+    "q10_returned_items",
+    f"""
+    SELECT c.c_custkey, c.c_name, n.n_name, c.c_acctbal,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM customer c
+      JOIN orders o   ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1995-10-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-01-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="q10-shape: lost-revenue ranking of customers with returned "
+    "items — wide grouping key, TakeOrdered top-20",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue on returned ('R')
+    lineitems in a quarter.
+
+    Total order (revenue desc, custkey asc) makes the LIMIT
+    deterministic for the hash check.
+
+    Scale: both fact filters (returnflag, orderdate range) are pushed
+    into their scans before the orderkey shuffle join; customer⋈nation
+    is broadcast. The grouping key is wide (4 columns) but functionally
+    dependent on c_custkey, so cardinality stays ≤ |customer|; the
+    top-20 is TakeOrderedAndProject — no global sort materialization.
+    """
+    c = load(spark, "customer", sf_dir)
+    o = load(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1995-10-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1996-01-01")))
+    )
+    li = load(spark, "lineitem", sf_dir).filter(F.col("l_returnflag") == "R")
+    n = load(spark, "nation", sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(dsum(rev).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q12_priority_shipping",
+    """
+    SELECT l.l_linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1996-01-01'
+    GROUP BY l.l_linestatus
+    """,
+    doc="q12-shape: priority-split conditional counts per line status "
+    "(integer-only aggregates, no quantization needed)",
+)
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (this corpus has no l_shipmode/commitdate, so
+    the split dimension is order priority over a shipdate year):
+    high- vs low-priority line counts per line status.
+
+    Scale: the shipdate range is pushed to the lineitem scan; the only
+    fact shuffle is the orderkey join (both sides pre-filtered). The
+    CASE-counts are pure integer accumulators — exact on any engine,
+    bit-stable with zero quantization machinery — and with ≤ 2 output
+    groups the final exchange carries a handful of agg states.
+    """
+    o = load(spark, "orders", sf_dir)
+    li = load(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1995-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-01-01")))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q13_order_count_distribution",
+    """
+    WITH per_cust AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+        LEFT OUTER JOIN orders o
+          ON o.o_custkey = c.c_custkey
+         AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+    doc="q13-shape: two-level aggregation — per-customer order counts "
+    "(null-preserving outer join) re-aggregated into a distribution",
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the distribution of per-customer order counts,
+    excluding urgent orders, with zero-order customers kept via the
+    left outer join (COUNT of the nullable orderkey → 0, not 1).
+
+    Scale: the join predicate's non-key conjunct (priority filter)
+    prunes orders before the join; the first aggregation shuffles on
+    custkey (the join key — AQE reuses the partitioning), the second
+    on the tiny c_count domain (≤ tens of values) where map-side
+    combine collapses nearly everything. Integer-only — no
+    quantization needed.
+    """
+    c = load(spark, "customer", sf_dir)
+    o = load(spark, "orders", sf_dir).filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
