@@ -1,0 +1,330 @@
+"""Training-data assembly operators (SURVEY §2.10 extension, north star).
+
+The last mile of an LLM data pipeline, after curation (text.py) and
+dedup (dedup.py): split documents into model-sized chunks, pack
+variable-length documents into fixed token budgets, score text against
+a corpus language model, and canonicalize URLs for crawl dedup.
+
+Scale design (100 TB):
+
+- ``doc_chunk_split``: chunk offsets are computed per row with
+  ``sequence`` + ``posexplode`` — zero shuffle, zero Python; output
+  size is corpus_chars/stride rows, each carrying an md5 instead of
+  the chunk text, so the operator's own output stays narrow.
+- ``pack_sequences``: one window cumsum per source partition (a single
+  range-partition shuffle on (source, doc_id)) followed by integer
+  bin assignment — the contiguous-fill packing a streaming tokenizer
+  uses; no driver-side bin state.
+- ``text_lm_score``: corpus unigram counts (one map-side-combined
+  shuffle on term), joined back on the same key (exchange reuse), and
+  integer-exact moments only — the float "mean corpus frequency"
+  is a SINGLE correctly-rounded division per doc, so the score is
+  bit-identical on any engine/topology.
+- ``dedup_url_canonical``: pure per-row regexp canonicalization, then
+  a hash-groupBy on the canonical key — same shape (and same scale
+  story) as ``dedup_exact``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cs_pipeline_spark.operators.dedup import _NORM, _NORM_DUCK, _tokens
+from cs_pipeline_spark.registry import register
+from cs_pipeline_spark.tables import load
+
+_DUCK_TOKENS = f"string_split({_NORM_DUCK}, ' ')"
+
+# ---------- fixed-window chunking (training-example splitter) ----------
+
+_CHUNK = 200  # chars per chunk
+_STRIDE = 150  # chunk start interval → 50-char overlap
+
+
+@register(
+    "doc_chunk_split",
+    f"""
+    WITH n AS (SELECT doc_id, {_NORM_DUCK} AS t FROM documents)
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           CAST((i * {_STRIDE}) + 1 AS BIGINT) AS chunk_off,
+           CAST(length(substring(t, (i * {_STRIDE}) + 1, {_CHUNK})) AS BIGINT)
+             AS chunk_chars,
+           md5(substring(t, (i * {_STRIDE}) + 1, {_CHUNK})) AS chunk_md5
+    FROM n, unnest(range(0, greatest(
+          CAST(ceil((length(t) - {_CHUNK}) / {_STRIDE}.0) AS BIGINT) + 1,
+          1))) AS u(i)
+    """,
+    doc=f"split docs into {_CHUNK}-char chunks, stride {_STRIDE} "
+    f"(overlap {_CHUNK - _STRIDE}) — per-row sequence+posexplode, zero "
+    "shuffle; chunks carried as md5, not text",
+)
+def doc_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-window chunking — the context-window splitter
+    that turns documents into training examples.
+
+    Chunk k covers chars [k·stride, k·stride + chunk); the last chunk
+    is the first one whose window reaches the end (so short tails are
+    not emitted twice), and every doc emits ≥ 1 chunk (empty docs
+    included, as one empty chunk — deterministic row count).
+
+    Scale: offsets come from ``sequence(0, n_chunks-1)`` evaluated
+    per row and ``posexplode`` — a narrow-dependency flatMap, no
+    shuffle, no Python. Emitting ``md5(chunk)`` keeps the output
+    ~60 bytes/row regardless of chunk size; a downstream tokenizer
+    reads the (doc_id, chunk_off) coordinates instead of re-shipping
+    text.
+    """
+    docs = load(spark, "documents", sf_dir)
+    t = F.expr(_NORM)
+    n_chunks = F.greatest(
+        F.ceil((F.length("t") - F.lit(_CHUNK)) / F.lit(float(_STRIDE)))
+        + F.lit(1),
+        F.lit(1),
+    )
+    chunk = F.substring("t", (F.col("i") * _STRIDE + 1).cast("int"), _CHUNK)
+    return (
+        docs.select("doc_id", t.alias("t"))
+        .select(
+            "doc_id",
+            "t",
+            F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("long"))).alias(
+                "i"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("i").alias("chunk_idx"),
+            (F.col("i") * _STRIDE + 1).alias("chunk_off"),
+            F.length(chunk).cast("long").alias("chunk_chars"),
+            F.md5(chunk).alias("chunk_md5"),
+        )
+    )
+
+
+# ---------- token-budget sequence packing ----------
+
+_BUDGET = 512  # whitespace tokens per packed sequence
+
+
+@register(
+    "pack_sequences",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, len({_DUCK_TOKENS}) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT source, n_tokens,
+             CAST(floor((SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - 1) / {_BUDGET}) AS BIGINT) AS bin_id
+      FROM toks
+    )
+    SELECT source, bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM packed GROUP BY source, bin_id
+    """,
+    doc=f"contiguous-fill sequence packing into {_BUDGET}-token bins "
+    "(cumsum window + integer bin id) — the batch-assembly planner",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into fixed token budgets by contiguous fill:
+    docs are laid out in (source, doc_id) order on a token number
+    line and bin k owns tokens [k·budget, (k+1)·budget) — the packing
+    a streaming tokenizer produces when it concatenates documents and
+    cuts every `budget` tokens. A doc belongs to the bin its LAST
+    token lands in (``(cumsum−1) div budget``), so bins are contiguous
+    doc ranges and every doc has exactly one bin.
+
+    Output is the packing PLAN (per-bin doc count and token total) —
+    the thing a batch assembler materializes — not the concatenated
+    text.
+
+    Scale: one window cumsum = one range-partition shuffle keyed on
+    source (the partition column a crawl corpus is already bucketed
+    by); the follow-up groupBy re-uses integer keys with map-side
+    combine. All integer arithmetic — no quantization machinery.
+    """
+    docs = load(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(_tokens(F.expr(_NORM))).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.select(
+        "source",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - 1) / _BUDGET).alias("bin_id"),
+    )
+    return packed.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+
+
+# ---------- corpus unigram-LM scoring (perplexity proxy) ----------
+
+
+@register(
+    "text_lm_score",
+    f"""
+    WITH tf AS (
+      SELECT doc_id, unnest({_DUCK_TOKENS}) AS term FROM documents
+    ), cf AS (
+      SELECT term, COUNT(*) AS c FROM tf GROUP BY term
+    ), scored AS (
+      SELECT tf.doc_id, COUNT(*) AS n_tokens, SUM(cf.c) AS sum_freq
+      FROM tf JOIN cf ON cf.term = tf.term
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(sum_freq AS BIGINT) AS sum_freq,
+           CAST(sum_freq AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+             AS mean_freq
+    FROM scored
+    """,
+    doc="unigram corpus-LM score per doc (mean token corpus-frequency, "
+    "the perplexity-proxy curation signal) — integer-exact moments, "
+    "one float division",
+)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score each document against a unigram language model built from
+    the corpus itself: mean corpus frequency of the document's tokens.
+    Natural text scores high (common words), gibberish and boilerplate
+    score low/odd — the cheap stand-in for the KenLM-perplexity filter
+    in CCNet-style curation, rank-equivalent for outlier cutoffs.
+
+    Determinism: both moments (token count, summed corpus frequency)
+    are integers; ``mean_freq`` is one correctly-rounded IEEE division
+    of exact integers — bit-identical across engines, no log() in
+    sight (ln's last-ulp differs between libm implementations, so a
+    true log-prob sum would need quantization; the integer formulation
+    needs none).
+
+    Scale: the count table is a map-side-combined shuffle on term; the
+    join back to the exploded tokens reuses that term partitioning,
+    and the per-doc reduce shuffles (doc_id, partial sums) only. The
+    count table is Zipf-shaped but the join is stream-stream on the
+    already-partitioned key — no broadcast of an unbounded vocabulary.
+    """
+    docs = load(spark, "documents", sf_dir)
+    tf = docs.select(
+        "doc_id", F.explode(_tokens(F.expr(_NORM))).alias("term")
+    )
+    cf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        tf.join(cf, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("c").cast("long").alias("sum_freq"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "sum_freq",
+            (
+                F.col("sum_freq").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("mean_freq"),
+        )
+    )
+
+
+# ---------- URL canonicalization dedup (crawl frontier) ----------
+
+# Synthetic-but-deterministic URL per doc (the corpus has no URL
+# column): doc_id decides host casing, query noise, fragment,
+# index.html suffix, and trailing slash — the exact decorations a
+# canonicalizer must strip. Same synthesis on both engines.
+_URL_SPARK = (
+    "concat('https://', "
+    "CASE WHEN doc_id % 5 = 0 THEN upper(source) ELSE source END, "
+    "'.example.com/page/', CAST(doc_id % 12 AS STRING), "
+    "CASE WHEN doc_id % 3 = 0 THEN '/index.html' "
+    "     WHEN doc_id % 3 = 1 THEN '/' ELSE '' END, "
+    "CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&ref=rss' ELSE '' END, "
+    "CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END)"
+)
+_URL_DUCK = (
+    "concat('https://', "
+    "CASE WHEN doc_id % 5 = 0 THEN upper(source) ELSE source END, "
+    "'.example.com/page/', CAST(doc_id % 12 AS VARCHAR), "
+    "CASE WHEN doc_id % 3 = 0 THEN '/index.html' "
+    "     WHEN doc_id % 3 = 1 THEN '/' ELSE '' END, "
+    "CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&ref=rss' ELSE '' END, "
+    "CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END)"
+)
+
+
+def canonical_url(url: F.Column) -> F.Column:
+    """Crawl-dedup URL canonicalization: drop query+fragment, strip a
+    trailing /index.html, strip the trailing slash, lowercase the
+    scheme+host (path case is preserved — it is significant)."""
+    c = F.regexp_replace(url, r"[?#].*$", "")
+    c = F.regexp_replace(c, r"/index\.html$", "")
+    c = F.regexp_replace(c, r"/$", "")
+    host = F.regexp_extract(c, r"^(https?://[^/]*)", 1)
+    rest = F.regexp_replace(c, r"^https?://[^/]*", "")
+    return F.concat(F.lower(host), rest)
+
+
+_STRIP_DUCK = (
+    "regexp_replace(regexp_replace(regexp_replace("
+    "url, '[?#].*$', ''), '/index\\.html$', ''), '/$', '')"
+)
+_CANON_DUCK = (
+    "concat(lower(regexp_extract(u2, '^(https?://[^/]*)', 1)), "
+    "regexp_replace(u2, '^https?://[^/]*', ''))"
+).replace("u2", _STRIP_DUCK)
+
+_URL_ORACLE = (
+    "WITH raw AS (SELECT doc_id, " + _URL_DUCK + " AS url FROM documents), "
+    "canon AS (SELECT doc_id, " + _CANON_DUCK + " AS canonical FROM raw) "
+    "SELECT canonical, CAST(COUNT(*) AS BIGINT) AS n_urls, "
+    "MIN(doc_id) AS keep_doc_id "
+    "FROM canon GROUP BY canonical HAVING COUNT(*) > 1"
+)
+
+
+@register(
+    "dedup_url_canonical",
+    _URL_ORACLE,
+    doc="URL canonicalization dedup: strip query/fragment/index.html/"
+    "trailing-slash + lowercase host, hash-groupBy on canonical form "
+    "(crawl-frontier dedup; URLs synthesized deterministically)",
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL duplicate groups with the kept (min) doc_id — the
+    first dedup stage of a web-crawl pipeline, upstream of content
+    hashing: ``?utm_…`` tracking params, ``#fragment``\\ s,
+    ``/index.html`` and trailing slashes all collapse, and host case
+    folds while path case survives.
+
+    Scale: per-row regexp chain (JVM codegen, no Python), then the
+    ``dedup_exact`` shape — a map-side-combined hash-groupBy keyed on
+    the canonical string. At crawl scale the canonical key is
+    near-unique, so combine output ≈ input and AQE coalesces the
+    post-shuffle partitions.
+    """
+    docs = load(spark, "documents", sf_dir)
+    with_url = docs.select("doc_id", F.expr(_URL_SPARK).alias("url"))
+    canon = with_url.select(
+        "doc_id", canonical_url(F.col("url")).alias("canonical")
+    )
+    return (
+        canon.groupBy("canonical")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_urls") > 1)
+    )

@@ -105,6 +105,7 @@ def _load_all_modules() -> None:
         spatial,
         subqueries,
         text,
+        training,
         windows,
     )
     from cs_pipeline_spark.plans import request_groups, validate  # noqa: F401
