@@ -619,3 +619,130 @@ def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_cust.groupBy("c_count").agg(
         F.count(F.lit(1)).alias("custdist")
     )
+
+
+@register(
+    "q20_excess_shippers",
+    f"""
+    WITH promo_qty AS (
+      SELECT l.l_suppkey, {sql_dsum('l.l_quantity')} AS promo_qty
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_type = 'PROMO'
+      GROUP BY l.l_suppkey
+      HAVING {sql_dsum('l.l_quantity')} > 1500
+    )
+    SELECT s.s_suppkey, s.s_name, n.n_name, pq.promo_qty
+    FROM supplier s
+      JOIN promo_qty pq ON pq.l_suppkey = s.s_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+    """,
+    doc="q20-shape: HAVING-gated supplier selection by aggregated PROMO "
+    "shipment volume, survivors joined back to dims",
+)
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (no partsupp/availqty in this corpus, so
+    'excess' = aggregate shipped PROMO quantity over threshold):
+    suppliers who moved > 1500 units of PROMO parts, with their nation.
+
+    Scale: the part filter prunes before its broadcast into lineitem;
+    the fact aggregates once on suppkey (map-side combine), and only
+    the HAVING survivors — a small set — join back to the
+    dimension-sized supplier⋈nation. The expensive side (fact agg)
+    happens exactly once; everything after operates on survivors.
+    """
+    li = load(spark, "lineitem", sf_dir)
+    p = load(spark, "part", sf_dir).filter(F.col("p_type") == "PROMO")
+    s = load(spark, "supplier", sf_dir)
+    n = load(spark, "nation", sf_dir)
+
+    pq = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(dsum("l_quantity").alias("promo_qty"))
+        .filter(F.col("promo_qty") > 1500)
+    )
+    return (
+        s.join(pq, s.s_suppkey == pq.l_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name", "promo_qty")
+    )
+
+
+@register(
+    "q21_blocking_suppliers",
+    """
+    WITH per_supp AS (
+      SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS supp_last
+      FROM lineitem GROUP BY l_orderkey, l_suppkey
+    ), lvl1 AS (
+      SELECT l_orderkey, l_suppkey, supp_last,
+             MAX(supp_last) OVER wo AS order_last,
+             COUNT(*) OVER wo AS n_supp
+      FROM per_supp WINDOW wo AS (PARTITION BY l_orderkey)
+    ), tagged AS (
+      SELECT l_orderkey, l_suppkey, supp_last, order_last, n_supp,
+             SUM(CASE WHEN supp_last = order_last THEN 1 ELSE 0 END)
+               OVER (PARTITION BY l_orderkey) AS n_at_max
+      FROM lvl1
+    )
+    SELECT s.s_name,
+           CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM tagged t JOIN supplier s ON s.s_suppkey = t.l_suppkey
+    WHERE t.n_supp >= 2 AND t.n_at_max = 1 AND t.supp_last = t.order_last
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+    """,
+    doc="q21-shape: sole-latest-shipper detection on multi-supplier "
+    "orders (exists/not-exists correlation folded into one window pass)",
+)
+def q21_blocking_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (no commit/receipt dates here, so 'kept the
+    order waiting' = was the unique latest shipper): for orders with
+    suppliers S ≥ 2, find the supplier whose last shipment is strictly
+    after every other supplier's, and rank suppliers by how many
+    orders they blocked.
+
+    The reference Q21 phrases this as EXISTS(other supplier) AND NOT
+    EXISTS(other late supplier); both correlations collapse into one
+    per-order window count over the (order, supplier) pre-aggregate —
+    two shuffles total (suppkey-grouped pre-agg on the orderkey
+    partitioning, then the window on orderkey), instead of two
+    correlated self-joins of the fact.
+
+    Scale: per_supp shrinks lineitem to one row per (order, supplier)
+    BEFORE any window work; the window partitions by orderkey (tiny
+    groups, streaming frame). The final supplier join is broadcast and
+    the top-10 is TakeOrdered.
+    """
+    li = load(spark, "lineitem", sf_dir)
+    s = load(spark, "supplier", sf_dir)
+
+    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("supp_last")
+    )
+    wo = Window.partitionBy("l_orderkey")
+    tagged = per_supp.select(
+        "l_orderkey",
+        "l_suppkey",
+        "supp_last",
+        F.max("supp_last").over(wo).alias("order_last"),
+        F.count(F.lit(1)).over(wo).alias("n_supp"),
+    ).withColumn(
+        "n_at_max",
+        F.sum(
+            F.when(F.col("supp_last") == F.col("order_last"), 1).otherwise(0)
+        ).over(wo),
+    )
+    return (
+        tagged.filter(
+            (F.col("n_supp") >= 2)
+            & (F.col("n_at_max") == 1)
+            & (F.col("supp_last") == F.col("order_last"))
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(10)
+    )

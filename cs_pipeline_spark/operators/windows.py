@@ -705,3 +705,97 @@ def win_decay_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0)
         )
     return ev.select("event_id", "user_id", (num / den).alias("ewma"))
+
+
+@register(
+    "win_interp_linear",
+    "WITH e AS (SELECT event_id, user_id, "
+    f"epoch_us({EVENTS_TS_SQL}) AS ts_us, "
+    "CASE WHEN event_type <> 'click' THEN value END AS raw_value "
+    "FROM events), b AS ("
+    "SELECT event_id, user_id, ts_us, raw_value, "
+    "last_value(raw_value IGNORE NULLS) OVER wp AS prev_val, "
+    "last_value(CASE WHEN raw_value IS NOT NULL THEN ts_us END "
+    "  IGNORE NULLS) OVER wp AS prev_ts, "
+    "first_value(raw_value IGNORE NULLS) OVER wf AS next_val, "
+    "first_value(CASE WHEN raw_value IS NOT NULL THEN ts_us END "
+    "  IGNORE NULLS) OVER wf AS next_ts "
+    "FROM e WINDOW "
+    "wp AS (PARTITION BY user_id ORDER BY ts_us, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), "
+    "wf AS (PARTITION BY user_id ORDER BY ts_us, event_id "
+    "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) "
+    "SELECT event_id, user_id, raw_value, "
+    "CASE WHEN raw_value IS NOT NULL THEN raw_value "
+    "WHEN prev_val IS NULL THEN next_val "
+    "WHEN next_val IS NULL THEN prev_val "
+    "WHEN next_ts = prev_ts THEN prev_val "
+    "ELSE prev_val + (next_val - prev_val) * "
+    "(CAST(ts_us - prev_ts AS DOUBLE) / CAST(next_ts - prev_ts AS DOUBLE)) "
+    "END AS interp_value FROM b",
+    doc="per-key time-weighted linear interpolation of missing values "
+    "(bracketing non-null neighbors + integer-µs lever arm) — the "
+    "interpolating upgrade of win_fill_forward's LOCF",
+)
+def win_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear gap-fill: a null takes
+    ``prev + (next − prev) · (t − t_prev)/(t_next − t_prev)`` from its
+    bracketing non-null neighbors in event time; boundary nulls fall
+    back to the single available side (→ LOCF/NOCB at the edges).
+
+    Determinism without quantization: the lever arm is a ratio of
+    integer microsecond differences (exact int64 → exact double, both
+    < 2^53), and the remaining subtract/divide/multiply/add are single
+    correctly-rounded IEEE ops — identical bits on both engines, the
+    same argument as ``win_decay_ema``.
+
+    Scale: both window frames (running and reverse-running) hash the
+    SAME partition key, so Spark plans ONE shuffle on user_id and two
+    in-partition sorted passes; state per key is one (value, ts) pair
+    per direction. No whole-partition buffering, no Python.
+    """
+    ev = load(spark, "events", sf_dir)
+    raw = F.when(F.col("event_type") != "click", F.col("value"))
+    us = F.unix_micros("ts")
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    marked_ts = F.when(F.col("raw_value").isNotNull(), F.col("ts_us"))
+    b = ev.select(
+        "event_id",
+        "user_id",
+        us.alias("ts_us"),
+        raw.alias("raw_value"),
+    ).select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "raw_value",
+        F.last("raw_value", ignorenulls=True).over(wp).alias("prev_val"),
+        F.last(marked_ts, ignorenulls=True).over(wp).alias("prev_ts"),
+        F.first("raw_value", ignorenulls=True).over(wf).alias("next_val"),
+        F.first(marked_ts, ignorenulls=True).over(wf).alias("next_ts"),
+    )
+    lever = (F.col("ts_us") - F.col("prev_ts")).cast("double") / (
+        F.col("next_ts") - F.col("prev_ts")
+    ).cast("double")
+    interp = (
+        F.when(F.col("raw_value").isNotNull(), F.col("raw_value"))
+        .when(F.col("prev_val").isNull(), F.col("next_val"))
+        .when(F.col("next_val").isNull(), F.col("prev_val"))
+        .when(F.col("next_ts") == F.col("prev_ts"), F.col("prev_val"))
+        .otherwise(
+            F.col("prev_val")
+            + (F.col("next_val") - F.col("prev_val")) * lever
+        )
+    )
+    return b.select(
+        "event_id", "user_id", "raw_value", interp.alias("interp_value")
+    )

@@ -756,3 +756,49 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("byte_len"),
         F.md5("content").alias("digest"),
     )
+
+
+@register(
+    "scan_file_metadata",
+    "SELECT event_type, CAST(1 AS BIGINT) AS n_files, "
+    "CAST(COUNT(*) AS BIGINT) AS n_rows, TRUE AS paths_consistent "
+    "FROM events GROUP BY event_type",
+    doc="hidden _metadata file-manifest scan over a hive-partitioned "
+    "dataset: per-partition file count + path↔partition-value "
+    "consistency (the incremental-ingest bookkeeping primitive)",
+)
+def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a file manifest from the ``_metadata`` hidden column — the
+    primitive behind incremental ingestion (process only files newer
+    than the last run) and small-file audits, with zero extra I/O: the
+    pseudo-column is populated from the file listing the scan already
+    performed, not from data pages.
+
+    The scratch dataset is written with ``repartition(event_type)``
+    before ``partitionBy(event_type)``, so every partition directory
+    receives exactly ONE file (all rows of a key land in one task) —
+    that makes ``n_files`` deterministic and the oracle expressible
+    from the logical table alone. ``paths_consistent`` pins the
+    invariant that every row's file path lies inside its own
+    partition directory (hive path embeds the partition value).
+
+    Scale: the manifest aggregation groups by partition value with
+    map-side combine over whole-file constants — it reads footers and
+    listings, not row data; at 100 TB this is the metadata-only query
+    that must NOT touch the fact columns (ReadSchema shows only the
+    pruned pseudo-column + partition column).
+    """
+    path = _scratch(sf_dir, "events_by_type.parquet")
+    if not os.path.exists(path):
+        load(spark, "events", sf_dir).repartition(
+            F.col("event_type")
+        ).write.mode("overwrite").partitionBy("event_type").parquet(path)
+    back = spark.read.parquet(path)
+    in_own_dir = F.col("_metadata.file_path").contains(
+        F.concat(F.lit("event_type="), F.col("event_type").cast("string"))
+    )
+    return back.groupBy("event_type").agg(
+        F.count_distinct(F.col("_metadata.file_name")).alias("n_files"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.bool_and(in_own_dir).alias("paths_consistent"),
+    )
