@@ -30,7 +30,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from cs_pipeline_spark.operators.dedup import _NORM, _NORM_DUCK, _tokens
+from cs_pipeline_spark.operators.dedup import (
+    _NORM,
+    _NORM_DUCK,
+    _sql_shingles,
+    _tokens,
+    shingles,
+)
 from cs_pipeline_spark.registry import register
 from cs_pipeline_spark.tables import load
 
@@ -327,4 +333,82 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("keep_doc_id"),
         )
         .filter(F.col("n_urls") > 1)
+    )
+
+
+# ---------- corpus-wide span dedup (C4-style) ----------
+
+_SPAN_N = 8  # tokens per span
+
+
+@register(
+    "dedup_span_corpus",
+    f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+    spans AS (
+      SELECT doc_id, unnest(list_distinct({_sql_shingles('t', _SPAN_N)})) AS s
+      FROM toks
+    ), owner AS (
+      SELECT s, MIN(doc_id) AS owner_doc FROM spans GROUP BY s
+    ), per_doc AS (
+      SELECT sp.doc_id,
+             COUNT(*) AS n_spans,
+             SUM(CASE WHEN ow.owner_doc = sp.doc_id THEN 1 ELSE 0 END)
+               AS n_owned
+      FROM spans sp JOIN owner ow ON ow.s = sp.s
+      GROUP BY sp.doc_id
+    )
+    SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+           CAST(n_owned AS BIGINT) AS n_owned,
+           CAST(n_owned AS DOUBLE) / CAST(n_spans AS DOUBLE) AS own_ratio
+    FROM per_doc
+    """,
+    doc=f"C4-style corpus-wide span dedup plan: distinct {_SPAN_N}-token "
+    "spans, first-occurrence (min doc_id) ownership, per-doc retention "
+    "ratio — integer moments + one division",
+)
+def dedup_span_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The planning view of C4's duplicated-span removal: every
+    distinct 8-token span belongs to its corpus-first (min doc_id)
+    document; later documents repeating the span would have it cut.
+    Per doc: how many distinct spans it has, how many it owns, and the
+    retention ratio a span-cut pass would leave.
+
+    Docs shorter than the span width emit no spans and drop out — the
+    same behavior as C4 (short docs are handled by length filters, not
+    span dedup).
+
+    Scale: spans are deduped per doc BEFORE the corpus shuffle
+    (list_distinct on the row side), so the groupBy(s) carries each
+    (doc, span) once; ownership is a min-aggregate (map-side combine),
+    and the join back rides the same span-key partitioning. The span
+    strings could be hashed to 16-byte digests to cut wire bytes —
+    kept as strings here so the oracle stays readable.
+    """
+    docs = load(spark, "documents", sf_dir)
+    toked = docs.select("doc_id", _tokens(F.expr(_NORM)).alias("t"))
+    spans = toked.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(F.col("t"), _SPAN_N))).alias("s"),
+    )
+    owner = spans.groupBy("s").agg(F.min("doc_id").alias("owner_doc"))
+    per_doc = (
+        spans.join(owner, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum(
+                F.when(F.col("owner_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_owned"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_spans",
+        "n_owned",
+        (
+            F.col("n_owned").cast("double") / F.col("n_spans").cast("double")
+        ).alias("own_ratio"),
     )

@@ -92,6 +92,7 @@ def _load_all_modules() -> None:
         corpus,
         dedup,
         filters,
+        graph,
         joins,
         multimodal,
         pipeline_curate,
