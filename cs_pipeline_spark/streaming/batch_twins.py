@@ -251,3 +251,25 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "error"),
         ev.filter(F.col("event_type") == "click"),
     )
+
+
+@register(
+    "stream_topk_trending",
+    "WITH c AS (SELECT "
+    f"time_bucket(INTERVAL '10 minutes', {_TS}) AS win_start, "
+    "event_type, CAST(COUNT(*) AS BIGINT) AS n_events "
+    "FROM events GROUP BY 1, 2) "
+    "SELECT win_start, CAST(rk AS INTEGER) AS rk, event_type, n_events "
+    "FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY win_start "
+    "ORDER BY n_events DESC, event_type) AS rk FROM c) WHERE rk <= "
+    f"{W.TREND_K}",
+    doc=f"top-{W.TREND_K} trending event types per tumbling 10-min "
+    "window (windowed counts + per-window rank) — the dashboard/"
+    "alerting leaderboard, batch twin of counts+foreachBatch-rank",
+)
+def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the windowed count is incremental streaming state (one
+    row per window×type); the rank runs over FINALIZED windows only —
+    per window the domain is |event_type| (tiny), so the window sort
+    is trivial and the leaderboard emission is bounded per trigger."""
+    return W.trending_topk(load(spark, "events", sf_dir))

@@ -159,3 +159,37 @@ def error_click_attribution(errors: DataFrame, clicks: DataFrame) -> DataFrame:
         & (F.col("click_ts") <= F.col("err_ts")),
         "inner",
     ).select("user_id", "err_id", "err_ts", "click_id", "click_ts")
+
+
+TREND_K = 3
+
+
+def trending_topk(events: DataFrame) -> DataFrame:
+    """Top-k trending event types per tumbling window: windowed counts,
+    then rank ≤ k by (count desc, type asc — a total order).
+
+    In a live pipeline this runs as tumbling-window counts with a
+    watermark (incremental state) + a ``foreachBatch`` rank over each
+    emitted window — the rank is per-FINALIZED-window, so applying it
+    batch-side to completed windows is semantics-identical; the batch
+    twin verifies exactly that composition.
+    """
+    from pyspark.sql import Window as W
+
+    counts = (
+        events.groupBy(F.window("ts", TUMBLE_WIDTH).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    rk = W.partitionBy("win_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type").asc()
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= TREND_K)
+        .select("win_start", "rk", "event_type", "n_events")
+    )

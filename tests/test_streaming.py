@@ -335,3 +335,29 @@ def test_interval_join_stream_matches_batch(spark, events_stream_dir):
     cols = ["user_id", "err_id", "err_ts", "click_id", "click_ts"]
     assert want.count() > 0
     assert _canon(got, cols) == _canon(want, cols)
+
+
+def test_trending_topk_stream_composition(spark, events_stream_dir):
+    """The production shape of stream_topk_trending: tumbling counts
+    run as a real stream, then the per-window rank applied to the
+    emitted (finalized) windows — must equal the batch twin."""
+    from pyspark.sql import Window as Win
+    from pyspark.sql import functions as F
+
+    stream = jobs.read_events_stream(spark, events_stream_dir)
+    counts = _run_stream(spark, jobs.tumbling_job(stream), "t_trend_counts")
+    # foreachBatch-side rank over the finalized windows
+    per_type = (
+        counts.groupBy("win_start", "event_type")
+        .agg(F.sum("n_events").alias("n_events"))
+    )
+    rk = Win.partitionBy("win_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type").asc()
+    )
+    got = (
+        per_type.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= jobs.W.TREND_K)
+    )
+    want = jobs.W.trending_topk(load(spark, "events", SF_DIR))
+    cols = ["win_start", "rk", "event_type", "n_events"]
+    assert _canon(got, cols) == _canon(want, cols)
