@@ -1006,3 +1006,98 @@ def sim_prefix_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w_rank))
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+# ---------- IVF-PQ: coarse cell restriction × PQ/ADC scan ----------
+
+_SQL_IVFPQ_TOPK = (
+    f"WITH {_SQL_PQ_PARTS}, "
+    "lab AS (SELECT vec_id, label FROM embeddings), "
+    "adist2 AS (SELECT dtab.query_id, codes.vec_id, SUM(dtab.d) AS adist "
+    "FROM codes JOIN dtab ON dtab.m = codes.m AND dtab.cen_id = codes.cen_id "
+    "JOIN lab cl ON cl.vec_id = codes.vec_id "
+    "JOIN lab ql ON ql.vec_id = dtab.query_id AND ql.label = cl.label "
+    "WHERE codes.vec_id <> dtab.query_id "
+    "GROUP BY dtab.query_id, codes.vec_id), "
+    "cand2 AS (SELECT query_id, vec_id FROM ("
+    "SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id "
+    f"ORDER BY adist ASC, vec_id) AS rn FROM adist2) t WHERE rn <= {PQ_CAND}) "
+    "SELECT query_id, neighbor_id, cos_sim, rank FROM ("
+    "SELECT cand2.query_id, cand2.vec_id AS neighbor_id, "
+    + _sql_qdot("q.embedding", "c.embedding")
+    + " / (SQRT(q.nrm) * SQRT(c.nrm)) AS cos_sim, "
+    "ROW_NUMBER() OVER (PARTITION BY cand2.query_id ORDER BY "
+    + _sql_qdot("q.embedding", "c.embedding")
+    + " / (SQRT(q.nrm) * SQRT(c.nrm)) DESC, cand2.vec_id) AS rank "
+    "FROM cand2 JOIN n c ON c.vec_id = cand2.vec_id "
+    "JOIN q ON q.query_id = cand2.query_id) t "
+    f"WHERE rank <= {TOP_K}"
+)
+
+
+@register(
+    "sim_ivf_pq_topk",
+    _SQL_IVFPQ_TOPK,
+    doc="IVF-PQ ANN (the production index shape): coarse-cell (label) "
+    "restriction × PQ/ADC candidate scan × exact-cosine re-rank",
+)
+def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: the composition every production vector index ships
+    (FAISS IVFx,PQy): a coarse quantizer restricts the scan to the
+    query's cell, PQ/ADC approximates distances inside the cell from
+    4-byte codes, and the exact (quantized-integer cosine) re-rank
+    fixes the final order.
+
+    Compared to ``sim_pq_adc_topk`` the ADC join gains a cell-equality
+    conjunct — at scale this is the difference between scanning the
+    full code table and 1/|cells| of it: the code table can be
+    PARTITIONED BY cell on disk, so the probe prunes partitions before
+    any I/O. All arithmetic identical to the PQ path — deterministic
+    end to end.
+    """
+    corpus, codes, dtab = _pq_parts(spark, sf_dir)
+    lab = load(spark, "embeddings", sf_dir).select("vec_id", "label")
+    codes_l = codes.join(lab, "vec_id")
+    q_lab = lab.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+    )
+    adist = (
+        codes_l.join(dtab, ["m", "cen_id"])
+        .join(F.broadcast(q_lab), "query_id")
+        .filter(
+            (F.col("vec_id") != F.col("query_id"))
+            & (F.col("label") == F.col("q_label"))
+        )
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d").alias("adist"))
+    )
+    w_cand = Window.partitionBy("query_id").orderBy(
+        F.asc("adist"), F.asc("vec_id")
+    )
+    cand = (
+        adist.withColumn("rn", F.row_number().over(w_cand))
+        .filter(F.col("rn") <= PQ_CAND)
+        .select("query_id", "vec_id")
+    )
+    q = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cos = _scored(
+        F.col("q_emb"), F.col("embedding"), F.col("q_nrm"), F.col("nrm")
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        cand.join(corpus, "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos.alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= TOP_K)
+    )
