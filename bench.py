@@ -50,6 +50,11 @@ HEADLINE = [
     # round-2 additions: retrieval scoring, stream-stream band join
     "text_bm25_rank",
     "stream_interval_join",
+    # round-2 wave 4: graph, training assembly, IVF-PQ
+    "graph_pagerank",
+    "text_lm_score",
+    "doc_chunk_split",
+    "sim_ivf_pq_topk",
 ]
 
 

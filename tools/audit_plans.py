@@ -86,6 +86,27 @@ AUDIT: dict[str, dict] = {
     "text_char_entropy": {"smj": 0},
     "sim_prefix_rerank": {"smj": 0},
     "agg_gini": {"smj": 0},
+    # round-2 wave 4
+    "q7_volume_shipping": {"smj": 0, "pushed": True},
+    "q8_market_share": {"smj": 0, "pushed": True},
+    "q10_returned_items": {"smj": 0, "pushed": True},
+    "q12_priority_shipping": {"smj": 0, "pushed": True},
+    "q13_order_count_distribution": {"smj": 0},
+    "q20_excess_shippers": {"smj": 0, "pushed": True},
+    "q21_blocking_suppliers": {"smj": 0},
+    "doc_chunk_split": {"exchange": 0},
+    "pack_sequences": {"exchange": 2},
+    "text_lm_score": {"smj": 0},
+    "dedup_url_canonical": {"exchange": 1},
+    "dedup_span_corpus": {"smj": 0},
+    "win_interp_linear": {"exchange": 1},
+    "scan_file_metadata": {},
+    # rank⋈contrib is large-large on the node key both sides — SMJ on
+    # the reused hash partitioning IS the intended plan (3 iterations)
+    "graph_pagerank": {"nlj": 0},
+    "graph_degree_stats": {},
+    "stream_topk_trending": {},
+    "sim_ivf_pq_topk": {"smj": 0},
 }
 
 
