@@ -1027,3 +1027,73 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.lit(2.0) * s_iq) / (n * s_q)) - ((n + F.lit(1.0)) / n), 6
         ).alias("gini"),
     )
+
+
+@register(
+    "agg_linear_trend",
+    f"""
+    WITH e AS (
+      SELECT user_id, epoch_us({EVENTS_TS_SQL}) // 1000000 AS xs, value
+      FROM events WHERE event_type <> 'click'
+    ), sh AS (
+      SELECT user_id,
+             CAST(xs - MIN(xs) OVER (PARTITION BY user_id) AS HUGEINT) AS x,
+             CAST(FLOOR(value * 1000000.0 + 0.5) AS HUGEINT) AS qy
+      FROM e
+    ), m AS (
+      SELECT user_id, CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(x) AS sx, SUM(qy) AS sy,
+             SUM(x * x) AS sxx, SUM(x * qy) AS sxy
+      FROM sh GROUP BY user_id
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_obs,
+      CASE WHEN (n * sxx - sx * sx) > 0 THEN
+        CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE) /
+        CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) / 1000000.0
+      END AS slope_per_sec
+    FROM m
+    """,
+    doc="per-key OLS trend slope from exact min-shifted integer moments "
+    "(n·Σxy−ΣxΣy over per-group-shifted seconds × quantized values) — "
+    "the per-location trend detector, cancellation-free",
+)
+def agg_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares slope of value vs. time per key, the climate-style
+    'trend per grid cell' reduction, with the ``agg_corr`` exactness
+    discipline: x is epoch SECONDS shifted by the per-group minimum
+    (keeps x² · n inside decimal(38) — raw epoch µs squared would
+    overflow), y is quantized; slope numerator and denominator are
+    exact integer differences; the only floats are the final two
+    correctly-rounded divisions.
+
+    Scale: the min-shift window and the moment aggregation both key on
+    user_id — one shuffle, the aggregation reuses the window's hash
+    partitioning. Constant-time state per key.
+    """
+    ev = load(spark, "events", sf_dir).filter(F.col("event_type") != "click")
+    xs = F.expr("unix_micros(ts) div 1000000")
+    w = Window.partitionBy("user_id")
+    sh = ev.select(
+        "user_id", xs.alias("xs"), F.col("value").alias("v")
+    ).select(
+        "user_id",
+        (F.col("xs") - F.min("xs").over(w)).cast("decimal(19,0)").alias("x"),
+        F.floor(F.col("v") * F.lit(1e6) + F.lit(0.5))
+        .cast("decimal(19,0)")
+        .alias("qy"),
+    )
+    m = sh.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("decimal(20,0)").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("qy").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("qy")).alias("sxy"),
+    )
+    d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    den = m.n * m.sxx - m.sx * m.sx
+    num = m.n * m.sxy - m.sx * m.sy
+    return m.select(
+        "user_id",
+        F.col("n").cast("long").alias("n_obs"),
+        F.when(den > 0, d(num) / d(den) / F.lit(1e6)).alias("slope_per_sec"),
+    )

@@ -279,3 +279,49 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("n_violations") == 0).alias("passed"),
     )
+
+
+_K_ANON = 5
+_CHAR_BUCKET = 100
+
+
+@register(
+    "dq_k_anonymity",
+    f"""
+    WITH g AS (
+      SELECT lang, source, n_chars // {_CHAR_BUCKET} AS len_bucket,
+             CAST(COUNT(*) AS BIGINT) AS group_size
+      FROM documents GROUP BY lang, source, len_bucket
+    )
+    SELECT lang, source, CAST(len_bucket AS BIGINT) AS len_bucket,
+           group_size, group_size < {_K_ANON} AS violates_k
+    FROM g
+    """,
+    doc=f"k-anonymity release gate (k={_K_ANON}) over quasi-identifiers "
+    f"(lang, source, {_CHAR_BUCKET}-char length bucket) — per-group "
+    "sizes + violation flag, one map-side-combined pass",
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy release gate: bucket every document by its
+    quasi-identifier tuple and flag buckets smaller than k — records in
+    flagged buckets are re-identifiable by their metadata alone and
+    must be generalized or suppressed before the corpus ships.
+
+    Scale: one hash aggregation on the quasi-identifier tuple with
+    map-side combine (group count ≪ rows); integer-only output. The
+    k-suppression action itself is then a broadcast semi-join of the
+    flagged tuples back onto the corpus — the `dedup_exact` shape.
+    """
+    docs = load(spark, "documents", sf_dir)
+    g = docs.groupBy(
+        "lang",
+        "source",
+        F.expr(f"n_chars div {_CHAR_BUCKET}").alias("len_bucket"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("group_size"))
+    return g.select(
+        "lang",
+        "source",
+        "len_bucket",
+        "group_size",
+        (F.col("group_size") < _K_ANON).alias("violates_k"),
+    )
