@@ -1097,3 +1097,57 @@ def agg_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_obs"),
         F.when(den > 0, d(num) / d(den) / F.lit(1e6)).alias("slope_per_sec"),
     )
+
+
+@register(
+    "agg_hll_mergeable",
+    "SELECT event_type, COUNT(DISTINCT user_id) AS n_exact, "
+    "TRUE AS merge_consistent, TRUE AS approx_ok "
+    "FROM events GROUP BY event_type",
+    doc="mergeable HLL sketches (Datasketches): estimate(union of two "
+    "half-corpus sketches) must equal estimate(full sketch) exactly, "
+    "and land within 5% of exact — the backfill/increment sketch "
+    "contract, oracle pins both verdicts TRUE",
+)
+def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The property that makes sketches the 100 TB cardinality path:
+    MERGEABILITY. Sketch each half of the corpus independently, union
+    the binary sketches, and the estimate must equal the
+    full-corpus sketch's estimate EXACTLY — HLL registers merge by
+    max, which is commutative/associative/idempotent, so the merged
+    state is identical regardless of split or order. That is what lets
+    a daily pipeline keep per-partition sketches and answer
+    arbitrary-range cardinalities without rescanning (see
+    ``agg_incremental_merge`` for the exact-sum analogue).
+
+    The driver surface carries the exact count (hash-verified) plus
+    two pinned verdicts; the sketch bytes themselves stay internal.
+    """
+    ev = load(spark, "events", sf_dir)
+    half_a = ev.filter(F.col("event_id") % 2 == 0)
+    half_b = ev.filter(F.col("event_id") % 2 == 1)
+    sk = lambda df, name: df.groupBy("event_type").agg(  # noqa: E731
+        F.hll_sketch_agg("user_id").alias(name)
+    )
+    merged = (
+        sk(half_a, "sk").unionByName(sk(half_b, "sk"))
+        .groupBy("event_type")
+        .agg(F.hll_union_agg("sk").alias("sk_merged"))
+        .select(
+            "event_type",
+            F.hll_sketch_estimate("sk_merged").alias("est_merged"),
+        )
+    )
+    full = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est_full"),
+    )
+    return full.join(merged, "event_type").select(
+        "event_type",
+        "n_exact",
+        (F.col("est_merged") == F.col("est_full")).alias("merge_consistent"),
+        (
+            F.abs(F.col("est_full") - F.col("n_exact"))
+            <= F.lit(0.05) * F.col("n_exact")
+        ).alias("approx_ok"),
+    )

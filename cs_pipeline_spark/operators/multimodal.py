@@ -357,3 +357,76 @@ def mm_audio_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chunk_len_ms"),
         )
     )
+
+
+# ---------- 2D tile plan for oversized images ----------
+
+_TILE = 64
+
+
+@register(
+    "mm_image_tile_plan",
+    f"""
+    WITH dims AS (
+      SELECT doc_id,
+             64 + (doc_id % 9) * 32 AS width,
+             48 + (doc_id % 7) * 32 AS height,
+             (64 + (doc_id % 9) * 32 + {_TILE} - 1) // {_TILE} AS ntx,
+             (48 + (doc_id % 7) * 32 + {_TILE} - 1) // {_TILE} AS nty
+      FROM documents
+    ), tiles AS (
+      SELECT doc_id, width, height, ntx,
+             unnest(range(ntx * nty)) AS k
+      FROM dims
+    )
+    SELECT doc_id, width, height,
+           CAST(k % ntx AS BIGINT) AS tile_x,
+           CAST(k // ntx AS BIGINT) AS tile_y,
+           CAST(least({_TILE}, width - (k % ntx) * {_TILE}) AS BIGINT) AS tile_w,
+           CAST(least({_TILE}, height - (k // ntx) * {_TILE}) AS BIGINT) AS tile_h
+    FROM tiles
+    """,
+    doc=f"2D {_TILE}×{_TILE} tile plan for oversized images (edge tiles "
+    "clipped): per-row double sequence explode, zero shuffle — the "
+    "patch scheduler for a vision encoder",
+)
+def mm_image_tile_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile an image grid into encoder-sized patches — the 2D analogue
+    of ``doc_chunk_split`` (ViT patching / SAM tiling): every image
+    yields ceil(w/T)·ceil(h/T) tiles, edge tiles carry their clipped
+    true size. Dimensions are synthesized deterministically from
+    doc_id (the corpus has no real images — same convention as the
+    decode stub).
+
+    Scale: the tile list is generated per row with two nested
+    ``sequence``+``explode`` — a narrow flatMap that pipelines with
+    the scan, no shuffle, no Python. The decoder then consumes
+    (doc_id, tile_x, tile_y) work units, which is exactly the unit a
+    GPU batcher wants to pack.
+    """
+    docs = load(spark, "documents", sf_dir)
+    dims = docs.select(
+        "doc_id",
+        (64 + (F.col("doc_id") % 9) * 32).alias("width"),
+        (48 + (F.col("doc_id") % 7) * 32).alias("height"),
+    )
+    ntx = F.expr(f"(width + {_TILE} - 1) div {_TILE}")
+    nty = F.expr(f"(height + {_TILE} - 1) div {_TILE}")
+    tiles = dims.select(
+        "doc_id",
+        "width",
+        "height",
+        ntx.alias("ntx"),
+        F.explode(F.sequence(F.lit(0), ntx * nty - 1)).alias("k"),
+    )
+    tx = F.col("k") % F.col("ntx")
+    ty = F.expr("k div ntx")
+    return tiles.select(
+        "doc_id",
+        "width",
+        "height",
+        tx.alias("tile_x"),
+        ty.alias("tile_y"),
+        F.least(F.lit(_TILE), F.col("width") - tx * _TILE).alias("tile_w"),
+        F.least(F.lit(_TILE), F.col("height") - ty * _TILE).alias("tile_h"),
+    )

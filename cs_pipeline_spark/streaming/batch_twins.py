@@ -20,6 +20,7 @@ the same way.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W_sql
 from pyspark.sql import functions as F
 
 from cs_pipeline_spark.operators.helpers import sql_davg, sql_dsum
@@ -102,7 +103,6 @@ def stream_threshold_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     implementations differ in float addition order; integer sums
     don't care)."""
     from pyspark.sql import Window
-    from pyspark.sql import functions as F
 
     ev = load(spark, "events", sf_dir)
     qv = F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 1e6 + 0.5).cast(
@@ -273,3 +273,64 @@ def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     per window the domain is |event_type| (tiny), so the window sort
     is trivial and the leaderboard emission is bounded per trigger."""
     return W.trending_topk(load(spark, "events", sf_dir))
+
+
+@register(
+    "stream_cdc_apply",
+    "WITH ops AS (SELECT user_id, event_id, value, "
+    f"{_TS} AS ts, "
+    "CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op "
+    "FROM events), last_op AS ("
+    "SELECT user_id, op, value, ts, event_id, "
+    "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, "
+    "event_id DESC) AS rn, "
+    "CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_ops "
+    "FROM ops) "
+    "SELECT user_id, value AS final_value, ts AS last_ts, n_ops "
+    "FROM last_op WHERE rn = 1 AND op <> 'D'",
+    doc="CDC last-op-wins apply: replay an upsert/delete op log into "
+    "final table state (Debezium-compaction semantics; 'error' = "
+    "tombstone) — one per-key window pass",
+)
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a change-data-capture log to obtain current state: per
+    key, the LAST operation in event-time order wins; a trailing
+    tombstone ('error' here) deletes the key entirely. This is the
+    compaction a lakehouse MERGE loop (see ``merge_upsert_snapshot``)
+    performs incrementally, expressed as one replay — the
+    backfill/repair path of the same pipeline.
+
+    Scale: one shuffle on the key; ``row_number`` streams the frame
+    (no whole-partition buffering). In production the log is
+    partition-pruned to the replay range first, and keys carry a
+    coarse bucket so one hot entity cannot skew the sort — the
+    ``join_skew_salted`` trick composes directly.
+    """
+    ev = load(spark, "events", sf_dir)
+    ops = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        "ts",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    w = W_sql.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    wn = W_sql.partitionBy("user_id")
+    last = ops.select(
+        "user_id",
+        "op",
+        "value",
+        "ts",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("n_ops"),
+    )
+    return last.filter((F.col("rn") == 1) & (F.col("op") != "D")).select(
+        "user_id",
+        F.col("value").alias("final_value"),
+        F.col("ts").alias("last_ts"),
+        "n_ops",
+    )
