@@ -14,7 +14,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from cs_pipeline_spark.functions.era5_fixture import ERA5_CTE, era5_events
+from cs_pipeline_spark.functions.era5_fixture import (
+    ERA5_CTE,
+    era5_events,
+    era5_sql,
+)
+from cs_pipeline_spark.operators.helpers import davg, sql_davg
 from cs_pipeline_spark.registry import register
 
 # Three regions over the fixture's 8×8 grid (FIXTURES.md §F5): one
@@ -265,4 +270,85 @@ def f_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         "latitude",
         "longitude",
         F.expr(_z_expr(_LAT_IDX, _LON_IDX)).alias("zorder"),
+    )
+
+
+# ---------- 3×3 stencil smoothing (raster convolution shape) ----------
+
+_OFFS = [(dy, dx) for dy in (-0.25, 0.0, 0.25) for dx in (-0.25, 0.0, 0.25)]
+
+
+@register(
+    "agg_grid_smooth",
+    era5_sql(
+        ", cell AS (SELECT latitude, longitude, "
+        + sql_davg("t2m")
+        + " AS m FROM era5 GROUP BY latitude, longitude), "
+        "offs AS (SELECT dy.v AS dy, dx.v AS dx "
+        "FROM (VALUES (-0.25), (0.0), (0.25)) dy(v), "
+        "(VALUES (-0.25), (0.0), (0.25)) dx(v)), "
+        "scatter AS (SELECT latitude + dy AS lat2, longitude + dx AS lon2, "
+        "CAST(FLOOR(m * 1000000.0 + 0.5) AS BIGINT) AS qm "
+        "FROM cell CROSS JOIN offs), "
+        "sm AS (SELECT lat2, lon2, CAST(COUNT(*) AS BIGINT) AS n_nbr, "
+        "CAST(CAST(SUM(qm) AS VARCHAR) AS DOUBLE) "
+        "/ (1000000.0 * COUNT(*)) AS t2m_smooth "
+        "FROM scatter GROUP BY lat2, lon2) "
+        "SELECT sm.lat2 AS latitude, sm.lon2 AS longitude, n_nbr, t2m_smooth "
+        "FROM sm JOIN cell ON cell.latitude = sm.lat2 "
+        "AND cell.longitude = sm.lon2"
+    ),
+    doc="3×3 grid-stencil smoothing of per-cell means (scatter-form "
+    "convolution: explode 9 offsets → one map-side-combined groupBy) — "
+    "the raster filter the reference's coarsen generalizes to",
+)
+def agg_grid_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-mean smoothing over the 0.25° grid, in SCATTER
+    form: each cell mean is exploded to the 9 positions it influences
+    and a single groupBy(target) re-collects them — one shuffle with
+    map-side combine, the scalable shape of any fixed-kernel raster
+    convolution (Spark has no 2D window frame). Edge cells average
+    over their true (< 9) contributor count; positions outside the
+    grid are dropped by the join back to real cells.
+
+    Determinism: cell means come off the exact quantized-sum path,
+    are re-quantized to integers before the neighbor sum (integer
+    addition — order-free), and the final mean is one correctly-
+    rounded division. Grid coordinates are exact binary multiples of
+    0.25, so lat+dy key matches are exact — no float-key hazards.
+    """
+    era5 = era5_events(spark, sf_dir)
+    cell = era5.groupBy("latitude", "longitude").agg(
+        davg("t2m").alias("m")
+    )
+    offs = F.array(
+        *[
+            F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+            for dy, dx in _OFFS
+        ]
+    )
+    scatter = cell.select(
+        "latitude", "longitude", "m", F.explode(offs).alias("o")
+    ).select(
+        (F.col("latitude") + F.col("o.dy")).alias("lat2"),
+        (F.col("longitude") + F.col("o.dx")).alias("lon2"),
+        F.floor(F.col("m") * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("qm"),
+    )
+    sm = scatter.groupBy("lat2", "lon2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nbr"),
+        (
+            F.sum("qm").cast("string").cast("double")
+            / (F.lit(1e6) * F.count(F.lit(1)))
+        ).alias("t2m_smooth"),
+    )
+    return sm.join(
+        cell,
+        (cell.latitude == sm.lat2) & (cell.longitude == sm.lon2),
+    ).select(
+        F.col("lat2").alias("latitude"),
+        F.col("lon2").alias("longitude"),
+        "n_nbr",
+        "t2m_smooth",
     )
