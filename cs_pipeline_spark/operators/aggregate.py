@@ -1151,3 +1151,113 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(0.05) * F.col("n_exact")
         ).alias("approx_ok"),
     )
+
+
+@register(
+    "agg_new_vs_returning",
+    f"""
+    WITH e AS (
+      SELECT user_id, CAST(date_trunc('day', {EVENTS_TS_SQL}) AS TIMESTAMP) AS d
+      FROM events
+    ), firsts AS (
+      SELECT user_id, MIN(d) AS first_d FROM e GROUP BY user_id
+    ), daily AS (
+      SELECT e.d, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active,
+             CAST(COUNT(DISTINCT CASE WHEN f.first_d = e.d
+                   THEN e.user_id END) AS BIGINT) AS n_new
+      FROM e JOIN firsts f ON f.user_id = e.user_id
+      GROUP BY e.d
+    )
+    SELECT d, n_events, n_active, n_new,
+           CAST(SUM(n_new) OVER (ORDER BY d
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+    FROM daily
+    """,
+    doc="daily new-vs-returning growth metric: first-seen join-back + "
+    "distinct counts + cumulative acquisition curve — integer-only",
+)
+def agg_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The product-growth daily report: active users, NEW users (first
+    ever activity that day), and the cumulative acquisition curve.
+
+    Scale: first-seen is a min-aggregate on user_id (map-side
+    combine); the join-back rides the same user partitioning; the
+    daily rollup shuffles (day, partials); the cumulative sum is a
+    single-partition window over |days| rows — days are bounded, so
+    the 1-partition window is fine even at 100 TB of events.
+    """
+    ev = load(spark, "events", sf_dir).select(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("d").alias("first_d"))
+    daily = (
+        ev.join(firsts, "user_id")
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_active"),
+            F.countDistinct(
+                F.when(F.col("first_d") == F.col("d"), F.col("user_id"))
+            )
+            .cast("long")
+            .alias("n_new"),
+        )
+    )
+    wcum = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        "d",
+        "n_events",
+        "n_active",
+        "n_new",
+        F.sum("n_new").over(wcum).cast("long").alias("cum_users"),
+    )
+
+
+_WEEK_US = 7 * 86400 * 1000000
+
+
+@register(
+    "agg_retention_cohorts",
+    f"""
+    WITH e AS (
+      SELECT user_id, epoch_us({EVENTS_TS_SQL}) // {_WEEK_US} AS wk
+      FROM events
+    ), cohort AS (
+      SELECT user_id, MIN(wk) AS cohort_wk FROM e GROUP BY user_id
+    )
+    SELECT CAST(c.cohort_wk AS BIGINT) AS cohort_wk,
+           CAST(e.wk - c.cohort_wk AS BIGINT) AS week_offset,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM e JOIN cohort c ON c.user_id = e.user_id
+    GROUP BY 1, 2
+    """,
+    doc="cohort retention matrix: acquisition week × week offset × "
+    "distinct active users (integer epoch-week arithmetic)",
+)
+def agg_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention triangle: users bucketed by their acquisition
+    week (first activity), counted in each subsequent week they return.
+    Weeks are integer epoch-week indices (µs div week) — exact on both
+    engines, no calendar/timezone edge cases in the offset arithmetic.
+
+    Scale: cohort assignment is a min-aggregate; the matrix is a
+    distinct-count over (cohort, offset) — both map-side combined on
+    the reused user partitioning, output |weeks|² rows.
+    """
+    ev = load(spark, "events", sf_dir).select(
+        "user_id", F.expr(f"unix_micros(ts) div {_WEEK_US}").alias("wk")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        ev.join(cohort, "user_id")
+        .groupBy(
+            F.col("cohort_wk").cast("long").alias("cohort_wk"),
+            (F.col("wk") - F.col("cohort_wk")).cast("long").alias(
+                "week_offset"
+            ),
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    )

@@ -729,3 +729,122 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             last_mts >= F.col("ts") - F.expr("INTERVAL 1 HOUR"), last_val
         ).alias("last_error_value_1h"),
     )
+
+
+# ---------- interval×interval overlap join (bucketed band join) ----------
+
+_OVL_BUCKET_US = 10 * 60 * 1000000  # 10-minute buckets
+_INCIDENT_US = 10 * 60 * 1000000  # error event → 10-minute incident window
+_SESS_GAP_US = 5 * 60 * 1000000
+
+
+@register(
+    "join_interval_overlap",
+    f"""
+    WITH e AS (
+      SELECT event_id, user_id, epoch_us({EVENTS_TS_SQL}) AS us
+      FROM events
+    ), marked AS (
+      SELECT user_id, us, event_id,
+             CASE WHEN us >= LAG(us) OVER w + {_SESS_GAP_US}
+                  OR LAG(us) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ), sess AS (
+      SELECT user_id,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+               ROWS UNBOUNDED PRECEDING) AS sess_id,
+             us
+      FROM marked
+    ), sessions AS (
+      SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+             MIN(us) AS s_start, MAX(us) + {_SESS_GAP_US} AS s_end
+      FROM sess GROUP BY user_id, sess_id
+    ), incidents AS (
+      SELECT event_id AS incident_id, user_id,
+             us AS i_start, us + {_INCIDENT_US} AS i_end
+      FROM e JOIN (SELECT event_id AS eid FROM events
+                   WHERE event_type = 'error') x ON x.eid = e.event_id
+    )
+    SELECT s.user_id, s.sess_id, i.incident_id,
+           CAST(least(s.s_end, i.i_end)
+                - greatest(s.s_start, i.i_start) AS BIGINT) AS overlap_us
+    FROM sessions s JOIN incidents i
+      ON i.user_id = s.user_id
+     AND s.s_start < i.i_end AND i.i_start < s.s_end
+    """,
+    doc="interval×interval overlap join (user sessions × error-incident "
+    "windows) via bucket-explode equi-join + residual predicate + "
+    "pair dedup — the two-sided band-join scale pattern",
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which user sessions overlap an error-incident window of the
+    same user? Both sides are INTERVALS (session = 5-min-gap grouping,
+    incident = 10 min after each error event), so neither side has
+    'the' single bucket a point has — both explode to the 10-minute
+    buckets they cover, equi-join on (user_id, bucket), then the exact
+    overlap predicate filters and pair-dedup collapses multi-bucket
+    matches.
+
+    Scale: bucket explosion is bounded (interval_len/bucket + 1 rows
+    per interval); the join is a plain hash equi-join on
+    (user, bucket) — never the O(N·M) theta-join Spark would
+    otherwise BNLJ. Overlap length is integer µs — exact.
+    """
+    ev = load(spark, "events", sf_dir).select(
+        "event_id", "user_id", F.unix_micros("ts").alias("us"),
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    new_sess = F.when(
+        F.col("us") >= F.lag("us").over(w) + _SESS_GAP_US, 1
+    ).otherwise(F.when(F.lag("us").over(w).isNull(), 1).otherwise(0))
+    sess = ev.select(
+        "user_id", "us", "event_id", new_sess.alias("new_sess")
+    ).select(
+        "user_id",
+        "us",
+        F.sum("new_sess").over(wrun).alias("sess_id"),
+    )
+    sessions = sess.groupBy("user_id", "sess_id").agg(
+        F.min("us").alias("s_start"),
+        (F.max("us") + _SESS_GAP_US).alias("s_end"),
+    )
+    incidents = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        "user_id",
+        F.col("us").alias("i_start"),
+        (F.col("us") + _INCIDENT_US).alias("i_end"),
+    )
+
+    def buckets(lo: str, hi: str):
+        # buckets covered by [lo, hi): bounded explode
+        return F.sequence(
+            F.expr(f"{lo} div {_OVL_BUCKET_US}"),
+            F.expr(f"({hi} - 1) div {_OVL_BUCKET_US}"),
+        )
+
+    s_b = sessions.select(
+        "*", F.explode(buckets("s_start", "s_end")).alias("bkt")
+    )
+    i_b = incidents.select(
+        "*", F.explode(buckets("i_start", "i_end")).alias("bkt")
+    )
+    pairs = (
+        s_b.join(i_b, ["user_id", "bkt"])
+        .filter(
+            (F.col("s_start") < F.col("i_end"))
+            & (F.col("i_start") < F.col("s_end"))
+        )
+        .select("user_id", "sess_id", "incident_id", "s_start", "s_end",
+                "i_start", "i_end")
+        .distinct()
+    )
+    return pairs.select(
+        "user_id",
+        "sess_id",
+        "incident_id",
+        (
+            F.least("s_end", "i_end") - F.greatest("s_start", "i_start")
+        ).alias("overlap_us"),
+    )
