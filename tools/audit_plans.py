@@ -107,6 +107,16 @@ AUDIT: dict[str, dict] = {
     "graph_degree_stats": {},
     "stream_topk_trending": {},
     "sim_ivf_pq_topk": {"smj": 0},
+    # round-2 wave 5
+    "agg_linear_trend": {"exchange": 1},
+    "dq_k_anonymity": {"exchange": 1},
+    "agg_hll_mergeable": {},
+    "stream_cdc_apply": {"exchange": 1},
+    "mm_image_tile_plan": {"exchange": 0},
+    "agg_grid_smooth": {},
+    "join_interval_overlap": {"nlj": 0},
+    "agg_new_vs_returning": {},
+    "agg_retention_cohorts": {},
 }
 
 
