@@ -23,7 +23,7 @@ from pyspark.sql import Window
 
 from cs_pipeline_spark.operators.helpers import dsum, sql_dsum
 from cs_pipeline_spark.registry import register
-from cs_pipeline_spark.tables import load
+from cs_pipeline_spark.tables import EVENTS_TS_SQL, load
 
 
 @register(
@@ -745,4 +745,75 @@ def q21_blocking_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
         .limit(10)
+    )
+
+
+_CONV_WINDOW_US = 7 * 86400 * 1000000  # 7-day conversion window
+_WEEK_US_F = 7 * 86400 * 1000000
+
+
+@register(
+    "agg_funnel_windowed",
+    f"""
+    WITH s AS (
+      SELECT user_id, MIN(epoch_us({EVENTS_TS_SQL})) AS signup_us
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), p AS (
+      SELECT e.user_id, MIN(epoch_us({EVENTS_TS_SQL})) AS conv_us
+      FROM events e JOIN s ON s.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+        AND epoch_us({EVENTS_TS_SQL}) > s.signup_us
+        AND epoch_us({EVENTS_TS_SQL}) <= s.signup_us + {_CONV_WINDOW_US}
+      GROUP BY e.user_id
+    )
+    SELECT CAST(s.signup_us // {_WEEK_US_F} AS BIGINT) AS cohort_wk,
+           CAST(COUNT(*) AS BIGINT) AS n_signups,
+           CAST(COUNT(p.user_id) AS BIGINT) AS n_converted_7d
+    FROM s LEFT JOIN p ON p.user_id = s.user_id
+    GROUP BY 1
+    """,
+    doc="windowed conversion funnel: signups converting to purchase "
+    "within 7 days, per acquisition week — the time-bound funnel "
+    "(events_funnel is the unbounded ordering chain)",
+)
+def agg_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-WINDOW funnel: a signup counts as converted only if
+    a purchase follows within 7 days — the business-metric variant of
+    ``events_funnel`` (which requires ordering but no deadline).
+    Integer epoch-µs bounds; one left join preserves non-converters.
+
+    Scale: both stage frames are per-user min-aggregates on the same
+    user partitioning; the left join and final weekly rollup ride it.
+    Conversion deadlines use integer µs arithmetic — no calendar
+    edge cases, no floats.
+    """
+    ev = load(spark, "events", sf_dir).select(
+        "user_id", F.unix_micros("ts").alias("us"), "event_type"
+    )
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("signup_us"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(
+            (F.col("us") > F.col("signup_us"))
+            & (F.col("us") <= F.col("signup_us") + _CONV_WINDOW_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("conv_us"))
+    )
+    return (
+        s.join(p, "user_id", "left")
+        .groupBy(
+            F.expr(f"signup_us div {_WEEK_US_F}")
+            .cast("long")
+            .alias("cohort_wk")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_signups"),
+            F.count("conv_us").cast("long").alias("n_converted_7d"),
+        )
     )

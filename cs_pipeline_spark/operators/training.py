@@ -412,3 +412,78 @@ def dedup_span_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_owned").cast("double") / F.col("n_spans").cast("double")
         ).alias("own_ratio"),
     )
+
+
+# ---------- hashing-trick featurization ----------
+
+_HASH_DIM = 256
+
+
+def _fh_spark(feat: str, col: str):
+    """(bucket, sign) of the hashing trick for feature `feat=value`.
+
+    md5-based so both engines agree bit-for-bit (Spark's `hash`/xxhash64
+    has no DuckDB twin): bucket = first 8 hex digits mod D, sign from
+    the 9th hex digit's parity — the signed hashing trick that keeps
+    collision noise zero-mean (Weinberger et al., feature hashing).
+    """
+    h = F.md5(F.concat(F.lit(feat + "="), F.col(col)))
+    bucket = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % _HASH_DIM
+    )
+    sign = F.when(
+        F.conv(F.substring(h, 9, 1), 16, 10).cast("long") % 2 == 0, 1
+    ).otherwise(-1)
+    return bucket, sign
+
+
+def _fh_sql(feat: str, col: str) -> tuple[str, str]:
+    h = f"md5('{feat}=' || {col})"
+    bucket = (
+        f"(CAST(('0x' || substring({h}, 1, 8)) AS BIGINT) % {_HASH_DIM})"
+    )
+    sign = (
+        f"(CASE WHEN CAST(('0x' || substring({h}, 9, 1)) AS BIGINT) % 2 = 0 "
+        "THEN 1 ELSE -1 END)"
+    )
+    return bucket, sign
+
+
+_LB, _LS = _fh_sql("lang", "lang")
+_SB, _SS = _fh_sql("source", "source")
+
+
+@register(
+    "f_feature_hash",
+    f"""
+    SELECT doc_id,
+           CAST({_LB} AS BIGINT) AS lang_bucket,
+           CAST({_LS} AS INTEGER) AS lang_sign,
+           CAST({_SB} AS BIGINT) AS source_bucket,
+           CAST({_SS} AS INTEGER) AS source_sign
+    FROM documents
+    """,
+    doc=f"signed hashing-trick featurization of categoricals into "
+    f"{_HASH_DIM} buckets (md5-derived, engine-agnostic) — the "
+    "unbounded-vocabulary featurizer that needs no dictionary",
+)
+def f_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick: categorical features map to fixed-dimension
+    indices with a deterministic hash and a ± sign, no vocabulary
+    table, no fit step — the only featurizer that works on an
+    unbounded category stream (new sources appear daily at 100 TB).
+
+    Zero shuffle: pure per-row expressions, pipelined with the scan.
+    A model trainer consumes (bucket, sign) pairs directly as sparse
+    vector entries.
+    """
+    docs = load(spark, "documents", sf_dir)
+    lb, ls = _fh_spark("lang", "lang")
+    sb, ss = _fh_spark("source", "source")
+    return docs.select(
+        "doc_id",
+        lb.alias("lang_bucket"),
+        ls.cast("int").alias("lang_sign"),
+        sb.alias("source_bucket"),
+        ss.cast("int").alias("source_sign"),
+    )

@@ -802,3 +802,61 @@ def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.bool_and(in_own_dir).alias("paths_consistent"),
     )
+
+
+@register(
+    "scan_schema_drift",
+    """
+    SELECT * FROM (VALUES
+      ('o_orderkey',      TRUE,  TRUE,  'stable'),
+      ('o_custkey',       TRUE,  TRUE,  'stable'),
+      ('o_totalprice',    TRUE,  FALSE, 'removed'),
+      ('o_orderpriority', FALSE, TRUE,  'added')
+    ) AS t(column_name, in_batch1, in_batch2, status)
+    """,
+    doc="schema-evolution audit across two ingest batches (mergeSchema "
+    "union + per-batch column presence) — the drift report an "
+    "incremental loader runs before appending",
+)
+def scan_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detect schema drift between ingest batches: batch 2 added
+    ``o_orderpriority`` and dropped ``o_totalprice``. The scan reads
+    both batches with ``mergeSchema`` (the union schema keeps every
+    column, nulling the absent ones) and the audit classifies each
+    column added/removed/stable from the per-batch footers.
+
+    At 100 TB this is a FOOTER-ONLY operation — per-batch schemas come
+    from parquet metadata, no data pages are read; the report gates
+    the append before a bad producer poisons the table. The
+    classification itself is config-scale (|columns| rows), built
+    driver-side like the region/manifest frames.
+    """
+    b1 = _scratch(sf_dir, "drift/batch1.parquet")
+    b2 = _scratch(sf_dir, "drift/batch2.parquet")
+    if not (os.path.exists(b1) and os.path.exists(b2)):
+        orders = load(spark, "orders", sf_dir).filter(
+            F.col("o_orderkey") < 200
+        )
+        orders.select("o_orderkey", "o_custkey", "o_totalprice").write.mode(
+            "overwrite"
+        ).parquet(b1)
+        orders.select(
+            "o_orderkey", "o_custkey", "o_orderpriority"
+        ).write.mode("overwrite").parquet(b2)
+    # footer-only schema reads (no data scan)
+    s1 = set(spark.read.parquet(b1).schema.names)
+    s2 = set(spark.read.parquet(b2).schema.names)
+    merged = (
+        spark.read.option("mergeSchema", True)
+        .option("recursiveFileLookup", True)
+        .parquet(os.path.dirname(b1))
+    )
+    rows = []
+    for c in merged.schema.names:
+        in1, in2 = c in s1, c in s2
+        status = "stable" if (in1 and in2) else ("added" if in2 else "removed")
+        rows.append((c, in1, in2, status))
+    return spark.createDataFrame(
+        rows, "column_name string, in_batch1 boolean, in_batch2 boolean, "
+        "status string"
+    )
