@@ -110,7 +110,7 @@ def _load_all_modules() -> None:
         windows,
     )
     from cs_pipeline_spark.plans import request_groups, validate  # noqa: F401
-    from cs_pipeline_spark.sources import scans, sinks  # noqa: F401
+    from cs_pipeline_spark.sources import pydatasource, scans, sinks  # noqa: F401
     from cs_pipeline_spark.streaming import batch_twins  # noqa: F401
 
     _LOADED = True

@@ -334,3 +334,29 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("last_ts"),
         "n_ops",
     )
+
+
+@register(
+    "stream_user_profile",
+    "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, "
+    "CAST(CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) "
+    "AS VARCHAR) AS DOUBLE) / 1000000.0 AS sum_value, "
+    "CAST(MAX(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) "
+    "/ 1000000.0 AS max_value "
+    "FROM events GROUP BY user_id",
+    doc="batch twin of the transformWithState per-user running profile "
+    "(count / exact quantized sum / max) — Spark 4 typed-state API, "
+    "streaming/stateful_v2.py",
+)
+def stream_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-STATE twin of ``stateful_v2.user_profile_stateful``: after
+    the full log replays, the last Update-mode row per user equals
+    this aggregation (the replay test asserts exactly that). Integer
+    quantized accumulation on all three sides — bit-identical."""
+    ev = load(spark, "events", sf_dir)
+    qv = F.floor(F.col("value") * 1e6 + 0.5).cast("long")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.sum(qv).cast("string").cast("double") / 1e6).alias("sum_value"),
+        (F.max(qv).cast("double") / 1e6).alias("max_value"),
+    )

@@ -361,3 +361,108 @@ def test_trending_topk_stream_composition(spark, events_stream_dir):
     want = jobs.W.trending_topk(load(spark, "events", SF_DIR))
     cols = ["win_start", "rk", "event_type", "n_events"]
     assert _canon(got, cols) == _canon(want, cols)
+
+
+def test_transform_with_state_profile_matches_batch(spark, tmp_path):
+    """Spark-4 transformWithStateInPandas replay: the typed ValueState
+    must survive micro-batch boundaries; the LAST Update row per user
+    equals the batch twin."""
+    import os
+    import time as _time
+
+    import pytest
+
+    from cs_pipeline_spark.streaming.stateful_v2 import HAS_TWS
+
+    if not HAS_TWS:
+        pytest.skip("transformWithState needs google.protobuf (absent)")
+
+    from pyspark.sql import functions as F
+
+    from cs_pipeline_spark.streaming import stateful_v2
+    from cs_pipeline_spark.streaming.batch_twins import stream_user_profile
+
+    src = str(tmp_path / "ordered_events_twp")
+    os.makedirs(src)
+    ev = load(spark, "events", SF_DIR).orderBy("ts", "event_id")
+    rows = ev.count()
+    first = ev.limit(rows // 2)
+    second = ev.subtract(first)
+    first.coalesce(1).write.mode("overwrite").parquet(src + "/b0")
+    second.coalesce(1).write.mode("overwrite").parquet(src + "/b1")
+    now = _time.time()
+    for i, d in enumerate(("b0", "b1")):
+        for f in os.listdir(os.path.join(src, d)):
+            os.utime(os.path.join(src, d, f), (now + i * 10, now + i * 10))
+
+    stream = (
+        spark.readStream.schema(jobs.EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", True)
+        .parquet(src)
+    )
+    q = (
+        stateful_v2.user_profile_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("t_profile")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(q.recentProgress) >= 2  # state crossed a batch boundary
+    # last emission per user = end state
+    emitted = spark.table("t_profile")
+    w_last = emitted.groupBy("user_id").agg(
+        F.max_by("n_events", "n_events").alias("n_events"),
+        F.max_by("sum_value", "n_events").alias("sum_value"),
+        F.max_by("max_value", "n_events").alias("max_value"),
+    )
+    want = stream_user_profile(spark, SF_DIR)
+    cols = ["user_id", "n_events", "sum_value", "max_value"]
+    assert _canon(w_last, cols) == _canon(want, cols)
+
+
+def test_user_profile_processor_logic():
+    """Direct unit drive of the StatefulProcessor: two batches per key,
+    state carried between calls, quantized-sum exactness."""
+    import math
+
+    import pandas as pd
+
+    from cs_pipeline_spark.streaming.stateful_v2 import UserProfileProcessor
+
+    class _FakeState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class _FakeHandle:
+        def __init__(self):
+            self.state = _FakeState()
+
+        def getValueState(self, name, schema):
+            return self.state
+
+    proc = UserProfileProcessor()
+    h = _FakeHandle()
+    proc.init(h)
+    b1 = pd.DataFrame({"value": [1.5, 2.25, None]})
+    out1 = list(proc.handleInputRows((7,), iter([b1]), None))[0]
+    assert out1["n_events"].iloc[0] == 3
+    assert out1["sum_value"].iloc[0] == 3.75
+    assert out1["max_value"].iloc[0] == 2.25
+    b2 = pd.DataFrame({"value": [10.0]})
+    out2 = list(proc.handleInputRows((7,), iter([b2]), None))[0]
+    assert out2["n_events"].iloc[0] == 4
+    assert out2["sum_value"].iloc[0] == 13.75
+    assert out2["max_value"].iloc[0] == 10.0
+    assert h.state.get() == (4, math.floor(13.75 * 1e6 + 0.5), 10_000_000)
