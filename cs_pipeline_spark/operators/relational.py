@@ -225,3 +225,140 @@ def parts_by_supplier_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             davg("p_retailprice").alias("avg_retail"),
         )
     )
+
+
+@register(
+    "diff_snapshots",
+    """
+    WITH v1 AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      WHERE o_orderkey < 2000
+    ), v2 AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice * 2.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders
+      WHERE (o_orderkey < 2000 AND o_orderkey % 17 <> 0)
+         OR (o_orderkey >= 2000 AND o_orderkey < 2200)
+    )
+    SELECT COALESCE(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+           CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+                WHEN v2.o_orderkey IS NULL THEN 'removed'
+                ELSE 'modified' END AS change_type
+    FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+    WHERE v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL
+       OR v1.o_custkey IS DISTINCT FROM v2.o_custkey
+       OR v1.o_totalprice IS DISTINCT FROM v2.o_totalprice
+    """,
+    doc="snapshot diff (table reconciliation): full-outer key join + "
+    "null-safe column compare → added/removed/modified rows — the "
+    "migration/backfill verification every table swap runs",
+)
+def diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level diff of two table versions (v2 = v1 with deterministic
+    deletes, modifications, and inserts): full-outer join on the key,
+    null-safe (`eqNullSafe` / IS DISTINCT FROM) comparison on the
+    payload columns, emit only changes tagged added/removed/modified.
+
+    Scale: one co-partitioned key join (both sides shuffle once on the
+    key — or zero shuffles if both snapshots are bucketed/clustered by
+    key, the usual lakehouse layout); the payload compare is
+    expression-side. For wide tables, compare a precomputed row-hash
+    column instead of N columns — same plan shape. Change volume, not
+    table size, dominates the output.
+    """
+    orders = load(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    v1 = orders.filter(F.col("o_orderkey") < 2000)
+    v2 = orders.filter(
+        ((F.col("o_orderkey") < 2000) & (F.col("o_orderkey") % 17 != 0))
+        | ((F.col("o_orderkey") >= 2000) & (F.col("o_orderkey") < 2200))
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(
+            F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") * 2.0
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    a, b = v1.alias("a"), v2.alias("b")
+    j = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+    change = (
+        F.when(F.col("a.o_orderkey").isNull(), "added")
+        .when(F.col("b.o_orderkey").isNull(), "removed")
+        .otherwise("modified")
+    )
+    differs = (
+        F.col("a.o_orderkey").isNull()
+        | F.col("b.o_orderkey").isNull()
+        | ~F.col("a.o_custkey").eqNullSafe(F.col("b.o_custkey"))
+        | ~F.col("a.o_totalprice").eqNullSafe(F.col("b.o_totalprice"))
+    )
+    return j.filter(differs).select(
+        F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias(
+            "o_orderkey"
+        ),
+        change.alias("change_type"),
+    )
+
+
+@register(
+    "join_null_safe",
+    """
+    WITH e AS (
+      SELECT event_id,
+             CASE WHEN event_type = 'click' THEN NULL
+                  ELSE CAST(FLOOR(value) AS BIGINT) % 10 END AS grp,
+             value
+      FROM events
+    ), d AS (
+      SELECT CAST(x.i AS BIGINT) AS grp_key, 'bucket_' || x.i AS grp_name
+      FROM range(10) x(i)
+      UNION ALL SELECT NULL, 'bucket_null'
+    )
+    SELECT e.event_id, d.grp_name
+    FROM e JOIN d ON e.grp IS NOT DISTINCT FROM d.grp_key
+    """,
+    doc="null-safe equi-join (eqNullSafe / IS NOT DISTINCT FROM): null "
+    "keys MATCH the null dimension row instead of dropping — the "
+    "uncategorized-bucket join",
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe join semantics: a plain equi-join silently drops rows
+    with null keys; ``eqNullSafe`` (SQL `<=>`) routes them to the
+    designated null dimension row — the standard 'uncategorized'
+    bucket pattern in dimension lookups.
+
+    Scale: `<=>` still hashes as an equi-key (null hashes to a single
+    value), so this broadcasts/hash-joins exactly like `=` — no
+    nested-loop penalty. Beware: ALL null keys land in ONE partition's
+    hash cell, so a mostly-null key column needs the salting treatment
+    (see ``join_skew_salted``) before a shuffle join; here the dim is
+    broadcast and it costs nothing.
+    """
+    ev = load(spark, "events", sf_dir)
+    e = ev.select(
+        "event_id",
+        F.when(
+            F.col("event_type") != "click",
+            F.floor("value").cast("long") % 10,
+        ).alias("grp"),
+    )
+    d = (
+        spark.range(10)
+        .select(
+            F.col("id").alias("grp_key"),
+            F.concat(F.lit("bucket_"), F.col("id")).alias("grp_name"),
+        )
+        .unionByName(
+            spark.range(1).select(
+                F.lit(None).cast("long").alias("grp_key"),
+                F.lit("bucket_null").alias("grp_name"),
+            )
+        )
+    )
+    return e.join(
+        F.broadcast(d), e.grp.eqNullSafe(d.grp_key)
+    ).select("event_id", "grp_name")

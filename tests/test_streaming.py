@@ -466,3 +466,94 @@ def test_user_profile_processor_logic():
     assert out2["sum_value"].iloc[0] == 13.75
     assert out2["max_value"].iloc[0] == 10.0
     assert h.state.get() == (4, math.floor(13.75 * 1e6 + 0.5), 10_000_000)
+
+
+def test_foreach_batch_upsert_matches_cdc_apply(spark, tmp_path):
+    """foreachBatch upsert loop: per micro-batch, merge the batch's
+    last-op-per-key into an accumulating parquet table (delete on
+    tombstone). After full replay the table equals the one-shot batch
+    CDC apply — the streaming execution of stream_cdc_apply."""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from cs_pipeline_spark.streaming.batch_twins import stream_cdc_apply
+
+    src = str(tmp_path / "ordered_events_fb")
+    os.makedirs(src)
+    ev = load(spark, "events", SF_DIR).orderBy("ts", "event_id")
+    rows = ev.count()
+    first = ev.limit(rows // 2)
+    second = ev.subtract(first)
+    first.coalesce(1).write.mode("overwrite").parquet(src + "/b0")
+    second.coalesce(1).write.mode("overwrite").parquet(src + "/b1")
+    now = _time.time()
+    for i, d in enumerate(("b0", "b1")):
+        for f in os.listdir(os.path.join(src, d)):
+            os.utime(os.path.join(src, d, f), (now + i * 10, now + i * 10))
+
+    table = str(tmp_path / "cdc_state")
+
+    def upsert(batch_df, batch_id):
+        # last op per key within the batch
+        w = batch_df.withColumn(
+            "op",
+            F.when(F.col("event_type") == "error", F.lit("D")).otherwise(
+                F.lit("U")
+            ),
+        )
+        last = (
+            w.withColumn(
+                "rn",
+                F.row_number().over(
+                    __import__("pyspark.sql.window", fromlist=["Window"])
+                    .Window.partitionBy("user_id")
+                    .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select("user_id", "value", "ts", "op")
+        )
+        if os.path.exists(table):
+            cur = spark.read.parquet(table)
+        else:
+            cur = spark.createDataFrame(
+                [], "user_id long, final_value double, last_ts timestamp"
+            )
+        merged = (
+            cur.join(last, "user_id", "left_anti")
+            .unionByName(
+                last.filter(F.col("op") != "D").select(
+                    "user_id",
+                    F.col("value").alias("final_value"),
+                    F.col("ts").alias("last_ts"),
+                )
+            )
+        )
+        merged.persist().count()  # materialize before overwrite
+        merged.write.mode("overwrite").parquet(table + "_next")
+        # atomic-ish swap (test scale)
+        import shutil
+
+        if os.path.exists(table):
+            shutil.rmtree(table)
+        os.rename(table + "_next", table)
+        merged.unpersist()
+
+    stream = (
+        spark.readStream.schema(jobs.EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", True)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(table)
+    want = stream_cdc_apply(spark, SF_DIR).drop("n_ops")
+    cols = ["user_id", "final_value", "last_ts"]
+    assert _canon(got, cols) == _canon(want, cols)
