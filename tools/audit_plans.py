@@ -117,6 +117,13 @@ AUDIT: dict[str, dict] = {
     "join_interval_overlap": {"nlj": 0},
     "agg_new_vs_returning": {},
     "agg_retention_cohorts": {},
+    # round-2 wave 6/7
+    "f_feature_hash": {"exchange": 0},
+    "agg_funnel_windowed": {},
+    "source_python_datasource": {"exchange": 1},
+    "stream_user_profile": {"exchange": 1},
+    "diff_snapshots": {},
+    "join_null_safe": {"smj": 0},
 }
 
 
