@@ -1261,3 +1261,126 @@ def agg_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
     )
+
+
+@register(
+    "agg_bitmap_distinct",
+    """
+    WITH words AS (
+      SELECT event_type, user_id // 32 AS word_idx,
+             bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INTEGER))
+               AS word
+      FROM events GROUP BY event_type, word_idx
+    )
+    SELECT event_type,
+           CAST(SUM(bit_count(word)) AS BIGINT) AS n_distinct,
+           CAST(COUNT(*) AS BIGINT) AS n_words
+    FROM words GROUP BY event_type
+    """,
+    doc="EXACT mergeable distinct-count via bitmap words (32 bits/word — DuckDB checks shift overflow at bit 63) "
+    "(bit_or + bit_count) — the roaring-bitmap pattern for bounded ID "
+    "domains; merge = OR, unlike HLL no estimation error",
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap distinct: pack user ids into 64-bit words
+    (word = id div 32, bit = id mod 32), ``bit_or`` per word,
+    ``bit_count`` to total. EXACT — and still mergeable (bitmap OR is
+    commutative/associative/idempotent like HLL's register max), so
+    per-partition bitmaps fold incrementally with zero error. The
+    trade: memory is domain/8 bytes per group — the right tool when
+    IDs are dense and bounded (users, SKUs), with HLL
+    (``agg_hll_mergeable``) for unbounded domains.
+
+    Scale: shuffle 1 carries (type, word_idx, partial word) after
+    map-side bit_or — at most domain/32 rows per group; shuffle 2
+    reduces to |groups| rows. Both integer-exact.
+    """
+    ev = load(spark, "events", sf_dir)
+    words = ev.groupBy(
+        "event_type", F.expr("user_id div 32").alias("word_idx")
+    ).agg(
+        F.expr("bit_or(shiftleft(1L, CAST(user_id % 32 AS INT)))").alias(
+            "word"
+        )
+    )
+    return words.groupBy("event_type").agg(
+        F.sum(F.bit_count("word")).cast("long").alias("n_distinct"),
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+    )
+
+
+@register(
+    "agg_ab_test",
+    """
+    WITH q AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+             CAST(FLOOR(value * 1000000.0 + 0.5) AS HUGEINT) AS qv
+      FROM events WHERE event_type = 'purchase'
+    ), m AS (
+      SELECT arm, CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(qv) AS s1, SUM(qv * qv) AS s2
+      FROM q GROUP BY arm
+    ), stats AS (
+      SELECT arm, CAST(n AS BIGINT) AS n,
+             CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+               / 1000000.0 AS mean,
+             CAST(CAST(n * s2 - s1 * s1 AS VARCHAR) AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+               / 1000000000000.0 AS var_pop
+      FROM m
+    )
+    SELECT a.n AS n_a, b.n AS n_b, a.mean AS mean_a, b.mean AS mean_b,
+           (a.mean - b.mean) /
+           SQRT(a.var_pop / a.n + b.var_pop / b.n) AS t_stat
+    FROM (SELECT * FROM stats WHERE arm = 'A') a,
+         (SELECT * FROM stats WHERE arm = 'B') b
+    """,
+    doc="two-sample A/B t-statistic (Welch) from exact integer moments "
+    "— experiment evaluation with bit-stable means/variances",
+)
+def agg_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch t-statistic for a deterministic 50/50 user split on
+    purchase values: means and population variances come off the
+    exact quantized-integer moment path (cancellation-free, engine-
+    identical); the t composition is a handful of correctly-rounded
+    float ops. One map-side-combined aggregation over two groups —
+    the nightly experiment-scorecard query at any scale.
+    """
+    ev = load(spark, "events", sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    qv = F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast(
+        "decimal(19,0)"
+    )
+    m = ev.groupBy(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("arm")
+    ).agg(
+        F.count(F.lit(1)).cast("decimal(20,0)").alias("n"),
+        F.sum(qv.cast("decimal(38,0)")).alias("s1"),
+        F.sum(qv * qv).alias("s2"),
+    )
+    d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    nd = m.n.cast("double")
+    stats = m.select(
+        "arm",
+        m.n.cast("long").alias("n"),
+        (d(m.s1) / nd / F.lit(1e6)).alias("mean"),
+        (d(m.n * m.s2 - m.s1 * m.s1) / (nd * nd) / F.lit(1e12)).alias(
+            "var_pop"
+        ),
+    )
+    a = stats.filter(F.col("arm") == "A").alias("a")
+    b = stats.filter(F.col("arm") == "B").alias("b")
+    return a.crossJoin(b).select(
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        F.col("a.mean").alias("mean_a"),
+        F.col("b.mean").alias("mean_b"),
+        (
+            (F.col("a.mean") - F.col("b.mean"))
+            / F.sqrt(
+                F.col("a.var_pop") / F.col("a.n")
+                + F.col("b.var_pop") / F.col("b.n")
+            )
+        ).alias("t_stat"),
+    )
