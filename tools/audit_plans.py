@@ -124,6 +124,10 @@ AUDIT: dict[str, dict] = {
     "stream_user_profile": {"exchange": 1},
     "diff_snapshots": {},
     "join_null_safe": {"smj": 0},
+    "emb_centroid_per_label": {"exchange": 1},
+    "emb_quantize_int8": {},
+    "agg_bitmap_distinct": {"exchange": 2},
+    "agg_ab_test": {"smj": 0},
 }
 
 
