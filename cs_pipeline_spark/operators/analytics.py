@@ -817,3 +817,52 @@ def agg_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("conv_us").cast("long").alias("n_converted_7d"),
         )
     )
+
+
+@register(
+    "q15_top_supplier",
+    f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             {sql_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    doc="q15-shape: top-revenue supplier via scalar-subquery max over a "
+    "derived revenue view (the argmax-over-aggregate pattern)",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum quarterly revenue
+    — an aggregate-of-aggregate argmax: the revenue view is computed
+    once, its max becomes a scalar filter on itself.
+
+    Scale: the revenue view is one map-side-combined aggregation of
+    the date-pruned fact; the scalar max is a single-row reduction
+    Spark broadcasts into the filter (no second scan of lineitem —
+    the view is reused, visible as ReusedExchange in the plan). The
+    supplier join touches only the argmax survivors. Exact quantized
+    revenue ⇒ the equality filter is safe (float `=` would be a
+    correctness bug with engine-divergent sums).
+    """
+    li = load(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-04-01")))
+    )
+    s = load(spark, "supplier", sf_dir)
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == F.col("mx"))
+        .join(s, rev.supplier_no == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )

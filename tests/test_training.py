@@ -159,3 +159,55 @@ def test_interp_linear_matches_python(spark, sf_dir):
         assert r["interp_value"] == want, (r["event_id"], r["interp_value"], want)
         if meta[r["event_id"]]["event_type"] == "click":
             assert r["raw_value"] is None
+
+
+def test_canonical_url_idempotent(spark):
+    """canon(canon(u)) == canon(u) over the synthetic URL space —
+    canonicalization must be a projection."""
+    from cs_pipeline_spark.operators.training import _URL_SPARK
+
+    from cs_pipeline_spark.tables import load
+
+    docs = load(spark, "documents", "/root/testdata/sf0.001")
+    urls = docs.select(F.expr(_URL_SPARK).alias("url"))
+    once = urls.select(canonical_url(F.col("url")).alias("c1"))
+    twice = once.select(
+        "c1", canonical_url(F.col("c1")).alias("c2")
+    )
+    assert twice.filter(F.col("c1") != F.col("c2")).count() == 0
+
+
+def test_pack_sequences_bins_are_contiguous_doc_ranges(spark, sf_dir):
+    """Within a source, the doc→bin assignment must be monotone in
+    doc_id (contiguous fill can never send a later doc to an earlier
+    bin)."""
+    from pyspark.sql import Window
+
+    from cs_pipeline_spark.operators.training import _BUDGET  # noqa: F401
+    from cs_pipeline_spark.tables import load
+
+    docs = load(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.expr(_norm_expr()), " ")).alias("n"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    assigned = toks.select(
+        "source",
+        "doc_id",
+        F.floor((F.sum("n").over(w) - 1) / _BUDGET).alias("bin_id"),
+    )
+    wlag = Window.partitionBy("source").orderBy("doc_id")
+    bad = assigned.select(
+        (F.col("bin_id") < F.lag("bin_id").over(wlag)).alias("regress")
+    ).filter(F.col("regress"))
+    assert bad.count() == 0
+
+
+def _norm_expr() -> str:
+    return "trim(regexp_replace(lower(text), '\\\\s+', ' '))"
