@@ -866,3 +866,112 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(s, rev.supplier_no == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
+
+
+@register(
+    "q11_important_stock",
+    """
+    WITH ps AS (
+      SELECT l.l_partkey,
+             SUM(CAST(FLOOR(l.l_extendedprice * 1000000.0 + 0.5)
+                 AS HUGEINT)) AS vq
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE s.s_nationkey = 1
+      GROUP BY l.l_partkey
+    ),
+    tot AS (SELECT SUM(vq) AS t FROM ps)
+    SELECT ps.l_partkey AS p_partkey,
+           CAST(CAST(ps.vq AS VARCHAR) AS DOUBLE) / 1000000.0 AS part_value
+    FROM ps, tot
+    WHERE ps.vq * 500 > tot.t
+    """,
+    doc="q11-shape: important-stock selection — per-part value share vs "
+    "a global scalar-subquery threshold (exact integer comparison "
+    "vq·500 > Σvq, no float boundary); partsupp stands in as the "
+    "distinct part-supplier value mass from lineitem",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose traded value (restricted to one
+    supplier nation) exceeds 1/500 of the national total — the
+    'important stock' report. The share threshold is an exact integer
+    comparison over quantized sums (vq·500 > Σvq): no float division
+    sits on the keep/drop boundary, so both engines agree bit-for-bit
+    even for parts exactly at the threshold.
+
+    Scale: supplier is dimension-sized → the nation filter broadcasts
+    into the fact scan; one map-side-combined groupBy(partkey); the
+    1-row total broadcasts back into the filter (Spark reuses the
+    aggregated view — no second lineitem scan). Output is
+    O(qualifying parts), ≪ fact.
+    """
+    li = load(spark, "lineitem", sf_dir)
+    s = load(spark, "supplier", sf_dir).filter(F.col("s_nationkey") == 1)
+    vq = F.floor(F.col("l_extendedprice") * F.lit(1e6) + F.lit(0.5)).cast(
+        "decimal(38,0)"
+    )
+    ps = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum(vq).alias("vq"))
+    )
+    tot = ps.agg(F.sum("vq").alias("t"))
+    return (
+        ps.join(F.broadcast(tot))
+        .filter(F.col("vq") * F.lit(500) > F.col("t"))
+        .select(
+            "p_partkey",
+            (F.col("vq").cast("string").cast("double") / F.lit(1e6)).alias(
+                "part_value"
+            ),
+        )
+    )
+
+
+@register(
+    "q16_parts_supplier_count",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#13'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    doc="q16-shape: distinct-supplier count per (brand, type, size) "
+    "excluding blacklisted suppliers (NOT IN → broadcast anti-join); "
+    "part-supplier relation derived from lineitem",
+)
+def q16_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers can provide parts
+    of each (brand, type, size), excluding suppliers on a complaint
+    blacklist (here: negative account balance). The NOT IN subquery
+    becomes a broadcast left-anti join — Catalyst's own decorrelation,
+    made explicit.
+
+    Scale: the (part, supp) relation is deduped FIRST (one shuffle on
+    the pair — map-side combine removes per-file repeats), then
+    filtered by the broadcast part dim and broadcast anti-joined
+    against the tiny blacklist; COUNT(DISTINCT) re-shuffles only the
+    surviving pairs on the 3-column group key. The fact table itself
+    never shuffles twice.
+    """
+    li = load(spark, "lineitem", sf_dir)
+    p = load(spark, "part", sf_dir).filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    bad = load(spark, "supplier", sf_dir).filter(
+        F.col("s_acctbal") < 0.0
+    ).select("s_suppkey")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(bad, pairs.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), pairs.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )

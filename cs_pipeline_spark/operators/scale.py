@@ -149,3 +149,115 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------- bloom-filter join pre-filter ----------
+
+_BLOOM_BITS = 1 << 16  # m = 65536 bits → 1024 longs
+_BLOOM_WORDS = _BLOOM_BITS // 64
+_BLOOM_K = 3  # hash functions
+
+# "interesting" orders: a selective predicate whose key set is still
+# too big to list in a literal IN — the runtime-filter scenario
+_ORDERS_PRED_SQL = (
+    "o_totalprice > 400000.0 AND o_orderdate >= TIMESTAMP '1997-01-01'"
+)
+
+
+def bloom_survivors(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(bloom-filtered lineitem, qualifying orders) — the build+probe
+    stages of ``join_bloom_prefilter``, exposed so tests can measure
+    the probe's selectivity independently of the final exact join."""
+    li = load(spark, "lineitem", sf_dir)
+    o = (
+        load(spark, "orders", sf_dir)
+        .filter(
+            (F.col("o_totalprice") > 400000.0)
+            & (F.col("o_orderdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        )
+        .select("o_orderkey", "o_orderpriority")
+    )
+
+    # -- build: keys → k bit positions → 64-bit words → 1-row map
+    pos = [
+        F.pmod(F.xxhash64("o_orderkey", F.lit(i)), F.lit(_BLOOM_BITS))
+        for i in range(_BLOOM_K)
+    ]
+    bits = o.select(F.explode(F.array(*pos)).alias("bitpos")).select(
+        F.expr("bitpos div 64").alias("widx"),
+        F.expr("shiftleft(1L, cast(bitpos % 64 as int))").alias("mask"),
+    )
+    words = bits.groupBy("widx").agg(F.bit_or("mask").alias("word"))
+    bloom = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("widx", "word"))).alias(
+            "bloom"
+        )
+    )
+
+    # -- probe: test all k bits expression-side
+    probed = li.join(F.broadcast(bloom))
+    keep = F.lit(True)
+    for i in range(_BLOOM_K):
+        test = F.expr(
+            f"(coalesce(element_at(bloom, "
+            f"pmod(xxhash64(l_orderkey, {i}), {_BLOOM_BITS}) div 64), 0L)"
+            f" & shiftleft(1L, cast(pmod(xxhash64(l_orderkey, {i}), "
+            f"{_BLOOM_BITS}) % 64 as int))) != 0"
+        )
+        keep = keep & test
+    return probed.filter(keep).drop("bloom"), o
+
+
+@register(
+    "join_bloom_prefilter",
+    f"""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM lineitem l
+    JOIN (SELECT o_orderkey, o_orderpriority FROM orders
+          WHERE {_ORDERS_PRED_SQL}) o
+      ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    doc="bloom-filter join pre-filter: small-side keys aggregated into "
+    "a 64Kbit bitmap (bit_or over words), broadcast as a 1-row map, "
+    "fact rows dropped before the join shuffle; no false negatives → "
+    "result identical to the plain join the oracle runs",
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit runtime bloom filtering — the manual form of Spark's
+    ``spark.sql.optimizer.runtime.bloomFilter`` InjectRuntimeFilter.
+
+    Build: each qualifying order key sets ``k=3`` bits at positions
+    ``xxhash64(key, seed) mod m``; bits are grouped into 64-bit words
+    and OR-combined (``bit_or`` is partial-aggregatable → map-side
+    combine; at most m/64 = 1024 groups cross the wire regardless of
+    key count). The word table is collapsed to a single-row
+    ``map<word_idx, word>`` and broadcast.
+
+    Probe: the fact side tests all k bits with pure bit arithmetic
+    (``element_at`` + mask); a missing map entry means word 0 → bit
+    unset → row dropped. Rows surviving the bloom (true matches +
+    ~0.1% false positives at these parameters) proceed to the exact
+    join, so the final result provably equals the plain join.
+
+    Scale: this is THE pattern for a selective dim too big to
+    broadcast as a hash relation at 100 TB — the bloom is O(m) bytes
+    (8 KiB here) no matter how many keys it encodes, and the fact
+    shuffle shrinks by the filter's selectivity. The exact join that
+    follows only sees pre-filtered rows.
+    """
+    survivors, o = bloom_survivors(spark, sf_dir)
+    return (
+        survivors.join(o, survivors.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+        )
+    )

@@ -68,3 +68,23 @@ def test_salted_join_matches_plain(spark):
     # the hot key really is hot (~70% of rows)
     total = sum(n for n, _ in plain.values())
     assert plain[0][0] / total > 0.6
+
+
+def test_bloom_prefilter_selective_and_lossless(spark):
+    """The bloom probe must (a) keep every true-matching lineitem row
+    (no false negatives) and (b) actually shrink the fact side —
+    otherwise the pre-filter is dead weight before the join shuffle."""
+    survivors, o = scale.bloom_survivors(spark, SF_DIR)
+    li = load(spark, "lineitem", SF_DIR)
+    n_fact = li.count()
+    n_surv = survivors.count()
+    # true matches computed by plain semi-join
+    n_true = li.join(
+        o, li.l_orderkey == o.o_orderkey, "left_semi"
+    ).count()
+    assert n_true <= n_surv, "bloom dropped a true match (false negative)"
+    assert n_surv < n_fact * 0.5, (
+        f"bloom not selective: {n_surv}/{n_fact} rows survived"
+    )
+    # false-positive load stays small at m=64Ki bits / k=3
+    assert n_surv <= n_true + 0.05 * n_fact
