@@ -185,3 +185,210 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
         F.sum("out_deg").cast("long").alias("sum_out"),
     )
+
+
+# ---------- triangle counting (degree-ordered orientation) ----------
+
+# undirected edge set: drop self-loops, canonicalize (lo, hi), dedup
+_UND_SQL = """
+  und AS (
+    SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+    FROM edges WHERE src <> dst
+  )
+"""
+
+# degree-ordered orientation: u→v iff (deg(u), u) < (deg(v), v).
+# Every vertex's out-degree is O(√m) under this orientation, which is
+# what bounds the wedge join at scale.
+_ORIENT_SQL = """
+  deg AS (
+    SELECT v, COUNT(*) AS d FROM (
+      SELECT a AS v FROM und UNION ALL SELECT b FROM und
+    ) GROUP BY v
+  ),
+  oriented AS (
+    SELECT CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.a ELSE u.b END AS lo,
+           CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.b ELSE u.a END AS hi
+    FROM und u
+    JOIN deg da ON da.v = u.a
+    JOIN deg db ON db.v = u.b
+  )
+"""
+
+
+@register(
+    "graph_triangles",
+    f"""
+    WITH edges AS ({_EDGE_SQL.format(n="(SELECT COUNT(*) FROM documents)")}),
+    {_UND_SQL},
+    {_ORIENT_SQL},
+    wedges AS (
+      SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+      FROM oriented e1 JOIN oriented e2
+        ON e2.lo = e1.hi
+    ),
+    tris AS (
+      SELECT w.a, w.b, w.c FROM wedges w
+      WHERE EXISTS (SELECT 1 FROM und u
+                    WHERE u.a = LEAST(w.a, w.c)
+                      AND u.b = GREATEST(w.a, w.c))
+    ),
+    wedge_total AS (
+      SELECT SUM(d * (d - 1) // 2) AS n_wedges FROM deg
+    )
+    SELECT CAST((SELECT COUNT(*) FROM tris) AS BIGINT) AS n_triangles,
+           CAST(w.n_wedges AS BIGINT) AS n_wedges,
+           ROUND(3.0 * (SELECT COUNT(*) FROM tris) / w.n_wedges, 6)
+             AS clustering_coeff
+    FROM wedge_total w
+    """,
+    doc="exact triangle count + global clustering coefficient over the "
+    "doc link graph via degree-ordered edge orientation (out-degree "
+    "O(√m) per vertex bounds the wedge join — the MapReduce-era "
+    "Cohen/Suri-Vassilvitskii pattern, no all-pairs stage)",
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census. Orientation by (degree, id) makes every
+    triangle countable exactly once from its lowest-ranked vertex and
+    caps any vertex's out-degree near √m, so the wedge self-join
+    cannot blow up on hubs — the property that keeps this runnable on
+    a 100 TB edge list where the naive (all neighbors × all
+    neighbors) wedge join dies on the first celebrity node.
+
+    Plan: und/deg/oriented are each one shuffle; the wedge join
+    shuffles oriented on (hi)≡(lo) — both sides already small (|und|);
+    the closing check is a semi-join against und. Clustering
+    coefficient = 3·triangles / wedges, one float division over exact
+    integers (identical in both engines), rounded to 6 dp.
+    """
+    docs = load(spark, "documents", sf_dir)
+    n = _n_docs(spark, sf_dir)
+    e = _edges(docs, n).filter(F.col("src") != F.col("dst"))
+    und = e.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    rank_lt = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(rank_lt, F.col("a")).otherwise(F.col("b")).alias("lo"),
+            F.when(rank_lt, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        )
+    )
+    e2 = oriented.select(
+        F.col("lo").alias("b2"), F.col("hi").alias("c")
+    )
+    wedges = oriented.join(e2, oriented.hi == e2.b2).select(
+        F.col("lo").alias("wa"), F.col("hi").alias("wb"), "c"
+    )
+    closing = wedges.select(
+        "wa",
+        "wb",
+        "c",
+        F.least("wa", "c").alias("a"),
+        F.greatest("wa", "c").alias("b"),
+    )
+    tris = closing.join(und, ["a", "b"], "left_semi")
+    n_tri = tris.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    n_wedge = deg.agg(
+        F.sum(F.expr("d * (d - 1) div 2")).cast("long").alias("n_wedges")
+    )
+    return n_tri.join(F.broadcast(n_wedge)).select(
+        "n_triangles",
+        "n_wedges",
+        F.round(
+            F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
+        ).alias("clustering_coeff"),
+    )
+
+
+@register(
+    "graph_common_neighbors",
+    f"""
+    WITH edges AS ({_EDGE_SQL.format(n="(SELECT COUNT(*) FROM documents)")}),
+    {_UND_SQL},
+    nbr AS (
+      SELECT a AS v, b AS n FROM und UNION ALL SELECT b, a FROM und
+    ),
+    deg AS (SELECT v, COUNT(*) AS d FROM nbr GROUP BY v),
+    cand AS (
+      SELECT n1.v AS x, n2.v AS y, COUNT(*) AS n_common
+      FROM nbr n1 JOIN nbr n2 ON n1.n = n2.n AND n1.v < n2.v
+      GROUP BY n1.v, n2.v
+      HAVING COUNT(*) >= 2
+    )
+    SELECT c.x, c.y, CAST(c.n_common AS BIGINT) AS n_common,
+           ROUND(CAST(c.n_common AS DOUBLE)
+                 / (dx.d + dy.d - c.n_common), 6) AS jaccard
+    FROM cand c
+    JOIN deg dx ON dx.v = c.x
+    JOIN deg dy ON dy.v = c.y
+    WHERE NOT EXISTS (SELECT 1 FROM und u
+                      WHERE u.a = c.x AND u.b = c.y)
+    """,
+    doc="link prediction: non-adjacent node pairs with ≥2 common "
+    "neighbors, scored by neighbor-Jaccard — wedge-join candidate "
+    "generation (never all-pairs), anti-join drops existing edges",
+)
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor / Jaccard link prediction. Candidates come only
+    from wedges (pairs sharing a neighbor) — the candidate set is
+    Σ d(v)² over neighbors, not |V|², and the HAVING ≥2 cut keeps the
+    output to genuinely-similar pairs. Existing edges are removed by
+    an anti-join so the output is strictly *predicted* links.
+
+    Scale: the wedge self-join shuffles the neighbor list on the
+    shared-neighbor key — hub nodes fan out d² pairs, so at 100 TB
+    the standard mitigation is capping/sampling hub adjacency (drop
+    v with d > ~10⁴) before the self-join; here degrees are bounded
+    by the synthesis (≤ ~6). Jaccard = common/(dx+dy−common): one
+    float division over exact integers, 6 dp.
+    """
+    docs = load(spark, "documents", sf_dir)
+    n = _n_docs(spark, sf_dir)
+    e = _edges(docs, n).filter(F.col("src") != F.col("dst"))
+    und = e.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    nbr = und.select(F.col("a").alias("v"), F.col("b").alias("n")).unionAll(
+        und.select(F.col("b").alias("v"), F.col("a").alias("n"))
+    )
+    deg = nbr.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    n1 = nbr.select(F.col("v").alias("x"), F.col("n"))
+    n2 = nbr.select(F.col("v").alias("y"), F.col("n"))
+    cand = (
+        n1.join(n2, "n")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= 2)
+    )
+    existing = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    dx = deg.select(F.col("v").alias("x"), F.col("d").alias("dx"))
+    dy = deg.select(F.col("v").alias("y"), F.col("d").alias("dy"))
+    return (
+        cand.join(existing, ["x", "y"], "left_anti")
+        .join(dx, "x")
+        .join(dy, "y")
+        .select(
+            "x",
+            "y",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("dx") + F.col("dy") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

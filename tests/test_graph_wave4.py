@@ -117,3 +117,43 @@ def test_k_anonymity_partitions_corpus(spark, sf_dir):
     assert sum(r["group_size"] for r in rows) == n
     for r in rows:
         assert r["violates_k"] == (r["group_size"] < 5)
+
+
+def _py_und_edges(n: int) -> set[tuple[int, int]]:
+    und = set()
+    for d in range(n):
+        for dst in ((d * 4 + 3) % n, (d * 10 + 5) % n):
+            if dst != d:
+                und.add((min(d, dst), max(d, dst)))
+    return und
+
+
+def test_triangles_match_bruteforce(spark, sf_dir):
+    from cs_pipeline_spark.operators.graph import graph_triangles
+
+    n = load(spark, "documents", sf_dir).count()
+    und = _py_und_edges(n)
+    nbrs: dict[int, set[int]] = {}
+    for a, b in und:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    tri = 0
+    for a, b in und:
+        tri += len(nbrs[a] & nbrs[b])
+    tri //= 3  # each triangle counted once per edge
+    row = graph_triangles(spark, sf_dir).collect()[0]
+    assert row.n_triangles == tri
+    assert 0.0 <= row.clustering_coeff <= 1.0
+
+
+def test_common_neighbors_scores_valid(spark, sf_dir):
+    from cs_pipeline_spark.operators.graph import graph_common_neighbors
+
+    n = load(spark, "documents", sf_dir).count()
+    und = _py_und_edges(n)
+    rows = graph_common_neighbors(spark, sf_dir).collect()
+    assert rows, "candidate set empty"
+    for r in rows:
+        assert r.n_common >= 2
+        assert 0.0 < r.jaccard <= 1.0
+        assert (r.x, r.y) not in und, "existing edge not removed"
