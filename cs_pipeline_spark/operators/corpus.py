@@ -431,3 +431,179 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.withColumn("rn", F.row_number().over(w)).select(
         "doc_id", "score", "rn"
     )
+
+
+# ---------- domain-mixing weights ----------
+
+# re-balance half the corpus's token mass uniformly across domains
+_MIX_BUDGET_DIV = 2
+
+
+@register(
+    "corpus_mix_weights",
+    f"""
+    WITH tok AS (
+      SELECT lang, CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    dom AS (
+      SELECT lang, COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens
+      FROM tok GROUP BY lang
+    ),
+    tot AS (
+      SELECT SUM(n_tokens) // ({_MIX_BUDGET_DIV} * COUNT(*)) AS target
+      FROM dom
+    )
+    SELECT d.lang,
+           CAST(d.n_docs AS BIGINT) AS n_docs,
+           CAST(d.n_tokens AS BIGINT) AS n_tokens,
+           CAST(t.target AS BIGINT) AS target_tokens,
+           ROUND(LEAST(1.0, CAST(t.target AS DOUBLE) / d.n_tokens), 6)
+             AS sample_rate,
+           CAST((t.target + d.n_tokens - 1) // d.n_tokens AS BIGINT)
+             AS epochs_needed
+    FROM dom d, tot t
+    """,
+    doc="domain-mixing weights: per-lang sampling rate toward a "
+    "uniform token target (half the corpus mass split evenly) — "
+    "under-represented domains get epochs_needed repeat factors, "
+    "over-represented ones a downsampling rate; integer-exact counts",
+)
+def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture planner in front of training-data sampling: given
+    per-domain token masses, emit the rate at which each domain must
+    be down-sampled (rate < 1) or repeated (epochs_needed > 1) to hit
+    a uniform per-domain token target. All counts are exact integers;
+    the only float is the final rate division (correctly rounded
+    identically in both engines, 6 dp).
+
+    Scale: one map-side-combined groupBy(lang) over per-row token
+    counts (expression-side split, no Python); the 1-row global
+    target broadcasts back. Domain count is small by construction —
+    the output is dashboard-sized whatever the corpus size.
+    """
+    docs = load(spark, "documents", sf_dir)
+    tok = docs.select(
+        "lang", F.size(_tokens(F.expr(_NORM))).cast("long").alias("n_tok")
+    )
+    dom = tok.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+    )
+    tot = dom.agg(
+        F.expr(
+            f"sum(n_tokens) div ({_MIX_BUDGET_DIV} * count(*))"
+        ).alias("target")
+    )
+    return dom.join(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("target").cast("long").alias("target_tokens"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.col("target").cast("double") / F.col("n_tokens"),
+            ),
+            6,
+        ).alias("sample_rate"),
+        F.expr(
+            "(target + n_tokens - 1) div n_tokens"
+        ).cast("long").alias("epochs_needed"),
+    )
+
+
+# ---------- token-budget greedy selection ----------
+
+# keep roughly a third of each domain's token mass
+_SEL_BUDGET_DIV = 3
+
+
+@register(
+    "corpus_budget_select",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tok,
+             CAST(len(list_distinct({_DUCK_TOKENS})) AS BIGINT) AS n_uniq
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang, n_tok,
+             CAST(FLOOR(1000000.0 * n_uniq / n_tok) AS BIGINT) AS quality_q
+      FROM tok WHERE n_tok > 0
+    ),
+    budget AS (
+      SELECT lang, SUM(n_tok) // {_SEL_BUDGET_DIV} AS b
+      FROM scored GROUP BY lang
+    ),
+    ranked AS (
+      SELECT s.doc_id, s.lang, s.n_tok, s.quality_q, b.b,
+             ROW_NUMBER() OVER (
+               PARTITION BY s.lang ORDER BY s.quality_q DESC, s.doc_id
+             ) AS rnk,
+             SUM(s.n_tok) OVER (
+               PARTITION BY s.lang ORDER BY s.quality_q DESC, s.doc_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS cum_tok
+      FROM scored s JOIN budget b ON b.lang = s.lang
+    )
+    SELECT doc_id, lang, n_tok, quality_q, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked
+    WHERE cum_tok - n_tok < b
+    """,
+    doc="token-budget greedy selection: per-lang quality ranking "
+    "(distinct-token ratio, quantized) + window cumsum, keep docs "
+    "until a third of the domain's token mass is spent — the "
+    "quality-first corpus subsetting step",
+)
+def corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy quality-first selection under a per-domain token budget:
+    rank docs by lexical-diversity quality (distinct/total tokens,
+    quantized to an exact integer so the ranking key is bit-identical
+    across engines), take docs in rank order until the running token
+    sum crosses the budget (the boundary doc that crosses it is
+    kept — ``cum − n < b``).
+
+    Scale: per-row token stats are expression-side; the budget table
+    is domain-cardinality (broadcast); ONE window shuffle on lang
+    partitions does rank + cumsum together. At 100 TB a single-lang
+    partition is the bottleneck — the standard fix is sub-bucketing
+    the window key by quality-band and pre-aggregating band masses,
+    same pattern as the salted aggregations in operators/scale.py.
+    """
+    docs = load(spark, "documents", sf_dir)
+    toks = _tokens(F.expr(_NORM))
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("long").alias("n_tok"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_uniq"),
+    )
+    scored = tok.filter(F.col("n_tok") > 0).select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        F.floor(
+            F.lit(1000000.0) * F.col("n_uniq") / F.col("n_tok")
+        ).cast("long").alias("quality_q"),
+    )
+    budget = scored.groupBy("lang").agg(
+        F.expr(f"sum(n_tok) div {_SEL_BUDGET_DIV}").alias("b")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("quality_q").desc(), F.col("doc_id")
+    )
+    ranked = (
+        scored.join(F.broadcast(budget), "lang")
+        .withColumn("rnk", F.row_number().over(w))
+        .withColumn(
+            "cum_tok", F.sum("n_tok").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+    )
+    return ranked.filter(
+        F.col("cum_tok") - F.col("n_tok") < F.col("b")
+    ).select(
+        "doc_id", "lang", "n_tok", "quality_q",
+        F.col("rnk").cast("long").alias("rnk"),
+    )

@@ -799,3 +799,124 @@ def win_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.select(
         "event_id", "user_id", "raw_value", interp.alias("interp_value")
     )
+
+
+# ---------- LTTB-style visual downsampling ----------
+
+_LTTB_BUCKET_US = 6 * 3600 * 1000000  # 6-hour buckets
+
+
+@register(
+    "ts_downsample_lttb",
+    f"""
+    WITH pts AS (
+      SELECT event_type,
+             epoch_us({EVENTS_TS_SQL}) AS x,
+             CAST(FLOOR(value * 1000000.0 + 0.5) AS HUGEINT) AS yq,
+             epoch_us({EVENTS_TS_SQL}) // {_LTTB_BUCKET_US} AS bkt
+      FROM events
+    ),
+    anchors AS (
+      SELECT event_type, bkt,
+             SUM(x) // COUNT(*) AS ax,
+             SUM(yq) // COUNT(*) AS ayq
+      FROM pts GROUP BY event_type, bkt
+    ),
+    ranked AS (
+      SELECT p.event_type, p.bkt, p.x, p.yq,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.event_type, p.bkt
+               ORDER BY ABS(
+                 (CAST(ap.ax AS HUGEINT) - an.ax) * (p.yq - ap.ayq)
+                 - (CAST(ap.ax AS HUGEINT) - p.x) * (an.ayq - ap.ayq)
+               ) DESC, p.x
+             ) AS rn
+      FROM pts p
+      JOIN anchors ap ON ap.event_type = p.event_type
+                     AND ap.bkt = p.bkt - 1
+      JOIN anchors an ON an.event_type = p.event_type
+                     AND an.bkt = p.bkt + 1
+    )
+    SELECT event_type, CAST(bkt AS BIGINT) AS bkt, CAST(x AS BIGINT) AS ts_us,
+           CAST(CAST(yq AS VARCHAR) AS DOUBLE) / 1000000.0 AS value
+    FROM ranked WHERE rn = 1
+    """,
+    doc="LTTB-style visual downsampling: per (event_type, 6h bucket) "
+    "keep the point with the largest triangle area against the "
+    "neighbor-bucket mean anchors — exact integer/decimal area, "
+    "deterministic ties; the parallel bucketed variant of "
+    "largest-triangle-three-buckets",
+)
+def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample each event-type series to one visually-dominant
+    point per 6-hour bucket. Classic LTTB anchors each bucket's
+    triangle on the *previously selected* point — inherently
+    sequential — so this uses the parallel variant: anchors are the
+    neighbor buckets' mean points (floor-div integer means), making
+    every bucket independent. Area = |(ax_p−ax_n)(y−ay_p) −
+    (ax_p−x)(ay_n−ay_p)| computed in exact decimal integer
+    arithmetic (µs × quantized value exceeds int64), so the argmax —
+    and therefore the output — is bit-identical across engines;
+    ties break to the earlier point.
+
+    First/last buckets (no neighbor anchor) are dropped: a real
+    renderer pins the series endpoints separately, exactly as LTTB
+    always keeps the first and last raw points.
+
+    Scale: one groupBy for anchors (map-side combined), broadcast-
+    sized anchor table joined back, ONE window shuffle on
+    (event_type, bucket) — partitions are bucket-sized, never
+    series-sized, so a year-long series parallelizes across its
+    buckets. Output is |buckets| rows: the 100× raw→render reduction
+    happens before any collect.
+    """
+    ev = load(spark, "events", sf_dir)
+    pts = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("x"),
+        F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5))
+        .cast("decimal(38,0)")
+        .alias("yq"),
+        F.expr(f"unix_micros(ts) div {_LTTB_BUCKET_US}").alias("bkt"),
+    )
+    anchors = pts.groupBy("event_type", "bkt").agg(
+        F.expr("sum(x) div count(*)").alias("ax"),
+        F.expr(
+            "cast(sum(yq) as decimal(38,0)) div count(*)"
+        ).alias("ayq"),
+    )
+    ap = anchors.select(
+        "event_type",
+        (F.col("bkt") + 1).alias("bkt"),
+        F.col("ax").alias("apx"),
+        F.col("ayq").alias("apy"),
+    )
+    an = anchors.select(
+        "event_type",
+        (F.col("bkt") - 1).alias("bkt"),
+        F.col("ax").alias("anx"),
+        F.col("ayq").alias("any_"),
+    )
+    d = F.col  # noqa: E741 - brevity
+    area = F.abs(
+        (d("apx").cast("decimal(38,0)") - d("anx"))
+        * (d("yq") - d("apy"))
+        - (d("apx").cast("decimal(38,0)") - d("x"))
+        * (d("any_") - d("apy"))
+    )
+    w = Window.partitionBy("event_type", "bkt").orderBy(
+        area.desc(), F.col("x")
+    )
+    ranked = (
+        pts.join(ap, ["event_type", "bkt"])
+        .join(an, ["event_type", "bkt"])
+        .withColumn("rn", F.row_number().over(w))
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "event_type",
+        F.col("bkt").cast("long").alias("bkt"),
+        F.col("x").cast("long").alias("ts_us"),
+        (F.col("yq").cast("string").cast("double") / F.lit(1e6)).alias(
+            "value"
+        ),
+    )

@@ -1,0 +1,93 @@
+"""Invariants for the curation wave: mix weights, budget selection,
+LTTB downsampling."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cs_pipeline_spark.operators.corpus import (
+    corpus_budget_select,
+    corpus_mix_weights,
+)
+from cs_pipeline_spark.operators.windows import (
+    _LTTB_BUCKET_US,
+    ts_downsample_lttb,
+)
+from cs_pipeline_spark.tables import load
+
+
+def test_mix_weights_invariants(spark, sf_dir):
+    rows = corpus_mix_weights(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r.sample_rate <= 1.0
+        assert r.epochs_needed >= 1
+        if r.n_tokens >= r.target_tokens:
+            # downsampled domain: rate hits the target exactly (6 dp)
+            assert abs(r.sample_rate * r.n_tokens - r.target_tokens) < (
+                r.n_tokens / 5e5
+            )
+            assert r.epochs_needed == 1
+        else:
+            # oversampled domain: rate capped, repeats cover the gap
+            assert r.sample_rate == 1.0
+            assert r.epochs_needed * r.n_tokens >= r.target_tokens
+
+
+def test_budget_select_greedy_prefix(spark, sf_dir):
+    sel = corpus_budget_select(spark, sf_dir).collect()
+    assert sel
+    by_lang: dict[str, list] = {}
+    for r in sel:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rows in by_lang.items():
+        rows.sort(key=lambda r: r.rnk)
+        # selection is a contiguous rank prefix
+        assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+        # greedy stop: all but the boundary doc fit strictly under b;
+        # reconstruct the budget from the full corpus
+        total = (
+            load(spark, sf_dir=sf_dir, name="documents")
+            .filter(F.col("lang") == lang)
+            .select(
+                F.size(
+                    F.split(
+                        F.trim(
+                            F.regexp_replace(F.lower("text"), r"\s+", " ")
+                        ),
+                        " ",
+                    )
+                ).alias("n")
+            )
+            .agg(F.sum("n"))
+            .collect()[0][0]
+        )
+        b = total // 3
+        cum = sum(r.n_tok for r in rows)
+        assert cum - rows[-1].n_tok < b, lang
+        assert cum >= b, f"{lang}: budget not exhausted"
+
+
+def test_lttb_one_point_per_interior_bucket(spark, sf_dir):
+    ev = load(spark, "events", sf_dir)
+    raw = ev.select(
+        "event_type",
+        F.expr(f"unix_micros(ts) div {_LTTB_BUCKET_US}").alias("bkt"),
+    ).distinct().collect()
+    buckets = {}
+    for r in raw:
+        buckets.setdefault(r.event_type, set()).add(r.bkt)
+    out = ts_downsample_lttb(spark, sf_dir).collect()
+    seen = {}
+    for r in out:
+        key = (r.event_type, r.bkt)
+        assert key not in seen, "duplicate bucket champion"
+        seen[key] = r
+        # champion's timestamp really falls inside its bucket
+        assert r.ts_us // _LTTB_BUCKET_US == r.bkt
+    for et, bks in buckets.items():
+        interior = {
+            b for b in bks if (b - 1) in bks and (b + 1) in bks
+        }
+        got = {b for (e, b) in seen if e == et}
+        assert got == interior, et
