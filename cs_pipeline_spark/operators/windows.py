@@ -920,3 +920,129 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value"
         ),
     )
+
+
+# ---------- CUSUM changepoint detection ----------
+
+_CUSUM_BUCKET_US = 3600 * 1000000  # hourly series
+_CUSUM_TH = 2000.0  # drift alarm on the normalized statistic
+
+
+@register(
+    "win_cusum_changepoint",
+    f"""
+    WITH series AS (
+      SELECT event_type,
+             epoch_us({EVENTS_TS_SQL}) // {_CUSUM_BUCKET_US} AS bkt,
+             SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS HUGEINT)) AS xq
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n, SUM(xq) AS s
+      FROM series GROUP BY event_type
+    ),
+    cum AS (
+      SELECT se.event_type, se.bkt, st.n,
+             st.n * SUM(se.xq) OVER w
+               - ROW_NUMBER() OVER w * st.s AS c
+      FROM series se JOIN stats st ON st.event_type = se.event_type
+      WINDOW w AS (PARTITION BY se.event_type ORDER BY se.bkt
+                   ROWS UNBOUNDED PRECEDING)
+    ),
+    cusum AS (
+      SELECT event_type, bkt,
+             c - LEAST(MIN(c) OVER (PARTITION BY event_type ORDER BY bkt
+                              ROWS UNBOUNDED PRECEDING), 0) AS s_t, n
+      FROM cum
+    ),
+    peak AS (
+      SELECT event_type, bkt, s_t, n,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY s_t DESC, bkt) AS rn
+      FROM cusum
+    )
+    SELECT event_type, CAST(bkt AS BIGINT) AS peak_bkt,
+           ROUND(CAST(CAST(s_t AS VARCHAR) AS DOUBLE)
+                 / (CAST(CAST(n AS VARCHAR) AS DOUBLE) * 1000000.0), 6)
+             AS peak_cusum,
+           CAST(CAST(s_t AS VARCHAR) AS DOUBLE)
+             / (CAST(CAST(n AS VARCHAR) AS DOUBLE) * 1000000.0)
+             > {_CUSUM_TH} AS drifted
+    FROM peak WHERE rn = 1
+    """,
+    doc="CUSUM changepoint detection per event-type series: positive-"
+    "drift statistic S_t = C_t − min prefix C over the mean-centered "
+    "hourly series, computed in exact integer arithmetic (deviations "
+    "scaled ×n to avoid the mean division); reports each series' peak "
+    "excursion + alarm flag",
+)
+def win_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift detection without a sequential scan: the CUSUM recurrence
+    S_t = max(0, S_{t-1} + d_t) equals C_t − min_{j≤t} C_j where C is
+    the prefix sum of deviations — two window passes (cumsum +
+    running-min) replace the sequential loop, so the operator
+    parallelizes like any window aggregate.
+
+    Deviations are mean-centered WITHOUT dividing: d_t·n = n·x_t − Σx
+    keeps everything integer-exact (decimal), and the single float
+    division happens once at the end (÷ n·1e6), correctly rounded
+    identically in both engines.
+
+    Scale: the hourly pre-aggregation is map-side combined (series
+    length ≪ events); one window shuffle on event_type. For
+    high-cardinality keys the same plan shuffles once on the key —
+    each series is processed within its partition.
+    """
+    ev = load(spark, "events", sf_dir)
+    series = ev.groupBy(
+        "event_type",
+        F.expr(f"unix_micros(ts) div {_CUSUM_BUCKET_US}").alias("bkt"),
+    ).agg(
+        F.sum(
+            F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast(
+                "decimal(38,0)"
+            )
+        ).alias("xq")
+    )
+    stats = series.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(20,0)").alias("n"),
+        F.sum("xq").alias("s"),
+    )
+    w = Window.partitionBy("event_type").orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = (
+        series.join(F.broadcast(stats), "event_type")
+        .withColumn(
+            "c",
+            F.col("n") * F.sum("xq").over(w)
+            - F.row_number()
+            .over(Window.partitionBy("event_type").orderBy("bkt"))
+            .cast("decimal(20,0)")
+            * F.col("s"),
+        )
+    )
+    cusum = cum.withColumn(
+        "s_t",
+        F.col("c")
+        - F.least(
+            F.min("c").over(w), F.lit(0).cast("decimal(38,0)")
+        ),
+    )
+    peak = cusum.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(
+                F.col("s_t").desc(), F.col("bkt")
+            )
+        ),
+    ).filter(F.col("rn") == 1)
+    norm = F.col("s_t").cast("string").cast("double") / (
+        F.col("n").cast("string").cast("double") * F.lit(1e6)
+    )
+    return peak.select(
+        "event_type",
+        F.col("bkt").cast("long").alias("peak_bkt"),
+        F.round(norm, 6).alias("peak_cusum"),
+        (norm > F.lit(_CUSUM_TH)).alias("drifted"),
+    )

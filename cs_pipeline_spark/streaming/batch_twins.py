@@ -360,3 +360,26 @@ def stream_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(qv).cast("string").cast("double") / 1e6).alias("sum_value"),
         (F.max(qv).cast("double") / 1e6).alias("max_value"),
     )
+
+
+@register(
+    "stream_interval_join_left",
+    f"""
+    SELECT e.user_id, e.event_id AS err_id, {_TS.replace('ts', 'e.ts')} AS err_ts,
+           c.event_id AS click_id, {_TS.replace('ts', 'c.ts')} AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = e.user_id
+     AND {_TS.replace('ts', 'c.ts')} >= {_TS.replace('ts', 'e.ts')} - INTERVAL '6 hours'
+     AND {_TS.replace('ts', 'c.ts')} <= {_TS.replace('ts', 'e.ts')}
+    """,
+    doc="stream-stream LEFT OUTER interval join: errors with no click "
+    "in the 6 h lookback emit null-padded once the watermark closes "
+    "the band — batch twin of the outer watermark join",
+)
+def stream_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, "events", sf_dir)
+    return W.error_click_attribution_outer(
+        ev.filter(F.col("event_type") == "error"),
+        ev.filter(F.col("event_type") == "click"),
+    )

@@ -193,3 +193,38 @@ def trending_topk(events: DataFrame) -> DataFrame:
         .filter(F.col("rk") <= TREND_K)
         .select("win_start", "rk", "event_type", "n_events")
     )
+
+
+def error_click_attribution_outer(
+    errors: DataFrame, clicks: DataFrame
+) -> DataFrame:
+    """Left-outer variant of ``error_click_attribution``: errors with
+    NO same-user click in the 6 h lookback still emit, with null click
+    columns.
+
+    Streaming semantics: a stream-stream LEFT OUTER join requires
+    watermarks on both sides plus the time-band condition — Spark
+    emits the null-padded row only once the watermark passes the band
+    (the point at which no future click can match). The batch twin is
+    the identical expression evaluated over the complete log.
+    """
+    e = errors.select(
+        F.col("user_id"),
+        F.col("event_id").alias("err_id"),
+        F.col("ts").alias("err_ts"),
+    )
+    c = clicks.select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    return e.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (
+            F.col("click_ts")
+            >= F.col("err_ts") - F.expr(f"INTERVAL {INTERVAL_LOOKBACK}")
+        )
+        & (F.col("click_ts") <= F.col("err_ts")),
+        "left_outer",
+    ).select("user_id", "err_id", "err_ts", "click_id", "click_ts")

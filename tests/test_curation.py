@@ -91,3 +91,47 @@ def test_lttb_one_point_per_interior_bucket(spark, sf_dir):
         }
         got = {b for (e, b) in seen if e == et}
         assert got == interior, et
+
+
+def test_cusum_matches_sequential_recurrence(spark, sf_dir):
+    """C_t − min prefix C  ==  S_t = max(0, S_{t−1} + d_t) — replay the
+    classic sequential CUSUM in Python over the same hourly series and
+    compare each series' peak."""
+    from fractions import Fraction
+
+    from cs_pipeline_spark.operators.windows import (
+        _CUSUM_BUCKET_US,
+        win_cusum_changepoint,
+    )
+
+    ev = load(spark, "events", sf_dir)
+    rows = ev.select(
+        "event_type",
+        F.expr(f"unix_micros(ts) div {_CUSUM_BUCKET_US}").alias("bkt"),
+        F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("q"),
+    ).collect()
+    series: dict[str, dict[int, int]] = {}
+    for r in rows:
+        series.setdefault(r.event_type, {}).setdefault(r.bkt, 0)
+        series[r.event_type][r.bkt] += r.q
+    expected = {}
+    for et, by_bkt in series.items():
+        xs = [by_bkt[b] for b in sorted(by_bkt)]
+        bks = sorted(by_bkt)
+        n, s = len(xs), sum(xs)
+        st, peak, peak_b = 0, None, None
+        for b, x in zip(bks, xs):
+            st = max(0, st + n * x - s)  # deviations scaled by n
+            if peak is None or st > peak:
+                peak, peak_b = st, b
+        expected[et] = (peak_b, Fraction(peak, n * 10**6))
+    got = {
+        r.event_type: (r.peak_bkt, r.peak_cusum)
+        for r in win_cusum_changepoint(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expected)
+    for et, (pb, pc) in expected.items():
+        assert got[et][0] == pb, et
+        assert abs(got[et][1] - float(pc)) < 5e-7, et
