@@ -55,6 +55,12 @@ HEADLINE = [
     "text_lm_score",
     "doc_chunk_split",
     "sim_ivf_pq_topk",
+    # round-2 wave 9: bloom pre-filter, triangle census, curation,
+    # changepoint
+    "join_bloom_prefilter",
+    "graph_triangles",
+    "corpus_budget_select",
+    "win_cusum_changepoint",
 ]
 
 

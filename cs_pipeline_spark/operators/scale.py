@@ -196,18 +196,23 @@ def bloom_survivors(
         )
     )
 
-    # -- probe: test all k bits expression-side
+    # -- probe: bit positions materialized once (one xxhash64 per k),
+    # then pure bit tests — all in one codegen stage
     probed = li.join(F.broadcast(bloom))
+    for i in range(_BLOOM_K):
+        probed = probed.withColumn(
+            f"_bp{i}",
+            F.pmod(F.xxhash64("l_orderkey", F.lit(i)), F.lit(_BLOOM_BITS)),
+        )
     keep = F.lit(True)
     for i in range(_BLOOM_K):
         test = F.expr(
-            f"(coalesce(element_at(bloom, "
-            f"pmod(xxhash64(l_orderkey, {i}), {_BLOOM_BITS}) div 64), 0L)"
-            f" & shiftleft(1L, cast(pmod(xxhash64(l_orderkey, {i}), "
-            f"{_BLOOM_BITS}) % 64 as int))) != 0"
+            f"(coalesce(element_at(bloom, _bp{i} div 64), 0L)"
+            f" & shiftleft(1L, cast(_bp{i} % 64 as int))) != 0"
         )
         keep = keep & test
-    return probed.filter(keep).drop("bloom"), o
+    drop = ["bloom"] + [f"_bp{i}" for i in range(_BLOOM_K)]
+    return probed.filter(keep).drop(*drop), o
 
 
 @register(

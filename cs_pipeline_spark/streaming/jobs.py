@@ -98,3 +98,17 @@ def interval_join_job(events: DataFrame) -> DataFrame:
     errors = wm.filter(F.col("event_type") == "error")
     clicks = wm.filter(F.col("event_type") == "click")
     return W.error_click_attribution(errors, clicks)
+
+
+def interval_join_left_job(events: DataFrame) -> DataFrame:
+    """LEFT OUTER stream-stream interval join. Null-padded rows for
+    unmatched errors are emitted only once the watermark passes the
+    join band (no future click can match) — so at end-of-stream,
+    errors newer than max-event-time − watermark − lookback are still
+    held in state, unemitted. Tests must compare only the closed
+    region; a production job keeps running and eventually closes
+    every band."""
+    wm = W.with_watermark(events)
+    errors = wm.filter(F.col("event_type") == "error")
+    clicks = wm.filter(F.col("event_type") == "click")
+    return W.error_click_attribution_outer(errors, clicks)

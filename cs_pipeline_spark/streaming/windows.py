@@ -228,3 +228,8 @@ def error_click_attribution_outer(
         & (F.col("click_ts") <= F.col("err_ts")),
         "left_outer",
     ).select("user_id", "err_id", "err_ts", "click_id", "click_ts")
+
+
+import datetime as _dt
+
+WATERMARK_DELTA = _dt.timedelta(minutes=30)  # WATERMARK as a timedelta

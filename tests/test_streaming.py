@@ -557,3 +557,40 @@ def test_foreach_batch_upsert_matches_cdc_apply(spark, tmp_path):
     want = stream_cdc_apply(spark, SF_DIR).drop("n_ops")
     cols = ["user_id", "final_value", "last_ts"]
     assert _canon(got, cols) == _canon(want, cols)
+
+
+def test_interval_join_stream_matches_batch(spark, events_stream_dir):
+    stream = jobs.read_events_stream(spark, events_stream_dir)
+    got = _run_stream(
+        spark, jobs.interval_join_job(stream), "t_ivj", mode="append"
+    )
+    want = jobs.W.error_click_attribution(
+        load(spark, "events", SF_DIR).filter(F.col("event_type") == "error"),
+        load(spark, "events", SF_DIR).filter(F.col("event_type") == "click"),
+    )
+    cols = ["user_id", "err_id", "err_ts", "click_id", "click_ts"]
+    assert _canon(got, cols) == _canon(want, cols)
+
+
+def test_interval_join_left_stream_closed_region(spark, events_stream_dir):
+    """The outer join's null-padded rows exist ONLY for errors whose
+    join band the watermark has closed; inside that closed region the
+    stream must match the batch twin exactly."""
+    import datetime as dt
+
+    stream = jobs.read_events_stream(spark, events_stream_dir)
+    got = _run_stream(
+        spark, jobs.interval_join_left_job(stream), "t_ivj_left", mode="append"
+    )
+    ev = load(spark, "events", SF_DIR)
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    # closed region: bands that can no longer receive matches under
+    # watermark semantics (lookback + watermark delay before max ts)
+    horizon = max_ts - dt.timedelta(hours=6) - jobs.W.WATERMARK_DELTA
+    want = jobs.W.error_click_attribution_outer(
+        ev.filter(F.col("event_type") == "error"),
+        ev.filter(F.col("event_type") == "click"),
+    ).filter(F.col("err_ts") < F.lit(horizon))
+    got_closed = got.filter(F.col("err_ts") < F.lit(horizon))
+    cols = ["user_id", "err_id", "err_ts", "click_id", "click_ts"]
+    assert _canon(got_closed, cols) == _canon(want, cols)

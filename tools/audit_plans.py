@@ -128,6 +128,20 @@ AUDIT: dict[str, dict] = {
     "emb_quantize_int8": {},
     "agg_bitmap_distinct": {"exchange": 2},
     "agg_ab_test": {"smj": 0},
+    # round-2 wave 9
+    "q11_important_stock": {"smj": 0, "pushed": True},
+    "q16_parts_supplier_count": {"smj": 0, "pushed": True},
+    "join_bloom_prefilter": {"smj": 0, "pushed": True},
+    # the 1 NLJ is the 1-row×1-row cross of (n_triangles)×(n_wedges) —
+    # a broadcast of two scalars, not a data-scale nested loop
+    "graph_triangles": {"nlj": 1},
+    "graph_common_neighbors": {"nlj": 0},
+    "corpus_mix_weights": {"smj": 0},
+    "corpus_budget_select": {"smj": 0},
+    "ts_downsample_lttb": {"smj": 0, "nlj": 0},
+    "win_cusum_changepoint": {"smj": 0},
+    "agg_cms_heavy_hitters": {"smj": 0},
+    "stream_interval_join_left": {"smj": 0},
 }
 
 
