@@ -1216,3 +1216,282 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("qvec").alias("dim"),
         (qabs <= 127).alias("in_range"),
     )
+
+
+# ---------- covariance / whitening statistics ----------
+
+_COV_DIMS = 8  # leading block of the 64-dim embedding
+
+
+def _cov_sql() -> str:
+    """Generated DuckDB twin: exact HUGEINT moment sums for the
+    leading-block covariance, unpivoted to (i, j, cov) rows."""
+    qs = [
+        f"CAST(FLOOR(CAST(embedding[{i + 1}] AS DOUBLE) * 1000000.0 + 0.5) "
+        f"AS HUGEINT)"
+        for i in range(_COV_DIMS)
+    ]
+    sums = [f"SUM({qs[i]}) AS s{i}" for i in range(_COV_DIMS)]
+    prods = [
+        f"SUM({qs[i]} * {qs[j]}) AS p{i}_{j}"
+        for i in range(_COV_DIMS)
+        for j in range(i, _COV_DIMS)
+    ]
+    rows = []
+    for i in range(_COV_DIMS):
+        for j in range(i, _COV_DIMS):
+            num = f"(CAST(n AS HUGEINT) * p{i}_{j} - s{i} * s{j})"
+            rows.append(
+                f"SELECT {i} AS i, {j} AS j, "
+                f"CAST(CAST({num} AS VARCHAR) AS DOUBLE) "
+                f"/ (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) "
+                f"/ 1000000000000.0 AS cov FROM m"
+            )
+    return (
+        "WITH m AS (SELECT "
+        + ", ".join(["COUNT(*) AS n"] + sums + prods)
+        + " FROM embeddings) "
+        + " UNION ALL ".join(rows)
+    )
+
+
+@register(
+    "emb_covariance",
+    _cov_sql(),
+    doc=f"embedding covariance matrix over the leading {_COV_DIMS} dims "
+    "from exact integer moments (n·Σqᵢqⱼ − Σqᵢ·Σqⱼ), one "
+    "map-side-combined pass, unpivoted to (i, j, cov) — the whitening/"
+    "PCA-input statistic, cancellation-free and bit-stable",
+)
+def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance of the leading embedding block in ONE aggregation
+    pass: 8 first-moment sums + 36 product sums + a count, all exact
+    decimal integers (the dvar_pop pattern generalized to cross
+    moments), then unpivoted driver-free via ``explode``.
+
+    Scale: the shuffle carries one partial-aggregate state per task —
+    45 decimals — regardless of corpus size; there is no per-pair row
+    explosion. A full 64-dim covariance (2080 pairs) is the same
+    plan with a wider state; past ~10⁴ pairs switch to the
+    exploded-pairs layout so the state stays cache-resident.
+    """
+    emb = load(spark, "embeddings", sf_dir)
+
+    def q(i: int):
+        return F.floor(
+            F.element_at("embedding", i + 1).cast("double") * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("decimal(19,0)")
+
+    aggs = [F.count(F.lit(1)).cast("decimal(20,0)").alias("n")]
+    aggs += [
+        F.sum(q(i).cast("decimal(38,0)")).alias(f"s{i}")
+        for i in range(_COV_DIMS)
+    ]
+    aggs += [
+        F.sum(q(i) * q(j)).alias(f"p{i}_{j}")
+        for i in range(_COV_DIMS)
+        for j in range(i, _COV_DIMS)
+    ]
+    m = emb.agg(*aggs)
+    nd = F.col("n").cast("string").cast("double")
+    entries = []
+    for i in range(_COV_DIMS):
+        for j in range(i, _COV_DIMS):
+            num = (
+                (F.col("n") * F.col(f"p{i}_{j}") - F.col(f"s{i}") * F.col(f"s{j}"))
+                .cast("string")
+                .cast("double")
+            )
+            entries.append(
+                F.struct(
+                    F.lit(i).alias("i"),
+                    F.lit(j).alias("j"),
+                    (num / (nd * nd) / F.lit(1e12)).alias("cov"),
+                )
+            )
+    return m.select(F.explode(F.array(*entries)).alias("e")).select(
+        "e.i", "e.j", "e.cov"
+    )
+
+
+# ---------- MMR diversity re-rank ----------
+
+_MMR_POOL = 20  # relevance-ranked candidate pool
+_MMR_K = 5  # final diverse set
+_MMR_LAMBDA = 0.7  # relevance weight (1-λ = diversity weight)
+
+
+def _mmr_sql() -> str:
+    """Unrolled greedy-MMR CTE chain (DuckDB twin of the Spark loop)."""
+    parts = [
+        f"WITH n AS ({_SQL_NORMED}), ",
+        "qv AS (SELECT * FROM n WHERE vec_id = 0), ",
+        "pool AS (SELECT c.vec_id, c.embedding, c.nrm, ",
+        _SQL_COS.replace("q.", "qv.").replace("c.", "c."),
+        " AS rel FROM n c, qv WHERE c.vec_id <> 0 ",
+        f"ORDER BY rel DESC, c.vec_id LIMIT {_MMR_POOL}), ",
+        "simmat AS (SELECT a.vec_id AS av, b.vec_id AS bv, ",
+        _SQL_COS.replace("q.", "a.").replace("c.", "b."),
+        " AS sim FROM pool a JOIN pool b ON a.vec_id <> b.vec_id), ",
+        "sel1 AS (SELECT vec_id, rel, 1 AS sel_rank, ",
+        f"{_MMR_LAMBDA} * rel AS score FROM pool "
+        "ORDER BY rel DESC, vec_id LIMIT 1)",
+    ]
+    for t in range(2, _MMR_K + 1):
+        prev = f"sel{t - 1}"
+        parts.append(
+            f", cand{t} AS (SELECT p.vec_id, p.rel, "
+            f"(SELECT MAX(sm.sim) FROM simmat sm WHERE sm.av = p.vec_id "
+            f"AND sm.bv IN (SELECT vec_id FROM {prev})) AS ms "
+            f"FROM pool p WHERE p.vec_id NOT IN "
+            f"(SELECT vec_id FROM {prev}))"
+        )
+        parts.append(
+            f", pick{t} AS (SELECT vec_id, rel, {t} AS sel_rank, "
+            f"{_MMR_LAMBDA} * rel - {round(1 - _MMR_LAMBDA, 10)} * ms "
+            f"AS score FROM cand{t} ORDER BY score DESC, vec_id LIMIT 1)"
+        )
+        parts.append(
+            f", sel{t} AS (SELECT * FROM {prev} "
+            f"UNION ALL SELECT * FROM pick{t})"
+        )
+    parts.append(
+        f" SELECT vec_id, sel_rank, ROUND(rel, 6) AS rel, "
+        f"ROUND(score, 6) AS score FROM sel{_MMR_K}"
+    )
+    return "".join(parts)
+
+
+@register(
+    "sim_mmr_rerank",
+    _mmr_sql(),
+    doc=f"MMR diversity re-rank: greedy λ={_MMR_LAMBDA} maximal-marginal-"
+    f"relevance selection of {_MMR_K} from the top-{_MMR_POOL} "
+    "relevance pool — the redundancy-removing final stage of a "
+    "retrieval pipeline, unrolled as a fixed-k plan (oracle: "
+    "unrolled CTE chain)",
+)
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy MMR: at each step pick argmax λ·rel − (1−λ)·max-sim-to-
+    selected. Inherently sequential in k — but k is a constant (5), so
+    the loop unrolls into one DataFrame plan: each round is an
+    anti-join (drop selected) + a max-aggregate over the pool×selected
+    sim matrix + an argmax window. No driver collect — selection state
+    stays a DataFrame.
+
+    Determinism: rel and sim derive from the exact quantized dot
+    (identical bits in both engines); λ-arithmetic is composed of
+    correctly-rounded ops on those identical doubles; every argmax
+    tie-breaks on vec_id.
+
+    Scale: the pool (top-P by relevance) is the output of the ANN
+    stage — P is small by construction, so the P×P sim matrix and the
+    k unrolled rounds are broadcast-local work; the heavy lifting
+    (corpus scan) happened once in the pool query. This is the
+    standard shape: ANN for recall, exact re-rank for order, MMR for
+    diversity.
+    """
+    emb = _with_norm(load(spark, "embeddings", sf_dir))
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm")
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            _scored(
+                F.col("q_emb"), F.col("embedding"), F.col("q_nrm"), F.col("nrm")
+            ).alias("rel"),
+        )
+    )
+    pool = (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("rel").desc(), F.col("vec_id"))
+            ),
+        )
+        .filter(F.col("rn") <= _MMR_POOL)
+        .drop("rn")
+        .persist()  # referenced 2+2k times across the unrolled rounds
+    )
+    a = pool.select(
+        F.col("vec_id").alias("av"),
+        F.col("embedding").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    b = pool.select(
+        F.col("vec_id").alias("bv"),
+        F.col("embedding").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    simmat = (
+        a.join(b, F.col("av") != F.col("bv"))
+        .select(
+            "av",
+            "bv",
+            _scored(
+                F.col("a_emb"), F.col("b_emb"), F.col("a_nrm"), F.col("b_nrm")
+            ).alias("sim"),
+        )
+        .persist()  # P×P rows, reused every round
+    )
+    lam = F.lit(_MMR_LAMBDA)
+    mu = F.lit(round(1 - _MMR_LAMBDA, 10))
+    selected = (
+        pool.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("rel").desc(), F.col("vec_id"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "rel",
+            F.lit(1).alias("sel_rank"),
+            (lam * F.col("rel")).alias("score"),
+        )
+    )
+    for t in range(2, _MMR_K + 1):
+        sel_ids = selected.select("vec_id")
+        cand = pool.join(sel_ids, "vec_id", "left_anti").select(
+            "vec_id", "rel"
+        )
+        ms = (
+            simmat.join(
+                sel_ids.withColumnRenamed("vec_id", "bv"), "bv"
+            )
+            .groupBy(F.col("av").alias("vec_id"))
+            .agg(F.max("sim").alias("ms"))
+        )
+        pick = (
+            cand.join(ms, "vec_id")
+            .select(
+                "vec_id",
+                "rel",
+                F.lit(t).alias("sel_rank"),
+                (lam * F.col("rel") - mu * F.col("ms")).alias("score"),
+            )
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.orderBy(F.col("score").desc(), F.col("vec_id"))
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        # truncate lineage: sel_t references sel_{t-1} twice (anti-join
+        # + ms join) — without this the logical plan doubles per round
+        selected = selected.unionByName(pick).localCheckpoint(eager=False)
+    return selected.select(
+        "vec_id",
+        "sel_rank",
+        F.round("rel", 6).alias("rel"),
+        F.round("score", 6).alias("score"),
+    )

@@ -135,3 +135,48 @@ def test_cusum_matches_sequential_recurrence(spark, sf_dir):
     for et, (pb, pc) in expected.items():
         assert got[et][0] == pb, et
         assert abs(got[et][1] - float(pc)) < 5e-7, et
+
+
+def test_mmr_diversifies_vs_pure_relevance(spark, sf_dir):
+    """The MMR set must (a) start at the argmax-relevance doc and (b)
+    not be more redundant than plain top-k by relevance."""
+    import itertools
+
+    import numpy as np
+
+    from cs_pipeline_spark.operators.similarity import (
+        _MMR_K,
+        sim_mmr_rerank,
+    )
+
+    out = sorted(
+        sim_mmr_rerank(spark, sf_dir).collect(), key=lambda r: r.sel_rank
+    )
+    assert len(out) == _MMR_K
+    rels = [r.rel for r in out]
+    assert rels[0] == max(rels), "rank 1 must be the most relevant"
+
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load(spark, "embeddings", sf_dir).collect()
+    }
+
+    def cos(a, b):
+        return float(
+            emb[a] @ emb[b] / (np.linalg.norm(emb[a]) * np.linalg.norm(emb[b]))
+        )
+
+    def max_pair_sim(ids):
+        return max(cos(a, b) for a, b in itertools.combinations(ids, 2))
+
+    q = emb[0]
+    rel_rank = sorted(
+        (vid for vid in emb if vid != 0),
+        key=lambda v: (
+            -(q @ emb[v] / (np.linalg.norm(q) * np.linalg.norm(emb[v]))),
+            v,
+        ),
+    )
+    topk = rel_rank[:_MMR_K]
+    mmr_ids = [r.vec_id for r in out]
+    assert max_pair_sim(mmr_ids) <= max_pair_sim(topk) + 1e-9

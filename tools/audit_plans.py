@@ -142,6 +142,8 @@ AUDIT: dict[str, dict] = {
     "win_cusum_changepoint": {"smj": 0},
     "agg_cms_heavy_hitters": {"smj": 0},
     "stream_interval_join_left": {"smj": 0},
+    "emb_covariance": {"smj": 0, "exchange": 1},
+    "sim_mmr_rerank": {"smj": 0},
 }
 
 
