@@ -607,3 +607,105 @@ def corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "n_tok", "quality_q",
         F.col("rnk").cast("long").alias("rnk"),
     )
+
+
+# ---------- mixture-plan execution (deterministic resample) ----------
+
+_MIX_PRIME = 1000000007
+_MIX_MULT = 2654435761 % _MIX_PRIME
+_MIX_RES = 1000000  # rate resolution (ppm)
+
+
+@register(
+    "corpus_sample_mix",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lang, CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tok,
+             (((doc_id % {_MIX_PRIME}) * {_MIX_MULT}) % {_MIX_PRIME})
+               % {_MIX_RES} AS bucket
+      FROM documents
+    ),
+    dom AS (
+      SELECT lang, SUM(n_tok) AS n_tokens FROM tok GROUP BY lang
+    ),
+    tot AS (
+      SELECT SUM(n_tokens) // (2 * COUNT(*)) AS target FROM dom
+    ),
+    quota AS (
+      SELECT d.lang, d.n_tokens, t.target,
+             LEAST({_MIX_RES},
+                   (t.target * {_MIX_RES}) // d.n_tokens) AS keep_ppm
+      FROM dom d, tot t
+    )
+    SELECT q.lang,
+           CAST(q.target AS BIGINT) AS target_tokens,
+           CAST(q.keep_ppm AS BIGINT) AS keep_ppm,
+           CAST(COUNT(CASE WHEN tok.bucket < q.keep_ppm
+                           THEN 1 END) AS BIGINT) AS kept_docs,
+           CAST(COALESCE(SUM(CASE WHEN tok.bucket < q.keep_ppm
+                                  THEN tok.n_tok END), 0) AS BIGINT)
+             AS kept_tokens
+    FROM tok JOIN quota q ON q.lang = tok.lang
+    GROUP BY q.lang, q.target, q.keep_ppm
+    """,
+    doc="mixture-plan EXECUTION: per-lang keep quota in ppm (exact "
+    "integer division of the uniform token target), docs kept iff "
+    "multiplicative-hash bucket < quota — reproducible across "
+    "runs/partitionings/engines, no rand(); reports achieved vs "
+    "target token mass",
+)
+def corpus_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executes what ``corpus_mix_weights`` plans: every doc gets a
+    deterministic ppm bucket from the multiplicative hash of its id
+    (the ``sample_train_split`` convention — a pure function of the
+    key, so a retry or re-partition can never change the sample), and
+    survives iff bucket < the domain's keep quota. Integer arithmetic
+    end-to-end: the achieved token mass is exactly reproducible.
+
+    Scale: token counts are expression-side; the quota table is
+    domain-cardinality and broadcasts; the keep decision is a per-row
+    comparison fused into the scan — the sampled corpus never
+    shuffles at all until whatever consumes it does.
+    """
+    docs = load(spark, "documents", sf_dir)
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.size(_tokens(F.expr(_NORM))).cast("long").alias("n_tok"),
+        (
+            ((F.col("doc_id") % F.lit(_MIX_PRIME)) * F.lit(_MIX_MULT))
+            % F.lit(_MIX_PRIME)
+            % F.lit(_MIX_RES)
+        ).alias("bucket"),
+    )
+    dom = tok.groupBy("lang").agg(F.sum("n_tok").alias("n_tokens"))
+    tot = dom.agg(
+        F.expr("sum(n_tokens) div (2 * count(*))").alias("target")
+    )
+    quota = dom.join(F.broadcast(tot)).select(
+        "lang",
+        "n_tokens",
+        "target",
+        F.least(
+            F.lit(_MIX_RES),
+            F.expr(f"(target * {_MIX_RES}) div n_tokens"),
+        ).alias("keep_ppm"),
+    )
+    kept = F.when(F.col("bucket") < F.col("keep_ppm"), F.col("n_tok"))
+    return (
+        tok.join(F.broadcast(quota), "lang")
+        .groupBy("lang", "target", "keep_ppm")
+        .agg(
+            F.count(kept).cast("long").alias("kept_docs"),
+            F.coalesce(F.sum(kept), F.lit(0)).cast("long").alias(
+                "kept_tokens"
+            ),
+        )
+        .select(
+            "lang",
+            F.col("target").cast("long").alias("target_tokens"),
+            F.col("keep_ppm").cast("long").alias("keep_ppm"),
+            "kept_docs",
+            "kept_tokens",
+        )
+    )

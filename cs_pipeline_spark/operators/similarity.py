@@ -1248,7 +1248,9 @@ def _cov_sql() -> str:
                 f"/ 1000000000000.0 AS cov FROM m"
             )
     return (
-        "WITH m AS (SELECT "
+        # MATERIALIZED: m is referenced once per output row — without
+        # it DuckDB inlines (and re-runs) the corpus aggregation 36×
+        "WITH m AS MATERIALIZED (SELECT "
         + ", ".join(["COUNT(*) AS n"] + sums + prods)
         + " FROM embeddings) "
         + " UNION ALL ".join(rows)
@@ -1494,4 +1496,152 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sel_rank",
         F.round("rel", 6).alias("rel"),
         F.round("score", 6).alias("score"),
+    )
+
+
+# ---------- top principal component (power iteration) ----------
+
+_PCA_ITERS = 8
+_PCA_QC = 1000000000000.0  # covariance quantum (1e12)
+_PCA_QV = 1000000.0  # vector quantum (1e6)
+
+
+def _pca_sql() -> str:
+    """Unrolled power iteration over the quantized covariance (DuckDB
+    twin). Matrix/vector entries are exact HUGEINTs; each iteration
+    normalizes by max|w| (exact argmax, one correctly-rounded float
+    division per entry)."""
+    # full matrix CTE: quantize the (i ≤ j) covariance, mirror lower
+    cov_cells = []
+    for i in range(_COV_DIMS):
+        for j in range(i, _COV_DIMS):
+            num = f"(CAST(n AS HUGEINT) * p{i}_{j} - s{i} * s{j})"
+            cq = (
+                f"CAST(FLOOR(CAST(CAST({num} AS VARCHAR) AS DOUBLE) "
+                f"/ (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) + 0.5) "
+                f"AS HUGEINT)"
+            )
+            cov_cells.append(f"SELECT {i} AS i, {j} AS j, {cq} AS cq FROM m")
+            if i != j:
+                cov_cells.append(
+                    f"SELECT {j} AS i, {i} AS j, {cq} AS cq FROM m"
+                )
+    # the moment CTE body is shared with _cov_sql
+    qs = [
+        f"CAST(FLOOR(CAST(embedding[{i + 1}] AS DOUBLE) * 1000000.0 + 0.5) "
+        f"AS HUGEINT)"
+        for i in range(_COV_DIMS)
+    ]
+    sums = [f"SUM({qs[i]}) AS s{i}" for i in range(_COV_DIMS)]
+    prods = [
+        f"SUM({qs[i]} * {qs[j]}) AS p{i}_{j}"
+        for i in range(_COV_DIMS)
+        for j in range(i, _COV_DIMS)
+    ]
+    parts = [
+        # MATERIALIZED m and cq: inlined, DuckDB would re-run the
+        # corpus aggregation once per covariance cell per reference
+        "WITH m AS MATERIALIZED (SELECT ",
+        ", ".join(["COUNT(*) AS n"] + sums + prods),
+        " FROM embeddings), ",
+        "cq AS MATERIALIZED (", " UNION ALL ".join(cov_cells), "), ",
+        "v0 AS (SELECT i AS j, CAST(1000000 AS HUGEINT) AS vq "
+        f"FROM (SELECT DISTINCT i FROM cq))",
+    ]
+    for t in range(_PCA_ITERS):
+        parts.append(
+            f", w{t} AS MATERIALIZED (SELECT cq.i, SUM(cq.cq * v{t}.vq) "
+            f"AS w FROM cq JOIN v{t} ON v{t}.j = cq.j GROUP BY cq.i)"
+        )
+        parts.append(
+            f", mx{t} AS MATERIALIZED (SELECT MAX(ABS(w)) AS m FROM w{t})"
+        )
+        parts.append(
+            f", v{t + 1} AS MATERIALIZED (SELECT w{t}.i AS j, "
+            f"CAST(FLOOR(CAST(CAST(w{t}.w AS VARCHAR) AS DOUBLE) "
+            f"/ CAST(CAST(mx{t}.m AS VARCHAR) AS DOUBLE) "
+            f"* 1000000.0 + 0.5) AS HUGEINT) AS vq "
+            f"FROM w{t}, mx{t})"
+        )
+    vf = f"v{_PCA_ITERS}"
+    parts.append(
+        f", n2 AS (SELECT SUM(vq * vq) AS n2 FROM {vf})"
+        f", ray AS (SELECT SUM(a.vq * cq.cq * b.vq) AS num FROM cq "
+        f"JOIN {vf} a ON a.j = cq.i JOIN {vf} b ON b.j = cq.j)"
+        f" SELECT {vf}.j AS dim, "
+        f"ROUND(CAST(CAST({vf}.vq AS VARCHAR) AS DOUBLE) "
+        f"/ SQRT(CAST(CAST(n2.n2 AS VARCHAR) AS DOUBLE)), 6) AS component, "
+        f"ROUND(CAST(CAST(ray.num AS VARCHAR) AS DOUBLE) "
+        f"/ (CAST(CAST(n2.n2 AS VARCHAR) AS DOUBLE) * {_PCA_QC}), 6) "
+        f"AS eigval FROM {vf}, n2, ray"
+    )
+    return "".join(parts)
+
+
+@register(
+    "emb_pca_power",
+    _pca_sql(),
+    doc=f"dominant-direction estimate of the leading {_COV_DIMS}-dim "
+    f"embedding block: {_PCA_ITERS} unrolled power iterations on the "
+    "quantized covariance — exact integer mat-vec products, max-norm "
+    "renormalization, Rayleigh-quotient eigenvalue; convergence rate "
+    "(λ2/λ1)^k, so near-isotropic spectra need more steps — the "
+    "Rayleigh quotient is guaranteed non-decreasing regardless",
+)
+def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power iteration as a DataFrame program: the covariance (one
+    corpus pass, see ``emb_covariance``) is quantized to exact
+    integers and carried LONG-FORM (i, j, cq) — so the identical plan
+    works when d is thousands and the matrix no longer fits a task.
+    Each iteration is join → groupBy (exact integer mat-vec) →
+    max-|·| normalization back to the 1e6 grid. Floats appear only
+    in correctly-rounded single divisions; the returned component is
+    L2-normalized from exact integer norms, the eigenvalue is the
+    Rayleigh quotient of exact integer bilinear forms.
+
+    Scale: corpus → 1 aggregation (the covariance); everything after
+    is O(d²) — distributed-safe long form, broadcast-joined v. The
+    iteration count is fixed; convergence monitoring would compare
+    successive vq vectors (integer equality — exactly testable).
+    """
+    cov = emb_covariance(spark, sf_dir)  # long upper triangle
+
+    # The covariance is the ONLY corpus-scale computation — one
+    # distributed aggregation pass. Its d² cells are then collected
+    # (64 rows here; the MLlib RowMatrix/Gramian pattern: distributed
+    # moment pass, driver-side eigen-iteration) and the power steps
+    # run in exact Python integer arithmetic — bit-identical to the
+    # oracle's HUGEINT CTE chain because both do the same integer
+    # mat-vecs and the same correctly-rounded float divisions. For d
+    # past driver memory, the identical recurrence runs as the
+    # long-form join/groupBy plan (the oracle shows the shape).
+    cells = {
+        (r["i"], r["j"]): int(math.floor(r["cov"] * _PCA_QC + 0.5))
+        for r in (row.asDict() for row in cov.collect())
+    }
+    d = _COV_DIMS
+    cq = {
+        (i, j): cells[(min(i, j), max(i, j))]
+        for i in range(d)
+        for j in range(d)
+    }
+    v = [10**6] * d
+    for _ in range(_PCA_ITERS):
+        w = [sum(cq[(i, j)] * v[j] for j in range(d)) for i in range(d)]
+        m = max(abs(x) for x in w)
+        # float(int) conversions are correctly rounded (== the string
+        # casts on the engine sides); one division + floor per entry
+        v = [int(math.floor(float(x) / float(m) * 1e6 + 0.5)) for x in w]
+    n2 = sum(x * x for x in v)
+    num = sum(v[i] * cq[(i, j)] * v[j] for i in range(d) for j in range(d))
+    rows = [
+        (
+            j,
+            round(float(v[j]) / math.sqrt(float(n2)), 6),
+            round(float(num) / (float(n2) * _PCA_QC), 6),
+        )
+        for j in range(d)
+    ]
+    return spark.createDataFrame(
+        rows, schema="dim int, component double, eigval double"
     )

@@ -1046,3 +1046,112 @@ def win_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(norm, 6).alias("peak_cusum"),
         (norm > F.lit(_CUSUM_TH)).alias("drifted"),
     )
+
+
+# ---------- multi-touch attribution ----------
+
+_ATTR_WINDOW_US = 7 * 24 * 3600 * 1000000  # 7-day lookback
+
+
+@register(
+    "win_attribution_multitouch",
+    f"""
+    WITH p AS (
+      SELECT user_id, event_id AS purchase_id,
+             epoch_us({EVENTS_TS_SQL}) AS p_us
+      FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT user_id, event_id AS touch_id, event_type,
+             epoch_us({EVENTS_TS_SQL}) AS t_us
+      FROM events WHERE event_type IN ('view', 'click')
+    ),
+    touches AS (
+      SELECT p.purchase_id, t.event_type, t.touch_id,
+             ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                                ORDER BY t.t_us, t.touch_id) AS pos,
+             COUNT(*) OVER (PARTITION BY p.purchase_id) AS n
+      FROM p JOIN t ON t.user_id = p.user_id
+       AND t.t_us < p.p_us AND t.t_us >= p.p_us - {_ATTR_WINDOW_US}
+    ),
+    credited AS (
+      SELECT event_type,
+             CASE WHEN n = 1 THEN 1000000
+                  WHEN n = 2 THEN 500000
+                  WHEN pos = 1 OR pos = n THEN 400000
+                  ELSE 200000 // (n - 2) END AS credit_ppm
+      FROM touches
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(SUM(credit_ppm) AS DOUBLE) / 1000000.0 AS total_credit
+    FROM credited GROUP BY event_type
+    """,
+    doc="U-shaped multi-touch attribution: each purchase credits its "
+    "7-day touchpoint path 40/20/40 (first / evenly-split middles / "
+    "last) — per-channel credit totals; band join + one ranking "
+    "window, deterministic float shares",
+)
+def win_attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) attribution. Touch position and path
+    length come from one window over the band-joined (purchase ×
+    prior-7d-touch) pairs; credit shares are exact integer ppm (the
+    middle positions floor-divide the 20% pot), so the per-channel
+    totals are integer sums — engine- and order-agnostic by
+    construction, one float division at the very end.
+
+    Scale: the band join is user-equi + time-band (the
+    ``stream_interval_join`` shape — state-bounded when streamed);
+    the attribution window partitions by purchase_id, whose fan-in is
+    bounded by a user's 7-day touch volume, not corpus size. Credit
+    aggregation is map-side combined.
+    """
+    ev = load(spark, "events", sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.unix_micros("ts").alias("p_us"),
+    )
+    t = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("event_id").alias("touch_id"),
+        "event_type",
+        F.unix_micros("ts").alias("t_us"),
+    )
+    touches = p.join(
+        t,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("t_us") < F.col("p_us"))
+        & (F.col("t_us") >= F.col("p_us") - F.lit(_ATTR_WINDOW_US)),
+    )
+    wp = Window.partitionBy("purchase_id")
+    positioned = touches.select(
+        "purchase_id",
+        "event_type",
+        F.row_number()
+        .over(wp.orderBy("t_us", "touch_id"))
+        .alias("pos"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    # credit in exact integer ppm (middles floor-divide the 20% pot:
+    # the ≤(n−3) ppm remainder is dropped, deterministically) — the
+    # SUM is integer arithmetic, immune to float summation order
+    credit_ppm = (
+        F.when(F.col("n") == 1, F.lit(1000000))
+        .when(F.col("n") == 2, F.lit(500000))
+        .when(
+            (F.col("pos") == 1) | (F.col("pos") == F.col("n")),
+            F.lit(400000),
+        )
+        .otherwise(F.expr("200000 div (n - 2)"))
+    )
+    return (
+        positioned.select("event_type", credit_ppm.alias("credit_ppm"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            (F.sum("credit_ppm").cast("double") / F.lit(1e6)).alias(
+                "total_credit"
+            ),
+        )
+    )

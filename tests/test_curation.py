@@ -180,3 +180,35 @@ def test_mmr_diversifies_vs_pure_relevance(spark, sf_dir):
     topk = rel_rank[:_MMR_K]
     mmr_ids = [r.vec_id for r in out]
     assert max_pair_sim(mmr_ids) <= max_pair_sim(topk) + 1e-9
+
+
+def test_pca_power_invariants(spark, sf_dir):
+    """(a) unit component; (b) the Rayleigh quotient beats the starting
+    vector's (power iteration never decreases it); (c) the quotient
+    can't exceed numpy's top eigenvalue of the same quantized
+    covariance."""
+    import numpy as np
+
+    from cs_pipeline_spark.operators.similarity import (
+        _COV_DIMS,
+        emb_pca_power,
+    )
+
+    rows = sorted(emb_pca_power(spark, sf_dir).collect(), key=lambda r: r.dim)
+    comp = np.array([r.component for r in rows])
+    eigval = rows[0].eigval
+    assert abs(np.linalg.norm(comp) - 1.0) < 1e-4
+
+    emb = np.stack(
+        [
+            np.array(r.embedding, dtype=np.float64)
+            for r in load(spark, "embeddings", sf_dir).collect()
+        ]
+    )[:, :_COV_DIMS]
+    q = np.floor(emb * 1e6 + 0.5)
+    C = np.cov(q.T, bias=True) / 1e12
+    w = np.linalg.eigvalsh(C)
+    v0 = np.ones(_COV_DIMS)
+    ray0 = (v0 @ C @ v0) / (v0 @ v0)
+    assert eigval >= ray0 - 1e-6, "Rayleigh quotient decreased"
+    assert eigval <= w[-1] + 1e-6, "quotient above the top eigenvalue"

@@ -144,6 +144,9 @@ AUDIT: dict[str, dict] = {
     "stream_interval_join_left": {"smj": 0},
     "emb_covariance": {"smj": 0, "exchange": 1},
     "sim_mmr_rerank": {"smj": 0},
+    "corpus_sample_mix": {"smj": 0},
+    "win_attribution_multitouch": {"smj": 0},
+    "emb_pca_power": {},
 }
 
 
