@@ -362,3 +362,43 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.join(
         F.broadcast(d), e.grp.eqNullSafe(d.grp_key)
     ).select("event_id", "grp_name")
+
+
+# ---------- SQL-API surface parity ----------
+
+# one query text, two engines: Spark SQL rejects bare VARCHAR, DuckDB
+# accepts STRING as a synonym — so the shared dialect says STRING
+_SQL_SURFACE = f"""
+    SELECT l_linestatus,
+           date_trunc('month', l_shipdate) AS ship_month,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l_linestatus, date_trunc('month', l_shipdate)
+""".replace("AS VARCHAR", "AS STRING")
+
+
+@register(
+    "sql_surface_parity",
+    _SQL_SURFACE,
+    doc="SQL-API parity: the IDENTICAL SQL text (quantized-decimal "
+    "dialect included) executes through spark.sql over temp views AND "
+    "through the DuckDB oracle — the engine's second query surface, "
+    "same plan Catalyst builds for the DataFrame form",
+)
+def sql_surface_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users write SQL, not just DataFrames. This op registers the
+    parquet table as a temp view and submits the exact oracle SQL
+    string through ``spark.sql`` — the deterministic-aggregate
+    dialect (FLOOR-quantize → DECIMAL(38,0) sums → string-cast
+    division) is valid in both engines verbatim, so ONE query text is
+    the cross-engine contract. Catalyst compiles it to the same
+    pushed-filter scan + map-side-combined hash aggregate the
+    DataFrame API yields.
+    """
+    from cs_pipeline_spark.tables import load
+
+    load(spark, "lineitem", sf_dir).createOrReplaceTempView("lineitem")
+    return spark.sql(_SQL_SURFACE)

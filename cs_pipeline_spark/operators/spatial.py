@@ -352,3 +352,137 @@ def agg_grid_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nbr",
         "t2m_smooth",
     )
+
+
+# ---------- 2-D nearest neighbor via cell buckets ----------
+
+_CELL = 0.25  # bucket size == grid spacing ⇒ 3×3 neighborhood suffices
+
+# 25 deterministic "stations" inside the fixture bbox (synthesized
+# from nation keys, same convention as the PII/link-graph synthesis)
+_STATIONS_SQL = (
+    "stations AS (SELECT n_nationkey AS station_id, "
+    "45.0 + CAST((n_nationkey * 7) % 80 AS DOUBLE) / 40.0 AS s_lat, "
+    "-74.0 + CAST((n_nationkey * 11) % 80 AS DOUBLE) / 40.0 AS s_lon "
+    "FROM nation)"
+)
+
+
+@register(
+    "join_nearest_2d",
+    f"""
+    WITH {ERA5_CTE},
+    {_STATIONS_SQL},
+    grid AS (
+      SELECT DISTINCT latitude, longitude,
+             CAST(FLOOR(latitude / {_CELL}) AS BIGINT) AS cy,
+             CAST(FLOOR(longitude / {_CELL}) AS BIGINT) AS cx
+      FROM era5
+    ),
+    sc AS (
+      SELECT s.*,
+             CAST(FLOOR(s_lat / {_CELL}) AS BIGINT) + dy.g AS cy,
+             CAST(FLOOR(s_lon / {_CELL}) AS BIGINT) + dx.g AS cx
+      FROM stations s, range(-1, 2) dy(g), range(-1, 2) dx(g)
+    ),
+    cand AS (
+      SELECT sc.station_id, sc.s_lat, sc.s_lon, g.latitude, g.longitude,
+             (CAST(FLOOR(sc.s_lat * 1000000.0 + 0.5) AS BIGINT)
+              - CAST(FLOOR(g.latitude * 1000000.0 + 0.5) AS BIGINT)) AS dlat,
+             (CAST(FLOOR(sc.s_lon * 1000000.0 + 0.5) AS BIGINT)
+              - CAST(FLOOR(g.longitude * 1000000.0 + 0.5) AS BIGINT)) AS dlon
+      FROM sc JOIN grid g ON g.cy = sc.cy AND g.cx = sc.cx
+    ),
+    ranked AS (
+      SELECT station_id, s_lat, s_lon, latitude, longitude,
+             ROW_NUMBER() OVER (
+               PARTITION BY station_id
+               ORDER BY dlat * dlat + dlon * dlon, latitude, longitude
+             ) AS rn
+      FROM cand
+    )
+    SELECT station_id, s_lat, s_lon,
+           latitude AS nn_lat, longitude AS nn_lon
+    FROM ranked WHERE rn = 1
+    """,
+    doc="2-D nearest-grid-point join via cell buckets: each station "
+    "probes only its 3×3 neighbor cells (cell = grid spacing ⇒ the "
+    "true NN is guaranteed in the neighborhood), exact integer "
+    "squared distances, deterministic ties — the spatial-index join, "
+    "never a station×grid cross product",
+)
+def join_nearest_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D nearest neighbor without a cross join: bucket both sides to
+    a δ-cell grid (δ = the grid's own spacing, so a station's true
+    nearest point always lies in its 3×3 cell neighborhood — the
+    guarantee that makes the equi-join on cell ids EXACT, not
+    approximate), explode each station to its 9 probe cells, equi-join
+    on the cell id, argmin exact integer squared distance with
+    (lat, lon) tie-break.
+
+    Scale: candidates per station = O(points per 3×3 cells) — at
+    100 TB the cell id becomes the shuffle/bucketing key on both
+    sides; the 1-D snap (``join_nearest_grid``) composes per-axis for
+    separable grids, this operator handles the general point cloud.
+    """
+    era5 = era5_events(spark, sf_dir)
+    grid = (
+        era5.select("latitude", "longitude")
+        .distinct()
+        .select(
+            "latitude",
+            "longitude",
+            F.floor(F.col("latitude") / _CELL).alias("cy"),
+            F.floor(F.col("longitude") / _CELL).alias("cx"),
+        )
+    )
+    from cs_pipeline_spark.tables import load
+
+    stations = load(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("station_id"),
+        (45.0 + ((F.col("n_nationkey") * 7) % 80).cast("double") / 40.0).alias(
+            "s_lat"
+        ),
+        (
+            -74.0 + ((F.col("n_nationkey") * 11) % 80).cast("double") / 40.0
+        ).alias("s_lon"),
+    )
+    offsets = F.expr(
+        "explode(flatten(transform(sequence(-1, 1), dy -> "
+        "transform(sequence(-1, 1), dx -> struct(dy, dx)))))"
+    )
+    sc = stations.select("*", offsets.alias("o")).select(
+        "station_id",
+        "s_lat",
+        "s_lon",
+        (F.floor(F.col("s_lat") / _CELL) + F.col("o.dy")).alias("cy"),
+        (F.floor(F.col("s_lon") / _CELL) + F.col("o.dx")).alias("cx"),
+    )
+    qi = lambda c: F.floor(F.col(c) * F.lit(1e6) + F.lit(0.5)).cast(  # noqa: E731
+        "long"
+    )
+    cand = sc.join(grid, ["cy", "cx"]).select(
+        "station_id",
+        "s_lat",
+        "s_lon",
+        "latitude",
+        "longitude",
+        (qi("s_lat") - qi("latitude")).alias("dlat"),
+        (qi("s_lon") - qi("longitude")).alias("dlon"),
+    )
+    w = Window.partitionBy("station_id").orderBy(
+        F.col("dlat") * F.col("dlat") + F.col("dlon") * F.col("dlon"),
+        "latitude",
+        "longitude",
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "station_id",
+            "s_lat",
+            "s_lon",
+            F.col("latitude").alias("nn_lat"),
+            F.col("longitude").alias("nn_lon"),
+        )
+    )

@@ -1155,3 +1155,64 @@ def win_attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------- rolling median (robust smoothing) ----------
+
+_MED_WIN = 7
+
+
+@register(
+    "win_rolling_median",
+    "WITH e AS (SELECT event_id, user_id, "
+    f"{EVENTS_TS_SQL} AS ts, "
+    "CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS q "
+    "FROM events), "
+    "w AS (SELECT event_id, user_id, "
+    "COUNT(*) OVER fr AS n_win, "
+    "list_sort(array_agg(q) OVER fr) AS qs "
+    "FROM e WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id "
+    f"ROWS BETWEEN {_MED_WIN - 1} PRECEDING AND CURRENT ROW)) "
+    "SELECT event_id, user_id, CAST(n_win AS BIGINT) AS n_win, "
+    "CAST(qs[CAST((n_win + 1) // 2 AS INTEGER)] AS DOUBLE) / 1000000.0 "
+    "AS roll_median FROM w",
+    doc=f"rolling median over the last {_MED_WIN} events per key — "
+    "exact element-picking on the sorted quantized window (discrete "
+    "lower median, no interpolation): the robust-smoothing twin of "
+    "win_rolling_zscore, outlier-immune by construction",
+)
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust running smoother: median of the trailing window, by
+    sorting the (bounded, ≤7-element) quantized frame array and
+    picking rank ⌈n/2⌉ — a real element, so the result is exact and
+    engine-agnostic with no interpolation arithmetic.
+
+    Scale: one shuffle on the key; the frame array is O(window) per
+    row — constant memory. For windows in the thousands prefer two
+    heaps / an order-statistic sketch; at dashboard window sizes the
+    sort-per-row is cache-local and codegen'd.
+    """
+    ev = load(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_MED_WIN - 1), Window.currentRow)
+    )
+    q = F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    win = ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_win"),
+        F.array_sort(F.collect_list(q).over(w)).alias("qs"),
+    )
+    return win.select(
+        "event_id",
+        "user_id",
+        F.col("n_win").cast("long").alias("n_win"),
+        (
+            F.element_at(
+                "qs", ((F.col("n_win") + 1) / 2).cast("int")
+            ).cast("double")
+            / F.lit(1e6)
+        ).alias("roll_median"),
+    )

@@ -212,3 +212,29 @@ def test_pca_power_invariants(spark, sf_dir):
     ray0 = (v0 @ C @ v0) / (v0 @ v0)
     assert eigval >= ray0 - 1e-6, "Rayleigh quotient decreased"
     assert eigval <= w[-1] + 1e-6, "quotient above the top eigenvalue"
+
+
+def test_nearest_2d_matches_bruteforce(spark, sf_dir):
+    from cs_pipeline_spark.functions.era5_fixture import era5_events
+    from cs_pipeline_spark.operators.spatial import join_nearest_2d
+
+    grid = [
+        (r.latitude, r.longitude)
+        for r in era5_events(spark, sf_dir)
+        .select("latitude", "longitude")
+        .distinct()
+        .collect()
+    ]
+    out = join_nearest_2d(spark, sf_dir).collect()
+    assert len(out) == 25
+    for r in out:
+        qi = lambda x: int(x * 1e6 + 0.5) if x >= 0 else -int(-x * 1e6 + 0.5)
+        best = min(
+            grid,
+            key=lambda g: (
+                (qi(r.s_lat) - qi(g[0])) ** 2 + (qi(r.s_lon) - qi(g[1])) ** 2,
+                g[0],
+                g[1],
+            ),
+        )
+        assert (r.nn_lat, r.nn_lon) == best, r.station_id

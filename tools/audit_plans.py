@@ -147,6 +147,9 @@ AUDIT: dict[str, dict] = {
     "corpus_sample_mix": {"smj": 0},
     "win_attribution_multitouch": {"smj": 0},
     "emb_pca_power": {},
+    "win_rolling_median": {"exchange": 1},
+    "join_nearest_2d": {"smj": 0, "nlj": 0},
+    "sql_surface_parity": {"smj": 0, "pushed": True},
 }
 
 
