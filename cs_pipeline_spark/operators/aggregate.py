@@ -1500,3 +1500,78 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("n_exact") + F.lit(4) * F.col("n_total") / F.lit(_CMS_W)
         ).alias("within_bound"),
     )
+
+
+# ---------- chi-square independence test ----------
+
+
+@register(
+    "agg_chi2_independence",
+    """
+    WITH o AS (
+      SELECT lang, source, CAST(COUNT(*) AS HUGEINT) AS obs
+      FROM documents GROUP BY lang, source
+    ),
+    r AS (SELECT lang, SUM(obs) AS rt FROM o GROUP BY lang),
+    c AS (SELECT source, SUM(obs) AS ct FROM o GROUP BY source),
+    n AS (SELECT SUM(obs) AS n FROM o),
+    cells AS (
+      SELECT o.lang, o.source,
+             CAST(FLOOR(
+               CAST(CAST((o.obs * n.n - r.rt * c.ct)
+                         * (o.obs * n.n - r.rt * c.ct) AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(r.rt * c.ct * n.n AS VARCHAR) AS DOUBLE)
+               * 1000000000.0 + 0.5) AS HUGEINT) AS contrib_q
+      FROM o JOIN r ON r.lang = o.lang
+             JOIN c ON c.source = o.source, n
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(CAST(SUM(contrib_q) AS VARCHAR) AS DOUBLE)
+             / 1000000000.0 AS chi2
+    FROM cells
+    """,
+    doc="chi-square independence test (lang × source contingency): "
+    "per-cell (o·n − r·c)²/(r·c·n) from exact integer marginals, "
+    "each contribution quantized to 1e-9 BEFORE the sum — the "
+    "engine/order-agnostic form of the classic Σ(O−E)²/E",
+)
+def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is language independent of source? χ² = Σ (O−E)²/E with
+    E = row·col/n is rewritten (o·n − r·c)²/(r·c·n): numerator and
+    denominator are exact integers, so each cell's contribution is
+    ONE correctly-rounded float division — then quantized to an
+    integer (1e-9 grid) so the cross-cell SUM is integer arithmetic,
+    immune to aggregation order. (Significance thresholds live
+    client-side; the statistic is what the engine owes.)
+
+    Scale: one map-side-combined contingency pass; marginals are
+    dimension-sized re-aggregations of the cell table (broadcast back
+    in). Never a second corpus scan.
+    """
+    docs = load(spark, "documents", sf_dir)
+    o = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("obs")
+    )
+    r = o.groupBy("lang").agg(F.sum("obs").alias("rt"))
+    c = o.groupBy("source").agg(F.sum("obs").alias("ct"))
+    n = o.agg(F.sum("obs").alias("n"))
+    diff = F.col("obs") * F.col("n") - F.col("rt") * F.col("ct")
+    den = F.col("rt") * F.col("ct") * F.col("n")
+    contrib_q = F.floor(
+        (diff * diff).cast("string").cast("double")
+        / den.cast("string").cast("double")
+        * F.lit(1e9)
+        + F.lit(0.5)
+    ).cast("decimal(38,0)")
+    cells = (
+        o.join(F.broadcast(r), "lang")
+        .join(F.broadcast(c), "source")
+        .join(F.broadcast(n))
+        .select(contrib_q.alias("contrib_q"))
+    )
+    return cells.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        (
+            F.sum("contrib_q").cast("string").cast("double") / F.lit(1e9)
+        ).alias("chi2"),
+    )

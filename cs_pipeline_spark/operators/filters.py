@@ -325,3 +325,85 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "group_size",
         (F.col("group_size") < _K_ANON).alias("violates_k"),
     )
+
+
+# ---------- Benford's-law digit audit ----------
+
+import math as _math
+
+_BENFORD = {d: round(_math.log10(1 + 1 / d), 6) for d in range(1, 10)}
+_BENFORD_SQL = (
+    "benford(digit, expected_share) AS (VALUES "
+    + ", ".join(f"({d}, {p})" for d, p in _BENFORD.items())
+    + ")"
+)
+
+
+@register(
+    "dq_benford",
+    f"""
+    WITH {_BENFORD_SQL},
+    c AS (
+      SELECT CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM lineitem WHERE l_extendedprice > 0.0
+    ),
+    d AS (
+      SELECT cents // CAST(POWER(10, LENGTH(CAST(cents AS VARCHAR)) - 1)
+                      AS BIGINT) AS digit
+      FROM c
+    ),
+    o AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM d GROUP BY digit),
+    t AS (SELECT SUM(n_obs) AS n FROM o)
+    SELECT b.digit, COALESCE(o.n_obs, 0) AS n_obs,
+           ROUND(CAST(COALESCE(o.n_obs, 0) AS DOUBLE) / t.n, 6) AS obs_share,
+           b.expected_share,
+           ROUND(CAST(COALESCE(o.n_obs, 0) AS DOUBLE) / t.n
+                 - b.expected_share, 6) AS deviation
+    FROM benford b LEFT JOIN o ON o.digit = b.digit, t
+    """,
+    doc="Benford's-law first-digit audit of price amounts: exact "
+    "leading digit via integer-cents string length (no log10 float "
+    "edge), observed vs log10(1+1/d) expected shares — the classic "
+    "fabricated-data / corrupted-feed detector",
+)
+def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law. The
+    digit is computed from exact integer cents (FLOOR(x·100+0.5)) by
+    dividing by 10^(len−1) — integer→string length is canonical in
+    both engines, avoiding the log10(10^k)≈k−ε trap that flips a
+    digit at power-of-ten boundaries. One division per digit row at
+    the end; expected shares are shared literals.
+
+    Scale: one map-side-combined 9-group aggregation over a pushed
+    projection — the cheapest fraud tripwire a 100 TB feed can run.
+    """
+    li = load(spark, "lineitem", sf_dir).filter(
+        F.col("l_extendedprice") > 0.0
+    )
+    cents = F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("long")
+    digit = F.expr(
+        "cents div cast(power(10, length(cast(cents as string)) - 1) "
+        "as bigint)"
+    )
+    o = (
+        li.select(cents.alias("cents"))
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    )
+    t = o.agg(F.sum("n_obs").alias("n"))
+    b = spark.createDataFrame(
+        list(_BENFORD.items()), schema="digit bigint, expected_share double"
+    )
+    share = F.coalesce(F.col("n_obs"), F.lit(0)).cast("double") / F.col("n")
+    return (
+        b.join(o, "digit", "left")
+        .join(F.broadcast(t))
+        .select(
+            "digit",
+            F.coalesce(F.col("n_obs"), F.lit(0)).alias("n_obs"),
+            F.round(share, 6).alias("obs_share"),
+            "expected_share",
+            F.round(share - F.col("expected_share"), 6).alias("deviation"),
+        )
+    )

@@ -463,3 +463,75 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return freq.groupBy("doc_id").agg(
         F.round(F.sum(-p * F.log(p)), 6).alias("char_entropy")
     )
+
+
+# ---------- readability scoring ----------
+
+
+@register(
+    "text_readability",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(len(string_split({_NORM_DUCK}, ' ')) AS BIGINT) AS n_words,
+             GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+'))
+                      AS BIGINT), 1) AS n_sents,
+             CAST(len(regexp_extract_all({_NORM_DUCK}, '[aeiouy]+'))
+                  AS BIGINT) AS n_syll
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_sents, n_syll,
+           ROUND(206.835
+                 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+                 - 84.6 * (CAST(n_syll AS DOUBLE) / n_words), 4)
+             AS flesch
+    FROM s WHERE n_words > 0
+    """,
+    doc="Flesch reading-ease per document: words/sentences/vowel-group "
+    "syllable proxy counted by identical regexes in both engines — "
+    "the readability curation signal (simple-English filters, "
+    "audience binning), integer counts + two deterministic divisions",
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease = 206.835 − 1.015·(W/S) − 84.6·(Syl/W),
+    with the standard large-corpus approximations: sentences =
+    [.!?]+ runs (floor 1), syllables = [aeiouy]+ vowel groups. All
+    three counts are exact integers from one regexp pass; the score
+    composes two correctly-rounded divisions — identical bits in both
+    engines, rounded to 4 dp.
+
+    Scale: pure per-row expression work fused into the scan; zero
+    shuffle, zero Python.
+    """
+    docs = load(spark, "documents", sf_dir)
+    norm = F.expr(_NORM)
+    n_words = F.size(F.split(norm, " ")).cast("long")
+    n_sents = F.greatest(
+        F.size(F.expr(r"regexp_extract_all(text, '[.!?]+', 0)")).cast(
+            "long"
+        ),
+        F.lit(1).cast("long"),
+    )
+    n_syll = F.size(
+        F.regexp_extract_all(norm, F.lit("[aeiouy]+"), F.lit(0))
+    ).cast("long")
+    s = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sents.alias("n_sents"),
+        n_syll.alias("n_syll"),
+    ).filter(F.col("n_words") > 0)
+    return s.select(
+        "doc_id",
+        "n_words",
+        "n_sents",
+        "n_syll",
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015)
+            * (F.col("n_words").cast("double") / F.col("n_sents"))
+            - F.lit(84.6)
+            * (F.col("n_syll").cast("double") / F.col("n_words")),
+            4,
+        ).alias("flesch"),
+    )

@@ -150,6 +150,9 @@ AUDIT: dict[str, dict] = {
     "win_rolling_median": {"exchange": 1},
     "join_nearest_2d": {"smj": 0, "nlj": 0},
     "sql_surface_parity": {"smj": 0, "pushed": True},
+    "agg_chi2_independence": {"smj": 0},
+    "dq_benford": {"smj": 0, "pushed": True},
+    "text_readability": {"exchange": 0},
 }
 
 
