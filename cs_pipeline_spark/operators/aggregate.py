@@ -1575,3 +1575,112 @@ def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("contrib_q").cast("string").cast("double") / F.lit(1e9)
         ).alias("chi2"),
     )
+
+
+# ---------- two-sample Kolmogorov-Smirnov ----------
+
+
+@register(
+    "agg_ks_test",
+    """
+    WITH s AS (
+      SELECT value, event_id,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS in_a,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS in_b
+      FROM events WHERE event_type IN ('click', 'error')
+    ),
+    n AS (
+      SELECT CAST(SUM(in_a) AS HUGEINT) AS na,
+             CAST(SUM(in_b) AS HUGEINT) AS nb
+      FROM s
+    ),
+    c AS (
+      SELECT value,
+             CAST(SUM(in_a) OVER w AS HUGEINT) AS ca,
+             CAST(SUM(in_b) OVER w AS HUGEINT) AS cb
+      FROM s
+      WINDOW w AS (ORDER BY value, event_id ROWS UNBOUNDED PRECEDING)
+    ),
+    d AS (
+      SELECT c.value, ABS(c.ca * n.nb - c.cb * n.na) AS dnum, n.na, n.nb
+      FROM c, n
+    ),
+    best AS (
+      SELECT value, dnum, na, nb,
+             ROW_NUMBER() OVER (ORDER BY dnum DESC, value) AS rn
+      FROM d
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           ROUND(CAST(CAST(dnum AS VARCHAR) AS DOUBLE)
+                 / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS ks_d,
+           value AS d_location
+    FROM best WHERE rn = 1
+    """,
+    doc="two-sample Kolmogorov-Smirnov statistic (click vs error "
+    "value distributions): D = max |F₁−F₂| found as an exact integer "
+    "argmax of |c₁·n₂ − c₂·n₁| over the merged order — distribution-"
+    "drift detection with zero float comparisons on the argmax path",
+)
+def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between two samples: the KS statistic's sup
+    is attained at a data point, so ranking the exact integer
+    numerator |c₁·n₂ − c₂·n₁| over the merged sorted order finds D
+    without a single float comparison; one correctly-rounded division
+    renders it at the end.
+
+    Scale: the merged ECDF needs a global order — fine for per-key
+    drift checks (the common case: window the cumsum by key); for a
+    corpus-wide KS at 100 TB, pre-bucket values (e.g. 10⁴ quantile
+    bins), aggregate per-bucket counts map-side, and run the argmax
+    over buckets — same integers, bounded shuffle (noted here, bucket
+    variant left to the caller's resolution choice).
+    """
+    ev = load(spark, "events", sf_dir).filter(
+        F.col("event_type").isin("click", "error")
+    )
+    s = ev.select(
+        "value",
+        "event_id",
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("in_a"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("in_b"),
+    )
+    n = s.agg(
+        F.sum("in_a").cast("decimal(20,0)").alias("na"),
+        F.sum("in_b").cast("decimal(20,0)").alias("nb"),
+    )
+    w = (
+        Window.orderBy("value", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = s.select(
+        "value",
+        F.sum("in_a").over(w).cast("decimal(20,0)").alias("ca"),
+        F.sum("in_b").over(w).cast("decimal(20,0)").alias("cb"),
+    )
+    d = c.join(F.broadcast(n)).select(
+        "value",
+        F.abs(
+            F.col("ca") * F.col("nb") - F.col("cb") * F.col("na")
+        ).alias("dnum"),
+        "na",
+        "nb",
+    )
+    best = d.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.orderBy(F.col("dnum").desc(), F.col("value"))
+        ),
+    ).filter(F.col("rn") == 1)
+    return best.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(
+            F.col("dnum").cast("string").cast("double")
+            / (
+                F.col("na").cast("string").cast("double")
+                * F.col("nb").cast("string").cast("double")
+            ),
+            6,
+        ).alias("ks_d"),
+        F.col("value").alias("d_location"),
+    )

@@ -238,3 +238,30 @@ def test_nearest_2d_matches_bruteforce(spark, sf_dir):
             ),
         )
         assert (r.nn_lat, r.nn_lon) == best, r.station_id
+
+
+def test_ks_statistic_matches_python(spark, sf_dir):
+    from fractions import Fraction
+
+    from cs_pipeline_spark.operators.aggregate import agg_ks_test
+
+    rows = (
+        load(spark, "events", sf_dir)
+        .filter(F.col("event_type").isin("click", "error"))
+        .select("value", "event_id", "event_type")
+        .collect()
+    )
+    pts = sorted((r.value, r.event_id, r.event_type) for r in rows)
+    na = sum(1 for p in pts if p[2] == "click")
+    nb = len(pts) - na
+    ca = cb = 0
+    best = Fraction(0)
+    for v, _, t in pts:
+        if t == "click":
+            ca += 1
+        else:
+            cb += 1
+        best = max(best, abs(Fraction(ca, na) - Fraction(cb, nb)))
+    got = agg_ks_test(spark, sf_dir).collect()[0]
+    assert got.n_a == na and got.n_b == nb
+    assert abs(got.ks_d - float(best)) < 5e-7

@@ -153,6 +153,7 @@ AUDIT: dict[str, dict] = {
     "agg_chi2_independence": {"smj": 0},
     "dq_benford": {"smj": 0, "pushed": True},
     "text_readability": {"exchange": 0},
+    "agg_ks_test": {"smj": 0},
 }
 
 
