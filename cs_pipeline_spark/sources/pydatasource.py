@@ -30,6 +30,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 from cs_pipeline_spark.registry import register
@@ -68,6 +69,9 @@ class StationObsDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return StationObsReader()
+
+    def simpleStreamReader(self, schema):
+        return StationObsStreamReader()
 
 
 @register(
@@ -112,3 +116,46 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("rh_centi").alias("min_rh_centi"),
         F.max("rh_centi").alias("max_rh_centi"),
     )
+
+
+# ---------- streaming side of the same source ----------
+
+STREAM_ROWS_PER_BATCH = 1000  # micro-batch span in obs_idx units
+STREAM_TOTAL = N_STATIONS * ROWS_PER_STATION
+
+
+def _rows_between(start: int, end: int):
+    """Deterministic row block [start, end) in global obs order —
+    shared by live reads and recovery replays, so a restarted query
+    reproduces byte-identical micro-batches."""
+    for g in range(start, end):
+        s, r = divmod(g, ROWS_PER_STATION)
+        t_centi = 1500 + ((s * 37 + r * 13) % 400)
+        rh_centi = 3000 + ((s * 11 + r * 7) % 6000)
+        yield (s, r, t_centi, rh_centi)
+
+
+class StationObsStreamReader(SimpleDataSourceStreamReader):
+    """Offset = one integer cursor over the global obs order.
+
+    ``read(start)`` serves the next bounded span and advances the
+    cursor; ``readBetweenOffsets`` replays any committed span exactly
+    (pure function of the offsets) — the recovery contract that makes
+    checkpoint restarts exactly-once.
+    """
+
+    def initialOffset(self):
+        return {"idx": 0}
+
+    def read(self, start):
+        lo = start["idx"]
+        hi = min(lo + STREAM_ROWS_PER_BATCH, STREAM_TOTAL)
+        # iter(list): the runner advances it (needs an iterator) AND
+        # pickles the prefetched block (needs picklability — a plain
+        # generator fails, a list-iterator satisfies both)
+        return iter(list(_rows_between(lo, hi))), {"idx": hi}
+
+    def readBetweenOffsets(self, start, end):
+        return _rows_between(start["idx"], end["idx"])
+
+

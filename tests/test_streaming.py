@@ -594,3 +594,59 @@ def test_interval_join_left_stream_closed_region(spark, events_stream_dir):
     got_closed = got.filter(F.col("err_ts") < F.lit(horizon))
     cols = ["user_id", "err_id", "err_ts", "click_id", "click_ts"]
     assert _canon(got_closed, cols) == _canon(want, cols)
+
+
+def test_python_datasource_stream_matches_batch(spark, tmp_path_factory):
+    """The custom Python DataSource's STREAMING side must deliver, in
+    bounded micro-batches, exactly the rows its batch reader serves —
+    and resume from a checkpoint without re-emitting."""
+    import time
+
+    from cs_pipeline_spark.sources import pydatasource as P
+
+    try:
+        spark.dataSource.register(P.StationObsDataSource)
+    except Exception:
+        pass
+    ckpt = str(tmp_path_factory.mktemp("pyds_ckpt"))
+    out = str(tmp_path_factory.mktemp("pyds_out"))
+    stream = spark.readStream.format("station_obs").load()
+    # continuous micro-batches (1000 rows per read()) until the
+    # bounded archive is drained — REAL multi-batch incremental reads
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(out).count() >= P.STREAM_TOTAL:
+                    break
+            except Exception:
+                pass  # first batch not committed yet
+            time.sleep(1)
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    got = spark.read.parquet(out)
+    assert got.count() == P.STREAM_TOTAL
+    want = spark.read.format("station_obs").load()
+    cols = ["station_id", "obs_idx", "temp_centi", "rh_centi"]
+    assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
+        map(tuple, want.select(*cols).collect())
+    )
+    # restart from the same checkpoint: offsets drained → no new rows
+    q2 = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == P.STREAM_TOTAL
