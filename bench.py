@@ -61,6 +61,7 @@ HEADLINE = [
     "graph_triangles",
     "corpus_budget_select",
     "win_cusum_changepoint",
+    "events_analytics_e2e",
 ]
 
 

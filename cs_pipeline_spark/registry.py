@@ -97,6 +97,7 @@ def _load_all_modules() -> None:
         multimodal,
         pipeline_curate,
         pipeline_e2e,
+        pipeline_events,
         pipeline_point,
         predictors,
         relational,

@@ -154,6 +154,9 @@ AUDIT: dict[str, dict] = {
     "dq_benford": {"smj": 0, "pushed": True},
     "text_readability": {"exchange": 0},
     "agg_ks_test": {"smj": 0},
+    # 1 fact shuffle (user_id window; session rollup reuses it) + the
+    # session-level daily rollup exchange
+    "events_analytics_e2e": {"smj": 0, "exchange": 2},
 }
 
 
