@@ -1684,3 +1684,103 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ks_d"),
         F.col("value").alias("d_location"),
     )
+
+
+# ---------- Theil–Sen robust trend ----------
+
+
+@register(
+    "agg_theil_sen",
+    """
+    WITH series AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS x,
+             CAST(CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS HUGEINT))
+                  AS VARCHAR) AS DOUBLE) / 1000000.0 / COUNT(*) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.event_type,
+             (b.y - a.y) / (b.x - a.x) AS slope
+      FROM series a JOIN series b
+        ON b.event_type = a.event_type AND b.x > a.x
+    ),
+    ranked AS (
+      SELECT event_type, slope,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY slope, event_type) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM pairs
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+           ROUND(slope, 9) AS slope_per_hour
+    FROM ranked WHERE rn = (n + 1) // 2
+    """,
+    doc="Theil–Sen robust trend per event-type series: discrete median "
+    "of all pairwise slopes over the hourly means — outlier-resistant "
+    "where agg_linear_trend's OLS is not; slopes are single divisions "
+    "of engine-exact values, the median is an element pick",
+)
+def agg_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The robust twin of ``agg_linear_trend``: median of the O(n²)
+    pairwise slopes (29% breakdown point vs OLS's zero). Each hourly
+    mean is the exact-integer quantized mean (identical double bits
+    in both engines), each slope ONE further correctly-rounded
+    division, and the median picks an actual element by rank — no
+    float accumulation anywhere.
+
+    Scale: the O(n²) pair join is per-SERIES (hourly buckets, so n =
+    hours, not events — the corpus reduction happened in the
+    map-side-combined bucket aggregation). For year-long series cap
+    pairs by striding (every k-th bucket as the left side) — the
+    estimator tolerates it; the plan shape is unchanged.
+    """
+    ev = load(spark, "events", sf_dir)
+    series = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").alias("x"),
+    ).agg(
+        (
+            F.sum(
+                F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast(
+                    "decimal(38,0)"
+                )
+            )
+            .cast("string")
+            .cast("double")
+            / F.lit(1e6)
+            / F.count(F.lit(1))
+        ).alias("y")
+    )
+    a = series.select(
+        "event_type", F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    b = series.select(
+        F.col("event_type").alias("et_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("event_type") == F.col("et_b")) & (F.col("xb") > F.col("xa")),
+    ).select(
+        "event_type",
+        ((F.col("yb") - F.col("ya")) / (F.col("xb") - F.col("xa"))).alias(
+            "slope"
+        ),
+    )
+    wr = Window.partitionBy("event_type").orderBy("slope", "event_type")
+    wn = Window.partitionBy("event_type")
+    ranked = pairs.select(
+        "event_type",
+        "slope",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return ranked.filter(
+        F.col("rn") == F.expr("(n + 1) div 2")
+    ).select(
+        "event_type",
+        F.col("n").cast("long").alias("n_pairs"),
+        F.round("slope", 9).alias("slope_per_hour"),
+    )

@@ -157,6 +157,7 @@ AUDIT: dict[str, dict] = {
     # 1 fact shuffle (user_id window; session rollup reuses it) + the
     # session-level daily rollup exchange
     "events_analytics_e2e": {"smj": 0, "exchange": 2},
+    "agg_theil_sen": {"smj": 0},
 }
 
 
