@@ -860,3 +860,54 @@ def scan_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "column_name string, in_batch1 boolean, in_batch2 boolean, "
         "status string"
     )
+
+
+# ---------- VARIANT semi-structured scan (Spark 4) ----------
+
+
+@register(
+    "scan_variant_props",
+    """
+    SELECT CAST(props->>'$.k' AS BIGINT) AS k_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+    FROM events
+    WHERE CAST(props->>'$.k' AS BIGINT) IS NOT NULL
+    GROUP BY k_bucket
+    """,
+    doc="VARIANT semi-structured scan (Spark 4 type): parse_json the "
+    "payload once into the binary VARIANT encoding, typed "
+    "variant_get extraction + aggregation — the shredded-JSON "
+    "lakehouse pattern (DuckDB oracle reads the same fields with "
+    "JSON operators)",
+)
+def scan_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's VARIANT type: the JSON payload is parsed ONCE into a
+    compact binary encoding; `variant_get` then extracts typed paths
+    without per-access re-parsing (unlike get_json_object) and
+    without committing to a rigid struct schema at ingest (unlike
+    from_json) — the right trade for evolving event payloads at
+    100 TB. Aggregation on the extracted key proves typed round-trip.
+
+    Scale: parse cost is per-row scan work; the aggregate is
+    map-side-combined on a small key domain. At rest, VARIANT columns
+    shred into parquet with field-level statistics in newer table
+    formats — the scan then prunes on extracted paths.
+    """
+    from cs_pipeline_spark.tables import load as _load
+
+    ev = _load(spark, "events", sf_dir)
+    v = ev.select(
+        "event_id", F.parse_json("props").alias("v")
+    ).select(
+        "event_id",
+        F.expr("variant_get(v, '$.k', 'bigint')").alias("k_bucket"),
+    )
+    return (
+        v.filter(F.col("k_bucket").isNotNull())
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("event_id").cast("long").alias("sum_event_id"),
+        )
+    )

@@ -158,6 +158,8 @@ AUDIT: dict[str, dict] = {
     # session-level daily rollup exchange
     "events_analytics_e2e": {"smj": 0, "exchange": 2},
     "agg_theil_sen": {"smj": 0},
+    "scan_variant_props": {"smj": 0, "exchange": 1},
+    "udtf_sentence_split": {"exchange": 0},
 }
 
 
