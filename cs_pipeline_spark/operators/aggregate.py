@@ -1784,3 +1784,70 @@ def agg_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_pairs"),
         F.round("slope", 9).alias("slope_per_hour"),
     )
+
+
+# ---------- HLL set algebra (intersection via inclusion-exclusion) ----------
+
+
+@register(
+    "agg_hll_intersection",
+    """
+    WITH a AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'click'),
+    b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view')
+    SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS n_click,
+           CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n_view,
+           CAST((SELECT COUNT(*) FROM a JOIN b USING (user_id)) AS BIGINT)
+             AS n_both_exact,
+           TRUE AS estimate_ok
+    """,
+    doc="HLL set algebra: audience overlap |A∩B| estimated by "
+    "inclusion-exclusion over three sketches (A, B, A∪B) — exact "
+    "overlap hash-checked + a pinned tolerance verdict on the "
+    "estimate; the sketch-only overlap report that needs no exact "
+    "distinct join at 100 TB",
+)
+def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap from sketches alone: est(A∩B) = est(A) +
+    est(B) − est(A∪B). Union sketches merge losslessly (register
+    max), so the third term costs nothing extra in a sketch store;
+    inclusion-exclusion inherits both sketches' error — the verdict
+    tolerance (10% of the union + 2) reflects that honestly. The
+    exact overlap (a real distinct join) is computed here only to
+    pin the contract.
+
+    Scale: three map-side-merged sketches vs an exact
+    distinct-intersect join that shuffles both key sets — the whole
+    point of keeping per-segment HLLs in the metrics store.
+    """
+    ev = load(spark, "events", sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click")
+    views = ev.filter(F.col("event_type") == "view")
+    both = ev.filter(F.col("event_type").isin("click", "view"))
+    a = clicks.select("user_id").distinct()
+    b = views.select("user_id").distinct()
+    exact = a.join(b, "user_id").count()
+    est = (
+        clicks.agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("ea")
+        ).collect()[0].ea
+        + views.agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("eb")
+        ).collect()[0].eb
+        - both.agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("eu")
+        ).collect()[0].eu
+    )
+    n_union = both.select("user_id").distinct().count()
+    ok = abs(est - exact) <= 0.1 * n_union + 2
+    return (
+        a.agg(F.count(F.lit(1)).cast("long").alias("n_click"))
+        .join(b.agg(F.count(F.lit(1)).cast("long").alias("n_view")))
+        .join(
+            spark.createDataFrame(
+                [(exact, bool(ok))],
+                schema="n_both_exact bigint, estimate_ok boolean",
+            )
+        )
+        .select("n_click", "n_view", "n_both_exact", "estimate_ok")
+    )

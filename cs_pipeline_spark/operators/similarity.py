@@ -1645,3 +1645,76 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, schema="dim int, component double, eigval double"
     )
+
+
+# ---------- binary-quantized Hamming top-k ----------
+
+_HAM_BITS = 63  # bits 0..62: bit 63 would overflow signed 1<<63
+_HAM_K = 5
+
+
+def _sig_sql(tbl: str) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {tbl}.embedding[{i + 1}] > 0 THEN "
+        f"(CAST(1 AS BIGINT) << {i}) ELSE 0 END)"
+        for i in range(_HAM_BITS)
+    )
+    return f"({terms})"
+
+
+@register(
+    "sim_hamming_topk",
+    f"""
+    WITH s AS (
+      SELECT vec_id, {_sig_sql('embeddings')} AS sig
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM s WHERE vec_id < {N_QUERIES})
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CAST(bit_count(xor(q.sig, c.sig)) AS INTEGER) AS hamming
+    FROM q JOIN s c ON c.vec_id <> q.vec_id
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                               ORDER BY hamming, c.vec_id) <= {_HAM_K}
+    """,
+    doc=f"binary-quantized ANN: sign-bit signatures ({_HAM_BITS} dims "
+    "→ one BIGINT), top-k by bit_count(XOR) Hamming distance — 32× "
+    "memory cut vs float vectors, popcount-speed scans; the "
+    "binary-embedding retrieval tier under PQ/LSH",
+)
+def sim_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign quantization: bit i = (embedding[i] > 0); a whole vector
+    becomes one 64-bit word, distance becomes POPCOUNT(XOR) — integer
+    ops all the way, so ranks are exact and engine-agnostic with no
+    quantized-dot machinery at all. The standard first tier of a
+    binary-embedding retrieval stack (re-rank survivors with the
+    exact cosine, as ``sim_prefix_rerank`` shows for Matryoshka).
+
+    Scale: the corpus carries 8 bytes/vector; the scan is
+    bandwidth-bound popcount — broadcast queries, no corpus shuffle
+    (same shape as ``sim_topk_bruteforce``, 32× less data).
+    """
+    emb = load(spark, "embeddings", sf_dir)
+    sig_terms = None
+    for i in range(_HAM_BITS):
+        t = F.when(
+            F.element_at("embedding", i + 1) > 0,
+            F.lit(1).cast("long") * F.lit(2 ** i).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        sig_terms = t if sig_terms is None else sig_terms + t
+    s = emb.select("vec_id", sig_terms.alias("sig"))
+    q = s.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("sig").alias("q_sig")
+    )
+    joined = s.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.expr("cast(bit_count(sig ^ q_sig) as int)").alias("hamming"),
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _HAM_K)
+        .drop("rn")
+    )

@@ -1216,3 +1216,85 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e6)
         ).alias("roll_median"),
     )
+
+
+# ---------- error-recovery MTTR ----------
+
+
+@register(
+    "win_outage_mttr",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us({EVENTS_TS_SQL}) AS us
+      FROM events
+    ),
+    marked AS (
+      SELECT *,
+             MIN(CASE WHEN event_type <> 'error' THEN us END)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_ok_us
+      FROM e
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_errors,
+           CAST(COUNT(next_ok_us) AS BIGINT) AS n_recovered,
+           CAST(SUM(next_ok_us - us) AS BIGINT) AS total_downtime_us,
+           ROUND(CAST(SUM(next_ok_us - us) AS DOUBLE)
+                 / COUNT(next_ok_us) / 1000000.0, 6) AS mttr_sec
+    FROM marked WHERE event_type = 'error'
+    GROUP BY user_id
+    HAVING COUNT(next_ok_us) > 0
+    """,
+    doc="per-user mean-time-to-recovery: each error paired with the "
+    "next non-error event via a forward-min window (exact integer "
+    "µs), downtime totals + MTTR — the SRE/ops metric dual of "
+    "win_gap_detect",
+)
+def win_outage_mttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MTTR from an event log: for every error, recovery time = the
+    next non-error event's timestamp (forward-min over a FOLLOWING
+    frame — no self-join). Downtime sums are exact integer µs;
+    the single division renders seconds at the end. Unrecovered
+    trailing errors are counted but excluded from the mean.
+
+    Scale: one shuffle on the key; the FOLLOWING-frame min is
+    computed in the same window pass as any lead/lag. Map-side
+    combine on the final per-user aggregate.
+    """
+    ev = load(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    e = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+    )
+    marked = e.withColumn(
+        "next_ok_us",
+        F.min(
+            F.when(F.col("event_type") != "error", F.col("us"))
+        ).over(w),
+    )
+    errs = marked.filter(F.col("event_type") == "error")
+    down = F.col("next_ok_us") - F.col("us")
+    return (
+        errs.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_errors"),
+            F.count("next_ok_us").cast("long").alias("n_recovered"),
+            F.sum(down).cast("long").alias("total_downtime_us"),
+            F.round(
+                F.sum(down).cast("double")
+                / F.count("next_ok_us")
+                / F.lit(1e6),
+                6,
+            ).alias("mttr_sec"),
+        )
+        .filter(F.col("n_recovered") > 0)
+    )

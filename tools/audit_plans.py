@@ -160,6 +160,9 @@ AUDIT: dict[str, dict] = {
     "agg_theil_sen": {"smj": 0},
     "scan_variant_props": {"smj": 0, "exchange": 1},
     "udtf_sentence_split": {"exchange": 0},
+    "sim_hamming_topk": {"smj": 0},
+    "win_outage_mttr": {"exchange": 1},
+    "agg_hll_intersection": {},
 }
 
 
