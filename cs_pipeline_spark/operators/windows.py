@@ -1298,3 +1298,195 @@ def win_outage_mttr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_recovered") > 0)
     )
+
+
+# ---------- maximum drawdown ----------
+
+
+@register(
+    "win_max_drawdown",
+    f"""
+    WITH e AS (
+      SELECT user_id, epoch_us({EVENTS_TS_SQL}) AS us, event_id,
+             CAST(FLOOR(value * 1000000.0 + 0.5) AS HUGEINT) AS q
+      FROM events
+    ),
+    st AS (
+      SELECT user_id, CAST(COUNT(*) AS HUGEINT) AS n, SUM(q) AS s
+      FROM e GROUP BY user_id
+    ),
+    cum AS (
+      SELECT e.user_id, e.us, e.event_id,
+             SUM(st.n * e.q - st.s) OVER w AS c
+      FROM e JOIN st ON st.user_id = e.user_id
+      WINDOW w AS (PARTITION BY e.user_id ORDER BY e.us, e.event_id
+                   ROWS UNBOUNDED PRECEDING)
+    ),
+    dd AS (
+      SELECT user_id, us,
+             MAX(c) OVER (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS UNBOUNDED PRECEDING) - c AS draw
+      FROM cum
+    ),
+    best AS (
+      SELECT d.user_id, d.us, d.draw, st.n,
+             ROW_NUMBER() OVER (PARTITION BY d.user_id
+                                ORDER BY d.draw DESC, d.us) AS rn
+      FROM dd d JOIN st ON st.user_id = d.user_id
+    )
+    SELECT user_id,
+           ROUND(CAST(CAST(draw AS VARCHAR) AS DOUBLE)
+                 / (CAST(CAST(n AS VARCHAR) AS DOUBLE) * 1000000.0), 6)
+             AS max_drawdown,
+           CAST(us AS BIGINT) AS trough_us
+    FROM best WHERE rn = 1 AND draw > 0
+    """,
+    doc="per-user maximum drawdown of the mean-centered cumulative "
+    "value series: running-peak minus running-sum, argmax — the "
+    "worst sustained below-trend slump (CUSUM's mirror image), "
+    "deviations scaled ×n so everything is integer-exact",
+)
+def win_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max drawdown = max over t of (max_{j≤t} C_j − C_t) where C is
+    the prefix sum of MEAN-CENTERED values (raw event values are
+    non-negative, so the raw cumsum never declines; centering makes
+    the metric the worst below-trend run — the sustained-slump dual
+    of ``win_cusum_changepoint``'s rise). Deviations are scaled ×n
+    (n·x − Σx) to stay integer-exact; the final division normalizes.
+
+    Scale: one map-side-combined stats pass broadcast back, one
+    window shuffle on the key — both windows stream the same frame.
+    """
+    ev = load(spark, "events", sf_dir)
+    e = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5))
+        .cast("decimal(38,0)")
+        .alias("q"),
+    )
+    st = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("decimal(20,0)").alias("n"),
+        F.sum("q").alias("s"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = e.join(F.broadcast(st), "user_id").withColumn(
+        "c", F.sum(F.col("n") * F.col("q") - F.col("s")).over(w)
+    )
+    dd = cum.select(
+        "user_id",
+        "us",
+        "n",
+        (F.max("c").over(w) - F.col("c")).alias("draw"),
+    )
+    best = dd.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy(
+                F.col("draw").desc(), F.col("us")
+            )
+        ),
+    ).filter((F.col("rn") == 1) & (F.col("draw") > 0))
+    return best.select(
+        "user_id",
+        F.round(
+            F.col("draw").cast("string").cast("double")
+            / (F.col("n").cast("string").cast("double") * F.lit(1e6)),
+            6,
+        ).alias("max_drawdown"),
+        F.col("us").cast("long").alias("trough_us"),
+    )
+
+
+# ---------- lag-1 autocorrelation ----------
+
+
+@register(
+    "win_autocorr_lag1",
+    f"""
+    WITH series AS (
+      SELECT event_type,
+             epoch_us({EVENTS_TS_SQL}) // 3600000000 AS x,
+             SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS HUGEINT)) AS yq
+      FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT event_type, yq,
+             LAG(yq) OVER (PARTITION BY event_type ORDER BY x) AS yp
+      FROM series
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(COUNT(yp) AS HUGEINT) AS n,
+             SUM(CASE WHEN yp IS NOT NULL THEN yq END) AS sy,
+             SUM(yp) AS sp,
+             SUM(yq * yp) AS syp,
+             SUM(CASE WHEN yp IS NOT NULL THEN yq * yq END) AS syy,
+             SUM(yp * yp) AS spp
+      FROM lagged GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+           ROUND(
+             CAST(CAST(n * syp - sy * sp AS VARCHAR) AS DOUBLE)
+             / SQRT(CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE)
+                    * CAST(CAST(n * spp - sp * sp AS VARCHAR) AS DOUBLE)),
+             6) AS acf1
+    FROM m WHERE n > 1 AND (n * syy - sy * sy) > 0 AND (n * spp - sp * sp) > 0
+    """,
+    doc="lag-1 autocorrelation per event-type hourly series: Pearson "
+    "corr of (y_t, y_{t−1}) from exact integer moment sums "
+    "(n·Σxy − ΣxΣy pattern) — the seasonality/persistence "
+    "diagnostic, cancellation-free",
+)
+def win_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serial correlation of consecutive hourly totals — the quick
+    answer to 'is this series momentum or noise?'. One lag window
+    pairs each bucket with its predecessor; all five moment sums are
+    exact decimal integers (the ``agg_corr`` machinery applied to a
+    self-lagged series), the correlation is two string-cast
+    divisions and a sqrt at the end.
+
+    Scale: the hourly pre-aggregation is map-side combined; one
+    window shuffle on the series key; the moment aggregate is
+    map-side combined again. Degenerate (constant) series drop out
+    via the positive-variance guards.
+    """
+    ev = load(spark, "events", sf_dir)
+    series = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").alias("x"),
+    ).agg(
+        F.sum(
+            F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast(
+                "decimal(38,0)"
+            )
+        ).alias("yq")
+    )
+    w = Window.partitionBy("event_type").orderBy("x")
+    lagged = series.withColumn("yp", F.lag("yq").over(w))
+    has = F.col("yp").isNotNull()
+    m = lagged.groupBy("event_type").agg(
+        F.count("yp").cast("decimal(20,0)").alias("n"),
+        F.sum(F.when(has, F.col("yq"))).alias("sy"),
+        F.sum("yp").alias("sp"),
+        F.sum(F.col("yq") * F.col("yp")).alias("syp"),
+        F.sum(F.when(has, F.col("yq") * F.col("yq"))).alias("syy"),
+        F.sum(F.col("yp") * F.col("yp")).alias("spp"),
+    )
+    d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    vp = F.col("n") * F.col("spp") - F.col("sp") * F.col("sp")
+    cov = F.col("n") * F.col("syp") - F.col("sy") * F.col("sp")
+    return (
+        m.filter((F.col("n") > 1) & (vy > 0) & (vp > 0))
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_pairs"),
+            F.round(d(cov) / F.sqrt(d(vy) * d(vp)), 6).alias("acf1"),
+        )
+    )

@@ -163,6 +163,8 @@ AUDIT: dict[str, dict] = {
     "sim_hamming_topk": {"smj": 0},
     "win_outage_mttr": {"exchange": 1},
     "agg_hll_intersection": {},
+    "win_max_drawdown": {"smj": 0},
+    "win_autocorr_lag1": {"smj": 0},
 }
 
 
