@@ -1718,3 +1718,157 @@ def sim_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _HAM_K)
         .drop("rn")
     )
+
+
+# ---------- multi-round Lloyd's k-means (integer-exact) ----------
+
+_KM_K = 4
+_KM_ROUNDS = 3
+_KM_DIM = 64
+
+
+def _kmeans_sql() -> str:
+    """Unrolled 3-round Lloyd's (DuckDB twin): quantized vectors,
+    exact integer squared distances, floor-div centroid updates."""
+    d2 = (
+        "list_sum(list_transform(range(1, {dim} + 1), "
+        "i -> (e.eq[CAST(i AS INTEGER)] - c.cq[CAST(i AS INTEGER)]) "
+        "* (e.eq[CAST(i AS INTEGER)] - c.cq[CAST(i AS INTEGER)])))"
+    ).format(dim=_KM_DIM)
+    parts = [
+        "WITH eqs AS MATERIALIZED (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) "
+        "* 1000000.0 + 0.5) AS BIGINT)) AS eq FROM embeddings), ",
+        f"c0 AS MATERIALIZED (SELECT vec_id AS cluster_id, eq AS cq "
+        f"FROM eqs WHERE vec_id < {_KM_K})",
+    ]
+    for r in range(_KM_ROUNDS + 1):
+        parts.append(
+            f", a{r} AS MATERIALIZED ("
+            f"SELECT vec_id, cluster_id, d2 FROM ("
+            f"SELECT e.vec_id, c.cluster_id, {d2} AS d2, "
+            f"ROW_NUMBER() OVER (PARTITION BY e.vec_id "
+            f"ORDER BY {d2}, c.cluster_id) AS rn "
+            f"FROM eqs e CROSS JOIN c{r} c) WHERE rn = 1)"
+        )
+        if r < _KM_ROUNDS:
+            parts.append(
+                f", u{r} AS MATERIALIZED ("
+                f"SELECT a.cluster_id, "
+                f"unnest(range(1, {_KM_DIM} + 1)) AS pos, "
+                f"unnest(e.eq) AS v "
+                f"FROM a{r} a JOIN eqs e ON e.vec_id = a.vec_id)"
+            )
+            parts.append(
+                f", c{r + 1} AS MATERIALIZED ("
+                f"SELECT cluster_id, "
+                f"list(cv ORDER BY pos) AS cq FROM ("
+                f"SELECT cluster_id, pos, SUM(v) // COUNT(*) AS cv "
+                f"FROM u{r} GROUP BY cluster_id, pos) GROUP BY cluster_id)"
+            )
+    rounds = " UNION ALL ".join(
+        f"SELECT {r} AS round, "
+        f"CAST((SELECT SUM(d2) FROM a{r}) // 1000000 AS BIGINT) "
+        f"AS inertia_scaled"
+        for r in range(_KM_ROUNDS + 1)
+    )
+    parts.append(" " + rounds)
+    return "".join(parts)
+
+
+@register(
+    "emb_kmeans_lloyd",
+    _kmeans_sql(),
+    doc=f"integer-exact Lloyd's k-means (k={_KM_K}, {_KM_ROUNDS} "
+    "update rounds) over quantized embeddings: exact integer squared "
+    "distances, floor-div centroid updates, per-round inertia — "
+    "distributed iterative ML with bit-stable cross-engine state",
+)
+def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Lloyd's iteration as a DataFrame program. Everything that
+    is normally float — distances, means, inertia — runs on the 1e6
+    quantization grid in exact integer arithmetic: assignments argmin
+    by ``min(struct(d2, cluster))`` (partial-aggregatable, no ranking
+    shuffle), centroid updates floor-div means (stay on the grid), so
+    the classic 'k-means results differ per run/partitioning' problem
+    is gone — both engines produce identical assignments, centroids,
+    and inertia every round.
+
+    The per-round inertia trace is the convergence evidence (Lloyd's
+    is non-increasing; the pytest asserts it).
+
+    Scale: per round — one broadcast of k centroids, one
+    map-side-combined argmin aggregate, one (cluster, dim) mean
+    shuffle bounded by k·d. Rounds are fixed; production runs until
+    `n_moved == 0` (exactly testable on integer assignments) on a
+    sample, then one final full-corpus assign.
+    """
+    emb = load(spark, "embeddings", sf_dir)
+    eqs = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(
+                x.cast("double") * F.lit(1e6) + F.lit(0.5)
+            ).cast("long"),
+        ).alias("eq"),
+    ).persist()
+    cents = eqs.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cluster_id"), F.col("eq").alias("cq")
+    )
+    d2 = F.aggregate(
+        F.zip_with("eq", "cq", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    out_rows = []
+    for r in range(_KM_ROUNDS + 1):
+        scored = eqs.join(F.broadcast(cents)).select(
+            "vec_id", "eq", F.col("cluster_id"), d2.alias("d2")
+        )
+        assigned = (
+            scored.groupBy("vec_id")
+            .agg(
+                F.min(
+                    F.struct(F.col("d2"), F.col("cluster_id"))
+                ).alias("b")
+            )
+            .select(
+                "vec_id",
+                F.col("b.cluster_id").alias("cluster_id"),
+                F.col("b.d2").alias("d2"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        out_rows.append(
+            assigned.agg(
+                F.lit(r).alias("round"),
+                F.expr(
+                    "cast(sum(cast(d2 as decimal(38,0))) div 1000000 "
+                    "as long)"
+                ).alias("inertia_scaled"),
+            )
+        )
+        if r < _KM_ROUNDS:
+            upd = (
+                assigned.join(eqs, "vec_id")
+                .select("cluster_id", F.posexplode("eq").alias("pos", "v"))
+                .groupBy("cluster_id", "pos")
+                .agg(F.expr("sum(v) div count(1)").alias("cv"))
+            )
+            cents = (
+                upd.groupBy("cluster_id")
+                .agg(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "cv"))
+                        ),
+                        lambda s: s.getField("cv"),
+                    ).alias("cq")
+                )
+                .localCheckpoint(eager=False)
+            )
+    res = out_rows[0]
+    for o in out_rows[1:]:
+        res = res.unionByName(o)
+    return res

@@ -265,3 +265,17 @@ def test_ks_statistic_matches_python(spark, sf_dir):
     got = agg_ks_test(spark, sf_dir).collect()[0]
     assert got.n_a == na and got.n_b == nb
     assert abs(got.ks_d - float(best)) < 5e-7
+
+
+def test_kmeans_inertia_monotone(spark, sf_dir):
+    from cs_pipeline_spark.operators.similarity import emb_kmeans_lloyd
+
+    rows = sorted(
+        emb_kmeans_lloyd(spark, sf_dir).collect(), key=lambda r: r.round
+    )
+    inertias = [r.inertia_scaled for r in rows]
+    assert len(inertias) == 4
+    assert all(
+        a >= b for a, b in zip(inertias, inertias[1:])
+    ), f"Lloyd's inertia increased: {inertias}"
+    assert inertias[-1] < inertias[0], "no improvement over init"

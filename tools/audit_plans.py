@@ -165,6 +165,7 @@ AUDIT: dict[str, dict] = {
     "agg_hll_intersection": {},
     "win_max_drawdown": {"smj": 0},
     "win_autocorr_lag1": {"smj": 0},
+    "emb_kmeans_lloyd": {"smj": 0},
 }
 
 
