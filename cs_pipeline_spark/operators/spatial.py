@@ -486,3 +486,130 @@ def join_nearest_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("longitude").alias("nn_lon"),
         )
     )
+
+
+# ---------- point-in-polygon (exact ray casting) ----------
+
+# polygons over the fixture bbox as integer µdeg (x=lon, y=lat);
+# P1 is deliberately CONCAVE (an L) — the case bbox tests get wrong
+_POLYGONS: dict[int, list[tuple[int, int]]] = {
+    0: [  # triangle
+        (-73900000, 45100000),
+        (-73800000, 46500000),
+        (-72600000, 45800000),
+    ],
+    1: [  # concave L
+        (-73200000, 45200000),
+        (-73200000, 46400000),
+        (-72500000, 46400000),
+        (-72500000, 45900000),
+        (-72900000, 45900000),
+        (-72900000, 45200000),
+    ],
+    2: [  # pentagon
+        (-74000000, 46000000),
+        (-73900000, 46700000),
+        (-73300000, 46600000),
+        (-73250000, 46200000),
+        (-73700000, 45950000),
+    ],
+}
+
+
+def _polygon_edges() -> list[tuple[int, int, int, int, int]]:
+    rows = []
+    for pid, verts in _POLYGONS.items():
+        for i, (x1, y1) in enumerate(verts):
+            x2, y2 = verts[(i + 1) % len(verts)]
+            rows.append((pid, x1, y1, x2, y2))
+    return rows
+
+_EDGES_SQL = (
+    "edges(polygon_id, x1, y1, x2, y2) AS (VALUES "
+    + ", ".join(str(r) for r in _polygon_edges())
+    + ")"
+)
+
+# exact integer crossing test (half-open vertex rule): the ray is
+# horizontal +x; the float form px < x1 + dx·(py−y1)/dy is
+# cross-multiplied so no division exists — sign of dy flips the
+# comparison
+_CROSS_SQL = """
+  ((y1 > py) <> (y2 > py))
+  AND (CASE WHEN y2 > y1
+            THEN (px - x1) * (y2 - y1) < (x2 - x1) * (py - y1)
+            ELSE (px - x1) * (y2 - y1) > (x2 - x1) * (py - y1) END)
+"""
+
+
+@register(
+    "filter_polygon_contains",
+    f"""
+    WITH {_EDGES_SQL},
+    stations AS (SELECT n_nationkey AS station_id,
+      CAST(FLOOR((45.0 + CAST((n_nationkey * 7) % 80 AS DOUBLE) / 40.0)
+           * 1000000.0 + 0.5) AS BIGINT) AS py,
+      CAST(FLOOR((-74.0 + CAST((n_nationkey * 11) % 80 AS DOUBLE) / 40.0)
+           * 1000000.0 + 0.5) AS BIGINT) AS px
+      FROM nation),
+    crossings AS (
+      SELECT s.station_id, e.polygon_id,
+             SUM(CASE WHEN {_CROSS_SQL} THEN 1 ELSE 0 END) AS n_cross
+      FROM stations s CROSS JOIN edges e
+      GROUP BY s.station_id, e.polygon_id
+    )
+    SELECT station_id, polygon_id
+    FROM crossings WHERE n_cross % 2 = 1
+    """,
+    doc="exact point-in-polygon via integer ray casting (cross-"
+    "multiplied crossing test, no division): stations tagged against "
+    "convex AND concave polygons — the non-rectangular region filter "
+    "bbox clipping can't express",
+)
+def filter_polygon_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crossing-number point-in-polygon with every comparison exact:
+    coordinates are integer µdeg and the edge-crossing inequality is
+    cross-multiplied, so products stay < 2⁶³ and the inside/outside
+    verdict is bit-identical everywhere — including for the concave
+    polygon, where a bounding-box test gives false positives in the
+    notch.
+
+    Scale: edges are config-scale → broadcast; the fact side streams
+    through the crossing evaluation and a map-side-combined parity
+    count per (point, polygon). For polygon sets in the millions,
+    pre-filter candidates by polygon bbox grid cells
+    (``join_nearest_2d``'s bucket scheme) before the edge test.
+    """
+    from cs_pipeline_spark.tables import load as _load
+
+    stations = _load(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("station_id"),
+        F.floor(
+            (45.0 + ((F.col("n_nationkey") * 7) % 80).cast("double") / 40.0)
+            * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("long").alias("py"),
+        F.floor(
+            (
+                -74.0
+                + ((F.col("n_nationkey") * 11) % 80).cast("double") / 40.0
+            )
+            * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("long").alias("px"),
+    )
+    edges = spark.createDataFrame(
+        _polygon_edges(),
+        schema="polygon_id int, x1 long, y1 long, x2 long, y2 long",
+    )
+    cross = F.expr(_CROSS_SQL.replace("<>", "!="))
+    crossings = (
+        stations.join(F.broadcast(edges))
+        .groupBy("station_id", "polygon_id")
+        .agg(
+            F.sum(F.when(cross, 1).otherwise(0)).alias("n_cross")
+        )
+    )
+    return crossings.filter(F.col("n_cross") % 2 == 1).select(
+        "station_id", "polygon_id"
+    )

@@ -279,3 +279,53 @@ def test_kmeans_inertia_monotone(spark, sf_dir):
         a >= b for a, b in zip(inertias, inertias[1:])
     ), f"Lloyd's inertia increased: {inertias}"
     assert inertias[-1] < inertias[0], "no improvement over init"
+
+
+def test_polygon_contains_matches_shoelace_bruteforce(spark, sf_dir):
+    """Cross-check ray casting against matplotlib-free pure-Python
+    point-in-polygon, including the concave polygon's notch."""
+    from cs_pipeline_spark.operators.spatial import (
+        _POLYGONS,
+        filter_polygon_contains,
+    )
+
+    def inside(px, py, verts):
+        n, c = len(verts), False
+        for i in range(n):
+            x1, y1 = verts[i]
+            x2, y2 = verts[(i + 1) % n]
+            if (y1 > py) != (y2 > py):
+                if y2 > y1:
+                    hit = (px - x1) * (y2 - y1) < (x2 - x1) * (py - y1)
+                else:
+                    hit = (px - x1) * (y2 - y1) > (x2 - x1) * (py - y1)
+                if hit:
+                    c = not c
+        return c
+
+    got = {
+        (r.station_id, r.polygon_id)
+        for r in filter_polygon_contains(spark, sf_dir).collect()
+    }
+    want = set()
+    for k in range(25):
+        py = int((45.0 + (k * 7 % 80) / 40.0) * 1e6 + 0.5)
+        px = round((-74.0 + (k * 11 % 80) / 40.0) * 1e6)
+        for pid, verts in _POLYGONS.items():
+            if inside(px, py, verts):
+                want.add((k, pid))
+    assert got == want
+    # the concave polygon must exclude at least one station that its
+    # bounding box would include (the notch) — proves real ray casting
+    bx = [v[0] for v in _POLYGONS[1]]
+    by = [v[1] for v in _POLYGONS[1]]
+    notch = [
+        k
+        for k in range(25)
+        if min(bx)
+        <= round((-74.0 + (k * 11 % 80) / 40.0) * 1e6)
+        <= max(bx)
+        and min(by) <= int((45.0 + (k * 7 % 80) / 40.0) * 1e6 + 0.5) <= max(by)
+        and (k, 1) not in want
+    ]
+    assert notch, "no station falls in the concave notch — weak fixture"

@@ -166,6 +166,7 @@ AUDIT: dict[str, dict] = {
     "win_max_drawdown": {"smj": 0},
     "win_autocorr_lag1": {"smj": 0},
     "emb_kmeans_lloyd": {"smj": 0},
+    "filter_polygon_contains": {"smj": 0, "exchange": 1},
 }
 
 
