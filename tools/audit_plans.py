@@ -167,6 +167,7 @@ AUDIT: dict[str, dict] = {
     "win_autocorr_lag1": {"smj": 0},
     "emb_kmeans_lloyd": {"smj": 0},
     "filter_polygon_contains": {"smj": 0, "exchange": 1},
+    "sink_dynamic_overwrite": {"smj": 0},
 }
 
 
