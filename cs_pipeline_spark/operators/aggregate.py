@@ -16,7 +16,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cs_pipeline_spark.functions.era5_fixture import ERA5_CTE, era5_events
-from cs_pipeline_spark.operators.helpers import davg, dsum, sql_davg, sql_dsum
+from cs_pipeline_spark.operators.helpers import dround, davg, dsum, sql_davg, sql_dsum
 from cs_pipeline_spark.operators.predictors import predictors_cte, predictors_frame
 from cs_pipeline_spark.plans.agg_compiler import (
     active_predictors,
@@ -984,7 +984,8 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM rk GROUP BY event_type
     )
     SELECT event_type,
-           ROUND(((2.0 * s_iq) / (n * s_q)) - ((n + 1.0) / n), 6) AS gini
+           FLOOR((((2.0 * s_iq) / (n * s_q)) - ((n + 1.0) / n))
+                 * 1000000.0 + 0.5) / 1000000.0 AS gini
     FROM s WHERE s_q > 0
     """,
     doc="per-type Gini coefficient from exact rank-weighted integer "
@@ -1023,7 +1024,7 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, s_iq, s_q = F.col("n"), F.col("s_iq"), F.col("s_q")
     return s.filter(s_q > 0).select(
         "event_type",
-        F.round(
+        dround(
             ((F.lit(2.0) * s_iq) / (n * s_q)) - ((n + F.lit(1.0)) / n), 6
         ).alias("gini"),
     )
@@ -1611,8 +1612,9 @@ def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM d
     )
     SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
-           ROUND(CAST(CAST(dnum AS VARCHAR) AS DOUBLE)
-                 / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS ks_d,
+           FLOOR(CAST(CAST(dnum AS VARCHAR) AS DOUBLE)
+                 / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS ks_d,
            value AS d_location
     FROM best WHERE rn = 1
     """,
@@ -1674,7 +1676,7 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best.select(
         F.col("na").cast("long").alias("n_a"),
         F.col("nb").cast("long").alias("n_b"),
-        F.round(
+        dround(
             F.col("dnum").cast("string").cast("double")
             / (
                 F.col("na").cast("string").cast("double")
@@ -1713,7 +1715,8 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pairs
     )
     SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
-           ROUND(slope, 9) AS slope_per_hour
+           FLOOR(slope * 1000000000.0 + 0.5) / 1000000000.0
+             AS slope_per_hour
     FROM ranked WHERE rn = (n + 1) // 2
     """,
     doc="Theil–Sen robust trend per event-type series: discrete median "
@@ -1782,7 +1785,7 @@ def agg_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "event_type",
         F.col("n").cast("long").alias("n_pairs"),
-        F.round("slope", 9).alias("slope_per_hour"),
+        dround("slope", 9).alias("slope_per_hour"),
     )
 
 

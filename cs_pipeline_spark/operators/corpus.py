@@ -35,6 +35,7 @@ from cs_pipeline_spark.operators.dedup import (
     _tokens,
     shingles,
 )
+from cs_pipeline_spark.operators.helpers import dround
 from cs_pipeline_spark.registry import register
 from cs_pipeline_spark.tables import load
 
@@ -458,8 +459,8 @@ _MIX_BUDGET_DIV = 2
            CAST(d.n_docs AS BIGINT) AS n_docs,
            CAST(d.n_tokens AS BIGINT) AS n_tokens,
            CAST(t.target AS BIGINT) AS target_tokens,
-           ROUND(LEAST(1.0, CAST(t.target AS DOUBLE) / d.n_tokens), 6)
-             AS sample_rate,
+           FLOOR(LEAST(1.0, CAST(t.target AS DOUBLE) / d.n_tokens)
+                 * 1000000.0 + 0.5) / 1000000.0 AS sample_rate,
            CAST((t.target + d.n_tokens - 1) // d.n_tokens AS BIGINT)
              AS epochs_needed
     FROM dom d, tot t
@@ -500,7 +501,7 @@ def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.col("target").cast("long").alias("target_tokens"),
-        F.round(
+        dround(
             F.least(
                 F.lit(1.0),
                 F.col("target").cast("double") / F.col("n_tokens"),

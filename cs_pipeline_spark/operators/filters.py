@@ -15,6 +15,7 @@ from cs_pipeline_spark.functions.constants import (
     VARIABLES_FOR_PREDICTOR,
 )
 from cs_pipeline_spark.functions.era5_fixture import ERA5_CTE, era5_events
+from cs_pipeline_spark.operators.helpers import dround
 from cs_pipeline_spark.registry import register
 from cs_pipeline_spark.tables import EVENTS_TS_SQL, load
 
@@ -355,10 +356,12 @@ _BENFORD_SQL = (
     o AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM d GROUP BY digit),
     t AS (SELECT SUM(n_obs) AS n FROM o)
     SELECT b.digit, COALESCE(o.n_obs, 0) AS n_obs,
-           ROUND(CAST(COALESCE(o.n_obs, 0) AS DOUBLE) / t.n, 6) AS obs_share,
+           FLOOR(CAST(COALESCE(o.n_obs, 0) AS DOUBLE) / t.n
+                 * 1000000.0 + 0.5) / 1000000.0 AS obs_share,
            b.expected_share,
-           ROUND(CAST(COALESCE(o.n_obs, 0) AS DOUBLE) / t.n
-                 - b.expected_share, 6) AS deviation
+           FLOOR((CAST(COALESCE(o.n_obs, 0) AS DOUBLE) / t.n
+                 - b.expected_share) * 1000000.0 + 0.5) / 1000000.0
+             AS deviation
     FROM benford b LEFT JOIN o ON o.digit = b.digit, t
     """,
     doc="Benford's-law first-digit audit of price amounts: exact "
@@ -402,8 +405,8 @@ def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "digit",
             F.coalesce(F.col("n_obs"), F.lit(0)).alias("n_obs"),
-            F.round(share, 6).alias("obs_share"),
+            dround(share, 6).alias("obs_share"),
             "expected_share",
-            F.round(share - F.col("expected_share"), 6).alias("deviation"),
+            dround(share - F.col("expected_share"), 6).alias("deviation"),
         )
     )

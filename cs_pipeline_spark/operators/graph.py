@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cs_pipeline_spark.operators.helpers import dround
 from cs_pipeline_spark.registry import register
 from cs_pipeline_spark.tables import load
 
@@ -238,8 +239,8 @@ _ORIENT_SQL = """
     )
     SELECT CAST((SELECT COUNT(*) FROM tris) AS BIGINT) AS n_triangles,
            CAST(w.n_wedges AS BIGINT) AS n_wedges,
-           ROUND(3.0 * (SELECT COUNT(*) FROM tris) / w.n_wedges, 6)
-             AS clustering_coeff
+           FLOOR(3.0 * (SELECT COUNT(*) FROM tris) / w.n_wedges
+                 * 1000000.0 + 0.5) / 1000000.0 AS clustering_coeff
     FROM wedge_total w
     """,
     doc="exact triangle count + global clustering coefficient over the "
@@ -307,7 +308,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n_tri.join(F.broadcast(n_wedge)).select(
         "n_triangles",
         "n_wedges",
-        F.round(
+        dround(
             F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
         ).alias("clustering_coeff"),
     )
@@ -329,8 +330,9 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
       HAVING COUNT(*) >= 2
     )
     SELECT c.x, c.y, CAST(c.n_common AS BIGINT) AS n_common,
-           ROUND(CAST(c.n_common AS DOUBLE)
-                 / (dx.d + dy.d - c.n_common), 6) AS jaccard
+           FLOOR(CAST(c.n_common AS DOUBLE)
+                 / (dx.d + dy.d - c.n_common) * 1000000.0 + 0.5)
+             / 1000000.0 AS jaccard
     FROM cand c
     JOIN deg dx ON dx.v = c.x
     JOIN deg dy ON dy.v = c.y
@@ -385,7 +387,7 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             "x",
             "y",
             F.col("n_common").cast("long").alias("n_common"),
-            F.round(
+            dround(
                 F.col("n_common").cast("double")
                 / (F.col("dx") + F.col("dy") - F.col("n_common")),
                 6,

@@ -179,3 +179,25 @@ def sql_dvar_pop(expr: str) -> str:
 
 def sql_dstd_pop(expr: str) -> str:
     return f"SQRT({sql_dvar_pop(expr)})"
+
+
+def dround(col: Column | str, digits: int = 6) -> Column:
+    """Engine-agnostic fixed-point rounding: FLOOR(x·10^d + 0.5)/10^d.
+
+    ``round(x, d)`` is NOT cross-engine safe on rational ratios:
+    Spark rounds the SHORTEST decimal repr (BigDecimal.valueOf,
+    HALF_UP), DuckDB rounds the exact binary value — a quotient of
+    integers that lands on a decimal tie (e.g. n/128 → 7-digit
+    expansion ending in 5) flips between them (observed: 3/1500 rows
+    of win_outage_mttr at sf0.1). FLOOR of the identical double is
+    exact and identical by construction. Half-up toward +∞ on
+    negatives — consistent everywhere.
+    """
+    q = float(10**digits)
+    return F.floor(_c(col) * F.lit(q) + F.lit(0.5)) / F.lit(q)
+
+
+def sql_dround(expr: str, digits: int = 6) -> str:
+    """DuckDB twin of ``dround``."""
+    q = f"{float(10 ** digits):.1f}"
+    return f"(FLOOR(({expr}) * {q} + 0.5) / {q})"

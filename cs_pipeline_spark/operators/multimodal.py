@@ -45,6 +45,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from cs_pipeline_spark.operators.helpers import dround
 from cs_pipeline_spark.registry import register
 from cs_pipeline_spark.tables import load
 
@@ -123,8 +124,9 @@ _TARGET = 224  # fit into 224×224, aspect preserved
     f"CAST({_TARGET} AS DOUBLE) / height)), 1) AS INT) AS out_w, "
     f"CAST(GREATEST(ROUND(height * LEAST(CAST({_TARGET} AS DOUBLE) / width, "
     f"CAST({_TARGET} AS DOUBLE) / height)), 1) AS INT) AS out_h, "
-    f"ROUND(LEAST(CAST({_TARGET} AS DOUBLE) / width, "
-    f"CAST({_TARGET} AS DOUBLE) / height), 6) AS scale "
+    f"FLOOR(LEAST(CAST({_TARGET} AS DOUBLE) / width, "
+    f"CAST({_TARGET} AS DOUBLE) / height) * 1000000.0 + 0.5) "
+    "/ 1000000.0 AS scale "
     "FROM meta",
     doc="aspect-preserving resize planning from typed metadata (resize "
     "compute itself is the mapInPandas decode stage)",
@@ -155,7 +157,7 @@ def mm_resize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.round(F.col("height") * scale), F.lit(1))
         .cast("int")
         .alias("out_h"),
-        F.round(scale, 6).alias("scale"),
+        dround(scale, 6).alias("scale"),
     )
 
 

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cs_pipeline_spark.operators.helpers import dround
 from cs_pipeline_spark.registry import register
 from cs_pipeline_spark.tables import EVENTS_TS_SQL, load
 
@@ -66,11 +67,12 @@ _GAP_US = 5 * 60 * 1000000
            CAST(COUNT(*) AS BIGINT) AS n_sessions,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
            CAST(SUM(n_events) AS BIGINT) AS n_events,
-           ROUND(CAST(CAST(SUM(n_events) AS VARCHAR) AS DOUBLE)
-                 / COUNT(*), 6) AS events_per_session,
+           FLOOR(CAST(CAST(SUM(n_events) AS VARCHAR) AS DOUBLE)
+                 / COUNT(*) * 1000000.0 + 0.5) / 1000000.0
+             AS events_per_session,
            CAST(SUM(converted) AS BIGINT) AS n_converted,
-           ROUND(CAST(SUM(converted) AS DOUBLE) / COUNT(*), 6)
-             AS conversion_rate,
+           FLOOR(CAST(SUM(converted) AS DOUBLE) / COUNT(*)
+                 * 1000000.0 + 0.5) / 1000000.0 AS conversion_rate,
            CAST(CAST(SUM(value_q) AS VARCHAR) AS DOUBLE) / 1000000.0
              AS total_value
     FROM sess GROUP BY day
@@ -120,13 +122,13 @@ def events_analytics_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_sessions"),
             F.countDistinct("user_id").cast("long").alias("n_users"),
             F.sum("n_events").cast("long").alias("n_events"),
-            F.round(
+            dround(
                 F.sum("n_events").cast("string").cast("double")
                 / F.count(F.lit(1)),
                 6,
             ).alias("events_per_session"),
             F.sum("converted").cast("long").alias("n_converted"),
-            F.round(
+            dround(
                 F.sum("converted").cast("double") / F.count(F.lit(1)), 6
             ).alias("conversion_rate"),
             (

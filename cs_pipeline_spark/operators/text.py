@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cs_pipeline_spark.operators.dedup import _NORM, _NORM_DUCK, _tokens
+from cs_pipeline_spark.operators.helpers import dround
 from cs_pipeline_spark.registry import register
 from cs_pipeline_spark.tables import load
 
@@ -481,10 +482,10 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT doc_id, n_words, n_sents, n_syll,
-           ROUND(206.835
+           FLOOR((206.835
                  - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
-                 - 84.6 * (CAST(n_syll AS DOUBLE) / n_words), 4)
-             AS flesch
+                 - 84.6 * (CAST(n_syll AS DOUBLE) / n_words))
+                 * 10000.0 + 0.5) / 10000.0 AS flesch
     FROM s WHERE n_words > 0
     """,
     doc="Flesch reading-ease per document: words/sentences/vowel-group "
@@ -526,7 +527,7 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_words",
         "n_sents",
         "n_syll",
-        F.round(
+        dround(
             F.lit(206.835)
             - F.lit(1.015)
             * (F.col("n_words").cast("double") / F.col("n_sents"))

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cs_pipeline_spark.functions.era5_fixture import ERA5_CTE, era5_events
+from cs_pipeline_spark.operators.helpers import dround
 from cs_pipeline_spark.registry import register
 from cs_pipeline_spark.tables import EVENTS_TS_SQL, load
 
@@ -962,8 +963,9 @@ _CUSUM_TH = 2000.0  # drift alarm on the normalized statistic
       FROM cusum
     )
     SELECT event_type, CAST(bkt AS BIGINT) AS peak_bkt,
-           ROUND(CAST(CAST(s_t AS VARCHAR) AS DOUBLE)
-                 / (CAST(CAST(n AS VARCHAR) AS DOUBLE) * 1000000.0), 6)
+           FLOOR(CAST(CAST(s_t AS VARCHAR) AS DOUBLE)
+                 / (CAST(CAST(n AS VARCHAR) AS DOUBLE) * 1000000.0)
+                 * 1000000.0 + 0.5) / 1000000.0
              AS peak_cusum,
            CAST(CAST(s_t AS VARCHAR) AS DOUBLE)
              / (CAST(CAST(n AS VARCHAR) AS DOUBLE) * 1000000.0)
@@ -1043,7 +1045,7 @@ def win_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return peak.select(
         "event_type",
         F.col("bkt").cast("long").alias("peak_bkt"),
-        F.round(norm, 6).alias("peak_cusum"),
+        dround(norm, 6).alias("peak_cusum"),
         (norm > F.lit(_CUSUM_TH)).alias("drifted"),
     )
 
@@ -1241,8 +1243,8 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_errors,
            CAST(COUNT(next_ok_us) AS BIGINT) AS n_recovered,
            CAST(SUM(next_ok_us - us) AS BIGINT) AS total_downtime_us,
-           ROUND(CAST(SUM(next_ok_us - us) AS DOUBLE)
-                 / COUNT(next_ok_us) / 1000000.0, 6) AS mttr_sec
+           CAST(SUM(next_ok_us - us) // COUNT(next_ok_us) AS DOUBLE)
+             / 1000000.0 AS mttr_sec
     FROM marked WHERE event_type = 'error'
     GROUP BY user_id
     HAVING COUNT(next_ok_us) > 0
@@ -1289,11 +1291,13 @@ def win_outage_mttr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_errors"),
             F.count("next_ok_us").cast("long").alias("n_recovered"),
             F.sum(down).cast("long").alias("total_downtime_us"),
-            F.round(
-                F.sum(down).cast("double")
-                / F.count("next_ok_us")
-                / F.lit(1e6),
-                6,
+            # µs floor-div FIRST (exact integer both engines), THEN
+            # scale: sidesteps the round-at-6dp double tie trap that
+            # flipped 3/1500 rows at sf0.1
+            (
+                F.expr("sum(next_ok_us - us) div count(next_ok_us)")
+                .cast("double")
+                / F.lit(1e6)
             ).alias("mttr_sec"),
         )
         .filter(F.col("n_recovered") > 0)
@@ -1335,8 +1339,9 @@ def win_outage_mttr(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM dd d JOIN st ON st.user_id = d.user_id
     )
     SELECT user_id,
-           ROUND(CAST(CAST(draw AS VARCHAR) AS DOUBLE)
-                 / (CAST(CAST(n AS VARCHAR) AS DOUBLE) * 1000000.0), 6)
+           FLOOR(CAST(CAST(draw AS VARCHAR) AS DOUBLE)
+                 / (CAST(CAST(n AS VARCHAR) AS DOUBLE) * 1000000.0)
+                 * 1000000.0 + 0.5) / 1000000.0
              AS max_drawdown,
            CAST(us AS BIGINT) AS trough_us
     FROM best WHERE rn = 1 AND draw > 0
@@ -1394,7 +1399,7 @@ def win_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter((F.col("rn") == 1) & (F.col("draw") > 0))
     return best.select(
         "user_id",
-        F.round(
+        dround(
             F.col("draw").cast("string").cast("double")
             / (F.col("n").cast("string").cast("double") * F.lit(1e6)),
             6,
@@ -1489,4 +1494,59 @@ def win_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("long").alias("n_pairs"),
             F.round(d(cov) / F.sqrt(d(vy) * d(vp)), 6).alias("acf1"),
         )
+    )
+
+
+# ---------- event-path transition matrix ----------
+
+
+@register(
+    "win_markov_transitions",
+    f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY {EVENTS_TS_SQL}, event_id)
+               AS prev_type
+      FROM events
+    ),
+    t AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, next_type
+    ),
+    r AS (SELECT prev_type, SUM(n) AS rt FROM t GROUP BY prev_type)
+    SELECT t.prev_type, t.next_type, t.n,
+           FLOOR(CAST(t.n AS DOUBLE) / r.rt * 1000000.0 + 0.5)
+             / 1000000.0 AS p
+    FROM t JOIN r ON r.prev_type = t.prev_type
+    """,
+    doc="per-user event-path Markov transition matrix: lag-paired "
+    "consecutive event types, counts row-normalized to transition "
+    "probabilities — the user-journey flow map (sankey/funnel input)",
+)
+def win_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order journey model: P(next | prev) over each user's
+    time-ordered event stream. Counts are exact; each probability is
+    one division of exact integers (identical bits both engines).
+
+    Scale: one shuffle on the key for the lag window, then a
+    |types|²-sized aggregation — map-side combined, output is
+    dashboard-sized regardless of event volume.
+    """
+    ev = load(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    t = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    r = t.groupBy("prev_type").agg(F.sum("n").alias("rt"))
+    return t.join(F.broadcast(r), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        dround(F.col("n").cast("double") / F.col("rt"), 6).alias("p"),
     )
