@@ -899,10 +899,10 @@ _MQ = 1000.0  # moment quantum (3 dp)
     SELECT event_type,
            ROUND(((s3 / n) - (3.0 * (s1 / n) * (s2 / n)) + (2.0 * ((s1 / n) * (s1 / n) * (s1 / n))))
                  / POWER(((s2 / n) - ((s1 / n) * (s1 / n))), 1.5), 6) AS skewness,
-           ROUND(((s4 / n) - (4.0 * (s1 / n) * (s3 / n)) + (6.0 * ((s1 / n) * (s1 / n)) * (s2 / n))
+           FLOOR((((s4 / n) - (4.0 * (s1 / n) * (s3 / n)) + (6.0 * ((s1 / n) * (s1 / n)) * (s2 / n))
                   - (3.0 * ((s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))))
-                 / (((s2 / n) - ((s1 / n) * (s1 / n))) * ((s2 / n) - ((s1 / n) * (s1 / n)))) - 3.0,
-                 6) AS kurtosis_excess
+                 / (((s2 / n) - ((s1 / n) * (s1 / n))) * ((s2 / n) - ((s1 / n) * (s1 / n)))) - 3.0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS kurtosis_excess
     FROM s
     """,
     doc="per-type skewness + excess kurtosis from exact min-shifted "
@@ -956,7 +956,9 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "event_type",
         F.round(m3 / F.pow(m2, F.lit(1.5)), 6).alias("skewness"),
-        F.round(m4 / (m2 * m2) - F.lit(3.0), 6).alias("kurtosis_excess"),
+        dround(m4 / (m2 * m2) - F.lit(3.0), 6).alias(
+            "kurtosis_excess"
+        ),
     )
 
 

@@ -1569,10 +1569,12 @@ def _pca_sql() -> str:
         f", ray AS (SELECT SUM(a.vq * cq.cq * b.vq) AS num FROM cq "
         f"JOIN {vf} a ON a.j = cq.i JOIN {vf} b ON b.j = cq.j)"
         f" SELECT {vf}.j AS dim, "
-        f"ROUND(CAST(CAST({vf}.vq AS VARCHAR) AS DOUBLE) "
-        f"/ SQRT(CAST(CAST(n2.n2 AS VARCHAR) AS DOUBLE)), 6) AS component, "
-        f"ROUND(CAST(CAST(ray.num AS VARCHAR) AS DOUBLE) "
-        f"/ (CAST(CAST(n2.n2 AS VARCHAR) AS DOUBLE) * {_PCA_QC}), 6) "
+        f"FLOOR(CAST(CAST({vf}.vq AS VARCHAR) AS DOUBLE) "
+        f"/ SQRT(CAST(CAST(n2.n2 AS VARCHAR) AS DOUBLE)) "
+        f"* 1000000.0 + 0.5) / 1000000.0 AS component, "
+        f"FLOOR(CAST(CAST(ray.num AS VARCHAR) AS DOUBLE) "
+        f"/ (CAST(CAST(n2.n2 AS VARCHAR) AS DOUBLE) * {_PCA_QC}) "
+        f"* 1000000.0 + 0.5) / 1000000.0 "
         f"AS eigval FROM {vf}, n2, ray"
     )
     return "".join(parts)
@@ -1634,11 +1636,14 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         v = [int(math.floor(float(x) / float(m) * 1e6 + 0.5)) for x in w]
     n2 = sum(x * x for x in v)
     num = sum(v[i] * cq[(i, j)] * v[j] for i in range(d) for j in range(d))
+    # floor-quantize (NOT python round(): half-even ties diverge
+    # from the oracle's FLOOR form) — identical doubles → identical bits
+    r6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
     rows = [
         (
             j,
-            round(float(v[j]) / math.sqrt(float(n2)), 6),
-            round(float(num) / (float(n2) * _PCA_QC), 6),
+            r6(float(v[j]) / math.sqrt(float(n2))),
+            r6(float(num) / (float(n2) * _PCA_QC)),
         )
         for j in range(d)
     ]
