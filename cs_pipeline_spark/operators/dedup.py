@@ -658,16 +658,48 @@ def _sql_lsh_candidates() -> str:
     )
 
 
+def _sql_lsh_verified() -> str:
+    """Extend ``_sql_lsh_candidates`` with a RELATIONAL exact-cosine
+    verify: per-vector norms once (``qn``), pair dots via one
+    unnest-join aggregation (``dots``).
+
+    Arithmetic is IDENTICAL to ``_sql_cosine`` — same quantized BIGINT
+    sums (exact, associative → grouping order irrelevant), same float
+    division sequence — but the work is linear in candidates instead
+    of three correlated {_DIM}-element subqueries per pair (measured at
+    sf0.01: 13.6 k candidates, verify 28 s → sub-second)."""
+    return (
+        _sql_lsh_candidates() + ", "
+        "qn AS (SELECT vec_id, "
+        "SQRT(CAST(SUM(CAST(FLOOR(CAST(embedding[i.x + 1] AS DOUBLE) * "
+        "CAST(embedding[i.x + 1] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) "
+        f"AS DOUBLE) / 1000000.0) AS nrm FROM embeddings, range({_DIM}) i(x) "
+        "GROUP BY vec_id), "
+        "dots AS (SELECT c.va, c.vb, "
+        "CAST(SUM(CAST(FLOOR(CAST(ea.embedding[i.x + 1] AS DOUBLE) * "
+        "CAST(eb.embedding[i.x + 1] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) "
+        "AS DOUBLE) / 1000000.0 AS dot "
+        # DISTINCT is load-bearing: inside a WITH RECURSIVE prologue
+        # DuckDB evaluates cand's multi-branch UNION without
+        # cross-branch dedup (observed: 20 207 vs 13 611 rows at
+        # sf0.01), and a pair found by 2 bands would double its summed
+        # dot. The correlated-subquery form was immune (per-row eval);
+        # the relational form must dedup before aggregating.
+        "FROM (SELECT DISTINCT va, vb FROM cand) c "
+        "JOIN embeddings ea ON ea.vec_id = c.va "
+        f"JOIN embeddings eb ON eb.vec_id = c.vb, range({_DIM}) i(x) "
+        "GROUP BY c.va, c.vb), "
+        "vpairs AS (SELECT d.va, d.vb, d.dot / (na.nrm * nb.nrm) AS cos_sim "
+        "FROM dots d JOIN qn na ON na.vec_id = d.va "
+        "JOIN qn nb ON nb.vec_id = d.vb)"
+    )
+
+
 @register(
     "dedup_embedding_lsh",
-    "WITH " + _sql_lsh_candidates() + " "
-    "SELECT cand.va AS vec_a, cand.vb AS vec_b, "
-    + _sql_cosine("ea.embedding", "eb.embedding")
-    + " AS cos_sim "
-    "FROM cand JOIN embeddings ea ON ea.vec_id = cand.va "
-    "JOIN embeddings eb ON eb.vec_id = cand.vb "
-    "WHERE " + _sql_cosine("ea.embedding", "eb.embedding")
-    + f" >= {_COS_THRESHOLD}",
+    "WITH " + _sql_lsh_verified() + " "
+    "SELECT va AS vec_a, vb AS vec_b, cos_sim FROM vpairs "
+    f"WHERE cos_sim >= {_COS_THRESHOLD}",
     doc="embedding near-dup pairs via banded sign-bit LSH candidates + "
     "exact quantized-cosine verify (bounded buckets — the scale path)",
 )
@@ -718,11 +750,22 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cands = pairs if cands is None else cands.union(pairs)
     cands = cands.distinct()
-    ea = emb.select(
-        F.col("vec_id").alias("va"), F.col("embedding").alias("ea")
+    # Hydrate the norm alongside the vector: sqrt(qdot(e,e)) is computed
+    # once per VECTOR here instead of twice per PAIR inside cosine() —
+    # same float values (identical expression on identical data), 3×
+    # less interpreted higher-order-function work on the verify stage.
+    hyd = emb.withColumn(
+        "nrm", F.sqrt(qdot(F.col("embedding"), F.col("embedding")))
     )
-    eb = emb.select(
-        F.col("vec_id").alias("vb"), F.col("embedding").alias("eb")
+    ea = hyd.select(
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    eb = hyd.select(
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
     )
     return (
         cands.join(ea, "va")
@@ -730,7 +773,10 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("va").alias("vec_a"),
             F.col("vb").alias("vec_b"),
-            cosine(F.col("ea"), F.col("eb")).alias("cos_sim"),
+            (
+                qdot(F.col("ea"), F.col("eb"))
+                / (F.col("na") * F.col("nb"))
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= _COS_THRESHOLD)
     )
@@ -821,13 +867,10 @@ def connected_components(
     # edges = LSH-blocked near-dup pairs (scale path — no all-pairs
     # stage anywhere in the plan), then min-label propagation as a
     # recursive CTE
-    "WITH RECURSIVE " + _sql_lsh_candidates() + ", "
+    "WITH RECURSIVE " + _sql_lsh_verified() + ", "
     "pairs AS ("
-    "SELECT cand.va AS src, cand.vb AS dst "
-    "FROM cand JOIN embeddings ea ON ea.vec_id = cand.va "
-    "JOIN embeddings eb ON eb.vec_id = cand.vb "
-    "WHERE " + _sql_cosine("ea.embedding", "eb.embedding")
-    + f" >= {_COS_THRESHOLD}), "
+    "SELECT va AS src, vb AS dst FROM vpairs "
+    f"WHERE cos_sim >= {_COS_THRESHOLD}), "
     "edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs), "
     "reach(node, label) AS ("
     "SELECT DISTINCT src, src FROM edges "
