@@ -1856,3 +1856,62 @@ def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_click", "n_view", "n_both_exact", "estimate_ok")
     )
+
+
+@register(
+    "agg_seasonal_hod",
+    f"""
+    WITH h AS (SELECT event_type,
+                 CAST(hour({EVENTS_TS_SQL}) AS BIGINT) AS hod,
+                 COUNT(*) AS n_events,
+                 {sql_davg('value')} AS avg_value
+               FROM events GROUP BY 1, 2),
+    w AS (SELECT *, SUM(n_events) OVER (PARTITION BY event_type) AS tot,
+            ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY n_events DESC, hod) AS rn
+          FROM h)
+    SELECT event_type, hod, n_events, avg_value,
+           CAST(n_events AS DOUBLE) / CAST(tot AS DOUBLE) AS share,
+           (rn = 1) AS is_peak_hour
+    FROM w
+    """,
+    doc="hour-of-day seasonal profile per event type: volume share, "
+    "deterministic mean value, peak-hour flag — the diurnal baseline "
+    "behind time-of-day-aware anomaly thresholds",
+)
+def agg_seasonal_hod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diurnal seasonality profile. Event streams are strongly
+    hour-of-day periodic; a flat anomaly threshold either drowns in
+    peak-hour noise or sleeps through off-peak incidents, so monitors
+    normalize against this profile (the reference's pipeline has the
+    same need in reverse: its TOD feature, ``windows.time_features``,
+    feeds hour-of-day to the model). ``share`` is one division of two
+    exact integers and the peak flag an integer ranking — engine-exact
+    without quantization; means go through ``davg``.
+
+    Scale: the groupBy collapses to ≤ 24·|types| rows with map-side
+    combine — one shuffle over agg states, the window runs on the
+    collapsed frame. Holds unchanged at any corpus size.
+    """
+    ev = load(spark, "events", sf_dir)
+    h = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hod")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        davg("value").alias("avg_value"),
+    )
+    wt = Window.partitionBy("event_type")
+    wr = Window.partitionBy("event_type").orderBy(
+        F.col("n_events").desc(), "hod"
+    )
+    return h.select(
+        "event_type",
+        "hod",
+        "n_events",
+        "avg_value",
+        (
+            F.col("n_events").cast("double")
+            / F.sum("n_events").over(wt).cast("double")
+        ).alias("share"),
+        (F.row_number().over(wr) == 1).alias("is_peak_hour"),
+    )

@@ -394,3 +394,73 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@register(
+    "graph_bipartite_project",
+    """
+    WITH e AS (SELECT DISTINCT source, lang FROM documents),
+    deg AS (SELECT source, COUNT(*) AS d FROM e GROUP BY source),
+    p AS (SELECT a.source AS source_a, b.source AS source_b,
+            COUNT(*) AS common_langs
+          FROM e a JOIN e b ON a.lang = b.lang AND a.source < b.source
+          GROUP BY 1, 2)
+    SELECT p.source_a, p.source_b, p.common_langs,
+           CAST(p.common_langs AS DOUBLE)
+             / CAST(da.d + db.d - p.common_langs AS DOUBLE) AS lang_jaccard
+    FROM p JOIN deg da ON da.source = p.source_a
+           JOIN deg db ON db.source = p.source_b
+    """,
+    doc="bipartite projection: source pairs weighted by shared-language "
+    "count + Jaccard over language sets — the co-occurrence graph "
+    "(doc↔attribute) collapsed onto one side",
+)
+def graph_bipartite_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project the doc↔(source, lang) bipartite graph onto sources:
+    two sources are linked iff they publish a common language, weighted
+    by overlap count and language-set Jaccard. The standard
+    co-occurrence construction (user↔item, doc↔entity) used for
+    domain-similarity features in crawl curation. Jaccard is one
+    division of exact integers — engine-identical.
+
+    Scale: the corpus collapses to DISTINCT (source, lang) FIRST — the
+    projection join runs on the distinct edge set (≪ corpus), never on
+    documents. The join key is the attribute (lang); a hot attribute
+    shared by k sources emits k² pairs, so production bounds attribute
+    degree (drop attributes above a cap — same hot-bucket guard as the
+    LSH dedup path) or switches to top-j-by-source sampling; with
+    |langs| and |sources| config-scale here, both sides broadcast.
+    """
+    docs = load(spark, "documents", sf_dir)
+    e = docs.select("source", "lang").distinct()
+    deg = e.groupBy("source").agg(F.count(F.lit(1)).alias("d"))
+    a, b = e.alias("a"), e.alias("b")
+    p = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("common_langs"))
+    )
+    da = deg.select(F.col("source").alias("source_a"), F.col("d").alias("da"))
+    db = deg.select(F.col("source").alias("source_b"), F.col("d").alias("db"))
+    return (
+        p.join(F.broadcast(da), "source_a")
+        .join(F.broadcast(db), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "common_langs",
+            (
+                F.col("common_langs").cast("double")
+                / (F.col("da") + F.col("db") - F.col("common_langs")).cast(
+                    "double"
+                )
+            ).alias("lang_jaccard"),
+        )
+    )

@@ -1877,3 +1877,96 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in out_rows[1:]:
         res = res.unionByName(o)
     return res
+
+
+# ---------- nearest-centroid classification (integer-exact) ----------
+
+
+def _classify_sql() -> str:
+    d2 = (
+        "list_sum(list_transform(range(1, {dim} + 1), "
+        "i -> (e.eq[CAST(i AS INTEGER)] - c.cq[CAST(i AS INTEGER)]) "
+        "* (e.eq[CAST(i AS INTEGER)] - c.cq[CAST(i AS INTEGER)])))"
+    ).format(dim=_KM_DIM)
+    return (
+        "WITH eqs AS MATERIALIZED (SELECT vec_id, label, "
+        "list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) "
+        "* 1000000.0 + 0.5) AS BIGINT)) AS eq FROM embeddings), "
+        f"u AS (SELECT label, unnest(range(1, {_KM_DIM} + 1)) AS pos, "
+        "unnest(eq) AS v FROM eqs), "
+        "cm AS (SELECT label AS clabel, pos, SUM(v) // COUNT(*) AS cv "
+        "FROM u GROUP BY label, pos), "
+        "cq AS MATERIALIZED (SELECT clabel, list(cv ORDER BY pos) AS cq "
+        "FROM cm GROUP BY clabel), "
+        "sc AS (SELECT e.vec_id, e.label AS true_label, c.clabel, "
+        f"{d2} AS d2 FROM eqs e CROSS JOIN cq c), "
+        "a AS (SELECT vec_id, true_label, clabel AS pred_label, "
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, clabel) "
+        "AS rn FROM sc) "
+        "SELECT true_label, pred_label, COUNT(*) AS n_vecs "
+        "FROM a WHERE rn = 1 GROUP BY true_label, pred_label"
+    )
+
+
+@register(
+    "emb_centroid_classify",
+    _classify_sql(),
+    doc="nearest-centroid classification rendered as a confusion "
+    "matrix: per-label floor-div integer centroids, exact integer "
+    "squared distances, deterministic argmin — the label-quality / "
+    "class-separability audit on an embedding column",
+)
+def emb_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rocchio / nearest-centroid classification, reported as the
+    confusion matrix (true_label × predicted_label → count). The
+    diagonal mass measures how separable the labels are in embedding
+    space — the first audit before trusting labels for supervised
+    filtering, and the evaluation half of ``emb_kmeans_lloyd``'s
+    machinery (same quantized grid, same floor-div centroids, same
+    exact integer distances, argmin tie → smallest label).
+
+    Scale: centroids are a k·d-bounded aggregate (map-side combined)
+    broadcast into a per-row argmin over the corpus — one narrow pass,
+    no corpus shuffle; the confusion matrix is a ≤ k² aggregate.
+    Self-classification bias (each vector votes into its own centroid)
+    is the standard Rocchio audit semantics; leave-one-out needs only
+    a per-label (Σq − q)/(n−1) variant of the same integer algebra.
+    """
+    emb = load(spark, "embeddings", sf_dir)
+    eqs = emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(
+                x.cast("double") * F.lit(1e6) + F.lit(0.5)
+            ).cast("long"),
+        ).alias("eq"),
+    )
+    cents = (
+        eqs.select("label", F.posexplode("eq").alias("pos", "v"))
+        .groupBy(F.col("label").alias("clabel"), "pos")
+        .agg(F.expr("sum(v) div count(1)").alias("cv"))
+        .groupBy("clabel")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                lambda s: s.getField("cv"),
+            ).alias("cq")
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with("eq", "cq", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    assigned = (
+        eqs.join(F.broadcast(cents))
+        .select("vec_id", F.col("label").alias("true_label"), "clabel", d2.alias("d2"))
+        .groupBy("vec_id", "true_label")
+        .agg(F.min(F.struct(F.col("d2"), F.col("clabel"))).alias("b"))
+        .select("true_label", F.col("b.clabel").alias("pred_label"))
+    )
+    return assigned.groupBy("true_label", "pred_label").agg(
+        F.count(F.lit(1)).alias("n_vecs")
+    )

@@ -1,0 +1,74 @@
+"""Round-2 wave: volume anomaly, diurnal profile, bipartite
+projection, nearest-centroid classification."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from cs_pipeline_spark.operators.aggregate import agg_seasonal_hod
+from cs_pipeline_spark.operators.graph import graph_bipartite_project
+from cs_pipeline_spark.operators.similarity import emb_centroid_classify
+from cs_pipeline_spark.operators.windows import dq_volume_anomaly
+
+
+def test_volume_anomaly_flags_are_z_consistent(spark, sf_dir):
+    rows = dq_volume_anomaly(spark, sf_dir).collect()
+    assert rows, "no daily volume rows"
+    for r in rows:
+        assert r.n_events > 0
+        if r.z6 is None:
+            # undefined baseline ⇒ never flagged
+            assert r.is_anomaly is False
+        else:
+            # flag must agree with the reported (quantized) z-score:
+            # quantization moves z by <1e-6, never across the 2.0 line
+            # except within that epsilon of it
+            assert r.is_anomaly == (abs(r.z6) > 2.0) or abs(abs(r.z6) - 2.0) < 1e-5
+
+
+def test_volume_anomaly_first_days_have_no_baseline(spark, sf_dir):
+    df = dq_volume_anomaly(spark, sf_dir)
+    first = (
+        df.groupBy("event_type")
+        .agg(F.min("day").alias("d0"))
+        .join(df, on=["event_type"])
+        .filter(F.col("day") == F.col("d0"))
+    )
+    assert all(r.z6 is None for r in first.collect())
+
+
+def test_seasonal_hod_shares_and_peak(spark, sf_dir):
+    rows = agg_seasonal_hod(spark, sf_dir).collect()
+    assert rows
+    by_type: dict[str, list] = {}
+    for r in rows:
+        assert 0 <= r.hod <= 23
+        by_type.setdefault(r.event_type, []).append(r)
+    for t, rs in by_type.items():
+        assert abs(sum(r.share for r in rs) - 1.0) < 1e-9, t
+        peaks = [r for r in rs if r.is_peak_hour]
+        assert len(peaks) == 1, t
+        assert peaks[0].n_events == max(r.n_events for r in rs), t
+
+
+def test_bipartite_projection_bounds(spark, sf_dir):
+    rows = graph_bipartite_project(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.source_a < r.source_b
+        assert r.common_langs >= 1
+        assert 0.0 < r.lang_jaccard <= 1.0
+
+
+def test_centroid_classify_is_total_and_diagonal_heavy(spark, sf_dir):
+    rows = emb_centroid_classify(spark, sf_dir).collect()
+    assert rows
+    from cs_pipeline_spark.tables import load
+
+    n_vec = load(spark, "embeddings", sf_dir).count()
+    assert sum(r.n_vecs for r in rows) == n_vec  # every vector classified
+    diag = sum(r.n_vecs for r in rows if r.true_label == r.pred_label)
+    # labels in the synthetic corpus correlate with embedding clusters:
+    # the classifier must beat uniform-random assignment by a wide margin
+    n_labels = len({r.true_label for r in rows})
+    assert diag / n_vec > 1.5 / n_labels
