@@ -410,3 +410,123 @@ def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(share - F.col("expected_share"), 6).alias("deviation"),
         )
     )
+
+
+# ---------- referential-integrity + uniqueness audits ----------
+
+_FK_RULES = [
+    # (rule id, child table, child key, parent table, parent key)
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    # deliberately violating rule: l_partkey is NOT a supplier key (its
+    # domain is ~20× wider) — simulates the schema-drift misdeclaration
+    # this audit exists to catch, and keeps the check non-vacuous (a DQ
+    # report that can only say "ok" verifies nothing)
+    ("lineitem.l_partkey->supplier", "lineitem", "l_partkey", "supplier", "s_suppkey"),
+]
+
+
+@register(
+    "dq_referential",
+    " UNION ALL ".join(
+        f"SELECT '{rid}' AS rule, "
+        f"(SELECT COUNT(*) FROM {child} WHERE {ck} IS NOT NULL) AS n_rows, "
+        f"(SELECT COUNT(*) FROM {child} c WHERE c.{ck} IS NOT NULL AND "
+        f"NOT EXISTS (SELECT 1 FROM {parent} p WHERE p.{pk} = c.{ck})) "
+        "AS n_orphans"
+        for rid, child, ck, parent, pk in _FK_RULES
+    ),
+    doc="referential-integrity audit: orphaned foreign keys per FK rule "
+    "(anti-join counts), one report row per rule — includes a "
+    "deliberately-broken rule so the check is non-vacuous",
+)
+def dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK-orphan report: for each declared child→parent rule, how many
+    child rows reference a parent key that does not exist. The
+    post-ingest gate that catches partial loads (parent partition
+    missing) and key-domain drift (a feed changing its id space) —
+    exactly what the broken ``events.user_id→customer`` rule shows.
+
+    Scale: each rule is a LEFT ANTI join — Catalyst broadcasts the
+    parent's key column when small and falls back to a shuffled hash
+    join keyed on the FK otherwise; counts are map-side-combined. The
+    rules run as one union plan, so shared scans dedup via exchange
+    reuse.
+    """
+    out = None
+    for rid, child, ck, parent, pk in _FK_RULES:
+        c = load(spark, child, sf_dir).filter(F.col(ck).isNotNull())
+        p = load(spark, parent, sf_dir).select(F.col(pk).alias(ck)).distinct()
+        orphans = c.join(p, ck, "left_anti")
+        row = c.agg(F.count(F.lit(1)).alias("n_rows")).crossJoin(
+            orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+        ).select(F.lit(rid).alias("rule"), "n_rows", "n_orphans")
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+_TEXT_NORM_DUCK = (
+    "array_to_string(list_slice(string_split("
+    "trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), 1, 2), ' ')"
+)
+_TEXT_NORM_SPARK = (
+    "array_join(slice(split("
+    "trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' '), 1, 2), ' ')"
+)
+
+_UNIQ_RULES = [
+    # (rule id, table, spark key expr, duckdb key expr)
+    ("documents.doc_id", "documents", "CAST(doc_id AS STRING)", "CAST(doc_id AS VARCHAR)"),
+    ("embeddings.vec_id", "embeddings", "CAST(vec_id AS STRING)", "CAST(vec_id AS VARCHAR)"),
+    ("events.event_id", "events", "CAST(event_id AS STRING)", "CAST(event_id AS VARCHAR)"),
+    ("orders.o_orderkey", "orders", "CAST(o_orderkey AS STRING)", "CAST(o_orderkey AS VARCHAR)"),
+    # content-level "natural key": the 2-word normalized title prefix
+    # collides heavily in any real corpus — the non-vacuous rule that
+    # shows what declaring a weak natural key as unique would miss
+    ("documents.title_prefix", "documents", _TEXT_NORM_SPARK, _TEXT_NORM_DUCK),
+]
+
+
+@register(
+    "dq_uniqueness",
+    " UNION ALL ".join(
+        f"SELECT '{rid}' AS rule, COUNT(*) AS n_rows, "
+        "COUNT(DISTINCT k) AS n_distinct, "
+        "CAST(COUNT(*) - COUNT(DISTINCT k) AS BIGINT) AS n_excess "
+        f"FROM (SELECT {dexpr} AS k FROM {tbl})"
+        for rid, tbl, _sexpr, dexpr in _UNIQ_RULES
+    ),
+    doc="primary-key / content-key uniqueness audit: rows vs distinct "
+    "keys per declared rule, excess = duplicate mass — includes the "
+    "2-word title-prefix natural key, which collides by construction",
+)
+def dq_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniqueness audit: for each declared key, total rows vs distinct
+    keys; ``n_excess`` > 0 means duplicate keys slipped in (double
+    ingest, replayed feed, near-dup corpus). Surrogate keys must come
+    back clean; the title-prefix natural key quantifies how
+    non-unique a tempting "natural key" really is before anyone joins
+    on it.
+
+    Scale: COUNT(DISTINCT) compiles to a two-stage partial-distinct
+    aggregate (map-side dedup before the shuffle); keys travel as
+    16-byte digests for the content rule, never document text. One
+    union plan, one pass per table.
+    """
+    out = None
+    for rid, tbl, sexpr, _dexpr in _UNIQ_RULES:
+        t = load(spark, tbl, sf_dir)
+        row = (
+            t.select(F.expr(sexpr).alias("k"))
+            .agg(
+                F.lit(rid).alias("rule"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct("k").alias("n_distinct"),
+                (F.count(F.lit(1)) - F.countDistinct("k"))
+                .cast("long")
+                .alias("n_excess"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

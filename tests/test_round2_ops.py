@@ -72,3 +72,26 @@ def test_centroid_classify_is_total_and_diagonal_heavy(spark, sf_dir):
     # the classifier must beat uniform-random assignment by a wide margin
     n_labels = len({r.true_label for r in rows})
     assert diag / n_vec > 1.5 / n_labels
+
+
+def test_referential_audit_finds_real_orphans(spark, sf_dir):
+    from cs_pipeline_spark.operators.filters import dq_referential
+
+    rows = {r.rule: r for r in dq_referential(spark, sf_dir).collect()}
+    # TPC-H integrity holds
+    assert rows["lineitem.l_orderkey->orders"].n_orphans == 0
+    assert rows["orders.o_custkey->customer"].n_orphans == 0
+    # the deliberately-broken rule must trip
+    assert rows["lineitem.l_partkey->supplier"].n_orphans > 0
+    for r in rows.values():
+        assert 0 <= r.n_orphans <= r.n_rows
+
+
+def test_uniqueness_audit(spark, sf_dir):
+    from cs_pipeline_spark.operators.filters import dq_uniqueness
+
+    rows = {r.rule: r for r in dq_uniqueness(spark, sf_dir).collect()}
+    for rid in ("documents.doc_id", "embeddings.vec_id", "events.event_id"):
+        assert rows[rid].n_excess == 0, rid
+    # title-prefix natural key collides by construction
+    assert rows["documents.title_prefix"].n_excess > 0
