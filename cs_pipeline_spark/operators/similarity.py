@@ -1970,3 +1970,129 @@ def emb_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy("true_label", "pred_label").agg(
         F.count(F.lit(1)).alias("n_vecs")
     )
+
+
+def _outlier_sql() -> str:
+    d2 = (
+        "list_sum(list_transform(range(1, {dim} + 1), "
+        "i -> (e.eq[CAST(i AS INTEGER)] - c.cq[CAST(i AS INTEGER)]) "
+        "* (e.eq[CAST(i AS INTEGER)] - c.cq[CAST(i AS INTEGER)])))"
+    ).format(dim=_KM_DIM)
+    return (
+        "WITH eqs AS MATERIALIZED (SELECT vec_id, label, "
+        "list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) "
+        "* 1000000.0 + 0.5) AS BIGINT)) AS eq FROM embeddings), "
+        f"u AS (SELECT label, unnest(range(1, {_KM_DIM} + 1)) AS pos, "
+        "unnest(eq) AS v FROM eqs), "
+        "cm AS (SELECT label AS clabel, pos, SUM(v) // COUNT(*) AS cv "
+        "FROM u GROUP BY label, pos), "
+        "cq AS MATERIALIZED (SELECT clabel, list(cv ORDER BY pos) AS cq "
+        "FROM cm GROUP BY clabel), "
+        # list_sum yields DOUBLE — exact here (d2 < 2^53) but cast back
+        # to BIGINT so the output type matches Spark's long
+        f"dd AS (SELECT e.vec_id, e.label, CAST({d2} AS BIGINT) AS d2 "
+        "FROM eqs e JOIN cq c ON c.clabel = e.label), "
+        "m AS (SELECT label, COUNT(*) AS n, "
+        "SUM(CAST(d2 AS HUGEINT)) AS s1, "
+        "SUM(CAST(d2 AS HUGEINT) * CAST(d2 AS HUGEINT)) AS s2 "
+        "FROM dd GROUP BY label), "
+        "z AS (SELECT dd.vec_id, dd.label, dd.d2, "
+        "CASE WHEN m.n > 1 AND (m.n * m.s2 - m.s1 * m.s1) > 0 THEN "
+        "(CAST(dd.d2 AS DOUBLE) "
+        " - CAST(CAST(m.s1 AS VARCHAR) AS DOUBLE) / m.n) "
+        "/ SQRT(CAST(CAST(m.n * m.s2 - m.s1 * m.s1 AS VARCHAR) AS DOUBLE) "
+        "/ (CAST(m.n AS DOUBLE) * CAST(m.n AS DOUBLE))) END AS zscore "
+        "FROM dd JOIN m ON m.label = dd.label) "
+        "SELECT vec_id, label, d2, "
+        "(FLOOR(zscore * 1000000.0 + 0.5) / 1000000.0) AS z6, "
+        "COALESCE(zscore > 2.0, FALSE) AS is_outlier FROM z"
+    )
+
+
+@register(
+    "emb_outlier_distance",
+    _outlier_sql(),
+    doc="embedding hygiene: per-label distance-to-centroid z-score "
+    "(exact integer distances + HUGEINT moments), z > 2 flagged — the "
+    "mislabeled / corrupt-vector detector run before training on a "
+    "labeled embedding column",
+)
+def emb_outlier_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-outlier audit: a vector far from its own label's
+    centroid is a labeling error, an embedding-model glitch, or real
+    tail content — all three deserve review before the label is used
+    for supervised filtering. Distances are the same exact integer
+    squared-L2 as ``emb_kmeans_lloyd``; the per-label mean/std come
+    from exact decimal moments over those integers (the
+    cancellation-free n·Σd² − (Σd)² identity — d² reaches ~4e27, far
+    beyond int64, hence decimal/HUGEINT), so both engines flag the
+    identical vector set. One-sided flag: only far-out vectors are
+    anomalous, unusually-central ones are fine.
+
+    Scale: centroids are a k·d aggregate broadcast back; distances are
+    a narrow per-row pass; moments are one map-side-combined groupBy
+    on (label). Nothing shuffles the corpus.
+    """
+    emb = load(spark, "embeddings", sf_dir)
+    eqs = emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(
+                x.cast("double") * F.lit(1e6) + F.lit(0.5)
+            ).cast("long"),
+        ).alias("eq"),
+    )
+    cents = (
+        eqs.select("label", F.posexplode("eq").alias("pos", "v"))
+        .groupBy(F.col("label").alias("clabel"), "pos")
+        .agg(F.expr("sum(v) div count(1)").alias("cv"))
+        .groupBy("clabel")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                lambda s: s.getField("cv"),
+            ).alias("cq")
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with("eq", "cq", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    dd = eqs.join(
+        F.broadcast(cents), eqs.label == cents.clabel
+    ).select("vec_id", "label", d2.alias("d2"))
+    s1 = F.sum(F.col("d2").cast("decimal(38,0)"))
+    s2 = F.sum(
+        F.col("d2").cast("decimal(19,0)") * F.col("d2").cast("decimal(19,0)")
+    )
+    m = dd.groupBy(F.col("label").alias("mlabel")).agg(
+        F.count(F.lit(1)).alias("n"),
+        s1.alias("s1"),
+        s2.alias("s2"),
+    )
+    num = F.col("s2") * F.col("n").cast("decimal(20,0)") - F.col("s1") * F.col("s1")
+    nd = F.col("n").cast("double")
+    mean = F.col("s1").cast("string").cast("double") / F.col("n")
+    std = F.sqrt(num.cast("string").cast("double") / (nd * nd))
+    z = F.when(
+        (F.col("n") > 1) & (num > 0),
+        (F.col("d2").cast("double") - mean) / std,
+    )
+    from cs_pipeline_spark.operators.helpers import dround
+
+    return (
+        dd.join(F.broadcast(m), dd.label == m.mlabel)
+        .withColumn("zscore", z)
+        .select(
+            "vec_id",
+            "label",
+            "d2",
+            dround("zscore", 6).alias("z6"),
+            F.coalesce(F.col("zscore") > 2.0, F.lit(False)).alias(
+                "is_outlier"
+            ),
+        )
+    )

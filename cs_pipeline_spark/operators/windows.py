@@ -1636,3 +1636,75 @@ def dq_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("zscore")) > F.lit(_VOL_Z), F.lit(False)
         ).alias("is_anomaly"),
     )
+
+
+@register(
+    "win_sliding_distinct",
+    f"""
+    WITH a AS (SELECT DISTINCT date_trunc('day', {EVENTS_TS_SQL}) AS day,
+                               user_id
+               FROM events),
+    days AS (SELECT DISTINCT day FROM a),
+    sc AS (SELECT a.day + INTERVAL (i.x) DAY AS report_day, a.user_id
+           FROM a, range(7) i(x)),
+    w AS (SELECT d.day, COUNT(DISTINCT s.user_id) AS wau7
+          FROM days d JOIN sc s ON s.report_day = d.day GROUP BY d.day),
+    dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM a GROUP BY day)
+    SELECT d.day, dau.dau, w.wau7,
+           CAST(dau.dau AS DOUBLE) / CAST(w.wau7 AS DOUBLE) AS stickiness
+    FROM days d JOIN dau ON dau.day = d.day JOIN w ON w.day = d.day
+    """,
+    doc="sliding DISTINCT count (trailing-7-day active users per day) "
+    "via the scatter trick — the windowed distinct no window function "
+    "can express; plus DAU/WAU stickiness ratio",
+)
+def win_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window distinct counts (WAU per day). COUNT(DISTINCT)
+    OVER a moving frame is not supported by any engine's window
+    functions and naive per-day re-scans are O(days·corpus); the
+    scale shape is scatter: collapse to distinct (day, user) once,
+    then each activity day votes into the ≤7 report days it can serve
+    (a ×7 row scatter on the ALREADY-COLLAPSED frame), and a two-stage
+    partial-distinct aggregate counts per report day. Report days are
+    restricted to observed days, so trailing windows never invent
+    days. Stickiness = DAU/WAU is the standard engagement ratio —
+    one division of exact integers.
+
+    Scale: the corpus touches one groupBy to (day, user); everything
+    after runs on |days|·|users_active| rows. At 100 TB the distinct
+    step is served from daily-partitioned parquet with partial
+    aggregation per partition — no shuffle carries raw events.
+    """
+    ev = load(spark, "events", sf_dir)
+    a = ev.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    days = a.select("day").distinct()
+    sc = a.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+        "day",
+        "user_id",
+    ).select(
+        (F.col("day") + F.make_interval(days=F.col("i"))).alias(
+            "report_day"
+        ),
+        "user_id",
+    )
+    w = (
+        days.join(sc, days.day == sc.report_day)
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau7"))
+    )
+    dau = a.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    return (
+        days.join(dau, "day")
+        .join(w, "day")
+        .select(
+            "day",
+            "dau",
+            "wau7",
+            (F.col("dau").cast("double") / F.col("wau7").cast("double")).alias(
+                "stickiness"
+            ),
+        )
+    )

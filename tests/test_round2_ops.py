@@ -95,3 +95,30 @@ def test_uniqueness_audit(spark, sf_dir):
         assert rows[rid].n_excess == 0, rid
     # title-prefix natural key collides by construction
     assert rows["documents.title_prefix"].n_excess > 0
+
+
+def test_sliding_distinct_invariants(spark, sf_dir):
+    from cs_pipeline_spark.operators.windows import win_sliding_distinct
+
+    rows = win_sliding_distinct(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.dau <= r.wau7  # DAU can never exceed WAU
+        assert 0.0 < r.stickiness <= 1.0
+
+
+def test_emb_outlier_flags(spark, sf_dir):
+    from cs_pipeline_spark.operators.similarity import emb_outlier_distance
+    from cs_pipeline_spark.tables import load
+
+    rows = emb_outlier_distance(spark, sf_dir).collect()
+    n_vec = load(spark, "embeddings", sf_dir).count()
+    assert len(rows) == n_vec  # audit is total
+    flagged = [r for r in rows if r.is_outlier]
+    # one-sided z>2 on roughly-normal distances: a few percent flagged,
+    # never none, never a majority
+    assert 0 < len(flagged) < n_vec / 4
+    for r in rows:
+        assert r.d2 >= 0
+        if r.is_outlier:
+            assert r.z6 > 2.0 - 1e-5
