@@ -62,6 +62,11 @@ HEADLINE = [
     "corpus_budget_select",
     "win_cusum_changepoint",
     "events_analytics_e2e",
+    # round-2 wave 10: sliding distinct (scatter), DQ anomaly gate,
+    # nearest-centroid audit
+    "win_sliding_distinct",
+    "dq_volume_anomaly",
+    "emb_centroid_classify",
 ]
 
 
