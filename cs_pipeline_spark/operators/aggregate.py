@@ -1915,3 +1915,77 @@ def agg_seasonal_hod(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("share"),
         (F.row_number().over(wr) == 1).alias("is_peak_hour"),
     )
+
+
+@register(
+    "agg_quantiles_cont",
+    "WITH r AS (SELECT event_type, value, "
+    "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) "
+    "AS rn, COUNT(*) OVER (PARTITION BY event_type) AS n FROM events), "
+    "p AS (SELECT event_type, MAX(n) AS n_rows, "
+    "MAX(CASE WHEN rn = FLOOR(0.5 * (n - 1) + 1) THEN value END) AS lo5, "
+    "MAX(CASE WHEN rn = CEIL(0.5 * (n - 1) + 1) THEN value END) AS hi5, "
+    "MAX(CASE WHEN rn = FLOOR(0.9 * (n - 1) + 1) THEN value END) AS lo9, "
+    "MAX(CASE WHEN rn = CEIL(0.9 * (n - 1) + 1) THEN value END) AS hi9 "
+    "FROM r GROUP BY event_type) "
+    "SELECT event_type, n_rows, "
+    "FLOOR((lo5 + (hi5 - lo5) * (0.5 * (n_rows - 1) + 1 - FLOOR(0.5 * (n_rows - 1) + 1))) * 1000000.0 + 0.5) / 1000000.0 AS p50_cont, "
+    "FLOOR((lo9 + (hi9 - lo9) * (0.9 * (n_rows - 1) + 1 - FLOOR(0.9 * (n_rows - 1) + 1))) * 1000000.0 + 0.5) / 1000000.0 AS p90_cont "
+    "FROM p",
+    doc="continuous (linearly interpolated) p50/p90 per group via "
+    "rank-selected bracketing elements — percentile_cont semantics "
+    "with engine-exact arithmetic, no built-in interpolation "
+    "implementation differences",
+)
+def agg_quantiles_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated quantiles (numpy/percentile_cont 'linear'
+    semantics): position (n−1)·q+1 brackets two ranked elements,
+    result = lo + (hi−lo)·frac. Each step — the position product,
+    floor/ceil, the fraction, one multiply, one add — is a single
+    correctly-rounded IEEE op on identical operands in both engines,
+    so the interpolated value is bit-identical WITHOUT trusting two
+    engines' percentile_cont implementations to agree on boundary
+    conventions (they famously don't across databases).
+
+    Plan shape is ``agg_quantiles_disc``: one shuffle on the group
+    key; rank window + final aggregation share the partitioning."""
+    ev = load(spark, "events", sf_dir)
+    wq = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(wq).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def bracket(q: float):
+        pos = F.lit(q) * (F.col("n") - 1) + 1
+        lo = F.max(F.when(F.col("rn") == F.floor(pos), F.col("value")))
+        hi = F.max(F.when(F.col("rn") == F.ceil(pos), F.col("value")))
+        return lo, hi
+
+    lo5, hi5 = bracket(0.5)
+    lo9, hi9 = bracket(0.9)
+    p = r.groupBy("event_type").agg(
+        F.max("n").alias("n_rows"),
+        lo5.alias("lo5"),
+        hi5.alias("hi5"),
+        lo9.alias("lo9"),
+        hi9.alias("hi9"),
+    )
+
+    def interp(lo: str, hi: str, q: float) -> Column:
+        pos = F.lit(q) * (F.col("n_rows") - 1) + 1
+        frac = pos - F.floor(pos)
+        return F.col(lo) + (F.col(hi) - F.col(lo)) * frac
+
+    return p.select(
+        "event_type",
+        "n_rows",
+        # 6-dp floor-quantize: the lo+(hi-lo)*frac chain can differ by
+        # one ULP across engines (fused-multiply-add); dround is the
+        # repo-wide answer for rational-ratio outputs
+        dround(interp("lo5", "hi5", 0.5), 6).alias("p50_cont"),
+        dround(interp("lo9", "hi9", 0.9), 6).alias("p90_cont"),
+    )

@@ -122,3 +122,17 @@ def test_emb_outlier_flags(spark, sf_dir):
         assert r.d2 >= 0
         if r.is_outlier:
             assert r.z6 > 2.0 - 1e-5
+
+
+def test_quantiles_cont_brackets_disc(spark, sf_dir):
+    from cs_pipeline_spark.operators.aggregate import (
+        agg_quantiles_cont,
+        agg_quantiles_disc,
+    )
+
+    cont = {r.event_type: r for r in agg_quantiles_cont(spark, sf_dir).collect()}
+    disc = {r.event_type: r for r in agg_quantiles_disc(spark, sf_dir).collect()}
+    for t, c in cont.items():
+        # interpolated p50 sits within the discrete p25..p75 band
+        assert disc[t].p25 <= c.p50_cont <= disc[t].p75
+        assert c.p50_cont <= c.p90_cont
