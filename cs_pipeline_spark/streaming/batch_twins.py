@@ -383,3 +383,17 @@ def stream_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "error"),
         ev.filter(F.col("event_type") == "click"),
     )
+
+
+@register(
+    "stream_active_users",
+    "WITH d AS (SELECT DISTINCT time_bucket(INTERVAL '60 minutes', "
+    f"{_TS}) AS win_start, user_id FROM events) "
+    "SELECT win_start, win_start + INTERVAL '60 minutes' AS win_end, "
+    "COUNT(*) AS active_users FROM d GROUP BY 1",
+    doc="hourly distinct active users (batch twin of the streaming "
+    "windowed-dedup + count chain; COUNT DISTINCT is not streamable, "
+    "dropDuplicates state is)",
+)
+def stream_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.active_users(load(spark, "events", sf_dir))

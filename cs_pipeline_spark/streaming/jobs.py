@@ -112,3 +112,10 @@ def interval_join_left_job(events: DataFrame) -> DataFrame:
     errors = wm.filter(F.col("event_type") == "error")
     clicks = wm.filter(F.col("event_type") == "click")
     return W.error_click_attribution_outer(errors, clicks)
+
+
+def active_users_job(events: DataFrame) -> DataFrame:
+    """Hourly distinct-actives: watermark → windowed dedup → count
+    (two chained stateful operators; dedup state evicts past the
+    watermark, finalized windows emit in append mode)."""
+    return W.active_users(W.with_watermark(events))

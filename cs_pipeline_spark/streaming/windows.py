@@ -233,3 +233,30 @@ def error_click_attribution_outer(
 import datetime as _dt
 
 WATERMARK_DELTA = _dt.timedelta(minutes=30)  # WATERMARK as a timedelta
+
+
+ACTIVE_WIDTH = "60 minutes"
+
+
+def active_users(events: DataFrame) -> DataFrame:
+    """Hourly distinct active users: windowed dedup then count.
+
+    COUNT(DISTINCT) is not allowed in streaming aggregations; the
+    streaming-native form is ``dropDuplicates`` on (window, user) —
+    watermark-bounded state — followed by a plain count, a chain of
+    two stateful operators Spark supports for windowed aggregations.
+    The batch run of the same code collapses to a distinct + count,
+    which is what the DuckDB twin checks.
+    """
+    per_win = events.select(
+        F.window("ts", ACTIVE_WIDTH).alias("win"), "user_id"
+    ).dropDuplicates(["win", "user_id"])
+    return (
+        per_win.groupBy("win")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "active_users",
+        )
+    )

@@ -650,3 +650,22 @@ def test_python_datasource_stream_matches_batch(spark, tmp_path_factory):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == P.STREAM_TOTAL
+
+
+def test_active_users_stream_matches_batch(spark, events_stream_dir):
+    """Chained stateful ops (windowed dedup → count) through the real
+    streaming engine must agree with the batch twin."""
+    stream = jobs.read_events_stream(spark, events_stream_dir)
+    got = _run_stream(
+        spark, jobs.active_users_job(stream), "t_active", mode="append"
+    )
+    want = jobs.W.active_users(load(spark, "events", SF_DIR))
+    cols = ["win_start", "win_end", "active_users"]
+    # append mode emits only watermark-finalized windows; every emitted
+    # window must match the batch result exactly, and with availableNow
+    # over bounded input all-but-the-last windows finalize
+    got_rows = _canon(got, cols)
+    want_rows = _canon(want, cols)
+    assert got_rows, "no finalized windows emitted"
+    assert set(got_rows) <= set(want_rows)
+    assert len(got_rows) >= len(want_rows) - 2
