@@ -67,6 +67,7 @@ HEADLINE = [
     "win_sliding_distinct",
     "dq_volume_anomaly",
     "emb_centroid_classify",
+    "train_assembly_e2e",
 ]
 
 

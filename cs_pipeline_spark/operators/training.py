@@ -487,3 +487,153 @@ def f_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         sb.alias("source_bucket"),
         ss.cast("int").alias("source_sign"),
     )
+
+
+# ---------- flagship #5: training-data assembly funnel ----------
+
+_TA_PRIME = 1000000007
+_TA_MULT = 2654435761 % _TA_PRIME
+
+
+def _ta_oracle() -> str:
+    """Stage funnel, all integer-set algebra (bit-exact cross-engine)."""
+    return f"""
+    WITH base AS (
+      SELECT d.doc_id, d.source, len({_DUCK_TOKENS}) AS n_tokens,
+             length({_NORM_DUCK}) AS n_chars
+      FROM documents d
+      WHERE (((d.doc_id % {_TA_PRIME}) * {_TA_MULT}) % {_TA_PRIME}) % 100 < 80
+    ),
+    emb AS (
+      SELECT b.* FROM base b JOIN embeddings e ON e.vec_id = b.doc_id
+    ),
+    chunks AS (
+      SELECT doc_id, unnest(range(0,
+        CASE WHEN n_chars <= {_CHUNK} THEN 1
+             ELSE CAST(ceil(CAST(n_chars - {_CHUNK} AS DOUBLE) / {_STRIDE})
+                  AS BIGINT) + 1 END)) AS i
+      FROM emb
+    ),
+    packed AS (
+      SELECT source, n_tokens,
+             CAST(floor((SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - 1) / {_BUDGET}) AS BIGINT) AS bin_id
+      FROM emb
+    ),
+    bins AS (
+      SELECT source, bin_id, SUM(n_tokens) AS bin_tokens
+      FROM packed GROUP BY source, bin_id
+    ),
+    batches AS (
+      SELECT source, bin_id // 64 AS batch_id FROM bins
+      GROUP BY source, bin_id // 64
+    )
+    SELECT 'train_docs' AS stage, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(n_tokens) AS DOUBLE) AS metric FROM base
+    UNION ALL
+    SELECT 'embedded', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(n_tokens) AS DOUBLE) FROM emb
+    UNION ALL
+    SELECT 'chunks', CAST(COUNT(*) AS BIGINT), NULL FROM chunks
+    UNION ALL
+    SELECT 'packed_bins', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(bin_tokens) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * {_BUDGET}) FROM bins
+    UNION ALL
+    SELECT 'batches', CAST(COUNT(*) AS BIGINT), NULL FROM batches
+    """
+
+
+@register(
+    "train_assembly_e2e",
+    _ta_oracle(),
+    doc="flagship #5: training-data assembly funnel — 80% train split "
+    "→ embedding inner-join → 200/150-char chunking → 512-token "
+    "contiguous packing → 64-bin batches; one (stage, n_rows, metric) "
+    "row per stage (metric: token mass / bin fill ratio)",
+)
+def train_assembly_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus→model-ready handoff composed end-to-end: the docs
+    ``curate_corpus_e2e`` would release become the train split
+    (multiplicative-hash bucket < 80, ``sample_train_split``'s hash),
+    keep only docs whose embedding exists (the modality-completeness
+    join every multimodal trainer runs), chunk for context windows
+    (``doc_chunk_split`` offsets), pack whole docs into 512-token
+    contiguous bins (``pack_sequences``), and group bins into
+    64-sequence batches. The funnel reports stage counts plus token
+    mass and mean bin-fill ratio — the numbers a training launch
+    checklist actually reads.
+
+    Scale: split + chunk are scan-level projections; the embedding
+    join is key-partitioned (both sides id-keyed — at 100 TB this is
+    the bucketed-join case, ``join_bucketed``); packing is one window
+    cumsum per source partition; every stage count is a map-side-
+    combined aggregate. Integer algebra end to end — the only floats
+    are two final single divisions.
+    """
+    docs = load(spark, "documents", sf_dir)
+    emb_ids = load(spark, "embeddings", sf_dir).select(
+        F.col("vec_id").alias("doc_id")
+    )
+    bucket = (
+        (F.col("doc_id") % F.lit(_TA_PRIME)) * F.lit(_TA_MULT)
+    ) % F.lit(_TA_PRIME) % F.lit(100)
+    base = (
+        docs.filter(bucket < 80)
+        .select(
+            "doc_id",
+            "source",
+            F.size(_tokens(F.expr(_NORM))).alias("n_tokens"),
+            F.length(F.expr(_NORM)).alias("n_chars"),
+        )
+        .persist()
+    )
+    emb = base.join(emb_ids, "doc_id").persist()
+
+    n_chunks = F.when(F.col("n_chars") <= _CHUNK, F.lit(1)).otherwise(
+        F.ceil((F.col("n_chars") - _CHUNK).cast("double") / _STRIDE) + 1
+    )
+    chunks = emb.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("i")
+    )
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = emb.select(
+        "source",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - 1) / _BUDGET).alias("bin_id"),
+    )
+    bins = packed.groupBy("source", "bin_id").agg(
+        F.sum("n_tokens").alias("bin_tokens")
+    )
+    batches = bins.groupBy(
+        "source", (F.col("bin_id") / 64).cast("long").alias("batch_id")
+    ).agg(F.count(F.lit(1)).alias("_n"))
+
+    def row(stage: str, df: DataFrame, metric) -> DataFrame:
+        return df.agg(
+            F.lit(stage).alias("stage"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            metric.alias("metric"),
+        )
+
+    null_d = F.lit(None).cast("double")
+    out = row("train_docs", base, F.sum("n_tokens").cast("double"))
+    out = out.unionByName(row("embedded", emb, F.sum("n_tokens").cast("double")))
+    out = out.unionByName(row("chunks", chunks, F.max(null_d)))
+    out = out.unionByName(
+        row(
+            "packed_bins",
+            bins,
+            F.sum("bin_tokens").cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(float(_BUDGET))),
+        )
+    )
+    out = out.unionByName(row("batches", batches, F.max(null_d)))
+    return out

@@ -136,3 +136,18 @@ def test_quantiles_cont_brackets_disc(spark, sf_dir):
         # interpolated p50 sits within the discrete p25..p75 band
         assert disc[t].p25 <= c.p50_cont <= disc[t].p75
         assert c.p50_cont <= c.p90_cont
+
+
+def test_train_assembly_funnel_monotone(spark, sf_dir):
+    from cs_pipeline_spark.operators.training import train_assembly_e2e
+
+    rows = {r.stage: r for r in train_assembly_e2e(spark, sf_dir).collect()}
+    assert set(rows) == {"train_docs", "embedded", "chunks", "packed_bins", "batches"}
+    # joins/filters only shrink; chunking only grows
+    assert rows["embedded"].n_rows <= rows["train_docs"].n_rows
+    assert rows["chunks"].n_rows >= rows["embedded"].n_rows
+    assert rows["batches"].n_rows <= rows["packed_bins"].n_rows
+    # token mass is preserved through the embed join report
+    assert rows["embedded"].metric <= rows["train_docs"].metric
+    # bins can only be filled up to the budget
+    assert 0.0 < rows["packed_bins"].metric <= 1.0
