@@ -1708,3 +1708,94 @@ def win_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "ts_regularize",
+    f"""
+    WITH {ERA5_CTE},
+    obs AS (SELECT latitude, longitude,
+              date_trunc('hour', valid_time) AS h,
+              MIN_BY(t2m, event_id) AS t2m
+            FROM era5 GROUP BY 1, 2, 3),
+    bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM obs),
+    cells AS (SELECT DISTINCT latitude, longitude FROM obs),
+    spine AS (SELECT c.latitude, c.longitude, s.h
+              FROM cells c, bounds b,
+                   LATERAL (SELECT unnest(generate_series(b.h0, b.h1,
+                            INTERVAL 1 HOUR)) AS h) s),
+    j AS (SELECT sp.latitude, sp.longitude, sp.h,
+            o.t2m AS t2m_obs
+          FROM spine sp LEFT JOIN obs o
+            ON o.latitude = sp.latitude AND o.longitude = sp.longitude
+           AND o.h = sp.h)
+    SELECT latitude, longitude, h,
+           LAST_VALUE(t2m_obs IGNORE NULLS) OVER (
+             PARTITION BY latitude, longitude ORDER BY h
+             ROWS UNBOUNDED PRECEDING) AS t2m_filled,
+           (t2m_obs IS NULL) AS is_filled
+    FROM j
+    """,
+    doc="time-spine regularization: complete hourly grid per cell "
+    "(sequence spine × cells, left join, forward-fill) — the xarray "
+    "reindex(...).ffill() pattern as relational ops",
+)
+def ts_regularize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample an irregular observation stream onto a complete hourly
+    spine: xarray's ``reindex(time=hourly).ffill('time')``, the step
+    the reference runs implicitly by selecting on a regular ERA5 time
+    axis, expressed as relational operators — generate the spine
+    (bounded by calendar, not data), left-join observations, and
+    forward-fill per cell. Filled rows keep an ``is_filled`` flag so
+    downstream aggregates can weight or exclude imputed values (the
+    honest version of silent ffill). Forward-fill COPIES values — no
+    new float arithmetic — so both engines agree bit-for-bit.
+
+    Scale: the spine is |cells|·|hours| rows built from two scalars +
+    the distinct cell set (metadata scale); observations join on
+    (cell, hour) keys — at 100 TB a date-partitioned layout prunes
+    both sides to matching partitions, and the ffill window is one
+    range-partition shuffle on the cell key. Gap DETECTION (the
+    reference's missing-rows report) is ``agg_missing_groups``;
+    this is the repair step.
+    """
+    obs = (
+        era5_events(spark, sf_dir)
+        .select(
+            "latitude",
+            "longitude",
+            F.date_trunc("hour", "valid_time").alias("h"),
+            "t2m",
+            "event_id",
+        )
+        .groupBy("latitude", "longitude", "h")
+        .agg(F.min_by("t2m", "event_id").alias("t2m"))
+    )
+    bounds = obs.agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    cells = obs.select("latitude", "longitude").distinct()
+    spine = cells.crossJoin(F.broadcast(bounds)).select(
+        "latitude",
+        "longitude",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    j = spine.join(
+        obs.withColumnRenamed("t2m", "t2m_obs"),
+        ["latitude", "longitude", "h"],
+        "left",
+    )
+    w = (
+        Window.partitionBy("latitude", "longitude")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "latitude",
+        "longitude",
+        "h",
+        F.last("t2m_obs", ignorenulls=True).over(w).alias("t2m_filled"),
+        F.col("t2m_obs").isNull().alias("is_filled"),
+    )

@@ -151,3 +151,21 @@ def test_train_assembly_funnel_monotone(spark, sf_dir):
     assert rows["embedded"].metric <= rows["train_docs"].metric
     # bins can only be filled up to the budget
     assert 0.0 < rows["packed_bins"].metric <= 1.0
+
+
+def test_ts_regularize_spine_complete(spark, sf_dir):
+    from cs_pipeline_spark.operators.windows import ts_regularize
+    import pyspark.sql.functions as F
+
+    df = ts_regularize(spark, sf_dir)
+    # complete grid: every cell carries the identical number of hours
+    per_cell = df.groupBy("latitude", "longitude").count()
+    counts = {r["count"] for r in per_cell.collect()}
+    assert len(counts) == 1
+    # some gaps were filled, and filled rows carry the previous value
+    assert df.filter("is_filled").count() > 0
+    # after the first observation of a cell, no nulls remain
+    n_null_tail = df.filter(
+        F.col("t2m_filled").isNull() & ~F.col("is_filled")
+    ).count()
+    assert n_null_tail == 0
