@@ -167,6 +167,22 @@ AUDIT: dict[str, dict] = {
     "win_autocorr_lag1": {"smj": 0},
     "emb_kmeans_lloyd": {"smj": 0},
     "filter_polygon_contains": {"smj": 0, "exchange": 1},
+    # round-2 wave 11: audits, spine, flagship #5
+    "dq_volume_anomaly": {"smj": 0},
+    "dq_referential": {"smj": 0},
+    "dq_uniqueness": {"smj": 0},
+    # 2 exchanges by design: the (type, hod) aggregation key cannot
+    # serve the coarser (type) window partitioning; the second shuffle
+    # moves ≤ 24·|types| rows
+    "agg_seasonal_hod": {"smj": 0, "exchange": 2},
+    "win_sliding_distinct": {"smj": 0},
+    "emb_centroid_classify": {"smj": 0},
+    "emb_outlier_distance": {"smj": 0},
+    "graph_bipartite_project": {"smj": 0},
+    "agg_quantiles_cont": {"smj": 0, "exchange": 1},
+    "ts_regularize": {"smj": 0},
+    "train_assembly_e2e": {"smj": 0},
+    "stream_active_users": {"smj": 0},
     "sink_dynamic_overwrite": {"smj": 0},
 }
 
