@@ -613,3 +613,86 @@ def filter_polygon_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crossings.filter(F.col("n_cross") % 2 == 1).select(
         "station_id", "polygon_id"
     )
+
+
+@register(
+    "agg_zonal_stats",
+    f"""
+    WITH {ERA5_CTE},
+    {_EDGES_SQL},
+    cells AS (SELECT DISTINCT latitude, longitude,
+                CAST(FLOOR(latitude * 1000000.0 + 0.5) AS BIGINT) AS py,
+                CAST(FLOOR(longitude * 1000000.0 + 0.5) AS BIGINT) AS px
+              FROM era5),
+    crossings AS (
+      SELECT c.latitude, c.longitude, e.polygon_id,
+             SUM(CASE WHEN {_CROSS_SQL} THEN 1 ELSE 0 END) AS n_cross
+      FROM cells c CROSS JOIN edges e
+      GROUP BY 1, 2, 3
+    ),
+    inside AS (SELECT latitude, longitude, polygon_id
+               FROM crossings WHERE n_cross % 2 = 1)
+    SELECT i.polygon_id,
+           COUNT(DISTINCT (i.latitude, i.longitude)) AS n_cells,
+           COUNT(*) AS n_obs,
+           {sql_davg('e.t2m')} AS t2m_mean,
+           MIN(e.t2m) AS t2m_min,
+           MAX(e.t2m) AS t2m_max
+    FROM inside i JOIN era5 e
+      ON e.latitude = i.latitude AND e.longitude = i.longitude
+    GROUP BY i.polygon_id
+    """,
+    doc="zonal statistics: per-polygon cell count + mean/min/max of a "
+    "grid variable via exact integer point-in-polygon tagging — the "
+    "canonical vector-zone x raster-value aggregation",
+)
+def agg_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics — aggregate a gridded variable over irregular
+    polygon zones (watersheds, admin regions): the standard geospatial
+    reduction the reference's rectangular-bbox clip cannot express.
+    Zone membership reuses the exact integer ray-casting verdict
+    (``filter_polygon_contains``), so the cell→zone assignment — and
+    therefore every downstream statistic — is bit-identical across
+    engines; means go through ``davg``.
+
+    Scale: membership is decided on the DISTINCT cell set (bounded by
+    grid resolution, ~1M cells for global 0.25°), never per
+    observation; the tagged cell→zone map broadcasts back into the
+    fact join and the final rollup is one map-side-combined aggregate
+    per zone. Polygon sets beyond broadcast size pre-filter by bbox
+    grid cell as in ``filter_polygon_contains``.
+    """
+    era5 = era5_events(spark, sf_dir)
+    cells = (
+        era5.select("latitude", "longitude")
+        .distinct()
+        .select(
+            "latitude",
+            "longitude",
+            F.floor(F.col("latitude") * 1e6 + 0.5).cast("long").alias("py"),
+            F.floor(F.col("longitude") * 1e6 + 0.5).cast("long").alias("px"),
+        )
+    )
+    edges = spark.createDataFrame(
+        _polygon_edges(),
+        schema="polygon_id int, x1 long, y1 long, x2 long, y2 long",
+    )
+    cross = F.expr(_CROSS_SQL.replace("<>", "!="))
+    inside = (
+        cells.join(F.broadcast(edges))
+        .groupBy("latitude", "longitude", "polygon_id")
+        .agg(F.sum(F.when(cross, 1).otherwise(0)).alias("n_cross"))
+        .filter(F.col("n_cross") % 2 == 1)
+        .select("latitude", "longitude", "polygon_id")
+    )
+    return (
+        era5.join(F.broadcast(inside), ["latitude", "longitude"])
+        .groupBy("polygon_id")
+        .agg(
+            F.countDistinct("latitude", "longitude").alias("n_cells"),
+            F.count(F.lit(1)).alias("n_obs"),
+            davg("t2m").alias("t2m_mean"),
+            F.min("t2m").alias("t2m_min"),
+            F.max("t2m").alias("t2m_max"),
+        )
+    )

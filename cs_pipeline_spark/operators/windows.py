@@ -1799,3 +1799,86 @@ def ts_regularize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("t2m_obs", ignorenulls=True).over(w).alias("t2m_filled"),
         F.col("t2m_obs").isNull().alias("is_filled"),
     )
+
+
+_RC_WIN = 24  # trailing rows per rolling-correlation frame
+
+
+@register(
+    "win_rolling_corr",
+    f"""
+    WITH b AS (SELECT event_id, event_type, {EVENTS_TS_SQL} AS ts,
+                 CAST(FLOOR(value * 1000.0 + 0.5) AS BIGINT) AS x,
+                 CAST(hour({EVENTS_TS_SQL}) * 60
+                      + minute({EVENTS_TS_SQL}) AS BIGINT) AS y
+               FROM events),
+    w AS (SELECT event_id, event_type, ts,
+            COUNT(*) OVER tw AS n,
+            SUM(x) OVER tw AS sx, SUM(y) OVER tw AS sy,
+            SUM(x * y) OVER tw AS sxy,
+            SUM(x * x) OVER tw AS sxx, SUM(y * y) OVER tw AS syy
+          FROM b
+          WINDOW tw AS (PARTITION BY event_type ORDER BY ts, event_id
+                        ROWS BETWEEN {_RC_WIN - 1} PRECEDING AND CURRENT ROW))
+    SELECT event_id, event_type,
+           CASE WHEN n = {_RC_WIN}
+                 AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                THEN FLOOR(
+                  CAST(n * sxy - sx * sy AS DOUBLE)
+                  / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                         * CAST(n * syy - sy * sy AS DOUBLE))
+                  * 1000000.0 + 0.5) / 1000000.0
+           END AS corr6
+    FROM w
+    """,
+    doc=f"rolling {_RC_WIN}-row Pearson correlation (value vs minute-"
+    "of-day) from exact integer window moments — the co-movement "
+    "detector, cancellation-free and engine-identical",
+)
+def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling correlation between two per-row series over a trailing
+    row frame. All five window sums run on exact integers (value
+    quantized to 1e-6, minute-of-day already integral), so the
+    n·Σxy − ΣxΣy numerator and both variance terms are exact —
+    the naive float rolling corr's cancellation problem cannot occur;
+    the only floats are the final division/sqrt on identical operands
+    (the big integers exceed 2^53, but the int→double cast is the
+    same correctly-rounded value in both engines). Short or
+    zero-variance frames emit null.
+
+    Scale: one range-partition shuffle on the series key; the five
+    sums share one window frame traversal. Spark evaluates bounded
+    ROWS frames incrementally — O(1) per row, not O(window).
+    """
+    ev = load(spark, "events", sf_dir)
+    b = ev.select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.floor(F.col("value") * 1e3 + 0.5).cast("long").alias("x"),
+        (F.hour("ts") * 60 + F.minute("ts")).cast("long").alias("y"),
+    )
+    tw = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_RC_WIN - 1), 0)
+    )
+    n = F.count(F.lit(1)).over(tw)
+    sx = F.sum("x").over(tw)
+    sy = F.sum("y").over(tw)
+    sxy = F.sum(F.col("x") * F.col("y")).over(tw)
+    sxx = F.sum(F.col("x") * F.col("x")).over(tw)
+    syy = F.sum(F.col("y") * F.col("y")).over(tw)
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    corr = F.when(
+        (n == _RC_WIN) & (vx > 0) & (vy > 0),
+        F.floor(
+            (n * sxy - sx * sy).cast("double")
+            / F.sqrt(vx.cast("double") * vy.cast("double"))
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        / F.lit(1e6),
+    )
+    return b.select("event_id", "event_type", corr.alias("corr6"))

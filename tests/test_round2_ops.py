@@ -169,3 +169,23 @@ def test_ts_regularize_spine_complete(spark, sf_dir):
         F.col("t2m_filled").isNull() & ~F.col("is_filled")
     ).count()
     assert n_null_tail == 0
+
+
+def test_zonal_stats_bounds(spark, sf_dir):
+    from cs_pipeline_spark.operators.spatial import agg_zonal_stats
+
+    rows = agg_zonal_stats(spark, sf_dir).collect()
+    assert rows  # the fixture grid overlaps the polygons
+    for r in rows:
+        assert r.n_cells >= 1
+        assert r.n_obs >= r.n_cells
+        assert r.t2m_min <= r.t2m_mean <= r.t2m_max
+
+
+def test_rolling_corr_in_range(spark, sf_dir):
+    from cs_pipeline_spark.operators.windows import win_rolling_corr
+
+    rows = win_rolling_corr(spark, sf_dir).collect()
+    vals = [r.corr6 for r in rows if r.corr6 is not None]
+    assert vals
+    assert all(-1.0 - 1e-6 <= v <= 1.0 + 1e-6 for v in vals)
