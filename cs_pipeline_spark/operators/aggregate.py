@@ -1989,3 +1989,58 @@ def agg_quantiles_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(interp("lo5", "hi5", 0.5), 6).alias("p50_cont"),
         dround(interp("lo9", "hi9", 0.9), 6).alias("p90_cont"),
     )
+
+
+@register(
+    "agg_entropy",
+    """
+    WITH c AS (SELECT source, lang, COUNT(*) AS n FROM documents
+               GROUP BY source, lang),
+    t AS (SELECT source, SUM(n) AS tot, COUNT(*) AS n_langs
+          FROM c GROUP BY source),
+    terms AS (SELECT c.source, t.tot, t.n_langs,
+                CAST(FLOOR(-(CAST(c.n AS DOUBLE) / t.tot)
+                  * log2(CAST(c.n AS DOUBLE) / t.tot)
+                  * 1000000000.0 + 0.5) AS BIGINT) AS term_q
+              FROM c JOIN t ON t.source = c.source)
+    SELECT source, CAST(MAX(tot) AS BIGINT) AS n_docs,
+           CAST(MAX(n_langs) AS BIGINT) AS n_langs,
+           CAST(SUM(term_q) AS DOUBLE) / 1000000000.0 AS lang_entropy_bits
+    FROM terms GROUP BY source
+    """,
+    doc="per-source Shannon entropy of the language distribution "
+    "(bits): each -p*log2(p) term quantized to 1e-9 BEFORE the sum "
+    "(chi-square convention) — the domain-diversity score a corpus "
+    "mixer balances on",
+)
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical Shannon entropy per group — the diversity summary
+    behind corpus-mixing decisions (a source whose language entropy
+    is near zero is monolingual; near log2(k) is balanced). Each
+    −p·log₂p term is computed from one exact division then
+    floor-quantized to the 1e-9 grid BEFORE the cross-term sum, so
+    the sum is integer arithmetic — the same convention as
+    ``agg_chi2_independence`` — and log2's last-ulp differences
+    between libm implementations cannot reach the result.
+
+    Scale: two map-side-combined aggregations on (source, lang) then
+    (source); term count is bounded by the category product, never
+    the corpus.
+    """
+    docs = load(spark, "documents", sf_dir)
+    c = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("source").agg(
+        F.sum("n").alias("tot"), F.count(F.lit(1)).alias("n_langs")
+    )
+    p = F.col("n").cast("double") / F.col("tot")
+    term_q = F.floor(-p * F.log2(p) * F.lit(1e9) + F.lit(0.5)).cast("long")
+    terms = c.join(F.broadcast(t), "source").select(
+        "source", "tot", "n_langs", term_q.alias("term_q")
+    )
+    return terms.groupBy("source").agg(
+        F.max("tot").cast("long").alias("n_docs"),
+        F.max("n_langs").cast("long").alias("n_langs"),
+        (F.sum("term_q").cast("double") / F.lit(1e9)).alias(
+            "lang_entropy_bits"
+        ),
+    )

@@ -189,3 +189,32 @@ def test_rolling_corr_in_range(spark, sf_dir):
     vals = [r.corr6 for r in rows if r.corr6 is not None]
     assert vals
     assert all(-1.0 - 1e-6 <= v <= 1.0 + 1e-6 for v in vals)
+
+
+def test_bilinear_within_corner_envelope(spark, sf_dir):
+    from cs_pipeline_spark.operators.spatial import f_regrid_bilinear
+
+    rows = f_regrid_bilinear(spark, sf_dir).collect()
+    assert rows
+    # interpolation is a convex combination: result within raster range
+    from cs_pipeline_spark.functions.era5_fixture import era5_events
+    import pyspark.sql.functions as F
+
+    mm = (
+        era5_events(spark, sf_dir)
+        .agg(F.min("t2m").alias("lo"), F.max("t2m").alias("hi"))
+        .collect()[0]
+    )
+    for r in rows:
+        assert mm.lo - 1e-6 <= r.t2m_bilinear <= mm.hi + 1e-6
+
+
+def test_entropy_bounds(spark, sf_dir):
+    import math
+
+    from cs_pipeline_spark.operators.aggregate import agg_entropy
+
+    rows = agg_entropy(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1e-9 <= r.lang_entropy_bits <= math.log2(max(r.n_langs, 2)) + 1e-6
