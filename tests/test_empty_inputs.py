@@ -73,3 +73,24 @@ def test_quantized_aggregates_on_empty_group(spark):
         .collect()[0]
     )
     assert row["s"] is None and row["a"] is None and row["sd"] is None
+
+
+def test_active_users_on_empty(spark):
+    ev = _empty_events(spark)
+    assert W.active_users(ev).count() == 0
+
+
+def test_cli_process_rejects_unknown_agg(tmp_path):
+    from cs_pipeline_spark.cli import main
+    import pytest
+
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(
+        "start: 2024-01-01T00:00:00\n"
+        "end: 2024-01-31T23:00:00\n"
+        "preds: [TA]\n"
+        "aggregation-type: WEEKLY\n"
+    )
+    with pytest.raises(SystemExit) as e:
+        main(["process", "--config", str(cfg)])
+    assert e.value.code == 2
