@@ -1882,3 +1882,92 @@ def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.lit(1e6),
     )
     return b.select("event_id", "event_type", corr.alias("corr6"))
+
+
+_HAM_WIN = 9  # trailing rows per Hampel frame
+_HAM_K = 3  # MAD multiplier
+
+
+@register(
+    "win_hampel_despike",
+    "WITH e AS (SELECT event_id, user_id, "
+    f"{EVENTS_TS_SQL} AS ts, "
+    "CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS q "
+    "FROM events), "
+    "w AS (SELECT event_id, user_id, q, "
+    "COUNT(*) OVER fr AS n_win, "
+    "list_sort(array_agg(q) OVER fr) AS qs "
+    "FROM e WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id "
+    f"ROWS BETWEEN {_HAM_WIN - 1} PRECEDING AND CURRENT ROW)), "
+    "m AS (SELECT event_id, user_id, q, n_win, "
+    "qs[CAST((n_win + 1) // 2 AS INTEGER)] AS med, "
+    "list_sort(list_transform(qs, "
+    "x -> abs(x - qs[CAST((n_win + 1) // 2 AS INTEGER)]))) AS devs "
+    "FROM w) "
+    "SELECT event_id, user_id, "
+    "CAST(q AS DOUBLE) / 1000000.0 AS value6, "
+    "CAST(med AS DOUBLE) / 1000000.0 AS roll_median, "
+    "CAST(devs[CAST((n_win + 1) // 2 AS INTEGER)] AS DOUBLE) / 1000000.0 "
+    "AS roll_mad, "
+    f"(n_win = {_HAM_WIN} AND "
+    f"abs(q - med) > {_HAM_K} * devs[CAST((n_win + 1) // 2 AS INTEGER)]) "
+    "AS is_spike FROM m",
+    doc=f"Hampel despiking filter: |x − rolling median| > {_HAM_K}·"
+    "rolling MAD over the trailing 9-row frame — exact "
+    "integer element-picking twice (median, then median of absolute "
+    "deviations), the robust sensor-spike detector",
+)
+def win_hampel_despike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel filter — the standard despiking pass on sensor series
+    (flux-tower QA pipelines run exactly this before gap-fill): flag
+    x where |x − med(window)| > k·MAD(window). Both the median and the
+    MAD are exact element picks on sorted quantized integers (sort the
+    frame, pick ⌈n/2⌉; transform to absolute deviations, sort, pick
+    again) and the spike test is a pure integer comparison — no float
+    anywhere in the verdict, so both engines flag the identical rows.
+    Rolling z-score (``win_rolling_zscore``) breaks down here: a spike
+    inflates its own window's σ; the median/MAD pair doesn't.
+
+    Scale: one shuffle on the key; per row the frame array is
+    O(window) and both sorts are cache-local on ≤{_HAM_WIN} elements.
+    Large windows → two-heap / order-statistic sketch, as
+    ``win_rolling_median`` notes.
+    """
+    ev = load(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_HAM_WIN - 1), Window.currentRow)
+    )
+    q = F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    win = ev.select(
+        "event_id",
+        "user_id",
+        q.alias("q"),
+        F.count(F.lit(1)).over(w).alias("n_win"),
+        F.array_sort(F.collect_list(q).over(w)).alias("qs"),
+    )
+    mid = ((F.col("n_win") + 1) / 2).cast("int")
+    med = F.element_at("qs", mid)
+    m = win.select(
+        "event_id",
+        "user_id",
+        "q",
+        "n_win",
+        med.alias("med"),
+        F.array_sort(
+            F.transform("qs", lambda x: F.abs(x - med))
+        ).alias("devs"),
+    )
+    mad = F.element_at("devs", mid)
+    return m.select(
+        "event_id",
+        "user_id",
+        (F.col("q").cast("double") / F.lit(1e6)).alias("value6"),
+        (F.col("med").cast("double") / F.lit(1e6)).alias("roll_median"),
+        (mad.cast("double") / F.lit(1e6)).alias("roll_mad"),
+        (
+            (F.col("n_win") == _HAM_WIN)
+            & (F.abs(F.col("q") - F.col("med")) > F.lit(_HAM_K) * mad)
+        ).alias("is_spike"),
+    )

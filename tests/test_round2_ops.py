@@ -218,3 +218,16 @@ def test_entropy_bounds(spark, sf_dir):
     assert rows
     for r in rows:
         assert -1e-9 <= r.lang_entropy_bits <= math.log2(max(r.n_langs, 2)) + 1e-6
+
+
+def test_hampel_flags_are_integer_consistent(spark, sf_dir):
+    from cs_pipeline_spark.operators.windows import win_hampel_despike
+
+    rows = win_hampel_despike(spark, sf_dir).collect()
+    assert rows
+    n_spike = sum(1 for r in rows if r.is_spike)
+    # despiking flags a small minority, never none on noisy data
+    assert 0 < n_spike < len(rows) / 4
+    for r in rows:
+        if r.is_spike:
+            assert abs(r.value6 - r.roll_median) > 3 * r.roll_mad - 1e-9
