@@ -530,3 +530,42 @@ def dq_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@register(
+    "f_safe_arithmetic",
+    """
+    SELECT event_id,
+           CASE WHEN d = 0 THEN NULL ELSE CAST(n AS DOUBLE) / d END AS safe_div,
+           CASE WHEN d = 0 THEN NULL ELSE n % d END AS safe_mod,
+           CASE WHEN n > 9223372036854775807 - 1000000000 THEN NULL
+                ELSE n + 1000000000 END AS safe_add
+    FROM (SELECT event_id, event_id * 1000000 AS n,
+                 event_id % 7 AS d FROM events)
+    """,
+    doc="ANSI-safe arithmetic surface: try_divide/try_mod/try_add turn "
+    "divide-by-zero and overflow into nulls instead of job-killing "
+    "ANSI errors — the guard rails batch pipelines need when "
+    "denominators come from data",
+)
+def f_safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Under ANSI mode (Spark 4 default) a single zero denominator or
+    int64 overflow anywhere in 100 TB KILLS the whole job. The
+    ``try_*`` function family yields null instead, which flows into
+    the null-skipping aggregates. Every seventh event here has a zero
+    denominator by construction, so the guard demonstrably fires; the
+    oracle states the identical semantics as CASE expressions.
+
+    Scale: pure expression-side, scan-fused, zero shuffle.
+    """
+    ev = load(spark, "events", sf_dir)
+    n = F.col("event_id") * F.lit(1000000).cast("long")
+    d = F.col("event_id") % 7
+    return ev.select(
+        "event_id",
+        F.expr(
+            "try_divide(cast(event_id * 1000000 as double), event_id % 7)"
+        ).alias("safe_div"),
+        F.try_mod(n, d).alias("safe_mod"),
+        F.try_add(n, F.lit(1000000000).cast("long")).alias("safe_add"),
+    )
