@@ -151,8 +151,10 @@ def cmd_process(args: argparse.Namespace) -> int:
         if "region_id" in df.columns:
             writer = writer.partitionBy("region_id")
         writer.parquet(out)
-    n = spark.read.format(fmt).load(out).count() if fmt == "csv" else (
-        spark.read.parquet(out).count()
+    n = (
+        spark.read.option("header", "true").csv(out).count()
+        if fmt == "csv"
+        else spark.read.parquet(out).count()
     )
     print(f"wrote {n} rows to {out} ({fmt})")
     return 0
@@ -209,7 +211,17 @@ def cmd_download(args: argparse.Namespace) -> int:
         else:
             y, m, d = g.day.split("-")
             months, days = [m], [d]
-            times = [f"{h:02d}:00" for h in range(int(g.n_hours))]
+            # the group row carries only n_hours; the RUN's actual
+            # hours depend on which boundary clips this day — a
+            # partial start day runs h0..23 (or h0..end-hour on a
+            # single-day range), a partial end day 00..h1. Listing
+            # range(n_hours) from 00:00 would request the WRONG hours
+            # for any day not starting at midnight.
+            day_date = datetime.fromisoformat(g.day).date()
+            h0 = start.hour if day_date == start.date() else 0
+            h1 = end.hour if day_date == end.date() else 23
+            assert h1 - h0 + 1 == int(g.n_hours), (g.day, h0, h1, g.n_hours)
+            times = [f"{h:02d}:00" for h in range(h0, h1 + 1)]
             day_label = g.day
         dataset, payload = build_era5_request(
             str(g.y), months, days, times, variables, coords, monthly=monthly

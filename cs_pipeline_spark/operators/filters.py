@@ -446,7 +446,7 @@ def dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
     child rows reference a parent key that does not exist. The
     post-ingest gate that catches partial loads (parent partition
     missing) and key-domain drift (a feed changing its id space) —
-    exactly what the broken ``events.user_id→customer`` rule shows.
+    exactly what the deliberately-misdeclared ``lineitem.l_partkey→supplier`` rule shows.
 
     Scale: each rule is a LEFT ANTI join — Catalyst broadcasts the
     parent's key column when small and falls back to a shuffled hash
@@ -467,12 +467,12 @@ def dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TEXT_NORM_DUCK = (
-    "array_to_string(list_slice(string_split("
-    "trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), 1, 2), ' ')"
+    "md5(array_to_string(list_slice(string_split("
+    "trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), 1, 2), ' '))"
 )
 _TEXT_NORM_SPARK = (
-    "array_join(slice(split("
-    "trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' '), 1, 2), ' ')"
+    "md5(array_join(slice(split("
+    "trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' '), 1, 2), ' '))"
 )
 
 _UNIQ_RULES = [

@@ -1992,13 +1992,18 @@ def _outlier_sql() -> str:
         # to BIGINT so the output type matches Spark's long
         f"dd AS (SELECT e.vec_id, e.label, CAST({d2} AS BIGINT) AS d2 "
         "FROM eqs e JOIN cq c ON c.clabel = e.label), "
+        # moments run on dk = d2 // 1e6 (integer floor-div, identical
+        # both engines for non-negative d2): raw d2 ≈ 4e27 squared
+        # would overflow decimal(38)/HUGEINT for labels beyond ~1.6e5
+        # vectors — scaled, n²·dk² stays inside 1e38 up to n ≈ 1e11
         "m AS (SELECT label, COUNT(*) AS n, "
-        "SUM(CAST(d2 AS HUGEINT)) AS s1, "
-        "SUM(CAST(d2 AS HUGEINT) * CAST(d2 AS HUGEINT)) AS s2 "
+        "SUM(CAST(d2 // 1000000 AS HUGEINT)) AS s1, "
+        "SUM(CAST(d2 // 1000000 AS HUGEINT) "
+        "* CAST(d2 // 1000000 AS HUGEINT)) AS s2 "
         "FROM dd GROUP BY label), "
         "z AS (SELECT dd.vec_id, dd.label, dd.d2, "
         "CASE WHEN m.n > 1 AND (m.n * m.s2 - m.s1 * m.s1) > 0 THEN "
-        "(CAST(dd.d2 AS DOUBLE) "
+        "(CAST(dd.d2 // 1000000 AS DOUBLE) "
         " - CAST(CAST(m.s1 AS VARCHAR) AS DOUBLE) / m.n) "
         "/ SQRT(CAST(CAST(m.n * m.s2 - m.s1 * m.s1 AS VARCHAR) AS DOUBLE) "
         "/ (CAST(m.n AS DOUBLE) * CAST(m.n AS DOUBLE))) END AS zscore "
@@ -2023,10 +2028,13 @@ def emb_outlier_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     tail content — all three deserve review before the label is used
     for supervised filtering. Distances are the same exact integer
     squared-L2 as ``emb_kmeans_lloyd``; the per-label mean/std come
-    from exact decimal moments over those integers (the
-    cancellation-free n·Σd² − (Σd)² identity — d² reaches ~4e27, far
-    beyond int64, hence decimal/HUGEINT), so both engines flag the
-    identical vector set. One-sided flag: only far-out vectors are
+    from exact decimal moments over d2 ÷ 1e6 (integer floor-div —
+    z-scores are shift/scale-invariant up to the negligible
+    truncation, and the scaling keeps n²·dk² inside decimal(38)/
+    HUGEINT up to ~1e11 vectors per label; raw d2² ≈ 4e27 would
+    overflow beyond ~1.6e5), computed with the cancellation-free
+    n·Σd² − (Σd)² identity, so both engines flag the identical
+    vector set. One-sided flag: only far-out vectors are
     anomalous, unusually-central ones are fine.
 
     Scale: centroids are a k·d aggregate broadcast back; distances are
@@ -2064,10 +2072,9 @@ def emb_outlier_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     dd = eqs.join(
         F.broadcast(cents), eqs.label == cents.clabel
     ).select("vec_id", "label", d2.alias("d2"))
-    s1 = F.sum(F.col("d2").cast("decimal(38,0)"))
-    s2 = F.sum(
-        F.col("d2").cast("decimal(19,0)") * F.col("d2").cast("decimal(19,0)")
-    )
+    dk = F.expr("d2 div 1000000")
+    s1 = F.sum(dk.cast("decimal(38,0)"))
+    s2 = F.sum(dk.cast("decimal(19,0)") * dk.cast("decimal(19,0)"))
     m = dd.groupBy(F.col("label").alias("mlabel")).agg(
         F.count(F.lit(1)).alias("n"),
         s1.alias("s1"),
@@ -2079,7 +2086,7 @@ def emb_outlier_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     std = F.sqrt(num.cast("string").cast("double") / (nd * nd))
     z = F.when(
         (F.col("n") > 1) & (num > 0),
-        (F.col("d2").cast("double") - mean) / std,
+        (F.expr("d2 div 1000000").cast("double") - mean) / std,
     )
     from cs_pipeline_spark.operators.helpers import dround
 

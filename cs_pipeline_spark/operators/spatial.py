@@ -719,8 +719,8 @@ _CELL_UD = 250000  # 0.25° in µdeg — the ERA5 grid pitch
                    * 1000000.0 + 0.5) AS BIGINT) AS px
             FROM nation),
     anch AS (SELECT station_id, py, px,
-               (py // {_CELL_UD}) * {_CELL_UD} AS y0,
-               (px // {_CELL_UD}) * {_CELL_UD} AS x0
+               py - ((py % {_CELL_UD} + {_CELL_UD}) % {_CELL_UD}) AS y0,
+               px - ((px % {_CELL_UD} + {_CELL_UD}) % {_CELL_UD}) AS x0
              FROM pts),
     j AS (SELECT a.station_id,
             CAST(a.py - a.y0 AS DOUBLE) / {_CELL_UD} AS fy,
@@ -782,13 +782,21 @@ def f_regrid_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.lit(1e6) + F.lit(0.5)
         ).cast("long").alias("px"),
     )
-    c = F.lit(_CELL_UD).cast("long")
+    # floor-multiple via modulo normalization: `div`//`//` truncate
+    # toward zero, which anchors NEGATIVE coordinates to the wrong
+    # (non-enclosing) cell and produces extrapolation weights — the
+    # ((x % m) + m) % m form is the true floor remainder in both
+    # engines' C-style % semantics, pure integer, no float rounding
+    def _floor_mult(col: str):
+        m = F.lit(_CELL_UD).cast("long")
+        return F.col(col) - ((F.col(col) % m + m) % m)
+
     anch = pts.select(
         "station_id",
         "py",
         "px",
-        (F.expr(f"py div {_CELL_UD}") * c).alias("y0"),
-        (F.expr(f"px div {_CELL_UD}") * c).alias("x0"),
+        _floor_mult("py").alias("y0"),
+        _floor_mult("px").alias("x0"),
     )
     fy = (F.col("py") - F.col("y0")).cast("double") / F.lit(float(_CELL_UD))
     fx = (F.col("px") - F.col("x0")).cast("double") / F.lit(float(_CELL_UD))

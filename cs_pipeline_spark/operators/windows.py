@@ -1838,7 +1838,9 @@ _RC_WIN = 24  # trailing rows per rolling-correlation frame
 def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling correlation between two per-row series over a trailing
     row frame. All five window sums run on exact integers (value
-    quantized to 1e-6, minute-of-day already integral), so the
+    quantized to 1e-3 — Pearson r is scale-invariant and the coarser
+    quantum keeps n·Σx² inside int64; minute-of-day already
+    integral), so the
     n·Σxy − ΣxΣy numerator and both variance terms are exact —
     the naive float rolling corr's cancellation problem cannot occur;
     the only floats are the final division/sqrt on identical operands

@@ -87,3 +87,29 @@ bbox: [55, -120, 40, -60]
     full = next(e for e in manifest if e["group"] == "full")
     assert len(full["payload"]["time"]) == 24
     assert len(full["payload"]["day"]) == 31
+
+
+def test_download_partial_day_hours_start_correctly(tmp_path):
+    cfg = _write(
+        tmp_path,
+        "dl2.yaml",
+        """
+start: 2022-11-20T07:00:00
+end: 2022-11-22T14:00:00
+preds: [TA]
+aggregation-type: null
+""",
+    )
+    out = str(tmp_path / "mf2")
+    assert main(["download", "--config", cfg, "--out", out]) == 0
+    manifest = json.loads((tmp_path / "mf2" / "requests.json").read_text())
+    by_day = {e["group"]: e for e in manifest}
+    # start day runs 07:00..23:00, end day 00:00..14:00
+    assert by_day["2022-11-20"]["payload"]["time"][0] == "07:00"
+    assert by_day["2022-11-20"]["payload"]["time"][-1] == "23:00"
+    assert by_day["2022-11-22"]["payload"]["time"][0] == "00:00"
+    assert by_day["2022-11-22"]["payload"]["time"][-1] == "14:00"
+    assert by_day["2022-11-21"]["payload"]["time"] == [
+        f"{h:02d}:00" for h in range(24)
+    ]
+    assert "T07to23" in by_day["2022-11-20"]["target"].replace(":00", "")

@@ -195,7 +195,9 @@ def test_bilinear_within_corner_envelope(spark, sf_dir):
     from cs_pipeline_spark.operators.spatial import f_regrid_bilinear
 
     rows = f_regrid_bilinear(spark, sf_dir).collect()
-    assert rows
+    # every station is interior to the fixture raster; the truncating-
+    # division anchor bug dropped 3 of 25 (regression guard)
+    assert len(rows) == 25
     # interpolation is a convex combination: result within raster range
     from cs_pipeline_spark.functions.era5_fixture import era5_events
     import pyspark.sql.functions as F
