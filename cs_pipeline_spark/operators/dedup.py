@@ -511,10 +511,6 @@ def _sql_qdot(a: str, b: str) -> str:
     )
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return qdot(a, b) / (F.sqrt(qdot(a, a)) * F.sqrt(qdot(b, b)))
-
-
 def _sql_cosine(a: str, b: str) -> str:
     return (
         f"({_sql_qdot(a, b)} / (SQRT({_sql_qdot(a, a)}) * SQRT({_sql_qdot(b, b)})))"
@@ -751,7 +747,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         cands = pairs if cands is None else cands.union(pairs)
     cands = cands.distinct()
     # Hydrate the norm alongside the vector: sqrt(qdot(e,e)) is computed
-    # once per VECTOR here instead of twice per PAIR inside cosine() —
+    # once per VECTOR here instead of twice per PAIR inside the verify —
     # same float values (identical expression on identical data), 3×
     # less interpreted higher-order-function work on the verify stage.
     hyd = emb.withColumn(

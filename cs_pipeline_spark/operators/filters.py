@@ -15,7 +15,7 @@ from cs_pipeline_spark.functions.constants import (
     VARIABLES_FOR_PREDICTOR,
 )
 from cs_pipeline_spark.functions.era5_fixture import ERA5_CTE, era5_events
-from cs_pipeline_spark.operators.helpers import dround
+from cs_pipeline_spark.operators.helpers import dround, sql_dround
 from cs_pipeline_spark.registry import register
 from cs_pipeline_spark.tables import EVENTS_TS_SQL, load
 
@@ -568,4 +568,133 @@ def f_safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("safe_div"),
         F.try_mod(n, d).alias("safe_mod"),
         F.try_add(n, F.lit(1000000000).cast("long")).alias("safe_add"),
+    )
+
+
+# ---------- ingest-volume anomaly gate ----------
+
+_VOL_WIN = 7  # trailing-days baseline for the volume z-score
+_VOL_Z = 2.0
+
+
+@register(
+    "dq_volume_anomaly",
+    f"""
+    WITH d0 AS (SELECT date_trunc('day', {EVENTS_TS_SQL}) AS day,
+                       event_type, COUNT(*) AS n_events
+                FROM events GROUP BY 1, 2),
+    spine AS (SELECT s.day, t.event_type
+              FROM (SELECT unnest(generate_series(
+                      (SELECT MIN(day) FROM d0),
+                      (SELECT MAX(day) FROM d0),
+                      INTERVAL 1 DAY)) AS day) s
+              CROSS JOIN (SELECT DISTINCT event_type FROM d0) t),
+    d AS (SELECT sp.day, sp.event_type,
+            COALESCE(d0.n_events, 0) AS n_events
+          FROM spine sp LEFT JOIN d0
+            ON d0.day = sp.day AND d0.event_type = sp.event_type),
+    w AS (SELECT day, event_type, n_events,
+            SUM(n_events) OVER tw AS s1,
+            SUM(n_events * n_events) OVER tw AS s2,
+            COUNT(*) OVER tw AS cnt
+          FROM d
+          WINDOW tw AS (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN {_VOL_WIN} PRECEDING AND 1 PRECEDING)),
+    z AS (SELECT day, event_type, n_events, s1, cnt,
+            ({_VOL_WIN} * s2 - s1 * s1) AS vnum,
+            CASE WHEN cnt = {_VOL_WIN}
+                  AND ({_VOL_WIN} * s2 - s1 * s1) > 0 THEN
+              (n_events - CAST(s1 AS DOUBLE) / {_VOL_WIN}.0)
+              / SQRT(CAST({_VOL_WIN} * s2 - s1 * s1 AS DOUBLE)
+                     / {_VOL_WIN}.0 / {_VOL_WIN}.0)
+            END AS zscore
+          FROM w)
+    SELECT day, event_type, n_events,
+           {{Z6}} AS z6,
+           (COALESCE(ABS(zscore) > {_VOL_Z}, FALSE)
+            OR (cnt = {_VOL_WIN} AND vnum = 0
+                AND n_events * {_VOL_WIN} <> s1)) AS is_anomaly
+    FROM z
+    """.replace("{Z6}", sql_dround("zscore")),
+    doc=f"daily ingest-volume anomaly on a complete calendar spine: "
+    f"per-type z-score vs the trailing {_VOL_WIN} CALENDAR days "
+    "(zero-filled — a dead feed IS the anomaly), |z| > 2 or any "
+    "deviation off a zero-variance baseline flagged",
+)
+def dq_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly gate over a COMPLETE day spine. Two failure
+    modes a naive daily-groupBy monitor misses, both closed here:
+    a fully dead feed emits no row at all (the spine zero-fills it,
+    so the outage day scores a hard negative z), and a ROWS window
+    over observed days silently bridges gaps (the spine makes ROWS ≡
+    calendar days). A third: a perfectly regular feed (variance 0)
+    makes z undefined exactly when the baseline is strongest — any
+    deviation from a zero-variance baseline is flagged directly via
+    exact integer comparison (n·7 ≠ Σ). The z-score itself derives
+    from exact integer window sums (cancellation-free n·Σx² − (Σx)²),
+    quantized through ``dround``/``sql_dround`` — the shared
+    cross-engine recipe, not an inline copy.
+
+    Scale: the corpus collapses to |days|·|types| daily counts in one
+    map-side-combined pass (served incrementally from
+    ``agg_incremental_merge`` partials in production); the spine is
+    calendar-bounded metadata.
+    """
+    from pyspark.sql import Window
+
+    from cs_pipeline_spark.operators.helpers import dround, sql_dround
+
+    ev = load(spark, "events", sf_dir)
+    d0 = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    bounds = d0.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    types = d0.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(
+            F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    d = spine.join(d0, ["day", "event_type"], "left").select(
+        "day",
+        "event_type",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+    )
+    tw = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-_VOL_WIN, -1)
+    )
+    s1 = F.sum("n_events").over(tw)
+    s2 = F.sum(F.col("n_events") * F.col("n_events")).over(tw)
+    cnt = F.count(F.lit(1)).over(tw)
+    num = F.lit(_VOL_WIN) * s2 - s1 * s1
+    mean = s1.cast("double") / F.lit(float(_VOL_WIN))
+    std = F.sqrt(
+        num.cast("double") / F.lit(float(_VOL_WIN)) / F.lit(float(_VOL_WIN))
+    )
+    z = F.when(
+        (cnt == _VOL_WIN) & (num > 0), (F.col("n_events") - mean) / std
+    )
+    flat_dev = (
+        (cnt == _VOL_WIN)
+        & (num == 0)
+        & (F.col("n_events") * _VOL_WIN != s1)
+    )
+    return (
+        d.withColumn("zscore", z)
+        .withColumn("flat_dev", flat_dev)
+        .select(
+            "day",
+            "event_type",
+            "n_events",
+            dround("zscore", 6).alias("z6"),
+            (
+                F.coalesce(
+                    F.abs(F.col("zscore")) > F.lit(_VOL_Z), F.lit(False)
+                )
+                | F.col("flat_dev")
+            ).alias("is_anomaly"),
+        )
     )

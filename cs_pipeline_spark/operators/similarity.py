@@ -1731,15 +1731,65 @@ _KM_K = 4
 _KM_ROUNDS = 3
 _KM_DIM = 64
 
+# ---- shared integer-grid machinery (kmeans / classify / outlier) ----
+# One definition of the quantization, the exact integer squared
+# distance, and the centroid assembly — a future change to the grid or
+# tie-break (cf. the round-tie fixes) must hit every consumer at once.
+
+_SQL_EQS_CTE = (
+    "eqs AS MATERIALIZED (SELECT vec_id, label, "
+    "list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) "
+    "* 1000000.0 + 0.5) AS BIGINT)) AS eq FROM embeddings)"
+)
+
+
+def _sql_int_d2(e: str = "e", c: str = "c", vec: str = "eq", cen: str = "cq") -> str:
+    """Exact integer Σ(eqᵢ−cqᵢ)² over the embedding grid (DuckDB)."""
+    return (
+        "list_sum(list_transform(range(1, {dim} + 1), "
+        "i -> ({e}.{vec}[CAST(i AS INTEGER)] - {c}.{cen}[CAST(i AS INTEGER)]) "
+        "* ({e}.{vec}[CAST(i AS INTEGER)] - {c}.{cen}[CAST(i AS INTEGER)])))"
+    ).format(dim=_KM_DIM, e=e, c=c, vec=vec, cen=cen)
+
+
+def _quantized_eq(emb: DataFrame, with_label: bool = True) -> DataFrame:
+    """(vec_id[, label], eq): embeddings on the exact 1e6 integer grid."""
+    cols = ["vec_id"] + (["label"] if with_label else [])
+    return emb.select(
+        *cols,
+        F.transform(
+            "embedding",
+            lambda x: F.floor(
+                x.cast("double") * F.lit(1e6) + F.lit(0.5)
+            ).cast("long"),
+        ).alias("eq"),
+    )
+
+
+def _int_d2(vec: str = "eq", cen: str = "cq") -> F.Column:
+    """Exact integer Σ(eqᵢ−cqᵢ)² as a long Column (Spark)."""
+    return F.aggregate(
+        F.zip_with(vec, cen, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assemble_centroids(per_dim: DataFrame, key: str = "clabel") -> DataFrame:
+    """(key, pos, cv) → (key, cq array): floor-div per-dim means back
+    into position-ordered centroid arrays."""
+    return per_dim.groupBy(key).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+            lambda st: st.getField("cv"),
+        ).alias("cq")
+    )
+
 
 def _kmeans_sql() -> str:
     """Unrolled 3-round Lloyd's (DuckDB twin): quantized vectors,
     exact integer squared distances, floor-div centroid updates."""
-    d2 = (
-        "list_sum(list_transform(range(1, {dim} + 1), "
-        "i -> (e.eq[CAST(i AS INTEGER)] - c.cq[CAST(i AS INTEGER)]) "
-        "* (e.eq[CAST(i AS INTEGER)] - c.cq[CAST(i AS INTEGER)])))"
-    ).format(dim=_KM_DIM)
+    d2 = _sql_int_d2()
     parts = [
         "WITH eqs AS MATERIALIZED (SELECT vec_id, "
         "list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) "
@@ -1883,15 +1933,9 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _classify_sql() -> str:
-    d2 = (
-        "list_sum(list_transform(range(1, {dim} + 1), "
-        "i -> (e.eq[CAST(i AS INTEGER)] - c.cq[CAST(i AS INTEGER)]) "
-        "* (e.eq[CAST(i AS INTEGER)] - c.cq[CAST(i AS INTEGER)])))"
-    ).format(dim=_KM_DIM)
+    d2 = _sql_int_d2()
     return (
-        "WITH eqs AS MATERIALIZED (SELECT vec_id, label, "
-        "list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) "
-        "* 1000000.0 + 0.5) AS BIGINT)) AS eq FROM embeddings), "
+        "WITH " + _SQL_EQS_CTE + ", "
         f"u AS (SELECT label, unnest(range(1, {_KM_DIM} + 1)) AS pos, "
         "unnest(eq) AS v FROM eqs), "
         "cm AS (SELECT label AS clabel, pos, SUM(v) // COUNT(*) AS cv "
@@ -1933,33 +1977,13 @@ def emb_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     a per-label (Σq − q)/(n−1) variant of the same integer algebra.
     """
     emb = load(spark, "embeddings", sf_dir)
-    eqs = emb.select(
-        "vec_id",
-        "label",
-        F.transform(
-            "embedding",
-            lambda x: F.floor(
-                x.cast("double") * F.lit(1e6) + F.lit(0.5)
-            ).cast("long"),
-        ).alias("eq"),
-    )
-    cents = (
+    eqs = _quantized_eq(emb)
+    cents = _assemble_centroids(
         eqs.select("label", F.posexplode("eq").alias("pos", "v"))
         .groupBy(F.col("label").alias("clabel"), "pos")
         .agg(F.expr("sum(v) div count(1)").alias("cv"))
-        .groupBy("clabel")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
-                lambda s: s.getField("cv"),
-            ).alias("cq")
-        )
     )
-    d2 = F.aggregate(
-        F.zip_with("eq", "cq", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    d2 = _int_d2()
     assigned = (
         eqs.join(F.broadcast(cents))
         .select("vec_id", F.col("label").alias("true_label"), "clabel", d2.alias("d2"))
@@ -1973,15 +1997,9 @@ def emb_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _outlier_sql() -> str:
-    d2 = (
-        "list_sum(list_transform(range(1, {dim} + 1), "
-        "i -> (e.eq[CAST(i AS INTEGER)] - c.cq[CAST(i AS INTEGER)]) "
-        "* (e.eq[CAST(i AS INTEGER)] - c.cq[CAST(i AS INTEGER)])))"
-    ).format(dim=_KM_DIM)
+    d2 = _sql_int_d2()
     return (
-        "WITH eqs AS MATERIALIZED (SELECT vec_id, label, "
-        "list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) "
-        "* 1000000.0 + 0.5) AS BIGINT)) AS eq FROM embeddings), "
+        "WITH " + _SQL_EQS_CTE + ", "
         f"u AS (SELECT label, unnest(range(1, {_KM_DIM} + 1)) AS pos, "
         "unnest(eq) AS v FROM eqs), "
         "cm AS (SELECT label AS clabel, pos, SUM(v) // COUNT(*) AS cv "
@@ -2042,33 +2060,13 @@ def emb_outlier_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     on (label). Nothing shuffles the corpus.
     """
     emb = load(spark, "embeddings", sf_dir)
-    eqs = emb.select(
-        "vec_id",
-        "label",
-        F.transform(
-            "embedding",
-            lambda x: F.floor(
-                x.cast("double") * F.lit(1e6) + F.lit(0.5)
-            ).cast("long"),
-        ).alias("eq"),
-    )
-    cents = (
+    eqs = _quantized_eq(emb)
+    cents = _assemble_centroids(
         eqs.select("label", F.posexplode("eq").alias("pos", "v"))
         .groupBy(F.col("label").alias("clabel"), "pos")
         .agg(F.expr("sum(v) div count(1)").alias("cv"))
-        .groupBy("clabel")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
-                lambda s: s.getField("cv"),
-            ).alias("cq")
-        )
     )
-    d2 = F.aggregate(
-        F.zip_with("eq", "cq", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    d2 = _int_d2()
     dd = eqs.join(
         F.broadcast(cents), eqs.label == cents.clabel
     ).select("vec_id", "label", d2.alias("d2"))

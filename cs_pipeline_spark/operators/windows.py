@@ -1552,92 +1552,6 @@ def win_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_VOL_WIN = 7  # trailing-days baseline for the volume z-score
-_VOL_Z = 2.0
-
-
-@register(
-    "dq_volume_anomaly",
-    f"""
-    WITH d AS (SELECT date_trunc('day', {EVENTS_TS_SQL}) AS day,
-                      event_type,
-                      COUNT(*) AS n_events
-               FROM events GROUP BY 1, 2),
-    w AS (SELECT day, event_type, n_events,
-            SUM(n_events) OVER tw AS s1,
-            SUM(n_events * n_events) OVER tw AS s2,
-            COUNT(*) OVER tw AS cnt
-          FROM d
-          WINDOW tw AS (PARTITION BY event_type ORDER BY day
-                        ROWS BETWEEN {_VOL_WIN} PRECEDING AND 1 PRECEDING)),
-    z AS (SELECT day, event_type, n_events,
-            CASE WHEN cnt = {_VOL_WIN}
-                  AND ({_VOL_WIN} * s2 - s1 * s1) > 0 THEN
-              (n_events - CAST(s1 AS DOUBLE) / {_VOL_WIN}.0)
-              / SQRT(CAST({_VOL_WIN} * s2 - s1 * s1 AS DOUBLE)
-                     / {_VOL_WIN}.0 / {_VOL_WIN}.0)
-            END AS zscore
-          FROM w)
-    SELECT day, event_type, n_events,
-           (FLOOR(zscore * 1000000.0 + 0.5) / 1000000.0) AS z6,
-           COALESCE(ABS(zscore) > {_VOL_Z}, FALSE) AS is_anomaly
-    FROM z
-    """,
-    doc=f"daily ingest-volume anomaly: per-type z-score vs the trailing "
-    f"{_VOL_WIN}-day window (exact integer moments), |z| > {_VOL_Z} "
-    "flagged — the feed-died / feed-doubled monitor every ingest runs",
-)
-def dq_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Volume-anomaly gate: a feed that silently halves (upstream
-    outage) or doubles (duplicate delivery) shifts the daily row count
-    away from its trailing baseline. The z-score derives from exact
-    integer window sums (n·Σx² − (Σx)² over daily counts — same
-    cancellation-free identity as ``helpers.dvar_pop``), so both
-    engines flag identical days; the window excludes the current day
-    (``7 PRECEDING .. 1 PRECEDING``) so an anomalous day cannot mask
-    itself, and days without a full baseline emit null z.
-
-    Scale: one map-side-combined groupBy to daily counts collapses the
-    corpus to |days|·|types| rows; the window runs on that tiny frame.
-    At 100 TB the daily rollup is the only pass over the data — and in
-    production it is served incrementally from ``agg_incremental_merge``
-    partials, never recomputed.
-    """
-    ev = load(spark, "events", sf_dir)
-    d = ev.groupBy(
-        F.date_trunc("day", "ts").alias("day"), "event_type"
-    ).agg(F.count(F.lit(1)).alias("n_events"))
-    tw = (
-        Window.partitionBy("event_type")
-        .orderBy("day")
-        .rowsBetween(-_VOL_WIN, -1)
-    )
-    s1 = F.sum("n_events").over(tw)
-    s2 = F.sum(F.col("n_events") * F.col("n_events")).over(tw)
-    cnt = F.count(F.lit(1)).over(tw)
-    num = F.lit(_VOL_WIN) * s2 - s1 * s1
-    mean = s1.cast("double") / F.lit(float(_VOL_WIN))
-    std = F.sqrt(
-        num.cast("double") / F.lit(float(_VOL_WIN)) / F.lit(float(_VOL_WIN))
-    )
-    z = F.when(
-        (cnt == _VOL_WIN) & (num > 0),
-        (F.col("n_events") - mean) / std,
-    )
-    return d.withColumn("zscore", z).select(
-        "day",
-        "event_type",
-        "n_events",
-        dround("zscore", 6).alias("z6"),
-        # never-null flag: undefined z (short baseline, zero variance)
-        # is "not anomalous", and a nullable boolean canonicalizes
-        # differently across engines anyway
-        F.coalesce(
-            F.abs(F.col("zscore")) > F.lit(_VOL_Z), F.lit(False)
-        ).alias("is_anomaly"),
-    )
-
-
 @register(
     "win_sliding_distinct",
     f"""

@@ -8,7 +8,7 @@ import pyspark.sql.functions as F
 from cs_pipeline_spark.operators.aggregate import agg_seasonal_hod
 from cs_pipeline_spark.operators.graph import graph_bipartite_project
 from cs_pipeline_spark.operators.similarity import emb_centroid_classify
-from cs_pipeline_spark.operators.windows import dq_volume_anomaly
+from cs_pipeline_spark.operators.filters import dq_volume_anomaly
 
 
 def test_volume_anomaly_flags_are_z_consistent(spark, sf_dir):
@@ -233,3 +233,38 @@ def test_hampel_flags_are_integer_consistent(spark, sf_dir):
     for r in rows:
         if r.is_spike:
             assert abs(r.value6 - r.roll_median) > 3 * r.roll_mad - 1e-9
+
+
+def test_volume_anomaly_dead_feed_and_flat_baseline(spark, tmp_path):
+    """A fully dead day must appear (zero-filled spine) and flag; a
+    deviation off a zero-variance baseline must flag despite z being
+    undefined."""
+    import datetime as dt
+
+    from cs_pipeline_spark.operators.filters import dq_volume_anomaly
+
+    rows = []
+    eid = 0
+    base = dt.datetime(2024, 1, 1)
+    for day in range(16):
+        if day == 10:
+            continue  # feed dead on day 10
+        n = 1440 if day == 12 else 144  # constant feed, 10x spike day 12
+        for i in range(n):
+            rows.append(
+                (eid, base + dt.timedelta(days=day, seconds=i), 1, "steady", 1.0, "{}")
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    sf = str(tmp_path / "synth")
+    df.write.parquet(f"{sf}/events.parquet")
+    out = {r.day.date(): r for r in dq_volume_anomaly(spark, sf).collect()}
+    dead = out[dt.date(2024, 1, 11)]
+    assert dead.n_events == 0 and dead.is_anomaly  # dead feed flagged
+    spike = out[dt.date(2024, 1, 13)]
+    assert spike.n_events == 1440 and spike.is_anomaly
+    # flat-baseline days with the expected count stay quiet
+    quiet = out[dt.date(2024, 1, 9)]
+    assert quiet.n_events == 144 and not quiet.is_anomaly
