@@ -2044,3 +2044,94 @@ def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang_entropy_bits"
         ),
     )
+
+
+_JK_R = 16  # delete-one-16th jackknife replicates
+
+
+def _jk_oracle() -> str:
+    reps = ", ".join(
+        sql_davg(f"CASE WHEN bkt <> {r} THEN value END") + f" AS m{r}"
+        for r in range(_JK_R)
+    )
+    tmpl = """
+    WITH b AS (SELECT event_type, value,
+                 (((event_id % {PRIME}) * {MULT}) % {PRIME}) % 16 AS bkt
+               FROM events),
+    m AS (SELECT event_type, COUNT(*) AS n,
+            {THETA} AS theta,
+            {REPS}
+          FROM b GROUP BY event_type),
+    s AS (SELECT event_type, n, theta, (m0 + m1 + m2 + m3 + m4 + m5 + m6 + m7 + m8 + m9 + m10 + m11 + m12 + m13 + m14 + m15) / 16.0 AS mbar,
+            m0, m1, m2, m3, m4, m5, m6, m7, m8, m9, m10, m11, m12, m13,
+            m14, m15
+          FROM m),
+    v AS (SELECT event_type, n, theta, ((m0 - mbar) * (m0 - mbar) + (m1 - mbar) * (m1 - mbar) + (m2 - mbar) * (m2 - mbar) + (m3 - mbar) * (m3 - mbar) + (m4 - mbar) * (m4 - mbar) + (m5 - mbar) * (m5 - mbar) + (m6 - mbar) * (m6 - mbar) + (m7 - mbar) * (m7 - mbar) + (m8 - mbar) * (m8 - mbar) + (m9 - mbar) * (m9 - mbar) + (m10 - mbar) * (m10 - mbar) + (m11 - mbar) * (m11 - mbar) + (m12 - mbar) * (m12 - mbar) + (m13 - mbar) * (m13 - mbar) + (m14 - mbar) * (m14 - mbar) + (m15 - mbar) * (m15 - mbar)) AS ss FROM s)
+    SELECT event_type, n, theta,
+           (FLOOR(SQRT(ss * (16 - 1.0) / 16.0) * 1000000.0 + 0.5) / 1000000.0) AS jk_se,
+           (FLOOR((theta - 2.0 * SQRT(ss * (16 - 1.0) / 16.0)) * 1000000.0 + 0.5) / 1000000.0) AS ci_lo,
+           (FLOOR((theta + 2.0 * SQRT(ss * (16 - 1.0) / 16.0)) * 1000000.0 + 0.5) / 1000000.0) AS ci_hi
+    FROM v
+    """
+    return (
+        tmpl.replace("{PRIME}", str(_SPLIT_PRIME))
+        .replace("{MULT}", str(_SPLIT_MULT))
+        .replace("{THETA}", sql_davg("value"))
+        .replace("{REPS}", reps)
+    )
+
+
+_JK_ORACLE = _jk_oracle()
+
+
+@register(
+    "agg_jackknife_ci",
+    _JK_ORACLE,
+    doc=f"deterministic jackknife CI: {_JK_R} delete-one-bucket "
+    "replicate means (multiplicative-hash buckets, ONE scan via "
+    "conditional aggregation), SE = sqrt((R−1)/R·Σ(mᵣ−m̄)²), ±2·SE "
+    "interval — uncertainty quantification with zero randomness",
+)
+def agg_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confidence intervals without rand(): rows are assigned to R
+    hash buckets (the reproducible-split hash), replicate r is the
+    mean EXCLUDING bucket r, and the delete-one-group jackknife
+    SE = √((R−1)/R·Σ(mᵣ−m̄)²) bounds the sampling error of the full
+    mean. Every replicate mean is a deterministic ``davg`` (the
+    conditional aggregation runs all R replicates in ONE scan — no
+    data is scattered R×), so the interval is bit-stable across
+    engines, runs, and partitionings — an uncertainty number a
+    nightly report can diff exactly.
+
+    Scale: one map-side-combined shuffle carrying R+1 aggregate
+    states per group; R is a constant. The same shape serves any
+    ``dsum``-family statistic.
+    """
+    ev = load(spark, "events", sf_dir)
+    bkt = (
+        (F.col("event_id") % F.lit(_SPLIT_PRIME)) * F.lit(_SPLIT_MULT)
+    ) % F.lit(_SPLIT_PRIME) % F.lit(_JK_R)
+    b = ev.select("event_type", "value", bkt.alias("bkt"))
+    reps = [
+        davg(F.when(F.col("bkt") != r, F.col("value"))).alias(f"m{r}")
+        for r in range(_JK_R)
+    ]
+    m = b.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        davg("value").alias("theta"),
+        *reps,
+    )
+    mbar = sum(F.col(f"m{r}") for r in range(_JK_R)) / F.lit(float(_JK_R))
+    ss = sum(
+        (F.col(f"m{r}") - mbar) * (F.col(f"m{r}") - mbar)
+        for r in range(_JK_R)
+    )
+    se = F.sqrt(ss * F.lit((_JK_R - 1.0)) / F.lit(float(_JK_R)))
+    return m.select(
+        "event_type",
+        "n",
+        "theta",
+        dround(se, 6).alias("jk_se"),
+        dround(F.col("theta") - 2.0 * se, 6).alias("ci_lo"),
+        dround(F.col("theta") + 2.0 * se, 6).alias("ci_hi"),
+    )

@@ -268,3 +268,15 @@ def test_volume_anomaly_dead_feed_and_flat_baseline(spark, tmp_path):
     # flat-baseline days with the expected count stay quiet
     quiet = out[dt.date(2024, 1, 9)]
     assert quiet.n_events == 144 and not quiet.is_anomaly
+
+
+def test_jackknife_ci_contains_theta(spark, sf_dir):
+    from cs_pipeline_spark.operators.aggregate import agg_jackknife_ci
+
+    rows = agg_jackknife_ci(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.jk_se >= 0
+        assert r.ci_lo <= r.theta <= r.ci_hi
+        # SE of a mean over n samples shrinks like 1/sqrt(n): sanity cap
+        assert r.jk_se < 100
