@@ -744,15 +744,18 @@ def _pq_parts(spark: SparkSession, sf_dir: str):
         )
     )
     dist = _ql2(F.col("sub"), F.col("cen"))
-    w_code = Window.partitionBy("vec_id", "m").orderBy(
-        F.asc("d"), F.asc("cen_id")
-    )
+    # argmin(d, cen_id) per (vec_id, m) as a hash aggregate: min over
+    # struct(d, cen_id) orders by d then cen_id — identical to the
+    # ROW_NUMBER() ... ORDER BY d, cen_id / rn=1 form (d is quantized,
+    # never NaN) but map-side combinable: no window sort stage, and
+    # the shuffle carries one struct per (vector, subspace) instead of
+    # K candidate rows.
     codes = (
         subs.join(cb, "m")
         .select("vec_id", "m", "cen_id", dist.alias("d"))
-        .withColumn("rn", F.row_number().over(w_code))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "m", "cen_id")
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d", "cen_id")).alias("s"))
+        .select("vec_id", "m", F.col("s.cen_id").alias("cen_id"))
     )
     q_subs = _pq_subs(
         corpus.filter(F.col("vec_id") < N_QUERIES), "query_id"
@@ -1062,13 +1065,16 @@ def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_lab = lab.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
     )
+    # Fold the query's coarse cell into the broadcast ADC table and
+    # make `label` part of the equi-join key: the broadcast hash probe
+    # then emits only same-cell (query, code) matches — 1/|cells| of
+    # the rows the join-then-filter form would materialize.
+    dtab_l = F.broadcast(
+        dtab.join(q_lab, "query_id").withColumnRenamed("q_label", "label")
+    )
     adist = (
-        codes_l.join(dtab, ["m", "cen_id"])
-        .join(F.broadcast(q_lab), "query_id")
-        .filter(
-            (F.col("vec_id") != F.col("query_id"))
-            & (F.col("label") == F.col("q_label"))
-        )
+        codes_l.join(dtab_l, ["m", "cen_id", "label"])
+        .filter(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id", "vec_id")
         .agg(F.sum("d").alias("adist"))
     )

@@ -11,12 +11,45 @@ A ``QuerySpec.oracle`` of None means the op is not SQL-expressible
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from collections.abc import Callable
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# Global LRU over all memoized plans. A live DataFrame pins its whole
+# executed plan on the JVM heap — including every broadcast-join hash
+# relation it materialized. Unbounded per-op memoization therefore
+# grows the driver heap linearly in the number of DISTINCT queries run
+# in one session (~277 ops × a few MB of broadcasts ≈ 1 GB — observed
+# OOM in a default-1g zero-config session). Bounding live plans lets
+# py4j release evicted DataFrames, after which Spark's ContextCleaner
+# reclaims their broadcasts/shuffles. 16 entries still serves the
+# repeat-call pattern memoization exists for (bench min-of-2 runs,
+# flagships reusing a stage) — consecutive calls hit, cold cost is one
+# plan rebuild.
+_PLAN_LRU_MAX = 16
+_PLAN_LRU: OrderedDict[tuple, DataFrame] = OrderedDict()
+
+
+def _lru_get(key: tuple) -> DataFrame | None:
+    df = _PLAN_LRU.get(key)
+    if df is not None:
+        _PLAN_LRU.move_to_end(key)
+    return df
+
+
+def _lru_put(key: tuple, df: DataFrame) -> None:
+    _PLAN_LRU[key] = df
+    _PLAN_LRU.move_to_end(key)
+    while len(_PLAN_LRU) > _PLAN_LRU_MAX:
+        _, old = _PLAN_LRU.popitem(last=False)
+        try:
+            old.unpersist(blocking=False)  # no-op if never persisted
+        except Exception:
+            pass
 
 
 @dataclass(frozen=True)
@@ -46,14 +79,15 @@ def register(name: str, oracle: str | None, doc: str = ""):
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query id: {name}")
-        cache: dict[tuple[SparkSession, str], DataFrame] = {}
 
         def cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-            key = (spark, sf_dir)
-            df = cache.get(key)
+            # the session object itself keys the entry — a restarted
+            # session never sees stale plans (LRU keeps ≤16 refs).
+            key = (name, spark, sf_dir)
+            df = _lru_get(key)
             if df is None:
                 df = fn(spark, sf_dir)
-                cache[key] = df
+                _lru_put(key, df)
             return df
 
         cached.__name__ = fn.__name__
