@@ -136,3 +136,55 @@ def events_analytics_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_value"),
         )
     )
+
+
+@register(
+    "f_json_extract",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(k) AS BIGINT) AS n_with_k,
+           CAST(SUM(k) AS BIGINT) AS k_total,
+           CAST(MIN(k) AS BIGINT) AS k_min,
+           CAST(MAX(k) AS BIGINT) AS k_max
+    FROM (SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events) t
+    GROUP BY event_type
+    """,
+    doc="semi-structured JSON surface: typed path extraction from the "
+    "events props payload (get_json_object) rolled up per event type — "
+    "integer-exact, no Python in the row path",
+)
+def f_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction over a string payload column — the
+    semi-structured ingestion surface (log/event pipelines carry a
+    JSON ``props`` bag next to the typed columns).
+
+    ``get_json_object`` is a native JVM expression (Jackson parse per
+    row, inside WholeStageCodegen); the extracted value is cast to
+    BIGINT so every aggregate below is exact integer arithmetic —
+    nothing to quantize. Missing/unparseable paths become NULL, which
+    COUNT/SUM/MIN/MAX skip identically in both engines.
+
+    Scale: parse cost is per-row CPU in the scan stage (no shuffle
+    added); the rollup is one map-side-combined hash aggregate on a
+    low-cardinality key. At 100 TB the win is projecting the payload
+    to typed columns ONCE at ingest (this op's projection) rather than
+    re-parsing JSON in every downstream query; for repeated multi-key
+    extraction use from_json with an explicit schema (one parse, all
+    keys) instead of N get_json_object calls.
+    """
+    ev = load(spark, "events", sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("k_total"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )

@@ -2107,3 +2107,174 @@ def emb_outlier_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------- hybrid retrieval: reciprocal-rank fusion ----------
+
+_RRF_K = 60  # standard RRF damping constant (Cormack et al.)
+
+
+_SQL_HYBRID_RRF = f"""
+    WITH n AS ({_SQL_NORMED}),
+    q AS (SELECT * FROM n WHERE vec_id < {N_QUERIES}),
+    vr AS (
+      SELECT query_id, cand, rv FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_SQL_COS} DESC, c.vec_id) AS rv
+        FROM q JOIN n c ON c.vec_id <> q.vec_id) t
+      WHERE rv <= {TOP_K}),
+    qt AS (
+      SELECT DISTINCT d.doc_id AS query_id, t.tok
+      FROM documents d, UNNEST(string_split(d.text, ' ')) AS t(tok)
+      WHERE d.doc_id < {N_QUERIES} AND t.tok <> ''),
+    ct AS (
+      SELECT DISTINCT d.doc_id AS cand, t.tok
+      FROM documents d, UNNEST(string_split(d.text, ' ')) AS t(tok)
+      WHERE t.tok <> ''),
+    ov AS (
+      SELECT qt.query_id, ct.cand, COUNT(*) AS n_shared
+      FROM qt JOIN ct ON ct.tok = qt.tok
+      WHERE ct.cand <> qt.query_id
+      GROUP BY qt.query_id, ct.cand),
+    lr AS (
+      SELECT query_id, cand, rl FROM (
+        SELECT query_id, cand,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY n_shared DESC, cand) AS rl
+        FROM ov) t
+      WHERE rl <= {TOP_K}),
+    f AS (
+      SELECT COALESCE(vr.query_id, lr.query_id) AS query_id,
+             COALESCE(vr.cand, lr.cand) AS neighbor_id,
+             COALESCE(1.0 / ({_RRF_K} + vr.rv), 0.0)
+               + COALESCE(1.0 / ({_RRF_K} + lr.rl), 0.0) AS score,
+             COALESCE(vr.rv, 0) AS vec_rank,
+             COALESCE(lr.rl, 0) AS lex_rank
+      FROM vr FULL JOIN lr
+        ON lr.query_id = vr.query_id AND lr.cand = vr.cand)
+    SELECT query_id, neighbor_id,
+           (FLOOR(score * 1000000000.0 + 0.5) / 1000000000.0) AS rrf_score,
+           CAST(vec_rank AS BIGINT) AS vec_rank,
+           CAST(lex_rank AS BIGINT) AS lex_rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id) AS rf
+      FROM f) t
+    WHERE rf <= {TOP_K}
+"""
+
+
+@register(
+    "sim_hybrid_rrf",
+    _SQL_HYBRID_RRF,
+    doc=f"hybrid retrieval: reciprocal-rank fusion (k={_RRF_K}) of the "
+    "lexical token-overlap ranking and the exact-cosine vector ranking "
+    f"per query doc — top {TOP_K} fused neighbors with both arm ranks",
+)
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: fuse a lexical and a vector ranking with
+    reciprocal-rank fusion — ``score = Σ 1/(60 + rank_arm)`` over the
+    arms that retrieved the pair (the standard RRF formula; absent
+    arm contributes 0). The dominant modern retrieval shape (BM25 ⊕
+    dense embeddings) expressed as two bounded top-k pipelines and a
+    k-bounded outer-join fusion.
+
+    - Vector arm: exact quantized-cosine brute force over the corpus
+      for the broadcast query set (``sim_topk_bruteforce`` shape).
+    - Lexical arm: an inverted-index join — distinct query tokens
+      (broadcast) matched against the corpus posting lists, overlap
+      counts ranked per query.
+    - Fusion: both arms emit ≤ TOP_K rows per query, so the full-outer
+      fusion join and the final re-rank touch O(queries·k) rows only.
+
+    Determinism: ranks are tie-broken on ids; the RRF score is a sum
+    of two correctly-rounded double divisions of identical integers on
+    both engines (then floor-quantized to 1e-9 for the output), so
+    ordering and values are bit-identical.
+
+    Scale: the lexical arm shuffles on token — posting lists of hot
+    (stopword-like) tokens skew; production drops high-df tokens
+    (idf floor) before the join, which also shrinks the index. The
+    vector arm streams the corpus once against broadcast queries; for
+    large query batches swap in ``sim_topk_prereduce``. Fusion cost is
+    independent of corpus size.
+    """
+    corpus = _with_norm(load(spark, "embeddings", sf_dir))
+    queries = F.broadcast(
+        corpus.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+        )
+    )
+    w_v = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("cand")
+    )
+    vr = (
+        corpus.crossJoin(queries)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand"),
+            _scored(
+                F.col("q_emb"), F.col("embedding"), F.col("q_nrm"), F.col("nrm")
+            ).alias("cos_sim"),
+        )
+        .withColumn("rv", F.row_number().over(w_v))
+        .filter(F.col("rv") <= TOP_K)
+        .select("query_id", "cand", "rv")
+    )
+
+    docs = load(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+    ).filter(F.col("tok") != "")
+    qt = F.broadcast(
+        toks.filter(F.col("doc_id") < N_QUERIES).select(
+            F.col("doc_id").alias("query_id"), "tok"
+        )
+    )
+    w_l = Window.partitionBy("query_id").orderBy(
+        F.desc("n_shared"), F.asc("cand")
+    )
+    lr = (
+        toks.join(qt, "tok")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("doc_id").alias("cand"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .withColumn("rl", F.row_number().over(w_l))
+        .filter(F.col("rl") <= TOP_K)
+        .select("query_id", "cand", "rl")
+    )
+
+    score = F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col("rv")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("rl")), F.lit(0.0))
+    fused = (
+        vr.join(lr, ["query_id", "cand"], "full_outer")
+        .select(
+            "query_id",
+            F.col("cand").alias("neighbor_id"),
+            score.alias("score"),
+            F.coalesce(F.col("rv"), F.lit(0)).cast("long").alias("vec_rank"),
+            F.coalesce(F.col("rl"), F.lit(0)).cast("long").alias("lex_rank"),
+        )
+    )
+    w_f = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        fused.withColumn("rf", F.row_number().over(w_f))
+        .filter(F.col("rf") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.floor(F.col("score") * 1000000000.0 + F.lit(0.5)) / 1000000000.0).alias(
+                "rrf_score"
+            ),
+            "vec_rank",
+            "lex_rank",
+        )
+    )

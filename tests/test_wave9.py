@@ -1,0 +1,81 @@
+"""Invariants for wave-9 ops: hybrid RRF fusion, JSON extraction."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cs_pipeline_spark.operators.pipeline_events import f_json_extract
+from cs_pipeline_spark.operators.similarity import (
+    _RRF_K,
+    N_QUERIES,
+    TOP_K,
+    sim_hybrid_rrf,
+    sim_topk_bruteforce,
+)
+from cs_pipeline_spark.tables import load
+
+
+def test_rrf_shape_and_bounds(spark, sf_dir):
+    rows = sim_hybrid_rrf(spark, sf_dir).collect()
+    # every query emits exactly TOP_K fused neighbors
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+        assert r.neighbor_id != r.query_id
+        assert 0 <= r.vec_rank <= TOP_K
+        assert 0 <= r.lex_rank <= TOP_K
+        # at least one arm retrieved the pair
+        assert r.vec_rank > 0 or r.lex_rank > 0
+        # score bounds: one arm ≥ 1/(k+TOP_K); two arms ≤ 2/(k+1)
+        assert r.rrf_score <= 2.0 / (_RRF_K + 1) + 1e-9
+        assert r.rrf_score >= 1.0 / (_RRF_K + TOP_K) - 1e-9
+    assert len(per_q) == N_QUERIES
+    assert all(len(v) == TOP_K for v in per_q.values())
+
+
+def test_rrf_dominates_on_double_retrieval(spark, sf_dir):
+    # a pair retrieved by BOTH arms at rank 1 must outrank any
+    # single-arm pair (2/(k+1) > 1/(k+1) ≥ any single-arm score)
+    rows = sim_hybrid_rrf(spark, sf_dir).collect()
+    for r in rows:
+        if r.vec_rank == 1 and r.lex_rank == 1:
+            top = [
+                x
+                for x in rows
+                if x.query_id == r.query_id and x.rrf_score > r.rrf_score
+            ]
+            assert top == []
+
+
+def test_rrf_vector_arm_matches_bruteforce(spark, sf_dir):
+    # the vector arm inside the fusion is exactly sim_topk_bruteforce:
+    # every (query, neighbor) with vec_rank>0 appears in its top-k
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in sim_topk_bruteforce(spark, sf_dir).collect()
+    }
+    for r in sim_hybrid_rrf(spark, sf_dir).collect():
+        if r.vec_rank > 0:
+            assert (r.query_id, r.neighbor_id) in bf
+
+
+def test_json_extract_totals(spark, sf_dir):
+    out = {r.event_type: r for r in f_json_extract(spark, sf_dir).collect()}
+    ev = load(spark, "events", sf_dir)
+    n = ev.count()
+    assert sum(r.n_events for r in out.values()) == n
+    # every props row parses in the synthetic data; k in [0, 99]
+    for r in out.values():
+        assert r.n_with_k == r.n_events
+        assert 0 <= r.k_min <= r.k_max <= 99
+        assert r.k_total >= r.k_min * r.n_with_k
+    # cross-check one group against a direct typed aggregation
+    direct = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.get_json_object("props", "$.k").cast("long").alias("k"))
+        .agg(F.sum("k").alias("s"))
+        .collect()[0]
+        .s
+    )
+    if "click" in out:
+        assert out["click"].k_total == direct
