@@ -1107,52 +1107,67 @@ def agg_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SELECT event_type, COUNT(DISTINCT user_id) AS n_exact, "
     "TRUE AS merge_consistent, TRUE AS approx_ok "
     "FROM events GROUP BY event_type",
-    doc="mergeable HLL sketches (Datasketches): estimate(union of two "
-    "half-corpus sketches) must equal estimate(full sketch) exactly, "
-    "and land within 5% of exact — the backfill/increment sketch "
-    "contract, oracle pins both verdicts TRUE",
+    doc="mergeable HLL sketches (Datasketches): the merged estimate "
+    "must be SPLIT-INVARIANT (union of 2 halves == union of 4 "
+    "quarters) and land within 5% of exact — the backfill/increment "
+    "sketch contract, oracle pins both verdicts TRUE",
 )
 def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The property that makes sketches the 100 TB cardinality path:
-    MERGEABILITY. Sketch each half of the corpus independently, union
-    the binary sketches, and the estimate must equal the
-    full-corpus sketch's estimate EXACTLY — HLL registers merge by
-    max, which is commutative/associative/idempotent, so the merged
-    state is identical regardless of split or order. That is what lets
-    a daily pipeline keep per-partition sketches and answer
-    arbitrary-range cardinalities without rescanning (see
-    ``agg_incremental_merge`` for the exact-sum analogue).
+    MERGEABILITY. Sketch disjoint slices of the corpus independently,
+    union the binary sketches — the result must not depend on HOW the
+    corpus was split (2 halves vs 4 quarters): HLL registers merge by
+    max, which is commutative/associative/idempotent, so any split
+    yields the identical merged state. That is what lets a daily
+    pipeline keep per-partition sketches and answer arbitrary-range
+    cardinalities without rescanning (see ``agg_incremental_merge``
+    for the exact-sum analogue).
+
+    Deliberately NOT asserted: merged estimate == single-pass
+    estimate. DataSketches HLL uses the HIP estimator for a
+    streaming-built sketch but must fall back to the composite
+    estimator once a sketch has been through a union (HIP validity is
+    destroyed by out-of-order register merges), so the two estimates
+    legitimately diverge once the sketch leaves exact coupon mode
+    (observed at sf0.1: single-pass 1494 vs merged 1488, exact 1500 —
+    both within tolerance, split-invariance exact).
 
     The driver surface carries the exact count (hash-verified) plus
     two pinned verdicts; the sketch bytes themselves stay internal.
     """
     ev = load(spark, "events", sf_dir)
-    half_a = ev.filter(F.col("event_id") % 2 == 0)
-    half_b = ev.filter(F.col("event_id") % 2 == 1)
-    sk = lambda df, name: df.groupBy("event_type").agg(  # noqa: E731
-        F.hll_sketch_agg("user_id").alias(name)
+
+    def merged_est(n_splits: int, out: str) -> DataFrame:
+        parts = [
+            ev.filter(F.col("event_id") % n_splits == i)
+            .groupBy("event_type")
+            .agg(F.hll_sketch_agg("user_id").alias("sk"))
+            for i in range(n_splits)
+        ]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        return u.groupBy("event_type").agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(out)
+        )
+
+    full = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
     )
-    merged = (
-        sk(half_a, "sk").unionByName(sk(half_b, "sk"))
-        .groupBy("event_type")
-        .agg(F.hll_union_agg("sk").alias("sk_merged"))
+    return (
+        full.join(merged_est(2, "est_halves"), "event_type")
+        .join(merged_est(4, "est_quarters"), "event_type")
         .select(
             "event_type",
-            F.hll_sketch_estimate("sk_merged").alias("est_merged"),
+            "n_exact",
+            (F.col("est_halves") == F.col("est_quarters")).alias(
+                "merge_consistent"
+            ),
+            (
+                F.abs(F.col("est_halves") - F.col("n_exact"))
+                <= F.lit(0.05) * F.col("n_exact")
+            ).alias("approx_ok"),
         )
-    )
-    full = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_exact"),
-        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est_full"),
-    )
-    return full.join(merged, "event_type").select(
-        "event_type",
-        "n_exact",
-        (F.col("est_merged") == F.col("est_full")).alias("merge_consistent"),
-        (
-            F.abs(F.col("est_full") - F.col("n_exact"))
-            <= F.lit(0.05) * F.col("n_exact")
-        ).alias("approx_ok"),
     )
 
 
