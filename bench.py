@@ -40,6 +40,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "sim_topk_bruteforce",
+    "sim_hybrid_rrf",
     "text_stats",
     "mm_frame_sample",
     # round-2 additions: corpus shuffle ops, range join, decontamination
