@@ -11,6 +11,7 @@ A ``QuerySpec.oracle`` of None means the op is not SQL-expressible
 
 from __future__ import annotations
 
+import threading
 from collections import OrderedDict
 from collections.abc import Callable
 from dataclasses import dataclass
@@ -32,20 +33,28 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # plan rebuild.
 _PLAN_LRU_MAX = 16
 _PLAN_LRU: OrderedDict[tuple, DataFrame] = OrderedDict()
+# concurrent sessions (a server driving many queries) race on the
+# get→move_to_end / put→evict sequences; a plain lock keeps them
+# atomic (evictions never run user code — unpersist is async)
+_PLAN_LOCK = threading.Lock()
 
 
 def _lru_get(key: tuple) -> DataFrame | None:
-    df = _PLAN_LRU.get(key)
-    if df is not None:
-        _PLAN_LRU.move_to_end(key)
-    return df
+    with _PLAN_LOCK:
+        df = _PLAN_LRU.get(key)
+        if df is not None:
+            _PLAN_LRU.move_to_end(key)
+        return df
 
 
 def _lru_put(key: tuple, df: DataFrame) -> None:
-    _PLAN_LRU[key] = df
-    _PLAN_LRU.move_to_end(key)
-    while len(_PLAN_LRU) > _PLAN_LRU_MAX:
-        _, old = _PLAN_LRU.popitem(last=False)
+    evicted = []
+    with _PLAN_LOCK:
+        _PLAN_LRU[key] = df
+        _PLAN_LRU.move_to_end(key)
+        while len(_PLAN_LRU) > _PLAN_LRU_MAX:
+            evicted.append(_PLAN_LRU.popitem(last=False)[1])
+    for old in evicted:
         try:
             old.unpersist(blocking=False)  # no-op if never persisted
         except Exception:

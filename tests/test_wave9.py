@@ -79,3 +79,53 @@ def test_json_extract_totals(spark, sf_dir):
     )
     if "click" in out:
         assert out["click"].k_total == direct
+
+
+def test_registry_concurrent_queries(spark, sf_dir):
+    # a server session runs many queries concurrently; the plan LRU
+    # must stay consistent (no KeyError on racing move_to_end) and
+    # every query must return correct results under eviction pressure
+    import threading
+
+    from cs_pipeline_spark.registry import _PLAN_LRU_MAX, all_specs
+
+    names = [
+        "q1_pricing_summary",
+        "f_json_extract",
+        "agg_distinct_months",
+        "text_stats",
+        "dedup_exact",
+        "agg_histogram",
+        "join_semi",
+        "win_rank_lag",
+        "rename_shortnames",
+        "drop_cols",
+        "filter_top_of_hour",
+        "agg_mode_per_group",
+        "set_intersect",
+        "profile_nulls",
+        "f_unit_conversions",
+        "agg_weighted_avg",
+        "coord_value_remap",
+        "sort_coords",
+    ]
+    assert len(names) > _PLAN_LRU_MAX  # force evictions
+    specs = all_specs()
+    baseline = {n: specs[n].fn(spark, sf_dir).count() for n in names}
+    errs: list[Exception] = []
+
+    def worker(sub):
+        try:
+            for n in sub:
+                assert specs[n].fn(spark, sf_dir).count() == baseline[n]
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=worker, args=(names[i::4],)) for i in range(4)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errs == []
