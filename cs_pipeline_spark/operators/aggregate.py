@@ -2150,3 +2150,116 @@ def agg_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.col("theta") - 2.0 * se, 6).alias("ci_lo"),
         dround(F.col("theta") + 2.0 * se, 6).alias("ci_hi"),
     )
+
+
+_ANALYZE_COLS = [
+    # (name, kind) — kind drives the numeric canonicalization:
+    # ints/dates → exact doubles; strings → no min/max (formatting is
+    # not cross-engine stable); prices are cents-exact so double-safe
+    ("o_orderkey", "int"),
+    ("o_custkey", "int"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "date"),
+    ("o_orderpriority", "str"),
+]
+
+
+def _sql_analyze_one(name: str, kind: str) -> str:
+    if kind == "int" or kind == "num":
+        mn = f"CAST(MIN({name}) AS DOUBLE)"
+        mx = f"CAST(MAX({name}) AS DOUBLE)"
+    elif kind == "date":
+        mn = f"CAST(datediff('day', DATE '1970-01-01', MIN({name})) AS DOUBLE)"
+        mx = f"CAST(datediff('day', DATE '1970-01-01', MAX({name})) AS DOUBLE)"
+    else:
+        mn = "CAST(NULL AS DOUBLE)"
+        mx = "CAST(NULL AS DOUBLE)"
+    return (
+        f"SELECT '{name}' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        f"CAST(COUNT(*) - COUNT({name}) AS BIGINT) AS n_nulls, "
+        f"CAST(COUNT(DISTINCT {name}) AS BIGINT) AS ndv, "
+        f"{mn} AS min_val, {mx} AS max_val FROM orders"
+    )
+
+
+@register(
+    "analyze_table_stats",
+    " UNION ALL ".join(
+        _sql_analyze_one(n, k) for n, k in _ANALYZE_COLS
+    ),
+    doc="ANALYZE-style column statistics (rowcount, nulls, exact NDV, "
+    "min/max) per column of orders — the table profile a cost-based "
+    "optimizer and a data catalog consume",
+)
+def analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS surface as
+    a query: one row per column with rowcount, null count, exact
+    distinct count, and min/max canonicalized to DOUBLE (dates as
+    epoch days; strings carry no min/max — cross-engine string
+    formatting of numerics is unstable, and a catalog stores string
+    bounds separately anyway).
+
+    Implementation: ONE aggregation pass computing every per-column
+    aggregate side by side (Catalyst plans the N exact
+    count-distincts as one Expand ×N + two-level aggregate), then an
+    explode-to-long projection of the single result row — no
+    per-column scans, no union of N jobs (the oracle's UNION ALL form
+    rescans per column; Spark's form reads the table once).
+
+    Scale: exact NDV on every column of a 100 TB table is an Expand
+    that multiplies scan output ×N_cols into one shuffle — the
+    documented production swap is ``approx_count_distinct`` (HLL,
+    no Expand, mergeable partials; see ``agg_approx_distinct`` for
+    the contract) once estimates are acceptable. Everything else here
+    (count/nulls/min/max) is a plain map-side-combined single pass.
+    """
+    o = load(spark, "orders", sf_dir)
+
+    def mm(name: str, kind: str):
+        if kind in ("int", "num"):
+            return F.min(name).cast("double"), F.max(name).cast("double")
+        if kind == "date":
+            return (
+                F.datediff(F.min(name), F.lit("1970-01-01")).cast("double"),
+                F.datediff(F.max(name), F.lit("1970-01-01")).cast("double"),
+            )
+        return (
+            F.lit(None).cast("double"),
+            F.lit(None).cast("double"),
+        )
+
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for n, k in _ANALYZE_COLS:
+        mn, mx = mm(n, k)
+        aggs += [
+            F.count(n).alias(f"_nn_{n}"),
+            F.countDistinct(n).alias(f"_ndv_{n}"),
+            mn.alias(f"_mn_{n}"),
+            mx.alias(f"_mx_{n}"),
+        ]
+    one = o.agg(*aggs)
+    stack_args = []
+    for n, _ in _ANALYZE_COLS:
+        stack_args += [
+            f"'{n}'",
+            "_n",
+            f"_n - _nn_{n}",
+            f"_ndv_{n}",
+            f"_mn_{n}",
+            f"_mx_{n}",
+        ]
+    return one.select(
+        F.expr(
+            f"stack({len(_ANALYZE_COLS)}, "
+            + ", ".join(stack_args)
+            + ") AS (col_name, n_rows, n_nulls, ndv, min_val, max_val)"
+        )
+    ).select(
+        "col_name",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_nulls").cast("long").alias("n_nulls"),
+        F.col("ndv").cast("long").alias("ndv"),
+        "min_val",
+        "max_val",
+    )

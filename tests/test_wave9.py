@@ -129,3 +129,29 @@ def test_registry_concurrent_queries(spark, sf_dir):
     for t in threads:
         t.join()
     assert errs == []
+
+
+def test_analyze_table_stats_invariants(spark, sf_dir):
+    from cs_pipeline_spark.operators.aggregate import analyze_table_stats
+    from cs_pipeline_spark.tables import load as _load
+
+    rows = {r.col_name: r for r in analyze_table_stats(spark, sf_dir).collect()}
+    n = _load(spark, "orders", sf_dir).count()
+    assert set(rows) == {
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    }
+    for r in rows.values():
+        assert r.n_rows == n
+        assert 0 <= r.n_nulls <= n
+        assert 1 <= r.ndv <= n - r.n_nulls
+    # key column: unique, never null, bounds sane
+    k = rows["o_orderkey"]
+    assert k.n_nulls == 0 and k.ndv == n
+    assert k.min_val is not None and k.min_val <= k.max_val
+    # string columns carry no numeric bounds
+    assert rows["o_orderstatus"].min_val is None
