@@ -2278,3 +2278,67 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lex_rank",
         )
     )
+
+
+# ---------- hard-negative mining ----------
+
+
+@register(
+    "sim_hard_negatives",
+    f"WITH n AS ({_SQL_NORMED}), q AS (SELECT * FROM n WHERE vec_id < {N_QUERIES}) "
+    "SELECT q.vec_id AS query_id, c.vec_id AS negative_id, "
+    "CAST(c.label AS BIGINT) AS neg_label, "
+    f"{_SQL_COS} AS cos_sim "
+    "FROM q JOIN n c ON c.label <> q.label "
+    f"QUALIFY row_number() OVER (PARTITION BY q.vec_id "
+    f"ORDER BY {_SQL_COS} DESC, c.vec_id) <= {TOP_K}",
+    doc=f"hard-negative mining for contrastive training: top {TOP_K} "
+    "most-similar vectors from a DIFFERENT label per query — the "
+    "inverted selection of sim_ivf_topk",
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-learning data prep: for each anchor, the most
+    similar corpus vectors that are NOT its class — the \"hard
+    negatives\" that make embedding training converge (easy random
+    negatives carry no gradient signal).
+
+    Same scored-stream shape as ``sim_topk_bruteforce`` with the cell
+    condition inverted (label <> anchor label). Determinism: quantized
+    cosine + id tie-breaks, as everywhere in this module.
+
+    Scale: the anti-cell condition keeps ~(1 − 1/|labels|) of the
+    corpus per query, so unlike the IVF cell restriction this arm must
+    stream the corpus — which is exactly what the broadcast-query
+    nested loop does (no corpus shuffle; shuffle carries only
+    (query, cand, cos) triples). For large query batches the
+    per-partition heap pre-reduce (``sim_topk_prereduce``) applies
+    unchanged; with a trained index, production mines from the top
+    IVF cells excluding the anchor's own cell.
+    """
+    corpus = _with_norm(load(spark, "embeddings", sf_dir))
+    queries = F.broadcast(
+        corpus.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("q_label"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("negative_id")
+    )
+    return (
+        corpus.crossJoin(queries)
+        .filter(F.col("label") != F.col("q_label"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("negative_id"),
+            F.col("label").cast("long").alias("neg_label"),
+            _scored(
+                F.col("q_emb"), F.col("embedding"), F.col("q_nrm"), F.col("nrm")
+            ).alias("cos_sim"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .drop("rnk")
+    )

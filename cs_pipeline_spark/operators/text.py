@@ -613,3 +613,80 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT s.* FROM documents d, "
         "LATERAL split_sentences(d.doc_id, d.text) s"
     )
+
+
+_VG_BUCKET = 100  # docs per growth-curve bucket
+
+
+@register(
+    "text_vocab_growth",
+    f"""
+    WITH toks AS (
+      SELECT DISTINCT d.doc_id, t.tok
+      FROM documents d, UNNEST(string_split(d.text, ' ')) AS t(tok)
+      WHERE t.tok <> ''
+    ), first_seen AS (
+      SELECT tok, MIN(doc_id) AS first_doc FROM toks GROUP BY tok
+    ), by_bucket AS (
+      SELECT CAST(first_doc // {_VG_BUCKET} AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS vocab_new
+      FROM first_seen GROUP BY 1
+    ), docs AS (
+      SELECT CAST(doc_id // {_VG_BUCKET} AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY 1
+    )
+    SELECT d.bucket, d.n_docs,
+           COALESCE(b.vocab_new, 0) AS vocab_new,
+           CAST(SUM(COALESCE(b.vocab_new, 0)) OVER (
+             ORDER BY d.bucket ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS vocab_cum
+    FROM docs d LEFT JOIN by_bucket b ON b.bucket = d.bucket
+    """,
+    doc=f"Heaps'-law vocabulary growth curve: new + cumulative distinct "
+    f"tokens per {_VG_BUCKET}-doc bucket via first-occurrence scatter "
+    "(one pass, no windowed distinct)",
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth (Heaps' law) over the corpus in ingestion
+    order — the curve that tells a tokenizer-training pipeline when
+    vocabulary coverage saturates.
+
+    The naive form (\"distinct tokens in the first N docs\" for each
+    N) is a windowed DISTINCT — unexpressible without re-scanning per
+    bucket. The scatter form is one pass: each token contributes only
+    at its FIRST occurrence (min doc_id), new-token counts roll up per
+    bucket, and the cumulative sum over the tiny bucket spine gives
+    the curve. Same trick as ``win_sliding_distinct``.
+
+    Scale: shuffle 1 = distinct (doc, token) pairs (the dedup),
+    shuffle 2 = min per token (map-side combined), then bucket rollup
+    on |vocab| rows and a window over |buckets| rows — nothing
+    corpus-sized crosses the wire after the first-occurrence reduce.
+    Buckets here are doc_id ranges; a production curve buckets by
+    ingestion date with identical shape.
+    """
+    docs = load(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+    ).filter(F.col("tok") != "")
+    first_seen = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    by_bucket = first_seen.groupBy(
+        F.expr(f"first_doc div {_VG_BUCKET}").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("vocab_new"))
+    spine = docs.groupBy(
+        F.expr(f"doc_id div {_VG_BUCKET}").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+    from pyspark.sql.window import Window as _W
+
+    w = _W.orderBy("bucket").rowsBetween(_W.unboundedPreceding, 0)
+    return (
+        spine.join(by_bucket, "bucket", "left")
+        .select(
+            "bucket",
+            "n_docs",
+            F.coalesce("vocab_new", F.lit(0)).alias("vocab_new"),
+        )
+        .withColumn("vocab_cum", F.sum("vocab_new").over(w).cast("long"))
+    )

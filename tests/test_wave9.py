@@ -155,3 +155,52 @@ def test_analyze_table_stats_invariants(spark, sf_dir):
     assert k.min_val is not None and k.min_val <= k.max_val
     # string columns carry no numeric bounds
     assert rows["o_orderstatus"].min_val is None
+
+
+def test_hard_negatives_cross_label_only(spark, sf_dir):
+    from cs_pipeline_spark.operators.similarity import (
+        _with_norm,
+        sim_hard_negatives,
+    )
+
+    labels = {
+        r.vec_id: r.label
+        for r in load(spark, sf_dir=sf_dir, name="embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    rows = sim_hard_negatives(spark, sf_dir).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+        assert labels[r.negative_id] != labels[r.query_id]
+        assert r.neg_label == labels[r.negative_id]
+        assert -1.0 - 1e-9 <= r.cos_sim <= 1.0 + 1e-9
+    assert all(len(v) == TOP_K for v in per_q.values())
+    assert len(per_q) == N_QUERIES
+
+
+def test_vocab_growth_monotone_and_total(spark, sf_dir):
+    from cs_pipeline_spark.operators.text import text_vocab_growth
+
+    rows = sorted(
+        text_vocab_growth(spark, sf_dir).collect(), key=lambda r: r.bucket
+    )
+    docs = load(spark, "documents", sf_dir)
+    total_vocab = (
+        docs.select(
+            F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .select("tok")
+        .distinct()
+        .count()
+    )
+    cum = 0
+    for r in rows:
+        cum += r.vocab_new
+        assert r.vocab_cum == cum  # exact running sum
+    assert rows[-1].vocab_cum == total_vocab  # curve ends at |vocab|
+    assert sum(r.n_docs for r in rows) == docs.count()
+    # growth is front-loaded: first bucket introduces the most vocab
+    assert rows[0].vocab_new == max(r.vocab_new for r in rows)
