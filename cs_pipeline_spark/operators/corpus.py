@@ -710,3 +710,104 @@ def corpus_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kept_tokens",
         )
     )
+
+
+@register(
+    "corpus_datacard",
+    """
+    WITH d AS (
+      SELECT doc_id, lang, source,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS digest,
+             len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS n_toks,
+             CAST(len(list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))) AS DOUBLE)
+               / len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS distinct_ratio
+      FROM documents
+    ), dup AS (
+      SELECT digest, COUNT(*) AS n FROM d GROUP BY digest
+    ), g AS (
+      SELECT d.lang, d.source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(d.n_toks) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN dup.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_docs,
+             (CAST(CAST(SUM(CAST(FLOOR(d.distinct_ratio * 1000000.0 + 0.5)
+                AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 1000000.0)
+               / COUNT(d.distinct_ratio) AS avg_distinct_ratio
+      FROM d JOIN dup ON dup.digest = d.digest
+      GROUP BY d.lang, d.source
+    )
+    SELECT lang, source, n_docs, n_tokens, n_dup_docs,
+           avg_distinct_ratio,
+           CAST((n_tokens * 1000000) // SUM(n_tokens) OVER () AS BIGINT)
+             AS token_share_ppm
+    FROM g
+    """,
+    doc="corpus data card: per (lang, source) shard — docs, token "
+    "mass, exact-duplicate involvement, mean distinct-token ratio, "
+    "and integer-exact ppm share of total tokens",
+)
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-shard summary a dataset release publishes (data card):
+    how big each (lang, source) slice is, what share of the token
+    budget it carries, how duplicated it is, and a lexical-diversity
+    signal (mean distinct-token ratio — low values flag boilerplate).
+
+    Composition of the engine's own primitives: exact-dup involvement
+    reuses the ``dedup_exact`` digest (16-byte md5 of normalized
+    text), token counts the ``text_token_count`` whitespace form, and
+    the mean ratio rides the quantized ``davg`` path.
+
+    Scale: one shuffle on digest (map-side-combined count), one on
+    (lang, source); the final ppm share is a window over |shards|
+    rows — a metadata-scale spine. Integer ppm via floor division is
+    reproducible across engines for the non-negative operands here.
+    """
+    from pyspark.sql.window import Window as _W
+
+    from cs_pipeline_spark.operators.dedup import _NORM
+    from cs_pipeline_spark.operators.helpers import davg
+
+    docs = load(spark, "documents", sf_dir)
+    toks = F.split(F.expr(_NORM), " ")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.md5(F.expr(_NORM)).alias("digest"),
+        F.size(toks).alias("n_toks"),
+        (
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+        ).alias("distinct_ratio"),
+    )
+    dup = d.groupBy("digest").agg(F.count(F.lit(1)).alias("n"))
+    g = (
+        d.join(dup, "digest")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("n") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_docs"),
+            davg("distinct_ratio").alias("avg_distinct_ratio"),
+        )
+    )
+    return g.select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_dup_docs",
+        "avg_distinct_ratio",
+        F.expr("n_tokens * 1000000").alias("_scaled"),
+    ).select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_dup_docs",
+        "avg_distinct_ratio",
+        F.expr("_scaled div sum(n_tokens) over ()")
+        .cast("long")
+        .alias("token_share_ppm"),
+    ).drop("_scaled")

@@ -204,3 +204,18 @@ def test_vocab_growth_monotone_and_total(spark, sf_dir):
     assert sum(r.n_docs for r in rows) == docs.count()
     # growth is front-loaded: first bucket introduces the most vocab
     assert rows[0].vocab_new == max(r.vocab_new for r in rows)
+
+
+def test_corpus_datacard_invariants(spark, sf_dir):
+    from cs_pipeline_spark.operators.corpus import corpus_datacard
+
+    rows = corpus_datacard(spark, sf_dir).collect()
+    docs = load(spark, "documents", sf_dir)
+    assert sum(r.n_docs for r in rows) == docs.count()
+    total_ppm = sum(r.token_share_ppm for r in rows)
+    # floor division loses at most 1 ppm per shard
+    assert 1000000 - len(rows) <= total_ppm <= 1000000
+    for r in rows:
+        assert 0 <= r.n_dup_docs <= r.n_docs
+        assert 0.0 < r.avg_distinct_ratio <= 1.0
+        assert r.n_tokens >= r.n_docs  # every doc has ≥1 token
