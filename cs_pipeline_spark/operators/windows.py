@@ -1887,3 +1887,68 @@ def win_hampel_despike(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.abs(F.col("q") - F.col("med")) > F.lit(_HAM_K) * mad)
         ).alias("is_spike"),
     )
+
+
+_RF_US = 3600 * 1000000  # 1-hour trailing range frame, microseconds
+
+
+@register(
+    "win_range_frame",
+    f"""
+    WITH e AS (
+      SELECT event_id, user_id, epoch_us({EVENTS_TS_SQL}) AS us,
+             CAST(FLOOR(value * 1000000.0 + 0.5) AS HUGEINT) AS vq
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+           (CAST(CAST(SUM(vq) OVER w AS VARCHAR) AS DOUBLE) / 1000000.0)
+             AS sum_1h
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY us
+                 RANGE BETWEEN {_RF_US} PRECEDING AND CURRENT ROW)
+    """,
+    doc="time-interval window frame: per-user trailing-1h event count "
+    "and quantized value sum via RANGE BETWEEN on integer microseconds "
+    "— the value-based frame ROWS windows cannot express",
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame windows: the frame is bounded by ORDER-BY *value*
+    distance (here: event-time within the trailing hour), not by row
+    count — a different capability from every ROWS window in this
+    module (a user with bursty traffic has a different number of rows
+    inside each hour).
+
+    The frame key is integer microseconds (``unix_micros``), so the
+    range bound is exact in both engines and peer rows (equal
+    timestamps) are handled identically by the SQL-standard RANGE
+    rule: all peers enter the frame together — which also makes the
+    result well-defined under timestamp ties, where a ROWS frame
+    would be order-dependent. The windowed sum rides the quantized
+    integer path (decimal/HUGEINT), so totals are bit-stable.
+
+    Scale: one shuffle on user_id, one ordered pass per partition
+    with a sliding two-pointer frame (Spark's WindowExec maintains
+    the range frame incrementally — no per-row rescan). Skewed users
+    are real at 100 TB: a hot key serializes one task, so cap with
+    AQE skew handling or pre-split by (user_id, day) when the frame
+    never crosses the split boundary... here the 1 h frame allows a
+    (user, day)+carry-in split if needed.
+    """
+    ev = load(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-_RF_US, 0)
+    )
+    vq = F.floor(F.col("value") * 1000000.0 + F.lit(0.5)).cast(
+        "decimal(38,0)"
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_1h"),
+        (
+            F.sum(vq).over(w).cast("string").cast("double") / 1000000.0
+        ).alias("sum_1h"),
+    )

@@ -219,3 +219,33 @@ def test_corpus_datacard_invariants(spark, sf_dir):
         assert 0 <= r.n_dup_docs <= r.n_docs
         assert 0.0 < r.avg_distinct_ratio <= 1.0
         assert r.n_tokens >= r.n_docs  # every doc has ≥1 token
+
+
+def test_range_frame_matches_bruteforce(spark, sf_dir):
+    from cs_pipeline_spark.operators.windows import _RF_US, win_range_frame
+
+    out = {
+        r.event_id: r for r in win_range_frame(spark, sf_dir).collect()
+    }
+    ev = (
+        load(spark, "events", sf_dir)
+        .select("event_id", "user_id", F.unix_micros("ts").alias("us"), "value")
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(r)
+    import random
+
+    rng = random.Random(7)
+    sample = rng.sample(ev, min(50, len(ev)))
+    for r in sample:
+        peers = [
+            x
+            for x in by_user[r.user_id]
+            if r.us - _RF_US <= x.us <= r.us
+        ]
+        got = out[r.event_id]
+        assert got.n_1h == len(peers)
+        want = sum(round(x.value * 1e6) for x in peers) / 1e6
+        assert abs(got.sum_1h - want) < 1e-9
