@@ -464,3 +464,76 @@ def graph_bipartite_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lang_jaccard"),
         )
     )
+
+
+_BFS_SEEDS = 4  # seed set = doc_id < 4
+_BFS_HOPS = 6
+
+
+def _bfs_oracle() -> str:
+    """Unrolled BFS level chain (DuckDB side) — unrolled rather than
+    WITH RECURSIVE so each level is an explicit MIN-merge (the
+    recursive form's cross-branch dedup rules differ; see the
+    pagerank chain for the same convention)."""
+    n = "(SELECT COUNT(*) FROM documents)"
+    parts = [
+        f"WITH edges AS ({_EDGE_SQL.format(n=n)}), ",
+        f"d0 AS (SELECT doc_id AS node, CAST(0 AS BIGINT) AS dist "
+        f"FROM documents WHERE doc_id < {_BFS_SEEDS})",
+    ]
+    for t in range(_BFS_HOPS):
+        parts.append(
+            f", d{t + 1} AS (SELECT node, MIN(dist) AS dist FROM ("
+            f"SELECT node, dist FROM d{t} "
+            f"UNION ALL "
+            f"SELECT e.dst AS node, d{t}.dist + 1 AS dist "
+            f"FROM d{t} JOIN edges e ON e.src = d{t}.node"
+            f") u GROUP BY node)"
+        )
+    parts.append(
+        f" SELECT node, dist FROM d{_BFS_HOPS}"
+    )
+    return "".join(parts)
+
+
+@register(
+    "graph_bfs_distance",
+    _bfs_oracle(),
+    doc=f"multi-source BFS: exact hop distance from the {_BFS_SEEDS}-seed "
+    f"set within {_BFS_HOPS} hops over the synthetic link graph — "
+    "frontier-expansion joins with MIN-merge per level",
+)
+def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source breadth-first search: shortest hop count from any
+    seed, the reachability/propagation primitive (crawl frontier
+    depth, contamination blast radius, link-distance features).
+
+    Level-synchronous BFS as iterated relational algebra: each level
+    joins the current distance table to the edge list and MIN-merges
+    discovered distances — monotone (distances only decrease), so
+    _BFS_HOPS fixed iterations compute exact distances for every node
+    within that radius, deterministically on any partitioning
+    (MIN is order-free; no tie-breaking needed).
+
+    Scale: per level, one hash join frontier×edges (co-partitioned on
+    the join key after the first iteration — Spark reuses the
+    exchange) plus one map-side-combined MIN groupBy. State is
+    (node, dist) pairs — never materializes paths. Bounded-hop BFS is
+    the 100 TB-safe form; unbounded diameters want the doubling
+    (pointer-jumping) trick ``dedup_clusters`` uses for components.
+    """
+    docs = load(spark, "documents", sf_dir)
+    edges = _edges(docs, _n_docs(spark, sf_dir))
+    d = docs.filter(F.col("doc_id") < _BFS_SEEDS).select(
+        F.col("doc_id").alias("node"), F.lit(0).cast("long").alias("dist")
+    )
+    for _ in range(_BFS_HOPS):
+        grown = edges.join(
+            d.withColumnRenamed("node", "src"), "src"
+        ).select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+        d = (
+            d.unionByName(grown)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return d

@@ -249,3 +249,32 @@ def test_range_frame_matches_bruteforce(spark, sf_dir):
         assert got.n_1h == len(peers)
         want = sum(round(x.value * 1e6) for x in peers) / 1e6
         assert abs(got.sum_1h - want) < 1e-9
+
+
+def test_bfs_distances_exact_on_small_graph(spark, sf_dir):
+    from cs_pipeline_spark.operators.graph import (
+        _BFS_HOPS,
+        _BFS_SEEDS,
+        _edges,
+        _n_docs,
+        graph_bfs_distance,
+    )
+
+    docs = load(spark, "documents", sf_dir)
+    n = _n_docs(spark, sf_dir)
+    adj: dict[int, set[int]] = {}
+    for r in _edges(docs, n).collect():
+        adj.setdefault(r.src, set()).add(r.dst)
+    # reference BFS on the driver
+    dist = {s: 0 for s in range(_BFS_SEEDS)}
+    frontier = list(dist)
+    for level in range(1, _BFS_HOPS + 1):
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = level
+                    nxt.append(v)
+        frontier = nxt
+    got = {r.node: r.dist for r in graph_bfs_distance(spark, sf_dir).collect()}
+    assert got == dist
