@@ -2263,3 +2263,79 @@ def analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_val",
         "max_val",
     )
+
+
+@register(
+    "agg_log_histogram",
+    f"""
+    WITH q AS (
+      SELECT event_type,
+             CAST(FLOOR(value * 1000.0 + 0.5) AS BIGINT) AS n
+      FROM events
+    ), b AS (
+      SELECT event_type,
+             CASE WHEN n <= 0 THEN 0
+                  ELSE length(ltrim(bin(n), '0')) END AS bucket
+      FROM q
+    )
+    SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+           CASE WHEN bucket = 0 THEN 0.0
+                ELSE CAST((1 << (bucket - 1)) AS DOUBLE) / 1000.0
+           END AS bucket_lo,
+           CASE WHEN bucket = 0 THEN 0.001
+                ELSE CAST((1 << bucket) AS DOUBLE) / 1000.0
+           END AS bucket_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM b GROUP BY event_type, bucket
+    """,
+    doc="HDR-style log₂-bucketed histogram of event values per type: "
+    "power-of-two buckets from the integer bit length — mergeable, "
+    "constant-memory, the latency-histogram pattern",
+)
+def agg_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logarithmic histogram (the HdrHistogram/Prometheus-bucket
+    shape): quantize to integer thousandths, bucket by bit length —
+    bucket b covers [2^(b−1), 2^b) thousandths, giving constant
+    relative precision across magnitudes with a handful of buckets.
+
+    Bucketing is INTEGER (highest set bit via the binary-string
+    length, identical in both engines; no float log2, whose
+    correctly-rounded-ness is not guaranteed cross-engine). Bucket
+    bounds are exact powers of two divided by 1000 — both engines
+    compute the identical double.
+
+    Mergeability: bucket counts are plain sums — partial histograms
+    from any split merge by addition (contrast ``agg_approx_quantile``
+    where only the sketch merges). That is why latency pipelines ship
+    histograms, not percentiles, to the aggregator.
+
+    Scale: one map-side-combined groupBy on (type, bucket) — at most
+    |types|·~30 groups cross the wire regardless of corpus size.
+    """
+    ev = load(spark, "events", sf_dir)
+    n = F.floor(F.col("value") * 1000.0 + F.lit(0.5)).cast("long")
+    bucket = F.when(n <= 0, F.lit(0)).otherwise(
+        F.length(F.bin(n))
+    ).cast("long")
+    # shiftleft's bit count must be a literal in the PySpark helper;
+    # the SQL form accepts a column
+    lo = F.when(F.col("bucket") == 0, F.lit(0.0)).otherwise(
+        F.expr("cast(shiftleft(1L, cast(bucket - 1 as int)) as double)")
+        / 1000.0
+    )
+    hi = F.when(F.col("bucket") == 0, F.lit(0.001)).otherwise(
+        F.expr("cast(shiftleft(1L, cast(bucket as int)) as double)")
+        / 1000.0
+    )
+    return (
+        ev.select("event_type", bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "event_type",
+            "bucket",
+            lo.alias("bucket_lo"),
+            hi.alias("bucket_hi"),
+            "n_events",
+        )
+    )

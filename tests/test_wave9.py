@@ -278,3 +278,26 @@ def test_bfs_distances_exact_on_small_graph(spark, sf_dir):
         frontier = nxt
     got = {r.node: r.dist for r in graph_bfs_distance(spark, sf_dir).collect()}
     assert got == dist
+
+
+def test_log_histogram_bounds_and_totals(spark, sf_dir):
+    from cs_pipeline_spark.operators.aggregate import agg_log_histogram
+
+    rows = agg_log_histogram(spark, sf_dir).collect()
+    ev = load(spark, "events", sf_dir)
+    assert sum(r.n_events for r in rows) == ev.count()
+    for r in rows:
+        assert r.bucket_lo < r.bucket_hi
+        if r.bucket > 0:
+            assert r.bucket_hi == 2 * r.bucket_lo  # log2 spacing
+    # every value falls inside its bucket's bounds (sample check)
+    vals = ev.select("event_type", "value").limit(200).collect()
+    import math
+
+    for v in vals:
+        n = math.floor(v.value * 1000.0 + 0.5)
+        b = 0 if n <= 0 else n.bit_length()
+        match = [
+            r for r in rows if r.event_type == v.event_type and r.bucket == b
+        ]
+        assert len(match) == 1
