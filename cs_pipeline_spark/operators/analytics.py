@@ -975,3 +975,101 @@ def q16_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+@register(
+    "features_user_rfm",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_type,
+             epoch_us({EVENTS_TS_SQL}) AS us,
+             CAST(date_trunc('day', {EVENTS_TS_SQL}) AS DATE) AS d,
+             value
+      FROM events
+    ), anchor AS (
+      SELECT MAX(us) AS max_us FROM e
+    ), u AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COUNT(DISTINCT d) AS BIGINT) AS active_days,
+             CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+                  AS BIGINT) AS n_purchases,
+             {sql_dsum("CASE WHEN event_type = 'purchase' THEN value END")}
+               AS monetary,
+             MAX(us) AS last_us,
+             MIN(us) AS first_us
+      FROM e GROUP BY user_id
+    )
+    SELECT u.user_id, u.n_events, u.active_days, u.n_purchases,
+           u.monetary,
+           CAST((a.max_us - u.last_us) // 86400000000 AS BIGINT)
+             AS recency_days,
+           CAST((u.last_us - u.first_us) // 86400000000 AS BIGINT)
+             AS tenure_days,
+           CAST(u.n_events * 1000000 // u.active_days AS BIGINT)
+             AS events_per_day_ppm,
+           CAST(u.n_purchases * 1000000 // u.n_events AS BIGINT)
+             AS purchase_rate_ppm
+    FROM u CROSS JOIN anchor a
+    """,
+    doc="feature-store materialization: per-user RFM features "
+    "(recency vs corpus anchor, frequency, monetary on the quantized "
+    "path) plus integer-ppm rates — one fact shuffle",
+)
+def features_user_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The feature-engineering job a churn/LTV model trains on:
+    Recency (days since last event, against the corpus max as the
+    snapshot anchor), Frequency (events, active days, events/day),
+    Monetary (purchase value via the exact quantized sum), plus
+    tenure and purchase-rate ppm.
+
+    Integer discipline: all day arithmetic is integer-µs floor
+    division (non-negative operands — `div`/`//` agree), rates are
+    exact integer ppm, money rides ``dsum``. Every feature is
+    bit-identical across engines and partitionings — the property a
+    feature store needs for training/serving skew audits.
+
+    Scale: ONE shuffle of the fact stream (groupBy user_id,
+    map-side combined; the conditional purchase aggregates ride the
+    same pass). The snapshot anchor is a 1-row aggregate broadcast
+    into the final projection. At 100 TB this is the canonical
+    "daily feature snapshot" batch: partition output by user bucket,
+    MERGE into the store (see ``merge_upsert_snapshot``).
+    """
+    ev = load(spark, "events", sf_dir).select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.to_date(F.date_trunc("day", "ts")).alias("d"),
+        "value",
+    )
+    anchor = F.broadcast(ev.agg(F.max("us").alias("max_us")))
+    pv = F.when(F.col("event_type") == "purchase", F.col("value"))
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("d").alias("active_days"),
+        F.count(pv).alias("n_purchases"),
+        dsum(pv).alias("monetary"),
+        F.max("us").alias("last_us"),
+        F.min("us").alias("first_us"),
+    )
+    day_us = 86400000000
+    return u.crossJoin(anchor).select(
+        "user_id",
+        "n_events",
+        "active_days",
+        "n_purchases",
+        "monetary",
+        F.expr(f"(max_us - last_us) div {day_us}")
+        .cast("long")
+        .alias("recency_days"),
+        F.expr(f"(last_us - first_us) div {day_us}")
+        .cast("long")
+        .alias("tenure_days"),
+        F.expr("n_events * 1000000 div active_days")
+        .cast("long")
+        .alias("events_per_day_ppm"),
+        F.expr("n_purchases * 1000000 div n_events")
+        .cast("long")
+        .alias("purchase_rate_ppm"),
+    )

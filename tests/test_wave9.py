@@ -301,3 +301,23 @@ def test_log_histogram_bounds_and_totals(spark, sf_dir):
             r for r in rows if r.event_type == v.event_type and r.bucket == b
         ]
         assert len(match) == 1
+
+
+def test_user_rfm_invariants(spark, sf_dir):
+    from cs_pipeline_spark.operators.analytics import features_user_rfm
+
+    rows = features_user_rfm(spark, sf_dir).collect()
+    ev = load(spark, "events", sf_dir)
+    assert len(rows) == ev.select("user_id").distinct().count()
+    assert sum(r.n_events for r in rows) == ev.count()
+    n_purch = ev.filter(F.col("event_type") == "purchase").count()
+    assert sum(r.n_purchases for r in rows) == n_purch
+    for r in rows:
+        assert r.active_days >= 1
+        assert r.recency_days >= 0
+        assert r.tenure_days >= 0
+        assert 0 <= r.purchase_rate_ppm <= 1000000
+        assert r.events_per_day_ppm >= 1000000  # ≥1 event per active day
+        assert (r.n_purchases == 0) == (r.monetary is None or r.monetary == 0)
+    # at least one user had zero recency (the anchor user)
+    assert min(r.recency_days for r in rows) == 0
