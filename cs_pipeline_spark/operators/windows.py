@@ -1952,3 +1952,160 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(vq).over(w).cast("string").cast("double") / 1000000.0
         ).alias("sum_1h"),
     )
+
+
+_TSD_HALF = 12  # centered trend window: ±12 hours (25-point)
+
+
+@register(
+    "ts_decompose",
+    f"""
+    WITH hr AS (
+      SELECT event_type,
+             CAST(date_trunc('hour', {EVENTS_TS_SQL}) AS TIMESTAMP) AS hour_ts,
+             CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS HUGEINT))
+                  AS BIGINT) AS sq,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), m AS (
+      SELECT event_type, hour_ts,
+             CAST(FLOOR(CAST(CAST(sq AS VARCHAR) AS DOUBLE) / n + 0.5)
+                  AS BIGINT) AS mq
+      FROM hr
+    ), tr AS (
+      SELECT event_type, hour_ts, mq,
+             (CAST(SUM(mq) OVER w AS DOUBLE) / COUNT(*) OVER w) AS trend_raw
+      FROM m
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_ts
+                   ROWS BETWEEN {_TSD_HALF} PRECEDING
+                   AND {_TSD_HALF} FOLLOWING)
+    ), de AS (
+      SELECT *, CAST(FLOOR(mq - trend_raw + 0.5) AS BIGINT) AS detr_q,
+             CAST(hour(hour_ts) AS BIGINT) AS hod
+      FROM tr
+    ), se AS (
+      SELECT *, (CAST(SUM(detr_q) OVER s AS DOUBLE)
+                 / COUNT(*) OVER s) AS seas_raw
+      FROM de
+      WINDOW s AS (PARTITION BY event_type, hod)
+    ), re AS (
+      SELECT *, CAST(FLOOR(detr_q - seas_raw + 0.5) AS BIGINT) AS resid_q
+      FROM se
+    ), sig AS (
+      SELECT *,
+        (SUM(resid_q * resid_q) OVER p * CAST(COUNT(*) OVER p AS HUGEINT)
+         - SUM(resid_q) OVER p * SUM(resid_q) OVER p) AS var_num,
+        CAST(COUNT(*) OVER p AS DOUBLE) AS nn
+      FROM re
+      WINDOW p AS (PARTITION BY event_type)
+    )
+    SELECT event_type, hour_ts,
+           CAST(mq AS DOUBLE) / 1000000.0 AS mean_val,
+           FLOOR(trend_raw) / 1000000.0 AS trend,
+           FLOOR(seas_raw) / 1000000.0 AS seasonal,
+           CAST(resid_q AS DOUBLE) / 1000000.0 AS resid,
+           COALESCE(CAST(resid_q AS DOUBLE) * CAST(resid_q AS DOUBLE)
+                    * nn * nn
+                    > 9.0 * CAST(CAST(var_num AS VARCHAR) AS DOUBLE),
+                    FALSE) AS is_anom
+    FROM sig
+    """,
+    doc="time-series decomposition (STL-lite): centered 25h rolling "
+    "trend, hour-of-day seasonal profile of the detrended series, "
+    "residual, and a 3-sigma anomaly flag — all on quantized integers",
+)
+def ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of each event-type's hourly
+    mean series: x = trend + seasonal + residual.
+
+    - Trend: centered ±12 h rolling mean (partial at series edges —
+      deterministic, same rows both engines).
+    - Seasonal: per hour-of-day mean of the detrended series.
+    - Residual: what's left; flagged anomalous beyond 3 population
+      sigmas (compared in the exact integer form
+      resid²·n² > 9·(n·Σr² − (Σr)²) — no sqrt, no division).
+
+    Exactness discipline: the hourly means are floor-quantized to
+    integer micro-units BEFORE any window, every window sum is
+    integer, and each stage's float output (a single division) is
+    floor-quantized again before the next stage consumes it — so
+    cross-engine float drift cannot compound through the three
+    stages (the chi2/entropy per-term convention applied to a
+    pipeline).
+
+    Scale: stage 1 collapses the fact stream to |types|·|hours| rows
+    (map-side combined); every window after that runs on the tiny
+    series spine. The per-type anomaly sigma is a window over the
+    same spine — nothing fact-sized is sorted.
+    """
+    ev = load(spark, "events", sf_dir)
+    hr = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(
+        F.sum(
+            F.floor(F.col("value") * 1000000.0 + F.lit(0.5)).cast(
+                "decimal(38,0)"
+            )
+        )
+        .cast("string")
+        .cast("double")
+        .alias("sq"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    m = hr.select(
+        "event_type",
+        "hour_ts",
+        F.floor(F.col("sq") / F.col("n") + F.lit(0.5))
+        .cast("long")
+        .alias("mq"),
+    )
+    w_tr = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(-_TSD_HALF, _TSD_HALF)
+    )
+    tr = m.withColumn(
+        "trend_raw",
+        F.sum("mq").over(w_tr).cast("double")
+        / F.count(F.lit(1)).over(w_tr),
+    )
+    de = tr.withColumn(
+        "detr_q",
+        F.floor(F.col("mq") - F.col("trend_raw") + F.lit(0.5)).cast("long"),
+    ).withColumn("hod", F.hour("hour_ts").cast("long"))
+    w_se = Window.partitionBy("event_type", "hod")
+    se = de.withColumn(
+        "seas_raw",
+        F.sum("detr_q").over(w_se).cast("double")
+        / F.count(F.lit(1)).over(w_se),
+    )
+    re = se.withColumn(
+        "resid_q",
+        F.floor(F.col("detr_q") - F.col("seas_raw") + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    w_p = Window.partitionBy("event_type")
+    rq = F.col("resid_q").cast("decimal(19,0)")
+    sig = re.withColumn(
+        "var_num",
+        (
+            F.sum(rq * rq).over(w_p)
+            * F.count(F.lit(1)).over(w_p).cast("decimal(20,0)")
+            - F.sum(rq).over(w_p) * F.sum(rq).over(w_p)
+        ),
+    ).withColumn("nn", F.count(F.lit(1)).over(w_p).cast("double"))
+    rd = F.col("resid_q").cast("double")
+    return sig.select(
+        "event_type",
+        "hour_ts",
+        (F.col("mq").cast("double") / 1000000.0).alias("mean_val"),
+        (F.floor("trend_raw") / 1000000.0).alias("trend"),
+        (F.floor("seas_raw") / 1000000.0).alias("seasonal"),
+        (rd / 1000000.0).alias("resid"),
+        F.coalesce(
+            rd * rd * F.col("nn") * F.col("nn")
+            > F.lit(9.0) * F.col("var_num").cast("string").cast("double"),
+            F.lit(False),
+        ).alias("is_anom"),
+    )

@@ -321,3 +321,28 @@ def test_user_rfm_invariants(spark, sf_dir):
         assert (r.n_purchases == 0) == (r.monetary is None or r.monetary == 0)
     # at least one user had zero recency (the anchor user)
     assert min(r.recency_days for r in rows) == 0
+
+
+def test_ts_decompose_additivity_and_flags(spark, sf_dir):
+    from cs_pipeline_spark.operators.windows import ts_decompose
+
+    rows = ts_decompose(spark, sf_dir).collect()
+    assert rows
+    n_anom = 0
+    for r in rows:
+        # additive identity holds to quantization (two floor-quantize
+        # stages each lose < 1e-6)
+        assert abs(r.mean_val - (r.trend + r.seasonal + r.resid)) < 3e-6
+        n_anom += bool(r.is_anom)
+    # 3-sigma flags are rare but the residual tail exists
+    assert n_anom < 0.1 * len(rows)
+    # seasonal component averages ~0 per type (it is a detrended mean)
+    from collections import defaultdict
+
+    by_type = defaultdict(list)
+    for r in rows:
+        by_type[r.event_type].append(r.seasonal)
+    for vals in by_type.values():
+        # small relative to the series scale (edge effects on the tiny
+        # sf0.001 series keep this from being ~0 exactly)
+        assert abs(sum(vals) / len(vals)) < 1.0
