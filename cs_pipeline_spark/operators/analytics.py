@@ -1073,3 +1073,99 @@ def features_user_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("purchase_rate_ppm"),
     )
+
+
+_MB_TOP = 20
+
+
+@register(
+    "agg_market_basket",
+    f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ), n_ord AS (
+      SELECT COUNT(DISTINCT ok) AS n FROM items
+    ), item_cnt AS (
+      SELECT pk, COUNT(*) AS c FROM items GROUP BY pk
+    ), pairs AS (
+      SELECT a.pk AS pa, b.pk AS pb, COUNT(*) AS c
+      FROM items a JOIN items b ON b.ok = a.ok AND a.pk < b.pk
+      GROUP BY a.pk, b.pk
+    ), top AS (
+      SELECT pa, pb, c FROM (
+        SELECT pa, pb, c, ROW_NUMBER() OVER (
+          ORDER BY c DESC, pa, pb) AS rn
+        FROM pairs) t
+      WHERE rn <= {_MB_TOP}
+    )
+    SELECT t.pa, t.pb, CAST(t.c AS BIGINT) AS n_cooccur,
+           CAST(t.c * 1000000 // n_ord.n AS BIGINT) AS support_ppm,
+           (FLOOR((CAST(t.c AS DOUBLE) / ca.c) * 1000000000.0 + 0.5)
+              / 1000000000.0) AS confidence,
+           (FLOOR((CAST(t.c AS DOUBLE) * n_ord.n / (ca.c * cb.c))
+              * 1000000000.0 + 0.5) / 1000000000.0) AS lift
+    FROM top t
+    JOIN item_cnt ca ON ca.pk = t.pa
+    JOIN item_cnt cb ON cb.pk = t.pb
+    CROSS JOIN n_ord
+    """,
+    doc=f"market-basket analysis: top-{_MB_TOP} part co-occurrence "
+    "pairs within orders with support/confidence/lift — pair "
+    "generation blocked by order (bounded key), exact integer counts",
+)
+def agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association mining over order baskets: which parts sell
+    together. Support (ppm of orders containing both), confidence
+    (P(b|a)), and lift (observed/expected co-occurrence) from exact
+    integer counts; each output ratio is one float division of exact
+    integers, floor-quantized to 1e-9 (ratios of counts land on
+    decimal ties — the ``dround`` rationale).
+
+    Scale: the pair self-join is blocked on the order key, and basket
+    sizes are bounded (≤7 items/order in TPC-H; production baskets
+    are bounded too), so pair generation is O(orders·k²) with no
+    unbounded stage — the candidate-pair discipline ``dedup_*``
+    follows. The global top-N window runs on the aggregated pair
+    table (≪ facts); item and order totals are map-side-combined
+    counts broadcast into the final projection.
+    """
+    li = load(spark, "lineitem", sf_dir)
+    items = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    n_ord = F.broadcast(items.agg(F.countDistinct("ok").alias("n")))
+    item_cnt = items.groupBy("pk").agg(F.count(F.lit(1)).alias("c"))
+    a = items.select(F.col("ok"), F.col("pk").alias("pa"))
+    b = items.select(F.col("ok"), F.col("pk").alias("pb"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy(F.desc("c"), F.asc("pa"), F.asc("pb"))
+    top = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _MB_TOP)
+        .drop("rn")
+    )
+    ca = item_cnt.select(F.col("pk").alias("pa"), F.col("c").alias("ca"))
+    cb = item_cnt.select(F.col("pk").alias("pb"), F.col("c").alias("cb"))
+    q9 = lambda c: F.floor(c * 1000000000.0 + F.lit(0.5)) / 1000000000.0  # noqa: E731
+    return (
+        top.join(ca, "pa")
+        .join(cb, "pb")
+        .crossJoin(n_ord)
+        .select(
+            "pa",
+            "pb",
+            F.col("c").cast("long").alias("n_cooccur"),
+            F.expr("c * 1000000 div n").cast("long").alias("support_ppm"),
+            q9(F.col("c").cast("double") / F.col("ca")).alias("confidence"),
+            q9(
+                F.col("c").cast("double")
+                * F.col("n")
+                / (F.col("ca") * F.col("cb"))
+            ).alias("lift"),
+        )
+    )

@@ -346,3 +346,30 @@ def test_ts_decompose_additivity_and_flags(spark, sf_dir):
         # small relative to the series scale (edge effects on the tiny
         # sf0.001 series keep this from being ~0 exactly)
         assert abs(sum(vals) / len(vals)) < 1.0
+
+
+def test_market_basket_metrics(spark, sf_dir):
+    from cs_pipeline_spark.operators.analytics import _MB_TOP, agg_market_basket
+
+    rows = agg_market_basket(spark, sf_dir).collect()
+    assert 0 < len(rows) <= _MB_TOP
+    li = load(spark, "lineitem", sf_dir)
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.select("l_orderkey").distinct().count()
+    for r in rows:
+        assert r.pa < r.pb
+        assert r.n_cooccur >= 1
+        assert r.support_ppm == r.n_cooccur * 1000000 // n_orders
+        assert 0.0 < r.confidence <= 1.0
+        assert r.lift > 0.0
+    # verify one pair's raw count against a direct query
+    r0 = rows[0]
+    direct = (
+        items.alias("a")
+        .join(items.alias("b"), "l_orderkey")
+        .filter(
+            (F.col("a.l_partkey") == r0.pa) & (F.col("b.l_partkey") == r0.pb)
+        )
+        .count()
+    )
+    assert direct == r0.n_cooccur
