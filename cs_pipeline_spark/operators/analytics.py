@@ -1169,3 +1169,72 @@ def agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "agg_churn_hazard",
+    f"""
+    WITH u AS (
+      SELECT user_id,
+             (MAX(epoch_us({EVENTS_TS_SQL}))
+              - MIN(epoch_us({EVENTS_TS_SQL}))) // 86400000000 AS tenure_d
+      FROM events GROUP BY user_id
+    ), k AS (
+      SELECT tenure_d, CAST(COUNT(*) AS BIGINT) AS n_churned
+      FROM u GROUP BY tenure_d
+    )
+    SELECT tenure_d AS tenure_days, n_churned,
+           CAST(SUM(n_churned) OVER (ORDER BY tenure_d DESC
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_at_risk,
+           CAST(n_churned * 1000000 // SUM(n_churned) OVER (
+                ORDER BY tenure_d DESC ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS hazard_ppm
+    FROM k
+    """,
+    doc="survival-analysis hazard curve: per tenure day, users whose "
+    "observed lifetime ends there vs users still at risk, hazard in "
+    "integer ppm — the Kaplan-Meier ingredient without float products",
+)
+def agg_churn_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time churn hazard: for each tenure length (days
+    between a user's first and last observed event), how many users'
+    lifetimes end exactly there (``n_churned``) out of those that
+    survived at least that long (``n_at_risk`` — the reverse
+    cumulative sum). ``hazard_ppm = churned/at_risk`` is the discrete
+    hazard rate h(k); a Kaplan-Meier curve is Π(1−h) over these rows,
+    left to the (driver-side) consumer because float products are the
+    one thing this engine's determinism discipline avoids — every
+    number emitted here is an exact integer or an integer floor-ratio.
+
+    Scale: one fact shuffle to per-user lifetimes (map-side combined
+    min/max), one count per tenure day, and a window over the tiny
+    tenure spine. The right-censoring caveat (users active at the
+    snapshot edge haven't truly churned) is a semantic note for the
+    consumer — the reference-free lifetimes are what the data
+    supports.
+    """
+    ev = load(spark, "events", sf_dir)
+    day_us = 86400000000
+    u = ev.groupBy("user_id").agg(
+        (
+            (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts")))
+        ).alias("span_us")
+    )
+    k = u.select(
+        F.expr(f"span_us div {day_us}").alias("tenure_days")
+    ).groupBy("tenure_days").agg(F.count(F.lit(1)).alias("n_churned"))
+    w = (
+        Window.orderBy(F.desc("tenure_days"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    at_risk = F.sum("n_churned").over(w)
+    return k.select(
+        "tenure_days",
+        F.col("n_churned").cast("long").alias("n_churned"),
+        at_risk.cast("long").alias("n_at_risk"),
+        F.expr(
+            "n_churned * 1000000"
+        ).cast("long").alias("_num"),
+    ).withColumn(
+        "hazard_ppm", F.expr("_num div n_at_risk").cast("long")
+    ).drop("_num")

@@ -373,3 +373,24 @@ def test_market_basket_metrics(spark, sf_dir):
         .count()
     )
     assert direct == r0.n_cooccur
+
+
+def test_churn_hazard_invariants(spark, sf_dir):
+    from cs_pipeline_spark.operators.analytics import agg_churn_hazard
+
+    rows = sorted(
+        agg_churn_hazard(spark, sf_dir).collect(),
+        key=lambda r: r.tenure_days,
+    )
+    ev = load(spark, "events", sf_dir)
+    n_users = ev.select("user_id").distinct().count()
+    # shortest tenure row has everyone at risk
+    assert rows[0].n_at_risk == n_users
+    assert sum(r.n_churned for r in rows) == n_users
+    # at-risk is the reverse cumulative: strictly decreasing with tenure
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_at_risk == b.n_at_risk + a.n_churned
+    # longest tenure: everyone remaining churns there (hazard = 1)
+    assert rows[-1].hazard_ppm == 1000000
+    for r in rows:
+        assert 0 < r.hazard_ppm <= 1000000
