@@ -2339,3 +2339,101 @@ def agg_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# Benford first-digit probabilities log10(1+1/d), precomputed as
+# literals so neither engine evaluates a transcendental at query time
+_BENFORD_P = {
+    1: 0.301029995663981,
+    2: 0.176091259055681,
+    3: 0.124938736608300,
+    4: 0.096910013008056,
+    5: 0.079181246047625,
+    6: 0.066946789630613,
+    7: 0.057991946977687,
+    8: 0.051152522447381,
+    9: 0.045757490560675,
+}
+
+
+def _benford_case_sql() -> str:
+    return (
+        "CASE first_digit "
+        + " ".join(f"WHEN {d} THEN {p!r}" for d, p in _BENFORD_P.items())
+        + " END"
+    )
+
+
+@register(
+    "agg_benford_check",
+    f"""
+    WITH v AS (
+      SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+               AS VARCHAR), 1, 1) AS BIGINT) AS first_digit
+      FROM orders WHERE o_totalprice >= 1.0
+    ), c AS (
+      SELECT first_digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM v
+      GROUP BY first_digit
+    ), t AS (SELECT SUM(n_obs) AS n FROM c)
+    SELECT c.first_digit, c.n_obs,
+           CAST(FLOOR(({_benford_case_sql()}) * t.n * 1000000.0 + 0.5)
+                AS BIGINT) AS expected_ppm_scaled,
+           (FLOOR(
+              ((CAST(c.n_obs AS DOUBLE) - ({_benford_case_sql()}) * t.n)
+               * (CAST(c.n_obs AS DOUBLE) - ({_benford_case_sql()}) * t.n)
+               / (({_benford_case_sql()}) * t.n)) * 1000000000.0 + 0.5)
+            / 1000000000.0) AS chi2_term
+    FROM c CROSS JOIN t
+    """,
+    doc="Benford's-law first-digit audit of order totals: observed "
+    "counts vs log10(1+1/d) expectation (precomputed literals) with "
+    "per-digit chi-square terms — the fraud/synthetic-data detector",
+)
+def agg_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit distribution audit (Benford's law): naturally
+    generated multiplicative quantities follow P(d) = log10(1+1/d);
+    fabricated or truncated data does not. Standard forensic test for
+    financial columns and a synthetic-data tell.
+
+    The Benford probabilities are PRECOMPUTED literals — the engine
+    never evaluates log10, so there is no transcendental to disagree
+    on. The first digit is string extraction from an exact integer
+    (no float formatting), per-digit chi-square terms are
+    floor-quantized at 1e-9 before any consumer sums them (the
+    chi2/entropy convention), and the expected count is emitted as an
+    exact integer ppm-scaled value.
+
+    Scale: one map-side-combined count by digit (≤9 groups), a 1-row
+    total joined back. Nothing else.
+    """
+    o = load(spark, "orders", sf_dir).filter(F.col("o_totalprice") >= 1.0)
+    v = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("first_digit")
+    )
+    c = v.groupBy("first_digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    t = F.broadcast(c.agg(F.sum("n_obs").alias("n")))
+    p = F.col("first_digit")
+    bp = None
+    for d, prob in _BENFORD_P.items():
+        bp = (
+            F.when(p == d, F.lit(prob))
+            if bp is None
+            else bp.when(p == d, F.lit(prob))
+        )
+    exp_cnt = bp * F.col("n")
+    obs = F.col("n_obs").cast("double")
+    chi_term = (obs - exp_cnt) * (obs - exp_cnt) / exp_cnt
+    return c.crossJoin(t).select(
+        "first_digit",
+        F.col("n_obs").cast("long").alias("n_obs"),
+        F.floor(exp_cnt * 1000000.0 + F.lit(0.5))
+        .cast("long")
+        .alias("expected_ppm_scaled"),
+        (F.floor(chi_term * 1000000000.0 + F.lit(0.5)) / 1000000000.0).alias(
+            "chi2_term"
+        ),
+    )

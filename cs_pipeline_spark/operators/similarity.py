@@ -2342,3 +2342,101 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .drop("rnk")
     )
+
+
+# ---------- mutual nearest neighbors ----------
+
+_MNN_LABEL = 0  # subcorpus: one coarse cell (bounded all-pairs block)
+_MNN_K = 5
+
+
+_SQL_MUTUAL_NN = f"""
+    WITH n AS ({_SQL_NORMED}),
+    sub AS (SELECT * FROM n WHERE label = {_MNN_LABEL}),
+    tk AS (
+      SELECT a_id, b_id, cs, rk FROM (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               {_sql_qdot("a.embedding", "b.embedding")}
+                 / (SQRT(a.nrm) * SQRT(b.nrm)) AS cs,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+                 {_sql_qdot("a.embedding", "b.embedding")}
+                   / (SQRT(a.nrm) * SQRT(b.nrm)) DESC, b.vec_id) AS rk
+        FROM sub a JOIN sub b ON b.vec_id <> a.vec_id) t
+      WHERE rk <= {_MNN_K})
+    SELECT x.a_id AS vec_a, x.b_id AS vec_b, x.cs AS cos_sim,
+           CAST(x.rk AS BIGINT) AS rank_ab,
+           CAST(y.rk AS BIGINT) AS rank_ba
+    FROM tk x JOIN tk y ON y.a_id = x.b_id AND y.b_id = x.a_id
+    WHERE x.a_id < x.b_id
+"""
+
+
+@register(
+    "sim_mutual_nn",
+    _SQL_MUTUAL_NN,
+    doc=f"mutual nearest neighbors within one coarse cell: pairs in "
+    f"each other's top-{_MNN_K} — the high-precision matching filter "
+    "(reciprocal rank condition kills asymmetric hub matches)",
+)
+def sim_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-NN filtering: keep (a, b) only if b is in a's top-k AND
+    a is in b's — the standard precision upgrade over one-directional
+    top-k (hub vectors appear in many top-k lists but reciprocate
+    few; the mutual condition removes those asymmetric matches).
+    Used for bitext alignment, cross-modal matching, and
+    high-confidence near-dup pairing.
+
+    Shape: all-pairs scoring INSIDE one coarse cell (label block) —
+    the bounded-blocking-key discipline (``dedup_embedding_lsh``'s
+    rule) — then the reciprocity check is a self-join of the k-bounded
+    top-k table with both ranks emitted. Determinism: quantized
+    cosine, id tie-breaks, a<b canonical pair order.
+
+    Scale: cells bound the quadratic stage; the reciprocal join
+    touches |cell|·k rows. At 100 TB run per-cell (or per LSH bucket)
+    with the same plan; a global mutual-NN is this op mapped over
+    cells.
+    """
+    sub = _with_norm(load(spark, "embeddings", sf_dir)).filter(
+        F.col("label") == _MNN_LABEL
+    )
+    a = sub.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    b = sub.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    w = Window.partitionBy("a_id").orderBy(F.desc("cs"), F.asc("b_id"))
+    tk = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("b_id") != F.col("a_id"))
+        .select(
+            "a_id",
+            "b_id",
+            _scored(
+                F.col("a_emb"), F.col("b_emb"), F.col("a_nrm"), F.col("b_nrm")
+            ).alias("cs"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _MNN_K)
+    )
+    y = tk.select(
+        F.col("a_id").alias("b_id"),
+        F.col("b_id").alias("a_id"),
+        F.col("rk").alias("rank_ba"),
+    )
+    return (
+        tk.join(y, ["a_id", "b_id"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            F.col("a_id").alias("vec_a"),
+            F.col("b_id").alias("vec_b"),
+            F.col("cs").alias("cos_sim"),
+            F.col("rk").cast("long").alias("rank_ab"),
+            F.col("rank_ba").cast("long").alias("rank_ba"),
+        )
+    )

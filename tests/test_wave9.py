@@ -394,3 +394,47 @@ def test_churn_hazard_invariants(spark, sf_dir):
     assert rows[-1].hazard_ppm == 1000000
     for r in rows:
         assert 0 < r.hazard_ppm <= 1000000
+
+
+def test_mutual_nn_reciprocity(spark, sf_dir):
+    from cs_pipeline_spark.operators.similarity import (
+        _MNN_K,
+        _MNN_LABEL,
+        sim_mutual_nn,
+    )
+
+    rows = sim_mutual_nn(spark, sf_dir).collect()
+    assert rows
+    emb_labels = {
+        r.vec_id: r.label
+        for r in load(spark, "embeddings", sf_dir)
+        .select("vec_id", "label")
+        .collect()
+    }
+    seen = set()
+    for r in rows:
+        assert r.vec_a < r.vec_b  # canonical order, no dup pairs
+        assert (r.vec_a, r.vec_b) not in seen
+        seen.add((r.vec_a, r.vec_b))
+        assert emb_labels[r.vec_a] == _MNN_LABEL
+        assert emb_labels[r.vec_b] == _MNN_LABEL
+        assert 1 <= r.rank_ab <= _MNN_K
+        assert 1 <= r.rank_ba <= _MNN_K
+
+
+def test_benford_terms_and_counts(spark, sf_dir):
+    from cs_pipeline_spark.operators.aggregate import (
+        _BENFORD_P,
+        agg_benford_check,
+    )
+
+    rows = {r.first_digit: r for r in agg_benford_check(spark, sf_dir).collect()}
+    o = load(spark, "orders", sf_dir)
+    n = o.filter(F.col("o_totalprice") >= 1.0).count()
+    assert set(rows) <= set(range(1, 10))
+    assert sum(r.n_obs for r in rows.values()) == n
+    assert abs(sum(_BENFORD_P.values()) - 1.0) < 1e-12
+    for d, r in rows.items():
+        # expected ppm-scaled value reproduces p_d * n at 1e-6
+        assert abs(r.expected_ppm_scaled / 1e6 - _BENFORD_P[d] * n) < 1e-3
+        assert r.chi2_term >= 0.0
