@@ -432,3 +432,105 @@ def mm_image_tile_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.lit(_TILE), F.col("width") - tx * _TILE).alias("tile_w"),
         F.least(F.lit(_TILE), F.col("height") - ty * _TILE).alias("tile_h"),
     )
+
+
+_COLLATE_B = 32  # images per training batch
+
+
+_SQL_COLLATE = f"""
+    WITH meta AS (
+      SELECT doc_id,
+             CAST(16 * (8 + (doc_id * 7) % 120) AS BIGINT) AS w,
+             CAST(16 * (8 + (doc_id * 13) % 120) AS BIGINT) AS h
+      FROM documents
+    ), by_id AS (
+      SELECT 'by_id' AS strategy, doc_id // {_COLLATE_B} AS batch_id, w, h
+      FROM meta
+    ), ranked AS (
+      SELECT doc_id, w, h,
+             ROW_NUMBER() OVER (ORDER BY h, w, doc_id) - 1 AS rk
+      FROM meta
+    ), by_size AS (
+      SELECT 'by_size' AS strategy, rk // {_COLLATE_B} AS batch_id, w, h
+      FROM ranked
+    ), u AS (
+      SELECT * FROM by_id UNION ALL SELECT * FROM by_size
+    )
+    SELECT strategy, CAST(batch_id AS BIGINT) AS batch_id,
+           CAST(COUNT(*) AS BIGINT) AS n_imgs,
+           CAST(MAX(w) AS BIGINT) AS max_w,
+           CAST(MAX(h) AS BIGINT) AS max_h,
+           CAST(SUM(w * h) AS BIGINT) AS px_payload,
+           CAST(COUNT(*) * MAX(w) * MAX(h) AS BIGINT) AS px_padded,
+           CAST((COUNT(*) * MAX(w) * MAX(h) - SUM(w * h)) * 1000000
+                // (COUNT(*) * MAX(w) * MAX(h)) AS BIGINT) AS waste_ppm
+    FROM u GROUP BY strategy, batch_id
+"""
+
+
+@register(
+    "mm_batch_collate_plan",
+    _SQL_COLLATE,
+    doc=f"training-batch collation planning ({_COLLATE_B} imgs/batch): "
+    "per-batch padded dims and integer-ppm padding waste, for naive "
+    "id-order vs dimension-sorted batching — the vision twin of "
+    "pack_sequences",
+)
+def mm_batch_collate_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vision-batch collation: images in a batch are padded to the
+    batch max (w, h), so batch composition determines wasted pixels
+    (= wasted FLOPs). This op plans batches two ways and quantifies
+    the difference:
+
+    - ``by_id``: arrival-order batching (the naive loader).
+    - ``by_size``: global dimension sort, then consecutive batching —
+      similar shapes land together, collapsing padding waste (the
+      bucketed-batching trick every production vision loader ships).
+
+    Pure metadata planning — payload bytes are never touched (the
+    ``mm_resize_dims`` rule: plan in typed columns, decode only what
+    training actually loads). All outputs are exact integers;
+    waste_ppm is an integer floor-ratio.
+
+    Scale: by_id groups on an arithmetic key (map-side combined,
+    no sort). The by_size global row_number is the one scale caveat —
+    a total order over the corpus; at 100 TB replace with
+    range-partitioned sort (repartitionByRange on (h, w)) or bucket
+    by size class first (the LOCAL sort inside each range partition
+    is what matters for padding, not global rank exactness).
+    """
+    docs = load(spark, "documents", sf_dir)
+    meta = docs.select(
+        "doc_id",
+        (16 * (8 + (F.col("doc_id") * 7) % 120)).cast("long").alias("w"),
+        (16 * (8 + (F.col("doc_id") * 13) % 120)).cast("long").alias("h"),
+    )
+    by_id = meta.select(
+        F.lit("by_id").alias("strategy"),
+        F.expr(f"doc_id div {_COLLATE_B}").alias("batch_id"),
+        "w",
+        "h",
+    )
+    from pyspark.sql.window import Window as _W
+
+    rk = F.row_number().over(_W.orderBy("h", "w", "doc_id")) - 1
+    by_size = meta.select(
+        F.lit("by_size").alias("strategy"),
+        (rk / _COLLATE_B).cast("long").alias("batch_id"),
+        "w",
+        "h",
+    )
+    u = by_id.unionByName(by_size)
+    return u.groupBy("strategy", "batch_id").agg(
+        F.count(F.lit(1)).alias("n_imgs"),
+        F.max("w").alias("max_w"),
+        F.max("h").alias("max_h"),
+        F.sum(F.col("w") * F.col("h")).alias("px_payload"),
+        (F.count(F.lit(1)) * F.max("w") * F.max("h")).alias("px_padded"),
+        F.expr(
+            "(count(1) * max(w) * max(h) - sum(w * h)) * 1000000"
+            " div (count(1) * max(w) * max(h))"
+        )
+        .cast("long")
+        .alias("waste_ppm"),
+    )

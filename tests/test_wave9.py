@@ -438,3 +438,27 @@ def test_benford_terms_and_counts(spark, sf_dir):
         # expected ppm-scaled value reproduces p_d * n at 1e-6
         assert abs(r.expected_ppm_scaled / 1e6 - _BENFORD_P[d] * n) < 1e-3
         assert r.chi2_term >= 0.0
+
+
+def test_collate_sorted_batching_cuts_padding(spark, sf_dir):
+    from cs_pipeline_spark.operators.multimodal import mm_batch_collate_plan
+
+    rows = mm_batch_collate_plan(spark, sf_dir).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.strategy, []).append(r)
+        assert r.px_payload <= r.px_padded
+        assert 0 <= r.waste_ppm < 1000000
+        assert r.max_w % 16 == 0 and r.max_h % 16 == 0
+    assert set(by) == {"by_id", "by_size"}
+    assert sum(r.n_imgs for r in by["by_id"]) == sum(
+        r.n_imgs for r in by["by_size"]
+    )
+
+    def total_waste(rs):
+        padded = sum(r.px_padded for r in rs)
+        payload = sum(r.px_payload for r in rs)
+        return (padded - payload) / padded
+
+    # the point of dimension-sorted batching: strictly less padding
+    assert total_waste(by["by_size"]) < total_waste(by["by_id"])
