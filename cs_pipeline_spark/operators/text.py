@@ -690,3 +690,71 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("vocab_cum", F.sum("vocab_new").over(w).cast("long"))
     )
+
+
+# ---------- language-ID confusion audit ----------
+
+from cs_pipeline_spark.registry import _REGISTRY as _REG  # noqa: E402
+
+_LANG_ID_ORACLE = _REG["text_lang_id"].oracle
+
+
+@register(
+    "corpus_lang_confusion",
+    f"""
+    WITH p AS ({_LANG_ID_ORACLE}),
+    c AS (
+      SELECT lang AS declared, pred_lang AS predicted,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM p GROUP BY lang, pred_lang
+    )
+    SELECT declared, predicted, n_docs,
+           CAST(n_docs * 1000000 // SUM(n_docs) OVER (
+                PARTITION BY declared) AS BIGINT) AS row_share_ppm,
+           COALESCE(declared = predicted, FALSE) AS is_correct
+    FROM c
+    """,
+    doc="language-ID confusion matrix: declared vs predicted language "
+    "with integer-ppm row shares — the classifier-quality audit over "
+    "the text_lang_id heuristic",
+)
+def corpus_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the language-ID heuristic against the
+    declared ``lang`` column — the audit that decides whether a
+    classifier is good enough to drive corpus routing (per-language
+    precision/recall read straight off these cells).
+
+    Composes the registered ``text_lang_id`` plan (same builder, same
+    oracle CTE) and rolls it up; row shares are integer ppm within
+    each declared language (floor-ratio, non-negative — engine-safe).
+
+    Scale: the per-doc classification is the pure-expression map from
+    ``text_lang_id`` (no shuffle); the rollup shuffles ≤ |langs|²
+    cells after map-side combine, and the row-share window runs on
+    that cell table.
+    """
+    p = text_lang_id(spark, sf_dir)
+    c = p.groupBy(
+        F.col("lang").alias("declared"),
+        F.col("pred_lang").alias("predicted"),
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+    from pyspark.sql.window import Window as _W
+
+    w = _W.partitionBy("declared")
+    return c.select(
+        "declared",
+        "predicted",
+        "n_docs",
+        F.expr("n_docs * 1000000")
+        .alias("_num"),
+        F.sum("n_docs").over(w).alias("_den"),
+        F.coalesce(
+            F.col("declared") == F.col("predicted"), F.lit(False)
+        ).alias("is_correct"),
+    ).select(
+        "declared",
+        "predicted",
+        "n_docs",
+        F.expr("_num div _den").cast("long").alias("row_share_ppm"),
+        "is_correct",
+    )

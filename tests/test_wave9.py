@@ -462,3 +462,19 @@ def test_collate_sorted_batching_cuts_padding(spark, sf_dir):
 
     # the point of dimension-sorted batching: strictly less padding
     assert total_waste(by["by_size"]) < total_waste(by["by_id"])
+
+
+def test_lang_confusion_matrix(spark, sf_dir):
+    from cs_pipeline_spark.operators.text import corpus_lang_confusion
+
+    rows = corpus_lang_confusion(spark, sf_dir).collect()
+    docs = load(spark, "documents", sf_dir)
+    assert sum(r.n_docs for r in rows) == docs.count()
+    from collections import defaultdict
+
+    per_declared = defaultdict(int)
+    for r in rows:
+        per_declared[r.declared] += r.row_share_ppm
+        assert r.is_correct == (r.declared == r.predicted)
+    for declared, tot in per_declared.items():
+        assert tot <= 1000000  # floor ratios never exceed unity
