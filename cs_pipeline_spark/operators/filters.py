@@ -698,3 +698,118 @@ def dq_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_anomaly"),
         )
     )
+
+
+# ---------- order-independent table checksum ----------
+
+_CK_P = 1000000007  # mixing modulus (keeps every product < 2^62)
+_CK_M = (2654435761 % _CK_P, 2246822519 % _CK_P,
+         3266489917 % _CK_P, 668265263 % _CK_P)
+
+
+def _ck_mix_sql(terms: list[str]) -> str:
+    parts = [
+        f"(({t}) % {_CK_P}) * {m}" for t, m in zip(terms, _CK_M)
+    ]
+    return "(" + " + ".join(parts) + f") % {_CK_P}"
+
+
+@register(
+    "dq_table_checksum",
+    f"""
+    WITH o AS (
+      SELECT {_ck_mix_sql([
+          "o_orderkey",
+          "o_custkey",
+          "CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)",
+          "datediff('day', DATE '1970-01-01', o_orderdate)",
+      ])} AS h FROM orders
+    ), l AS (
+      SELECT {_ck_mix_sql([
+          "l_orderkey",
+          "l_linenumber",
+          "l_partkey",
+          "CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT)",
+      ])} AS h FROM lineitem
+    )
+    SELECT 'orders' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(h) AS BIGINT) AS xor_sig,
+           CAST(SUM(CAST(h AS HUGEINT)) % {_CK_P} AS BIGINT) AS sum_sig
+    FROM o
+    UNION ALL
+    SELECT 'lineitem', CAST(COUNT(*) AS BIGINT),
+           CAST(bit_xor(h) AS BIGINT),
+           CAST(SUM(CAST(h AS HUGEINT)) % {_CK_P} AS BIGINT)
+    FROM l
+    """,
+    doc="order-independent table checksums (XOR + modular-sum of a "
+    "multiplicative row hash) for orders and lineitem — the "
+    "replication/migration reconciliation primitive",
+)
+def dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-system reconciliation: two copies of a table match iff
+    row count + two order-independent signatures match — no sort, no
+    row-by-row diff. XOR catches single-row corruption; the modular
+    sum catches the duplicate-pair case XOR is blind to (x⊕x = 0).
+
+    Hash discipline: every operand is reduced mod p BEFORE the
+    multiply (products stay < 2^62 — Spark wraps int64 silently while
+    DuckDB raises, so pre-reduction is what keeps the two engines on
+    the same arithmetic; the ``sample_train_split`` overflow rule).
+    Money/quantity enter as exact cents; dates as epoch days. Both
+    aggregates are commutative/associative → partition-order-free and
+    MERGEABLE: per-partition signatures combine by xor/sum-mod-p, so
+    a 100 TB reconciliation ships one tiny signature row per shard.
+
+    Scale: one map-side-combined pass per table, zero row shuffles
+    (the aggregate states are single integers).
+    """
+    o = load(spark, "orders", sf_dir)
+    li = load(spark, "lineitem", sf_dir)
+
+    def mix(terms: list) -> F.Column:
+        acc = None
+        for t, m in zip(terms, _CK_M):
+            part = (t % F.lit(_CK_P)) * F.lit(m)
+            acc = part if acc is None else acc + part
+        return acc % F.lit(_CK_P)
+
+    oh = o.select(
+        mix(
+            [
+                F.col("o_orderkey"),
+                F.col("o_custkey"),
+                F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast(
+                    "long"
+                ),
+                F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).cast(
+                    "long"
+                ),
+            ]
+        ).alias("h")
+    )
+    lh = li.select(
+        mix(
+            [
+                F.col("l_orderkey"),
+                F.col("l_linenumber").cast("long"),
+                F.col("l_partkey"),
+                F.floor(F.col("l_quantity") * 100.0 + F.lit(0.5)).cast(
+                    "long"
+                ),
+            ]
+        ).alias("h")
+    )
+
+    def sig(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(h)").cast("long").alias("xor_sig"),
+            (F.sum(F.col("h").cast("decimal(38,0)")) % F.lit(_CK_P))
+            .cast("long")
+            .alias("sum_sig"),
+        ).select(
+            F.lit(name).alias("table_name"), "n_rows", "xor_sig", "sum_sig"
+        )
+
+    return sig(oh, "orders").unionByName(sig(lh, "lineitem"))

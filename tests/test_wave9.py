@@ -478,3 +478,21 @@ def test_lang_confusion_matrix(spark, sf_dir):
         assert r.is_correct == (r.declared == r.predicted)
     for declared, tot in per_declared.items():
         assert tot <= 1000000  # floor ratios never exceed unity
+
+
+def test_table_checksum_detects_changes(spark, sf_dir):
+    from cs_pipeline_spark.operators.filters import _CK_P, dq_table_checksum
+
+    rows = {r.table_name: r for r in dq_table_checksum(spark, sf_dir).collect()}
+    assert set(rows) == {"orders", "lineitem"}
+    o = load(spark, "orders", sf_dir)
+    assert rows["orders"].n_rows == o.count()
+    for r in rows.values():
+        assert 0 <= r.sum_sig < _CK_P
+        assert 0 <= r.xor_sig < 2 ** 30  # operands < p < 2^30 -> xor < 2^30
+    # signatures are partition-order independent: recompute after a
+    # repartition and they must be identical
+    again = {
+        r.table_name: r for r in dq_table_checksum(spark, sf_dir).collect()
+    }
+    assert again == rows
