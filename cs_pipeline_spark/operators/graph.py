@@ -537,3 +537,104 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("dist").alias("dist"))
         )
     return d
+
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 12
+
+
+def _kcore_oracle() -> str:
+    """Unrolled peeling chain: both engines run the IDENTICAL fixed
+    number of rounds, so the hash comparison never depends on a
+    convergence judgement; exactness of the fixed-round result is
+    asserted against a driver-side reference in tests.
+
+    Every level is AS MATERIALIZED: each level references its
+    predecessor twice, and an inlining planner would otherwise double
+    the work per level (2^rounds blowup — the same trap the Spark side
+    avoids with per-round localCheckpoint)."""
+    n = "(SELECT COUNT(*) FROM documents)"
+    parts = [
+        f"WITH de AS MATERIALIZED ({_EDGE_SQL.format(n=n)}), ",
+        # undirected: both directions, self-loops dropped
+        "ed AS MATERIALIZED (SELECT src, dst FROM de WHERE src <> dst "
+        "UNION SELECT dst, src FROM de WHERE src <> dst), ",
+        "n0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM ed)",
+    ]
+    for t in range(_KCORE_ROUNDS):
+        parts.append(
+            f", n{t + 1} AS MATERIALIZED ("
+            f"SELECT e.src AS node FROM ed e "
+            f"JOIN n{t} a ON a.node = e.src "
+            f"JOIN n{t} b ON b.node = e.dst "
+            f"GROUP BY e.src HAVING COUNT(*) >= {_KCORE_K})"
+        )
+    parts.append(
+        f" SELECT e.src AS node, CAST(COUNT(*) AS BIGINT) AS core_degree "
+        f"FROM ed e JOIN n{_KCORE_ROUNDS} a ON a.node = e.src "
+        f"JOIN n{_KCORE_ROUNDS} b ON b.node = e.dst GROUP BY e.src"
+    )
+    return "".join(parts)
+
+
+@register(
+    "graph_k_core",
+    _kcore_oracle(),
+    doc=f"{_KCORE_K}-core decomposition by iterative peeling "
+    f"({_KCORE_ROUNDS} synchronized rounds): surviving nodes with "
+    "their within-core degree — the dense-subgraph/spam-cluster filter",
+)
+def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core: the maximal subgraph where every node keeps ≥ k
+    neighbors *inside the subgraph* — the standard dense-region
+    extractor (link-farm/spam-cluster detection, community seeding).
+
+    Computed by synchronous peeling: each round recomputes degrees on
+    the surviving node set and drops nodes below k; a node's removal
+    can drag neighbors below k only in a LATER round, so rounds are
+    monotone and the fixed point is the exact k-core. Both engines
+    run the identical fixed round count (no convergence probe inside
+    the plan); the round budget's sufficiency is asserted by a
+    driver-side reference implementation in tests.
+
+    Scale: each round is one join of the edge list against the
+    shrinking node set + one map-side-combined degree count —
+    the Pregel-as-SQL shape ``graph_pagerank`` uses, with
+    monotonically shrinking state. Peeling rounds needed equals the
+    graph's degeneracy ordering depth, typically ≪ diameter.
+    """
+    docs = load(spark, "documents", sf_dir)
+    de = _edges(docs, _n_docs(spark, sf_dir)).filter(
+        F.col("src") != F.col("dst")
+    )
+    ed = de.select("src", "dst").union(
+        de.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    ed = ed.localCheckpoint(eager=True)  # evaluated once, reused 2x/round
+    nodes = ed.select(F.col("src").alias("node")).distinct()
+    for _ in range(_KCORE_ROUNDS):
+        a = nodes.withColumnRenamed("node", "src")
+        b = nodes.withColumnRenamed("node", "dst")
+        nodes = (
+            ed.join(a, "src")
+            .join(b, "dst")
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= _KCORE_K)
+            .select(F.col("src").alias("node"))
+            # each level feeds TWO joins in the next; without lineage
+            # truncation the logical plan doubles per round (observed:
+            # Catalyst stack overflow at 12 rounds). Checkpointing
+            # makes each round O(1) plan size — the iterative-algorithm
+            # rule dedup_clusters also follows.
+            .localCheckpoint(eager=True)
+        )
+    a = nodes.withColumnRenamed("node", "src")
+    b = nodes.withColumnRenamed("node", "dst")
+    return (
+        ed.join(a, "src")
+        .join(b, "dst")
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+        .select(F.col("src").alias("node"), "core_degree")
+    )

@@ -496,3 +496,33 @@ def test_table_checksum_detects_changes(spark, sf_dir):
         r.table_name: r for r in dq_table_checksum(spark, sf_dir).collect()
     }
     assert again == rows
+
+
+def test_k_core_matches_reference_peeling(spark, sf_dir):
+    from cs_pipeline_spark.operators.graph import (
+        _KCORE_K,
+        _edges,
+        _n_docs,
+        graph_k_core,
+    )
+
+    docs = load(spark, "documents", sf_dir)
+    n = _n_docs(spark, sf_dir)
+    adj: dict[int, set[int]] = {}
+    for r in _edges(docs, n).collect():
+        if r.src == r.dst:
+            continue
+        adj.setdefault(r.src, set()).add(r.dst)
+        adj.setdefault(r.dst, set()).add(r.src)
+    # reference: peel to a fixed point (true k-core)
+    alive = set(adj)
+    while True:
+        drop = {u for u in alive if len(adj[u] & alive) < _KCORE_K}
+        if not drop:
+            break
+        alive -= drop
+    got = {r.node: r.core_degree for r in graph_k_core(spark, sf_dir).collect()}
+    assert set(got) == alive  # fixed rounds reached the fixed point
+    for u in alive:
+        assert got[u] == len(adj[u] & alive)
+        assert got[u] >= _KCORE_K
