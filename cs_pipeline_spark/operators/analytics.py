@@ -1238,3 +1238,109 @@ def agg_churn_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "hazard_ppm", F.expr("_num div n_at_risk").cast("long")
     ).drop("_num")
+
+
+@register(
+    "agg_ltv_cohort_curve",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_type, value,
+             epoch_us({EVENTS_TS_SQL}) // 604800000000 AS wk
+      FROM events
+    ), firsts AS (
+      SELECT user_id, MIN(wk) AS cohort_wk FROM e GROUP BY user_id
+    ), cohort_size AS (
+      SELECT cohort_wk, CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM firsts GROUP BY cohort_wk
+    ), wkrev AS (
+      SELECT f.cohort_wk, e.wk - f.cohort_wk AS week_offset,
+             CAST(SUM(CASE WHEN e.event_type = 'purchase' THEN
+               CAST(FLOOR(e.value * 1000000.0 + 0.5) AS HUGEINT)
+               ELSE 0 END) AS BIGINT) AS rev_q
+      FROM e JOIN firsts f ON f.user_id = e.user_id
+      GROUP BY f.cohort_wk, e.wk - f.cohort_wk
+    )
+    SELECT w.cohort_wk, CAST(w.week_offset AS BIGINT) AS week_offset,
+           s.n_users,
+           CAST(w.rev_q AS DOUBLE) / 1000000.0 AS week_revenue,
+           CAST(SUM(CAST(w.rev_q AS HUGEINT)) OVER (
+                PARTITION BY w.cohort_wk ORDER BY w.week_offset
+                ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 1000000.0
+             AS cum_revenue,
+           CAST(SUM(CAST(w.rev_q AS HUGEINT)) OVER (
+                PARTITION BY w.cohort_wk ORDER BY w.week_offset
+                ROWS UNBOUNDED PRECEDING) // s.n_users AS BIGINT)
+             AS ltv_per_user_micro
+    FROM wkrev w JOIN cohort_size s ON s.cohort_wk = w.cohort_wk
+    """,
+    doc="cohort LTV curve: cumulative purchase revenue per acquisition "
+    "week x week offset, plus integer-micro LTV per cohort user — the "
+    "monetized twin of agg_retention_cohorts",
+)
+def agg_ltv_cohort_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lifetime-value curve by acquisition cohort: how much cumulative
+    purchase revenue each weekly cohort has produced k weeks after
+    acquisition, absolute and per acquired user — the payback-period
+    table growth teams read against acquisition cost.
+
+    Exactness: weekly revenue is summed as quantized integer micros
+    (the ``dsum`` integer path kept in integer form through the
+    cumulative window — the cumsum never touches floats), and LTV per
+    user is an integer floor-ratio in micros.
+
+    Scale: one fact shuffle for the first-seen reduce, one for the
+    (cohort, offset) rollup; the cumulative window runs on the
+    cohort×offset spine (weeks², not events). Same shape as
+    ``agg_retention_cohorts`` with a monetary measure.
+    """
+    ev = load(spark, "events", sf_dir)
+    wk_us = 604800000000
+    e = ev.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.expr(f"unix_micros(ts) div {wk_us}").alias("wk"),
+    )
+    firsts = e.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    cohort_size = firsts.groupBy("cohort_wk").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    rev_q = F.sum(
+        F.when(
+            F.col("event_type") == "purchase",
+            F.floor(F.col("value") * 1000000.0 + F.lit(0.5)).cast(
+                "decimal(38,0)"
+            ),
+        ).otherwise(F.lit(0).cast("decimal(38,0)"))
+    )
+    wkrev = (
+        e.join(firsts, "user_id")
+        .groupBy(
+            "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset")
+        )
+        .agg(rev_q.cast("long").alias("rev_q"))
+    )
+    w = (
+        Window.partitionBy("cohort_wk")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum_q = F.sum(F.col("rev_q").cast("decimal(38,0)")).over(w)
+    return (
+        wkrev.join(F.broadcast(cohort_size), "cohort_wk")
+        .select(
+            "cohort_wk",
+            F.col("week_offset").cast("long").alias("week_offset"),
+            "n_users",
+            (F.col("rev_q").cast("double") / 1000000.0).alias("week_revenue"),
+            (cum_q.cast("string").cast("double") / 1000000.0).alias(
+                "cum_revenue"
+            ),
+            F.expr(
+                "cast(cast(sum(cast(rev_q as decimal(38,0))) over ("
+                "partition by cohort_wk order by week_offset "
+                "rows unbounded preceding) as decimal(38,0)) "
+                "div n_users as long)"
+            ).alias("ltv_per_user_micro"),
+        )
+    )

@@ -526,3 +526,32 @@ def test_k_core_matches_reference_peeling(spark, sf_dir):
     for u in alive:
         assert got[u] == len(adj[u] & alive)
         assert got[u] >= _KCORE_K
+
+
+def test_ltv_curve_monotone_cumulative(spark, sf_dir):
+    from cs_pipeline_spark.operators.analytics import agg_ltv_cohort_curve
+
+    rows = agg_ltv_cohort_curve(spark, sf_dir).collect()
+    assert rows
+    ev = load(spark, "events", sf_dir)
+    total_purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.floor(F.col("value") * 1e6 + 0.5).alias("q"))
+        .agg(F.sum("q"))
+        .collect()[0][0]
+    ) / 1e6
+    assert (
+        abs(sum(r.week_revenue for r in rows) - total_purchase) < 1e-6
+    )
+    from collections import defaultdict
+
+    by_cohort = defaultdict(list)
+    for r in rows:
+        by_cohort[r.cohort_wk].append(r)
+    for rs in by_cohort.values():
+        rs.sort(key=lambda r: r.week_offset)
+        cum = 0.0
+        for r in rs:
+            cum += r.week_revenue
+            assert abs(r.cum_revenue - cum) < 1e-6  # exact running sum
+            assert r.ltv_per_user_micro <= cum * 1e6 / r.n_users + 1
