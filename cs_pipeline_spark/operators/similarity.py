@@ -2249,18 +2249,29 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "cand", "rl")
     )
 
-    score = F.coalesce(
-        F.lit(1.0) / (F.lit(_RRF_K) + F.col("rv")), F.lit(0.0)
-    ) + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("rl")), F.lit(0.0))
-    fused = (
-        vr.join(lr, ["query_id", "cand"], "full_outer")
-        .select(
-            "query_id",
-            F.col("cand").alias("neighbor_id"),
-            score.alias("score"),
-            F.coalesce(F.col("rv"), F.lit(0)).cast("long").alias("vec_rank"),
-            F.coalesce(F.col("rl"), F.lit(0)).cast("long").alias("lex_rank"),
-        )
+    # fusion as union + max-merge: the full-outer-join formulation
+    # plans a sort-merge join even on these k-bounded sides; the
+    # scatter form is one tiny hash aggregate and no join
+    vr2 = vr.select(
+        "query_id", "cand", F.col("rv"), F.lit(0).alias("rl")
+    )
+    lr2 = lr.select(
+        "query_id", "cand", F.lit(0).alias("rv"), F.col("rl")
+    )
+    merged = (
+        vr2.unionByName(lr2)
+        .groupBy("query_id", "cand")
+        .agg(F.max("rv").alias("rv"), F.max("rl").alias("rl"))
+    )
+    arm = lambda r: F.when(  # noqa: E731
+        F.col(r) > 0, F.lit(1.0) / (F.lit(_RRF_K) + F.col(r))
+    ).otherwise(F.lit(0.0))
+    fused = merged.select(
+        "query_id",
+        F.col("cand").alias("neighbor_id"),
+        (arm("rv") + arm("rl")).alias("score"),
+        F.col("rv").cast("long").alias("vec_rank"),
+        F.col("rl").cast("long").alias("lex_rank"),
     )
     w_f = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("neighbor_id")
@@ -2430,7 +2441,9 @@ def sim_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rk").alias("rank_ba"),
     )
     return (
-        tk.join(y, ["a_id", "b_id"])
+        # y is k-bounded (|cell|*k rows) — broadcast the reciprocal
+        # probe so the mutual check is exchange-free on tk's side
+        tk.join(F.broadcast(y), ["a_id", "b_id"])
         .filter(F.col("a_id") < F.col("b_id"))
         .select(
             F.col("a_id").alias("vec_a"),

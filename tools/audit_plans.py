@@ -58,6 +58,26 @@ AUDIT: dict[str, dict] = {
     "agg_mode_per_group": {},
     "win_ntile_decile": {},
     "agg_histogram": {},
+    # wave 9 (round 2)
+    "sim_hybrid_rrf": {"smj": 0},
+    "f_json_extract": {"exchange": 1},
+    "analyze_table_stats": {},
+    "sim_hard_negatives": {"smj": 0},
+    "text_vocab_growth": {},
+    "corpus_datacard": {},
+    "win_range_frame": {"exchange": 1},
+    "graph_bfs_distance": {},
+    "agg_log_histogram": {"exchange": 1},
+    "features_user_rfm": {"smj": 0, "exchange": 3},
+    "ts_decompose": {},
+    "agg_market_basket": {"smj": 0},
+    "agg_churn_hazard": {},
+    "sim_mutual_nn": {"smj": 0},
+    "agg_benford_check": {"smj": 0},
+    "mm_batch_collate_plan": {},
+    "corpus_lang_confusion": {},
+    "dq_table_checksum": {"exchange": 2},
+    "agg_ltv_cohort_curve": {"smj": 0},
     "sample_stratified": {},
     "emb_norm_stats": {"exchange": 0},
     "q_min_cost_supplier": {"smj": 0},
