@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -346,4 +347,63 @@ def sink_bloom_filter_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.lit(1).cast("long").alias("bloom_written"),
+    )
+
+
+_JSONL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("lang", StringType()),
+        StructField("n_chars", LongType()),
+        StructField("source", StringType()),
+    ]
+)
+
+
+@register(
+    "sink_jsonl_roundtrip",
+    """
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_total
+    FROM (SELECT doc_id, lang, source, n_chars FROM documents
+          WHERE doc_id < 2000) t
+    GROUP BY lang
+    """,
+    doc="JSON-lines sink + schema'd re-read + rollup: the interchange "
+    "format corpus pipelines exchange (one JSON object per line, "
+    "splittable, schema-on-read)",
+)
+def sink_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL round-trip: write a bounded document slice as JSON lines,
+    re-read it WITH AN EXPLICIT SCHEMA, and aggregate — proving the
+    sink/scan pair preserves types and values. JSONL is the lingua
+    franca of corpus exchange (crawl dumps, instruction datasets);
+    this op is the format's registration in the sink/scan family
+    (parquet, CSV, ORC, GeoJSON, binaryFile, zip already covered).
+
+    The explicit read schema matters twice: (a) schema inference
+    would scan the data once just to guess types (2× I/O at 100 TB);
+    (b) inference maps integers to LONG today but is version-fragile —
+    a pinned StructType is the production contract. Text columns
+    round-trip through JSON string escaping identically in both
+    engines (the aggregate here keys on `lang` and sums a numeric, so
+    the check is escape-independent; `scan_csv_tolerant` covers
+    malformed-line semantics for text formats).
+
+    Scale: JSONL is line-splittable, so the re-read parallelizes like
+    CSV; compression should be per-file zstd (splittable-friendly
+    frames) not gzip (one stream = one task). The write is bounded
+    (doc_id < 2000) and idempotent via overwrite.
+    """
+    path = _scratch(sf_dir, "documents_slice.jsonl")
+    if not os.path.exists(path):
+        load(spark, "documents", sf_dir).filter(
+            F.col("doc_id") < 2000
+        ).select("doc_id", "lang", "source", "n_chars").write.mode(
+            "overwrite"
+        ).json(path)
+    back = spark.read.schema(_JSONL_SCHEMA).json(path)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars_total"),
     )
