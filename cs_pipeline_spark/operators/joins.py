@@ -848,3 +848,118 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("s_end", "i_end") - F.greatest("s_start", "i_start")
         ).alias("overlap_us"),
     )
+
+
+# ---------- cogrouped two-stream as-of (applyInPandas.cogroup) ----------
+
+
+@register(
+    "join_cogroup_lag",
+    f"""
+    WITH e AS (
+      SELECT event_id, user_id, event_type,
+             epoch_us({EVENTS_TS_SQL}) AS us
+      FROM events
+    ), c AS (SELECT user_id, us FROM e WHERE event_type = 'click'),
+    p AS (SELECT event_id, user_id, us FROM e
+          WHERE event_type = 'purchase'),
+    lag AS (
+      SELECT p.user_id, p.event_id, p.us - MAX(c.us) AS lag_us
+      FROM p JOIN c ON c.user_id = p.user_id AND c.us <= p.us
+      GROUP BY p.user_id, p.event_id, p.us
+    ), pc AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purchases
+      FROM p GROUP BY user_id
+    )
+    SELECT l.user_id, pc.n_purchases,
+           CAST(COUNT(*) AS BIGINT) AS n_with_click,
+           CAST(MIN(l.lag_us) AS BIGINT) AS min_lag_us,
+           CAST(MAX(l.lag_us) AS BIGINT) AS max_lag_us,
+           CAST(SUM(l.lag_us) AS BIGINT) AS sum_lag_us
+    FROM lag l JOIN pc ON pc.user_id = l.user_id
+    GROUP BY l.user_id, pc.n_purchases
+    """,
+    doc="cogrouped two-stream as-of: per user, click→purchase lag "
+    "stats computed in one applyInPandas cogroup pass — the Python "
+    "escape hatch for per-key two-stream algorithms",
+)
+def join_cogroup_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``groupBy().cogroup().applyInPandas`` demonstration: both
+    streams (clicks, purchases) are shuffled ONCE on user_id, and the
+    per-user pair of Arrow batches lands in a single Python function —
+    the API for per-key algorithms that need BOTH sides in memory at
+    once (custom as-of variants, per-key DTW, order-book replays)
+    when no join/window composition expresses them.
+
+    Semantics here (deliberately join-expressible so the oracle can
+    check the plumbing): for each purchase, the lag to the user's most
+    recent prior-or-equal click; per user, count/min/max/sum of those
+    integer-µs lags. The searchsorted binary-search inside the UDF is
+    the classic merge-asof kernel. Everything stays integer µs —
+    nothing to quantize.
+
+    Scale: one co-partitioned shuffle per side, then embarrassingly
+    parallel per-user Python with Arrow batch transfer; per-user state
+    is bounded by that user's events (hot users → the same skew
+    mitigations as any user_id shuffle). Native ``join_asof`` remains
+    the fast path when built-ins suffice — this op registers the
+    escape hatch, not a replacement.
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        LongType,
+        StructField as SF,
+        StructType as ST,
+    )
+
+    ev = load(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "us")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "us"
+    )
+    schema = ST(
+        [
+            SF("user_id", LongType()),
+            SF("n_purchases", LongType()),
+            SF("n_with_click", LongType()),
+            SF("min_lag_us", LongType()),
+            SF("max_lag_us", LongType()),
+            SF("sum_lag_us", LongType()),
+        ]
+    )
+
+    def lag_stats(key, c_pdf: pd.DataFrame, p_pdf: pd.DataFrame):
+        import numpy as np
+
+        if len(p_pdf) == 0 or len(c_pdf) == 0:
+            return pd.DataFrame(columns=[f.name for f in schema.fields])
+        cs = np.sort(c_pdf["us"].to_numpy())
+        lags = []
+        for t in p_pdf["us"].to_numpy():
+            i = int(np.searchsorted(cs, t, side="right")) - 1
+            if i >= 0:
+                lags.append(int(t) - int(cs[i]))
+        if not lags:
+            return pd.DataFrame(columns=[f.name for f in schema.fields])
+        return pd.DataFrame(
+            [
+                [
+                    int(key[0]),
+                    len(p_pdf),
+                    len(lags),
+                    min(lags),
+                    max(lags),
+                    sum(lags),
+                ]
+            ],
+            columns=[f.name for f in schema.fields],
+        )
+
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purch.groupBy("user_id"))
+        .applyInPandas(lag_stats, schema)
+    )

@@ -555,3 +555,42 @@ def test_ltv_curve_monotone_cumulative(spark, sf_dir):
             cum += r.week_revenue
             assert abs(r.cum_revenue - cum) < 1e-6  # exact running sum
             assert r.ltv_per_user_micro <= cum * 1e6 / r.n_users + 1
+
+
+def test_cogroup_lag_matches_sql_asof(spark, sf_dir):
+    from cs_pipeline_spark.operators.joins import join_cogroup_lag
+
+    rows = {r.user_id: r for r in join_cogroup_lag(spark, sf_dir).collect()}
+    ev = load(spark, "events", sf_dir).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    data = ev.collect()
+    from collections import defaultdict
+
+    clicks, purch = defaultdict(list), defaultdict(list)
+    for r in data:
+        if r.event_type == "click":
+            clicks[r.user_id].append(r.us)
+        elif r.event_type == "purchase":
+            purch[r.user_id].append(r.us)
+    import bisect
+
+    for uid, ps in purch.items():
+        cs = sorted(clicks.get(uid, []))
+        if not cs:
+            assert uid not in rows
+            continue
+        lags = []
+        for t in ps:
+            i = bisect.bisect_right(cs, t) - 1
+            if i >= 0:
+                lags.append(t - cs[i])
+        if not lags:
+            assert uid not in rows
+            continue
+        got = rows[uid]
+        assert got.n_purchases == len(ps)
+        assert got.n_with_click == len(lags)
+        assert got.min_lag_us == min(lags)
+        assert got.max_lag_us == max(lags)
+        assert got.sum_lag_us == sum(lags)
