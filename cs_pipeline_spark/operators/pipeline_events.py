@@ -188,3 +188,124 @@ def f_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("k_max"),
         )
     )
+
+
+_PATH_LEN = 3
+_PATH_TOP = 10
+
+
+@register(
+    "win_top_paths",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us({EVENTS_TS_SQL}) AS us
+      FROM events
+    ), s AS (
+      SELECT *, CASE WHEN us - LAG(us) OVER w > {_GAP_US}
+                     OR LAG(us) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ), sid AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+                ORDER BY us, event_id ROWS UNBOUNDED PRECEDING)
+                AS session_id
+      FROM s
+    ), rk AS (
+      SELECT user_id, session_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+               ORDER BY us, event_id) AS step
+      FROM sid
+    ), paths AS (
+      SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY step) AS path
+      FROM rk WHERE step <= {_PATH_LEN}
+      GROUP BY user_id, session_id
+    ), pc AS (
+      SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+      FROM paths GROUP BY path
+    )
+    SELECT path, n_sessions,
+           CAST(n_sessions * 1000000 // SUM(n_sessions) OVER ()
+                AS BIGINT) AS share_ppm
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path) AS rn
+      FROM pc) t
+    WHERE rn <= {_PATH_TOP}
+    """,
+    doc=f"user-journey path mining: top-{_PATH_TOP} opening "
+    f"{_PATH_LEN}-step event-type paths across 5-min-gap sessions "
+    "with integer-ppm share — the sankey/flow-report input",
+)
+def win_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence mining over sessions: the most common opening
+    event-type paths (first N steps of each session, joined with
+    '>'), ranked globally — the table behind user-flow sankeys and
+    funnel-design decisions.
+
+    Determinism: the step order is the total order (us, event_id) —
+    duplicate timestamps cannot reorder a path; the path string is
+    built by an ORDER-BY-qualified aggregation on both engines
+    (Spark: sort the collected (step, type) structs, then join);
+    share is an integer ppm floor-ratio over the top-set total.
+
+    Scale: ONE shuffle of the fact stream on user_id (the
+    sessionization window); the per-session path build groups on
+    (user, session) — a refinement of the window partitioning, so
+    the exchange is reused; path counts are map-side combined
+    (|distinct paths| ≤ |types|^N groups) and the final top-N window
+    runs on that tiny table.
+    """
+    ev = load(spark, "events", sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    sid = ev.withColumn(
+        "is_new",
+        F.when(
+            (F.col("us") - F.lag("us").over(w) > _GAP_US)
+            | F.lag("us").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    rk = sid.withColumn(
+        "step",
+        F.row_number().over(
+            Window.partitionBy("user_id", "session_id").orderBy(
+                "us", "event_id"
+            )
+        ),
+    ).filter(F.col("step") <= _PATH_LEN)
+    paths = rk.groupBy("user_id", "session_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("step", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+        ).alias("path")
+    )
+    pc = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+    w_top = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
+    top = (
+        pc.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= _PATH_TOP)
+        .drop("rn")
+    )
+    return top.select(
+        "path",
+        F.col("n_sessions").cast("long").alias("n_sessions"),
+        F.expr("n_sessions * 1000000").alias("_num"),
+        F.sum("n_sessions").over(Window.partitionBy()).alias("_den"),
+    ).select(
+        "path",
+        "n_sessions",
+        F.expr("_num div _den").cast("long").alias("share_ppm"),
+    )

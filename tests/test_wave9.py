@@ -594,3 +594,30 @@ def test_cogroup_lag_matches_sql_asof(spark, sf_dir):
         assert got.min_lag_us == min(lags)
         assert got.max_lag_us == max(lags)
         assert got.sum_lag_us == sum(lags)
+
+
+def test_top_paths_shape(spark, sf_dir):
+    from cs_pipeline_spark.operators.pipeline_events import (
+        _PATH_LEN,
+        _PATH_TOP,
+        win_top_paths,
+    )
+
+    rows = win_top_paths(spark, sf_dir).collect()
+    assert 0 < len(rows) <= _PATH_TOP
+    types = {
+        r.event_type
+        for r in load(spark, "events", sf_dir)
+        .select("event_type")
+        .distinct()
+        .collect()
+    }
+    total = sum(r.n_sessions for r in rows)
+    for r in rows:
+        steps = r.path.split(">")
+        assert 1 <= len(steps) <= _PATH_LEN
+        assert all(s in types for s in steps)
+        assert r.share_ppm == r.n_sessions * 1000000 // total
+    # counts are ranked descending
+    counts = [r.n_sessions for r in rows]
+    assert counts == sorted(counts, reverse=True)
