@@ -2453,3 +2453,173 @@ def sim_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank_ba").cast("long").alias("rank_ba"),
         )
     )
+
+
+# ---------- IVF recall vs probe count ----------
+
+_RECALL_PROBES = (1, 2, 4)
+
+_SQL_CELL_COS = (
+    _sql_qdot("a.embedding", "c.cen") + " / (SQRT(a.nrm) * SQRT(c.cnrm))"
+)
+
+_SQL_IVF_NPROBE_RECALL = f"""
+    WITH n AS ({_SQL_NORMED}),
+    c0 AS (SELECT vec_id AS cluster_id, embedding AS cen, nrm AS cnrm
+           FROM n WHERE vec_id < {K_CELLS}),
+    ranked AS (
+      SELECT a.vec_id, a.embedding, a.nrm, c.cluster_id,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+               {_SQL_CELL_COS} DESC, c.cluster_id) AS rn
+      FROM n a CROSS JOIN c0 c),
+    cells AS (SELECT vec_id, embedding, nrm, cluster_id FROM ranked
+              WHERE rn = 1),
+    probes AS (SELECT vec_id, embedding, nrm, cluster_id, rn FROM ranked
+               WHERE vec_id < {N_QUERIES} AND rn <= {max(_RECALL_PROBES)}),
+    np(np) AS (VALUES ({_RECALL_PROBES[0]}), ({_RECALL_PROBES[1]}),
+               ({_RECALL_PROBES[2]})),
+    cand AS (
+      SELECT np.np, p.vec_id AS query_id, c.vec_id AS cand,
+             {_sql_qdot("p.embedding", "c.embedding")}
+               / (SQRT(p.nrm) * SQRT(c.nrm)) AS cs
+      FROM probes p JOIN np ON p.rn <= np.np
+      JOIN cells c ON c.cluster_id = p.cluster_id
+                   AND c.vec_id <> p.vec_id),
+    topk AS (
+      SELECT np, query_id, cand FROM (
+        SELECT np, query_id, cand,
+               ROW_NUMBER() OVER (PARTITION BY np, query_id
+                 ORDER BY cs DESC, cand) AS rk
+        FROM cand) t
+      WHERE rk <= {TOP_K}),
+    truth AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM (SELECT * FROM n WHERE vec_id < {N_QUERIES}) q
+      JOIN n c ON c.vec_id <> q.vec_id
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        {_SQL_COS} DESC, c.vec_id) <= {TOP_K})
+    SELECT np.np AS n_probe, t.query_id,
+           CAST(COUNT(k.cand) AS DOUBLE) / COUNT(*) AS recall
+    FROM truth t CROSS JOIN np
+    LEFT JOIN topk k ON k.np = np.np AND k.query_id = t.query_id
+                     AND k.cand = t.neighbor_id
+    GROUP BY np.np, t.query_id
+"""
+
+
+@register(
+    "sim_ivf_nprobe_recall",
+    _SQL_IVF_NPROBE_RECALL,
+    doc=f"IVF tuning curve: recall@{TOP_K} vs probe count "
+    f"{_RECALL_PROBES} per query — completes the measured-recall "
+    "family (LSH, PQ, IVF)",
+)
+def sim_ivf_nprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF operating-point curve: how much of the true top-k the
+    index returns as the probe count grows. Monotone in nprobe by
+    construction (probing more cells only adds candidates); the knee
+    of this curve is THE tuning decision for a 100 TB vector index —
+    probes multiply query cost linearly while recall saturates.
+
+    Recall is exact-set membership against ``sim_topk_bruteforce``
+    ground truth; candidates are deduplicate-free since each corpus
+    vector lives in exactly one cell. All scoring is the quantized
+    cosine with id tie-breaks.
+
+    Scale: cell assignment is a broadcast cross-join against the tiny
+    centroid table (corpus never shuffles); the probe factor
+    multiplies only queries×probes; the recall join touches
+    |probes|·|queries|·k rows.
+    """
+    corpus = _with_norm(load(spark, "embeddings", sf_dir))
+    c0 = F.broadcast(
+        corpus.filter(F.col("vec_id") < K_CELLS).select(
+            F.col("vec_id").alias("cluster_id"),
+            F.col("embedding").alias("cen"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    cell_cos = _scored(
+        F.col("embedding"), F.col("cen"), F.col("nrm"), F.col("cnrm")
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy(
+        F.desc("cell_cos"), F.asc("cluster_id")
+    )
+    ranked = (
+        corpus.crossJoin(c0)
+        .select(
+            "vec_id", "embedding", "nrm", "cluster_id",
+            cell_cos.alias("cell_cos"),
+        )
+        .withColumn("rn", F.row_number().over(w_cell))
+    )
+    cells = ranked.filter(F.col("rn") == 1).select(
+        F.col("vec_id").alias("cand"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+        "cluster_id",
+    )
+    probes = F.broadcast(
+        ranked.filter(
+            (F.col("vec_id") < N_QUERIES)
+            & (F.col("rn") <= max(_RECALL_PROBES))
+        )
+        .crossJoin(
+            F.broadcast(
+                corpus.sparkSession.createDataFrame(
+                    [(p,) for p in _RECALL_PROBES], "np int"
+                )
+            )
+        )
+        .filter(F.col("rn") <= F.col("np"))
+        .select(
+            F.col("np"),
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+            "cluster_id",
+        )
+    )
+    cs = _scored(
+        F.col("q_emb"), F.col("c_emb"), F.col("q_nrm"), F.col("c_nrm")
+    )
+    w_k = Window.partitionBy("np", "query_id").orderBy(
+        F.desc("cs"), F.asc("cand")
+    )
+    topk = (
+        cells.join(probes, "cluster_id")
+        .filter(F.col("cand") != F.col("query_id"))
+        .select("np", "query_id", "cand", cs.alias("cs"))
+        .withColumn("rk", F.row_number().over(w_k))
+        .filter(F.col("rk") <= TOP_K)
+        .select("np", "query_id", F.col("cand"))
+    )
+    truth = sim_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    np_df = F.broadcast(
+        corpus.sparkSession.createDataFrame(
+            [(p,) for p in _RECALL_PROBES], "np int"
+        )
+    )
+    hits = topk.select(
+        F.col("np").alias("k_np"),
+        F.col("query_id").alias("k_qid"),
+        F.col("cand").alias("k_cand"),
+    )
+    return (
+        truth.crossJoin(np_df)
+        .join(
+            hits,
+            (F.col("k_np") == F.col("np"))
+            & (F.col("k_qid") == F.col("query_id"))
+            & (F.col("k_cand") == F.col("neighbor_id")),
+            "left",
+        )
+        .groupBy(F.col("np").alias("n_probe"), "query_id")
+        .agg(
+            (F.count("k_cand").cast("double") / F.count(F.lit(1))).alias(
+                "recall"
+            )
+        )
+    )

@@ -621,3 +621,24 @@ def test_top_paths_shape(spark, sf_dir):
     # counts are ranked descending
     counts = [r.n_sessions for r in rows]
     assert counts == sorted(counts, reverse=True)
+
+
+def test_nprobe_recall_monotone(spark, sf_dir):
+    from cs_pipeline_spark.operators.similarity import (
+        _RECALL_PROBES,
+        sim_ivf_nprobe_recall,
+    )
+
+    rows = sim_ivf_nprobe_recall(spark, sf_dir).collect()
+    from collections import defaultdict
+
+    per_q = defaultdict(dict)
+    for r in rows:
+        per_q[r.query_id][r.n_probe] = r.recall
+        assert 0.0 <= r.recall <= 1.0
+    assert len(per_q) == N_QUERIES
+    for q, curve in per_q.items():
+        assert set(curve) == set(_RECALL_PROBES)
+        # probing more cells never loses candidates
+        vals = [curve[p] for p in sorted(_RECALL_PROBES)]
+        assert vals == sorted(vals)
