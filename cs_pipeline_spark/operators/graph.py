@@ -638,3 +638,92 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
         .select(F.col("src").alias("node"), "core_degree")
     )
+
+
+_HITS_ITERS = 3
+
+
+def _hits_oracle() -> str:
+    """Unrolled integer HITS chain — each level references its
+    predecessor once, so no materialization is needed (contrast
+    ``graph_k_core``)."""
+    n = "(SELECT COUNT(*) FROM documents)"
+    parts = [
+        f"WITH edges AS ({_EDGE_SQL.format(n=n)}), ",
+        "h0 AS (SELECT doc_id AS node, CAST(1 AS BIGINT) AS h "
+        "FROM documents)",
+    ]
+    for t in range(_HITS_ITERS):
+        parts.append(
+            f", a{t + 1} AS ("
+            f"SELECT e.dst AS node, SUM(h{t}.h) AS a "
+            f"FROM edges e JOIN h{t} ON h{t}.node = e.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f", h{t + 1} AS ("
+            f"SELECT e.src AS node, SUM(a{t + 1}.a) AS h "
+            f"FROM edges e JOIN a{t + 1} ON a{t + 1}.node = e.dst "
+            "GROUP BY e.src)"
+        )
+    parts.append(
+        f" SELECT n.doc_id AS node, "
+        f"CAST(COALESCE(h{_HITS_ITERS}.h, 0) AS BIGINT) AS hub_score, "
+        f"CAST(COALESCE(a{_HITS_ITERS}.a, 0) AS BIGINT) AS auth_score "
+        f"FROM documents n "
+        f"LEFT JOIN h{_HITS_ITERS} ON h{_HITS_ITERS}.node = n.doc_id "
+        f"LEFT JOIN a{_HITS_ITERS} ON a{_HITS_ITERS}.node = n.doc_id"
+    )
+    return "".join(parts)
+
+
+@register(
+    "graph_hits",
+    _hits_oracle(),
+    doc=f"integer-exact HITS ({_HITS_ITERS} alternating rounds): hub "
+    "and authority scores over the link graph — PageRank's "
+    "bipartite-role sibling, pure integer sums",
+)
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg): hubs point at good authorities, authorities
+    are pointed at by good hubs — the alternating mutual recursion,
+    run a fixed number of rounds in PURE INTEGER arithmetic (init 1,
+    no normalization): integer sums are order-free, so scores are
+    bit-identical on any partitioning, and relative order — the thing
+    a ranking consumer uses — matches the normalized iteration's.
+    Score growth is bounded by (max_deg²)^rounds ≪ int64 here;
+    production runs normalize once at the END (a single division)
+    rather than per round.
+
+    Scale: each half-round is one equi-join of the edge list against
+    a (node, score) table + a map-side-combined sum — two shuffles per
+    round on the same keys, so the exchange partitioning is reused.
+    Unlike k-core, each level feeds the next exactly once — lineage
+    stays linear and needs no checkpointing.
+    """
+    docs = load(spark, "documents", sf_dir)
+    edges = _edges(docs, _n_docs(spark, sf_dir))
+    h = docs.select(
+        F.col("doc_id").alias("node"), F.lit(1).cast("long").alias("h")
+    )
+    a = None
+    for _ in range(_HITS_ITERS):
+        a = (
+            edges.join(h.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("h").alias("a"))
+        )
+        h = (
+            edges.join(a.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("a").alias("h"))
+        )
+    return (
+        docs.select(F.col("doc_id").alias("node"))
+        .join(h, "node", "left")
+        .join(a, "node", "left")
+        .select(
+            "node",
+            F.coalesce("h", F.lit(0)).cast("long").alias("hub_score"),
+            F.coalesce("a", F.lit(0)).cast("long").alias("auth_score"),
+        )
+    )

@@ -642,3 +642,32 @@ def test_nprobe_recall_monotone(spark, sf_dir):
         # probing more cells never loses candidates
         vals = [curve[p] for p in sorted(_RECALL_PROBES)]
         assert vals == sorted(vals)
+
+
+def test_hits_reference_iteration(spark, sf_dir):
+    from cs_pipeline_spark.operators.graph import (
+        _HITS_ITERS,
+        _edges,
+        _n_docs,
+        graph_hits,
+    )
+
+    docs = load(spark, "documents", sf_dir)
+    n = docs.count()
+    edges = [(r.src, r.dst) for r in _edges(docs, _n_docs(spark, sf_dir)).collect()]
+    h = {i: 1 for i in range(n)}
+    a = {}
+    for _ in range(_HITS_ITERS):
+        a = {}
+        for s, d in edges:
+            a[d] = a.get(d, 0) + h.get(s, 0)
+        h = {}
+        for s, d in edges:
+            h[s] = h.get(s, 0) + a.get(d, 0)
+    got = {
+        r.node: (r.hub_score, r.auth_score)
+        for r in graph_hits(spark, sf_dir).collect()
+    }
+    assert len(got) == n
+    for node in range(n):
+        assert got[node] == (h.get(node, 0), a.get(node, 0))
