@@ -939,3 +939,87 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_dist") <= _LEV_MAX)
     )
+
+# ---------- asymmetric containment (excerpt detection) ----------
+
+_CONT_MIN_GRAMS = 10
+_CONT_THRESHOLD = 0.5
+
+
+@register(
+    "dedup_containment",
+    "WITH d AS (SELECT doc_id, lang, source, "
+    f"list_distinct({_sql_shingles(_DUCK_TOKENS, 3)}) AS grams "
+    "FROM documents) "
+    "SELECT a.doc_id AS src_doc, b.doc_id AS dst_doc, "
+    "CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS n_shared, "
+    "CAST(len(a.grams) AS BIGINT) AS n_src_grams, "
+    "(FLOOR((CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / "
+    "len(a.grams)) * 1000000000.0 + 0.5) / 1000000000.0) AS containment "
+    "FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source "
+    "AND a.doc_id <> b.doc_id "
+    f"WHERE len(a.grams) >= {_CONT_MIN_GRAMS} "
+    "AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / "
+    f"len(a.grams) >= {_CONT_THRESHOLD}",
+    doc=f"asymmetric shingle containment: ≥{_CONT_THRESHOLD:.0%} of a "
+    "doc's 3-gram shingles appear in another doc — the excerpt/quote "
+    "detector symmetric Jaccard misses (ordered pairs, both directions)",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment ≠ similarity: an excerpt inside a longer document
+    has LOW Jaccard (the union is dominated by the long side) but
+    HIGH containment |A∩B|/|A| — the measure for quote/excerpt and
+    partial-crawl dedup (the set-level sibling of C4-style span
+    ownership, ``dedup_span_corpus``). Ordered pairs: (a⊂b) and
+    (b⊂a) are different findings.
+
+    Same blocked-pairwise discipline as ``dedup_ngram_jaccard``
+    (blocking on (lang, source); LSH buckets at 100 TB), same
+    two-stage token materialization, shingle space (|vocab|³) keeps
+    the measure discriminative where raw-token sets saturate.
+    Containment is one float division of exact integer set sizes,
+    floor-quantized at 1e-9.
+
+    Scale: the quadratic stage is bounded by the block key; the
+    shingle intersect is per-pair array work inside codegen. For
+    asymmetric detection across size-skewed pairs, candidate
+    generation by MinHash underestimates (LSH recalls high-Jaccard
+    pairs) — production uses suffix/shingle inverted indexes with a
+    df floor for candidates, then this exact verify.
+    """
+    docs = load(spark, "documents", sf_dir)
+    toked = docs.select(
+        "doc_id", "lang", "source", _tokens(F.expr(_NORM)).alias("toks")
+    )
+    d = toked.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.array_distinct(shingles(F.col("toks"))).alias("grams"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    inter = F.size(
+        F.array_intersect(F.col("a.grams"), F.col("b.grams"))
+    )
+    cont = inter.cast("double") / F.size(F.col("a.grams"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .filter(
+            (F.size(F.col("a.grams")) >= _CONT_MIN_GRAMS)
+            & (cont >= _CONT_THRESHOLD)
+        )
+        .select(
+            F.col("a.doc_id").alias("src_doc"),
+            F.col("b.doc_id").alias("dst_doc"),
+            inter.cast("long").alias("n_shared"),
+            F.size(F.col("a.grams")).cast("long").alias("n_src_grams"),
+            (F.floor(cont * 1000000000.0 + F.lit(0.5)) / 1000000000.0).alias(
+                "containment"
+            ),
+        )
+    )

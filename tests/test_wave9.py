@@ -671,3 +671,30 @@ def test_hits_reference_iteration(spark, sf_dir):
     assert len(got) == n
     for node in range(n):
         assert got[node] == (h.get(node, 0), a.get(node, 0))
+
+
+def test_containment_asymmetric_and_consistent(spark, sf_dir):
+    from cs_pipeline_spark.operators.dedup import (
+        _CONT_MIN_GRAMS,
+        _CONT_THRESHOLD,
+        _NORM,
+        _tokens,
+        dedup_containment,
+        shingles,
+    )
+
+    rows = dedup_containment(spark, sf_dir).collect()
+    docs = load(spark, "documents", sf_dir)
+    grams = {
+        r.doc_id: set(r.g)
+        for r in docs.select(
+            "doc_id",
+            F.array_distinct(shingles(_tokens(F.expr(_NORM)))).alias("g"),
+        ).collect()
+    }
+    for r in rows:
+        A, B = grams[r.src_doc], grams[r.dst_doc]
+        assert r.n_shared == len(A & B)
+        assert r.n_src_grams == len(A) >= _CONT_MIN_GRAMS
+        assert r.containment >= _CONT_THRESHOLD
+        assert abs(r.containment - len(A & B) / len(A)) < 1e-8
