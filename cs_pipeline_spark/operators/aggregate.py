@@ -2437,3 +2437,100 @@ def agg_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2_term"
         ),
     )
+
+
+@register(
+    "agg_mann_whitney",
+    f"""
+    WITH v AS (
+      SELECT event_type,
+             CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS q
+      FROM events WHERE event_type IN ('click', 'error')
+    ), per_val AS (
+      SELECT q,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END)
+                  AS BIGINT) AS n1v
+      FROM v GROUP BY q
+    ), ranked AS (
+      SELECT q, cnt, n1v,
+             COALESCE(SUM(cnt) OVER (ORDER BY q
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM per_val
+    ), tot AS (
+      SELECT CAST(SUM(n1v) AS BIGINT) AS n1,
+             CAST(SUM(cnt - n1v) AS BIGINT) AS n2,
+             CAST(SUM(n1v * (2 * cum_before + cnt + 1)) AS BIGINT)
+               AS r1_x2
+      FROM ranked
+    )
+    SELECT n1, n2, r1_x2,
+           CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+           CAST(2 * n1 * n2 - (r1_x2 - n1 * (n1 + 1)) AS BIGINT) AS u2_x2,
+           (FLOOR((CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE)
+              / (2.0 * n1 * n2)) * 1000000000.0 + 0.5) / 1000000000.0)
+             AS auc
+    FROM tot
+    """,
+    doc="Mann-Whitney U (click vs error values): doubled average ranks "
+    "keep tie handling integer-exact; AUC = U/(n1*n2) is the "
+    "probability-of-superiority effect size",
+)
+def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based two-sample test — completes the engine's
+    nonparametric trio (``agg_ks_test`` distribution shape,
+    ``agg_ab_test`` Welch means, this op: stochastic dominance).
+    Mann-Whitney U is the standard when distributions are skewed
+    enough that means mislead; its U/(n₁n₂) is exactly
+    P(X₁ > X₂) + ½P(X₁ = X₂) — the AUC a ranking evaluation reports.
+
+    Tie discipline: ranks are midranks; a tie group spanning ranks
+    a..b has average (a+b)/2, which is half-integer — so everything
+    is carried DOUBLED (r1_x2, u_x2 are 2R₁, 2U): pure int64
+    arithmetic end to end, ties exact, no float until the final AUC
+    division (floor-quantized at 1e-9).
+
+    Scale: one map-side-combined count per distinct quantized value,
+    a window over the value spine (|distinct values| rows), one-row
+    output. Never sorts raw rows.
+    """
+    ev = load(spark, "events", sf_dir).filter(
+        F.col("event_type").isin("click", "error")
+    )
+    v = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 1000000.0 + F.lit(0.5))
+        .cast("long")
+        .alias("q"),
+    )
+    per_val = v.groupBy("q").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("n1v"),
+    )
+    w = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_val.withColumn(
+        "cum_before", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+    )
+    tot = ranked.agg(
+        F.sum("n1v").cast("long").alias("n1"),
+        F.sum(F.col("cnt") - F.col("n1v")).cast("long").alias("n2"),
+        F.sum(
+            F.col("n1v")
+            * (2 * F.col("cum_before") + F.col("cnt") + 1)
+        )
+        .cast("long")
+        .alias("r1_x2"),
+    )
+    u1_x2 = F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)
+    auc = u1_x2.cast("double") / (2.0 * F.col("n1") * F.col("n2"))
+    return tot.select(
+        "n1",
+        "n2",
+        "r1_x2",
+        u1_x2.cast("long").alias("u1_x2"),
+        (2 * F.col("n1") * F.col("n2") - u1_x2).cast("long").alias("u2_x2"),
+        (F.floor(auc * 1000000000.0 + F.lit(0.5)) / 1000000000.0).alias(
+            "auc"
+        ),
+    )

@@ -698,3 +698,29 @@ def test_containment_asymmetric_and_consistent(spark, sf_dir):
         assert r.n_src_grams == len(A) >= _CONT_MIN_GRAMS
         assert r.containment >= _CONT_THRESHOLD
         assert abs(r.containment - len(A & B) / len(A)) < 1e-8
+
+
+def test_mann_whitney_matches_scipy_style_reference(spark, sf_dir):
+    from cs_pipeline_spark.operators.aggregate import agg_mann_whitney
+
+    row = agg_mann_whitney(spark, sf_dir).collect()[0]
+    ev = (
+        load(spark, "events", sf_dir)
+        .filter(F.col("event_type").isin("click", "error"))
+        .select("event_type", "value")
+        .collect()
+    )
+    import math
+
+    clicks = [math.floor(r.value * 1e6 + 0.5) for r in ev if r.event_type == "click"]
+    errors = [math.floor(r.value * 1e6 + 0.5) for r in ev if r.event_type == "error"]
+    # reference U via pairwise comparison (n small at sf0.001)
+    u1 = 0.0
+    for x in clicks:
+        for y in errors:
+            u1 += 1.0 if x > y else (0.5 if x == y else 0.0)
+    assert row.n1 == len(clicks) and row.n2 == len(errors)
+    assert row.u1_x2 == int(2 * u1)
+    assert row.u1_x2 + row.u2_x2 == 2 * row.n1 * row.n2
+    assert abs(row.auc - u1 / (row.n1 * row.n2)) < 1e-8
+    assert 0.0 <= row.auc <= 1.0
