@@ -2534,3 +2534,98 @@ def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             "auc"
         ),
     )
+
+
+@register(
+    "agg_runs_test",
+    f"""
+    WITH v AS (
+      SELECT event_id,
+             CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS q
+      FROM events
+    ), med AS (
+      SELECT q AS m FROM v ORDER BY q
+      LIMIT 1 OFFSET (SELECT (COUNT(*) - 1) // 2 FROM v)
+    ), s AS (
+      SELECT event_id, CASE WHEN q > (SELECT m FROM med) THEN 1
+                            ELSE 0 END AS side
+      FROM v
+    ), runs AS (
+      SELECT side,
+             CASE WHEN LAG(side) OVER (ORDER BY event_id) IS NULL
+                  OR LAG(side) OVER (ORDER BY event_id) <> side
+                  THEN 1 ELSE 0 END AS is_new
+      FROM s
+    )
+    SELECT CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_above,
+           CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_below,
+           CAST(SUM(is_new) AS BIGINT) AS n_runs,
+           (FLOOR((1.0 + 2.0 * SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END)
+              * SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END)
+              / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0)
+             AS expected_runs
+    FROM runs
+    """,
+    doc="Wald-Wolfowitz runs test: observed above/below-median runs in "
+    "event-id order vs the expected 1 + 2*n1*n2/n — the sequence-"
+    "randomness audit (autocorrelated feeds show too few runs)",
+)
+def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomness audit on the value sequence: dichotomize against
+    the discrete median (exact element pick — lower median, both
+    engines identical on the quantized integers), count runs of
+    consecutive same-side values in event-id order, and compare to
+    the i.i.d. expectation 1 + 2n₁n₂/n. Too few runs ⇒ positive
+    autocorrelation (stuck sensor, cached feed); too many ⇒
+    oscillation. Complements the value-distribution tests
+    (``agg_ks_test``, ``agg_mann_whitney``) with an ORDER-sensitive
+    check — the only one in the audit family.
+
+    Integer discipline: sides are exact comparisons on quantized
+    integers; run boundaries are integer lag comparisons; only the
+    expectation is a float ratio of exact counts (floor-quantized).
+
+    Scale: the run count needs a total order — at 100 TB run it
+    per-partition-key series (device, sensor) like every other
+    sequence op, not globally; the global form here mirrors the
+    classic single-series test. One window pass + one aggregate.
+    """
+    ev = load(spark, "events", sf_dir)
+    v = ev.select(
+        "event_id",
+        F.floor(F.col("value") * 1000000.0 + F.lit(0.5))
+        .cast("long")
+        .alias("q"),
+    )
+    n = v.count()
+    med = (
+        v.orderBy("q")
+        .select("q")
+        .limit((n - 1) // 2 + 1)
+        .agg(F.max("q").alias("m"))
+    )
+    s = v.crossJoin(F.broadcast(med)).select(
+        "event_id", (F.col("q") > F.col("m")).cast("int").alias("side")
+    )
+    w = Window.orderBy("event_id")
+    runs = s.withColumn(
+        "is_new",
+        F.when(
+            F.lag("side").over(w).isNull()
+            | (F.lag("side").over(w) != F.col("side")),
+            1,
+        ).otherwise(0),
+    )
+    n1 = F.sum(F.when(F.col("side") == 1, 1).otherwise(0))
+    n0 = F.sum(F.when(F.col("side") == 0, 1).otherwise(0))
+    exp_runs = 1.0 + 2.0 * n1 * n0 / F.count(F.lit(1))
+    return runs.agg(
+        n1.cast("long").alias("n_above"),
+        n0.cast("long").alias("n_below"),
+        F.sum("is_new").cast("long").alias("n_runs"),
+        (F.floor(exp_runs * 1000000.0 + F.lit(0.5)) / 1000000.0).alias(
+            "expected_runs"
+        ),
+    )

@@ -813,3 +813,78 @@ def dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return sig(oh, "orders").unionByName(sig(lh, "lineitem"))
+
+
+# ---------- fiscal 4-4-5 calendar mapping ----------
+
+_FY_START = "2024-01-01"  # fiscal year anchor (a Monday)
+
+
+@register(
+    "f_fiscal_445",
+    f"""
+    WITH d AS (
+      SELECT o_orderkey, o_orderdate,
+             datediff('day', DATE '{_FY_START}', o_orderdate) AS doff
+      FROM orders WHERE o_orderdate >= DATE '{_FY_START}'
+        AND o_orderdate < DATE '{_FY_START}' + INTERVAL 364 DAY
+    ), w AS (
+      SELECT *, doff // 7 AS wk FROM d
+    )
+    SELECT o_orderkey, o_orderdate,
+           CAST(wk AS BIGINT) AS fiscal_week,
+           CAST(wk // 13 + 1 AS BIGINT) AS fiscal_quarter,
+           CAST(CASE WHEN wk % 13 < 4 THEN 1
+                     WHEN wk % 13 < 8 THEN 2
+                     ELSE 3 END + (wk // 13) * 3 AS BIGINT)
+             AS fiscal_period,
+           CAST(doff - wk * 7 + 1 AS BIGINT) AS day_of_week
+    FROM w
+    """,
+    doc="4-4-5 fiscal calendar mapping: order dates to 52-week fiscal "
+    "weeks/periods/quarters by pure integer day arithmetic — the "
+    "retail-calendar assignment every BI stack needs",
+)
+def f_fiscal_445(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 4-4-5 retail calendar: each quarter is 13 weeks split into
+    months of 4, 4, and 5 weeks, so every fiscal period has a whole
+    number of weeks and period-over-period comparisons align by
+    weekday. No calendar function can produce it — it is pure integer
+    arithmetic on the day offset from the fiscal anchor:
+    week = doff div 7, quarter = week div 13, period within quarter by
+    the 4/8 boundaries. A 52-week window keeps the mapping total (the
+    real-world 53rd-week rule is a documented policy choice layered on
+    the same arithmetic).
+
+    Every output is an exact integer; both engines floor-divide
+    non-negative operands identically (the `div` rule).
+
+    Scale: stateless per-row projection fused with the scan; the date
+    filter pushes down to parquet (planning-time literals).
+    """
+    o = load(spark, "orders", sf_dir)
+    start = F.lit(_FY_START).cast("date")
+    d = o.filter(
+        (F.col("o_orderdate") >= start)
+        & (F.col("o_orderdate") < F.date_add(start, 364))
+    ).select(
+        "o_orderkey",
+        "o_orderdate",
+        F.datediff("o_orderdate", start).alias("doff"),
+    )
+    wk = F.expr("doff div 7")
+    return d.select(
+        "o_orderkey",
+        "o_orderdate",
+        wk.cast("long").alias("fiscal_week"),
+        F.expr("doff div 7 div 13 + 1").cast("long").alias("fiscal_quarter"),
+        (
+            F.when(F.expr("(doff div 7) % 13") < 4, 1)
+            .when(F.expr("(doff div 7) % 13") < 8, 2)
+            .otherwise(3)
+            + F.expr("doff div 7 div 13") * 3
+        )
+        .cast("long")
+        .alias("fiscal_period"),
+        (F.col("doff") - wk * 7 + 1).cast("long").alias("day_of_week"),
+    )

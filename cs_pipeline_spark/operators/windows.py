@@ -2109,3 +2109,76 @@ def ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(False),
         ).alias("is_anom"),
     )
+
+
+@register(
+    "win_year_over_year",
+    f"""
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+               AS month_ts,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+               AS midx,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS HUGEINT))
+                  AS BIGINT) AS rev_c
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT month_ts,
+           CAST(rev_c AS DOUBLE) / 100.0 AS revenue,
+           CAST(LAG(rev_c, 12) OVER (ORDER BY midx) AS DOUBLE) / 100.0
+             AS revenue_prior_year,
+           CAST(CASE WHEN LAG(rev_c, 12) OVER (ORDER BY midx) IS NOT NULL
+                THEN (rev_c - LAG(rev_c, 12) OVER (ORDER BY midx)) * 10000
+                     // LAG(rev_c, 12) OVER (ORDER BY midx) END AS BIGINT)
+             AS yoy_bps
+    FROM m
+    """,
+    doc="year-over-year monthly revenue comparison: lag-12 on the "
+    "month spine with integer-bps growth — the period-over-period "
+    "report shape",
+)
+def win_year_over_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period comparison: monthly revenue vs the same
+    month a year earlier, growth in integer basis points. The lag key
+    is a LINEAR month index (year·12 + month) so a 12-row lag is
+    exactly one calendar year regardless of the spine's density —
+    lagging on timestamps breaks the moment a month is missing;
+    production fills the spine first (``ts_regularize`` pattern) or
+    joins on midx−12, which is what the linear index makes cheap.
+
+    Revenue aggregates as exact integer cents through the monthly
+    rollup and the lag; the only float is the final /100 presentation
+    cast, and growth is an integer ratio in bps (`div` on exact
+    cents — never a float division truncated back to integer, whose
+    rounding can land on the wrong side of a boundary).
+
+    Scale: the fact stream collapses to the month spine in one
+    map-side-combined pass; the lag window runs on |months| rows.
+    """
+    o = load(spark, "orders", sf_dir)
+    m = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month_ts"),
+        (
+            F.year("o_orderdate") * 12 + F.month("o_orderdate")
+        ).cast("long").alias("midx"),
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast(
+                "decimal(38,0)"
+            )
+        )
+        .cast("long")
+        .alias("rev_c")
+    )
+    w = Window.orderBy("midx")
+    prior = F.lag("rev_c", 12).over(w)
+    lag_sql = "lag(rev_c, 12) over (order by midx)"
+    return m.select(
+        "month_ts",
+        (F.col("rev_c").cast("double") / 100.0).alias("revenue"),
+        (prior.cast("double") / 100.0).alias("revenue_prior_year"),
+        F.expr(
+            f"case when {lag_sql} is not null then "
+            f"cast((rev_c - {lag_sql}) * 10000 div {lag_sql} as bigint) end"
+        ).alias("yoy_bps"),
+    )

@@ -751,3 +751,64 @@ def test_triplet_mining_consistency(spark, sf_dir):
         assert labels[r.neg_id] != labels[r.anchor_id]
         assert abs(r.margin - (r.pos_cos - r.neg_cos)) < 1e-8
         assert r.is_satisfied == (r.pos_cos > r.neg_cos)
+
+
+def test_runs_test_counts(spark, sf_dir):
+    from cs_pipeline_spark.operators.aggregate import agg_runs_test
+
+    row = agg_runs_test(spark, sf_dir).collect()[0]
+    ev = load(spark, "events", sf_dir)
+    n = ev.count()
+    assert row.n_above + row.n_below == n
+    assert 1 <= row.n_runs <= n
+    assert 1.0 <= row.expected_runs <= n
+    # reference run count in event-id order
+    import math
+
+    vals = [
+        (r.event_id, math.floor(r.value * 1e6 + 0.5))
+        for r in ev.select("event_id", "value").collect()
+    ]
+    vals.sort()
+    qs = sorted(q for _, q in vals)
+    med = qs[(n - 1) // 2]
+    sides = [1 if q > med else 0 for _, q in vals]
+    runs = 1 + sum(1 for a, b in zip(sides, sides[1:]) if a != b)
+    assert row.n_runs == runs
+
+
+def test_fiscal_445_structure(spark, sf_dir):
+    from cs_pipeline_spark.operators.filters import f_fiscal_445
+
+    rows = f_fiscal_445(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.fiscal_week <= 51
+        assert 1 <= r.fiscal_quarter <= 4
+        assert 1 <= r.fiscal_period <= 12
+        assert 1 <= r.day_of_week <= 7
+        # 4-4-5 structure: period within quarter from week within quarter
+        wq = r.fiscal_week % 13
+        pq = (r.fiscal_period - 1) % 3 + 1
+        assert pq == (1 if wq < 4 else (2 if wq < 8 else 3))
+        assert r.fiscal_quarter == r.fiscal_week // 13 + 1
+
+
+def test_yoy_lag_alignment(spark, sf_dir):
+    from cs_pipeline_spark.operators.windows import win_year_over_year
+
+    rows = sorted(
+        win_year_over_year(spark, sf_dir).collect(), key=lambda r: r.month_ts
+    )
+    by_month = {r.month_ts: r for r in rows}
+    for r in rows:
+        if r.revenue_prior_year is not None:
+            prev = r.month_ts.replace(year=r.month_ts.year - 1)
+            assert prev in by_month
+            assert by_month[prev].revenue == r.revenue_prior_year
+            expect = int(
+                (round(r.revenue * 100) - round(r.revenue_prior_year * 100))
+                * 10000
+                / round(r.revenue_prior_year * 100)
+            )
+            assert abs(r.yoy_bps - expect) <= 1  # int-div truncation
