@@ -817,7 +817,7 @@ def dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------- fiscal 4-4-5 calendar mapping ----------
 
-_FY_START = "2024-01-01"  # fiscal year anchor (a Monday)
+_FY_START = "1996-01-01"  # fiscal year anchor (a Monday), inside the orders range
 
 
 @register(
