@@ -41,6 +41,11 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "sim_topk_bruteforce",
     "sim_hybrid_rrf",
+    "features_user_rfm",
+    "ts_decompose",
+    "agg_market_basket",
+    "graph_bfs_distance",
+    "win_range_frame",
     "text_stats",
     "mm_frame_sample",
     # round-2 additions: corpus shuffle ops, range join, decontamination
