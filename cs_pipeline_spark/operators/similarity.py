@@ -2733,3 +2733,182 @@ def emb_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pos_cos") > F.col("neg_cos"), F.lit(False)
         ).alias("is_satisfied"),
     )
+
+
+# ---------- pseudo-relevance feedback (Rocchio) ----------
+
+_PRF_FB = 3  # feedback depth: expand with the top-3 first-round hits
+
+
+def _sql_exp_vec() -> str:
+    """Expanded query vector: elementwise ((q + e1) + e2) + e3) / 4 —
+    the parenthesization is FIXED and mirrored in the Spark build so
+    float addition order (and therefore every bit) matches."""
+    return (
+        "list_transform(range(1, 65), i -> "
+        "(((CAST(q.embedding[i] AS DOUBLE) + CAST(b1.embedding[i] AS DOUBLE))"
+        " + CAST(b2.embedding[i] AS DOUBLE))"
+        " + CAST(b3.embedding[i] AS DOUBLE)) / 4.0)"
+    )
+
+
+_SQL_PRF = f"""
+    WITH n AS ({_SQL_NORMED}),
+    q AS (SELECT * FROM n WHERE vec_id < {N_QUERIES}),
+    r1 AS (
+      SELECT query_id, cand, rk FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_SQL_COS} DESC, c.vec_id) AS rk
+        FROM q JOIN n c ON c.vec_id <> q.vec_id) t
+      WHERE rk <= {TOP_K}),
+    exp AS (
+      SELECT q.vec_id AS query_id, {_sql_exp_vec()} AS e_emb
+      FROM q
+      JOIN r1 f1 ON f1.query_id = q.vec_id AND f1.rk = 1
+      JOIN r1 f2 ON f2.query_id = q.vec_id AND f2.rk = 2
+      JOIN r1 f3 ON f3.query_id = q.vec_id AND f3.rk = 3
+      JOIN n b1 ON b1.vec_id = f1.cand
+      JOIN n b2 ON b2.vec_id = f2.cand
+      JOIN n b3 ON b3.vec_id = f3.cand),
+    en AS (
+      SELECT query_id, e_emb, {_sql_qdot("e_emb", "e_emb")} AS e_nrm
+      FROM exp),
+    r2 AS (
+      SELECT query_id, neighbor_id, cos_sim, rank2 FROM (
+        SELECT en.query_id, c.vec_id AS neighbor_id,
+               {_sql_qdot("en.e_emb", "c.embedding")}
+                 / (SQRT(en.e_nrm) * SQRT(c.nrm)) AS cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY en.query_id ORDER BY
+                 {_sql_qdot("en.e_emb", "c.embedding")}
+                   / (SQRT(en.e_nrm) * SQRT(c.nrm)) DESC, c.vec_id) AS rank2
+        FROM en JOIN n c ON c.vec_id <> en.query_id) t
+      WHERE rank2 <= {TOP_K})
+    SELECT r2.query_id, r2.neighbor_id, r2.cos_sim,
+           CAST(r2.rank2 AS BIGINT) AS rank2,
+           COALESCE(r1.rk IS NOT NULL, FALSE) AS in_round1
+    FROM r2 LEFT JOIN r1 ON r1.query_id = r2.query_id
+                        AND r1.cand = r2.neighbor_id
+"""
+
+
+@register(
+    "sim_prf_rerank",
+    _SQL_PRF,
+    doc=f"pseudo-relevance feedback (Rocchio): expand each query with "
+    f"its top-{_PRF_FB} first-round hits (elementwise mean), re-rank "
+    "the corpus, and flag which results the expansion newly surfaced",
+)
+def sim_prf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rocchio-style PRF: assume the first round's top hits are
+    relevant, move the query toward their centroid (here the
+    unweighted mean of query + top-3), and search again — the
+    classic recall-boosting second pass, with ``in_round1 = FALSE``
+    rows showing exactly what the expansion bought.
+
+    Determinism: the expanded vector is built with a FIXED addition
+    order (((q+e1)+e2)+e3)/4 mirrored between engines — float
+    addition is not associative, so the parenthesization is part of
+    the operator contract; scoring is the quantized cosine as
+    everywhere.
+
+    Scale: round 1 is the broadcast-query corpus stream; the
+    expansion joins touch queries×3 rows; round 2 streams the corpus
+    once more against the (still broadcast-sized) expanded queries —
+    2 corpus scans total, no corpus shuffle. PRF's cost is exactly
+    one extra search round; production caps feedback depth and reuses
+    the round-1 candidate cache for the re-rank when the index
+    supports it.
+    """
+    corpus = _with_norm(load(spark, "embeddings", sf_dir))
+    queries = F.broadcast(
+        corpus.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.desc("cs"), F.asc("cand")
+    )
+    r1 = (
+        corpus.crossJoin(queries)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand"),
+            _scored(
+                F.col("q_emb"), F.col("embedding"), F.col("q_nrm"), F.col("nrm")
+            ).alias("cs"),
+        )
+        .withColumn("rk", F.row_number().over(w1))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "cand", "rk")
+    )
+    emb = corpus.select("vec_id", "embedding")
+
+    def fb(rank: int, alias: str):
+        return (
+            r1.filter(F.col("rk") == rank)
+            .select("query_id", F.col("cand").alias(f"_c{rank}"))
+            .join(
+                emb.select(
+                    F.col("vec_id").alias(f"_c{rank}"),
+                    F.col("embedding").alias(alias),
+                ),
+                f"_c{rank}",
+            )
+            .select("query_id", alias)
+        )
+
+    exp = (
+        queries.join(F.broadcast(fb(1, "e1")), "query_id")
+        .join(F.broadcast(fb(2, "e2")), "query_id")
+        .join(F.broadcast(fb(3, "e3")), "query_id")
+        .select(
+            "query_id",
+            F.expr(
+                "transform(sequence(1, 64), i -> "
+                "(((CAST(element_at(q_emb, i) AS DOUBLE)"
+                " + CAST(element_at(e1, i) AS DOUBLE))"
+                " + CAST(element_at(e2, i) AS DOUBLE))"
+                " + CAST(element_at(e3, i) AS DOUBLE)) / 4.0)"
+            ).alias("e_emb"),
+        )
+    )
+    en = F.broadcast(
+        exp.withColumn("e_nrm", qdot(F.col("e_emb"), F.col("e_emb")))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    r2 = (
+        corpus.crossJoin(en)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _scored(
+                F.col("e_emb"), F.col("embedding"), F.col("e_nrm"), F.col("nrm")
+            ).alias("cos_sim"),
+        )
+        .withColumn("rank2", F.row_number().over(w2))
+        .filter(F.col("rank2") <= TOP_K)
+    )
+    return r2.join(
+        F.broadcast(
+            r1.select(
+                F.col("query_id"),
+                F.col("cand").alias("neighbor_id"),
+                F.lit(True).alias("_hit"),
+            )
+        ),
+        ["query_id", "neighbor_id"],
+        "left",
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "cos_sim",
+        F.col("rank2").cast("long").alias("rank2"),
+        F.coalesce(F.col("_hit"), F.lit(False)).alias("in_round1"),
+    )

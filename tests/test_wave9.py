@@ -812,3 +812,22 @@ def test_yoy_lag_alignment(spark, sf_dir):
                 / round(r.revenue_prior_year * 100)
             )
             assert abs(r.yoy_bps - expect) <= 1  # int-div truncation
+
+
+def test_prf_rerank_shape(spark, sf_dir):
+    from cs_pipeline_spark.operators.similarity import sim_prf_rerank
+
+    rows = sim_prf_rerank(spark, sf_dir).collect()
+    per_q = {}
+    novel = 0
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+        assert r.neighbor_id != r.query_id
+        assert 1 <= r.rank2 <= TOP_K
+        novel += not r.in_round1
+    assert len(per_q) == N_QUERIES
+    assert all(len(v) == TOP_K for v in per_q.values())
+    # the expansion surfaces at least one novel result somewhere,
+    # and keeps at least one round-1 result (sanity of both flags)
+    assert novel > 0
+    assert novel < N_QUERIES * TOP_K
