@@ -758,3 +758,86 @@ def corpus_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("_num div _den").cast("long").alias("row_share_ppm"),
         "is_correct",
     )
+
+
+def _shingles3(toks):
+    from cs_pipeline_spark.operators.dedup import shingles
+
+    return shingles(toks)
+
+
+def _sql_shingles_3() -> str:
+    from cs_pipeline_spark.operators.dedup import _sql_shingles
+
+    return _sql_shingles(_DUCK_TOKENS, 3)
+
+
+_NOVELTY_ORACLE = (
+    "WITH g AS (SELECT d.doc_id, t.g FROM (SELECT doc_id, "
+    "list_distinct(" + _sql_shingles_3() + ") AS grams FROM documents) d, "
+    "UNNEST(d.grams) AS t(g)), "
+    "first_seen AS (SELECT g, MIN(doc_id) AS first_doc FROM g GROUP BY g), "
+    "per_doc AS (SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams, "
+    "CAST(COUNT(CASE WHEN f.first_doc = g.doc_id THEN 1 END) AS BIGINT) "
+    "AS n_novel FROM g JOIN first_seen f ON f.g = g.g GROUP BY g.doc_id) "
+    "SELECT doc_id, n_grams, n_novel, "
+    "(FLOOR((CAST(n_novel AS DOUBLE) / n_grams) * 1000000000.0 + 0.5) "
+    "/ 1000000000.0) AS novelty_ratio FROM per_doc"
+)
+
+
+@register(
+    "text_ngram_novelty",
+    _NOVELTY_ORACLE,
+    doc="per-doc 3-gram novelty: share of a doc's shingles first seen "
+    "at this doc in ingestion order — the streaming-dedup-lite "
+    "curation signal (low novelty = mostly recycled text)",
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novelty scoring in ingestion (doc_id) order: a shingle is
+    NOVEL for the first document that contains it; a document's
+    novelty ratio is the share of its distinct 3-grams it introduced.
+    Low-novelty documents are recycled/boilerplate content — the
+    per-doc form of the corpus-level ``text_vocab_growth`` curve, and
+    a cheap filter that approximates what streaming exact-dedup would
+    remove without maintaining dedup state.
+
+    Same first-occurrence scatter as vocab growth: each shingle
+    contributes its MIN doc_id once (map-side-combined), then one
+    join back tags novel grams — no windowed distinct, no quadratic
+    stage. Ratio is one floor-quantized division of exact counts.
+
+    Scale: shuffle 1 = distinct (doc, gram); shuffle 2 = min per
+    gram; the tag join is gram-keyed (uniform hash-like keys). In
+    production the "order" is ingestion batch id, and first_seen is
+    maintained incrementally (MIN is mergeable) — this op is its
+    backfill form.
+    """
+    docs = load(spark, "documents", sf_dir)
+    toked = docs.select("doc_id", _tokens(F.expr(_NORM)).alias("toks"))
+    g = toked.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(_shingles3(F.col("toks")))
+        ).alias("g"),
+    )
+    first_seen = g.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        g.join(first_seen, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1)
+            ).alias("n_novel"),
+        )
+    )
+    ratio = F.col("n_novel").cast("double") / F.col("n_grams")
+    return per_doc.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_novel").cast("long").alias("n_novel"),
+        (F.floor(ratio * 1000000000.0 + F.lit(0.5)) / 1000000000.0).alias(
+            "novelty_ratio"
+        ),
+    )

@@ -831,3 +831,31 @@ def test_prf_rerank_shape(spark, sf_dir):
     # and keeps at least one round-1 result (sanity of both flags)
     assert novel > 0
     assert novel < N_QUERIES * TOP_K
+
+
+def test_ngram_novelty_first_doc_full(spark, sf_dir):
+    from cs_pipeline_spark.operators.text import text_ngram_novelty
+
+    rows = {r.doc_id: r for r in text_ngram_novelty(spark, sf_dir).collect()}
+    docs = load(spark, "documents", sf_dir)
+    assert len(rows) == docs.count()
+    # doc 0 introduces every one of its shingles
+    assert rows[0].novelty_ratio == 1.0
+    assert rows[0].n_novel == rows[0].n_grams
+    for r in rows.values():
+        assert 0 <= r.n_novel <= r.n_grams
+        assert 0.0 <= r.novelty_ratio <= 1.0
+    # novelty sums to the global distinct-shingle count
+    from cs_pipeline_spark.operators.dedup import _NORM, _tokens, shingles
+
+    total = (
+        docs.select(
+            F.explode(
+                F.array_distinct(shingles(_tokens(F.expr(_NORM))))
+            ).alias("g")
+        )
+        .select("g")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_novel for r in rows.values()) == total
