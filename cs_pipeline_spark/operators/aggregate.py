@@ -2629,3 +2629,95 @@ def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "expected_runs"
         ),
     )
+
+
+@register(
+    "agg_lorenz_deciles",
+    f"""
+    WITH u AS (
+      SELECT user_id,
+             CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS HUGEINT))
+                  AS BIGINT) AS vq
+      FROM events GROUP BY user_id
+    ), r AS (
+      SELECT vq,
+             ROW_NUMBER() OVER (ORDER BY vq, user_id) AS rk,
+             COUNT(*) OVER () AS n
+      FROM u
+    ), d AS (
+      SELECT CAST(((rk - 1) * 10) // n + 1 AS BIGINT) AS decile,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(CAST(vq AS HUGEINT)) AS BIGINT) AS dec_vq
+      FROM r GROUP BY 1
+    )
+    SELECT decile, n_users,
+           CAST(dec_vq AS DOUBLE) / 1000000.0 AS decile_value,
+           CAST(SUM(CAST(dec_vq AS HUGEINT)) OVER (ORDER BY decile
+                ROWS UNBOUNDED PRECEDING) * 1000000
+                // SUM(CAST(dec_vq AS HUGEINT)) OVER () AS BIGINT)
+             AS cum_share_ppm
+    FROM d
+    """,
+    doc="Lorenz curve by value deciles: users ranked by total event "
+    "value, per-decile mass and cumulative integer-ppm share — the "
+    "concentration curve behind agg_gini's scalar",
+)
+def agg_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-concentration curve: rank users by their total (quantized)
+    event value, split into deciles by exact integer rank arithmetic
+    (decile = (rk−1)·10 div n + 1 — handles n not divisible by 10
+    without floats), and report each decile's mass plus the cumulative
+    share in integer ppm. Reading the top decile's share off this
+    table is the "whales" analysis; ``agg_gini`` is this curve's area
+    folded to one number.
+
+    Exactness: per-user totals are quantized integer sums; ranks,
+    decile ids, and shares are pure integer arithmetic; the only
+    float is the presentation /1e6.
+
+    Scale: one fact shuffle to per-user totals (map-side combined),
+    then the rank window runs over |users| rows. A global rank is a
+    single-partition sort of the user table — at extreme user counts
+    swap in repartitionByRange + per-partition offsets (the
+    documented global-sort recipe), same arithmetic after.
+    """
+    ev = load(spark, "events", sf_dir)
+    u = ev.groupBy("user_id").agg(
+        F.sum(
+            F.floor(F.col("value") * 1000000.0 + F.lit(0.5)).cast(
+                "decimal(38,0)"
+            )
+        )
+        .cast("long")
+        .alias("vq")
+    )
+    w = Window.orderBy("vq", "user_id")
+    r = u.select(
+        "vq",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    d = r.groupBy(
+        F.expr("((rk - 1) * 10) div n + 1").cast("long").alias("decile")
+    ).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("vq").cast("decimal(38,0)")).alias("dec_vq"),
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = F.sum("dec_vq").over(w_cum)
+    tot = F.sum("dec_vq").over(
+        Window.partitionBy()
+    )
+    return d.select(
+        "decile",
+        F.col("n_users").cast("long").alias("n_users"),
+        (F.col("dec_vq").cast("string").cast("double") / 1000000.0).alias(
+            "decile_value"
+        ),
+        F.expr(
+            "cast(sum(dec_vq) over (order by decile rows unbounded preceding)"
+            " * 1000000 div sum(dec_vq) over () as bigint)"
+        ).alias("cum_share_ppm"),
+    )

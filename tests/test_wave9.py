@@ -859,3 +859,20 @@ def test_ngram_novelty_first_doc_full(spark, sf_dir):
         .count()
     )
     assert sum(r.n_novel for r in rows.values()) == total
+
+
+def test_lorenz_deciles_monotone(spark, sf_dir):
+    from cs_pipeline_spark.operators.aggregate import agg_lorenz_deciles
+
+    rows = sorted(
+        agg_lorenz_deciles(spark, sf_dir).collect(), key=lambda r: r.decile
+    )
+    ev = load(spark, "events", sf_dir)
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r.n_users for r in rows) == n_users
+    assert rows[-1].cum_share_ppm == 1000000  # curve ends at 100%
+    shares = [r.cum_share_ppm for r in rows]
+    assert shares == sorted(shares)  # cumulative is monotone
+    # Lorenz convexity: sorted-ascending deciles grow in mass
+    masses = [r.decile_value for r in rows]
+    assert masses[0] <= masses[-1]
