@@ -873,6 +873,7 @@ def test_lorenz_deciles_monotone(spark, sf_dir):
     assert rows[-1].cum_share_ppm == 1000000  # curve ends at 100%
     shares = [r.cum_share_ppm for r in rows]
     assert shares == sorted(shares)  # cumulative is monotone
-    # Lorenz convexity: sorted-ascending deciles grow in mass
-    masses = [r.decile_value for r in rows]
-    assert masses[0] <= masses[-1]
+    # ascending rank order: per-user mass grows with the decile
+    # (decile sizes vary at tiny n, so compare per-user averages)
+    per_user = [r.decile_value / r.n_users for r in rows]
+    assert per_user[0] <= per_user[-1]
