@@ -963,3 +963,96 @@ def join_cogroup_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cogroup(purch.groupBy("user_id"))
         .applyInPandas(lag_stats, schema)
     )
+
+
+# ---------- hierarchy flattening (iterative ancestor ascent) ----------
+
+_HIER_ROUNDS = 8  # covers 10^8 keys with the div-10 parent function
+
+
+def _hier_oracle() -> str:
+    """Unrolled ascent: each level references its predecessor once
+    (linear lineage — no materialization needed)."""
+    parts = [
+        "WITH nodes AS (SELECT c_custkey AS id FROM customer), ",
+        "edges AS (SELECT n.id AS child, p.id AS parent FROM nodes n "
+        "JOIN nodes p ON p.id = n.id // 10 AND n.id >= 10), ",
+        "a0 AS (SELECT id AS node, id AS anc, 0 AS depth FROM nodes)",
+    ]
+    for t in range(_HIER_ROUNDS):
+        parts.append(
+            f", a{t + 1} AS ("
+            f"SELECT a.node, COALESCE(e.parent, a.anc) AS anc, "
+            f"a.depth + CASE WHEN e.parent IS NULL THEN 0 ELSE 1 END "
+            f"AS depth "
+            f"FROM a{t} a LEFT JOIN edges e ON e.child = a.anc)"
+        )
+    parts.append(
+        f" SELECT node AS c_custkey, CAST(anc AS BIGINT) AS root_id, "
+        f"CAST(depth AS BIGINT) AS depth FROM a{_HIER_ROUNDS}"
+    )
+    return "".join(parts)
+
+
+@register(
+    "join_hierarchy_flatten",
+    _hier_oracle(),
+    doc="hierarchy flattening: resolve every customer to its root "
+    "ancestor + depth in the synthetic div-10 org tree by "
+    f"{_HIER_ROUNDS} iterative left-join ascent rounds",
+)
+def join_hierarchy_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Org-chart/category-tree flattening: given parent edges, resolve
+    each node's ROOT ancestor and depth — the denormalization every
+    BI rollup over a hierarchy needs (region rollups, category trees,
+    management chains). The tree is synthesized from the customer key
+    (parent = id div 10 when that id exists as a customer; nodes whose
+    parent is absent are roots) — same deterministic-synthesis
+    convention as the graph module's link graph.
+
+    Iterative ascent: each round left-joins the current ancestor
+    against the edge table; nodes already at a root pass through
+    unchanged (COALESCE), so the fixed round count only needs to
+    cover the max depth (8 rounds = 10^8 keys here). Each level
+    references its predecessor ONCE — linear lineage, no
+    checkpointing (contrast ``graph_k_core``).
+
+    Scale: per round, one equi-join on the ancestor key against the
+    (much smaller) internal-node edge table — broadcast when the
+    upper levels fit, hash-join co-partitioned otherwise. The
+    pointer-doubling variant (anc(anc)) halves rounds to log₂(depth)
+    at the cost of self-joining the full working set — worth it only
+    for deep trees.
+    """
+    nodes = load(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("id")
+    )
+    p = nodes.select(F.col("id").alias("parent"))
+    edges = (
+        nodes.filter(F.col("id") >= 10)
+        .select(F.col("id").alias("child"), F.expr("id div 10").alias("parent"))
+        .join(p, "parent")
+    )
+    a = nodes.select(
+        F.col("id").alias("node"),
+        F.col("id").alias("anc"),
+        F.lit(0).alias("depth"),
+    )
+    e = F.broadcast(edges.select(F.col("child"), F.col("parent")))
+    for _ in range(_HIER_ROUNDS):
+        a = (
+            a.join(e, a.anc == e.child, "left")
+            .select(
+                "node",
+                F.coalesce("parent", "anc").alias("anc"),
+                (
+                    F.col("depth")
+                    + F.when(F.col("parent").isNull(), 0).otherwise(1)
+                ).alias("depth"),
+            )
+        )
+    return a.select(
+        F.col("node").alias("c_custkey"),
+        F.col("anc").cast("long").alias("root_id"),
+        F.col("depth").cast("long").alias("depth"),
+    )

@@ -877,3 +877,25 @@ def test_lorenz_deciles_monotone(spark, sf_dir):
     # (decile sizes vary at tiny n, so compare per-user averages)
     per_user = [r.decile_value / r.n_users for r in rows]
     assert per_user[0] <= per_user[-1]
+
+
+def test_hierarchy_flatten_reference(spark, sf_dir):
+    from cs_pipeline_spark.operators.joins import join_hierarchy_flatten
+
+    rows = {
+        r.c_custkey: (r.root_id, r.depth)
+        for r in join_hierarchy_flatten(spark, sf_dir).collect()
+    }
+    ids = {
+        r.id
+        for r in load(spark, "customer", sf_dir)
+        .select(F.col("c_custkey").alias("id"))
+        .collect()
+    }
+    assert set(rows) == ids
+    for k in ids:
+        anc, depth = k, 0
+        while anc >= 10 and anc // 10 in ids:
+            anc //= 10
+            depth += 1
+        assert rows[k] == (anc, depth)
