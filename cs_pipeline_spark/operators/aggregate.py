@@ -2721,3 +2721,96 @@ def agg_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000 div sum(dec_vq) over () as bigint)"
         ).alias("cum_share_ppm"),
     )
+
+
+_PSI_BINS = 10
+_PSI_BIN_W = 1.0  # fixed-width bins over value ∈ [0, 10)
+
+
+@register(
+    "dq_value_drift_psi",
+    f"""
+    WITH v AS (
+      SELECT event_id % 2 AS half,
+             LEAST(CAST(FLOOR(value / {_PSI_BIN_W}) AS BIGINT),
+                   {_PSI_BINS - 1}) AS bin
+      FROM events
+    ), c AS (
+      SELECT bin,
+             CAST(COUNT(CASE WHEN half = 0 THEN 1 END) AS BIGINT) AS n_a,
+             CAST(COUNT(CASE WHEN half = 1 THEN 1 END) AS BIGINT) AS n_b
+      FROM v GROUP BY bin
+    ), t AS (
+      SELECT CAST(SUM(n_a) AS BIGINT) AS ta,
+             CAST(SUM(n_b) AS BIGINT) AS tb FROM c
+    )
+    SELECT c.bin, c.n_a, c.n_b,
+           CAST(c.n_a * 1000000 // t.ta AS BIGINT) AS share_a_ppm,
+           CAST(c.n_b * 1000000 // t.tb AS BIGINT) AS share_b_ppm,
+           (FLOOR(((CAST(c.n_a AS DOUBLE) / t.ta
+                    - CAST(c.n_b AS DOUBLE) / t.tb)
+                   * LN((CAST(c.n_a AS DOUBLE) / t.ta)
+                        / (CAST(c.n_b AS DOUBLE) / t.tb)))
+                  * 1000000000.0 + 0.5) / 1000000000.0) AS psi_term
+    FROM c CROSS JOIN t
+    WHERE c.n_a > 0 AND c.n_b > 0
+    """,
+    doc=f"population-stability-index drift monitor: value distribution "
+    f"across {_PSI_BINS} fixed bins, A/B snapshot halves, per-bin "
+    "floor-quantized PSI terms — the ML feature-drift alarm",
+)
+def dq_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI — the drift metric feature stores alarm on:
+    Σ (p_A − p_B)·ln(p_A/p_B) over bins, here emitted as PER-BIN
+    terms (the consumer sums them; >0.2 total is the conventional
+    "investigate" threshold, and per-bin terms localize WHICH part of
+    the distribution moved). Snapshot halves come from event-id
+    parity — in production A is last week's histogram, B today's,
+    both mergeable counts (``agg_log_histogram`` rationale).
+
+    Determinism: binning is integer floor on the raw double (one
+    IEEE division by a power-of-two-free literal — still exactly
+    rounded the same in both engines, and the floor lands
+    identically); shares are integer ppm; each transcendental term is
+    floor-quantized at 1e-9 BEFORE the consumer's sum (the
+    chi2/entropy convention). Empty-on-one-side bins are excluded
+    (standard PSI practice smooths or drops them; dropping is the
+    deterministic choice).
+
+    Scale: one map-side-combined count per (half, bin) — ≤ 2·bins
+    states; the totals row is broadcast back. Nothing else.
+    """
+    ev = load(spark, "events", sf_dir)
+    v = ev.select(
+        (F.col("event_id") % 2).alias("half"),
+        F.least(
+            F.floor(F.col("value") / _PSI_BIN_W).cast("long"),
+            F.lit(_PSI_BINS - 1),
+        ).alias("bin"),
+    )
+    c = v.groupBy("bin").agg(
+        F.count(F.when(F.col("half") == 0, 1)).alias("n_a"),
+        F.count(F.when(F.col("half") == 1, 1)).alias("n_b"),
+    )
+    t = F.broadcast(
+        c.agg(
+            F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")
+        )
+    )
+    pa = F.col("n_a").cast("double") / F.col("ta")
+    pb = F.col("n_b").cast("double") / F.col("tb")
+    term = (pa - pb) * F.log(pa / pb)
+    return (
+        c.crossJoin(t)
+        .filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+        .select(
+            "bin",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.expr("n_a * 1000000 div ta").cast("long").alias("share_a_ppm"),
+            F.expr("n_b * 1000000 div tb").cast("long").alias("share_b_ppm"),
+            (F.floor(term * 1000000000.0 + F.lit(0.5)) / 1000000000.0).alias(
+                "psi_term"
+            ),
+        )
+    )

@@ -899,3 +899,20 @@ def test_hierarchy_flatten_reference(spark, sf_dir):
             anc //= 10
             depth += 1
         assert rows[k] == (anc, depth)
+
+
+def test_psi_shares_and_terms(spark, sf_dir):
+    from cs_pipeline_spark.operators.aggregate import dq_value_drift_psi
+
+    rows = dq_value_drift_psi(spark, sf_dir).collect()
+    assert rows
+    import math
+
+    for r in rows:
+        assert 0 <= r.bin <= 9
+        pa, pb = r.share_a_ppm / 1e6, r.share_b_ppm / 1e6
+        assert 0 < pa <= 1 and 0 < pb <= 1
+        # PSI terms are individually non-negative: (x-y)ln(x/y) >= 0
+        assert r.psi_term >= 0.0
+    # event-id parity halves the same distribution: total PSI is small
+    assert sum(r.psi_term for r in rows) < 0.1
