@@ -1344,3 +1344,111 @@ def agg_ltv_cohort_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ltv_per_user_micro"),
         )
     )
+
+
+@register(
+    "features_rfm_segments",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_type,
+             epoch_us({EVENTS_TS_SQL}) AS us, value
+      FROM events
+    ), anchor AS (SELECT MAX(us) AS max_us FROM e),
+    u AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN
+               CAST(FLOOR(value * 1000000.0 + 0.5) AS HUGEINT)
+               ELSE 0 END) AS BIGINT) AS mq,
+             MAX(us) AS last_us
+      FROM e GROUP BY user_id
+    ), scored AS (
+      SELECT u.user_id,
+             CAST((a.max_us - u.last_us) // 86400000000 AS BIGINT)
+               AS recency_days,
+             CAST(u.mq AS DOUBLE) / 1000000.0 AS monetary,
+             NTILE(5) OVER (ORDER BY (a.max_us - u.last_us), u.user_id)
+               AS r_score,
+             NTILE(5) OVER (ORDER BY u.mq DESC, u.user_id) AS m_score
+      FROM u CROSS JOIN anchor a
+    )
+    SELECT user_id, recency_days, monetary,
+           CAST(r_score AS BIGINT) AS r_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           CASE WHEN r_score <= 2 AND m_score <= 2 THEN 'champion'
+                WHEN r_score <= 2 THEN 'recent'
+                WHEN m_score <= 2 THEN 'at_risk_whale'
+                WHEN r_score >= 4 AND m_score >= 4 THEN 'hibernating'
+                ELSE 'regular' END AS segment
+    FROM scored
+    """,
+    doc="RFM segmentation: quintile recency/monetary scores (ntile on "
+    "deterministic total orders) mapped to named segments — the "
+    "marketing-automation audience table",
+)
+def features_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The segmentation layer on top of ``features_user_rfm``:
+    quintile scores for recency (1 = most recent) and monetary
+    (1 = highest spend), folded to the named segments a lifecycle
+    campaign targets (champions, recently-active, at-risk whales,
+    hibernating). Score edges are ntile over a DETERMINISTIC total
+    order (metric, then user_id) so quintile boundaries are
+    reproducible — the property an audience export needs when two
+    systems must agree on who got the email.
+
+    Scale: one fact shuffle to per-user reductions; the two ntiles
+    are windows over |users| rows on one ordering each. Segment
+    mapping is a stateless CASE.
+    """
+    ev = load(spark, "events", sf_dir)
+    u = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 1000000.0 + F.lit(0.5)).cast(
+                    "decimal(38,0)"
+                ),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        )
+        .cast("long")
+        .alias("mq"),
+        F.max(F.unix_micros("ts")).alias("last_us"),
+    )
+    anchor = F.broadcast(
+        ev.agg(F.max(F.unix_micros("ts")).alias("max_us"))
+    )
+    scored = u.crossJoin(anchor).select(
+        "user_id",
+        F.expr("(max_us - last_us) div 86400000000")
+        .cast("long")
+        .alias("recency_days"),
+        (F.col("mq").cast("double") / 1000000.0).alias("monetary"),
+        F.ntile(5)
+        .over(
+            Window.orderBy(
+                (F.col("max_us") - F.col("last_us")), F.col("user_id")
+            )
+        )
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("mq"), F.asc("user_id")))
+        .alias("m_score"),
+    )
+    seg = (
+        F.when(
+            (F.col("r_score") <= 2) & (F.col("m_score") <= 2), "champion"
+        )
+        .when(F.col("r_score") <= 2, "recent")
+        .when(F.col("m_score") <= 2, "at_risk_whale")
+        .when(
+            (F.col("r_score") >= 4) & (F.col("m_score") >= 4), "hibernating"
+        )
+        .otherwise("regular")
+    )
+    return scored.select(
+        "user_id",
+        "recency_days",
+        "monetary",
+        F.col("r_score").cast("long").alias("r_score"),
+        F.col("m_score").cast("long").alias("m_score"),
+        seg.alias("segment"),
+    )

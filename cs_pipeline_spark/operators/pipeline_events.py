@@ -309,3 +309,84 @@ def win_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_sessions",
         F.expr("_num div _den").cast("long").alias("share_ppm"),
     )
+
+
+@register(
+    "agg_bounce_rate",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us({EVENTS_TS_SQL}) AS us
+      FROM events
+    ), s AS (
+      SELECT *, CASE WHEN us - LAG(us) OVER w > {_GAP_US}
+                     OR LAG(us) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ), sid AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+                ORDER BY us, event_id ROWS UNBOUNDED PRECEDING)
+                AS session_id
+      FROM s
+    ), sess AS (
+      SELECT user_id, session_id, MIN(us) AS start_us,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM sid GROUP BY user_id, session_id
+    )
+    SELECT CAST(start_us // 86400000000 AS BIGINT) AS day_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(CASE WHEN n_events = 1 THEN 1 END) AS BIGINT)
+             AS n_bounces,
+           CAST(COUNT(CASE WHEN n_events = 1 THEN 1 END) * 1000000
+                // COUNT(*) AS BIGINT) AS bounce_ppm
+    FROM sess GROUP BY 1
+    """,
+    doc="daily bounce rate: single-event sessions over total sessions "
+    "per day (5-min-gap sessionization), integer-ppm — the "
+    "engagement-quality headline metric",
+)
+def agg_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate — the share of sessions that end after one event —
+    per day of session start. Single-event sessions signal landing
+    friction (or bot traffic); the daily spine is what the dashboard
+    trend reads.
+
+    Same sessionization as ``events_analytics_e2e`` (5-minute gap on
+    integer µs, (us, event_id) total order), session rollup refines
+    the window partitioning (exchange reused), day bucketing is
+    integer floor-division of the session-start µs, rate is an
+    integer ppm floor-ratio.
+
+    Scale: one fact shuffle (user_id window), then everything runs on
+    session rows (≪ events) and the daily spine.
+    """
+    ev = load(spark, "events", sf_dir).select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    sid = ev.withColumn(
+        "is_new",
+        F.when(
+            (F.col("us") - F.lag("us").over(w) > _GAP_US)
+            | F.lag("us").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    sess = sid.groupBy("user_id", "session_id").agg(
+        F.min("us").alias("start_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    bounces = F.count(F.when(F.col("n_events") == 1, 1))
+    return sess.groupBy(
+        F.expr("start_us div 86400000000").cast("long").alias("day_idx")
+    ).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        bounces.cast("long").alias("n_bounces"),
+        F.expr(
+            "count(case when n_events = 1 then 1 end) * 1000000"
+            " div count(1)"
+        )
+        .cast("long")
+        .alias("bounce_ppm"),
+    )

@@ -916,3 +916,33 @@ def test_psi_shares_and_terms(spark, sf_dir):
         assert r.psi_term >= 0.0
     # event-id parity halves the same distribution: total PSI is small
     assert sum(r.psi_term for r in rows) < 0.1
+
+
+def test_rfm_segments_partition(spark, sf_dir):
+    from cs_pipeline_spark.operators.analytics import features_rfm_segments
+
+    rows = features_rfm_segments(spark, sf_dir).collect()
+    ev = load(spark, "events", sf_dir)
+    assert len(rows) == ev.select("user_id").distinct().count()
+    valid = {"champion", "recent", "at_risk_whale", "hibernating", "regular"}
+    for r in rows:
+        assert 1 <= r.r_score <= 5 and 1 <= r.m_score <= 5
+        assert r.segment in valid
+        # segment mapping consistent with scores
+        if r.r_score <= 2 and r.m_score <= 2:
+            assert r.segment == "champion"
+    # quintiles are balanced within ±1
+    from collections import Counter
+
+    rc = Counter(r.r_score for r in rows)
+    assert max(rc.values()) - min(rc.values()) <= 1
+
+
+def test_bounce_rate_consistency(spark, sf_dir):
+    from cs_pipeline_spark.operators.pipeline_events import agg_bounce_rate
+
+    rows = agg_bounce_rate(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_bounces <= r.n_sessions
+        assert r.bounce_ppm == r.n_bounces * 1000000 // r.n_sessions
