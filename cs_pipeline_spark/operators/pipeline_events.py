@@ -390,3 +390,102 @@ def agg_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("bounce_ppm"),
     )
+
+
+@register(
+    "agg_peak_concurrency",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us({EVENTS_TS_SQL}) AS us
+      FROM events
+    ), s AS (
+      SELECT *, CASE WHEN us - LAG(us) OVER w > {_GAP_US}
+                     OR LAG(us) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ), sid AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+                ORDER BY us, event_id ROWS UNBOUNDED PRECEDING)
+                AS session_id
+      FROM s
+    ), sess AS (
+      SELECT user_id, session_id, MIN(us) AS a, MAX(us) AS b
+      FROM sid GROUP BY user_id, session_id
+    ), pts AS (
+      SELECT a AS us, 1 AS delta, user_id, session_id FROM sess
+      UNION ALL
+      SELECT b, -1, user_id, session_id FROM sess
+    ), sweep AS (
+      SELECT us, delta,
+             SUM(delta) OVER (ORDER BY us, delta, user_id, session_id
+                              ROWS UNBOUNDED PRECEDING) AS conc
+      FROM pts
+    )
+    SELECT CAST(us // 86400000000 AS BIGINT) AS day_idx,
+           CAST(MAX(conc) AS BIGINT) AS peak_concurrency,
+           CAST(COUNT(CASE WHEN delta = 1 THEN 1 END) AS BIGINT)
+             AS n_sessions_started
+    FROM sweep GROUP BY 1
+    """,
+    doc="peak concurrent sessions per day via sweep-line (+1/-1 "
+    "deltas, running sum over a deterministic total order) — the "
+    "capacity-planning metric no groupBy can produce",
+)
+def agg_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum simultaneous sessions — the number capacity planning
+    sizes against. GroupBy can count sessions PER bucket but not
+    OVERLAP; the sweep-line turns intervals into +1/−1 boundary
+    events whose running sum IS the concurrency at each instant, and
+    the daily max reads off that.
+
+    Determinism: the sweep order is the total order (us, delta,
+    user, session) — at equal timestamps session ENDS (−1) sort
+    before starts (+1), so touching intervals do not double-count
+    (a policy choice, stated; flip the delta sort for the inclusive
+    convention). All arithmetic is integer.
+
+    Scale: session building is the shared one-fact-shuffle
+    sessionization; the sweep is a running sum over 2·|sessions|
+    boundary rows — a GLOBAL order, so at 100 TB partition the sweep
+    by day (sessions clipped at day boundaries carry their overlap
+    in as an opening balance — the standard distributed sweep), or
+    repartitionByRange and prefix-sum the per-partition totals.
+    """
+    ev = load(spark, "events", sf_dir).select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    sid = ev.withColumn(
+        "is_new",
+        F.when(
+            (F.col("us") - F.lag("us").over(w) > _GAP_US)
+            | F.lag("us").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    sess = sid.groupBy("user_id", "session_id").agg(
+        F.min("us").alias("a"), F.max("us").alias("b")
+    )
+    pts = sess.select(
+        F.col("a").alias("us"), F.lit(1).alias("delta"),
+        "user_id", "session_id",
+    ).unionByName(
+        sess.select(
+            F.col("b").alias("us"), F.lit(-1).alias("delta"),
+            "user_id", "session_id",
+        )
+    )
+    w_sweep = Window.orderBy("us", "delta", "user_id", "session_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sweep = pts.withColumn("conc", F.sum("delta").over(w_sweep))
+    return sweep.groupBy(
+        F.expr("us div 86400000000").cast("long").alias("day_idx")
+    ).agg(
+        F.max("conc").cast("long").alias("peak_concurrency"),
+        F.count(F.when(F.col("delta") == 1, 1))
+        .cast("long")
+        .alias("n_sessions_started"),
+    )

@@ -946,3 +946,48 @@ def test_bounce_rate_consistency(spark, sf_dir):
     for r in rows:
         assert 0 <= r.n_bounces <= r.n_sessions
         assert r.bounce_ppm == r.n_bounces * 1000000 // r.n_sessions
+
+
+def test_peak_concurrency_reference_sweep(spark, sf_dir):
+    from cs_pipeline_spark.operators.pipeline_events import (
+        _GAP_US,
+        agg_peak_concurrency,
+    )
+
+    rows = {r.day_idx: r for r in agg_peak_concurrency(spark, sf_dir).collect()}
+    ev = (
+        load(spark, "events", sf_dir)
+        .select("user_id", "event_id", F.unix_micros("ts").alias("us"))
+        .collect()
+    )
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for r in ev:
+        per_user[r.user_id].append((r.us, r.event_id))
+    sessions = []
+    for uid, evs in per_user.items():
+        evs.sort()
+        start = prev = evs[0][0]
+        sid = 0
+        for us, _ in evs[1:]:
+            if us - prev > _GAP_US:
+                sessions.append((uid, sid, start, prev))
+                sid += 1
+                start = us
+            prev = us
+        sessions.append((uid, sid, start, prev))
+    pts = []
+    for uid, sid, a, b in sessions:
+        pts.append((a, 1, uid, sid))
+        pts.append((b, -1, uid, sid))
+    pts.sort()
+    conc, peak = 0, defaultdict(int)
+    for us, delta, uid, sid in pts:
+        conc += delta
+        d = us // 86400000000
+        peak[d] = max(peak[d], conc)
+    assert set(rows) == set(peak)
+    for d, p in peak.items():
+        assert rows[d].peak_concurrency == p
+    assert sum(r.n_sessions_started for r in rows.values()) == len(sessions)
