@@ -534,3 +534,73 @@ def mm_batch_collate_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("waste_ppm"),
     )
+
+
+_SHARD_BYTES = 20000  # target payload bytes per training shard
+
+
+@register(
+    "mm_shard_manifest",
+    f"""
+    WITH d AS (
+      SELECT doc_id, n_chars,
+             SUM(n_chars) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS bytes_before
+      FROM documents
+    ), s AS (
+      SELECT doc_id, n_chars,
+             CAST(COALESCE(bytes_before, 0) // {_SHARD_BYTES} AS BIGINT)
+               AS shard_id
+      FROM d
+    )
+    SELECT shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS shard_bytes,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM s GROUP BY shard_id
+    """,
+    doc=f"webdataset-style shard manifest: docs packed into "
+    f"~{_SHARD_BYTES}-byte shards by cumulative payload in id order — "
+    "per-shard counts, bytes, and doc ranges (the tar/TFRecord plan)",
+)
+def mm_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard planning (webdataset/TFRecord): assign records
+    to fixed-byte-budget shards by CUMULATIVE payload size in a
+    stable order, and emit the manifest (count, bytes, id range per
+    shard) the loader's shuffle-by-shard reads. Assignment uses the
+    bytes BEFORE each doc (exclusive prefix sum), so a record always
+    lands in the shard that was open when it arrived — shards may
+    overflow by at most one record, never undershoot, and every
+    record maps to exactly one shard deterministically.
+
+    Contiguous id ranges per shard (asserted in tests) are what make
+    the manifest seekable: a reader maps shard → [first_doc,
+    last_doc] and scans that slice only.
+
+    Scale: one global prefix sum — at 100 TB this is the
+    repartitionByRange + per-partition-offset two-pass prefix sum
+    (the documented global-sort recipe); per-shard rollup is
+    map-side-combined. n_chars stands in for the real payload byte
+    length (``mm_binary_meta``'s length column in production).
+    """
+    docs = load(spark, "documents", sf_dir)
+    from pyspark.sql.window import Window as _W
+
+    w = _W.orderBy("doc_id").rowsBetween(_W.unboundedPreceding, -1)
+    s = docs.select(
+        "doc_id",
+        "n_chars",
+        F.expr(
+            f"cast(coalesce(sum(n_chars) over (order by doc_id "
+            f"rows between unbounded preceding and 1 preceding), 0) "
+            f"div {_SHARD_BYTES} as bigint)"
+        ).alias("shard_id"),
+    )
+    return s.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("shard_bytes"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+        F.max("doc_id").cast("long").alias("last_doc"),
+    )

@@ -2912,3 +2912,110 @@ def sim_prf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank2").cast("long").alias("rank2"),
         F.coalesce(F.col("_hit"), F.lit(False)).alias("in_round1"),
     )
+
+
+# ---------- cluster purity (coarse-quantizer evaluation) ----------
+
+
+_SQL_CLUSTER_PURITY = f"""
+    WITH n AS ({_SQL_NORMED}),
+    c0 AS (SELECT vec_id AS cluster_id, embedding AS cen, nrm AS cnrm
+           FROM n WHERE vec_id < {K_CELLS}),
+    ranked AS (
+      SELECT a.vec_id, a.label, c.cluster_id,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+               {_SQL_CELL_COS} DESC, c.cluster_id) AS rn
+      FROM n a CROSS JOIN c0 c),
+    cells AS (SELECT vec_id, label, cluster_id FROM ranked WHERE rn = 1),
+    lab AS (
+      SELECT cluster_id, label, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM cells GROUP BY cluster_id, label),
+    top AS (
+      SELECT cluster_id, label AS top_label, cnt AS top_label_n FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+          ORDER BY cnt DESC, label) AS rk FROM lab) t
+      WHERE rk = 1),
+    sz AS (
+      SELECT cluster_id, CAST(SUM(cnt) AS BIGINT) AS n_vecs FROM lab
+      GROUP BY cluster_id)
+    SELECT s.cluster_id, s.n_vecs,
+           CAST(t.top_label AS BIGINT) AS top_label, t.top_label_n,
+           CAST(t.top_label_n * 1000000 // s.n_vecs AS BIGINT)
+             AS purity_ppm
+    FROM sz s JOIN top t ON t.cluster_id = s.cluster_id
+"""
+
+
+@register(
+    "sim_cluster_purity",
+    _SQL_CLUSTER_PURITY,
+    doc="coarse-quantizer purity: per IVF cell, the dominant label's "
+    "integer-ppm share — the clustering-evaluation metric that says "
+    "whether cells respect semantic labels",
+)
+def sim_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purity — the standard external clustering evaluation: for each
+    cluster, the share held by its dominant ground-truth label
+    (corpus purity = size-weighted mean of these rows). Evaluated on
+    the IVF coarse cells (nearest of the first-K centroids — the
+    same assignment ``sim_ivf_multiprobe`` searches), it answers the
+    index-design question directly: label-respecting cells mean
+    same-class neighbors rarely cross cell boundaries, so low nprobe
+    already recalls them (read together with
+    ``sim_ivf_nprobe_recall``).
+
+    Dominant label per cell is an argmax with (count DESC, label)
+    tie-break; shares are integer ppm floor-ratios.
+
+    Scale: assignment is the broadcast-centroid cross join (corpus
+    never shuffles); label counts are map-side-combined on
+    (cell, label) ≤ K·|labels| groups; everything after runs on that
+    tiny table.
+    """
+    corpus = _with_norm(load(spark, "embeddings", sf_dir))
+    c0 = F.broadcast(
+        corpus.filter(F.col("vec_id") < K_CELLS).select(
+            F.col("vec_id").alias("cluster_id"),
+            F.col("embedding").alias("cen"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    cell_cos = _scored(
+        F.col("embedding"), F.col("cen"), F.col("nrm"), F.col("cnrm")
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy(
+        F.desc("cell_cos"), F.asc("cluster_id")
+    )
+    cells = (
+        corpus.crossJoin(c0)
+        .select(
+            "vec_id", "label", "cluster_id", cell_cos.alias("cell_cos")
+        )
+        .withColumn("rn", F.row_number().over(w_cell))
+        .filter(F.col("rn") == 1)
+    )
+    lab = cells.groupBy("cluster_id", "label").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_top = Window.partitionBy("cluster_id").orderBy(
+        F.desc("cnt"), F.asc("label")
+    )
+    top = (
+        lab.withColumn("rk", F.row_number().over(w_top))
+        .filter(F.col("rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("label").cast("long").alias("top_label"),
+            F.col("cnt").alias("top_label_n"),
+        )
+    )
+    sz = lab.groupBy("cluster_id").agg(F.sum("cnt").alias("n_vecs"))
+    return sz.join(top, "cluster_id").select(
+        "cluster_id",
+        F.col("n_vecs").cast("long").alias("n_vecs"),
+        "top_label",
+        F.col("top_label_n").cast("long").alias("top_label_n"),
+        F.expr("top_label_n * 1000000 div n_vecs")
+        .cast("long")
+        .alias("purity_ppm"),
+    )

@@ -991,3 +991,45 @@ def test_peak_concurrency_reference_sweep(spark, sf_dir):
     for d, p in peak.items():
         assert rows[d].peak_concurrency == p
     assert sum(r.n_sessions_started for r in rows.values()) == len(sessions)
+
+
+def test_cluster_purity_bounds(spark, sf_dir):
+    from cs_pipeline_spark.operators.similarity import (
+        K_CELLS,
+        sim_cluster_purity,
+    )
+
+    rows = sim_cluster_purity(spark, sf_dir).collect()
+    assert 0 < len(rows) <= K_CELLS
+    n_vecs = load(spark, "embeddings", sf_dir).count()
+    assert sum(r.n_vecs for r in rows) == n_vecs
+    n_labels = (
+        load(spark, "embeddings", sf_dir).select("label").distinct().count()
+    )
+    for r in rows:
+        assert 1 <= r.top_label_n <= r.n_vecs
+        assert r.purity_ppm == r.top_label_n * 1000000 // r.n_vecs
+        # purity can't be below a uniform split
+        assert r.purity_ppm >= 1000000 // n_labels - 1
+
+
+def test_shard_manifest_contiguous(spark, sf_dir):
+    from cs_pipeline_spark.operators.multimodal import (
+        _SHARD_BYTES,
+        mm_shard_manifest,
+    )
+
+    rows = sorted(
+        mm_shard_manifest(spark, sf_dir).collect(), key=lambda r: r.shard_id
+    )
+    docs = load(spark, "documents", sf_dir)
+    assert sum(r.n_docs for r in rows) == docs.count()
+    # id ranges are contiguous and non-overlapping in shard order
+    for a, b in zip(rows, rows[1:]):
+        assert a.last_doc + 1 == b.first_doc
+        assert b.shard_id >= a.shard_id + 1
+    for r in rows:
+        assert r.last_doc - r.first_doc + 1 == r.n_docs
+        # bytes-before assignment: shards close after crossing budget
+        if r is not rows[-1]:
+            assert r.shard_bytes >= _SHARD_BYTES - 200  # max doc ~200B
