@@ -637,3 +637,92 @@ def train_assembly_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = out.unionByName(row("batches", batches, F.max(null_d)))
     return out
+
+
+_SFT_PROMPT_TOKENS = 12
+_SFT_MAX_TOKENS = 160
+
+
+@register(
+    "text_sft_pairs",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
+               'g')), ' ') AS toks
+      FROM documents
+    ), p AS (
+      SELECT doc_id, lang,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             array_to_string(toks[1:{_SFT_PROMPT_TOKENS}], ' ')
+               AS prompt,
+             array_to_string(toks[{_SFT_PROMPT_TOKENS + 1}:len(toks)], ' ')
+               AS response
+      FROM t WHERE len(toks) > {_SFT_PROMPT_TOKENS}
+        AND len(toks) <= {_SFT_MAX_TOKENS}
+    )
+    SELECT doc_id, lang, n_tokens,
+           '<|user|>' || prompt || '<|assistant|>' || response
+             AS rendered,
+           CAST(length('<|user|>' || prompt || '<|assistant|>'
+                || response) AS BIGINT) AS n_chars_rendered
+    FROM p
+    """,
+    doc=f"SFT pair assembly: docs split into ({_SFT_PROMPT_TOKENS}-token "
+    "prompt, remainder response), rendered through a chat template "
+    f"with a {_SFT_MAX_TOKENS}-token budget gate — the "
+    "instruction-tuning formatting step",
+)
+def text_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instruction-tuning data assembly: split each document into a
+    prompt prefix and response remainder, gate on a token budget
+    (over-long docs route to ``doc_chunk_split`` first), and render
+    through a fixed chat template — the exact formatting job between
+    a curated corpus and an SFT dataloader, where template drift
+    silently corrupts training (hence hash-verified rendering).
+
+    Pure expression work: normalize → split → slice → join → concat;
+    the rendered string's length is the packing input
+    (``pack_sequences`` consumes token counts the same way). The
+    synthetic prompt/response split stands in for real field pairs;
+    the template, gating, and budget plumbing are the real contract.
+
+    Scale: stateless per-row projection fused with the scan — zero
+    shuffles; the budget gate prunes before the expensive concat.
+    """
+    docs = load(spark, "documents", sf_dir)
+    norm = "trim(regexp_replace(lower(text), '\\\\s+', ' '))"
+    t = docs.select(
+        "doc_id", "lang", F.split(F.expr(norm), " ").alias("toks")
+    )
+    n = F.size("toks")
+    p = t.filter(
+        (n > _SFT_PROMPT_TOKENS) & (n <= _SFT_MAX_TOKENS)
+    ).select(
+        "doc_id",
+        "lang",
+        n.cast("long").alias("n_tokens"),
+        F.concat_ws(
+            " ", F.slice("toks", 1, _SFT_PROMPT_TOKENS)
+        ).alias("prompt"),
+        F.concat_ws(
+            " ",
+            F.expr(
+                f"slice(toks, {_SFT_PROMPT_TOKENS + 1}, "
+                f"size(toks) - {_SFT_PROMPT_TOKENS})"
+            ),
+        ).alias("response"),
+    )
+    rendered = F.concat(
+        F.lit("<|user|>"),
+        F.col("prompt"),
+        F.lit("<|assistant|>"),
+        F.col("response"),
+    )
+    return p.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        rendered.alias("rendered"),
+        F.length(rendered).cast("long").alias("n_chars_rendered"),
+    )

@@ -1033,3 +1033,23 @@ def test_shard_manifest_contiguous(spark, sf_dir):
         # bytes-before assignment: shards close after crossing budget
         if r is not rows[-1]:
             assert r.shard_bytes >= _SHARD_BYTES - 200  # max doc ~200B
+
+
+def test_sft_pairs_rendering(spark, sf_dir):
+    from cs_pipeline_spark.operators.training import (
+        _SFT_MAX_TOKENS,
+        _SFT_PROMPT_TOKENS,
+        text_sft_pairs,
+    )
+
+    rows = text_sft_pairs(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert _SFT_PROMPT_TOKENS < r.n_tokens <= _SFT_MAX_TOKENS
+        assert r.rendered.startswith("<|user|>")
+        assert "<|assistant|>" in r.rendered
+        assert r.n_chars_rendered == len(r.rendered)
+        prompt = r.rendered[len("<|user|>"):r.rendered.index("<|assistant|>")]
+        assert len(prompt.split(" ")) == _SFT_PROMPT_TOKENS
+        response = r.rendered.split("<|assistant|>", 1)[1]
+        assert len(response.split(" ")) == r.n_tokens - _SFT_PROMPT_TOKENS
