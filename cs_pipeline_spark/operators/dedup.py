@@ -1023,3 +1023,75 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------- cluster-size distribution (dedup impact report) ----------
+
+
+def _cluster_sizes_oracle() -> str:
+    """Wrap the dedup_clusters recursive oracle: its final SELECT
+    becomes a CTE, then sizes roll up."""
+    base = _REGISTRY["dedup_clusters"].oracle
+    final = (
+        "SELECT node AS vec_id, MIN(label) AS canonical_id "
+        "FROM reach GROUP BY node"
+    )
+    assert base.endswith(final)
+    return (
+        base[: -len(final)]
+        + ", clusters AS (" + final + "), "
+        "sizes AS (SELECT canonical_id, CAST(COUNT(*) AS BIGINT) "
+        "AS cluster_size FROM clusters GROUP BY canonical_id) "
+        "SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters, "
+        "CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST((cluster_size - 1) * COUNT(*) AS BIGINT) AS n_removable "
+        "FROM sizes GROUP BY cluster_size"
+    )
+
+
+from cs_pipeline_spark.registry import _REGISTRY  # noqa: E402
+
+
+@register(
+    "dedup_cluster_sizes",
+    _cluster_sizes_oracle(),
+    doc="near-dup impact report: distribution of cluster sizes from "
+    "the LSH-candidate connected components — n_removable sums to "
+    "the docs fuzzy dedup would drop",
+)
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The report that justifies a dedup run: how many near-dup
+    clusters exist at each size, how many documents they hold, and
+    how many a keep-one-per-cluster pass removes (Σ (size−1)). Large
+    clusters are template/boilerplate families worth inspecting
+    before deleting; the size distribution's tail is also the
+    straggler forecast for any per-cluster processing.
+
+    Composes the registered ``dedup_clusters`` output (components
+    over LSH-verified pairs — only docs WITH a near-dup appear, so
+    every cluster here has size ≥ 2; singletons are by definition
+    untouched by dedup). Oracle reuses the recursive-CTE component
+    oracle verbatim with its final SELECT folded into a CTE — the
+    two ops cannot drift.
+
+    Scale: two map-side-combined rollups over the (vec, canonical)
+    table, which is already ≪ corpus (pair-graph members only).
+    """
+    clusters = dedup_clusters(spark, sf_dir)
+    sizes = clusters.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1)))
+        .cast("long")
+        .alias("n_docs"),
+        ((F.col("cluster_size") - 1) * F.count(F.lit(1)))
+        .cast("long")
+        .alias("n_removable"),
+    ).select(
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        F.col("n_clusters").cast("long").alias("n_clusters"),
+        "n_docs",
+        "n_removable",
+    )

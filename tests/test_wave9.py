@@ -1053,3 +1053,23 @@ def test_sft_pairs_rendering(spark, sf_dir):
         assert len(prompt.split(" ")) == _SFT_PROMPT_TOKENS
         response = r.rendered.split("<|assistant|>", 1)[1]
         assert len(response.split(" ")) == r.n_tokens - _SFT_PROMPT_TOKENS
+
+
+def test_cluster_sizes_match_clusters(spark, sf_dir):
+    from cs_pipeline_spark.operators.dedup import (
+        dedup_cluster_sizes,
+        dedup_clusters,
+    )
+
+    rows = dedup_cluster_sizes(spark, sf_dir).collect()
+    clusters = dedup_clusters(spark, sf_dir).collect()
+    from collections import Counter
+
+    sizes = Counter(Counter(r.canonical_id for r in clusters).values())
+    got = {r.cluster_size: r.n_clusters for r in rows}
+    assert got == dict(sizes)
+    for r in rows:
+        assert r.cluster_size >= 2  # singletons never enter the graph
+        assert r.n_docs == r.cluster_size * r.n_clusters
+        assert r.n_removable == (r.cluster_size - 1) * r.n_clusters
+    assert sum(r.n_docs for r in rows) == len(clusters)
