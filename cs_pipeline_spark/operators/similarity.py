@@ -2610,7 +2610,7 @@ def sim_ivf_nprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         truth.crossJoin(np_df)
         .join(
-            hits,
+            F.broadcast(hits),  # k-bounded: |probes|*|queries|*k rows
             (F.col("k_np") == F.col("np"))
             & (F.col("k_qid") == F.col("query_id"))
             & (F.col("k_cand") == F.col("neighbor_id")),
@@ -2720,7 +2720,7 @@ def emb_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cs").alias("neg_cos"),
     )
     margin = F.col("pos_cos") - F.col("neg_cos")
-    return pos.join(neg, "anchor_id").select(
+    return pos.join(F.broadcast(neg), "anchor_id").select(
         "anchor_id",
         "pos_id",
         "neg_id",
@@ -3010,7 +3010,7 @@ def sim_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sz = lab.groupBy("cluster_id").agg(F.sum("cnt").alias("n_vecs"))
-    return sz.join(top, "cluster_id").select(
+    return sz.join(F.broadcast(top), "cluster_id").select(
         "cluster_id",
         F.col("n_vecs").cast("long").alias("n_vecs"),
         "top_label",

@@ -78,6 +78,26 @@ AUDIT: dict[str, dict] = {
     "corpus_lang_confusion": {},
     "dq_table_checksum": {"exchange": 2},
     "agg_ltv_cohort_curve": {"smj": 0},
+    "sim_ivf_nprobe_recall": {"smj": 0},
+    "graph_hits": {},
+    "dedup_containment": {"nlj": 1},
+    "agg_mann_whitney": {},
+    "emb_triplet_mining": {"smj": 0},
+    "agg_runs_test": {},
+    "f_fiscal_445": {"exchange": 0, "pushed": True},
+    "win_year_over_year": {},
+    "sim_prf_rerank": {"smj": 0},
+    "text_ngram_novelty": {},
+    "agg_lorenz_deciles": {},
+    "join_hierarchy_flatten": {"smj": 0},
+    "dq_value_drift_psi": {},
+    "features_rfm_segments": {},
+    "agg_bounce_rate": {"exchange": 2},
+    "agg_peak_concurrency": {},
+    "sim_cluster_purity": {"smj": 0},
+    "mm_shard_manifest": {},
+    "text_sft_pairs": {"exchange": 0},
+    "join_cogroup_lag": {},
     "sample_stratified": {},
     "emb_norm_stats": {"exchange": 0},
     "q_min_cost_supplier": {"smj": 0},
