@@ -397,3 +397,81 @@ def stream_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.active_users(load(spark, "events", sf_dir))
+
+
+_RL_LIMIT = 5  # allowed events per user per 10-minute window
+
+
+@register(
+    "stream_rate_limit",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_id,
+             time_bucket(INTERVAL '10 minutes', {_TS}) AS win_start,
+             epoch_us({_TS}) AS us
+      FROM events
+    ), rk AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, win_start
+               ORDER BY us, event_id) AS rn
+      FROM e
+    )
+    SELECT CAST(win_start AS TIMESTAMP) AS win_start, user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(CASE WHEN rn <= {_RL_LIMIT} THEN 1 END) AS BIGINT)
+             AS n_allowed,
+           CAST(COUNT(CASE WHEN rn > {_RL_LIMIT} THEN 1 END) AS BIGINT)
+             AS n_dropped,
+           COALESCE(MAX(rn) > {_RL_LIMIT}, FALSE) AS was_throttled
+    FROM rk GROUP BY 1, 2
+    """,
+    doc=f"per-user rate limiting ({_RL_LIMIT} events / 10-min window): "
+    "allowed vs dropped counts per (window, user) — the quota-"
+    "enforcement batch twin (streaming form = per-key counter state)",
+)
+def stream_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quota enforcement: admit the first N events per user per
+    tumbling window (arrival order = (event time, event_id) — the
+    deterministic total order), drop the rest, report both counts —
+    the API-gateway / abuse-throttle policy. The streaming form is
+    per-(user, window) counter state (``applyInPandasWithState``
+    family: a counter that admits until N and counts drops,
+    watermark-expired at window close); this batch twin IS its
+    backfill/audit query and hash-pins the admission semantics both
+    implementations must share.
+
+    Determinism: window starts are epoch-aligned 10-minute buckets
+    (Spark ``window()`` == DuckDB ``time_bucket``); admission rank is
+    a row_number over the total order; flags coalesce null-safe.
+
+    Scale: one shuffle on (user, window) — the same partitioning the
+    streaming state store uses; per-key windows are bounded by the
+    rate itself (a throttled key's rank pass stays cheap because the
+    window only ever holds that window's arrivals).
+    """
+    ev = load(spark, "events", sf_dir)
+    win = F.window("ts", "10 minutes")
+    rk = ev.select(
+        "user_id",
+        "event_id",
+        win.start.alias("win_start"),
+        F.unix_micros("ts").alias("us"),
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            W_sql.partitionBy("user_id", "win_start").orderBy(
+                "us", "event_id"
+            )
+        ),
+    )
+    return rk.groupBy("win_start", "user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(F.col("rn") <= _RL_LIMIT, 1))
+        .cast("long")
+        .alias("n_allowed"),
+        F.count(F.when(F.col("rn") > _RL_LIMIT, 1))
+        .cast("long")
+        .alias("n_dropped"),
+        F.coalesce(F.max("rn") > _RL_LIMIT, F.lit(False)).alias(
+            "was_throttled"
+        ),
+    )

@@ -1073,3 +1073,20 @@ def test_cluster_sizes_match_clusters(spark, sf_dir):
         assert r.n_docs == r.cluster_size * r.n_clusters
         assert r.n_removable == (r.cluster_size - 1) * r.n_clusters
     assert sum(r.n_docs for r in rows) == len(clusters)
+
+
+def test_rate_limit_accounting(spark, sf_dir):
+    from cs_pipeline_spark.streaming.batch_twins import (
+        _RL_LIMIT,
+        stream_rate_limit,
+    )
+
+    rows = stream_rate_limit(spark, sf_dir).collect()
+    ev = load(spark, "events", sf_dir)
+    assert sum(r.n_events for r in rows) == ev.count()
+    for r in rows:
+        assert r.n_allowed + r.n_dropped == r.n_events
+        assert r.n_allowed <= _RL_LIMIT
+        assert r.was_throttled == (r.n_dropped > 0)
+        if r.n_events <= _RL_LIMIT:
+            assert r.n_dropped == 0
