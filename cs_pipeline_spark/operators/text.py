@@ -841,3 +841,120 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "novelty_ratio"
         ),
     )
+
+
+_PMI_TOP = 20
+
+
+_PMI_ORACLE = (
+    "WITH toks AS (SELECT doc_id, string_split(" + _NORM_DUCK + ", ' ') "
+    "AS t FROM documents), "
+    "uni AS (SELECT u.tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks, "
+    "UNNEST(toks.t) AS u(tok) WHERE u.tok <> '' GROUP BY u.tok), "
+    "bi AS (SELECT b.bg, CAST(COUNT(*) AS BIGINT) AS c FROM toks, "
+    "UNNEST(list_transform(range(1, len(toks.t)), i -> "
+    "toks.t[i] || ' ' || toks.t[i + 1])) AS b(bg) GROUP BY b.bg), "
+    "tot AS (SELECT (SELECT SUM(c) FROM uni) AS nu, "
+    "(SELECT SUM(c) FROM bi) AS nb), "
+    "top AS (SELECT bg, c FROM (SELECT bg, c, ROW_NUMBER() OVER "
+    f"(ORDER BY c DESC, bg) AS rk FROM bi) t WHERE rk <= {_PMI_TOP}) "
+    "SELECT top.bg AS bigram, top.c AS n_bigram, "
+    "ua.c AS n_first, ub.c AS n_second, "
+    "(FLOOR(LN((CAST(top.c AS DOUBLE) / tot.nb) / "
+    "((CAST(ua.c AS DOUBLE) / tot.nu) * (CAST(ub.c AS DOUBLE) / tot.nu)))"
+    " * 1000000000.0 + 0.5) / 1000000000.0) AS pmi "
+    "FROM top "
+    "JOIN uni ua ON ua.tok = string_split(top.bg, ' ')[1] "
+    "JOIN uni ub ON ub.tok = string_split(top.bg, ' ')[2] "
+    "CROSS JOIN tot"
+)
+
+
+@register(
+    "text_bigram_pmi",
+    _PMI_ORACLE,
+    doc=f"collocation mining: top-{_PMI_TOP} adjacent bigrams with "
+    "pointwise mutual information from exact unigram/bigram counts — "
+    "the phrase-detection step of vocabulary induction",
+)
+def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocations — which adjacent word pairs co-occur far more
+    than their unigram frequencies predict: ``PMI = ln(p(ab) /
+    (p(a)·p(b)))``. High-PMI, high-count bigrams are the phrases a
+    tokenizer/vocabulary-induction pass merges into single units
+    (the word2vec phrase trick); the measure also powers keyword and
+    named-entity candidate extraction.
+
+    Counts are exact integers (adjacent-position bigrams preserve
+    multiplicity — unlike the set-based shingle ops); the single
+    transcendental is floor-quantized at 1e-9 per the engine
+    convention, computed from exact count ratios.
+
+    Scale: two map-side-combined counts (unigrams, bigrams) over
+    per-row generated arrays — no shuffle carries raw text; the
+    top-N window and unigram joins run on the (tiny) vocabulary
+    tables. This is the canonical first MapReduce example, done in
+    two aggregates and zero Python.
+    """
+    docs = load(spark, "documents", sf_dir)
+    toks = docs.select(F.split(F.expr(_NORM), " ").alias("t"))
+    uni = (
+        toks.select(F.explode("t").alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), i -> "
+                    "concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+                )
+            ).alias("bg")
+        )
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = F.broadcast(
+        uni.agg(F.sum("c").alias("nu")).crossJoin(
+            bi.agg(F.sum("c").alias("nb"))
+        )
+    )
+    from pyspark.sql.window import Window as _W
+
+    w = _W.orderBy(F.desc("c"), F.asc("bg"))
+    top = (
+        bi.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _PMI_TOP)
+        .drop("rk")
+    )
+    ua = uni.select(
+        F.col("tok").alias("_ta"), F.col("c").alias("n_first")
+    )
+    ub = uni.select(
+        F.col("tok").alias("_tb"), F.col("c").alias("n_second")
+    )
+    j = (
+        top.withColumn("_ta", F.expr("split(bg, ' ')[0]"))
+        .withColumn("_tb", F.expr("split(bg, ' ')[1]"))
+        .join(F.broadcast(ua), "_ta")
+        .join(F.broadcast(ub), "_tb")
+        .crossJoin(tot)
+    )
+    pmi = F.log(
+        (F.col("c").cast("double") / F.col("nb"))
+        / (
+            (F.col("n_first").cast("double") / F.col("nu"))
+            * (F.col("n_second").cast("double") / F.col("nu"))
+        )
+    )
+    return j.select(
+        F.col("bg").alias("bigram"),
+        F.col("c").cast("long").alias("n_bigram"),
+        F.col("n_first").cast("long").alias("n_first"),
+        F.col("n_second").cast("long").alias("n_second"),
+        (F.floor(pmi * 1000000000.0 + F.lit(0.5)) / 1000000000.0).alias(
+            "pmi"
+        ),
+    )

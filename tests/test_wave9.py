@@ -1090,3 +1090,27 @@ def test_rate_limit_accounting(spark, sf_dir):
         assert r.was_throttled == (r.n_dropped > 0)
         if r.n_events <= _RL_LIMIT:
             assert r.n_dropped == 0
+
+
+def test_bigram_pmi_reference(spark, sf_dir):
+    from cs_pipeline_spark.operators.text import _PMI_TOP, text_bigram_pmi
+
+    rows = text_bigram_pmi(spark, sf_dir).collect()
+    assert 0 < len(rows) <= _PMI_TOP
+    import math
+    import re
+    from collections import Counter
+
+    docs = load(spark, "documents", sf_dir).select("text").collect()
+    uni, bi = Counter(), Counter()
+    for d in docs:
+        t = re.sub(r"\s+", " ", d.text.lower()).strip().split(" ")
+        uni.update(t)
+        bi.update(f"{a} {b}" for a, b in zip(t, t[1:]))
+    nu, nb = sum(uni.values()), sum(bi.values())
+    for r in rows:
+        a, b = r.bigram.split(" ")
+        assert r.n_bigram == bi[r.bigram]
+        assert r.n_first == uni[a] and r.n_second == uni[b]
+        want = math.log((r.n_bigram / nb) / ((uni[a] / nu) * (uni[b] / nu)))
+        assert abs(r.pmi - want) < 1e-6
