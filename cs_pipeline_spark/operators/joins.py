@@ -1056,3 +1056,104 @@ def join_hierarchy_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("anc").cast("long").alias("root_id"),
         F.col("depth").cast("long").alias("depth"),
     )
+
+
+# ---------- point-in-time dimension lookup (SCD2 consumer) ----------
+
+
+@register(
+    "join_pit_dimension",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us({EVENTS_TS_SQL}) AS us
+      FROM events
+    ), p AS (
+      SELECT user_id, us,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY us,
+               event_id) AS k
+      FROM e WHERE event_type = 'purchase'
+    ), chg AS (
+      -- tier changes when the cumulative purchase count crosses 3/10
+      SELECT user_id, us AS valid_from,
+             CASE WHEN k >= 10 THEN 'gold'
+                  WHEN k >= 3 THEN 'silver' ELSE 'bronze' END AS tier
+      FROM p WHERE k IN (1, 3, 10)
+    ), dim AS (
+      SELECT user_id, tier, valid_from,
+             COALESCE(LEAD(valid_from) OVER (PARTITION BY user_id
+               ORDER BY valid_from), 9223372036854775807) AS valid_to
+      FROM chg
+    ), hit AS (
+      SELECT e.user_id, e.event_id, d.tier
+      FROM e JOIN dim d ON d.user_id = e.user_id
+                       AND e.us >= d.valid_from AND e.us < d.valid_to
+      WHERE e.event_type = 'click'
+    )
+    SELECT tier, CAST(COUNT(*) AS BIGINT) AS n_clicks,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM hit GROUP BY tier
+    """,
+    doc="point-in-time dimension lookup: clicks joined to the user's "
+    "tier version valid AT the event time (SCD2 intervals from the "
+    "purchase history) — the training-set-correctness join",
+)
+def join_pit_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PIT (as-of-version) join — dimensional modeling's
+    correctness core: each fact must see the dimension row that was
+    valid WHEN THE FACT HAPPENED, not today's. Joining today's tier
+    onto historical clicks is the leakage bug every feature-store
+    paper warns about; this op is the leak-free form, with the
+    dimension's SCD2 intervals built inline from the purchase history
+    (tier upgrades at the 3rd and 10th purchase — the
+    ``win_scd2_intervals`` change-log shape).
+
+    Clicks before a user's first purchase match no interval and drop
+    out (no tier existed yet) — inner-join semantics, stated.
+
+    Scale: the interval join is an equi-join on user_id with a range
+    predicate — co-partitioned on the key both sides already shuffle
+    on, and per-user version counts are tiny (≤3 here; bounded by
+    change frequency generally), so the per-key range filter is
+    cheap. For high-version dimensions, bucket valid_from
+    (``join_interval_buckets`` pattern).
+    """
+    ev = load(spark, "events", sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+    )
+    wp = Window.partitionBy("user_id").orderBy("us", "event_id")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("k", F.row_number().over(wp))
+        .filter(F.col("k").isin(1, 3, 10))
+        .select(
+            "user_id",
+            F.col("us").alias("valid_from"),
+            F.when(F.col("k") >= 10, "gold")
+            .when(F.col("k") >= 3, "silver")
+            .otherwise("bronze")
+            .alias("tier"),
+        )
+    )
+    wd = Window.partitionBy("user_id").orderBy("valid_from")
+    dim = p.withColumn(
+        "valid_to",
+        F.coalesce(
+            F.lead("valid_from").over(wd),
+            F.lit(9223372036854775807),
+        ),
+    )
+    clicks = ev.filter(F.col("event_type") == "click")
+    hit = clicks.join(
+        dim,
+        (clicks.user_id == dim.user_id)
+        & (clicks.us >= dim.valid_from)
+        & (clicks.us < dim.valid_to),
+    ).select(clicks.user_id.alias("uid"), "event_id", "tier")
+    return hit.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.countDistinct("uid").cast("long").alias("n_users"),
+    )

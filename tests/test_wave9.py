@@ -1114,3 +1114,42 @@ def test_bigram_pmi_reference(spark, sf_dir):
         assert r.n_first == uni[a] and r.n_second == uni[b]
         want = math.log((r.n_bigram / nb) / ((uni[a] / nu) * (uni[b] / nu)))
         assert abs(r.pmi - want) < 1e-6
+
+
+def test_pit_dimension_no_leakage(spark, sf_dir):
+    from cs_pipeline_spark.operators.joins import join_pit_dimension
+
+    rows = {r.tier: r for r in join_pit_dimension(spark, sf_dir).collect()}
+    assert set(rows) <= {"bronze", "silver", "gold"}
+    # reference: replay per user
+    ev = (
+        load(spark, "events", sf_dir)
+        .select("user_id", "event_id", "event_type", F.unix_micros("ts").alias("us"))
+        .collect()
+    )
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r.user_id].append(r)
+    want = defaultdict(lambda: [0, set()])
+    for uid, evs in by_user.items():
+        evs.sort(key=lambda r: (r.us, r.event_id))
+        k = 0
+        tier = None
+        for r in evs:
+            if r.event_type == "purchase":
+                k += 1
+                if k == 1:
+                    tier = "bronze"
+                elif k == 3:
+                    tier = "silver"
+                elif k == 10:
+                    tier = "gold"
+            elif r.event_type == "click" and tier is not None:
+                want[tier][0] += 1
+                want[tier][1].add(uid)
+    for tier, (n, users) in want.items():
+        assert rows[tier].n_clicks == n
+        assert rows[tier].n_users == len(users)
+    assert set(rows) == set(want)
