@@ -727,3 +727,60 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("a", F.lit(0)).cast("long").alias("auth_score"),
         )
     )
+
+
+@register(
+    "graph_reciprocity",
+    f"""
+    WITH de AS ({_EDGE_SQL.format(n="(SELECT COUNT(*) FROM documents)")}),
+    e AS (SELECT src, dst FROM de WHERE src <> dst),
+    r AS (
+      SELECT e.src, e.dst,
+             CASE WHEN b.src IS NOT NULL THEN 1 ELSE 0 END AS recip
+      FROM e LEFT JOIN e b ON b.src = e.dst AND b.dst = e.src
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+           CAST(SUM(recip) AS BIGINT) AS n_reciprocated,
+           CAST(SUM(recip) * 1000000 // COUNT(*) AS BIGINT)
+             AS reciprocity_ppm
+    FROM r
+    """,
+    doc="directed-graph reciprocity: share of edges whose reverse "
+    "edge also exists (integer ppm) — the mutual-link structure "
+    "metric (follower-graph symmetry, citation mutuality)",
+)
+def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocity r = |{(u,v) : (v,u) also an edge}| / |edges| — the
+    basic directed-structure statistic (social follow graphs ~0.6+,
+    web link graphs ~0.25, citation DAGs ~0): it tells a crawler
+    whether links imply mutual endorsement and a sampler whether the
+    graph can be treated as undirected. Self-loops excluded.
+
+    One self-join of the edge list on the reversed key; counts and
+    the ppm ratio are exact integers.
+
+    Scale: the join is edge-list × edge-list on (dst, src) — hash
+    co-partitioned, output bounded by |edges|; counts map-side
+    combine. No per-node state.
+    """
+    docs = load(spark, "documents", sf_dir)
+    e = _edges(docs, _n_docs(spark, sf_dir)).filter(
+        F.col("src") != F.col("dst")
+    )
+    b = e.select(
+        F.col("src").alias("b_src"), F.col("dst").alias("b_dst")
+    )
+    r = e.join(
+        b,
+        (F.col("b_src") == F.col("dst")) & (F.col("b_dst") == F.col("src")),
+        "left",
+    ).select(
+        F.when(F.col("b_src").isNotNull(), 1).otherwise(0).alias("recip")
+    )
+    return r.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum("recip").cast("long").alias("n_reciprocated"),
+        F.expr("sum(recip) * 1000000 div count(1)")
+        .cast("long")
+        .alias("reciprocity_ppm"),
+    )

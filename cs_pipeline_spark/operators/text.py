@@ -958,3 +958,96 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pmi"
         ),
     )
+
+
+_ZIPF_TOP = 30  # fit over the top-N ranks (the Zipf regime)
+
+
+_ZIPF_ORACLE = (
+    "WITH uni AS (SELECT u.tok, CAST(COUNT(*) AS BIGINT) AS c "
+    "FROM (SELECT string_split(" + _NORM_DUCK + ", ' ') AS t "
+    "FROM documents) toks, UNNEST(toks.t) AS u(tok) "
+    "WHERE u.tok <> '' GROUP BY u.tok), "
+    "rk AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS r "
+    f"FROM uni QUALIFY r <= {_ZIPF_TOP}), "
+    "q AS (SELECT CAST(FLOOR(LN(CAST(r AS DOUBLE)) * 1000000.0 + 0.5) "
+    "AS BIGINT) AS lx, "
+    "CAST(FLOOR(LN(CAST(c AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) "
+    "AS ly FROM rk), "
+    "m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, "
+    "SUM(CAST(lx AS HUGEINT)) AS sx, SUM(CAST(ly AS HUGEINT)) AS sy, "
+    "SUM(CAST(lx AS HUGEINT) * CAST(ly AS HUGEINT)) AS sxy, "
+    "SUM(CAST(lx AS HUGEINT) * CAST(lx AS HUGEINT)) AS sxx FROM q) "
+    "SELECT CAST(n AS BIGINT) AS n_ranks, "
+    "(FLOOR((CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE) "
+    "/ CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE)) "
+    "* 1000000.0 + 0.5) / 1000000.0) AS zipf_slope "
+    "FROM m"
+)
+
+
+@register(
+    "text_zipf_fit",
+    _ZIPF_ORACLE,
+    doc=f"Zipf's-law fit: log-log OLS slope of frequency vs rank over "
+    f"the top {_ZIPF_TOP} tokens (≈ −1 for natural text) — the "
+    "frequency-distribution twin of the Heaps vocab-growth curve",
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf exponent: regress ln(frequency) on ln(rank) over the top
+    ranks; natural language sits near slope −1, while synthetic or
+    boilerplate-dominated corpora flatten or steepen — the
+    distributional health check read together with Heaps' law
+    (``text_vocab_growth``) when validating a corpus or a sampler.
+
+    Numeric discipline: both logs are floor-quantized to the 1e-6
+    integer grid FIRST; the OLS moments (n·Σxy − Σx·Σy etc.) are then
+    exact integer sums (the ``agg_linear_trend`` pattern), so the
+    slope is one double division of two exactly-equal numerators in
+    both engines.
+
+    Scale: one map-side-combined unigram count, a top-N window on
+    the vocabulary table, and a 1-row moment aggregate.
+    """
+    docs = load(spark, "documents", sf_dir)
+    uni = (
+        docs.select(F.explode(F.split(F.expr(_NORM), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from pyspark.sql.window import Window as _W
+
+    rk = (
+        uni.withColumn(
+            "r", F.row_number().over(_W.orderBy(F.desc("c"), F.asc("tok")))
+        )
+        .filter(F.col("r") <= _ZIPF_TOP)
+    )
+    q = rk.select(
+        F.floor(F.log(F.col("r").cast("double")) * 1000000.0 + F.lit(0.5))
+        .cast("decimal(38,0)")
+        .alias("lx"),
+        F.floor(F.log(F.col("c").cast("double")) * 1000000.0 + F.lit(0.5))
+        .cast("decimal(38,0)")
+        .alias("ly"),
+    )
+    m = q.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "string"
+    ).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "string"
+    ).cast("double")
+    return m.select(
+        F.col("n").cast("long").alias("n_ranks"),
+        (F.floor((num / den) * 1000000.0 + F.lit(0.5)) / 1000000.0).alias(
+            "zipf_slope"
+        ),
+    )

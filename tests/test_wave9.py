@@ -1153,3 +1153,40 @@ def test_pit_dimension_no_leakage(spark, sf_dir):
         assert rows[tier].n_clicks == n
         assert rows[tier].n_users == len(users)
     assert set(rows) == set(want)
+
+
+def test_reciprocity_reference(spark, sf_dir):
+    from cs_pipeline_spark.operators.graph import (
+        _edges,
+        _n_docs,
+        graph_reciprocity,
+    )
+
+    row = graph_reciprocity(spark, sf_dir).collect()[0]
+    docs = load(spark, "documents", sf_dir)
+    edges = {
+        (r.src, r.dst)
+        for r in _edges(docs, _n_docs(spark, sf_dir)).collect()
+        if r.src != r.dst
+    }
+    recip = sum(1 for s, d in edges if (d, s) in edges)
+    assert row.n_edges == len(edges)
+    assert row.n_reciprocated == recip
+    assert row.reciprocity_ppm == recip * 1000000 // len(edges)
+
+
+def test_zipf_slope_negative(spark, sf_dir):
+    from cs_pipeline_spark.operators.text import _ZIPF_TOP, text_zipf_fit
+
+    row = text_zipf_fit(spark, sf_dir).collect()[0]
+    assert row.n_ranks == min(
+        _ZIPF_TOP,
+        load(spark, "documents", sf_dir)
+        .select(F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.col("t") != "")
+        .select("t")
+        .distinct()
+        .count(),
+    )
+    # frequency decreases with rank: the fitted slope must be negative
+    assert row.zipf_slope < 0.0
