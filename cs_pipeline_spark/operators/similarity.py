@@ -3019,3 +3019,139 @@ def sim_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("purity_ppm"),
     )
+
+
+# ---------- NDCG ranking evaluation ----------
+
+import math as _math
+
+# position discounts 1/log2(pos+1), precomputed so neither engine
+# evaluates a transcendental at query time (Benford convention)
+_NDCG_W = {i: 1.0 / _math.log2(i + 1) for i in range(1, TOP_K + 1)}
+# ideal DCG: relevances TOP_K..1 at positions 1..TOP_K (a constant)
+_IDCG = sum((TOP_K + 1 - i) * w for i, w in _NDCG_W.items())
+
+
+def _sql_ndcg_w(col: str) -> str:
+    return (
+        f"(CASE {col} "
+        + " ".join(f"WHEN {i} THEN {w!r}" for i, w in _NDCG_W.items())
+        + " END)"
+    )
+
+
+_SQL_NDCG = f"""
+    WITH n AS ({_SQL_NORMED}),
+    q AS (SELECT * FROM n WHERE vec_id < {N_QUERIES}),
+    truth AS (
+      SELECT query_id, neighbor_id,
+             CAST({TOP_K} + 1 - rk AS BIGINT) AS rel
+      FROM (
+        SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+                 {_sql_qdot("a.embedding", "c.embedding")}
+                   / (SQRT(a.nrm) * SQRT(c.nrm)) DESC, c.vec_id) AS rk
+        FROM q a JOIN n c ON c.vec_id <> a.vec_id) t
+      WHERE rk <= {TOP_K}),
+    ivf AS (
+      SELECT query_id, neighbor_id, rk AS pos FROM (
+        SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+                 {_sql_qdot("a.embedding", "c.embedding")}
+                   / (SQRT(a.nrm) * SQRT(c.nrm)) DESC, c.vec_id) AS rk
+        FROM q a JOIN n c ON c.label = a.label AND c.vec_id <> a.vec_id) t
+      WHERE rk <= {TOP_K})
+    SELECT i.query_id,
+           (FLOOR(SUM(COALESCE(t.rel, 0) * {_sql_ndcg_w("i.pos")})
+              * 1000000000.0 + 0.5) / 1000000000.0) AS dcg,
+           (FLOOR((SUM(COALESCE(t.rel, 0) * {_sql_ndcg_w("i.pos")})
+              / {_IDCG!r}) * 1000000000.0 + 0.5) / 1000000000.0) AS ndcg
+    FROM ivf i LEFT JOIN truth t ON t.query_id = i.query_id
+                               AND t.neighbor_id = i.neighbor_id
+    GROUP BY i.query_id
+"""
+
+
+@register(
+    "sim_ndcg_eval",
+    _SQL_NDCG,
+    doc=f"NDCG@{TOP_K} of the IVF cell-restricted ranking against the "
+    "exact-cosine ideal (graded relevance = inverted truth rank, "
+    "literal log2 discounts) — the position-aware retrieval metric "
+    "recall cannot express",
+)
+def sim_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG — the ranking metric that credits WHERE a relevant item
+    lands, not just whether it was retrieved (recall's blind spot):
+    gain = graded relevance (truth rank inverted, top hit = 10),
+    discounted by 1/log2(pos+1), normalized by the ideal ordering.
+    Evaluated for the IVF cell-restricted ranking against the exact
+    brute-force ideal — together with ``sim_ivf_nprobe_recall`` this
+    gives the standard (recall, NDCG) index report.
+
+    All discounts and the ideal DCG are PRECOMPUTED literals (both
+    engines multiply identical doubles — no transcendental at query
+    time); relevance joins are exact; outputs floor-quantized 1e-9.
+
+    Scale: two broadcast-query scored streams (the brute force here
+    doubles as ground truth; production caches it once per eval set)
+    and a k-bounded metric join.
+    """
+    corpus = _with_norm(load(spark, "embeddings", sf_dir))
+    queries = F.broadcast(
+        corpus.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("q_label"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+        )
+    )
+    scored = corpus.crossJoin(queries).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cs = _scored(
+        F.col("q_emb"), F.col("embedding"), F.col("q_nrm"), F.col("nrm")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cs"), F.asc("neighbor_id")
+    )
+    truth = (
+        scored.select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), cs.alias("cs")
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.lit(TOP_K + 1) - F.col("rk")).cast("long").alias("rel"),
+        )
+    )
+    ivf = (
+        scored.filter(F.col("label") == F.col("q_label"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), cs.alias("cs")
+        )
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= TOP_K)
+        .select("query_id", "neighbor_id", "pos")
+    )
+    wexpr = None
+    for i, wt in _NDCG_W.items():
+        wexpr = (
+            F.when(F.col("pos") == i, F.lit(wt))
+            if wexpr is None
+            else wexpr.when(F.col("pos") == i, F.lit(wt))
+        )
+    gain = F.coalesce(F.col("rel"), F.lit(0)) * wexpr
+    q9 = lambda c: F.floor(c * 1000000000.0 + F.lit(0.5)) / 1000000000.0  # noqa: E731
+    return (
+        ivf.join(F.broadcast(truth), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(gain).alias("_dcg"))
+        .select(
+            "query_id",
+            q9(F.col("_dcg")).alias("dcg"),
+            q9(F.col("_dcg") / F.lit(_IDCG)).alias("ndcg"),
+        )
+    )

@@ -1190,3 +1190,27 @@ def test_zipf_slope_negative(spark, sf_dir):
     )
     # frequency decreases with rank: the fitted slope must be negative
     assert row.zipf_slope < 0.0
+
+
+def test_ndcg_bounds_and_perfect_case(spark, sf_dir):
+    from cs_pipeline_spark.operators.similarity import (
+        _IDCG,
+        sim_ndcg_eval,
+        sim_ivf_topk,
+    )
+
+    rows = {r.query_id: r for r in sim_ndcg_eval(spark, sf_dir).collect()}
+    assert len(rows) == N_QUERIES
+    truth = {}
+    for r in sim_topk_bruteforce(spark, sf_dir).collect():
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    ivf = {}
+    for r in sim_ivf_topk(spark, sf_dir).collect():
+        ivf.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for q, r in rows.items():
+        assert 0.0 <= r.ndcg <= 1.0 + 1e-9
+        assert abs(r.ndcg - r.dcg / _IDCG) < 1e-6
+        # if the cell ranking reproduces the ideal set AND order, ndcg=1
+        if ivf.get(q) == truth.get(q):
+            # same set in same cosine order -> identical ranking
+            assert r.ndcg >= 0.999
