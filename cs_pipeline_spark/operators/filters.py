@@ -888,3 +888,92 @@ def f_fiscal_445(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("fiscal_period"),
         (F.col("doff") - wk * 7 + 1).cast("long").alias("day_of_week"),
     )
+
+
+# ---------- business-day arithmetic ----------
+
+
+def _busday_extra_table() -> dict[tuple[int, int], int]:
+    """extra[(dow1, rem)] = business days among the `rem` calendar days
+    following a day whose ISO dow is dow1 (1=Mon..7=Sun). Generated
+    once in Python; emitted as literals into BOTH engines' CASE
+    expressions so the two can never disagree."""
+    out = {}
+    for dow1 in range(1, 8):
+        for rem in range(7):
+            n = 0
+            for k in range(1, rem + 1):
+                d = (dow1 - 1 + k) % 7 + 1  # ISO dow of day k after
+                if d <= 5:
+                    n += 1
+            out[(dow1, rem)] = n
+    return out
+
+
+_BUSDAY_EXTRA = _busday_extra_table()
+
+
+def _busday_case(dow_expr: str, rem_expr: str) -> str:
+    whens = " ".join(
+        f"WHEN ({dow_expr}) = {d} AND ({rem_expr}) = {r} THEN {v}"
+        for (d, r), v in _BUSDAY_EXTRA.items()
+    )
+    return f"(CASE {whens} END)"
+
+
+@register(
+    "f_business_days",
+    f"""
+    SELECT l.l_orderkey, l.l_linenumber,
+           CAST(datediff('day', o.o_orderdate, l.l_shipdate) AS BIGINT)
+             AS calendar_days,
+           CAST((datediff('day', o.o_orderdate, l.l_shipdate) // 7) * 5
+                + {_busday_case("isodow(o.o_orderdate)",
+                                "datediff('day', o.o_orderdate, l.l_shipdate) % 7")}
+                AS BIGINT) AS business_days
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_orderkey < 400
+    """,
+    doc="business-day latency between order and ship date: full weeks x 5 "
+    "plus a generated (weekday, remainder) lookup emitted as literals "
+    "into both engines — the SLA arithmetic calendars make painful",
+)
+def f_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekend-aware day counting (order date → ship date) — the
+    difference between a 5-day SLA and a 7-day one. Closed form:
+    ``full_weeks·5 + extra(dow(start),
+    days mod 7)`` where the 7×7 ``extra`` table counts Mon–Fri days in
+    the remainder window. The table is GENERATED in Python and pasted
+    as literals into both the Column expression and the oracle SQL —
+    the two engines execute the same lookup by construction (holiday
+    calendars extend the same way: another generated literal table).
+
+    ISO day-of-week on both sides (Spark ``dayofweek`` is
+    Sunday-based — ``weekday()+1`` gives ISO; DuckDB ``isodow``).
+
+    Scale: stateless per-row integer arithmetic fused with the scan;
+    the key filter pushes down.
+    """
+    li = load(spark, "lineitem", sf_dir).filter(F.col("l_orderkey") < 400)
+    o = load(spark, "orders", sf_dir).select("o_orderkey", "o_orderdate")
+    li = li.join(
+        F.broadcast(o), li.l_orderkey == o.o_orderkey
+    )
+    n = F.datediff("l_shipdate", "o_orderdate")
+    dow = F.weekday("o_orderdate") + 1  # ISO: 1=Mon..7=Sun
+    extra = None
+    for (d, r), v in _BUSDAY_EXTRA.items():
+        cond = (dow == d) & (n % 7 == r)
+        extra = (
+            F.when(cond, F.lit(v))
+            if extra is None
+            else extra.when(cond, F.lit(v))
+        )
+    return li.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        n.cast("long").alias("calendar_days"),
+        (F.expr("datediff(l_shipdate, o_orderdate) div 7") * 5 + extra)
+        .cast("long")
+        .alias("business_days"),
+    )

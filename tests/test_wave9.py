@@ -1214,3 +1214,37 @@ def test_ndcg_bounds_and_perfect_case(spark, sf_dir):
         if ivf.get(q) == truth.get(q):
             # same set in same cosine order -> identical ranking
             assert r.ndcg >= 0.999
+
+
+def test_business_days_reference(spark, sf_dir):
+    from cs_pipeline_spark.operators.filters import f_business_days
+
+    rows = f_business_days(spark, sf_dir).collect()
+    assert rows
+    import datetime as dt
+
+    li = (
+        load(spark, "lineitem", sf_dir)
+        .filter(F.col("l_orderkey") < 400)
+        .join(
+            load(spark, "orders", sf_dir).select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("l_orderkey", "l_linenumber", "o_orderdate", "l_shipdate")
+        .collect()
+    )
+    ref = {}
+    for r in li:
+        d0 = r.o_orderdate.date() if hasattr(r.o_orderdate, "date") else r.o_orderdate
+        d1 = r.l_shipdate.date() if hasattr(r.l_shipdate, "date") else r.l_shipdate
+        n = (d1 - d0).days
+        # business days strictly after d0 up to and including d1
+        bd = sum(
+            1
+            for k in range(1, n + 1)
+            if (d0 + dt.timedelta(days=k)).isoweekday() <= 5
+        )
+        ref[(r.l_orderkey, r.l_linenumber)] = (n, bd)
+    for r in rows:
+        want = ref[(r.l_orderkey, r.l_linenumber)]
+        assert (r.calendar_days, r.business_days) == want
