@@ -1233,7 +1233,9 @@ def test_business_days_reference(spark, sf_dir):
         .select("l_orderkey", "l_linenumber", "o_orderdate", "l_shipdate")
         .collect()
     )
-    ref = {}
+    from collections import Counter
+
+    ref = Counter()
     for r in li:
         d0 = r.o_orderdate.date() if hasattr(r.o_orderdate, "date") else r.o_orderdate
         d1 = r.l_shipdate.date() if hasattr(r.l_shipdate, "date") else r.l_shipdate
@@ -1244,7 +1246,11 @@ def test_business_days_reference(spark, sf_dir):
             for k in range(1, n + 1)
             if (d0 + dt.timedelta(days=k)).isoweekday() <= 5
         )
-        ref[(r.l_orderkey, r.l_linenumber)] = (n, bd)
-    for r in rows:
-        want = ref[(r.l_orderkey, r.l_linenumber)]
-        assert (r.calendar_days, r.business_days) == want
+        ref[(r.l_orderkey, r.l_linenumber, n, bd)] += 1
+    got = Counter(
+        (r.l_orderkey, r.l_linenumber, r.calendar_days, r.business_days)
+        for r in rows
+    )
+    # (orderkey, linenumber) is NOT unique in the synthetic corpus —
+    # compare the full multiset of rows instead of keying on it
+    assert got == ref
