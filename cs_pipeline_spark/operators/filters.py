@@ -932,7 +932,7 @@ def _busday_case(dow_expr: str, rem_expr: str) -> str:
                                 "datediff('day', o.o_orderdate, l.l_shipdate) % 7")}
                 AS BIGINT) AS business_days
     FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
-    WHERE l.l_orderkey < 400
+    WHERE l.l_orderkey < 400 AND l.l_shipdate >= o.o_orderdate
     """,
     doc="business-day latency between order and ship date: full weeks x 5 "
     "plus a generated (weekday, remainder) lookup emitted as literals "
@@ -950,6 +950,10 @@ def f_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ISO day-of-week on both sides (Spark ``dayofweek`` is
     Sunday-based — ``weekday()+1`` gives ISO; DuckDB ``isodow``).
+    Defined on FORWARD intervals only — the synthetic corpus contains
+    ship-before-order rows (data errors in a real pipeline) and the
+    closed form's div/mod pair is floor-consistent only for
+    non-negative spans, so those rows are filtered on both sides.
 
     Scale: stateless per-row integer arithmetic fused with the scan;
     the key filter pushes down.
@@ -958,7 +962,7 @@ def f_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, "orders", sf_dir).select("o_orderkey", "o_orderdate")
     li = li.join(
         F.broadcast(o), li.l_orderkey == o.o_orderkey
-    )
+    ).filter(F.col("l_shipdate") >= F.col("o_orderdate"))
     n = F.datediff("l_shipdate", "o_orderdate")
     dow = F.weekday("o_orderdate") + 1  # ISO: 1=Mon..7=Sun
     extra = None

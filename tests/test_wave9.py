@@ -1240,6 +1240,8 @@ def test_business_days_reference(spark, sf_dir):
         d0 = r.o_orderdate.date() if hasattr(r.o_orderdate, "date") else r.o_orderdate
         d1 = r.l_shipdate.date() if hasattr(r.l_shipdate, "date") else r.l_shipdate
         n = (d1 - d0).days
+        if n < 0:  # op is defined on forward intervals only
+            continue
         # business days strictly after d0 up to and including d1
         bd = sum(
             1
