@@ -2182,3 +2182,81 @@ def win_year_over_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"cast((rev_c - {lag_sql}) * 10000 div {lag_sql} as bigint) end"
         ).alias("yoy_bps"),
     )
+
+
+@register(
+    "agg_interarrival_cv",
+    f"""
+    WITH e AS (
+      SELECT event_type, event_id, epoch_us({EVENTS_TS_SQL}) AS us
+      FROM events
+    ), gaps AS (
+      SELECT event_type,
+             us - LAG(us) OVER (PARTITION BY event_type
+               ORDER BY us, event_id) AS gap
+      FROM e
+    ), g AS (SELECT event_type, gap FROM gaps WHERE gap IS NOT NULL),
+    m AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(gap AS HUGEINT)) AS s1,
+             SUM(CAST(gap AS HUGEINT) * CAST(gap AS HUGEINT)) AS s2
+      FROM g GROUP BY event_type
+    )
+    SELECT event_type, n,
+           (FLOOR((CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n / 1000000.0)
+              * 1000000.0 + 0.5) / 1000000.0) AS mean_gap_s,
+           (FLOOR((CAST(CAST(s2 * CAST(n AS HUGEINT) - s1 * s1
+                    AS VARCHAR) AS DOUBLE)
+                   / (CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
+                      * CAST(CAST(s1 AS VARCHAR) AS DOUBLE)))
+                  * 1000000.0 + 0.5) / 1000000.0) AS cv_squared
+    FROM m
+    """,
+    doc="inter-arrival burstiness per event type: mean gap and "
+    "CV² = n·Σg²/Σg² − ... from exact integer-µs moments — CV²≈1 is "
+    "Poisson, >1 bursty, <1 regular (the point-process fingerprint)",
+)
+def agg_interarrival_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-process characterization: the squared coefficient of
+    variation of inter-arrival gaps — CV² = Var/Mean² = (n·Σg² −
+    (Σg)²)/(Σg)². A Poisson stream gives CV² ≈ 1; retries, batch
+    flushes, and bot bursts push it above; schedulers push it below.
+    The number that tells capacity planning whether mean rate is a
+    usable sizing input (bursty streams need peak provisioning —
+    read with ``agg_peak_concurrency``).
+
+    Gaps are exact integer µs from a lag over the (us, event_id)
+    total order; both moment sums are exact integers (HUGEINT /
+    decimal), so CV² is one division of identical exact values —
+    the ``dvar_pop`` integer-numerator pattern applied to a derived
+    series. Outputs floor-quantized at 1e-6.
+
+    Scale: one shuffle on event_type for the lag window (the series
+    partitioning), then map-side-combined moment sums — per-type
+    state is three integers.
+    """
+    ev = load(spark, "events", sf_dir).select(
+        "event_type", "event_id", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("event_type").orderBy("us", "event_id")
+    g = ev.withColumn("gap", F.col("us") - F.lag("us").over(w)).filter(
+        F.col("gap").isNotNull()
+    )
+    gd = F.col("gap").cast("decimal(38,0)")
+    m = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(gd).alias("s1"),
+        F.sum(gd * gd).alias("s2"),
+    )
+    s1d = F.col("s1").cast("string").cast("double")
+    num = (
+        F.col("s2") * F.col("n").cast("decimal(38,0)")
+        - F.col("s1") * F.col("s1")
+    ).cast("string").cast("double")
+    q6 = lambda c: F.floor(c * 1000000.0 + F.lit(0.5)) / 1000000.0  # noqa: E731
+    return m.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        q6(s1d / F.col("n") / 1000000.0).alias("mean_gap_s"),
+        q6(num / (s1d * s1d)).alias("cv_squared"),
+    )

@@ -1256,3 +1256,29 @@ def test_business_days_reference(spark, sf_dir):
     # (orderkey, linenumber) is NOT unique in the synthetic corpus —
     # compare the full multiset of rows instead of keying on it
     assert got == ref
+
+
+def test_interarrival_cv_reference(spark, sf_dir):
+    from cs_pipeline_spark.operators.windows import agg_interarrival_cv
+
+    rows = {r.event_type: r for r in agg_interarrival_cv(spark, sf_dir).collect()}
+    ev = (
+        load(spark, "events", sf_dir)
+        .select("event_type", "event_id", F.unix_micros("ts").alias("us"))
+        .collect()
+    )
+    from collections import defaultdict
+
+    per_type = defaultdict(list)
+    for r in ev:
+        per_type[r.event_type].append((r.us, r.event_id))
+    for et, evs in per_type.items():
+        evs.sort()
+        gaps = [b[0] - a[0] for a, b in zip(evs, evs[1:])]
+        r = rows[et]
+        assert r.n == len(gaps)
+        mean = sum(gaps) / len(gaps)
+        assert abs(r.mean_gap_s - mean / 1e6) < 2e-6
+        var = sum(g * g for g in gaps) / len(gaps) - mean * mean
+        assert abs(r.cv_squared - var / mean**2 * len(gaps) / len(gaps)) < 1e-4
+        assert r.cv_squared >= 0.0
