@@ -98,6 +98,17 @@ AUDIT: dict[str, dict] = {
     "mm_shard_manifest": {},
     "text_sft_pairs": {"exchange": 0},
     "join_cogroup_lag": {},
+    "win_top_paths": {"exchange": 2},
+    "sink_jsonl_roundtrip": {},
+    "stream_rate_limit": {"exchange": 1},
+    "text_bigram_pmi": {"smj": 0},
+    "graph_reciprocity": {},
+    "text_zipf_fit": {},
+    "join_pit_dimension": {},
+    "sim_ndcg_eval": {"smj": 0},
+    "f_business_days": {"smj": 0, "pushed": True},
+    "agg_interarrival_cv": {"exchange": 2},
+    "dedup_cluster_sizes": {},
     "sample_stratified": {},
     "emb_norm_stats": {"exchange": 0},
     "q_min_cost_supplier": {"smj": 0},
