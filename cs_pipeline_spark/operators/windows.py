@@ -2260,3 +2260,124 @@ def agg_interarrival_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         q6(s1d / F.col("n") / 1000000.0).alias("mean_gap_s"),
         q6(num / (s1d * s1d)).alias("cv_squared"),
     )
+
+
+_ACF_LAGS = (1, 2, 3, 6, 12, 24)
+
+
+@register(
+    "agg_acf_lags",
+    f"""
+    WITH hr AS (
+      SELECT event_type,
+             epoch_us(CAST(date_trunc('hour', {EVENTS_TS_SQL})
+               AS TIMESTAMP)) // 3600000000 AS h,
+             CAST(FLOOR((CAST(CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5)
+               AS HUGEINT)) AS VARCHAR) AS DOUBLE) / COUNT(*)) + 0.5)
+               AS BIGINT) AS mq
+      FROM events GROUP BY 1, 2
+    ), lags(k) AS (VALUES {", ".join(f"({k})" for k in _ACF_LAGS)}),
+    pairs AS (
+      SELECT a.event_type, l.k,
+             CAST(a.mq AS HUGEINT) AS x, CAST(b.mq AS HUGEINT) AS y
+      FROM hr a
+      CROSS JOIN lags l
+      JOIN hr b ON b.event_type = a.event_type AND b.h = a.h + l.k
+    ), m AS (
+      SELECT event_type, k, CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM pairs GROUP BY event_type, k
+    )
+    SELECT event_type, CAST(k AS BIGINT) AS lag_hours,
+           CAST(n AS BIGINT) AS n_pairs,
+           (FLOOR((CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+              / SQRT(CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE)
+                     * CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE)))
+              * 1000000.0 + 0.5) / 1000000.0) AS acf
+    FROM m WHERE n > 1
+    """,
+    doc=f"autocorrelation function of the hourly mean series at lags "
+    f"{_ACF_LAGS}: exact-integer-moment Pearson of the series against "
+    "its shifted self — a peak at lag 24 is the daily-cycle detector",
+)
+def agg_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACF — time-series analysis's periodicity diagnostic: the
+    correlation of the hourly series with itself shifted by k hours,
+    for a lag set covering short-range persistence (1-3h) and the
+    diurnal cycle (24h). A spike at 24 confirms daily seasonality
+    (what ``ts_decompose`` then removes); slow decay flags
+    non-stationarity before anyone fits a model.
+
+    Pipeline: the fact stream collapses to per-(type, hour) quantized
+    integer means (one map-side-combined pass, the ``ts_decompose``
+    stage-1 convention), lagged pairs come from an equi-join of the
+    spine against itself on (type, h+k) — an exact join, no window
+    sort — and each lag's Pearson uses the cancellation-free integer
+    moment form (``agg_corr`` pattern). Output floor-quantized 1e-6.
+
+    Scale: the quadratic-looking part is spine×lags (|types|·|hours|·
+    |lags| rows), not facts; moment sums combine map-side per
+    (type, lag).
+    """
+    ev = load(spark, "events", sf_dir)
+    hr = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(date_trunc('hour', ts)) div 3600000000").alias(
+            "h"
+        ),
+    ).agg(
+        F.floor(
+            F.sum(
+                F.floor(F.col("value") * 1000000.0 + F.lit(0.5)).cast(
+                    "decimal(38,0)"
+                )
+            )
+            .cast("string")
+            .cast("double")
+            / F.count(F.lit(1))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("mq")
+    )
+    lags = F.broadcast(
+        ev.sparkSession.createDataFrame(
+            [(k,) for k in _ACF_LAGS], "k int"
+        )
+    )
+    a = hr.select(
+        "event_type", "h", F.col("mq").cast("decimal(38,0)").alias("x")
+    ).crossJoin(lags)
+    b = hr.select(
+        F.col("event_type").alias("b_et"),
+        F.col("h").alias("b_h"),
+        F.col("mq").cast("decimal(38,0)").alias("y"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("b_et") == F.col("event_type"))
+        & (F.col("b_h") == F.col("h") + F.col("k")),
+    )
+    m = pairs.groupBy("event_type", "k").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    num = d(F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+    den = F.sqrt(
+        d(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * d(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.filter(F.col("n") > 1).select(
+        "event_type",
+        F.col("k").cast("long").alias("lag_hours"),
+        F.col("n").cast("long").alias("n_pairs"),
+        (F.floor((num / den) * 1000000.0 + F.lit(0.5)) / 1000000.0).alias(
+            "acf"
+        ),
+    )

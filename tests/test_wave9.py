@@ -1282,3 +1282,43 @@ def test_interarrival_cv_reference(spark, sf_dir):
         var = sum(g * g for g in gaps) / len(gaps) - mean * mean
         assert abs(r.cv_squared - var / mean**2 * len(gaps) / len(gaps)) < 1e-4
         assert r.cv_squared >= 0.0
+
+
+def test_acf_reference_pearson(spark, sf_dir):
+    from cs_pipeline_spark.operators.windows import _ACF_LAGS, agg_acf_lags
+
+    rows = agg_acf_lags(spark, sf_dir).collect()
+    assert rows
+    # rebuild the hourly quantized-mean series and check one (type, lag)
+    import math
+    from collections import defaultdict
+
+    ev = load(spark, "events", sf_dir).select(
+        "event_type", F.expr("unix_micros(date_trunc('hour', ts)) div 3600000000").alias("h"), "value"
+    ).collect()
+    acc = defaultdict(lambda: [0, 0])
+    for r in ev:
+        q = math.floor(r.value * 1e6 + 0.5)
+        acc[(r.event_type, r.h)][0] += q
+        acc[(r.event_type, r.h)][1] += 1
+    series = defaultdict(dict)
+    for (et, h), (s, n) in acc.items():
+        series[et][h] = math.floor(s / n + 0.5)
+    for r in rows:
+        assert -1.0 - 1e-9 <= r.acf <= 1.0 + 1e-9
+        assert r.lag_hours in _ACF_LAGS
+    r0 = rows[0]
+    sx = series[r0.event_type]
+    xs, ys = [], []
+    for h, v in sx.items():
+        if h + r0.lag_hours in sx:
+            xs.append(v)
+            ys.append(sx[h + r0.lag_hours])
+    n = len(xs)
+    assert n == r0.n_pairs
+    num = n * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)
+    den = math.sqrt(
+        (n * sum(x * x for x in xs) - sum(xs) ** 2)
+        * (n * sum(y * y for y in ys) - sum(ys) ** 2)
+    )
+    assert abs(r0.acf - num / den) < 1e-5
