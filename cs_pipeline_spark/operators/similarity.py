@@ -3155,3 +3155,142 @@ def sim_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             q9(F.col("_dcg") / F.lit(_IDCG)).alias("ndcg"),
         )
     )
+
+
+# ---------- embedding-space drift monitor ----------
+
+
+_SQL_EMB_DRIFT = f"""
+    WITH n AS ({_SQL_NORMED}),
+    d AS (
+      SELECT vec_id % 2 AS half, r.i AS pos,
+             CAST(FLOOR(CAST(embedding[r.i + 1] AS DOUBLE) * 1000000.0
+               + 0.5) AS BIGINT) AS vq,
+             nrm
+      FROM n CROSS JOIN range({_DIM}) r(i)
+    ), dim_means AS (
+      SELECT half, pos,
+             CAST(FLOOR(CAST(CAST(SUM(CAST(vq AS HUGEINT)) AS VARCHAR)
+               AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS mean_q
+      FROM d GROUP BY half, pos
+    ), shift AS (
+      SELECT SUM(CAST(a.mean_q - b.mean_q AS HUGEINT)
+                 * CAST(a.mean_q - b.mean_q AS HUGEINT)) AS ss
+      FROM dim_means a JOIN dim_means b
+        ON b.pos = a.pos AND a.half = 0 AND b.half = 1
+    ), halves AS (
+      SELECT vec_id % 2 AS half, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             CAST(SUM(CAST(FLOOR(nrm * 1000000.0 + 0.5) AS HUGEINT))
+               AS BIGINT) AS nrm_q
+      FROM n GROUP BY 1
+    )
+    SELECT a.n_vecs AS n_a, b.n_vecs AS n_b,
+           (FLOOR(SQRT(CAST(CAST(s.ss AS VARCHAR) AS DOUBLE))
+              / 1000000.0 * 1000000000.0 + 0.5) / 1000000000.0)
+             AS centroid_shift,
+           (FLOOR(CAST(CAST(a.nrm_q AS VARCHAR) AS DOUBLE) / a.n_vecs
+              / 1000000.0 * 1000000.0 + 0.5) / 1000000.0)
+             AS mean_sqnorm_a,
+           (FLOOR(CAST(CAST(b.nrm_q AS VARCHAR) AS DOUBLE) / b.n_vecs
+              / 1000000.0 * 1000000.0 + 0.5) / 1000000.0)
+             AS mean_sqnorm_b
+    FROM halves a, halves b, shift s
+    WHERE a.half = 0 AND b.half = 1
+"""
+
+
+@register(
+    "emb_drift_monitor",
+    _SQL_EMB_DRIFT,
+    doc="embedding-space drift: centroid L2 shift between two corpus "
+    "snapshots (per-dim quantized means) plus per-half mean squared "
+    "norms — the vector twin of dq_value_drift_psi",
+)
+def emb_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-space drift between two snapshots (here the vec-id
+    parity halves; in production last week's corpus vs today's):
+    the L2 distance between the snapshot CENTROIDS catches systematic
+    embedding shift (a model redeploy, a domain mix change) that
+    per-scalar monitors like ``dq_value_drift_psi`` cannot see, and
+    the mean squared norms catch scale drift (normalization bugs).
+    Alert thresholds come from the same-snapshot baseline (shift ≈ 0
+    here by construction, since halves sample one distribution).
+
+    Per-dim means ride the ``emb_centroid_per_label`` integer path
+    (quantize → exact sums → floor-rounded mean back on the grid),
+    so the shift's inner sum is exact integer arithmetic; only the
+    final sqrt/divisions are float, floor-quantized on output.
+
+    Scale: one posexplode pass → map-side-combined (half, dim)
+    sums — 2·D states; the shift join runs on 2·D rows. Norm sums
+    ride the same scan.
+    """
+    corpus = _with_norm(load(spark, "embeddings", sf_dir))
+    d = corpus.select(
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("pos", "v"),
+    ).select(
+        "half",
+        "pos",
+        F.floor(F.col("v").cast("double") * 1000000.0 + F.lit(0.5))
+        .cast("decimal(38,0)")
+        .alias("vq"),
+    )
+    dim_means = d.groupBy("half", "pos").agg(
+        F.floor(
+            F.sum("vq").cast("string").cast("double") / F.count(F.lit(1))
+            + F.lit(0.5)
+        )
+        .cast("decimal(38,0)")
+        .alias("mean_q")
+    )
+    a = dim_means.filter(F.col("half") == 0).select(
+        "pos", F.col("mean_q").alias("ma")
+    )
+    b = dim_means.filter(F.col("half") == 1).select(
+        "pos", F.col("mean_q").alias("mb")
+    )
+    diff = F.col("ma") - F.col("mb")
+    shift = F.broadcast(
+        a.join(b, "pos").agg(F.sum(diff * diff).alias("ss"))
+    )
+    halves = corpus.groupBy(
+        (F.col("vec_id") % 2).alias("half")
+    ).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(
+            F.floor(F.col("nrm") * 1000000.0 + F.lit(0.5)).cast(
+                "decimal(38,0)"
+            )
+        ).alias("nrm_q"),
+    )
+    ha = halves.filter(F.col("half") == 0).select(
+        F.col("n_vecs").alias("n_a"), F.col("nrm_q").alias("qa")
+    )
+    hb = halves.filter(F.col("half") == 1).select(
+        F.col("n_vecs").alias("n_b"), F.col("nrm_q").alias("qb")
+    )
+    q9 = lambda c: F.floor(c * 1000000000.0 + F.lit(0.5)) / 1000000000.0  # noqa: E731
+    q6 = lambda c: F.floor(c * 1000000.0 + F.lit(0.5)) / 1000000.0  # noqa: E731
+    return (
+        ha.crossJoin(hb)
+        .crossJoin(shift)
+        .select(
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            q9(
+                F.sqrt(F.col("ss").cast("string").cast("double"))
+                / 1000000.0
+            ).alias("centroid_shift"),
+            q6(
+                F.col("qa").cast("string").cast("double")
+                / F.col("n_a")
+                / 1000000.0
+            ).alias("mean_sqnorm_a"),
+            q6(
+                F.col("qb").cast("string").cast("double")
+                / F.col("n_b")
+                / 1000000.0
+            ).alias("mean_sqnorm_b"),
+        )
+    )

@@ -1322,3 +1322,19 @@ def test_acf_reference_pearson(spark, sf_dir):
         * (n * sum(y * y for y in ys) - sum(ys) ** 2)
     )
     assert abs(r0.acf - num / den) < 1e-5
+
+
+def test_emb_drift_same_distribution_small(spark, sf_dir):
+    from cs_pipeline_spark.operators.similarity import emb_drift_monitor
+
+    row = emb_drift_monitor(spark, sf_dir).collect()[0]
+    n = load(spark, "embeddings", sf_dir).count()
+    assert row.n_a + row.n_b == n
+    assert abs(row.n_a - row.n_b) <= 1  # parity halves
+    # halves sample ONE distribution: shift and norm diff are small
+    assert 0.0 <= row.centroid_shift < 0.5
+    assert row.mean_sqnorm_a > 0 and row.mean_sqnorm_b > 0
+    assert (
+        abs(row.mean_sqnorm_a - row.mean_sqnorm_b)
+        < 0.5 * max(row.mean_sqnorm_a, row.mean_sqnorm_b)
+    )
