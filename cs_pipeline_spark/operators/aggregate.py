@@ -2814,3 +2814,109 @@ def dq_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_CVAR_PCT = 95  # tail beyond the 95th percentile
+
+
+@register(
+    "agg_tail_cvar",
+    f"""
+    WITH v AS (
+      SELECT event_type,
+             CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS q
+      FROM events
+    ), rk AS (
+      SELECT event_type, q,
+             ROW_NUMber() OVER (PARTITION BY event_type ORDER BY q) AS r,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM v
+    ), thresh AS (
+      SELECT event_type, q AS var_q, n FROM rk
+      WHERE r = ((n * {_CVAR_PCT}) + 99) // 100
+    ), tail AS (
+      SELECT rk.event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_tail,
+             SUM(CAST(rk.q AS HUGEINT)) AS s_tail
+      FROM rk JOIN thresh t ON t.event_type = rk.event_type
+      WHERE rk.q > t.var_q
+      GROUP BY rk.event_type
+    )
+    SELECT t.event_type,
+           CAST(t.n AS BIGINT) AS n,
+           CAST(t.var_q AS DOUBLE) / 1000000.0 AS var_95,
+           COALESCE(ta.n_tail, 0) AS n_tail,
+           (FLOOR(COALESCE(CAST(CAST(ta.s_tail AS VARCHAR) AS DOUBLE)
+              / ta.n_tail / 1000000.0, CAST(t.var_q AS DOUBLE) / 1000000.0)
+              * 1000000.0 + 0.5) / 1000000.0) AS cvar_95
+    FROM thresh t LEFT JOIN tail ta ON ta.event_type = t.event_type
+    """,
+    doc=f"tail risk per event type: VaR ({_CVAR_PCT}th-percentile "
+    "element pick) and CVaR (exact mean of values beyond it) — the "
+    "expected-shortfall metric that sizes for how bad the tail IS, "
+    "not where it starts",
+)
+def agg_tail_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected shortfall: VaR answers "where does the worst 5%
+    start", CVaR answers "how bad is it on average once you're
+    there" — the difference between a latency SLO and the cost of
+    missing it, and the reason risk desks report both.
+
+    VaR is a rank-selected ELEMENT (ceil(n·p/100)-th smallest — the
+    engine's discrete-quantile convention: exact, no interpolation);
+    the tail mean is an exact integer sum over values strictly above
+    it, one float division at the end. Degenerate tails (everything
+    ≤ VaR — possible with heavy ties) fall back to VaR itself,
+    null-safe on both engines.
+
+    Scale: the rank pass is per-type ordered (series partitioning);
+    threshold rows are |types| and broadcast back; tail sums combine
+    map-side. For 100 TB use ``agg_log_histogram`` buckets to locate
+    the VaR bucket first, then rank only inside it.
+    """
+    ev = load(spark, "events", sf_dir)
+    v = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 1000000.0 + F.lit(0.5))
+        .cast("long")
+        .alias("q"),
+    )
+    w = Window.partitionBy("event_type").orderBy("q")
+    wn = Window.partitionBy("event_type")
+    rk = v.withColumn("r", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    thresh = rk.filter(
+        F.col("r") == F.expr(f"((n * {_CVAR_PCT}) + 99) div 100")
+    ).select("event_type", F.col("q").alias("var_q"), "n")
+    tail = (
+        rk.join(
+            F.broadcast(
+                thresh.select(
+                    F.col("event_type").alias("t_et"), F.col("var_q")
+                )
+            ),
+            (F.col("t_et") == F.col("event_type"))
+            & (F.col("q") > F.col("var_q")),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_tail"),
+            F.sum(F.col("q").cast("decimal(38,0)")).alias("s_tail"),
+        )
+    )
+    cvar = F.coalesce(
+        F.col("s_tail").cast("string").cast("double")
+        / F.col("n_tail")
+        / 1000000.0,
+        F.col("var_q").cast("double") / 1000000.0,
+    )
+    return thresh.join(tail, "event_type", "left").select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        (F.col("var_q").cast("double") / 1000000.0).alias("var_95"),
+        F.coalesce(F.col("n_tail"), F.lit(0)).cast("long").alias("n_tail"),
+        (F.floor(cvar * 1000000.0 + F.lit(0.5)) / 1000000.0).alias(
+            "cvar_95"
+        ),
+    )

@@ -1338,3 +1338,28 @@ def test_emb_drift_same_distribution_small(spark, sf_dir):
         abs(row.mean_sqnorm_a - row.mean_sqnorm_b)
         < 0.5 * max(row.mean_sqnorm_a, row.mean_sqnorm_b)
     )
+
+
+def test_cvar_reference(spark, sf_dir):
+    from cs_pipeline_spark.operators.aggregate import _CVAR_PCT, agg_tail_cvar
+
+    rows = {r.event_type: r for r in agg_tail_cvar(spark, sf_dir).collect()}
+    ev = load(spark, "events", sf_dir).select("event_type", "value").collect()
+    import math
+    from collections import defaultdict
+
+    per_type = defaultdict(list)
+    for r in ev:
+        per_type[r.event_type].append(math.floor(r.value * 1e6 + 0.5))
+    for et, vals in per_type.items():
+        vals.sort()
+        n = len(vals)
+        var_q = vals[(n * _CVAR_PCT + 99) // 100 - 1]
+        tail = [v for v in vals if v > var_q]
+        r = rows[et]
+        assert r.n == n
+        assert abs(r.var_95 - var_q / 1e6) < 1e-9
+        assert r.n_tail == len(tail)
+        want = (sum(tail) / len(tail) / 1e6) if tail else var_q / 1e6
+        assert abs(r.cvar_95 - want) < 2e-6
+        assert r.cvar_95 >= r.var_95  # tail mean dominates the threshold
