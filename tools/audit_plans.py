@@ -109,6 +109,9 @@ AUDIT: dict[str, dict] = {
     "f_business_days": {"smj": 0, "pushed": True},
     "agg_interarrival_cv": {"exchange": 2},
     "dedup_cluster_sizes": {},
+    "agg_acf_lags": {"smj": 0},
+    "emb_drift_monitor": {},
+    "agg_tail_cvar": {},
     "sample_stratified": {},
     "emb_norm_stats": {"exchange": 0},
     "q_min_cost_supplier": {"smj": 0},
