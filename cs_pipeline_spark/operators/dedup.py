@@ -36,6 +36,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from cs_pipeline_spark.registry import register
 from cs_pipeline_spark.tables import load
@@ -1094,4 +1095,84 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_clusters").cast("long").alias("n_clusters"),
         "n_docs",
         "n_removable",
+    )
+
+
+# ---------- Jaccard threshold sweep ----------
+
+
+@register(
+    "dedup_jaccard_histogram",
+    "WITH d AS (SELECT doc_id, lang, source, "
+    f"list_distinct({_sql_shingles(_DUCK_TOKENS, 3)}) AS grams "
+    "FROM documents), "
+    "p AS (SELECT CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / "
+    "(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))"
+    " AS j "
+    "FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source "
+    "AND a.doc_id < b.doc_id "
+    "WHERE len(list_intersect(a.grams, b.grams)) > 0) "
+    "SELECT CAST(FLOOR(j * 10.0) AS BIGINT) AS jaccard_decile, "
+    "CAST(COUNT(*) AS BIGINT) AS n_pairs, "
+    "CAST(SUM(CAST(COUNT(*) AS HUGEINT)) OVER (ORDER BY "
+    "CAST(FLOOR(j * 10.0) AS BIGINT) DESC ROWS UNBOUNDED PRECEDING) "
+    "AS BIGINT) AS n_pairs_at_or_above "
+    "FROM p GROUP BY 1",
+    doc="near-dup threshold sweep: blocked-pair Jaccard histogram by "
+    "decile with the reverse-cumulative pair count — the curve that "
+    "sets the dedup threshold before committing a corpus-wide run",
+)
+def dedup_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold tuning for fuzzy dedup: how many candidate pairs
+    exist at each Jaccard decile, and (reverse-cumulative) how many a
+    given threshold would act on. Run BEFORE the corpus-wide dedup:
+    the knee of this curve separates template families (J ≥ 0.8 mass)
+    from topical similarity (the 0.3–0.6 bulk a threshold must NOT
+    touch), and the cumulative column is the work estimate for the
+    verify stage at each candidate threshold.
+
+    Same blocked-pairwise machinery as ``dedup_ngram_jaccard``
+    (only pairs sharing ≥1 shingle — zero-overlap pairs carry no
+    threshold information and would dominate the histogram). Decile
+    ids are an exact float floor on identical doubles; counts are
+    integers; the reverse cumulative is a window over ≤10 rows.
+
+    Scale: bounded by the block key like every pairwise op here; at
+    100 TB blocks come from LSH buckets and this histogram doubles
+    as the LSH-band calibration readout.
+    """
+    docs = load(spark, "documents", sf_dir)
+    toked = docs.select(
+        "doc_id", "lang", "source", _tokens(F.expr(_NORM)).alias("toks")
+    )
+    d = toked.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.array_distinct(shingles(F.col("toks"))).alias("grams"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.col("a.grams")) + F.size(F.col("b.grams")) - inter
+    j = inter.cast("double") / union
+    p = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(inter > 0)
+        .select(F.floor(j * 10.0).cast("long").alias("jaccard_decile"))
+    )
+    g = p.groupBy("jaccard_decile").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    w = Window.orderBy(F.desc("jaccard_decile")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return g.select(
+        "jaccard_decile",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.sum("n_pairs").over(w).cast("long").alias("n_pairs_at_or_above"),
     )

@@ -1363,3 +1363,18 @@ def test_cvar_reference(spark, sf_dir):
         want = (sum(tail) / len(tail) / 1e6) if tail else var_q / 1e6
         assert abs(r.cvar_95 - want) < 2e-6
         assert r.cvar_95 >= r.var_95  # tail mean dominates the threshold
+
+
+def test_jaccard_histogram_cumulative(spark, sf_dir):
+    from cs_pipeline_spark.operators.dedup import dedup_jaccard_histogram
+
+    rows = sorted(
+        dedup_jaccard_histogram(spark, sf_dir).collect(),
+        key=lambda r: -r.jaccard_decile,
+    )
+    assert rows
+    cum = 0
+    for r in rows:
+        assert 0 <= r.jaccard_decile <= 10
+        cum += r.n_pairs
+        assert r.n_pairs_at_or_above == cum
