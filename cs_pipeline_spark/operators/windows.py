@@ -2381,3 +2381,86 @@ def agg_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
             "acf"
         ),
     )
+
+
+def _seasonal_strength_oracle() -> str:
+    from cs_pipeline_spark.registry import _REGISTRY
+
+    base = _REGISTRY["ts_decompose"].oracle
+    return f"""
+    WITH comp AS (
+      SELECT event_type,
+             CAST(FLOOR(resid * 1000000.0 + 0.5) AS BIGINT) AS rq,
+             CAST(FLOOR((seasonal + resid) * 1000000.0 + 0.5) AS BIGINT)
+               AS dq
+      FROM ({base}) b
+    ), m AS (
+      SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(CAST(rq AS HUGEINT)) AS sr,
+             SUM(CAST(rq AS HUGEINT) * CAST(rq AS HUGEINT)) AS srr,
+             SUM(CAST(dq AS HUGEINT)) AS sd,
+             SUM(CAST(dq AS HUGEINT) * CAST(dq AS HUGEINT)) AS sdd
+      FROM comp GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+           (FLOOR(GREATEST(0.0, 1.0
+              - CAST(CAST(n * srr - sr * sr AS VARCHAR) AS DOUBLE)
+                / CAST(CAST(n * sdd - sd * sd AS VARCHAR) AS DOUBLE))
+              * 1000000.0 + 0.5) / 1000000.0) AS seasonal_strength
+    FROM m WHERE CAST(CAST(n * sdd - sd * sd AS VARCHAR) AS DOUBLE) > 0
+    """
+
+
+@register(
+    "agg_seasonal_strength",
+    _seasonal_strength_oracle(),
+    doc="seasonal strength F_s = max(0, 1 - Var(resid)/Var(detrended)) "
+    "per event type from the ts_decompose components — the scalar that "
+    "says whether modeling seasonality is worth it",
+)
+def agg_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyndman's seasonal-strength statistic folded over the engine's
+    own decomposition: the share of detrended variance the seasonal
+    profile explains. F_s ≈ 0 → skip the seasonal term; F_s near 1 →
+    the diurnal cycle dominates (schedule capacity by hour-of-day,
+    seasonally adjust anomaly thresholds). Read with ``agg_acf_lags``
+    (which DETECTS the cycle) — this quantifies how much it matters.
+
+    Composes the registered ``ts_decompose`` output (Spark builder and
+    oracle both wrap it verbatim, so the three ops share one set of
+    component semantics); the decomposition's columns are exact
+    1e-6-grid doubles, so re-quantizing them to integers is lossless
+    and both variances come from exact integer moments.
+
+    Scale: everything runs on the decomposition's series spine.
+    """
+    base = ts_decompose(spark, sf_dir)
+    comp = base.select(
+        "event_type",
+        F.floor(F.col("resid") * 1000000.0 + F.lit(0.5))
+        .cast("decimal(38,0)")
+        .alias("rq"),
+        F.floor(
+            (F.col("seasonal") + F.col("resid")) * 1000000.0 + F.lit(0.5)
+        )
+        .cast("decimal(38,0)")
+        .alias("dq"),
+    )
+    m = comp.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("rq").alias("sr"),
+        F.sum(F.col("rq") * F.col("rq")).alias("srr"),
+        F.sum("dq").alias("sd"),
+        F.sum(F.col("dq") * F.col("dq")).alias("sdd"),
+    )
+    d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    var_r = d(F.col("n") * F.col("srr") - F.col("sr") * F.col("sr"))
+    var_d = d(F.col("n") * F.col("sdd") - F.col("sd") * F.col("sd"))
+    fs = F.greatest(F.lit(0.0), F.lit(1.0) - var_r / var_d)
+    return m.filter(var_d > 0).select(
+        "event_type",
+        F.col("n").cast("long").alias("n_hours"),
+        (F.floor(fs * 1000000.0 + F.lit(0.5)) / 1000000.0).alias(
+            "seasonal_strength"
+        ),
+    )

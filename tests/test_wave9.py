@@ -1378,3 +1378,34 @@ def test_jaccard_histogram_cumulative(spark, sf_dir):
         assert 0 <= r.jaccard_decile <= 10
         cum += r.n_pairs
         assert r.n_pairs_at_or_above == cum
+
+
+def test_seasonal_strength_bounds(spark, sf_dir):
+    from cs_pipeline_spark.operators.windows import (
+        agg_seasonal_strength,
+        ts_decompose,
+    )
+
+    rows = {r.event_type: r for r in agg_seasonal_strength(spark, sf_dir).collect()}
+    assert rows
+    comp = ts_decompose(spark, sf_dir).collect()
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for r in comp:
+        per[r.event_type].append((round(r.resid * 1e6), round((r.seasonal + r.resid) * 1e6)))
+    for et, pairs in per.items():
+        if et not in rows:
+            continue
+        n = len(pairs)
+        sr = sum(p[0] for p in pairs)
+        srr = sum(p[0] ** 2 for p in pairs)
+        sd = sum(p[1] for p in pairs)
+        sdd = sum(p[1] ** 2 for p in pairs)
+        var_r = n * srr - sr * sr
+        var_d = n * sdd - sd * sd
+        want = max(0.0, 1.0 - var_r / var_d)
+        got = rows[et]
+        assert got.n_hours == n
+        assert 0.0 <= got.seasonal_strength <= 1.0
+        assert abs(got.seasonal_strength - want) < 1e-5
