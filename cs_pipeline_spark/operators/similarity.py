@@ -3294,3 +3294,107 @@ def emb_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_sqnorm_b"),
         )
     )
+
+
+# ---------- embedding isotropy ----------
+
+
+_SQL_EMB_ISOTROPY = f"""
+    WITH n AS ({_SQL_NORMED}),
+    d AS (
+      SELECT r.i AS pos,
+             CAST(FLOOR(CAST(embedding[r.i + 1] AS DOUBLE) * 1000000.0
+               + 0.5) AS BIGINT) AS vq
+      FROM n CROSS JOIN range({_DIM}) r(i)
+    ), dim_means AS (
+      SELECT pos,
+             CAST(FLOOR(CAST(CAST(SUM(CAST(vq AS HUGEINT)) AS VARCHAR)
+               AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS mean_q
+      FROM d GROUP BY pos
+    ), cn AS (
+      SELECT SUM(CAST(mean_q AS HUGEINT) * CAST(mean_q AS HUGEINT)) AS css
+      FROM dim_means
+    ), mn AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             SUM(CAST(FLOOR(nrm * 1000000.0 + 0.5) AS HUGEINT)) AS nq
+      FROM n
+    )
+    SELECT mn.n_vecs,
+           (FLOOR(CAST(CAST(cn.css AS VARCHAR) AS DOUBLE) / 1e12
+              * 1000000.0 + 0.5) / 1000000.0) AS centroid_sqnorm,
+           (FLOOR(CAST(CAST(mn.nq AS VARCHAR) AS DOUBLE) / mn.n_vecs / 1e6
+              * 1000000.0 + 0.5) / 1000000.0) AS mean_sqnorm,
+           (FLOOR((1.0 - (CAST(CAST(cn.css AS VARCHAR) AS DOUBLE) / 1e12)
+              / (CAST(CAST(mn.nq AS VARCHAR) AS DOUBLE) / mn.n_vecs / 1e6))
+              * 1000000.0 + 0.5) / 1000000.0) AS isotropy
+    FROM cn, mn
+"""
+
+
+@register(
+    "emb_isotropy",
+    _SQL_EMB_ISOTROPY,
+    doc="embedding isotropy: 1 - |centroid|^2 / E[|x|^2] — near 1 the "
+    "space is centered and directionally balanced, near 0 all vectors "
+    "share a dominant direction (the anisotropy pathology that wrecks "
+    "cosine retrieval)",
+)
+def emb_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representation diagnostic: anisotropic embedding spaces (all
+    vectors crowded in a narrow cone — common in raw LM hidden
+    states) make cosine similarity nearly constant and retrieval
+    mushy; the standard first-order check is how much of the average
+    squared norm the CENTROID captures. isotropy = 1 − |μ|²/E[|x|²]:
+    ≈1 means centered and spread; small values say "mean-center (and
+    maybe whiten) before indexing". Run it before committing an ANN
+    index build; re-run after centering to verify the fix.
+
+    Same exact machinery as ``emb_drift_monitor``: per-dim quantized
+    integer means, exact integer sum of squares for |μ|², exact norm
+    sums for the denominator; two float divisions at the end,
+    floor-quantized.
+
+    Scale: one posexplode pass → D mean states; one norm aggregate
+    on the same scan. Output is a single row.
+    """
+    corpus = _with_norm(load(spark, "embeddings", sf_dir))
+    d = corpus.select(F.posexplode("embedding").alias("pos", "v")).select(
+        "pos",
+        F.floor(F.col("v").cast("double") * 1000000.0 + F.lit(0.5))
+        .cast("decimal(38,0)")
+        .alias("vq"),
+    )
+    dim_means = d.groupBy("pos").agg(
+        F.floor(
+            F.sum("vq").cast("string").cast("double") / F.count(F.lit(1))
+            + F.lit(0.5)
+        )
+        .cast("decimal(38,0)")
+        .alias("mean_q")
+    )
+    cn = F.broadcast(
+        dim_means.agg(
+            F.sum(F.col("mean_q") * F.col("mean_q")).alias("css")
+        )
+    )
+    mn = F.broadcast(
+        corpus.agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(
+                F.floor(F.col("nrm") * 1000000.0 + F.lit(0.5)).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("nq"),
+        )
+    )
+    q6 = lambda c: F.floor(c * 1000000.0 + F.lit(0.5)) / 1000000.0  # noqa: E731
+    css = F.col("css").cast("string").cast("double") / 1e12
+    msn = (
+        F.col("nq").cast("string").cast("double") / F.col("n_vecs") / 1e6
+    )
+    return cn.crossJoin(mn).select(
+        F.col("n_vecs").cast("long").alias("n_vecs"),
+        q6(css).alias("centroid_sqnorm"),
+        q6(msn).alias("mean_sqnorm"),
+        q6(F.lit(1.0) - css / msn).alias("isotropy"),
+    )

@@ -1409,3 +1409,24 @@ def test_seasonal_strength_bounds(spark, sf_dir):
         assert got.n_hours == n
         assert 0.0 <= got.seasonal_strength <= 1.0
         assert abs(got.seasonal_strength - want) < 1e-5
+
+
+def test_isotropy_reference(spark, sf_dir):
+    from cs_pipeline_spark.operators.similarity import emb_isotropy
+
+    row = emb_isotropy(spark, sf_dir).collect()[0]
+    embs = [
+        r.embedding
+        for r in load(spark, "embeddings", sf_dir).select("embedding").collect()
+    ]
+    n = len(embs)
+    dim = len(embs[0])
+    assert row.n_vecs == n
+    # reference (unquantized — compare loosely)
+    centroid = [sum(e[i] for e in embs) / n for i in range(dim)]
+    c2 = sum(c * c for c in centroid)
+    m2 = sum(sum(x * x for x in e) for e in embs) / n
+    assert abs(row.centroid_sqnorm - c2) < 1e-3
+    assert abs(row.mean_sqnorm - m2) < 1e-3
+    assert abs(row.isotropy - (1 - c2 / m2)) < 1e-3
+    assert 0.0 <= row.isotropy <= 1.0
