@@ -811,3 +811,94 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("token_share_ppm"),
     ).drop("_scaled")
+
+
+@register(
+    "corpus_length_bias",
+    """
+    WITH d AS (
+      SELECT lang,
+             CAST(len(string_split(trim(regexp_replace(lower(text),
+               '\\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_toks,
+             CAST(FLOOR((CAST(len(list_distinct(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')))
+               AS DOUBLE)
+               / len(string_split(trim(regexp_replace(lower(text),
+                 '\\s+', ' ', 'g')), ' '))) * 1000000.0 + 0.5) AS BIGINT)
+               AS dr_q
+      FROM documents
+    ), m AS (
+      SELECT lang, CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(CAST(n_toks AS HUGEINT)) AS sx,
+             SUM(CAST(dr_q AS HUGEINT)) AS sy,
+             SUM(CAST(n_toks AS HUGEINT) * CAST(dr_q AS HUGEINT)) AS sxy,
+             SUM(CAST(n_toks AS HUGEINT) * CAST(n_toks AS HUGEINT)) AS sxx,
+             SUM(CAST(dr_q AS HUGEINT) * CAST(dr_q AS HUGEINT)) AS syy
+      FROM d GROUP BY lang
+    )
+    SELECT lang, CAST(n AS BIGINT) AS n_docs,
+           (FLOOR((CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+              / SQRT(CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE)
+                     * CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE)))
+              * 1000000.0 + 0.5) / 1000000.0) AS len_diversity_corr
+    FROM m
+    WHERE CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) > 0
+      AND CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE) > 0
+    """,
+    doc="curation-bias audit: per-language Pearson correlation between "
+    "doc length and distinct-token ratio (exact integer moments) — "
+    "quantifies the length artifact every diversity-based quality "
+    "filter must correct for",
+)
+def corpus_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality filters that threshold lexical diversity silently
+    select for SHORT documents: the distinct-token ratio falls with
+    length for purely statistical reasons (more draws from a finite
+    vocabulary repeat more). This op measures that artifact — a
+    strongly negative correlation says the diversity score needs a
+    length adjustment (per-length-bucket thresholds or an expected-
+    ratio baseline) before it can gate the corpus fairly.
+
+    Pearson via the cancellation-free integer-moment path
+    (``agg_corr`` pattern): token counts are exact integers, the
+    ratio is floor-quantized to the 1e-6 grid before any sum, and the
+    single float division is of two exactly-equal numerators.
+
+    Scale: pure per-row expressions into one map-side-combined moment
+    aggregate per language — no shuffle carries text.
+    """
+    docs = load(spark, "documents", sf_dir)
+    from cs_pipeline_spark.operators.dedup import _NORM
+
+    toks = F.split(F.expr(_NORM), " ")
+    d = docs.select(
+        "lang",
+        F.size(toks).cast("decimal(38,0)").alias("n_toks"),
+        F.floor(
+            (F.size(F.array_distinct(toks)).cast("double") / F.size(toks))
+            * 1000000.0
+            + F.lit(0.5)
+        )
+        .cast("decimal(38,0)")
+        .alias("dr_q"),
+    )
+    m = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("n_toks").alias("sx"),
+        F.sum("dr_q").alias("sy"),
+        F.sum(F.col("n_toks") * F.col("dr_q")).alias("sxy"),
+        F.sum(F.col("n_toks") * F.col("n_toks")).alias("sxx"),
+        F.sum(F.col("dr_q") * F.col("dr_q")).alias("syy"),
+    )
+    dd = lambda c: c.cast("string").cast("double")  # noqa: E731
+    num = dd(F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+    vx = dd(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    vy = dd(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    return m.filter((vx > 0) & (vy > 0)).select(
+        "lang",
+        F.col("n").cast("long").alias("n_docs"),
+        (
+            F.floor((num / F.sqrt(vx * vy)) * 1000000.0 + F.lit(0.5))
+            / 1000000.0
+        ).alias("len_diversity_corr"),
+    )

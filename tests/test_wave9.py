@@ -1430,3 +1430,16 @@ def test_isotropy_reference(spark, sf_dir):
     assert abs(row.mean_sqnorm - m2) < 1e-3
     assert abs(row.isotropy - (1 - c2 / m2)) < 1e-3
     assert 0.0 <= row.isotropy <= 1.0
+
+
+def test_length_bias_negative_correlation(spark, sf_dir):
+    from cs_pipeline_spark.operators.corpus import corpus_length_bias
+
+    rows = corpus_length_bias(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 - 1e-9 <= r.len_diversity_corr <= 1.0 + 1e-9
+        assert r.n_docs > 1
+    # the statistical artifact exists: longer word-soup docs repeat
+    # more of the tiny vocabulary, so diversity falls with length
+    assert sum(r.len_diversity_corr for r in rows) / len(rows) < 0.0
