@@ -112,6 +112,10 @@ AUDIT: dict[str, dict] = {
     "agg_acf_lags": {"smj": 0},
     "emb_drift_monitor": {},
     "agg_tail_cvar": {},
+    "dedup_jaccard_histogram": {"nlj": 1},
+    "agg_seasonal_strength": {},
+    "emb_isotropy": {},
+    "corpus_length_bias": {"exchange": 1},
     "sample_stratified": {},
     "emb_norm_stats": {"exchange": 0},
     "q_min_cost_supplier": {"smj": 0},
