@@ -2599,12 +2599,19 @@ def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("q"),
     )
-    n = v.count()
+    # lower-median rank computed INSIDE the plan (count(*) over () +
+    # row_number), keeping the builder lazy — no eager v.count() job
+    # at plan-build time
     med = (
-        v.orderBy("q")
-        .select("q")
-        .limit((n - 1) // 2 + 1)
-        .agg(F.max("q").alias("m"))
+        v.select(
+            "q",
+            F.row_number().over(Window.orderBy("q")).alias("rn"),
+            F.count(F.lit(1)).over(
+                Window.partitionBy(F.lit(1))
+            ).alias("nn"),
+        )
+        .filter(F.expr("rn = (nn - 1) div 2 + 1"))
+        .select(F.col("q").alias("m"))
     )
     s = v.crossJoin(F.broadcast(med)).select(
         "event_id", (F.col("q") > F.col("m")).cast("int").alias("side")

@@ -483,7 +483,9 @@ def _bfs_oracle() -> str:
     ]
     for t in range(_BFS_HOPS):
         parts.append(
-            f", d{t + 1} AS (SELECT node, MIN(dist) AS dist FROM ("
+            # MATERIALIZED: each level is referenced twice by its
+            # successor — inlining would inflate work 2^hops
+            f", d{t + 1} AS MATERIALIZED (SELECT node, MIN(dist) AS dist FROM ("
             f"SELECT node, dist FROM d{t} "
             f"UNION ALL "
             f"SELECT e.dst AS node, d{t}.dist + 1 AS dist "
@@ -535,6 +537,11 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             d.unionByName(grown)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
+            # each level references its predecessor twice (union +
+            # frontier join): without a per-round cut the lineage
+            # doubles per hop (2^hops leaf duplication — the
+            # graph_k_core trap documented in CLAUDE.md)
+            .localCheckpoint(eager=True)
         )
     return d
 

@@ -515,8 +515,12 @@ def mm_batch_collate_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rk = F.row_number().over(_W.orderBy("h", "w", "doc_id")) - 1
     by_size = meta.select(
+        "w", "h", rk.cast("long").alias("rk")
+    ).select(
         F.lit("by_size").alias("strategy"),
-        (rk / _COLLATE_B).cast("long").alias("batch_id"),
+        # integer div, matching the oracle's `rk // B` — never a float
+        # division truncated back to integer (repo convention)
+        F.expr(f"rk div {_COLLATE_B}").alias("batch_id"),
         "w",
         "h",
     )

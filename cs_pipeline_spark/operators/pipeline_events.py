@@ -148,7 +148,7 @@ def events_analytics_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MIN(k) AS BIGINT) AS k_min,
            CAST(MAX(k) AS BIGINT) AS k_max
     FROM (SELECT event_type,
-                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                 TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
           FROM events) t
     GROUP BY event_type
     """,

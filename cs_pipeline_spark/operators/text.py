@@ -907,9 +907,14 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     bi = (
         toks.select(
             F.explode(
+                # size(t) < 2 would make sequence(1, 0) yield [1, 0] and
+                # element_at(t, 0) throw — mirror the oracle's empty
+                # range(1, 1) with an explicit empty array.
                 F.expr(
+                    "CASE WHEN size(t) < 2 THEN array() ELSE "
                     "transform(sequence(1, size(t) - 1), i -> "
-                    "concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+                    "concat(element_at(t, i), ' ', element_at(t, i + 1))) "
+                    "END"
                 )
             ).alias("bg")
         )

@@ -46,6 +46,17 @@ def test_repetition_degenerate_docs(spark, tiny_sf):
     assert abs(rows[4]["dup_bigram_frac"] - 3.0 / 5.0) < 1e-12
 
 
+def test_bigram_pmi_short_docs(spark, tiny_sf):
+    """Docs with <2 tokens must not crash the bigram generator
+    (sequence(1, 0) would yield [1, 0] and element_at(t, 0) throws)."""
+    rows = queries()["text_bigram_pmi"](spark, tiny_sf).collect()
+    # only docs 3 and 4 produce bigrams; empty/single-word docs skipped
+    bigrams = {r["bigram"] for r in rows}
+    assert "a a" in bigrams
+    for r in rows:
+        assert r["n_bigram"] >= 1
+
+
 def test_pii_scrub_counts_and_redaction(spark, tiny_sf):
     rows = {
         r["doc_id"]: r.asDict()
