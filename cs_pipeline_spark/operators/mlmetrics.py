@@ -1,0 +1,653 @@
+"""Distributed ML primitives: model evaluation and closed-form
+training as pure relational plans.
+
+A training-data platform doesn't just *assemble* datasets — it scores
+baselines, audits classifier quality, and fits cheap reference models
+(the "is a linear model already good enough?" gate) at corpus scale.
+Every op here follows the repo's exact-integer discipline: counts and
+rank statistics are integers, transcendental terms (ln) are quantized
+at 1e-9 BEFORE any cross-row sum (the chi-square convention in
+``aggregate.py``), and ratios are integer-ppm or single quantized
+divisions of exact moments — so every op hash-matches the DuckDB
+oracle bit-for-bit.
+
+Reference parity: the reference pipeline trains a downstream model on
+the assembled ERA5 samples (see ``ml_sample_assembly``,
+inference core.py:37-135); these ops add the surrounding evaluation
+machinery a production pipeline runs on the SAME engine instead of
+exporting to a single-node scikit job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cs_pipeline_spark.operators.dedup import _NORM, _NORM_DUCK
+from cs_pipeline_spark.registry import register
+from cs_pipeline_spark.tables import load
+
+
+def _q6(col):
+    return F.floor(col * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+
+
+def _q9(col):
+    """1e-9 floor-quantized transcendental term (chi2 convention)."""
+    return F.floor(col * F.lit(1000000000.0) + F.lit(0.5)).cast("long")
+
+
+def _w_all():
+    return Window.partitionBy(F.lit(1))
+
+
+@register(
+    "ml_confusion_metrics",
+    """
+    WITH q AS (
+      SELECT CAST(event_type = 'purchase' AS INT) AS y,
+             CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS qv
+      FROM events
+    ),
+    m AS (SELECT qv AS mq FROM q ORDER BY qv
+          LIMIT 1 OFFSET (SELECT (COUNT(*) - 1) // 2 FROM q)),
+    c AS (
+      SELECT
+        SUM(CASE WHEN y = 1 AND qv >  mq THEN 1 ELSE 0 END) AS tp,
+        SUM(CASE WHEN y = 0 AND qv >  mq THEN 1 ELSE 0 END) AS fp,
+        SUM(CASE WHEN y = 1 AND qv <= mq THEN 1 ELSE 0 END) AS fn,
+        SUM(CASE WHEN y = 0 AND qv <= mq THEN 1 ELSE 0 END) AS tn
+      FROM q CROSS JOIN m
+    )
+    SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+           CAST(CASE WHEN tp + fp > 0
+                THEN tp * 1000000 // (tp + fp) END AS BIGINT)
+             AS precision_ppm,
+           CAST(CASE WHEN tp + fn > 0
+                THEN tp * 1000000 // (tp + fn) END AS BIGINT)
+             AS recall_ppm,
+           CAST(CASE WHEN 2 * tp + fp + fn > 0
+                THEN 2 * tp * 1000000 // (2 * tp + fp + fn) END AS BIGINT)
+             AS f1_ppm,
+           CAST((tp + tn) * 1000000 // (tp + fp + fn + tn) AS BIGINT)
+             AS accuracy_ppm
+    FROM c
+    """,
+    doc="classifier confusion matrix + precision/recall/F1/accuracy "
+    "(integer ppm) for the median-threshold value rule vs the "
+    "purchase label — the evaluation primitive every model gate reads",
+)
+def ml_confusion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-classifier evaluation: a fixed decision rule (value
+    above the global lower median) scored against the `purchase`
+    label. TP/FP/FN/TN are exact conditional counts; precision,
+    recall, F1 and accuracy are integer-ppm ratios of those counts
+    (F1 computed as 2·TP/(2·TP+FP+FN) — one integer division, no
+    float harmonic mean).
+
+    The median threshold is an in-plan rank pick (count(*) over () +
+    row_number), keeping the builder lazy — no driver-side count.
+
+    Scale: one window pass for the median (at 100 TB: per-segment
+    medians or an approx-quantile threshold), then one conditional
+    aggregate — map-side combined, one row out.
+    """
+    ev = load(spark, "events", sf_dir)
+    q = ev.select(
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+        _q6(F.col("value")).alias("qv"),
+    )
+    med = (
+        q.select(
+            "qv",
+            F.row_number().over(Window.orderBy("qv")).alias("rn"),
+            F.count(F.lit(1)).over(_w_all()).alias("nn"),
+        )
+        .filter(F.expr("rn = (nn - 1) div 2 + 1"))
+        .select(F.col("qv").alias("mq"))
+    )
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    c = q.crossJoin(F.broadcast(med)).agg(
+        cnt((F.col("y") == 1) & (F.col("qv") > F.col("mq"))).alias("tp"),
+        cnt((F.col("y") == 0) & (F.col("qv") > F.col("mq"))).alias("fp"),
+        cnt((F.col("y") == 1) & (F.col("qv") <= F.col("mq"))).alias("fn"),
+        cnt((F.col("y") == 0) & (F.col("qv") <= F.col("mq"))).alias("tn"),
+    )
+    return c.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.expr(
+            "CASE WHEN tp + fp > 0 THEN tp * 1000000 div (tp + fp) END"
+        ).cast("long").alias("precision_ppm"),
+        F.expr(
+            "CASE WHEN tp + fn > 0 THEN tp * 1000000 div (tp + fn) END"
+        ).cast("long").alias("recall_ppm"),
+        F.expr(
+            "CASE WHEN 2 * tp + fp + fn > 0 "
+            "THEN 2 * tp * 1000000 div (2 * tp + fp + fn) END"
+        ).cast("long").alias("f1_ppm"),
+        F.expr("(tp + tn) * 1000000 div (tp + fp + fn + tn)")
+        .cast("long")
+        .alias("accuracy_ppm"),
+    )
+
+
+@register(
+    "ml_calibration_bins",
+    """
+    WITH q AS (
+      SELECT event_id,
+             CAST(event_type = 'purchase' AS INT) AS y,
+             CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS qv
+      FROM events
+    ),
+    r AS (
+      SELECT y,
+             ROW_NUMBER() OVER (ORDER BY qv, event_id) AS rn,
+             COUNT(*) OVER () AS nn
+      FROM q
+    ),
+    s AS (
+      SELECT y,
+             (rn - 1) * 10 // nn + 1 AS bin,
+             (rn - 1) * 1000000 // (nn - 1) AS score_ppm
+      FROM r
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(score_ppm) // COUNT(*) AS BIGINT) AS mean_score_ppm,
+           CAST(SUM(y) * 1000000 // COUNT(*) AS BIGINT) AS pos_rate_ppm
+    FROM s GROUP BY bin
+    """,
+    doc="calibration/reliability bins: rank-based score deciles vs "
+    "observed positive rate (integer ppm) — the reliability-diagram "
+    "table; a calibrated score has mean_score ≈ pos_rate per bin",
+)
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram input: rows ranked by score (here the raw
+    value on a deterministic total order), score mapped to an exact
+    integer percent-rank (ppm), ten equal-rank bins, and per bin the
+    mean score vs the observed positive rate. A calibrated model's
+    bins hug the diagonal; this table is what the calibration plot
+    and the ECE metric read.
+
+    All arithmetic is integer: rank ppm, integer-division binning
+    ((rn−1)·10 div n — the same dyadic binning mm_batch_collate uses),
+    ppm rates of exact counts.
+
+    Scale: the global rank is the one total order (at 100 TB:
+    repartitionByRange on the score so ranks are computed per range
+    partition with offsets, or bin by approx-quantile boundaries);
+    everything after is one map-side-combined aggregate on 10 keys.
+    """
+    ev = load(spark, "events", sf_dir)
+    q = ev.select(
+        "event_id",
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+        _q6(F.col("value")).alias("qv"),
+    )
+    r = q.select(
+        "y",
+        F.row_number().over(Window.orderBy("qv", "event_id")).alias("rn"),
+        F.count(F.lit(1)).over(_w_all()).alias("nn"),
+    )
+    s = r.select(
+        "y",
+        # row_number() is 32-bit — widen before the ×1e6 (ANSI overflow)
+        F.expr("(cast(rn as bigint) - 1) * 10 div nn + 1").alias("bin"),
+        F.expr(
+            "(cast(rn as bigint) - 1) * 1000000 div (nn - 1)"
+        ).alias("score_ppm"),
+    )
+    return s.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("sum(score_ppm) div count(1)")
+        .cast("long")
+        .alias("mean_score_ppm"),
+        F.expr("sum(y) * 1000000 div count(1)")
+        .cast("long")
+        .alias("pos_rate_ppm"),
+    )
+
+
+@register(
+    "ml_naive_bayes",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang AS lang_true, tok FROM (
+        SELECT doc_id, lang,
+               unnest(string_split({_NORM_DUCK}, ' ')) AS tok
+        FROM documents) t
+      WHERE tok <> ''
+    ),
+    vsz AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM toks),
+    dtot AS (SELECT CAST(COUNT(*) AS BIGINT) AS d FROM documents),
+    lstat AS (SELECT lang_true AS lang, CAST(COUNT(*) AS BIGINT) AS tl
+              FROM toks GROUP BY 1),
+    dcnt AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS dl
+             FROM documents GROUP BY 1),
+    langs AS (
+      SELECT l.lang, l.tl,
+             CAST(FLOOR(ln(CAST(dc.dl AS DOUBLE) / CAST(dt.d AS DOUBLE))
+                  * 1000000000.0 + 0.5) AS BIGINT) AS prior,
+             CAST(FLOOR(ln(1.0 / CAST(l.tl + s.v AS DOUBLE))
+                  * 1000000000.0 + 0.5) AS BIGINT) AS w0
+      FROM lstat l JOIN dcnt dc ON dc.lang = l.lang
+      CROSS JOIN vsz s CROSS JOIN dtot dt
+    ),
+    model AS (
+      SELECT tc.lang, tc.tok,
+             CAST(FLOOR(ln(CAST(tc.c + 1 AS DOUBLE)
+                  / CAST(l.tl + s.v AS DOUBLE))
+                  * 1000000000.0 + 0.5) AS BIGINT) AS w
+      FROM (SELECT lang_true AS lang, tok, COUNT(*) AS c
+            FROM toks GROUP BY 1, 2) tc
+      JOIN langs l ON l.lang = tc.lang CROSS JOIN vsz s
+    ),
+    scored AS (
+      SELECT tk.doc_id, tk.lang_true, lg.lang,
+             MIN(lg.prior) + SUM(COALESCE(m.w, lg.w0)) AS s
+      FROM toks tk CROSS JOIN langs lg
+      LEFT JOIN model m ON m.lang = lg.lang AND m.tok = tk.tok
+      GROUP BY 1, 2, 3
+    ),
+    pred AS (
+      SELECT doc_id, lang_true, lang AS lang_pred,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY s DESC, lang ASC) AS rn
+      FROM scored
+    )
+    SELECT lang_true, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred WHERE rn = 1 GROUP BY 1, 2
+    """,
+    doc="multinomial naive Bayes language classifier (Laplace-smoothed, "
+    "trained and resubstitution-scored in one plan) — confusion matrix "
+    "out; every log term quantized at 1e-9 before the per-doc sum",
+)
+def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive Bayes trained IN the engine: token counts per
+    language (one map-side-combined aggregate) become Laplace-smoothed
+    log-likelihood weights; each document is scored against every
+    language by summing its tokens' weights (unseen tokens get the
+    per-language floor weight) plus the class log-prior, and argmax
+    with a deterministic tie-break (score desc, lang asc) yields the
+    prediction. Output is the resubstitution confusion matrix — the
+    quality table a lang-id audit reads (``text_lang_id`` is the
+    heuristic twin; this is the learned one).
+
+    Determinism: every ln() term is floor-quantized at 1e-9 BEFORE any
+    cross-row sum (the chi2/entropy convention), so per-doc scores are
+    exact integer sums — identical on any partitioning and engine.
+
+    Scale: the model is vocab×langs rows (≪ corpus) built in one
+    aggregate; scoring joins doc tokens to the model on the token key
+    (broadcast when the vocab fits, shuffle-hash otherwise — never a
+    per-doc Python loop). The langs table (5 rows) broadcasts into
+    the cross join, so the fact stream is shuffled once, on doc_id,
+    for the final per-doc argmax.
+    """
+    docs = load(spark, "documents", sf_dir)
+    toks = (
+        docs.select(
+            "doc_id",
+            F.col("lang").alias("lang_true"),
+            F.explode(F.split(F.expr(_NORM), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    vsz = toks.agg(F.countDistinct("tok").cast("long").alias("v"))
+    dtot = docs.agg(F.count(F.lit(1)).cast("long").alias("d"))
+    lstat = toks.groupBy(F.col("lang_true").alias("lang")).agg(
+        F.count(F.lit(1)).cast("long").alias("tl")
+    )
+    dcnt = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("dl")
+    )
+    langs = (
+        lstat.join(dcnt, "lang")
+        .crossJoin(F.broadcast(vsz))
+        .crossJoin(F.broadcast(dtot))
+        .select(
+            "lang",
+            "tl",
+            _q9(
+                F.log(F.col("dl").cast("double") / F.col("d").cast("double"))
+            ).alias("prior"),
+            _q9(
+                F.log(
+                    F.lit(1.0) / (F.col("tl") + F.col("v")).cast("double")
+                )
+            ).alias("w0"),
+        )
+    )
+    model = (
+        toks.groupBy(F.col("lang_true").alias("lang"), "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .join(langs.select("lang", "tl"), "lang")
+        .crossJoin(F.broadcast(vsz))
+        .select(
+            "lang",
+            "tok",
+            _q9(
+                F.log(
+                    (F.col("c") + 1).cast("double")
+                    / (F.col("tl") + F.col("v")).cast("double")
+                )
+            ).alias("w"),
+        )
+    )
+    scored = (
+        toks.crossJoin(F.broadcast(langs.select("lang", "prior", "w0")))
+        .join(model.withColumnRenamed("lang", "_ml"),
+              (F.col("_ml") == F.col("lang")) & (model.tok == toks.tok),
+              "left")
+        .groupBy("doc_id", "lang_true", "lang")
+        .agg(
+            (
+                F.min("prior") + F.sum(F.coalesce("w", "w0"))
+            ).alias("s")
+        )
+    )
+    pred = scored.select(
+        "lang_true",
+        F.col("lang").alias("lang_pred"),
+        F.row_number()
+        .over(
+            Window.partitionBy("doc_id").orderBy(
+                F.desc("s"), F.asc("lang")
+            )
+        )
+        .alias("rn"),
+    ).filter(F.col("rn") == 1)
+    return pred.groupBy("lang_true", "lang_pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+
+
+@register(
+    "ml_linreg_normal",
+    """
+    WITH q AS (
+      SELECT CAST(EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS HUGEINT)
+               AS x1,
+             CAST(isodow(CAST(ts AS TIMESTAMP)) AS HUGEINT) AS x2,
+             CAST(FLOOR(value * 1000000.0 + 0.5) AS HUGEINT) AS yq
+      FROM events
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(x1) AS sx1, SUM(x2) AS sx2, SUM(yq) AS sy,
+             SUM(x1 * x1) AS s11, SUM(x2 * x2) AS s22,
+             SUM(x1 * x2) AS s12,
+             SUM(x1 * yq) AS s1y, SUM(x2 * yq) AS s2y
+      FROM q
+    ),
+    c AS (
+      SELECT n, sx1, sx2, sy,
+             n * s11 - sx1 * sx1 AS c11,
+             n * s22 - sx2 * sx2 AS c22,
+             n * s12 - sx1 * sx2 AS c12,
+             n * s1y - sx1 * sy AS c1y,
+             n * s2y - sx2 * sy AS c2y
+      FROM m
+    ),
+    b AS (
+      SELECT n, sx1, sx2, sy,
+             FLOOR(CAST(CAST(c1y * c22 - c2y * c12 AS VARCHAR) AS DOUBLE)
+                   / CAST(CAST(c11 * c22 - c12 * c12 AS VARCHAR) AS DOUBLE)
+                   / 1000000.0 * 1000000000.0 + 0.5) / 1000000000.0 AS b1,
+             FLOOR(CAST(CAST(c2y * c11 - c1y * c12 AS VARCHAR) AS DOUBLE)
+                   / CAST(CAST(c11 * c22 - c12 * c12 AS VARCHAR) AS DOUBLE)
+                   / 1000000.0 * 1000000000.0 + 0.5) / 1000000000.0 AS b2
+      FROM c
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows, b1, b2,
+           FLOOR((CAST(CAST(sy AS VARCHAR) AS DOUBLE) / 1000000.0
+                  - b1 * CAST(CAST(sx1 AS VARCHAR) AS DOUBLE)
+                  - b2 * CAST(CAST(sx2 AS VARCHAR) AS DOUBLE))
+                 / CAST(CAST(n AS VARCHAR) AS DOUBLE)
+                 * 1000000000.0 + 0.5) / 1000000000.0 AS b0
+    FROM b
+    """,
+    doc="closed-form OLS (2 features: hour-of-day, ISO weekday) via "
+    "normal equations on exact integer moments — Cramer's-rule slopes "
+    "from cancellation-free centered co-moments, quantized at 1e-9",
+)
+def ml_linreg_normal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple linear regression fitted in ONE aggregation pass: the
+    nine sufficient moments (n, Σx, Σx², Σxy …) are exact integer
+    sums (y quantized at 1e-6, features are small integers), centered
+    co-moments are exact integer differences scaled by n, and the two
+    slopes come from Cramer's rule — only the final divisions are
+    floats, each floor-quantized at 1e-9. The intercept derives from
+    the ALREADY-quantized slopes so it's a fixed float expression of
+    exact values, bit-identical on both engines.
+
+    This is the distributed "fit a baseline model" primitive: the
+    moment pass is embarrassingly parallel (map-side combine, one row
+    shuffled per partition) — the textbook scale-out for closed-form
+    models, no iteration, no driver-side data.
+
+    Scale: one scan, one 1-row aggregate. Moment magnitudes are
+    bounded by n·max(x)·max(y) — at ≳1e8 rows pre-scale y's quantum
+    (the CLAUDE.md overflow rule); HUGEINT/DECIMAL(38,0) carries the
+    rest.
+    """
+    ev = load(spark, "events", sf_dir)
+    d38 = "decimal(38,0)"
+    q = ev.select(
+        F.hour("ts").cast(d38).alias("x1"),
+        F.expr("weekday(ts) + 1").cast(d38).alias("x2"),
+        _q6(F.col("value")).cast(d38).alias("yq"),
+    )
+    m = q.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("x1").alias("sx1"),
+        F.sum("x2").alias("sx2"),
+        F.sum("yq").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x1") * F.col("yq")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("yq")).alias("s2y"),
+    )
+    c = m.select(
+        "n",
+        "sx1",
+        "sx2",
+        "sy",
+        (F.col("n") * F.col("s11") - F.col("sx1") * F.col("sx1")).alias("c11"),
+        (F.col("n") * F.col("s22") - F.col("sx2") * F.col("sx2")).alias("c22"),
+        (F.col("n") * F.col("s12") - F.col("sx1") * F.col("sx2")).alias("c12"),
+        (F.col("n") * F.col("s1y") - F.col("sx1") * F.col("sy")).alias("c1y"),
+        (F.col("n") * F.col("s2y") - F.col("sx2") * F.col("sy")).alias("c2y"),
+    )
+    d = lambda col: F.col(col).cast("string").cast("double")  # noqa: E731
+    qz = lambda x: F.floor(x * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)  # noqa: E731
+    det = F.col("c11") * F.col("c22") - F.col("c12") * F.col("c12")
+    num1 = F.col("c1y") * F.col("c22") - F.col("c2y") * F.col("c12")
+    num2 = F.col("c2y") * F.col("c11") - F.col("c1y") * F.col("c12")
+    b = c.select(
+        "n",
+        "sx1",
+        "sx2",
+        "sy",
+        qz(
+            num1.cast("string").cast("double")
+            / det.cast("string").cast("double")
+            / F.lit(1e6)
+        ).alias("b1"),
+        qz(
+            num2.cast("string").cast("double")
+            / det.cast("string").cast("double")
+            / F.lit(1e6)
+        ).alias("b2"),
+    )
+    return b.select(
+        F.col("n").cast("long").alias("n_rows"),
+        "b1",
+        "b2",
+        qz(
+            (
+                d("sy") / F.lit(1e6)
+                - F.col("b1") * d("sx1")
+                - F.col("b2") * d("sx2")
+            )
+            / d("n")
+        ).alias("b0"),
+    )
+
+
+@register(
+    "ml_decision_stump",
+    """
+    WITH q AS (
+      SELECT CAST(event_type = 'error' AS INT) AS y,
+             CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS qv
+      FROM events
+    ),
+    r AS (
+      SELECT qv,
+             ROW_NUMBER() OVER (ORDER BY qv) AS rn,
+             COUNT(*) OVER () AS nn
+      FROM q
+    ),
+    thr AS (
+      SELECT k.k, r.qv AS t
+      FROM (SELECT unnest(range(1, 10)) AS k) k
+      JOIN r ON r.rn = (k.k * (r.nn - 1)) // 10 + 1
+    ),
+    ev AS (
+      SELECT thr.k, thr.t,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(CASE WHEN qv <= t THEN 1 ELSE 0 END) AS HUGEINT)
+               AS nl,
+             CAST(SUM(CASE WHEN qv <= t AND y = 1 THEN 1 ELSE 0 END)
+               AS HUGEINT) AS pl,
+             CAST(SUM(y) AS HUGEINT) AS p
+      FROM q CROSS JOIN thr GROUP BY thr.k, thr.t
+    ),
+    g AS (
+      SELECT k, t, n, nl, pl, n - nl AS nr, p - pl AS pr,
+             CASE WHEN nl = 0 THEN CAST(0 AS HUGEINT)
+                  ELSE (nl * nl - pl * pl - (nl - pl) * (nl - pl))
+                       * 1000000 // (nl * nl) END AS gl,
+             CASE WHEN n - nl = 0 THEN CAST(0 AS HUGEINT)
+                  ELSE ((n - nl) * (n - nl) - (p - pl) * (p - pl)
+                        - ((n - nl) - (p - pl)) * ((n - nl) - (p - pl)))
+                       * 1000000 // ((n - nl) * (n - nl)) END AS gr
+      FROM ev
+    ),
+    w AS (
+      SELECT k, t, nl, nr, pl, pr,
+             (nl * gl + nr * gr) // n AS wg,
+             ROW_NUMBER() OVER (ORDER BY (nl * gl + nr * gr) // n ASC,
+                                t ASC, k ASC) AS rnk
+      FROM g
+    )
+    SELECT CAST(t AS DOUBLE) / 1000000.0 AS threshold,
+           CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+           CAST(pl AS BIGINT) AS pos_left, CAST(pr AS BIGINT) AS pos_right,
+           CAST(wg AS BIGINT) AS gini_ppm
+    FROM w WHERE rnk = 1
+    """,
+    doc="decision-stump training: best of 9 exact decile thresholds "
+    "on value predicting the error label by weighted Gini impurity "
+    "(integer ppm) — one candidate-cross pass, deterministic argmin",
+)
+def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a one-split decision tree in two passes: candidate
+    thresholds are the nine exact decile ranks of the feature (the
+    element-pick convention — no float interpolation), then ONE
+    conditional-aggregation pass over events×9 computes left/right
+    class counts per candidate, Gini impurity as an exact integer-ppm
+    rational ((n²−pos²−neg²)·1e6 div n²), and the argmin with a
+    deterministic tie-break (threshold asc) is the stump. This is the
+    inner loop of distributed tree learning (each tree node = one such
+    pass over its partition of the data).
+
+    Scale: the ×9 candidate fan-out is a broadcast nested loop over a
+    9-row table — the fact stream is scanned once, aggregated
+    map-side to 9 rows. Counts are squared in HUGEINT/DECIMAL(38,0)
+    (n² at 3e9 rows would overflow int64 — the CLAUDE.md rule). The
+    global decile rank is the one total order; at 100 TB swap in
+    approx-quantile candidates (the threshold set need not be exact
+    for a heuristic splitter — Gini evaluation stays exact).
+    """
+    ev = load(spark, "events", sf_dir)
+    q = ev.select(
+        (F.col("event_type") == "error").cast("int").alias("y"),
+        _q6(F.col("value")).alias("qv"),
+    )
+    r = q.select(
+        "qv",
+        F.row_number().over(Window.orderBy("qv")).alias("rn"),
+        F.count(F.lit(1)).over(_w_all()).alias("nn"),
+    )
+    ks = spark.range(1, 10).select(F.col("id").alias("k"))
+    thr = r.join(
+        F.broadcast(ks), F.expr("rn = (k * (nn - 1)) div 10 + 1")
+    ).select("k", F.col("qv").alias("t"))
+    d38 = "decimal(38,0)"
+    evx = (
+        q.crossJoin(F.broadcast(thr))
+        .groupBy("k", "t")
+        .agg(
+            F.count(F.lit(1)).cast(d38).alias("n"),
+            F.sum(F.when(F.col("qv") <= F.col("t"), 1).otherwise(0))
+            .cast(d38)
+            .alias("nl"),
+            F.sum(
+                F.when((F.col("qv") <= F.col("t")) & (F.col("y") == 1), 1)
+                .otherwise(0)
+            )
+            .cast(d38)
+            .alias("pl"),
+            F.sum("y").cast(d38).alias("p"),
+        )
+    )
+    g = evx.select(
+        "k",
+        "t",
+        "n",
+        "nl",
+        "pl",
+        (F.col("n") - F.col("nl")).alias("nr"),
+        (F.col("p") - F.col("pl")).alias("pr"),
+        F.expr(
+            "CASE WHEN nl = 0 THEN CAST(0 AS decimal(38,0)) ELSE "
+            "(nl * nl - pl * pl - (nl - pl) * (nl - pl)) * 1000000 "
+            "div (nl * nl) END"
+        ).alias("gl"),
+        F.expr(
+            "CASE WHEN n - nl = 0 THEN CAST(0 AS decimal(38,0)) ELSE "
+            "((n - nl) * (n - nl) - (p - pl) * (p - pl) "
+            "- ((n - nl) - (p - pl)) * ((n - nl) - (p - pl))) * 1000000 "
+            "div ((n - nl) * (n - nl)) END"
+        ).alias("gr"),
+    )
+    w = g.select(
+        "t",
+        "k",
+        "nl",
+        "nr",
+        "pl",
+        "pr",
+        F.expr("(nl * gl + nr * gr) div n").alias("wg"),
+    ).withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.orderBy(F.asc("wg"), F.asc("t"), F.asc("k"))
+        ),
+    ).filter(F.col("rnk") == 1)
+    return w.select(
+        (F.col("t").cast("double") / F.lit(1e6)).alias("threshold"),
+        F.col("nl").cast("long").alias("n_left"),
+        F.col("nr").cast("long").alias("n_right"),
+        F.col("pl").cast("long").alias("pos_left"),
+        F.col("pr").cast("long").alias("pos_right"),
+        F.col("wg").cast("long").alias("gini_ppm"),
+    )

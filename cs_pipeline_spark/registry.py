@@ -137,6 +137,7 @@ def _load_all_modules() -> None:
         filters,
         graph,
         joins,
+        mlmetrics,
         multimodal,
         pipeline_curate,
         pipeline_e2e,

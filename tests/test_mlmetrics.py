@@ -1,0 +1,98 @@
+"""Semantic checks for the ML-metrics wave against independent
+NumPy/pandas references (the oracle gate proves cross-engine equality;
+these prove the MATH is right)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from cs_pipeline_spark.registry import queries
+
+
+@pytest.fixture(scope="module")
+def events_pdf(sf_dir):
+    return pd.read_parquet(f"{sf_dir}/events.parquet")
+
+
+def test_confusion_metrics_match_numpy(spark, sf_dir, events_pdf):
+    row = queries()["ml_confusion_metrics"](spark, sf_dir).collect()[0]
+    q = np.floor(events_pdf["value"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    y = (events_pdf["event_type"] == "purchase").to_numpy()
+    m = np.sort(q)[(len(q) - 1) // 2]
+    pred = q > m
+    tp = int((y & pred).sum())
+    fp = int((~y & pred).sum())
+    fn = int((y & ~pred).sum())
+    tn = int((~y & ~pred).sum())
+    assert (row.tp, row.fp, row.fn, row.tn) == (tp, fp, fn, tn)
+    assert row.precision_ppm == tp * 1000000 // (tp + fp)
+    assert row.f1_ppm == 2 * tp * 1000000 // (2 * tp + fp + fn)
+
+
+def test_calibration_bins_total_and_monotone_score(spark, sf_dir, events_pdf):
+    rows = sorted(
+        queries()["ml_calibration_bins"](spark, sf_dir).collect(),
+        key=lambda r: r.bin,
+    )
+    assert [r.bin for r in rows] == list(range(1, 11))
+    assert sum(r.n for r in rows) == len(events_pdf)
+    scores = [r.mean_score_ppm for r in rows]
+    assert scores == sorted(scores)
+    for r in rows:
+        assert 0 <= r.pos_rate_ppm <= 1000000
+
+
+def test_linreg_matches_lstsq(spark, sf_dir, events_pdf):
+    row = queries()["ml_linreg_normal"](spark, sf_dir).collect()[0]
+    ts = pd.to_datetime(events_pdf["ts"])
+    x1 = ts.dt.hour.to_numpy().astype(float)
+    x2 = (ts.dt.weekday.to_numpy() + 1).astype(float)
+    yq = np.floor(events_pdf["value"].to_numpy() * 1e6 + 0.5)
+    y = yq / 1e6
+    A = np.column_stack([np.ones_like(x1), x1, x2])
+    beta, *_ = np.linalg.lstsq(A, y, rcond=None)
+    assert row.n_rows == len(y)
+    assert abs(row.b0 - beta[0]) < 1e-6
+    assert abs(row.b1 - beta[1]) < 1e-6
+    assert abs(row.b2 - beta[2]) < 1e-6
+
+
+def test_decision_stump_beats_exhaustive_deciles(spark, sf_dir, events_pdf):
+    row = queries()["ml_decision_stump"](spark, sf_dir).collect()[0]
+    q = np.floor(events_pdf["value"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    y = (events_pdf["event_type"] == "error").to_numpy().astype(np.int64)
+    n = len(q)
+    order = np.sort(q)
+    best = None
+    for k in range(1, 10):
+        t = order[(k * (n - 1)) // 10]
+        left = q <= t
+        nl, nr = int(left.sum()), int((~left).sum())
+        pl, pr = int(y[left].sum()), int(y[~left].sum())
+        gl = (nl * nl - pl * pl - (nl - pl) ** 2) * 1000000 // (nl * nl) if nl else 0
+        gr = (nr * nr - pr * pr - (nr - pr) ** 2) * 1000000 // (nr * nr) if nr else 0
+        wg = (nl * gl + nr * gr) // n
+        cand = (wg, t)
+        if best is None or cand < best:
+            best = cand
+    assert row.gini_ppm == best[0]
+    assert abs(row.threshold - best[1] / 1e6) < 1e-9
+
+
+def test_naive_bayes_confusion_is_consistent(spark, sf_dir):
+    rows = queries()["ml_naive_bayes"](spark, sf_dir).collect()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    # every doc classified exactly once
+    assert sum(r.n_docs for r in rows) == len(docs)
+    # per-true-lang marginals match the corpus
+    marg = {}
+    for r in rows:
+        marg[r.lang_true] = marg.get(r.lang_true, 0) + r.n_docs
+    assert marg == docs["lang"].value_counts().to_dict()
+    # resubstitution accuracy of a 5-class NB on synthetic text should
+    # beat the majority-class baseline
+    correct = sum(r.n_docs for r in rows if r.lang_true == r.lang_pred)
+    majority = docs["lang"].value_counts().max()
+    assert correct >= majority
