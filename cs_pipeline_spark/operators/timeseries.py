@@ -1,0 +1,298 @@
+"""Time-series analytics beyond the decomposition family in
+``windows.py``: exponential smoothing, spectral power, and forecast
+evaluation — each as one declarative plan with the repo's
+exact-integer discipline (dyadic weights, per-term quantized
+transcendentals, integer-ppm error metrics).
+
+The reference's time axis handling (hourly ERA5 buckets,
+processing_utils.py:142-256) motivates the hourly-index convention
+used here: ``unix_micros(ts) div 3600000000`` — the same integer
+bucket key as ``agg_seasonal_hod`` / ``agg_acf_lags``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cs_pipeline_spark.registry import register
+from cs_pipeline_spark.tables import EVENTS_TS_SQL, load
+
+_Q6 = "CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)"
+
+
+@register(
+    "ts_ewma_dyadic",
+    f"""
+    WITH q AS (
+      SELECT event_type,
+             {_Q6} AS qv,
+             epoch_us({EVENTS_TS_SQL}) AS us, event_id
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, qv,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY us DESC, event_id DESC) AS rn
+      FROM q
+    ),
+    t AS (
+      SELECT event_type, qv, rn,
+             CASE WHEN rn <= 15 THEN CAST(1 AS BIGINT) << (15 - rn)
+                  ELSE CAST(1 AS BIGINT) END AS w
+      FROM r WHERE rn <= 16
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_used,
+           FLOOR(CAST(CAST(SUM(qv * w) AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(SUM(w) AS VARCHAR) AS DOUBLE)
+                 / 1000000.0 * 1000000000.0 + 0.5) / 1000000000.0
+             AS ewma,
+           CAST(MAX(CASE WHEN rn = 1 THEN qv END) AS DOUBLE) / 1000000.0
+             AS last_value
+    FROM t GROUP BY event_type
+    """,
+    doc="dyadic EWMA (α=1/2, 16-tap) of the latest values per event "
+    "type: exact power-of-two integer weights, one window pass — the "
+    "smoothed 'current level' a monitor compares the last value to",
+)
+def ts_ewma_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average with α=1/2 truncated at
+    16 taps — chosen because dyadic weights (2^-(k+1), remainder mass
+    on the oldest tap) are EXACT binary fractions: the weighted sum is
+    an exact integer (quantized value × power-of-two shift), and the
+    single final division of two exact integers is quantized at 1e-9.
+    No recursion, no float accumulation — the smoother becomes one
+    window-rank pass plus one aggregate.
+
+    Scale: the window ranks newest-first per key and keeps 16 rows —
+    at 100 TB push a per-key time filter first (the EWMA only needs
+    the trailing 16 events), then the shuffle carries ≤16 rows per
+    key. Weights via shiftleft on the rank (numBits must be a cast
+    column expression — the CLAUDE.md literal-int gotcha).
+    """
+    ev = load(spark, "events", sf_dir)
+    q = ev.select(
+        "event_type",
+        F.expr(_Q6).alias("qv"),
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("us"), F.desc("event_id")
+    )
+    t = (
+        q.select(
+            "event_type", "qv", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= 16)
+        .withColumn(
+            "w",
+            F.expr(
+                "CASE WHEN rn <= 15 THEN shiftleft(1L, cast(15 - rn AS int)) "
+                "ELSE 1L END"
+            ),
+        )
+    )
+    d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    return t.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_used"),
+        (
+            F.floor(
+                d(F.sum(F.col("qv") * F.col("w")))
+                / d(F.sum("w"))
+                / F.lit(1e6)
+                * F.lit(1e9)
+                + F.lit(0.5)
+            )
+            / F.lit(1e9)
+        ).alias("ewma"),
+        (
+            F.max(F.when(F.col("rn") == 1, F.col("qv"))).cast("double")
+            / F.lit(1e6)
+        ).alias("last_value"),
+    )
+
+
+@register(
+    "ts_fourier_power",
+    f"""
+    WITH hourly AS (
+      SELECT epoch_us({EVENTS_TS_SQL}) // 3600000000 AS h,
+             CAST(SUM({_Q6}) AS BIGINT) AS sq
+      FROM events GROUP BY 1
+    ),
+    px AS (
+      SELECT h, sq, p.period
+      FROM hourly CROSS JOIN (SELECT unnest([24, 168]) AS period) p
+    ),
+    terms AS (
+      SELECT period, sq,
+             CAST(FLOOR(cos(6.283185307179586 * (h % period) / period)
+                  * 1000000000.0 + 0.5) AS BIGINT) AS qc,
+             CAST(FLOOR(sin(6.283185307179586 * (h % period) / period)
+                  * 1000000000.0 + 0.5) AS BIGINT) AS qs
+      FROM px
+    ),
+    m AS (
+      SELECT period,
+             CAST(COUNT(*) AS BIGINT) AS n_hours,
+             SUM(CAST(sq AS HUGEINT) * qc) AS a,
+             SUM(CAST(sq AS HUGEINT) * qs) AS b,
+             SUM(CAST(sq AS HUGEINT)) AS s
+      FROM terms GROUP BY period
+    )
+    SELECT CAST(period AS BIGINT) AS period_h, n_hours,
+           FLOOR(sqrt(CAST(CAST(a AS VARCHAR) AS DOUBLE)
+                      * CAST(CAST(a AS VARCHAR) AS DOUBLE)
+                      + CAST(CAST(b AS VARCHAR) AS DOUBLE)
+                      * CAST(CAST(b AS VARCHAR) AS DOUBLE))
+                 / 1000000000.0 / CAST(CAST(s AS VARCHAR) AS DOUBLE)
+                 * 1000000000.0 + 0.5) / 1000000000.0 AS amp_ratio
+    FROM m
+    """,
+    doc="spectral power at the daily (24 h) and weekly (168 h) periods "
+    "of the hourly value series: one-frequency DFT with per-term "
+    "1e-9-quantized cos/sin — the periodicity detector behind "
+    "agg_acf_lags' correlation peaks",
+)
+def ts_fourier_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-frequency discrete Fourier projection: the hourly
+    quantized-sum series dotted against cos/sin at the daily and
+    weekly periods, amplitude normalized by total mass. A strong
+    daily cycle shows amp_ratio(24) ≫ amp_ratio(168); the spectral
+    twin of the lag-24 autocorrelation peak.
+
+    Determinism: each cos/sin factor is floor-quantized at 1e-9
+    BEFORE the cross-row sum (the chi2/entropy convention — libm cos
+    may differ in the last ulp between engines, the quantized integer
+    does not); products ride HUGEINT/DECIMAL(38,0); only the final
+    amplitude expression is float, itself quantized.
+
+    Scale: one map-side-combined hourly aggregate (≪ events), a 2-row
+    period fan-out, one 2-key aggregate. Adding frequencies is O(1)
+    rows each — the bounded-frequency DFT, not an FFT over raw rows.
+    """
+    ev = load(spark, "events", sf_dir)
+    hourly = (
+        ev.select(
+            F.expr("unix_micros(ts) div 3600000000").alias("h"),
+            F.expr(_Q6).alias("qv"),
+        )
+        .groupBy("h")
+        .agg(F.sum("qv").cast("long").alias("sq"))
+    )
+    periods = spark.range(0, 2).select(
+        F.when(F.col("id") == 0, 24).otherwise(168).alias("period")
+    )
+    px = hourly.crossJoin(F.broadcast(periods))
+    arg = (
+        F.lit(6.283185307179586)
+        * (F.col("h") % F.col("period"))
+        / F.col("period")
+    )
+    q9 = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)).cast("long")  # noqa: E731
+    terms = px.select(
+        "period",
+        F.col("sq").cast("decimal(38,0)").alias("sqd"),
+        q9(F.cos(arg)).alias("qc"),
+        q9(F.sin(arg)).alias("qs"),
+    )
+    m = terms.groupBy("period").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum(F.col("sqd") * F.col("qc")).alias("a"),
+        F.sum(F.col("sqd") * F.col("qs")).alias("b"),
+        F.sum("sqd").alias("s"),
+    )
+    d = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
+    return m.select(
+        F.col("period").cast("long").alias("period_h"),
+        "n_hours",
+        (
+            F.floor(
+                F.sqrt(d("a") * d("a") + d("b") * d("b"))
+                / F.lit(1e9)
+                / d("s")
+                * F.lit(1e9)
+                + F.lit(0.5)
+            )
+            / F.lit(1e9)
+        ).alias("amp_ratio"),
+    )
+
+
+@register(
+    "ts_forecast_eval",
+    f"""
+    WITH hourly AS (
+      SELECT event_type,
+             epoch_us({EVENTS_TS_SQL}) // 3600000000 AS h,
+             CAST(SUM({_Q6}) AS BIGINT) AS sq
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT c.event_type,
+             CAST(c.sq AS HUGEINT) - p.sq AS err,
+             CAST(p.sq AS HUGEINT) AS actual_prev
+      FROM hourly c JOIN hourly p
+        ON p.event_type = c.event_type AND p.h = c.h - 24
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(abs(err)) // COUNT(*) AS BIGINT) AS mae_micro,
+           CAST(SUM(err) // COUNT(*) AS BIGINT) AS bias_micro,
+           CAST(SUM(abs(err) * 1000000 // actual_prev) // COUNT(*)
+                AS BIGINT) AS mape_ppm
+    FROM pairs GROUP BY event_type
+    """,
+    doc="seasonal-naive forecast evaluation: predict each hour's value "
+    "mass by the same hour yesterday, score MAE/bias/MAPE in exact "
+    "integer micro/ppm per event type — the baseline every forecaster "
+    "must beat",
+)
+def ts_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the seasonal-naive predictor (ŷ_t = y_{t−24h}) on
+    the hourly quantized-sum series, per event type. MAE and bias are
+    integer micro-unit divisions of exact sums; MAPE quantizes each
+    per-hour relative error to integer ppm BEFORE averaging (the
+    per-term rule — a single float sum of ratios would be
+    order-dependent). Missing hours drop out via the inner lag join
+    (evaluate only where both sides exist).
+
+    Scale: the hourly rollup is one map-side-combined aggregate
+    (output ≪ events); the lag join is an equi-join of that small
+    series with itself on (type, h−24) — broadcastable. Products
+    |err|·1e6 ride HUGEINT/DECIMAL(38,0) (int64 would cap near
+    sf10 — the overflow rule).
+    """
+    ev = load(spark, "events", sf_dir)
+    hourly = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000").alias("h"),
+            F.expr(_Q6).alias("qv"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.sum("qv").cast("long").alias("sq"))
+    )
+    cur = hourly.select(
+        "event_type", "h", F.col("sq").cast("decimal(38,0)").alias("sqc")
+    )
+    prev = hourly.select(
+        "event_type",
+        (F.col("h") + 24).alias("h"),
+        F.col("sq").cast("decimal(38,0)").alias("sqp"),
+    )
+    pairs = cur.join(prev, ["event_type", "h"]).select(
+        "event_type",
+        (F.col("sqc") - F.col("sqp")).alias("err"),
+        F.col("sqp").alias("actual_prev"),
+    )
+    return pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.expr("sum(abs(err)) div count(1)").cast("long").alias("mae_micro"),
+        F.expr("sum(err) div count(1)").cast("long").alias("bias_micro"),
+        F.expr("sum(abs(err) * 1000000 div actual_prev) div count(1)")
+        .cast("long")
+        .alias("mape_ppm"),
+    )

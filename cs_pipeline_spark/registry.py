@@ -151,6 +151,7 @@ def _load_all_modules() -> None:
         spatial,
         subqueries,
         text,
+        timeseries,
         training,
         windows,
     )

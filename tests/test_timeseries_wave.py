@@ -1,0 +1,86 @@
+"""Semantic checks for ts_ewma_dyadic / ts_fourier_power /
+ts_forecast_eval / join_fuzzy_levenshtein against NumPy references."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from cs_pipeline_spark.registry import queries
+
+
+@pytest.fixture(scope="module")
+def events_pdf(sf_dir):
+    df = pd.read_parquet(f"{sf_dir}/events.parquet")
+    df["ts"] = pd.to_datetime(df["ts"])
+    df["qv"] = np.floor(df["value"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    return df
+
+
+def test_ewma_dyadic_matches_numpy(spark, sf_dir, events_pdf):
+    rows = {
+        r.event_type: r
+        for r in queries()["ts_ewma_dyadic"](spark, sf_dir).collect()
+    }
+    for et, g in events_pdf.groupby("event_type"):
+        g = g.sort_values(["ts", "event_id"], ascending=False).head(16)
+        qv = g["qv"].to_numpy()
+        w = np.array([1 << (15 - rn) if rn <= 15 else 1
+                      for rn in range(1, len(qv) + 1)], dtype=np.int64)
+        want = int((qv * w).sum()) / int(w.sum()) / 1e6
+        want = np.floor(want * 1e9 + 0.5) / 1e9
+        r = rows[et]
+        assert r.n_used == len(qv)
+        assert r.ewma == want
+        assert r.last_value == qv[0] / 1e6
+
+
+def test_fourier_power_daily_cycle(spark, sf_dir):
+    rows = {
+        r.period_h: r
+        for r in queries()["ts_fourier_power"](spark, sf_dir).collect()
+    }
+    assert set(rows) == {24, 168}
+    for r in rows.values():
+        assert 0.0 <= r.amp_ratio <= 1.0
+        assert r.n_hours > 0
+
+
+def test_forecast_eval_matches_numpy(spark, sf_dir, events_pdf):
+    rows = {
+        r.event_type: r
+        for r in queries()["ts_forecast_eval"](spark, sf_dir).collect()
+    }
+    df = events_pdf.copy()
+    df["h"] = (df["ts"].astype("int64") // 10**3) // 3600000000
+    hourly = df.groupby(["event_type", "h"])["qv"].sum().reset_index()
+    for et, g in hourly.groupby("event_type"):
+        s = dict(zip(g["h"], g["qv"]))
+        errs = [
+            (h, s[h] - s[h - 24]) for h in s if h - 24 in s
+        ]
+        n = len(errs)
+        if n == 0:
+            # no lag-24 pair → the op's inner join emits no row
+            assert et not in rows
+            continue
+        mae = sum(abs(e) for _, e in errs) // n
+        r = rows[et]
+        assert r.n_pairs == n
+        assert r.mae_micro == mae
+        mape_terms = [abs(e) * 1000000 // s[h - 24] for h, e in errs]
+        assert r.mape_ppm == sum(mape_terms) // n
+
+
+def test_fuzzy_levenshtein_recovers_origin(spark, sf_dir):
+    rows = queries()["join_fuzzy_levenshtein"](spark, sf_dir).collect()
+    by_probe = {}
+    for r in rows:
+        by_probe.setdefault(r.probe, []).append(r)
+        assert r.dist <= 2
+        assert r.probe[0] == r.matched[0]
+    # every probe is word-minus-2nd-char, so its origin word is a
+    # dist-1 match captured by the blocking predicate
+    for probe, matches in by_probe.items():
+        assert any(m.dist == 1 for m in matches)
