@@ -53,7 +53,8 @@ def test_forecast_eval_matches_numpy(spark, sf_dir, events_pdf):
         for r in queries()["ts_forecast_eval"](spark, sf_dir).collect()
     }
     df = events_pdf.copy()
-    df["h"] = (df["ts"].astype("int64") // 10**3) // 3600000000
+    us = df["ts"].astype("datetime64[us]").astype("int64")
+    df["h"] = us // 3600000000
     hourly = df.groupby(["event_type", "h"])["qv"].sum().reset_index()
     for et, g in hourly.groupby("event_type"):
         s = dict(zip(g["h"], g["qv"]))
