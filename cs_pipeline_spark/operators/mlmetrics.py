@@ -651,3 +651,93 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pr").cast("long").alias("pos_right"),
         F.col("wg").cast("long").alias("gini_ppm"),
     )
+
+
+@register(
+    "ml_pr_curve",
+    """
+    WITH q AS (
+      SELECT CAST(event_type = 'purchase' AS INT) AS y,
+             CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS qv
+      FROM events
+    ),
+    r AS (
+      SELECT qv,
+             ROW_NUMBER() OVER (ORDER BY qv) AS rn,
+             COUNT(*) OVER () AS nn
+      FROM q
+    ),
+    thr AS (
+      SELECT k.k, r.qv AS t
+      FROM (SELECT unnest(range(1, 10)) AS k) k
+      JOIN r ON r.rn = (k.k * (r.nn - 1)) // 10 + 1
+    ),
+    c AS (
+      SELECT thr.k, thr.t,
+             SUM(CASE WHEN y = 1 AND qv > t THEN 1 ELSE 0 END) AS tp,
+             SUM(CASE WHEN y = 0 AND qv > t THEN 1 ELSE 0 END) AS fp,
+             SUM(CASE WHEN y = 1 AND qv <= t THEN 1 ELSE 0 END) AS fn
+      FROM q CROSS JOIN thr GROUP BY thr.k, thr.t
+    )
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(t AS DOUBLE) / 1000000.0 AS threshold,
+           CAST(tp + fp AS BIGINT) AS n_pred_pos,
+           CAST(CASE WHEN tp + fp > 0
+                THEN tp * 1000000 // (tp + fp) END AS BIGINT)
+             AS precision_ppm,
+           CAST(CASE WHEN tp + fn > 0
+                THEN tp * 1000000 // (tp + fn) END AS BIGINT)
+             AS recall_ppm
+    FROM c
+    """,
+    doc="precision-recall curve at the 9 exact decile thresholds "
+    "(integer ppm) — the operating-point table behind threshold "
+    "selection; completes ml_confusion_metrics' single point",
+)
+def ml_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full operating-characteristic sweep: the same exact
+    decile-rank candidate thresholds as ``ml_decision_stump``, each
+    scored as a classifier cutoff with integer-ppm precision/recall.
+    Reading the 9 rows top-down is walking the PR curve; the
+    area-under estimate and the knee-point threshold both derive from
+    this table.
+
+    Scale: identical shape to the stump — one global-rank pass for
+    the thresholds (approx-quantile at 100 TB), one ×9 broadcast
+    fan-out aggregated map-side to 9 rows.
+    """
+    ev = load(spark, "events", sf_dir)
+    q = ev.select(
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+        _q6(F.col("value")).alias("qv"),
+    )
+    r = q.select(
+        "qv",
+        F.row_number().over(Window.orderBy("qv")).alias("rn"),
+        F.count(F.lit(1)).over(_w_all()).alias("nn"),
+    )
+    ks = spark.range(1, 10).select(F.col("id").alias("k"))
+    thr = r.join(
+        F.broadcast(ks), F.expr("rn = (k * (nn - 1)) div 10 + 1")
+    ).select("k", F.col("qv").alias("t"))
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    c = (
+        q.crossJoin(F.broadcast(thr))
+        .groupBy("k", "t")
+        .agg(
+            cnt((F.col("y") == 1) & (F.col("qv") > F.col("t"))).alias("tp"),
+            cnt((F.col("y") == 0) & (F.col("qv") > F.col("t"))).alias("fp"),
+            cnt((F.col("y") == 1) & (F.col("qv") <= F.col("t"))).alias("fn"),
+        )
+    )
+    return c.select(
+        F.col("k").cast("long").alias("k"),
+        (F.col("t").cast("double") / F.lit(1e6)).alias("threshold"),
+        (F.col("tp") + F.col("fp")).cast("long").alias("n_pred_pos"),
+        F.expr(
+            "CASE WHEN tp + fp > 0 THEN tp * 1000000 div (tp + fp) END"
+        ).cast("long").alias("precision_ppm"),
+        F.expr(
+            "CASE WHEN tp + fn > 0 THEN tp * 1000000 div (tp + fn) END"
+        ).cast("long").alias("recall_ppm"),
+    )

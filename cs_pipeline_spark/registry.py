@@ -153,6 +153,7 @@ def _load_all_modules() -> None:
         text,
         timeseries,
         training,
+        trainprep,
         windows,
     )
     from cs_pipeline_spark.plans import request_groups, validate  # noqa: F401

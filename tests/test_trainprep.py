@@ -1,0 +1,72 @@
+"""Semantic checks for the training-prep wave (reservoir merge,
+quantile sketch, LOO target encoding, PR curve)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from cs_pipeline_spark.registry import queries
+
+_P = 1000000007
+_MULT = 2654435761 % _P
+
+
+@pytest.fixture(scope="module")
+def events_pdf(sf_dir):
+    df = pd.read_parquet(f"{sf_dir}/events.parquet")
+    df["qv"] = np.floor(df["value"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    return df
+
+
+def test_reservoir_matches_numpy_and_merges(spark, sf_dir, events_pdf):
+    rows = sorted(
+        queries()["sample_reservoir_merge"](spark, sf_dir).collect(),
+        key=lambda r: r.rank,
+    )
+    assert all(r.merge_ok for r in rows)
+    pri = (events_pdf["event_id"].to_numpy() % _P) * _MULT % _P
+    order = np.lexsort((events_pdf["event_id"].to_numpy(), pri))
+    want = events_pdf["event_id"].to_numpy()[order][: len(rows)]
+    assert [r.event_id for r in rows] == list(want)
+
+
+def test_quantile_sketch_contract(spark, sf_dir, events_pdf):
+    r = queries()["agg_quantile_sketch_mergeable"](spark, sf_dir).collect()[0]
+    assert r.p50_in_bucket and r.p99_in_bucket and r.split_invariant
+    q = np.sort(events_pdf["qv"].to_numpy())
+    n = len(q)
+    assert r.n_rows == n
+    assert r.exact_p50 == q[int(np.ceil(0.5 * n)) - 1] / 1e6
+    assert r.exact_p99 == q[int(np.ceil(0.99 * n)) - 1] / 1e6
+    # sketch bucket answers within its 2x relative-error contract
+    assert 2 ** (r.p50_bucket - 1) <= q[int(np.ceil(0.5 * n)) - 1] < 2 ** r.p50_bucket
+
+
+def test_target_encode_loo_excludes_self(spark, sf_dir, events_pdf):
+    rows = {
+        r.event_type: r
+        for r in queries()["features_target_encode_loo"](spark, sf_dir).collect()
+    }
+    for et, g in events_pdf.groupby("event_type"):
+        qv = g["qv"].to_numpy()
+        s, n = int(qv.sum()), len(qv)
+        te = (s - qv) // (n - 1)
+        r = rows[et]
+        assert r.n == n
+        assert r.te_min_micro == te.min()
+        assert r.te_max_micro == te.max()
+        assert r.te_mean_micro == int(te.sum()) // n
+
+
+def test_pr_curve_monotone_recall(spark, sf_dir):
+    rows = sorted(
+        queries()["ml_pr_curve"](spark, sf_dir).collect(), key=lambda r: r.k
+    )
+    assert len(rows) == 9
+    # raising the threshold can only shrink the predicted-positive set
+    npp = [r.n_pred_pos for r in rows]
+    assert npp == sorted(npp, reverse=True)
+    rec = [r.recall_ppm for r in rows]
+    assert rec == sorted(rec, reverse=True)
