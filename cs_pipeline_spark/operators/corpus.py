@@ -902,3 +902,77 @@ def corpus_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("len_diversity_corr"),
     )
+
+
+@register(
+    "corpus_temperature_mix",
+    f"""
+    WITH tok AS (
+      SELECT lang, CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    dom AS (
+      SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      FROM tok GROUP BY lang
+    ),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM dom),
+    w AS (
+      SELECT d.lang, d.n_tokens,
+             CAST(d.n_tokens AS BIGINT) * 1000000 // t.t AS raw_share_ppm,
+             CAST(FLOOR(exp(0.7 * ln(CAST(d.n_tokens AS DOUBLE) / t.t))
+                  * 1000000000.0 + 0.5) AS BIGINT) AS wq
+      FROM dom d CROSS JOIN tot t
+    ),
+    ws AS (SELECT CAST(SUM(wq) AS BIGINT) AS sw FROM w)
+    SELECT w.lang, w.n_tokens, w.raw_share_ppm,
+           CAST(w.wq * 1000000 // ws.sw AS BIGINT) AS temp_share_ppm
+    FROM w CROSS JOIN ws
+    """,
+    doc="temperature-scaled sampling mixture (α=0.7, the multilingual-"
+    "LM exponent): per-lang share ∝ p^α — boosts low-resource "
+    "domains without flattening to uniform; each p^α quantized at "
+    "1e-9 before the integer-ppm normalization",
+)
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exponentiated-share sampler from multilingual LM training:
+    raw corpus shares p_i are reweighted to p_i^α (α = 0.7) and
+    renormalized, which up-samples low-resource languages smoothly —
+    between proportional (α=1) and uniform (α=0).
+    ``corpus_mix_weights`` is the uniform-target planner; this is the
+    temperature family every mixture ablation sweeps.
+
+    Determinism: the single transcendental p^α = exp(α·ln p) is
+    floor-quantized at 1e-9 per domain BEFORE the normalizing sum, so
+    shares are integer-ppm ratios of exact integers.
+
+    Scale: one map-side-combined groupBy(lang) + two 1-row broadcast
+    totals — dashboard-sized output regardless of corpus size.
+    """
+    docs = load(spark, "documents", sf_dir)
+    tok = docs.select(
+        "lang", F.size(_tokens(F.expr(_NORM))).cast("long").alias("n_tok")
+    )
+    dom = tok.groupBy("lang").agg(F.sum("n_tok").cast("long").alias("n_tokens"))
+    tot = dom.agg(F.sum("n_tokens").cast("long").alias("t"))
+    w = dom.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_tokens",
+        F.expr("n_tokens * 1000000 div t").cast("long").alias("raw_share_ppm"),
+        F.floor(
+            F.exp(
+                F.lit(0.7)
+                * F.log(F.col("n_tokens").cast("double") / F.col("t"))
+            )
+            * F.lit(1e9)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("wq"),
+    )
+    ws = w.agg(F.sum("wq").cast("long").alias("sw"))
+    return w.crossJoin(F.broadcast(ws)).select(
+        "lang",
+        "n_tokens",
+        "raw_share_ppm",
+        F.expr("wq * 1000000 div sw").cast("long").alias("temp_share_ppm"),
+    )

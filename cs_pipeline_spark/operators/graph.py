@@ -791,3 +791,101 @@ def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("reciprocity_ppm"),
     )
+
+
+def _assort_oracle() -> str:
+    n = "(SELECT COUNT(*) FROM documents)"
+    return f"""
+    WITH de AS ({_EDGE_SQL.format(n=n)}),
+    ed AS (
+      SELECT src, dst FROM de WHERE src <> dst
+      UNION
+      SELECT dst, src FROM de WHERE src <> dst
+    ),
+    deg AS (SELECT src AS node, CAST(COUNT(*) AS HUGEINT) AS d
+            FROM ed GROUP BY src),
+    pairs AS (
+      SELECT da.d AS x, db.d AS y
+      FROM ed JOIN deg da ON da.node = ed.src
+              JOIN deg db ON db.node = ed.dst
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * x) AS sxx,
+             SUM(y * y) AS syy, SUM(x * y) AS sxy
+      FROM pairs
+    )
+    SELECT CAST(n AS BIGINT) AS n_endpoints,
+      CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 THEN
+        FLOOR(CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE) /
+        SQRT(CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) *
+             CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE))
+        * 1000000000.0 + 0.5) / 1000000000.0
+      END AS assortativity
+    FROM m
+    """
+
+
+@register(
+    "graph_degree_assortativity",
+    _assort_oracle(),
+    doc="degree assortativity of the undirected link graph: Pearson "
+    "correlation of endpoint degrees over all directed edge "
+    "orientations, from exact integer moments — positive = hubs link "
+    "hubs (social), negative = hub-and-spoke (web/biology)",
+)
+def graph_degree_assortativity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Newman's degree assortativity coefficient: for every edge
+    orientation (u,v) of the undirected graph, correlate deg(u) with
+    deg(v). The classic one-number summary of mixing structure —
+    crawler frontier policies and partitioning strategies both read
+    it (a disassortative graph has the hub-skew that breaks naive
+    hash partitioning).
+
+    Same exact-integer-moment Pearson as ``agg_corr``: degree sums
+    ride HUGEINT/DECIMAL(38,0), the correlation is one float division
+    of exact integers, floor-quantized at 1e-9.
+
+    Scale: degrees come from one map-side-combined groupBy; the two
+    degree joins are hash joins on the node key (degree table ≪
+    edges, broadcastable); the moment rollup is one 1-row aggregate.
+    No iteration, no global sort.
+    """
+    docs = load(spark, "documents", sf_dir)
+    de = _edges(docs, _n_docs(spark, sf_dir)).filter(
+        F.col("src") != F.col("dst")
+    )
+    ed = de.union(
+        de.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    deg = ed.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("d")
+    )
+    da = deg.select(F.col("node").alias("src"), F.col("d").alias("x"))
+    db = deg.select(F.col("node").alias("dst"), F.col("d").alias("y"))
+    pairs = ed.join(da, "src").join(db, "dst")
+    m = pairs.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    varx = m.n * m.sxx - m.sx * m.sx
+    vary = m.n * m.syy - m.sy * m.sy
+    cov = m.n * m.sxy - m.sx * m.sy
+    r = F.when(
+        (varx > 0) & (vary > 0),
+        F.floor(
+            d(cov) / F.sqrt(d(varx) * d(vary)) * F.lit(1e9) + F.lit(0.5)
+        )
+        / F.lit(1e9),
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_endpoints"),
+        r.alias("assortativity"),
+    )

@@ -70,3 +70,23 @@ def test_pr_curve_monotone_recall(spark, sf_dir):
     assert npp == sorted(npp, reverse=True)
     rec = [r.recall_ppm for r in rows]
     assert rec == sorted(rec, reverse=True)
+
+
+def test_temperature_mix_boosts_low_resource(spark, sf_dir):
+    rows = queries()["corpus_temperature_mix"](spark, sf_dir).collect()
+    tot = sum(r.n_tokens for r in rows)
+    for r in rows:
+        raw = r.raw_share_ppm / 1e6
+        temp = r.temp_share_ppm / 1e6
+        # temperature sampling pulls shares toward uniform
+        if raw < 1 / len(rows):
+            assert temp >= raw
+        else:
+            assert temp <= raw
+    assert abs(sum(r.temp_share_ppm for r in rows) - 1000000) < len(rows) + 1
+
+
+def test_assortativity_in_range(spark, sf_dir):
+    r = queries()["graph_degree_assortativity"](spark, sf_dir).collect()[0]
+    assert r.n_endpoints > 0
+    assert -1.0 <= r.assortativity <= 1.0
