@@ -341,7 +341,10 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         toks.crossJoin(F.broadcast(langs.select("lang", "prior", "w0")))
-        .join(model.withColumnRenamed("lang", "_ml"),
+        # token keys are high-cardinality and uniform: shuffle-hash
+        # beats sort-merge (no per-partition sort of the fact stream);
+        # broadcast only when the vocab×langs model is known-small
+        .join(model.hint("shuffle_hash").withColumnRenamed("lang", "_ml"),
               (F.col("_ml") == F.col("lang")) & (model.tok == toks.tok),
               "left")
         .groupBy("doc_id", "lang_true", "lang")

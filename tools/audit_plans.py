@@ -242,6 +242,22 @@ AUDIT: dict[str, dict] = {
     "train_assembly_e2e": {"smj": 0},
     "stream_active_users": {"smj": 0},
     "sink_dynamic_overwrite": {"smj": 0},
+    # round-3 waves
+    "ml_confusion_metrics": {"smj": 0},
+    "ml_calibration_bins": {"smj": 0},
+    "ml_naive_bayes": {},
+    "ml_linreg_normal": {"exchange": 1, "smj": 0},
+    "ml_decision_stump": {"smj": 0},
+    "ml_pr_curve": {"smj": 0},
+    "ts_ewma_dyadic": {"exchange": 1},
+    "ts_fourier_power": {"smj": 0},
+    "ts_forecast_eval": {},
+    "join_fuzzy_levenshtein": {"smj": 0},
+    "sample_reservoir_merge": {"smj": 0},
+    "agg_quantile_sketch_mergeable": {},
+    "features_target_encode_loo": {"exchange": 1, "smj": 0},
+    "graph_degree_assortativity": {},
+    "corpus_temperature_mix": {"smj": 0},
 }
 
 
