@@ -3398,3 +3398,248 @@ def emb_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         q6(msn).alias("mean_sqnorm"),
         q6(F.lit(1.0) - css / msn).alias("isotropy"),
     )
+
+
+def _silhouette_sql() -> str:
+    d2 = _sql_int_d2()
+    return (
+        "WITH " + _SQL_EQS_CTE + ", "
+        f"u AS (SELECT label, unnest(range(1, {_KM_DIM} + 1)) AS pos, "
+        "unnest(eq) AS v FROM eqs), "
+        "cm AS (SELECT label AS clabel, pos, SUM(v) // COUNT(*) AS cv "
+        "FROM u GROUP BY label, pos), "
+        "cq AS MATERIALIZED (SELECT clabel, list(cv ORDER BY pos) AS cq "
+        "FROM cm GROUP BY clabel), "
+        f"dd AS (SELECT e.vec_id, e.label, c.clabel, "
+        f"CAST({d2} AS BIGINT) AS d2 FROM eqs e CROSS JOIN cq c), "
+        "ab AS (SELECT vec_id, label, "
+        "MAX(CASE WHEN clabel = label THEN d2 END) AS a2, "
+        "MIN(CASE WHEN clabel <> label THEN d2 END) AS b2 "
+        "FROM dd GROUP BY vec_id, label), "
+        "s AS (SELECT vec_id, label, "
+        "CASE WHEN GREATEST(a2, b2) = 0 THEN CAST(0 AS BIGINT) ELSE "
+        "CAST(FLOOR((SQRT(CAST(b2 AS DOUBLE)) - SQRT(CAST(a2 AS DOUBLE))) "
+        "/ GREATEST(SQRT(CAST(a2 AS DOUBLE)), SQRT(CAST(b2 AS DOUBLE))) "
+        "* 1000000.0 + 0.5) AS BIGINT) END AS sq FROM ab) "
+        "SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs, "
+        "CAST(SUM(sq) // COUNT(*) AS BIGINT) AS silhouette_mean_micro, "
+        "CAST(MIN(sq) AS BIGINT) AS silhouette_min_micro, "
+        "CAST(SUM(CASE WHEN sq < 0 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_negative "
+        "FROM s GROUP BY label"
+    )
+
+
+@register(
+    "emb_silhouette",
+    _silhouette_sql(),
+    doc="simplified silhouette per label: (b−a)/max(a,b) from exact "
+    "integer distances to the own vs nearest-other centroid — the "
+    "cluster-quality score; negative silhouettes flag likely "
+    "mislabeled vectors",
+)
+def emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette coefficient: for each
+    vector, a = distance to its own label's centroid, b = distance to
+    the nearest OTHER centroid, s = (b−a)/max(a,b) ∈ [−1, 1]. The
+    per-label mean is the standard clustering-quality summary; the
+    negative-silhouette count is the actionable output — those
+    vectors sit closer to a foreign centroid than their own (label
+    noise, or genuinely ambiguous content). Full silhouette uses
+    mean pairwise distances (O(n²)); the centroid form is the
+    standard O(n·k) scale substitute.
+
+    Determinism: centroids are the floor-div integer vectors shared
+    with ``emb_centroid_classify``; a², b² are exact integer squared
+    distances; sqrt/divide are correctly-rounded IEEE on identical
+    exact inputs, quantized at 1e-6 per point BEFORE the per-label
+    integer mean.
+
+    Scale: k centroids broadcast into one narrow corpus pass (k·d
+    integers); per-vector work is O(k·d); the rollup is a ≤k-row
+    map-side-combined aggregate. No corpus shuffle at all.
+    """
+    emb = load(spark, "embeddings", sf_dir)
+    eqs = _quantized_eq(emb)
+    cents = _assemble_centroids(
+        eqs.select("label", F.posexplode("eq").alias("pos", "v"))
+        .groupBy(F.col("label").alias("clabel"), "pos")
+        .agg(F.expr("sum(v) div count(1)").alias("cv"))
+    )
+    d2 = _int_d2()
+    dd = eqs.join(F.broadcast(cents)).select(
+        "vec_id", "label", "clabel", d2.alias("d2")
+    )
+    ab = dd.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("clabel") == F.col("label"), F.col("d2"))).alias(
+            "a2"
+        ),
+        F.min(F.when(F.col("clabel") != F.col("label"), F.col("d2"))).alias(
+            "b2"
+        ),
+    )
+    sq = F.when(F.greatest("a2", "b2") == 0, F.lit(0).cast("long")).otherwise(
+        F.floor(
+            (F.sqrt(F.col("b2").cast("double")) - F.sqrt(F.col("a2").cast("double")))
+            / F.greatest(
+                F.sqrt(F.col("a2").cast("double")),
+                F.sqrt(F.col("b2").cast("double")),
+            )
+            * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("long")
+    )
+    s = ab.select("label", sq.alias("sq"))
+    return s.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.expr("sum(sq) div count(1)")
+        .cast("long")
+        .alias("silhouette_mean_micro"),
+        F.min("sq").cast("long").alias("silhouette_min_micro"),
+        F.sum(F.when(F.col("sq") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_negative"),
+    )
+
+
+_MRL_DIMS = (8, 16, 64)
+_MRL_QUERIES = 10
+_MRL_K = 5
+
+
+def _mrl_dot_sql(d: int) -> str:
+    return (
+        "(SELECT SUM(CAST(FLOOR(CAST(q.embedding[CAST(i AS INTEGER)] AS DOUBLE) "
+        "* CAST(c.embedding[CAST(i AS INTEGER)] AS DOUBLE) "
+        f"* 1000000.0 + 0.5) AS BIGINT)) FROM range(1, {d} + 1) t(i))"
+    )
+
+
+def _mrl_sql() -> str:
+    return f"""
+    WITH pairs AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cid,
+             {_mrl_dot_sql(8)} AS dp8,
+             {_mrl_dot_sql(16)} AS dp16,
+             {_mrl_dot_sql(64)} AS dp64
+      FROM embeddings q JOIN embeddings c
+        ON q.vec_id < {_MRL_QUERIES} AND c.vec_id <> q.vec_id
+    ),
+    r AS (
+      SELECT qid, cid, d.d,
+             CASE d.d WHEN 8 THEN dp8 WHEN 16 THEN dp16 ELSE dp64 END AS dp
+      FROM pairs CROSS JOIN (SELECT unnest([8, 16, 64]) AS d) d
+    ),
+    rk AS (
+      SELECT qid, cid, d,
+             ROW_NUMBER() OVER (PARTITION BY qid, d
+                                ORDER BY dp DESC, cid) AS rn
+      FROM r
+    ),
+    top AS (SELECT qid, cid, d FROM rk WHERE rn <= {_MRL_K}),
+    truth AS (SELECT qid, cid FROM top WHERE d = 64),
+    hits AS (
+      SELECT t.d, CAST(COUNT(*) AS BIGINT) AS nhit
+      FROM top t JOIN truth tr ON tr.qid = t.qid AND tr.cid = t.cid
+      GROUP BY t.d
+    ),
+    nq AS (SELECT CAST(COUNT(DISTINCT qid) AS BIGINT) AS nq FROM top)
+    SELECT CAST(d AS BIGINT) AS prefix_dim, nq.nq AS n_queries,
+           CAST(nhit * 1000000 // ({_MRL_K} * nq.nq) AS BIGINT)
+             AS recall_ppm
+    FROM hits CROSS JOIN nq
+    """
+
+
+@register(
+    "emb_matryoshka_eval",
+    _mrl_sql(),
+    doc=f"Matryoshka prefix-dimension retrieval eval: recall@{_MRL_K} "
+    "of top-k under 8/16-dim embedding prefixes vs the full 64-dim "
+    "ranking (exact quantized dots) — the dim-vs-quality tradeoff "
+    "table for truncatable embeddings",
+)
+def emb_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-truncation evaluation (the Matryoshka-representation
+    question): if retrieval ran on only the first 8 or 16 dimensions,
+    how much of the full-dimension top-k survives? Recall@k of each
+    prefix ranking against the 64-dim ground truth, over a fixed
+    query set. The output is the dims-vs-recall tradeoff curve that
+    decides how small the serving index can be.
+
+    Determinism: every dot product is the quantized-integer form
+    (per-element floor at 1e-6, exact long sums — the ``qdot``
+    discipline), rankings are total orders with vec_id tie-break,
+    recall is an integer-ppm ratio.
+
+    Scale: the query set broadcasts (the ``sim_topk_bruteforce``
+    shape — the corpus is never shuffled); per pair the three prefix
+    dots share one array traversal's cost class. Truth and prefix
+    top-k live per (query, dim) — k·|Q|·|dims| rows into the final
+    join, driver-independent.
+    """
+    emb = load(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < _MRL_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+
+    def pdot(d: int) -> F.Column:
+        return F.aggregate(
+            F.zip_with(
+                F.slice("qe", 1, d),
+                F.slice("ce", 1, d),
+                lambda x, y: F.floor(
+                    x.cast("double") * y.cast("double") * F.lit(1e6)
+                    + F.lit(0.5)
+                ).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    pairs = (
+        c.join(F.broadcast(q), F.col("cid") != F.col("qid"))
+        .select(
+            "qid",
+            "cid",
+            pdot(8).alias("dp8"),
+            pdot(16).alias("dp16"),
+            pdot(64).alias("dp64"),
+        )
+    )
+    dims = spark.range(0, 3).select(
+        F.element_at(F.array(F.lit(8), F.lit(16), F.lit(64)), (F.col("id") + 1).cast("int")).alias("d")
+    )
+    r = pairs.crossJoin(F.broadcast(dims)).select(
+        "qid",
+        "cid",
+        "d",
+        F.when(F.col("d") == 8, F.col("dp8"))
+        .when(F.col("d") == 16, F.col("dp16"))
+        .otherwise(F.col("dp64"))
+        .alias("dp"),
+    )
+    rk = r.select(
+        "qid",
+        "cid",
+        "d",
+        F.row_number()
+        .over(
+            Window.partitionBy("qid", "d").orderBy(F.desc("dp"), F.asc("cid"))
+        )
+        .alias("rn"),
+    )
+    top = rk.filter(F.col("rn") <= _MRL_K).select("qid", "cid", "d")
+    truth = top.filter(F.col("d") == 64).select("qid", "cid")
+    hits = top.join(truth, ["qid", "cid"]).groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("nhit")
+    )
+    nq = top.agg(F.countDistinct("qid").cast("long").alias("nq"))
+    return hits.crossJoin(F.broadcast(nq)).select(
+        F.col("d").cast("long").alias("prefix_dim"),
+        F.col("nq").alias("n_queries"),
+        F.expr(f"nhit * 1000000 div ({_MRL_K} * nq)")
+        .cast("long")
+        .alias("recall_ppm"),
+    )

@@ -90,3 +90,26 @@ def test_assortativity_in_range(spark, sf_dir):
     r = queries()["graph_degree_assortativity"](spark, sf_dir).collect()[0]
     assert r.n_endpoints > 0
     assert -1.0 <= r.assortativity <= 1.0
+
+
+def test_silhouette_bounds_and_counts(spark, sf_dir):
+    rows = queries()["emb_silhouette"](spark, sf_dir).collect()
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    assert sum(r.n_vecs for r in rows) == len(emb)
+    for r in rows:
+        assert -1000000 <= r.silhouette_min_micro <= 1000000
+        assert -1000000 <= r.silhouette_mean_micro <= 1000000
+        assert 0 <= r.n_negative <= r.n_vecs
+
+
+def test_matryoshka_full_dim_is_perfect(spark, sf_dir):
+    rows = {
+        r.prefix_dim: r
+        for r in queries()["emb_matryoshka_eval"](spark, sf_dir).collect()
+    }
+    assert set(rows) == {8, 16, 64}
+    # the 64-dim "prefix" IS the ground truth
+    assert rows[64].recall_ppm == 1000000
+    # longer prefixes cannot systematically hurt: 64 >= 16 and 64 >= 8
+    assert rows[64].recall_ppm >= rows[16].recall_ppm
+    assert rows[64].recall_ppm >= rows[8].recall_ppm
