@@ -74,6 +74,14 @@ HEADLINE = [
     "dq_volume_anomaly",
     "emb_centroid_classify",
     "train_assembly_e2e",
+    # round-3: in-engine ML (NB training+scoring, stump), spectral
+    # periodicity, mergeable reservoir, silhouette, prefix-dim eval
+    "ml_naive_bayes",
+    "ml_decision_stump",
+    "ts_fourier_power",
+    "sample_reservoir_merge",
+    "emb_silhouette",
+    "emb_matryoshka_eval",
 ]
 
 

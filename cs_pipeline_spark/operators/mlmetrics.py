@@ -247,10 +247,14 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM toks GROUP BY 1, 2) tc
       JOIN langs l ON l.lang = tc.lang CROSS JOIN vsz s
     ),
+    dtc AS (
+      SELECT doc_id, lang_true, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM toks GROUP BY 1, 2, 3
+    ),
     scored AS (
       SELECT tk.doc_id, tk.lang_true, lg.lang,
-             MIN(lg.prior) + SUM(COALESCE(m.w, lg.w0)) AS s
-      FROM toks tk CROSS JOIN langs lg
+             MIN(lg.prior) + SUM(tk.cnt * COALESCE(m.w, lg.w0)) AS s
+      FROM dtc tk CROSS JOIN langs lg
       LEFT JOIN model m ON m.lang = lg.lang AND m.tok = tk.tok
       GROUP BY 1, 2, 3
     ),
@@ -339,18 +343,25 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w"),
         )
     )
+    # collapse token multiplicity BEFORE the scoring join: the join
+    # input shrinks to distinct (doc, token) pairs and each pair
+    # contributes cnt·w — same sum, far fewer joined rows
+    dtc = toks.groupBy("doc_id", "lang_true", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
     scored = (
-        toks.crossJoin(F.broadcast(langs.select("lang", "prior", "w0")))
+        dtc.crossJoin(F.broadcast(langs.select("lang", "prior", "w0")))
         # token keys are high-cardinality and uniform: shuffle-hash
         # beats sort-merge (no per-partition sort of the fact stream);
         # broadcast only when the vocab×langs model is known-small
         .join(model.hint("shuffle_hash").withColumnRenamed("lang", "_ml"),
-              (F.col("_ml") == F.col("lang")) & (model.tok == toks.tok),
+              (F.col("_ml") == F.col("lang")) & (model.tok == dtc.tok),
               "left")
         .groupBy("doc_id", "lang_true", "lang")
         .agg(
             (
-                F.min("prior") + F.sum(F.coalesce("w", "w0"))
+                F.min("prior")
+                + F.sum(F.col("cnt") * F.coalesce("w", "w0"))
             ).alias("s")
         )
     )
