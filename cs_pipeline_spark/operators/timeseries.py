@@ -296,3 +296,78 @@ def ts_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("mape_ppm"),
     )
+
+
+@register(
+    "ts_ohlc_bars",
+    f"""
+    WITH e AS (
+      SELECT event_type,
+             epoch_us({EVENTS_TS_SQL}) // 86400000000 AS day,
+             epoch_us({EVENTS_TS_SQL}) AS us, event_id,
+             {_Q6} AS qv
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, day, qv,
+             ROW_NUMBER() OVER (PARTITION BY event_type, day
+                                ORDER BY us, event_id) AS rf,
+             ROW_NUMBER() OVER (PARTITION BY event_type, day
+                                ORDER BY us DESC, event_id DESC) AS rl
+      FROM e
+    )
+    SELECT event_type, CAST(day AS BIGINT) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(CASE WHEN rf = 1 THEN qv END) AS DOUBLE) / 1000000.0
+             AS open,
+           CAST(MAX(qv) AS DOUBLE) / 1000000.0 AS high,
+           CAST(MIN(qv) AS DOUBLE) / 1000000.0 AS low,
+           CAST(MAX(CASE WHEN rl = 1 THEN qv END) AS DOUBLE) / 1000000.0
+             AS close
+    FROM r GROUP BY event_type, day
+    """,
+    doc="daily OHLC bars per event type: open/close by exact rank "
+    "picks on the (time, id) total order, high/low by min/max — the "
+    "bar-resampling primitive behind every candlestick/metrics "
+    "downsample",
+)
+def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bar aggregation (the OHLC resample): per (series, day), the
+    first and last values on a deterministic total order plus the
+    extremes. first()/last() aggregates are partitioning-dependent in
+    Spark; the rank-pick form (row_number forward and backward, take
+    rn=1) is exact and engine-identical — the same element-picking
+    discipline as the discrete quantiles.
+
+    Scale: one shuffle on (series, day); both rank windows and the
+    final aggregate share that partitioning, so Catalyst plans a
+    single exchange. Output is O(series·days) — the downsampled
+    series a dashboard stores instead of raw events.
+    """
+    ev = load(spark, "events", sf_dir)
+    e = ev.select(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        F.expr(_Q6).alias("qv"),
+    )
+    wf = Window.partitionBy("event_type", "day").orderBy("us", "event_id")
+    wl = Window.partitionBy("event_type", "day").orderBy(
+        F.desc("us"), F.desc("event_id")
+    )
+    r = e.select(
+        "event_type",
+        "day",
+        "qv",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wl).alias("rl"),
+    )
+    v = lambda c: c.cast("double") / F.lit(1e6)  # noqa: E731
+    return r.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        v(F.max(F.when(F.col("rf") == 1, F.col("qv")))).alias("open"),
+        v(F.max("qv")).alias("high"),
+        v(F.min("qv")).alias("low"),
+        v(F.max(F.when(F.col("rl") == 1, F.col("qv")))).alias("close"),
+    )

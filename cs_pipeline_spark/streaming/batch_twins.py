@@ -475,3 +475,111 @@ def stream_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "was_throttled"
         ),
     )
+
+
+_WM_P = 1000000007
+_WM_MULT = 2654435761 % _WM_P
+# deterministic transport jitter: 0..599 s per event
+_WM_JIT = f"(((event_id % {_WM_P}) * {_WM_MULT}) % {_WM_P}) % 600"
+_WM_DELAYS = (60, 300, 600)
+
+
+@register(
+    "stream_watermark_sweep",
+    f"""
+    WITH e AS (
+      SELECT event_id,
+             epoch_us({EVENTS_TS_SQL}) AS us,
+             epoch_us({EVENTS_TS_SQL}) + ({_WM_JIT}) * 1000000 AS arr_us
+      FROM events
+    ),
+    m AS (
+      SELECT us,
+             MAX(us) OVER (ORDER BY arr_us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS mx
+      FROM e
+    ),
+    d AS (SELECT unnest([{", ".join(str(d) for d in _WM_DELAYS)}]) AS delay_s)
+    SELECT CAST(d.delay_s AS BIGINT) AS delay_s,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN us < mx - d.delay_s * 1000000
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           CAST(SUM(CASE WHEN us < mx - d.delay_s * 1000000
+                    THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+             AS late_ppm
+    FROM m CROSS JOIN d GROUP BY d.delay_s
+    """,
+    doc="watermark-delay sweep: under deterministic 0-10 min transport "
+    "jitter, what fraction of events arrives behind each candidate "
+    "watermark (1/5/10 min) — the table that chooses "
+    "withWatermark()'s delay before deploying the streaming job",
+)
+def stream_watermark_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermark-tuning study every Structured Streaming job needs
+    before choosing ``withWatermark(delay)``: replay events in a
+    deterministic ARRIVAL order (event time + a multiplicative-hash
+    transport jitter of 0-10 min), track the running max event time —
+    exactly the watermark clock — and count, for each candidate
+    delay, the events whose event time lags that clock by more than
+    the delay (those are dropped by the real streaming job; see
+    ``stream_late_data_drop`` for the end-state semantics of one
+    fixed delay). Output: the late-fraction per candidate — pick the
+    smallest delay whose drop rate is acceptable.
+
+    Determinism: the jitter is the repo's multiplicative hash; the
+    running max is over a total arrival order; all counts integer.
+
+    Scale: at 100 TB the running max runs per shard/key (arrival
+    order is only ever defined per partition in a real bus — Kafka
+    ordering is per-partition too); the global order here mirrors the
+    single-stream semantics. One window pass + one 3-key aggregate.
+    """
+    ev = load(spark, "events", sf_dir)
+    e = ev.select(
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        (
+            F.unix_micros("ts") + F.expr(_WM_JIT) * F.lit(1000000)
+        ).alias("arr_us"),
+    )
+    m = e.select(
+        "us",
+        F.max("us")
+        .over(
+            W_sql.orderBy("arr_us", "event_id").rowsBetween(
+                W_sql.unboundedPreceding, W_sql.currentRow
+            )
+        )
+        .alias("mx"),
+    )
+    delays = spark.range(0, len(_WM_DELAYS)).select(
+        F.element_at(
+            F.array(*[F.lit(d) for d in _WM_DELAYS]),
+            (F.col("id") + 1).cast("int"),
+        ).alias("delay_s")
+    )
+    late = F.sum(
+        F.when(
+            F.col("us") < F.col("mx") - F.col("delay_s") * F.lit(1000000), 1
+        ).otherwise(0)
+    )
+    return (
+        m.crossJoin(F.broadcast(delays))
+        .groupBy("delay_s")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            late.cast("long").alias("n_late"),
+            F.expr(
+                "sum(CASE WHEN us < mx - delay_s * 1000000 THEN 1 ELSE 0 END)"
+                " * 1000000 div count(1)"
+            )
+            .cast("long")
+            .alias("late_ppm"),
+        )
+        .select(
+            F.col("delay_s").cast("long").alias("delay_s"),
+            "n_events",
+            "n_late",
+            "late_ppm",
+        )
+    )

@@ -85,3 +85,35 @@ def test_fuzzy_levenshtein_recovers_origin(spark, sf_dir):
     # dist-1 match captured by the blocking predicate
     for probe, matches in by_probe.items():
         assert any(m.dist == 1 for m in matches)
+
+
+def test_ohlc_bars_match_pandas(spark, sf_dir, events_pdf):
+    rows = {
+        (r.event_type, r.day): r
+        for r in queries()["ts_ohlc_bars"](spark, sf_dir).collect()
+    }
+    df = events_pdf.copy()
+    us = df["ts"].astype("datetime64[us]").astype("int64")
+    df["day"] = us // 86400000000
+    df["us"] = us
+    for (et, day), g in df.groupby(["event_type", "day"]):
+        g = g.sort_values(["us", "event_id"])
+        r = rows[(et, day)]
+        assert r.n_events == len(g)
+        assert r.open == g["qv"].iloc[0] / 1e6
+        assert r.close == g["qv"].iloc[-1] / 1e6
+        assert r.high == g["qv"].max() / 1e6
+        assert r.low == g["qv"].min() / 1e6
+
+
+def test_watermark_sweep_monotone(spark, sf_dir):
+    rows = sorted(
+        queries()["stream_watermark_sweep"](spark, sf_dir).collect(),
+        key=lambda r: r.delay_s,
+    )
+    assert [r.delay_s for r in rows] == [60, 300, 600]
+    lates = [r.n_late for r in rows]
+    # a longer watermark delay can only admit more events
+    assert lates == sorted(lates, reverse=True)
+    # the 0-10 min jitter makes SOME events late at a 1-min watermark
+    assert rows[0].n_late > 0
