@@ -981,3 +981,51 @@ def f_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("business_days"),
     )
+
+
+_FRESH_SLA_S = 3600  # freshness SLA: every stream within 1h of the head
+
+
+@register(
+    "dq_freshness_lag",
+    f"""
+    WITH m AS (
+      SELECT event_type,
+             MAX(epoch_us({EVENTS_TS_SQL})) AS mx,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type
+    ),
+    g AS (SELECT MAX(mx) AS gmx FROM m)
+    SELECT m.event_type, m.n AS n_events,
+           CAST((g.gmx - m.mx) // 1000000 AS BIGINT) AS lag_s,
+           COALESCE((g.gmx - m.mx) // 1000000 > {_FRESH_SLA_S}, FALSE)
+             AS sla_breach
+    FROM m CROSS JOIN g
+    """,
+    doc=f"per-stream freshness audit: each event type's lag behind "
+    f"the newest event anywhere, with a {_FRESH_SLA_S}s SLA verdict — "
+    "the stalled-producer detector a pipeline health page reads",
+)
+def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness monitoring: a producer that silently stops shows up
+    as its stream's max event time falling behind the global head.
+    Lag is an exact integer second count; the SLA flag is the
+    COALESCE'd boolean (nullable-boolean canonicalization rule).
+
+    Scale: one map-side-combined MAX per key (no raw-row shuffle),
+    one 1-row global max broadcast back. O(types) output.
+    """
+    ev = load(spark, "events", sf_dir)
+    m = ev.groupBy("event_type").agg(
+        F.max(F.unix_micros("ts")).alias("mx"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    g = m.agg(F.max("mx").alias("gmx"))
+    return m.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        F.expr("(gmx - mx) div 1000000").cast("long").alias("lag_s"),
+        F.coalesce(
+            F.expr(f"(gmx - mx) div 1000000 > {_FRESH_SLA_S}"), F.lit(False)
+        ).alias("sla_breach"),
+    )

@@ -608,3 +608,98 @@ def mm_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("long").alias("first_doc"),
         F.max("doc_id").cast("long").alias("last_doc"),
     )
+
+
+def _xmodal_sql() -> str:
+    nrm = (
+        "(SELECT SUM(q * q) FROM (SELECT CAST(FLOOR(CAST(x AS DOUBLE) "
+        "* 1000000.0 + 0.5) AS BIGINT) AS q FROM unnest(e.embedding) u(x)))"
+    )
+    return f"""
+    WITH j AS (
+      SELECT d.lang, CAST(d.n_chars AS HUGEINT) AS x,
+             CAST({nrm} // 1000000000 AS HUGEINT) AS y
+      FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    ),
+    m AS (
+      SELECT lang, CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * x) AS sxx,
+             SUM(y * y) AS syy, SUM(x * y) AS sxy
+      FROM j GROUP BY lang
+    )
+    SELECT lang, CAST(n AS BIGINT) AS n_pairs,
+      CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 THEN
+        FLOOR(CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE) /
+        SQRT(CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) *
+             CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE))
+        * 1000000000.0 + 0.5) / 1000000000.0
+      END AS corr_len_norm
+    FROM m
+    """
+
+
+@register(
+    "mm_text_embed_consistency",
+    _xmodal_sql(),
+    doc="cross-modal consistency audit: per-lang Pearson correlation "
+    "between document length and embedding squared norm (exact "
+    "integer moments) — a broken embedding batch (zeros, truncation, "
+    "misaligned ids) shows up as a correlation break",
+)
+def mm_text_embed_consistency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Joins the text modality to its embedding modality on the shared
+    id and correlates a cheap text statistic (length) with a cheap
+    vector statistic (squared norm), per language. The absolute value
+    is uninteresting; the MONITORED value is its stability — an
+    embedding-service regression (zero vectors, wrong truncation,
+    id misalignment after a backfill) breaks the correlation
+    immediately. This is the cross-modal twin of ``dq_value_drift_psi``.
+
+    Determinism: squared norms are exact integer sums on the 1e6
+    grid, floor-scaled by 1e9 to keep the second moment inside
+    HUGEINT/DECIMAL(38,0) (the pre-scale overflow rule); the Pearson
+    is the agg_corr exact-moment form, quantized at 1e-9.
+
+    Scale: one equi-join on the id (both sides id-partitioned in a
+    real lake — co-located), one map-side-combined moment aggregate
+    per lang. No vector pairwise work at all.
+    """
+    docs = load(spark, "documents", sf_dir)
+    emb = load(spark, "embeddings", sf_dir)
+    j = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "lang",
+        F.col("n_chars").cast("decimal(38,0)").alias("x"),
+        F.expr(
+            "aggregate(transform(embedding, "
+            "x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS LONG)), "
+            "0L, (acc, q) -> acc + q * q) div 1000000000"
+        )
+        .cast("decimal(38,0)")
+        .alias("y"),
+    )
+    m = j.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    varx = m.n * m.sxx - m.sx * m.sx
+    vary = m.n * m.syy - m.sy * m.sy
+    cov = m.n * m.sxy - m.sx * m.sy
+    r = F.when(
+        (varx > 0) & (vary > 0),
+        F.floor(
+            d(cov) / F.sqrt(d(varx) * d(vary)) * F.lit(1e9) + F.lit(0.5)
+        )
+        / F.lit(1e9),
+    )
+    return m.select(
+        "lang",
+        F.col("n").cast("long").alias("n_pairs"),
+        r.alias("corr_len_norm"),
+    )

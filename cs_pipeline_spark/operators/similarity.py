@@ -3643,3 +3643,101 @@ def emb_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("recall_ppm"),
     )
+
+
+_FT_QUERIES = 5
+_FT_K = 5
+
+
+def _filtered_topk_sql() -> str:
+    dot = (
+        "(SELECT SUM(CAST(FLOOR(CAST(q.embedding[CAST(i AS INTEGER)] AS DOUBLE) "
+        "* CAST(c.embedding[CAST(i AS INTEGER)] AS DOUBLE) "
+        f"* 1000000.0 + 0.5) AS BIGINT)) FROM range(1, {_KM_DIM} + 1) t(i))"
+    )
+    return f"""
+    WITH corpus AS (
+      SELECT e.vec_id, e.embedding
+      FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+      WHERE d.lang = 'en'
+    ),
+    scored AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cid, {dot} AS dp
+      FROM embeddings q JOIN corpus c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {_FT_QUERIES}
+    )
+    SELECT qid, cid, CAST(rn AS BIGINT) AS rank,
+           CAST(dp AS DOUBLE) / 1000000.0 AS dot
+    FROM (SELECT qid, cid, dp,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY dp DESC, cid) AS rn
+          FROM scored) t
+    WHERE rn <= {_FT_K}
+    """
+
+
+@register(
+    "sim_filtered_topk",
+    _filtered_topk_sql(),
+    doc=f"metadata-filtered vector search: top-{_FT_K} by exact "
+    "quantized dot product restricted to English documents "
+    "(pre-filter strategy) — the filtered-ANN problem every vector "
+    "store fights, solved relationally by pushing the predicate "
+    "below the distance computation",
+)
+def sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search — the query pattern vector databases
+    struggle with (post-filtering an ANN result loses recall when the
+    filter is selective; pre-filtering breaks graph indexes). The
+    relational engine gets the PRE-FILTER strategy for free: join the
+    embedding column to its metadata row, push the predicate
+    (lang = 'en') below the distance computation, and the top-k runs
+    over exactly the admissible corpus — recall is 1.0 by
+    construction. Dot products are the exact quantized-integer form;
+    ranking is a total order with id tie-break.
+
+    Scale: the metadata predicate prunes the corpus BEFORE any vector
+    arithmetic (at 100 TB with partitioned/bucketed storage the scan
+    itself skips); the query set broadcasts; per-query heaps
+    (``sim_topk_prereduce``) bound the shuffle at large query counts.
+    """
+    emb = load(spark, "embeddings", sf_dir)
+    docs = load(spark, "documents", sf_dir)
+    corpus = (
+        emb.join(
+            docs.filter(F.col("lang") == "en").select("doc_id"),
+            emb.vec_id == F.col("doc_id"),
+        )
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    )
+    q = emb.filter(F.col("vec_id") < _FT_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    dp = F.aggregate(
+        F.zip_with(
+            "qe",
+            "ce",
+            lambda x, y: F.floor(
+                x.cast("double") * y.cast("double") * F.lit(1e6) + F.lit(0.5)
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = corpus.join(
+        F.broadcast(q), F.col("cid") != F.col("qid")
+    ).select("qid", "cid", dp.alias("dp"))
+    rk = scored.select(
+        "qid",
+        "cid",
+        "dp",
+        F.row_number()
+        .over(Window.partitionBy("qid").orderBy(F.desc("dp"), F.asc("cid")))
+        .alias("rn"),
+    ).filter(F.col("rn") <= _FT_K)
+    return rk.select(
+        "qid",
+        "cid",
+        F.col("rn").cast("long").alias("rank"),
+        (F.col("dp").cast("double") / F.lit(1e6)).alias("dot"),
+    )

@@ -113,3 +113,19 @@ def test_matryoshka_full_dim_is_perfect(spark, sf_dir):
     # longer prefixes cannot systematically hurt: 64 >= 16 and 64 >= 8
     assert rows[64].recall_ppm >= rows[16].recall_ppm
     assert rows[64].recall_ppm >= rows[8].recall_ppm
+
+
+def test_filtered_topk_respects_filter(spark, sf_dir):
+    rows = queries()["sim_filtered_topk"](spark, sf_dir).collect()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    en = set(docs.loc[docs["lang"] == "en", "doc_id"])
+    for r in rows:
+        assert r.cid in en
+        assert 1 <= r.rank <= 5
+
+
+def test_freshness_lag_head_is_zero(spark, sf_dir):
+    rows = queries()["dq_freshness_lag"](spark, sf_dir).collect()
+    assert min(r.lag_s for r in rows) == 0
+    for r in rows:
+        assert r.sla_breach == (r.lag_s > 3600)
