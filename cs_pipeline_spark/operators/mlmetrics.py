@@ -755,3 +755,148 @@ def ml_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CASE WHEN tp + fn > 0 THEN tp * 1000000 div (tp + fn) END"
         ).cast("long").alias("recall_ppm"),
     )
+
+
+_GD_ROUNDS = 4
+_GD_ETA_DIV = 16000  # η = 1e6/(16000·1e9) per unit gradient — dyadic-free
+                     # but exact: integer division, truncation toward zero
+                     # identical in both engines for any sign
+
+
+def _logreg_oracle() -> str:
+    parts = [
+        "WITH base AS MATERIALIZED (",
+        "SELECT CAST(event_type = 'purchase' AS INT) AS y, ",
+        "CAST(EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS x1 ",
+        "FROM events), ",
+        "wa0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1)",
+    ]
+    for r in range(_GD_ROUNDS):
+        parts.append(
+            f", p{r} AS MATERIALIZED (SELECT y, x1, "
+            "CAST(FLOOR(1.0 / (1.0 + exp(-(CAST(w.w0 + w.w1 * x1 AS DOUBLE)"
+            " / 1000000.0))) * 1000000000.0 + 0.5) AS BIGINT) AS p "
+            f"FROM base CROSS JOIN wa{r} w)"
+        )
+        parts.append(
+            f", g{r} AS (SELECT "
+            "SUM(CAST(p - y * 1000000000 AS HUGEINT)) AS ga, "
+            "SUM(CAST(p - y * 1000000000 AS HUGEINT) * x1) AS gb, "
+            f"CAST(COUNT(*) AS HUGEINT) AS n FROM p{r})"
+        )
+        parts.append(
+            f", wa{r + 1} AS (SELECT "
+            f"CAST(w.w0 - g.ga // ({_GD_ETA_DIV} * g.n) AS BIGINT) AS w0, "
+            f"CAST(w.w1 - g.gb // ({_GD_ETA_DIV} * g.n) AS BIGINT) AS w1 "
+            f"FROM g{r} g CROSS JOIN wa{r} w)"
+        )
+    parts.append(
+        f""", fin AS (
+      SELECT CAST(SUM(CASE WHEN ((w.w0 + w.w1 * x1) > 0) = (y = 1)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM base CROSS JOIN wa{_GD_ROUNDS} w)
+    SELECT w.w0 AS w0_micro, w.w1 AS w1_micro, fin.n AS n_rows,
+           CAST(fin.n_correct * 1000000 // fin.n AS BIGINT) AS acc_ppm
+    FROM wa{_GD_ROUNDS} w CROSS JOIN fin"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "ml_logreg_gd",
+    _logreg_oracle(),
+    doc=f"logistic regression by {_GD_ROUNDS}-round full-batch gradient "
+    "descent as iterated relational algebra: integer-micro weights, "
+    "per-row 1e-9-quantized sigmoid, exact HUGEINT gradients — "
+    "iterative optimization with bit-stable trajectories",
+)
+def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gradient descent AS dataflow: each round is (broadcast the
+    2-weight state) → (one scan computing per-row quantized sigmoid
+    probabilities) → (one 1-row gradient aggregate) → (integer weight
+    update). Because the sigmoid is floor-quantized at 1e-9 per row
+    BEFORE the gradient sum (the chi2 convention), the whole training
+    trajectory is a sequence of exact integers — rerun it on any
+    partitioning, any engine, and the weights match bit-for-bit; the
+    property SGD pipelines give up and full-batch GD on an engine can
+    keep. Learning rate is an integer divisor (truncation toward zero
+    matches Spark ``div`` / DuckDB ``//`` on either sign).
+
+    Output: final weights (micro units), training accuracy of the
+    fitted boundary. ``ml_linreg_normal`` is the closed-form sibling;
+    this is the template for anything without a closed form.
+
+    Scale: per round ONE corpus scan + a 1-row aggregate (map-side
+    combined) — the classic iterative-ML-on-MapReduce shape; rounds
+    are few and the state is O(features), broadcast each round. The
+    oracle materializes each round's CTEs (the k-core/BFS rule).
+    """
+    ev = load(spark, "events", sf_dir)
+    base = ev.select(
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+        F.hour("ts").cast("long").alias("x1"),
+    )
+    w = spark.range(1).select(
+        F.lit(0).cast("long").alias("w0"), F.lit(0).cast("long").alias("w1")
+    )
+    d38 = "decimal(38,0)"
+    for _ in range(_GD_ROUNDS):
+        p = base.crossJoin(F.broadcast(w)).select(
+            "y",
+            "x1",
+            _q9(
+                F.lit(1.0)
+                / (
+                    F.lit(1.0)
+                    + F.exp(
+                        -(
+                            (F.col("w0") + F.col("w1") * F.col("x1"))
+                            .cast("double")
+                            / F.lit(1e6)
+                        )
+                    )
+                )
+            ).alias("p"),
+            "w0",
+            "w1",
+        )
+        g = p.agg(
+            F.sum((F.col("p") - F.col("y") * F.lit(1000000000)).cast(d38))
+            .alias("ga"),
+            F.sum(
+                (F.col("p") - F.col("y") * F.lit(1000000000)).cast(d38)
+                * F.col("x1")
+            ).alias("gb"),
+            F.count(F.lit(1)).cast(d38).alias("n"),
+            F.max("w0").alias("pw0"),
+            F.max("w1").alias("pw1"),
+        )
+        w = g.select(
+            F.expr(f"pw0 - ga div ({_GD_ETA_DIV} * n)")
+            .cast("long")
+            .alias("w0"),
+            F.expr(f"pw1 - gb div ({_GD_ETA_DIV} * n)")
+            .cast("long")
+            .alias("w1"),
+        )
+    fin = base.crossJoin(F.broadcast(w)).agg(
+        F.sum(
+            F.when(
+                ((F.col("w0") + F.col("w1") * F.col("x1")) > 0)
+                == (F.col("y") == 1),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_correct"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max("w0").alias("w0_micro"),
+        F.max("w1").alias("w1_micro"),
+    )
+    return fin.select(
+        "w0_micro",
+        "w1_micro",
+        F.col("n").alias("n_rows"),
+        F.expr("n_correct * 1000000 div n").cast("long").alias("acc_ppm"),
+    )

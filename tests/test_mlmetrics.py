@@ -96,3 +96,24 @@ def test_naive_bayes_confusion_is_consistent(spark, sf_dir):
     correct = sum(r.n_docs for r in rows if r.lang_true == r.lang_pred)
     majority = docs["lang"].value_counts().max()
     assert correct >= majority
+
+
+def test_logreg_gd_matches_numpy_trajectory(spark, sf_dir, events_pdf):
+    row = queries()["ml_logreg_gd"](spark, sf_dir).collect()[0]
+    ts = pd.to_datetime(events_pdf["ts"])
+    x1 = ts.dt.hour.to_numpy().astype(np.int64)
+    y = (events_pdf["event_type"] == "purchase").to_numpy().astype(np.int64)
+    n = len(y)
+    w0 = w1 = 0
+    for _ in range(4):
+        z = (w0 + w1 * x1) / 1e6
+        p = np.floor(1.0 / (1.0 + np.exp(-z)) * 1e9 + 0.5).astype(np.int64)
+        err = p - y * 1000000000
+        ga, gb = int(err.sum()), int((err * x1).sum())
+        # truncation toward zero, matching div/`//`(HUGEINT)
+        w0 = w0 - int(ga / (16000 * n))
+        w1 = w1 - int(gb / (16000 * n))
+    assert (row.w0_micro, row.w1_micro) == (w0, w1)
+    pred = (w0 + w1 * x1) > 0
+    acc = int((pred == (y == 1)).sum()) * 1000000 // n
+    assert row.acc_ppm == acc
