@@ -1029,3 +1029,54 @@ def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"(gmx - mx) div 1000000 > {_FRESH_SLA_S}"), F.lit(False)
         ).alias("sla_breach"),
     )
+
+
+_L_DIV = 3
+
+
+@register(
+    "dq_l_diversity",
+    f"""
+    WITH g AS (
+      SELECT lang, n_chars // {_CHAR_BUCKET} AS len_bucket,
+             CAST(COUNT(*) AS BIGINT) AS group_size,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sensitive
+      FROM documents GROUP BY lang, len_bucket
+    )
+    SELECT lang, CAST(len_bucket AS BIGINT) AS len_bucket, group_size,
+           n_sensitive, n_sensitive < {_L_DIV} AS violates_l
+    FROM g
+    """,
+    doc=f"l-diversity release gate (l={_L_DIV}): per quasi-identifier "
+    "group, the sensitive attribute (source) must take ≥ l distinct "
+    "values — catches the homogeneity attack k-anonymity misses",
+)
+def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The homogeneity-attack complement to ``dq_k_anonymity``: a
+    bucket can satisfy k-anonymity yet leak everything if all its
+    members share one sensitive value — an attacker who places a
+    record in the bucket learns the attribute without identifying the
+    row. Distinct-l-diversity requires ≥ l distinct sensitive values
+    per quasi-identifier group; violating groups need generalization
+    or suppression before release. Run BOTH gates: k bounds
+    re-identification, l bounds attribute disclosure.
+
+    Scale: one aggregation on the quasi-identifier tuple; the
+    COUNT(DISTINCT) is a two-phase partial aggregate (Spark expands
+    it map-side) — no raw-row shuffle beyond the distinct pairs.
+    """
+    docs = load(spark, "documents", sf_dir)
+    g = docs.groupBy(
+        "lang",
+        F.expr(f"n_chars div {_CHAR_BUCKET}").alias("len_bucket"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+        F.countDistinct("source").cast("long").alias("n_sensitive"),
+    )
+    return g.select(
+        "lang",
+        "len_bucket",
+        "group_size",
+        "n_sensitive",
+        (F.col("n_sensitive") < _L_DIV).alias("violates_l"),
+    )

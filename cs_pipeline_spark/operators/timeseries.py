@@ -371,3 +371,129 @@ def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         v(F.min("qv")).alias("low"),
         v(F.max(F.when(F.col("rl") == 1, F.col("qv")))).alias("close"),
     )
+
+
+@register(
+    "win_kaplan_meier",
+    f"""
+    WITH u AS (
+      SELECT user_id,
+             (MAX(epoch_us({EVENTS_TS_SQL}))
+              - MIN(epoch_us({EVENTS_TS_SQL}))) // 86400000000 AS tenure_d
+      FROM events GROUP BY user_id
+    ),
+    k AS (
+      SELECT tenure_d, CAST(COUNT(*) AS BIGINT) AS d
+      FROM u GROUP BY tenure_d
+    ),
+    r AS (
+      SELECT tenure_d, d,
+             CAST(SUM(d) OVER (ORDER BY tenure_d DESC
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk
+      FROM k
+    ),
+    t AS (
+      SELECT tenure_d, d, n_risk,
+             CASE WHEN d < n_risk THEN
+               CAST(FLOOR(ln(1.0 - CAST(d AS DOUBLE) / n_risk)
+                    * 1000000000.0 + 0.5) AS BIGINT)
+             ELSE CAST(0 AS BIGINT) END AS lq,
+             CASE WHEN d = n_risk THEN 1 ELSE 0 END AS dies_out
+      FROM r
+    ),
+    c AS (
+      SELECT tenure_d, d, n_risk,
+             SUM(lq) OVER (ORDER BY tenure_d
+                  ROWS UNBOUNDED PRECEDING) AS lsum,
+             MAX(dies_out) OVER (ORDER BY tenure_d
+                  ROWS UNBOUNDED PRECEDING) AS gone
+      FROM t
+    )
+    SELECT tenure_d AS tenure_days, d AS n_churned, n_risk AS n_at_risk,
+           CASE WHEN gone = 1 THEN CAST(0.0 AS DOUBLE) ELSE
+             FLOOR(exp(CAST(lsum AS DOUBLE) / 1000000000.0)
+                   * 1000000.0 + 0.5) / 1000000.0 END AS survival
+    FROM c
+    """,
+    doc="Kaplan-Meier survival curve over user tenures: S(t) = "
+    "Π(1 − d/n) computed as exp of a cumulative sum of per-day "
+    "1e-9-quantized log factors — order-free, engine-exact; "
+    "completes agg_churn_hazard's per-day hazard into the curve",
+)
+def win_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The survival curve itself: at-risk counts by a reverse running
+    sum (the ``agg_churn_hazard`` machinery), then S(t) as a RUNNING
+    PRODUCT — computed the only order-free way: each factor's log is
+    floor-quantized at 1e-9, the cumulative sum of those integers is
+    exact, and one final exp per output row is quantized at 1e-6. A
+    float running product would pick up ULP drift in window-frame
+    order; the log-domain integer form cannot. The day the risk set
+    dies out (d = n) pins S to exactly 0 from then on (log undefined —
+    handled structurally, not numerically).
+
+    Scale: everything after the per-user tenure rollup runs on the
+    O(days) table — three windows over a dashboard-sized frame. The
+    tenure rollup is the one corpus shuffle (map-side combined
+    min/max per user).
+    """
+    ev = load(spark, "events", sf_dir)
+    u = ev.groupBy("user_id").agg(
+        F.expr(
+            "(max(unix_micros(ts)) - min(unix_micros(ts))) div 86400000000"
+        ).alias("tenure_d")
+    )
+    k = u.groupBy("tenure_d").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    w_desc = Window.orderBy(F.desc("tenure_d")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = k.select(
+        "tenure_d",
+        "d",
+        F.sum("d").over(w_desc).cast("long").alias("n_risk"),
+    )
+    t = r.select(
+        "tenure_d",
+        "d",
+        "n_risk",
+        F.when(
+            F.col("d") < F.col("n_risk"),
+            F.floor(
+                F.log(
+                    F.lit(1.0)
+                    - F.col("d").cast("double") / F.col("n_risk")
+                )
+                * F.lit(1e9)
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("lq"),
+        F.when(F.col("d") == F.col("n_risk"), 1).otherwise(0).alias(
+            "dies_out"
+        ),
+    )
+    w_asc = Window.orderBy("tenure_d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = t.select(
+        "tenure_d",
+        "d",
+        "n_risk",
+        F.sum("lq").over(w_asc).alias("lsum"),
+        F.max("dies_out").over(w_asc).alias("gone"),
+    )
+    return c.select(
+        F.col("tenure_d").alias("tenure_days"),
+        F.col("d").alias("n_churned"),
+        F.col("n_risk").alias("n_at_risk"),
+        F.when(F.col("gone") == 1, F.lit(0.0))
+        .otherwise(
+            F.floor(
+                F.exp(F.col("lsum").cast("double") / F.lit(1e9))
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        )
+        .alias("survival"),
+    )

@@ -117,3 +117,19 @@ def test_watermark_sweep_monotone(spark, sf_dir):
     assert lates == sorted(lates, reverse=True)
     # the 0-10 min jitter makes SOME events late at a 1-min watermark
     assert rows[0].n_late > 0
+
+
+def test_kaplan_meier_monotone_nonincreasing(spark, sf_dir):
+    rows = sorted(
+        queries()["win_kaplan_meier"](spark, sf_dir).collect(),
+        key=lambda r: r.tenure_days,
+    )
+    surv = [r.survival for r in rows]
+    assert all(0.0 <= s <= 1.0 for s in surv)
+    assert surv == sorted(surv, reverse=True)
+    # the final day exhausts the risk set → survival exactly 0
+    assert rows[-1].n_churned == rows[-1].n_at_risk
+    assert surv[-1] == 0.0
+    # at-risk counts telescope: n_at_risk(t) = n_at_risk(t+1) + d(t+1)... reversed
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_at_risk == b.n_at_risk + a.n_churned
