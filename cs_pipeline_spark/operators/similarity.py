@@ -3632,7 +3632,8 @@ def emb_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     top = rk.filter(F.col("rn") <= _MRL_K).select("qid", "cid", "d")
     truth = top.filter(F.col("d") == 64).select("qid", "cid")
-    hits = top.join(truth, ["qid", "cid"]).groupBy("d").agg(
+    # truth is k·|Q| rows — broadcast, never sort-merge
+    hits = top.join(F.broadcast(truth), ["qid", "cid"]).groupBy("d").agg(
         F.count(F.lit(1)).cast("long").alias("nhit")
     )
     nq = top.agg(F.countDistinct("qid").cast("long").alias("nq"))

@@ -258,6 +258,17 @@ AUDIT: dict[str, dict] = {
     "features_target_encode_loo": {"exchange": 1, "smj": 0},
     "graph_degree_assortativity": {},
     "corpus_temperature_mix": {"smj": 0},
+    "stream_watermark_sweep": {"smj": 0},
+    "ts_ohlc_bars": {"exchange": 1, "smj": 0},
+    "dq_freshness_lag": {"smj": 0},
+    "sim_filtered_topk": {"smj": 0},
+    "mm_text_embed_consistency": {},
+    "ml_logreg_gd": {"smj": 0},
+    "emb_silhouette": {"smj": 0},
+    "emb_matryoshka_eval": {"smj": 0},
+    # user rollup shuffle + the desc and asc global windows
+    "win_kaplan_meier": {"exchange": 3},
+    "dq_l_diversity": {"smj": 0},
 }
 
 
