@@ -497,3 +497,147 @@ def win_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("survival"),
     )
+
+
+_HOLT_T = 12  # steps (trailing days consumed)
+_HOLT_H = 3  # forecast horizon (days ahead)
+
+
+def _holt_oracle() -> str:
+    parts = [
+        f"""
+    WITH daily AS MATERIALIZED (
+      SELECT event_type,
+             epoch_us({EVENTS_TS_SQL}) // 86400000000 AS day,
+             CAST(SUM({_Q6}) // COUNT(*) AS HUGEINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    lastd AS MATERIALIZED (
+      SELECT event_type, x,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY day DESC) AS rd
+      FROM daily
+    ),
+    pts AS MATERIALIZED (
+      SELECT event_type, x, {_HOLT_T} + 1 - rd AS t
+      FROM lastd WHERE rd <= {_HOLT_T}
+    ),
+    s1 AS MATERIALIZED (
+      SELECT event_type, 4 * x AS l, CAST(0 AS HUGEINT) AS b
+      FROM pts WHERE t = 1
+    )"""
+    ]
+    for t in range(2, _HOLT_T + 1):
+        c = 4 ** (t - 1)
+        parts.append(
+            f""",
+    s{t} AS MATERIALIZED (
+      SELECT s.event_type,
+             2 * {c} * p.x + 2 * s.l + 2 * s.b AS l,
+             {c} * p.x - s.l + 3 * s.b AS b
+      FROM s{t - 1} s JOIN pts p
+        ON p.event_type = s.event_type AND p.t = {t}
+    )"""
+        )
+    den = 4**_HOLT_T
+    parts.append(
+        f"""
+    SELECT event_type,
+           FLOOR(CAST(CAST(l AS VARCHAR) AS DOUBLE) / {den}.0
+                 / 1000000.0 * 1000000.0 + 0.5) / 1000000.0 AS level,
+           FLOOR(CAST(CAST(b AS VARCHAR) AS DOUBLE) / {den}.0
+                 / 1000000.0 * 1000000.0 + 0.5) / 1000000.0 AS trend,
+           FLOOR(CAST(CAST(l + {_HOLT_H} * b AS VARCHAR) AS DOUBLE)
+                 / {den}.0 / 1000000.0 * 1000000.0 + 0.5) / 1000000.0
+             AS forecast_{_HOLT_H}d
+    FROM s{_HOLT_T}"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "ts_holt_linear",
+    _holt_oracle(),
+    doc=f"Holt's linear-trend double smoothing (α=β=1/2, {_HOLT_T} "
+    "trailing days, unrolled): state scaled by 4^t keeps BOTH "
+    "recursions exact integers — level/trend/3-day forecast per "
+    "event type with a bit-stable trajectory",
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double exponential smoothing — the level+trend forecaster one
+    rung above ``ts_ewma_dyadic``. The recursion
+    ``l_t = (x_t + l_{t-1} + b_{t-1})/2, b_t = (l_t − l_{t-1} + b_{t-1})/2``
+    looks float-bound, but scaling the state by 4^t clears every
+    division: ``L_t = 2·4^{t-1}·x_t + 2L + 2B`` and
+    ``B_t = 4^{t-1}·x_t − L + 3B`` are pure integer updates (the same
+    rational-lifting trick as the integer PageRank). One final
+    division by 4^T per output row, quantized at 1e-6.
+
+    The forecast ŷ(T+h) = l_T + h·b_T is the number a capacity plan
+    reads; the trend sign is the alert.
+
+    Scale: the recursion runs on the per-(type, day) rollup —
+    O(types) rows per step, joined by type (broadcast-sized). The
+    corpus is touched once (map-side-combined daily aggregate).
+    State magnitudes grow 4× per step: HUGEINT/DECIMAL(38,0) carries
+    T=12 at any realistic daily mass (pre-scale x for longer
+    unrolls — the overflow rule).
+    """
+    ev = load(spark, "events", sf_dir)
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+            F.expr(_Q6).alias("qv"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.expr("sum(qv) div count(1)")
+            .cast("decimal(38,0)")
+            .alias("x")
+        )
+    )
+    rd = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(F.desc("day"))
+    )
+    pts = (
+        daily.select("event_type", "x", rd.alias("rd"))
+        .filter(F.col("rd") <= _HOLT_T)
+        .select(
+            "event_type", "x", (F.lit(_HOLT_T + 1) - F.col("rd")).alias("t")
+        )
+    )
+    state = pts.filter(F.col("t") == 1).select(
+        "event_type",
+        (F.lit(4) * F.col("x")).alias("l"),
+        F.lit(0).cast("decimal(38,0)").alias("b"),
+    )
+    for t in range(2, _HOLT_T + 1):
+        c = 4 ** (t - 1)
+        step = pts.filter(F.col("t") == t).select(
+            "event_type", F.col("x").alias("xt")
+        )
+        state = state.join(step, "event_type").select(
+            "event_type",
+            (
+                F.lit(2 * c) * F.col("xt")
+                + F.lit(2) * F.col("l")
+                + F.lit(2) * F.col("b")
+            ).alias("l"),
+            (
+                F.lit(c) * F.col("xt") - F.col("l") + F.lit(3) * F.col("b")
+            ).alias("b"),
+        )
+    den = float(4**_HOLT_T)
+    d = lambda c_: c_.cast("string").cast("double")  # noqa: E731
+    q6 = lambda c_: F.floor(c_ * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return state.select(
+        "event_type",
+        q6(d(F.col("l")) / F.lit(den) / F.lit(1e6)).alias("level"),
+        q6(d(F.col("b")) / F.lit(den) / F.lit(1e6)).alias("trend"),
+        q6(
+            d(F.col("l") + F.lit(_HOLT_H) * F.col("b"))
+            / F.lit(den)
+            / F.lit(1e6)
+        ).alias(f"forecast_{_HOLT_H}d"),
+    )

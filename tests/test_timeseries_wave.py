@@ -133,3 +133,36 @@ def test_kaplan_meier_monotone_nonincreasing(spark, sf_dir):
     # at-risk counts telescope: n_at_risk(t) = n_at_risk(t+1) + d(t+1)... reversed
     for a, b in zip(rows, rows[1:]):
         assert a.n_at_risk == b.n_at_risk + a.n_churned
+
+
+def test_holt_linear_matches_reference_recursion(spark, sf_dir, events_pdf):
+    rows = {
+        r.event_type: r
+        for r in queries()["ts_holt_linear"](spark, sf_dir).collect()
+    }
+    df = events_pdf.copy()
+    us = df["ts"].astype("datetime64[us]").astype("int64")
+    df["day"] = us // 86400000000
+    daily = (
+        df.groupby(["event_type", "day"])["qv"]
+        .agg(["sum", "count"])
+        .reset_index()
+    )
+    daily["x"] = daily["sum"] // daily["count"]
+    for et, g in daily.groupby("event_type"):
+        xs = g.sort_values("day")["x"].to_numpy()[-12:]
+        if len(xs) < 12:
+            assert et not in rows
+            continue
+        # plain float Holt recursion, alpha=beta=1/2 — the dyadic
+        # integer lifting must reproduce it exactly (all values are
+        # exact binary fractions)
+        l, b = float(xs[0]), 0.0
+        for x in xs[1:]:
+            l_new = (x + l + b) / 2.0
+            b = ((l_new - l) + b) / 2.0
+            l = l_new
+        r = rows[et]
+        assert abs(r.level - np.floor(l / 1e6 * 1e6 + 0.5) / 1e6) < 1e-9
+        f = (l + 3 * b) / 1e6
+        assert abs(r.forecast_3d - np.floor(f * 1e6 + 0.5) / 1e6) < 1e-9
