@@ -2927,3 +2927,199 @@ def agg_tail_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cvar_95"
         ),
     )
+
+
+@register(
+    "agg_spearman_corr",
+    """
+    WITH q AS (
+      SELECT l_returnflag AS g,
+             CAST(FLOOR(l_quantity * 1000000.0 + 0.5) AS BIGINT) AS qx,
+             CAST(FLOOR(l_extendedprice * 1000000.0 + 0.5) AS BIGINT) AS qy
+      FROM lineitem
+    ),
+    r AS (
+      SELECT g,
+             2 * RANK() OVER (PARTITION BY g ORDER BY qx)
+               + COUNT(*) OVER (PARTITION BY g, qx) - 1 AS drx,
+             2 * RANK() OVER (PARTITION BY g ORDER BY qy)
+               + COUNT(*) OVER (PARTITION BY g, qy) - 1 AS dry
+      FROM q
+    ),
+    m AS (
+      SELECT g, CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(CAST(drx AS HUGEINT)) AS sx,
+             SUM(CAST(dry AS HUGEINT)) AS sy,
+             SUM(CAST(drx AS HUGEINT) * drx) AS sxx,
+             SUM(CAST(dry AS HUGEINT) * dry) AS syy,
+             SUM(CAST(drx AS HUGEINT) * dry) AS sxy
+      FROM r GROUP BY g
+    )
+    SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n_rows,
+      CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 THEN
+        FLOOR(CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE) /
+        SQRT(CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) *
+             CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE))
+        * 1000000000.0 + 0.5) / 1000000000.0
+      END AS spearman_qty_price
+    FROM m
+    """,
+    doc="Spearman rank correlation per group: tie-corrected DOUBLED "
+    "average ranks (2·rank + ties − 1 — pure integers) fed through "
+    "the exact-moment Pearson — the robust, outlier-immune "
+    "correlation with ZERO transcendentals anywhere",
+)
+def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank correlation: Pearson applied to average ranks. Average
+    ranks are half-integers under ties, so the op works on DOUBLED
+    ranks (2·rank(v) + n_ties(v) − 1 — the ``agg_mann_whitney``
+    trick), keeping every moment an exact integer; doubling both
+    variables leaves the correlation unchanged. Spearman is the
+    correlation to trust under heavy tails and monotone-nonlinear
+    relationships — exactly the corpus-statistics regime.
+
+    Scale: one shuffle on the group key; the two rank windows and the
+    tie-count windows share that partitioning (no extra exchange);
+    moments are map-side-combined HUGEINT/DECIMAL sums.
+    """
+    li = load(spark, "lineitem", sf_dir)
+    q = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.floor(F.col("l_quantity") * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("qx"),
+        F.floor(F.col("l_extendedprice") * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("qy"),
+    )
+    d38 = "decimal(38,0)"
+    drx = (
+        F.lit(2) * F.rank().over(Window.partitionBy("g").orderBy("qx"))
+        + F.count(F.lit(1)).over(Window.partitionBy("g", "qx"))
+        - F.lit(1)
+    ).cast(d38)
+    dry = (
+        F.lit(2) * F.rank().over(Window.partitionBy("g").orderBy("qy"))
+        + F.count(F.lit(1)).over(Window.partitionBy("g", "qy"))
+        - F.lit(1)
+    ).cast(d38)
+    r = q.select("g", drx.alias("drx"), dry.alias("dry"))
+    m = r.groupBy("g").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("drx").alias("sx"),
+        F.sum("dry").alias("sy"),
+        F.sum(F.col("drx") * F.col("drx")).alias("sxx"),
+        F.sum(F.col("dry") * F.col("dry")).alias("syy"),
+        F.sum(F.col("drx") * F.col("dry")).alias("sxy"),
+    )
+    d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    varx = m.n * m.sxx - m.sx * m.sx
+    vary = m.n * m.syy - m.sy * m.sy
+    cov = m.n * m.sxy - m.sx * m.sy
+    rho = F.when(
+        (varx > 0) & (vary > 0),
+        F.floor(
+            d(cov) / F.sqrt(d(varx) * d(vary)) * F.lit(1e9) + F.lit(0.5)
+        )
+        / F.lit(1e9),
+    )
+    return m.select(
+        F.col("g").alias("l_returnflag"),
+        F.col("n").cast("long").alias("n_rows"),
+        rho.alias("spearman_qty_price"),
+    )
+
+
+@register(
+    "agg_cramers_v",
+    """
+    WITH o AS (
+      SELECT lang, source, CAST(COUNT(*) AS HUGEINT) AS obs
+      FROM documents GROUP BY lang, source
+    ),
+    r AS (SELECT lang, SUM(obs) AS rt FROM o GROUP BY lang),
+    c AS (SELECT source, SUM(obs) AS ct FROM o GROUP BY source),
+    n AS (SELECT SUM(obs) AS n,
+                 CAST(COUNT(DISTINCT lang) AS HUGEINT) AS nr,
+                 CAST(COUNT(DISTINCT source) AS HUGEINT) AS nc
+          FROM o),
+    cells AS (
+      SELECT CAST(FLOOR(
+               CAST(CAST((o.obs * n.n - r.rt * c.ct)
+                         * (o.obs * n.n - r.rt * c.ct) AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(r.rt * c.ct * n.n AS VARCHAR) AS DOUBLE)
+               * 1000000000.0 + 0.5) AS HUGEINT) AS contrib_q
+      FROM o JOIN r ON r.lang = o.lang
+             JOIN c ON c.source = o.source, n
+    ),
+    s AS (SELECT SUM(contrib_q) AS chi2_q FROM cells)
+    SELECT CAST(n.n AS BIGINT) AS n_rows,
+           CAST(LEAST(n.nr, n.nc) - 1 AS BIGINT) AS dof_min,
+           CAST(CAST(s.chi2_q AS VARCHAR) AS DOUBLE) / 1000000000.0
+             AS chi2,
+           FLOOR(SQRT(CAST(CAST(s.chi2_q AS VARCHAR) AS DOUBLE)
+                      / 1000000000.0
+                      / (CAST(CAST(n.n AS VARCHAR) AS DOUBLE)
+                         * (CAST(LEAST(n.nr, n.nc) AS DOUBLE) - 1.0)))
+                 * 1000000000.0 + 0.5) / 1000000000.0 AS cramers_v
+    FROM s CROSS JOIN n
+    """,
+    doc="Cramér's V effect size for the lang × source association: "
+    "sqrt(χ²/(n·(min(r,c)−1))) on the quantized-χ² integer sum — the "
+    "normalized [0,1] strength the raw χ² statistic lacks",
+)
+def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² says WHETHER lang and source are associated;
+    Cramér's V says HOW MUCH, on a [0, 1] scale comparable across
+    table sizes and shapes — the number a data card reports. Built on
+    the same per-cell quantized contributions as
+    ``agg_chi2_independence`` (each cell one float division then an
+    integer, so the sum is order-free), with one final sqrt quantized
+    at 1e-9.
+
+    Scale: identical to the χ² op — one contingency pass, marginals
+    broadcast back, O(cells) arithmetic.
+    """
+    docs = load(spark, "documents", sf_dir)
+    o = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("obs")
+    )
+    r = o.groupBy("lang").agg(F.sum("obs").alias("rt"))
+    c = o.groupBy("source").agg(F.sum("obs").alias("ct"))
+    n = o.agg(
+        F.sum("obs").alias("n"),
+        F.countDistinct("lang").cast("decimal(38,0)").alias("nr"),
+        F.countDistinct("source").cast("decimal(38,0)").alias("nc"),
+    )
+    diff = F.col("obs") * F.col("n") - F.col("rt") * F.col("ct")
+    den = F.col("rt") * F.col("ct") * F.col("n")
+    contrib_q = F.floor(
+        (diff * diff).cast("string").cast("double")
+        / den.cast("string").cast("double")
+        * F.lit(1e9)
+        + F.lit(0.5)
+    ).cast("decimal(38,0)")
+    s = (
+        o.join(F.broadcast(r), "lang")
+        .join(F.broadcast(c), "source")
+        .join(F.broadcast(n))
+        .select(contrib_q.alias("contrib_q"))
+        .agg(F.sum("contrib_q").alias("chi2_q"))
+    )
+    d = lambda col: col.cast("string").cast("double")  # noqa: E731
+    out = s.crossJoin(F.broadcast(n))
+    chi2 = d(F.col("chi2_q")) / F.lit(1e9)
+    k = F.least(F.col("nr"), F.col("nc")).cast("string").cast("double")
+    return out.select(
+        F.col("n").cast("long").alias("n_rows"),
+        (F.least(F.col("nr"), F.col("nc")) - 1).cast("long").alias("dof_min"),
+        chi2.alias("chi2"),
+        (
+            F.floor(
+                F.sqrt(chi2 / (d(F.col("n")) * (k - F.lit(1.0))))
+                * F.lit(1e9)
+                + F.lit(0.5)
+            )
+            / F.lit(1e9)
+        ).alias("cramers_v"),
+    )

@@ -117,3 +117,27 @@ def test_logreg_gd_matches_numpy_trajectory(spark, sf_dir, events_pdf):
     pred = (w0 + w1 * x1) > 0
     acc = int((pred == (y == 1)).sum()) * 1000000 // n
     assert row.acc_ppm == acc
+
+
+def test_spearman_matches_scipy_style_reference(spark, sf_dir):
+    rows = {
+        r.l_returnflag: r
+        for r in queries()["agg_spearman_corr"](spark, sf_dir).collect()
+    }
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    qx = np.floor(li["l_quantity"].to_numpy() * 1e6 + 0.5)
+    qy = np.floor(li["l_extendedprice"].to_numpy() * 1e6 + 0.5)
+    df = pd.DataFrame({"g": li["l_returnflag"], "qx": qx, "qy": qy})
+    for g, grp in df.groupby("g"):
+        rx = grp["qx"].rank(method="average").to_numpy()
+        ry = grp["qy"].rank(method="average").to_numpy()
+        want = np.corrcoef(rx, ry)[0, 1]
+        got = rows[g].spearman_qty_price
+        assert abs(got - want) < 1e-6
+
+
+def test_cramers_v_in_unit_interval(spark, sf_dir):
+    r = queries()["agg_cramers_v"](spark, sf_dir).collect()[0]
+    assert 0.0 <= r.cramers_v <= 1.0
+    assert r.chi2 >= 0.0
+    assert r.dof_min >= 1
