@@ -900,3 +900,260 @@ def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_rows"),
         F.expr("n_correct * 1000000 div n").cast("long").alias("acc_ppm"),
     )
+
+
+_GATE_P = 1000000007
+_GATE_MULT = 2654435761 % _GATE_P
+
+
+def _gate_oracle() -> str:
+    gini = (
+        "CASE WHEN {n} = 0 THEN CAST(0 AS HUGEINT) ELSE "
+        "({n} * {n} - {p} * {p} - ({n} - {p}) * ({n} - {p})) * 1000000 "
+        "// ({n} * {n}) END"
+    )
+    gl = gini.format(n="nl", p="pl")
+    gr = gini.format(n="(n - nl)", p="(p - pl)")
+    return f"""
+    WITH base AS MATERIALIZED (
+      SELECT CAST(event_type = 'purchase' AS INT) AS y,
+             CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS qv,
+             (((event_id % {_GATE_P}) * {_GATE_MULT}) % {_GATE_P}) % 100
+               AS bucket
+      FROM events
+    ),
+    tr AS MATERIALIZED (SELECT y, qv FROM base WHERE bucket < 80),
+    te AS MATERIALIZED (SELECT y, qv FROM base WHERE bucket >= 80),
+    r AS (SELECT qv, ROW_NUMBER() OVER (ORDER BY qv) AS rn,
+                 COUNT(*) OVER () AS nn FROM tr),
+    thr AS (
+      SELECT k.k, r.qv AS t
+      FROM (SELECT unnest(range(1, 10)) AS k) k
+      JOIN r ON r.rn = (k.k * (r.nn - 1)) // 10 + 1
+    ),
+    ev AS (
+      SELECT thr.k, thr.t, CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(CASE WHEN qv <= t THEN 1 ELSE 0 END) AS HUGEINT)
+               AS nl,
+             CAST(SUM(CASE WHEN qv <= t AND y = 1 THEN 1 ELSE 0 END)
+               AS HUGEINT) AS pl,
+             CAST(SUM(y) AS HUGEINT) AS p
+      FROM tr CROSS JOIN thr GROUP BY thr.k, thr.t
+    ),
+    g AS (
+      SELECT k, t, n, nl, pl, p,
+             (nl * ({gl}) + (n - nl) * ({gr})) // n AS wg
+      FROM ev
+    ),
+    best AS (
+      SELECT t, nl, pl, n - nl AS nr, p - pl AS pr FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY wg, t, k) AS rnk FROM g) x
+      WHERE rnk = 1
+    ),
+    orient AS (
+      SELECT t, CASE WHEN pr * nl > pl * nr THEN 1 ELSE 0 END AS pos_right
+      FROM best
+    ),
+    scored AS MATERIALIZED (
+      SELECT te.y,
+             CASE WHEN (te.qv > o.t) = (o.pos_right = 1)
+                  THEN 1 ELSE 0 END AS pred
+      FROM te CROSS JOIN orient o
+    ),
+    cm AS (
+      SELECT
+        SUM(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END) AS tp,
+        SUM(CASE WHEN y = 0 AND pred = 1 THEN 1 ELSE 0 END) AS fp,
+        SUM(CASE WHEN y = 1 AND pred = 0 THEN 1 ELSE 0 END) AS fn,
+        SUM(CASE WHEN y = 0 AND pred = 0 THEN 1 ELSE 0 END) AS tn
+      FROM scored
+    )
+    SELECT 'featurized' AS stage, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(y) * 1000000 // COUNT(*) AS DOUBLE) AS metric
+    FROM base
+    UNION ALL
+    SELECT 'train', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(y) * 1000000 // COUNT(*) AS DOUBLE) FROM tr
+    UNION ALL
+    SELECT 'stump_trained', CAST(1 AS BIGINT),
+           CAST(t AS DOUBLE) / 1000000.0 FROM best
+    UNION ALL
+    SELECT 'test_scored', CAST(COUNT(*) AS BIGINT),
+           CAST((SELECT (tp + tn) * 1000000 // (tp + fp + fn + tn)
+                 FROM cm) AS DOUBLE)
+    FROM te
+    UNION ALL
+    SELECT 'gate_f1', CAST(1 AS BIGINT),
+           CAST(CASE WHEN 2 * tp + fp + fn > 0
+                THEN 2 * tp * 1000000 // (2 * tp + fp + fn)
+                ELSE 0 END AS DOUBLE)
+    FROM cm
+    """
+
+
+@register(
+    "ml_gate_e2e",
+    _gate_oracle(),
+    doc="flagship #6: the model-quality gate end to end — hash "
+    "train/test split → decision stump trained on TRAIN only "
+    "(threshold + orientation, no leakage) → held-out confusion "
+    "metrics; one (stage, n_rows, metric) funnel row per stage",
+)
+def ml_gate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The evaluation pipeline a training launch actually runs,
+    composed from this round's ML family: deterministic 80/20 hash
+    split (``sample_train_split``'s multiplicative hash — test rows
+    never touch training), stump training on the train partition
+    (``ml_decision_stump``'s exact decile candidates + integer Gini),
+    orientation picked by train-side class rates (integer
+    cross-multiplication — no division), then held-out accuracy and
+    F1 (``ml_confusion_metrics``' integer-ppm forms). The funnel rows
+    are the go/no-go table: train balance, chosen boundary, held-out
+    quality.
+
+    Leakage discipline is the point: every fitted quantity (threshold,
+    orientation) derives from TRAIN rows only; the test partition is
+    touched exactly once, by the frozen model.
+
+    Scale: the split is a scan-level predicate (no shuffle); training
+    is the stump's broadcast 9-candidate pass over the train subset;
+    scoring is one narrow pass over test with a 1-row broadcast
+    model. Stage counts are map-side-combined aggregates unioned at
+    the end.
+    """
+    ev = load(spark, "events", sf_dir)
+    base = ev.select(
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+        _q6(F.col("value")).alias("qv"),
+        (
+            (F.col("event_id") % F.lit(_GATE_P)) * F.lit(_GATE_MULT)
+        ).__mod__(F.lit(_GATE_P)).__mod__(F.lit(100)).alias("bucket"),
+    ).persist()
+    tr = base.filter(F.col("bucket") < 80).select("y", "qv").persist()
+    te = base.filter(F.col("bucket") >= 80).select("y", "qv")
+    r = tr.select(
+        "qv",
+        F.row_number().over(Window.orderBy("qv")).alias("rn"),
+        F.count(F.lit(1)).over(_w_all()).alias("nn"),
+    )
+    ks = spark.range(1, 10).select(F.col("id").alias("k"))
+    thr = r.join(
+        F.broadcast(ks), F.expr("rn = (k * (nn - 1)) div 10 + 1")
+    ).select("k", F.col("qv").alias("t"))
+    d38 = "decimal(38,0)"
+    evx = (
+        tr.crossJoin(F.broadcast(thr))
+        .groupBy("k", "t")
+        .agg(
+            F.count(F.lit(1)).cast(d38).alias("n"),
+            F.sum(F.when(F.col("qv") <= F.col("t"), 1).otherwise(0))
+            .cast(d38)
+            .alias("nl"),
+            F.sum(
+                F.when((F.col("qv") <= F.col("t")) & (F.col("y") == 1), 1)
+                .otherwise(0)
+            )
+            .cast(d38)
+            .alias("pl"),
+            F.sum("y").cast(d38).alias("p"),
+        )
+    )
+    gini = (
+        "CASE WHEN {n} = 0 THEN CAST(0 AS decimal(38,0)) ELSE "
+        "({n} * {n} - {p} * {p} - ({n} - {p}) * ({n} - {p})) * 1000000 "
+        "div ({n} * {n}) END"
+    )
+    g = evx.select(
+        "k",
+        "t",
+        "n",
+        "nl",
+        "pl",
+        "p",
+        F.expr(
+            "(nl * ({gl}) + (n - nl) * ({gr})) div n".format(
+                gl=gini.format(n="nl", p="pl"),
+                gr=gini.format(n="(n - nl)", p="(p - pl)"),
+            )
+        ).alias("wg"),
+    )
+    best = (
+        g.withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.asc("wg"), F.asc("t"), F.asc("k"))
+            ),
+        )
+        .filter(F.col("rnk") == 1)
+        .select(
+            "t",
+            "nl",
+            "pl",
+            (F.col("n") - F.col("nl")).alias("nr"),
+            (F.col("p") - F.col("pl")).alias("pr"),
+        )
+    )
+    orient = best.select(
+        "t",
+        F.when(
+            F.col("pr") * F.col("nl") > F.col("pl") * F.col("nr"), 1
+        )
+        .otherwise(0)
+        .alias("pos_right"),
+    )
+    scored = te.crossJoin(F.broadcast(orient)).select(
+        "y",
+        F.when(
+            (F.col("qv") > F.col("t")) == (F.col("pos_right") == 1), 1
+        )
+        .otherwise(0)
+        .alias("pred"),
+    )
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    cm = scored.agg(
+        cnt((F.col("y") == 1) & (F.col("pred") == 1)).alias("tp"),
+        cnt((F.col("y") == 0) & (F.col("pred") == 1)).alias("fp"),
+        cnt((F.col("y") == 1) & (F.col("pred") == 0)).alias("fn"),
+        cnt((F.col("y") == 0) & (F.col("pred") == 0)).alias("tn"),
+    ).persist()
+
+    def row(stage, df, n_col, metric):
+        return df.agg(
+            F.lit(stage).alias("stage"),
+            n_col.alias("n_rows"),
+            metric.alias("metric"),
+        )
+
+    nc = F.count(F.lit(1)).cast("long")
+    pos_ppm = F.expr("sum(y) * 1000000 div count(1)").cast("double")
+    out = row("featurized", base, nc, pos_ppm)
+    out = out.unionByName(row("train", tr, nc, pos_ppm))
+    out = out.unionByName(
+        row(
+            "stump_trained",
+            best,
+            F.lit(1).cast("long"),
+            (F.max("t").cast("double") / F.lit(1e6)),
+        )
+    )
+    acc = cm.select(
+        F.expr("(tp + tn) * 1000000 div (tp + fp + fn + tn)")
+        .cast("double")
+        .alias("m")
+    )
+    out = out.unionByName(
+        row("test_scored", te.crossJoin(F.broadcast(acc)), nc, F.max("m"))
+    )
+    out = out.unionByName(
+        row(
+            "gate_f1",
+            cm,
+            F.lit(1).cast("long"),
+            F.expr(
+                "CASE WHEN 2 * max(tp) + max(fp) + max(fn) > 0 "
+                "THEN 2 * max(tp) * 1000000 div "
+                "(2 * max(tp) + max(fp) + max(fn)) ELSE 0 END"
+            ).cast("double"),
+        )
+    )
+    return out

@@ -141,3 +141,18 @@ def test_cramers_v_in_unit_interval(spark, sf_dir):
     assert 0.0 <= r.cramers_v <= 1.0
     assert r.chi2 >= 0.0
     assert r.dof_min >= 1
+
+
+def test_ml_gate_e2e_funnel_consistency(spark, sf_dir):
+    rows = {r.stage: r for r in queries()["ml_gate_e2e"](spark, sf_dir).collect()}
+    assert set(rows) == {
+        "featurized", "train", "stump_trained", "test_scored", "gate_f1"
+    }
+    assert rows["featurized"].n_rows == (
+        rows["train"].n_rows + rows["test_scored"].n_rows
+    )
+    # ~80/20 hash split
+    frac = rows["train"].n_rows / rows["featurized"].n_rows
+    assert 0.7 < frac < 0.9
+    assert 0 <= rows["test_scored"].metric <= 1000000
+    assert 0 <= rows["gate_f1"].metric <= 1000000
