@@ -82,6 +82,8 @@ HEADLINE = [
     "sample_reservoir_merge",
     "emb_silhouette",
     "emb_matryoshka_eval",
+    "ml_gate_e2e",
+    "ts_holt_linear",
 ]
 
 

@@ -402,3 +402,54 @@ def sql_surface_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load(spark, "lineitem", sf_dir).createOrReplaceTempView("lineitem")
     return spark.sql(_SQL_SURFACE)
+
+
+@register(
+    "q_relational_division",
+    """
+    WITH divisor AS (
+      SELECT DISTINCT o_orderpriority FROM orders
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_div FROM divisor),
+    cust AS (
+      SELECT o_custkey,
+             CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_covered,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c.o_custkey AS custkey, c.n_orders, c.n_covered
+    FROM cust c CROSS JOIN nd
+    WHERE c.n_covered = nd.n_div
+    """,
+    doc="relational division: customers who have placed orders at "
+    "EVERY priority level (÷ via distinct-count equality against the "
+    "divisor cardinality) — the 'for all' query shape joins cannot "
+    "express directly",
+)
+def q_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The textbook ÷ operator — 'which customers have used ALL
+    priority levels' — done the scalable way: instead of the
+    doubly-nested NOT EXISTS (a correlated anti-join per divisor
+    row), count each customer's distinct divisor values once and
+    compare with the divisor's cardinality. Same answer, one
+    aggregation.
+
+    Scale: one map-side-combined distinct-count per customer (Spark
+    expands COUNT DISTINCT into a two-phase partial aggregate), a
+    1-row divisor count broadcast into the filter. The NOT EXISTS
+    form would be |customers|·|months| probes; this is linear.
+    """
+    o = load(spark, "orders", sf_dir)
+    divisor = o.select("o_orderpriority").distinct()
+    nd = divisor.agg(F.count(F.lit(1)).cast("long").alias("n_div"))
+    cust = o.groupBy("o_custkey").agg(
+        F.countDistinct("o_orderpriority").cast("long").alias("n_covered"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+    return (
+        cust.crossJoin(F.broadcast(nd))
+        .filter(F.col("n_covered") == F.col("n_div"))
+        .select(
+            F.col("o_custkey").alias("custkey"), "n_orders", "n_covered"
+        )
+    )

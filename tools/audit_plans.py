@@ -269,6 +269,12 @@ AUDIT: dict[str, dict] = {
     # user rollup shuffle + the desc and asc global windows
     "win_kaplan_meier": {"exchange": 3},
     "dq_l_diversity": {"smj": 0},
+    "ts_holt_linear": {"smj": 0},
+    "agg_spearman_corr": {"exchange": 1, "smj": 0},
+    "agg_cramers_v": {"smj": 0},
+    "ml_gate_e2e": {"smj": 0},
+    # divisor distinct + two-phase COUNT DISTINCT expansion
+    "q_relational_division": {"smj": 0, "exchange": 4},
 }
 
 
