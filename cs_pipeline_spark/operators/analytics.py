@@ -1121,33 +1121,53 @@ def agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers, floor-quantized to 1e-9 (ratios of counts land on
     decimal ties — the ``dround`` rationale).
 
-    Scale: the pair self-join is blocked on the order key, and basket
-    sizes are bounded (≤7 items/order in TPC-H; production baskets
-    are bounded too), so pair generation is O(orders·k²) with no
-    unbounded stage — the candidate-pair discipline ``dedup_*``
-    follows. The global top-N window runs on the aggregated pair
-    table (≪ facts); item and order totals are map-side-combined
-    counts broadcast into the final projection.
+    Scale: ONE shuffle of the (order, part) projection builds sorted
+    basket arrays; the k² ordered pairs are generated expression-side
+    (basket sizes are bounded — ≤7 items/order in TPC-H — so the
+    fan-out is O(orders·k²) with no unbounded stage and NO self-join;
+    the a⋈b form would move the fact table twice). Item/order totals
+    derive from the same basket table. The top-N is orderBy+limit —
+    TakeOrderedAndProject's per-partition heaps, never a
+    single-partition rank window over all pairs.
     """
     li = load(spark, "lineitem", sf_dir)
-    items = li.select(
+    raw = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    n_ord = F.broadcast(items.agg(F.countDistinct("ok").alias("n")))
-    item_cnt = items.groupBy("pk").agg(F.count(F.lit(1)).alias("c"))
-    a = items.select(F.col("ok"), F.col("pk").alias("pa"))
-    b = items.select(F.col("ok"), F.col("pk").alias("pb"))
+    )
+    # ONE shuffle of the fact projection: collect_set dedups within
+    # the basket (no separate DISTINCT pass), sort_array makes the
+    # array order-independent. Order count, per-item counts, and the
+    # k² ordered pairs all derive from the basket table — zero
+    # self-join, zero second fact shuffle (the a⋈b form moved the
+    # fact table twice and hash-joined it).
+    baskets = raw.groupBy("ok").agg(
+        F.sort_array(F.collect_set("pk")).alias("ps")
+    )
+    n_ord = F.broadcast(baskets.agg(F.count(F.lit(1)).alias("n")))
+    item_cnt = (
+        baskets.select(F.explode("ps").alias("pk"))
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
     pairs = (
-        a.join(b, "ok")
-        .filter(F.col("pa") < F.col("pb"))
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (a, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "b -> struct(a AS pa, b AS pb))))"
+                )
+            ).alias("pr")
+        )
+        .select(F.col("pr.pa").alias("pa"), F.col("pr.pb").alias("pb"))
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    w = Window.orderBy(F.desc("c"), F.asc("pa"), F.asc("pb"))
-    top = (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _MB_TOP)
-        .drop("rn")
+    # distributed top-N: orderBy+limit plans TakeOrderedAndProject
+    # (per-partition heaps merged on the driver) — the global
+    # row_number window would haul every pair into ONE partition
+    top = pairs.orderBy(F.desc("c"), F.asc("pa"), F.asc("pb")).limit(
+        _MB_TOP
     )
     ca = item_cnt.select(F.col("pk").alias("pa"), F.col("c").alias("ca"))
     cb = item_cnt.select(F.col("pk").alias("pb"), F.col("c").alias("cb"))
