@@ -1157,3 +1157,75 @@ def ml_gate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+@register(
+    "agg_two_prop_ztest",
+    """
+    WITH q AS (
+      SELECT event_type,
+             CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS qv
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    c AS (
+      SELECT
+        SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS na,
+        SUM(CASE WHEN event_type = 'click' AND qv > 100000000
+            THEN 1 ELSE 0 END) AS xa,
+        SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS nb,
+        SUM(CASE WHEN event_type = 'view' AND qv > 100000000
+            THEN 1 ELSE 0 END) AS xb
+      FROM q
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(xa AS BIGINT) AS x_a,
+           CAST(nb AS BIGINT) AS n_b, CAST(xb AS BIGINT) AS x_b,
+           FLOOR((CAST(xa AS DOUBLE) / na - CAST(xb AS DOUBLE) / nb)
+                 / SQRT((CAST(xa + xb AS DOUBLE) / (na + nb))
+                        * (1.0 - CAST(xa + xb AS DOUBLE) / (na + nb))
+                        * (1.0 / na + 1.0 / nb))
+                 * 1000000000.0 + 0.5) / 1000000000.0 AS z_stat
+    FROM c
+    """,
+    doc="two-proportion pooled z-test (click vs view conversion above "
+    "the 100-unit value threshold): exact counts, one quantized float "
+    "expression — the proportions twin of agg_ab_test's Welch t",
+)
+def agg_two_prop_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The A/B test for RATES (conversion, CTR): pooled two-proportion
+    z-statistic from four exact conditional counts. All structure is
+    integer; the z expression is a fixed tree of correctly-rounded
+    IEEE ops on those exact integers, floor-quantized at 1e-9 —
+    identical bits in both engines. ``agg_ab_test`` covers mean
+    differences (Welch); this covers proportions; together they are
+    the experiment-readout pair.
+
+    Scale: one conditional aggregate over the filtered scan (predicate
+    pushed to parquet), one row out — map-side combined.
+    """
+    ev = load(spark, "events", sf_dir)
+    q = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "event_type", _q6(F.col("value")).alias("qv")
+    )
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    c = q.agg(
+        cnt(F.col("event_type") == "click").alias("na"),
+        cnt(
+            (F.col("event_type") == "click") & (F.col("qv") > 100000000)
+        ).alias("xa"),
+        cnt(F.col("event_type") == "view").alias("nb"),
+        cnt(
+            (F.col("event_type") == "view") & (F.col("qv") > 100000000)
+        ).alias("xb"),
+    )
+    d = lambda col: F.col(col).cast("double")  # noqa: E731
+    pool = (d("xa") + d("xb")) / (d("na") + d("nb"))
+    z = (d("xa") / d("na") - d("xb") / d("nb")) / F.sqrt(
+        pool * (F.lit(1.0) - pool) * (F.lit(1.0) / d("na") + F.lit(1.0) / d("nb"))
+    )
+    return c.select(
+        F.col("na").alias("n_a"),
+        F.col("xa").alias("x_a"),
+        F.col("nb").alias("n_b"),
+        F.col("xb").alias("x_b"),
+        (F.floor(z * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)).alias("z_stat"),
+    )

@@ -911,3 +911,61 @@ def scan_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("event_id").cast("long").alias("sum_event_id"),
         )
     )
+
+
+@register(
+    "scan_csv_quarantine",
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n_good, "
+    "CAST(2 AS BIGINT) AS n_corrupt, "
+    "CAST(SUM(o_custkey) AS BIGINT) AS custkey_sum "
+    "FROM orders WHERE o_orderkey < 500",
+    doc="CSV scan in PERMISSIVE quarantine mode: malformed lines land "
+    "in the _corrupt_record column instead of vanishing — the "
+    "audit-grade ingest (DROPMALFORMED loses rows silently; this "
+    "counts and retains them for repair)",
+)
+def scan_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production sibling of ``scan_csv_tolerant``: PERMISSIVE
+    mode with ``columnNameOfCorruptRecord`` quarantines bad lines as
+    rows (raw text preserved in the corrupt column, typed fields
+    null) instead of dropping them. The op reports the good/corrupt
+    split plus a checksum over the good rows — the ingest-audit
+    numbers a data contract asserts on. Same scratch CSV fixture as
+    the tolerant scan (2 malformed lines interleaved).
+
+    Spark caveat honored: a query must not reference ONLY the
+    corrupt-record column — the aggregate touches the typed columns
+    too, so no cache() workaround is needed.
+
+    Scale: per-task parse, no shuffle beyond the 1-row aggregate;
+    quarantined rows write to a repair table in production (the sink
+    is a filter + write, same plan family).
+    """
+    # reuse (and if needed create) the tolerant-scan fixture
+    scan_csv_tolerant(spark, sf_dir)
+    path = _scratch(sf_dir, "orders_tolerant.csv")
+    schema = _CSV_SCHEMA.add("_corrupt_record", "string")
+    df = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    return df.agg(
+        F.sum(
+            F.when(F.col("_corrupt_record").isNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_good"),
+        F.sum(
+            F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_corrupt"),
+        F.sum(
+            F.when(F.col("_corrupt_record").isNull(), F.col("o_custkey"))
+        )
+        .cast("long")
+        .alias("custkey_sum"),
+    )

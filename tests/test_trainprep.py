@@ -129,3 +129,21 @@ def test_freshness_lag_head_is_zero(spark, sf_dir):
     assert min(r.lag_s for r in rows) == 0
     for r in rows:
         assert r.sla_breach == (r.lag_s > 3600)
+
+
+def test_csv_quarantine_counts(spark, sf_dir):
+    r = queries()["scan_csv_quarantine"](spark, sf_dir).collect()[0]
+    assert r.n_corrupt == 2
+    assert r.n_good > 0
+
+
+def test_relational_division_covers_all(spark, sf_dir):
+    rows = queries()["q_relational_division"](spark, sf_dir).collect()
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    n_div = orders["o_orderpriority"].nunique()
+    want = (
+        orders.groupby("o_custkey")["o_orderpriority"]
+        .nunique()
+        .pipe(lambda s: set(s[s == n_div].index))
+    )
+    assert {r.custkey for r in rows} == want
