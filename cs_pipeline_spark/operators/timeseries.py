@@ -641,3 +641,107 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e6)
         ).alias(f"forecast_{_HOLT_H}d"),
     )
+
+
+# Gumbel method-of-moments constants, precomputed as exact literals:
+# sqrt(6)/pi and the Euler–Mascheroni constant
+_G_SQRT6_PI = 0.7796968012336761
+_G_EULER = 0.5772156649015329
+# -ln(-ln(1 - 1/T)) for T = 100-observation return period
+_G_Y100 = 4.600149226776579
+
+
+@register(
+    "agg_gumbel_extremes",
+    f"""
+    WITH mx AS (
+      SELECT epoch_us({EVENTS_TS_SQL}) // 86400000000 AS day,
+             MAX({_Q6}) AS m
+      FROM events GROUP BY 1
+    ),
+    mo AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(CAST(m AS HUGEINT)) AS s1,
+             SUM(CAST(m AS HUGEINT) * m) AS s2
+      FROM mx
+    )
+    SELECT CAST(n AS BIGINT) AS n_blocks,
+           FLOOR(CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(n AS VARCHAR) AS DOUBLE) / 1000000.0
+                 * 1000000.0 + 0.5) / 1000000.0 AS block_mean,
+           FLOOR({_G_SQRT6_PI} * SQRT(
+                   CAST(CAST(n * s2 - s1 * s1 AS VARCHAR) AS DOUBLE))
+                 / CAST(CAST(n AS VARCHAR) AS DOUBLE) / 1000000.0
+                 * 1000000.0 + 0.5) / 1000000.0 AS gumbel_beta,
+           FLOOR((CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
+                  / CAST(CAST(n AS VARCHAR) AS DOUBLE)
+                  - {_G_EULER} * ({_G_SQRT6_PI} * SQRT(
+                      CAST(CAST(n * s2 - s1 * s1 AS VARCHAR) AS DOUBLE))
+                    / CAST(CAST(n AS VARCHAR) AS DOUBLE))) / 1000000.0
+                 * 1000000.0 + 0.5) / 1000000.0 AS gumbel_mu,
+           FLOOR(((CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
+                  / CAST(CAST(n AS VARCHAR) AS DOUBLE)
+                  - {_G_EULER} * ({_G_SQRT6_PI} * SQRT(
+                      CAST(CAST(n * s2 - s1 * s1 AS VARCHAR) AS DOUBLE))
+                    / CAST(CAST(n AS VARCHAR) AS DOUBLE)))
+                  + {_G_Y100} * ({_G_SQRT6_PI} * SQRT(
+                      CAST(CAST(n * s2 - s1 * s1 AS VARCHAR) AS DOUBLE))
+                    / CAST(CAST(n AS VARCHAR) AS DOUBLE))) / 1000000.0
+                 * 1000000.0 + 0.5) / 1000000.0 AS return_level_100
+    FROM mo
+    """,
+    doc="extreme-value analysis: Gumbel method-of-moments fit over "
+    "daily block maxima (location, scale) plus the 100-block return "
+    "level — the ERA5-style 'how bad can it get' statistic, from "
+    "exact integer moments",
+)
+def agg_gumbel_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-maxima extreme-value fitting — the statistic climate
+    pipelines (the reference's domain) publish as return levels: take
+    daily maxima (exact integer MAX), fit Gumbel by method of moments
+    (β = √6·s/π, μ = x̄ − γβ with the constants baked as exact double
+    literals), and report the 100-block return level
+    μ + β·(−ln(−ln(1−1/100))). Variance comes from the
+    cancellation-free integer form n·Σx² − (Σx)².
+
+    Every output is one fixed float expression over exact integers
+    and literal constants, floor-quantized at 1e-6 — bit-identical in
+    both engines.
+
+    Scale: daily maxima are one map-side-combined MAX aggregate
+    (O(days) rows); the moment rollup is a 1-row aggregate. At 100 TB
+    the same shape runs per (region, variable) key — still two
+    aggregates, no shuffle of raw rows beyond the first.
+    """
+    ev = load(spark, "events", sf_dir)
+    mx = (
+        ev.select(
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+            F.expr(_Q6).alias("qv"),
+        )
+        .groupBy("day")
+        .agg(F.max("qv").alias("m"))
+    )
+    d38 = "decimal(38,0)"
+    mo = mx.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("m").cast(d38)).alias("s1"),
+        F.sum(F.col("m").cast(d38) * F.col("m")).alias("s2"),
+    )
+    d = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
+    q6 = lambda c: F.floor(c / F.lit(1e6) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    mean = d("s1") / d("n")
+    var_num = (
+        (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+        .cast("string")
+        .cast("double")
+    )
+    beta = F.lit(_G_SQRT6_PI) * F.sqrt(var_num) / d("n")
+    mu = mean - F.lit(_G_EULER) * beta
+    return mo.select(
+        F.col("n").cast("long").alias("n_blocks"),
+        q6(mean).alias("block_mean"),
+        q6(beta).alias("gumbel_beta"),
+        q6(mu).alias("gumbel_mu"),
+        q6(mu + F.lit(_G_Y100) * beta).alias("return_level_100"),
+    )

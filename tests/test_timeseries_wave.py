@@ -166,3 +166,22 @@ def test_holt_linear_matches_reference_recursion(spark, sf_dir, events_pdf):
         assert abs(r.level - np.floor(l / 1e6 * 1e6 + 0.5) / 1e6) < 1e-9
         f = (l + 3 * b) / 1e6
         assert abs(r.forecast_3d - np.floor(f * 1e6 + 0.5) / 1e6) < 1e-9
+
+
+def test_gumbel_extremes_matches_numpy(spark, sf_dir, events_pdf):
+    r = queries()["agg_gumbel_extremes"](spark, sf_dir).collect()[0]
+    df = events_pdf.copy()
+    us = df["ts"].astype("datetime64[us]").astype("int64")
+    df["day"] = us // 86400000000
+    mx = df.groupby("day")["qv"].max().to_numpy().astype(np.int64)
+    n = len(mx)
+    assert r.n_blocks == n
+    mean = mx.sum() / n
+    var = (n * (mx.astype(object) ** 2).sum() - int(mx.sum()) ** 2)
+    beta = 0.7796968012336761 * np.sqrt(float(var)) / n
+    mu = mean - 0.5772156649015329 * beta
+    assert abs(r.block_mean - mean / 1e6) < 1e-5
+    assert abs(r.gumbel_beta - beta / 1e6) < 1e-5
+    assert abs(r.gumbel_mu - mu / 1e6) < 1e-5
+    # return level exceeds the location parameter (positive scale)
+    assert r.return_level_100 > r.gumbel_mu
