@@ -3742,3 +3742,217 @@ def sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rn").cast("long").alias("rank"),
         (F.col("dp").cast("double") / F.lit(1e6)).alias("dot"),
     )
+
+
+_MRR_QUERIES = 10
+
+
+def _mrr_sql() -> str:
+    dot = (
+        "(SELECT SUM(CAST(FLOOR(CAST(q.embedding[CAST(i AS INTEGER)] AS DOUBLE) "
+        "* CAST(c.embedding[CAST(i AS INTEGER)] AS DOUBLE) "
+        f"* 1000000.0 + 0.5) AS BIGINT)) FROM range(1, {_KM_DIM} + 1) t(i))"
+    )
+    return f"""
+    WITH scored AS (
+      SELECT q.vec_id AS qid, q.label AS qlab,
+             c.vec_id AS cid, c.label AS clab, {dot} AS dp
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {_MRR_QUERIES}
+    ),
+    rk AS (
+      SELECT qid, qlab, clab,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY dp DESC, cid) AS rn
+      FROM scored
+    ),
+    first_rel AS (
+      SELECT qid, MIN(rn) AS r
+      FROM rk WHERE clab = qlab GROUP BY qid
+    ),
+    rr AS (
+      SELECT qid,
+             CAST(FLOOR(1000000000.0 / r + 0.5) AS BIGINT) AS rr_q
+      FROM first_rel
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(rr_q) // COUNT(*) AS DOUBLE) / 1000000000.0 AS mrr
+    FROM rr
+    """
+
+
+@register(
+    "sim_mrr_eval",
+    _mrr_sql(),
+    doc="Mean Reciprocal Rank of the first same-label neighbor under "
+    "the exact quantized-cosine ranking — the 'how soon do I hit "
+    "something relevant' metric; completes the (recall, NDCG, MRR) "
+    "retrieval report",
+)
+def sim_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR: for each query, the reciprocal of the rank at which the
+    FIRST relevant result (same label) appears, averaged. NDCG grades
+    the whole list; MRR grades time-to-first-hit — the metric for
+    known-item search and RAG first-context quality. Each reciprocal
+    is quantized at 1e-9 BEFORE the mean (per-term rule), the mean is
+    an integer division.
+
+    Scale: the broadcast-query scored stream (``sim_topk_bruteforce``
+    shape); the per-query rank window runs on |Q|·|corpus| scored
+    rows partitioned by query — at 100 TB cut the corpus side with
+    the IVF/LSH candidate stage first, the metric join is unchanged.
+    """
+    emb = load(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < _MRR_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlab"),
+        F.col("embedding").alias("qe"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("clab"),
+        F.col("embedding").alias("ce"),
+    )
+    dp = F.aggregate(
+        F.zip_with(
+            "qe",
+            "ce",
+            lambda x, y: F.floor(
+                x.cast("double") * y.cast("double") * F.lit(1e6) + F.lit(0.5)
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = c.join(F.broadcast(q), F.col("cid") != F.col("qid")).select(
+        "qid", "qlab", "cid", "clab", dp.alias("dp")
+    )
+    rk = scored.select(
+        "qid",
+        "qlab",
+        "clab",
+        F.row_number()
+        .over(Window.partitionBy("qid").orderBy(F.desc("dp"), F.asc("cid")))
+        .alias("rn"),
+    )
+    first_rel = (
+        rk.filter(F.col("clab") == F.col("qlab"))
+        .groupBy("qid")
+        .agg(F.min("rn").alias("r"))
+    )
+    rr = first_rel.select(
+        F.floor(F.lit(1e9) / F.col("r") + F.lit(0.5))
+        .cast("long")
+        .alias("rr_q")
+    )
+    return rr.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        (
+            F.expr("sum(rr_q) div count(1)").cast("double") / F.lit(1e9)
+        ).alias("mrr"),
+    )
+
+
+_HUB_SAMPLE = 500  # bounded audit sample (full corpus at sf0.01)
+_HUB_K = 10
+
+
+def _hubness_sql() -> str:
+    dot = (
+        "(SELECT SUM(CAST(FLOOR(CAST(q.embedding[CAST(i AS INTEGER)] AS DOUBLE) "
+        "* CAST(c.embedding[CAST(i AS INTEGER)] AS DOUBLE) "
+        f"* 1000000.0 + 0.5) AS BIGINT)) FROM range(1, {_KM_DIM} + 1) t(i))"
+    )
+    return f"""
+    WITH s AS (SELECT vec_id, embedding FROM embeddings
+               WHERE vec_id < {_HUB_SAMPLE}),
+    scored AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cid, {dot} AS dp
+      FROM s q JOIN s c ON c.vec_id <> q.vec_id
+    ),
+    topk AS (
+      SELECT cid FROM (
+        SELECT qid, cid,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY dp DESC, cid) AS rn
+        FROM scored) t
+      WHERE rn <= {_HUB_K}
+    ),
+    occ AS (
+      SELECT s.vec_id, CAST(COALESCE(k.c, 0) AS BIGINT) AS k_occ
+      FROM s LEFT JOIN (SELECT cid, COUNT(*) AS c FROM topk GROUP BY cid) k
+        ON k.cid = s.vec_id
+    )
+    SELECT k_occ AS k_occurrence,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM occ GROUP BY k_occ
+    """
+
+
+@register(
+    "emb_hubness_audit",
+    _hubness_sql(),
+    doc=f"hubness audit: k-occurrence distribution (how many other "
+    f"vectors' top-{_HUB_K} each vector appears in) over a bounded "
+    "sample — the high-dimensional ANN pathology detector (hubs "
+    "dominate results, antihubs become unreachable)",
+)
+def emb_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness — the curse-of-dimensionality failure mode where a few
+    vectors appear in everyone's nearest neighbors: the k-occurrence
+    histogram (N_k). A healthy space concentrates near N_k = k; a
+    long right tail means retrieval keeps surfacing the same hubs and
+    the left spike (k_occ = 0, antihubs) marks unreachable content.
+    This is the audit run before trusting an ANN index's coverage.
+
+    Scale: the all-pairs stage is explicitly SAMPLE-BOUNDED
+    (vec_id < {sample} — the audit is statistical, not exhaustive);
+    at 100 TB candidate pairs come from the LSH/IVF bucket stage and
+    the same k-occurrence aggregation applies. Exact quantized dots,
+    integer counts, deterministic tie-breaks throughout.
+    """
+    emb = load(spark, "embeddings", sf_dir)
+    s = emb.filter(F.col("vec_id") < _HUB_SAMPLE).select(
+        "vec_id", "embedding"
+    )
+    q = s.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    c = s.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    dp = F.aggregate(
+        F.zip_with(
+            "qe",
+            "ce",
+            lambda x, y: F.floor(
+                x.cast("double") * y.cast("double") * F.lit(1e6) + F.lit(0.5)
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = c.join(F.broadcast(q), F.col("cid") != F.col("qid")).select(
+        "qid", "cid", dp.alias("dp")
+    )
+    topk = (
+        scored.select(
+            "qid",
+            "cid",
+            F.row_number()
+            .over(
+                Window.partitionBy("qid").orderBy(F.desc("dp"), F.asc("cid"))
+            )
+            .alias("rn"),
+        )
+        .filter(F.col("rn") <= _HUB_K)
+        .select("cid")
+    )
+    occ = s.select("vec_id").join(
+        topk.groupBy("cid").agg(F.count(F.lit(1)).alias("c")),
+        s.vec_id == F.col("cid"),
+        "left",
+    ).select(F.coalesce("c", F.lit(0)).cast("long").alias("k_occ"))
+    return occ.groupBy(F.col("k_occ").alias("k_occurrence")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors")
+    )

@@ -147,3 +147,18 @@ def test_relational_division_covers_all(spark, sf_dir):
         .pipe(lambda s: set(s[s == n_div].index))
     )
     assert {r.custkey for r in rows} == want
+
+
+def test_mrr_bounds(spark, sf_dir):
+    r = queries()["sim_mrr_eval"](spark, sf_dir).collect()[0]
+    assert r.n_queries == 10
+    assert 0.0 < r.mrr <= 1.0
+
+
+def test_hubness_mass_conserved(spark, sf_dir):
+    rows = queries()["emb_hubness_audit"](spark, sf_dir).collect()
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    n_sample = int((emb["vec_id"] < 500).sum())
+    assert sum(r.n_vectors for r in rows) == n_sample
+    # total top-k slots == k per query
+    assert sum(r.k_occurrence * r.n_vectors for r in rows) == 10 * n_sample
