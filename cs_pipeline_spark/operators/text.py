@@ -1056,3 +1056,126 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zipf_slope"
         ),
     )
+
+
+# stylometry: per-source function-word usage profile → pairwise cosine
+_STYLE_WORDS = _STOPWORDS[:10]
+
+
+def _style_sql() -> str:
+    cases = ", ".join(
+        f"CAST(SUM(CASE WHEN tok = '{w}' THEN 1 ELSE 0 END) * 1000000 "
+        f"// MAX(nt) AS BIGINT) AS p{i}"
+        for i, w in enumerate(_STYLE_WORDS)
+    )
+    dot = " + ".join(f"a.p{i} * b.p{i}" for i in range(len(_STYLE_WORDS)))
+    na = " + ".join(f"a.p{i} * a.p{i}" for i in range(len(_STYLE_WORDS)))
+    nb = " + ".join(f"b.p{i} * b.p{i}" for i in range(len(_STYLE_WORDS)))
+    return f"""
+    WITH toks AS (
+      SELECT source, tok FROM (
+        SELECT source,
+               unnest(string_split({_NORM_DUCK}, ' ')) AS tok
+        FROM documents) t
+      WHERE tok <> ''
+    ),
+    wt AS (
+      SELECT source, tok,
+             COUNT(*) OVER (PARTITION BY source) AS nt
+      FROM toks
+    ),
+    prof AS (
+      SELECT source, {cases}
+      FROM wt GROUP BY source
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           FLOOR(CAST({dot} AS DOUBLE)
+                 / SQRT(CAST({na} AS DOUBLE) * CAST({nb} AS DOUBLE))
+                 * 1000000000.0 + 0.5) / 1000000000.0 AS style_cosine
+    FROM prof a JOIN prof b ON a.source < b.source
+    """
+
+
+@register(
+    "text_style_fingerprint",
+    _style_sql(),
+    doc="stylometric source fingerprinting: 10-dim function-word "
+    "usage profiles (integer ppm) compared pairwise by cosine — the "
+    "authorship/template-drift detector (near-identical profiles "
+    "suggest shared boilerplate or a duplicated pipeline source)",
+)
+def text_style_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stylometry at the source level: function words (the classic
+    authorship signal — content-independent, high-frequency) are
+    counted per source into an integer-ppm profile vector, and every
+    source pair gets a profile cosine. Sources with suspiciously
+    similar fingerprints share templating/boilerplate (dedup them at
+    the span level); a source whose fingerprint drifts between
+    snapshots changed its upstream generator.
+
+    Determinism: profiles are integer ppm of exact counts; the cosine
+    is one float expression over exact integers, quantized at 1e-9.
+
+    Scale: one token pass map-side-combined into |sources| profile
+    rows; the pairwise stage is |sources|² on a dimension-sized
+    table — never touches the corpus again. (The per-source token
+    total rides a window keyed the same as the groupBy — one
+    exchange.)
+    """
+    docs = load(spark, "documents", sf_dir)
+    toks = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.expr(_NORM), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    from pyspark.sql.window import Window as _W
+
+    wt = toks.select(
+        "source",
+        "tok",
+        F.count(F.lit(1)).over(_W.partitionBy("source")).alias("nt"),
+    )
+    prof = wt.groupBy("source").agg(
+        *[
+            F.expr(
+                f"CAST(sum(CASE WHEN tok = '{w}' THEN 1 ELSE 0 END) "
+                f"* 1000000 div max(nt) AS LONG)"
+            ).alias(f"p{i}")
+            for i, w in enumerate(_STYLE_WORDS)
+        ]
+    )
+    a = prof.select(
+        F.col("source").alias("source_a"),
+        *[F.col(f"p{i}").alias(f"a{i}") for i in range(len(_STYLE_WORDS))],
+    )
+    b = prof.select(
+        F.col("source").alias("source_b"),
+        *[F.col(f"p{i}").alias(f"b{i}") for i in range(len(_STYLE_WORDS))],
+    )
+    dot = sum(
+        (F.col(f"a{i}") * F.col(f"b{i}") for i in range(len(_STYLE_WORDS))),
+        F.lit(0),
+    )
+    na = sum(
+        (F.col(f"a{i}") * F.col(f"a{i}") for i in range(len(_STYLE_WORDS))),
+        F.lit(0),
+    )
+    nb = sum(
+        (F.col(f"b{i}") * F.col(f"b{i}") for i in range(len(_STYLE_WORDS))),
+        F.lit(0),
+    )
+    pairs = a.join(F.broadcast(b), F.col("source_a") < F.col("source_b"))
+    return pairs.select(
+        "source_a",
+        "source_b",
+        (
+            F.floor(
+                dot.cast("double") / F.sqrt(na.cast("double") * nb.cast("double"))
+                * F.lit(1e9)
+                + F.lit(0.5)
+            )
+            / F.lit(1e9)
+        ).alias("style_cosine"),
+    )

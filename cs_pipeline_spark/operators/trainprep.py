@@ -343,3 +343,82 @@ def features_target_encode_loo(
         F.min("te_micro").cast("long").alias("te_min_micro"),
         F.max("te_micro").cast("long").alias("te_max_micro"),
     )
+
+
+@register(
+    "features_minmax_scale",
+    f"""
+    WITH q AS (
+      SELECT event_type, {_QV} AS qv FROM events
+    ),
+    s AS (
+      SELECT event_type, qv,
+             MIN(qv) OVER (PARTITION BY event_type) AS mn,
+             MAX(qv) OVER (PARTITION BY event_type) AS mx
+      FROM q
+    ),
+    sc AS (
+      SELECT event_type, mn, mx,
+             CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
+                  ELSE (qv - mn) * 1000000 // (mx - mn) END AS sp
+      FROM s
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MAX(mn) AS DOUBLE) / 1000000.0 AS feat_min,
+           CAST(MAX(mx) AS DOUBLE) / 1000000.0 AS feat_max,
+           CAST(SUM(sp) // COUNT(*) AS BIGINT) AS mean_scaled_ppm,
+           CAST(SUM(CASE WHEN sp = 0 OR sp = 1000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_at_bounds
+    FROM sc GROUP BY event_type
+    """,
+    doc="min-max feature scaling audit: per-category range and the "
+    "integer-ppm scaled distribution (mean, boundary mass) — the "
+    "normalization every tabular trainer applies, with the exact "
+    "per-row expression a feature store materializes",
+)
+def features_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-max normalization as an auditable plan: the per-row scaled
+    feature is (x − min)·1e6 div (max − min) — exact integer ppm on
+    the quantized grid (degenerate constant categories scale to 0
+    instead of dividing by zero). The rollup reports the range, the
+    scaled mean (≈ where the mass sits inside [0, 1]) and the count
+    pinned at the boundaries (outlier-sensitivity signal: min-max is
+    dominated by extremes — compare ``win_rolling_zscore`` for the
+    robust alternative).
+
+    Scale: min/max windows and the rollup share one category-key
+    exchange (the ``features_target_encode_loo`` shape). At 100 TB
+    the same expression materializes as a feature column with the
+    (min, max) pair from a broadcast stats table.
+    """
+    ev = load(spark, "events", sf_dir)
+    q = ev.select("event_type", F.expr(_QV).alias("qv"))
+    w = Window.partitionBy("event_type")
+    s = q.select(
+        "event_type",
+        "qv",
+        F.min("qv").over(w).alias("mn"),
+        F.max("qv").over(w).alias("mx"),
+    )
+    sc = s.select(
+        "event_type",
+        "mn",
+        "mx",
+        F.expr(
+            "CASE WHEN mx = mn THEN 0L "
+            "ELSE (qv - mn) * 1000000 div (mx - mn) END"
+        ).alias("sp"),
+    )
+    return sc.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.max("mn").cast("double") / F.lit(1e6)).alias("feat_min"),
+        (F.max("mx").cast("double") / F.lit(1e6)).alias("feat_max"),
+        F.expr("sum(sp) div count(1)").cast("long").alias("mean_scaled_ppm"),
+        F.sum(
+            F.when((F.col("sp") == 0) | (F.col("sp") == 1000000), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_at_bounds"),
+    )
