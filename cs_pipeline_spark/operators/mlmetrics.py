@@ -1229,3 +1229,170 @@ def agg_two_prop_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("xb").alias("x_b"),
         (F.floor(z * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)).alias("z_stat"),
     )
+
+
+@register(
+    "ml_gmm_em_step",
+    """
+    WITH q AS (
+      SELECT CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS x,
+             event_id
+      FROM events
+    ),
+    r AS (
+      SELECT x,
+             ROW_NUMBER() OVER (ORDER BY x, event_id) AS rn,
+             COUNT(*) OVER () AS nn
+      FROM q
+    ),
+    init AS (
+      SELECT MAX(CASE WHEN rn = CAST(CEIL(0.25 * nn) AS BIGINT)
+                 THEN x END) AS mu1,
+             MAX(CASE WHEN rn = CAST(CEIL(0.75 * nn) AS BIGINT)
+                 THEN x END) AS mu2,
+             MAX(nn) AS n
+      FROM r
+    ),
+    prep AS (
+      SELECT mu1, mu2, n,
+             GREATEST(mu2 - mu1, 1) AS sig
+      FROM init
+    ),
+    e AS (
+      SELECT q.x, p.mu1, p.mu2, p.n, p.sig,
+             CAST(FLOOR(exp(-((CAST(q.x - p.mu1 AS DOUBLE) / p.sig)
+                  * (CAST(q.x - p.mu1 AS DOUBLE) / p.sig)) / 2.0)
+                  * 1000000000.0 + 0.5) AS BIGINT) AS f1,
+             CAST(FLOOR(exp(-((CAST(q.x - p.mu2 AS DOUBLE) / p.sig)
+                  * (CAST(q.x - p.mu2 AS DOUBLE) / p.sig)) / 2.0)
+                  * 1000000000.0 + 0.5) AS BIGINT) AS f2
+      FROM q CROSS JOIN prep p
+    ),
+    resp AS (
+      SELECT x, mu1, mu2, n,
+             CASE WHEN f1 + f2 = 0 THEN CAST(500000000 AS BIGINT)
+                  ELSE CAST(FLOOR(CAST(f1 AS DOUBLE) / (f1 + f2)
+                       * 1000000000.0 + 0.5) AS BIGINT) END AS r1
+      FROM e
+    ),
+    m AS (
+      SELECT MAX(mu1) AS mu1_0, MAX(mu2) AS mu2_0, MAX(n) AS n,
+             SUM(CAST(r1 AS HUGEINT)) AS s1,
+             SUM(CAST(r1 AS HUGEINT) * x) AS sx1,
+             SUM(CAST(1000000000 - r1 AS HUGEINT)) AS s2,
+             SUM(CAST(1000000000 - r1 AS HUGEINT) * x) AS sx2
+      FROM resp
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           CAST(mu1_0 AS DOUBLE) / 1000000.0 AS mu1_init,
+           CAST(mu2_0 AS DOUBLE) / 1000000.0 AS mu2_init,
+           FLOOR(CAST(CAST(sx1 AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
+                 / 1000000.0 * 1000000.0 + 0.5) / 1000000.0 AS mu1_new,
+           FLOOR(CAST(CAST(sx2 AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+                 / 1000000.0 * 1000000.0 + 0.5) / 1000000.0 AS mu2_new,
+           FLOOR(CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * 1000000000.0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS w1_new
+    FROM m
+    """,
+    doc="one EM step of a 2-component Gaussian mixture on the value "
+    "column (quartile init, shared scale): per-row responsibilities "
+    "quantized at 1e-9, HUGEINT-weighted M-step — completing the "
+    "optimization-paradigm trio (closed form, gradient descent, EM)",
+)
+def ml_gmm_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation-Maximization as one declarative pass: initialize
+    two component means at the exact p25/p75 rank picks (shared scale
+    = the IQR, floored at one quantum), E-step computes each row's
+    component-1 responsibility — both Gaussian kernels floor-quantized
+    at 1e-9 BEFORE the ratio, the ratio itself re-quantized — and the
+    M-step re-estimates means and mixture weight from
+    responsibility-weighted HUGEINT/DECIMAL sums. Every cross-row
+    reduction is integer arithmetic, so the EM trajectory is
+    bit-stable (the ``ml_logreg_gd`` property, for the
+    latent-variable paradigm). Iterating = repeating the same block
+    with checkpointing, exactly like the GD loop.
+
+    Scale: one corpus scan for the rank init (approx-quantile at
+    100 TB), one scan for E+M fused (the responsibilities never
+    materialize — Catalyst pipelines them into the aggregate), 1-row
+    state. The classic EM-on-MapReduce shape.
+    """
+    ev = load(spark, "events", sf_dir)
+    q = ev.select(
+        _q6(F.col("value")).alias("x"), "event_id"
+    )
+    r = q.select(
+        "x",
+        F.row_number().over(Window.orderBy("x", "event_id")).alias("rn"),
+        F.count(F.lit(1)).over(_w_all()).alias("nn"),
+    )
+    init = r.agg(
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.lit(0.25) * F.col("nn")), F.col("x"))
+        ).alias("mu1"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.lit(0.75) * F.col("nn")), F.col("x"))
+        ).alias("mu2"),
+        F.max("nn").alias("n"),
+    )
+    prep = init.select(
+        "mu1",
+        "mu2",
+        "n",
+        F.greatest(F.col("mu2") - F.col("mu1"), F.lit(1)).alias("sig"),
+    )
+    z1 = (F.col("x") - F.col("mu1")).cast("double") / F.col("sig")
+    z2 = (F.col("x") - F.col("mu2")).cast("double") / F.col("sig")
+    e = q.crossJoin(F.broadcast(prep)).select(
+        "x",
+        "mu1",
+        "mu2",
+        "n",
+        _q9(F.exp(-(z1 * z1) / F.lit(2.0))).alias("f1"),
+        _q9(F.exp(-(z2 * z2) / F.lit(2.0))).alias("f2"),
+    )
+    resp = e.select(
+        "x",
+        "mu1",
+        "mu2",
+        "n",
+        F.when(
+            F.col("f1") + F.col("f2") == 0, F.lit(500000000).cast("long")
+        )
+        .otherwise(
+            F.floor(
+                F.col("f1").cast("double")
+                / (F.col("f1") + F.col("f2"))
+                * F.lit(1e9)
+                + F.lit(0.5)
+            ).cast("long")
+        )
+        .alias("r1"),
+    )
+    d38 = "decimal(38,0)"
+    m = resp.agg(
+        F.max("mu1").alias("mu1_0"),
+        F.max("mu2").alias("mu2_0"),
+        F.max("n").alias("n"),
+        F.sum(F.col("r1").cast(d38)).alias("s1"),
+        F.sum(F.col("r1").cast(d38) * F.col("x")).alias("sx1"),
+        F.sum((F.lit(1000000000) - F.col("r1")).cast(d38)).alias("s2"),
+        F.sum(
+            (F.lit(1000000000) - F.col("r1")).cast(d38) * F.col("x")
+        ).alias("sx2"),
+    )
+    d = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
+    q6o = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return m.select(
+        F.col("n").cast("long").alias("n_rows"),
+        (F.col("mu1_0").cast("double") / F.lit(1e6)).alias("mu1_init"),
+        (F.col("mu2_0").cast("double") / F.lit(1e6)).alias("mu2_init"),
+        q6o(d("sx1") / d("s1") / F.lit(1e6)).alias("mu1_new"),
+        q6o(d("sx2") / d("s2") / F.lit(1e6)).alias("mu2_new"),
+        q6o(d("s1") / (F.col("n").cast("double") * F.lit(1e9))).alias(
+            "w1_new"
+        ),
+    )

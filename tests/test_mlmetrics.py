@@ -156,3 +156,33 @@ def test_ml_gate_e2e_funnel_consistency(spark, sf_dir):
     assert 0.7 < frac < 0.9
     assert 0 <= rows["test_scored"].metric <= 1000000
     assert 0 <= rows["gate_f1"].metric <= 1000000
+
+
+def test_gmm_em_step_matches_numpy(spark, sf_dir, events_pdf):
+    r = queries()["ml_gmm_em_step"](spark, sf_dir).collect()[0]
+    x = np.sort(
+        np.floor(events_pdf["value"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    )
+    n = len(x)
+    mu1 = x[int(np.ceil(0.25 * n)) - 1]
+    mu2 = x[int(np.ceil(0.75 * n)) - 1]
+    sig = max(mu2 - mu1, 1)
+    xv = np.floor(events_pdf["value"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    z1 = (xv - mu1) / sig
+    z2 = (xv - mu2) / sig
+    f1 = np.floor(np.exp(-(z1 * z1) / 2.0) * 1e9 + 0.5).astype(np.int64)
+    f2 = np.floor(np.exp(-(z2 * z2) / 2.0) * 1e9 + 0.5).astype(np.int64)
+    tot = f1 + f2
+    r1 = np.where(
+        tot == 0, 500000000,
+        np.floor(f1 / np.maximum(tot, 1) * 1e9 + 0.5)
+    ).astype(np.int64)
+    s1 = int(r1.sum())
+    sx1 = int((r1.astype(object) * xv).sum())
+    mu1_new = np.floor(sx1 / s1 / 1e6 * 1e6 + 0.5) / 1e6
+    assert r.mu1_init == mu1 / 1e6
+    assert r.mu2_init == mu2 / 1e6
+    assert abs(r.mu1_new - mu1_new) < 1e-9
+    # EM pulls the low mean below the high mean, weights in (0, 1)
+    assert r.mu1_new < r.mu2_new
+    assert 0.0 < r.w1_new < 1.0
