@@ -1396,3 +1396,84 @@ def ml_gmm_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w1_new"
         ),
     )
+
+
+@register(
+    "agg_qq_deciles",
+    """
+    WITH q AS (
+      SELECT event_type,
+             CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS qv
+      FROM events WHERE event_type IN ('click', 'error')
+    ),
+    r AS (
+      SELECT event_type, qv,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY qv)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS nn
+      FROM q
+    ),
+    dec AS (
+      SELECT k.k,
+             MAX(CASE WHEN event_type = 'click' THEN qv END) AS qa,
+             MAX(CASE WHEN event_type = 'error' THEN qv END) AS qb
+      FROM r JOIN (SELECT unnest(range(1, 10)) AS k) k
+        ON r.rn = (k.k * (r.nn - 1)) // 10 + 1
+      GROUP BY k.k
+    )
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(qa AS DOUBLE) / 1000000.0 AS q_click,
+           CAST(qb AS DOUBLE) / 1000000.0 AS q_error,
+           CAST(qa - qb AS BIGINT) AS diff_micro
+    FROM dec
+    """,
+    doc="Q-Q decile table (click vs error value distributions): "
+    "exact rank-picked deciles of both samples side by side — the "
+    "distribution-shape comparison behind the KS statistic's single "
+    "number",
+)
+def agg_qq_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantile-quantile table: paired exact deciles of two
+    samples. Where ``agg_ks_test`` reports the one worst gap, the Q-Q
+    table shows WHERE the distributions diverge (location shift =
+    constant offset, scale difference = growing offset, tail
+    difference = divergence only at k=1 or 9). Element-picking
+    discipline throughout — every decile is an actual observed value,
+    integer-exact.
+
+    Scale: one rank window per sample sharing the type-key exchange;
+    the 9-rank pick joins a broadcast 9-row table. O(1) output.
+    """
+    ev = load(spark, "events", sf_dir)
+    q = ev.filter(F.col("event_type").isin("click", "error")).select(
+        "event_type", _q6(F.col("value")).alias("qv")
+    )
+    r = q.select(
+        "event_type",
+        "qv",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("qv"))
+        .alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .alias("nn"),
+    )
+    ks = spark.range(1, 10).select(F.col("id").alias("k"))
+    dec = (
+        r.join(F.broadcast(ks), F.expr("rn = (k * (nn - 1)) div 10 + 1"))
+        .groupBy("k")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "click", F.col("qv"))
+            ).alias("qa"),
+            F.max(
+                F.when(F.col("event_type") == "error", F.col("qv"))
+            ).alias("qb"),
+        )
+    )
+    return dec.select(
+        F.col("k").cast("long").alias("k"),
+        (F.col("qa").cast("double") / F.lit(1e6)).alias("q_click"),
+        (F.col("qb").cast("double") / F.lit(1e6)).alias("q_error"),
+        (F.col("qa") - F.col("qb")).cast("long").alias("diff_micro"),
+    )

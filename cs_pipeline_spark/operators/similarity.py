@@ -3956,3 +3956,135 @@ def emb_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return occ.groupBy(F.col("k_occ").alias("k_occurrence")).agg(
         F.count(F.lit(1)).cast("long").alias("n_vectors")
     )
+
+
+_KNN_K = 5
+_KNN_SAMPLE = 500
+
+
+def _knn_sql() -> str:
+    dot = (
+        "(SELECT SUM(CAST(FLOOR(CAST(q.embedding[CAST(i AS INTEGER)] AS DOUBLE) "
+        "* CAST(c.embedding[CAST(i AS INTEGER)] AS DOUBLE) "
+        f"* 1000000.0 + 0.5) AS BIGINT)) FROM range(1, {_KM_DIM} + 1) t(i))"
+    )
+    return f"""
+    WITH s AS (SELECT vec_id, label, embedding FROM embeddings
+               WHERE vec_id < {_KNN_SAMPLE}),
+    scored AS (
+      SELECT q.vec_id AS qid, q.label AS true_label,
+             c.label AS nlab, {dot} AS dp, c.vec_id AS cid
+      FROM s q JOIN s c ON c.vec_id <> q.vec_id
+    ),
+    nn AS (
+      SELECT qid, true_label, nlab FROM (
+        SELECT qid, true_label, nlab,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY dp DESC, cid) AS rn
+        FROM scored) t
+      WHERE rn <= {_KNN_K}
+    ),
+    votes AS (
+      SELECT qid, true_label, nlab, COUNT(*) AS v
+      FROM nn GROUP BY qid, true_label, nlab
+    ),
+    pred AS (
+      SELECT qid, true_label, nlab AS pred_label FROM (
+        SELECT qid, true_label, nlab,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY v DESC, nlab ASC) AS rn
+        FROM votes) t
+      WHERE rn = 1
+    )
+    SELECT true_label, pred_label, CAST(COUNT(*) AS BIGINT) AS n_vecs
+    FROM pred GROUP BY true_label, pred_label
+    """
+
+
+@register(
+    "ml_knn_classify",
+    _knn_sql(),
+    doc=f"leave-one-out {_KNN_K}-NN classification on the embedding "
+    "column (exact quantized dots, deterministic majority vote) — "
+    "confusion matrix out; the local-neighborhood twin of "
+    "emb_centroid_classify's global prototypes",
+)
+def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-nearest-neighbor classification, leave-one-out: each vector
+    is labeled by the majority label among its 5 nearest neighbors
+    (itself excluded — LOO is the honest resubstitution). Where
+    ``emb_centroid_classify`` tests global class prototypes, k-NN
+    tests LOCAL structure — a class that fragments into several
+    clusters still classifies well here and poorly there; comparing
+    the two diagonals diagnoses multi-modal classes.
+
+    Determinism: exact quantized dot ranking with id tie-break;
+    majority vote broken by (votes desc, label asc).
+
+    Scale: the all-pairs stage is sample-bounded like
+    ``emb_hubness_audit``; at 100 TB neighbors come from the IVF/LSH
+    candidate stage and the vote/argmax aggregation is unchanged
+    (k rows per query, two tiny groupBys).
+    """
+    emb = load(spark, "embeddings", sf_dir)
+    s = emb.filter(F.col("vec_id") < _KNN_SAMPLE).select(
+        "vec_id", "label", "embedding"
+    )
+    q = s.select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("qe"),
+    )
+    c = s.select(
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("nlab"),
+        F.col("embedding").alias("ce"),
+    )
+    dp = F.aggregate(
+        F.zip_with(
+            "qe",
+            "ce",
+            lambda x, y: F.floor(
+                x.cast("double") * y.cast("double") * F.lit(1e6) + F.lit(0.5)
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = c.join(F.broadcast(q), F.col("cid") != F.col("qid")).select(
+        "qid", "true_label", "nlab", "cid", dp.alias("dp")
+    )
+    nn = (
+        scored.select(
+            "qid",
+            "true_label",
+            "nlab",
+            F.row_number()
+            .over(
+                Window.partitionBy("qid").orderBy(F.desc("dp"), F.asc("cid"))
+            )
+            .alias("rn"),
+        )
+        .filter(F.col("rn") <= _KNN_K)
+    )
+    votes = nn.groupBy("qid", "true_label", "nlab").agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    pred = (
+        votes.select(
+            "qid",
+            "true_label",
+            F.col("nlab").alias("pred_label"),
+            F.row_number()
+            .over(
+                Window.partitionBy("qid").orderBy(
+                    F.desc("v"), F.asc("nlab")
+                )
+            )
+            .alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return pred.groupBy("true_label", "pred_label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs")
+    )

@@ -745,3 +745,105 @@ def agg_gumbel_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
         q6(mu).alias("gumbel_mu"),
         q6(mu + F.lit(_G_Y100) * beta).alias("return_level_100"),
     )
+
+
+@register(
+    "win_user_lifecycle",
+    f"""
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             epoch_us({EVENTS_TS_SQL}) // 604800000000 AS wk
+      FROM events
+    ),
+    seq AS (
+      SELECT user_id, wk,
+             MIN(wk) OVER (PARTITION BY user_id) AS first_wk,
+             LAG(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk,
+             LEAD(wk) OVER (PARTITION BY user_id ORDER BY wk) AS next_wk
+      FROM uw
+    ),
+    mx AS (SELECT MAX(wk) AS max_wk FROM uw),
+    states AS (
+      SELECT wk,
+             CAST(SUM(CASE WHEN wk = first_wk THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_new,
+             CAST(SUM(CASE WHEN prev_wk = wk - 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_retained,
+             CAST(SUM(CASE WHEN prev_wk IS NOT NULL AND prev_wk < wk - 1
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+             CAST(COUNT(*) AS BIGINT) AS n_active
+      FROM seq GROUP BY wk
+    ),
+    churn AS (
+      SELECT s.wk + 1 AS wk, CAST(COUNT(*) AS BIGINT) AS n_churned
+      FROM seq s CROSS JOIN mx
+      WHERE (s.next_wk IS NULL OR s.next_wk > s.wk + 1)
+        AND s.wk + 1 <= mx.max_wk
+      GROUP BY s.wk + 1
+    )
+    SELECT st.wk AS week, st.n_new, st.n_retained, st.n_resurrected,
+           st.n_active, COALESCE(c.n_churned, 0) AS n_churned
+    FROM states st LEFT JOIN churn c ON c.wk = st.wk
+    """,
+    doc="growth accounting: weekly user lifecycle states (new / "
+    "retained / resurrected / churned / active) from first/lag/lead "
+    "activity weeks — the GAAP of product growth, integer-exact",
+)
+def win_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The growth-accounting identity every product review reads:
+    active(w) = new(w) + retained(w) + resurrected(w), and
+    churned(w) = users active at w−1 who did not return at w. Stages
+    derive from three windows over the distinct (user, week) activity
+    table — first week (new), lag (retained vs resurrected), lead
+    (churn attribution into the following week, capped at the
+    observed horizon so the final open week never reports churn).
+
+    Scale: the corpus collapses to distinct (user, week) FIRST (one
+    map-side-combined distinct, ≪ events); the three windows share
+    one user-key exchange; the weekly rollup is dashboard-sized.
+    """
+    ev = load(spark, "events", sf_dir)
+    uw = ev.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 604800000000").alias("wk"),
+    ).distinct()
+    wu = Window.partitionBy("user_id")
+    wo = Window.partitionBy("user_id").orderBy("wk")
+    seq = uw.select(
+        "user_id",
+        "wk",
+        F.min("wk").over(wu).alias("first_wk"),
+        F.lag("wk").over(wo).alias("prev_wk"),
+        F.lead("wk").over(wo).alias("next_wk"),
+    )
+    mx = uw.agg(F.max("wk").alias("max_wk"))
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    states = seq.groupBy("wk").agg(
+        cnt(F.col("wk") == F.col("first_wk")).alias("n_new"),
+        cnt(F.col("prev_wk") == F.col("wk") - 1).alias("n_retained"),
+        cnt(
+            F.col("prev_wk").isNotNull()
+            & (F.col("prev_wk") < F.col("wk") - 1)
+        ).alias("n_resurrected"),
+        F.count(F.lit(1)).cast("long").alias("n_active"),
+    )
+    churn = (
+        seq.crossJoin(F.broadcast(mx))
+        .filter(
+            (F.col("next_wk").isNull() | (F.col("next_wk") > F.col("wk") + 1))
+            & (F.col("wk") + 1 <= F.col("max_wk"))
+        )
+        .groupBy((F.col("wk") + 1).alias("cwk"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_churned"))
+    )
+    return (
+        states.join(churn, states.wk == churn.cwk, "left")
+        .select(
+            F.col("wk").alias("week"),
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            "n_active",
+            F.coalesce("n_churned", F.lit(0)).cast("long").alias("n_churned"),
+        )
+    )

@@ -162,3 +162,35 @@ def test_hubness_mass_conserved(spark, sf_dir):
     assert sum(r.n_vectors for r in rows) == n_sample
     # total top-k slots == k per query
     assert sum(r.k_occurrence * r.n_vectors for r in rows) == 10 * n_sample
+
+
+def test_user_lifecycle_identity(spark, sf_dir):
+    rows = sorted(
+        queries()["win_user_lifecycle"](spark, sf_dir).collect(),
+        key=lambda r: r.week,
+    )
+    for r in rows:
+        assert r.n_new + r.n_retained + r.n_resurrected == r.n_active
+    # churn(w) = active(w-1) - retained(w)
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_churned == prev.n_active - cur.n_retained
+    # first week: everyone is new
+    assert rows[0].n_new == rows[0].n_active
+
+
+def test_qq_deciles_monotone(spark, sf_dir):
+    rows = sorted(
+        queries()["agg_qq_deciles"](spark, sf_dir).collect(),
+        key=lambda r: r.k,
+    )
+    assert [r.k for r in rows] == list(range(1, 10))
+    qa = [r.q_click for r in rows]
+    qb = [r.q_error for r in rows]
+    assert qa == sorted(qa) and qb == sorted(qb)
+
+
+def test_knn_confusion_covers_sample(spark, sf_dir):
+    rows = queries()["ml_knn_classify"](spark, sf_dir).collect()
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    n_sample = int((emb["vec_id"] < 500).sum())
+    assert sum(r.n_vecs for r in rows) == n_sample
