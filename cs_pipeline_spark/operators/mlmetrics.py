@@ -1477,3 +1477,95 @@ def agg_qq_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("qb").cast("double") / F.lit(1e6)).alias("q_error"),
         (F.col("qa") - F.col("qb")).cast("long").alias("diff_micro"),
     )
+
+
+@register(
+    "agg_t_test_paired",
+    f"""
+    WITH hourly AS (
+      SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h,
+             CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS sq
+      FROM events GROUP BY 1
+    ),
+    pairs AS (
+      SELECT CAST(c.sq AS HUGEINT) - p.sq AS d
+      FROM hourly c JOIN hourly p ON p.h = c.h - 24
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(d) AS s1, SUM(d * d) AS s2
+      FROM pairs
+    )
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           FLOOR(CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(n AS VARCHAR) AS DOUBLE) / 1000000.0
+                 * 1000000.0 + 0.5) / 1000000.0 AS mean_diff,
+           CASE WHEN n > 1 AND (n * s2 - s1 * s1) > 0 THEN
+             FLOOR(CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
+                   / SQRT(CAST(CAST(n * s2 - s1 * s1 AS VARCHAR) AS DOUBLE)
+                          / CAST(CAST(n - 1 AS VARCHAR) AS DOUBLE))
+                   * 1000000000.0 + 0.5) / 1000000000.0
+           END AS t_stat
+    FROM m
+    """,
+    doc="paired t-test on day-over-day hourly value deltas: exact "
+    "HUGEINT difference moments, t = Σd/√(n·Σd²−(Σd)²)/(n−1)) — "
+    "completes the experiment-readout trio (Welch, proportions z, "
+    "paired t)",
+)
+def agg_t_test_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The paired design — each hour compared to the SAME hour
+    yesterday — removes the daily-cycle variance that would swamp an
+    unpaired test, which is why before/after product changes are read
+    this way. Differences are exact integers; mean and t derive from
+    the cancellation-free moment forms; t's denominator uses the
+    simplified identity t = Σd / √((n·Σd² − (Σd)²)/(n−1)) so only two
+    quantized float expressions exist in the whole plan.
+
+    Scale: the hourly rollup is one map-side-combined aggregate; the
+    lag-24 pairing is a self-join of that small series; the moment
+    pass is a 1-row aggregate.
+    """
+    ev = load(spark, "events", sf_dir)
+    hourly = (
+        ev.select(
+            F.expr("unix_micros(ts) div 3600000000").alias("h"),
+            _q6(F.col("value")).alias("qv"),
+        )
+        .groupBy("h")
+        .agg(F.sum("qv").cast("long").alias("sq"))
+    )
+    d38 = "decimal(38,0)"
+    cur = hourly.select("h", F.col("sq").cast(d38).alias("sqc"))
+    prev = hourly.select(
+        (F.col("h") + 24).alias("h"), F.col("sq").cast(d38).alias("sqp")
+    )
+    pairs = cur.join(prev, "h").select(
+        (F.col("sqc") - F.col("sqp")).alias("d")
+    )
+    m = pairs.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("d").alias("s1"),
+        F.sum(F.col("d") * F.col("d")).alias("s2"),
+    )
+    d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    var_num = m.n * m.s2 - m.s1 * m.s1
+    t = F.when(
+        (m.n > 1) & (var_num > 0),
+        F.floor(
+            d(m.s1)
+            / F.sqrt(var_num.cast("string").cast("double") / d(m.n - 1))
+            * F.lit(1e9)
+            + F.lit(0.5)
+        )
+        / F.lit(1e9),
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_pairs"),
+        (
+            F.floor(d(m.s1) / d(m.n) / F.lit(1e6) * F.lit(1e6) + F.lit(0.5))
+            / F.lit(1e6)
+        ).alias("mean_diff"),
+        t.alias("t_stat"),
+    )

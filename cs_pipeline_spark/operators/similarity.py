@@ -4088,3 +4088,72 @@ def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy("true_label", "pred_label").agg(
         F.count(F.lit(1)).cast("long").alias("n_vecs")
     )
+
+
+@register(
+    "emb_dedup_exact",
+    """
+    WITH keyed AS (
+      SELECT vec_id, label,
+             md5(array_to_string(list_transform(embedding,
+               x -> CAST(CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+                    AS BIGINT) AS VARCHAR)), ',')) AS vk
+      FROM embeddings
+    ),
+    grp AS (
+      SELECT vk, CAST(COUNT(*) AS BIGINT) AS n_copies,
+             CAST(MIN(vec_id) AS BIGINT) AS keeper_id
+      FROM keyed GROUP BY vk
+    )
+    SELECT CAST(n_copies AS BIGINT) AS n_copies,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(n_copies) AS BIGINT) AS n_vectors
+    FROM grp GROUP BY n_copies
+    """,
+    doc="exact embedding dedup: digest of the 1e-6-quantized vector "
+    "(a 16-byte key, never the raw floats) grouped into copy-count "
+    "histogram — the vector-store hygiene pass that catches repeated "
+    "ingestion and zero-vector floods",
+)
+def emb_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate detection for the VECTOR modality — re-ingested
+    batches and embedding-service retries produce bit-identical
+    vectors that silently skew nearest-neighbor statistics and
+    training mixes. Each vector is collapsed to the md5 of its
+    quantized-integer rendering (raw float bits differ across
+    serializers; the 1e-6 grid is the engine's canonical form —
+    matching ``dedup_exact``'s digest-not-document discipline), and
+    the copy-count histogram is the audit: a heavy n_copies row means
+    a duplicated ingest, a huge group at one key is the zero-vector
+    flood.
+
+    Scale: shuffles 16-byte digests with map-side combine — identical
+    shape and cost to ``dedup_exact`` on documents; keeper selection
+    (MIN id per group) is the dedup action's input.
+    """
+    emb = load(spark, "embeddings", sf_dir)
+    vk = F.md5(
+        F.array_join(
+            F.transform(
+                "embedding",
+                lambda x: F.floor(
+                    x.cast("double") * F.lit(1e6) + F.lit(0.5)
+                )
+                .cast("long")
+                .cast("string"),
+            ),
+            ",",
+        )
+    )
+    grp = (
+        emb.select(vk.alias("vk"), "vec_id")
+        .groupBy("vk")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.min("vec_id").cast("long").alias("keeper_id"),
+        )
+    )
+    return grp.groupBy("n_copies").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("n_copies").cast("long").alias("n_vectors"),
+    )
