@@ -847,3 +847,169 @@ def win_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_churned", F.lit(0)).cast("long").alias("n_churned"),
         )
     )
+
+
+@register(
+    "win_funnel_latency",
+    f"""
+    WITH s AS (
+      SELECT user_id, MIN(epoch_us({EVENTS_TS_SQL})) AS s_us
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id,
+             MIN(epoch_us({EVENTS_TS_SQL})) AS p_us
+      FROM events e JOIN s ON s.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+        AND epoch_us({EVENTS_TS_SQL}) > s.s_us
+      GROUP BY e.user_id
+    ),
+    d AS (
+      SELECT (p.p_us - s.s_us) // 1000000 AS lat_s
+      FROM p JOIN s ON s.user_id = p.user_id
+    ),
+    r AS (
+      SELECT lat_s,
+             ROW_NUMBER() OVER (ORDER BY lat_s) AS rn,
+             COUNT(*) OVER () AS nn
+      FROM d
+    )
+    SELECT CAST(MAX(nn) AS BIGINT) AS n_converted,
+           CAST(MAX(CASE WHEN rn = CAST(CEIL(0.5 * nn) AS BIGINT)
+                THEN lat_s END) AS BIGINT) AS median_latency_s,
+           CAST(MAX(CASE WHEN rn = CAST(CEIL(0.9 * nn) AS BIGINT)
+                THEN lat_s END) AS BIGINT) AS p90_latency_s,
+           CAST(MIN(lat_s) AS BIGINT) AS min_latency_s
+    FROM r
+    """,
+    doc="funnel latency: per-user signup→first-subsequent-purchase "
+    "delay, summarized as exact discrete median/p90 seconds — the "
+    "time-to-convert metric agg_funnel_windowed's counts omit",
+)
+def win_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How LONG conversion takes — the funnel's second axis: each
+    user's first signup paired with their first strictly-later
+    purchase, the latency distribution summarized by exact
+    rank-picked quantiles (element-picking — no interpolation).
+    Ordering discipline: the purchase must follow the signup in event
+    time, not merely exist (the same-user-earlier-purchase trap).
+
+    Scale: two per-user MIN aggregates (map-side combined) joined on
+    the user key — the fact stream shuffles once per cohort side and
+    the latency table is ≤ users rows; the quantile rank runs on that
+    small table.
+    """
+    ev = load(spark, "events", sf_dir)
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("s_us"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.unix_micros("ts").alias("us"))
+        .join(s, "user_id")
+        .filter(F.col("us") > F.col("s_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("p_us"))
+    )
+    d = p.join(s, "user_id").select(
+        F.expr("(p_us - s_us) div 1000000").alias("lat_s")
+    )
+    r = d.select(
+        "lat_s",
+        F.row_number().over(Window.orderBy("lat_s")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(F.lit(1))).alias("nn"),
+    )
+    pick = lambda q: F.max(  # noqa: E731
+        F.when(
+            F.col("rn") == F.ceil(F.lit(q) * F.col("nn")), F.col("lat_s")
+        )
+    )
+    return r.agg(
+        F.max("nn").cast("long").alias("n_converted"),
+        pick(0.5).cast("long").alias("median_latency_s"),
+        pick(0.9).cast("long").alias("p90_latency_s"),
+        F.min("lat_s").cast("long").alias("min_latency_s"),
+    )
+
+
+@register(
+    "win_last_touch_attribution",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_type,
+             epoch_us({EVENTS_TS_SQL}) AS us, event_id
+      FROM events
+    ),
+    w AS (
+      SELECT user_id, event_type, us, event_id,
+             last_value(CASE WHEN event_type <> 'purchase'
+                        THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch
+      FROM e
+    ),
+    att AS (
+      SELECT COALESCE(touch, 'none') AS touch FROM w
+      WHERE event_type = 'purchase'
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM att)
+    SELECT att.touch,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(COUNT(*) * 1000000 // tot.n AS BIGINT) AS share_ppm
+    FROM att CROSS JOIN tot GROUP BY att.touch, tot.n
+    """,
+    doc="last-touch attribution: each purchase credited to the "
+    "nearest preceding non-purchase event type in the user's stream "
+    "(IGNORE NULLS running last_value) — the marketing-credit report, "
+    "integer shares",
+)
+def win_last_touch_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Attribution — which interaction gets credit for a conversion:
+    the last-touch rule credits the latest preceding non-purchase
+    event. The windowed ``last_value(... IGNORE NULLS)`` over
+    UNBOUNDED PRECEDING..1 PRECEDING is exactly the as-of lookup
+    within a partition (both engines support the IGNORE NULLS frame —
+    the CLAUDE.md-documented DuckDB behavior); purchases with no
+    prior touch fall into the 'none' bucket instead of dropping.
+
+    Scale: one shuffle on user_id shared by the window; the credit
+    rollup is a tiny map-side-combined aggregate. First-touch and
+    linear attribution are frame variants of the same plan.
+    """
+    ev = load(spark, "events", sf_dir)
+    e = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    att = (
+        e.select("event_type", touch.alias("touch"))
+        .filter(F.col("event_type") == "purchase")
+        .select(F.coalesce("touch", F.lit("none")).alias("touch"))
+    )
+    tot = att.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        att.crossJoin(F.broadcast(tot))
+        .groupBy("touch", "n")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_purchases"))
+        .select(
+            "touch",
+            "n_purchases",
+            F.expr("n_purchases * 1000000 div n")
+            .cast("long")
+            .alias("share_ppm"),
+        )
+    )

@@ -185,3 +185,20 @@ def test_gumbel_extremes_matches_numpy(spark, sf_dir, events_pdf):
     assert abs(r.gumbel_mu - mu / 1e6) < 1e-5
     # return level exceeds the location parameter (positive scale)
     assert r.return_level_100 > r.gumbel_mu
+
+
+def test_attribution_shares_sum(spark, sf_dir):
+    rows = queries()["win_last_touch_attribution"](spark, sf_dir).collect()
+    total = sum(r.n_purchases for r in rows)
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    assert total == int((ev["event_type"] == "purchase").sum())
+    assert abs(sum(r.share_ppm for r in rows) - 1000000) <= len(rows)
+    # purchases never credit themselves
+    assert "purchase" not in {r.touch for r in rows}
+
+
+def test_funnel_latency_positive(spark, sf_dir):
+    r = queries()["win_funnel_latency"](spark, sf_dir).collect()[0]
+    assert r.n_converted > 0
+    assert 0 <= r.min_latency_s
+    assert r.median_latency_s <= r.p90_latency_s
