@@ -275,6 +275,21 @@ AUDIT: dict[str, dict] = {
     "ml_gate_e2e": {"smj": 0},
     # divisor distinct + two-phase COUNT DISTINCT expansion
     "q_relational_division": {"smj": 0, "exchange": 4},
+    "sim_mrr_eval": {"smj": 0},
+    "emb_hubness_audit": {"smj": 0},
+    "text_style_fingerprint": {"smj": 0},
+    "features_minmax_scale": {"exchange": 1, "smj": 0},
+    "ml_gmm_em_step": {"smj": 0},
+    "win_user_lifecycle": {"smj": 0},
+    "ml_knn_classify": {"smj": 0},
+    "agg_qq_deciles": {"exchange": 2, "smj": 0},
+    "agg_t_test_paired": {},
+    "emb_dedup_exact": {"exchange": 2, "smj": 0},
+    "win_funnel_latency": {},
+    "win_last_touch_attribution": {"exchange": 2, "smj": 0},
+    "scan_csv_quarantine": {"smj": 0},
+    "agg_two_prop_ztest": {"smj": 0, "exchange": 1},
+    "agg_gumbel_extremes": {"exchange": 2, "smj": 0},
 }
 
 
