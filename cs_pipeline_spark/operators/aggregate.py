@@ -3123,3 +3123,140 @@ def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e9)
         ).alias("cramers_v"),
     )
+
+
+@register(
+    "agg_mutual_information",
+    """
+    WITH o AS (
+      SELECT lang, source, CAST(COUNT(*) AS HUGEINT) AS obs
+      FROM documents GROUP BY lang, source
+    ),
+    r AS (SELECT lang, SUM(obs) AS rt FROM o GROUP BY lang),
+    c AS (SELECT source, SUM(obs) AS ct FROM o GROUP BY source),
+    n AS (SELECT SUM(obs) AS n FROM o),
+    mi_terms AS (
+      SELECT CAST(FLOOR((CAST(CAST(o.obs AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(n.n AS VARCHAR) AS DOUBLE))
+                 * ln(CAST(CAST(o.obs * n.n AS VARCHAR) AS DOUBLE)
+                      / CAST(CAST(r.rt * c.ct AS VARCHAR) AS DOUBLE))
+                 * 1000000000.0 + 0.5) AS HUGEINT) AS t
+      FROM o JOIN r ON r.lang = o.lang
+             JOIN c ON c.source = o.source, n
+    ),
+    hr_terms AS (
+      SELECT CAST(FLOOR(-(CAST(CAST(rt AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(n.n AS VARCHAR) AS DOUBLE))
+                 * ln(CAST(CAST(rt AS VARCHAR) AS DOUBLE)
+                      / CAST(CAST(n.n AS VARCHAR) AS DOUBLE))
+                 * 1000000000.0 + 0.5) AS HUGEINT) AS t
+      FROM r, n
+    ),
+    hc_terms AS (
+      SELECT CAST(FLOOR(-(CAST(CAST(ct AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(n.n AS VARCHAR) AS DOUBLE))
+                 * ln(CAST(CAST(ct AS VARCHAR) AS DOUBLE)
+                      / CAST(CAST(n.n AS VARCHAR) AS DOUBLE))
+                 * 1000000000.0 + 0.5) AS HUGEINT) AS t
+      FROM c, n
+    ),
+    s AS (
+      SELECT (SELECT SUM(t) FROM mi_terms) AS mi,
+             (SELECT SUM(t) FROM hr_terms) AS hr,
+             (SELECT SUM(t) FROM hc_terms) AS hc
+    )
+    SELECT CAST((SELECT COUNT(*) FROM o) AS BIGINT) AS n_cells,
+           CAST(CAST(mi AS VARCHAR) AS DOUBLE) / 1000000000.0 AS mi_nats,
+           CAST(CAST(hr AS VARCHAR) AS DOUBLE) / 1000000000.0
+             AS h_lang_nats,
+           CAST(CAST(hc AS VARCHAR) AS DOUBLE) / 1000000000.0
+             AS h_source_nats,
+           FLOOR(CAST(CAST(mi AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(LEAST(hr, hc) AS VARCHAR) AS DOUBLE)
+                 * 1000000000.0 + 0.5) / 1000000000.0 AS mi_normalized
+    FROM s
+    """,
+    doc="mutual information I(lang; source) with marginal entropies "
+    "and min-entropy normalization: every p·ln term quantized at 1e-9 "
+    "before its sum — the feature-selection / redundancy score beside "
+    "chi-square's significance",
+)
+def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much knowing the source tells you about the language (and
+    vice versa) in nats — the quantity feature selection ranks by and
+    corpus de-biasing monitors (high normalized MI = the metadata
+    columns are redundant/confounded). Computed as
+    Σ p(x,y)·ln(p(x,y)/(p(x)p(y))) with every transcendental term
+    floor-quantized at 1e-9 BEFORE its integer sum (the chi2/entropy
+    convention), plus both marginal entropies and MI/min(H) — the
+    normalized [0,1] form comparable across tables.
+
+    Scale: identical to ``agg_chi2_independence`` — one contingency
+    pass, dimension-sized marginal re-aggregations, O(cells) terms.
+    """
+    docs = load(spark, "documents", sf_dir)
+    d38 = "decimal(38,0)"
+    o = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast(d38).alias("obs")
+    )
+    r = o.groupBy("lang").agg(F.sum("obs").alias("rt"))
+    c = o.groupBy("source").agg(F.sum("obs").alias("ct"))
+    n = o.agg(F.sum("obs").alias("n"))
+    dd = lambda col: col.cast("string").cast("double")  # noqa: E731
+    q9 = lambda col: F.floor(col * F.lit(1e9) + F.lit(0.5)).cast(d38)  # noqa: E731
+    mi_t = (
+        o.join(F.broadcast(r), "lang")
+        .join(F.broadcast(c), "source")
+        .join(F.broadcast(n))
+        .select(
+            q9(
+                (dd(F.col("obs")) / dd(F.col("n")))
+                * F.log(
+                    dd(F.col("obs") * F.col("n"))
+                    / dd(F.col("rt") * F.col("ct"))
+                )
+            ).alias("t")
+        )
+        .agg(F.sum("t").alias("mi"))
+    )
+    hr_t = (
+        r.join(F.broadcast(n))
+        .select(
+            q9(
+                -(dd(F.col("rt")) / dd(F.col("n")))
+                * F.log(dd(F.col("rt")) / dd(F.col("n")))
+            ).alias("t")
+        )
+        .agg(F.sum("t").alias("hr"))
+    )
+    hc_t = (
+        c.join(F.broadcast(n))
+        .select(
+            q9(
+                -(dd(F.col("ct")) / dd(F.col("n")))
+                * F.log(dd(F.col("ct")) / dd(F.col("n")))
+            ).alias("t")
+        )
+        .agg(F.sum("t").alias("hc"))
+    )
+    ncells = o.agg(F.count(F.lit(1)).cast("long").alias("n_cells"))
+    s = (
+        mi_t.crossJoin(F.broadcast(hr_t))
+        .crossJoin(F.broadcast(hc_t))
+        .crossJoin(F.broadcast(ncells))
+    )
+    return s.select(
+        "n_cells",
+        (dd(F.col("mi")) / F.lit(1e9)).alias("mi_nats"),
+        (dd(F.col("hr")) / F.lit(1e9)).alias("h_lang_nats"),
+        (dd(F.col("hc")) / F.lit(1e9)).alias("h_source_nats"),
+        (
+            F.floor(
+                dd(F.col("mi"))
+                / dd(F.least(F.col("hr"), F.col("hc")))
+                * F.lit(1e9)
+                + F.lit(0.5)
+            )
+            / F.lit(1e9)
+        ).alias("mi_normalized"),
+    )

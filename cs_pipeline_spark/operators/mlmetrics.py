@@ -1569,3 +1569,160 @@ def agg_t_test_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_diff"),
         t.alias("t_stat"),
     )
+
+
+@register(
+    "ml_shap_global",
+    """
+    WITH q AS (
+      SELECT CAST(EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS HUGEINT)
+               AS x1,
+             CAST(isodow(CAST(ts AS TIMESTAMP)) AS HUGEINT) AS x2,
+             CAST(FLOOR(value * 1000000.0 + 0.5) AS HUGEINT) AS yq
+      FROM events
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(x1) AS sx1, SUM(x2) AS sx2, SUM(yq) AS sy,
+             SUM(x1 * x1) AS s11, SUM(x2 * x2) AS s22,
+             SUM(x1 * x2) AS s12,
+             SUM(x1 * yq) AS s1y, SUM(x2 * yq) AS s2y
+      FROM q
+    ),
+    c AS (
+      SELECT n, sx1, sx2,
+             n * s11 - sx1 * sx1 AS c11,
+             n * s22 - sx2 * sx2 AS c22,
+             n * s12 - sx1 * sx2 AS c12,
+             n * s1y - sx1 * sy AS c1y,
+             n * s2y - sx2 * sy AS c2y
+      FROM m
+    ),
+    b AS (
+      SELECT n, sx1, sx2,
+             CAST(FLOOR(CAST(CAST(c1y * c22 - c2y * c12 AS VARCHAR) AS DOUBLE)
+                  / CAST(CAST(c11 * c22 - c12 * c12 AS VARCHAR) AS DOUBLE)
+                  / 1000000.0 * 1000000000.0 + 0.5) AS HUGEINT) AS pb1,
+             CAST(FLOOR(CAST(CAST(c2y * c11 - c1y * c12 AS VARCHAR) AS DOUBLE)
+                  / CAST(CAST(c11 * c22 - c12 * c12 AS VARCHAR) AS DOUBLE)
+                  / 1000000.0 * 1000000000.0 + 0.5) AS HUGEINT) AS pb2
+      FROM c
+    ),
+    phi AS (
+      SELECT b.n,
+             SUM(abs(b.pb1 * (b.n * q.x1 - b.sx1))) AS a1,
+             SUM(abs(b.pb2 * (b.n * q.x2 - b.sx2))) AS a2
+      FROM q CROSS JOIN b GROUP BY b.n
+    )
+    SELECT f.feature,
+           FLOOR(CAST(CAST(CASE f.feature WHEN 'hour' THEN a1 ELSE a2 END
+                 AS VARCHAR) AS DOUBLE)
+                 / (1000000000.0 * CAST(CAST(n * n AS VARCHAR) AS DOUBLE))
+                 * 1000000000.0 + 0.5) / 1000000000.0 AS mean_abs_shap,
+           CAST(CASE f.feature WHEN 'hour' THEN a1 ELSE a2 END
+                * 1000000 // (a1 + a2) AS BIGINT) AS importance_ppm
+    FROM phi CROSS JOIN
+         (SELECT unnest(['hour', 'isodow']) AS feature) f
+    """,
+    doc="global SHAP feature importance for the closed-form linear "
+    "model: exact per-row |b_j·(x_j − x̄_j)| attributions (integer "
+    "n-scaled, quantized slopes) aggregated to mean |SHAP| and "
+    "importance shares — model explainability as one plan",
+)
+def ml_shap_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explainability for the in-engine model: for a linear model the
+    Shapley value of feature j on row i is EXACTLY b_j·(x_ij − E[x_j])
+    — no sampling needed. The plan refits ``ml_linreg_normal``'s
+    slopes (same exact moments, quantized to an INTEGER 1e-9 grid) and
+    aggregates |φ| with everything n-scaled so the per-row attribution
+    is a pure integer product: |pb_j·(n·x_ij − Σx_j)|. One final
+    division per output row. Importance shares are integer-ppm of the
+    absolute-attribution masses — the feature-ranking a model card
+    prints.
+
+    Scale: two corpus passes (moment fit, attribution sweep) with a
+    1-row broadcast model between them — the GD/EM state-broadcast
+    shape; outputs are O(features).
+    """
+    ev = load(spark, "events", sf_dir)
+    d38 = "decimal(38,0)"
+    q = ev.select(
+        F.hour("ts").cast(d38).alias("x1"),
+        F.expr("weekday(ts) + 1").cast(d38).alias("x2"),
+        _q6(F.col("value")).cast(d38).alias("yq"),
+    )
+    m = q.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("x1").alias("sx1"),
+        F.sum("x2").alias("sx2"),
+        F.sum("yq").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x1") * F.col("yq")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("yq")).alias("s2y"),
+    )
+    c = m.select(
+        "n",
+        "sx1",
+        "sx2",
+        (F.col("n") * F.col("s11") - F.col("sx1") * F.col("sx1")).alias("c11"),
+        (F.col("n") * F.col("s22") - F.col("sx2") * F.col("sx2")).alias("c22"),
+        (F.col("n") * F.col("s12") - F.col("sx1") * F.col("sx2")).alias("c12"),
+        (F.col("n") * F.col("s1y") - F.col("sx1") * F.col("sy")).alias("c1y"),
+        (F.col("n") * F.col("s2y") - F.col("sx2") * F.col("sy")).alias("c2y"),
+    )
+    dd = lambda col: col.cast("string").cast("double")  # noqa: E731
+    det = F.col("c11") * F.col("c22") - F.col("c12") * F.col("c12")
+    pb = lambda num: F.floor(  # noqa: E731
+        dd(num) / dd(det) / F.lit(1e6) * F.lit(1e9) + F.lit(0.5)
+    ).cast(d38)
+    b = c.select(
+        "n",
+        "sx1",
+        "sx2",
+        pb(F.col("c1y") * F.col("c22") - F.col("c2y") * F.col("c12")).alias(
+            "pb1"
+        ),
+        pb(F.col("c2y") * F.col("c11") - F.col("c1y") * F.col("c12")).alias(
+            "pb2"
+        ),
+    )
+    phi = q.crossJoin(F.broadcast(b)).groupBy("n").agg(
+        F.sum(
+            F.abs(F.col("pb1") * (F.col("n") * F.col("x1") - F.col("sx1")))
+        ).alias("a1"),
+        F.sum(
+            F.abs(F.col("pb2") * (F.col("n") * F.col("x2") - F.col("sx2")))
+        ).alias("a2"),
+    )
+    feats = spark.range(0, 2).select(
+        F.when(F.col("id") == 0, "hour").otherwise("isodow").alias("feature")
+    )
+    out = phi.crossJoin(F.broadcast(feats)).select(
+        "feature",
+        "n",
+        "a1",
+        "a2",
+        F.when(F.col("feature") == "hour", F.col("a1"))
+        .otherwise(F.col("a2"))
+        .alias("aj"),
+    )
+    return out.select(
+        "feature",
+        (
+            F.floor(
+                F.col("aj").cast("string").cast("double")
+                / (
+                    F.lit(1e9)
+                    * (F.col("n") * F.col("n")).cast("string").cast("double")
+                )
+                * F.lit(1e9)
+                + F.lit(0.5)
+            )
+            / F.lit(1e9)
+        ).alias("mean_abs_shap"),
+        F.expr("aj * 1000000 div (a1 + a2)")
+        .cast("long")
+        .alias("importance_ppm"),
+    )

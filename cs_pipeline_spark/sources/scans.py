@@ -944,7 +944,14 @@ def scan_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reuse (and if needed create) the tolerant-scan fixture
     scan_csv_tolerant(spark, sf_dir)
     path = _scratch(sf_dir, "orders_tolerant.csv")
-    schema = _CSV_SCHEMA.add("_corrupt_record", "string")
+    from pyspark.sql.types import StructType
+
+    # StructType.add MUTATES in place — never extend the shared
+    # _CSV_SCHEMA (it would leak the corrupt column into
+    # scan_csv_tolerant's reads); build a fresh copy
+    schema = StructType(list(_CSV_SCHEMA.fields)).add(
+        "_corrupt_record", "string"
+    )
     df = (
         spark.read.schema(schema)
         .option("header", True)

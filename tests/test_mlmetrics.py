@@ -186,3 +186,20 @@ def test_gmm_em_step_matches_numpy(spark, sf_dir, events_pdf):
     # EM pulls the low mean below the high mean, weights in (0, 1)
     assert r.mu1_new < r.mu2_new
     assert 0.0 < r.w1_new < 1.0
+
+
+def test_shap_global_shares(spark, sf_dir):
+    rows = {r.feature: r for r in queries()["ml_shap_global"](spark, sf_dir).collect()}
+    assert set(rows) == {"hour", "isodow"}
+    assert abs(sum(r.importance_ppm for r in rows.values()) - 1000000) <= 2
+    for r in rows.values():
+        assert r.mean_abs_shap >= 0.0
+
+
+def test_mutual_information_bounds(spark, sf_dir):
+    r = queries()["agg_mutual_information"](spark, sf_dir).collect()[0]
+    assert r.mi_nats >= -1e-6
+    assert r.h_lang_nats > 0 and r.h_source_nats > 0
+    # MI <= min(H_row, H_col); normalized in [0, 1]
+    assert -1e-6 <= r.mi_normalized <= 1.0
+    assert r.mi_nats <= min(r.h_lang_nats, r.h_source_nats) + 1e-6
