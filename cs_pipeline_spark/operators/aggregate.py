@@ -3260,3 +3260,113 @@ def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e9)
         ).alias("mi_normalized"),
     )
+
+
+@register(
+    "agg_winsorized_mean",
+    """
+    WITH q AS (
+      SELECT event_type,
+             CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS qv
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, qv,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY qv)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS nn
+      FROM q
+    ),
+    cuts AS (
+      SELECT event_type,
+             MAX(CASE WHEN rn = CAST(CEIL(0.05 * nn) AS BIGINT)
+                 THEN qv END) AS lo,
+             MAX(CASE WHEN rn = CAST(CEIL(0.95 * nn) AS BIGINT)
+                 THEN qv END) AS hi
+      FROM r GROUP BY event_type
+    ),
+    w AS (
+      SELECT q.event_type,
+             GREATEST(LEAST(q.qv, c.hi), c.lo) AS wv,
+             q.qv
+      FROM q JOIN cuts c ON c.event_type = q.event_type
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN qv <> wv THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clamped,
+           FLOOR(CAST(CAST(SUM(CAST(wv AS HUGEINT)) AS VARCHAR) AS DOUBLE)
+                 / COUNT(*) / 1000000.0 * 1000000.0 + 0.5) / 1000000.0
+             AS winsorized_mean,
+           FLOOR(CAST(CAST(SUM(CAST(qv AS HUGEINT)) AS VARCHAR) AS DOUBLE)
+                 / COUNT(*) / 1000000.0 * 1000000.0 + 0.5) / 1000000.0
+             AS raw_mean
+    FROM w GROUP BY event_type
+    """,
+    doc="winsorized mean per event type: values clamped at the exact "
+    "discrete p5/p95 rank picks before averaging — the "
+    "outlier-robust mean beside agg_mad_outliers' detection",
+)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust location estimation: clamp each value into the
+    [p5, p95] exact rank-picked envelope, then take the quantized
+    integer mean — the winsorized mean a metrics pipeline reports
+    when heavy tails make the raw mean jump (compare the two columns:
+    a large gap IS the tail-influence diagnostic). Clamping keeps n
+    constant (unlike trimming), so period-over-period comparisons
+    stay aligned.
+
+    Scale: one rank window + rollup sharing the type-key exchange;
+    the cut table is O(types) broadcast back onto the stream.
+    """
+    ev = load(spark, "events", sf_dir)
+    q = ev.select(
+        "event_type",
+        F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("qv"),
+    )
+    r = q.select(
+        "event_type",
+        "qv",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("qv"))
+        .alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .alias("nn"),
+    )
+    cuts = r.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.lit(0.05) * F.col("nn")), F.col("qv"))
+        ).alias("lo"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.lit(0.95) * F.col("nn")), F.col("qv"))
+        ).alias("hi"),
+    )
+    w = q.join(F.broadcast(cuts), "event_type").select(
+        "event_type",
+        "qv",
+        F.greatest(F.least(F.col("qv"), F.col("hi")), F.col("lo")).alias(
+            "wv"
+        ),
+    )
+    d38 = "decimal(38,0)"
+    mean6 = lambda c: (  # noqa: E731
+        F.floor(
+            F.sum(c.cast(d38)).cast("string").cast("double")
+            / F.count(F.lit(1))
+            / F.lit(1e6)
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        / F.lit(1e6)
+    )
+    return w.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("qv") != F.col("wv"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clamped"),
+        mean6(F.col("wv")).alias("winsorized_mean"),
+        mean6(F.col("qv")).alias("raw_mean"),
+    )

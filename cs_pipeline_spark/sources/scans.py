@@ -976,3 +976,65 @@ def scan_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("custkey_sum"),
     )
+
+
+_FW_WIDTHS = (10, 10, 1, 14)  # orderkey, custkey, status, totalprice(µ)
+
+
+@register(
+    "scan_fixed_width",
+    "SELECT o_orderkey, o_custkey, o_orderstatus, "
+    "CAST(CAST(FLOOR(o_totalprice * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE)"
+    " / 1000000.0 AS total_price "
+    "FROM orders WHERE o_orderkey < 300",
+    doc="fixed-width (COBOL/mainframe-style) file scan: zero-padded "
+    "column slices parsed by substring offsets into typed columns — "
+    "the legacy-ingest surface next to CSV/JSONL",
+)
+def scan_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width ingest — the format mainframe exports still arrive
+    in: no delimiters, each field a byte range. The scan reads lines
+    as text and slices with substring offsets (pure expressions fused
+    with the scan; the offsets would come from a copybook in
+    production). The price travels as zero-padded integer micro-units
+    (fixed-width files carry implied decimals), so the round-trip is
+    exact.
+
+    Scale: text-source scans split by line ranges like CSV; the
+    substring projection is per-task, no shuffle. Schema drift is
+    impossible by construction (offsets are the contract).
+    """
+    path = _scratch(sf_dir, "orders_fixed_width.txt")
+    if not os.path.exists(path):
+        rows = (
+            load(spark, "orders", sf_dir)
+            .filter(F.col("o_orderkey") < 300)
+            .select(
+                "o_orderkey",
+                "o_custkey",
+                "o_orderstatus",
+                F.floor(F.col("o_totalprice") * F.lit(1e6) + F.lit(0.5))
+                .cast("long")
+                .alias("pq"),
+            )
+            .limit(500)
+            .collect()
+        )
+        w1, w2, w3, w4 = _FW_WIDTHS
+        with open(path, "w") as f:
+            for r in rows:
+                f.write(
+                    f"{r[0]:0{w1}d}{r[1]:0{w2}d}{r[2]:<{w3}}{r[3]:0{w4}d}\n"
+                )
+    w1, w2, w3, w4 = _FW_WIDTHS
+    o1, o2, o3, o4 = 1, 1 + w1, 1 + w1 + w2, 1 + w1 + w2 + w3
+    lines = spark.read.text(path)
+    return lines.select(
+        F.substring("value", o1, w1).cast("long").alias("o_orderkey"),
+        F.substring("value", o2, w2).cast("long").alias("o_custkey"),
+        F.trim(F.substring("value", o3, w3)).alias("o_orderstatus"),
+        (
+            F.substring("value", o4, w4).cast("long").cast("double")
+            / F.lit(1e6)
+        ).alias("total_price"),
+    )
