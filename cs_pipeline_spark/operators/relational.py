@@ -453,3 +453,48 @@ def q_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey").alias("custkey"), "n_orders", "n_covered"
         )
     )
+
+
+_SQL_LATERAL = """
+    WITH natbal AS (
+      SELECT n.n_regionkey, n.n_name,
+             CAST(SUM(CAST(FLOOR(c.c_acctbal * 1000000.0 + 0.5)
+                  AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS balq
+      FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_regionkey, n.n_name
+    )
+    SELECT r.r_name, t.n_name,
+           CAST(CAST(t.balq AS STRING) AS DOUBLE) / 1000000.0
+             AS total_acctbal
+    FROM region r,
+    LATERAL (SELECT nb.n_name, nb.balq FROM natbal nb
+             WHERE nb.n_regionkey = r.r_regionkey
+             ORDER BY nb.balq DESC, nb.n_name LIMIT 2) t
+"""
+
+
+@register(
+    "sql_lateral_topk",
+    _SQL_LATERAL,
+    doc="LATERAL correlated subquery (per-region top-2 nations by "
+    "customer balance): the IDENTICAL SQL text runs through spark.sql "
+    "and the DuckDB oracle — the top-N-per-group idiom in its SQL "
+    "form, deterministic quantized-decimal dialect",
+)
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LATERAL join — SQL's per-row subquery: for every region
+    row, an ordered-and-limited correlated scan of the aggregate
+    table. Catalyst rewrites it to the same window/limit plan the
+    DataFrame row_number idiom produces (DecorrelateInnerQuery), so
+    users migrating from Postgres/DuckDB keep their query text AND
+    get the distributed plan. One text, two engines, hash-equal —
+    extending ``sql_surface_parity`` to correlated subqueries.
+
+    Scale: the inner table is the nation-level aggregate (tiny); the
+    lateral probe decorrelates into a broadcast join + per-key rank,
+    never a per-row re-execution.
+    """
+    load(spark, "region", sf_dir).createOrReplaceTempView("region")
+    load(spark, "nation", sf_dir).createOrReplaceTempView("nation")
+    load(spark, "customer", sf_dir).createOrReplaceTempView("customer")
+    return spark.sql(_SQL_LATERAL)
