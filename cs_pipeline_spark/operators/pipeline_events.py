@@ -489,3 +489,52 @@ def agg_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_sessions_started"),
     )
+
+
+@register(
+    "f_variant_extract",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(k) AS BIGINT) AS n_with_k,
+           CAST(SUM(k) AS BIGINT) AS k_total,
+           CAST(COUNT(DISTINCT tag) AS BIGINT) AS n_tags
+    FROM (SELECT event_type,
+                 TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+                 json_extract_string(props, '$.tag') AS tag
+          FROM events) t
+    GROUP BY event_type
+    """,
+    doc="Spark 4 VARIANT ingestion: props parsed ONCE into a variant "
+    "column, typed paths read with variant_get/try_variant_get — the "
+    "shredded semi-structured surface beside f_json_extract's "
+    "per-path string parsing",
+)
+def f_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VARIANT data type (Spark 4): ``parse_json`` decodes the
+    payload once into a binary-encoded variant; every subsequent
+    ``variant_get`` is a cheap path read on the decoded tree — the
+    open-table-format 'shredded JSON' model, versus
+    ``f_json_extract``'s re-parse-per-path. ``try_variant_get`` maps
+    missing/mistyped paths to NULL (the oracle's TRY_CAST twin), so
+    both engines agree on every malformed-payload row.
+
+    Scale: parse-once beats parse-per-path linearly in path count;
+    variant columns store the decoded form in parquet (shredding),
+    so at 100 TB repeated analytics never re-tokenize JSON text. The
+    rollup is one map-side-combined aggregate.
+    """
+    ev = load(spark, "events", sf_dir)
+    v = ev.select(
+        "event_type", F.parse_json("props").alias("vp")
+    ).select(
+        "event_type",
+        F.expr("try_variant_get(vp, '$.k', 'long')").alias("k"),
+        F.expr("try_variant_get(vp, '$.tag', 'string')").alias("tag"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count("k").cast("long").alias("n_with_k"),
+        F.sum("k").cast("long").alias("k_total"),
+        F.countDistinct("tag").cast("long").alias("n_tags"),
+    )
