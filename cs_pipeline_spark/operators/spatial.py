@@ -839,3 +839,97 @@ def f_regrid_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
             "t2m_bilinear"
         ),
     )
+
+
+# ---------- point-in-polygon (ray casting, integer-exact) ----------
+
+# survey polygon over the fixture grid domain (lon, lat) — CONCAVE on
+# purpose (vertex 4 dents inward): bbox tests cannot replicate it.
+# Vertices are exact 0.05-multiples → exact micro-integers.
+_PIP_POLY = [
+    (-74.0, 45.0),
+    (-72.5, 45.2),
+    (-72.4, 46.6),
+    (-73.3, 45.9),
+    (-73.9, 46.7),
+]
+_PIP_Q = [(int(round(x * 1e6)), int(round(y * 1e6))) for x, y in _PIP_POLY]
+
+
+def _pip_terms(px: str, py: str) -> str:
+    """Unrolled ray-cast crossing terms (integer arithmetic only)."""
+    terms = []
+    n = len(_PIP_Q)
+    for i in range(n):
+        x1, y1 = _PIP_Q[i]
+        x2, y2 = _PIP_Q[(i + 1) % n]
+        dy = y2 - y1
+        dx = x2 - x1
+        lhs = f"(({px}) - ({x1})) * ({dy})"
+        rhs = f"({dx}) * (({py}) - ({y1}))"
+        cmp_ = f"{lhs} < {rhs}" if dy > 0 else f"{lhs} > {rhs}"
+        terms.append(
+            f"CASE WHEN (({y1} > ({py})) <> ({y2} > ({py}))) "
+            f"AND ({cmp_}) THEN 1 ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+@register(
+    "spatial_point_in_polygon",
+    f"WITH {ERA5_CTE}, "
+    "pts AS (SELECT DISTINCT "
+    "CAST(FLOOR(longitude * 1000000.0 + 0.5) AS BIGINT) AS px, "
+    "CAST(FLOOR(latitude * 1000000.0 + 0.5) AS BIGINT) AS py "
+    "FROM era5), "
+    f"flags AS (SELECT px, py, ({_pip_terms('px', 'py')}) % 2 AS inside "
+    "FROM pts) "
+    "SELECT CAST(py AS DOUBLE) / 1000000.0 AS latitude, "
+    "CAST(COUNT(*) AS BIGINT) AS n_points, "
+    "CAST(SUM(inside) AS BIGINT) AS n_inside "
+    "FROM flags GROUP BY py",
+    doc="point-in-polygon via ray casting over a CONCAVE survey "
+    "polygon: unrolled integer cross-product crossing tests on the "
+    "quantized grid — the GIS primitive bbox clips cannot express",
+)
+def spatial_point_in_polygon(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The general polygon containment test (the reference's geometry
+    layer classifies Polygon/MultiPolygon — this op EVALUATES them):
+    classic even-odd ray casting, with every edge-crossing test
+    rewritten as an integer cross-product comparison
+    ((px−x1)·Δy ≶ Δx·(py−y1), direction-flipped for downward edges) —
+    no division, no floats, so containment is bit-exact on both
+    engines including points near edges. The test polygon is concave:
+    a bounding-box implementation would misclassify the dent.
+
+    Scale: the predicate is O(vertices) integer ops per point, fused
+    with the scan; for big polygon sets, pre-filter by bbox (the
+    existing clip) then run exact ray casts only on candidates — the
+    standard two-phase GIS filter-refine. Points are the DISTINCT
+    grid coords (≪ facts).
+    """
+    df = era5_events(spark, sf_dir)
+    pts = (
+        df.select(
+            F.floor(F.col("longitude") * F.lit(1e6) + F.lit(0.5))
+            .cast("long")
+            .alias("px"),
+            F.floor(F.col("latitude") * F.lit(1e6) + F.lit(0.5))
+            .cast("long")
+            .alias("py"),
+        )
+        .distinct()
+    )
+    flags = pts.select(
+        "px", "py", F.expr(f"({_pip_terms('px', 'py')}) % 2").alias("inside")
+    )
+    return flags.groupBy("py").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum("inside").cast("long").alias("n_inside"),
+    ).select(
+        (F.col("py").cast("double") / F.lit(1e6)).alias("latitude"),
+        "n_points",
+        "n_inside",
+    )

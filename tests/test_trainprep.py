@@ -194,3 +194,31 @@ def test_knn_confusion_covers_sample(spark, sf_dir):
     emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
     n_sample = int((emb["vec_id"] < 500).sum())
     assert sum(r.n_vecs for r in rows) == n_sample
+
+
+def test_point_in_polygon_against_float_raycaster(spark, sf_dir):
+    rows = queries()["spatial_point_in_polygon"](spark, sf_dir).collect()
+    poly = [(-74.0, 45.0), (-72.5, 45.2), (-72.4, 46.6),
+            (-73.3, 45.9), (-73.9, 46.7)]
+
+    def inside(px, py):
+        # independent float formulation (x-intersection division)
+        c = False
+        n = len(poly)
+        for i in range(n):
+            x1, y1 = poly[i]
+            x2, y2 = poly[(i + 1) % n]
+            if (y1 > py) != (y2 > py):
+                xint = x1 + (x2 - x1) * (py - y1) / (y2 - y1)
+                if px < xint:
+                    c = not c
+        return c
+
+    lats = sorted(45.0 + k * 0.25 for k in range(8))
+    lons = [-74.0 + k * 0.25 for k in range(8)]
+    want = {
+        lat: sum(1 for lon in lons if inside(lon, lat)) for lat in lats
+    }
+    got = {round(r.latitude, 6): r.n_inside for r in rows}
+    assert got == {round(k, 6): v for k, v in want.items()}
+    assert sum(r.n_points for r in rows) == 64
