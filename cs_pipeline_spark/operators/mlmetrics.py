@@ -1726,3 +1726,89 @@ def ml_shap_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("importance_ppm"),
     )
+
+
+@register(
+    "agg_bayes_beta_posterior",
+    """
+    WITH a AS (
+      SELECT user_id % 2 AS variant,
+             CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS converted
+      FROM events GROUP BY user_id
+    ),
+    c AS (
+      SELECT variant,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(converted) AS BIGINT) AS x
+      FROM a GROUP BY variant
+    )
+    SELECT CAST(variant AS BIGINT) AS variant, n, x,
+           CAST((x + 1) * 1000000 // (n + 2) AS BIGINT)
+             AS post_mean_ppm,
+           FLOOR(SQRT(CAST((x + 1) AS DOUBLE) * (n - x + 1)
+                      / (CAST(n + 2 AS DOUBLE) * (n + 2) * (n + 3)))
+                 * 1000000000.0 + 0.5) / 1000000000.0 AS post_std,
+           FLOOR((CAST(x + 1 AS DOUBLE) / (n + 2)
+                  - 2.0 * SQRT(CAST((x + 1) AS DOUBLE) * (n - x + 1)
+                      / (CAST(n + 2 AS DOUBLE) * (n + 2) * (n + 3))))
+                 * 1000000.0 + 0.5) / 1000000.0 AS credible_lo,
+           FLOOR((CAST(x + 1 AS DOUBLE) / (n + 2)
+                  + 2.0 * SQRT(CAST((x + 1) AS DOUBLE) * (n - x + 1)
+                      / (CAST(n + 2 AS DOUBLE) * (n + 2) * (n + 3))))
+                 * 1000000.0 + 0.5) / 1000000.0 AS credible_hi
+    FROM c
+    """,
+    doc="Bayesian A/B readout: per-variant Beta(1,1) posterior over "
+    "user conversion (mean, std, ±2σ credible band) from exact "
+    "conversion counts — the always-valid peeking-safe experiment "
+    "summary beside the frequentist z/t tests",
+)
+def agg_bayes_beta_posterior(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The Bayesian experiment summary: users hash into two variants
+    (deterministic user_id parity), per-user conversion = any
+    purchase, and each variant's rate gets the Beta(1+x, 1+n−x)
+    posterior — mean (x+1)/(n+2) as an integer-ppm division, std and
+    a ±2σ credible band as fixed float expressions over exact counts
+    (Beta variance ab/((a+b)²(a+b+1))), floor-quantized. Overlapping
+    bands = keep collecting; separated bands = ship. Unlike p-values
+    the posterior is valid under continuous monitoring.
+
+    Scale: one per-user conversion rollup (map-side combined), one
+    2-key aggregate, O(1) output.
+    """
+    ev = load(spark, "events", sf_dir)
+    a = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    )
+    c = a.groupBy((F.col("user_id") % 2).alias("variant")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("converted").cast("long").alias("x"),
+    )
+    var = (
+        (F.col("x") + 1).cast("double")
+        * (F.col("n") - F.col("x") + 1)
+        / (
+            (F.col("n") + 2).cast("double")
+            * (F.col("n") + 2)
+            * (F.col("n") + 3)
+        )
+    )
+    mean = (F.col("x") + 1).cast("double") / (F.col("n") + 2)
+    q6 = lambda col: F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    q9 = lambda col: F.floor(col * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)  # noqa: E731
+    return c.select(
+        F.col("variant").cast("long").alias("variant"),
+        "n",
+        "x",
+        F.expr("(x + 1) * 1000000 div (n + 2)")
+        .cast("long")
+        .alias("post_mean_ppm"),
+        q9(F.sqrt(var)).alias("post_std"),
+        q6(mean - F.lit(2.0) * F.sqrt(var)).alias("credible_lo"),
+        q6(mean + F.lit(2.0) * F.sqrt(var)).alias("credible_hi"),
+    )

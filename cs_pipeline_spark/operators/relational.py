@@ -498,3 +498,55 @@ def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, "nation", sf_dir).createOrReplaceTempView("nation")
     load(spark, "customer", sf_dir).createOrReplaceTempView("customer")
     return spark.sql(_SQL_LATERAL)
+
+
+@register(
+    "f_collation_ci",
+    """
+    WITH w AS (
+      SELECT unnest(string_split(p_name, ' ')) AS w FROM part
+      UNION ALL
+      SELECT upper(substr(unnest(string_split(p_name, ' ')), 1, 1))
+             || substr(unnest(string_split(p_name, ' ')), 2) FROM part
+    )
+    SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS n_binary,
+           CAST(COUNT(DISTINCT lower(w)) AS BIGINT) AS n_ci,
+           COALESCE(COUNT(DISTINCT w) = 2 * COUNT(DISTINCT lower(w)),
+                    FALSE) AS case_variants_collapse
+    FROM w
+    """,
+    doc="Spark 4 collation surface: distinct part-name words under "
+    "binary vs case-insensitive (UTF8_LCASE) collation — the Title "
+    "Case variants collapse under CI, pinned by the oracle; "
+    "locale-aware equality without lower() rewrites",
+)
+def f_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String collations (Spark 4): comparisons, joins, and DISTINCT
+    can be declared case-insensitive at the TYPE level
+    (``collate(col, 'UTF8_LCASE')``) instead of scattering lower()
+    through every predicate — and unlike lower()-rewrites the
+    original spelling survives for display. The op manufactures a
+    Title Case variant of every part-name word (so the corpus has
+    real case diversity), then counts distinct words under both
+    collations; the CI count collapsing to exactly half is the
+    pinned contract (the DuckDB twin models CI as lower()).
+
+    Scale: collation-aware distinct aggregates hash the collation
+    key — same two-phase partial aggregate as any COUNT(DISTINCT);
+    no extra pass over the data versus the lower() rewrite.
+    """
+    part = load(spark, "part", sf_dir)
+    words = part.select(F.explode(F.split("p_name", " ")).alias("w"))
+    variants = words.select(F.initcap("w").alias("w"))
+    w = words.unionAll(variants)
+    return w.agg(
+        F.countDistinct("w").cast("long").alias("n_binary"),
+        F.countDistinct(F.expr("collate(w, 'UTF8_LCASE')"))
+        .cast("long")
+        .alias("n_ci"),
+        F.coalesce(
+            F.countDistinct("w")
+            == F.lit(2) * F.countDistinct(F.expr("collate(w, 'UTF8_LCASE')")),
+            F.lit(False),
+        ).alias("case_variants_collapse"),
+    )
