@@ -703,3 +703,122 @@ def mm_text_embed_consistency(
         F.col("n").cast("long").alias("n_pairs"),
         r.alias("corr_len_norm"),
     )
+
+
+_IL_CHUNK = 200  # chars per text chunk (doc_chunk_split's geometry)
+_IL_IMG_EVERY = 2  # one image slot after every 2 text chunks
+
+
+@register(
+    "mm_interleave_plan",
+    f"""
+    WITH chunks AS (
+      SELECT doc_id, unnest(range(0,
+             CAST(CEIL(CAST(length(text) AS DOUBLE) / {_IL_CHUNK})
+                  AS BIGINT))) AS chunk_idx
+      FROM documents
+    ),
+    seq AS (
+      SELECT doc_id, chunk_idx,
+             chunk_idx + chunk_idx // {_IL_IMG_EVERY} AS seq_pos,
+             'text' AS kind,
+             CAST(chunk_idx AS BIGINT) AS ref
+      FROM chunks
+      UNION ALL
+      SELECT doc_id,
+             CAST(NULL AS BIGINT),
+             (img + 1) * {_IL_IMG_EVERY} + img AS seq_pos,
+             'image' AS kind,
+             img AS ref
+      FROM (
+        SELECT doc_id, unnest(range(0,
+               CAST(CEIL(CAST(length(text) AS DOUBLE) / {_IL_CHUNK})
+                    AS BIGINT) // {_IL_IMG_EVERY})) AS img
+        FROM documents) t
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CASE WHEN kind = 'text' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_text,
+           CAST(SUM(CASE WHEN kind = 'image' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_images,
+           CAST(MAX(seq_pos) AS BIGINT) AS last_pos,
+           COALESCE(COUNT(*) = MAX(seq_pos) + 1
+                    AND COUNT(DISTINCT seq_pos) = COUNT(*), FALSE)
+             AS layout_dense
+    FROM seq GROUP BY doc_id
+    """,
+    doc="interleaved multimodal sequence planning (MMC4-style): text "
+    "chunks and image slots merged into one dense, gap-free position "
+    "layout per document — density pinned in-plan; the arithmetic "
+    "that turns separate modality tables into a training sequence",
+)
+def mm_interleave_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved-modality training data (the MMC4/Flamingo layout):
+    a document's text chunks and its image slots must merge into ONE
+    position-addressed sequence. The layout is pure integer
+    arithmetic — text chunk i sits at i + i div k (shifted past the
+    images already emitted), image j sits after every k-th chunk at
+    (j+1)·k + j — and the plan PROVES per document that positions are
+    dense and collision-free (count == max_pos+1 == distinct), the
+    invariant the packer downstream assumes. The image DECODE stays
+    in the mapInPandas stub stage; this is the shuffle-free planning
+    step, like ``mm_batch_collate_plan``.
+
+    Scale: two scan-level explodes unioned, one groupBy(doc_id) —
+    the fact table never shuffles raw text, only (doc, position)
+    rows. Sequence assembly then sorts WITHIN each doc partition.
+    """
+    docs = load(spark, "documents", sf_dir)
+    n_chunks = F.ceil(
+        F.length("text").cast("double") / F.lit(_IL_CHUNK)
+    ).cast("long")
+    text = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    ).select(
+        "doc_id",
+        (
+            F.col("chunk_idx")
+            + F.expr(f"chunk_idx div {_IL_IMG_EVERY}")
+        ).alias("seq_pos"),
+        F.lit("text").alias("kind"),
+        F.col("chunk_idx").cast("long").alias("ref"),
+    )
+    n_imgs = F.expr(
+        f"CAST(CEIL(CAST(length(text) AS DOUBLE) / {_IL_CHUNK}) AS BIGINT) "
+        f"div {_IL_IMG_EVERY}"
+    )
+    imgs = docs.select(
+        "doc_id",
+        F.explode(
+            # n_imgs = 0 would make sequence(0, -1) DESCEND ([0, -1])
+            # — the shingles guard: emit an empty array instead
+            F.when(
+                n_imgs > 0, F.sequence(F.lit(0), n_imgs - 1)
+            ).otherwise(F.array().cast("array<bigint>"))
+        ).alias("img"),
+    ).select(
+        "doc_id",
+        (
+            (F.col("img") + 1) * F.lit(_IL_IMG_EVERY) + F.col("img")
+        ).alias("seq_pos"),
+        F.lit("image").alias("kind"),
+        F.col("img").cast("long").alias("ref"),
+    )
+    seq = text.unionByName(imgs)
+    return seq.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(F.when(F.col("kind") == "text", 1).otherwise(0))
+        .cast("long")
+        .alias("n_text"),
+        F.sum(F.when(F.col("kind") == "image", 1).otherwise(0))
+        .cast("long")
+        .alias("n_images"),
+        F.max("seq_pos").cast("long").alias("last_pos"),
+        F.coalesce(
+            (F.count(F.lit(1)) == F.max("seq_pos") + 1)
+            & (F.countDistinct("seq_pos") == F.count(F.lit(1))),
+            F.lit(False),
+        ).alias("layout_dense"),
+    )

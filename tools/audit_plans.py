@@ -290,6 +290,15 @@ AUDIT: dict[str, dict] = {
     "scan_csv_quarantine": {"smj": 0},
     "agg_two_prop_ztest": {"smj": 0, "exchange": 1},
     "agg_gumbel_extremes": {"exchange": 2, "smj": 0},
+    "sql_lateral_topk": {"smj": 0},
+    "f_variant_extract": {"exchange": 1, "smj": 0},
+    "spatial_point_in_polygon": {"smj": 0},
+    "f_collation_ci": {"smj": 0},
+    "agg_bayes_beta_posterior": {"exchange": 2, "smj": 0},
+    "scan_fixed_width": {"exchange": 0, "smj": 0},
+    "agg_winsorized_mean": {"exchange": 1, "smj": 0},
+    "ml_shap_global": {"smj": 0},
+    "agg_mutual_information": {"smj": 0},
 }
 
 
