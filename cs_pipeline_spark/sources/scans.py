@@ -1038,3 +1038,34 @@ def scan_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e6)
         ).alias("total_price"),
     )
+
+
+@register(
+    "scan_orc_roundtrip",
+    "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice "
+    "FROM orders WHERE o_orderkey < 400",
+    doc="ORC columnar round-trip (zlib): write a subset as ORC, scan "
+    "it back with predicate/column pushdown — the second columnar "
+    "format beside parquet (Hive-ecosystem interchange)",
+)
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC — the other columnar format a lake ingests from Hive-era
+    producers: Spark's native reader/writer round-trips it with the
+    same pushdown machinery as parquet (predicate + column pruning
+    reach the ORC stripes; check ``.explain`` for PushedFilters).
+    The oracle states the expected row set from the source-of-truth
+    parquet, so what is verified is the encode→decode identity
+    including double exactness (ORC stores IEEE doubles losslessly).
+
+    Scale: ORC splits by stripe like parquet row groups — scans
+    parallelize identically; at 100 TB prefer parquet for the richer
+    ecosystem but READING legacy ORC costs nothing extra.
+    """
+    path = _scratch(sf_dir, "orders_subset.orc")
+    if not os.path.exists(path):
+        load(spark, "orders", sf_dir).filter(
+            F.col("o_orderkey") < 400
+        ).select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+        ).write.mode("overwrite").orc(path)
+    return spark.read.orc(path).filter(F.col("o_orderkey") < 400)

@@ -296,9 +296,12 @@ AUDIT: dict[str, dict] = {
     "f_collation_ci": {"smj": 0},
     "agg_bayes_beta_posterior": {"exchange": 2, "smj": 0},
     "scan_fixed_width": {"exchange": 0, "smj": 0},
-    "agg_winsorized_mean": {"exchange": 1, "smj": 0},
+    "agg_winsorized_mean": {"exchange": 2, "smj": 0},
     "ml_shap_global": {"smj": 0},
     "agg_mutual_information": {"smj": 0},
+    # groupBy + the COUNT(DISTINCT seq_pos) two-phase expand
+    "mm_interleave_plan": {"exchange": 2, "smj": 0},
+    "scan_orc_roundtrip": {"exchange": 0, "pushed": True},
 }
 
 
