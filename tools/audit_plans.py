@@ -291,7 +291,7 @@ AUDIT: dict[str, dict] = {
     "agg_two_prop_ztest": {"smj": 0, "exchange": 1},
     "agg_gumbel_extremes": {"exchange": 2, "smj": 0},
     "sql_lateral_topk": {"smj": 0},
-    "f_variant_extract": {"exchange": 1, "smj": 0},
+    "f_variant_extract": {"exchange": 2, "smj": 0},
     "spatial_point_in_polygon": {"smj": 0},
     "f_collation_ci": {"smj": 0},
     "agg_bayes_beta_posterior": {"exchange": 2, "smj": 0},
