@@ -286,7 +286,7 @@ AUDIT: dict[str, dict] = {
     "agg_t_test_paired": {},
     "emb_dedup_exact": {"exchange": 2, "smj": 0},
     "win_funnel_latency": {},
-    "win_last_touch_attribution": {"exchange": 2, "smj": 0},
+    "win_last_touch_attribution": {"exchange": 3, "smj": 0},
     "scan_csv_quarantine": {"smj": 0},
     "agg_two_prop_ztest": {"smj": 0, "exchange": 1},
     "agg_gumbel_extremes": {"exchange": 2, "smj": 0},
