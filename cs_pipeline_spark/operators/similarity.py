@@ -3949,7 +3949,10 @@ def emb_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cid")
     )
     occ = s.select("vec_id").join(
-        topk.groupBy("cid").agg(F.count(F.lit(1)).alias("c")),
+        # k-occurrence table is ≤ sample-size rows — broadcast it
+        F.broadcast(
+            topk.groupBy("cid").agg(F.count(F.lit(1)).alias("c"))
+        ),
         s.vec_id == F.col("cid"),
         "left",
     ).select(F.coalesce("c", F.lit(0)).cast("long").alias("k_occ"))
