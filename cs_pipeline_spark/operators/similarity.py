@@ -4160,3 +4160,160 @@ def emb_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_groups"),
         F.sum("n_copies").cast("long").alias("n_vectors"),
     )
+
+
+_JL_K = 16  # projected dimensions
+_JL_PAIRS_MOD = 2  # pair (even id, even id + 1)
+
+
+def _jl_sign(i: int, k: int) -> int:
+    """Deterministic ±1 projection entry (shared literal formula)."""
+    return 1 if (i * 31 + k * 17) % 2 == 0 else -1
+
+
+def _jl_proj_sql(vec: str, k: int) -> str:
+    terms = " + ".join(
+        f"({vec}[{i + 1}] * {_jl_sign(i, k)})" for i in range(_KM_DIM)
+    )
+    return f"({terms})"
+
+
+def _jl_sql() -> str:
+    ya = ", ".join(
+        f"{_jl_proj_sql('a.eq', k)} AS ya{k}" for k in range(_JL_K)
+    )
+    yb = ", ".join(
+        f"{_jl_proj_sql('b.eq', k)} AS yb{k}" for k in range(_JL_K)
+    )
+    d16 = " + ".join(
+        f"CAST(ya{k} - yb{k} AS HUGEINT) * (ya{k} - yb{k})"
+        for k in range(_JL_K)
+    )
+    return f"""
+    WITH {_SQL_EQS_CTE},
+    pairs AS (
+      SELECT a.vec_id AS ida, b.vec_id AS idb,
+             list_sum(list_transform(range(1, {_KM_DIM} + 1),
+               i -> (a.eq[CAST(i AS INTEGER)] - b.eq[CAST(i AS INTEGER)])
+                    * (a.eq[CAST(i AS INTEGER)] - b.eq[CAST(i AS INTEGER)])))
+               AS d64,
+             {ya}, {yb}
+      FROM eqs a JOIN eqs b
+        ON a.vec_id % {_JL_PAIRS_MOD} = 0 AND b.vec_id = a.vec_id + 1
+    ),
+    dist AS (
+      SELECT CAST(FLOOR(CAST(CAST({d16} AS VARCHAR) AS DOUBLE)
+             / ({_JL_K}.0 * CAST(CAST(d64 AS VARCHAR) AS DOUBLE))
+             * 1000000000.0 + 0.5) AS BIGINT) AS ratio_q
+      FROM pairs WHERE d64 > 0
+    ),
+    r AS (
+      SELECT ratio_q,
+             ROW_NUMBER() OVER (ORDER BY ratio_q) AS rn,
+             COUNT(*) OVER () AS nn
+      FROM dist
+    )
+    SELECT CAST(MAX(nn) AS BIGINT) AS n_pairs,
+           CAST(MIN(ratio_q) AS DOUBLE) / 1000000000.0 AS min_ratio,
+           CAST(MAX(CASE WHEN rn = CAST(CEIL(0.5 * nn) AS BIGINT)
+                THEN ratio_q END) AS DOUBLE) / 1000000000.0
+             AS median_ratio,
+           CAST(MAX(ratio_q) AS DOUBLE) / 1000000000.0 AS max_ratio
+    FROM r
+    """
+
+
+@register(
+    "emb_random_projection",
+    _jl_sql(),
+    doc=f"Johnson-Lindenstrauss audit: deterministic ±1 projection "
+    f"64→{_JL_K} dims, pairwise squared-distance distortion "
+    "d²_proj/(K·d²_orig) summarized by exact rank-picked quantiles — "
+    "how much retrieval geometry survives the cheap sketch",
+)
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JL transform — distance-preserving dimensionality
+    reduction with a ±1 matrix (Achlioptas): projections are exact
+    integer sums of quantized components against a deterministic sign
+    pattern (no RNG — the sign is a literal bit formula, so any
+    executor reprojects identically). The audit measures what the
+    theorem promises: the ratio ‖Rx−Ry‖²/(K·‖x−y‖²) concentrates
+    near 1; min/median/max over a fixed pair sample quantify the
+    distortion band. A median far from 1 or a fat band means K is
+    too small for the corpus's intrinsic dimension.
+
+    Scale: projection is a per-row map (D·K integer ops) — the sketch
+    every distance-heavy stage (dedup blocking, coarse ANN) can run
+    on at 1/4 the bytes; the pair sample is id-adjacent (equi-join,
+    no all-pairs). Ratios are single divisions of exact integers,
+    quantized at 1e-9, quantiles are rank picks.
+    """
+    emb = load(spark, "embeddings", sf_dir)
+    eqs = _quantized_eq(emb, with_label=False)
+
+    def proj(vec: str, k: int):
+        signs = F.array(
+            *[F.lit(_jl_sign(i, k)) for i in range(_KM_DIM)]
+        )
+        return F.aggregate(
+            F.zip_with(vec, signs, lambda x, s: x * s),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    a = eqs.select(
+        F.col("vec_id").alias("ida"),
+        F.col("eq").alias("ea"),
+        *[proj("eq", k).alias(f"ya{k}") for k in range(_JL_K)],
+    ).filter(F.col("ida") % _JL_PAIRS_MOD == 0)
+    b = eqs.select(
+        F.col("vec_id").alias("idb"),
+        F.col("eq").alias("eb"),
+        *[proj("eq", k).alias(f"yb{k}") for k in range(_JL_K)],
+    )
+    d64 = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    d38 = "decimal(38,0)"
+    d16 = sum(
+        (
+            (F.col(f"ya{k}") - F.col(f"yb{k}")).cast(d38)
+            * (F.col(f"ya{k}") - F.col(f"yb{k}"))
+            for k in range(_JL_K)
+        ),
+        F.lit(0).cast(d38),
+    )
+    pairs = a.join(b, F.col("idb") == F.col("ida") + 1).select(
+        d64.alias("d64"), d16.alias("d16")
+    )
+    dist = pairs.filter(F.col("d64") > 0).select(
+        F.floor(
+            F.col("d16").cast("string").cast("double")
+            / (F.lit(float(_JL_K)) * F.col("d64").cast("string").cast("double"))
+            * F.lit(1e9)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("ratio_q")
+    )
+    r = dist.select(
+        "ratio_q",
+        F.row_number().over(Window.orderBy("ratio_q")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(F.lit(1))).alias("nn"),
+    )
+    return r.agg(
+        F.max("nn").cast("long").alias("n_pairs"),
+        (F.min("ratio_q").cast("double") / F.lit(1e9)).alias("min_ratio"),
+        (
+            F.max(
+                F.when(
+                    F.col("rn") == F.ceil(F.lit(0.5) * F.col("nn")),
+                    F.col("ratio_q"),
+                )
+            ).cast("double")
+            / F.lit(1e9)
+        ).alias("median_ratio"),
+        (F.max("ratio_q").cast("double") / F.lit(1e9)).alias("max_ratio"),
+    )

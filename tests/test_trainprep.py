@@ -222,3 +222,12 @@ def test_point_in_polygon_against_float_raycaster(spark, sf_dir):
     got = {round(r.latitude, 6): r.n_inside for r in rows}
     assert got == {round(k, 6): v for k, v in want.items()}
     assert sum(r.n_points for r in rows) == 64
+
+
+def test_jl_projection_concentrates(spark, sf_dir):
+    r = queries()["emb_random_projection"](spark, sf_dir).collect()[0]
+    assert r.n_pairs > 0
+    # JL with +-1 entries: ratio concentrates around 1
+    assert 0.2 < r.median_ratio < 3.0
+    assert r.min_ratio <= r.median_ratio <= r.max_ratio
+    assert r.min_ratio >= 0.0
