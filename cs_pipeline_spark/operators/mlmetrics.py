@@ -1812,3 +1812,68 @@ def agg_bayes_beta_posterior(
         q6(mean - F.lit(2.0) * F.sqrt(var)).alias("credible_lo"),
         q6(mean + F.lit(2.0) * F.sqrt(var)).alias("credible_hi"),
     )
+
+
+@register(
+    "agg_ab_srm_check",
+    """
+    WITH a AS (
+      SELECT user_id % 2 AS variant, COUNT(*) AS n_events
+      FROM events GROUP BY user_id % 2
+    ),
+    c AS (
+      SELECT CAST(SUM(CASE WHEN variant = 0 THEN n_events END) AS BIGINT)
+               AS n_a,
+             CAST(SUM(CASE WHEN variant = 1 THEN n_events END) AS BIGINT)
+               AS n_b
+      FROM a
+    )
+    SELECT n_a, n_b,
+           FLOOR(CAST((n_a - n_b) AS DOUBLE) * (n_a - n_b) / (n_a + n_b)
+                 * 1000000.0 + 0.5) / 1000000.0 AS chi2,
+           COALESCE(CAST((n_a - n_b) AS DOUBLE) * (n_a - n_b)
+                    / (n_a + n_b) > 3.841, FALSE) AS srm_detected
+    FROM c
+    """,
+    doc="sample-ratio-mismatch guard for the 50/50 assignment: "
+    "one-df chi-square of variant traffic vs expected split with the "
+    "3.84 (p<0.05) verdict pinned — the experiment-trustworthiness "
+    "check that must PASS before any A/B readout is believed",
+)
+def agg_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The most important A/B test is the one on the assignment
+    itself: if variant traffic deviates from the designed 50/50 split
+    beyond chance (SRM), every downstream metric is biased by whatever
+    broke the assignment (bots filtered one-sided, redirect loss,
+    logging gaps) — the readouts (``agg_ab_test``,
+    ``agg_two_prop_ztest``, ``agg_bayes_beta_posterior``) are invalid.
+    χ² = (n_a−n_b)²/(n_a+n_b) for a 50/50 design; the flag compares
+    against the 1-df 95% critical value as a fixed float expression
+    over exact counts (COALESCE'd boolean).
+
+    Scale: one map-side-combined 2-key count — the cheapest query in
+    the registry guarding the most expensive decisions.
+    """
+    ev = load(spark, "events", sf_dir)
+    a = ev.groupBy((F.col("user_id") % 2).alias("variant")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    c = a.agg(
+        F.sum(F.when(F.col("variant") == 0, F.col("n_events")))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("variant") == 1, F.col("n_events")))
+        .cast("long")
+        .alias("n_b"),
+    )
+    chi2 = (
+        (F.col("n_a") - F.col("n_b")).cast("double")
+        * (F.col("n_a") - F.col("n_b"))
+        / (F.col("n_a") + F.col("n_b"))
+    )
+    return c.select(
+        "n_a",
+        "n_b",
+        (F.floor(chi2 * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("chi2"),
+        F.coalesce(chi2 > F.lit(3.841), F.lit(False)).alias("srm_detected"),
+    )

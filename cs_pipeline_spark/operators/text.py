@@ -1179,3 +1179,82 @@ def text_style_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e9)
         ).alias("style_cosine"),
     )
+
+
+_CODE_KEYWORDS = (
+    "def", "return", "import", "class", "function", "var", "const",
+    "if", "else", "for", "while",
+)
+
+
+@register(
+    "text_code_detect",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             length(text) - length(regexp_replace(text,
+               '[{{}}();=<>\\[\\]]', '', 'g')) AS n_symbols,
+             {_sql_hits(_DUCK_TOKENS, _CODE_KEYWORDS)} AS kw_hits,
+             len(regexp_extract_all(text, '[a-z][A-Z]')) AS camel_hits,
+             len(regexp_extract_all(lower(text), '[a-z]+_[a-z]+'))
+               AS snake_hits
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_symbols * 1000000 // n_chars AS BIGINT)
+             AS symbol_ppm,
+           CAST(kw_hits AS BIGINT) AS kw_hits,
+           CAST(camel_hits + snake_hits AS BIGINT) AS ident_hits,
+           COALESCE(n_symbols * 1000000 // n_chars > 20000
+                    OR (kw_hits >= 2 AND camel_hits + snake_hits >= 2),
+                    FALSE) AS looks_like_code
+    FROM s
+    """,
+    doc="code-vs-prose detection: bracket/operator symbol density, "
+    "programming-keyword hits, camelCase/snake_case identifier "
+    "counts → per-doc verdict — the corpus router that keeps code "
+    "out of (or routes it into) the right training mixture",
+)
+def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code detection — the routing decision every LLM corpus makes
+    (code is gold for a code mixture and noise in a prose-quality
+    filter: its symbol density fails Gopher-style heuristics). Three
+    cheap orthogonal signals: structural symbol density (brackets,
+    operators — integer ppm of exact counts), language-keyword token
+    hits, and identifier-convention matches (camelCase on the RAW
+    text — lowercase normalization destroys it — plus snake_case).
+    The verdict ORs a high-symbol path with a keywords+identifiers
+    path, so neither mathematical prose (symbols, no identifiers)
+    nor code-discussing prose (keywords, no symbols) false-fires
+    alone.
+
+    Scale: pure per-row regexp counting fused with the scan — zero
+    shuffle, the text_stats family shape.
+    """
+    docs = load(spark, "documents", sf_dir)
+    kw = _hits(_tokens(F.expr(_NORM)), _CODE_KEYWORDS)
+    camel = F.regexp_count("text", F.lit("[a-z][A-Z]"))
+    snake = F.regexp_count(F.lower("text"), F.lit("[a-z]+_[a-z]+"))
+    return docs.select(
+        "doc_id",
+        F.expr(
+            "CAST((length(text) - length(regexp_replace(text, "
+            "'[{}();=<>\\\\[\\\\]]', ''))) * 1000000 div length(text) "
+            "AS LONG)"
+        ).alias("symbol_ppm"),
+        kw.cast("long").alias("kw_hits"),
+        (camel + snake).cast("long").alias("ident_hits"),
+        F.coalesce(
+            (
+                F.expr(
+                    "(length(text) - length(regexp_replace(text, "
+                    "'[{}();=<>\\\\[\\\\]]', ''))) * 1000000 "
+                    "div length(text)"
+                )
+                > 20000
+            )
+            | ((kw >= 2) & ((camel + snake) >= 2)),
+            F.lit(False),
+        ).alias("looks_like_code"),
+    )

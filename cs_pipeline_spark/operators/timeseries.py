@@ -1013,3 +1013,98 @@ def win_last_touch_attribution(
             .alias("share_ppm"),
         )
     )
+
+
+@register(
+    "win_allen_relations",
+    f"""
+    WITH spans AS (
+      SELECT user_id, event_type,
+             MIN(epoch_us({EVENTS_TS_SQL})) AS s,
+             MAX(epoch_us({EVENTS_TS_SQL})) AS e
+      FROM events GROUP BY user_id, event_type
+    ),
+    pairs AS (
+      SELECT a.s AS s1, a.e AS e1, b.s AS s2, b.e AS e2
+      FROM spans a JOIN spans b
+        ON b.user_id = a.user_id
+       AND (a.s < b.s OR (a.s = b.s AND a.event_type < b.event_type))
+    ),
+    rel AS (
+      SELECT CASE
+        WHEN e1 < s2 THEN 'before'
+        WHEN e1 = s2 THEN 'meets'
+        WHEN s1 = s2 AND e1 = e2 THEN 'equals'
+        WHEN s1 = s2 THEN 'starts'
+        WHEN e1 = e2 THEN 'finishes'
+        WHEN e1 > e2 THEN 'contains'
+        ELSE 'overlaps' END AS relation
+      FROM pairs
+    )
+    SELECT relation, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM rel GROUP BY relation
+    """,
+    doc="Allen's interval algebra census: per-user activity spans of "
+    "each event type classified pairwise into the seven canonical "
+    "temporal relations (before/meets/overlaps/starts/during/"
+    "finishes/equals) — the vocabulary temporal joins reason in, "
+    "pure integer comparisons",
+)
+def win_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen's interval algebra — the complete, mutually-exclusive
+    classification of how two time intervals can relate. Every
+    temporal-join flavor in the registry is a subset of it
+    (``join_interval_overlap`` = overlaps∪contains∪…, as-of joins =
+    before with a bound); this op names each relation explicitly over
+    per-(user, type) activity spans and censuses the distribution —
+    the profile that tells you WHICH temporal join your data needs.
+    All classifications are exact integer-µs comparisons on a
+    canonical pair order (start, then type — so each unordered pair
+    appears exactly once).
+
+    Scale: spans are one map-side-combined min/max rollup (k·users
+    rows ≪ events); the pair join is per-user with bounded
+    cardinality (k types ⇒ ≤ k(k−1)/2 pairs per user) — the blocked
+    pairwise discipline.
+    """
+    ev = load(spark, "events", sf_dir)
+    spans = ev.groupBy("user_id", "event_type").agg(
+        F.min(F.unix_micros("ts")).alias("s"),
+        F.max(F.unix_micros("ts")).alias("e"),
+    )
+    a = spans.select(
+        "user_id",
+        F.col("event_type").alias("ta"),
+        F.col("s").alias("s1"),
+        F.col("e").alias("e1"),
+    )
+    b = spans.select(
+        "user_id",
+        F.col("event_type").alias("tb"),
+        F.col("s").alias("s2"),
+        F.col("e").alias("e2"),
+    )
+    pairs = a.join(
+        b,
+        (a.user_id == b.user_id)
+        & (
+            (F.col("s1") < F.col("s2"))
+            | ((F.col("s1") == F.col("s2")) & (F.col("ta") < F.col("tb")))
+        ),
+    )
+    rel = pairs.select(
+        F.when(F.col("e1") < F.col("s2"), "before")
+        .when(F.col("e1") == F.col("s2"), "meets")
+        .when(
+            (F.col("s1") == F.col("s2")) & (F.col("e1") == F.col("e2")),
+            "equals",
+        )
+        .when(F.col("s1") == F.col("s2"), "starts")
+        .when(F.col("e1") == F.col("e2"), "finishes")
+        .when(F.col("e1") > F.col("e2"), "contains")
+        .otherwise("overlaps")
+        .alias("relation")
+    )
+    return rel.groupBy("relation").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
