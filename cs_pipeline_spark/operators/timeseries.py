@@ -1108,3 +1108,71 @@ def win_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.groupBy("relation").agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs")
     )
+
+
+@register(
+    "agg_seasonal_envelope",
+    f"""
+    WITH q AS (
+      SELECT CAST(EXTRACT(hour FROM {EVENTS_TS_SQL}) AS BIGINT) AS hod,
+             {_Q6} AS qv, event_id
+      FROM events
+    ),
+    r AS (
+      SELECT hod, qv,
+             ROW_NUMBER() OVER (PARTITION BY hod ORDER BY qv, event_id)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY hod) AS nn
+      FROM q
+    )
+    SELECT hod AS hour_of_day,
+           CAST(MAX(nn) AS BIGINT) AS n,
+           CAST(MAX(CASE WHEN rn = CAST(CEIL(0.1 * nn) AS BIGINT)
+                THEN qv END) AS DOUBLE) / 1000000.0 AS p10,
+           CAST(MAX(CASE WHEN rn = CAST(CEIL(0.5 * nn) AS BIGINT)
+                THEN qv END) AS DOUBLE) / 1000000.0 AS p50,
+           CAST(MAX(CASE WHEN rn = CAST(CEIL(0.9 * nn) AS BIGINT)
+                THEN qv END) AS DOUBLE) / 1000000.0 AS p90
+    FROM r GROUP BY hod
+    """,
+    doc="seasonal percentile envelope: per hour-of-day exact "
+    "rank-picked p10/p50/p90 of the value distribution — the "
+    "expected band a live metric is compared against (outside the "
+    "envelope at 3 AM means something different than at noon)",
+)
+def agg_seasonal_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware alert bands: anomaly thresholds that ignore
+    time of day page the on-call at every traffic peak. This op
+    builds the per-hour-of-day percentile envelope (exact discrete
+    rank picks — the element-picking convention) that a monitor
+    compares live values against: the 24×3 table IS the alert
+    configuration. ``agg_seasonal_hod`` gives the per-hour mean;
+    the envelope adds the distribution width the mean hides.
+
+    Scale: one shuffle on the 24-key hour bucket shared by the rank
+    window and the rollup; output is constant-size regardless of
+    volume.
+    """
+    ev = load(spark, "events", sf_dir)
+    q = ev.select(
+        F.hour("ts").cast("long").alias("hod"),
+        F.expr(_Q6).alias("qv"),
+        "event_id",
+    )
+    r = q.select(
+        "hod",
+        "qv",
+        F.row_number()
+        .over(Window.partitionBy("hod").orderBy("qv", "event_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("hod")).alias("nn"),
+    )
+    pick = lambda p: F.max(  # noqa: E731
+        F.when(F.col("rn") == F.ceil(F.lit(p) * F.col("nn")), F.col("qv"))
+    ).cast("double") / F.lit(1e6)
+    return r.groupBy(F.col("hod").alias("hour_of_day")).agg(
+        F.max("nn").cast("long").alias("n"),
+        pick(0.1).alias("p10"),
+        pick(0.5).alias("p50"),
+        pick(0.9).alias("p90"),
+    )
