@@ -1080,3 +1080,67 @@ def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_sensitive",
         (F.col("n_sensitive") < _L_DIV).alias("violates_l"),
     )
+
+
+@register(
+    "dq_sequence_gaps",
+    """
+    WITH s AS (
+      SELECT event_id,
+             event_id - LAG(event_id) OVER (ORDER BY event_id) AS delta
+      FROM events
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(event_id) AS BIGINT) AS min_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_id,
+           CAST(MAX(event_id) - MIN(event_id) + 1 - COUNT(*) AS BIGINT)
+             AS n_missing,
+           CAST(SUM(CASE WHEN delta = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_duplicates,
+           CAST(SUM(CASE WHEN delta > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_gap_runs,
+           CAST(MAX(delta) - 1 AS BIGINT) AS max_gap
+    FROM s
+    """,
+    doc="monotonic-id completeness audit: missing-id mass from the "
+    "range-vs-count identity plus gap-run/duplicate counts from lag "
+    "deltas — the first question asked of any ingested sequence "
+    "('did we drop events?')",
+)
+def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-completeness audit for monotonically-assigned ids:
+    total missing mass is the exact identity max−min+1−count (no scan
+    of the gaps themselves), while lag deltas localize it — how many
+    distinct gap RUNS, the largest one, and any duplicated ids
+    (delta 0 — the at-least-once-delivery fingerprint). A producer
+    crash shows as one big run; steady sampling loss shows as many
+    size-1 runs; both alarm differently.
+
+    Scale: the identity needs only min/max/count (map-side combined,
+    no order); the lag pass needs the total order — at 100 TB run it
+    per shard/partition key (ids are per-partition monotonic in
+    Kafka anyway), exactly like the other sequence ops.
+    """
+    ev = load(spark, "events", sf_dir)
+    s = ev.select(
+        "event_id",
+        (
+            F.col("event_id")
+            - F.lag("event_id").over(Window.orderBy("event_id"))
+        ).alias("delta"),
+    )
+    return s.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("event_id").cast("long").alias("min_id"),
+        F.max("event_id").cast("long").alias("max_id"),
+        (F.max("event_id") - F.min("event_id") + 1 - F.count(F.lit(1)))
+        .cast("long")
+        .alias("n_missing"),
+        F.sum(F.when(F.col("delta") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_duplicates"),
+        F.sum(F.when(F.col("delta") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_gap_runs"),
+        (F.max("delta") - 1).cast("long").alias("max_gap"),
+    )
