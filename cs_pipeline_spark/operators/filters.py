@@ -7,7 +7,7 @@ the reader as PushedFilters / ReadSchema. No shuffles anywhere here.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cs_pipeline_spark.functions.constants import (
