@@ -244,3 +244,110 @@ def curate_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(_stage_count(split.filter(F.col("bucket") >= 90), "test"))
     )
+
+
+_LEAK_P = 1000000007
+_LEAK_MULT = 2654435761 % _LEAK_P
+
+
+@register(
+    "corpus_split_leakage",
+    f"""
+    WITH b AS (
+      SELECT doc_id,
+             (((doc_id % {_LEAK_P}) * {_LEAK_MULT}) % {_LEAK_P}) % 100
+               AS bucket,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, bucket,
+             unnest(list_transform(
+               range(1, greatest(len(string_split(norm, ' ')) - 7, 0) + 1),
+               i -> array_to_string(string_split(norm, ' ')[i:i+7], ' ')))
+               AS shingle
+      FROM b
+    ),
+    train_sh AS (
+      SELECT DISTINCT shingle FROM sh WHERE bucket < 80
+    ),
+    test_docs AS (
+      SELECT doc_id, COUNT(DISTINCT shingle) AS n_shingles
+      FROM sh WHERE bucket >= 80 GROUP BY doc_id
+    ),
+    leaked AS (
+      SELECT s.doc_id, COUNT(DISTINCT s.shingle) AS n_leaked
+      FROM sh s JOIN train_sh t ON t.shingle = s.shingle
+      WHERE s.bucket >= 80 GROUP BY s.doc_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_test_docs,
+           CAST(SUM(CASE WHEN l.n_leaked IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_leaked_docs,
+           CAST(SUM(COALESCE(l.n_leaked, 0)) AS BIGINT)
+             AS n_leaked_shingles,
+           CAST(SUM(CASE WHEN l.n_leaked IS NOT NULL THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS leaked_doc_ppm
+    FROM test_docs td LEFT JOIN leaked l ON l.doc_id = td.doc_id
+    """,
+    doc="train/test split leakage audit: test documents sharing any "
+    "8-gram shingle with the training split (hash-split aware) — the "
+    "benchmark-integrity check run BEFORE evaluation numbers are "
+    "trusted; near-dups straddling the split inflate scores",
+)
+def corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split leakage — the silent eval-inflation bug: hash splits
+    separate DOCUMENTS, but near-duplicate documents straddle the
+    boundary and leak test content into training. The audit shingles
+    both splits (word 8-grams, the ``text_contamination_check``
+    geometry), distinct-collapses the train side, and counts test
+    docs with ANY shingle hit plus the leaked-shingle mass. A nonzero
+    leaked_doc_ppm means dedup must run BEFORE splitting (the
+    ``curate_corpus_e2e`` ordering), not after.
+
+    Scale: shingles shuffle as hashes of bounded n-grams (the
+    dedup_minhash discipline); the train side is DISTINCT-collapsed
+    before the join (≪ raw shingle stream), and the join key is
+    uniform. Never all-pairs.
+    """
+    docs = load(spark, "documents", sf_dir)
+    bucket = (
+        (F.col("doc_id") % F.lit(_LEAK_P)) * F.lit(_LEAK_MULT)
+    ) % F.lit(_LEAK_P) % F.lit(100)
+    b = docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.expr(_NORM).alias("norm"),
+    )
+    sh = b.select(
+        "doc_id",
+        "bucket",
+        F.explode(shingles(_tokens(F.col("norm")), 8)).alias("shingle"),
+    )
+    train_sh = (
+        sh.filter(F.col("bucket") < 80).select("shingle").distinct()
+    )
+    test_sh = sh.filter(F.col("bucket") >= 80)
+    test_docs = test_sh.groupBy("doc_id").agg(
+        F.countDistinct("shingle").alias("n_shingles")
+    )
+    leaked = (
+        test_sh.join(train_sh, "shingle")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").alias("n_leaked"))
+    )
+    j = test_docs.join(F.broadcast(leaked), "doc_id", "left")
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_test_docs"),
+        F.sum(F.when(F.col("n_leaked").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_leaked_docs"),
+        F.sum(F.coalesce("n_leaked", F.lit(0)))
+        .cast("long")
+        .alias("n_leaked_shingles"),
+        F.expr(
+            "sum(CASE WHEN n_leaked IS NOT NULL THEN 1 ELSE 0 END) "
+            "* 1000000 div count(1)"
+        )
+        .cast("long")
+        .alias("leaked_doc_ppm"),
+    )

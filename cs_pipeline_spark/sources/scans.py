@@ -1069,3 +1069,58 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
         ).write.mode("overwrite").orc(path)
     return spark.read.orc(path).filter(F.col("o_orderkey") < 400)
+
+
+@register(
+    "scan_csv_gzip",
+    "SELECT o_orderkey, o_custkey, o_totalprice "
+    "FROM orders WHERE o_orderkey < 250",
+    doc="gzip-compressed CSV scan: codec inferred from the .gz "
+    "extension, decompression fused with the parse — the "
+    "log-delivery format (non-splittable: one file = one task, the "
+    "documented many-small-files layout)",
+)
+def scan_csv_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed text ingest: gzip CSVs are what log shippers
+    deliver. Spark infers the codec from the extension and streams
+    decompress→parse in one pass. The operational caveat IS the
+    lesson: gzip is not splittable, so one .gz file = one task — at
+    100 TB the layout must be many ≤128 MB files (each a task), or
+    re-compress to zstd/bzip2 seekable forms at the landing zone.
+    The oracle restates the expected rows from the source-of-truth
+    parquet — encode→compress→decompress→parse must be identity.
+
+    Scale: per-file parallelism (file count bounds concurrency);
+    schema is explicit so no inference pass touches the data twice.
+    """
+    import gzip as _gz
+
+    path = _scratch(sf_dir, "orders_subset.csv.gz")
+    if not os.path.exists(path):
+        rows = (
+            load(spark, "orders", sf_dir)
+            .filter(F.col("o_orderkey") < 250)
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .orderBy("o_orderkey")
+            .limit(500)
+            .collect()
+        )
+        with _gz.open(path, "wt") as f:
+            f.write("o_orderkey,o_custkey,o_totalprice\n")
+            for r in rows:
+                f.write(f"{r[0]},{r[1]},{r[2]!r}\n")
+    from pyspark.sql.types import (
+        DoubleType as _D,
+        LongType as _L,
+        StructField as _SF,
+        StructType as _ST,
+    )
+
+    schema = _ST(
+        [
+            _SF("o_orderkey", _L()),
+            _SF("o_custkey", _L()),
+            _SF("o_totalprice", _D()),
+        ]
+    )
+    return spark.read.schema(schema).option("header", True).csv(path)
