@@ -302,6 +302,15 @@ AUDIT: dict[str, dict] = {
     # groupBy + the COUNT(DISTINCT seq_pos) two-phase expand
     "mm_interleave_plan": {"exchange": 2, "smj": 0},
     "scan_orc_roundtrip": {"exchange": 0, "pushed": True},
+    "emb_random_projection": {"smj": 0},
+    "agg_ab_srm_check": {"exchange": 2, "smj": 0},
+    "win_allen_relations": {"smj": 0},
+    "text_code_detect": {"exchange": 0, "smj": 0},
+    "dedup_entity_resolution": {"smj": 0},
+    "agg_seasonal_envelope": {"exchange": 1, "smj": 0},
+    "dq_sequence_gaps": {},
+    "corpus_split_leakage": {},
+    "scan_csv_gzip": {"exchange": 0},
 }
 
 
