@@ -1877,3 +1877,207 @@ def agg_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(chi2 * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("chi2"),
         F.coalesce(chi2 > F.lit(3.841), F.lit(False)).alias("srm_detected"),
     )
+
+
+@register(
+    "ml_gains_lift",
+    """
+    WITH u AS (
+      SELECT user_id,
+             CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS score,
+             CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS converted
+      FROM events GROUP BY user_id
+    ),
+    r AS (
+      SELECT converted,
+             ROW_NUMBER() OVER (ORDER BY score DESC, user_id) AS rn,
+             COUNT(*) OVER () AS nn,
+             SUM(converted) OVER () AS np
+      FROM u
+    ),
+    d AS (
+      SELECT (rn - 1) * 10 // nn + 1 AS decile, converted, nn, np
+      FROM r
+    ),
+    g AS (
+      SELECT decile, MAX(nn) AS nn, MAX(np) AS np,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(converted) AS BIGINT) AS n_converted
+      FROM d GROUP BY decile
+    )
+    SELECT CAST(decile AS BIGINT) AS decile, n_users, n_converted,
+           CAST(n_converted * 1000000 // n_users AS BIGINT)
+             AS conv_rate_ppm,
+           CAST(SUM(n_converted) OVER (ORDER BY decile
+                ROWS UNBOUNDED PRECEDING) * 1000000 // np AS BIGINT)
+             AS cum_gain_ppm,
+           CAST((n_converted * nn) * 1000 // (n_users * np) AS BIGINT)
+             AS lift_permille
+    FROM g
+    """,
+    doc="gains/lift table: users ranked by engagement score into "
+    "deciles, per-decile conversion rate, cumulative gains curve and "
+    "lift vs the base rate (integer ppm/permille) — the targeting-"
+    "model readout behind every campaign-sizing decision",
+)
+def ml_gains_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gains chart: if the model (here: the engagement-value
+    score) ranks users and the campaign contacts only the top k
+    deciles, what share of all converters is captured
+    (cumulative gains) and how much better than random is each slice
+    (lift)? Decile 1 lift ≫ 1000‰ means the score concentrates
+    converters up front; lift ≈ 1000‰ everywhere means the score is
+    useless. All ratios are integer divisions of exact counts on a
+    deterministic total order (score desc, user_id).
+
+    Scale: one per-user rollup (map-side combined), a rank over the
+    users table (≪ events; range-partitioned at scale), a 10-key
+    aggregate and a 10-row cumulative window.
+    """
+    ev = load(spark, "events", sf_dir)
+    u = ev.groupBy("user_id").agg(
+        F.sum(_q6(F.col("value"))).cast("long").alias("score"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("converted"),
+    )
+    r = u.select(
+        "converted",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("user_id")))
+        .alias("rn"),
+        F.count(F.lit(1)).over(_w_all()).alias("nn"),
+        F.sum("converted").over(_w_all()).alias("np"),
+    )
+    d = r.select(
+        F.expr("(cast(rn as bigint) - 1) * 10 div nn + 1").alias("decile"),
+        "converted",
+        "nn",
+        "np",
+    )
+    g = d.groupBy("decile").agg(
+        F.max("nn").alias("nn"),
+        F.max("np").alias("np"),
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    )
+    cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return g.select(
+        F.col("decile").cast("long").alias("decile"),
+        "n_users",
+        "n_converted",
+        F.expr("n_converted * 1000000 div n_users")
+        .cast("long")
+        .alias("conv_rate_ppm"),
+        (
+            F.sum("n_converted").over(cum) * F.lit(1000000)
+        ).cast("long").alias("_cg"),
+        F.expr("(n_converted * nn) * 1000 div (n_users * np)")
+        .cast("long")
+        .alias("lift_permille"),
+        F.col("np").alias("_np"),
+    ).select(
+        "decile",
+        "n_users",
+        "n_converted",
+        "conv_rate_ppm",
+        F.expr("_cg div _np").cast("long").alias("cum_gain_ppm"),
+        "lift_permille",
+    )
+
+
+@register(
+    "ml_expected_calibration_error",
+    """
+    WITH q AS (
+      SELECT event_id,
+             CAST(event_type = 'purchase' AS INT) AS y,
+             CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS qv
+      FROM events
+    ),
+    r AS (
+      SELECT y,
+             ROW_NUMBER() OVER (ORDER BY qv, event_id) AS rn,
+             COUNT(*) OVER () AS nn
+      FROM q
+    ),
+    s AS (
+      SELECT y,
+             (rn - 1) * 10 // nn + 1 AS bin,
+             (rn - 1) * 1000000 // (nn - 1) AS score_ppm,
+             nn
+      FROM r
+    ),
+    b AS (
+      SELECT bin, MAX(nn) AS nn,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(score_ppm) // COUNT(*) AS BIGINT) AS conf_ppm,
+             CAST(SUM(y) * 1000000 // COUNT(*) AS BIGINT) AS acc_ppm
+      FROM s GROUP BY bin
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(SUM(n * abs(conf_ppm - acc_ppm)) // MAX(nn) AS BIGINT)
+             AS ece_ppm,
+           CAST(MAX(abs(conf_ppm - acc_ppm)) AS BIGINT) AS mce_ppm
+    FROM b
+    """,
+    doc="expected + maximum calibration error over the reliability "
+    "deciles (integer ppm): the weighted |confidence − accuracy| gap "
+    "ml_calibration_bins tabulates, collapsed to the two scalars a "
+    "model gate thresholds on",
+)
+def ml_expected_calibration_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ECE — the calibration scalar: Σ (n_b/n)·|conf_b − acc_b| over
+    the same rank-score decile bins as ``ml_calibration_bins``, plus
+    MCE (the worst bin). A model can have great AUC and terrible ECE
+    (systematic over-confidence); gates that consume probabilities
+    (expected-value ranking, abstention thresholds) must check BOTH.
+    Everything is exact integer arithmetic — per-bin gaps are integer
+    differences of integer-ppm means, the weighting is one more
+    integer product/division.
+
+    Scale: identical to the bins op — one rank pass + a 10-key
+    aggregate + a 1-row reduction.
+    """
+    ev = load(spark, "events", sf_dir)
+    q = ev.select(
+        "event_id",
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+        _q6(F.col("value")).alias("qv"),
+    )
+    r = q.select(
+        "y",
+        F.row_number().over(Window.orderBy("qv", "event_id")).alias("rn"),
+        F.count(F.lit(1)).over(_w_all()).alias("nn"),
+    )
+    s = r.select(
+        "y",
+        F.expr("(cast(rn as bigint) - 1) * 10 div nn + 1").alias("bin"),
+        F.expr("(cast(rn as bigint) - 1) * 1000000 div (nn - 1)").alias(
+            "score_ppm"
+        ),
+        "nn",
+    )
+    b = s.groupBy("bin").agg(
+        F.max("nn").alias("nn"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("sum(score_ppm) div count(1)").cast("long").alias("conf_ppm"),
+        F.expr("sum(y) * 1000000 div count(1)").cast("long").alias("acc_ppm"),
+    )
+    return b.agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.expr("sum(n * abs(conf_ppm - acc_ppm)) div max(nn)")
+        .cast("long")
+        .alias("ece_ppm"),
+        F.max(F.abs(F.col("conf_ppm") - F.col("acc_ppm")))
+        .cast("long")
+        .alias("mce_ppm"),
+    )
