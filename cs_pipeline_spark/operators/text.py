@@ -1258,3 +1258,58 @@ def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(False),
         ).alias("looks_like_code"),
     )
+
+
+@register(
+    "text_tokenizer_fertility",
+    f"""
+    WITH t AS (
+      SELECT lang,
+             CAST(len({_DUCK_TOKENS}) AS BIGINT) AS ws_tokens,
+             CAST(len(regexp_extract_all({_NORM_DUCK}, '{_BPE_RE}'))
+                  AS BIGINT) AS bpe_tokens
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ws_tokens) AS BIGINT) AS ws_tokens,
+           CAST(SUM(bpe_tokens) AS BIGINT) AS bpe_tokens,
+           CAST(SUM(bpe_tokens) * 1000000 // SUM(ws_tokens) AS BIGINT)
+             AS fertility_ppm
+    FROM t GROUP BY lang
+    """,
+    doc="tokenizer fertility per language: subword-to-word ratio "
+    "(BPE-ish regex tokens per whitespace word, integer ppm) — the "
+    "multilingual-equity metric; a language with 2x fertility pays "
+    "2x context window and 2x compute for the same content",
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fertility — how many subword tokens the tokenizer spends per
+    word, by language. High-fertility languages are systematically
+    disadvantaged (fewer effective words per context window, higher
+    serving cost per sentence), so corpus mixers
+    (``corpus_temperature_mix``) and tokenizer-retraining decisions
+    both read this table. Counts are exact regexp/token integers;
+    the ratio is one integer-ppm division per language.
+
+    Scale: pure per-row counting fused with the scan, then a
+    map-side-combined groupBy(lang) — O(langs) output at any corpus
+    size.
+    """
+    docs = load(spark, "documents", sf_dir)
+    norm = F.expr(_NORM)
+    t = docs.select(
+        "lang",
+        F.size(_tokens(norm)).cast("long").alias("ws_tokens"),
+        F.regexp_count(norm, F.lit(_BPE_RE)).cast("long").alias(
+            "bpe_tokens"
+        ),
+    )
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("ws_tokens").cast("long").alias("ws_tokens"),
+        F.sum("bpe_tokens").cast("long").alias("bpe_tokens"),
+        F.expr("sum(bpe_tokens) * 1000000 div sum(ws_tokens)")
+        .cast("long")
+        .alias("fertility_ppm"),
+    )

@@ -1176,3 +1176,152 @@ def agg_seasonal_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(0.5).alias("p50"),
         pick(0.9).alias("p90"),
     )
+
+
+@register(
+    "win_survival_rmst",
+    f"""
+    WITH u AS (
+      SELECT user_id,
+             (MAX(epoch_us({EVENTS_TS_SQL}))
+              - MIN(epoch_us({EVENTS_TS_SQL}))) // 86400000000 AS tenure_d
+      FROM events GROUP BY user_id
+    ),
+    k AS (
+      SELECT tenure_d, CAST(COUNT(*) AS BIGINT) AS d
+      FROM u GROUP BY tenure_d
+    ),
+    r AS (
+      SELECT tenure_d, d,
+             CAST(SUM(d) OVER (ORDER BY tenure_d DESC
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk
+      FROM k
+    ),
+    t AS (
+      SELECT tenure_d, d, n_risk,
+             CASE WHEN d < n_risk THEN
+               CAST(FLOOR(ln(1.0 - CAST(d AS DOUBLE) / n_risk)
+                    * 1000000000.0 + 0.5) AS BIGINT)
+             ELSE CAST(0 AS BIGINT) END AS lq,
+             CASE WHEN d = n_risk THEN 1 ELSE 0 END AS dies_out
+      FROM r
+    ),
+    c AS (
+      SELECT tenure_d,
+             SUM(lq) OVER (ORDER BY tenure_d
+                  ROWS UNBOUNDED PRECEDING) AS lsum,
+             MAX(dies_out) OVER (ORDER BY tenure_d
+                  ROWS UNBOUNDED PRECEDING) AS gone,
+             LEAD(tenure_d) OVER (ORDER BY tenure_d) AS next_d
+      FROM t
+    ),
+    seg AS (
+      SELECT tenure_d,
+             CASE WHEN gone = 1 THEN CAST(0 AS BIGINT) ELSE
+               CAST(FLOOR(exp(CAST(lsum AS DOUBLE) / 1000000000.0)
+                    * 1000000.0 + 0.5) AS BIGINT) END AS s_micro,
+             COALESCE(next_d - tenure_d, 0) AS width_d
+      FROM c
+    ),
+    first_seg AS (
+      SELECT MIN(tenure_d) AS t0 FROM seg
+    )
+    SELECT CAST(MAX(tenure_d) AS BIGINT) AS horizon_days,
+           FLOOR((CAST(MAX(f.t0) AS DOUBLE)
+                  + CAST(SUM(s_micro * width_d) AS DOUBLE) / 1000000.0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS rmst_days
+    FROM seg CROSS JOIN first_seg f
+    """,
+    doc="restricted mean survival time from the Kaplan-Meier step "
+    "curve: S(t)·segment-width integrated over the observed horizon "
+    "(survival pre-quantized at 1e-6 so the area sum is exact "
+    "integers) — the 'expected retained days' scalar the curve hides",
+)
+def win_survival_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RMST — the area under the survival curve up to the observed
+    horizon: the expected number of retained days per user, the
+    single number that compares cohorts/products where median
+    survival is undefined (curves that never cross 0.5). Computed as
+    the step-function integral over ``win_kaplan_meier``'s grid:
+    survival is S(t) = 1 up to the first event time (the t0 offset),
+    then each quantized S value times its segment width — integer
+    products, one exact sum, a final 1e-6 quantization.
+
+    Scale: identical to the KM op — per-user rollup once, then
+    windows over the O(days) grid.
+    """
+    ev = load(spark, "events", sf_dir)
+    u = ev.groupBy("user_id").agg(
+        F.expr(
+            "(max(unix_micros(ts)) - min(unix_micros(ts))) div 86400000000"
+        ).alias("tenure_d")
+    )
+    k = u.groupBy("tenure_d").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    w_desc = Window.orderBy(F.desc("tenure_d")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = k.select(
+        "tenure_d",
+        "d",
+        F.sum("d").over(w_desc).cast("long").alias("n_risk"),
+    )
+    t = r.select(
+        "tenure_d",
+        F.when(
+            F.col("d") < F.col("n_risk"),
+            F.floor(
+                F.log(
+                    F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk")
+                )
+                * F.lit(1e9)
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("lq"),
+        F.when(F.col("d") == F.col("n_risk"), 1).otherwise(0).alias(
+            "dies_out"
+        ),
+    )
+    w_asc = Window.orderBy("tenure_d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = t.select(
+        "tenure_d",
+        F.sum("lq").over(w_asc).alias("lsum"),
+        F.max("dies_out").over(w_asc).alias("gone"),
+        F.lead("tenure_d").over(Window.orderBy("tenure_d")).alias("next_d"),
+    )
+    seg = c.select(
+        "tenure_d",
+        F.when(F.col("gone") == 1, F.lit(0).cast("long"))
+        .otherwise(
+            F.floor(
+                F.exp(F.col("lsum").cast("double") / F.lit(1e9))
+                * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("long")
+        )
+        .alias("s_micro"),
+        F.coalesce(F.col("next_d") - F.col("tenure_d"), F.lit(0)).alias(
+            "width_d"
+        ),
+    )
+    t0 = seg.agg(F.min("tenure_d").alias("t0"))
+    return seg.crossJoin(F.broadcast(t0)).agg(
+        F.max("tenure_d").cast("long").alias("horizon_days"),
+        (
+            F.floor(
+                (
+                    F.max("t0").cast("double")
+                    + F.sum(F.col("s_micro") * F.col("width_d")).cast(
+                        "double"
+                    )
+                    / F.lit(1e6)
+                )
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("rmst_days"),
+    )
