@@ -1325,3 +1325,176 @@ def win_survival_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e6)
         ).alias("rmst_days"),
     )
+
+
+@register(
+    "agg_overdispersion",
+    f"""
+    WITH hc AS (
+      SELECT event_type,
+             epoch_us({EVENTS_TS_SQL}) // 3600000000 AS h,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(CAST(c AS HUGEINT)) AS s1,
+             SUM(CAST(c AS HUGEINT) * c) AS s2
+      FROM hc GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+           FLOOR(CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(n AS VARCHAR) AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS mean_count,
+           CAST(CASE WHEN s1 > 0 THEN
+             CAST(FLOOR(CAST(CAST(n * s2 - s1 * s1 AS VARCHAR) AS DOUBLE)
+                  / CAST(CAST(n * s1 AS VARCHAR) AS DOUBLE)
+                  * 1000000.0 + 0.5) AS BIGINT) END AS BIGINT)
+             AS vmr_ppm,
+           COALESCE(CAST(CAST(n * s2 - s1 * s1 AS VARCHAR) AS DOUBLE)
+                    / CAST(CAST(n * s1 AS VARCHAR) AS DOUBLE) > 1.2,
+                    FALSE) AS overdispersed
+    FROM m
+    """,
+    doc="overdispersion audit of hourly event counts: variance-to-"
+    "mean ratio (exact integer moments, ppm) with the Poisson "
+    "deviation flag — VMR ≈ 1 is Poisson traffic, ≫ 1 is bursty/"
+    "contagious, the distribution choice every count model hinges on",
+)
+def agg_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Poisson check: count data is modeled Poisson by default,
+    but real traffic is usually overdispersed (variance > mean —
+    bursts, campaigns, retries), which breaks Poisson confidence
+    intervals and anomaly thresholds. The variance-to-mean ratio
+    (index of dispersion) per event type from cancellation-free
+    integer moments ((n·Σc²−(Σc)²)/(n·Σc)) settles it; the flag uses
+    a 1.2 practical threshold. Pairs with ``agg_interarrival_cv``
+    (the same question asked of gaps instead of counts).
+
+    Scale: one map-side-combined hourly rollup, one O(types)
+    moment aggregate.
+    """
+    ev = load(spark, "events", sf_dir)
+    hc = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000").alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    d38 = "decimal(38,0)"
+    m = hc.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("c").cast(d38)).alias("s1"),
+        F.sum(F.col("c").cast(d38) * F.col("c")).alias("s2"),
+    )
+    d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    var_num = m.n * m.s2 - m.s1 * m.s1
+    vmr = d(var_num) / d(m.n * m.s1)
+    return m.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_hours"),
+        (
+            F.floor(d(F.col("s1")) / d(F.col("n")) * F.lit(1e6) + F.lit(0.5))
+            / F.lit(1e6)
+        ).alias("mean_count"),
+        F.when(
+            F.col("s1") > 0,
+            F.floor(vmr * F.lit(1e6) + F.lit(0.5)).cast("long"),
+        ).alias("vmr_ppm"),
+        F.coalesce(vmr > F.lit(1.2), F.lit(False)).alias("overdispersed"),
+    )
+
+
+@register(
+    "win_peak_detect",
+    f"""
+    WITH hourly AS (
+      SELECT epoch_us({EVENTS_TS_SQL}) // 3600000000 AS h,
+             CAST(SUM({_Q6}) AS BIGINT) AS sq
+      FROM events GROUP BY 1
+    ),
+    n AS (
+      SELECT h, sq,
+             LAG(sq) OVER (ORDER BY h) AS prv,
+             LEAD(sq) OVER (ORDER BY h) AS nxt,
+             LAG(h) OVER (ORDER BY h) AS prv_h,
+             LEAD(h) OVER (ORDER BY h) AS nxt_h
+      FROM hourly
+    ),
+    peaks AS (
+      SELECT h, sq FROM n
+      WHERE prv IS NOT NULL AND nxt IS NOT NULL
+        AND prv_h = h - 1 AND nxt_h = h + 1
+        AND sq > prv AND sq > nxt
+    ),
+    gaps AS (
+      SELECT h - LAG(h) OVER (ORDER BY h) AS gap FROM peaks
+    )
+    SELECT CAST((SELECT COUNT(*) FROM peaks) AS BIGINT) AS n_peaks,
+           CAST((SELECT COUNT(*) FROM hourly) AS BIGINT) AS n_hours,
+           CAST(SUM(gap) // COUNT(gap) AS BIGINT) AS mean_gap_h,
+           CAST(MIN(gap) AS BIGINT) AS min_gap_h,
+           CAST(MAX(gap) AS BIGINT) AS max_gap_h
+    FROM gaps WHERE gap IS NOT NULL
+    """,
+    doc="local-maxima peak census on the hourly series (strict "
+    "neighbors, contiguous-hour guard) with inter-peak spacing "
+    "stats — a mean gap near 24 h confirms the daily cycle in the "
+    "time domain, complementing ts_fourier_power's spectral view",
+)
+def win_peak_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak detection — the time-domain periodicity check: strict
+    local maxima (greater than BOTH contiguous neighbors; hours
+    missing from the series disqualify their neighbors rather than
+    fabricate a comparison) and the spacing distribution between
+    consecutive peaks. Daily-cycled traffic shows mean spacing ≈ 24;
+    bursty traffic shows small, irregular gaps. Exact integer
+    comparisons and integer gap arithmetic throughout.
+
+    Scale: lag/lead over the hourly rollup (O(hours) rows after one
+    map-side-combined aggregate); at 100 TB run per series key like
+    every sequence op.
+    """
+    ev = load(spark, "events", sf_dir)
+    hourly = (
+        ev.select(
+            F.expr("unix_micros(ts) div 3600000000").alias("h"),
+            F.expr(_Q6).alias("qv"),
+        )
+        .groupBy("h")
+        .agg(F.sum("qv").cast("long").alias("sq"))
+    )
+    w = Window.orderBy("h")
+    n = hourly.select(
+        "h",
+        "sq",
+        F.lag("sq").over(w).alias("prv"),
+        F.lead("sq").over(w).alias("nxt"),
+        F.lag("h").over(w).alias("prv_h"),
+        F.lead("h").over(w).alias("nxt_h"),
+    )
+    peaks = n.filter(
+        F.col("prv").isNotNull()
+        & F.col("nxt").isNotNull()
+        & (F.col("prv_h") == F.col("h") - 1)
+        & (F.col("nxt_h") == F.col("h") + 1)
+        & (F.col("sq") > F.col("prv"))
+        & (F.col("sq") > F.col("nxt"))
+    ).select("h", "sq")
+    n_peaks = peaks.agg(F.count(F.lit(1)).cast("long").alias("n_peaks"))
+    n_hours = hourly.agg(F.count(F.lit(1)).cast("long").alias("n_hours"))
+    gaps = peaks.select(
+        (F.col("h") - F.lag("h").over(Window.orderBy("h"))).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    return (
+        gaps.agg(
+            F.expr("sum(gap) div count(gap)").cast("long").alias("mean_gap_h"),
+            F.min("gap").cast("long").alias("min_gap_h"),
+            F.max("gap").cast("long").alias("max_gap_h"),
+        )
+        .crossJoin(F.broadcast(n_peaks))
+        .crossJoin(F.broadcast(n_hours))
+        .select("n_peaks", "n_hours", "mean_gap_h", "min_gap_h", "max_gap_h")
+    )
