@@ -311,6 +311,12 @@ AUDIT: dict[str, dict] = {
     "dq_sequence_gaps": {},
     "corpus_split_leakage": {},
     "scan_csv_gzip": {"exchange": 0},
+    "ml_gains_lift": {"smj": 0},
+    "ml_expected_calibration_error": {"smj": 0},
+    "text_tokenizer_fertility": {"exchange": 1, "smj": 0},
+    "win_survival_rmst": {"smj": 0},
+    "agg_overdispersion": {"exchange": 2, "smj": 0},
+    "win_peak_detect": {"smj": 0},
 }
 
 
