@@ -1294,3 +1294,78 @@ def dedup_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("match_rate_ppm"),
     )
+
+
+def _keeper_select_oracle() -> str:
+    """Wrap the dedup_clusters oracle and pick each cluster's keeper
+    by document quality (longest text, min-id tie-break)."""
+    base = _REGISTRY["dedup_clusters"].oracle
+    final = (
+        "SELECT node AS vec_id, MIN(label) AS canonical_id "
+        "FROM reach GROUP BY node"
+    )
+    assert base.endswith(final)
+    return (
+        base[: -len(final)]
+        + ", clusters AS (" + final + "), "
+        "scored AS ("
+        "SELECT c.canonical_id, c.vec_id, d.n_chars, "
+        "ROW_NUMBER() OVER (PARTITION BY c.canonical_id "
+        "ORDER BY d.n_chars DESC, c.vec_id ASC) AS rn, "
+        "COUNT(*) OVER (PARTITION BY c.canonical_id) AS sz "
+        "FROM clusters c JOIN documents d ON d.doc_id = c.vec_id) "
+        "SELECT canonical_id, CAST(sz AS BIGINT) AS cluster_size, "
+        "CAST(vec_id AS BIGINT) AS keeper_id, "
+        "CAST(n_chars AS BIGINT) AS keeper_chars "
+        "FROM scored WHERE rn = 1 AND sz >= 2"
+    )
+
+
+@register(
+    "dedup_keeper_select",
+    _keeper_select_oracle(),
+    doc="canonical-document selection: within each near-dup cluster "
+    "keep the HIGHEST-QUALITY member (longest text, deterministic "
+    "tie-break) instead of the arbitrary min-id — the dedup ACTION "
+    "a curation pipeline actually executes",
+)
+def dedup_keeper_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup is only half done when clusters are found — someone must
+    choose WHICH copy survives, and min-id (the components label) is
+    the wrong answer when copies differ in quality (truncated scrapes
+    vs full articles). This op joins the near-dup clusters to the
+    document metadata and rank-picks each cluster's keeper by length
+    with a deterministic tie-break; the anti-join of the corpus
+    against the non-keepers is then the executable dedup. Only
+    multi-member clusters are reported (singletons keep themselves).
+
+    Scale: clusters ≪ corpus (pair-graph nodes only); the metadata
+    join is id-keyed; keeper ranking partitions by cluster (bounded
+    groups). Quality can swap to the full ``text_stats`` composite
+    without changing the plan shape.
+    """
+    clusters = dedup_clusters(spark, sf_dir)
+    docs = load(spark, "documents", sf_dir).select("doc_id", "n_chars")
+    scored = clusters.join(
+        docs, clusters.vec_id == docs.doc_id
+    ).select("canonical_id", "vec_id", "n_chars")
+    w = Window.partitionBy("canonical_id").orderBy(
+        F.desc("n_chars"), F.asc("vec_id")
+    )
+    ws = Window.partitionBy("canonical_id")
+    r = scored.select(
+        "canonical_id",
+        "vec_id",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(ws).alias("sz"),
+    )
+    return (
+        r.filter((F.col("rn") == 1) & (F.col("sz") >= 2))
+        .select(
+            "canonical_id",
+            F.col("sz").cast("long").alias("cluster_size"),
+            F.col("vec_id").cast("long").alias("keeper_id"),
+            F.col("n_chars").cast("long").alias("keeper_chars"),
+        )
+    )

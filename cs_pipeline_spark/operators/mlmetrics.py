@@ -2081,3 +2081,112 @@ def ml_expected_calibration_error(
         .cast("long")
         .alias("mce_ppm"),
     )
+
+
+_CUPED_SPLIT_D = 15  # pre-period length in days from corpus start
+
+
+@register(
+    "agg_cuped",
+    f"""
+    WITH b AS (SELECT MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS t0
+               FROM events),
+    u AS (
+      SELECT e.user_id,
+             SUM(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                  < b.t0 + {_CUPED_SPLIT_D} * 86400000000
+                 THEN CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)
+                 ELSE 0 END) AS pre,
+             SUM(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                  >= b.t0 + {_CUPED_SPLIT_D} * 86400000000
+                 THEN CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)
+                 ELSE 0 END) AS post
+      FROM events e CROSS JOIN b GROUP BY e.user_id
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(CAST(pre AS HUGEINT)) AS sx,
+             SUM(CAST(post AS HUGEINT)) AS sy,
+             SUM(CAST(pre AS HUGEINT) * pre) AS sxx,
+             SUM(CAST(post AS HUGEINT) * post) AS syy,
+             SUM(CAST(pre AS HUGEINT) * post) AS sxy
+      FROM u
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           FLOOR(CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE)
+                 * 1000000000.0 + 0.5) / 1000000000.0 AS theta,
+           FLOOR((1.0 -
+                  (CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+                   * CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE))
+                  / (CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE)
+                     * CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS var_ratio
+    FROM m
+    """,
+    doc="CUPED variance reduction: optimal theta = cov(pre, post)/"
+    "var(pre) from exact HUGEINT moments and the residual variance "
+    "ratio 1 − ρ² — how much experiment sample the pre-period "
+    "covariate buys back (0.8 ⇒ 20% fewer users for the same power)",
+)
+def agg_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED — the variance-reduction technique every mature
+    experimentation platform applies: regress each user's experiment
+    metric on their PRE-experiment behavior and analyze the residual
+    (Y − θ·X). The optimal θ is cov/var of exact integer per-user
+    sums; the remaining-variance ratio is 1 − ρ² (exact-moment
+    correlation squared). A ratio of 0.7 means 30% fewer users reach
+    the same statistical power — pre-period data is free sample size.
+    Splitting pre/post by an in-plan corpus-start scalar keeps the
+    builder lazy (no driver-side min).
+
+    Scale: one conditional per-user rollup (map-side combined), one
+    1-row moment aggregate — the ml_linreg moment discipline on the
+    experimentation problem.
+    """
+    ev = load(spark, "events", sf_dir)
+    b = ev.agg(F.min(F.unix_micros("ts")).alias("t0"))
+    cut = F.col("t0") + F.lit(_CUPED_SPLIT_D * 86400000000)
+    u = (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.unix_micros("ts") < cut, _q6(F.col("value"))
+                ).otherwise(0)
+            ).alias("pre"),
+            F.sum(
+                F.when(
+                    F.unix_micros("ts") >= cut, _q6(F.col("value"))
+                ).otherwise(0)
+            ).alias("post"),
+        )
+    )
+    d38 = "decimal(38,0)"
+    m = u.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("pre").cast(d38)).alias("sx"),
+        F.sum(F.col("post").cast(d38)).alias("sy"),
+        F.sum(F.col("pre").cast(d38) * F.col("pre")).alias("sxx"),
+        F.sum(F.col("post").cast(d38) * F.col("post")).alias("syy"),
+        F.sum(F.col("pre").cast(d38) * F.col("post")).alias("sxy"),
+    )
+    d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    cov = m.n * m.sxy - m.sx * m.sy
+    varx = m.n * m.sxx - m.sx * m.sx
+    vary = m.n * m.syy - m.sy * m.sy
+    return m.select(
+        F.col("n").cast("long").alias("n_users"),
+        (
+            F.floor(d(cov) / d(varx) * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+        ).alias("theta"),
+        (
+            F.floor(
+                (F.lit(1.0) - (d(cov) * d(cov)) / (d(varx) * d(vary)))
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("var_ratio"),
+    )
