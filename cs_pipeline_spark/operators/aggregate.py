@@ -3370,3 +3370,86 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean6(F.col("wv")).alias("winsorized_mean"),
         mean6(F.col("qv")).alias("raw_mean"),
     )
+
+
+@register(
+    "agg_weighted_median",
+    """
+    WITH u AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS w,
+             CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT))
+                  // COUNT(*) AS BIGINT) AS xq
+      FROM events GROUP BY user_id
+    ),
+    r AS (
+      SELECT xq, w,
+             SUM(w) OVER (ORDER BY xq, user_id
+                  ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(w) OVER () AS tw
+      FROM u
+    ),
+    pick AS (
+      SELECT xq, cw, tw,
+             ROW_NUMBER() OVER (ORDER BY cw) AS rn
+      FROM r WHERE 2 * cw >= tw
+    )
+    SELECT CAST((SELECT COUNT(*) FROM u) AS BIGINT) AS n_users,
+           CAST((SELECT tw FROM pick WHERE rn = 1) AS BIGINT)
+             AS total_weight,
+           CAST((SELECT xq FROM pick WHERE rn = 1) AS DOUBLE) / 1000000.0
+             AS weighted_median
+    """,
+    doc="weight-aware median: each user's mean value weighted by "
+    "activity, the median taken over the WEIGHT mass (first x where "
+    "cumulative weight ≥ half) — the population median a per-row "
+    "median silently distorts when activity is skewed",
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weighted median — 'the typical user's value, counting each
+    user by their activity': order the per-user means, walk the
+    cumulative WEIGHT (not row count), stop at half the mass. Needed
+    whenever sampling units carry different exposure (users, traffic
+    shares, survey weights); the unweighted median over-represents
+    low-activity units. Weights and cumulative sums are exact
+    integers; the picked value is an actual element (the discrete
+    convention).
+
+    Scale: per-user rollup (map-side combined) then a rank walk over
+    the users table — at 100 TB range-partition by xq and accumulate
+    per-partition weight offsets, the standard distributed-median
+    layout.
+    """
+    ev = load(spark, "events", sf_dir)
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("w"),
+        F.expr(
+            "sum(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) "
+            "div count(1)"
+        )
+        .cast("long")
+        .alias("xq"),
+    )
+    r = u.select(
+        "xq",
+        "w",
+        F.sum("w")
+        .over(
+            Window.orderBy("xq", "user_id").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cw"),
+        F.sum("w").over(Window.partitionBy(F.lit(1))).alias("tw"),
+    )
+    pick = (
+        r.filter(F.lit(2) * F.col("cw") >= F.col("tw"))
+        .withColumn("rn", F.row_number().over(Window.orderBy("cw")))
+        .filter(F.col("rn") == 1)
+    )
+    n_users = u.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    return pick.crossJoin(F.broadcast(n_users)).select(
+        "n_users",
+        F.col("tw").cast("long").alias("total_weight"),
+        (F.col("xq").cast("double") / F.lit(1e6)).alias("weighted_median"),
+    )

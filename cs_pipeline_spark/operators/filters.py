@@ -1144,3 +1144,94 @@ def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_gap_runs"),
         (F.max("delta") - 1).cast("long").alias("max_gap"),
     )
+
+
+@register(
+    "dq_order_reconcile",
+    """
+    WITH li AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                  * (1 + l_tax) * 100.0 + 0.5) AS HUGEINT)) AS BIGINT)
+               AS computed_cents
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+      SELECT o.o_orderkey,
+             CAST(FLOOR(o.o_totalprice * 100.0 + 0.5) AS BIGINT)
+               AS stated_cents,
+             li.computed_cents,
+             abs(CAST(FLOOR(o.o_totalprice * 100.0 + 0.5) AS BIGINT)
+                 - li.computed_cents) AS diff_cents
+      FROM orders o JOIN li ON li.l_orderkey = o.o_orderkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN diff_cents <= 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_reconciled,
+           CAST(SUM(CASE WHEN diff_cents > 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_mismatched,
+           CAST(MAX(diff_cents) AS BIGINT) AS max_diff_cents,
+           CAST(SUM(CASE WHEN diff_cents > 1 THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS mismatch_ppm
+    FROM j
+    """,
+    doc="cross-table financial reconciliation: each order's stated "
+    "total vs the cent-exact recomputed lineitem sum "
+    "(price·(1−disc)·(1+tax)) — the invoice-integrity audit; "
+    "mismatches localize upstream pricing/rounding bugs",
+)
+def dq_order_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconciliation — the audit that catches what per-table checks
+    cannot: a header total and its detail rows disagreeing. Both
+    sides are cent-quantized BEFORE comparison (the money convention:
+    never compare raw doubles), a ±1-cent tolerance absorbs the
+    header's own rounding, and the mismatch count/magnitude localize
+    whether the generator rounds per-line or per-order. On the
+    synthetic corpus the stated totals are independent draws — the
+    audit REPORTS that honestly (high mismatch_ppm), which is exactly
+    its job on broken data.
+
+    Scale: one map-side-combined detail rollup, one id-keyed join to
+    headers (bucketed/co-located at 100 TB), a 1-row verdict.
+    """
+    li = load(spark, "lineitem", sf_dir)
+    o = load(spark, "orders", sf_dir)
+    computed = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+                * F.lit(100.0)
+                + F.lit(0.5)
+            ).cast("decimal(38,0)")
+        )
+        .cast("long")
+        .alias("computed_cents")
+    )
+    j = o.join(computed, o.o_orderkey == computed.l_orderkey).select(
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("stated_cents"),
+        "computed_cents",
+    ).select(
+        F.abs(F.col("stated_cents") - F.col("computed_cents")).alias(
+            "diff_cents"
+        )
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.when(F.col("diff_cents") <= 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_reconciled"),
+        F.sum(F.when(F.col("diff_cents") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_mismatched"),
+        F.max("diff_cents").cast("long").alias("max_diff_cents"),
+        F.expr(
+            "sum(CASE WHEN diff_cents > 1 THEN 1 ELSE 0 END) * 1000000 "
+            "div count(1)"
+        )
+        .cast("long")
+        .alias("mismatch_ppm"),
+    )

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from cs_pipeline_spark.operators.helpers import dsum, sql_dsum
 from cs_pipeline_spark.registry import register
-from cs_pipeline_spark.tables import load
+from cs_pipeline_spark.tables import EVENTS_TS_SQL, load
 
 N_BUCKETS = 8
 N_SALTS = 8
@@ -265,4 +265,73 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue"),
         )
+    )
+
+
+@register(
+    "scan_encoding_advisor",
+    f"""
+    WITH d AS (
+      SELECT event_id,
+             event_id - LAG(event_id) OVER (ORDER BY event_id) AS d_id,
+             epoch_us({EVENTS_TS_SQL})
+               - LAG(epoch_us({EVENTS_TS_SQL}))
+                 OVER (ORDER BY event_id) AS d_ts
+      FROM events
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(length(printf('%b', GREATEST(MAX(abs(d_id)), 1)))
+                AS BIGINT) AS id_delta_bits,
+           CAST(length(printf('%b', GREATEST(MAX(abs(d_ts)), 1)))
+                AS BIGINT) AS ts_delta_bits,
+           CAST((64 - length(printf('%b', GREATEST(MAX(abs(d_id)), 1))))
+                * 1000000 // 64 AS BIGINT) AS id_savings_ppm,
+           CAST((64 - length(printf('%b', GREATEST(MAX(abs(d_ts)), 1))))
+                * 1000000 // 64 AS BIGINT) AS ts_savings_ppm
+    FROM d
+    """,
+    doc="storage-encoding advisor: max delta bit-width for sorted id "
+    "and timestamp columns → delta+bitpack savings vs raw 64-bit "
+    "(integer ppm) — the layout decision behind 'sort before write'",
+)
+def scan_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Why sorted writes compress: delta-encoded monotonic columns
+    need only ceil(log2(max_delta)) bits per value. The advisor
+    measures the worst-case delta bit width for the id and timestamp
+    columns (bit length via the binary-string trick — no float log)
+    and the resulting bitpack savings versus raw int64 — the number
+    that justifies ``sort before write.partitionBy`` in the sink
+    recipes (the zone-map sink's sibling decision). Parquet's
+    DELTA_BINARY_PACKED gets exactly these wins when the layout
+    cooperates.
+
+    Scale: one lag window over the sorted key (at 100 TB: per file /
+    row group, which is how the encoder sees data anyway), a 1-row
+    reduction. Advice is per-column O(1) output.
+    """
+    ev = load(spark, "events", sf_dir)
+    w = Window.orderBy("event_id")
+    d = ev.select(
+        (F.col("event_id") - F.lag("event_id").over(w)).alias("d_id"),
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+        ).alias("d_ts"),
+    )
+    bits = lambda c: F.length(  # noqa: E731
+        F.bin(F.greatest(F.max(F.abs(c)), F.lit(1)))
+    ).cast("long")
+    return d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        bits(F.col("d_id")).alias("id_delta_bits"),
+        bits(F.col("d_ts")).alias("ts_delta_bits"),
+        (
+            (F.lit(64) - bits(F.col("d_id"))) * F.lit(1000000) / F.lit(64)
+        )
+        .cast("long")
+        .alias("id_savings_ppm"),
+        (
+            (F.lit(64) - bits(F.col("d_ts"))) * F.lit(1000000) / F.lit(64)
+        )
+        .cast("long")
+        .alias("ts_savings_ppm"),
     )
