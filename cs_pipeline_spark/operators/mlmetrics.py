@@ -2190,3 +2190,81 @@ def agg_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e6)
         ).alias("var_ratio"),
     )
+
+
+@register(
+    "agg_ab_power_mde",
+    """
+    WITH u AS (
+      SELECT user_id % 2 AS variant,
+             CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS m
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(CAST(m AS HUGEINT)) AS s1,
+             SUM(CAST(m AS HUGEINT) * m) AS s2
+      FROM u
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           FLOOR(CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(n AS VARCHAR) AS DOUBLE) / 1000000.0
+                 * 1000000.0 + 0.5) / 1000000.0 AS mean_metric,
+           FLOOR(SQRT(CAST(CAST(n * s2 - s1 * s1 AS VARCHAR) AS DOUBLE))
+                 / CAST(CAST(n AS VARCHAR) AS DOUBLE) / 1000000.0
+                 * 1000000.0 + 0.5) / 1000000.0 AS std_metric,
+           FLOOR(2.801585 * SQRT(2.0
+                  * (CAST(CAST(n * s2 - s1 * s1 AS VARCHAR) AS DOUBLE)
+                     / (CAST(CAST(n AS VARCHAR) AS DOUBLE)
+                        * CAST(CAST(n AS VARCHAR) AS DOUBLE)))
+                  / (CAST(CAST(n AS VARCHAR) AS DOUBLE) / 2.0))
+                 / 1000000.0 * 1000000.0 + 0.5) / 1000000.0
+             AS mde_abs
+    FROM s
+    """,
+    doc="experiment power planning: minimum detectable effect at "
+    "80% power / 5% two-sided alpha ((z_α/2+z_β)·√(2σ²/n_arm)) from "
+    "exact per-user metric moments — the 'is this test even worth "
+    "running' number computed BEFORE assignment",
+)
+def agg_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power analysis from the engine: with the observed metric
+    variance and the available per-arm sample size, the smallest true
+    effect the standard test would detect at 80% power is
+    (1.96 + 0.8416)·√(2σ²/n_arm) — baked as the exact literal
+    2.801585·√(2σ²/n_arm). If the MDE exceeds any plausible effect,
+    the experiment is theater; run CUPED (``agg_cuped``) or collect
+    longer. Variance is the cancellation-free integer-moment form;
+    the whole output is three quantized float expressions over exact
+    sums.
+
+    Scale: one per-user rollup + a 1-row moment aggregate — the
+    cheapest pre-experiment sanity check there is.
+    """
+    ev = load(spark, "events", sf_dir)
+    u = ev.groupBy("user_id").agg(
+        F.sum(_q6(F.col("value"))).cast("long").alias("m")
+    )
+    d38 = "decimal(38,0)"
+    s = u.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("m").cast(d38)).alias("s1"),
+        F.sum(F.col("m").cast(d38) * F.col("m")).alias("s2"),
+    )
+    d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    q6o = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    var_num = s.n * s.s2 - s.s1 * s.s1
+    var_per_user = d(var_num) / (d(s.n) * d(s.n))
+    return s.select(
+        F.col("n").cast("long").alias("n_users"),
+        q6o(d(F.col("s1")) / d(F.col("n")) / F.lit(1e6)).alias("mean_metric"),
+        q6o(F.sqrt(d(var_num)) / d(F.col("n")) / F.lit(1e6)).alias(
+            "std_metric"
+        ),
+        q6o(
+            F.lit(2.801585)
+            * F.sqrt(F.lit(2.0) * var_per_user / (d(F.col("n")) / F.lit(2.0)))
+            / F.lit(1e6)
+        ).alias("mde_abs"),
+    )
