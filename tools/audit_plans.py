@@ -317,6 +317,13 @@ AUDIT: dict[str, dict] = {
     "win_survival_rmst": {"smj": 0},
     "agg_overdispersion": {"exchange": 2, "smj": 0},
     "win_peak_detect": {"smj": 0},
+    # corpus-start scalar + per-user rollup + moment pass
+    "agg_cuped": {"exchange": 3, "smj": 0},
+    "dedup_keeper_select": {},
+    "agg_weighted_median": {"smj": 0},
+    "dq_order_reconcile": {},
+    "scan_encoding_advisor": {"smj": 0},
+    "agg_ab_power_mde": {"exchange": 2, "smj": 0},
 }
 
 
