@@ -3453,3 +3453,73 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tw").cast("long").alias("total_weight"),
         (F.col("xq").cast("double") / F.lit(1e6)).alias("weighted_median"),
     )
+
+
+@register(
+    "agg_skyline_pareto",
+    """
+    WITH q AS (
+      SELECT p_partkey,
+             CAST(FLOOR(p_retailprice * 100.0 + 0.5) AS BIGINT) AS price_c,
+             CAST(p_size AS BIGINT) AS size_v
+      FROM part
+    ),
+    r AS (
+      SELECT p_partkey, price_c, size_v,
+             MAX(size_v) OVER (ORDER BY price_c ASC, p_partkey ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS best_prev
+      FROM q
+    )
+    SELECT p_partkey,
+           CAST(price_c AS DOUBLE) / 100.0 AS price,
+           size_v AS size
+    FROM r
+    WHERE best_prev IS NULL OR size_v > best_prev
+    """,
+    doc="skyline (Pareto front) over parts — minimize price, maximize "
+    "size: sort by cost and keep strict running-max improvements; "
+    "the multi-objective shortlist operator, one window pass instead "
+    "of the O(n2) dominance join",
+)
+def agg_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skyline operator — all options not dominated by any other
+    (nothing both cheaper AND bigger exists): the shortlist every
+    multi-objective decision (supplier choice, config tuning,
+    model-size-vs-quality) starts from. The classic formulation is a
+    dominance anti-join (O(n²)); in 2D it collapses to sort by the
+    minimized axis and keep rows that strictly improve the running
+    maximum of the maximized axis — one window pass, exact integer
+    comparisons (cent-quantized price; ties on price resolved by the
+    deterministic key order, so equal-price-equal-size duplicates
+    keep only the first).
+
+    Scale: the sort is a range partition by price; the running max
+    needs per-partition prefix maxima + one small offsets exchange —
+    the distributed prefix-scan shape. Higher dimensions fall back to
+    blocked dominance joins on a coarse grid.
+    """
+    part = load(spark, "part", sf_dir)
+    q = part.select(
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("price_c"),
+        F.col("p_size").cast("long").alias("size_v"),
+    )
+    w = Window.orderBy(F.asc("price_c"), F.asc("p_partkey")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    r = q.select(
+        "p_partkey",
+        "price_c",
+        "size_v",
+        F.max("size_v").over(w).alias("best_prev"),
+    )
+    return r.filter(
+        F.col("best_prev").isNull() | (F.col("size_v") > F.col("best_prev"))
+    ).select(
+        "p_partkey",
+        (F.col("price_c").cast("double") / F.lit(100.0)).alias("price"),
+        F.col("size_v").alias("size"),
+    )

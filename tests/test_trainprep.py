@@ -231,3 +231,26 @@ def test_jl_projection_concentrates(spark, sf_dir):
     assert 0.2 < r.median_ratio < 3.0
     assert r.min_ratio <= r.median_ratio <= r.max_ratio
     assert r.min_ratio >= 0.0
+
+
+def test_skyline_is_pareto_front(spark, sf_dir):
+    rows = queries()["agg_skyline_pareto"](spark, sf_dir).collect()
+    part = pd.read_parquet(f"{sf_dir}/part.parquet")
+    price_c = np.floor(part["p_retailprice"].to_numpy() * 100 + 0.5).astype(
+        np.int64
+    )
+    size = part["p_size"].to_numpy().astype(np.int64)
+    sky_keys = {r.p_partkey for r in rows}
+    # brute-force dominance check: no returned point is dominated
+    for r in rows:
+        pc = int(round(r.price * 100))
+        dominated = (
+            ((price_c <= pc) & (size >= r.size))
+            & ((price_c < pc) | (size > r.size))
+        ).any()
+        # equal-pair duplicates may exist; require no STRICT dominator
+        strict = ((price_c <= pc) & (size > r.size)) | (
+            (price_c < pc) & (size >= r.size)
+        )
+        assert not strict.any()
+    assert len(sky_keys) == len(rows)
