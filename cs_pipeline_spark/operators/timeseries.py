@@ -1498,3 +1498,185 @@ def win_peak_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_hours))
         .select("n_peaks", "n_hours", "mean_gap_h", "min_gap_h", "max_gap_h")
     )
+
+
+_HURST_SCALES = (8, 16, 32)
+# OLS slope over (ln 8, ln 16, ln 32) collapses to c·(y3 − y1)
+_HURST_C = 0.7213475204444816
+
+
+def _hurst_scale_sql(s: int) -> str:
+    return f"""
+      SELECT {s} AS scale,
+             CAST(SUM(rsq) // COUNT(*) AS BIGINT) AS rs_q
+      FROM (
+        SELECT b.blk,
+               CAST(FLOOR(CAST(MAX(b.cd) - MIN(b.cd) AS DOUBLE)
+                    / SQRT(CAST(CAST(MAX(b.sxx) * {s} - MAX(b.sx) * MAX(b.sx)
+                           AS VARCHAR) AS DOUBLE))
+                    * 1000000000.0 + 0.5) AS BIGINT) AS rsq
+        FROM (
+          SELECT (h - h0) // {s} AS blk,
+                 {s} * SUM(sq) OVER (PARTITION BY (h - h0) // {s}
+                      ORDER BY h ROWS UNBOUNDED PRECEDING)
+                   - (ROW_NUMBER() OVER (PARTITION BY (h - h0) // {s}
+                      ORDER BY h))
+                     * SUM(sq) OVER (PARTITION BY (h - h0) // {s}) AS cd,
+                 SUM(CAST(sq AS HUGEINT) * sq)
+                   OVER (PARTITION BY (h - h0) // {s}) AS sxx,
+                 SUM(CAST(sq AS HUGEINT))
+                   OVER (PARTITION BY (h - h0) // {s}) AS sx,
+                 COUNT(*) OVER (PARTITION BY (h - h0) // {s}) AS bn
+          FROM hh
+        ) b
+        WHERE b.bn = {s}
+        GROUP BY b.blk
+        HAVING MAX(b.sxx) * {s} - MAX(b.sx) * MAX(b.sx) > 0
+      ) t
+    """
+
+
+def _hurst_oracle() -> str:
+    scales = " UNION ALL ".join(
+        _hurst_scale_sql(s) for s in _HURST_SCALES
+    )
+    return f"""
+    WITH hourly AS (
+      SELECT epoch_us({EVENTS_TS_SQL}) // 3600000000 AS h,
+             CAST(SUM({_Q6}) AS HUGEINT) AS sq
+      FROM events GROUP BY 1
+    ),
+    hh AS (
+      SELECT h, sq, MIN(h) OVER () AS h0 FROM hourly
+    ),
+    rs AS ({scales})
+    SELECT
+      CAST(MAX(CASE WHEN scale = 8 THEN rs_q END) AS DOUBLE)
+        / 1000000000.0 AS rs_8,
+      CAST(MAX(CASE WHEN scale = 16 THEN rs_q END) AS DOUBLE)
+        / 1000000000.0 AS rs_16,
+      CAST(MAX(CASE WHEN scale = 32 THEN rs_q END) AS DOUBLE)
+        / 1000000000.0 AS rs_32,
+      FLOOR({_HURST_C} * (
+            ln(CAST(MAX(CASE WHEN scale = 32 THEN rs_q END) AS DOUBLE)
+               / 1000000000.0)
+            - ln(CAST(MAX(CASE WHEN scale = 8 THEN rs_q END) AS DOUBLE)
+               / 1000000000.0))
+            * 1000000.0 + 0.5) / 1000000.0 AS hurst
+    FROM rs
+    """
+
+
+@register(
+    "ts_hurst_exponent",
+    _hurst_oracle(),
+    doc="Hurst exponent by rescaled-range (R/S) analysis at block "
+    "scales 8/16/32 h: integer n-scaled cumulative deviations, exact "
+    "moment std, per-block R/S quantized at 1e-9, log-log slope via "
+    "precomputed OLS literals — H>0.5 = persistent (trending), "
+    "H<0.5 = mean-reverting",
+)
+def ts_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-memory diagnosis: the Hurst exponent says whether the
+    hourly series trends (H > 0.5 — shocks persist; naive CI widths
+    are wrong), mean-reverts (H < 0.5), or random-walks (H ≈ 0.5).
+    Classic R/S: per block of s hours, the range of cumulative
+    deviations over the block std, averaged per scale; H is the
+    log-log slope across scales. Engine discipline: cumulative
+    deviations are n-scaled exact integers (s·cumsum − k·total),
+    the std uses the integer moment form, each block's R/S is ONE
+    float division quantized at 1e-9 before the per-scale integer
+    mean, and the 3-point OLS slope collapses to a precomputed
+    literal times ln(rs₃₂/rs₈) — two lns, one multiply, quantized.
+
+    Scale: three windowed passes over the hourly rollup (O(hours)
+    rows; per-key at 100 TB), block groupBys are bounded. Incomplete
+    tail blocks are excluded (bn = s), degenerate blocks (zero
+    variance) dropped.
+    """
+    ev = load(spark, "events", sf_dir)
+    hourly = (
+        ev.select(
+            F.expr("unix_micros(ts) div 3600000000").alias("h"),
+            F.expr(_Q6).alias("qv"),
+        )
+        .groupBy("h")
+        .agg(F.sum("qv").cast("decimal(38,0)").alias("sq"))
+    )
+    hh = hourly.select(
+        "h", "sq", F.min("h").over(Window.partitionBy(F.lit(1))).alias("h0")
+    )
+    d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    per_scale = []
+    for s in _HURST_SCALES:
+        blk = F.expr(f"(h - h0) div {s}")
+        wb = Window.partitionBy(blk)
+        wo = Window.partitionBy(blk).orderBy("h").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        b = hh.select(
+            blk.alias("blk"),
+            (
+                F.lit(s) * F.sum("sq").over(wo)
+                - F.row_number().over(
+                    Window.partitionBy(blk).orderBy("h")
+                )
+                * F.sum("sq").over(wb)
+            ).alias("cd"),
+            F.sum(F.col("sq") * F.col("sq")).over(wb).alias("sxx"),
+            F.sum("sq").over(wb).alias("sx"),
+            F.count(F.lit(1)).over(wb).alias("bn"),
+        ).filter(F.col("bn") == s)
+        g = (
+            b.groupBy("blk")
+            .agg(
+                F.max("cd").alias("cmax"),
+                F.min("cd").alias("cmin"),
+                F.max("sxx").alias("sxx"),
+                F.max("sx").alias("sx"),
+            )
+            .filter(
+                F.col("sxx") * F.lit(s) - F.col("sx") * F.col("sx") > 0
+            )
+            .select(
+                F.floor(
+                    d(F.col("cmax") - F.col("cmin"))
+                    / F.sqrt(
+                        d(
+                            F.col("sxx") * F.lit(s)
+                            - F.col("sx") * F.col("sx")
+                        )
+                    )
+                    * F.lit(1e9)
+                    + F.lit(0.5)
+                )
+                .cast("long")
+                .alias("rsq")
+            )
+        )
+        per_scale.append(
+            g.agg(
+                F.lit(s).alias("scale"),
+                F.expr("sum(rsq) div count(1)").cast("long").alias("rs_q"),
+            )
+        )
+    rs = per_scale[0]
+    for df in per_scale[1:]:
+        rs = rs.unionByName(df)
+    pick = lambda s: F.max(  # noqa: E731
+        F.when(F.col("scale") == s, F.col("rs_q"))
+    ).cast("double") / F.lit(1e9)
+    return rs.agg(
+        pick(8).alias("rs_8"),
+        pick(16).alias("rs_16"),
+        pick(32).alias("rs_32"),
+        (
+            F.floor(
+                F.lit(_HURST_C)
+                * (F.log(pick(32)) - F.log(pick(8)))
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("hurst"),
+    )

@@ -202,3 +202,11 @@ def test_funnel_latency_positive(spark, sf_dir):
     assert r.n_converted > 0
     assert 0 <= r.min_latency_s
     assert r.median_latency_s <= r.p90_latency_s
+
+
+def test_hurst_exponent_plausible(spark, sf_dir):
+    r = queries()["ts_hurst_exponent"](spark, sf_dir).collect()[0]
+    # R/S grows with scale for any real series
+    assert r.rs_8 < r.rs_16 < r.rs_32
+    # H must land in the open unit interval for finite data
+    assert 0.0 < r.hurst < 1.0
