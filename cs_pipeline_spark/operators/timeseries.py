@@ -1516,17 +1516,17 @@ def _hurst_scale_sql(s: int) -> str:
                            AS VARCHAR) AS DOUBLE))
                     * 1000000000.0 + 0.5) AS BIGINT) AS rsq
         FROM (
-          SELECT (h - h0) // {s} AS blk,
-                 {s} * SUM(sq) OVER (PARTITION BY (h - h0) // {s}
+          SELECT ridx // {s} AS blk,
+                 {s} * SUM(sq) OVER (PARTITION BY ridx // {s}
                       ORDER BY h ROWS UNBOUNDED PRECEDING)
-                   - (ROW_NUMBER() OVER (PARTITION BY (h - h0) // {s}
+                   - (ROW_NUMBER() OVER (PARTITION BY ridx // {s}
                       ORDER BY h))
-                     * SUM(sq) OVER (PARTITION BY (h - h0) // {s}) AS cd,
+                     * SUM(sq) OVER (PARTITION BY ridx // {s}) AS cd,
                  SUM(CAST(sq AS HUGEINT) * sq)
-                   OVER (PARTITION BY (h - h0) // {s}) AS sxx,
+                   OVER (PARTITION BY ridx // {s}) AS sxx,
                  SUM(CAST(sq AS HUGEINT))
-                   OVER (PARTITION BY (h - h0) // {s}) AS sx,
-                 COUNT(*) OVER (PARTITION BY (h - h0) // {s}) AS bn
+                   OVER (PARTITION BY ridx // {s}) AS sx,
+                 COUNT(*) OVER (PARTITION BY ridx // {s}) AS bn
           FROM hh
         ) b
         WHERE b.bn = {s}
@@ -1547,7 +1547,8 @@ def _hurst_oracle() -> str:
       FROM events GROUP BY 1
     ),
     hh AS (
-      SELECT h, sq, MIN(h) OVER () AS h0 FROM hourly
+      SELECT h, sq,
+             ROW_NUMBER() OVER (ORDER BY h) - 1 AS ridx FROM hourly
     ),
     rs AS ({scales})
     SELECT
@@ -1604,12 +1605,14 @@ def ts_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("qv").cast("decimal(38,0)").alias("sq"))
     )
     hh = hourly.select(
-        "h", "sq", F.min("h").over(Window.partitionBy(F.lit(1))).alias("h0")
+        "h",
+        "sq",
+        (F.row_number().over(Window.orderBy("h")) - 1).alias("ridx"),
     )
     d = lambda c: c.cast("string").cast("double")  # noqa: E731
     per_scale = []
     for s in _HURST_SCALES:
-        blk = F.expr(f"(h - h0) div {s}")
+        blk = F.expr(f"ridx div {s}")
         wb = Window.partitionBy(blk)
         wo = Window.partitionBy(blk).orderBy("h").rowsBetween(
             Window.unboundedPreceding, Window.currentRow
