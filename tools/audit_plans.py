@@ -324,6 +324,9 @@ AUDIT: dict[str, dict] = {
     "dq_order_reconcile": {},
     "scan_encoding_advisor": {"smj": 0},
     "agg_ab_power_mde": {"exchange": 2, "smj": 0},
+    "agg_skyline_pareto": {"smj": 0},
+    "graph_modularity": {"smj": 0},
+    "ts_hurst_exponent": {"smj": 0},
 }
 
 
