@@ -822,3 +822,54 @@ def mm_interleave_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(False),
         ).alias("layout_dense"),
     )
+
+
+@register(
+    "mm_modality_coverage",
+    """
+    WITH j AS (
+      SELECT d.lang, d.source,
+             CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END AS has_emb
+      FROM documents d LEFT JOIN embeddings e ON e.vec_id = d.doc_id
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(has_emb) AS BIGINT) AS n_with_embedding,
+           CAST(SUM(has_emb) * 1000000 // COUNT(*) AS BIGINT)
+             AS coverage_ppm,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+    FROM j GROUP BY lang
+    """,
+    doc="modality-completeness matrix: per language, how many "
+    "documents have their embedding modality present (left-join "
+    "coverage, integer ppm) — the dataset-card row multimodal "
+    "training joins silently depend on",
+)
+def mm_modality_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modality coverage — the silent-skew detector for multimodal
+    training: the inner join in ``train_assembly_e2e`` DROPS any
+    document whose embedding is missing, so uneven coverage across
+    languages becomes an invisible re-weighting of the training mix.
+    This audit makes the drop visible per language BEFORE assembly:
+    a lang at 40% coverage will be under-represented 2.5× after the
+    join no matter what the mixture weights say.
+
+    Scale: one id-keyed left join (bucketed/co-located at 100 TB —
+    the presence check never reads the vector payload, only the key
+    column), one map-side-combined rollup.
+    """
+    docs = load(spark, "documents", sf_dir)
+    emb = load(spark, "embeddings", sf_dir).select("vec_id")
+    j = docs.join(emb, docs.doc_id == emb.vec_id, "left").select(
+        "lang",
+        "source",
+        F.when(F.col("vec_id").isNotNull(), 1).otherwise(0).alias("has_emb"),
+    )
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("has_emb").cast("long").alias("n_with_embedding"),
+        F.expr("sum(has_emb) * 1000000 div count(1)")
+        .cast("long")
+        .alias("coverage_ppm"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+    )
