@@ -327,6 +327,7 @@ AUDIT: dict[str, dict] = {
     "agg_skyline_pareto": {"smj": 0},
     "graph_modularity": {"smj": 0},
     "ts_hurst_exponent": {"smj": 0},
+    "mm_modality_coverage": {"smj": 0},
 }
 
 
