@@ -1683,3 +1683,127 @@ def ts_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e6)
         ).alias("hurst"),
     )
+
+
+# ---------- ts_xcorr_leadlag ----------
+
+_XCORR_LAGS = (-3, -2, -1, 0, 1, 2, 3)
+
+
+@register(
+    "ts_xcorr_leadlag",
+    f"""
+    WITH hr AS (
+      SELECT event_type,
+             epoch_us(CAST(date_trunc('hour', {{EVENTS_TS}}) AS TIMESTAMP))
+               // 3600000000 AS h,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ), tot AS (
+      SELECT h, CAST(SUM(c) AS BIGINT) AS tc FROM hr GROUP BY h
+    ), lags(k) AS (VALUES {", ".join(f"({k})" for k in _XCORR_LAGS)}),
+    pairs AS (
+      SELECT a.event_type, l.k,
+             CAST(a.c AS HUGEINT) AS x, CAST(t.tc AS HUGEINT) AS y
+      FROM hr a
+      CROSS JOIN lags l
+      JOIN tot t ON t.h = a.h + l.k
+    ), m AS (
+      SELECT event_type, k, CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM pairs GROUP BY event_type, k
+    ), r AS (
+      SELECT event_type, CAST(k AS BIGINT) AS lag_hours,
+             CAST(n AS BIGINT) AS n_pairs,
+             CAST(FLOOR((CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+                / SQRT(CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE)
+                       * CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE)))
+                * 1000000.0 + 0.5) AS BIGINT) AS xq
+      FROM m WHERE n > 1
+    )
+    SELECT event_type, lag_hours, n_pairs,
+           CAST(xq AS DOUBLE) / 1000000.0 AS xcorr,
+           COALESCE(xq = MAX(xq) OVER (PARTITION BY event_type), FALSE)
+             AS is_peak
+    FROM r
+    """.replace("{EVENTS_TS}", EVENTS_TS_SQL),
+    doc=f"lead/lag cross-correlation of each event type's hourly volume "
+    f"against total hourly traffic at lags {_XCORR_LAGS}: negative peak "
+    "lag = the type LEADS overall traffic (an early-warning signal), "
+    "positive = it follows — exact-integer-moment Pearson per lag with "
+    "the within-type peak flagged",
+)
+def ts_xcorr_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag detector: which event type's volume moves BEFORE the
+    overall traffic level? Classic ops/forecasting diagnostic — the
+    cross-correlation function (CCF) between each type's hourly count
+    series and the total-traffic series, evaluated at small negative
+    and positive lags; the argmax lag says who leads whom (the
+    companion to ``agg_acf_lags``, which is the self-correlation).
+
+    Both series are exact integer counts, so every Pearson moment is
+    an exact HUGEINT/decimal sum (``agg_corr`` pattern) and the only
+    float op is the final quantized division — bit-stable across
+    engines. The peak flag compares the quantized-integer xcorr, not
+    raw doubles, so ties break identically on both sides.
+
+    Scale: facts collapse to the (type, hour) spine in one map-side-
+    combined pass; the lag fan-out is spine×7 rows, joined to the
+    hour-level totals (a tiny table, broadcast) — no fact-side
+    shuffle beyond the first aggregation, per-(type, lag) state is
+    five integers.
+    """
+    ev = load(spark, "events", sf_dir)
+    hr = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(date_trunc('hour', ts)) div 3600000000").alias(
+            "h"
+        ),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    tot = hr.groupBy("h").agg(F.sum("c").alias("tc"))
+    lags = F.broadcast(
+        spark.createDataFrame([(k,) for k in _XCORR_LAGS], "k int")
+    )
+    a = hr.select(
+        "event_type", "h", F.col("c").cast("decimal(38,0)").alias("x")
+    ).crossJoin(lags)
+    b = F.broadcast(
+        tot.select(
+            F.col("h").alias("b_h"),
+            F.col("tc").cast("decimal(38,0)").alias("y"),
+        )
+    )
+    pairs = a.join(b, F.col("b_h") == F.col("h") + F.col("k"))
+    m = pairs.groupBy("event_type", "k").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    num = d(F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+    den = F.sqrt(
+        d(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * d(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    r = m.filter(F.col("n") > 1).select(
+        "event_type",
+        F.col("k").cast("long").alias("lag_hours"),
+        F.col("n").cast("long").alias("n_pairs"),
+        F.floor(num / den * 1000000.0 + F.lit(0.5))
+        .cast("long")
+        .alias("xq"),
+    )
+    wpk = Window.partitionBy("event_type")
+    return r.select(
+        "event_type",
+        "lag_hours",
+        "n_pairs",
+        (F.col("xq").cast("double") / 1000000.0).alias("xcorr"),
+        F.coalesce(
+            F.col("xq") == F.max("xq").over(wpk), F.lit(False)
+        ).alias("is_peak"),
+    )

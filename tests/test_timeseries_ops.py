@@ -240,3 +240,22 @@ def test_streak_islands_bruteforce(spark, sf_dir):
     for key, runs in want.items():
         assert got[key] == (max(runs), len(runs))
     assert set(got) == set(want)
+
+
+def test_xcorr_leadlag_invariants(spark, sf_dir):
+    """CCF sanity: |xcorr| <= 1, exactly one peak value per type (ties
+    all flagged), and each type covers all 7 lags with n_pairs > 1."""
+    from cs_pipeline_spark.operators.timeseries import ts_xcorr_leadlag
+
+    rows = ts_xcorr_leadlag(spark, sf_dir).collect()
+    assert rows, "empty CCF output"
+    by_type: dict[str, list] = {}
+    for r in rows:
+        assert -1.0 <= r.xcorr <= 1.0
+        assert r.n_pairs > 1
+        by_type.setdefault(r.event_type, []).append(r)
+    for et, rs in by_type.items():
+        assert sorted(r.lag_hours for r in rs) == [-3, -2, -1, 0, 1, 2, 3]
+        peak = max(r.xcorr for r in rs)
+        for r in rs:
+            assert r.is_peak == (r.xcorr == peak), (et, r)
