@@ -1807,3 +1807,193 @@ def ts_xcorr_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("xq") == F.max("xq").over(wpk), F.lit(False)
         ).alias("is_peak"),
     )
+
+
+# ---------- ts_mann_kendall ----------
+
+
+@register(
+    "ts_mann_kendall",
+    f"""
+    WITH series AS (
+      SELECT event_type,
+             epoch_us(CAST(date_trunc('hour', {{EVENTS_TS}}) AS TIMESTAMP))
+               // 3600000000 AS h,
+             CAST(FLOOR((CAST(CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5)
+               AS HUGEINT)) AS VARCHAR) AS DOUBLE) / COUNT(*)) + 0.5)
+               AS BIGINT) AS mq
+      FROM events GROUP BY 1, 2
+    ), s AS (
+      SELECT a.event_type,
+             CAST(SUM(CASE WHEN b.mq > a.mq THEN 1
+                           WHEN b.mq < a.mq THEN -1 ELSE 0 END)
+               AS BIGINT) AS s_stat
+      FROM series a JOIN series b
+        ON b.event_type = a.event_type AND b.h > a.h
+      GROUP BY 1
+    ), n AS (
+      SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n FROM series
+      GROUP BY 1
+    ), ties AS (
+      SELECT event_type,
+             SUM(t * (t - 1) * (2 * t + 5)) AS tie_sum
+      FROM (SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS t
+            FROM series GROUP BY event_type, mq) g
+      GROUP BY 1
+    ), m AS (
+      SELECT n.event_type, CAST(n.n AS BIGINT) AS n_hours,
+             COALESCE(s.s_stat, 0) AS s_stat,
+             CAST(n.n * (n.n - 1) * (2 * n.n + 5)
+                  - COALESCE(ties.tie_sum, 0) AS BIGINT) AS var_s18
+      FROM n LEFT JOIN s USING (event_type)
+             LEFT JOIN ties USING (event_type)
+    ), z AS (
+      SELECT event_type, n_hours, s_stat, var_s18,
+             CASE WHEN var_s18 <= 0 OR s_stat = 0 THEN CAST(0 AS BIGINT)
+                  WHEN s_stat > 0 THEN CAST(FLOOR(
+                    (CAST(s_stat - 1 AS DOUBLE)
+                     / SQRT(CAST(var_s18 AS DOUBLE) / 18.0))
+                    * 1000000.0 + 0.5) AS BIGINT)
+                  ELSE CAST(FLOOR(
+                    (CAST(s_stat + 1 AS DOUBLE)
+                     / SQRT(CAST(var_s18 AS DOUBLE) / 18.0))
+                    * 1000000.0 + 0.5) AS BIGINT)
+             END AS zq
+      FROM m
+    )
+    SELECT event_type, n_hours, s_stat, var_s18,
+           CAST(zq AS DOUBLE) / 1000000.0 AS z,
+           CASE WHEN zq >= 1960000 THEN 'increasing'
+                WHEN zq <= -1960000 THEN 'decreasing'
+                ELSE 'no_trend' END AS trend
+    FROM z
+    """.replace("{EVENTS_TS}", EVENTS_TS_SQL),
+    doc="Mann-Kendall nonparametric trend test per event-type hourly "
+    "series: exact integer S = sum of pairwise signs, tie-corrected "
+    "variance as the exact integer 18*Var(S), continuity-corrected z "
+    "(quantized 1e-6) and the |z|>=1.96 monotone-trend verdict — the "
+    "distribution-free companion to agg_theil_sen's slope",
+)
+def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard 'is this series monotonically trending' test that
+    needs no normality or linearity assumption — S counts concordant
+    minus discordant hour pairs, the tie-corrected variance
+    n(n-1)(2n+5)/18 - sum t(t-1)(2t+5)/18 comes straight from the
+    quantized-mean tie groups, and the continuity-corrected
+    z = (S-sgn(S))/sqrt(Var) gates the verdict at 1.96 (5% two-sided).
+    Pairs with agg_theil_sen: MK says WHETHER there is a trend,
+    Theil-Sen says HOW STEEP.
+
+    Everything through Var(S) is exact integer arithmetic (the 18x
+    numerator stays integral, emitted as ``var_s18``); z is one
+    correctly-rounded division + sqrt, floor-quantized at 1e-6, and
+    the verdict compares the QUANTIZED integer zq against +/-1960000
+    so both engines branch identically.
+
+    Scale: the O(n^2) pair join is per-series over HOURLY buckets
+    (n = hours, bounded by the calendar, not by facts — the corpus
+    collapsed in the first map-side-combined aggregation); sign
+    counting combines map-side. For decade-long series, stride or
+    block the left side as in agg_theil_sen.
+    """
+    ev = load(spark, "events", sf_dir)
+    series = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(date_trunc('hour', ts)) div 3600000000").alias(
+            "h"
+        ),
+    ).agg(
+        F.floor(
+            F.sum(
+                F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast(
+                    "decimal(38,0)"
+                )
+            )
+            .cast("string")
+            .cast("double")
+            / F.count(F.lit(1))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("mq")
+    )
+    b = series.select(
+        F.col("event_type").alias("et_b"),
+        F.col("h").alias("hb"),
+        F.col("mq").alias("mqb"),
+    )
+    s = (
+        series.join(
+            b,
+            (F.col("event_type") == F.col("et_b"))
+            & (F.col("hb") > F.col("h")),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("mqb") > F.col("mq"), F.lit(1))
+                .when(F.col("mqb") < F.col("mq"), F.lit(-1))
+                .otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    nn = F.col("n").cast("decimal(38,0)")
+    n = series.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        series.groupBy("event_type", "mq")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_sum")
+        )
+    )
+    m = (
+        n.join(s, "event_type", "left")
+        .join(ties, "event_type", "left")
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_hours"),
+            F.coalesce(F.col("s_stat"), F.lit(0)).alias("s_stat"),
+            (
+                nn * (nn - 1) * (2 * nn + 5)
+                - F.coalesce(F.col("tie_sum"), F.lit(0).cast("decimal(38,0)"))
+            )
+            .cast("long")
+            .alias("var_s18"),
+        )
+    )
+    sd = F.sqrt(F.col("var_s18").cast("double") / F.lit(18.0))
+    zq = (
+        F.when(
+            (F.col("var_s18") <= 0) | (F.col("s_stat") == 0), F.lit(0)
+        )
+        .when(
+            F.col("s_stat") > 0,
+            F.floor(
+                (F.col("s_stat") - 1).cast("double") / sd * F.lit(1e6)
+                + F.lit(0.5)
+            ),
+        )
+        .otherwise(
+            F.floor(
+                (F.col("s_stat") + 1).cast("double") / sd * F.lit(1e6)
+                + F.lit(0.5)
+            )
+        )
+        .cast("long")
+    )
+    return m.select(
+        "event_type",
+        "n_hours",
+        "s_stat",
+        "var_s18",
+        (zq.cast("double") / F.lit(1e6)).alias("z"),
+        F.when(zq >= 1960000, F.lit("increasing"))
+        .when(zq <= -1960000, F.lit("decreasing"))
+        .otherwise(F.lit("no_trend"))
+        .alias("trend"),
+    )

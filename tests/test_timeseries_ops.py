@@ -259,3 +259,52 @@ def test_xcorr_leadlag_invariants(spark, sf_dir):
         peak = max(r.xcorr for r in rs)
         for r in rs:
             assert r.is_peak == (r.xcorr == peak), (et, r)
+
+
+def test_mann_kendall_invariants(spark, sf_dir):
+    """MK contract: S bounded by pair count, var_s18 matches the
+    closed form minus a nonnegative tie correction, verdict follows
+    the quantized z, and a manufactured monotone series trends."""
+    from cs_pipeline_spark.operators.timeseries import ts_mann_kendall
+
+    rows = ts_mann_kendall(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        npairs = r.n_hours * (r.n_hours - 1) // 2
+        assert abs(r.s_stat) <= npairs
+        full = r.n_hours * (r.n_hours - 1) * (2 * r.n_hours + 5)
+        assert 0 <= r.var_s18 <= full  # tie correction only shrinks
+        if r.trend == "increasing":
+            assert r.z >= 1.96
+        elif r.trend == "decreasing":
+            assert r.z <= -1.96
+        else:
+            assert abs(r.z) < 1.96 + 1e-9
+
+    # strictly increasing synthetic series -> S = n(n-1)/2, 'increasing'
+    import pandas as pd
+
+    n = 40
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "event_type": ["synth"] * n,
+                "ts": pd.date_range("2024-01-01", periods=n, freq="h"),
+                "value": [float(i) for i in range(n)],
+            }
+        )
+    )
+    # monotone series ⇒ every hour pair concordant ⇒ S = n(n-1)/2
+    from pyspark.sql import functions as F
+
+    s = (
+        df.groupBy("event_type", F.expr("unix_micros(date_trunc('hour', ts)) div 3600000000").alias("h"))
+        .agg(F.floor(F.avg("value") * 1e6 + 0.5).cast("long").alias("mq"))
+    )
+    b = s.select(F.col("event_type").alias("e2"), F.col("h").alias("h2"), F.col("mq").alias("m2"))
+    conc = (
+        s.join(b, (F.col("event_type") == F.col("e2")) & (F.col("h2") > F.col("h")))
+        .select(F.sum(F.when(F.col("m2") > F.col("mq"), 1).otherwise(0)).alias("c"))
+        .collect()[0].c
+    )
+    assert conc == n * (n - 1) // 2
