@@ -3523,3 +3523,160 @@ def agg_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("price_c").cast("double") / F.lit(100.0)).alias("price"),
         F.col("size_v").alias("size"),
     )
+
+
+# ---------- Poisson bootstrap CI (deterministic, one-scan) ----------
+
+_BOOT_B = 24  # bootstrap replicates (columns, not data copies)
+# Poisson(1) CDF thresholds scaled to _SPLIT_PRIME: weight k iff the
+# uniform draw g < threshold[k] (ELSE 7 for the negligible tail)
+_BOOT_TH = (
+    367879443, 735758887, 919698609, 981011849,
+    996340160, 999405822, 999916765,
+)
+_BOOT_LO_RANK = 2   # 2nd of 24 sorted replicate means (~4.2th pct)
+_BOOT_HI_RANK = 23  # 23rd of 24 (~95.8th pct) → ~90% percentile CI
+
+
+def _boot_g_sql(b: int) -> str:
+    """Uniform-in-[0,P) draw for replicate b: affine map of the
+    squared split hash mod the PRIME P — a bijection, so each
+    replicate's draw is exactly uniform when h is."""
+    return (
+        f"(((hh * {2 * b + 1}) % {_SPLIT_PRIME}) + h + {b * 12345})"
+        f" % {_SPLIT_PRIME}"
+    )
+
+
+def _boot_w_sql(b: int) -> str:
+    g = _boot_g_sql(b)
+    cases = " ".join(
+        f"WHEN {g} < {t} THEN {k}" for k, t in enumerate(_BOOT_TH)
+    )
+    return f"CASE {cases} ELSE 7 END"
+
+
+def _boot_oracle() -> str:
+    reps = ", ".join(
+        f"CASE WHEN SUM(w{b}) = 0 THEN NULL ELSE "
+        f"CAST(CAST(SUM(CAST(w{b} AS HUGEINT) * xq) AS VARCHAR) AS DOUBLE)"
+        f" / 1000000.0 / CAST(SUM(w{b}) AS DOUBLE) END AS m{b}"
+        for b in range(_BOOT_B)
+    )
+    ws = ", ".join(f"{_boot_w_sql(b)} AS w{b}" for b in range(_BOOT_B))
+    arr = "[" + ", ".join(f"m{b}" for b in range(_BOOT_B)) + "]"
+    return f"""
+    WITH hsh AS (
+      SELECT event_type,
+             CAST(FLOOR(value * 1000000.0 + 0.5) AS HUGEINT) AS xq,
+             ((event_id % {_SPLIT_PRIME}) * {_SPLIT_MULT})
+               % {_SPLIT_PRIME} AS h
+      FROM events
+    ), hb AS (
+      SELECT event_type, xq, h, (h * h) % {_SPLIT_PRIME} AS hh FROM hsh
+    ), w AS (
+      SELECT event_type, xq, {ws} FROM hb
+    ), m AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             {sql_davg('CAST(xq AS DOUBLE) / 1000000.0')} AS theta,
+             {reps}
+      FROM w GROUP BY event_type
+    ), s AS (
+      SELECT event_type, n, theta, list_sort({arr}) AS ms FROM m
+    )
+    SELECT event_type, n, theta,
+           FLOOR(ms[{_BOOT_LO_RANK}] * 1000000.0 + 0.5) / 1000000.0
+             AS boot_lo,
+           FLOOR(ms[{_BOOT_HI_RANK}] * 1000000.0 + 0.5) / 1000000.0
+             AS boot_hi
+    FROM s
+    """
+
+
+@register(
+    "agg_bootstrap_ci",
+    _boot_oracle(),
+    doc=f"deterministic Poisson bootstrap CI: {_BOOT_B} replicates "
+    "where each row's replicate weight is Poisson(1) via integer "
+    "CDF-threshold lookup on an affine-mod-prime draw (zero rand(), "
+    "one scan — weights are CASE columns, data is never copied "
+    f"{_BOOT_B}x), percentile CI from sorted replicate means — the "
+    "resampling twin of agg_jackknife_ci for non-smooth statistics",
+)
+def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalable bootstrap: instead of materializing B resamples
+    (the textbook form — B full copies of the data), each row carries
+    B small integer weights w_b ~ Poisson(1), the standard
+    large-scale approximation to multinomial resampling (the row
+    counts of a true resample converge to independent Poissons).
+    Replicate b's mean is Σw_b·x/Σw_b — all B of them computed as
+    conditional aggregates in ONE scan — and the ~90% CI picks the
+    2nd/23rd of the 24 sorted replicate means.
+
+    Determinism: the draw is ((h²·(2b+1)) + h + 12345b) mod P on the
+    reproducible split hash h — P prime makes each replicate's map a
+    bijection (exactly uniform marginals), and the Poisson inverse-CDF
+    is integer threshold compares, so both engines assign identical
+    weights to every (row, replicate). Replicate draws share h
+    (affine family, not independent streams) — acceptable for CI
+    width, and the price of bit-exact reproducibility.
+
+    Scale: one map-side-combined shuffle carrying 2B+2 integer agg
+    states per group; no data inflation, no rand() (which would break
+    retries/speculative execution), weights live only inside the
+    aggregate expressions.
+    """
+    ev = load(spark, "events", sf_dir)
+    h = (
+        (F.col("event_id") % F.lit(_SPLIT_PRIME)) * F.lit(_SPLIT_MULT)
+    ) % F.lit(_SPLIT_PRIME)
+    base = ev.select(
+        "event_type",
+        F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5))
+        .cast("decimal(38,0)")
+        .alias("xq"),
+        h.alias("h"),
+    ).withColumn("hh", (F.col("h") * F.col("h")) % F.lit(_SPLIT_PRIME))
+
+    def w_col(b: int) -> Column:
+        g = (
+            (F.col("hh") * F.lit(2 * b + 1)) % F.lit(_SPLIT_PRIME)
+            + F.col("h")
+            + F.lit(b * 12345)
+        ) % F.lit(_SPLIT_PRIME)
+        expr = F.when(g < _BOOT_TH[0], F.lit(0))
+        for k, t in enumerate(_BOOT_TH[1:], start=1):
+            expr = expr.when(g < t, F.lit(k))
+        return expr.otherwise(F.lit(7))
+
+    w = base.select(
+        "event_type",
+        "xq",
+        *[w_col(b).alias(f"w{b}") for b in range(_BOOT_B)],
+    )
+    reps = []
+    for b in range(_BOOT_B):
+        sw = F.sum(F.col(f"w{b}"))
+        swx = F.sum(F.col(f"w{b}").cast("decimal(38,0)") * F.col("xq"))
+        reps.append(
+            F.when(sw == 0, F.lit(None).cast("double"))
+            .otherwise(
+                swx.cast("string").cast("double")
+                / F.lit(1e6)
+                / sw.cast("double")
+            )
+            .alias(f"m{b}")
+        )
+    m = w.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        davg(F.col("xq").cast("double") / F.lit(1e6)).alias("theta"),
+        *reps,
+    )
+    ms = F.array_sort(F.array(*[F.col(f"m{b}") for b in range(_BOOT_B)]))
+    return m.select(
+        "event_type",
+        "n",
+        "theta",
+        dround(F.element_at(ms, _BOOT_LO_RANK), 6).alias("boot_lo"),
+        dround(F.element_at(ms, _BOOT_HI_RANK), 6).alias("boot_hi"),
+    )

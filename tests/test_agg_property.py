@@ -175,3 +175,25 @@ def test_ql2_matches_exact_python(spark, a, b):
         / 1000000.0
     )
     assert got == want
+
+
+def test_bootstrap_ci_brackets_mean(spark, sf_dir):
+    """Percentile-bootstrap contract: lo < hi, the point estimate sits
+    inside the interval at these group sizes, and the interval width
+    is comparable to the jackknife's (same data, same statistic)."""
+    from cs_pipeline_spark.operators.aggregate import (
+        agg_bootstrap_ci,
+        agg_jackknife_ci,
+    )
+
+    boot = {r.event_type: r for r in agg_bootstrap_ci(spark, sf_dir).collect()}
+    jk = {r.event_type: r for r in agg_jackknife_ci(spark, sf_dir).collect()}
+    assert boot and set(boot) == set(jk)
+    for et, r in boot.items():
+        assert r.boot_lo < r.boot_hi, et
+        assert r.boot_lo <= r.theta <= r.boot_hi, et
+        assert abs(r.theta - jk[et].theta) < 1e-9, et
+        bw = r.boot_hi - r.boot_lo
+        jw = jk[et].ci_hi - jk[et].ci_lo
+        # ~90% percentile CI vs ±2SE (~95%): same order of magnitude
+        assert 0.2 * jw < bw < 5.0 * jw, (et, bw, jw)
