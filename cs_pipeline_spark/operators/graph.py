@@ -997,3 +997,108 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e9)
         ).alias("modularity"),
     )
+
+
+# ---------- graph_label_propagation ----------
+
+_LPA_ITERS = 4
+
+
+def _lpa_oracle() -> str:
+    n = "(SELECT COUNT(*) FROM documents)"
+    parts = [
+        f"WITH de AS MATERIALIZED ({_EDGE_SQL.format(n=n)}), ",
+        "ud AS MATERIALIZED (",
+        "  SELECT src, dst FROM de WHERE src <> dst",
+        "  UNION",
+        "  SELECT dst, src FROM de WHERE src <> dst), ",
+        "l0 AS MATERIALIZED (SELECT doc_id AS node, doc_id AS label "
+        "FROM documents)",
+    ]
+    for t in range(_LPA_ITERS):
+        parts.append(
+            f", v{t} AS (SELECT e.src AS node, l.label, COUNT(*) AS c "
+            f"FROM ud e JOIN l{t} l ON l.node = e.dst GROUP BY 1, 2)"
+        )
+        parts.append(
+            f", b{t} AS (SELECT node, label FROM ("
+            f"SELECT node, label, ROW_NUMBER() OVER (PARTITION BY node "
+            f"ORDER BY c DESC, label) AS rn FROM v{t}) WHERE rn = 1)"
+        )
+        parts.append(
+            f", l{t + 1} AS MATERIALIZED ("
+            f"SELECT p.node, COALESCE(b.label, p.label) AS label "
+            f"FROM l{t} p LEFT JOIN b{t} b USING (node))"
+        )
+    parts.append(
+        f" SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS size "
+        f"FROM l{_LPA_ITERS} GROUP BY label"
+    )
+    return "".join(parts)
+
+
+@register(
+    "graph_label_propagation",
+    _lpa_oracle(),
+    doc=f"label-propagation community detection ({_LPA_ITERS} "
+    "synchronous rounds): each node adopts its neighbors' plurality "
+    "label with the smallest-label tie-break — fully deterministic "
+    "LPA (no rand ordering), per-round materialization; output is "
+    "the community-size census the modularity score reads from",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection where ``graph_modularity`` only SCORES a
+    given partition: synchronous LPA on the undirected link graph.
+    Round t+1: node v takes the most frequent label among its
+    neighbors' round-t labels, ties broken by the smallest label (the
+    determinism knob — textbook LPA breaks ties randomly, which would
+    never hash-match); isolated nodes keep their own label. A fixed
+    round count (synchronous LPA can oscillate on bipartite-ish
+    structures) makes the output a pure function of the graph.
+
+    Round t+1 references round t TWICE (vote join + carry-forward for
+    voteless nodes) — the doubling trap CLAUDE.md documents for
+    graph_k_core — so every round is `.localCheckpoint(eager=True)`
+    on Spark and AS MATERIALIZED in the oracle.
+
+    Scale: per round, one groupBy((node, label)) shuffle of edge-end
+    votes (map-side combined), one window over votes per node, one
+    key join back — the Pregel-as-SQL shape; state per node is one
+    integer label, checkpointing keeps lineage flat.
+    """
+    docs = load(spark, "documents", sf_dir)
+    n = _n_docs(spark, sf_dir)
+    e = _edges(docs, n).filter(F.col("src") != F.col("dst"))
+    und = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = docs.select(
+        F.col("doc_id").alias("node"), F.col("doc_id").alias("label")
+    ).localCheckpoint(eager=True)
+    from pyspark.sql import Window
+
+    for _ in range(_LPA_ITERS):
+        votes = (
+            und.join(labels, und.dst == labels.node)
+            .groupBy(F.col("src").alias("vnode"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("vnode").orderBy(
+            F.col("c").desc(), F.col("label")
+        )
+        best = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vnode", F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(best, labels.node == best.vnode, "left")
+            .select(
+                "node",
+                F.coalesce("new_label", "label").alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).cast("long").alias("size")
+    )

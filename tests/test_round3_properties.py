@@ -104,3 +104,21 @@ def test_raycast_integer_matches_float(pxq, pyq):
     if any(pyq == y for _, y in _POLY_Q):
         return
     assert _inside_int(pxq, pyq) == _inside_float(px, py)
+
+
+def test_lpa_partition_is_complete(spark, sf_dir):
+    """LPA invariants: community sizes sum to |V|, every community
+    label is a real node id, and at least one community merged (size
+    > 1) on the synthetic link graph."""
+    from cs_pipeline_spark.operators.graph import graph_label_propagation
+    from cs_pipeline_spark.tables import load
+
+    rows = graph_label_propagation(spark, sf_dir).collect()
+    n_docs = load(spark, "documents", sf_dir).count()
+    assert sum(r.size for r in rows) == n_docs
+    ids = {
+        r.doc_id
+        for r in load(spark, "documents", sf_dir).select("doc_id").collect()
+    }
+    assert all(r.community in ids for r in rows)
+    assert max(r.size for r in rows) > 1
