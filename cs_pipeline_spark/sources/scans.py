@@ -1124,3 +1124,48 @@ def scan_csv_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.read.schema(schema).option("header", True).csv(path)
+
+
+@register(
+    "scan_xml_roundtrip",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    doc="native XML round-trip (Spark 4 built-in source): write the "
+    "nation dim as <row> elements, re-parse with an explicit schema "
+    "— the B2B/legacy-feed interchange format beside CSV/JSON; "
+    "encode→parse must be identity against the parquet truth",
+)
+def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingest — Spark 4 absorbed the spark-xml package as a
+    built-in source, so `.format("xml")` parses element trees with
+    the same schema/pushdown surface as JSON. Feeds from ERP/B2B
+    systems still arrive as XML; the round-trip (write rows as
+    ``<row>`` elements, read back with an EXPLICIT schema — never
+    inference, which double-scans and type-guesses) proves the
+    encode→parse identity against the parquet source of truth.
+
+    Scale: XML files split per file like JSON lines do per block —
+    keep feed files bounded; the explicit schema keeps the parse
+    single-pass, and column pruning drops unparsed elements at the
+    tokenizer.
+    """
+    path = _scratch(sf_dir, "nation.xml")
+    if not os.path.exists(path):
+        load(spark, "nation", sf_dir).select(
+            "n_nationkey", "n_name", "n_regionkey"
+        ).write.mode("overwrite").format("xml").option(
+            "rowTag", "row"
+        ).save(path)
+    schema = StructType(
+        [
+            StructField("n_nationkey", LongType()),
+            StructField("n_name", StringType()),
+            StructField("n_regionkey", LongType()),
+        ]
+    )
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "row")
+        .schema(schema)
+        .load(path)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
