@@ -2464,3 +2464,122 @@ def agg_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seasonal_strength"
         ),
     )
+
+
+# ---------- agg_ljung_box ----------
+
+_LB_LAGS = (1, 2, 3)  # consecutive lags → chi-square df = 3
+_LB_CRIT_Q6 = 7814728  # chi2(3, 0.95) = 7.814728, quantized 1e-6
+
+
+def _ljung_box_oracle() -> str:
+    from cs_pipeline_spark.registry import _REGISTRY
+
+    acf = _REGISTRY["agg_acf_lags"].oracle
+    lags = ", ".join(str(k) for k in _LB_LAGS)
+    return f"""
+    WITH acf AS ({acf}),
+    f AS (SELECT * FROM acf WHERE lag_hours IN ({lags})),
+    nn AS (
+      SELECT event_type,
+             CAST(MAX(n_pairs + lag_hours) AS BIGINT) AS n
+      FROM f GROUP BY event_type
+    ),
+    t AS (
+      SELECT f.event_type, nn.n,
+             CAST(FLOOR(f.acf * f.acf / (nn.n - f.lag_hours)
+                  * 1000000000000.0 + 0.5) AS BIGINT) AS tq
+      FROM f JOIN nn USING (event_type)
+    ),
+    q AS (
+      SELECT event_type, MAX(n) AS n,
+             CAST(FLOOR(CAST(MAX(n) * (MAX(n) + 2) AS DOUBLE)
+                  * CAST(CAST(SUM(tq) AS VARCHAR) AS DOUBLE)
+                  / 1000000000000.0 * 1000000.0 + 0.5) AS BIGINT) AS qq
+      FROM t GROUP BY event_type HAVING COUNT(*) = {len(_LB_LAGS)}
+    )
+    SELECT event_type, n AS n_hours,
+           CAST(qq AS DOUBLE) / 1000000.0 AS lb_q,
+           COALESCE(qq >= {_LB_CRIT_Q6}, FALSE) AS autocorrelated
+    FROM q
+    """
+
+
+@register(
+    "agg_ljung_box",
+    _ljung_box_oracle(),
+    doc=f"Ljung-Box portmanteau white-noise test at lags {_LB_LAGS}: "
+    "Q = n(n+2)·Σ ρ_k²/(n−k) over the exact-moment ACF, each term "
+    "quantized 1e-12 before the sum, verdict vs the χ²(3) 95% "
+    "critical value on the QUANTIZED statistic — 'is there ANY "
+    "autocorrelation' gate run before trusting iid-based CIs",
+)
+def agg_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The portmanteau test that gates every iid assumption
+    downstream (``agg_bootstrap_ci``/``agg_jackknife_ci`` intervals
+    are too narrow on autocorrelated series): Q sums the squared
+    sample autocorrelations with the Ljung small-sample weights
+    n(n+2)/(n−k); under white noise Q ~ χ²(h). Composes the registry:
+    both the Spark side and the oracle consume ``agg_acf_lags``'s
+    output (builder call / CTE splice), so the ρ_k inputs are the
+    already-bit-identical quantized values.
+
+    Determinism: each ρ_k²/(n−k) term is floor-quantized at 1e-12
+    BEFORE the cross-lag sum (the chi2/entropy convention), n comes
+    from max(n_pairs + k) — exact for the contiguous hourly series;
+    the verdict compares the quantized integer Q against 7814728, so
+    both engines branch identically.
+
+    Scale: everything downstream of the ACF is per-(type, lag) rows —
+    constant-size; the cost IS agg_acf_lags (one map-side-combined
+    fact aggregation + spine joins).
+    """
+    acf = agg_acf_lags(spark, sf_dir).filter(
+        F.col("lag_hours").isin(*_LB_LAGS)
+    )
+    nn = acf.groupBy("event_type").agg(
+        F.max(F.col("n_pairs") + F.col("lag_hours")).alias("n")
+    )
+    t = acf.join(nn, "event_type").select(
+        "event_type",
+        "n",
+        F.floor(
+            F.col("acf")
+            * F.col("acf")
+            / (F.col("n") - F.col("lag_hours"))
+            * F.lit(1e12)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("tq"),
+    )
+    q = (
+        t.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.sum("tq").alias("stq"),
+            F.count(F.lit(1)).alias("n_lags"),
+        )
+        .filter(F.col("n_lags") == len(_LB_LAGS))
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_hours"),
+            F.floor(
+                (F.col("n") * (F.col("n") + 2)).cast("double")
+                * F.col("stq").cast("double")
+                / F.lit(1e12)
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("qq"),
+        )
+    )
+    return q.select(
+        "event_type",
+        "n_hours",
+        (F.col("qq").cast("double") / F.lit(1e6)).alias("lb_q"),
+        F.coalesce(F.col("qq") >= _LB_CRIT_Q6, F.lit(False)).alias(
+            "autocorrelated"
+        ),
+    )

@@ -122,3 +122,37 @@ def test_lpa_partition_is_complete(spark, sf_dir):
     }
     assert all(r.community in ids for r in rows)
     assert max(r.size for r in rows) > 1
+
+
+def test_ljung_box_composes_acf(spark, sf_dir):
+    """Q must equal the hand-computed statistic from the registered
+    ACF output (same quantization pipeline), and the verdict must
+    follow the chi2(3) 95% cut."""
+    import math
+
+    from cs_pipeline_spark.operators.windows import (
+        agg_acf_lags,
+        agg_ljung_box,
+    )
+
+    acf = [
+        r
+        for r in agg_acf_lags(spark, sf_dir).collect()
+        if r.lag_hours in (1, 2, 3)
+    ]
+    got = {r.event_type: r for r in agg_ljung_box(spark, sf_dir).collect()}
+    by_type: dict[str, list] = {}
+    for r in acf:
+        by_type.setdefault(r.event_type, []).append(r)
+    for et, rs in by_type.items():
+        if len(rs) != 3:
+            assert et not in got
+            continue
+        n = max(r.n_pairs + r.lag_hours for r in rs)
+        stq = sum(
+            math.floor(r.acf * r.acf / (n - r.lag_hours) * 1e12 + 0.5)
+            for r in rs
+        )
+        qq = math.floor(float(n * (n + 2)) * float(stq) / 1e12 * 1e6 + 0.5)
+        assert abs(got[et].lb_q - qq / 1e6) < 1e-12, et
+        assert got[et].autocorrelated == (qq >= 7814728), et
