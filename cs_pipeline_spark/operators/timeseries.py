@@ -1917,11 +1917,13 @@ def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("mq")
     )
-    b = series.select(
-        F.col("event_type").alias("et_b"),
-        F.col("h").alias("hb"),
-        F.col("mq").alias("mqb"),
-    )
+    b = F.broadcast(
+        series.select(
+            F.col("event_type").alias("et_b"),
+            F.col("h").alias("hb"),
+            F.col("mq").alias("mqb"),
+        )
+    )  # calendar-bounded spine — broadcast the lagged side
     s = (
         series.join(
             b,

@@ -2349,11 +2349,13 @@ def agg_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = hr.select(
         "event_type", "h", F.col("mq").cast("decimal(38,0)").alias("x")
     ).crossJoin(lags)
-    b = hr.select(
-        F.col("event_type").alias("b_et"),
-        F.col("h").alias("b_h"),
-        F.col("mq").cast("decimal(38,0)").alias("y"),
-    )
+    b = F.broadcast(
+        hr.select(
+            F.col("event_type").alias("b_et"),
+            F.col("h").alias("b_h"),
+            F.col("mq").cast("decimal(38,0)").alias("y"),
+        )
+    )  # spine is calendar-bounded (types × hours) — broadcast, not SMJ
     pairs = a.join(
         b,
         (F.col("b_et") == F.col("event_type"))
@@ -2540,7 +2542,7 @@ def agg_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     nn = acf.groupBy("event_type").agg(
         F.max(F.col("n_pairs") + F.col("lag_hours")).alias("n")
     )
-    t = acf.join(nn, "event_type").select(
+    t = acf.join(F.broadcast(nn), "event_type").select(
         "event_type",
         "n",
         F.floor(

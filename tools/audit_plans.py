@@ -328,6 +328,13 @@ AUDIT: dict[str, dict] = {
     "graph_modularity": {"smj": 0},
     "ts_hurst_exponent": {"smj": 0},
     "mm_modality_coverage": {"smj": 0},
+    # final round-3 wave: spine-level stats + community detection
+    "ts_xcorr_leadlag": {"smj": 0},   # lag table + totals broadcast
+    "ts_mann_kendall": {},            # spine self-join (hour pairs)
+    "agg_bootstrap_ci": {"smj": 0, "exchange": 1},  # one-scan agg
+    "agg_ljung_box": {"smj": 0},
+    "graph_label_propagation": {},
+    "scan_xml_roundtrip": {"exchange": 0},
 }
 
 
