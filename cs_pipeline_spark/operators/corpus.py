@@ -976,3 +976,109 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "raw_share_ppm",
         F.expr("wq * 1000000 div sw").cast("long").alias("temp_share_ppm"),
     )
+
+
+# ---------- corpus_js_divergence ----------
+
+
+@register(
+    "corpus_js_divergence",
+    """
+    WITH c AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_sl
+      FROM documents GROUP BY 1, 2
+    ), s AS (
+      SELECT source, CAST(SUM(n_sl) AS BIGINT) AS n_s FROM c GROUP BY 1
+    ), l AS (
+      SELECT lang, CAST(SUM(n_sl) AS BIGINT) AS n_l FROM c GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(n_sl) AS BIGINT) AS n FROM c
+    ), grid AS (
+      SELECT s.source, s.n_s, l.lang, l.n_l,
+             COALESCE(c.n_sl, 0) AS n_sl, tot.n
+      FROM s CROSS JOIN l CROSS JOIN tot
+      LEFT JOIN c ON c.source = s.source AND c.lang = l.lang
+    ), terms AS (
+      SELECT source, n_s,
+             CAST(n_sl AS DOUBLE) / n_s AS p,
+             CAST(n_l AS DOUBLE) / n AS q,
+             (CAST(n_sl AS DOUBLE) / n_s + CAST(n_l AS DOUBLE) / n) / 2.0
+               AS m
+      FROM grid
+    ), tq AS (
+      SELECT source, n_s,
+             CASE WHEN p > 0
+                  THEN CAST(FLOOR(p * log2(p / m) * 1000000000.0 + 0.5)
+                       AS BIGINT) ELSE 0 END AS t_p,
+             CASE WHEN q > 0
+                  THEN CAST(FLOOR(q * log2(q / m) * 1000000000.0 + 0.5)
+                       AS BIGINT) ELSE 0 END AS t_q
+      FROM terms
+    )
+    SELECT source, MAX(n_s) AS n_docs,
+           CAST(SUM(t_p) + SUM(t_q) AS DOUBLE) / 2.0 / 1000000000.0
+             AS js_bits
+    FROM tq GROUP BY source
+    """,
+    doc="Jensen-Shannon divergence (bits) between each source's "
+    "language distribution and the corpus-wide mix: per-(source,lang) "
+    "p·log2(p/m) and q·log2(q/m) terms each quantized 1e-9 BEFORE the "
+    "sum (entropy/chi2 convention) — the symmetric, bounded [0,1] "
+    "domain-shift score a corpus mixer reads before reweighting",
+)
+def corpus_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How atypical is each source's language mix? JS divergence —
+    the symmetric, always-finite cousin of KL (defined even when a
+    source is missing a language entirely, where KL blows up) and the
+    metric behind corpus-similarity dedup in mixture design. P is the
+    source's language distribution, Q the global one, M their
+    midpoint; JS = (KL(P||M)+KL(Q||M))/2, in bits, bounded by 1.
+
+    Complements ``dq_value_drift_psi`` (PSI needs both bins nonzero)
+    and ``agg_entropy`` (within-source diversity): JS is BETWEEN
+    distributions and robust to zeros. All probabilities are ratios
+    of exact integer counts (identical doubles both engines); each
+    transcendental term is floor-quantized at 1e-9 before any
+    cross-row sum, so the integer sums are order-independent.
+
+    Scale: facts collapse to the (source, lang) contingency table in
+    one map-side-combined pass; everything after is |sources|×|langs|
+    rows — constant-size, broadcast-friendly. The same shape serves
+    train-vs-val or snapshot-vs-snapshot drift by swapping the
+    grouping column.
+    """
+    docs = load(spark, "documents", sf_dir)
+    c = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n_sl"))
+    s = c.groupBy("source").agg(F.sum("n_sl").alias("n_s"))
+    l = c.groupBy("lang").agg(F.sum("n_sl").alias("n_l"))
+    tot = c.agg(F.sum("n_sl").alias("n"))
+    grid = (
+        s.crossJoin(F.broadcast(l))
+        .crossJoin(F.broadcast(tot))
+        .join(F.broadcast(c), ["source", "lang"], "left")
+        .select(
+            "source",
+            "n_s",
+            F.coalesce(F.col("n_sl"), F.lit(0)).alias("n_sl"),
+            "n_l",
+            "n",
+        )
+    )
+    p = F.col("n_sl").cast("double") / F.col("n_s")
+    q = F.col("n_l").cast("double") / F.col("n")
+    m = (p + q) / F.lit(2.0)
+    t = lambda x: F.when(  # noqa: E731
+        x > 0,
+        F.floor(x * F.log2(x / m) * F.lit(1e9) + F.lit(0.5)).cast("long"),
+    ).otherwise(F.lit(0))
+    tq = grid.select(
+        "source", "n_s", t(p).alias("t_p"), t(q).alias("t_q")
+    )
+    return tq.groupBy("source").agg(
+        F.max("n_s").cast("long").alias("n_docs"),
+        (
+            (F.sum("t_p") + F.sum("t_q")).cast("double")
+            / F.lit(2.0)
+            / F.lit(1e9)
+        ).alias("js_bits"),
+    )

@@ -156,3 +156,16 @@ def test_ljung_box_composes_acf(spark, sf_dir):
         qq = math.floor(float(n * (n + 2)) * float(stq) / 1e12 * 1e6 + 0.5)
         assert abs(got[et].lb_q - qq / 1e6) < 1e-12, et
         assert got[et].autocorrelated == (qq >= 7814728), et
+
+
+def test_js_divergence_bounds(spark, sf_dir):
+    """JS in bits is bounded [0, 1]; a source whose language mix
+    equals the global mix would score ~0 — all real sources score
+    strictly inside the bounds on this corpus."""
+    from cs_pipeline_spark.operators.corpus import corpus_js_divergence
+
+    rows = corpus_js_divergence(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1e-9 <= r.js_bits <= 1.0 + 1e-9, r
+        assert r.n_docs > 0
