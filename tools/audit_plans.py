@@ -335,6 +335,7 @@ AUDIT: dict[str, dict] = {
     "agg_ljung_box": {"smj": 0},
     "graph_label_propagation": {},
     "scan_xml_roundtrip": {"exchange": 0},
+    "corpus_js_divergence": {"smj": 0},  # contingency grid broadcasts
 }
 
 
