@@ -2540,24 +2540,32 @@ def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_runs_test",
     f"""
     WITH v AS (
-      SELECT event_id,
+      SELECT event_type, event_id,
              CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS q
       FROM events
     ), med AS (
-      SELECT q AS m FROM v ORDER BY q
-      LIMIT 1 OFFSET (SELECT (COUNT(*) - 1) // 2 FROM v)
+      SELECT event_type, q AS m FROM (
+        SELECT event_type, q,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY q)
+                 AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS nn
+        FROM v) r
+      WHERE rn = (nn - 1) // 2 + 1
     ), s AS (
-      SELECT event_id, CASE WHEN q > (SELECT m FROM med) THEN 1
-                            ELSE 0 END AS side
-      FROM v
+      SELECT v.event_type, v.event_id,
+             CASE WHEN v.q > med.m THEN 1 ELSE 0 END AS side
+      FROM v JOIN med ON v.event_type = med.event_type
     ), runs AS (
-      SELECT side,
-             CASE WHEN LAG(side) OVER (ORDER BY event_id) IS NULL
-                  OR LAG(side) OVER (ORDER BY event_id) <> side
+      SELECT event_type, side,
+             CASE WHEN LAG(side) OVER (PARTITION BY event_type
+                    ORDER BY event_id) IS NULL
+                  OR LAG(side) OVER (PARTITION BY event_type
+                    ORDER BY event_id) <> side
                   THEN 1 ELSE 0 END AS is_new
       FROM s
     )
-    SELECT CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT)
+    SELECT event_type,
+           CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_above,
            CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_below,
@@ -2567,56 +2575,63 @@ def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
               / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0)
              AS expected_runs
     FROM runs
+    GROUP BY event_type
     """,
-    doc="Wald-Wolfowitz runs test: observed above/below-median runs in "
-    "event-id order vs the expected 1 + 2*n1*n2/n — the sequence-"
-    "randomness audit (autocorrelated feeds show too few runs)",
+    doc="Wald-Wolfowitz runs test per event-type series: observed "
+    "above/below-median runs in event-id order vs the expected "
+    "1 + 2*n1*n2/n — the sequence-randomness audit (autocorrelated "
+    "feeds show too few runs)",
 )
 def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Randomness audit on the value sequence: dichotomize against
-    the discrete median (exact element pick — lower median, both
-    engines identical on the quantized integers), count runs of
-    consecutive same-side values in event-id order, and compare to
-    the i.i.d. expectation 1 + 2n₁n₂/n. Too few runs ⇒ positive
-    autocorrelation (stuck sensor, cached feed); too many ⇒
-    oscillation. Complements the value-distribution tests
-    (``agg_ks_test``, ``agg_mann_whitney``) with an ORDER-sensitive
-    check — the only one in the audit family.
+    """Randomness audit on each event-type's value sequence:
+    dichotomize against the series' discrete median (exact element
+    pick — lower median, both engines identical on the quantized
+    integers), count runs of consecutive same-side values in
+    event-id order, and compare to the i.i.d. expectation
+    1 + 2n₁n₂/n per series. Too few runs ⇒ positive autocorrelation
+    (stuck sensor, cached feed); too many ⇒ oscillation. Complements
+    the value-distribution tests (``agg_ks_test``,
+    ``agg_mann_whitney``) with an ORDER-sensitive check — the only
+    one in the audit family.
 
     Integer discipline: sides are exact comparisons on quantized
     integers; run boundaries are integer lag comparisons; only the
     expectation is a float ratio of exact counts (floor-quantized).
 
-    Scale: the run count needs a total order — at 100 TB run it
-    per-partition-key series (device, sensor) like every other
-    sequence op, not globally; the global form here mirrors the
-    classic single-series test. One window pass + one aggregate.
+    Scale: every window here partitions by ``event_type`` — the
+    per-series form of the classic test, so no executor ever sorts
+    more than one series (the repo's sequence-op convention; the
+    round-3 global form funneled the whole fact table through one
+    partition). The per-series medians are a k-row broadcast.
     """
     ev = load(spark, "events", sf_dir)
     v = ev.select(
+        "event_type",
         "event_id",
         F.floor(F.col("value") * 1000000.0 + F.lit(0.5))
         .cast("long")
         .alias("q"),
     )
-    # lower-median rank computed INSIDE the plan (count(*) over () +
-    # row_number), keeping the builder lazy — no eager v.count() job
-    # at plan-build time
+    # per-series lower-median rank computed INSIDE the plan
+    # (count over series + row_number), keeping the builder lazy —
+    # no eager count job at plan-build time
+    wseries = Window.partitionBy("event_type")
     med = (
         v.select(
+            "event_type",
             "q",
-            F.row_number().over(Window.orderBy("q")).alias("rn"),
-            F.count(F.lit(1)).over(
-                Window.partitionBy(F.lit(1))
-            ).alias("nn"),
+            F.row_number().over(wseries.orderBy("q")).alias("rn"),
+            F.count(F.lit(1)).over(wseries).alias("nn"),
         )
         .filter(F.expr("rn = (nn - 1) div 2 + 1"))
-        .select(F.col("q").alias("m"))
+        .select("event_type", F.col("q").alias("m"))
     )
-    s = v.crossJoin(F.broadcast(med)).select(
-        "event_id", (F.col("q") > F.col("m")).cast("int").alias("side")
+    s = v.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        (F.col("q") > F.col("m")).cast("int").alias("side"),
     )
-    w = Window.orderBy("event_id")
+    w = Window.partitionBy("event_type").orderBy("event_id")
     runs = s.withColumn(
         "is_new",
         F.when(
@@ -2628,7 +2643,7 @@ def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     n1 = F.sum(F.when(F.col("side") == 1, 1).otherwise(0))
     n0 = F.sum(F.when(F.col("side") == 0, 1).otherwise(0))
     exp_runs = 1.0 + 2.0 * n1 * n0 / F.count(F.lit(1))
-    return runs.agg(
+    return runs.groupBy("event_type").agg(
         n1.cast("long").alias("n_above"),
         n0.cast("long").alias("n_below"),
         F.sum("is_new").cast("long").alias("n_runs"),

@@ -756,25 +756,30 @@ def test_triplet_mining_consistency(spark, sf_dir):
 def test_runs_test_counts(spark, sf_dir):
     from cs_pipeline_spark.operators.aggregate import agg_runs_test
 
-    row = agg_runs_test(spark, sf_dir).collect()[0]
+    rows = {r.event_type: r for r in agg_runs_test(spark, sf_dir).collect()}
     ev = load(spark, "events", sf_dir)
-    n = ev.count()
-    assert row.n_above + row.n_below == n
-    assert 1 <= row.n_runs <= n
-    assert 1.0 <= row.expected_runs <= n
-    # reference run count in event-id order
+    # reference per-series run counts in event-id order
     import math
+    from collections import defaultdict
 
-    vals = [
-        (r.event_id, math.floor(r.value * 1e6 + 0.5))
-        for r in ev.select("event_id", "value").collect()
-    ]
-    vals.sort()
-    qs = sorted(q for _, q in vals)
-    med = qs[(n - 1) // 2]
-    sides = [1 if q > med else 0 for _, q in vals]
-    runs = 1 + sum(1 for a, b in zip(sides, sides[1:]) if a != b)
-    assert row.n_runs == runs
+    by_type = defaultdict(list)
+    for r in ev.select("event_type", "event_id", "value").collect():
+        by_type[r.event_type].append(
+            (r.event_id, math.floor(r.value * 1e6 + 0.5))
+        )
+    assert set(rows) == set(by_type)
+    for et, vals in by_type.items():
+        row = rows[et]
+        n = len(vals)
+        assert row.n_above + row.n_below == n
+        assert 1 <= row.n_runs <= n
+        assert 1.0 <= row.expected_runs <= n
+        vals.sort()
+        qs = sorted(q for _, q in vals)
+        med = qs[(n - 1) // 2]
+        sides = [1 if q > med else 0 for _, q in vals]
+        runs = 1 + sum(1 for a, b in zip(sides, sides[1:]) if a != b)
+        assert row.n_runs == runs
 
 
 def test_fiscal_445_structure(spark, sf_dir):
