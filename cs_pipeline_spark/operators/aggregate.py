@@ -16,7 +16,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cs_pipeline_spark.functions.era5_fixture import ERA5_CTE, era5_events
-from cs_pipeline_spark.operators.helpers import dround, davg, dsum, sql_davg, sql_dsum
+from cs_pipeline_spark.operators.helpers import dround, davg, dsum, sql_davg, sql_dsum, with_total_rank, with_prefix_agg
 from cs_pipeline_spark.operators.predictors import predictors_cte, predictors_frame
 from cs_pipeline_spark.plans.agg_compiler import (
     active_predictors,
@@ -1500,11 +1500,8 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = ev.agg(F.count(F.lit(1)).alias("n_total"))
     top = (
-        est.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.orderBy(F.col("n_exact").desc(), F.col("user_id"))
-            ),
+        with_total_rank(
+            est, "n_exact", ("user_id",), rn="rn", descending=True
         )
         .filter(F.col("rn") <= _CMS_TOPK)
         .join(F.broadcast(total))
@@ -1667,14 +1664,13 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("in_a").cast("decimal(20,0)").alias("na"),
         F.sum("in_b").cast("decimal(20,0)").alias("nb"),
     )
-    w = (
-        Window.orderBy("value", "event_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    c = s.select(
+    c = with_prefix_agg(
+        with_prefix_agg(s, "value", ("event_id",), "in_a", "sum", out="ca"),
+        "value", ("event_id",), "in_b", "sum", out="cb",
+    ).select(
         "value",
-        F.sum("in_a").over(w).cast("decimal(20,0)").alias("ca"),
-        F.sum("in_b").over(w).cast("decimal(20,0)").alias("cb"),
+        F.col("ca").cast("decimal(20,0)").alias("ca"),
+        F.col("cb").cast("decimal(20,0)").alias("cb"),
     )
     d = c.join(F.broadcast(n)).select(
         "value",
@@ -1684,11 +1680,8 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "na",
         "nb",
     )
-    best = d.withColumn(
-        "rn",
-        F.row_number().over(
-            Window.orderBy(F.col("dnum").desc(), F.col("value"))
-        ),
+    best = with_total_rank(
+        d, "dnum", ("value",), rn="rn", descending=True
     ).filter(F.col("rn") == 1)
     return best.select(
         F.col("na").cast("long").alias("n_a"),
@@ -2508,10 +2501,9 @@ def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         F.count(F.when(F.col("event_type") == "click", 1)).alias("n1v"),
     )
-    w = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, -1)
-    ranked = per_val.withColumn(
-        "cum_before", F.coalesce(F.sum("cnt").over(w), F.lit(0))
-    )
+    ranked = with_prefix_agg(
+        per_val, "q", (), "cnt", "sum", out="cum_before", inclusive=False
+    ).withColumn("cum_before", F.coalesce(F.col("cum_before"), F.lit(0)))
     tot = ranked.agg(
         F.sum("n1v").cast("long").alias("n1"),
         F.sum(F.col("cnt") - F.col("n1v")).cast("long").alias("n2"),
@@ -2713,11 +2705,8 @@ def agg_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("vq")
     )
-    w = Window.orderBy("vq", "user_id")
-    r = u.select(
-        "vq",
-        F.row_number().over(w).alias("rk"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    r = with_total_rank(u, "vq", ("user_id",), rn="rk", nn="n").select(
+        "vq", "rk", "n"
     )
     d = r.groupBy(
         F.expr("((rk - 1) * 10) div n + 1").cast("long").alias("decile")
@@ -3445,22 +3434,19 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("xq"),
     )
-    r = u.select(
-        "xq",
-        "w",
-        F.sum("w")
-        .over(
-            Window.orderBy("xq", "user_id").rowsBetween(
-                Window.unboundedPreceding, Window.currentRow
-            )
-        )
-        .alias("cw"),
-        F.sum("w").over(Window.partitionBy(F.lit(1))).alias("tw"),
+    tot = u.agg(F.sum("w").alias("tw"))
+    r = (
+        with_prefix_agg(u, "xq", ("user_id",), "w", "sum", out="cw")
+        .crossJoin(F.broadcast(tot))
+        .select("xq", "w", "cw", "tw")
     )
-    pick = (
-        r.filter(F.lit(2) * F.col("cw") >= F.col("tw"))
-        .withColumn("rn", F.row_number().over(Window.orderBy("cw")))
-        .filter(F.col("rn") == 1)
+    half = r.filter(F.lit(2) * F.col("cw") >= F.col("tw"))
+    # cw is strictly increasing along (xq, user_id) — w ≥ 1 — so the
+    # first qualifying row is exactly min(cw): a broadcast scalar pick,
+    # not a single-partition rank
+    pick = half.join(
+        F.broadcast(half.agg(F.min("cw").alias("mcw"))),
+        F.col("cw") == F.col("mcw"),
     )
     n_users = u.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     return pick.crossJoin(F.broadcast(n_users)).select(
@@ -3522,15 +3508,10 @@ def agg_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("price_c"),
         F.col("p_size").cast("long").alias("size_v"),
     )
-    w = Window.orderBy(F.asc("price_c"), F.asc("p_partkey")).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    r = q.select(
-        "p_partkey",
-        "price_c",
-        "size_v",
-        F.max("size_v").over(w).alias("best_prev"),
-    )
+    r = with_prefix_agg(
+        q, "price_c", ("p_partkey",), "size_v", "max",
+        out="best_prev", inclusive=False,
+    ).select("p_partkey", "price_c", "size_v", "best_prev")
     return r.filter(
         F.col("best_prev").isNull() | (F.col("size_v") > F.col("best_prev"))
     ).select(

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
-from cs_pipeline_spark.operators.helpers import dsum, sql_dsum
+from cs_pipeline_spark.operators.helpers import dsum, sql_dsum, with_total_rank
 from cs_pipeline_spark.registry import register
 from cs_pipeline_spark.tables import EVENTS_TS_SQL, load
 
@@ -1436,22 +1436,28 @@ def features_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchor = F.broadcast(
         ev.agg(F.max(F.unix_micros("ts")).alias("max_us"))
     )
-    scored = u.crossJoin(anchor).select(
+    base = u.crossJoin(anchor).withColumn(
+        "rec_us", F.col("max_us") - F.col("last_us")
+    )
+    # ntile(5) from explicit total ranks (two-phase, bucketed): with
+    # n = q·5 + r, the first r tiles get q+1 rows — the exact NTILE
+    # fill rule, reproduced with integer arithmetic from (rank, n)
+    ntile5 = (
+        "CASE WHEN {rn} <= (nn % 5) * (nn div 5 + 1) "
+        "THEN ({rn} - 1) div (nn div 5 + 1) + 1 "
+        "ELSE (nn % 5) + ({rn} - (nn % 5) * (nn div 5 + 1) - 1) "
+        "div (nn div 5) + 1 END"
+    )
+    ranked = with_total_rank(
+        with_total_rank(base, "rec_us", ("user_id",), rn="rrn", nn="nn"),
+        "mq", ("user_id",), rn="mrn", descending=True,
+    )
+    scored = ranked.select(
         "user_id",
-        F.expr("(max_us - last_us) div 86400000000")
-        .cast("long")
-        .alias("recency_days"),
+        F.expr("rec_us div 86400000000").cast("long").alias("recency_days"),
         (F.col("mq").cast("double") / 1000000.0).alias("monetary"),
-        F.ntile(5)
-        .over(
-            Window.orderBy(
-                (F.col("max_us") - F.col("last_us")), F.col("user_id")
-            )
-        )
-        .alias("r_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.desc("mq"), F.asc("user_id")))
-        .alias("m_score"),
+        F.expr(ntile5.format(rn="rrn")).cast("int").alias("r_score"),
+        F.expr(ntile5.format(rn="mrn")).cast("int").alias("m_score"),
     )
     seg = (
         F.when(

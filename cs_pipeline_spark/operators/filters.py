@@ -15,7 +15,7 @@ from cs_pipeline_spark.functions.constants import (
     VARIABLES_FOR_PREDICTOR,
 )
 from cs_pipeline_spark.functions.era5_fixture import ERA5_CTE, era5_events
-from cs_pipeline_spark.operators.helpers import dround, sql_dround
+from cs_pipeline_spark.operators.helpers import dround, sql_dround, with_prefix_agg
 from cs_pipeline_spark.registry import register
 from cs_pipeline_spark.tables import EVENTS_TS_SQL, load
 
@@ -1122,13 +1122,12 @@ def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     Kafka anyway), exactly like the other sequence ops.
     """
     ev = load(spark, "events", sf_dir)
-    s = ev.select(
-        "event_id",
-        (
-            F.col("event_id")
-            - F.lag("event_id").over(Window.orderBy("event_id"))
-        ).alias("delta"),
-    )
+    # lag of the sort key itself == exclusive running max of it — the
+    # two-phase bucketed form (no single-partition window)
+    s = with_prefix_agg(
+        ev.select("event_id"), "event_id", (), "event_id", "max",
+        out="prev", inclusive=False,
+    ).select("event_id", (F.col("event_id") - F.col("prev")).alias("delta"))
     return s.agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.min("event_id").cast("long").alias("min_id"),

@@ -201,3 +201,172 @@ def sql_dround(expr: str, digits: int = 6) -> str:
     """DuckDB twin of ``dround``."""
     q = f"{float(10 ** digits):.1f}"
     return f"(FLOOR(({expr}) * {q} + 0.5) / {q})"
+
+
+# ---------------------------------------------------------------------------
+# Two-phase distributed total-order machinery
+# ---------------------------------------------------------------------------
+#
+# `row_number().over(Window.orderBy(k))` / `sum(v).over(Window.orderBy(k)
+# .rowsBetween(unboundedPreceding, …))` plan as `WindowExec: No Partition
+# Defined` — EVERY row funnels through one executor. The helpers below
+# compute the IDENTICAL result with a bounded plan:
+#
+#   phase 1  bucket rows by a monotone value-range key (floor of an affine
+#            map of the sort key onto [0, nb)), window WITHIN each bucket;
+#   phase 2  aggregate one row per bucket (count / sum / min / max), prefix
+#            those nb rows on the driver-scale side, broadcast-join the
+#            offsets back.
+#
+# Monotone bucketing ⇒ global order = bucket order ∘ intra-bucket order, so
+# rank = intra-bucket rank + Σ counts of lower buckets, and prefix-agg =
+# intra-bucket prefix ⊕ aggregate of lower buckets, for any associative ⊕.
+# The bucket id is computed in DOUBLE (monotone under int64→double rounding,
+# overflow-free for full-range hashes) and never leaves the plan, so float
+# imprecision can only move a row to a neighboring bucket — which cannot
+# change the final rank/prefix because the map stays monotone and equal keys
+# always share a bucket. The DuckDB oracle keeps its plain global window:
+# results are bit-identical by construction.
+#
+# Cost: the input subtree is evaluated twice (once for the nb-row bucket
+# stats, once for the main pass) — two cheap scans instead of one
+# single-executor sort of the full table.
+
+
+def _bucket_col(key: Column, mn: Column, mx: Column, nb: int) -> Column:
+    span = mx - mn
+    raw = F.floor((key - mn) * F.lit(float(nb)) / (span + F.lit(1.0)))
+    b = F.least(F.lit(nb - 1), F.greatest(F.lit(0), raw.cast("int")))
+    # Spark's default sort is asc_nulls_first: park null keys below bucket 0
+    return F.coalesce(b, F.lit(-1))
+
+
+def with_total_rank(
+    df,
+    key: Column | str,
+    tiebreaks: tuple = (),
+    nb: int = 64,
+    rn: str = "rn",
+    nn: str | None = None,
+    descending: bool = False,
+):
+    """df + a total-order rank column, computed in two bounded phases.
+
+    Bit-identical to ``F.row_number().over(Window.orderBy(key, *tiebreaks))``
+    (plus, when ``nn`` is set, ``F.count(1).over(Window.partitionBy(lit(1)))``)
+    but no executor ever sorts more than ~1/nb of the rows. ``key`` must be
+    numeric (any width — bucketing happens in double); ties on
+    ``(key, *tiebreaks)`` are nondeterministic in BOTH forms, so include a
+    unique tiebreak when row identity matters (value-at-rank picks don't).
+
+    Scale: one value-range-bucketed shuffle + per-bucket sort for the main
+    pass, one map-side-combined nb-row aggregate for the offsets. The nb-row
+    offset window is the only unpartitioned window left — bounded by
+    construction.
+    """
+    from pyspark.sql.window import Window
+
+    k = _c(key).cast("double")
+    stats = df.agg(F.min(k).alias("_tp_mn"), F.max(k).alias("_tp_mx"))
+    b = df.crossJoin(F.broadcast(stats)).withColumn(
+        "_tpb",
+        _bucket_col(
+            -k if descending else k,
+            -F.col("_tp_mx") if descending else F.col("_tp_mn"),
+            -F.col("_tp_mn") if descending else F.col("_tp_mx"),
+            nb,
+        ),
+    )
+    order = [_c(key).desc() if descending else _c(key)] + [
+        _c(t) for t in tiebreaks
+    ]
+    wloc = Window.partitionBy("_tpb").orderBy(*order)
+    cnts = b.groupBy("_tpb").agg(F.count(F.lit(1)).alias("_bc"))
+    woff = Window.orderBy("_tpb").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = cnts.select(
+        "_tpb",
+        F.coalesce(F.sum("_bc").over(woff), F.lit(0)).alias("_tp_off"),
+        F.sum("_bc")
+        .over(Window.partitionBy(F.lit(1)))
+        .alias("_tp_nn"),
+    )
+    out = (
+        b.join(F.broadcast(offs), "_tpb")
+        .withColumn(rn, (F.col("_tp_off") + F.row_number().over(wloc)).cast("long"))
+    )
+    if nn is not None:
+        out = out.withColumn(nn, F.col("_tp_nn"))
+    return out.drop("_tpb", "_tp_mn", "_tp_mx", "_tp_off", "_tp_nn")
+
+
+_PREFIX_KINDS = {
+    "sum": (F.sum, lambda off, loc: off + loc),
+    "min": (F.min, F.least),
+    "max": (F.max, F.greatest),
+}
+
+
+def with_prefix_agg(
+    df,
+    key: Column | str,
+    tiebreaks: tuple,
+    val: Column | str,
+    kind: str = "sum",
+    nb: int = 64,
+    out: str = "cum",
+    inclusive: bool = True,
+):
+    """df + a running sum/min/max over the total order (key, *tiebreaks),
+    computed in two bounded phases.
+
+    Bit-identical to ``F.<kind>(val).over(Window.orderBy(key, *tiebreaks)
+    .rowsBetween(unboundedPreceding, 0 if inclusive else -1))`` — including
+    the NULL on the exclusive frame's first row — under the same tie caveat
+    as ``with_total_rank``, assuming non-null ``val``. Exclusive prefix-max
+    of the sort key itself equals ``lag(key)`` when keys are strictly
+    increasing — the distributed form of sequence-gap lags.
+
+    Scale: identical shape to ``with_total_rank`` — bucketed shuffle + local
+    window, nb-row offset side broadcast back.
+    """
+    from pyspark.sql.window import Window
+
+    aggf, combine = _PREFIX_KINDS[kind]
+    k = _c(key).cast("double")
+    v = _c(val)
+    stats = df.agg(F.min(k).alias("_tp_mn"), F.max(k).alias("_tp_mx"))
+    b = df.crossJoin(F.broadcast(stats)).withColumn(
+        "_tpb", _bucket_col(k, F.col("_tp_mn"), F.col("_tp_mx"), nb)
+    )
+    end = 0 if inclusive else -1
+    wloc = (
+        Window.partitionBy("_tpb")
+        .orderBy(_c(key), *[_c(t) for t in tiebreaks])
+        .rowsBetween(Window.unboundedPreceding, end)
+    )
+    per = b.groupBy("_tpb").agg(
+        aggf(v).alias("_bv"), F.count(F.lit(1)).alias("_bc")
+    )
+    wprev = Window.orderBy("_tpb").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = per.select(
+        "_tpb",
+        aggf("_bv").over(wprev).alias("_tp_pv"),
+        F.coalesce(F.sum("_bc").over(wprev), F.lit(0)).alias("_tp_pc"),
+    )
+    loc = aggf(v).over(wloc)
+    combined = F.when(
+        F.col("_tp_pc") == 0, loc
+    ).otherwise(
+        F.when(loc.isNull(), F.col("_tp_pv")).otherwise(
+            combine(F.col("_tp_pv"), loc)
+        )
+    )
+    return (
+        b.join(F.broadcast(offs), "_tpb")
+        .withColumn(out, combined)
+        .drop("_tpb", "_tp_mn", "_tp_mx", "_tp_pv", "_tp_pc")
+    )

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cs_pipeline_spark.operators.dedup import _NORM, _NORM_DUCK
+from cs_pipeline_spark.operators.helpers import with_total_rank
 from cs_pipeline_spark.registry import register
 from cs_pipeline_spark.tables import load
 
@@ -99,11 +100,7 @@ def ml_confusion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         _q6(F.col("value")).alias("qv"),
     )
     med = (
-        q.select(
-            "qv",
-            F.row_number().over(Window.orderBy("qv")).alias("rn"),
-            F.count(F.lit(1)).over(_w_all()).alias("nn"),
-        )
+        with_total_rank(q.select("qv"), "qv", (), nn="nn")
         .filter(F.expr("rn = (nn - 1) div 2 + 1"))
         .select(F.col("qv").alias("mq"))
     )
@@ -189,11 +186,9 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_type") == "purchase").cast("int").alias("y"),
         _q6(F.col("value")).alias("qv"),
     )
-    r = q.select(
-        "y",
-        F.row_number().over(Window.orderBy("qv", "event_id")).alias("rn"),
-        F.count(F.lit(1)).over(_w_all()).alias("nn"),
-    )
+    r = with_total_rank(
+        q, "qv", ("event_id",), nn="nn"
+    ).select("y", "rn", "nn")
     s = r.select(
         "y",
         # row_number() is 32-bit — widen before the ×1e6 (ANSI overflow)
@@ -596,11 +591,7 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_type") == "error").cast("int").alias("y"),
         _q6(F.col("value")).alias("qv"),
     )
-    r = q.select(
-        "qv",
-        F.row_number().over(Window.orderBy("qv")).alias("rn"),
-        F.count(F.lit(1)).over(_w_all()).alias("nn"),
-    )
+    r = with_total_rank(q.select("qv"), "qv", (), nn="nn")
     ks = spark.range(1, 10).select(F.col("id").alias("k"))
     thr = r.join(
         F.broadcast(ks), F.expr("rn = (k * (nn - 1)) div 10 + 1")
@@ -725,11 +716,7 @@ def ml_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_type") == "purchase").cast("int").alias("y"),
         _q6(F.col("value")).alias("qv"),
     )
-    r = q.select(
-        "qv",
-        F.row_number().over(Window.orderBy("qv")).alias("rn"),
-        F.count(F.lit(1)).over(_w_all()).alias("nn"),
-    )
+    r = with_total_rank(q.select("qv"), "qv", (), nn="nn")
     ks = spark.range(1, 10).select(F.col("id").alias("k"))
     thr = r.join(
         F.broadcast(ks), F.expr("rn = (k * (nn - 1)) div 10 + 1")
@@ -1031,11 +1018,7 @@ def ml_gate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
     tr = base.filter(F.col("bucket") < 80).select("y", "qv").persist()
     te = base.filter(F.col("bucket") >= 80).select("y", "qv")
-    r = tr.select(
-        "qv",
-        F.row_number().over(Window.orderBy("qv")).alias("rn"),
-        F.count(F.lit(1)).over(_w_all()).alias("nn"),
-    )
+    r = with_total_rank(tr.select("qv"), "qv", (), nn="nn")
     ks = spark.range(1, 10).select(F.col("id").alias("k"))
     thr = r.join(
         F.broadcast(ks), F.expr("rn = (k * (nn - 1)) div 10 + 1")
@@ -1324,10 +1307,8 @@ def ml_gmm_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = ev.select(
         _q6(F.col("value")).alias("x"), "event_id"
     )
-    r = q.select(
-        "x",
-        F.row_number().over(Window.orderBy("x", "event_id")).alias("rn"),
-        F.count(F.lit(1)).over(_w_all()).alias("nn"),
+    r = with_total_rank(q, "x", ("event_id",), nn="nn").select(
+        "x", "rn", "nn"
     )
     init = r.agg(
         F.max(
@@ -1945,13 +1926,11 @@ def ml_gains_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("converted"),
     )
-    r = u.select(
-        "converted",
-        F.row_number()
-        .over(Window.orderBy(F.desc("score"), F.asc("user_id")))
-        .alias("rn"),
-        F.count(F.lit(1)).over(_w_all()).alias("nn"),
-        F.sum("converted").over(_w_all()).alias("np"),
+    totals = u.agg(F.sum("converted").alias("np"))
+    r = (
+        with_total_rank(u, "score", ("user_id",), nn="nn", descending=True)
+        .crossJoin(F.broadcast(totals))
+        .select("converted", "rn", "nn", "np")
     )
     d = r.select(
         F.expr("(cast(rn as bigint) - 1) * 10 div nn + 1").alias("decile"),
@@ -2053,11 +2032,9 @@ def ml_expected_calibration_error(
         (F.col("event_type") == "purchase").cast("int").alias("y"),
         _q6(F.col("value")).alias("qv"),
     )
-    r = q.select(
-        "y",
-        F.row_number().over(Window.orderBy("qv", "event_id")).alias("rn"),
-        F.count(F.lit(1)).over(_w_all()).alias("nn"),
-    )
+    r = with_total_rank(
+        q, "qv", ("event_id",), nn="nn"
+    ).select("y", "rn", "nn")
     s = r.select(
         "y",
         F.expr("(cast(rn as bigint) - 1) * 10 div nn + 1").alias("bin"),

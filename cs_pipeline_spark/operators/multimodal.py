@@ -45,7 +45,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from cs_pipeline_spark.operators.helpers import dround
+from cs_pipeline_spark.operators.helpers import dround, with_prefix_agg
 from cs_pipeline_spark.registry import register
 from cs_pipeline_spark.tables import load
 
@@ -604,16 +604,14 @@ def mm_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     length (``mm_binary_meta``'s length column in production).
     """
     docs = load(spark, "documents", sf_dir)
-    from pyspark.sql.window import Window as _W
-
-    w = _W.orderBy("doc_id").rowsBetween(_W.unboundedPreceding, -1)
-    s = docs.select(
+    s = with_prefix_agg(
+        docs.select("doc_id", "n_chars"), "doc_id", (), "n_chars", "sum",
+        out="bytes_before", inclusive=False,
+    ).select(
         "doc_id",
         "n_chars",
         F.expr(
-            f"cast(coalesce(sum(n_chars) over (order by doc_id "
-            f"rows between unbounded preceding and 1 preceding), 0) "
-            f"div {_SHARD_BYTES} as bigint)"
+            f"cast(coalesce(bytes_before, 0) div {_SHARD_BYTES} as bigint)"
         ).alias("shard_id"),
     )
     return s.groupBy("shard_id").agg(

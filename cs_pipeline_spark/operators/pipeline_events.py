@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from cs_pipeline_spark.operators.helpers import dround
+from cs_pipeline_spark.operators.helpers import dround, with_prefix_agg
 from cs_pipeline_spark.registry import register
 from cs_pipeline_spark.tables import EVENTS_TS_SQL, load
 
@@ -477,10 +477,10 @@ def agg_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", "session_id",
         )
     )
-    w_sweep = Window.orderBy("us", "delta", "user_id", "session_id").rowsBetween(
-        Window.unboundedPreceding, 0
+    sweep = with_prefix_agg(
+        pts, "us", ("delta", "user_id", "session_id"), "delta", "sum",
+        out="conc",
     )
-    sweep = pts.withColumn("conc", F.sum("delta").over(w_sweep))
     return sweep.groupBy(
         F.expr("us div 86400000000").cast("long").alias("day_idx")
     ).agg(

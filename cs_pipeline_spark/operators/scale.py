@@ -25,7 +25,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from cs_pipeline_spark.operators.helpers import dsum, sql_dsum
+from cs_pipeline_spark.operators.helpers import dsum, sql_dsum, with_total_rank
 from cs_pipeline_spark.registry import register
 from cs_pipeline_spark.tables import EVENTS_TS_SQL, load
 
@@ -310,12 +310,20 @@ def scan_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduction. Advice is per-column O(1) output.
     """
     ev = load(spark, "events", sf_dir)
-    w = Window.orderBy("event_id")
-    d = ev.select(
-        (F.col("event_id") - F.lag("event_id").over(w)).alias("d_id"),
-        (
-            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
-        ).alias("d_ts"),
+    # distributed lag: two-phase total rank + equi-join on rank-1 —
+    # the lag pair (id, ts) without a single-partition window
+    r = with_total_rank(
+        ev.select("event_id", F.unix_micros("ts").alias("us")),
+        "event_id", (), rn="rn",
+    )
+    prev = r.select(
+        (F.col("rn") + 1).alias("rn"),
+        F.col("event_id").alias("p_id"),
+        F.col("us").alias("p_us"),
+    )
+    d = r.join(prev, "rn", "left").select(
+        (F.col("event_id") - F.col("p_id")).alias("d_id"),
+        (F.col("us") - F.col("p_us")).alias("d_ts"),
     )
     bits = lambda c: F.length(  # noqa: E731
         F.bin(F.greatest(F.max(F.abs(c)), F.lit(1)))

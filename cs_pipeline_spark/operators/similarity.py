@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cs_pipeline_spark.operators.dedup import _sql_qdot, qdot
-from cs_pipeline_spark.operators.helpers import sql_davg
+from cs_pipeline_spark.operators.helpers import sql_davg, with_total_rank
 from cs_pipeline_spark.registry import register
 from cs_pipeline_spark.tables import load
 
@@ -4298,11 +4298,7 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("ratio_q")
     )
-    r = dist.select(
-        "ratio_q",
-        F.row_number().over(Window.orderBy("ratio_q")).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy(F.lit(1))).alias("nn"),
-    )
+    r = with_total_rank(dist, "ratio_q", (), nn="nn")
     return r.agg(
         F.max("nn").cast("long").alias("n_pairs"),
         (F.min("ratio_q").cast("double") / F.lit(1e9)).alias("min_ratio"),

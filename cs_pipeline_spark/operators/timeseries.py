@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cs_pipeline_spark.operators.helpers import with_total_rank
 from cs_pipeline_spark.registry import register
 from cs_pipeline_spark.tables import EVENTS_TS_SQL, load
 
@@ -916,11 +917,7 @@ def win_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = p.join(s, "user_id").select(
         F.expr("(p_us - s_us) div 1000000").alias("lat_s")
     )
-    r = d.select(
-        "lat_s",
-        F.row_number().over(Window.orderBy("lat_s")).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy(F.lit(1))).alias("nn"),
-    )
+    r = with_total_rank(d, "lat_s", (), nn="nn")
     pick = lambda q: F.max(  # noqa: E731
         F.when(
             F.col("rn") == F.ceil(F.lit(q) * F.col("nn")), F.col("lat_s")

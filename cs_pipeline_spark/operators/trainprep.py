@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cs_pipeline_spark.operators.helpers import with_total_rank
 from cs_pipeline_spark.registry import register
 from cs_pipeline_spark.tables import load
 
@@ -83,11 +84,8 @@ def sample_reservoir_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load(spark, "events", sf_dir)
     q = ev.select("event_id", "value", F.expr(_PRI).alias("pri"))
-    direct = (
-        q.withColumn(
-            "rank", F.row_number().over(Window.orderBy("pri", "event_id"))
-        )
-        .filter(F.col("rank") <= _RES_K)
+    direct = with_total_rank(q, "pri", ("event_id",), rn="rank").filter(
+        F.col("rank") <= _RES_K
     )
     parts = (
         q.withColumn(
@@ -210,10 +208,8 @@ def agg_quantile_sketch_mergeable(
     """
     ev = load(spark, "events", sf_dir)
     q = ev.select(F.expr(_QV).alias("qv"), "event_id")
-    r = q.select(
-        "qv",
-        F.row_number().over(Window.orderBy("qv", "event_id")).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy(F.lit(1))).alias("n"),
+    r = with_total_rank(q, "qv", ("event_id",), nn="n").select(
+        "qv", "rn", "n"
     )
     exact = r.agg(
         F.max("n").alias("n"),
