@@ -529,7 +529,8 @@ def _sql_cosine(a: str, b: str) -> str:
     doc="embedding-cosine near-dup pairs within label blocks (quantized exact dot)",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs-within-block cosine, numpy-vectorized per block.
+    """All-pairs-within-block cosine, numpy-vectorized per block, with
+    cross-salt splitting of hot labels.
 
     The expression-path ``cosine`` (HOF zip_with/aggregate) is
     CodegenFallback — interpreted per element, ~20× slower on the
@@ -537,8 +538,23 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantized arithmetic EXACTLY (same op order: per-element double
     product → ·1e6+0.5 → floor → int64 sum → /1e6; floor/multiply/
     divide are identical IEEE ops in numpy), so the DuckDB oracle
-    still hash-matches. One shuffle on the block key; inside a block
-    the pair loop is numpy row×matrix broadcasting.
+    still hash-matches.
+
+    Skew handling: a label with n rows gets S = ceil(n / G) salt
+    groups (G = cap/2, salt = hash(vec_id) mod S); each row fans out
+    to the S pair-blocks (min(s,t), max(s,t)) for t in [0, S), and a
+    block computes within-group pairs when sa == sb, else the
+    sa×sb cross pairs — every unordered pair covered exactly once,
+    every task bounded by ~2G rows. Cold labels have S = 1: zero
+    fan-out, identical to the unsalted plan. The cap ValueError is
+    now an internal invariant (a hash-balanced group would need ~√G
+    deviation to trip it), not a reachable failure mode.
+
+    Scale: one count aggregate per label (map-side combined), one
+    shuffle on (label, sa, sb); per-task compute is O(G²·D) numpy
+    regardless of label skew. Total pair work is the same O(n²) the
+    semantics demand — ``dedup_embedding_lsh`` remains the documented
+    sub-quadratic path.
     """
     from pyspark.sql.types import (
         DoubleType,
@@ -556,45 +572,89 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) > _COS_BLOCK_CAP:
-            # A hot label would make this task O(B²) compute with an
-            # O(B·D) stacked matrix — the exact skew failure mode the
-            # LSH variant exists to avoid. Fail loudly, don't straggle.
+        cap = _COS_BLOCK_CAP + _COS_BLOCK_CAP // 2
+        if len(pdf) > cap:
+            # internal invariant: salting bounds every block by
+            # ~2G = cap in expectation, with O(√G) hash fluctuation —
+            # the 1.5× headroom makes this unreachable for any
+            # realistic G; only a pathological hash imbalance lands here
             raise ValueError(
-                f"label block of {len(pdf)} rows exceeds "
-                f"{_COS_BLOCK_CAP}; use dedup_embedding_lsh (bounded "
-                "LSH buckets) for unbounded label cardinality"
+                f"salted block of {len(pdf)} rows exceeds {cap} — "
+                "hash salt imbalance"
             )
-        ids = pdf["vec_id"].to_numpy()
-        order = np.argsort(ids)
-        ids = ids[order]
-        E = np.stack(pdf["embedding"].to_numpy()[order]).astype(np.float64)
-        qn = (
-            np.floor(E * E * 1000000.0 + 0.5).astype(np.int64).sum(axis=1)
-        ).astype(np.float64) / 1000000.0
-        norms = np.sqrt(qn)
-        out_a, out_b, out_c = [], [], []
-        for i in range(len(ids) - 1):
-            rest = slice(i + 1, len(ids))
-            q = (
-                np.floor(E[i][None, :] * E[rest] * 1000000.0 + 0.5)
+        ka = int(pdf["ka"].iat[0])
+        kb = int(pdf["kb"].iat[0])
+
+        def prep(sub: pd.DataFrame):
+            ids = sub["vec_id"].to_numpy()
+            order = np.argsort(ids)
+            ids = ids[order]
+            E = np.stack(sub["embedding"].to_numpy()[order]).astype(
+                np.float64
+            )
+            qn = (
+                np.floor(E * E * 1000000.0 + 0.5)
                 .astype(np.int64)
                 .sum(axis=1)
             ).astype(np.float64) / 1000000.0
-            cos = q / (norms[i] * norms[rest])
-            keep = cos >= _COS_THRESHOLD
-            out_a.extend([ids[i]] * int(keep.sum()))
-            out_b.extend(ids[rest][keep].tolist())
-            out_c.extend(cos[keep].tolist())
+            return ids, E, np.sqrt(qn)
+
+        out_a, out_b, out_c = [], [], []
+        if ka == kb:
+            ids, E, norms = prep(pdf)
+            for i in range(len(ids) - 1):
+                rest = slice(i + 1, len(ids))
+                q = (
+                    np.floor(E[i][None, :] * E[rest] * 1000000.0 + 0.5)
+                    .astype(np.int64)
+                    .sum(axis=1)
+                ).astype(np.float64) / 1000000.0
+                cos = q / (norms[i] * norms[rest])
+                keep = cos >= _COS_THRESHOLD
+                out_a.extend([ids[i]] * int(keep.sum()))
+                out_b.extend(ids[rest][keep].tolist())
+                out_c.extend(cos[keep].tolist())
+        else:
+            ids_a, E_a, n_a = prep(pdf[pdf["s"] == ka])
+            ids_b, E_b, n_b = prep(pdf[pdf["s"] == kb])
+            for i in range(len(ids_a)):
+                q = (
+                    np.floor(E_a[i][None, :] * E_b * 1000000.0 + 0.5)
+                    .astype(np.int64)
+                    .sum(axis=1)
+                ).astype(np.float64) / 1000000.0
+                cos = q / (n_a[i] * n_b)
+                keep = cos >= _COS_THRESHOLD
+                lo = np.minimum(ids_a[i], ids_b[keep])
+                hi = np.maximum(ids_a[i], ids_b[keep])
+                out_a.extend(lo.tolist())
+                out_b.extend(hi.tolist())
+                out_c.extend(cos[keep].tolist())
         return pd.DataFrame(
             {"vec_a": out_a, "vec_b": out_b, "cos_sim": out_c}
         )
 
     emb = load(spark, "embeddings", sf_dir)
-    return (
+    g = _COS_BLOCK_CAP // 2
+    nsalt = emb.groupBy("label").agg(
+        F.expr(f"cast((count(1) + {g} - 1) div {g} as int)").alias("ns")
+    )
+    salted = (
         emb.select("vec_id", "label", "embedding")
-        .groupBy("label")
-        .applyInPandas(block_pairs, schema=out_schema)
+        .join(F.broadcast(nsalt), "label")
+        .withColumn("s", F.pmod(F.xxhash64("vec_id"), F.col("ns")).cast("int"))
+        .withColumn("t", F.explode(F.sequence(F.lit(0), F.col("ns") - 1)))
+        .select(
+            "vec_id",
+            "label",
+            "embedding",
+            "s",
+            F.least("s", "t").alias("ka"),
+            F.greatest("s", "t").alias("kb"),
+        )
+    )
+    return salted.groupBy("label", "ka", "kb").applyInPandas(
+        block_pairs, schema=out_schema
     )
 
 

@@ -1015,8 +1015,12 @@ def ml_gate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             (F.col("event_id") % F.lit(_GATE_P)) * F.lit(_GATE_MULT)
         ).__mod__(F.lit(_GATE_P)).__mod__(F.lit(100)).alias("bucket"),
-    ).persist()
-    tr = base.filter(F.col("bucket") < 80).select("y", "qv").persist()
+    )
+    # no .persist(): builders are memoized in the registry LRU, so
+    # cached blocks would outlive evicted builders (CLAUDE.md round-2
+    # gotcha); each subtree is consumed 2-3 times and recomputing the
+    # cheap projection off the scan is the 100 TB-correct tradeoff
+    tr = base.filter(F.col("bucket") < 80).select("y", "qv")
     te = base.filter(F.col("bucket") >= 80).select("y", "qv")
     r = with_total_rank(tr.select("qv"), "qv", (), nn="nn")
     ks = spark.range(1, 10).select(F.col("id").alias("k"))
@@ -1098,7 +1102,7 @@ def ml_gate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt((F.col("y") == 0) & (F.col("pred") == 1)).alias("fp"),
         cnt((F.col("y") == 1) & (F.col("pred") == 0)).alias("fn"),
         cnt((F.col("y") == 0) & (F.col("pred") == 0)).alias("tn"),
-    ).persist()
+    )
 
     def row(stage, df, n_col, metric):
         return df.agg(

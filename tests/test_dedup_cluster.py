@@ -98,3 +98,57 @@ def test_train_split_deterministic_and_partitioned(spark):
     assert n_all == load(spark, "documents", SF_DIR).count()
     assert 0.6 < totals["train"] / n_all < 0.95
     assert totals.get("val", 0) > 0 and totals.get("test", 0) > 0
+
+
+def test_embedding_cosine_salted_equals_unsalted(spark, monkeypatch):
+    """Hot-label salting must not change the emitted pair set: force a
+    tiny block cap so a 120-row label splits into many salt groups,
+    and compare against the single-block brute-force reference."""
+    import math
+
+    import numpy as np
+
+    from cs_pipeline_spark.operators import dedup as D
+
+    monkeypatch.setattr(D, "_COS_BLOCK_CAP", 40)  # G = 20 → nsalt = 6
+
+    rng = [
+        [round(math.sin(1.0 + i * 64 + d), 6) for d in range(64)]
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(
+        [(i, rng[i], 1 if i < 100 else 2) for i in range(120)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(f"{td}/embeddings.parquet")
+        got = {
+            (r.vec_a, r.vec_b): r.cos_sim
+            for r in D.dedup_embedding_cosine(spark, td).collect()
+        }
+
+    # brute-force reference with the identical quantized arithmetic
+    E = np.array(
+        [np.array(v, dtype=np.float32).astype(np.float64) for v in rng]
+    )
+    labels = [1 if i < 100 else 2 for i in range(120)]
+    qn = (
+        np.floor(E * E * 1e6 + 0.5).astype(np.int64).sum(axis=1)
+    ).astype(np.float64) / 1e6
+    norms = np.sqrt(qn)
+    ref = {}
+    for a in range(120):
+        for b in range(a + 1, 120):
+            if labels[a] != labels[b]:
+                continue
+            q = float(
+                np.floor(E[a] * E[b] * 1e6 + 0.5).astype(np.int64).sum()
+            ) / 1e6
+            cos = q / (norms[a] * norms[b])
+            if cos >= D._COS_THRESHOLD:
+                ref[(a, b)] = cos
+    assert set(got) == set(ref)
+    for k, v in ref.items():
+        assert got[k] == v  # bit-identical, not approximately equal
