@@ -35,7 +35,7 @@ from cs_pipeline_spark.functions.era5_fixture import ERA5_CTE, era5_events
 from cs_pipeline_spark.functions.physics import predictor_col, predictor_sql
 from cs_pipeline_spark.operators.helpers import davg, sql_davg
 from cs_pipeline_spark.registry import register
-from cs_pipeline_spark.sources.scans import _scratch
+from cs_pipeline_spark.sources.scans import _fixture, _scratch
 from cs_pipeline_spark.tables import EVENTS_TS_SQL, load
 
 _PREDS = ["TA", "PA", "WS", "RH"]
@@ -64,6 +64,7 @@ _CSV_SCHEMA = StructType(
 )
 
 
+@_fixture
 def _write_station_csv(spark: SparkSession, sf_dir: str) -> str:
     path = _scratch(sf_dir, "station_gapfill.csv")
     if os.path.exists(path):
@@ -134,7 +135,7 @@ def _oracle() -> str:
     "comparison (core.py:259-301)",
 )
 def process_point_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path = _write_station_csv(spark, sf_dir)
+    path = _scratch(sf_dir, "station_gapfill.csv")
     st = (
         spark.read.schema(_CSV_SCHEMA)
         .option("header", True)

@@ -95,6 +95,12 @@ def register(name: str, oracle: str | None, doc: str = ""):
             key = (name, spark, sf_dir)
             df = _lru_get(key)
             if df is None:
+                # setup-time side effects live HERE, not in builders:
+                # materialize every scratch fixture once per scratch
+                # generation so builders stay pure plan constructors
+                from cs_pipeline_spark.sources.scans import ensure_fixtures
+
+                ensure_fixtures(spark, sf_dir)
                 df = fn(spark, sf_dir)
                 _lru_put(key, df)
             return df
@@ -103,7 +109,10 @@ def register(name: str, oracle: str | None, doc: str = ""):
         cached.__doc__ = fn.__doc__
         cached.__wrapped__ = fn
         _REGISTRY[name] = QuerySpec(fn=cached, oracle=oracle, doc=doc)
-        return fn
+        # return the cached wrapper: direct module-level calls (tests,
+        # flagship composition) get the same fixture-ensure + plan
+        # memoization as registry dispatch
+        return cached
 
     return deco
 
@@ -157,7 +166,7 @@ def _load_all_modules() -> None:
         windows,
     )
     from cs_pipeline_spark.plans import request_groups, validate  # noqa: F401
-    from cs_pipeline_spark.sources import pydatasource, scans, sinks  # noqa: F401
+    from cs_pipeline_spark.sources import pydatasource, scans, sinks, tiff  # noqa: F401
     from cs_pipeline_spark.streaming import batch_twins  # noqa: F401
 
     _LOADED = True

@@ -271,4 +271,8 @@ def test_dq_one_scan_and_verdicts(spark, sf_dir):
         .executedPlan()
         .toString()
     )
-    assert plan.count("Scan parquet") - plan.count("ReusedExchange") <= 1
+    # memoized builders return the executed DF after the earlier
+    # collect(); AQE's toString then appends an "== Initial Plan =="
+    # section — count scans in the FINAL plan only
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") - final.count("ReusedExchange") <= 1

@@ -1,0 +1,74 @@
+"""Tests for the dependency-free TIFF codec + real raster-decode scan
+(cs_pipeline_spark/sources/tiff.py)."""
+
+import struct
+
+import pytest
+
+from cs_pipeline_spark.sources.tiff import (
+    _fixture_cell,
+    decode_raster_df,
+    decode_tiff,
+    encode_tiff_f32,
+    write_raster_fixtures,
+)
+
+
+def test_roundtrip_both_endiannesses():
+    vals = [((y * 53 + x * 19) % 1024) / 32.0 for y in range(5) for x in range(7)]
+    for be in (False, True):
+        payload = encode_tiff_f32(7, 5, vals, big_endian=be)
+        h, w, out = decode_tiff(payload)
+        assert (h, w) == (5, 7)
+        assert out == vals  # dyadic rationals: float32 is lossless
+
+
+def test_rejects_non_tiff_and_compressed():
+    with pytest.raises(ValueError):
+        decode_tiff(b"PK\x03\x04 not a tiff")
+    payload = bytearray(encode_tiff_f32(2, 2, [1.0, 2.0, 3.0, 4.0]))
+    # flip the Compression tag (259) value to 5 (LZW)
+    ifd_off = struct.unpack("<I", payload[4:8])[0]
+    (n,) = struct.unpack("<H", payload[ifd_off : ifd_off + 2])
+    for i in range(n):
+        s = ifd_off + 2 + 12 * i
+        tag = struct.unpack("<H", payload[s : s + 2])[0]
+        if tag == 259:
+            payload[s + 8 : s + 10] = struct.pack("<H", 5)
+    with pytest.raises(ValueError):
+        decode_tiff(bytes(payload))
+
+
+def test_int16_sample_format():
+    # hand-build an int16 TIFF through the struct layer: reuse the f32
+    # writer's framing by patching bits/format tags and data
+    vals = [-3, 0, 7, 1000]
+    payload = bytearray(encode_tiff_f32(2, 2, [0.0] * 4))
+    ifd_off = struct.unpack("<I", payload[4:8])[0]
+    (n,) = struct.unpack("<H", payload[ifd_off : ifd_off + 2])
+    data_off = None
+    for i in range(n):
+        s = ifd_off + 2 + 12 * i
+        tag = struct.unpack("<H", payload[s : s + 2])[0]
+        if tag == 258:  # BitsPerSample → 16
+            payload[s + 8 : s + 10] = struct.pack("<H", 16)
+        elif tag == 339:  # SampleFormat → signed int
+            payload[s + 8 : s + 10] = struct.pack("<H", 2)
+        elif tag == 279:  # StripByteCounts → 8
+            payload[s + 8 : s + 12] = struct.pack("<I", 8)
+        elif tag == 273:
+            data_off = struct.unpack("<I", payload[s + 8 : s + 12])[0]
+    payload[data_off : data_off + 16] = struct.pack("<hhhh", *vals) + b"\x00" * 8
+    h, w, out = decode_tiff(bytes(payload[: data_off + 16]))
+    assert out == [float(v) for v in vals]
+
+
+def test_decode_df_matches_fixture_formula(spark, tmp_path):
+    d = str(tmp_path / "tifs")
+    write_raster_fixtures(d)
+    rows = decode_raster_df(spark, d).collect()
+    assert len(rows) == 3 * 6 * 8
+    stamp_to_m = {"20240131": 1, "20240229": 2, "20240331": 3}
+    for r in rows:
+        m = stamp_to_m[r.fname.split("-")[2].split(".")[0]]
+        assert r.wtd == _fixture_cell(m, r.y_idx, r.x_idx)
