@@ -84,6 +84,13 @@ HEADLINE = [
     "emb_matryoshka_eval",
     "ml_gate_e2e",
     "ts_holt_linear",
+    # round-4: ANN/dedup scale paths (hyperplane-LSH embedding dedup,
+    # IVF nprobe recall sweep, connected-components clustering) + the
+    # real TIFF byte decode — regressions here are 100 TB regressions
+    "dedup_embedding_lsh",
+    "sim_ivf_nprobe_recall",
+    "dedup_clusters",
+    "scan_raster_decode",
 ]
 
 

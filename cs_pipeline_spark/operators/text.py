@@ -66,10 +66,14 @@ _DUCK_TOKENS = f"string_split({_NORM_DUCK}, ' ')"
     "SELECT doc_id, "
     f"length({_NORM_DUCK}) AS n_chars_norm, "
     f"len({_DUCK_TOKENS}) AS n_tokens, "
-    f"CAST(length(replace({_NORM_DUCK}, ' ', '')) AS DOUBLE) / len({_DUCK_TOKENS}) AS avg_token_len, "
-    "CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio, "
-    "CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text) AS digit_ratio, "
-    f"CAST({_sql_hits(_DUCK_TOKENS, _STOPWORDS)} AS DOUBLE) / len({_DUCK_TOKENS}) AS stopword_ratio "
+    f"CASE WHEN len({_DUCK_TOKENS}) = 0 THEN NULL ELSE "
+    f"CAST(length(replace({_NORM_DUCK}, ' ', '')) AS DOUBLE) / len({_DUCK_TOKENS}) END AS avg_token_len, "
+    "CASE WHEN length(text) = 0 THEN NULL ELSE "
+    "CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / length(text) END AS punct_ratio, "
+    "CASE WHEN length(text) = 0 THEN NULL ELSE "
+    "CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text) END AS digit_ratio, "
+    f"CASE WHEN len({_DUCK_TOKENS}) = 0 THEN NULL ELSE "
+    f"CAST({_sql_hits(_DUCK_TOKENS, _STOPWORDS)} AS DOUBLE) / len({_DUCK_TOKENS}) END AS stopword_ratio "
     "FROM documents",
     doc="per-doc length/punct/digit/stopword stats (quality heuristics)",
 )
@@ -85,15 +89,22 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.length(norm).alias("n_chars_norm"),
         n_tokens.alias("n_tokens"),
-        (
+        # empty/0-token docs: ratios are NULL, never a DIVIDE_BY_ZERO
+        # (ANSI mode throws; the degenerate-doc sweep caught this)
+        F.when(
+            n_tokens > 0,
             F.length(F.replace(norm, F.lit(" "), F.lit(""))).cast("double")
-            / n_tokens
+            / n_tokens,
         ).alias("avg_token_len"),
-        (punct.cast("double") / raw_len).alias("punct_ratio"),
-        (digit.cast("double") / raw_len).alias("digit_ratio"),
-        (_hits(toks, _STOPWORDS).cast("double") / n_tokens).alias(
-            "stopword_ratio"
+        F.when(raw_len > 0, punct.cast("double") / raw_len).alias(
+            "punct_ratio"
         ),
+        F.when(raw_len > 0, digit.cast("double") / raw_len).alias(
+            "digit_ratio"
+        ),
+        F.when(
+            n_tokens > 0, _hits(toks, _STOPWORDS).cast("double") / n_tokens
+        ).alias("stopword_ratio"),
     )
 
 
@@ -984,9 +995,10 @@ _ZIPF_ORACLE = (
     "SUM(CAST(lx AS HUGEINT) * CAST(ly AS HUGEINT)) AS sxy, "
     "SUM(CAST(lx AS HUGEINT) * CAST(lx AS HUGEINT)) AS sxx FROM q) "
     "SELECT CAST(n AS BIGINT) AS n_ranks, "
+    "CASE WHEN n * sxx - sx * sx = 0 THEN NULL ELSE "
     "(FLOOR((CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE) "
     "/ CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE)) "
-    "* 1000000.0 + 0.5) / 1000000.0) AS zipf_slope "
+    "* 1000000.0 + 0.5) / 1000000.0) END AS zipf_slope "
     "FROM m"
 )
 
@@ -1052,9 +1064,10 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("double")
     return m.select(
         F.col("n").cast("long").alias("n_ranks"),
-        (F.floor((num / den) * 1000000.0 + F.lit(0.5)) / 1000000.0).alias(
-            "zipf_slope"
-        ),
+        F.when(
+            den != 0.0,
+            F.floor((num / den) * 1000000.0 + F.lit(0.5)) / 1000000.0,
+        ).alias("zipf_slope"),
     )
 
 
@@ -1202,11 +1215,13 @@ _CODE_KEYWORDS = (
       FROM documents
     )
     SELECT doc_id,
-           CAST(n_symbols * 1000000 // n_chars AS BIGINT)
+           CAST(CASE WHEN n_chars = 0 THEN NULL
+                ELSE n_symbols * 1000000 // n_chars END AS BIGINT)
              AS symbol_ppm,
            CAST(kw_hits AS BIGINT) AS kw_hits,
            CAST(camel_hits + snake_hits AS BIGINT) AS ident_hits,
-           COALESCE(n_symbols * 1000000 // n_chars > 20000
+           COALESCE(CASE WHEN n_chars = 0 THEN NULL
+                    ELSE n_symbols * 1000000 // n_chars > 20000 END
                     OR (kw_hits >= 2 AND camel_hits + snake_hits >= 2),
                     FALSE) AS looks_like_code
     FROM s
@@ -1239,18 +1254,20 @@ def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         F.expr(
-            "CAST((length(text) - length(regexp_replace(text, "
+            "CAST(CASE WHEN length(text) = 0 THEN NULL ELSE "
+            "(length(text) - length(regexp_replace(text, "
             "'[{}();=<>\\\\[\\\\]]', ''))) * 1000000 div length(text) "
-            "AS LONG)"
+            "END AS LONG)"
         ).alias("symbol_ppm"),
         kw.cast("long").alias("kw_hits"),
         (camel + snake).cast("long").alias("ident_hits"),
         F.coalesce(
             (
                 F.expr(
+                    "CASE WHEN length(text) = 0 THEN NULL ELSE "
                     "(length(text) - length(regexp_replace(text, "
                     "'[{}();=<>\\\\[\\\\]]', ''))) * 1000000 "
-                    "div length(text)"
+                    "div length(text) END"
                 )
                 > 20000
             )

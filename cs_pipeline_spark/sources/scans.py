@@ -640,8 +640,8 @@ def scan_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "scan_json_props",
-    "SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k "
-    "FROM events WHERE CAST(props->>'$.k' AS BIGINT) >= 50",
+    "SELECT event_id, TRY_CAST(props->>'$.k' AS BIGINT) AS k "
+    "FROM events WHERE TRY_CAST(props->>'$.k' AS BIGINT) >= 50",
     doc="typed JSON field extraction from a payload column (from_json "
     "with explicit schema; never schema-inferred at scale)",
 )
@@ -983,11 +983,11 @@ def scan_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "scan_variant_props",
     """
-    SELECT CAST(props->>'$.k' AS BIGINT) AS k_bucket,
+    SELECT TRY_CAST(props->>'$.k' AS BIGINT) AS k_bucket,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(SUM(event_id) AS BIGINT) AS sum_event_id
     FROM events
-    WHERE CAST(props->>'$.k' AS BIGINT) IS NOT NULL
+    WHERE TRY_CAST(props->>'$.k' AS BIGINT) IS NOT NULL
     GROUP BY k_bucket
     """,
     doc="VARIANT semi-structured scan (Spark 4 type): parse_json the "

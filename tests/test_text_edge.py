@@ -68,3 +68,65 @@ def test_pii_scrub_counts_and_redaction(spark, tiny_sf):
         assert "<IP>" in r["scrubbed"]
         assert "<PHONE>" in r["scrubbed"]
         assert "@" not in r["scrubbed"]
+
+
+def test_every_text_op_survives_degenerate_docs(spark, tiny_sf):
+    """Crash-freedom sweep: EVERY registered text_*/corpus_* op must
+    run on a corpus of degenerate docs (empty, 1-token, all-same-token)
+    — the <2-token guard class that bit text_bigram_pmi in round 3."""
+    from cs_pipeline_spark.registry import all_specs
+
+    ran = 0
+    for name, spec in sorted(all_specs().items()):
+        if not name.startswith(("text_", "corpus_")):
+            continue
+        spec.fn(spark, tiny_sf).collect()  # must not raise
+        ran += 1
+    assert ran >= 30
+
+
+def test_hypothesis_short_docs_core_ops(spark, tmp_path_factory):
+    """Property: core per-doc text ops never crash and keep their
+    invariants on randomly composed 0-3-token docs."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from cs_pipeline_spark.registry import queries
+
+    token = st.sampled_from(["a", "bb", "word", "x9", "ümlaut", "."])
+    doc = st.lists(token, min_size=0, max_size=3).map(" ".join)
+
+    counter = [0]
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(texts=st.lists(doc, min_size=1, max_size=4))
+    def run(texts):
+        counter[0] += 1
+        d = tmp_path_factory.mktemp(f"hyp{counter[0]}")
+        pdf = pd.DataFrame(
+            {
+                "doc_id": range(1, len(texts) + 1),
+                "text": texts,
+                "lang": ["en"] * len(texts),
+                "source": ["s"] * len(texts),
+                "n_chars": [len(t) for t in texts],
+            }
+        )
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(
+            str(d / "documents.parquet")
+        )
+        sf = str(d)
+        q = queries()
+        stats = {r["doc_id"]: r for r in q["text_stats"](spark, sf).collect()}
+        for i, t in enumerate(texts, start=1):
+            assert stats[i]["n_tokens"] >= 0
+        q["text_ngram_novelty"](spark, sf).collect()
+        q["text_zipf_fit"](spark, sf).collect()
+        q["text_token_count"](spark, sf).collect()
+        q["text_char_entropy"](spark, sf).collect()
+
+    run()
