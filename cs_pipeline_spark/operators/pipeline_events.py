@@ -293,12 +293,9 @@ def win_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("path")
     )
     pc = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
-    w_top = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
-    top = (
-        pc.withColumn("rn", F.row_number().over(w_top))
-        .filter(F.col("rn") <= _PATH_TOP)
-        .drop("rn")
-    )
+    # top-N paths via orderBy+limit → TakeOrderedAndProject (no
+    # single-partition rank window over the path vocabulary)
+    top = pc.orderBy(F.desc("n_sessions"), F.asc("path")).limit(_PATH_TOP)
     return top.select(
         "path",
         F.col("n_sessions").cast("long").alias("n_sessions"),

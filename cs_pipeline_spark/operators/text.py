@@ -937,14 +937,9 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             bi.agg(F.sum("c").alias("nb"))
         )
     )
-    from pyspark.sql.window import Window as _W
-
-    w = _W.orderBy(F.desc("c"), F.asc("bg"))
-    top = (
-        bi.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= _PMI_TOP)
-        .drop("rk")
-    )
+    # top-N via orderBy+limit → TakeOrderedAndProject (per-partition
+    # heap, no single-partition rank window over the bigram vocab)
+    top = bi.orderBy(F.desc("c"), F.asc("bg")).limit(_PMI_TOP)
     ua = uni.select(
         F.col("tok").alias("_ta"), F.col("c").alias("n_first")
     )
@@ -1035,11 +1030,11 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window as _W
 
-    rk = (
-        uni.withColumn(
-            "r", F.row_number().over(_W.orderBy(F.desc("c"), F.asc("tok")))
-        )
-        .filter(F.col("r") <= _ZIPF_TOP)
+    # limit FIRST (TakeOrderedAndProject — per-partition heap), then
+    # rank the ≤_ZIPF_TOP survivors: the unpartitioned window only
+    # ever sees the top-N vocabulary rows
+    rk = uni.orderBy(F.desc("c"), F.asc("tok")).limit(_ZIPF_TOP).withColumn(
+        "r", F.row_number().over(_W.orderBy(F.desc("c"), F.asc("tok")))
     )
     q = rk.select(
         F.floor(F.log(F.col("r").cast("double")) * 1000000.0 + F.lit(0.5))

@@ -336,6 +336,18 @@ AUDIT: dict[str, dict] = {
     "graph_label_propagation": {},
     "scan_xml_roundtrip": {"exchange": 0},
     "corpus_js_divergence": {"smj": 0},  # contingency grid broadcasts
+    # round-4 wave: de-globalized windows (two-phase bucketed rank),
+    # per-series runs test, size-class collate, real TIFF decode,
+    # salted embedding dedup
+    "agg_runs_test": {"smj": 0},          # per-series windows + broadcast medians
+    "mm_batch_collate_plan": {"smj": 0},  # size-class partitioned rank
+    "ml_calibration_bins": {"smj": 0},    # two-phase rank: bucketed exchange
+    "agg_weighted_median": {"smj": 0},    # two-phase prefix sum + scalar pick
+    "agg_skyline_pareto": {"smj": 0},     # two-phase prefix max
+    "dq_sequence_gaps": {"smj": 0},       # bucketed lag (prefix max)
+    "sample_reservoir_merge": {"smj": 0}, # two-phase rank + shard top-k
+    "scan_raster_decode": {"exchange": 0}, # binaryFile → mapInPandas, no shuffle
+    "features_user_rfm": {"smj": 0},       # ntile from two-phase ranks
 }
 
 
