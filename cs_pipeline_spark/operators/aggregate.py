@@ -1222,7 +1222,7 @@ def agg_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_new"),
         )
     )
-    wcum = Window.orderBy("d").rowsBetween(
+    wcum = Window.partitionBy(F.lit(1)).orderBy("d").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     return daily.select(
@@ -2714,7 +2714,7 @@ def agg_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_users"),
         F.sum(F.col("vq").cast("decimal(38,0)")).alias("dec_vq"),
     )
-    w_cum = Window.orderBy("decile").rowsBetween(
+    w_cum = Window.partitionBy(F.lit(1)).orderBy("decile").rowsBetween(
         Window.unboundedPreceding, 0
     )
     cum = F.sum("dec_vq").over(w_cum)
@@ -2728,8 +2728,9 @@ def agg_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "decile_value"
         ),
         F.expr(
-            "cast(sum(dec_vq) over (order by decile rows unbounded preceding)"
-            " * 1000000 div sum(dec_vq) over () as bigint)"
+            "cast(sum(dec_vq) over (partition by 1 order by decile"
+            " rows unbounded preceding)"
+            " * 1000000 div sum(dec_vq) over (partition by 1) as bigint)"
         ).alias("cum_share_ppm"),
     )
 

@@ -1244,7 +1244,7 @@ def agg_churn_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"span_us div {day_us}").alias("tenure_days")
     ).groupBy("tenure_days").agg(F.count(F.lit(1)).alias("n_churned"))
     w = (
-        Window.orderBy(F.desc("tenure_days"))
+        Window.partitionBy(F.lit(1)).orderBy(F.desc("tenure_days"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     at_risk = F.sum("n_churned").over(w)

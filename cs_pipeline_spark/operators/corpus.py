@@ -428,7 +428,9 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk = scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(
         _BM25_TOPK
     )
-    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    w = Window.partitionBy(F.lit(1)).orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
     return topk.withColumn("rn", F.row_number().over(w)).select(
         "doc_id", "score", "rn"
     )

@@ -1228,7 +1228,9 @@ def dedup_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = p.groupBy("jaccard_decile").agg(
         F.count(F.lit(1)).alias("n_pairs")
     )
-    w = Window.orderBy(F.desc("jaccard_decile")).rowsBetween(
+    w = Window.partitionBy(F.lit(1)).orderBy(
+        F.desc("jaccard_decile")
+    ).rowsBetween(
         Window.unboundedPreceding, 0
     )
     return g.select(

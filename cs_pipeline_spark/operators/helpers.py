@@ -282,7 +282,11 @@ def with_total_rank(
     ]
     wloc = Window.partitionBy("_tpb").orderBy(*order)
     cnts = b.groupBy("_tpb").agg(F.count(F.lit(1)).alias("_bc"))
-    woff = Window.orderBy("_tpb").rowsBetween(
+    # partitionBy(lit(1)): the offsets side is ≤ nb+1 rows by
+    # construction — a single partition is intended; the literal
+    # partition spec documents that and keeps the WindowExec
+    # "No Partition Defined" warning a true signal elsewhere
+    woff = Window.partitionBy(F.lit(1)).orderBy("_tpb").rowsBetween(
         Window.unboundedPreceding, -1
     )
     offs = cnts.select(
@@ -349,7 +353,7 @@ def with_prefix_agg(
     per = b.groupBy("_tpb").agg(
         aggf(v).alias("_bv"), F.count(F.lit(1)).alias("_bc")
     )
-    wprev = Window.orderBy("_tpb").rowsBetween(
+    wprev = Window.partitionBy(F.lit(1)).orderBy("_tpb").rowsBetween(
         Window.unboundedPreceding, -1
     )
     offs = per.select(

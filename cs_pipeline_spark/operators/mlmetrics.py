@@ -645,7 +645,9 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "rnk",
         F.row_number().over(
-            Window.orderBy(F.asc("wg"), F.asc("t"), F.asc("k"))
+            Window.partitionBy(F.lit(1)).orderBy(
+                F.asc("wg"), F.asc("t"), F.asc("k")
+            )
         ),
     ).filter(F.col("rnk") == 1)
     return w.select(
@@ -1068,7 +1070,9 @@ def ml_gate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         g.withColumn(
             "rnk",
             F.row_number().over(
-                Window.orderBy(F.asc("wg"), F.asc("t"), F.asc("k"))
+                Window.partitionBy(F.lit(1)).orderBy(
+                F.asc("wg"), F.asc("t"), F.asc("k")
+            )
             ),
         )
         .filter(F.col("rnk") == 1)
@@ -1948,7 +1952,7 @@ def ml_gains_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_users"),
         F.sum("converted").cast("long").alias("n_converted"),
     )
-    cum = Window.orderBy("decile").rowsBetween(
+    cum = Window.partitionBy(F.lit(1)).orderBy("decile").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     return g.select(

@@ -1416,15 +1416,11 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel"),
         )
     )
+    # top-pool via orderBy+limit → TakeOrderedAndProject (per-partition
+    # heap over the corpus, no single-partition rank window)
     pool = (
-        scored.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.orderBy(F.col("rel").desc(), F.col("vec_id"))
-            ),
-        )
-        .filter(F.col("rn") <= _MMR_POOL)
-        .drop("rn")
+        scored.orderBy(F.col("rel").desc(), F.col("vec_id"))
+        .limit(_MMR_POOL)
         .persist()  # referenced 2+2k times across the unrolled rounds
     )
     a = pool.select(
@@ -1450,11 +1446,15 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lam = F.lit(_MMR_LAMBDA)
     mu = F.lit(round(1 - _MMR_LAMBDA, 10))
+    # pool is ≤ _MMR_POOL rows: single-partition windows below are
+    # intended and bounded (lit(1) partition documents that)
     selected = (
         pool.withColumn(
             "rn",
             F.row_number().over(
-                Window.orderBy(F.col("rel").desc(), F.col("vec_id"))
+                Window.partitionBy(F.lit(1)).orderBy(
+                    F.col("rel").desc(), F.col("vec_id")
+                )
             ),
         )
         .filter(F.col("rn") == 1)
@@ -1488,7 +1488,9 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn(
                 "rn",
                 F.row_number().over(
-                    Window.orderBy(F.col("score").desc(), F.col("vec_id"))
+                    Window.partitionBy(F.lit(1)).orderBy(
+                        F.col("score").desc(), F.col("vec_id")
+                    )
                 ),
             )
             .filter(F.col("rn") == 1)

@@ -691,7 +691,9 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n_docs"))
     from pyspark.sql.window import Window as _W
 
-    w = _W.orderBy("bucket").rowsBetween(_W.unboundedPreceding, 0)
+    w = _W.partitionBy(F.lit(1)).orderBy("bucket").rowsBetween(
+        _W.unboundedPreceding, 0
+    )
     return (
         spine.join(by_bucket, "bucket", "left")
         .select(
@@ -1034,7 +1036,10 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rank the ≤_ZIPF_TOP survivors: the unpartitioned window only
     # ever sees the top-N vocabulary rows
     rk = uni.orderBy(F.desc("c"), F.asc("tok")).limit(_ZIPF_TOP).withColumn(
-        "r", F.row_number().over(_W.orderBy(F.desc("c"), F.asc("tok")))
+        "r",
+        F.row_number().over(
+            _W.partitionBy(F.lit(1)).orderBy(F.desc("c"), F.asc("tok"))
+        )
     )
     q = rk.select(
         F.floor(F.log(F.col("r").cast("double")) * 1000000.0 + F.lit(0.5))

@@ -444,7 +444,7 @@ def win_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tenure_d")
     )
     k = u.groupBy("tenure_d").agg(F.count(F.lit(1)).cast("long").alias("d"))
-    w_desc = Window.orderBy(F.desc("tenure_d")).rowsBetween(
+    w_desc = Window.partitionBy(F.lit(1)).orderBy(F.desc("tenure_d")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     r = k.select(
@@ -473,7 +473,7 @@ def win_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dies_out"
         ),
     )
-    w_asc = Window.orderBy("tenure_d").rowsBetween(
+    w_asc = Window.partitionBy(F.lit(1)).orderBy("tenure_d").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     c = t.select(
@@ -1254,7 +1254,7 @@ def win_survival_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tenure_d")
     )
     k = u.groupBy("tenure_d").agg(F.count(F.lit(1)).cast("long").alias("d"))
-    w_desc = Window.orderBy(F.desc("tenure_d")).rowsBetween(
+    w_desc = Window.partitionBy(F.lit(1)).orderBy(F.desc("tenure_d")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     r = k.select(
@@ -1280,14 +1280,16 @@ def win_survival_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dies_out"
         ),
     )
-    w_asc = Window.orderBy("tenure_d").rowsBetween(
+    w_asc = Window.partitionBy(F.lit(1)).orderBy("tenure_d").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     c = t.select(
         "tenure_d",
         F.sum("lq").over(w_asc).alias("lsum"),
         F.max("dies_out").over(w_asc).alias("gone"),
-        F.lead("tenure_d").over(Window.orderBy("tenure_d")).alias("next_d"),
+        F.lead("tenure_d").over(
+            Window.partitionBy(F.lit(1)).orderBy("tenure_d")
+        ).alias("next_d"),
     )
     seg = c.select(
         "tenure_d",
@@ -1463,7 +1465,7 @@ def win_peak_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("h")
         .agg(F.sum("qv").cast("long").alias("sq"))
     )
-    w = Window.orderBy("h")
+    w = Window.partitionBy(F.lit(1)).orderBy("h")
     n = hourly.select(
         "h",
         "sq",
@@ -1483,7 +1485,10 @@ def win_peak_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_peaks = peaks.agg(F.count(F.lit(1)).cast("long").alias("n_peaks"))
     n_hours = hourly.agg(F.count(F.lit(1)).cast("long").alias("n_hours"))
     gaps = peaks.select(
-        (F.col("h") - F.lag("h").over(Window.orderBy("h"))).alias("gap")
+        (
+            F.col("h")
+            - F.lag("h").over(Window.partitionBy(F.lit(1)).orderBy("h"))
+        ).alias("gap")
     ).filter(F.col("gap").isNotNull())
     return (
         gaps.agg(
@@ -1604,7 +1609,10 @@ def ts_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
     hh = hourly.select(
         "h",
         "sq",
-        (F.row_number().over(Window.orderBy("h")) - 1).alias("ridx"),
+        (
+            F.row_number().over(Window.partitionBy(F.lit(1)).orderBy("h"))
+            - 1
+        ).alias("ridx"),
     )
     d = lambda c: c.cast("string").cast("double")  # noqa: E731
     per_scale = []

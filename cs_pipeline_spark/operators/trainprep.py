@@ -100,7 +100,10 @@ def sample_reservoir_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merged = (
         parts.withColumn(
-            "rank", F.row_number().over(Window.orderBy("pri", "event_id"))
+            "rank",
+            F.row_number().over(
+                Window.partitionBy(F.lit(1)).orderBy("pri", "event_id")
+            )
         )
         .filter(F.col("rank") <= _RES_K)
         .select("event_id")
@@ -229,7 +232,10 @@ def agg_quantile_sketch_mergeable(
         F.count(F.lit(1)).cast("long").alias("c")
     )
     cum = hist.select(
-        "b", F.sum("c").over(Window.orderBy("b")).alias("cum")
+        "b",
+        F.sum("c").over(
+            Window.partitionBy(F.lit(1)).orderBy("b")
+        ).alias("cum")
     )
     sk = (
         cum.crossJoin(F.broadcast(exact.select("n")))

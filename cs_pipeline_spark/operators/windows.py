@@ -2170,9 +2170,9 @@ def win_year_over_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rev_c")
     )
-    w = Window.orderBy("midx")
+    w = Window.partitionBy(F.lit(1)).orderBy("midx")
     prior = F.lag("rev_c", 12).over(w)
-    lag_sql = "lag(rev_c, 12) over (order by midx)"
+    lag_sql = "lag(rev_c, 12) over (partition by 1 order by midx)"
     return m.select(
         "month_ts",
         (F.col("rev_c").cast("double") / 100.0).alias("revenue"),

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W_sql
 from pyspark.sql import functions as F
 
-from cs_pipeline_spark.operators.helpers import sql_davg, sql_dsum
+from cs_pipeline_spark.operators.helpers import sql_davg, sql_dsum, with_prefix_agg
 from cs_pipeline_spark.registry import register
 from cs_pipeline_spark.streaming import windows as W
 from cs_pipeline_spark.tables import EVENTS_TS_SQL, load
@@ -542,16 +542,11 @@ def stream_watermark_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros("ts") + F.expr(_WM_JIT) * F.lit(1000000)
         ).alias("arr_us"),
     )
-    m = e.select(
-        "us",
-        F.max("us")
-        .over(
-            W_sql.orderBy("arr_us", "event_id").rowsBetween(
-                W_sql.unboundedPreceding, W_sql.currentRow
-            )
-        )
-        .alias("mx"),
-    )
+    # running max over arrival order: two-phase bucketed prefix max —
+    # no single-partition window over the event stream
+    m = with_prefix_agg(
+        e, "arr_us", ("event_id",), "us", "max", out="mx"
+    ).select("us", "mx")
     delays = spark.range(0, len(_WM_DELAYS)).select(
         F.element_at(
             F.array(*[F.lit(d) for d in _WM_DELAYS]),
