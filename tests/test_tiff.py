@@ -72,3 +72,33 @@ def test_decode_df_matches_fixture_formula(spark, tmp_path):
     for r in rows:
         m = stamp_to_m[r.fname.split("-")[2].split(".")[0]]
         assert r.wtd == _fixture_cell(m, r.y_idx, r.x_idx)
+
+
+def test_image_decode_gating(spark, sf_dir):
+    """_decode_payload prefers PIL, falls back to the deterministic
+    stub when PIL is absent (this container) or bytes are undecodable;
+    decode_images_real must keep the decode_images schema."""
+    from cs_pipeline_spark.operators.multimodal import (
+        _decode_payload,
+        _fake_decode,
+        decode_images,
+        decode_images_real,
+    )
+    from cs_pipeline_spark.tables import load
+
+    payload = b"definitely not an image"
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    got = _decode_payload(payload)
+    if not has_pil:
+        assert got == _fake_decode(payload)
+    docs = load(spark, "documents", sf_dir).limit(5)
+    p = docs.selectExpr("doc_id", "encode(text, 'UTF-8') AS payload")
+    real = decode_images_real(p, "payload", "doc_id")
+    stub = decode_images(p, "payload", "doc_id")
+    assert real.schema == stub.schema
+    assert real.count() == stub.count() == 5
