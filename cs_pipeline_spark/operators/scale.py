@@ -343,3 +343,106 @@ def scan_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("ts_savings_ppm"),
     )
+
+
+# ---------- Z-order (Morton curve) layout advisor ----------
+
+_Z_BITS = 10  # 1024×1024 synthetic 2-D key space
+_Z_BUCKETS = 64
+
+
+def _morton_sql(x: str, y: str) -> str:
+    """Bit-interleave two _Z_BITS-wide ints into a Morton key —
+    identical integer expression in Spark SQL and DuckDB."""
+    terms = []
+    for k in range(_Z_BITS):
+        terms.append(f"((({x} >> {k}) & 1) << {2 * k})")
+        terms.append(f"((({y} >> {k}) & 1) << {2 * k + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+_Z_SQL = f"""
+    WITH pts AS (
+      SELECT CAST(user_id % 1024 AS BIGINT) AS x,
+             CAST(event_id % 1024 AS BIGINT) AS y
+      FROM events
+    ), keyed AS (
+      SELECT x, y,
+             {_morton_sql('x', 'y')} // {(1 << (2 * _Z_BITS)) // _Z_BUCKETS}
+               AS zb,
+             x // {(1 << _Z_BITS) // _Z_BUCKETS} AS lb
+      FROM pts
+    ), z AS (
+      SELECT 'zorder' AS strategy, CAST(zb AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(MAX(x) - MIN(x) + 1 AS BIGINT) AS x_span,
+             CAST(MAX(y) - MIN(y) + 1 AS BIGINT) AS y_span
+      FROM keyed GROUP BY zb
+    ), l AS (
+      SELECT 'linear' AS strategy, CAST(lb AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(MAX(x) - MIN(x) + 1 AS BIGINT) AS x_span,
+             CAST(MAX(y) - MIN(y) + 1 AS BIGINT) AS y_span
+      FROM keyed GROUP BY lb
+    )
+    SELECT * FROM z UNION ALL SELECT * FROM l
+"""
+
+
+@register(
+    "scan_zorder_layout",
+    _Z_SQL,
+    doc="Z-order (Morton) clustering advisor: per-bucket min/max spans "
+    "of BOTH dimensions under Morton-key bucketing vs single-column "
+    "range bucketing — the zone-map locality numbers behind OPTIMIZE "
+    "ZORDER-style layout decisions",
+)
+def scan_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lakehouse layout decision in numbers: files written in
+    Z-order (Morton-interleaved key) carry TIGHT min/max zone maps on
+    BOTH dimensions (each bucket covers a ~2^(b/2)-wide square), while
+    single-column range layout leaves the second dimension's span at
+    the full domain — so 2-D predicates skip ~√F of F files instead
+    of none. This op computes per-bucket (min,max) spans for the two
+    strategies on a synthetic 1024×1024 key grid derived from events;
+    reading the z rows against the l rows IS the advisor output.
+
+    The Morton key is 20 pure integer bit operations (shift/and/or —
+    whole-stage codegen, identical in DuckDB); bucket stats are one
+    map-side-combined aggregate per strategy.
+
+    Scale: the production recipe this justifies is
+    ``repartitionByRange(z_key).sortWithinPartitions(z_key)`` before
+    ``write.parquet`` — one range shuffle; parquet zone maps then
+    prune on every interleaved dimension. The advisor itself is two
+    aggregates over an arithmetic key — no shuffle beyond them.
+    """
+    ev = load(spark, "events", sf_dir)
+    pts = ev.selectExpr(
+        "CAST(user_id % 1024 AS BIGINT) AS x",
+        "CAST(event_id % 1024 AS BIGINT) AS y",
+    )
+    keyed = pts.selectExpr(
+        "x",
+        "y",
+        f"{_morton_sql('x', 'y')} div "
+        f"{(1 << (2 * _Z_BITS)) // _Z_BUCKETS} AS zb",
+        f"x div {(1 << _Z_BITS) // _Z_BUCKETS} AS lb",
+    )
+
+    def spans(df, key, label):
+        return df.groupBy(F.col(key).alias("bucket")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            (F.max("x") - F.min("x") + 1).cast("long").alias("x_span"),
+            (F.max("y") - F.min("y") + 1).cast("long").alias("y_span"),
+        ).select(
+            F.lit(label).alias("strategy"),
+            F.col("bucket").cast("long").alias("bucket"),
+            "n_rows",
+            "x_span",
+            "y_span",
+        )
+
+    return spans(keyed, "zb", "zorder").unionByName(
+        spans(keyed, "lb", "linear")
+    )

@@ -88,3 +88,26 @@ def test_bloom_prefilter_selective_and_lossless(spark):
     )
     # false-positive load stays small at m=64Ki bits / k=3
     assert n_surv <= n_true + 0.05 * n_fact
+
+
+def test_zorder_locality_beats_linear(spark, sf_dir):
+    """The point of Z-ordering: per-bucket spans are tight on BOTH
+    dims, while single-column range bucketing leaves the second dim
+    at ~full domain."""
+    from cs_pipeline_spark.operators.scale import scan_zorder_layout
+
+    rows = scan_zorder_layout(spark, sf_dir).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.strategy, []).append(r)
+    assert set(by) == {"zorder", "linear"}
+
+    def avg(rs, col):
+        return sum(getattr(r, col) for r in rs) / len(rs)
+
+    # linear buckets: x tight, y ~full domain; zorder: both bounded
+    assert avg(by["linear"], "y_span") > 2 * avg(by["zorder"], "y_span")
+    # both strategies partition all rows
+    assert sum(r.n_rows for r in by["zorder"]) == sum(
+        r.n_rows for r in by["linear"]
+    )
