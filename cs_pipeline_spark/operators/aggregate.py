@@ -16,7 +16,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cs_pipeline_spark.functions.era5_fixture import ERA5_CTE, era5_events
-from cs_pipeline_spark.operators.helpers import dround, davg, dsum, sql_davg, sql_dsum, with_total_rank, with_prefix_agg
+from cs_pipeline_spark.operators.helpers import dround, davg, dsum, sql_davg, sql_dsum, with_total_rank, with_prefix_agg, one_part
 from cs_pipeline_spark.operators.predictors import predictors_cte, predictors_frame
 from cs_pipeline_spark.plans.agg_compiler import (
     active_predictors,
@@ -1222,7 +1222,7 @@ def agg_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_new"),
         )
     )
-    wcum = Window.partitionBy(F.lit(1)).orderBy("d").rowsBetween(
+    wcum = Window.partitionBy(one_part("n_new")).orderBy("d").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     return daily.select(
@@ -2714,7 +2714,7 @@ def agg_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_users"),
         F.sum(F.col("vq").cast("decimal(38,0)")).alias("dec_vq"),
     )
-    w_cum = Window.partitionBy(F.lit(1)).orderBy("decile").rowsBetween(
+    w_cum = Window.partitionBy(one_part("decile")).orderBy("decile").rowsBetween(
         Window.unboundedPreceding, 0
     )
     cum = F.sum("dec_vq").over(w_cum)

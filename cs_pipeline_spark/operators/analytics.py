@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
-from cs_pipeline_spark.operators.helpers import dsum, sql_dsum, with_total_rank
+from cs_pipeline_spark.operators.helpers import dsum, sql_dsum, with_total_rank, one_part
 from cs_pipeline_spark.registry import register
 from cs_pipeline_spark.tables import EVENTS_TS_SQL, load
 
@@ -1244,7 +1244,7 @@ def agg_churn_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"span_us div {day_us}").alias("tenure_days")
     ).groupBy("tenure_days").agg(F.count(F.lit(1)).alias("n_churned"))
     w = (
-        Window.partitionBy(F.lit(1)).orderBy(F.desc("tenure_days"))
+        Window.partitionBy(one_part("tenure_days")).orderBy(F.desc("tenure_days"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     at_risk = F.sum("n_churned").over(w)

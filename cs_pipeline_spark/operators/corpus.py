@@ -35,7 +35,7 @@ from cs_pipeline_spark.operators.dedup import (
     _tokens,
     shingles,
 )
-from cs_pipeline_spark.operators.helpers import dround
+from cs_pipeline_spark.operators.helpers import dround, one_part
 from cs_pipeline_spark.registry import register
 from cs_pipeline_spark.tables import load
 
@@ -428,7 +428,7 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk = scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(
         _BM25_TOPK
     )
-    w = Window.partitionBy(F.lit(1)).orderBy(
+    w = Window.partitionBy(one_part("doc_id")).orderBy(
         F.col("score").desc(), F.col("doc_id")
     )
     return topk.withColumn("rn", F.row_number().over(w)).select(

@@ -38,6 +38,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from cs_pipeline_spark.operators.helpers import one_part
 from cs_pipeline_spark.registry import register
 from cs_pipeline_spark.tables import load
 
@@ -1228,7 +1229,7 @@ def dedup_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = p.groupBy("jaccard_decile").agg(
         F.count(F.lit(1)).alias("n_pairs")
     )
-    w = Window.partitionBy(F.lit(1)).orderBy(
+    w = Window.partitionBy(one_part("jaccard_decile")).orderBy(
         F.desc("jaccard_decile")
     ).rowsBetween(
         Window.unboundedPreceding, 0

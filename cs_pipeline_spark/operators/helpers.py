@@ -233,6 +233,21 @@ def sql_dround(expr: str, digits: int = 6) -> str:
 # single-executor sort of the full table.
 
 
+def one_part(col: Column | str) -> Column:
+    """Constant-but-non-foldable single-partition window key (always 0).
+
+    Marks a window as INTENTIONALLY single-partition — its input is
+    bounded by construction (a day spine, a decile table, the nb-row
+    two-phase offsets) — without tripping WindowExec's "No Partition
+    Defined" warning, which must stay a true signal for accidental
+    full-table windows. ``partitionBy(lit(1))`` does NOT work: Spark
+    4's ``EliminateWindowPartitions`` rule folds literal keys away and
+    the spec is empty again. ``coalesce(cast(col as long), 0) % 1`` is
+    0 for every row yet opaque to constant folding.
+    """
+    return F.coalesce(_c(col).cast("long"), F.lit(0)) % F.lit(1)
+
+
 def _bucket_col(key: Column, mn: Column, mx: Column, nb: int) -> Column:
     span = mx - mn
     raw = F.floor((key - mn) * F.lit(float(nb)) / (span + F.lit(1.0)))
@@ -286,14 +301,14 @@ def with_total_rank(
     # construction — a single partition is intended; the literal
     # partition spec documents that and keeps the WindowExec
     # "No Partition Defined" warning a true signal elsewhere
-    woff = Window.partitionBy(F.lit(1)).orderBy("_tpb").rowsBetween(
+    woff = Window.partitionBy(one_part("_tpb")).orderBy("_tpb").rowsBetween(
         Window.unboundedPreceding, -1
     )
     offs = cnts.select(
         "_tpb",
         F.coalesce(F.sum("_bc").over(woff), F.lit(0)).alias("_tp_off"),
         F.sum("_bc")
-        .over(Window.partitionBy(F.lit(1)))
+        .over(Window.partitionBy(one_part("_tpb")))
         .alias("_tp_nn"),
     )
     out = (
@@ -353,7 +368,7 @@ def with_prefix_agg(
     per = b.groupBy("_tpb").agg(
         aggf(v).alias("_bv"), F.count(F.lit(1)).alias("_bc")
     )
-    wprev = Window.partitionBy(F.lit(1)).orderBy("_tpb").rowsBetween(
+    wprev = Window.partitionBy(one_part("_tpb")).orderBy("_tpb").rowsBetween(
         Window.unboundedPreceding, -1
     )
     offs = per.select(

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cs_pipeline_spark.operators.dedup import _NORM, _NORM_DUCK
-from cs_pipeline_spark.operators.helpers import with_total_rank
+from cs_pipeline_spark.operators.helpers import with_total_rank, one_part
 from cs_pipeline_spark.registry import register
 from cs_pipeline_spark.tables import load
 
@@ -36,10 +36,6 @@ def _q6(col):
 def _q9(col):
     """1e-9 floor-quantized transcendental term (chi2 convention)."""
     return F.floor(col * F.lit(1000000000.0) + F.lit(0.5)).cast("long")
-
-
-def _w_all():
-    return Window.partitionBy(F.lit(1))
 
 
 @register(
@@ -645,7 +641,7 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "rnk",
         F.row_number().over(
-            Window.partitionBy(F.lit(1)).orderBy(
+            Window.partitionBy(one_part("k")).orderBy(
                 F.asc("wg"), F.asc("t"), F.asc("k")
             )
         ),
@@ -1070,7 +1066,7 @@ def ml_gate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         g.withColumn(
             "rnk",
             F.row_number().over(
-                Window.partitionBy(F.lit(1)).orderBy(
+                Window.partitionBy(one_part("k")).orderBy(
                 F.asc("wg"), F.asc("t"), F.asc("k")
             )
             ),
@@ -1952,7 +1948,7 @@ def ml_gains_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_users"),
         F.sum("converted").cast("long").alias("n_converted"),
     )
-    cum = Window.partitionBy(F.lit(1)).orderBy("decile").rowsBetween(
+    cum = Window.partitionBy(one_part("decile")).orderBy("decile").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     return g.select(

@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cs_pipeline_spark.operators.dedup import _sql_qdot, qdot
-from cs_pipeline_spark.operators.helpers import sql_davg, with_total_rank
+from cs_pipeline_spark.operators.helpers import sql_davg, with_total_rank, one_part
 from cs_pipeline_spark.registry import register
 from cs_pipeline_spark.tables import load
 
@@ -1452,7 +1452,7 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pool.withColumn(
             "rn",
             F.row_number().over(
-                Window.partitionBy(F.lit(1)).orderBy(
+                Window.partitionBy(one_part("vec_id")).orderBy(
                     F.col("rel").desc(), F.col("vec_id")
                 )
             ),
@@ -1488,7 +1488,7 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn(
                 "rn",
                 F.row_number().over(
-                    Window.partitionBy(F.lit(1)).orderBy(
+                    Window.partitionBy(one_part("vec_id")).orderBy(
                         F.col("score").desc(), F.col("vec_id")
                     )
                 ),

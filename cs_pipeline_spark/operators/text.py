@@ -31,7 +31,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cs_pipeline_spark.operators.dedup import _NORM, _NORM_DUCK, _tokens
-from cs_pipeline_spark.operators.helpers import dround
+from cs_pipeline_spark.operators.helpers import dround, one_part
 from cs_pipeline_spark.registry import register
 from cs_pipeline_spark.tables import load
 
@@ -691,7 +691,7 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n_docs"))
     from pyspark.sql.window import Window as _W
 
-    w = _W.partitionBy(F.lit(1)).orderBy("bucket").rowsBetween(
+    w = _W.partitionBy(one_part("bucket")).orderBy("bucket").rowsBetween(
         _W.unboundedPreceding, 0
     )
     return (
@@ -1038,7 +1038,7 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     rk = uni.orderBy(F.desc("c"), F.asc("tok")).limit(_ZIPF_TOP).withColumn(
         "r",
         F.row_number().over(
-            _W.partitionBy(F.lit(1)).orderBy(F.desc("c"), F.asc("tok"))
+            _W.partitionBy(one_part("c")).orderBy(F.desc("c"), F.asc("tok"))
         )
     )
     q = rk.select(

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from cs_pipeline_spark.operators.helpers import with_total_rank
+from cs_pipeline_spark.operators.helpers import with_total_rank, one_part
 from cs_pipeline_spark.registry import register
 from cs_pipeline_spark.tables import EVENTS_TS_SQL, load
 
@@ -444,7 +444,7 @@ def win_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tenure_d")
     )
     k = u.groupBy("tenure_d").agg(F.count(F.lit(1)).cast("long").alias("d"))
-    w_desc = Window.partitionBy(F.lit(1)).orderBy(F.desc("tenure_d")).rowsBetween(
+    w_desc = Window.partitionBy(one_part("tenure_d")).orderBy(F.desc("tenure_d")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     r = k.select(
@@ -473,7 +473,7 @@ def win_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dies_out"
         ),
     )
-    w_asc = Window.partitionBy(F.lit(1)).orderBy("tenure_d").rowsBetween(
+    w_asc = Window.partitionBy(one_part("tenure_d")).orderBy("tenure_d").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     c = t.select(
@@ -1254,7 +1254,7 @@ def win_survival_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tenure_d")
     )
     k = u.groupBy("tenure_d").agg(F.count(F.lit(1)).cast("long").alias("d"))
-    w_desc = Window.partitionBy(F.lit(1)).orderBy(F.desc("tenure_d")).rowsBetween(
+    w_desc = Window.partitionBy(one_part("tenure_d")).orderBy(F.desc("tenure_d")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     r = k.select(
@@ -1280,7 +1280,7 @@ def win_survival_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dies_out"
         ),
     )
-    w_asc = Window.partitionBy(F.lit(1)).orderBy("tenure_d").rowsBetween(
+    w_asc = Window.partitionBy(one_part("tenure_d")).orderBy("tenure_d").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     c = t.select(
@@ -1288,7 +1288,7 @@ def win_survival_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("lq").over(w_asc).alias("lsum"),
         F.max("dies_out").over(w_asc).alias("gone"),
         F.lead("tenure_d").over(
-            Window.partitionBy(F.lit(1)).orderBy("tenure_d")
+            Window.partitionBy(one_part("tenure_d")).orderBy("tenure_d")
         ).alias("next_d"),
     )
     seg = c.select(
@@ -1465,7 +1465,7 @@ def win_peak_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("h")
         .agg(F.sum("qv").cast("long").alias("sq"))
     )
-    w = Window.partitionBy(F.lit(1)).orderBy("h")
+    w = Window.partitionBy(one_part("h")).orderBy("h")
     n = hourly.select(
         "h",
         "sq",
@@ -1487,7 +1487,7 @@ def win_peak_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps = peaks.select(
         (
             F.col("h")
-            - F.lag("h").over(Window.partitionBy(F.lit(1)).orderBy("h"))
+            - F.lag("h").over(Window.partitionBy(one_part("h")).orderBy("h"))
         ).alias("gap")
     ).filter(F.col("gap").isNotNull())
     return (
@@ -1610,7 +1610,7 @@ def ts_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
         "h",
         "sq",
         (
-            F.row_number().over(Window.partitionBy(F.lit(1)).orderBy("h"))
+            F.row_number().over(Window.partitionBy(one_part("h")).orderBy("h"))
             - 1
         ).alias("ridx"),
     )

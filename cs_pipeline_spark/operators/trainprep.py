@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from cs_pipeline_spark.operators.helpers import with_total_rank
+from cs_pipeline_spark.operators.helpers import with_total_rank, one_part
 from cs_pipeline_spark.registry import register
 from cs_pipeline_spark.tables import load
 
@@ -102,7 +102,7 @@ def sample_reservoir_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         parts.withColumn(
             "rank",
             F.row_number().over(
-                Window.partitionBy(F.lit(1)).orderBy("pri", "event_id")
+                Window.partitionBy(one_part("pri")).orderBy("pri", "event_id")
             )
         )
         .filter(F.col("rank") <= _RES_K)
@@ -234,7 +234,7 @@ def agg_quantile_sketch_mergeable(
     cum = hist.select(
         "b",
         F.sum("c").over(
-            Window.partitionBy(F.lit(1)).orderBy("b")
+            Window.partitionBy(one_part("b")).orderBy("b")
         ).alias("cum")
     )
     sk = (

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cs_pipeline_spark.functions.era5_fixture import ERA5_CTE, era5_events
-from cs_pipeline_spark.operators.helpers import dround
+from cs_pipeline_spark.operators.helpers import dround, one_part
 from cs_pipeline_spark.registry import register
 from cs_pipeline_spark.tables import EVENTS_TS_SQL, load
 
@@ -2170,7 +2170,7 @@ def win_year_over_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rev_c")
     )
-    w = Window.partitionBy(F.lit(1)).orderBy("midx")
+    w = Window.partitionBy(one_part("midx")).orderBy("midx")
     prior = F.lag("rev_c", 12).over(w)
     lag_sql = "lag(rev_c, 12) over (partition by 1 order by midx)"
     return m.select(
