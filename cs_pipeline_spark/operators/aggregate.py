@@ -2728,9 +2728,11 @@ def agg_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "decile_value"
         ),
         F.expr(
-            "cast(sum(dec_vq) over (partition by 1 order by decile"
+            "cast(sum(dec_vq) over (partition by"
+            " coalesce(cast(decile as bigint), 0) % 1 order by decile"
             " rows unbounded preceding)"
-            " * 1000000 div sum(dec_vq) over (partition by 1) as bigint)"
+            " * 1000000 div sum(dec_vq) over (partition by"
+            " coalesce(cast(decile as bigint), 0) % 1) as bigint)"
         ).alias("cum_share_ppm"),
     )
 

@@ -809,7 +809,10 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         "n_dup_docs",
         "avg_distinct_ratio",
-        F.expr("_scaled div sum(n_tokens) over ()")
+        F.expr(
+            "_scaled div sum(n_tokens) over (partition by"
+            " coalesce(cast(n_tokens as bigint), 0) % 1)"
+        )
         .cast("long")
         .alias("token_share_ppm"),
     ).drop("_scaled")

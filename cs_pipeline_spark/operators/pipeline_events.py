@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from cs_pipeline_spark.operators.helpers import dround, with_prefix_agg
+from cs_pipeline_spark.operators.helpers import dround, one_part, with_prefix_agg
 from cs_pipeline_spark.registry import register
 from cs_pipeline_spark.tables import EVENTS_TS_SQL, load
 
@@ -300,7 +300,9 @@ def win_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         "path",
         F.col("n_sessions").cast("long").alias("n_sessions"),
         F.expr("n_sessions * 1000000").alias("_num"),
-        F.sum("n_sessions").over(Window.partitionBy()).alias("_den"),
+        F.sum("n_sessions")
+        .over(Window.partitionBy(one_part("n_sessions")))
+        .alias("_den"),
     ).select(
         "path",
         "n_sessions",

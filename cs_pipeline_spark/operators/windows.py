@@ -2172,7 +2172,8 @@ def win_year_over_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy(one_part("midx")).orderBy("midx")
     prior = F.lag("rev_c", 12).over(w)
-    lag_sql = "lag(rev_c, 12) over (partition by 1 order by midx)"
+    lag_sql = ("lag(rev_c, 12) over (partition by "
+               "coalesce(cast(midx as bigint), 0) % 1 order by midx)")
     return m.select(
         "month_ts",
         (F.col("rev_c").cast("double") / 100.0).alias("revenue"),
