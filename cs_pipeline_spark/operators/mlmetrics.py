@@ -1102,7 +1102,11 @@ def ml_gate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt((F.col("y") == 0) & (F.col("pred") == 1)).alias("fp"),
         cnt((F.col("y") == 1) & (F.col("pred") == 0)).alias("fn"),
         cnt((F.col("y") == 0) & (F.col("pred") == 0)).alias("tn"),
-    )
+        # 1-row result consumed twice in the funnel: a lazy local
+        # checkpoint materializes it once on first action and truncates
+        # the scoring lineage — bounded state at any scale, unlike the
+        # round-3 .persist() of the full projected fact table
+    ).localCheckpoint(eager=False)
 
     def row(stage, df, n_col, metric):
         return df.agg(

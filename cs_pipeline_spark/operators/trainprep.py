@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from cs_pipeline_spark.operators.helpers import with_total_rank, one_part
+from cs_pipeline_spark.operators.helpers import one_part, with_total_rank, one_part
 from cs_pipeline_spark.registry import register
 from cs_pipeline_spark.tables import load
 
@@ -84,8 +84,20 @@ def sample_reservoir_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load(spark, "events", sf_dir)
     q = ev.select("event_id", "value", F.expr(_PRI).alias("pri"))
-    direct = with_total_rank(q, "pri", ("event_id",), rn="rank").filter(
-        F.col("rank") <= _RES_K
+    # global top-K via orderBy+limit → TakeOrderedAndProject (per-task
+    # K-row heaps, driver merges K·P rows); ranks re-derived on the K
+    # survivors only
+    direct = (
+        q.orderBy("pri", "event_id")
+        .limit(_RES_K)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy(one_part("pri")).orderBy(
+                    "pri", "event_id"
+                )
+            ),
+        )
     )
     parts = (
         q.withColumn(
