@@ -16,7 +16,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cs_pipeline_spark.functions.era5_fixture import ERA5_CTE, era5_events
-from cs_pipeline_spark.operators.helpers import dround, davg, dsum, sql_davg, sql_dsum, with_total_rank, with_prefix_agg, one_part
+from cs_pipeline_spark.operators.helpers import dround, davg, dsum, sql_davg, sql_dsum, with_total_rank, with_prefix_agg, with_prefix_aggs, one_part
 from cs_pipeline_spark.operators.predictors import predictors_cte, predictors_frame
 from cs_pipeline_spark.plans.agg_compiler import (
     active_predictors,
@@ -1664,9 +1664,11 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("in_a").cast("decimal(20,0)").alias("na"),
         F.sum("in_b").cast("decimal(20,0)").alias("nb"),
     )
-    c = with_prefix_agg(
-        with_prefix_agg(s, "value", ("event_id",), "in_a", "sum", out="ca"),
-        "value", ("event_id",), "in_b", "sum", out="cb",
+    c = with_prefix_aggs(
+        s,
+        "value",
+        ("event_id",),
+        [("in_a", "sum", "ca", True), ("in_b", "sum", "cb", True)],
     ).select(
         "value",
         F.col("ca").cast("decimal(20,0)").alias("ca"),

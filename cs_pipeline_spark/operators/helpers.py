@@ -327,6 +327,74 @@ _PREFIX_KINDS = {
 }
 
 
+def with_prefix_aggs(
+    df,
+    key: Column | str,
+    tiebreaks: tuple,
+    specs: list,
+    nb: int = 64,
+):
+    """df + SEVERAL running aggregates over ONE total order
+    (key, *tiebreaks), sharing a single two-phase pass.
+
+    ``specs`` is a list of ``(val, kind, out, inclusive)`` tuples
+    (kind ∈ sum/min/max). Each output column is bit-identical to
+    ``F.<kind>(val).over(Window.orderBy(key, *tiebreaks)
+    .rowsBetween(unboundedPreceding, 0 if inclusive else -1))`` —
+    including the NULL on an exclusive frame's first row — under the
+    same tie caveat as ``with_total_rank``, assuming non-null vals.
+    Exclusive prefix-max of the sort key itself equals ``lag(key)``
+    when keys are strictly increasing — the distributed form of
+    sequence-gap lags.
+
+    Scale: ONE bucketed shuffle + local window pass and ONE nb-row
+    offset side regardless of how many aggregates ride it — N running
+    totals cost the same two scans as one (agg_ks_test's CDF pair).
+    """
+    from pyspark.sql.window import Window
+
+    k = _c(key).cast("double")
+    stats = df.agg(F.min(k).alias("_tp_mn"), F.max(k).alias("_tp_mx"))
+    b = df.crossJoin(F.broadcast(stats)).withColumn(
+        "_tpb", _bucket_col(k, F.col("_tp_mn"), F.col("_tp_mx"), nb)
+    )
+    order = [_c(key)] + [_c(t) for t in tiebreaks]
+    per_aggs = [F.count(F.lit(1)).alias("_bc")]
+    for i, (val, kind, _out, _incl) in enumerate(specs):
+        aggf, _ = _PREFIX_KINDS[kind]
+        per_aggs.append(aggf(_c(val)).alias(f"_bv{i}"))
+    per = b.groupBy("_tpb").agg(*per_aggs)
+    wprev = Window.partitionBy(one_part("_tpb")).orderBy("_tpb").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off_cols = [
+        "_tpb",
+        F.coalesce(F.sum("_bc").over(wprev), F.lit(0)).alias("_tp_pc"),
+    ]
+    for i, (val, kind, _out, _incl) in enumerate(specs):
+        aggf, _ = _PREFIX_KINDS[kind]
+        off_cols.append(aggf(f"_bv{i}").over(wprev).alias(f"_tp_pv{i}"))
+    offs = per.select(*off_cols)
+    out = b.join(F.broadcast(offs), "_tpb")
+    drop = ["_tpb", "_tp_mn", "_tp_mx", "_tp_pc"]
+    for i, (val, kind, name, inclusive) in enumerate(specs):
+        aggf, combine = _PREFIX_KINDS[kind]
+        end = 0 if inclusive else -1
+        wloc = (
+            Window.partitionBy("_tpb")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, end)
+        )
+        loc = aggf(_c(val)).over(wloc)
+        pv = F.col(f"_tp_pv{i}")
+        combined = F.when(F.col("_tp_pc") == 0, loc).otherwise(
+            F.when(loc.isNull(), pv).otherwise(combine(pv, loc))
+        )
+        out = out.withColumn(name, combined)
+        drop.append(f"_tp_pv{i}")
+    return out.drop(*drop)
+
+
 def with_prefix_agg(
     df,
     key: Column | str,
@@ -337,55 +405,8 @@ def with_prefix_agg(
     out: str = "cum",
     inclusive: bool = True,
 ):
-    """df + a running sum/min/max over the total order (key, *tiebreaks),
-    computed in two bounded phases.
-
-    Bit-identical to ``F.<kind>(val).over(Window.orderBy(key, *tiebreaks)
-    .rowsBetween(unboundedPreceding, 0 if inclusive else -1))`` — including
-    the NULL on the exclusive frame's first row — under the same tie caveat
-    as ``with_total_rank``, assuming non-null ``val``. Exclusive prefix-max
-    of the sort key itself equals ``lag(key)`` when keys are strictly
-    increasing — the distributed form of sequence-gap lags.
-
-    Scale: identical shape to ``with_total_rank`` — bucketed shuffle + local
-    window, nb-row offset side broadcast back.
-    """
-    from pyspark.sql.window import Window
-
-    aggf, combine = _PREFIX_KINDS[kind]
-    k = _c(key).cast("double")
-    v = _c(val)
-    stats = df.agg(F.min(k).alias("_tp_mn"), F.max(k).alias("_tp_mx"))
-    b = df.crossJoin(F.broadcast(stats)).withColumn(
-        "_tpb", _bucket_col(k, F.col("_tp_mn"), F.col("_tp_mx"), nb)
-    )
-    end = 0 if inclusive else -1
-    wloc = (
-        Window.partitionBy("_tpb")
-        .orderBy(_c(key), *[_c(t) for t in tiebreaks])
-        .rowsBetween(Window.unboundedPreceding, end)
-    )
-    per = b.groupBy("_tpb").agg(
-        aggf(v).alias("_bv"), F.count(F.lit(1)).alias("_bc")
-    )
-    wprev = Window.partitionBy(one_part("_tpb")).orderBy("_tpb").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offs = per.select(
-        "_tpb",
-        aggf("_bv").over(wprev).alias("_tp_pv"),
-        F.coalesce(F.sum("_bc").over(wprev), F.lit(0)).alias("_tp_pc"),
-    )
-    loc = aggf(v).over(wloc)
-    combined = F.when(
-        F.col("_tp_pc") == 0, loc
-    ).otherwise(
-        F.when(loc.isNull(), F.col("_tp_pv")).otherwise(
-            combine(F.col("_tp_pv"), loc)
-        )
-    )
-    return (
-        b.join(F.broadcast(offs), "_tpb")
-        .withColumn(out, combined)
-        .drop("_tpb", "_tp_mn", "_tp_mx", "_tp_pv", "_tp_pc")
+    """Single-aggregate convenience wrapper over ``with_prefix_aggs``
+    (see its docstring for the exact-equivalence contract)."""
+    return with_prefix_aggs(
+        df, key, tiebreaks, [(val, kind, out, inclusive)], nb=nb
     )
