@@ -1682,9 +1682,17 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "na",
         "nb",
     )
-    best = with_total_rank(
-        d, "dnum", ("value",), rn="rn", descending=True
-    ).filter(F.col("rn") == 1)
+    # argmax over (dnum desc, value asc) is ONE map-side-combined
+    # aggregate (min_by on a lexicographic struct key) — no rank pass,
+    # no shuffle beyond the 1-row reduce
+    best = d.agg(
+        F.min_by(
+            F.struct("na", "nb", "dnum", "value"),
+            F.struct(
+                (-F.col("dnum")).alias("nd"), F.col("value").alias("v")
+            ),
+        ).alias("b")
+    ).select("b.na", "b.nb", "b.dnum", "b.value")
     return best.select(
         F.col("na").cast("long").alias("n_a"),
         F.col("nb").cast("long").alias("n_b"),
