@@ -410,3 +410,83 @@ def with_prefix_agg(
     return with_prefix_aggs(
         df, key, tiebreaks, [(val, kind, out, inclusive)], nb=nb
     )
+
+
+def with_rank_targets(df, key, tiebreaks, rank_sqls, nb: int = 64):
+    """Pick the ``key`` VALUES at specific global ranks (1-based,
+    ascending (key, *tiebreaks) order) without sorting the whole input.
+
+    ``rank_sqls`` are SQL strings over the bigint column ``nn`` (total
+    row count), e.g. ``"(nn - 1) div 2 + 1"`` for the lower median or
+    ``"(k * (nn - 1)) div 10 + 1"``-style families (reference ``nn``
+    and the 0-based target index ``tid``). Returns one row per target:
+    ``(tid, rank, nn, value)`` where ``value`` is the key at that
+    global rank — bit-identical to filtering
+    ``row_number().over(Window.orderBy(key, *tiebreaks)) == rank``.
+
+    Plan: phase 1 aggregates per-bucket COUNTS only (map-side
+    combined — no sort anywhere); the nb-row offset side locates each
+    target's bucket; phase 2 re-scans, keeps ONLY the target buckets
+    (an inner broadcast join), and ranks within them. For t targets
+    the sort touches ≤ t/nb of the rows — the right shape when you
+    need a handful of quantiles, not a full ranking (use
+    ``with_total_rank`` when every row needs its rank).
+    """
+    from pyspark.sql.window import Window
+
+    k = _c(key).cast("double")
+    stats = df.agg(F.min(k).alias("_tp_mn"), F.max(k).alias("_tp_mx"))
+    b = df.crossJoin(F.broadcast(stats)).withColumn(
+        "_tpb", _bucket_col(k, F.col("_tp_mn"), F.col("_tp_mx"), nb)
+    )
+    cnts = b.groupBy("_tpb").agg(F.count(F.lit(1)).alias("_bc"))
+    wprev = Window.partitionBy(one_part("_tpb")).orderBy("_tpb").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = cnts.select(
+        "_tpb",
+        "_bc",
+        F.coalesce(F.sum("_bc").over(wprev), F.lit(0)).alias("_off"),
+        F.sum("_bc")
+        .over(Window.partitionBy(one_part("_tpb")))
+        .alias("_tp_nn"),
+    )
+    spark = df.sparkSession
+    tids = spark.range(len(rank_sqls)).select(F.col("id").alias("tid"))
+    nn1 = offs.select(F.col("_tp_nn").alias("nn")).limit(1)
+    targets = (
+        tids.crossJoin(F.broadcast(nn1))
+        .select(
+            "tid",
+            "nn",
+            F.expr(
+                "CASE "
+                + " ".join(
+                    f"WHEN tid = {i} THEN CAST(({sql}) AS BIGINT)"
+                    for i, sql in enumerate(rank_sqls)
+                )
+                + " END"
+            ).alias("rank"),
+        )
+    )
+    located = targets.join(
+        offs.drop("_tp_nn"),
+        (F.col("rank") > F.col("_off"))
+        & (F.col("rank") <= F.col("_off") + F.col("_bc")),
+    ).select("tid", "rank", "nn", "_tpb", "_off")
+    wloc = Window.partitionBy("_tpb").orderBy(
+        _c(key), *[_c(t) for t in tiebreaks]
+    )
+    ranked = b.join(
+        F.broadcast(located.select("_tpb").distinct()), "_tpb"
+    ).withColumn("_lrn", F.row_number().over(wloc))
+    return (
+        ranked.join(
+            F.broadcast(located),
+            (ranked["_tpb"] == located["_tpb"])
+            & (F.col("_lrn") == F.col("rank") - F.col("_off")),
+        )
+        .select(
+            "tid", "rank", "nn", _c(key).alias("value")
+        )
+    )

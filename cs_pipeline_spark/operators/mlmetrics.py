@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cs_pipeline_spark.operators.dedup import _NORM, _NORM_DUCK
-from cs_pipeline_spark.operators.helpers import with_total_rank, one_part
+from cs_pipeline_spark.operators.helpers import with_rank_targets, with_total_rank, one_part
 from cs_pipeline_spark.registry import register
 from cs_pipeline_spark.tables import load
 
@@ -95,11 +95,11 @@ def ml_confusion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_type") == "purchase").cast("int").alias("y"),
         _q6(F.col("value")).alias("qv"),
     )
-    med = (
-        with_total_rank(q.select("qv"), "qv", (), nn="nn")
-        .filter(F.expr("rn = (nn - 1) div 2 + 1"))
-        .select(F.col("qv").alias("mq"))
-    )
+    # targeted-bucket median pick: no full ranking, the sort touches
+    # only the bucket containing the median rank
+    med = with_rank_targets(
+        q.select("qv"), "qv", (), ["(nn - 1) div 2 + 1"]
+    ).select(F.col("value").alias("mq"))
     cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
     c = q.crossJoin(F.broadcast(med)).agg(
         cnt((F.col("y") == 1) & (F.col("qv") > F.col("mq"))).alias("tp"),
@@ -587,11 +587,14 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_type") == "error").cast("int").alias("y"),
         _q6(F.col("value")).alias("qv"),
     )
-    r = with_total_rank(q.select("qv"), "qv", (), nn="nn")
-    ks = spark.range(1, 10).select(F.col("id").alias("k"))
-    thr = r.join(
-        F.broadcast(ks), F.expr("rn = (k * (nn - 1)) div 10 + 1")
-    ).select("k", F.col("qv").alias("t"))
+    # decile thresholds via targeted-bucket rank picks — only the ≤9
+    # buckets holding the target ranks are ever sorted
+    thr = with_rank_targets(
+        q.select("qv"), "qv", (), ["((tid + 1) * (nn - 1)) div 10 + 1"] * 9
+    ).select(
+        (F.col("tid") + 1).cast("long").alias("k"),
+        F.col("value").alias("t"),
+    )
     d38 = "decimal(38,0)"
     evx = (
         q.crossJoin(F.broadcast(thr))
@@ -714,11 +717,14 @@ def ml_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_type") == "purchase").cast("int").alias("y"),
         _q6(F.col("value")).alias("qv"),
     )
-    r = with_total_rank(q.select("qv"), "qv", (), nn="nn")
-    ks = spark.range(1, 10).select(F.col("id").alias("k"))
-    thr = r.join(
-        F.broadcast(ks), F.expr("rn = (k * (nn - 1)) div 10 + 1")
-    ).select("k", F.col("qv").alias("t"))
+    # decile thresholds via targeted-bucket rank picks — only the ≤9
+    # buckets holding the target ranks are ever sorted
+    thr = with_rank_targets(
+        q.select("qv"), "qv", (), ["((tid + 1) * (nn - 1)) div 10 + 1"] * 9
+    ).select(
+        (F.col("tid") + 1).cast("long").alias("k"),
+        F.col("value").alias("t"),
+    )
     cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
     c = (
         q.crossJoin(F.broadcast(thr))
@@ -1020,11 +1026,12 @@ def ml_gate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cheap projection off the scan is the 100 TB-correct tradeoff
     tr = base.filter(F.col("bucket") < 80).select("y", "qv")
     te = base.filter(F.col("bucket") >= 80).select("y", "qv")
-    r = with_total_rank(tr.select("qv"), "qv", (), nn="nn")
-    ks = spark.range(1, 10).select(F.col("id").alias("k"))
-    thr = r.join(
-        F.broadcast(ks), F.expr("rn = (k * (nn - 1)) div 10 + 1")
-    ).select("k", F.col("qv").alias("t"))
+    thr = with_rank_targets(
+        tr.select("qv"), "qv", (), ["((tid + 1) * (nn - 1)) div 10 + 1"] * 9
+    ).select(
+        (F.col("tid") + 1).cast("long").alias("k"),
+        F.col("value").alias("t"),
+    )
     d38 = "decimal(38,0)"
     evx = (
         tr.crossJoin(F.broadcast(thr))
@@ -1315,16 +1322,18 @@ def ml_gmm_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = ev.select(
         _q6(F.col("value")).alias("x"), "event_id"
     )
-    r = with_total_rank(q, "x", ("event_id",), nn="nn").select(
-        "x", "rn", "nn"
+    picks = with_rank_targets(
+        q,
+        "x",
+        ("event_id",),
+        [
+            "cast(ceil(0.25 * nn) as bigint)",
+            "cast(ceil(0.75 * nn) as bigint)",
+        ],
     )
-    init = r.agg(
-        F.max(
-            F.when(F.col("rn") == F.ceil(F.lit(0.25) * F.col("nn")), F.col("x"))
-        ).alias("mu1"),
-        F.max(
-            F.when(F.col("rn") == F.ceil(F.lit(0.75) * F.col("nn")), F.col("x"))
-        ).alias("mu2"),
+    init = picks.agg(
+        F.max(F.when(F.col("tid") == 0, F.col("value"))).alias("mu1"),
+        F.max(F.when(F.col("tid") == 1, F.col("value"))).alias("mu2"),
         F.max("nn").alias("n"),
     )
     prep = init.select(

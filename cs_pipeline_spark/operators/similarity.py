@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cs_pipeline_spark.operators.dedup import _sql_qdot, qdot
-from cs_pipeline_spark.operators.helpers import sql_davg, with_total_rank, one_part
+from cs_pipeline_spark.operators.helpers import sql_davg, with_rank_targets, one_part
 from cs_pipeline_spark.registry import register
 from cs_pipeline_spark.tables import load
 
@@ -4300,18 +4300,16 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("ratio_q")
     )
-    r = with_total_rank(dist, "ratio_q", (), nn="nn")
-    return r.agg(
+    med = with_rank_targets(
+        dist, "ratio_q", (), ["cast(ceil(0.5 * nn) as bigint)"]
+    ).agg(
         F.max("nn").cast("long").alias("n_pairs"),
+        (F.max("value").cast("double") / F.lit(1e9)).alias("median_ratio"),
+    )
+    ext = dist.agg(
         (F.min("ratio_q").cast("double") / F.lit(1e9)).alias("min_ratio"),
-        (
-            F.max(
-                F.when(
-                    F.col("rn") == F.ceil(F.lit(0.5) * F.col("nn")),
-                    F.col("ratio_q"),
-                )
-            ).cast("double")
-            / F.lit(1e9)
-        ).alias("median_ratio"),
         (F.max("ratio_q").cast("double") / F.lit(1e9)).alias("max_ratio"),
+    )
+    return med.crossJoin(F.broadcast(ext)).select(
+        "n_pairs", "min_ratio", "median_ratio", "max_ratio"
     )

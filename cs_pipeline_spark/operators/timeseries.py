@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from cs_pipeline_spark.operators.helpers import with_total_rank, one_part
+from cs_pipeline_spark.operators.helpers import with_rank_targets, one_part
 from cs_pipeline_spark.registry import register
 from cs_pipeline_spark.tables import EVENTS_TS_SQL, load
 
@@ -917,17 +917,26 @@ def win_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = p.join(s, "user_id").select(
         F.expr("(p_us - s_us) div 1000000").alias("lat_s")
     )
-    r = with_total_rank(d, "lat_s", (), nn="nn")
-    pick = lambda q: F.max(  # noqa: E731
-        F.when(
-            F.col("rn") == F.ceil(F.lit(q) * F.col("nn")), F.col("lat_s")
-        )
+    picks = with_rank_targets(
+        d,
+        "lat_s",
+        (),
+        [
+            "cast(ceil(0.5 * nn) as bigint)",
+            "cast(ceil(0.9 * nn) as bigint)",
+        ],
     )
-    return r.agg(
+    quant = picks.agg(
         F.max("nn").cast("long").alias("n_converted"),
-        pick(0.5).cast("long").alias("median_latency_s"),
-        pick(0.9).cast("long").alias("p90_latency_s"),
-        F.min("lat_s").cast("long").alias("min_latency_s"),
+        F.max(F.when(F.col("tid") == 0, F.col("value")))
+        .cast("long")
+        .alias("median_latency_s"),
+        F.max(F.when(F.col("tid") == 1, F.col("value")))
+        .cast("long")
+        .alias("p90_latency_s"),
+    )
+    return quant.crossJoin(
+        F.broadcast(d.agg(F.min("lat_s").cast("long").alias("min_latency_s")))
     )
 
 

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from cs_pipeline_spark.operators.helpers import one_part, with_total_rank, one_part
+from cs_pipeline_spark.operators.helpers import one_part, with_rank_targets, one_part
 from cs_pipeline_spark.registry import register
 from cs_pipeline_spark.tables import load
 
@@ -223,21 +223,19 @@ def agg_quantile_sketch_mergeable(
     """
     ev = load(spark, "events", sf_dir)
     q = ev.select(F.expr(_QV).alias("qv"), "event_id")
-    r = with_total_rank(q, "qv", ("event_id",), nn="n").select(
-        "qv", "rn", "n"
+    picks = with_rank_targets(
+        q,
+        "qv",
+        ("event_id",),
+        [
+            "cast(ceil(0.5 * nn) as bigint)",
+            "cast(ceil(0.99 * nn) as bigint)",
+        ],
     )
-    exact = r.agg(
-        F.max("n").alias("n"),
-        F.max(
-            F.when(
-                F.col("rn") == F.ceil(F.lit(0.5) * F.col("n")), F.col("qv")
-            )
-        ).alias("e50"),
-        F.max(
-            F.when(
-                F.col("rn") == F.ceil(F.lit(0.99) * F.col("n")), F.col("qv")
-            )
-        ).alias("e99"),
+    exact = picks.agg(
+        F.max("nn").alias("n"),
+        F.max(F.when(F.col("tid") == 0, F.col("value"))).alias("e50"),
+        F.max(F.when(F.col("tid") == 1, F.col("value"))).alias("e99"),
     )
     blen = lambda c: F.length(F.bin(c)).cast("long")  # noqa: E731
     hist = q.groupBy(blen(F.col("qv")).alias("b")).agg(
