@@ -1499,11 +1499,19 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("cnt").alias("est"))
     )
     total = ev.agg(F.count(F.lit(1)).alias("n_total"))
+    # top-K keys via orderBy+limit → TakeOrderedAndProject, then ranks
+    # re-derived on the K survivors only
     top = (
-        with_total_rank(
-            est, "n_exact", ("user_id",), rn="rn", descending=True
+        est.orderBy(F.col("n_exact").desc(), F.col("user_id"))
+        .limit(_CMS_TOPK)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(one_part("user_id")).orderBy(
+                    F.col("n_exact").desc(), F.col("user_id")
+                )
+            ),
         )
-        .filter(F.col("rn") <= _CMS_TOPK)
         .join(F.broadcast(total))
     )
     return top.select(
