@@ -1852,35 +1852,56 @@ def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     point of keeping per-segment HLLs in the metrics store.
     """
     ev = load(spark, "events", sf_dir)
-    clicks = ev.filter(F.col("event_type") == "click")
-    views = ev.filter(F.col("event_type") == "view")
     both = ev.filter(F.col("event_type").isin("click", "view"))
-    a = clicks.select("user_id").distinct()
-    b = views.select("user_id").distinct()
-    exact = a.join(b, "user_id").count()
-    est = (
-        clicks.agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("ea")
-        ).collect()[0].ea
-        + views.agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("eb")
-        ).collect()[0].eb
-        - both.agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("eu")
-        ).collect()[0].eu
+    a = both.filter(F.col("event_type") == "click").select(
+        "user_id"
+    ).distinct()
+    b = both.filter(F.col("event_type") == "view").select(
+        "user_id"
+    ).distinct()
+    # fully lazy: the three HLL sketches build in ONE pass over the
+    # filtered stream (when() nulls exclude the other segment — the
+    # sketch sees the identical distinct set as a pre-filter would);
+    # exact/union counts and the tolerance verdict are in-plan columns,
+    # so plan construction runs ZERO jobs (round-3's five eager
+    # collect()/count() calls were the eager-builder anti-pattern)
+    est = both.agg(
+        F.approx_count_distinct(
+            F.when(F.col("event_type") == "click", F.col("user_id")),
+            rsd=0.02,
+        ).alias("ea"),
+        F.approx_count_distinct(
+            F.when(F.col("event_type") == "view", F.col("user_id")),
+            rsd=0.02,
+        ).alias("eb"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("eu"),
     )
-    n_union = both.select("user_id").distinct().count()
-    ok = abs(est - exact) <= 0.1 * n_union + 2
+    exact = a.join(b, "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_both_exact")
+    )
+    n_union = both.select("user_id").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("nu")
+    )
     return (
         a.agg(F.count(F.lit(1)).cast("long").alias("n_click"))
         .join(b.agg(F.count(F.lit(1)).cast("long").alias("n_view")))
-        .join(
-            spark.createDataFrame(
-                [(exact, bool(ok))],
-                schema="n_both_exact bigint, estimate_ok boolean",
-            )
+        .join(F.broadcast(exact))
+        .join(F.broadcast(est))
+        .join(F.broadcast(n_union))
+        .select(
+            "n_click",
+            "n_view",
+            "n_both_exact",
+            (
+                F.abs(
+                    (F.col("ea") + F.col("eb") - F.col("eu")).cast(
+                        "double"
+                    )
+                    - F.col("n_both_exact").cast("double")
+                )
+                <= 0.1 * F.col("nu").cast("double") + 2.0
+            ).alias("estimate_ok"),
         )
-        .select("n_click", "n_view", "n_both_exact", "estimate_ok")
     )
 
 
