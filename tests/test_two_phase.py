@@ -198,3 +198,59 @@ def test_rank_plan_has_no_unpartitioned_fact_window(spark, sf_dir):
     for w in wins:
         if "row_number()" in w:
             assert "_tpb" in w, w
+
+
+def test_rank_targets_match_global_ranks(spark, sf_dir):
+    from cs_pipeline_spark.operators.helpers import with_rank_targets
+
+    q = _q(spark, sf_dir)
+    nn = q.count()
+    ref = q.select(
+        "qv", F.row_number().over(Window.orderBy("qv")).alias("rn")
+    )
+    targets = {k: (k * (nn - 1)) // 10 + 1 for k in range(1, 10)}
+    refvals = {
+        k: ref.filter(F.col("rn") == r).select("qv").collect()[0][0]
+        for k, r in targets.items()
+    }
+    got = with_rank_targets(
+        q.select("qv"),
+        "qv",
+        (),
+        ["((tid + 1) * (nn - 1)) div 10 + 1"] * 9,
+    )
+    rows = {r.tid: (r.rank, r.nn, r.value) for r in got.collect()}
+    assert len(rows) == 9
+    for k in range(1, 10):
+        assert rows[k - 1] == (targets[k], nn, refvals[k])
+
+
+def test_prefix_aggs_multi_matches_singles(spark, sf_dir):
+    from cs_pipeline_spark.operators.helpers import with_prefix_aggs
+
+    q = _q(spark, sf_dir)
+    wi = Window.orderBy("qv", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    we = Window.orderBy("qv", "event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ref = q.select(
+        "event_id",
+        F.sum("qv").over(wi).alias("cs"),
+        F.max("qv").over(we).alias("pm"),
+    )
+    got = with_prefix_aggs(
+        q,
+        "qv",
+        ("event_id",),
+        [("qv", "sum", "cs", True), ("qv", "max", "pm", False)],
+    ).select("event_id", "cs", "pm")
+    bad = (
+        ref.alias("a")
+        .join(got.alias("b"), "event_id")
+        .filter(
+            "a.cs <> b.cs or coalesce(a.pm, -1) <> coalesce(b.pm, -1)"
+        )
+    )
+    assert bad.count() == 0
