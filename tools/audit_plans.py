@@ -267,7 +267,10 @@ AUDIT: dict[str, dict] = {
     "emb_silhouette": {"smj": 0},
     "emb_matryoshka_eval": {"smj": 0},
     # user rollup shuffle + the desc and asc global windows
-    "win_kaplan_meier": {"exchange": 3},
+    # one_part marking of the day-spine windows adds one constant-key
+    # hash exchange vs the former implicit SinglePartition exchange —
+    # all four are over the O(days) spine, not the fact table
+    "win_kaplan_meier": {"exchange": 4},
     "dq_l_diversity": {"smj": 0},
     "ts_holt_linear": {"smj": 0},
     "agg_spearman_corr": {"exchange": 1, "smj": 0},
