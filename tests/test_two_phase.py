@@ -254,3 +254,19 @@ def test_prefix_aggs_multi_matches_singles(spark, sf_dir):
         )
     )
     assert bad.count() == 0
+
+
+def test_helpers_on_empty_input(spark):
+    from cs_pipeline_spark.operators.helpers import with_rank_targets
+
+    empty = spark.range(0).select(
+        F.col("id").alias("event_id"), (F.col("id") * 2).alias("qv")
+    )
+    assert with_total_rank(empty, "qv", ("event_id",), nn="nn").count() == 0
+    assert (
+        with_prefix_agg(empty, "qv", (), "qv", "sum", out="c").count() == 0
+    )
+    assert (
+        with_rank_targets(empty, "qv", (), ["(nn - 1) div 2 + 1"]).count()
+        == 0
+    )
