@@ -1087,3 +1087,96 @@ def corpus_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e9)
         ).alias("js_bits"),
     )
+
+
+# ---------- competence-based curriculum schedule ----------
+
+_CURR_EPOCHS = 5
+
+
+@register(
+    "corpus_curriculum_schedule",
+    f"""
+    WITH r AS (
+      SELECT doc_id, n_chars,
+             ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rk,
+             COUNT(*) OVER () AS n
+      FROM documents
+    ), d AS (
+      SELECT doc_id, n_chars,
+             (rk - 1) * 10 // n + 1 AS dec
+      FROM r
+    ), tot AS (SELECT SUM(n_chars) AS tt FROM documents),
+    e AS (SELECT unnest(range(1, {_CURR_EPOCHS} + 1)) AS epoch)
+    SELECT CAST(epoch AS BIGINT) AS epoch,
+           CAST(LEAST(2 * epoch, 10) AS BIGINT) AS max_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) * 1000000 // MAX(tot.tt) AS BIGINT)
+             AS token_share_ppm
+    FROM e JOIN d ON d.dec <= LEAST(2 * epoch, 10) CROSS JOIN tot
+    GROUP BY epoch
+    """,
+    doc=f"competence-based curriculum schedule over {_CURR_EPOCHS} "
+    "epochs: difficulty deciles (complexity proxy: doc length), each "
+    "epoch admits deciles ≤ 2·epoch — per-epoch doc/token budgets and "
+    "integer-ppm corpus share (Platanios et al. 2019 shape)",
+)
+def corpus_curriculum_schedule(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Curriculum learning's data-engineering half: order the corpus by
+    a difficulty score, cut into deciles, and admit harder deciles as
+    training competence grows (epoch e sees deciles ≤ 2e — the linear
+    competence function; swap the column for any scorer: perplexity,
+    quality, rarity). The emitted schedule rows are what a training
+    loop's sampler consumes: per-epoch document counts, token budgets,
+    and corpus-share ppm. Difficulty here is document LENGTH — the
+    standard cheap proxy (short→long curriculum); the op is
+    deliberately scorer-agnostic.
+
+    Integer discipline: decile assignment is exact integer rank
+    arithmetic ((rk−1)·10 div n + 1); shares are integer-ppm
+    floor-ratios of exact byte sums.
+
+    Scale: the only corpus-scale work is the two-phase rank
+    (``with_total_rank`` — bucketed, no single-partition sort) and one
+    map-side-combined aggregate per epoch×decile join against a
+    5-row broadcast epoch spine. The schedule output is O(epochs).
+    """
+    from cs_pipeline_spark.operators.helpers import with_total_rank
+
+    docs = load(spark, "documents", sf_dir).select("doc_id", "n_chars")
+    d = with_total_rank(
+        docs, "n_chars", ("doc_id",), rn="rk", nn="n"
+    ).select(
+        "n_chars",
+        F.expr("(cast(rk as bigint) - 1) * 10 div n + 1").alias("dec"),
+    )
+    tot = docs.agg(F.sum("n_chars").alias("tt"))
+    epochs = spark.range(1, _CURR_EPOCHS + 1).select(
+        F.col("id").alias("epoch")
+    )
+    adm = d.join(
+        F.broadcast(epochs),
+        F.col("dec") <= F.least(2 * F.col("epoch"), F.lit(10)),
+    )
+    return (
+        adm.groupBy("epoch")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_tokens"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("epoch").cast("long").alias("epoch"),
+            F.least(2 * F.col("epoch"), F.lit(10))
+            .cast("long")
+            .alias("max_decile"),
+            "n_docs",
+            "n_tokens",
+            F.expr("n_tokens * 1000000 div tt")
+            .cast("long")
+            .alias("token_share_ppm"),
+        )
+    )

@@ -147,3 +147,25 @@ def test_oov_ratio_bounds_and_vocab_coverage(spark, sf_dir):
     oov = sum(r["n_oov"] for r in rows)
     assert (oov > 0) == (n_terms > _VOCAB_K)
     assert oov < total
+
+
+def test_curriculum_schedule_monotone(spark, sf_dir):
+    from cs_pipeline_spark.operators.corpus import corpus_curriculum_schedule
+    from cs_pipeline_spark.tables import load
+
+    rows = {
+        r.epoch: r for r in corpus_curriculum_schedule(spark, sf_dir).collect()
+    }
+    assert set(rows) == {1, 2, 3, 4, 5}
+    n_docs_total = load(spark, "documents", sf_dir).count()
+    prev_docs, prev_tok = 0, 0
+    for e in range(1, 6):
+        r = rows[e]
+        assert r.max_decile == min(2 * e, 10)
+        # the curriculum only ever ADMITS more data
+        assert r.n_docs >= prev_docs and r.n_tokens >= prev_tok
+        prev_docs, prev_tok = r.n_docs, r.n_tokens
+        assert 0 <= r.token_share_ppm <= 1000000
+    # final epoch sees the whole corpus
+    assert rows[5].n_docs == n_docs_total
+    assert rows[5].token_share_ppm == 1000000
