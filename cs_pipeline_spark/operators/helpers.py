@@ -283,13 +283,19 @@ def with_total_rank(
 
     k = _c(key).cast("double")
     stats = df.agg(F.min(k).alias("_tp_mn"), F.max(k).alias("_tp_mx"))
+    raw_bucket = _bucket_col(
+        -k if descending else k,
+        -F.col("_tp_mx") if descending else F.col("_tp_mn"),
+        -F.col("_tp_mn") if descending else F.col("_tp_mx"),
+        nb,
+    )
+    # null keys: Spark sorts them FIRST ascending (asc_nulls_first,
+    # bucket -1 from _bucket_col's coalesce) but LAST under desc —
+    # park them ABOVE every real bucket in the descending case
     b = df.crossJoin(F.broadcast(stats)).withColumn(
         "_tpb",
-        _bucket_col(
-            -k if descending else k,
-            -F.col("_tp_mx") if descending else F.col("_tp_mn"),
-            -F.col("_tp_mn") if descending else F.col("_tp_mx"),
-            nb,
+        F.when(k.isNull(), F.lit(nb if descending else -1)).otherwise(
+            raw_bucket
         ),
     )
     order = [_c(key).desc() if descending else _c(key)] + [

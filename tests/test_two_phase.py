@@ -270,3 +270,31 @@ def test_helpers_on_empty_input(spark):
         with_rank_targets(empty, "qv", (), ["(nn - 1) div 2 + 1"]).count()
         == 0
     )
+
+
+def test_rank_null_keys_both_directions(spark):
+    # Spark semantics: asc → nulls first, desc → nulls last; the
+    # bucketed form must agree in both directions
+    df = spark.createDataFrame(
+        [(1, 5), (2, None), (3, 1), (4, None), (5, 9)],
+        "event_id long, qv long",
+    )
+    for desc in (False, True):
+        order = (
+            Window.orderBy(F.col("qv").desc(), "event_id")
+            if desc
+            else Window.orderBy("qv", "event_id")
+        )
+        ref = {
+            r.event_id: r.rn
+            for r in df.select(
+                "event_id", F.row_number().over(order).alias("rn")
+            ).collect()
+        }
+        got = {
+            r.event_id: r.rn
+            for r in with_total_rank(
+                df, "qv", ("event_id",), descending=desc
+            ).collect()
+        }
+        assert got == ref, (desc, got, ref)
