@@ -616,8 +616,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out_b.extend(ids[rest][keep].tolist())
                 out_c.extend(cos[keep].tolist())
         else:
-            ids_a, E_a, n_a = prep(pdf[pdf["s"] == ka])
-            ids_b, E_b, n_b = prep(pdf[pdf["s"] == kb])
+            pa = pdf[pdf["s"] == ka]
+            pb = pdf[pdf["s"] == kb]
+            if len(pa) == 0 or len(pb) == 0:
+                # a hash-salt group can be empty only on vanishingly
+                # small blocks (P ≈ (1-1/S)^n); no cross pairs exist
+                return pd.DataFrame(
+                    {"vec_a": [], "vec_b": [], "cos_sim": []}
+                )
+            ids_a, E_a, n_a = prep(pa)
+            ids_b, E_b, n_b = prep(pb)
             for i in range(len(ids_a)):
                 q = (
                     np.floor(E_a[i][None, :] * E_b * 1000000.0 + 0.5)

@@ -85,6 +85,7 @@ def _scratch(sf_dir: str, name: str) -> str:
 
 _FIXTURES: list = []
 _ENSURED: set[str] = set()
+_ENSURE_LOCK = __import__("threading").Lock()
 
 
 def _fixture(fn):
@@ -99,20 +100,26 @@ def ensure_fixtures(spark: SparkSession, sf_dir: str) -> None:
     if root in _ENSURED:
         return
     marker = os.path.join(root, "_fixtures_done")
-    if not os.path.exists(marker):
-        ok = True
-        for fn in _FIXTURES:
-            try:
-                fn(spark, sf_dir)
-            except Exception:
-                # partial test dirs (a tempdir carrying one table)
-                # cannot build every fixture; an op that reads a
-                # missing fixture still fails loudly at its own scan
-                ok = False
-        if ok:
-            with open(marker, "w") as f:
-                f.write("ok")
-    _ENSURED.add(root)
+    # serialize the sweep: concurrent sessions (registry docstring's
+    # server pattern) must not interleave writes into the same scratch
+    # generation
+    with _ENSURE_LOCK:
+        if root in _ENSURED:
+            return
+        if not os.path.exists(marker):
+            ok = True
+            for fn in _FIXTURES:
+                try:
+                    fn(spark, sf_dir)
+                except Exception:
+                    # partial test dirs (a tempdir carrying one table)
+                    # cannot build every fixture; an op that reads a
+                    # missing fixture still fails loudly at its own scan
+                    ok = False
+            if ok:
+                with open(marker, "w") as f:
+                    f.write("ok")
+        _ENSURED.add(root)
 
 
 # ---------- tolerant CSV scan ----------
