@@ -111,3 +111,33 @@ def test_zorder_locality_beats_linear(spark, sf_dir):
     assert sum(r.n_rows for r in by["zorder"]) == sum(
         r.n_rows for r in by["linear"]
     )
+
+
+def test_salted_skew_join_equals_plain(spark, sf_dir):
+    """The salted plan's result must equal the plain join exactly —
+    and the salted fact side must actually spread the hot key."""
+    from pyspark.sql import functions as F
+
+    from cs_pipeline_spark.operators.scale import join_salted_skew
+    from cs_pipeline_spark.tables import load
+
+    got = {r.seg: (r.n_rows, r.vq_total) for r in join_salted_skew(spark, sf_dir).collect()}
+    ev = load(spark, "events", sf_dir)
+    fact = ev.selectExpr(
+        "CASE WHEN event_id % 3 = 0 THEN 0 ELSE user_id END AS uid",
+        "CAST(FLOOR(value * 1000000.0 + 0.5) AS LONG) AS vq",
+    )
+    dim = ev.selectExpr("user_id AS uid", "user_id % 7 AS seg").union(
+        spark.sql("SELECT 0, 0")
+    ).distinct()
+    ref = {
+        r.seg: (r.n, r.t)
+        for r in fact.join(dim, "uid")
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("vq").cast("decimal(38,0)")).cast("long").alias("t"),
+        )
+        .collect()
+    }
+    assert got == ref
