@@ -351,6 +351,9 @@ AUDIT: dict[str, dict] = {
     "sample_reservoir_merge": {"smj": 0}, # two-phase rank + shard top-k
     "scan_raster_decode": {"exchange": 0}, # binaryFile → mapInPandas, no shuffle
     "features_user_rfm": {"smj": 0},       # ntile from two-phase ranks
+    "join_salted_skew": {"smj": 0},        # salted equi-join, no SMJ
+    "corpus_curriculum_schedule": {"smj": 0},
+    "scan_zorder_layout": {"smj": 0},
 }
 
 
