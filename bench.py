@@ -91,6 +91,9 @@ HEADLINE = [
     "sim_ivf_nprobe_recall",
     "dedup_clusters",
     "scan_raster_decode",
+    # round-4 late wave: privacy audit family representative (4x
+    # fan-out before one shuffle — the heaviest of the five)
+    "privacy_generalization_ladder",
 ]
 
 

@@ -153,6 +153,7 @@ def _load_all_modules() -> None:
         pipeline_events,
         pipeline_point,
         predictors,
+        privacy,
         relational,
         reshape,
         scale,

@@ -354,6 +354,12 @@ AUDIT: dict[str, dict] = {
     "join_salted_skew": {"smj": 0},        # salted equi-join, no SMJ
     "corpus_curriculum_schedule": {"smj": 0},
     "scan_zorder_layout": {"smj": 0},
+    "privacy_k_anonymity": {"smj": 0},    # two hash aggs, no joins
+    "privacy_l_diversity": {"smj": 0},
+    "privacy_generalization_ladder": {"smj": 0},  # fan-out before ONE shuffle
+    "privacy_dp_counts": {"smj": 0},      # one count shuffle + sort
+    "privacy_t_closeness": {"smj": 0},    # global mix broadcasts
+    "privacy_anonymize_release": {},      # class-keyed equi-join (either strategy ok)
 }
 
 
