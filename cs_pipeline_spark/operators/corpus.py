@@ -1175,7 +1175,9 @@ def corpus_curriculum_schedule(
             .alias("max_decile"),
             "n_docs",
             "n_tokens",
-            F.expr("n_tokens * 1000000 div tt")
+            # decimal(38,0) product: n_tokens*1e6 overflows int64 past
+            # ~9.2e12 chars per epoch (DuckDB promotes SUM to HUGEINT)
+            F.expr("cast(n_tokens as decimal(38,0)) * 1000000 div tt")
             .cast("long")
             .alias("token_share_ppm"),
         )

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from cs_pipeline_spark.operators.helpers import one_part, with_rank_targets, one_part
+from cs_pipeline_spark.operators.helpers import one_part, with_rank_targets
 from cs_pipeline_spark.registry import register
 from cs_pipeline_spark.tables import load
 

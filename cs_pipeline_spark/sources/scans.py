@@ -95,18 +95,33 @@ def _fixture(fn):
 
 def ensure_fixtures(spark: SparkSession, sf_dir: str) -> None:
     """Materialize every scratch fixture for ``sf_dir`` (idempotent)."""
+    # _FIXTURES is populated by module imports; a session that imported
+    # only some operator modules must not sweep (and mark done) a
+    # partial set — force the full registration first. Runtime import
+    # avoids the registry<->scans cycle.
+    from cs_pipeline_spark.registry import _load_all_modules
+
+    _load_all_modules()
     tag = os.path.basename(os.path.normpath(sf_dir))
     root = os.path.join(_SCRATCH, f"{tag}-{_sf_fingerprint(sf_dir)}")
     if root in _ENSURED:
         return
     marker = os.path.join(root, "_fixtures_done")
+    names = sorted(f"{fn.__module__}.{fn.__qualname__}" for fn in _FIXTURES)
     # serialize the sweep: concurrent sessions (registry docstring's
     # server pattern) must not interleave writes into the same scratch
     # generation
     with _ENSURE_LOCK:
         if root in _ENSURED:
             return
-        if not os.path.exists(marker):
+        done: set[str] = set()
+        if os.path.exists(marker):
+            with open(marker) as f:
+                done = set(f.read().split())
+        # the marker records WHICH fixtures the completed sweep covered;
+        # a marker written by an older/partial registration never
+        # short-circuits a fuller one
+        if not set(names) <= done:
             ok = True
             for fn in _FIXTURES:
                 try:
@@ -118,7 +133,7 @@ def ensure_fixtures(spark: SparkSession, sf_dir: str) -> None:
                     ok = False
             if ok:
                 with open(marker, "w") as f:
-                    f.write("ok")
+                    f.write("\n".join(sorted(set(names) | done)))
         _ENSURED.add(root)
 
 

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cs_pipeline_spark.registry import register
+from cs_pipeline_spark.sources.scans import _fixture, _scratch
 
 # TIFF field types → byte widths (TIFF 6.0 §2)
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
@@ -218,6 +219,13 @@ def write_raster_fixtures(out_dir: str) -> list[str]:
     return paths
 
 
+@_fixture
+def _fx_raster_tifs(spark: SparkSession, sf_dir: str) -> None:
+    """ensure_fixtures hook: materialize the TIFF fixtures in scratch
+    so the registered builder stays pure (computes paths + reads)."""
+    write_raster_fixtures(_scratch(sf_dir, "real_tifs"))
+
+
 def decode_raster_df(spark: SparkSession, tif_dir: str) -> DataFrame:
     """binaryFile scan over ``*.tif`` → mapInPandas decode → long grid
     rows ``(fname, y_idx, x_idx, wtd)``. The filename (never the
@@ -298,10 +306,8 @@ def scan_raster_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (when present) swaps in transparently for compressed/tiled
     GeoTIFFs.
     """
-    from cs_pipeline_spark.sources.scans import _scratch
 
     tif_dir = _scratch(sf_dir, "real_tifs")
-    write_raster_fixtures(tif_dir)
     df = decode_raster_df(spark, tif_dir)
     file_date = F.to_date(
         F.regexp_extract(F.col("fname"), r"wtd-v1-(\d{8})", 1), "yyyyMMdd"
