@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cs_pipeline_spark.operators.helpers import one_part
-from cs_pipeline_spark.registry import register
+from cs_pipeline_spark.registry import pin, register
 from cs_pipeline_spark.tables import load
 
 # ---------- shared text prep ----------
@@ -878,8 +878,8 @@ def connected_components(
         both.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .persist()
     )
+    labels = pin(labels)
     # Labels start at node-id and only ever DECREASE (least of self,
     # neighbors, and label-of-label), so Σlabel is a strictly-decreasing
     # progress measure: unchanged sum ⟺ fixpoint. That makes the

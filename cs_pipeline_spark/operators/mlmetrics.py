@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from cs_pipeline_spark.operators.dedup import _NORM, _NORM_DUCK
 from cs_pipeline_spark.operators.helpers import with_rank_targets, with_total_rank, one_part
-from cs_pipeline_spark.registry import register
+from cs_pipeline_spark.registry import pin, register
 from cs_pipeline_spark.tables import load
 
 
@@ -583,9 +583,13 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a heuristic splitter — Gini evaluation stays exact).
     """
     ev = load(spark, "events", sf_dir)
-    q = ev.select(
-        (F.col("event_type") == "error").cast("int").alias("y"),
-        _q6(F.col("value")).alias("qv"),
+    # pinned: consumed by the rank-target pass AND the candidate
+    # cross-join; lifetime bounded by the registry LRU entry
+    q = pin(
+        ev.select(
+            (F.col("event_type") == "error").cast("int").alias("y"),
+            _q6(F.col("value")).alias("qv"),
+        )
     )
     # decile thresholds via targeted-bucket rank picks — only the ≤9
     # buckets holding the target ranks are ever sorted
@@ -1020,11 +1024,11 @@ def ml_gate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("event_id") % F.lit(_GATE_P)) * F.lit(_GATE_MULT)
         ).__mod__(F.lit(_GATE_P)).__mod__(F.lit(100)).alias("bucket"),
     )
-    # no .persist(): builders are memoized in the registry LRU, so
-    # cached blocks would outlive evicted builders (CLAUDE.md round-2
-    # gotcha); each subtree is consumed 2-3 times and recomputing the
-    # cheap projection off the scan is the 100 TB-correct tradeoff
-    tr = base.filter(F.col("bucket") < 80).select("y", "qv")
+    # pinned (registry.pin): each subtree is consumed 2-3 times; pin
+    # ties the cached blocks to this builder's LRU entry so eviction
+    # unpersists them (raw .persist() here was the round-2 OOM class)
+    base = pin(base)
+    tr = pin(base.filter(F.col("bucket") < 80).select("y", "qv"))
     te = base.filter(F.col("bucket") >= 80).select("y", "qv")
     thr = with_rank_targets(
         tr.select("qv"), "qv", (), ["((tid + 1) * (nn - 1)) div 10 + 1"] * 9

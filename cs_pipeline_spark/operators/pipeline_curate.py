@@ -63,7 +63,7 @@ from cs_pipeline_spark.operators.text import (
     _hits,
     _sql_hits,
 )
-from cs_pipeline_spark.registry import register
+from cs_pipeline_spark.registry import pin, register
 from cs_pipeline_spark.tables import load
 
 _BENCH_MOD = 97  # keep in sync with corpus.text_contamination_check
@@ -176,10 +176,8 @@ def curate_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # splits) — persist it so the scan→quality→dedup prefix runs once
     # (at 100 TB: persist the id-set + token arrays, not raw text).
     w = Window.partitionBy(F.md5("norm")).orderBy("doc_id")
-    ek = (
-        q.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .persist()
+    ek = pin(
+        q.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     )
 
     # near-dup removal: blocked 3-gram Jaccard, keep-first
@@ -205,7 +203,7 @@ def curate_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("b.doc_id").alias("doc_id"))
         .distinct()
     )
-    nk = ek.join(near_removed, "doc_id", "left_anti").persist()
+    nk = pin(ek.join(near_removed, "doc_id", "left_anti"))
 
     # decontamination: 4-gram overlap vs the held-out set
     bench_g = bench.select(
@@ -220,7 +218,7 @@ def curate_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
-    dk = nk.join(contam, "doc_id", "left_anti").persist()
+    dk = pin(nk.join(contam, "doc_id", "left_anti"))
 
     # 80/10/10 split (sample_train_split hash)
     bucket = (

@@ -45,7 +45,7 @@ from cs_pipeline_spark.plans.agg_compiler import (
     compile_agg_schema,
     compile_agg_schema_sql,
 )
-from cs_pipeline_spark.registry import register
+from cs_pipeline_spark.registry import pin, register
 
 # Representative predictor set spanning every formula family, incl.
 # the two that consume the enrichment joins (CO2 ← xco2, WTD ← wtd).
@@ -70,8 +70,8 @@ def process_area(
     # both enrichment snaps — without this the CO₂ and WTD snap
     # mappings each re-scan the fact table for the same distincts
     # (2 extra full-table aggregations at 100 TB).
-    lat_d = era5.select("latitude").distinct().persist()
-    lon_d = era5.select("longitude").distinct().persist()
+    lat_d = pin(era5.select("latitude").distinct())
+    lon_d = pin(era5.select("longitude").distinct())
 
     # --- CO₂ enrichment (dataset.py:36-64) ---
     co2 = _co2_frame(spark, sf_dir)

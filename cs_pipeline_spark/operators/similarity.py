@@ -44,7 +44,7 @@ from pyspark.sql.window import Window
 
 from cs_pipeline_spark.operators.dedup import _sql_qdot, qdot
 from cs_pipeline_spark.operators.helpers import sql_davg, with_rank_targets, one_part
-from cs_pipeline_spark.registry import register
+from cs_pipeline_spark.registry import pin, register
 from cs_pipeline_spark.tables import load
 
 TOP_K = 10
@@ -1875,7 +1875,8 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
                 x.cast("double") * F.lit(1e6) + F.lit(0.5)
             ).cast("long"),
         ).alias("eq"),
-    ).persist()
+    )
+    eqs = pin(eqs)
     cents = eqs.filter(F.col("vec_id") < _KM_K).select(
         F.col("vec_id").alias("cluster_id"), F.col("eq").alias("cq")
     )

@@ -37,7 +37,7 @@ from cs_pipeline_spark.operators.dedup import (
     _tokens,
     shingles,
 )
-from cs_pipeline_spark.registry import register
+from cs_pipeline_spark.registry import pin, register
 from cs_pipeline_spark.tables import load
 
 _DUCK_TOKENS = f"string_split({_NORM_DUCK}, ' ')"
@@ -588,9 +588,9 @@ def train_assembly_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(_tokens(F.expr(_NORM))).alias("n_tokens"),
             F.length(F.expr(_NORM)).alias("n_chars"),
         )
-        .persist()
     )
-    emb = base.join(emb_ids, "doc_id").persist()
+    base = pin(base)
+    emb = pin(base.join(emb_ids, "doc_id"))
 
     n_chunks = F.when(F.col("n_chars") <= _CHUNK, F.lit(1)).otherwise(
         F.ceil((F.col("n_chars") - _CHUNK).cast("double") / _STRIDE) + 1

@@ -39,6 +39,31 @@ _PLAN_LRU: OrderedDict[tuple, DataFrame] = OrderedDict()
 _PLAN_LOCK = threading.Lock()
 
 
+# Intermediate DataFrames a builder persisted via pin(): keyed by the
+# builder's LRU key so eviction unpersists the WHOLE subtree's cached
+# blocks, not just the top-level DataFrame. Without this, a persist()
+# on an intermediate outlives its evicted builder (the round-2 OOM
+# class) — which is why round 4 stripped them and paid 4× recompute on
+# the multi-pass ML ops. pin() restores the caching with a bounded
+# lifetime.
+_PINNED: dict[tuple, list[DataFrame]] = {}
+_PIN_STACK = threading.local()
+
+
+def pin(df: DataFrame, level=None) -> DataFrame:
+    """persist() an intermediate DataFrame inside a registered builder
+    and tie its cached blocks to the builder's LRU entry: evicting the
+    entry unpersists every pinned intermediate. Multi-pass builders
+    (train/test reuse, funnel stages) use this instead of raw
+    .persist(), which would leak blocks past eviction."""
+    out = df.persist() if level is None else df.persist(level)
+    stack = getattr(_PIN_STACK, "s", None)
+    if stack:
+        with _PLAN_LOCK:
+            _PINNED.setdefault(stack[-1], []).append(out)
+    return out
+
+
 def _lru_get(key: tuple) -> DataFrame | None:
     with _PLAN_LOCK:
         df = _PLAN_LRU.get(key)
@@ -53,7 +78,9 @@ def _lru_put(key: tuple, df: DataFrame) -> None:
         _PLAN_LRU[key] = df
         _PLAN_LRU.move_to_end(key)
         while len(_PLAN_LRU) > _PLAN_LRU_MAX:
-            evicted.append(_PLAN_LRU.popitem(last=False)[1])
+            old_key, old_df = _PLAN_LRU.popitem(last=False)
+            evicted.append(old_df)
+            evicted.extend(_PINNED.pop(old_key, []))
     for old in evicted:
         try:
             old.unpersist(blocking=False)  # no-op if never persisted
@@ -101,7 +128,17 @@ def register(name: str, oracle: str | None, doc: str = ""):
                 from cs_pipeline_spark.sources.scans import ensure_fixtures
 
                 ensure_fixtures(spark, sf_dir)
-                df = fn(spark, sf_dir)
+                # the key is visible to pin() while fn runs, so
+                # intermediate persists share this entry's lifetime
+                stack = getattr(_PIN_STACK, "s", None)
+                if stack is None:
+                    stack = []
+                    _PIN_STACK.s = stack
+                stack.append(key)
+                try:
+                    df = fn(spark, sf_dir)
+                finally:
+                    stack.pop()
                 _lru_put(key, df)
             return df
 
