@@ -3718,3 +3718,80 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.element_at(ms, _BOOT_LO_RANK), 6).alias("boot_lo"),
         dround(F.element_at(ms, _BOOT_HI_RANK), 6).alias("boot_hi"),
     )
+
+
+# ---------- probability-proportional-to-size systematic sampling ----------
+
+_PPS_K = 50
+
+
+@register(
+    "sample_pps_systematic",
+    f"""
+    WITH h AS (SELECT doc_id, lang, n_chars,
+               ((doc_id % {_SPLIT_PRIME}) * {_SPLIT_MULT}) % {_SPLIT_PRIME}
+                 AS hkey
+               FROM documents),
+    c AS (SELECT doc_id, lang, n_chars,
+          SUM(n_chars) OVER (ORDER BY hkey, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          SUM(n_chars) OVER () AS tot
+          FROM h)
+    SELECT doc_id, lang, n_chars,
+           CAST((cum * {_PPS_K}) // NULLIF(tot, 0) AS BIGINT) AS pick_idx
+    FROM c
+    WHERE (cum * {_PPS_K}) // NULLIF(tot, 0)
+        > ((cum - n_chars) * {_PPS_K}) // NULLIF(tot, 0)
+    """,
+    doc=f"weighted sampling without replacement: systematic PPS over a "
+    f"deterministic hash order — ~{_PPS_K} docs drawn with probability "
+    "proportional to n_chars, exact integer arithmetic end-to-end "
+    "(the token-budget-fair corpus subsample rand() cannot reproduce)",
+)
+def sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-proportional-to-size systematic sampling: order docs
+    by a multiplicative key hash (a reproducible shuffle), take the
+    running weight sum, and select every doc whose cumulative-weight
+    interval contains a pick index i·W/k. Inclusion probability is
+    exactly k·w/W for w < W/k (docs heavier than a stride are taken
+    with certainty — emitted once, standard PPS 'certainty items').
+    Fully deterministic: a pure function of (doc_id, n_chars), no
+    rand(), identical under any partitioning.
+
+    The pick test is integer-exact on both engines: Spark computes
+    (cum·k) div W on decimal(38,0) (Σ n_chars · k can pass int64 at
+    corpus scale — the CLAUDE.md big-moments rule), DuckDB's SUM is
+    already HUGEINT; both truncate the non-negative quotient the same.
+
+    Scale: the running sum is ``with_prefix_agg`` — value-range
+    bucketed two-phase prefix sum, no single-executor window; the
+    total is one map-side-combined scalar broadcast. One shuffle +
+    one broadcast at any corpus size.
+    """
+    docs = load(spark, "documents", sf_dir)
+    hkey = (
+        (F.col("doc_id") % F.lit(_SPLIT_PRIME)) * F.lit(_SPLIT_MULT)
+    ) % F.lit(_SPLIT_PRIME)
+    base = docs.select("doc_id", "lang", "n_chars", hkey.alias("hkey"))
+    c = with_prefix_agg(
+        base, "hkey", (F.col("doc_id"),), "n_chars", kind="sum", out="cum"
+    )
+    tot = docs.agg(F.sum("n_chars").cast("decimal(38,0)").alias("tot"))
+    hi = F.expr(
+        f"cast(cum as decimal(38,0)) * {_PPS_K} div nullif(tot, 0)"
+    )
+    lo = F.expr(
+        f"cast(cum - n_chars as decimal(38,0)) * {_PPS_K} div nullif(tot, 0)"
+    )
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .withColumn("_hi", hi)
+        .withColumn("_lo", lo)
+        .filter(F.col("_hi") > F.col("_lo"))
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.col("_hi").cast("long").alias("pick_idx"),
+        )
+    )

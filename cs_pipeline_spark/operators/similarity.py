@@ -4314,3 +4314,101 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return med.crossJoin(F.broadcast(ext)).select(
         "n_pairs", "min_ratio", "median_ratio", "max_ratio"
     )
+
+
+# ---------- int8 quantization calibration (serving/export prep) ----------
+
+_I8_DIM = 64
+_I8_LEVELS = 255
+
+
+@register(
+    "emb_int8_calibrate",
+    f"""
+    WITH x AS (SELECT unnest(range(1, {_I8_DIM} + 1)) - 1 AS dim,
+               CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)
+                          * 1000000.0 + 0.5) AS BIGINT) AS q
+               FROM embeddings),
+    st AS (SELECT dim, MIN(q) AS qmin, MAX(q) AS qmax,
+           COUNT(*) AS n FROM x GROUP BY dim),
+    c AS (SELECT x.dim, x.q, st.qmin, st.qmax, st.n,
+          CASE WHEN st.qmax > st.qmin
+               THEN ((x.q - st.qmin) * {_I8_LEVELS}) // (st.qmax - st.qmin)
+               ELSE 0 END AS code
+          FROM x JOIN st ON x.dim = st.dim),
+    r AS (SELECT dim, qmin, qmax, n,
+          ABS(q - (qmin + (code * (qmax - qmin)) // {_I8_LEVELS})) AS err
+          FROM c)
+    SELECT CAST(dim AS BIGINT) AS dim,
+           CAST(MAX(qmin) AS BIGINT) AS qmin,
+           CAST(MAX(qmax) AS BIGINT) AS qmax,
+           CAST(MAX(n) AS BIGINT) AS n_vals,
+           CAST(SUM(err) AS BIGINT) AS sum_abs_err,
+           CAST(MAX(err) AS BIGINT) AS max_err
+    FROM r GROUP BY dim
+    """,
+    doc="int8 quantization calibration per embedding dimension: "
+    "min/max range, asymmetric 255-level codes, and the exact "
+    "reconstruction-error profile (sum + max of |dequant − value| in "
+    "integer micro-units) — the PTQ calibration table a serving "
+    "exporter emits, fully integer-exact",
+)
+def emb_int8_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-training-quantization calibration over the embedding
+    corpus: per dimension, the [min, max] clip range, then for every
+    value its asymmetric uint8 code ((q−min)·255) div span and the
+    integer reconstruction error vs min + (code·span) div 255. The
+    output is the per-dim calibration + error table (range, count,
+    Σ|err|, max|err|) an int8 exporter needs to decide per-channel vs
+    per-tensor scales.
+
+    Everything runs on 1e-6-quantized integers (float32→double→micro
+    int is exact), so codes and errors are bit-identical across
+    engines — no float division anywhere.
+
+    Scale: explode is dim-bounded (64× fan-out), the stats aggregate
+    is map-side combined to 64 rows and broadcast back; the error
+    pass re-reads the fact side once. Two narrow shuffles total,
+    independent of corpus size.
+    """
+    emb = load(spark, "embeddings", sf_dir)
+    x = emb.select(
+        F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "dim",
+        F.floor(F.col("v").cast("double") * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("q"),
+    )
+    st = x.groupBy("dim").agg(
+        F.min("q").alias("qmin"),
+        F.max("q").alias("qmax"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    c = x.join(F.broadcast(st), "dim").withColumn(
+        "code",
+        F.expr(
+            f"CASE WHEN qmax > qmin THEN ((q - qmin) * {_I8_LEVELS}) "
+            "div (qmax - qmin) ELSE 0 END"
+        ),
+    )
+    r = c.withColumn(
+        "err",
+        F.expr(
+            f"ABS(q - (qmin + (code * (qmax - qmin)) div {_I8_LEVELS}))"
+        ),
+    )
+    return r.groupBy("dim").agg(
+        F.max("qmin").cast("long").alias("qmin"),
+        F.max("qmax").cast("long").alias("qmax"),
+        F.max("n").cast("long").alias("n_vals"),
+        F.sum("err").cast("long").alias("sum_abs_err"),
+        F.max("err").cast("long").alias("max_err"),
+    ).select(
+        F.col("dim").cast("long").alias("dim"),
+        "qmin",
+        "qmax",
+        "n_vals",
+        "sum_abs_err",
+        "max_err",
+    )

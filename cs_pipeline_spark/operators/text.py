@@ -1330,3 +1330,166 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("fertility_ppm"),
     )
+
+
+# ---------- BPE tokenizer training (merge-pair statistics) ----------
+#
+# Byte-pair-encoding training (Sennrich et al. 2016) is an iterative
+# count-adjacent-symbol-pairs → merge-argmax loop over word TYPES
+# weighted by frequency. Both steps are pure relational algebra: the
+# pair count is a map-side-combined aggregate over exploded adjacent
+# pairs, and applying a merge is a string rewrite on the spaced symbol
+# form. These two ops are one full iteration of the loop, run in-engine.
+
+_BPE_TOPN = 20
+
+
+def _word_counts(docs: DataFrame) -> DataFrame:
+    """Word-type frequencies: the BPE corpus representation (symbol
+    work scales with DISTINCT words, not corpus tokens)."""
+    return (
+        docs.select(F.explode(_tokens(F.expr(_NORM))).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("wn"))
+    )
+
+
+_BPE_WC_SQL = f"""
+    w AS (SELECT unnest(string_split({_NORM_DUCK}, ' ')) AS w
+          FROM documents),
+    wc AS (SELECT w, COUNT(*) AS wn FROM w
+           WHERE length(w) >= 2 GROUP BY w)
+"""
+
+_BPE_PAIR_SQL = """
+    p AS (SELECT wn, unnest(list_transform(range(1, length(w)),
+            i -> substr(w, CAST(i AS INT), 1) || ' ' ||
+                 substr(w, CAST(i AS INT) + 1, 1))) AS pair
+          FROM wc)
+"""
+
+
+@register(
+    "text_bpe_pair_stats",
+    f"""
+    WITH {_BPE_WC_SQL}, {_BPE_PAIR_SQL}
+    SELECT pair, CAST(SUM(wn) AS BIGINT) AS n
+    FROM p GROUP BY pair
+    ORDER BY n DESC, pair LIMIT {_BPE_TOPN}
+    """,
+    doc=f"BPE tokenizer training, find step: top-{_BPE_TOPN} adjacent "
+    "character-pair frequencies over word types weighted by word "
+    "frequency (Sennrich et al. 2016) — the merge-candidate table of "
+    "one training iteration, exact integer counts",
+)
+def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE find step: count adjacent symbol pairs over word types.
+
+    Plan: words aggregate once (map-side combined — pair generation
+    runs over DISTINCT words, the Zipf head, not corpus tokens), pairs
+    explode from an index sequence (1-based substring, both engines),
+    top-N via orderBy().limit() → TakeOrderedAndProject. Ties break on
+    the pair string — deterministic.
+
+    Scale: pair cardinality is ≤ alphabet², the word-type table is
+    Zipf-bounded; nothing here grows with corpus rows except the one
+    word-count shuffle. The 100 TB path is identical.
+    """
+    wc = _word_counts(load(spark, "documents", sf_dir))
+    pair_arr = F.expr(
+        "transform(sequence(1, length(w) - 1), "
+        "i -> concat(substring(w, i, 1), ' ', substring(w, i + 1, 1)))"
+    )
+    return (
+        wc.select(F.explode(pair_arr).alias("pair"), "wn")
+        .groupBy("pair")
+        .agg(F.sum("wn").cast("long").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(_BPE_TOPN)
+    )
+
+
+@register(
+    "text_bpe_merge_apply",
+    f"""
+    WITH {_BPE_WC_SQL}, {_BPE_PAIR_SQL},
+    top1 AS (SELECT pair AS merged FROM (
+        SELECT pair, SUM(wn) AS n FROM p GROUP BY pair
+        ORDER BY n DESC, pair LIMIT 1)),
+    sp AS (SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS spaced,
+           wn FROM wc),
+    m AS (SELECT t.merged,
+          string_split(replace(spaced, t.merged,
+                               replace(t.merged, ' ', '')), ' ') AS syms,
+          wn
+          FROM sp CROSS JOIN top1 t),
+    np AS (SELECT merged, wn,
+           unnest(list_transform(range(1, greatest(len(syms) - 1, 0) + 1),
+             i -> syms[CAST(i AS INT)] || ' ' ||
+                  syms[CAST(i AS INT) + 1])) AS pair
+           FROM m)
+    SELECT merged, pair, CAST(SUM(wn) AS BIGINT) AS n
+    FROM np GROUP BY merged, pair
+    ORDER BY n DESC, pair LIMIT 10
+    """,
+    doc="BPE tokenizer training, merge step: apply the argmax pair "
+    "(leftmost non-overlapping, the BPE greedy rule) to every word "
+    "type and emit the next iteration's top-10 pair counts — symbols "
+    "are now mixed-width, proving the loop closes",
+)
+def text_bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full BPE iteration: find the argmax pair, rewrite every
+    word's spaced symbol form with the merged token (string replace =
+    leftmost non-overlapping application, exactly the BPE greedy
+    rule), and recount adjacent pairs over the new mixed-width
+    symbols.
+
+    The argmax is a 1-row broadcast; the rewrite is expression-side
+    string work per word TYPE. Further iterations repeat this op's
+    shape with the merge table growing by one row per step — at real
+    training scale the loop runs k times with a ``localCheckpoint``
+    per round (the iterative-op convention, CLAUDE.md).
+
+    Scale: same bounds as text_bpe_pair_stats — word types, not
+    corpus tokens; the only new stage is a 1-row broadcast join.
+    """
+    wc = _word_counts(load(spark, "documents", sf_dir))
+    pair_arr = F.expr(
+        "transform(sequence(1, length(w) - 1), "
+        "i -> concat(substring(w, i, 1), ' ', substring(w, i + 1, 1)))"
+    )
+    top1 = (
+        wc.select(F.explode(pair_arr).alias("pair"), "wn")
+        .groupBy("pair")
+        .agg(F.sum("wn").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(1)
+        .select(F.col("pair").alias("merged"))
+    )
+    m = (
+        wc.crossJoin(F.broadcast(top1))
+        .select(
+            "merged",
+            "wn",
+            F.split(
+                F.expr(
+                    "replace(trim(regexp_replace(w, '(.)', '$1 ')), "
+                    "merged, replace(merged, ' ', ''))"
+                ),
+                " ",
+            ).alias("syms"),
+        )
+        .filter(F.size("syms") >= 2)
+    )
+    new_pairs = F.expr(
+        "transform(sequence(1, size(syms) - 1), "
+        "i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1)))"
+    )
+    return (
+        m.select("merged", F.explode(new_pairs).alias("pair"), "wn")
+        .groupBy("merged", "pair")
+        .agg(F.sum("wn").cast("long").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(10)
+    )

@@ -1,0 +1,64 @@
+"""Round-5 ops: PPS systematic sampling, BPE training steps, int8
+quantization calibration."""
+
+from pyspark.sql import functions as F
+
+from cs_pipeline_spark import registry
+
+
+def test_pps_sample_size_and_uniqueness(spark, sf_dir):
+    from cs_pipeline_spark.operators.aggregate import _PPS_K
+
+    rows = registry.queries()["sample_pps_systematic"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= _PPS_K
+    idx = [r["pick_idx"] for r in rows]
+    assert len(set(idx)) == len(idx)  # one doc per pick stride
+    assert all(1 <= i <= _PPS_K for i in idx)
+    assert all(r["n_chars"] > 0 for r in rows)
+
+
+def test_pps_heavy_docs_more_likely(spark, sf_dir):
+    # inclusion prob ∝ weight ⇒ the sampled mean n_chars must exceed
+    # the corpus mean (size-biased sampling property)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
+    sample = registry.queries()["sample_pps_systematic"](spark, sf_dir)
+    sample_mean = sample.agg(F.avg("n_chars")).first()[0]
+    assert sample_mean > corpus_mean
+
+
+def test_bpe_pair_stats_shape(spark, sf_dir):
+    rows = registry.queries()["text_bpe_pair_stats"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    ns = [r["n"] for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    for r in rows:
+        a, b = r["pair"].split(" ")
+        assert len(a) == 1 and len(b) == 1  # iteration 1: chars only
+
+
+def test_bpe_merge_applies_argmax(spark, sf_dir):
+    q = registry.queries()
+    top = q["text_bpe_pair_stats"](spark, sf_dir).collect()
+    best = max(top, key=lambda r: (r["n"], [-ord(c) for c in r["pair"]]))
+    merged_rows = q["text_bpe_merge_apply"](spark, sf_dir).collect()
+    assert merged_rows
+    applied = {r["merged"] for r in merged_rows}
+    assert applied == {best["pair"]}
+    # the merged pair itself is gone from the pair inventory
+    assert all(r["pair"] != best["pair"] for r in merged_rows)
+    # every symbol in a next-round pair is a char or the merged token
+    tok = best["pair"].replace(" ", "")
+    for r in merged_rows:
+        assert all(len(s) == 1 or s == tok for s in r["pair"].split(" "))
+
+
+def test_int8_calibrate_error_bound(spark, sf_dir):
+    rows = registry.queries()["emb_int8_calibrate"](spark, sf_dir).collect()
+    assert len(rows) == 64
+    for r in rows:
+        assert r["qmin"] <= r["qmax"]
+        span = r["qmax"] - r["qmin"]
+        # floor-code reconstruction error is < 2 quantization steps
+        assert r["max_err"] <= span // 255 + 1
+        assert r["sum_abs_err"] <= r["n_vals"] * (span // 255 + 1)
