@@ -358,6 +358,11 @@ AUDIT: dict[str, dict] = {
     "privacy_l_diversity": {"smj": 0},
     "privacy_generalization_ladder": {"smj": 0},  # fan-out before ONE shuffle
     "privacy_dp_counts": {"smj": 0},      # one count shuffle + sort
+    # round-5 wave: new families
+    "sample_pps_systematic": {"smj": 0},  # two-phase prefix sum + 1-row broadcast
+    "text_bpe_pair_stats": {"smj": 0},    # word-type agg, TakeOrdered top-N
+    "text_bpe_merge_apply": {"smj": 0},   # argmax 1-row broadcast, no SMJ
+    "emb_int8_calibrate": {"smj": 0},     # dim stats broadcast back to facts
     "privacy_t_closeness": {"smj": 0},    # global mix broadcasts
     "privacy_anonymize_release": {},      # class-keyed equi-join (either strategy ok)
 }
