@@ -420,7 +420,7 @@ def with_prefix_agg(
 
 def with_rank_targets(df, key, tiebreaks, rank_sqls, nb: int = 64):
     """Pick the ``key`` VALUES at specific global ranks (1-based,
-    ascending (key, *tiebreaks) order) without sorting the whole input.
+    ascending key order) without sorting the whole input.
 
     ``rank_sqls`` are SQL strings over the bigint column ``nn`` (total
     row count), e.g. ``"(nn - 1) div 2 + 1"`` for the lower median or
@@ -428,30 +428,51 @@ def with_rank_targets(df, key, tiebreaks, rank_sqls, nb: int = 64):
     and the 0-based target index ``tid``). Returns one row per target:
     ``(tid, rank, nn, value)`` where ``value`` is the key at that
     global rank — bit-identical to filtering
-    ``row_number().over(Window.orderBy(key, *tiebreaks)) == rank``.
+    ``row_number().over(Window.orderBy(key, *tiebreaks)) == rank``
+    (``tiebreaks`` are accepted for signature parity but cannot affect
+    the result: the VALUE at a rank is tiebreak-independent).
 
-    Plan: phase 1 aggregates per-bucket COUNTS only (map-side
-    combined — no sort anywhere); the nb-row offset side locates each
-    target's bucket; phase 2 re-scans, keeps ONLY the target buckets
-    (an inner broadcast join), and ranks within them. For t targets
-    the sort touches ≤ t/nb of the rows — the right shape when you
-    need a handful of quantiles, not a full ranking (use
-    ``with_total_rank`` when every row needs its rank).
+    Plan, skew-proof by construction:
+      1. per-bucket counts + key min/max (map-side combined, no sort);
+      2. the nb-row offset side locates each target's bucket;
+         single-valued buckets (min <=> max — includes the all-NULL
+         bucket and any point mass) answer DIRECTLY, no second pass;
+      3. remaining target buckets are re-bucketed by their own key
+         range (second refinement level) and the target SUB-bucket is
+         located the same way;
+      4. the final rank pick runs over DISTINCT key values of the
+         target sub-buckets only (value + multiplicity prefix sum),
+         never over raw rows.
+    A skewed distribution therefore cannot recreate a hot sort
+    partition: dense-but-continuous keys sort ~1/nb² of the distinct
+    values; exact point masses short-circuit at step 2. Use
+    ``with_total_rank`` when every row needs its rank.
     """
     from pyspark.sql.window import Window
 
-    k = _c(key).cast("double")
+    kv = _c(key)
+    k = kv.cast("double")
     stats = df.agg(F.min(k).alias("_tp_mn"), F.max(k).alias("_tp_mx"))
     b = df.crossJoin(F.broadcast(stats)).withColumn(
         "_tpb", _bucket_col(k, F.col("_tp_mn"), F.col("_tp_mx"), nb)
     )
-    cnts = b.groupBy("_tpb").agg(F.count(F.lit(1)).alias("_bc"))
+    cnts = b.groupBy("_tpb").agg(
+        F.count(F.lit(1)).alias("_bc"),
+        F.min(kv).alias("_bmn"),
+        F.max(kv).alias("_bmx"),
+        F.min(k).alias("_bdn"),
+        F.max(k).alias("_bdx"),
+    )
     wprev = Window.partitionBy(one_part("_tpb")).orderBy("_tpb").rowsBetween(
         Window.unboundedPreceding, -1
     )
     offs = cnts.select(
         "_tpb",
         "_bc",
+        "_bmn",
+        "_bmx",
+        "_bdn",
+        "_bdx",
         F.coalesce(F.sum("_bc").over(wprev), F.lit(0)).alias("_off"),
         F.sum("_bc")
         .over(Window.partitionBy(one_part("_tpb")))
@@ -479,20 +500,61 @@ def with_rank_targets(df, key, tiebreaks, rank_sqls, nb: int = 64):
         offs.drop("_tp_nn"),
         (F.col("rank") > F.col("_off"))
         & (F.col("rank") <= F.col("_off") + F.col("_bc")),
-    ).select("tid", "rank", "nn", "_tpb", "_off")
-    wloc = Window.partitionBy("_tpb").orderBy(
-        _c(key), *[_c(t) for t in tiebreaks]
+    ).select(
+        "tid", "rank", "nn", "_tpb", "_off", "_bmn", "_bmx", "_bdn", "_bdx"
     )
-    ranked = b.join(
-        F.broadcast(located.select("_tpb").distinct()), "_tpb"
-    ).withColumn("_lrn", F.row_number().over(wloc))
-    return (
-        ranked.join(
-            F.broadcast(located),
-            (ranked["_tpb"] == located["_tpb"])
-            & (F.col("_lrn") == F.col("rank") - F.col("_off")),
-        )
-        .select(
-            "tid", "rank", "nn", _c(key).alias("value")
-        )
+    # single-distinct-value buckets (incl. the all-NULL bucket): the
+    # value at ANY rank inside is the bucket's one key — answer now
+    singles = located.filter(F.col("_bmn").eqNullSafe(F.col("_bmx"))).select(
+        "tid", "rank", "nn", F.col("_bmn").alias("value")
     )
+    multi = located.filter(~F.col("_bmn").eqNullSafe(F.col("_bmx")))
+    # refinement level: re-bucket the (non-null, multi-valued) target
+    # buckets over their OWN key range, then aggregate to DISTINCT
+    # values — no row ever gets sorted
+    lb = multi.select("_tpb", "_bdn", "_bdx").distinct()
+    b2 = b.join(F.broadcast(lb), "_tpb").withColumn(
+        "_tpb2", _bucket_col(k, F.col("_bdn"), F.col("_bdx"), nb)
+    )
+    vals = b2.groupBy("_tpb", "_tpb2", kv.alias("_kv")).agg(
+        F.count(F.lit(1)).alias("_vc")
+    )
+    cnts2 = vals.groupBy("_tpb", "_tpb2").agg(F.sum("_vc").alias("_bc2"))
+    # ≤ nb rows per located bucket — bounded window
+    wprev2 = (
+        Window.partitionBy("_tpb")
+        .orderBy("_tpb2")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs2 = cnts2.select(
+        "_tpb",
+        "_tpb2",
+        "_bc2",
+        F.coalesce(F.sum("_bc2").over(wprev2), F.lit(0)).alias("_off2"),
+    )
+    located2 = multi.join(offs2, "_tpb").filter(
+        (F.col("rank") - F.col("_off") > F.col("_off2"))
+        & (F.col("rank") - F.col("_off") <= F.col("_off2") + F.col("_bc2"))
+    ).select("tid", "rank", "nn", "_tpb", "_tpb2", "_off", "_off2")
+    # rank over DISTINCT values of the target sub-buckets: multiplicity
+    # prefix sum locates the value whose cumulative span covers the rank
+    tv = vals.join(
+        F.broadcast(located2.select("_tpb", "_tpb2").distinct()),
+        ["_tpb", "_tpb2"],
+    )
+    wcum = (
+        Window.partitionBy("_tpb", "_tpb2")
+        .orderBy("_kv")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tv2 = tv.withColumn("_vcum", F.sum("_vc").over(wcum))
+    picked = tv2.join(
+        F.broadcast(located2),
+        ["_tpb", "_tpb2"],
+    ).filter(
+        (F.col("rank") - F.col("_off") - F.col("_off2")
+         > F.col("_vcum") - F.col("_vc"))
+        & (F.col("rank") - F.col("_off") - F.col("_off2")
+           <= F.col("_vcum"))
+    ).select("tid", "rank", "nn", F.col("_kv").alias("value"))
+    return singles.unionByName(picked)

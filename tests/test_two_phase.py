@@ -298,3 +298,36 @@ def test_rank_null_keys_both_directions(spark):
             ).collect()
         }
         assert got == ref, (desc, got, ref)
+
+
+def test_rank_targets_skewed_and_point_mass(spark):
+    # adversarial for single-level bucketing: 90% of rows are one
+    # point mass (single-value shortcut) and the rest a dense cluster
+    # inside one value-range bucket (refinement level). The two-level
+    # form must still match the global row_number pick exactly.
+    from cs_pipeline_spark.operators.helpers import with_rank_targets
+
+    df = spark.range(10000).select(
+        F.col("id").alias("event_id"),
+        F.when(F.col("id") % 10 < 9, F.lit(500000))
+        .otherwise(500000 + (F.col("id") % 97))
+        .cast("long")
+        .alias("qv"),
+    )
+    nn = df.count()
+    ref = df.select(
+        "qv", F.row_number().over(Window.orderBy("qv")).alias("rn")
+    )
+    sqls = [f"(({k}) * (nn - 1)) div 10 + 1" for k in range(1, 10)] + [
+        "nn",  # the global max
+        "1",   # the global min
+    ]
+    got = {
+        r.tid: (r.rank, r.nn, r.value)
+        for r in with_rank_targets(df, "qv", (), sqls).collect()
+    }
+    assert len(got) == len(sqls)
+    for tid, sql in enumerate(sqls):
+        rank = got[tid][0]
+        refval = ref.filter(F.col("rn") == rank).collect()[0][0]
+        assert got[tid] == (rank, nn, refval), (tid, sql)
