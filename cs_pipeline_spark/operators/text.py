@@ -1493,3 +1493,124 @@ def text_bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "pair")
         .limit(10)
     )
+
+
+@register(
+    "text_bpe_train3",
+    f"""
+    WITH {_BPE_WC_SQL},
+    sp0 AS MATERIALIZED (
+      SELECT ' ' || trim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' '
+               AS s, wn FROM wc),
+    p1 AS (SELECT wn, unnest(list_transform(
+             range(1, greatest(len(string_split(trim(s), '  ')) - 1, 0) + 1),
+             i -> string_split(trim(s), '  ')[CAST(i AS INT)] || ' ' ||
+                  string_split(trim(s), '  ')[CAST(i AS INT) + 1])) AS pair
+           FROM sp0),
+    t1 AS MATERIALIZED (SELECT pair, CAST(SUM(wn) AS BIGINT) AS n
+      FROM p1 GROUP BY pair ORDER BY n DESC, pair LIMIT 1),
+    sp1 AS MATERIALIZED (
+      SELECT replace(s, ' ' || replace(t1.pair, ' ', '  ') || ' ',
+                     ' ' || replace(t1.pair, ' ', '') || ' ') AS s, wn
+      FROM sp0, t1),
+    p2 AS (SELECT wn, unnest(list_transform(
+             range(1, greatest(len(string_split(trim(s), '  ')) - 1, 0) + 1),
+             i -> string_split(trim(s), '  ')[CAST(i AS INT)] || ' ' ||
+                  string_split(trim(s), '  ')[CAST(i AS INT) + 1])) AS pair
+           FROM sp1),
+    t2 AS MATERIALIZED (SELECT pair, CAST(SUM(wn) AS BIGINT) AS n
+      FROM p2 GROUP BY pair ORDER BY n DESC, pair LIMIT 1),
+    sp2 AS MATERIALIZED (
+      SELECT replace(s, ' ' || replace(t2.pair, ' ', '  ') || ' ',
+                     ' ' || replace(t2.pair, ' ', '') || ' ') AS s, wn
+      FROM sp1, t2),
+    p3 AS (SELECT wn, unnest(list_transform(
+             range(1, greatest(len(string_split(trim(s), '  ')) - 1, 0) + 1),
+             i -> string_split(trim(s), '  ')[CAST(i AS INT)] || ' ' ||
+                  string_split(trim(s), '  ')[CAST(i AS INT) + 1])) AS pair
+           FROM sp2),
+    t3 AS (SELECT pair, CAST(SUM(wn) AS BIGINT) AS n
+      FROM p3 GROUP BY pair ORDER BY n DESC, pair LIMIT 1)
+    SELECT CAST(1 AS BIGINT) AS step, pair AS merged, n FROM t1
+    UNION ALL SELECT CAST(2 AS BIGINT), pair, n FROM t2
+    UNION ALL SELECT CAST(3 AS BIGINT), pair, n FROM t3
+    """,
+    doc="BPE tokenizer training, 3 full iterations in-engine: the "
+    "ordered merge table (step, merged pair, frequency at selection "
+    "time) — mixed-width symbols round 2+, boundary-safe rewrite "
+    "(double-space separators + sentinels so a merged token can never "
+    "match the tail of a longer symbol)",
+)
+def text_bpe_train3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three BPE training iterations (Sennrich et al. 2016), the loop
+    the single-step ops unroll. Word types are rewritten between
+    rounds as sentinel-wrapped, double-space-separated symbol strings:
+    the search pattern ``' a  b '`` can only match whole adjacent
+    symbols (never the tail of a longer symbol like ``ter``), and the
+    single-space replacement ``' ab '`` restores both separators, so
+    adjacent occurrences sharing a boundary still merge in one
+    leftmost-non-overlapping pass — exactly the BPE greedy rule.
+
+    Each round's argmax is a 1-row frame cross-joined back (lazy,
+    deterministic n-desc/pair-asc tie-break); the symbol-string frame
+    is referenced twice per round (argmax + rewrite), so rounds are
+    cut with ``localCheckpoint`` on Spark and ``AS MATERIALIZED`` in
+    the oracle (the iterative-op convention — plans would double per
+    round otherwise).
+
+    Scale: all state is word TYPES (Zipf-bounded) × a ≤3-row merge
+    table; pair counting is one map-side-combined aggregate per round.
+    Real BPE training (k≈30000 merges) runs this exact shape with the
+    merge table growing by one row per round.
+    """
+    wc = _word_counts(load(spark, "documents", sf_dir))
+    sp = wc.select(
+        F.concat(
+            F.lit(" "),
+            F.trim(F.regexp_replace(F.col("w"), "(.)", "$1  ")),
+            F.lit(" "),
+        ).alias("s"),
+        "wn",
+    )
+    pair_arr = F.expr(
+        "transform(sequence(1, greatest("
+        "size(split(trim(s), '  ')) - 1, 1)), "
+        "i -> concat(element_at(split(trim(s), '  '), i), ' ', "
+        "element_at(split(trim(s), '  '), i + 1)))"
+    )
+    steps = []
+    for step in (1, 2, 3):
+        pairs = (
+            sp.filter(F.size(F.split(F.trim("s"), "  ")) >= 2)
+            .select(F.explode(pair_arr).alias("pair"), "wn")
+        )
+        top1 = (
+            pairs.groupBy("pair")
+            .agg(F.sum("wn").cast("long").alias("n"))
+            .orderBy(F.desc("n"), "pair")
+            .limit(1)
+        )
+        steps.append(
+            top1.select(
+                F.lit(step).cast("long").alias("step"),
+                F.col("pair").alias("merged"),
+                "n",
+            )
+        )
+        if step < 3:
+            sp = (
+                sp.crossJoin(F.broadcast(top1.select("pair")))
+                .select(
+                    F.expr(
+                        "replace(s, "
+                        "concat(' ', replace(pair, ' ', '  '), ' '), "
+                        "concat(' ', replace(pair, ' ', ''), ' '))"
+                    ).alias("s"),
+                    "wn",
+                )
+                .localCheckpoint(eager=False)
+            )
+    out = steps[0]
+    for s_df in steps[1:]:
+        out = out.unionByName(s_df)
+    return out

@@ -2586,3 +2586,105 @@ def agg_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
             "autocorrelated"
         ),
     )
+
+
+# ---------- Hampel filter (rolling-median outlier repair) ----------
+
+_HAMPEL_HALF = 3  # ±3 rows → 7-row centered frame
+
+
+@register(
+    "win_hampel_filter",
+    f"""
+    WITH q AS (SELECT event_type, event_id, {EVENTS_TS_SQL} AS ts,
+               CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS qv
+               FROM events),
+    fr AS (SELECT event_type, event_id, qv,
+           list_sort(list(qv) OVER (
+             PARTITION BY event_type ORDER BY ts, event_id
+             ROWS BETWEEN {_HAMPEL_HALF} PRECEDING
+                      AND {_HAMPEL_HALF} FOLLOWING)) AS arr
+           FROM q),
+    md AS (SELECT event_type, event_id, qv, arr,
+           arr[CAST((len(arr) + 1) // 2 AS INT)] AS med
+           FROM fr),
+    dv AS (SELECT event_type, qv, med,
+           list_sort(list_transform(arr, x -> abs(x - med)))
+             [CAST((len(arr) + 1) // 2 AS INT)] AS mad
+           FROM md),
+    fl AS (SELECT event_type, qv, med,
+           CASE WHEN abs(qv - med) > 3 * mad THEN 1 ELSE 0 END AS is_out
+           FROM dv)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(is_out) AS BIGINT) AS n_outliers,
+           CAST(SUM(CASE WHEN is_out = 1 THEN med ELSE qv END) AS BIGINT)
+             AS sum_repaired_micro
+    FROM fl GROUP BY event_type
+    """,
+    doc="Hampel filter: per-series rolling 7-row median + MAD, points "
+    "beyond 3·MAD repaired to the window median — the robust sensor "
+    "despiker (z-score cleaning breaks on the outliers themselves); "
+    "exact integer micro-unit medians, per-type repair summary",
+)
+def win_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic Hampel despiking: for each point, the median and MAD of
+    its ±3-row neighborhood (time order per series); |x − med| > 3·MAD
+    flags an outlier, repaired to the median. Medians are exact lower
+    medians of 1e-6-quantized integers picked by index from the sorted
+    frame array — zero float arithmetic, bit-identical engines.
+
+    Plan: ONE shuffle on the series key; the frame array, both
+    medians, and the flag are expression-side over a 7-element array
+    (collect_list on a bounded ROWS frame — state is O(7), not the
+    partition). The final summary reuses the same partitioning.
+
+    Scale: windows are per-series (event_type here; device_id at
+    100 TB) — no global order anywhere; frame state is constant-size
+    regardless of series length.
+    """
+    ev = load(spark, "events", sf_dir)
+    q = ev.select(
+        "event_type",
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("qv"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-_HAMPEL_HALF, _HAMPEL_HALF)
+    )
+    fr = q.select(
+        "event_type",
+        "qv",
+        F.array_sort(F.collect_list("qv").over(w)).alias("arr"),
+    )
+    md = fr.withColumn(
+        "med",
+        F.expr("element_at(arr, cast((size(arr) + 1) div 2 as int))"),
+    )
+    dv = md.withColumn(
+        "mad",
+        F.expr(
+            "element_at(array_sort(transform(arr, x -> abs(x - med))), "
+            "cast((size(arr) + 1) div 2 as int))"
+        ),
+    )
+    fl = dv.withColumn(
+        "is_out",
+        F.when(
+            F.abs(F.col("qv") - F.col("med")) > 3 * F.col("mad"), 1
+        ).otherwise(0),
+    )
+    return fl.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("is_out").cast("long").alias("n_outliers"),
+        F.sum(
+            F.when(F.col("is_out") == 1, F.col("med")).otherwise(F.col("qv"))
+        )
+        .cast("long")
+        .alias("sum_repaired_micro"),
+    )

@@ -62,3 +62,32 @@ def test_int8_calibrate_error_bound(spark, sf_dir):
         # floor-code reconstruction error is < 2 quantization steps
         assert r["max_err"] <= span // 255 + 1
         assert r["sum_abs_err"] <= r["n_vals"] * (span // 255 + 1)
+
+
+def test_bpe_train3_consistency(spark, sf_dir):
+    q = registry.queries()
+    steps = {r["step"]: r for r in q["text_bpe_train3"](spark, sf_dir).collect()}
+    assert set(steps) == {1, 2, 3}
+    top = q["text_bpe_pair_stats"](spark, sf_dir).collect()[0]
+    # step 1 IS the single-step argmax
+    assert steps[1]["merged"] == top["pair"]
+    assert steps[1]["n"] == top["n"]
+    # merges are distinct and symbols only grow from prior merges
+    merged = [steps[i]["merged"] for i in (1, 2, 3)]
+    assert len(set(merged)) == 3
+    toks = set()
+    for i in (1, 2, 3):
+        a, b = steps[i]["merged"].split(" ")
+        for s in (a, b):
+            assert len(s) == 1 or s in toks
+        toks.add(a + b)
+    assert all(steps[i]["n"] > 0 for i in (1, 2, 3))
+
+
+def test_hampel_counts(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    total = ev.count()
+    rows = registry.queries()["win_hampel_filter"](spark, sf_dir).collect()
+    assert sum(r["n_rows"] for r in rows) == total
+    for r in rows:
+        assert 0 <= r["n_outliers"] <= r["n_rows"]

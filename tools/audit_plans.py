@@ -363,6 +363,8 @@ AUDIT: dict[str, dict] = {
     "text_bpe_pair_stats": {"smj": 0},    # word-type agg, TakeOrdered top-N
     "text_bpe_merge_apply": {"smj": 0},   # argmax 1-row broadcast, no SMJ
     "emb_int8_calibrate": {"smj": 0},     # dim stats broadcast back to facts
+    "text_bpe_train3": {"smj": 0},        # 3 argmax rounds, 1-row broadcasts
+    "win_hampel_filter": {"smj": 0, "exchange": 1},  # one series shuffle
     "privacy_t_closeness": {"smj": 0},    # global mix broadcasts
     "privacy_anonymize_release": {},      # class-keyed equi-join (either strategy ok)
 }
