@@ -94,6 +94,12 @@ HEADLINE = [
     # round-4 late wave: privacy audit family representative (4x
     # fan-out before one shuffle — the heaviest of the five)
     "privacy_generalization_ladder",
+    # round-5: new families — PPS weighted sampling (two-phase prefix
+    # sum), iterative BPE training, int8 calibration, Hampel despike
+    "sample_pps_systematic",
+    "text_bpe_train3",
+    "emb_int8_calibrate",
+    "win_hampel_filter",
 ]
 
 

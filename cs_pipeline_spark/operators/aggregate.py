@@ -3795,3 +3795,79 @@ def sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_hi").cast("long").alias("pick_idx"),
         )
     )
+
+
+@register(
+    "analyze_join_cardinality",
+    """
+    WITH a AS (SELECT COUNT(*) AS n_a,
+               COUNT(DISTINCT o_orderkey) AS ndv_a FROM orders),
+    b AS (SELECT COUNT(*) AS n_b,
+          COUNT(DISTINCT l_orderkey) AS ndv_b FROM lineitem),
+    est AS (SELECT n_a, n_b, ndv_a, ndv_b,
+            (n_a * n_b) // GREATEST(ndv_a, ndv_b) AS est_rows
+            FROM a, b),
+    act AS (SELECT COUNT(*) AS actual_rows
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(ndv_a AS BIGINT) AS ndv_a, CAST(ndv_b AS BIGINT) AS ndv_b,
+           CAST(est_rows AS BIGINT) AS est_rows,
+           CAST(actual_rows AS BIGINT) AS actual_rows,
+           CAST(ABS(est_rows - actual_rows) * 1000000
+                // NULLIF(actual_rows, 0) AS BIGINT) AS err_ppm
+    FROM est, act
+    """,
+    doc="optimizer-statistics join-cardinality estimate: the classic "
+    "uniformity formula |A|·|B| / max(NDV_A, NDV_B) from per-side "
+    "row/NDV stats vs the ACTUAL join count, error in integer ppm — "
+    "the System-R selectivity model audited against ground truth",
+)
+def analyze_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The System-R containment-of-values cardinality estimate for an
+    equi-join, computed from the same one-pass per-side statistics
+    ``analyze_table_stats`` profiles, then audited against the real
+    join count. The |A|·|B| product goes through decimal(38,0) (two
+    fact tables at 100 TB overflow int64; DuckDB's COUNT math promotes
+    to HUGEINT) and the error is integer ppm.
+
+    Scale: two map-side-combined stat aggregates + the audited join
+    itself (shuffle on the key). In production the NDV side swaps to
+    HLL sketches (agg_approx_distinct) so the estimate needs no extra
+    scan at all — the formula and this op's contract stay identical.
+    """
+    o = load(spark, "orders", sf_dir)
+    li = load(spark, "lineitem", sf_dir)
+    a = o.agg(
+        F.count(F.lit(1)).alias("n_a"),
+        F.countDistinct("o_orderkey").alias("ndv_a"),
+    )
+    b = li.agg(
+        F.count(F.lit(1)).alias("n_b"),
+        F.countDistinct("l_orderkey").alias("ndv_b"),
+    )
+    act = o.join(li, F.col("o_orderkey") == F.col("l_orderkey")).agg(
+        F.count(F.lit(1)).alias("actual_rows")
+    )
+    est = (
+        a.crossJoin(F.broadcast(b))
+        .withColumn(
+            "est_rows",
+            F.expr(
+                "cast(cast(n_a as decimal(38,0)) * n_b "
+                "div greatest(ndv_a, ndv_b) as bigint)"
+            ),
+        )
+        .crossJoin(F.broadcast(act))
+    )
+    return est.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("ndv_a").cast("long").alias("ndv_a"),
+        F.col("ndv_b").cast("long").alias("ndv_b"),
+        "est_rows",
+        F.col("actual_rows").cast("long").alias("actual_rows"),
+        F.expr(
+            "cast(abs(cast(est_rows as decimal(38,0)) - actual_rows) "
+            "* 1000000 div nullif(actual_rows, 0) as bigint)"
+        ).alias("err_ppm"),
+    )

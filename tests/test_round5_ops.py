@@ -91,3 +91,12 @@ def test_hampel_counts(spark, sf_dir):
     assert sum(r["n_rows"] for r in rows) == total
     for r in rows:
         assert 0 <= r["n_outliers"] <= r["n_rows"]
+
+
+def test_join_cardinality_estimate_pk_fk(spark, sf_dir):
+    # orders.o_orderkey is the PK side: est = n_b exactly, so the
+    # System-R formula must be spot-on for a PK-FK join
+    r = registry.queries()["analyze_join_cardinality"](spark, sf_dir).collect()[0]
+    assert r["ndv_a"] == r["n_a"]  # PK side
+    assert r["est_rows"] == r["actual_rows"]
+    assert r["err_ppm"] == 0

@@ -365,6 +365,7 @@ AUDIT: dict[str, dict] = {
     "emb_int8_calibrate": {"smj": 0},     # dim stats broadcast back to facts
     "text_bpe_train3": {"smj": 0},        # 3 argmax rounds, 1-row broadcasts
     "win_hampel_filter": {"smj": 0, "exchange": 1},  # one series shuffle
+    "analyze_join_cardinality": {},       # stats + audited join
     "privacy_t_closeness": {"smj": 0},    # global mix broadcasts
     "privacy_anonymize_release": {},      # class-keyed equi-join (either strategy ok)
 }
