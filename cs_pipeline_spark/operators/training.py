@@ -726,3 +726,79 @@ def text_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         rendered.alias("rendered"),
         F.length(rendered).cast("long").alias("n_chars_rendered"),
     )
+
+
+@register(
+    "train_dpo_pairs",
+    f"""
+    WITH t AS (SELECT doc_id, lang, source,
+      CAST(len(list_distinct(string_split({_NORM_DUCK}, ' '))) * 1000000
+           // len(string_split({_NORM_DUCK}, ' ')) AS BIGINT) AS score
+      FROM documents),
+    r AS (SELECT *,
+      ROW_NUMBER() OVER (PARTITION BY lang, source
+                         ORDER BY score DESC, doc_id) AS rc,
+      ROW_NUMBER() OVER (PARTITION BY lang, source
+                         ORDER BY score ASC, doc_id) AS rr
+      FROM t),
+    g AS (SELECT lang, source,
+      MAX(CASE WHEN rc = 1 THEN doc_id END) AS chosen_doc_id,
+      MAX(CASE WHEN rc = 1 THEN score END) AS chosen_score,
+      MAX(CASE WHEN rr = 1 THEN doc_id END) AS rejected_doc_id,
+      MAX(CASE WHEN rr = 1 THEN score END) AS rejected_score
+      FROM r GROUP BY lang, source)
+    SELECT lang, source, chosen_doc_id, chosen_score,
+           rejected_doc_id, rejected_score,
+           chosen_score - rejected_score AS margin
+    FROM g WHERE chosen_doc_id <> rejected_doc_id
+    """,
+    doc="preference-pair construction for DPO/RLHF training: per "
+    "(lang, source) group, the highest- vs lowest-scoring doc by "
+    "integer-ppm lexical diversity, with the preference margin — "
+    "deterministic argmax/argmin tie-broken on doc_id, degenerate "
+    "one-doc / all-equal groups dropped",
+)
+def train_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chosen/rejected preference pairs per group — the relational
+    skeleton of DPO data prep (score here is the integer lexical-
+    diversity ppm; production swaps in any reward/quality column, the
+    plan is unchanged). Argmax and argmin are lexicographic struct
+    mins (min(struct(−score, doc_id)) / min(struct(score, doc_id))) —
+    both partial-aggregatable, so the shuffle carries one struct per
+    group, never raw docs; the oracle states the same picks with rank
+    windows. Groups where chosen == rejected (single doc, or every
+    score equal) are dropped — no degenerate pairs.
+
+    Scale: one map-side-combined aggregate on the (bounded) group key;
+    hot groups are absorbed by the combiner. No sort of raw rows.
+    """
+    docs = load(spark, "documents", sf_dir)
+    toked = docs.select(
+        "doc_id", "lang", "source", _tokens(F.expr(_NORM)).alias("toks")
+    )
+    t = toked.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.expr(
+            "cast(size(array_distinct(toks)) * 1000000 div size(toks) "
+            "as bigint)"
+        ).alias("score"),
+    )
+    g = t.groupBy("lang", "source").agg(
+        F.min(
+            F.struct((-F.col("score")).alias("ns"), F.col("doc_id").alias("d"))
+        ).alias("c"),
+        F.min(
+            F.struct(F.col("score").alias("s"), F.col("doc_id").alias("d"))
+        ).alias("rj"),
+    )
+    return g.select(
+        "lang",
+        "source",
+        F.col("c.d").alias("chosen_doc_id"),
+        (-F.col("c.ns")).alias("chosen_score"),
+        F.col("rj.d").alias("rejected_doc_id"),
+        F.col("rj.s").alias("rejected_score"),
+        (-F.col("c.ns") - F.col("rj.s")).alias("margin"),
+    ).filter(F.col("chosen_doc_id") != F.col("rejected_doc_id"))

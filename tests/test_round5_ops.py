@@ -100,3 +100,15 @@ def test_join_cardinality_estimate_pk_fk(spark, sf_dir):
     assert r["ndv_a"] == r["n_a"]  # PK side
     assert r["est_rows"] == r["actual_rows"]
     assert r["err_ppm"] == 0
+
+
+def test_dpo_pairs_margins_positive(spark, sf_dir):
+    rows = registry.queries()["train_dpo_pairs"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["chosen_doc_id"] != r["rejected_doc_id"]
+        assert r["margin"] == r["chosen_score"] - r["rejected_score"]
+        assert r["margin"] >= 0
+        # same group never pairs a doc with itself; scores are ppm
+        assert 0 <= r["rejected_score"] <= 1000000
+        assert 0 <= r["chosen_score"] <= 1000000

@@ -366,6 +366,7 @@ AUDIT: dict[str, dict] = {
     "text_bpe_train3": {"smj": 0},        # 3 argmax rounds, 1-row broadcasts
     "win_hampel_filter": {"smj": 0, "exchange": 1},  # one series shuffle
     "analyze_join_cardinality": {},       # stats + audited join
+    "train_dpo_pairs": {"smj": 0, "exchange": 1},  # one struct-argmax shuffle
     "privacy_t_closeness": {"smj": 0},    # global mix broadcasts
     "privacy_anonymize_release": {},      # class-keyed equi-join (either strategy ok)
 }
