@@ -791,12 +791,17 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     hydration).
     """
     emb = load(spark, "embeddings", sf_dir).select("vec_id", "embedding")
-    keyed = emb.select(
-        "vec_id",
-        *[
-            _band_bucket_col(F.col("embedding"), b).alias(f"k{b}")
-            for b in range(_LSH_BANDS)
-        ],
+    # pinned: the 4-band self-join pattern reads this frame 8 times and
+    # the 32 hyperplane sign dots per row are interpreted HOFs — cache
+    # them once (lifetime bounded by the registry LRU entry)
+    keyed = pin(
+        emb.select(
+            "vec_id",
+            *[
+                _band_bucket_col(F.col("embedding"), b).alias(f"k{b}")
+                for b in range(_LSH_BANDS)
+            ],
+        )
     )
     cands = None
     for b in range(_LSH_BANDS):
@@ -820,8 +825,10 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # once per VECTOR here instead of twice per PAIR inside the verify —
     # same float values (identical expression on identical data), 3×
     # less interpreted higher-order-function work on the verify stage.
-    hyd = emb.withColumn(
-        "nrm", F.sqrt(qdot(F.col("embedding"), F.col("embedding")))
+    hyd = pin(
+        emb.withColumn(
+            "nrm", F.sqrt(qdot(F.col("embedding"), F.col("embedding")))
+        )
     )
     ea = hyd.select(
         F.col("vec_id").alias("va"),
