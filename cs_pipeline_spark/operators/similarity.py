@@ -4412,3 +4412,77 @@ def emb_int8_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_abs_err",
         "max_err",
     )
+
+
+# ---------- power iteration (top principal direction, one step) ----------
+
+_PI_DIM = 64
+_PI_DOWNSCALE = 1048576  # 2^20: report w div 2^20 (direction is scale-free)
+
+
+@register(
+    "emb_power_iteration",
+    f"""
+    WITH q AS (SELECT vec_id,
+               list_transform(embedding, x ->
+                 CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))
+                 AS qe
+               FROM embeddings),
+    s AS (SELECT vec_id, qe, CAST(list_sum(qe) AS BIGINT) AS sv FROM q),
+    u AS (SELECT sv, unnest(range(1, {_PI_DIM} + 1)) AS pos,
+          unnest(qe) AS v FROM s)
+    SELECT CAST(pos AS BIGINT) AS dim,
+           CAST(SUM(sv * v) // {_PI_DOWNSCALE} AS BIGINT) AS w_scaled,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs
+    FROM u GROUP BY pos
+    """,
+    doc="one power-iteration step toward the top principal direction "
+    "of the (uncentered) embedding Gram matrix: w = Xᵀ(X·v₀) with "
+    "v₀ = 1 — exact integer micro-unit arithmetic, direction reported "
+    "scale-free (div 2^20); the spectral seed for PCA/whitening audits",
+)
+def emb_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power iteration, one matrix-free step: per vector the projection
+    s = ⟨x, v₀⟩ (v₀ = all-ones — deterministic, never orthogonal to
+    the top component of a non-centered Gram), then the accumulation
+    w_j = Σᵢ sᵢ·x_ij. Both stages are exact integer arithmetic on
+    1e-6-quantized values; the output direction is truncated by a
+    power-of-two (direction is defined up to positive scale).
+    Further steps repeat with v ← w (the 64-row w broadcast back) —
+    the classic distributed PCA seed without any matrix library.
+
+    Overflow: s ≤ d·2e6 ≈ 1.3e8, s·x ≤ 2.6e14 per term; the per-dim
+    sum crosses int64 near 3.5e4 vectors ON THIS DATA and grows with
+    corpus size, so the sum runs in decimal(38,0) on Spark and
+    DuckDB's native HUGEINT — the CLAUDE.md big-moments rule.
+
+    Scale: one HOF projection pass fused with the scan, one
+    dim-bounded explode (64×), one map-side-combined 64-row aggregate.
+    No shuffle carries more than (dim, partial sum) per task.
+    """
+    emb = load(spark, "embeddings", sf_dir)
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> "
+            "cast(floor(cast(x as double) * 1000000.0 + 0.5) as bigint))"
+        ).alias("qe"),
+    )
+    s = q.select(
+        "qe",
+        F.expr(
+            "aggregate(qe, cast(0 as bigint), (acc, x) -> acc + x)"
+        ).alias("sv"),
+    )
+    u = s.select(
+        "sv", F.posexplode("qe").alias("pos0", "v")
+    ).select((F.col("pos0") + 1).alias("pos"), "sv", "v")
+    return u.groupBy("pos").agg(
+        F.expr(
+            "cast(sum(cast(sv as decimal(38,0)) * v) "
+            f"div {_PI_DOWNSCALE} as bigint)"
+        ).alias("w_scaled"),
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+    ).select(
+        F.col("pos").cast("long").alias("dim"), "w_scaled", "n_vecs"
+    )

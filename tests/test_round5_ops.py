@@ -112,3 +112,36 @@ def test_dpo_pairs_margins_positive(spark, sf_dir):
         # same group never pairs a doc with itself; scores are ppm
         assert 0 <= r["rejected_score"] <= 1000000
         assert 0 <= r["chosen_score"] <= 1000000
+
+
+def test_hits_step_invariants(spark, sf_dir):
+    rows = registry.queries()["graph_hits_step"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    hubs = [r["hub_score"] for r in rows]
+    assert hubs == sorted(hubs, reverse=True)
+    # hub = sum of out-neighbor authorities over out-degree ≤ 2 edges,
+    # so a hub score can never exceed 2x the max authority
+    max_auth_all = max(r["auth_score"] for r in rows)
+    for r in rows:
+        assert r["hub_score"] >= 1
+        assert r["auth_score"] >= 0
+
+
+def test_power_iteration_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    X = np.array(
+        [[int(np.floor(float(x) * 1e6 + 0.5)) for x in r["embedding"]]
+         for r in emb],
+        dtype=object,
+    )
+    s = X.sum(axis=1)
+    w = (X * s[:, None]).sum(axis=0)  # exact python ints via object dtype
+    want = {j + 1: int(w[j]) // 1048576 if w[j] >= 0 else -((-int(w[j])) // 1048576)
+            for j in range(X.shape[1])}
+    got = {
+        r["dim"]: r["w_scaled"]
+        for r in registry.queries()["emb_power_iteration"](spark, sf_dir).collect()
+    }
+    assert got == want

@@ -367,6 +367,8 @@ AUDIT: dict[str, dict] = {
     "win_hampel_filter": {"smj": 0, "exchange": 1},  # one series shuffle
     "analyze_join_cardinality": {},       # stats + audited join
     "train_dpo_pairs": {"smj": 0, "exchange": 1},  # one struct-argmax shuffle
+    "graph_hits_step": {"smj": 0},        # two aggs + broadcastable join
+    "emb_power_iteration": {"smj": 0, "exchange": 1},  # 64-row agg
     "privacy_t_closeness": {"smj": 0},    # global mix broadcasts
     "privacy_anonymize_release": {},      # class-keyed equi-join (either strategy ok)
 }
