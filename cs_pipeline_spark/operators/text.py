@@ -1614,3 +1614,147 @@ def text_bpe_train3(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s_df in steps[1:]:
         out = out.unionByName(s_df)
     return out
+
+
+# shared CTE: the train3 merge chain with the word carried through, so
+# the encode op can map every word type to its final symbol count
+_BPE_CHAIN_W_SQL = f"""
+    sp0 AS MATERIALIZED (
+      SELECT w, ' ' || trim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' '
+               AS s, wn FROM wc),
+    p1 AS (SELECT wn, unnest(list_transform(
+             range(1, greatest(len(string_split(trim(s), '  ')) - 1, 0) + 1),
+             i -> string_split(trim(s), '  ')[CAST(i AS INT)] || ' ' ||
+                  string_split(trim(s), '  ')[CAST(i AS INT) + 1])) AS pair
+           FROM sp0),
+    t1 AS MATERIALIZED (SELECT pair FROM (SELECT pair, SUM(wn) AS n
+      FROM p1 GROUP BY pair ORDER BY n DESC, pair LIMIT 1)),
+    sp1 AS MATERIALIZED (
+      SELECT w, replace(s, ' ' || replace(t1.pair, ' ', '  ') || ' ',
+                        ' ' || replace(t1.pair, ' ', '') || ' ') AS s, wn
+      FROM sp0, t1),
+    p2 AS (SELECT wn, unnest(list_transform(
+             range(1, greatest(len(string_split(trim(s), '  ')) - 1, 0) + 1),
+             i -> string_split(trim(s), '  ')[CAST(i AS INT)] || ' ' ||
+                  string_split(trim(s), '  ')[CAST(i AS INT) + 1])) AS pair
+           FROM sp1),
+    t2 AS MATERIALIZED (SELECT pair FROM (SELECT pair, SUM(wn) AS n
+      FROM p2 GROUP BY pair ORDER BY n DESC, pair LIMIT 1)),
+    sp2 AS MATERIALIZED (
+      SELECT w, replace(s, ' ' || replace(t2.pair, ' ', '  ') || ' ',
+                        ' ' || replace(t2.pair, ' ', '') || ' ') AS s, wn
+      FROM sp1, t2),
+    p3 AS (SELECT wn, unnest(list_transform(
+             range(1, greatest(len(string_split(trim(s), '  ')) - 1, 0) + 1),
+             i -> string_split(trim(s), '  ')[CAST(i AS INT)] || ' ' ||
+                  string_split(trim(s), '  ')[CAST(i AS INT) + 1])) AS pair
+           FROM sp2),
+    t3 AS MATERIALIZED (SELECT pair FROM (SELECT pair, SUM(wn) AS n
+      FROM p3 GROUP BY pair ORDER BY n DESC, pair LIMIT 1)),
+    sp3 AS (
+      SELECT w, replace(s, ' ' || replace(t3.pair, ' ', '  ') || ' ',
+                        ' ' || replace(t3.pair, ' ', '') || ' ') AS s, wn
+      FROM sp2, t3)
+"""
+
+
+@register(
+    "text_bpe_encode",
+    f"""
+    WITH {_BPE_WC_SQL}, {_BPE_CHAIN_W_SQL},
+    enc AS (SELECT w, len(string_split(trim(s), '  ')) AS n_syms FROM sp3),
+    wl AS (SELECT lang, unnest(string_split({_NORM_DUCK}, ' ')) AS w
+           FROM documents),
+    wlc AS (SELECT lang, w, COUNT(*) AS wnl FROM wl
+            WHERE length(w) >= 2 GROUP BY lang, w)
+    SELECT lang,
+           CAST(SUM(wlc.wnl) AS BIGINT) AS n_words,
+           CAST(SUM(length(wlc.w) * wlc.wnl) AS BIGINT) AS n_char_tokens,
+           CAST(SUM(enc.n_syms * wlc.wnl) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM((length(wlc.w) - enc.n_syms) * wlc.wnl) * 1000000
+                // SUM(length(wlc.w) * wlc.wnl) AS BIGINT) AS saved_ppm
+    FROM wlc JOIN enc ON wlc.w = enc.w
+    GROUP BY lang
+    """,
+    doc="BPE encode step: apply the 3 learned merges to every word "
+    "type, then per-language tokenization stats — char-level vs BPE "
+    "token counts and the integer-ppm compression the merges buy; the "
+    "encode side of the tokenizer-training loop",
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer ENCODE audited per language: train the 3-merge table
+    on global word-type counts (identical chain to text_bpe_train3),
+    map each word type to its final symbol count, and join that
+    encoding onto per-language word counts. Output: words, char-level
+    tokens, BPE tokens, and saved_ppm — the compression/fertility
+    readout a tokenizer-training loop monitors per language (merges
+    trained on a global corpus compress languages unevenly; this op
+    is the audit that shows it).
+
+    Scale: the merge chain runs over global word TYPES; the encode
+    join is word-type × language (Zipf-bounded both sides) and the
+    final aggregate is map-side combined to |langs| rows. Products
+    route through SUM-then-multiply ppm with // (HUGEINT in DuckDB,
+    decimal(38,0) on Spark) — overflow-safe at corpus scale.
+    """
+    wc = _word_counts(load(spark, "documents", sf_dir))
+    sp = wc.select(
+        "w",
+        F.concat(
+            F.lit(" "),
+            F.trim(F.regexp_replace(F.col("w"), "(.)", "$1  ")),
+            F.lit(" "),
+        ).alias("s"),
+        "wn",
+    )
+    pair_arr = F.expr(
+        "transform(sequence(1, greatest("
+        "size(split(trim(s), '  ')) - 1, 1)), "
+        "i -> concat(element_at(split(trim(s), '  '), i), ' ', "
+        "element_at(split(trim(s), '  '), i + 1)))"
+    )
+    for _step in range(3):
+        pairs = (
+            sp.filter(F.size(F.split(F.trim("s"), "  ")) >= 2)
+            .select(F.explode(pair_arr).alias("pair"), "wn")
+        )
+        top1 = (
+            pairs.groupBy("pair")
+            .agg(F.sum("wn").alias("n"))
+            .orderBy(F.desc("n"), "pair")
+            .limit(1)
+            .select("pair")
+        )
+        sp = (
+            sp.crossJoin(F.broadcast(top1))
+            .select(
+                "w",
+                F.expr(
+                    "replace(s, "
+                    "concat(' ', replace(pair, ' ', '  '), ' '), "
+                    "concat(' ', replace(pair, ' ', ''), ' '))"
+                ).alias("s"),
+                "wn",
+            )
+            .localCheckpoint(eager=False)
+        )
+    enc = sp.select(
+        "w", F.size(F.split(F.trim("s"), "  ")).alias("n_syms")
+    )
+    docs = load(spark, "documents", sf_dir)
+    wlc = (
+        docs.select("lang", F.explode(_tokens(F.expr(_NORM))).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("wnl"))
+    )
+    j = wlc.join(enc, "w")
+    return j.groupBy("lang").agg(
+        F.sum("wnl").cast("long").alias("n_words"),
+        F.sum(F.length("w") * F.col("wnl")).cast("long").alias("n_char_tokens"),
+        F.sum(F.col("n_syms") * F.col("wnl")).cast("long").alias("n_bpe_tokens"),
+        F.expr(
+            "cast(cast(sum((length(w) - n_syms) * wnl) as decimal(38,0)) "
+            "* 1000000 div sum(length(w) * wnl) as bigint)"
+        ).alias("saved_ppm"),
+    )

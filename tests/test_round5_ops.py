@@ -145,3 +145,13 @@ def test_power_iteration_matches_numpy(spark, sf_dir):
         for r in registry.queries()["emb_power_iteration"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_bpe_encode_compression(spark, sf_dir):
+    rows = registry.queries()["text_bpe_encode"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # 3 merges strictly compress a corpus that contains them
+        assert 0 < r["n_bpe_tokens"] <= r["n_char_tokens"]
+        assert 0 <= r["saved_ppm"] < 1000000
+        assert r["n_words"] > 0
