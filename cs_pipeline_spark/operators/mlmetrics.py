@@ -2266,3 +2266,271 @@ def agg_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e6)
         ).alias("mde_abs"),
     )
+
+
+# ---------- k-fold cross-validation by count subtraction ----------
+
+_CV_K = 5
+_CV_FOLD = f"((doc_id % {_GATE_P}) * {_GATE_MULT}) % {_GATE_P} % {_CV_K}"
+
+
+@register(
+    "ml_kfold_nb_cv",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_CV_FOLD} AS fold, lang AS lang_true, tok FROM (
+        SELECT doc_id, lang,
+               unnest(string_split({_NORM_DUCK}, ' ')) AS tok
+        FROM documents) t
+      WHERE tok <> ''
+    ),
+    dfold AS (SELECT doc_id, {_CV_FOLD} AS fold, lang FROM documents),
+    folds AS (SELECT unnest(range(0, {_CV_K})) AS fold),
+    d_g AS (SELECT CAST(COUNT(*) AS BIGINT) AS d FROM documents),
+    d_f AS (SELECT fold, CAST(COUNT(*) AS BIGINT) AS df
+            FROM dfold GROUP BY fold),
+    dl_g AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS dl
+             FROM documents GROUP BY lang),
+    dl_f AS (SELECT fold, lang, CAST(COUNT(*) AS BIGINT) AS dlf
+             FROM dfold GROUP BY fold, lang),
+    tl_g AS (SELECT lang_true AS lang, CAST(COUNT(*) AS BIGINT) AS tl
+             FROM toks GROUP BY 1),
+    tl_f AS (SELECT fold, lang_true AS lang, CAST(COUNT(*) AS BIGINT) AS tlf
+             FROM toks GROUP BY 1, 2),
+    c_g AS (SELECT lang_true AS lang, tok, CAST(COUNT(*) AS BIGINT) AS c
+            FROM toks GROUP BY 1, 2),
+    c_f AS (SELECT fold, lang_true AS lang, tok,
+            CAST(COUNT(*) AS BIGINT) AS cf FROM toks GROUP BY 1, 2, 3),
+    tokt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS tc
+             FROM toks GROUP BY tok),
+    tokf AS (SELECT fold, tok, CAST(COUNT(*) AS BIGINT) AS tcf
+             FROM toks GROUP BY fold, tok),
+    v_g AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM tokt),
+    -- tokens whose EVERY occurrence sits in fold f vanish from f's
+    -- training vocabulary
+    x_f AS (SELECT tf.fold, CAST(COUNT(*) AS BIGINT) AS xf
+            FROM tokf tf JOIN tokt tt ON tt.tok = tf.tok
+            WHERE tf.tcf = tt.tc GROUP BY tf.fold),
+    v_tr AS (SELECT f.fold, vg.v - COALESCE(x.xf, 0) AS vtr
+             FROM folds f CROSS JOIN v_g vg
+             LEFT JOIN x_f x ON x.fold = f.fold),
+    langs_f AS (
+      SELECT f.fold, lg.lang,
+             lg.tl - COALESCE(tf.tlf, 0) AS tltr,
+             vt.vtr,
+             CAST(FLOOR(ln(CAST(lg2.dl - COALESCE(df2.dlf, 0) AS DOUBLE)
+                  / CAST(dg.d - dff.df AS DOUBLE))
+                  * 1000000000.0 + 0.5) AS BIGINT) AS prior,
+             CAST(FLOOR(ln(1.0 / CAST(lg.tl - COALESCE(tf.tlf, 0) + vt.vtr
+                  AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT) AS w0
+      FROM folds f
+      CROSS JOIN tl_g lg
+      JOIN dl_g lg2 ON lg2.lang = lg.lang
+      LEFT JOIN tl_f tf ON tf.fold = f.fold AND tf.lang = lg.lang
+      LEFT JOIN dl_f df2 ON df2.fold = f.fold AND df2.lang = lg.lang
+      JOIN v_tr vt ON vt.fold = f.fold
+      CROSS JOIN d_g dg
+      JOIN d_f dff ON dff.fold = f.fold
+      WHERE lg2.dl - COALESCE(df2.dlf, 0) > 0
+        AND lg.tl - COALESCE(tf.tlf, 0) + vt.vtr > 0
+    ),
+    model_f AS (
+      SELECT f.fold, cg.lang, cg.tok,
+             CAST(FLOOR(ln(CAST(cg.c - COALESCE(cf.cf, 0) + 1 AS DOUBLE)
+                  / CAST(lf.tltr + lf.vtr AS DOUBLE))
+                  * 1000000000.0 + 0.5) AS BIGINT) AS w
+      FROM folds f CROSS JOIN c_g cg
+      LEFT JOIN c_f cf ON cf.fold = f.fold AND cf.lang = cg.lang
+                      AND cf.tok = cg.tok
+      JOIN langs_f lf ON lf.fold = f.fold AND lf.lang = cg.lang
+      WHERE cg.c - COALESCE(cf.cf, 0) > 0
+    ),
+    dtc AS (SELECT doc_id, fold, lang_true, tok,
+            CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM toks GROUP BY 1, 2, 3, 4),
+    scored AS (
+      SELECT tk.doc_id, tk.fold, tk.lang_true, lg.lang,
+             MIN(lg.prior) + SUM(tk.cnt * COALESCE(m.w, lg.w0)) AS s
+      FROM dtc tk
+      JOIN langs_f lg ON lg.fold = tk.fold
+      LEFT JOIN model_f m ON m.fold = tk.fold AND m.lang = lg.lang
+                         AND m.tok = tk.tok
+      GROUP BY 1, 2, 3, 4
+    ),
+    pred AS (
+      SELECT doc_id, fold, lang_true, lang AS lang_pred,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY s DESC, lang ASC) AS rn
+      FROM scored
+    )
+    SELECT CAST(fold AS BIGINT) AS fold,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN lang_pred = lang_true THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(SUM(CASE WHEN lang_pred = lang_true THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS acc_ppm
+    FROM pred WHERE rn = 1 GROUP BY fold
+    """,
+    doc=f"{_CV_K}-fold cross-validation of the in-engine naive Bayes "
+    "lang classifier WITHOUT training k times: every fold's training "
+    "counts are the global counts minus the fold's own (one extra "
+    "aggregate), including the per-fold training vocabulary — "
+    "leakage-free held-out accuracy per fold, exact quantized scores",
+)
+def ml_kfold_nb_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-fold CV by COUNT SUBTRACTION: instead of k training passes,
+    aggregate global (lang, tok) counts once plus per-(fold, lang,
+    tok) counts once; fold f's training model is global − fold
+    (Laplace-smoothed with the fold-corrected vocabulary — tokens
+    whose every occurrence sits in f vanish from its training vocab).
+    Each held-out doc is scored ONLY against its own fold's model via
+    an equi-join on fold. Same 1e-9 log-term quantization as
+    ml_naive_bayes, so scores are exact integer sums.
+
+    Scale: two token aggregates (global, per-fold) + a k×vocab×langs
+    model — k multiplies the MODEL side only, never corpus passes; the
+    scoring shuffle is the same single doc_id exchange as the plain
+    NB op. The classic 'k retrainings' cost collapses to one subtract.
+    """
+    docs = load(spark, "documents", sf_dir)
+    toks = (
+        docs.select(
+            "doc_id",
+            F.expr(_CV_FOLD).alias("fold"),
+            F.col("lang").alias("lang_true"),
+            F.explode(F.split(F.expr(_NORM), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    toks = pin(toks)
+    dfold = docs.select("doc_id", F.expr(_CV_FOLD).alias("fold"), "lang")
+    folds = spark.range(_CV_K).select(F.col("id").alias("fold"))
+    d_g = docs.agg(F.count(F.lit(1)).cast("long").alias("d"))
+    d_f = dfold.groupBy("fold").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    dl_g = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("dl")
+    )
+    dl_f = dfold.groupBy("fold", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("dlf")
+    )
+    tl_g = toks.groupBy(F.col("lang_true").alias("lang")).agg(
+        F.count(F.lit(1)).cast("long").alias("tl")
+    )
+    tl_f = toks.groupBy("fold", F.col("lang_true").alias("lang")).agg(
+        F.count(F.lit(1)).cast("long").alias("tlf")
+    )
+    c_g = toks.groupBy(F.col("lang_true").alias("lang"), "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    c_f = toks.groupBy(
+        "fold", F.col("lang_true").alias("lang"), "tok"
+    ).agg(F.count(F.lit(1)).cast("long").alias("cf"))
+    tokt = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("tc")
+    )
+    tokf = toks.groupBy("fold", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("tcf")
+    )
+    v_g = tokt.agg(F.count(F.lit(1)).cast("long").alias("v"))
+    x_f = (
+        tokf.join(tokt, "tok")
+        .filter(F.col("tcf") == F.col("tc"))
+        .groupBy("fold")
+        .agg(F.count(F.lit(1)).cast("long").alias("xf"))
+    )
+    v_tr = (
+        folds.crossJoin(F.broadcast(v_g))
+        .join(x_f, "fold", "left")
+        .select(
+            "fold",
+            (F.col("v") - F.coalesce("xf", F.lit(0))).alias("vtr"),
+        )
+    )
+    langs_f = (
+        folds.crossJoin(tl_g)
+        .join(dl_g, "lang")
+        .join(tl_f, ["fold", "lang"], "left")
+        .join(dl_f, ["fold", "lang"], "left")
+        .join(v_tr, "fold")
+        .crossJoin(F.broadcast(d_g))
+        .join(d_f, "fold")
+        .select(
+            "fold",
+            "lang",
+            (F.col("tl") - F.coalesce("tlf", F.lit(0))).alias("tltr"),
+            "vtr",
+            (F.col("dl") - F.coalesce("dlf", F.lit(0))).alias("dltr"),
+            (F.col("d") - F.col("df")).alias("dtr"),
+        )
+        .filter((F.col("dltr") > 0) & (F.col("tltr") + F.col("vtr") > 0))
+        .select(
+            "fold",
+            "lang",
+            "tltr",
+            "vtr",
+            _q9(
+                F.log(F.col("dltr").cast("double") / F.col("dtr").cast("double"))
+            ).alias("prior"),
+            _q9(
+                F.log(
+                    F.lit(1.0)
+                    / (F.col("tltr") + F.col("vtr")).cast("double")
+                )
+            ).alias("w0"),
+        )
+    )
+    langs_f = pin(langs_f)
+    model_f = (
+        folds.crossJoin(c_g)
+        .join(c_f, ["fold", "lang", "tok"], "left")
+        .join(langs_f.select("fold", "lang", "tltr", "vtr"), ["fold", "lang"])
+        .select(
+            "fold",
+            "lang",
+            "tok",
+            (F.col("c") - F.coalesce("cf", F.lit(0))).alias("ctr"),
+            "tltr",
+            "vtr",
+        )
+        .filter(F.col("ctr") > 0)
+        .select(
+            "fold",
+            "lang",
+            "tok",
+            _q9(
+                F.log(
+                    (F.col("ctr") + 1).cast("double")
+                    / (F.col("tltr") + F.col("vtr")).cast("double")
+                )
+            ).alias("w"),
+        )
+    )
+    dtc = toks.groupBy("doc_id", "fold", "lang_true", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    scored = (
+        dtc.join(
+            langs_f.select("fold", "lang", "prior", "w0"), "fold"
+        )
+        .join(model_f, ["fold", "lang", "tok"], "left")
+        .groupBy("doc_id", "fold", "lang_true", "lang")
+        .agg(
+            (
+                F.min("prior")
+                + F.sum(F.col("cnt") * F.coalesce("w", F.col("w0")))
+            ).alias("s")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("s"), F.asc("lang"))
+    pred = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    correct = F.when(F.col("lang") == F.col("lang_true"), 1).otherwise(0)
+    return pred.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.sum(correct).cast("long").alias("n_correct"),
+        F.expr(
+            "cast(cast(sum(case when lang = lang_true then 1 else 0 end) "
+            "as decimal(38,0)) * 1000000 div count(*) as bigint)"
+        ).alias("acc_ppm"),
+    ).select(F.col("fold").cast("long").alias("fold"), "n_test", "n_correct", "acc_ppm")

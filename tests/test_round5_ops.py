@@ -155,3 +155,16 @@ def test_bpe_encode_compression(spark, sf_dir):
         assert 0 < r["n_bpe_tokens"] <= r["n_char_tokens"]
         assert 0 <= r["saved_ppm"] < 1000000
         assert r["n_words"] > 0
+
+
+def test_kfold_cv_partition(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # docs with at least one token participate
+    rows = registry.queries()["ml_kfold_nb_cv"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    assert sum(r["n_test"] for r in rows) <= docs.count()
+    for r in rows:
+        assert 0 <= r["n_correct"] <= r["n_test"]
+        assert r["acc_ppm"] == r["n_correct"] * 1000000 // r["n_test"]
+        # the NB lang classifier must beat chance (5 classes) held-out
+        assert r["acc_ppm"] > 200000

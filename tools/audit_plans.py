@@ -370,6 +370,7 @@ AUDIT: dict[str, dict] = {
     "graph_hits_step": {"smj": 0},        # two aggs + broadcastable join
     "emb_power_iteration": {"smj": 0, "exchange": 1},  # 64-row agg
     "text_bpe_encode": {"smj": 0},        # word-type chain + lang join
+    "ml_kfold_nb_cv": {},                 # 2 token aggs, k x model side
     "privacy_t_closeness": {"smj": 0},    # global mix broadcasts
     "privacy_anonymize_release": {},      # class-keyed equi-join (either strategy ok)
 }
