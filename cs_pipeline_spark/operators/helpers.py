@@ -557,4 +557,10 @@ def with_rank_targets(df, key, tiebreaks, rank_sqls, nb: int = 64):
         & (F.col("rank") - F.col("_off") - F.col("_off2")
            <= F.col("_vcum"))
     ).select("tid", "rank", "nn", F.col("_kv").alias("value"))
-    return singles.unionByName(picked)
+    # the result is ≤ len(rank_sqls) rows behind a multi-stage plan
+    # that consumers typically broadcast into a fact-side join — pin it
+    # (builder-LRU-scoped persist) so repeated actions re-read t rows
+    # instead of re-running both refinement passes
+    from cs_pipeline_spark.registry import pin
+
+    return pin(singles.unionByName(picked))
