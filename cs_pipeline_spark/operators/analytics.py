@@ -1478,3 +1478,68 @@ def features_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m_score").cast("long").alias("m_score"),
         seg.alias("segment"),
     )
+
+
+# ---------- path analysis (event-type trigrams per user) ----------
+
+
+@register(
+    "events_path_trigrams",
+    f"""
+    WITH o AS (SELECT user_id, event_type,
+               LEAD(event_type, 1) OVER w AS e2,
+               LEAD(event_type, 2) OVER w AS e3
+               FROM events
+               WINDOW w AS (PARTITION BY user_id
+                            ORDER BY {EVENTS_TS_SQL}, event_id)),
+    p AS (SELECT event_type || ' > ' || e2 || ' > ' || e3 AS path,
+          user_id FROM o WHERE e3 IS NOT NULL)
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM p GROUP BY path
+    ORDER BY n_occurrences DESC, path LIMIT 25
+    """,
+    doc="behavioral path analysis: top-25 event-type trigrams over "
+    "per-user time-ordered streams (occurrences + distinct users) — "
+    "the 'what do users do next' sequence-mining readout funnels "
+    "cannot express (funnels fix the order; paths discover it)",
+)
+def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-3 path mining: lead(1)/lead(2) over each user's
+    time-ordered stream build sliding event-type trigrams; counting
+    occurrences and distinct users per path surfaces the dominant
+    behavioral sequences. Ties in the time order break on event_id —
+    fully deterministic paths.
+
+    Plan: ONE shuffle on user_id; both leads share one window pass,
+    the trigram aggregate is map-side combined, top-25 is
+    TakeOrderedAndProject. Path cardinality is ≤ |event_types|³ —
+    the aggregate output is bounded no matter the corpus.
+
+    Scale: per-user windows (no global order); a power user inflates
+    only their partition's window state, which is O(1) per row for
+    leads. 100 TB = the same single exchange.
+    """
+    ev = load(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").cast("timestamp"), "event_id"
+    )
+    o = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    p = o.select(
+        F.concat_ws(" > ", "event_type", "e2", "e3").alias("path"),
+        "user_id",
+    )
+    return (
+        p.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy(F.desc("n_occurrences"), "path")
+        .limit(25)
+    )

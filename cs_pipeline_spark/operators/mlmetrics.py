@@ -2534,3 +2534,221 @@ def ml_kfold_nb_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "as decimal(38,0)) * 1000000 div count(*) as bigint)"
         ).alias("acc_ppm"),
     ).select(F.col("fold").cast("long").alias("fold"), "n_test", "n_correct", "acc_ppm")
+
+
+# ---------- learning curve (accuracy vs training-set size) ----------
+
+_LC_BUCKET = f"((doc_id % {_GATE_P}) * {_GATE_MULT}) % {_GATE_P} % 10"
+_LC_TIERS = (1, 2, 4, 8)  # train on buckets < t; test on buckets >= 8
+
+
+@register(
+    "ml_learning_curve",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_LC_BUCKET} AS bkt, lang AS lang_true, tok FROM (
+        SELECT doc_id, lang,
+               unnest(string_split({_NORM_DUCK}, ' ')) AS tok
+        FROM documents) t
+      WHERE tok <> ''
+    ),
+    tiers AS (SELECT unnest([{", ".join(str(t) for t in _LC_TIERS)}]) AS tier),
+    db AS (SELECT doc_id, {_LC_BUCKET} AS bkt, lang FROM documents),
+    d_t AS (SELECT tier, CAST(COUNT(*) AS BIGINT) AS d
+            FROM tiers, db WHERE db.bkt < tier GROUP BY tier),
+    dl_t AS (SELECT tier, lang, CAST(COUNT(*) AS BIGINT) AS dl
+             FROM tiers, db WHERE db.bkt < tier GROUP BY tier, lang),
+    tl_t AS (SELECT tier, lang_true AS lang, CAST(COUNT(*) AS BIGINT) AS tl
+             FROM tiers, toks WHERE toks.bkt < tier GROUP BY tier, lang_true),
+    c_t AS (SELECT tier, lang_true AS lang, tok,
+            CAST(COUNT(*) AS BIGINT) AS c
+            FROM tiers, toks WHERE toks.bkt < tier
+            GROUP BY tier, lang_true, tok),
+    v_t AS (SELECT tier, CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+            FROM tiers, toks WHERE toks.bkt < tier GROUP BY tier),
+    langs_t AS (
+      SELECT t.tier, l.lang, l.tl, v.v,
+             CAST(FLOOR(ln(CAST(dl.dl AS DOUBLE) / CAST(d.d AS DOUBLE))
+                  * 1000000000.0 + 0.5) AS BIGINT) AS prior,
+             CAST(FLOOR(ln(1.0 / CAST(l.tl + v.v AS DOUBLE))
+                  * 1000000000.0 + 0.5) AS BIGINT) AS w0
+      FROM tiers t
+      JOIN tl_t l ON l.tier = t.tier
+      JOIN dl_t dl ON dl.tier = t.tier AND dl.lang = l.lang
+      JOIN v_t v ON v.tier = t.tier
+      JOIN d_t d ON d.tier = t.tier
+      WHERE dl.dl > 0 AND l.tl + v.v > 0
+    ),
+    model_t AS (
+      SELECT c.tier, c.lang, c.tok,
+             CAST(FLOOR(ln(CAST(c.c + 1 AS DOUBLE)
+                  / CAST(l.tl + l.v AS DOUBLE))
+                  * 1000000000.0 + 0.5) AS BIGINT) AS w
+      FROM c_t c JOIN langs_t l ON l.tier = c.tier AND l.lang = c.lang
+    ),
+    dtc AS (SELECT doc_id, lang_true, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM toks WHERE bkt >= 8 GROUP BY 1, 2, 3),
+    scored AS (
+      SELECT tk.doc_id, lg.tier, tk.lang_true, lg.lang,
+             MIN(lg.prior) + SUM(tk.cnt * COALESCE(m.w, lg.w0)) AS s
+      FROM dtc tk
+      JOIN langs_t lg ON TRUE
+      LEFT JOIN model_t m ON m.tier = lg.tier AND m.lang = lg.lang
+                         AND m.tok = tk.tok
+      GROUP BY 1, 2, 3, 4
+    ),
+    pred AS (
+      SELECT doc_id, tier, lang_true, lang AS lang_pred,
+             ROW_NUMBER() OVER (PARTITION BY doc_id, tier
+                                ORDER BY s DESC, lang ASC) AS rn
+      FROM scored
+    )
+    SELECT CAST(p.tier AS BIGINT) AS tier,
+           CAST(p.tier * 10 AS BIGINT) AS train_pct,
+           CAST(MAX(d.d) AS BIGINT) AS n_train_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN lang_pred = lang_true THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(SUM(CASE WHEN lang_pred = lang_true THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS acc_ppm
+    FROM pred p JOIN d_t d ON d.tier = p.tier
+    WHERE rn = 1 GROUP BY p.tier
+    """,
+    doc="learning curve: held-out naive Bayes accuracy at 10/20/40/80% "
+    "training fractions, every tier's model from ONE per-bucket count "
+    "pass (nested hash-bucket subsets — no repeated training scans); "
+    "the 'will more data help' diagnostic",
+)
+def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy-vs-training-size curve for the in-engine NB lang
+    classifier. Docs hash into 10 nested buckets; tier t trains on
+    buckets < t (t ∈ 1,2,4,8) and every tier evaluates on the same
+    fixed held-out 20% (buckets ≥ 8) — nested subsets, so the curve
+    isolates data volume from split noise, leakage-free by
+    construction. Same 1e-9 log-term quantization as ml_naive_bayes.
+
+    Scale: the fact-side work is ONE token pass; tier models join the
+    per-bucket counts against a 4-row tier spec (the tier × bucket
+    fan-out multiplies MODEL-side rows only). Scoring fans each test
+    doc across 4 tiers × langs — a bounded constant — and the argmax
+    shuffles once on (doc_id, tier).
+    """
+    docs = load(spark, "documents", sf_dir)
+    toks = pin(
+        docs.select(
+            "doc_id",
+            F.expr(_LC_BUCKET).alias("bkt"),
+            F.col("lang").alias("lang_true"),
+            F.explode(F.split(F.expr(_NORM), " ")).alias("tok"),
+        ).filter(F.col("tok") != "")
+    )
+    tiers = spark.createDataFrame(
+        [(t,) for t in _LC_TIERS], "tier long"
+    )
+    db = docs.select("doc_id", F.expr(_LC_BUCKET).alias("bkt"), "lang")
+    bc_tiers = F.broadcast(tiers)
+    d_t = (
+        bc_tiers.join(db, db.bkt < tiers.tier)
+        .groupBy("tier")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    dl_t = (
+        bc_tiers.join(db, db.bkt < tiers.tier)
+        .groupBy("tier", "lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    )
+    tl_t = (
+        bc_tiers.join(toks, toks.bkt < tiers.tier)
+        .groupBy("tier", F.col("lang_true").alias("lang"))
+        .agg(F.count(F.lit(1)).cast("long").alias("tl"))
+    )
+    c_t = (
+        bc_tiers.join(toks, toks.bkt < tiers.tier)
+        .groupBy("tier", F.col("lang_true").alias("lang"), "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    v_t = (
+        bc_tiers.join(toks, toks.bkt < tiers.tier)
+        .groupBy("tier")
+        .agg(F.countDistinct("tok").cast("long").alias("v"))
+    )
+    langs_t = (
+        tl_t.join(dl_t, ["tier", "lang"])
+        .join(v_t, "tier")
+        .join(d_t, "tier")
+        .filter((F.col("dl") > 0) & (F.col("tl") + F.col("v") > 0))
+        .select(
+            "tier",
+            "lang",
+            "tl",
+            "v",
+            _q9(
+                F.log(F.col("dl").cast("double") / F.col("d").cast("double"))
+            ).alias("prior"),
+            _q9(
+                F.log(F.lit(1.0) / (F.col("tl") + F.col("v")).cast("double"))
+            ).alias("w0"),
+        )
+    )
+    langs_t = pin(langs_t)
+    model_t = c_t.join(
+        langs_t.select("tier", "lang", "tl", "v"), ["tier", "lang"]
+    ).select(
+        "tier",
+        "lang",
+        "tok",
+        _q9(
+            F.log(
+                (F.col("c") + 1).cast("double")
+                / (F.col("tl") + F.col("v")).cast("double")
+            )
+        ).alias("w"),
+    )
+    dtc = (
+        toks.filter(F.col("bkt") >= 8)
+        .groupBy("doc_id", "lang_true", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    scored = (
+        dtc.crossJoin(
+            F.broadcast(langs_t.select("tier", "lang", "prior", "w0"))
+        )
+        .join(model_t, ["tier", "lang", "tok"], "left")
+        .groupBy("doc_id", "tier", "lang_true", "lang")
+        .agg(
+            (
+                F.min("prior")
+                + F.sum(F.col("cnt") * F.coalesce("w", F.col("w0")))
+            ).alias("s")
+        )
+    )
+    w = Window.partitionBy("doc_id", "tier").orderBy(
+        F.desc("s"), F.asc("lang")
+    )
+    pred = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return (
+        pred.join(F.broadcast(d_t), "tier")
+        .groupBy("tier")
+        .agg(
+            (F.max("tier") * 10).cast("long").alias("train_pct"),
+            F.max("d").cast("long").alias("n_train_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(
+                F.when(F.col("lang") == F.col("lang_true"), 1).otherwise(0)
+            ).cast("long").alias("n_correct"),
+            F.expr(
+                "cast(cast(sum(case when lang = lang_true then 1 else 0 "
+                "end) as decimal(38,0)) * 1000000 div count(*) as bigint)"
+            ).alias("acc_ppm"),
+        )
+        .select(
+            F.col("tier").cast("long").alias("tier"),
+            "train_pct",
+            "n_train_docs",
+            "n_test",
+            "n_correct",
+            "acc_ppm",
+        )
+    )

@@ -168,3 +168,26 @@ def test_kfold_cv_partition(spark, sf_dir):
         assert r["acc_ppm"] == r["n_correct"] * 1000000 // r["n_test"]
         # the NB lang classifier must beat chance (5 classes) held-out
         assert r["acc_ppm"] > 200000
+
+
+def test_path_trigrams_shape(spark, sf_dir):
+    rows = registry.queries()["events_path_trigrams"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 25
+    ns = [r["n_occurrences"] for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    for r in rows:
+        assert len(r["path"].split(" > ")) == 3
+        assert 1 <= r["n_users"] <= r["n_occurrences"]
+
+
+def test_learning_curve_monotone_data(spark, sf_dir):
+    rows = {r["tier"]: r for r in
+            registry.queries()["ml_learning_curve"](spark, sf_dir).collect()}
+    assert set(rows) == {1, 2, 4, 8}
+    # nested subsets: training size strictly grows with tier
+    sizes = [rows[t]["n_train_docs"] for t in (1, 2, 4, 8)]
+    assert sizes == sorted(sizes) and len(set(sizes)) == 4
+    # all tiers evaluate the same held-out set
+    assert len({rows[t]["n_test"] for t in (1, 2, 4, 8)}) == 1
+    for r in rows.values():
+        assert r["acc_ppm"] == r["n_correct"] * 1000000 // r["n_test"]

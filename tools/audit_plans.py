@@ -371,6 +371,8 @@ AUDIT: dict[str, dict] = {
     "emb_power_iteration": {"smj": 0, "exchange": 1},  # 64-row agg
     "text_bpe_encode": {"smj": 0},        # word-type chain + lang join
     "ml_kfold_nb_cv": {},                 # 2 token aggs, k x model side
+    "events_path_trigrams": {"smj": 0, "exchange": 2},  # user window + agg
+    "ml_learning_curve": {},              # tier fan-out on model side only
     "privacy_t_closeness": {"smj": 0},    # global mix broadcasts
     "privacy_anonymize_release": {},      # class-keyed equi-join (either strategy ok)
 }
