@@ -1543,3 +1543,65 @@ def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "path")
         .limit(25)
     )
+
+
+@register(
+    "agg_stickiness_dau_mau",
+    f"""
+    WITH e AS (SELECT user_id, CAST({EVENTS_TS_SQL} AS DATE) AS day,
+               strftime(CAST({EVENTS_TS_SQL} AS DATE), '%Y-%m') AS month
+               FROM events),
+    du AS (SELECT month, day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+           FROM e GROUP BY month, day),
+    m AS (SELECT month, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+          FROM e GROUP BY month),
+    da AS (SELECT month, CAST(SUM(dau) AS BIGINT) AS user_days,
+           CAST(COUNT(*) AS BIGINT) AS n_days FROM du GROUP BY month)
+    SELECT da.month, da.n_days, da.user_days, m.mau,
+           CAST(da.user_days * 1000000 // (da.n_days * m.mau) AS BIGINT)
+             AS stickiness_ppm
+    FROM da JOIN m ON m.month = da.month
+    """,
+    doc="DAU/MAU stickiness per month: average daily actives over "
+    "monthly actives in integer ppm (user-days * 1e6 div days*MAU) — "
+    "the engagement-frequency headline beside the retention matrix",
+)
+def agg_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly stickiness = avg(DAU)/MAU, computed as one exact
+    integer ratio (user-days × 1e6) div (days × MAU) — no float
+    average of per-day ratios. Two distinct-count aggregates (daily,
+    monthly) sharing the user exchange; output is |months| rows.
+
+    Scale: COUNT(DISTINCT) over (month, day, user) keys — map-side
+    partial dedup absorbs the fact volume; at 100 TB the same query
+    runs on HLL sketches (agg_approx_distinct contract) with
+    identical shape.
+    """
+    ev = load(spark, "events", sf_dir)
+    e = ev.select(
+        "user_id",
+        F.col("ts").cast("timestamp").cast("date").alias("day"),
+        F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM").alias(
+            "month"
+        ),
+    )
+    du = e.groupBy("month", "day").agg(
+        F.countDistinct("user_id").cast("long").alias("dau")
+    )
+    m = e.groupBy("month").agg(
+        F.countDistinct("user_id").cast("long").alias("mau")
+    )
+    da = du.groupBy("month").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("dau").cast("long").alias("user_days"),
+    )
+    return da.join(m, "month").select(
+        "month",
+        "n_days",
+        "user_days",
+        "mau",
+        F.expr(
+            "cast(cast(user_days as decimal(38,0)) * 1000000 "
+            "div (n_days * mau) as bigint)"
+        ).alias("stickiness_ppm"),
+    )

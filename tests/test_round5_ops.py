@@ -191,3 +191,12 @@ def test_learning_curve_monotone_data(spark, sf_dir):
     assert len({rows[t]["n_test"] for t in (1, 2, 4, 8)}) == 1
     for r in rows.values():
         assert r["acc_ppm"] == r["n_correct"] * 1000000 // r["n_test"]
+
+
+def test_stickiness_bounds(spark, sf_dir):
+    rows = registry.queries()["agg_stickiness_dau_mau"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # avg DAU can never exceed MAU
+        assert 0 < r["stickiness_ppm"] <= 1000000
+        assert r["user_days"] >= r["mau"]  # every monthly active has >= 1 day
