@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from cs_pipeline_spark.operators.helpers import dround
 from cs_pipeline_spark.registry import register
@@ -1157,4 +1158,124 @@ def graph_hits_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("hub_score"), "node")
         .limit(20)
+    )
+
+
+# ---------- deterministic random walks (embedding-prep corpus) ----------
+
+_RW_P = 1000000007
+_RW_MULT = 2654435761 % _RW_P
+_RW_STEPS = 4
+
+
+def _rw_oracle() -> str:
+    n = "(SELECT COUNT(*) FROM documents)"
+    cte = [
+        f"edges AS ({_EDGE_SQL.format(n=n)})",
+        # per-source neighbor ranks + degree: the walk transition table
+        """nbr AS (SELECT src, dst,
+             ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rk,
+             COUNT(*) OVER (PARTITION BY src) AS deg
+           FROM edges)""",
+        "w0 AS (SELECT doc_id AS start, doc_id AS cur FROM documents)",
+    ]
+    prev = "w0"
+    for k in range(1, _RW_STEPS + 1):
+        cte.append(
+            f"""w{k} AS (
+              SELECT w.start, n.dst AS cur
+              FROM {prev} w JOIN nbr n ON n.src = w.cur
+               AND n.rk = ((w.cur % {_RW_P}) * {_RW_MULT} + {k})
+                           % {_RW_P} % n.deg + 1)"""
+        )
+        prev = f"w{k}"
+    steps = " UNION ALL ".join(
+        f"SELECT {k} AS step, cur FROM w{k}" for k in range(1, _RW_STEPS + 1)
+    )
+    cte.append(f"visits AS (SELECT step, cur, COUNT(*) AS v FROM ({steps}) GROUP BY step, cur)")
+    return (
+        "WITH " + ", ".join(cte) + " "
+        "SELECT CAST(step AS BIGINT) AS step, "
+        "CAST(SUM(v) AS BIGINT) AS n_walks, "
+        "CAST(COUNT(*) AS BIGINT) AS n_distinct_nodes, "
+        "CAST(MIN(CASE WHEN rnk = 1 THEN cur END) AS BIGINT) AS top_node, "
+        "CAST(MAX(CASE WHEN rnk = 1 THEN v END) AS BIGINT) AS top_visits "
+        "FROM (SELECT step, cur, v, ROW_NUMBER() OVER ("
+        "PARTITION BY step ORDER BY v DESC, cur) AS rnk FROM visits) "
+        "GROUP BY step"
+    )
+
+
+@register(
+    "graph_random_walks",
+    _rw_oracle(),
+    doc=f"deterministic random walks ({_RW_STEPS} steps from every "
+    "node): next hop = hash(current, step) mod out-degree over a "
+    "neighbor-rank transition table — the DeepWalk/node2vec corpus "
+    "generator with zero rand(); per-step visit concentration summary "
+    "(walk conservation, distinct nodes, argmax hub)",
+)
+def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk corpus generation as relational algebra: a neighbor-rank
+    table (rank + out-degree per source) turns 'pick a random
+    neighbor' into an equi-join on (src, rank), with the rank drawn by
+    an affine-mod-prime hash of (current node, step) — deterministic,
+    reproducible, identical on both engines. Four chained joins walk
+    every node four steps; the output summarizes per-step visit
+    concentration (Σvisits = n walks — conservation is the built-in
+    audit).
+
+    Scale: each step is ONE equi-join against the transition table,
+    partitioned by node — walks never materialize as strings, and the
+    transition table is degree-bounded. At 100 TB with 80 steps this
+    is 80 shuffles with a localCheckpoint every ~10 (the iterative
+    convention); walk state is one row per (start, position).
+    """
+    docs = load(spark, "documents", sf_dir)
+    n = _n_docs(spark, sf_dir)
+    edges = _edges(docs, n)
+    wdeg = Window.partitionBy("src")
+    nbr = edges.select(
+        "src",
+        "dst",
+        F.row_number()
+        .over(Window.partitionBy("src").orderBy("dst"))
+        .alias("rk"),
+        F.count(F.lit(1)).over(wdeg).alias("deg"),
+    )
+    cur = docs.select(F.col("doc_id").alias("start"), F.col("doc_id").alias("cur"))
+    per_step = []
+    for k in range(1, _RW_STEPS + 1):
+        nb = nbr.alias(f"n{k}")
+        pick = (
+            (F.col("w.cur") % _RW_P) * _RW_MULT + F.lit(k)
+        ) % _RW_P % F.col(f"n{k}.deg") + 1
+        cur = (
+            cur.alias("w")
+            .join(nb, F.col("w.cur") == F.col(f"n{k}.src"))
+            .filter(F.col(f"n{k}.rk") == pick)
+            .select(F.col("w.start").alias("start"),
+                    F.col(f"n{k}.dst").alias("cur"))
+        )
+        per_step.append(
+            cur.select(F.lit(k).cast("long").alias("step"), "cur")
+        )
+    allsteps = per_step[0]
+    for s_df in per_step[1:]:
+        allsteps = allsteps.unionByName(s_df)
+    visits = allsteps.groupBy("step", "cur").agg(
+        F.count(F.lit(1)).cast("long").alias("v")
+    )
+    # argmax via lexicographic struct min: highest v, then lowest node
+    return visits.groupBy("step").agg(
+        F.sum("v").cast("long").alias("n_walks"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_nodes"),
+        F.min(F.struct((-F.col("v")).alias("nv"), F.col("cur").alias("c")))
+        .alias("b"),
+    ).select(
+        "step",
+        "n_walks",
+        "n_distinct_nodes",
+        F.col("b.c").cast("long").alias("top_node"),
+        (-F.col("b.nv")).cast("long").alias("top_visits"),
     )

@@ -200,3 +200,15 @@ def test_stickiness_bounds(spark, sf_dir):
         # avg DAU can never exceed MAU
         assert 0 < r["stickiness_ppm"] <= 1000000
         assert r["user_days"] >= r["mau"]  # every monthly active has >= 1 day
+
+
+def test_random_walks_conservation(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    rows = {r["step"]: r for r in
+            registry.queries()["graph_random_walks"](spark, sf_dir).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    for r in rows.values():
+        assert r["n_walks"] == n  # every walk survives every step
+        assert 1 <= r["n_distinct_nodes"] <= n
+        assert r["top_visits"] >= 1

@@ -374,6 +374,7 @@ AUDIT: dict[str, dict] = {
     "events_path_trigrams": {"smj": 0, "exchange": 2},  # user window + agg
     "ml_learning_curve": {},              # tier fan-out on model side only
     "agg_stickiness_dau_mau": {"smj": 0}, # two distinct-count aggs
+    "graph_random_walks": {},             # 4 chained transition joins
     "privacy_t_closeness": {"smj": 0},    # global mix broadcasts
     "privacy_anonymize_release": {},      # class-keyed equi-join (either strategy ok)
 }
