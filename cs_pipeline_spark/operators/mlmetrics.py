@@ -2752,3 +2752,103 @@ def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "acc_ppm",
         )
     )
+
+
+# ---------- split-conformal prediction interval ----------
+
+_CONF_BUCKET = f"((event_id % {_GATE_P}) * {_GATE_MULT}) % {_GATE_P} % 10"
+
+
+@register(
+    "ml_conformal_interval",
+    f"""
+    WITH q AS (SELECT event_type, {_CONF_BUCKET} AS bkt,
+               CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS qv
+               FROM events),
+    mu AS (SELECT event_type,
+           CAST(SUM(qv) // COUNT(*) AS BIGINT) AS mu,
+           CAST(COUNT(*) AS BIGINT) AS n_train
+           FROM q WHERE bkt < 6 GROUP BY event_type),
+    cal AS (SELECT ABS(q.qv - mu.mu) AS r
+            FROM q JOIN mu ON mu.event_type = q.event_type
+            WHERE q.bkt IN (6, 7)),
+    ranked AS (SELECT r, ROW_NUMBER() OVER (ORDER BY r) AS rn,
+               COUNT(*) OVER () AS nc FROM cal),
+    qh AS (SELECT r AS q_hat, nc FROM ranked
+           WHERE rn = LEAST((9 * nc + 18) // 10, nc)),
+    test AS (SELECT ABS(q.qv - mu.mu) AS r
+             FROM q JOIN mu ON mu.event_type = q.event_type
+             WHERE q.bkt >= 8)
+    SELECT CAST(MAX(qh.nc) AS BIGINT) AS n_cal,
+           CAST(MAX(qh.q_hat) AS BIGINT) AS q_hat,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN test.r <= qh.q_hat THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_covered,
+           CAST(SUM(CASE WHEN test.r <= qh.q_hat THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS coverage_ppm
+    FROM test CROSS JOIN qh
+    """,
+    doc="split-conformal 90% prediction interval: per-type mean model "
+    "on train, calibration residual quantile ceil(0.9(n+1))/n as the "
+    "half-width, guaranteed-coverage audit on held-out test — "
+    "distribution-free uncertainty quantification, exact integers",
+)
+def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split conformal prediction (Vovk; Angelopoulos & Bates 2021
+    tutorial shape): 60/20/20 hash split, a trivially simple per-type
+    mean model, and the finite-sample-valid interval half-width
+    q̂ = the ceil(0.9·(n+1))-th smallest calibration residual. The
+    output row audits held-out coverage — conformal theory guarantees
+    ≥ 90% regardless of the model or distribution; the exact rank pick
+    and integer residuals make that auditable bit-for-bit.
+
+    Scale: the calibration rank pick is ``with_rank_targets`` (two-
+    level bucketed — no global sort); everything else is map-side
+    aggregates and a 5-row broadcast of the per-type means. The
+    coverage pass streams test rows against two broadcast scalars.
+    """
+    ev = load(spark, "events", sf_dir)
+    q = pin(
+        ev.select(
+            "event_type",
+            F.expr(_CONF_BUCKET).alias("bkt"),
+            F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5))
+            .cast("long")
+            .alias("qv"),
+        )
+    )
+    mu = (
+        q.filter(F.col("bkt") < 6)
+        .groupBy("event_type")
+        .agg(
+            F.expr("cast(sum(qv) div count(*) as bigint)").alias("mu"),
+            F.count(F.lit(1)).cast("long").alias("n_train"),
+        )
+    )
+    cal = (
+        q.filter(F.col("bkt").isin(6, 7))
+        .join(F.broadcast(mu), "event_type")
+        .select(F.abs(F.col("qv") - F.col("mu")).alias("r"))
+    )
+    qh = with_rank_targets(
+        cal, "r", (), ["least((9 * nn + 18) div 10, nn)"]
+    ).select(F.col("value").alias("q_hat"), F.col("nn").alias("n_cal"))
+    test = (
+        q.filter(F.col("bkt") >= 8)
+        .join(F.broadcast(mu), "event_type")
+        .select(F.abs(F.col("qv") - F.col("mu")).alias("r"))
+    )
+    covered = F.when(F.col("r") <= F.col("q_hat"), 1).otherwise(0)
+    return (
+        test.crossJoin(F.broadcast(qh))
+        .agg(
+            F.max("n_cal").cast("long").alias("n_cal"),
+            F.max("q_hat").cast("long").alias("q_hat"),
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(covered).cast("long").alias("n_covered"),
+            F.expr(
+                "cast(cast(sum(case when r <= q_hat then 1 else 0 end) "
+                "as decimal(38,0)) * 1000000 div count(*) as bigint)"
+            ).alias("coverage_ppm"),
+        )
+    )

@@ -212,3 +212,13 @@ def test_random_walks_conservation(spark, sf_dir):
         assert r["n_walks"] == n  # every walk survives every step
         assert 1 <= r["n_distinct_nodes"] <= n
         assert r["top_visits"] >= 1
+
+
+def test_conformal_coverage_guarantee(spark, sf_dir):
+    r = registry.queries()["ml_conformal_interval"](spark, sf_dir).collect()[0]
+    assert r["n_cal"] > 0 and r["n_test"] > 0
+    assert 0 <= r["n_covered"] <= r["n_test"]
+    # finite-sample conformal guarantee: coverage >= 90% minus a small
+    # finite-n slack (1/n_cal); integer ppm form
+    slack = 1000000 // r["n_cal"] + 1
+    assert r["coverage_ppm"] >= 900000 - slack

@@ -375,6 +375,7 @@ AUDIT: dict[str, dict] = {
     "ml_learning_curve": {},              # tier fan-out on model side only
     "agg_stickiness_dau_mau": {"smj": 0}, # two distinct-count aggs
     "graph_random_walks": {},             # 4 chained transition joins
+    "ml_conformal_interval": {"smj": 0},  # rank-target pick + broadcasts
     "privacy_t_closeness": {"smj": 0},    # global mix broadcasts
     "privacy_anonymize_release": {},      # class-keyed equi-join (either strategy ok)
 }
