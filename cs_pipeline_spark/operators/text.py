@@ -1758,3 +1758,80 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "* 1000000 div sum(length(w) * wnl) as bigint)"
         ).alias("saved_ppm"),
     )
+
+
+# ---------- vocabulary coverage curve (tokenizer sizing) ----------
+
+_VC_TARGETS = (50, 90, 95, 99)  # percent of corpus token mass
+
+
+@register(
+    "text_vocab_coverage",
+    f"""
+    WITH {_BPE_WC_SQL},
+    r AS (SELECT w, wn,
+          ROW_NUMBER() OVER (ORDER BY wn DESC, w) AS rk,
+          SUM(wn) OVER (ORDER BY wn DESC, w
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          SUM(wn) OVER () AS tot,
+          COUNT(*) OVER () AS vocab
+          FROM wc),
+    t AS (SELECT unnest([{", ".join(str(t) for t in _VC_TARGETS)}]) AS pct)
+    SELECT CAST(t.pct AS BIGINT) AS pct,
+           CAST(MIN(r.rk) AS BIGINT) AS vocab_size,
+           CAST(MAX(r.vocab) AS BIGINT) AS vocab_total,
+           CAST(MIN(r.rk) * 1000000 // MAX(r.vocab) AS BIGINT)
+             AS vocab_frac_ppm
+    FROM t JOIN r ON r.cum * 100 >= t.pct * r.tot
+    GROUP BY t.pct
+    """,
+    doc="vocabulary coverage curve: smallest frequency-ranked vocab "
+    "covering 50/90/95/99% of corpus token mass (Zipf head sizing — "
+    "the 'how big must the tokenizer vocab be' table), exact integer "
+    "rank/mass arithmetic",
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocab sizing: rank word types by frequency, take the
+    running mass, and for each coverage target report the smallest
+    rank whose cumulative mass reaches pct% of the corpus — the
+    Zipf-head curve that decides vocab size (text_vocab_growth is the
+    Heaps-law twin: new types vs corpus size; this is mass vs rank).
+
+    The rank and running sum come from the two-phase helpers
+    (``with_total_rank`` + ``with_prefix_agg`` over one shared order)
+    — no single-executor sort of the vocabulary; the coverage
+    threshold `cum·100 ≥ pct·tot` is exact integer arithmetic, and
+    the 4-target argmin is a tiny aggregate.
+
+    Scale: vocabulary is Zipf-bounded (≪ corpus); one bucketed rank
+    pass + one broadcast of the 4 targets.
+    """
+    wc = _word_counts(load(spark, "documents", sf_dir))
+    from cs_pipeline_spark.operators.helpers import (
+        with_prefix_agg,
+        with_total_rank,
+    )
+
+    # shared total order: wn desc, w asc ⇔ (-wn) asc, w asc
+    neg = wc.select("w", "wn", (-F.col("wn")).alias("nwn"))
+    ranked = with_total_rank(neg, "nwn", (F.col("w"),), rn="rk", nn="vocab")
+    cum = with_prefix_agg(
+        ranked, "nwn", (F.col("w"),), "wn", kind="sum", out="cum"
+    )
+    tot = wc.agg(F.sum("wn").cast("long").alias("tot"))
+    targets = spark.createDataFrame(
+        [(t,) for t in _VC_TARGETS], "pct long"
+    )
+    j = (
+        cum.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(targets))
+        .filter(F.col("cum") * 100 >= F.col("pct") * F.col("tot"))
+    )
+    return j.groupBy("pct").agg(
+        F.min("rk").cast("long").alias("vocab_size"),
+        F.max("vocab").cast("long").alias("vocab_total"),
+        F.expr(
+            "cast(cast(min(rk) as decimal(38,0)) * 1000000 "
+            "div max(vocab) as bigint)"
+        ).alias("vocab_frac_ppm"),
+    ).select(F.col("pct").cast("long").alias("pct"), "vocab_size", "vocab_total", "vocab_frac_ppm")

@@ -222,3 +222,28 @@ def test_conformal_coverage_guarantee(spark, sf_dir):
     # finite-n slack (1/n_cal); integer ppm form
     slack = 1000000 // r["n_cal"] + 1
     assert r["coverage_ppm"] >= 900000 - slack
+
+
+def test_vocab_coverage_monotone(spark, sf_dir):
+    rows = {r["pct"]: r for r in
+            registry.queries()["text_vocab_coverage"](spark, sf_dir).collect()}
+    assert set(rows) == {50, 90, 95, 99}
+    sizes = [rows[p]["vocab_size"] for p in (50, 90, 95, 99)]
+    assert sizes == sorted(sizes)  # more coverage needs more vocab
+    for r in rows.values():
+        assert 1 <= r["vocab_size"] <= r["vocab_total"]
+        assert r["vocab_frac_ppm"] == r["vocab_size"] * 1000000 // r["vocab_total"]
+
+
+def test_markov_rows_normalize(spark, sf_dir):
+    rows = registry.queries()["events_markov_transitions"](spark, sf_dir).collect()
+    assert rows
+    from collections import defaultdict
+    by_src = defaultdict(list)
+    for r in rows:
+        by_src[r["src"]].append(r)
+    for src, rs in by_src.items():
+        assert sum(r["n"] for r in rs) == rs[0]["row_total"]
+        # ppm rows sum to ~1e6 (truncation loses < |dsts| ppm)
+        s = sum(r["prob_ppm"] for r in rs)
+        assert 1000000 - len(rs) <= s <= 1000000

@@ -376,6 +376,8 @@ AUDIT: dict[str, dict] = {
     "agg_stickiness_dau_mau": {"smj": 0}, # two distinct-count aggs
     "graph_random_walks": {},             # 4 chained transition joins
     "ml_conformal_interval": {"smj": 0},  # rank-target pick + broadcasts
+    "text_vocab_coverage": {"smj": 0},    # two-phase rank over vocab
+    "events_markov_transitions": {"smj": 0, "exchange": 3},
     "privacy_t_closeness": {"smj": 0},    # global mix broadcasts
     "privacy_anonymize_release": {},      # class-keyed equi-join (either strategy ok)
 }
