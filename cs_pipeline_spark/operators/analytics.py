@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 from cs_pipeline_spark.operators.helpers import dsum, sql_dsum, with_total_rank, one_part
-from cs_pipeline_spark.registry import register
+from cs_pipeline_spark.registry import pin, register
 from cs_pipeline_spark.tables import EVENTS_TS_SQL, load
 
 
@@ -1663,4 +1663,111 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(cast(n as decimal(38,0)) * 1000000 div row_total "
             "as bigint)"
         ).alias("prob_ppm"),
+    )
+
+
+# ---------- stationary distribution (Markov chain power steps) ----------
+
+_MC_ITERS = 3
+
+
+def _mc_oracle() -> str:
+    cte = [
+        f"""o AS (SELECT user_id, event_type AS src,
+              LEAD(event_type, 1) OVER (
+                PARTITION BY user_id ORDER BY {EVENTS_TS_SQL}, event_id
+              ) AS dst FROM events)""",
+        """c AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+           FROM o WHERE dst IS NOT NULL GROUP BY src, dst)""",
+        """tp AS (SELECT c.src, c.dst,
+             CAST(c.n * 1000000 // t.rt AS BIGINT) AS p
+           FROM c JOIN (SELECT src, SUM(n) AS rt FROM c GROUP BY src) t
+           ON t.src = c.src)""",
+        """states AS (SELECT DISTINCT src AS s FROM c)""",
+        """pi0 AS (SELECT s, CAST(1000000 // (SELECT COUNT(*) FROM states)
+              AS BIGINT) AS m FROM states)""",
+    ]
+    prev = "pi0"
+    for k in range(1, _MC_ITERS + 1):
+        cte.append(
+            f"""pi{k} AS (
+              SELECT tp.dst AS s,
+                     CAST(SUM(p.m * tp.p) // 1000000 AS BIGINT) AS m
+              FROM {prev} p JOIN tp ON tp.src = p.s GROUP BY tp.dst)"""
+        )
+        prev = f"pi{k}"
+    return (
+        "WITH " + ", ".join(cte) + " "
+        f"SELECT a.s AS event_type, a.m AS pi_ppm, "
+        f"CAST(ABS(a.m - b.m) AS BIGINT) AS delta_ppm "
+        f"FROM pi{_MC_ITERS} a JOIN pi{_MC_ITERS - 1} b ON b.s = a.s"
+    )
+
+
+@register(
+    "events_markov_stationary",
+    _mc_oracle(),
+    doc=f"stationary distribution of the event-type Markov chain: "
+    f"{_MC_ITERS} exact integer-ppm power steps from uniform "
+    "(pi' = pi P, truncating div per step — deterministic drift), "
+    "with the last-step L1 delta as the convergence readout",
+)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where does user behavior settle: power-iterate π ← πP on the
+    integer-ppm transition matrix. All mass arithmetic is exact
+    integer (ppm · ppm // 1e6 per hop — truncation is deterministic
+    and identical across engines), so the trajectory is bit-stable;
+    the per-state |π₃ − π₂| column shows convergence without any
+    float tolerance.
+
+    Scale: the transition matrix is ≤ |types|² rows (broadcast); each
+    power step is one tiny join — corpus rows are touched exactly
+    once, by the matrix-building aggregate.
+    """
+    ev = load(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").cast("timestamp"), "event_id"
+    )
+    c = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type", 1).over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    c = pin(c)
+    t = c.groupBy("src").agg(F.sum("n").cast("long").alias("rt"))
+    tp = c.join(F.broadcast(t), "src").select(
+        "src",
+        "dst",
+        F.expr("cast(cast(n as decimal(38,0)) * 1000000 div rt as bigint)")
+        .alias("p"),
+    )
+    tp = pin(tp)
+    states = c.select(F.col("src").alias("s")).distinct()
+    nstates = states.agg(F.count(F.lit(1)).alias("ns"))
+    pi = states.crossJoin(F.broadcast(nstates)).select(
+        "s", F.expr("cast(1000000 div ns as bigint)").alias("m")
+    )
+    prev = None
+    for _k in range(_MC_ITERS):
+        prev = pi
+        pi = (
+            pi.join(tp, pi.s == tp.src)
+            .groupBy(F.col("dst").alias("s2"))
+            .agg(
+                F.expr("cast(sum(m * p) div 1000000 as bigint)").alias("m")
+            )
+            .select(F.col("s2").alias("s"), "m")
+        )
+    return (
+        pi.alias("a")
+        .join(prev.alias("b"), F.col("a.s") == F.col("b.s"))
+        .select(
+            F.col("a.s").alias("event_type"),
+            F.col("a.m").alias("pi_ppm"),
+            F.abs(F.col("a.m") - F.col("b.m")).cast("long").alias("delta_ppm"),
+        )
     )

@@ -247,3 +247,27 @@ def test_markov_rows_normalize(spark, sf_dir):
         # ppm rows sum to ~1e6 (truncation loses < |dsts| ppm)
         s = sum(r["prob_ppm"] for r in rs)
         assert 1000000 - len(rs) <= s <= 1000000
+
+
+def test_markov_stationary_mass(spark, sf_dir):
+    rows = registry.queries()["events_markov_stationary"](spark, sf_dir).collect()
+    assert rows
+    total = sum(r["pi_ppm"] for r in rows)
+    # truncating divisions lose a few ppm per hop, never gain
+    assert 900000 <= total <= 1000000
+    for r in rows:
+        assert r["pi_ppm"] >= 0 and r["delta_ppm"] >= 0
+
+
+def test_haar_energy_parseval_direction(spark, sf_dir):
+    rows = {r["level"]: r for r in
+            registry.queries()["ts_haar_energy"](spark, sf_dir).collect()}
+    assert set(rows) == {1, 2, 3}
+    for lvl, r in rows.items():
+        assert r["n_blocks"] >= 1
+        assert r["energy_scaled"] >= 0
+        # max detail consistent with total energy
+        assert r["max_abs_detail"] ** 2 <= r["energy_scaled"] or r["energy_scaled"] == 0
+    # deeper levels halve the block count (within rounding)
+    assert rows[2]["n_blocks"] <= rows[1]["n_blocks"]
+    assert rows[3]["n_blocks"] <= rows[2]["n_blocks"]

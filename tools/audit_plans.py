@@ -378,6 +378,8 @@ AUDIT: dict[str, dict] = {
     "ml_conformal_interval": {"smj": 0},  # rank-target pick + broadcasts
     "text_vocab_coverage": {"smj": 0},    # two-phase rank over vocab
     "events_markov_transitions": {"smj": 0, "exchange": 3},
+    "events_markov_stationary": {"smj": 0},  # 3 tiny matrix joins
+    "ts_haar_energy": {"smj": 0},         # hourly agg + level fan-out
     "privacy_t_closeness": {"smj": 0},    # global mix broadcasts
     "privacy_anonymize_release": {},      # class-keyed equi-join (either strategy ok)
 }
