@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cs_pipeline_spark.operators.helpers import with_rank_targets, one_part
-from cs_pipeline_spark.registry import register
+from cs_pipeline_spark.registry import pin, register
 from cs_pipeline_spark.tables import EVENTS_TS_SQL, load
 
 _Q6 = "CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)"
@@ -2121,3 +2121,124 @@ def ts_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("energy_scaled"),
         F.max(F.abs(F.col("dsc"))).cast("long").alias("max_abs_detail"),
     ).select(F.col("level").cast("long").alias("level"), "n_blocks", "energy_scaled", "max_abs_detail")
+
+
+# ---------- SAX symbolic approximation (symbolic TS indexing) ----------
+
+_SAX_BLOCK = 4  # hours per PAA block
+_SAX_WORD = 4   # PAA blocks per SAX word
+
+
+@register(
+    "ts_sax_words",
+    f"""
+    WITH hourly AS (
+      SELECT event_type,
+             epoch_us({EVENTS_TS_SQL}) // 3600000000 AS h,
+             CAST(SUM({_Q6}) // COUNT(*) AS BIGINT) AS m
+      FROM events GROUP BY 1, 2
+    ),
+    paa AS (
+      SELECT event_type, h // {_SAX_BLOCK} AS blk,
+             CAST(SUM(m) // COUNT(*) AS BIGINT) AS v
+      FROM hourly GROUP BY 1, 2
+    ),
+    r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn,
+          COUNT(*) OVER () AS nn FROM paa),
+    bp AS (SELECT
+      MAX(CASE WHEN rn = (1 * (nn - 1)) // 4 + 1 THEN v END) AS b1,
+      MAX(CASE WHEN rn = (2 * (nn - 1)) // 4 + 1 THEN v END) AS b2,
+      MAX(CASE WHEN rn = (3 * (nn - 1)) // 4 + 1 THEN v END) AS b3
+      FROM r),
+    sym AS (
+      SELECT event_type, blk,
+             CASE WHEN v <= bp.b1 THEN 'a' WHEN v <= bp.b2 THEN 'b'
+                  WHEN v <= bp.b3 THEN 'c' ELSE 'd' END AS s
+      FROM paa CROSS JOIN bp
+    ),
+    words AS (
+      SELECT event_type,
+             s || LEAD(s, 1) OVER w || LEAD(s, 2) OVER w
+               || LEAD(s, 3) OVER w AS word
+      FROM sym
+      WINDOW w AS (PARTITION BY event_type ORDER BY blk)
+    )
+    SELECT event_type, word, CAST(COUNT(*) AS BIGINT) AS n
+    FROM words WHERE word IS NOT NULL
+    GROUP BY event_type, word
+    ORDER BY n DESC, event_type, word LIMIT 15
+    """,
+    doc=f"SAX symbolic approximation: {_SAX_BLOCK}-hour PAA means, "
+    "exact-rank quartile breakpoints, alphabet a-d, sliding "
+    f"{_SAX_WORD}-symbol words per series — top-15 recurring motifs; "
+    "the symbolic index behind wholesale TS similarity search",
+)
+def ts_sax_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX (Lin et al. 2003) done relationally: hourly means →
+    Piecewise Aggregate Approximation (integer block means) → global
+    quartile breakpoints picked at EXACT ranks (two-level rank-target
+    helper — SAX normally uses Gaussian breakpoints, but rank
+    quartiles are distribution-free and integer-exact) → 4-letter
+    alphabet → sliding 4-symbol words per series via leads. Recurring
+    words are motifs; rare words are discords — the classic symbolic
+    pre-filter for TS similarity search.
+
+    Scale: two map-side-combined downsampling aggregates shrink the
+    facts ~16×, the 3-value breakpoint table broadcasts, and the word
+    window is per-series. Top-15 is TakeOrderedAndProject.
+    """
+    ev = load(spark, "events", sf_dir)
+    hourly = (
+        ev.select(
+            "event_type",
+            F.expr(
+                "cast(unix_micros(cast(ts as timestamp)) div 3600000000 "
+                "as long)"
+            ).alias("h"),
+            F.expr(_Q6).alias("qv"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.expr("cast(sum(qv) div count(*) as bigint)").alias("m"))
+    )
+    paa = pin(
+        hourly.groupBy(
+            "event_type", F.expr(f"h div {_SAX_BLOCK}").alias("blk")
+        ).agg(F.expr("cast(sum(m) div count(*) as bigint)").alias("v"))
+    )
+    bp = (
+        with_rank_targets(
+            paa.select("v"), "v", (),
+            [f"({k} * (nn - 1)) div 4 + 1" for k in (1, 2, 3)],
+        )
+        .groupBy()
+        .agg(
+            F.max(F.when(F.col("tid") == 0, F.col("value"))).alias("b1"),
+            F.max(F.when(F.col("tid") == 1, F.col("value"))).alias("b2"),
+            F.max(F.when(F.col("tid") == 2, F.col("value"))).alias("b3"),
+        )
+    )
+    sym = paa.crossJoin(F.broadcast(bp)).select(
+        "event_type",
+        "blk",
+        F.when(F.col("v") <= F.col("b1"), "a")
+        .when(F.col("v") <= F.col("b2"), "b")
+        .when(F.col("v") <= F.col("b3"), "c")
+        .otherwise("d")
+        .alias("s"),
+    )
+    w = Window.partitionBy("event_type").orderBy("blk")
+    words = sym.select(
+        "event_type",
+        F.concat(
+            F.col("s"),
+            F.lead("s", 1).over(w),
+            F.lead("s", 2).over(w),
+            F.lead("s", 3).over(w),
+        ).alias("word"),
+    ).filter(F.col("word").isNotNull())
+    return (
+        words.groupBy("event_type", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), "event_type", "word")
+        .limit(15)
+    )

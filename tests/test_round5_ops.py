@@ -271,3 +271,14 @@ def test_haar_energy_parseval_direction(spark, sf_dir):
     # deeper levels halve the block count (within rounding)
     assert rows[2]["n_blocks"] <= rows[1]["n_blocks"]
     assert rows[3]["n_blocks"] <= rows[2]["n_blocks"]
+
+
+def test_sax_words_shape(spark, sf_dir):
+    rows = registry.queries()["ts_sax_words"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 15
+    for r in rows:
+        assert len(r["word"]) == 4
+        assert set(r["word"]) <= set("abcd")
+        assert r["n"] >= 1
+    ns = [r["n"] for r in rows]
+    assert ns == sorted(ns, reverse=True)

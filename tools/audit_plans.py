@@ -380,6 +380,7 @@ AUDIT: dict[str, dict] = {
     "events_markov_transitions": {"smj": 0, "exchange": 3},
     "events_markov_stationary": {"smj": 0},  # 3 tiny matrix joins
     "ts_haar_energy": {"smj": 0},         # hourly agg + level fan-out
+    "ts_sax_words": {"smj": 0},           # 16x downsample, per-series words
     "privacy_t_closeness": {"smj": 0},    # global mix broadcasts
     "privacy_anonymize_release": {},      # class-keyed equi-join (either strategy ok)
 }
