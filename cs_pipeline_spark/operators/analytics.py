@@ -1755,7 +1755,7 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _k in range(_MC_ITERS):
         prev = pi
         pi = (
-            pi.join(tp, pi.s == tp.src)
+            pi.join(F.broadcast(tp), pi.s == tp.src)
             .groupBy(F.col("dst").alias("s2"))
             .agg(
                 F.expr("cast(sum(m * p) div 1000000 as bigint)").alias("m")
@@ -1764,7 +1764,7 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return (
         pi.alias("a")
-        .join(prev.alias("b"), F.col("a.s") == F.col("b.s"))
+        .join(F.broadcast(prev.alias("b")), F.col("a.s") == F.col("b.s"))
         .select(
             F.col("a.s").alias("event_type"),
             F.col("a.m").alias("pi_ppm"),

@@ -497,7 +497,7 @@ def with_rank_targets(df, key, tiebreaks, rank_sqls, nb: int = 64):
         )
     )
     located = targets.join(
-        offs.drop("_tp_nn"),
+        F.broadcast(offs.drop("_tp_nn")),
         (F.col("rank") > F.col("_off"))
         & (F.col("rank") <= F.col("_off") + F.col("_bc")),
     ).select(
@@ -532,7 +532,7 @@ def with_rank_targets(df, key, tiebreaks, rank_sqls, nb: int = 64):
         "_bc2",
         F.coalesce(F.sum("_bc2").over(wprev2), F.lit(0)).alias("_off2"),
     )
-    located2 = multi.join(offs2, "_tpb").filter(
+    located2 = multi.join(F.broadcast(offs2), "_tpb").filter(
         (F.col("rank") - F.col("_off") > F.col("_off2"))
         & (F.col("rank") - F.col("_off") <= F.col("_off2") + F.col("_bc2"))
     ).select("tid", "rank", "nn", "_tpb", "_tpb2", "_off", "_off2")
