@@ -3871,3 +3871,75 @@ def analyze_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "* 1000000 div nullif(actual_rows, 0) as bigint)"
         ).alias("err_ppm"),
     )
+
+
+@register(
+    "analyze_groupby_cardinality",
+    """
+    WITH s AS (SELECT COUNT(*) AS n,
+               COUNT(DISTINCT l_orderkey) AS d1,
+               COUNT(DISTINCT l_linenumber) AS d2
+               FROM lineitem),
+    act AS (SELECT COUNT(*) AS actual_groups FROM (
+            SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)),
+    est AS (SELECT n, d1, d2,
+            LEAST(d1 * d2, n) AS est_groups FROM s)
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           CAST(d1 AS BIGINT) AS ndv_a, CAST(d2 AS BIGINT) AS ndv_b,
+           CAST(est_groups AS BIGINT) AS est_groups,
+           CAST(actual_groups AS BIGINT) AS actual_groups,
+           CAST(ABS(est_groups - actual_groups) * 1000000
+                // NULLIF(actual_groups, 0) AS BIGINT) AS err_ppm
+    FROM est, act
+    """,
+    doc="optimizer-statistics GROUP BY cardinality estimate: "
+    "min(NDV_a x NDV_b, rowcount) — the independence-assumption "
+    "formula every cost-based optimizer uses to size aggregations — "
+    "audited against the actual group count, integer-ppm error",
+)
+def analyze_groupby_cardinality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The aggregate-sizing twin of analyze_join_cardinality: a
+    cost-based optimizer estimates |GROUP BY a, b| as min(NDV(a)·NDV(b),
+    N) under column independence. This op computes the estimate from
+    one stats pass and audits it against the true group count —
+    correlated columns (like orderkey ⊃ linenumber here) expose the
+    independence assumption's bias, which is exactly what the audit
+    is for. Products run in decimal(38,0)/native-HUGEINT.
+
+    Scale: one map-side stats aggregate + one distinct aggregate
+    (shuffles on the group key — the same cost the estimated query
+    would pay once). The NDV side swaps to HLL sketches at 100 TB.
+    """
+    li = load(spark, "lineitem", sf_dir)
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("l_orderkey").alias("d1"),
+        F.countDistinct("l_linenumber").alias("d2"),
+    )
+    act = li.select("l_orderkey", "l_linenumber").distinct().agg(
+        F.count(F.lit(1)).alias("actual_groups")
+    )
+    return (
+        s.withColumn(
+            "est_groups",
+            F.expr(
+                "cast(least(cast(d1 as decimal(38,0)) * d2, "
+                "cast(n as decimal(38,0))) as bigint)"
+            ),
+        )
+        .crossJoin(F.broadcast(act))
+        .select(
+            F.col("n").cast("long").alias("n_rows"),
+            F.col("d1").cast("long").alias("ndv_a"),
+            F.col("d2").cast("long").alias("ndv_b"),
+            "est_groups",
+            F.col("actual_groups").cast("long").alias("actual_groups"),
+            F.expr(
+                "cast(abs(cast(est_groups as decimal(38,0)) - "
+                "actual_groups) * 1000000 div nullif(actual_groups, 0) "
+                "as bigint)"
+            ).alias("err_ppm"),
+        )
+    )

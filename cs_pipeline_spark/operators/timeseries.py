@@ -2242,3 +2242,113 @@ def ts_sax_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "event_type", "word")
         .limit(15)
     )
+
+
+# ---------- hierarchical forecast reconciliation (top-down) ----------
+
+
+@register(
+    "ts_forecast_reconcile",
+    f"""
+    WITH d AS (SELECT event_type, CAST({EVENTS_TS_SQL} AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+               FROM events GROUP BY 1, 2),
+    tgt AS (SELECT MAX(day) AS t FROM d),
+    actual AS (SELECT event_type, n AS actual FROM d, tgt WHERE day = t),
+    fc_b AS (SELECT event_type, n AS fc_bottom FROM d, tgt
+             WHERE day = t - 7),
+    tot_fc AS (SELECT CAST(SUM(n) AS BIGINT) AS tf FROM d, tgt
+               WHERE day = t - 7),
+    hist AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS h
+             FROM d, tgt WHERE day >= t - 28 AND day < t GROUP BY 1),
+    share AS (SELECT event_type,
+              CAST(h * 1000000 // (SELECT SUM(h) FROM hist) AS BIGINT)
+                AS share_ppm FROM hist)
+    SELECT a.event_type, a.actual, b.fc_bottom,
+           CAST(s.share_ppm AS BIGINT) AS share_ppm,
+           CAST(t.tf * s.share_ppm // 1000000 AS BIGINT) AS fc_topdown,
+           CAST(ABS(b.fc_bottom - a.actual) AS BIGINT) AS err_bottom,
+           CAST(ABS(t.tf * s.share_ppm // 1000000 - a.actual) AS BIGINT)
+             AS err_topdown
+    FROM actual a
+    JOIN fc_b b ON b.event_type = a.event_type
+    JOIN share s ON s.event_type = a.event_type
+    CROSS JOIN tot_fc t
+    """,
+    doc="hierarchical forecast reconciliation: seasonal-naive (t−7) "
+    "per-series forecasts vs top-down (aggregate forecast distributed "
+    "by trailing-28d integer-ppm shares) for the latest day, with "
+    "per-series absolute errors — the coherent-forecasting pattern "
+    "(Hyndman) in exact integers",
+)
+def ts_forecast_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two classic ways to forecast a hierarchy, audited against the
+    realized day: bottom-up = each series' own seasonal-naive lag-7
+    value; top-down = the TOTAL's lag-7 forecast split by trailing
+    28-day proportions (integer ppm, truncating — deterministic).
+    The per-series |error| columns let a scheduler pick the coherent
+    strategy per hierarchy; top-down wins when series are noisy but
+    the mix is stable — visible directly in the output.
+
+    Scale: one (type, day) aggregate (map-side combined), then
+    day-predicate self-reads of that tiny table and 1-row/5-row
+    broadcasts. Facts are scanned once.
+    """
+    ev = load(spark, "events", sf_dir)
+    d = pin(
+        ev.select(
+            "event_type",
+            F.col("ts").cast("timestamp").cast("date").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tgt = d.agg(F.max("day").alias("t"))
+    dd = d.crossJoin(F.broadcast(tgt))
+    actual = dd.filter(F.col("day") == F.col("t")).select(
+        "event_type", F.col("n").alias("actual")
+    )
+    fc_b = dd.filter(F.col("day") == F.expr("t - interval 7 days")).select(
+        "event_type", F.col("n").alias("fc_bottom")
+    )
+    tot_fc = (
+        dd.filter(F.col("day") == F.expr("t - interval 7 days"))
+        .agg(F.sum("n").cast("long").alias("tf"))
+    )
+    hist = (
+        dd.filter(
+            (F.col("day") >= F.expr("t - interval 28 days"))
+            & (F.col("day") < F.col("t"))
+        )
+        .groupBy("event_type")
+        .agg(F.sum("n").cast("long").alias("h"))
+    )
+    htot = hist.agg(F.sum("h").cast("long").alias("ht"))
+    share = hist.crossJoin(F.broadcast(htot)).select(
+        "event_type",
+        F.expr(
+            "cast(cast(h as decimal(38,0)) * 1000000 div ht as bigint)"
+        ).alias("share_ppm"),
+    )
+    return (
+        actual.join(F.broadcast(fc_b), "event_type")
+        .join(F.broadcast(share), "event_type")
+        .crossJoin(F.broadcast(tot_fc))
+        .select(
+            "event_type",
+            "actual",
+            "fc_bottom",
+            "share_ppm",
+            F.expr(
+                "cast(cast(tf as decimal(38,0)) * share_ppm div 1000000 "
+                "as bigint)"
+            ).alias("fc_topdown"),
+            F.abs(F.col("fc_bottom") - F.col("actual"))
+            .cast("long")
+            .alias("err_bottom"),
+            F.expr(
+                "cast(abs(cast(tf as decimal(38,0)) * share_ppm "
+                "div 1000000 - actual) as bigint)"
+            ).alias("err_topdown"),
+        )
+    )

@@ -282,3 +282,20 @@ def test_sax_words_shape(spark, sf_dir):
         assert r["n"] >= 1
     ns = [r["n"] for r in rows]
     assert ns == sorted(ns, reverse=True)
+
+
+def test_groupby_cardinality_bounds(spark, sf_dir):
+    r = registry.queries()["analyze_groupby_cardinality"](spark, sf_dir).collect()[0]
+    # estimate is an upper bound under independence when capped by N
+    assert r["actual_groups"] <= r["est_groups"] <= r["n_rows"]
+    assert r["err_ppm"] >= 0
+
+
+def test_forecast_reconcile_coherence(spark, sf_dir):
+    rows = registry.queries()["ts_forecast_reconcile"](spark, sf_dir).collect()
+    assert rows
+    shares = sum(r["share_ppm"] for r in rows)
+    assert 1000000 - len(rows) <= shares <= 1000000
+    for r in rows:
+        assert r["err_bottom"] == abs(r["fc_bottom"] - r["actual"])
+        assert r["err_topdown"] == abs(r["fc_topdown"] - r["actual"])

@@ -381,6 +381,8 @@ AUDIT: dict[str, dict] = {
     "events_markov_stationary": {"smj": 0},  # 3 tiny matrix joins
     "ts_haar_energy": {"smj": 0},         # hourly agg + level fan-out
     "ts_sax_words": {"smj": 0},           # 16x downsample, per-series words
+    "analyze_groupby_cardinality": {},    # stats + distinct audit
+    "ts_forecast_reconcile": {"smj": 0},  # one (type,day) agg + broadcasts
     "privacy_t_closeness": {"smj": 0},    # global mix broadcasts
     "privacy_anonymize_release": {},      # class-keyed equi-join (either strategy ok)
 }
