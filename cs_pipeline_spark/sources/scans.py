@@ -1328,3 +1328,75 @@ def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(path)
         .select("n_nationkey", "n_name", "n_regionkey")
     )
+
+
+# ---------- multiline quoted CSV scan ----------
+# RFC-4180 quoted fields may contain embedded newlines; a naive
+# line-splitting reader shreds them. Spark needs multiLine=true (one
+# file per task, no line-level splits).
+
+
+@_fixture
+def _fx_csv_multiline(spark: SparkSession, sf_dir: str) -> None:
+    path = _scratch(sf_dir, "notes_multiline.csv")
+    if os.path.exists(path):
+        return
+    rows = (
+        load(spark, "documents", sf_dir)
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+        .limit(40)
+        .collect()
+    )
+    with open(path, "w", newline="") as f:
+        f.write("doc_id,note\n")
+        for r in rows:
+            # embedded newline AND an escaped quote inside the field
+            f.write(f'{r[0]},"L1 {r[1]}\nL2 ""{r[2]}"""\n')
+
+
+@register(
+    "scan_csv_multiline",
+    """
+    SELECT doc_id,
+           'L1 ' || lang || ' | ' || 'L2 "' || source || '"' AS note,
+           CAST(2 AS BIGINT) AS n_lines
+    FROM documents WHERE doc_id < 40
+    """,
+    doc="RFC-4180 multiline CSV scan: quoted fields carrying embedded "
+    "newlines and escaped quotes survive the read intact "
+    "(multiLine=true) — the oracle states the exact reconstructed "
+    "content from the source table",
+)
+def scan_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reads the fixture CSV whose ``note`` field contains a real
+    newline and a doubled-quote escape per RFC 4180. ``multiLine``
+    disables line-level task splits so the parser sees whole records;
+    the embedded newline is normalized to ``' | '`` in the output so
+    the oracle can state the value from the clean source columns.
+
+    Scale: multiLine CSV parallelizes per FILE, not per line-split —
+    fine for many medium files (the usual shape for quoted exports),
+    and the documented trade-off vs splittable one-line CSV. Newline
+    normalization is expression-side.
+    """
+    path = _scratch(sf_dir, "notes_multiline.csv")
+    df = (
+        spark.read.schema("doc_id long, note string")
+        .option("header", True)
+        .option("multiLine", True)
+        .option("escape", '"')
+        .csv(path)
+    )
+    return df.select(
+        "doc_id",
+        F.regexp_replace(F.col("note"), "\n", " | ").alias("note"),
+        (
+            F.length("note")
+            - F.length(F.regexp_replace(F.col("note"), "\n", ""))
+            + F.lit(1)
+        )
+        .cast("long")
+        .alias("n_lines"),
+    )

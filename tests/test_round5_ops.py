@@ -299,3 +299,16 @@ def test_forecast_reconcile_coherence(spark, sf_dir):
     for r in rows:
         assert r["err_bottom"] == abs(r["fc_bottom"] - r["actual"])
         assert r["err_topdown"] == abs(r["fc_topdown"] - r["actual"])
+
+
+def test_csv_multiline_roundtrip(spark, sf_dir):
+    rows = registry.queries()["scan_csv_multiline"](spark, sf_dir).collect()
+    assert rows
+    docs = {r["doc_id"]: r for r in
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter("doc_id < 40").collect()}
+    assert len(rows) == len(docs)
+    for r in rows:
+        d = docs[r["doc_id"]]
+        assert r["note"] == f'L1 {d["lang"]} | L2 "{d["source"]}"'
+        assert r["n_lines"] == 2

@@ -383,6 +383,7 @@ AUDIT: dict[str, dict] = {
     "ts_sax_words": {"smj": 0},           # 16x downsample, per-series words
     "analyze_groupby_cardinality": {},    # stats + distinct audit
     "ts_forecast_reconcile": {"smj": 0},  # one (type,day) agg + broadcasts
+    "scan_csv_multiline": {"smj": 0, "exchange": 0},  # pure file scan
     "privacy_t_closeness": {"smj": 0},    # global mix broadcasts
     "privacy_anonymize_release": {},      # class-keyed equi-join (either strategy ok)
 }
