@@ -100,6 +100,10 @@ HEADLINE = [
     "text_bpe_train3",
     "emb_int8_calibrate",
     "win_hampel_filter",
+    # round-5 late wave: walk corpus, symbolic TS index, path mining
+    "graph_random_walks",
+    "ts_sax_words",
+    "events_path_trigrams",
 ]
 
 
