@@ -36,7 +36,7 @@ from cs_pipeline_spark.operators.dedup import (
     shingles,
 )
 from cs_pipeline_spark.operators.helpers import dround, one_part
-from cs_pipeline_spark.registry import register
+from cs_pipeline_spark.registry import pin, register
 from cs_pipeline_spark.tables import load
 
 _DUCK_TOKENS = f"string_split({_NORM_DUCK}, ' ')"
@@ -1180,5 +1180,76 @@ def corpus_curriculum_schedule(
             F.expr("cast(n_tokens as decimal(38,0)) * 1000000 div tt")
             .cast("long")
             .alias("token_share_ppm"),
+        )
+    )
+
+
+# ---------- Shapley data valuation (vocabulary-coverage game) ----------
+
+_SHAP_L = 232792560  # lcm(1..20): exact 1/k scaling for ≤20 players
+
+
+@register(
+    "corpus_shapley_source_value",
+    f"""
+    WITH st AS (SELECT DISTINCT source, unnest(string_split(
+                  {{norm}}, ' ')) AS tok
+                FROM documents),
+    stc AS (SELECT source, tok FROM st WHERE tok <> ''),
+    k AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS kk
+          FROM stc GROUP BY tok)
+    SELECT stc.source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens_carried,
+           CAST(SUM(CASE WHEN k.kk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exclusive,
+           CAST(SUM({_SHAP_L} // k.kk) AS BIGINT) AS shapley_scaled
+    FROM stc JOIN k ON k.tok = stc.tok
+    GROUP BY stc.source
+    """.replace("{norm}", "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"),
+    doc="Shapley data valuation of sources under the vocabulary-"
+    "coverage game: v(S) = distinct tokens covered by source set S "
+    "has the exact closed form φ_src = Σ 1/k over carried tokens "
+    "(k = carrier count) — scaled by lcm(1..20) to stay integer; "
+    "Σ φ = L·|vocab| (the efficiency axiom) is the built-in audit",
+)
+def corpus_shapley_source_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Which sources earn their place in the mix: exact Shapley values
+    of the coverage game. For set-coverage utilities the exponential
+    coalition sum collapses — every token carried by k sources gives
+    each carrier exactly 1/k (symmetry + efficiency), so the whole
+    attribution is one carrier-count aggregate, no 2^m enumeration.
+    Values are scaled by L = lcm(1..20) (exact integers for ≤ 20
+    sources; more sources ⇒ raise L or accept ppm truncation — one
+    constant). Σ shapley_scaled = L·|vocab| by the efficiency axiom —
+    pinned by test.
+
+    Scale: distinct (source, token) is one map-side-deduped shuffle;
+    carrier counts are vocab-sized; the valuation aggregate is
+    |sources| rows. The same closed form prices any set-coverage
+    utility (docs covered, domains covered) at any corpus size.
+    """
+    docs = load(spark, "documents", sf_dir)
+    stc = (
+        docs.select(
+            "source", F.explode(_tokens(F.expr(_NORM))).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    stc = pin(stc)
+    k = stc.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("kk"))
+    return (
+        stc.join(k, "tok")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens_carried"),
+            F.sum(F.when(F.col("kk") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_exclusive"),
+            F.sum(F.expr(f"{_SHAP_L} div kk")).cast("long").alias(
+                "shapley_scaled"
+            ),
         )
     )

@@ -312,3 +312,20 @@ def test_csv_multiline_roundtrip(spark, sf_dir):
         d = docs[r["doc_id"]]
         assert r["note"] == f'L1 {d["lang"]} | L2 "{d["source"]}"'
         assert r["n_lines"] == 2
+
+
+def test_shapley_efficiency_axiom(spark, sf_dir):
+    rows = registry.queries()["corpus_shapley_source_value"](spark, sf_dir).collect()
+    assert rows
+    # Sum of Shapley values == total utility (vocab size), exactly
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from pyspark.sql import functions as SF
+    vocab = (
+        docs.select(SF.explode(SF.split(
+            SF.trim(SF.regexp_replace(SF.lower("text"), r"\s+", " ")), " "
+        )).alias("tok")).filter("tok <> ''").select("tok").distinct().count()
+    )
+    L = 232792560
+    assert sum(r["shapley_scaled"] for r in rows) == L * vocab
+    for r in rows:
+        assert 0 <= r["n_exclusive"] <= r["n_tokens_carried"]
