@@ -2852,3 +2852,231 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage_ppm"),
         )
     )
+
+
+# ---------- leave-one-source-out influence (data valuation) ----------
+
+_LOO_BUCKET = f"((doc_id % {_GATE_P}) * {_GATE_MULT}) % {_GATE_P} % 10"
+
+
+@register(
+    "ml_loo_source_influence",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_LOO_BUCKET} AS bkt, source, lang AS lang_true, tok
+      FROM (SELECT doc_id, lang, source,
+                   unnest(string_split({_NORM_DUCK}, ' ')) AS tok
+            FROM documents) t
+      WHERE tok <> ''
+    ),
+    tr AS (SELECT * FROM toks WHERE bkt < 8),
+    te AS (SELECT * FROM toks WHERE bkt >= 8),
+    srcs AS (SELECT DISTINCT source AS held FROM tr),
+    arms AS (SELECT held FROM srcs UNION ALL SELECT '__full__' AS held),
+    dtr AS (SELECT DISTINCT doc_id, source, lang_true FROM tr),
+    d_a AS (SELECT a.held, CAST(COUNT(*) AS BIGINT) AS d
+            FROM arms a JOIN dtr ON dtr.source <> a.held GROUP BY a.held),
+    dl_a AS (SELECT a.held, dtr.lang_true AS lang,
+             CAST(COUNT(*) AS BIGINT) AS dl
+             FROM arms a JOIN dtr ON dtr.source <> a.held
+             GROUP BY a.held, dtr.lang_true),
+    tl_a AS (SELECT a.held, tr.lang_true AS lang,
+             CAST(COUNT(*) AS BIGINT) AS tl
+             FROM arms a JOIN tr ON tr.source <> a.held
+             GROUP BY a.held, tr.lang_true),
+    c_a AS (SELECT a.held, tr.lang_true AS lang, tr.tok,
+            CAST(COUNT(*) AS BIGINT) AS c
+            FROM arms a JOIN tr ON tr.source <> a.held
+            GROUP BY a.held, tr.lang_true, tr.tok),
+    v_a AS (SELECT a.held, CAST(COUNT(DISTINCT tr.tok) AS BIGINT) AS v
+            FROM arms a JOIN tr ON tr.source <> a.held GROUP BY a.held),
+    langs_a AS (
+      SELECT l.held, l.lang, l.tl, v.v,
+             CAST(FLOOR(ln(CAST(dl.dl AS DOUBLE) / CAST(d.d AS DOUBLE))
+                  * 1000000000.0 + 0.5) AS BIGINT) AS prior,
+             CAST(FLOOR(ln(1.0 / CAST(l.tl + v.v AS DOUBLE))
+                  * 1000000000.0 + 0.5) AS BIGINT) AS w0
+      FROM tl_a l
+      JOIN dl_a dl ON dl.held = l.held AND dl.lang = l.lang
+      JOIN v_a v ON v.held = l.held
+      JOIN d_a d ON d.held = l.held
+      WHERE dl.dl > 0 AND l.tl + v.v > 0
+    ),
+    model_a AS (
+      SELECT c.held, c.lang, c.tok,
+             CAST(FLOOR(ln(CAST(c.c + 1 AS DOUBLE)
+                  / CAST(l.tl + l.v AS DOUBLE))
+                  * 1000000000.0 + 0.5) AS BIGINT) AS w
+      FROM c_a c JOIN langs_a l ON l.held = c.held AND l.lang = c.lang
+    ),
+    dtc AS (SELECT doc_id, lang_true, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM te GROUP BY 1, 2, 3),
+    scored AS (
+      SELECT tk.doc_id, lg.held, tk.lang_true, lg.lang,
+             MIN(lg.prior) + SUM(tk.cnt * COALESCE(m.w, lg.w0)) AS s
+      FROM dtc tk
+      JOIN langs_a lg ON TRUE
+      LEFT JOIN model_a m ON m.held = lg.held AND m.lang = lg.lang
+                         AND m.tok = tk.tok
+      GROUP BY 1, 2, 3, 4
+    ),
+    pred AS (
+      SELECT doc_id, held, lang_true, lang AS lang_pred,
+             ROW_NUMBER() OVER (PARTITION BY doc_id, held
+                                ORDER BY s DESC, lang ASC) AS rn
+      FROM scored
+    ),
+    acc AS (
+      SELECT held, CAST(COUNT(*) AS BIGINT) AS n_test,
+             CAST(SUM(CASE WHEN lang_pred = lang_true THEN 1 ELSE 0 END)
+                  * 1000000 // COUNT(*) AS BIGINT) AS acc_ppm
+      FROM pred WHERE rn = 1 GROUP BY held
+    )
+    SELECT a.held AS source, a.n_test, a.acc_ppm,
+           CAST(f.acc_ppm - a.acc_ppm AS BIGINT) AS influence_ppm
+    FROM acc a CROSS JOIN (SELECT acc_ppm FROM acc
+                           WHERE held = '__full__') f
+    WHERE a.held <> '__full__'
+    """,
+    doc="leave-one-source-out influence: held-out NB accuracy with "
+    "each source removed from training (count subtraction via an "
+    "anti-membership join — no per-source retraining scans), "
+    "influence = full-model accuracy minus LOO accuracy in ppm; the "
+    "marginal-contribution twin of the Shapley coverage valuation",
+)
+def ml_loo_source_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data valuation by ablation: for every source s, the naive Bayes
+    lang classifier is 'retrained' WITHOUT s (training counts filtered
+    through an arms × rows anti-membership join — one aggregate builds
+    all 21 arms, including '__full__') and scored on the fixed 20%
+    held-out set. influence_ppm > 0 means the source helps held-out
+    accuracy; ≤ 0 flags sources safe to drop. Same 1e-9 log-term
+    quantization as ml_naive_bayes — exact integer scores.
+
+    Scale: the arms fan-out multiplies MODEL-side aggregates (21 ×
+    vocab × langs), never the corpus scan; scoring fans each test doc
+    across arms × langs, a bounded constant. At many sources, switch
+    arms to the top-k sources by mass plus a 'rest' arm — same plan.
+    """
+    docs = load(spark, "documents", sf_dir)
+    toks = pin(
+        docs.select(
+            "doc_id",
+            F.expr(_LOO_BUCKET).alias("bkt"),
+            "source",
+            F.col("lang").alias("lang_true"),
+            F.explode(F.split(F.expr(_NORM), " ")).alias("tok"),
+        ).filter(F.col("tok") != "")
+    )
+    tr = toks.filter(F.col("bkt") < 8)
+    te = toks.filter(F.col("bkt") >= 8)
+    srcs = tr.select(F.col("source").alias("held")).distinct()
+    arms = pin(
+        srcs.unionByName(
+            srcs.sparkSession.createDataFrame([("__full__",)], "held string")
+        )
+    )
+    dtr = tr.select("doc_id", "source", "lang_true").distinct()
+    d_a = (
+        arms.join(dtr, dtr.source != arms.held)
+        .groupBy("held")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    dl_a = (
+        arms.join(dtr, dtr.source != arms.held)
+        .groupBy("held", F.col("lang_true").alias("lang"))
+        .agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    )
+    tl_a = (
+        arms.join(tr, tr.source != arms.held)
+        .groupBy("held", F.col("lang_true").alias("lang"))
+        .agg(F.count(F.lit(1)).cast("long").alias("tl"))
+    )
+    c_a = (
+        arms.join(tr, tr.source != arms.held)
+        .groupBy("held", F.col("lang_true").alias("lang"), "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    v_a = (
+        arms.join(tr, tr.source != arms.held)
+        .groupBy("held")
+        .agg(F.countDistinct("tok").cast("long").alias("v"))
+    )
+    langs_a = pin(
+        tl_a.join(dl_a, ["held", "lang"])
+        .join(v_a, "held")
+        .join(d_a, "held")
+        .filter((F.col("dl") > 0) & (F.col("tl") + F.col("v") > 0))
+        .select(
+            "held",
+            "lang",
+            "tl",
+            "v",
+            _q9(
+                F.log(F.col("dl").cast("double") / F.col("d").cast("double"))
+            ).alias("prior"),
+            _q9(
+                F.log(F.lit(1.0) / (F.col("tl") + F.col("v")).cast("double"))
+            ).alias("w0"),
+        )
+    )
+    model_a = c_a.join(
+        langs_a.select("held", "lang", "tl", "v"), ["held", "lang"]
+    ).select(
+        "held",
+        "lang",
+        "tok",
+        _q9(
+            F.log(
+                (F.col("c") + 1).cast("double")
+                / (F.col("tl") + F.col("v")).cast("double")
+            )
+        ).alias("w"),
+    )
+    dtc = te.groupBy("doc_id", "lang_true", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    scored = (
+        dtc.crossJoin(
+            F.broadcast(langs_a.select("held", "lang", "prior", "w0"))
+        )
+        .join(model_a, ["held", "lang", "tok"], "left")
+        .groupBy("doc_id", "held", "lang_true", "lang")
+        .agg(
+            (
+                F.min("prior")
+                + F.sum(F.col("cnt") * F.coalesce("w", F.col("w0")))
+            ).alias("s")
+        )
+    )
+    w = Window.partitionBy("doc_id", "held").orderBy(
+        F.desc("s"), F.asc("lang")
+    )
+    acc = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("held")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.expr(
+                "cast(cast(sum(case when lang = lang_true then 1 else 0 "
+                "end) as decimal(38,0)) * 1000000 div count(*) as bigint)"
+            ).alias("acc_ppm"),
+        )
+    )
+    acc = pin(acc)
+    full = acc.filter(F.col("held") == "__full__").select(
+        F.col("acc_ppm").alias("full_acc")
+    )
+    return (
+        acc.filter(F.col("held") != "__full__")
+        .crossJoin(F.broadcast(full))
+        .select(
+            F.col("held").alias("source"),
+            "n_test",
+            "acc_ppm",
+            (F.col("full_acc") - F.col("acc_ppm"))
+            .cast("long")
+            .alias("influence_ppm"),
+        )
+    )

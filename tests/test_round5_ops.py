@@ -329,3 +329,15 @@ def test_shapley_efficiency_axiom(spark, sf_dir):
     assert sum(r["shapley_scaled"] for r in rows) == L * vocab
     for r in rows:
         assert 0 <= r["n_exclusive"] <= r["n_tokens_carried"]
+
+
+def test_loo_influence_structure(spark, sf_dir):
+    rows = registry.queries()["ml_loo_source_influence"](spark, sf_dir).collect()
+    assert rows
+    n_tests = {r["n_test"] for r in rows}
+    assert len(n_tests) == 1  # every arm scores the same held-out set
+    for r in rows:
+        assert r["source"] != "__full__"
+        assert 0 <= r["acc_ppm"] <= 1000000
+        # influence = full - loo by construction
+        assert -1000000 <= r["influence_ppm"] <= 1000000

@@ -385,6 +385,7 @@ AUDIT: dict[str, dict] = {
     "ts_forecast_reconcile": {"smj": 0},  # one (type,day) agg + broadcasts
     "scan_csv_multiline": {"smj": 0, "exchange": 0},  # pure file scan
     "corpus_shapley_source_value": {"smj": 0},  # carrier-count closed form
+    "ml_loo_source_influence": {},        # 21-arm model-side fan-out
     "privacy_t_closeness": {"smj": 0},    # global mix broadcasts
     "privacy_anonymize_release": {},      # class-keyed equi-join (either strategy ok)
 }
