@@ -1771,3 +1771,104 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("a.m") - F.col("b.m")).cast("long").alias("delta_ppm"),
         )
     )
+
+
+# ---------- RFM segment migration matrix ----------
+
+
+@register(
+    "agg_rfm_migration",
+    f"""
+    WITH m AS (SELECT user_id,
+               epoch_us({EVENTS_TS_SQL}) // 604800000000 AS wk,
+               CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS mv
+               FROM events GROUP BY 1, 2),
+    r AS (SELECT user_id, wk, mv,
+          ROW_NUMBER() OVER (PARTITION BY wk ORDER BY mv, user_id)
+            AS rn,
+          COUNT(*) OVER (PARTITION BY wk) AS n
+          FROM m),
+    seg AS (SELECT user_id, wk,
+            CASE WHEN rn * 3 <= n THEN 'low'
+                 WHEN rn * 3 <= 2 * n THEN 'mid' ELSE 'high' END AS seg
+            FROM r),
+    nxt AS (SELECT s1.seg AS seg_from, s2.seg AS seg_to
+            FROM seg s1 JOIN seg s2 ON s2.user_id = s1.user_id
+             AND s2.wk = s1.wk + 1),
+    c AS (SELECT seg_from, seg_to, CAST(COUNT(*) AS BIGINT) AS n
+          FROM nxt GROUP BY 1, 2)
+    SELECT c.seg_from, c.seg_to, c.n,
+           CAST(c.n * 1000000 // t.rt AS BIGINT) AS prob_ppm
+    FROM c JOIN (SELECT seg_from, SUM(n) AS rt FROM c GROUP BY 1) t
+    ON t.seg_from = c.seg_from
+    """,
+    doc="value-segment migration matrix: users terciled by weekly "
+    "spend (exact rank terciles per week), week-over-week "
+    "transition counts row-normalized to integer ppm — the "
+    "customer-lifecycle movement report behind churn/upsell targeting",
+)
+def agg_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment migration: per month, users rank into low/mid/high
+    value terciles (exact rank boundaries — rn·3 ≤ n, deterministic
+    user_id tie-break); consecutive weeks join per user to count
+    segment transitions, row-normalized in integer ppm. The matrix's
+    off-diagonal mass IS the churn/upgrade signal.
+
+    Scale: weekly value aggregate (map-side combined), tercile ranks
+    partitioned by week (bounded partitions at |users|/week — at
+    100 TB swap in with_total_rank per week, same output), and a
+    self-join on (user, next-month) that shuffles on user_id once.
+    """
+    ev = load(spark, "events", sf_dir)
+    m = (
+        ev.select(
+            "user_id",
+            F.expr(
+                "cast(unix_micros(cast(ts as timestamp)) div 604800000000 "
+                "as long)"
+            ).alias("wk"),
+            F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5))
+            .cast("long")
+            .alias("qv"),
+        )
+        .groupBy("user_id", "wk")
+        .agg(F.sum("qv").cast("long").alias("mv"))
+    )
+    wr = Window.partitionBy("wk").orderBy("mv", "user_id")
+    wn = Window.partitionBy("wk")
+    seg = pin(
+        m.select(
+            "user_id",
+            "wk",
+            F.row_number().over(wr).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        ).select(
+            "user_id",
+            "wk",
+            F.when(F.col("rn") * 3 <= F.col("n"), "low")
+            .when(F.col("rn") * 3 <= 2 * F.col("n"), "mid")
+            .otherwise("high")
+            .alias("seg"),
+        )
+    )
+    s1 = seg.select(
+        "user_id", (F.col("wk") + 1).alias("m2"), F.col("seg").alias("seg_from")
+    )
+    s2 = seg.select(
+        "user_id", F.col("wk").alias("m2"), F.col("seg").alias("seg_to")
+    )
+    c = (
+        s1.join(s2, ["user_id", "m2"])
+        .groupBy("seg_from", "seg_to")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    t = c.groupBy("seg_from").agg(F.sum("n").cast("long").alias("rt"))
+    return c.join(F.broadcast(t), "seg_from").select(
+        "seg_from",
+        "seg_to",
+        "n",
+        F.expr(
+            "cast(cast(n as decimal(38,0)) * 1000000 div rt as bigint)"
+        ).alias("prob_ppm"),
+    )

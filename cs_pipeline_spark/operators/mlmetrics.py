@@ -3080,3 +3080,91 @@ def ml_loo_source_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("influence_ppm"),
         )
     )
+
+
+# ---------- quantile forecast evaluation (pinball loss) ----------
+
+_PB_BUCKET = f"((event_id % {_GATE_P}) * {_GATE_MULT}) % {_GATE_P} % 10"
+
+
+@register(
+    "ml_pinball_quantile_eval",
+    f"""
+    WITH q AS (SELECT event_type, {_PB_BUCKET} AS bkt,
+               CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS qv
+               FROM events),
+    tr AS (SELECT event_type, qv,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY qv) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+           FROM q WHERE bkt < 8),
+    q90 AS (SELECT event_type, qv AS q90
+            FROM tr WHERE rn = (9 * (n - 1)) // 10 + 1),
+    te AS (SELECT q.event_type, q.qv, g.q90
+           FROM q JOIN q90 g ON g.event_type = q.event_type
+           WHERE q.bkt >= 8)
+    SELECT event_type,
+           CAST(MAX(q90) AS BIGINT) AS q90_micro,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(GREATEST(9 * (qv - q90), q90 - qv)) AS BIGINT)
+             AS pinball10_sum,
+           CAST(SUM(GREATEST(9 * (qv - q90), q90 - qv)) // COUNT(*)
+                AS BIGINT) AS pinball10_mean,
+           CAST(SUM(CASE WHEN qv <= q90 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS coverage_ppm
+    FROM te GROUP BY event_type
+    """,
+    doc="quantile-forecast evaluation: per-type p90 from the train "
+    "split (exact rank pick) scored on held-out data with the pinball "
+    "loss at tau=0.9 (x10 integer form: max(9(y-q), q-y)) plus "
+    "empirical coverage — the proper scoring rule for quantile "
+    "forecasts, all integer-exact",
+)
+def ml_pinball_quantile_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball (quantile) loss: the proper scoring rule that is
+    minimized in expectation by the true tau-quantile — evaluating a
+    p90 forecast with MAE/MSE would reward the wrong target. The tau
+    = 0.9 loss is kept integer by scaling x10 (max(9(y−q), (q−y)) in
+    micro units); held-out coverage_ppm ≈ 900000 confirms the train
+    quantile transfers.
+
+    Scale: the train quantile is a per-type rank pick (partitioned
+    window — bounded per series); the scoring pass streams test rows
+    against the broadcast per-type quantile table. One shuffle each.
+    """
+    ev = load(spark, "events", sf_dir)
+    q = ev.select(
+        "event_type",
+        F.expr(_PB_BUCKET).alias("bkt"),
+        F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("qv"),
+    )
+    q = pin(q)
+    wq = Window.partitionBy("event_type").orderBy("qv")
+    wn = Window.partitionBy("event_type")
+    tr = q.filter(F.col("bkt") < 8).select(
+        "event_type",
+        "qv",
+        F.row_number().over(wq).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    q90 = tr.filter(
+        F.col("rn") == F.expr("(9 * (n - 1)) div 10 + 1")
+    ).select("event_type", F.col("qv").alias("q90"))
+    te = q.filter(F.col("bkt") >= 8).join(F.broadcast(q90), "event_type")
+    loss = F.greatest(
+        9 * (F.col("qv") - F.col("q90")), F.col("q90") - F.col("qv")
+    )
+    return te.groupBy("event_type").agg(
+        F.max("q90").cast("long").alias("q90_micro"),
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.sum(loss).cast("long").alias("pinball10_sum"),
+        F.expr(
+            "cast(sum(greatest(9 * (qv - q90), q90 - qv)) div count(*) "
+            "as bigint)"
+        ).alias("pinball10_mean"),
+        F.expr(
+            "cast(cast(sum(case when qv <= q90 then 1 else 0 end) "
+            "as decimal(38,0)) * 1000000 div count(*) as bigint)"
+        ).alias("coverage_ppm"),
+    )

@@ -341,3 +341,39 @@ def test_loo_influence_structure(spark, sf_dir):
         assert 0 <= r["acc_ppm"] <= 1000000
         # influence = full - loo by construction
         assert -1000000 <= r["influence_ppm"] <= 1000000
+
+
+def test_pinball_coverage_near_tau(spark, sf_dir):
+    rows = registry.queries()["ml_pinball_quantile_eval"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["pinball10_sum"] >= 0
+        assert r["pinball10_mean"] == r["pinball10_sum"] // r["n_test"]
+        # held-out coverage should sit near tau=0.9 (loose band)
+        assert 700000 <= r["coverage_ppm"] <= 1000000
+
+
+def test_rfm_migration_rows_normalize(spark, sf_dir):
+    rows = registry.queries()["agg_rfm_migration"](spark, sf_dir).collect()
+    from pyspark.sql import functions as SF
+    n_weeks = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(SF.expr(
+            "cast(unix_micros(cast(ts as timestamp)) div 604800000000 "
+            "as long)"))
+        .distinct()
+        .count()
+    )
+    if n_weeks < 2:
+        assert rows == []  # no consecutive weeks → no transitions
+        return
+    assert rows
+    from collections import defaultdict
+    by_from = defaultdict(list)
+    for r in rows:
+        assert r["seg_from"] in ("low", "mid", "high")
+        assert r["seg_to"] in ("low", "mid", "high")
+        by_from[r["seg_from"]].append(r)
+    for k, rs in by_from.items():
+        s = sum(r["prob_ppm"] for r in rs)
+        assert 1000000 - len(rs) <= s <= 1000000

@@ -386,6 +386,8 @@ AUDIT: dict[str, dict] = {
     "scan_csv_multiline": {"smj": 0, "exchange": 0},  # pure file scan
     "corpus_shapley_source_value": {"smj": 0},  # carrier-count closed form
     "ml_loo_source_influence": {},        # 21-arm model-side fan-out
+    "ml_pinball_quantile_eval": {"smj": 0},  # per-type rank + broadcast
+    "agg_rfm_migration": {"smj": 0},      # weekly terciles + self-join
     "privacy_t_closeness": {"smj": 0},    # global mix broadcasts
     "privacy_anonymize_release": {},      # class-keyed equi-join (either strategy ok)
 }
