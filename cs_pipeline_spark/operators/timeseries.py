@@ -2352,3 +2352,143 @@ def ts_forecast_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("err_topdown"),
         )
     )
+
+
+# ---------- log-rank test (survival-curve comparison) ----------
+
+
+@register(
+    "ts_logrank_test",
+    f"""
+    WITH u AS (
+      SELECT user_id,
+             (MAX(epoch_us({EVENTS_TS_SQL}))
+              - MIN(epoch_us({EVENTS_TS_SQL}))) // 86400000000 AS tenure_d,
+             user_id % 2 AS grp
+      FROM events GROUP BY user_id
+    ),
+    k AS (
+      SELECT tenure_d, CAST(COUNT(*) AS BIGINT) AS d,
+             CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d1
+      FROM u GROUP BY tenure_d
+    ),
+    r AS (
+      SELECT tenure_d, d, d1,
+             CAST(SUM(d) OVER (ORDER BY tenure_d DESC
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n,
+             CAST(SUM(d1) OVER (ORDER BY tenure_d DESC
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n1
+      FROM k
+    ),
+    terms AS (
+      SELECT d1,
+             CAST((CAST(d AS HUGEINT) * n1 * 1000000) // n AS BIGINT)
+               AS e1q,
+             CASE WHEN n > 1 THEN
+               CAST((CAST(d AS HUGEINT) * (n - d) * n1 * (n - n1)
+                     * 1000000)
+                    // (CAST(n AS HUGEINT) * n * (n - 1)) AS BIGINT)
+             ELSE CAST(0 AS BIGINT) END AS vq
+      FROM r
+    ),
+    agg AS (
+      SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+             CAST(SUM(e1q) AS BIGINT) AS e1_q6,
+             CAST(SUM(vq) AS BIGINT) AS var_q6
+      FROM terms
+    )
+    , dd AS (
+      SELECT o1, e1_q6, var_q6,
+             CAST(o1 AS HUGEINT) * 1000000 - e1_q6 AS diffq
+      FROM agg
+    )
+    SELECT o1, e1_q6, var_q6,
+           CAST(CAST(diffq * diffq AS VARCHAR) AS DOUBLE)
+             / (CAST(var_q6 AS DOUBLE) * 1000000.0) AS chi2_raw,
+           CAST(FLOOR(CAST(CAST(diffq * diffq AS VARCHAR) AS DOUBLE)
+             / (CAST(var_q6 AS DOUBLE) * 1000000.0) * 1000.0)
+             AS BIGINT) AS chi2_milli
+    FROM dd
+    """,
+    doc="log-rank test comparing churn survival between the two "
+    "user-id parity cohorts: O−E over the shared event-time spine "
+    "with hypergeometric variance, every rational term quantized at "
+    "1e-6 before summing — the standard A/B survival comparison "
+    "beside Kaplan-Meier's single-curve view",
+)
+def ts_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Cox log-rank: at each distinct tenure t, group A's
+    expected deaths are d_t·n1_t/n_t and the variance term is the
+    hypergeometric d(n−d)n1(n−n1)/(n²(n−1)); χ² = (O−E)²/V. Every
+    per-time rational is floor-quantized at 1e-6 BEFORE the sum (the
+    chi2/entropy convention) and products run in decimal(38,0)/
+    HUGEINT, so O, E, V are exact integers on both engines; the final
+    χ² division is one correctly-rounded float (numerator enters via
+    the exact-integer → string → double path).
+
+    Scale: the per-user tenure aggregate is the only fact-scale pass;
+    the time spine (distinct tenure days) is calendar-bounded, so its
+    suffix-sum windows are intentionally single-partition
+    (``one_part``) per the bounded-spine convention.
+    """
+    ev = load(spark, "events", sf_dir)
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.expr(
+                "cast((max(unix_micros(cast(ts as timestamp))) - "
+                "min(unix_micros(cast(ts as timestamp)))) div 86400000000 "
+                "as long)"
+            ).alias("tenure_d")
+        )
+        .select("tenure_d", (F.col("user_id") % 2).alias("grp"))
+    )
+    k = u.groupBy("tenure_d").agg(
+        F.count(F.lit(1)).cast("long").alias("d"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("d1"),
+    )
+    wsuf = (
+        Window.partitionBy(one_part("tenure_d"))
+        .orderBy(F.desc("tenure_d"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    r = k.select(
+        "d",
+        "d1",
+        F.sum("d").over(wsuf).cast("long").alias("n"),
+        F.sum("d1").over(wsuf).cast("long").alias("n1"),
+    )
+    terms = r.select(
+        "d1",
+        F.expr(
+            "cast(cast(d as decimal(38,0)) * n1 * 1000000 div n as bigint)"
+        ).alias("e1q"),
+        F.expr(
+            "case when n > 1 then cast(cast(d as decimal(38,0)) * (n - d) "
+            "* n1 * (n - n1) * 1000000 div "
+            "(cast(n as decimal(38,0)) * n * (n - 1)) as bigint) "
+            "else 0 end"
+        ).alias("vq"),
+    )
+    agg = terms.agg(
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum("e1q").cast("long").alias("e1_q6"),
+        F.sum("vq").cast("long").alias("var_q6"),
+    )
+    dd = agg.withColumn(
+        "diffq",
+        F.expr("cast(o1 as decimal(38,0)) * 1000000 - e1_q6"),
+    )
+    chi2 = F.expr(
+        "cast(cast(cast(diffq * diffq as decimal(38,0)) as string) "
+        "as double) / (cast(var_q6 as double) * 1000000.0)"
+    )
+    return dd.select(
+        "o1",
+        "e1_q6",
+        "var_q6",
+        chi2.alias("chi2_raw"),
+        F.floor(chi2 * F.lit(1000.0)).cast("long").alias("chi2_milli"),
+    )

@@ -377,3 +377,13 @@ def test_rfm_migration_rows_normalize(spark, sf_dir):
     for k, rs in by_from.items():
         s = sum(r["prob_ppm"] for r in rs)
         assert 1000000 - len(rs) <= s <= 1000000
+
+
+def test_logrank_parity_null(spark, sf_dir):
+    r = registry.queries()["ts_logrank_test"](spark, sf_dir).collect()[0]
+    # user_id parity is unrelated to tenure: chi2 should be far below
+    # any rejection region (loose sanity band, not a flaky threshold)
+    assert r["var_q6"] > 0
+    assert 0 <= r["chi2_raw"]
+    assert r["chi2_milli"] == int(r["chi2_raw"] * 1000 // 1)
+    assert r["o1"] > 0 and r["e1_q6"] > 0

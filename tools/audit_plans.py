@@ -388,6 +388,7 @@ AUDIT: dict[str, dict] = {
     "ml_loo_source_influence": {},        # 21-arm model-side fan-out
     "ml_pinball_quantile_eval": {"smj": 0},  # per-type rank + broadcast
     "agg_rfm_migration": {"smj": 0},      # weekly terciles + self-join
+    "ts_logrank_test": {"smj": 0},        # tenure agg + bounded spine
     "privacy_t_closeness": {"smj": 0},    # global mix broadcasts
     "privacy_anonymize_release": {},      # class-keyed equi-join (either strategy ok)
 }
