@@ -1505,7 +1505,10 @@ def features_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cannot express (funnels fix the order; paths discover it)",
 )
 def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-3 path mining: lead(1)/lead(2) over each user's
+    """Order-3 path mining (SLIDING motif census over the whole
+    stream — win_top_paths reports only each session's OPENING path;
+    this op counts every 3-step window and its distinct users):
+    lead(1)/lead(2) over each user's
     time-ordered stream build sliding event-type trigrams; counting
     occurrences and distinct users per path surfaces the dominant
     behavioral sequences. Ties in the time order break on event_id —
@@ -1604,65 +1607,6 @@ def agg_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(cast(user_days as decimal(38,0)) * 1000000 "
             "div (n_days * mau) as bigint)"
         ).alias("stickiness_ppm"),
-    )
-
-
-@register(
-    "events_markov_transitions",
-    f"""
-    WITH o AS (SELECT user_id, event_type AS src,
-               LEAD(event_type, 1) OVER (
-                 PARTITION BY user_id ORDER BY {EVENTS_TS_SQL}, event_id
-               ) AS dst
-               FROM events),
-    p AS (SELECT src, dst FROM o WHERE dst IS NOT NULL),
-    c AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
-          FROM p GROUP BY src, dst),
-    t AS (SELECT src, CAST(SUM(n) AS BIGINT) AS row_total FROM c GROUP BY src)
-    SELECT c.src, c.dst, c.n, t.row_total,
-           CAST(c.n * 1000000 // t.row_total AS BIGINT) AS prob_ppm
-    FROM c JOIN t ON t.src = c.src
-    """,
-    doc="first-order Markov transition matrix over per-user event "
-    "streams: row-normalized next-event probabilities in integer ppm "
-    "— the generative model behind events_path_trigrams' observed "
-    "sequences (compare: high-prob chains should match top paths)",
-)
-def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Behavior as a Markov chain: lead(1) per user stream pairs each
-    event with its successor; (src, dst) counts row-normalize into
-    transition probabilities (integer ppm — exact). Output is the
-    |types|² matrix with counts AND probabilities, ready for
-    stationary-distribution or expected-path analysis downstream.
-
-    Scale: the same single user_id exchange as the trigram miner; the
-    matrix aggregate is map-side combined to ≤ |types|² rows and the
-    row totals broadcast back.
-    """
-    ev = load(spark, "events", sf_dir)
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").cast("timestamp"), "event_id"
-    )
-    p = (
-        ev.select(
-            F.col("event_type").alias("src"),
-            F.lead("event_type", 1).over(w).alias("dst"),
-        )
-        .filter(F.col("dst").isNotNull())
-    )
-    c = p.groupBy("src", "dst").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
-    )
-    t = c.groupBy("src").agg(F.sum("n").cast("long").alias("row_total"))
-    return c.join(F.broadcast(t), "src").select(
-        "src",
-        "dst",
-        "n",
-        "row_total",
-        F.expr(
-            "cast(cast(n as decimal(38,0)) * 1000000 div row_total "
-            "as bigint)"
-        ).alias("prob_ppm"),
     )
 
 

@@ -2628,7 +2628,10 @@ _HAMPEL_HALF = 3  # ±3 rows → 7-row centered frame
     "exact integer micro-unit medians, per-type repair summary",
 )
 def win_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Classic Hampel despiking: for each point, the median and MAD of
+    """Classic Hampel despiking (the REPAIR op: win_hampel_despike is
+    the trailing-window detector; this centered variant substitutes
+    the median and reports the per-series repair summary): for each
+    point, the median and MAD of
     its ±3-row neighborhood (time order per series); |x − med| > 3·MAD
     flags an outlier, repaired to the median. Medians are exact lower
     medians of 1e-6-quantized integers picked by index from the sorted

@@ -235,20 +235,6 @@ def test_vocab_coverage_monotone(spark, sf_dir):
         assert r["vocab_frac_ppm"] == r["vocab_size"] * 1000000 // r["vocab_total"]
 
 
-def test_markov_rows_normalize(spark, sf_dir):
-    rows = registry.queries()["events_markov_transitions"](spark, sf_dir).collect()
-    assert rows
-    from collections import defaultdict
-    by_src = defaultdict(list)
-    for r in rows:
-        by_src[r["src"]].append(r)
-    for src, rs in by_src.items():
-        assert sum(r["n"] for r in rs) == rs[0]["row_total"]
-        # ppm rows sum to ~1e6 (truncation loses < |dsts| ppm)
-        s = sum(r["prob_ppm"] for r in rs)
-        assert 1000000 - len(rs) <= s <= 1000000
-
-
 def test_markov_stationary_mass(spark, sf_dir):
     rows = registry.queries()["events_markov_stationary"](spark, sf_dir).collect()
     assert rows

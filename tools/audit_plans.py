@@ -377,7 +377,6 @@ AUDIT: dict[str, dict] = {
     "graph_random_walks": {},             # 4 chained transition joins
     "ml_conformal_interval": {"smj": 0},  # rank-target pick + broadcasts
     "text_vocab_coverage": {"smj": 0},    # two-phase rank over vocab
-    "events_markov_transitions": {"smj": 0, "exchange": 5},  # window + 2 aggs + AQE reads
     "events_markov_stationary": {"smj": 0},  # 3 tiny matrix joins
     "ts_haar_energy": {"smj": 0},         # hourly agg + level fan-out
     "ts_sax_words": {"smj": 0},           # 16x downsample, per-series words
