@@ -3168,3 +3168,133 @@ def ml_pinball_quantile_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "as decimal(38,0)) * 1000000 div count(*) as bigint)"
         ).alias("coverage_ppm"),
     )
+
+
+# ---------- stratified treatment-effect estimation (causal) ----------
+
+
+@register(
+    "ml_stratified_ate",
+    f"""
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS treat,
+             CAST(COUNT(*) AS BIGINT) AS activity,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+      FROM events GROUP BY user_id
+    ),
+    r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY activity, user_id) AS rn,
+          COUNT(*) OVER () AS n FROM u),
+    s AS (SELECT treat, y, (rn - 1) * 5 // n AS stratum FROM r),
+    per AS (
+      SELECT stratum,
+             CAST(COUNT(*) AS BIGINT) AS n_s,
+             CAST(SUM(CASE WHEN treat = 1 THEN y ELSE 0 END) * 1000000
+                  // NULLIF(SUM(treat), 0) AS BIGINT) AS p1_ppm,
+             CAST(SUM(CASE WHEN treat = 0 THEN y ELSE 0 END) * 1000000
+                  // NULLIF(SUM(1 - treat), 0) AS BIGINT) AS p0_ppm
+      FROM s GROUP BY stratum
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN treat = 1 THEN y ELSE 0 END) * 1000000
+                  // NULLIF(SUM(treat), 0) AS BIGINT) AS p1_all,
+             CAST(SUM(CASE WHEN treat = 0 THEN y ELSE 0 END) * 1000000
+                  // NULLIF(SUM(1 - treat), 0) AS BIGINT) AS p0_all
+      FROM s
+    )
+    SELECT tot.n AS n_users,
+           CAST(tot.p1_all - tot.p0_all AS BIGINT) AS naive_diff_ppm,
+           CAST(SUM(per.n_s * (per.p1_ppm - per.p0_ppm)) // tot.n
+                AS BIGINT) AS ate_ppm,
+           CAST(tot.p1_all - tot.p0_all
+                - SUM(per.n_s * (per.p1_ppm - per.p0_ppm)) // tot.n
+                AS BIGINT) AS confounding_bias_ppm
+    FROM per CROSS JOIN tot
+    WHERE per.p1_ppm IS NOT NULL AND per.p0_ppm IS NOT NULL
+    GROUP BY tot.n, tot.p1_all, tot.p0_all
+    """,
+    doc="observational treatment-effect estimation: average treatment "
+    "effect via subclassification on an activity-quintile confounder "
+    "(Cochran stratification — the propensity-score precursor), naive "
+    "vs adjusted difference and the confounding bias they disagree "
+    "by, all integer-ppm",
+)
+def ml_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Causal adjustment without randomization: users stratify into
+    activity quintiles (the measured confounder), per-stratum
+    treated/control outcome rates difference, weighted by stratum
+    size — Cochran's subclassification estimator, the precursor of
+    propensity-score methods. The naive unadjusted difference and the
+    bias it carries are reported beside the ATE; with this synthetic
+    parity 'exposure' the two should nearly agree (no confounding by
+    construction) — pinned loosely by test. Every rate is an integer
+    ppm (per-stratum quantization before the weighted sum, the chi2
+    convention).
+
+    Scale: one per-user aggregate, one global rank (two-phase at
+    100 TB — strata are rank buckets), two map-side-combined stratum
+    aggregates. Strata missing an arm are dropped (complete-case
+    subclassification), visible via n_users.
+    """
+    ev = load(spark, "events", sf_dir)
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("activity"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("y"),
+    ).select(
+        F.when(F.col("user_id") % 3 == 0, 1).otherwise(0).alias("treat"),
+        "activity",
+        "y",
+        "user_id",
+    )
+    r = with_total_rank(u, "activity", (F.col("user_id"),), rn="rn", nn="n")
+    s = r.select(
+        "treat", "y", F.expr("(rn - 1) * 5 div n").alias("stratum")
+    )
+    s = pin(s)
+    per = s.groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("long").alias("n_s"),
+        F.expr(
+            "cast(sum(case when treat = 1 then y else 0 end) * 1000000 "
+            "div nullif(sum(treat), 0) as bigint)"
+        ).alias("p1_ppm"),
+        F.expr(
+            "cast(sum(case when treat = 0 then y else 0 end) * 1000000 "
+            "div nullif(sum(1 - treat), 0) as bigint)"
+        ).alias("p0_ppm"),
+    )
+    tot = s.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr(
+            "cast(sum(case when treat = 1 then y else 0 end) * 1000000 "
+            "div nullif(sum(treat), 0) as bigint)"
+        ).alias("p1_all"),
+        F.expr(
+            "cast(sum(case when treat = 0 then y else 0 end) * 1000000 "
+            "div nullif(sum(1 - treat), 0) as bigint)"
+        ).alias("p0_all"),
+    )
+    return (
+        per.filter(
+            F.col("p1_ppm").isNotNull() & F.col("p0_ppm").isNotNull()
+        )
+        .crossJoin(F.broadcast(tot))
+        .groupBy("n", "p1_all", "p0_all")
+        .agg(
+            F.expr(
+                "cast(sum(n_s * (p1_ppm - p0_ppm)) div max(n) as bigint)"
+            ).alias("ate_ppm")
+        )
+        .select(
+            F.col("n").alias("n_users"),
+            (F.col("p1_all") - F.col("p0_all"))
+            .cast("long")
+            .alias("naive_diff_ppm"),
+            "ate_ppm",
+            (F.col("p1_all") - F.col("p0_all") - F.col("ate_ppm"))
+            .cast("long")
+            .alias("confounding_bias_ppm"),
+        )
+    )

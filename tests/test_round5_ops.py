@@ -373,3 +373,12 @@ def test_logrank_parity_null(spark, sf_dir):
     assert 0 <= r["chi2_raw"]
     assert r["chi2_milli"] == int(r["chi2_raw"] * 1000 // 1)
     assert r["o1"] > 0 and r["e1_q6"] > 0
+
+
+def test_stratified_ate_structure(spark, sf_dir):
+    r = registry.queries()["ml_stratified_ate"](spark, sf_dir).collect()[0]
+    assert r["n_users"] > 0
+    assert r["confounding_bias_ppm"] == r["naive_diff_ppm"] - r["ate_ppm"]
+    # parity treatment is unconfounded by construction: the adjusted
+    # and naive estimates must roughly agree (loose band)
+    assert abs(r["confounding_bias_ppm"]) < 200000

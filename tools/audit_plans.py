@@ -388,6 +388,7 @@ AUDIT: dict[str, dict] = {
     "ml_pinball_quantile_eval": {"smj": 0},  # per-type rank + broadcast
     "agg_rfm_migration": {"smj": 0},      # weekly terciles + self-join
     "ts_logrank_test": {"smj": 0},        # tenure agg + bounded spine
+    "ml_stratified_ate": {"smj": 0},      # rank strata + 2 stratum aggs
     "privacy_t_closeness": {"smj": 0},    # global mix broadcasts
     "privacy_anonymize_release": {},      # class-keyed equi-join (either strategy ok)
 }
