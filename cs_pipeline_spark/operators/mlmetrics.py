@@ -3298,3 +3298,111 @@ def ml_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("confounding_bias_ppm"),
         )
     )
+
+
+# ---------- uplift evaluation (Qini at deciles) ----------
+
+
+@register(
+    "ml_qini_deciles",
+    f"""
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS treat,
+             CAST(COUNT(*) AS BIGINT) AS activity,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+      FROM events GROUP BY user_id
+    ),
+    r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY activity DESC, user_id)
+            AS rn, COUNT(*) OVER () AS n FROM u),
+    d AS (SELECT treat, y, (rn - 1) * 10 // n + 1 AS decile FROM r),
+    c AS (SELECT decile,
+          CAST(SUM(CASE WHEN treat = 1 THEN y ELSE 0 END) AS BIGINT) AS y1,
+          CAST(SUM(treat) AS BIGINT) AS n1,
+          CAST(SUM(CASE WHEN treat = 0 THEN y ELSE 0 END) AS BIGINT) AS y0,
+          CAST(SUM(1 - treat) AS BIGINT) AS n0
+          FROM d GROUP BY decile),
+    cum AS (SELECT decile,
+            SUM(y1) OVER w AS cy1, SUM(n1) OVER w AS cn1,
+            SUM(y0) OVER w AS cy0, SUM(n0) OVER w AS cn0
+            FROM c WINDOW w AS (ORDER BY decile
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(cy1 AS BIGINT) AS cum_treated_y,
+           CAST(cy0 AS BIGINT) AS cum_control_y,
+           CAST(cn1 AS BIGINT) AS cum_treated_n,
+           CAST(cn0 AS BIGINT) AS cum_control_n,
+           CAST(cy1 * 1000000 // NULLIF(cn1, 0)
+                - cy0 * 1000000 // NULLIF(cn0, 0) AS BIGINT)
+             AS uplift_ppm
+    FROM cum
+    """,
+    doc="uplift (Qini-style) evaluation at score deciles: users ranked "
+    "by a targeting score (activity proxy), cumulative treated vs "
+    "control response and their integer-ppm uplift per decile — the "
+    "'whom to target' curve; a flat curve means the score carries no "
+    "heterogeneous treatment effect",
+)
+def ml_qini_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uplift-model evaluation: rank users by the targeting score
+    (activity here — production plugs any model score), cut into
+    deciles, and accumulate treated/control response down the
+    ranking. The per-decile cumulative uplift (p̂1 − p̂0, integer
+    ppm) is the Qini/uplift curve's y-axis; a score with real
+    heterogeneous effect shows high uplift in the top deciles
+    decaying toward the population ATE.
+
+    Scale: one per-user aggregate, a two-phase global rank for the
+    decile cut, one decile aggregate; the 10-row cumulative window is
+    bounded (one_part). Same shape at any user count.
+    """
+    ev = load(spark, "events", sf_dir)
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("activity"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("y"),
+    ).select(
+        F.when(F.col("user_id") % 3 == 0, 1).otherwise(0).alias("treat"),
+        (-F.col("activity")).alias("neg_act"),
+        "y",
+        "user_id",
+    )
+    r = with_total_rank(u, "neg_act", (F.col("user_id"),), rn="rn", nn="n")
+    d = r.select(
+        "treat", "y", F.expr("(rn - 1) * 10 div n + 1").alias("decile")
+    )
+    c = d.groupBy("decile").agg(
+        F.sum(F.when(F.col("treat") == 1, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("y1"),
+        F.sum("treat").cast("long").alias("n1"),
+        F.sum(F.when(F.col("treat") == 0, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("y0"),
+        F.sum(1 - F.col("treat")).cast("long").alias("n0"),
+    )
+    wcum = (
+        Window.partitionBy(one_part("decile"))
+        .orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = c.select(
+        "decile",
+        F.sum("y1").over(wcum).cast("long").alias("cum_treated_y"),
+        F.sum("n1").over(wcum).cast("long").alias("cum_treated_n"),
+        F.sum("y0").over(wcum).cast("long").alias("cum_control_y"),
+        F.sum("n0").over(wcum).cast("long").alias("cum_control_n"),
+    )
+    return cum.select(
+        F.col("decile").cast("long").alias("decile"),
+        "cum_treated_y",
+        "cum_control_y",
+        "cum_treated_n",
+        "cum_control_n",
+        F.expr(
+            "cast(cum_treated_y * 1000000 div nullif(cum_treated_n, 0) "
+            "- cum_control_y * 1000000 div nullif(cum_control_n, 0) "
+            "as bigint)"
+        ).alias("uplift_ppm"),
+    )

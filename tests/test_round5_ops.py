@@ -382,3 +382,17 @@ def test_stratified_ate_structure(spark, sf_dir):
     # parity treatment is unconfounded by construction: the adjusted
     # and naive estimates must roughly agree (loose band)
     assert abs(r["confounding_bias_ppm"]) < 200000
+
+
+def test_qini_deciles_cumulative(spark, sf_dir):
+    rows = {r["decile"]: r for r in
+            registry.queries()["ml_qini_deciles"](spark, sf_dir).collect()}
+    assert min(rows) == 1
+    last = None
+    for d in sorted(rows):
+        r = rows[d]
+        if last is not None:
+            assert r["cum_treated_n"] >= last["cum_treated_n"]
+            assert r["cum_control_n"] >= last["cum_control_n"]
+            assert r["cum_treated_y"] >= last["cum_treated_y"]
+        last = r
