@@ -1816,3 +1816,123 @@ def agg_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(cast(n as decimal(38,0)) * 1000000 div rt as bigint)"
         ).alias("prob_ppm"),
     )
+
+
+# ---------- metric-delta root-cause contribution analysis ----------
+
+
+@register(
+    "dq_delta_attribution",
+    f"""
+    WITH d AS (SELECT event_type, user_id % 4 AS region,
+               CAST({EVENTS_TS_SQL} AS DATE) AS day
+               FROM events),
+    tgt AS (SELECT MAX(day) AS t FROM d),
+    cur AS (SELECT event_type, region, CAST(COUNT(*) AS BIGINT) AS n_cur
+            FROM d, tgt WHERE day = t GROUP BY 1, 2),
+    base AS (SELECT event_type, region,
+             CAST(COUNT(*) // 7 AS BIGINT) AS n_base
+             FROM d, tgt WHERE day >= t - 7 AND day < t GROUP BY 1, 2),
+    j AS (SELECT COALESCE(c.event_type, b.event_type) AS event_type,
+          COALESCE(c.region, b.region) AS region,
+          COALESCE(c.n_cur, 0) AS n_cur, COALESCE(b.n_base, 0) AS n_base,
+          COALESCE(c.n_cur, 0) - COALESCE(b.n_base, 0) AS delta
+          FROM cur c FULL OUTER JOIN base b
+          ON b.event_type = c.event_type AND b.region = c.region),
+    tot AS (SELECT SUM(delta) AS total_delta FROM j)
+    SELECT j.event_type, CAST(j.region AS BIGINT) AS region,
+           CAST(j.n_cur AS BIGINT) AS n_cur,
+           CAST(j.n_base AS BIGINT) AS n_base,
+           CAST(j.delta AS BIGINT) AS delta,
+           CAST(j.delta * 1000000 // NULLIF(t.total_delta, 0) AS BIGINT)
+             AS contribution_ppm
+    FROM j CROSS JOIN tot t
+    ORDER BY ABS(j.delta) DESC, j.event_type, region LIMIT 10
+    """,
+    doc="root-cause contribution analysis: the latest day's volume "
+    "delta vs the trailing-7-day baseline decomposed by (event_type, "
+    "region) slice — top-10 slices by |delta| with integer-ppm share "
+    "of the total movement; the 'what moved the metric' drill-down",
+)
+def dq_delta_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contribution analysis (the Adtributor/metric-drill-down shape):
+    slice the metric's day-over-baseline delta by a dimension pair and
+    rank slices by absolute movement, each with its signed ppm share
+    of the total delta — additive by construction, so the top slices
+    EXPLAIN the anomaly rather than merely flagging it
+    (dq_volume_anomaly is the detector; this is the attribution).
+
+    Scale: two map-side-combined slice aggregates (current day,
+    trailing baseline) full-outer-joined on the bounded slice key;
+    top-10 via TakeOrderedAndProject. The dimension fan-out is the
+    slice cardinality, never fact rows.
+    """
+    ev = load(spark, "events", sf_dir)
+    d = pin(
+        ev.select(
+            "event_type",
+            (F.col("user_id") % 4).alias("region"),
+            F.col("ts").cast("timestamp").cast("date").alias("day"),
+        )
+    )
+    tgt = d.agg(F.max("day").alias("t"))
+    dd = d.crossJoin(F.broadcast(tgt))
+    cur = dd.filter(F.col("day") == F.col("t")).groupBy(
+        "event_type", "region"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_cur"))
+    base = (
+        dd.filter(
+            (F.col("day") >= F.expr("t - interval 7 days"))
+            & (F.col("day") < F.col("t"))
+        )
+        .groupBy("event_type", "region")
+        .agg(F.expr("cast(count(*) div 7 as bigint)").alias("n_base"))
+    )
+    # full-outer on two bounded slice tables would plan SortMergeJoin
+    # (round-2 gotcha) — the union + merge-groupBy fusion is
+    # exchange-cheap and SMJ-free
+    j = (
+        cur.select(
+            "event_type", "region", F.col("n_cur").alias("v"),
+            F.lit(1).alias("is_cur"),
+        )
+        .unionByName(
+            base.select(
+                "event_type", "region", F.col("n_base").alias("v"),
+                F.lit(0).alias("is_cur"),
+            )
+        )
+        .groupBy("event_type", "region")
+        .agg(
+            F.sum(F.when(F.col("is_cur") == 1, F.col("v")).otherwise(0))
+            .cast("long")
+            .alias("n_cur"),
+            F.sum(F.when(F.col("is_cur") == 0, F.col("v")).otherwise(0))
+            .cast("long")
+            .alias("n_base"),
+        )
+        .select(
+            "event_type",
+            "region",
+            "n_cur",
+            "n_base",
+            (F.col("n_cur") - F.col("n_base")).alias("delta"),
+        )
+    )
+    tot = j.agg(F.sum("delta").cast("long").alias("total_delta"))
+    return (
+        j.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            F.col("region").cast("long").alias("region"),
+            "n_cur",
+            "n_base",
+            "delta",
+            F.expr(
+                "cast(cast(delta as decimal(38,0)) * 1000000 "
+                "div nullif(total_delta, 0) as bigint)"
+            ).alias("contribution_ppm"),
+        )
+        .orderBy(F.abs(F.col("delta")).desc(), "event_type", "region")
+        .limit(10)
+    )

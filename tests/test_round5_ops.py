@@ -396,3 +396,12 @@ def test_qini_deciles_cumulative(spark, sf_dir):
             assert r["cum_control_n"] >= last["cum_control_n"]
             assert r["cum_treated_y"] >= last["cum_treated_y"]
         last = r
+
+
+def test_delta_attribution_additive(spark, sf_dir):
+    rows = registry.queries()["dq_delta_attribution"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 10
+    for r in rows:
+        assert r["delta"] == r["n_cur"] - r["n_base"]
+    deltas = [abs(r["delta"]) for r in rows]
+    assert deltas == sorted(deltas, reverse=True)
