@@ -3943,3 +3943,130 @@ def analyze_groupby_cardinality(
             ).alias("err_ppm"),
         )
     )
+
+
+# ---------- deterministic rerandomization (permutation-style) test ----------
+
+_PERM_K = 16
+_PERM_PRIMES = [
+    1000003, 1000033, 1000037, 1000039, 1000081, 1000099, 1000117,
+    1000121, 1000133, 1000151, 1000159, 1000171, 1000183, 1000187,
+    1000193, 1000199,
+]
+
+
+def _perm_label(k: int) -> str:
+    # deterministic relabel k: affine-mod-prime hash of event_id → bit
+    return f"((event_id % {_SPLIT_PRIME}) * {_PERM_PRIMES[k]}) % {_SPLIT_PRIME} % 2"
+
+
+@register(
+    "agg_rerandomization_test",
+    f"""
+    WITH q AS (SELECT event_id,
+               CASE WHEN event_type IN ('click', 'view') THEN 1 ELSE 0 END
+                 AS grp,
+               CAST(FLOOR(value * 1000000.0 + 0.5) AS HUGEINT) AS qv
+               FROM events WHERE event_type IN ('click', 'error', 'view')),
+    m AS (SELECT
+      SUM(CASE WHEN grp = 1 THEN qv ELSE 0 END) AS s1,
+      SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS n1,
+      SUM(CASE WHEN grp = 0 THEN qv ELSE 0 END) AS s0,
+      SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS n0,
+      {", ".join(
+        f"SUM(CASE WHEN {_perm_label(k)} = 1 THEN qv ELSE 0 END) AS s1_{k}, "
+        f"SUM(CASE WHEN {_perm_label(k)} = 1 THEN 1 ELSE 0 END) AS n1_{k}, "
+        f"SUM(CASE WHEN {_perm_label(k)} = 0 THEN qv ELSE 0 END) AS s0_{k}, "
+        f"SUM(CASE WHEN {_perm_label(k)} = 0 THEN 1 ELSE 0 END) AS n0_{k}"
+        for k in range(_PERM_K))}
+      FROM q)
+    SELECT CAST(n1 AS BIGINT) AS n_grp1, CAST(n0 AS BIGINT) AS n_grp0,
+           CAST(FLOOR((CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / CAST(n1 AS DOUBLE)
+             - CAST(CAST(s0 AS VARCHAR) AS DOUBLE) / CAST(n0 AS DOUBLE))
+             / 1000000.0 * 1000000.0 + 0.5) AS BIGINT) AS obs_diff_micro,
+           CAST({" + ".join(
+             f"(CASE WHEN ABS(s1_{k} * n0_{k} - s0_{k} * n1_{k}) * (n1 * n0)"
+             f" >= ABS(s1 * n0 - s0 * n1) * (n1_{k} * n0_{k})"
+             f" THEN 1 ELSE 0 END)" for k in range(_PERM_K))}
+             AS BIGINT) AS k_exceed,
+           CAST(({" + ".join(
+             f"(CASE WHEN ABS(s1_{k} * n0_{k} - s0_{k} * n1_{k}) * (n1 * n0)"
+             f" >= ABS(s1 * n0 - s0 * n1) * (n1_{k} * n0_{k})"
+             f" THEN 1 ELSE 0 END)" for k in range(_PERM_K))} + 1)
+             * 1000000 // {_PERM_K + 1} AS BIGINT) AS p_ppm
+    FROM m
+    """,
+    doc=f"deterministic rerandomization test (Monte-Carlo permutation "
+    f"family): observed engagement-vs-error mean difference compared "
+    f"against {_PERM_K} affine-mod-prime relabelings in ONE scan "
+    "(conditional-aggregate columns, the bootstrap-op pattern); "
+    "p = (1 + #exceed)/(K+1) in exact ppm, cross-multiplied integer "
+    "comparisons — no division on the decision path",
+)
+def agg_rerandomization_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomization-test inference without rand(): each of the 16
+    null draws relabels rows by a different affine-mod-prime hash of
+    event_id (marginal ~50/50, independent of the outcome), and the
+    observed |difference in means| is compared to each null draw via
+    exact cross-multiplied integers (|s1·n0 − s0·n1| scaled by the
+    other draw's n1·n0 — HUGEINT/decimal(38,0), zero float
+    comparisons). p = (1 + #{{null ≥ obs}})/(K+1), the standard
+    finite-draw Monte-Carlo estimator, as exact ppm.
+
+    Scale: ONE scan, one 66-column conditional aggregate (map-side
+    combined) — K relabelings cost K CASE columns, never K passes.
+    """
+    ev = load(spark, "events", sf_dir)
+    q = ev.filter(
+        F.col("event_type").isin("click", "error", "view")
+    ).select(
+        "event_id",
+        F.when(F.col("event_type").isin("click", "view"), 1)
+        .otherwise(0)
+        .alias("grp"),
+        F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5))
+        .cast("decimal(38,0)")
+        .alias("qv"),
+    )
+    aggs = [
+        F.sum(F.when(F.col("grp") == 1, F.col("qv")).otherwise(0)).alias("s1"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("n1"),
+        F.sum(F.when(F.col("grp") == 0, F.col("qv")).otherwise(0)).alias("s0"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("n0"),
+    ]
+    for k in range(_PERM_K):
+        lbl = F.expr(_perm_label(k))
+        aggs += [
+            F.sum(F.when(lbl == 1, F.col("qv")).otherwise(0)).alias(f"s1_{k}"),
+            F.sum(F.when(lbl == 1, 1).otherwise(0))
+            .cast("decimal(38,0)")
+            .alias(f"n1_{k}"),
+            F.sum(F.when(lbl == 0, F.col("qv")).otherwise(0)).alias(f"s0_{k}"),
+            F.sum(F.when(lbl == 0, 1).otherwise(0))
+            .cast("decimal(38,0)")
+            .alias(f"n0_{k}"),
+        ]
+    m = q.agg(*aggs)
+    exceed = " + ".join(
+        f"(case when abs(s1_{k} * n0_{k} - s0_{k} * n1_{k}) * (n1 * n0)"
+        f" >= abs(s1 * n0 - s0 * n1) * (n1_{k} * n0_{k})"
+        f" then 1 else 0 end)"
+        for k in range(_PERM_K)
+    )
+    return m.select(
+        F.col("n1").cast("long").alias("n_grp1"),
+        F.col("n0").cast("long").alias("n_grp0"),
+        F.expr(
+            "cast(floor((cast(cast(s1 as string) as double) "
+            "/ cast(n1 as double) - cast(cast(s0 as string) as double) "
+            "/ cast(n0 as double)) / 1000000.0 * 1000000.0 + 0.5) as bigint)"
+        ).alias("obs_diff_micro"),
+        F.expr(f"cast({exceed} as bigint)").alias("k_exceed"),
+        F.expr(
+            f"cast(({exceed} + 1) * 1000000 div {_PERM_K + 1} as bigint)"
+        ).alias("p_ppm"),
+    )

@@ -405,3 +405,10 @@ def test_delta_attribution_additive(spark, sf_dir):
         assert r["delta"] == r["n_cur"] - r["n_base"]
     deltas = [abs(r["delta"]) for r in rows]
     assert deltas == sorted(deltas, reverse=True)
+
+
+def test_rerandomization_p_value(spark, sf_dir):
+    r = registry.queries()["agg_rerandomization_test"](spark, sf_dir).collect()[0]
+    assert r["n_grp1"] > 0 and r["n_grp0"] > 0
+    assert 0 <= r["k_exceed"] <= 16
+    assert r["p_ppm"] == (r["k_exceed"] + 1) * 1000000 // 17

@@ -391,6 +391,7 @@ AUDIT: dict[str, dict] = {
     "ml_stratified_ate": {"smj": 0},      # rank strata + 2 stratum aggs
     "ml_qini_deciles": {"smj": 0},        # rank deciles + bounded cumsum
     "dq_delta_attribution": {"smj": 0},   # union-merge slices, no SMJ
+    "agg_rerandomization_test": {"smj": 0, "exchange": 0},  # one scan
     "privacy_t_closeness": {"smj": 0},    # global mix broadcasts
     "privacy_anonymize_release": {},      # class-keyed equi-join (either strategy ok)
 }
