@@ -3406,3 +3406,133 @@ def ml_qini_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "as bigint)"
         ).alias("uplift_ppm"),
     )
+
+
+# ---------- ALS fold-in: closed-form user-factor solve (k = 2) ----------
+
+_ALS_LAMBDA = 1
+
+
+@register(
+    "ml_als_user_solve",
+    f"""
+    WITH r AS (SELECT user_id, event_type,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM events GROUP BY 1, 2),
+    vf AS (SELECT DISTINCT event_type,
+           CAST(ascii(substr(event_type, 1, 1)) % 7 - 3 AS BIGINT) AS v1,
+           CAST(length(event_type) % 5 - 2 AS BIGINT) AS v2
+           FROM events),
+    g AS (SELECT SUM(v1 * v1) + {_ALS_LAMBDA} AS g11,
+          SUM(v1 * v2) AS g12,
+          SUM(v2 * v2) + {_ALS_LAMBDA} AS g22 FROM vf),
+    b AS (SELECT r.user_id,
+          CAST(SUM(r.cnt * vf.v1) AS BIGINT) AS b1,
+          CAST(SUM(r.cnt * vf.v2) AS BIGINT) AS b2
+          FROM r JOIN vf ON vf.event_type = r.event_type
+          GROUP BY r.user_id),
+    u AS (SELECT b.user_id,
+          g.g11 * g.g22 - g.g12 * g.g12 AS det,
+          g.g22 * b.b1 - g.g12 * b.b2 AS u1n,
+          g.g11 * b.b2 - g.g12 * b.b1 AS u2n
+          FROM b CROSS JOIN g),
+    e AS (SELECT r.user_id,
+          CAST(r.cnt * u.det - (u.u1n * vf.v1 + u.u2n * vf.v2)
+               AS HUGEINT) AS resid_n,
+          u.det
+          FROM r JOIN vf ON vf.event_type = r.event_type
+          JOIN u ON u.user_id = r.user_id)
+    SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(MAX(det) AS BIGINT) AS det,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(FLOOR(CAST(CAST(SUM(resid_n * resid_n) AS VARCHAR)
+                AS DOUBLE)
+                / (CAST(MAX(det) AS DOUBLE) * MAX(det) * COUNT(*))
+                * 1000000.0 + 0.5) AS BIGINT) AS mse_micro
+    FROM e
+    """,
+    doc="ALS fold-in step (k=2): every user's latent factors solved in "
+    "closed form against fixed integer item factors — the 2x2 normal "
+    "equations inverted symbolically (division deferred to exact "
+    "integer numerators over det), mean squared reconstruction error "
+    "in micro units; the recommender serving-path 'new user' solve",
+)
+def ml_als_user_solve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One half of an ALS sweep, the half serving systems run online:
+    with item factors V fixed (deterministic integer features of the
+    item key here), each user's factors solve (VᵀV + λI)u = Vᵀr — a
+    2×2 system inverted in closed form. All arithmetic stays in exact
+    integer NUMERATORS over the common determinant (u = u_num/det),
+    so residuals r·det − u_num·v are exact integers on both engines;
+    only the final MSE normalization divides, through the exact-int →
+    string → double path. The full ALS alternation repeats this shape
+    per side with a localCheckpoint between sweeps.
+
+    Scale: the ratings aggregate is the only fact pass; the item-
+    factor and Gram tables are item-bounded broadcasts; the solve and
+    residuals are expression-side. Shuffles: one on (user, item), one
+    on user.
+    """
+    ev = load(spark, "events", sf_dir)
+    r = pin(
+        ev.groupBy("user_id", "event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+    )
+    vf = (
+        r.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.expr(
+                "cast(ascii(substr(event_type, 1, 1)) % 7 - 3 as bigint)"
+            ).alias("v1"),
+            F.expr("cast(length(event_type) % 5 - 2 as bigint)").alias("v2"),
+        )
+    )
+    g = vf.agg(
+        (F.sum(F.col("v1") * F.col("v1")) + _ALS_LAMBDA).alias("g11"),
+        F.sum(F.col("v1") * F.col("v2")).alias("g12"),
+        (F.sum(F.col("v2") * F.col("v2")) + _ALS_LAMBDA).alias("g22"),
+    )
+    b = (
+        r.join(F.broadcast(vf), "event_type")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("cnt") * F.col("v1")).cast("long").alias("b1"),
+            F.sum(F.col("cnt") * F.col("v2")).cast("long").alias("b2"),
+        )
+    )
+    u = b.crossJoin(F.broadcast(g)).select(
+        "user_id",
+        (F.col("g11") * F.col("g22") - F.col("g12") * F.col("g12")).alias(
+            "det"
+        ),
+        (F.col("g22") * F.col("b1") - F.col("g12") * F.col("b2")).alias(
+            "u1n"
+        ),
+        (F.col("g11") * F.col("b2") - F.col("g12") * F.col("b1")).alias(
+            "u2n"
+        ),
+    )
+    e = (
+        r.join(F.broadcast(vf), "event_type")
+        .join(u, "user_id")
+        .select(
+            "user_id",
+            F.expr(
+                "cast(cnt * det - (u1n * v1 + u2n * v2) as decimal(38,0))"
+            ).alias("resid_n"),
+            "det",
+        )
+    )
+    return e.agg(
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.max("det").cast("long").alias("det"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.expr(
+            "cast(floor(cast(cast(sum(resid_n * resid_n) as string) "
+            "as double) / (cast(max(det) as double) * max(det) "
+            "* count(*)) * 1000000.0 + 0.5) as bigint)"
+        ).alias("mse_micro"),
+    )

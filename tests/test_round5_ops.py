@@ -412,3 +412,19 @@ def test_rerandomization_p_value(spark, sf_dir):
     assert r["n_grp1"] > 0 and r["n_grp0"] > 0
     assert 0 <= r["k_exceed"] <= 16
     assert r["p_ppm"] == (r["k_exceed"] + 1) * 1000000 // 17
+
+
+def test_als_solve_reduces_error(spark, sf_dir):
+    r = registry.queries()["ml_als_user_solve"](spark, sf_dir).collect()[0]
+    assert r["n_users"] > 0 and r["n_cells"] >= r["n_users"]
+    assert r["det"] > 0  # lambda-regularized Gram is positive definite
+    assert r["mse_micro"] >= 0
+    # the least-squares solve must beat the zero-factor baseline
+    # (MSE of predicting 0 = mean of cnt^2)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from pyspark.sql import functions as SF
+    base = (
+        ev.groupBy("user_id", "event_type").count()
+        .agg(SF.avg(SF.col("count") * SF.col("count"))).first()[0]
+    )
+    assert r["mse_micro"] / 1e6 < base

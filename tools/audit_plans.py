@@ -392,6 +392,7 @@ AUDIT: dict[str, dict] = {
     "ml_qini_deciles": {"smj": 0},        # rank deciles + bounded cumsum
     "dq_delta_attribution": {"smj": 0},   # union-merge slices, no SMJ
     "agg_rerandomization_test": {"smj": 0, "exchange": 0},  # one scan
+    "ml_als_user_solve": {"smj": 0},      # ratings agg + broadcasts
     "privacy_t_closeness": {"smj": 0},    # global mix broadcasts
     "privacy_anonymize_release": {},      # class-keyed equi-join (either strategy ok)
 }
