@@ -23,7 +23,7 @@ from cs_pipeline_spark.plans.agg_compiler import (
     compile_agg_schema,
     compile_agg_schema_sql,
 )
-from cs_pipeline_spark.registry import register
+from cs_pipeline_spark.registry import pin, register
 from cs_pipeline_spark.tables import EVENTS_TS_SQL, load
 
 
@@ -4069,4 +4069,135 @@ def agg_rerandomization_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             f"cast(({exceed} + 1) * 1000000 div {_PERM_K + 1} as bigint)"
         ).alias("p_ppm"),
+    )
+
+
+# ---------- empirical-Bayes shrinkage (beta-binomial) ----------
+
+
+@register(
+    "agg_eb_shrinkage",
+    f"""
+    WITH u AS (SELECT user_id,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y,
+               CAST(COUNT(*) AS BIGINT) AS n
+               FROM events GROUP BY user_id),
+    q AS (SELECT user_id, y, n,
+          CAST(y * 1000000 // n AS BIGINT) AS p_ppm FROM u),
+    m AS (SELECT CAST(SUM(p_ppm) // COUNT(*) AS BIGINT) AS mu_ppm,
+          CAST((SUM(p_ppm * p_ppm) * COUNT(*) - SUM(p_ppm) * SUM(p_ppm))
+               // (COUNT(*) * COUNT(*)) AS BIGINT) AS var_ppm2,
+          CAST(SUM(n) // COUNT(*) AS BIGINT) AS nbar
+          FROM q),
+    k AS (SELECT mu_ppm, var_ppm2, nbar,
+          CASE WHEN var_ppm2 > 0
+               THEN GREATEST(mu_ppm * (1000000 - mu_ppm) // var_ppm2 - 1,
+                             CAST(1 AS BIGINT))
+               ELSE CAST(1000000 AS BIGINT) END AS kappa
+          FROM m),
+    s AS (SELECT q.user_id, q.y, q.n, q.p_ppm,
+          CAST((q.p_ppm * q.n + k.mu_ppm * k.kappa) // (q.n + k.kappa)
+               AS BIGINT) AS shrunk_ppm,
+          k.kappa, k.mu_ppm
+          FROM q CROSS JOIN k)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(MAX(kappa) AS BIGINT) AS kappa,
+           CAST(MAX(mu_ppm) AS BIGINT) AS prior_mean_ppm,
+           CAST(SUM(ABS(p_ppm - mu_ppm)) // COUNT(*) AS BIGINT)
+             AS raw_mad_ppm,
+           CAST(SUM(ABS(shrunk_ppm - mu_ppm)) // COUNT(*) AS BIGINT)
+             AS shrunk_mad_ppm,
+           CAST(SUM(CASE WHEN ABS(shrunk_ppm - mu_ppm)
+                              <= ABS(p_ppm - mu_ppm)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_shrunk_toward
+    FROM s
+    """,
+    doc="empirical-Bayes shrinkage of per-user conversion rates: "
+    "method-of-moments beta-binomial prior strength kappa = "
+    "mu(1-mu)/var - 1, posterior rate (y + kappa*mu)/(n + kappa) in "
+    "exact integer ppm — the James-Stein-style stabilizer for "
+    "small-sample per-entity rates, with the dispersion-reduction "
+    "audit built in",
+)
+def agg_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial pooling without MCMC: the beta-binomial prior strength
+    κ comes from the method of moments on the raw per-user rate
+    distribution (κ = μ(1−μ)/Var − 1, floored at 1), and each user's
+    shrunk rate is the precision-weighted blend (p·n + μ·κ)/(n + κ).
+    Every step is truncating integer-ppm arithmetic — no Beta
+    functions, no floats — so the shrinkage is bit-identical across
+    engines. The output audits the point of shrinkage: mean absolute
+    deviation from the prior mean falls, and (by construction) every
+    user moves toward it.
+
+    Scale: one per-user aggregate, one 1-row moment aggregate
+    (map-side combined), one broadcast blend pass. At any user count.
+    """
+    ev = load(spark, "events", sf_dir)
+    u = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("y"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    q = pin(
+        u.select(
+            "user_id",
+            "y",
+            "n",
+            F.expr("cast(y * 1000000 div n as bigint)").alias("p_ppm"),
+        )
+    )
+    m = q.agg(
+        F.expr("cast(sum(p_ppm) div count(*) as bigint)").alias("mu_ppm"),
+        F.expr(
+            "cast((sum(cast(p_ppm as decimal(38,0)) * p_ppm) * count(*) "
+            "- sum(cast(p_ppm as decimal(38,0))) * sum(p_ppm)) "
+            "div (cast(count(*) as decimal(38,0)) * count(*)) as bigint)"
+        ).alias("var_ppm2"),
+    )
+    k = m.select(
+        "mu_ppm",
+        "var_ppm2",
+        F.expr(
+            "case when var_ppm2 > 0 then "
+            "greatest(cast(mu_ppm as decimal(38,0)) * (1000000 - mu_ppm) "
+            "div var_ppm2 - 1, cast(1 as decimal(38,0))) "
+            "else 1000000 end"
+        )
+        .cast("long")
+        .alias("kappa"),
+    )
+    s = q.crossJoin(F.broadcast(k)).select(
+        "p_ppm",
+        F.expr(
+            "cast((cast(p_ppm as decimal(38,0)) * n + "
+            "cast(mu_ppm as decimal(38,0)) * kappa) div (n + kappa) "
+            "as bigint)"
+        ).alias("shrunk_ppm"),
+        "kappa",
+        "mu_ppm",
+    )
+    return s.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.max("kappa").cast("long").alias("kappa"),
+        F.max("mu_ppm").cast("long").alias("prior_mean_ppm"),
+        F.expr(
+            "cast(sum(abs(p_ppm - mu_ppm)) div count(*) as bigint)"
+        ).alias("raw_mad_ppm"),
+        F.expr(
+            "cast(sum(abs(shrunk_ppm - mu_ppm)) div count(*) as bigint)"
+        ).alias("shrunk_mad_ppm"),
+        F.sum(
+            F.when(
+                F.abs(F.col("shrunk_ppm") - F.col("mu_ppm"))
+                <= F.abs(F.col("p_ppm") - F.col("mu_ppm")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_shrunk_toward"),
     )

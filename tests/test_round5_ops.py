@@ -428,3 +428,12 @@ def test_als_solve_reduces_error(spark, sf_dir):
         .agg(SF.avg(SF.col("count") * SF.col("count"))).first()[0]
     )
     assert r["mse_micro"] / 1e6 < base
+
+
+def test_eb_shrinkage_contracts(spark, sf_dir):
+    r = registry.queries()["agg_eb_shrinkage"](spark, sf_dir).collect()[0]
+    assert r["kappa"] >= 1
+    # shrinkage strictly reduces dispersion around the prior mean,
+    # and every user moves (weakly) toward it
+    assert r["shrunk_mad_ppm"] <= r["raw_mad_ppm"]
+    assert r["n_shrunk_toward"] == r["n_users"]

@@ -393,6 +393,7 @@ AUDIT: dict[str, dict] = {
     "dq_delta_attribution": {"smj": 0},   # union-merge slices, no SMJ
     "agg_rerandomization_test": {"smj": 0, "exchange": 0},  # one scan
     "ml_als_user_solve": {"smj": 0},      # ratings agg + broadcasts
+    "agg_eb_shrinkage": {"smj": 0},       # moments + broadcast blend
     "privacy_t_closeness": {"smj": 0},    # global mix broadcasts
     "privacy_anonymize_release": {},      # class-keyed equi-join (either strategy ok)
 }
