@@ -391,7 +391,7 @@ AUDIT: dict[str, dict] = {
     "ml_stratified_ate": {"smj": 0},      # rank strata + 2 stratum aggs
     "ml_qini_deciles": {"smj": 0},        # rank deciles + bounded cumsum
     "dq_delta_attribution": {"smj": 0},   # union-merge slices, no SMJ
-    "agg_rerandomization_test": {"smj": 0, "exchange": 0},  # one scan
+    "agg_rerandomization_test": {"smj": 0, "exchange": 1},  # scan + 1-row gather
     "ml_als_user_solve": {"smj": 0},      # ratings agg + broadcasts
     "agg_eb_shrinkage": {"smj": 0},       # moments + broadcast blend
     "privacy_t_closeness": {"smj": 0},    # global mix broadcasts
