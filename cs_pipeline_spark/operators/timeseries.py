@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from cs_pipeline_spark.operators.helpers import with_rank_targets, one_part
+from cs_pipeline_spark.operators.helpers import with_prefix_agg, with_rank_targets, with_total_rank, one_part
 from cs_pipeline_spark.registry import pin, register
 from cs_pipeline_spark.tables import EVENTS_TS_SQL, load
 
@@ -2491,4 +2491,105 @@ def ts_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "var_q6",
         chi2.alias("chi2_raw"),
         F.floor(chi2 * F.lit(1000.0)).cast("long").alias("chi2_milli"),
+    )
+
+
+# ---------- binary-segmentation changepoint (optimal single split) ----------
+
+
+@register(
+    "ts_binseg_changepoint",
+    f"""
+    WITH hourly AS (
+      SELECT epoch_us({EVENTS_TS_SQL}) // 3600000000 AS h,
+             CAST(SUM({_Q6}) // 65536 AS BIGINT) AS sq
+      FROM events GROUP BY 1
+    ),
+    r AS (SELECT h, sq,
+          ROW_NUMBER() OVER (ORDER BY h) AS i,
+          COUNT(*) OVER () AS n,
+          SUM(sq) OVER (ORDER BY h
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+          SUM(sq) OVER () AS st
+          FROM hourly),
+    cand AS (
+      SELECT h, i, n,
+             CAST((CAST(cs AS HUGEINT) * cs) // i
+                  + (CAST(st - cs AS HUGEINT) * (st - cs)) // (n - i)
+                  AS BIGINT) AS fq
+      FROM r WHERE i < n
+    ),
+    best AS (
+      SELECT h AS split_h, i AS split_i, n, fq,
+             ROW_NUMBER() OVER (ORDER BY fq DESC, h) AS rk
+      FROM cand
+    )
+    SELECT CAST(split_h AS BIGINT) AS split_h,
+           CAST(split_i AS BIGINT) AS split_i,
+           CAST(n AS BIGINT) AS n_hours,
+           CAST(fq AS BIGINT) AS gain_scaled
+    FROM best WHERE rk = 1
+    """,
+    doc="binary-segmentation changepoint: the single split of the "
+    "hourly series maximizing between-segment variance explained "
+    "(argmax of S_L²/n_L + S_R²/n_R over exact integer prefix sums, "
+    "prescaled div 2^16) — the optimal-split detector "
+    "beside CUSUM's sequential one; recursing on each side yields "
+    "the full binseg tree",
+)
+def ts_binseg_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal single changepoint: minimizing split SSE is equivalent
+    to maximizing f(t) = S_L²/n_L + S_R²/n_R (prefix sums S over the
+    hour order). Every candidate's objective is exact integer
+    arithmetic on div-2^16-prescaled sums (squares in HUGEINT/
+    decimal(38,0), truncating division — deterministic, h tie-break),
+    so the argmax is bit-identical across engines. Full binseg
+    recursion reruns this op per segment with a localCheckpoint per
+    level (the iterative convention).
+
+    Scale: the hourly series comes from one map-side-combined
+    aggregate; ranks and prefix sums are the two-phase helpers (no
+    single-executor sort); the argmax is orderBy().limit(1) →
+    TakeOrderedAndProject.
+    """
+    ev = load(spark, "events", sf_dir)
+    hourly = (
+        ev.select(
+            F.expr(
+                "cast(unix_micros(cast(ts as timestamp)) div 3600000000 "
+                "as long)"
+            ).alias("h"),
+            F.expr(_Q6).alias("qv"),
+        )
+        .groupBy("h")
+        # prescale div 2^16: f = S^2/n at corpus scale would pass int64
+        # (the CLAUDE.md pre-scale rule); truncation is deterministic
+        .agg(F.expr("cast(sum(qv) div 65536 as bigint)").alias("sq"))
+    )
+    hourly = pin(hourly)
+    ranked = with_total_rank(hourly, "h", (), rn="i", nn="n")
+    cs = with_prefix_agg(ranked, "h", (), "sq", kind="sum", out="cs")
+    st = hourly.agg(F.sum("sq").cast("long").alias("st"))
+    cand = (
+        cs.crossJoin(F.broadcast(st))
+        .filter(F.col("i") < F.col("n"))
+        .select(
+            "h",
+            "i",
+            "n",
+            F.expr(
+                "cast(cs as decimal(38,0)) * cs div i "
+                "+ cast(st - cs as decimal(38,0)) * (st - cs) div (n - i)"
+            ).alias("fq"),
+        )
+    )
+    return (
+        cand.orderBy(F.desc("fq"), "h")
+        .limit(1)
+        .select(
+            F.col("h").cast("long").alias("split_h"),
+            F.col("i").cast("long").alias("split_i"),
+            F.col("n").cast("long").alias("n_hours"),
+            F.col("fq").cast("long").alias("gain_scaled"),
+        )
     )

@@ -437,3 +437,34 @@ def test_eb_shrinkage_contracts(spark, sf_dir):
     # and every user moves (weakly) toward it
     assert r["shrunk_mad_ppm"] <= r["raw_mad_ppm"]
     assert r["n_shrunk_toward"] == r["n_users"]
+
+
+def test_binseg_matches_bruteforce(spark, sf_dir):
+    r = registry.queries()["ts_binseg_changepoint"](spark, sf_dir).collect()[0]
+    assert 1 <= r["split_i"] < r["n_hours"]
+    # brute-force the argmax in python over the same prescaled series
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from pyspark.sql import functions as SF
+    hourly = sorted(
+        (row["h"], row["sq"]) for row in
+        ev.select(
+            SF.expr("cast(unix_micros(cast(ts as timestamp)) "
+                    "div 3600000000 as long)").alias("h"),
+            SF.expr("cast(floor(value * 1000000.0 + 0.5) as bigint)")
+            .alias("qv"),
+        ).groupBy("h")
+        .agg(SF.expr("cast(sum(qv) div 65536 as bigint)").alias("sq"))
+        .collect()
+    )
+    vals = [sq for _, sq in hourly]
+    st = sum(vals)
+    best = None
+    cs = 0
+    for i in range(1, len(vals)):
+        cs += vals[i - 1]
+        f = cs * cs // i + (st - cs) * (st - cs) // (len(vals) - i)
+        key = (-f, hourly[i - 1][0])
+        if best is None or key < best[0]:
+            best = (key, i, f)
+    assert r["split_i"] == best[1]
+    assert r["gain_scaled"] == best[2]
