@@ -2593,3 +2593,84 @@ def ts_binseg_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("fq").cast("long").alias("gain_scaled"),
         )
     )
+
+
+# ---------- MASE forecast-accuracy evaluation ----------
+
+
+@register(
+    "ts_mase",
+    f"""
+    WITH d AS (SELECT event_type, CAST({EVENTS_TS_SQL} AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+               FROM events GROUP BY 1, 2),
+    l AS (SELECT event_type, day, n,
+          LAG(n, 7) OVER w AS fc,
+          LAG(n, 1) OVER w AS naive
+          FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+    e AS (SELECT event_type,
+          CAST(SUM(ABS(n - fc)) AS BIGINT) AS sae_fc,
+          CAST(COUNT(fc) AS BIGINT) AS n_fc,
+          CAST(SUM(CASE WHEN fc IS NOT NULL THEN ABS(n - naive) END)
+               AS BIGINT) AS sae_naive
+          FROM l GROUP BY event_type)
+    SELECT event_type, n_fc, sae_fc, sae_naive,
+           CAST(sae_fc * 1000000 // NULLIF(sae_naive, 0) AS BIGINT)
+             AS mase_ppm
+    FROM e
+    """,
+    doc="MASE forecast accuracy per series: seasonal-naive (t−7) "
+    "forecast's absolute errors scaled by the one-step naive "
+    "benchmark over the SAME evaluation rows, integer-ppm — the "
+    "scale-free accuracy measure that makes series comparable "
+    "(Hyndman & Koehler 2006); mase < 1e6 means the forecast beats "
+    "naive",
+)
+def ts_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean Absolute Scaled Error: |y − ŷ| summed over evaluable days
+    divided by the in-sample one-step-naive error sum on the same
+    rows — the denominator makes the score unit-free, so daily volume
+    series of any magnitude compare on one scale. Both error sums are
+    exact integer counts; the ratio is one truncating ppm division.
+
+    Scale: one (type, day) aggregate; lag windows are per-series;
+    output is |types| rows. The same shape scores any forecast column
+    joined in place of the lag-7 proxy.
+    """
+    ev = load(spark, "events", sf_dir)
+    d = (
+        ev.select(
+            "event_type",
+            F.col("ts").cast("timestamp").cast("date").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    l = d.select(
+        "event_type",
+        "n",
+        F.lag("n", 7).over(w).alias("fc"),
+        F.lag("n", 1).over(w).alias("naive"),
+    )
+    e = l.groupBy("event_type").agg(
+        F.sum(F.abs(F.col("n") - F.col("fc"))).cast("long").alias("sae_fc"),
+        F.count("fc").cast("long").alias("n_fc"),
+        F.sum(
+            F.when(
+                F.col("fc").isNotNull(), F.abs(F.col("n") - F.col("naive"))
+            )
+        )
+        .cast("long")
+        .alias("sae_naive"),
+    )
+    return e.select(
+        "event_type",
+        "n_fc",
+        "sae_fc",
+        "sae_naive",
+        F.expr(
+            "cast(cast(sae_fc as decimal(38,0)) * 1000000 "
+            "div nullif(sae_naive, 0) as bigint)"
+        ).alias("mase_ppm"),
+    )

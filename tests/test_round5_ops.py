@@ -468,3 +468,12 @@ def test_binseg_matches_bruteforce(spark, sf_dir):
             best = (key, i, f)
     assert r["split_i"] == best[1]
     assert r["gain_scaled"] == best[2]
+
+
+def test_mase_consistency(spark, sf_dir):
+    rows = registry.queries()["ts_mase"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["sae_fc"] >= 0 and r["n_fc"] >= 0
+        if r["sae_naive"]:
+            assert r["mase_ppm"] == r["sae_fc"] * 1000000 // r["sae_naive"]
