@@ -395,7 +395,7 @@ AUDIT: dict[str, dict] = {
     "ml_als_user_solve": {"smj": 0},      # ratings agg + broadcasts
     "agg_eb_shrinkage": {"smj": 0},       # moments + broadcast blend
     "ts_binseg_changepoint": {"smj": 0},  # two-phase prefix + TakeOrdered
-    "ts_mase": {"smj": 0, "exchange": 1},  # one series shuffle
+    "ts_mase": {"smj": 0, "exchange": 2},  # day agg + series window
     "privacy_t_closeness": {"smj": 0},    # global mix broadcasts
     "privacy_anonymize_release": {},      # class-keyed equi-join (either strategy ok)
 }
