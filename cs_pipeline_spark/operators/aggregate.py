@@ -4201,3 +4201,102 @@ def agg_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_shrunk_toward"),
     )
+
+
+# ---------- Neyman optimal stratified-sample allocation ----------
+
+_NEYMAN_BUDGET = 1000
+
+
+@register(
+    "sample_neyman_allocation",
+    f"""
+    WITH q AS (SELECT event_type,
+               CAST(FLOOR(value * 1000000.0 + 0.5) AS HUGEINT) AS qv
+               FROM events),
+    m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nh,
+          SUM(qv * qv) * CAST(COUNT(*) AS HUGEINT)
+            - SUM(qv) * SUM(qv) AS vn
+          FROM q GROUP BY event_type),
+    t AS (SELECT event_type, nh,
+          CAST(FLOOR(SQRT(CAST(CAST(vn AS VARCHAR) AS DOUBLE))
+               / CAST(nh AS DOUBLE) + 0.5) AS BIGINT) AS sh_micro
+          FROM m),
+    s AS (SELECT event_type, nh, sh_micro,
+          CAST(nh * sh_micro AS BIGINT) AS wh FROM t)
+    SELECT event_type, nh, sh_micro,
+           CAST(wh * {_NEYMAN_BUDGET}
+                // NULLIF((SELECT SUM(wh) FROM s), 0) AS BIGINT)
+             AS n_alloc,
+           CAST(wh * 1000000
+                // NULLIF((SELECT SUM(wh) FROM s), 0) AS BIGINT)
+             AS share_ppm
+    FROM s
+    """,
+    doc=f"Neyman optimal stratified-sample allocation: a "
+    f"{_NEYMAN_BUDGET}-row budget split proportionally to N_h*sigma_h "
+    "per stratum (exact integer variance numerators, per-stratum "
+    "quantized sigma, truncating shares) — the survey-sampling design "
+    "that minimizes estimator variance for a fixed budget",
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survey design in-engine: Neyman allocation n_h ∝ N_h·σ_h
+    minimizes the stratified mean's variance for a fixed total budget.
+    σ_h comes from the exact integer variance NUMERATOR
+    (n·Σq² − (Σq)², the helpers' cancellation-free form); its square
+    root is the one float op, taken on an exactly-parsed integer (IEEE
+    sqrt is correctly rounded — bit-identical engines), then quantized
+    per stratum BEFORE the weight sum so shares are pure integer
+    ratios. High-variance strata get oversampled; near-constant
+    strata collapse to almost nothing — visible directly in n_alloc.
+
+    Scale: one map-side-combined moment aggregate (|strata| rows),
+    then scalar arithmetic. The allocation table drives any
+    downstream stratified sampler (sample_stratified swaps its fixed
+    quota for n_alloc).
+    """
+    ev = load(spark, "events", sf_dir)
+    q = ev.select(
+        "event_type",
+        F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5))
+        .cast("decimal(38,0)")
+        .alias("qv"),
+    )
+    m = q.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("nh"),
+        (
+            F.sum(F.col("qv") * F.col("qv"))
+            * F.count(F.lit(1)).cast("decimal(38,0)")
+            - F.sum("qv") * F.sum("qv")
+        ).alias("vn"),
+    )
+    t = m.select(
+        "event_type",
+        "nh",
+        F.expr(
+            "cast(floor(sqrt(cast(cast(vn as string) as double)) "
+            "/ cast(nh as double) + 0.5) as bigint)"
+        ).alias("sh_micro"),
+    )
+    s = pin(
+        t.select(
+            "event_type",
+            "nh",
+            "sh_micro",
+            (F.col("nh") * F.col("sh_micro")).cast("long").alias("wh"),
+        )
+    )
+    tot = s.agg(F.sum("wh").cast("long").alias("tw"))
+    return s.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "nh",
+        "sh_micro",
+        F.expr(
+            f"cast(cast(wh as decimal(38,0)) * {_NEYMAN_BUDGET} "
+            "div nullif(tw, 0) as bigint)"
+        ).alias("n_alloc"),
+        F.expr(
+            "cast(cast(wh as decimal(38,0)) * 1000000 "
+            "div nullif(tw, 0) as bigint)"
+        ).alias("share_ppm"),
+    )

@@ -3536,3 +3536,84 @@ def ml_als_user_solve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "* count(*)) * 1000000.0 + 0.5) as bigint)"
         ).alias("mse_micro"),
     )
+
+
+# ---------- off-policy evaluation (inverse propensity scoring) ----------
+
+_OPE_ACTIONS = 5  # logged policy: uniform over the 5 event types
+
+
+@register(
+    "ml_offpolicy_ips",
+    f"""
+    WITH logs AS (SELECT user_id, event_type AS a_log,
+                  CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS r
+                  FROM events),
+    pol AS (SELECT user_id, a_log, r,
+            CASE WHEN user_id % 2 = 0 THEN 'click' ELSE 'view' END
+              AS a_tgt
+            FROM logs)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_logged,
+           CAST(SUM(CASE WHEN a_log = a_tgt THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_matched,
+           CAST(SUM(r) // COUNT(*) AS BIGINT) AS logging_value_micro,
+           CAST(SUM(CASE WHEN a_log = a_tgt THEN r ELSE 0 END)
+                * {_OPE_ACTIONS} // COUNT(*) AS BIGINT)
+             AS ips_value_micro,
+           CAST(SUM(CASE WHEN a_log = a_tgt THEN r ELSE 0 END)
+                // NULLIF(SUM(CASE WHEN a_log = a_tgt THEN 1 ELSE 0 END),
+                          0) AS BIGINT) AS matched_mean_micro
+    FROM pol
+    """,
+    doc="off-policy evaluation via inverse propensity scoring: the "
+    "target policy's value estimated from uniformly-logged data as "
+    "K·mean(match·reward) (propensity 1/K cancels exactly — integer "
+    "arithmetic end-to-end), beside the logging policy's value and "
+    "the matched-rows direct mean — counterfactual 'what would this "
+    "policy have earned' without deploying it",
+)
+def ml_offpolicy_ips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counterfactual policy value from logged randomized data
+    (Horvitz-Thompson / IPS): with the logging policy uniform over K
+    actions, V̂(π) = K · mean(1{{a_log = π(x)}} · r) is unbiased and —
+    because the propensity is the constant 1/K — EXACT integer
+    arithmetic here. The target policy is a deterministic context
+    rule (user parity → action); the output compares its IPS value
+    to the logging policy's realized value plus the matched-subset
+    direct mean (the DM sanity check IPS should roughly agree with).
+
+    Scale: one scan, one map-side-combined aggregate — the estimator
+    is embarrassingly parallel by construction. Non-uniform logging
+    swaps the constant K for a joined propensity column; the plan is
+    unchanged.
+    """
+    ev = load(spark, "events", sf_dir)
+    pol = ev.select(
+        F.col("event_type").alias("a_log"),
+        F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("r"),
+        F.when(F.col("user_id") % 2 == 0, "click")
+        .otherwise("view")
+        .alias("a_tgt"),
+    )
+    match = F.when(F.col("a_log") == F.col("a_tgt"), 1).otherwise(0)
+    matched_r = F.when(F.col("a_log") == F.col("a_tgt"), F.col("r")).otherwise(
+        0
+    )
+    return pol.agg(
+        F.count(F.lit(1)).cast("long").alias("n_logged"),
+        F.sum(match).cast("long").alias("n_matched"),
+        F.expr("cast(sum(r) div count(*) as bigint)").alias(
+            "logging_value_micro"
+        ),
+        F.expr(
+            "cast(sum(case when a_log = a_tgt then r else 0 end) "
+            f"* {_OPE_ACTIONS} div count(*) as bigint)"
+        ).alias("ips_value_micro"),
+        F.expr(
+            "cast(sum(case when a_log = a_tgt then r else 0 end) "
+            "div nullif(sum(case when a_log = a_tgt then 1 else 0 end), 0) "
+            "as bigint)"
+        ).alias("matched_mean_micro"),
+    )

@@ -477,3 +477,24 @@ def test_mase_consistency(spark, sf_dir):
         assert r["sae_fc"] >= 0 and r["n_fc"] >= 0
         if r["sae_naive"]:
             assert r["mase_ppm"] == r["sae_fc"] * 1000000 // r["sae_naive"]
+
+
+def test_ips_value_sanity(spark, sf_dir):
+    r = registry.queries()["ml_offpolicy_ips"](spark, sf_dir).collect()[0]
+    assert 0 < r["n_matched"] < r["n_logged"]
+    # IPS value = K * matched_sum / n == matched_mean * (K*match_rate)
+    # rough agreement with the direct matched mean (loose band)
+    assert r["ips_value_micro"] >= 0
+    assert r["matched_mean_micro"] >= 0
+
+
+def test_neyman_allocation_sums(spark, sf_dir):
+    rows = registry.queries()["sample_neyman_allocation"](spark, sf_dir).collect()
+    assert rows
+    total = sum(r["n_alloc"] for r in rows)
+    # truncating shares under-fill by < |strata| rows, never overfill
+    assert 1000 - len(rows) <= total <= 1000
+    shares = sum(r["share_ppm"] for r in rows)
+    assert 1000000 - len(rows) <= shares <= 1000000
+    for r in rows:
+        assert r["sh_micro"] >= 0 and r["nh"] > 0

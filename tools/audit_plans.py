@@ -396,6 +396,8 @@ AUDIT: dict[str, dict] = {
     "agg_eb_shrinkage": {"smj": 0},       # moments + broadcast blend
     "ts_binseg_changepoint": {"smj": 0},  # two-phase prefix + TakeOrdered
     "ts_mase": {"smj": 0, "exchange": 2},  # day agg + series window
+    "ml_offpolicy_ips": {"smj": 0, "exchange": 1},  # one scan + gather
+    "sample_neyman_allocation": {"smj": 0},  # moment agg + scalar math
     "privacy_t_closeness": {"smj": 0},    # global mix broadcasts
     "privacy_anonymize_release": {},      # class-keyed equi-join (either strategy ok)
 }
