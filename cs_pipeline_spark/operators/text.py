@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from cs_pipeline_spark.operators.dedup import _NORM, _NORM_DUCK, _tokens
 from cs_pipeline_spark.operators.helpers import dround, one_part
-from cs_pipeline_spark.registry import register
+from cs_pipeline_spark.registry import pin, register
 from cs_pipeline_spark.tables import load
 
 # ---------- shared ----------
@@ -1835,3 +1835,85 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "div max(vocab) as bigint)"
         ).alias("vocab_frac_ppm"),
     ).select(F.col("pct").cast("long").alias("pct"), "vocab_size", "vocab_total", "vocab_frac_ppm")
+
+
+# ---------- Good-Turing frequency-of-frequencies / missing mass ----------
+
+
+@register(
+    "text_good_turing",
+    f"""
+    WITH w AS (SELECT unnest(string_split({_NORM_DUCK}, ' ')) AS w
+               FROM documents),
+    wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM w
+           WHERE w <> '' GROUP BY w),
+    ff AS (SELECT c AS freq, CAST(COUNT(*) AS BIGINT) AS n_types
+           FROM wc GROUP BY c),
+    tot AS (SELECT CAST(SUM(freq * n_types) AS BIGINT) AS n_tokens,
+            CAST(SUM(n_types) AS BIGINT) AS n_vocab,
+            CAST(MAX(CASE WHEN freq = 1 THEN n_types ELSE 0 END)
+                 AS BIGINT) AS n1
+            FROM ff)
+    SELECT ff.freq, ff.n_types,
+           CAST(t.n1 * 1000000 // t.n_tokens AS BIGINT)
+             AS missing_mass_ppm,
+           CAST(ff.n_types * 1000000 // t.n_vocab AS BIGINT)
+             AS type_share_ppm
+    FROM ff CROSS JOIN tot t
+    ORDER BY ff.freq LIMIT 20
+    """,
+    doc="Good-Turing frequency-of-frequencies: how many word types "
+    "occur exactly c times, plus the missing-mass estimate "
+    "P(unseen) = N1/N in integer ppm — the smoothing table every "
+    "n-gram LM and species-richness estimator starts from",
+)
+def text_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count-of-counts table: N_c = |{{types seen exactly c
+    times}}| and the Good-Turing leave-one-out identity P(next token
+    is unseen) = N₁/N — the missing-mass estimate that tells a corpus
+    builder how much vocabulary the crawl hasn't reached yet (rising
+    N₁ share ⇒ keep crawling). All exact integer counts and
+    truncating ppm ratios; the first 20 frequency rows carry
+    essentially all smoothing information (Zipf).
+
+    Scale: two map-side-combined aggregates (word counts → count
+    counts); the frequency table is tiny regardless of corpus size.
+    """
+    wc = (
+        load(spark, "documents", sf_dir)
+        .select(F.explode(_tokens(F.expr(_NORM))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    ff = pin(
+        wc.groupBy(F.col("c").alias("freq")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_types")
+        )
+    )
+    tot = ff.agg(
+        F.sum(F.col("freq") * F.col("n_types")).cast("long").alias(
+            "n_tokens"
+        ),
+        F.sum("n_types").cast("long").alias("n_vocab"),
+        F.max(F.when(F.col("freq") == 1, F.col("n_types")).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+    )
+    return (
+        ff.crossJoin(F.broadcast(tot))
+        .select(
+            "freq",
+            "n_types",
+            F.expr(
+                "cast(cast(n1 as decimal(38,0)) * 1000000 div n_tokens "
+                "as bigint)"
+            ).alias("missing_mass_ppm"),
+            F.expr(
+                "cast(cast(n_types as decimal(38,0)) * 1000000 "
+                "div n_vocab as bigint)"
+            ).alias("type_share_ppm"),
+        )
+        .orderBy("freq")
+        .limit(20)
+    )

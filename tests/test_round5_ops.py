@@ -498,3 +498,13 @@ def test_neyman_allocation_sums(spark, sf_dir):
     assert 1000000 - len(rows) <= shares <= 1000000
     for r in rows:
         assert r["sh_micro"] >= 0 and r["nh"] > 0
+
+
+def test_good_turing_identities(spark, sf_dir):
+    rows = registry.queries()["text_good_turing"](spark, sf_dir).collect()
+    assert rows
+    freqs = [r["freq"] for r in rows]
+    assert freqs == sorted(freqs) and freqs[0] >= 1
+    mm = {r["missing_mass_ppm"] for r in rows}
+    assert len(mm) == 1  # one global missing-mass value
+    assert 0 <= mm.pop() < 1000000
