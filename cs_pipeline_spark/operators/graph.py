@@ -1105,62 +1105,6 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "graph_hits_step",
-    f"""
-    WITH edges AS ({_EDGE_SQL.format(n="(SELECT COUNT(*) FROM documents)")}),
-    auth AS (SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS auth_score
-             FROM edges GROUP BY dst),
-    hub AS (SELECT e.src AS node, CAST(SUM(a.auth_score) AS BIGINT) AS hub_score
-            FROM edges e JOIN auth a ON e.dst = a.node GROUP BY e.src)
-    SELECT h.node, h.hub_score,
-           CAST(COALESCE(a.auth_score, 0) AS BIGINT) AS auth_score
-    FROM hub h LEFT JOIN auth a ON a.node = h.node
-    ORDER BY h.hub_score DESC, h.node LIMIT 20
-    """,
-    doc="one full HITS iteration (Kleinberg) from uniform start over "
-    "the synthetic link graph: authority = in-degree, hub = sum of "
-    "out-neighbors' authorities — top-20 hubs with their own authority "
-    "score, exact integers (normalization is a scalar — rank-invariant)",
-)
-def graph_hits_step(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hubs-and-authorities, one mutual-reinforcement update: with
-    h₀ ≡ 1, the authority pass is the in-degree and the hub pass sums
-    each page's out-neighbors' authorities. Scores stay UNNORMALIZED
-    integers — HITS normalization is a positive scalar per pass, so
-    ranks (the output contract) are unchanged and every value is exact
-    on both engines.
-
-    Plan: two map-side-combined aggregates + one equi-join on the edge
-    key; top-20 via orderBy().limit() → TakeOrderedAndProject. At
-    100 TB the join shuffles on dst (the same partitioning the
-    authority aggregate just produced — no extra exchange under AQE),
-    and further iterations repeat the same two passes with a
-    localCheckpoint per round.
-    """
-    docs = load(spark, "documents", sf_dir)
-    n = _n_docs(spark, sf_dir)
-    edges = _edges(docs, n)
-    auth = edges.groupBy(F.col("dst").alias("node")).agg(
-        F.count(F.lit(1)).cast("long").alias("auth_score")
-    )
-    hub = (
-        edges.join(auth, edges.dst == auth.node)
-        .groupBy(F.col("src").alias("hnode"))
-        .agg(F.sum("auth_score").cast("long").alias("hub_score"))
-    )
-    return (
-        hub.join(auth, hub.hnode == auth.node, "left")
-        .select(
-            F.col("hnode").alias("node"),
-            "hub_score",
-            F.coalesce("auth_score", F.lit(0)).cast("long").alias("auth_score"),
-        )
-        .orderBy(F.desc("hub_score"), "node")
-        .limit(20)
-    )
-
-
 # ---------- deterministic random walks (embedding-prep corpus) ----------
 
 _RW_P = 1000000007

@@ -114,19 +114,6 @@ def test_dpo_pairs_margins_positive(spark, sf_dir):
         assert 0 <= r["chosen_score"] <= 1000000
 
 
-def test_hits_step_invariants(spark, sf_dir):
-    rows = registry.queries()["graph_hits_step"](spark, sf_dir).collect()
-    assert 0 < len(rows) <= 20
-    hubs = [r["hub_score"] for r in rows]
-    assert hubs == sorted(hubs, reverse=True)
-    # hub = sum of out-neighbor authorities over out-degree ≤ 2 edges,
-    # so a hub score can never exceed 2x the max authority
-    max_auth_all = max(r["auth_score"] for r in rows)
-    for r in rows:
-        assert r["hub_score"] >= 1
-        assert r["auth_score"] >= 0
-
-
 def test_power_iteration_matches_numpy(spark, sf_dir):
     import numpy as np
 

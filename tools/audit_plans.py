@@ -367,7 +367,6 @@ AUDIT: dict[str, dict] = {
     "win_hampel_filter": {"smj": 0, "exchange": 1},  # one series shuffle
     "analyze_join_cardinality": {},       # stats + audited join
     "train_dpo_pairs": {"smj": 0, "exchange": 1},  # one struct-argmax shuffle
-    "graph_hits_step": {"smj": 0},        # two aggs + broadcastable join
     "emb_power_iteration": {"smj": 0, "exchange": 1},  # 64-row agg
     "text_bpe_encode": {"smj": 0},        # word-type chain + lang join
     "ml_kfold_nb_cv": {},                 # 2 token aggs, k x model side
