@@ -4354,7 +4354,10 @@ _I8_LEVELS = 255
     "exporter emits, fully integer-exact",
 )
 def emb_int8_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Post-training-quantization calibration over the embedding
+    """Post-training-quantization calibration (the per-DIMENSION
+    asymmetric table with an error audit — emb_quantize_int8 is the
+    per-vector symmetric absmax quantizer this table would replace
+    when channels have uneven ranges) over the embedding
     corpus: per dimension, the [min, max] clip range, then for every
     value its asymmetric uint8 code ((q−min)·255) div span and the
     integer reconstruction error vs min + (code·span) div 255. The
@@ -4442,7 +4445,10 @@ _PI_DOWNSCALE = 1048576  # 2^20: report w div 2^20 (direction is scale-free)
     "scale-free (div 2^20); the spectral seed for PCA/whitening audits",
 )
 def emb_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Power iteration, one matrix-free step: per vector the projection
+    """Power iteration, one MATRIX-FREE step (the scale sibling of
+    emb_pca_power, which materializes an 8-dim covariance block and
+    iterates driver-side: here the full 64-dim Gram is never formed —
+    w = Xᵀ(Xv) streams over the corpus): per vector the projection
     s = ⟨x, v₀⟩ (v₀ = all-ones — deterministic, never orthogonal to
     the top component of a non-centered Gram), then the accumulation
     w_j = Σᵢ sᵢ·x_ij. Both stages are exact integer arithmetic on
