@@ -2627,7 +2627,10 @@ def ts_binseg_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "naive",
 )
 def ts_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mean Absolute Scaled Error: |y − ŷ| summed over evaluable days
+    """Mean Absolute Scaled Error (the SCALE-FREE score beside
+    ts_forecast_eval's absolute MAE/bias/MAPE — MASE divides by the
+    in-sample naive benchmark, making series of any magnitude
+    comparable): |y − ŷ| summed over evaluable days
     divided by the in-sample one-step-naive error sum on the same
     rows — the denominator makes the score unit-free, so daily volume
     series of any magnitude compare on one scale. Both error sums are
