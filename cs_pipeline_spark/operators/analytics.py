@@ -1753,7 +1753,9 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "customer-lifecycle movement report behind churn/upsell targeting",
 )
 def agg_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Segment migration: per month, users rank into low/mid/high
+    """Segment migration (the DYNAMICS beside features_rfm_segments'
+    static snapshot — this op tracks how users MOVE between value
+    tiers): per week, users rank into low/mid/high
     value terciles (exact rank boundaries — rn·3 ≤ n, deterministic
     user_id tie-break); consecutive weeks join per user to count
     segment transitions, row-normalized in integer ppm. The matrix's
