@@ -1938,3 +1938,139 @@ def dq_delta_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("delta")).desc(), "event_type", "region")
         .limit(10)
     )
+
+
+# ---------- rate/mix (Oaxaca-Blinder) metric decomposition ----------
+
+
+@register(
+    "agg_rate_mix_decomposition",
+    f"""
+    WITH d AS (SELECT event_type,
+               epoch_us({EVENTS_TS_SQL}) // 604800000000 AS wk,
+               CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS qv
+               FROM events),
+    wks AS (SELECT MAX(wk) AS w2, MAX(wk) - 1 AS w1 FROM d),
+    p AS (SELECT d.event_type,
+          CASE WHEN d.wk = wks.w2 THEN 2 ELSE 1 END AS period,
+          d.qv
+          FROM d, wks WHERE d.wk IN (wks.w1, wks.w2)),
+    seg AS (SELECT event_type, period,
+            CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(qv) // COUNT(*) AS BIGINT) AS r_micro
+            FROM p GROUP BY event_type, period),
+    tot AS (SELECT period, CAST(SUM(n) AS BIGINT) AS nt
+            FROM seg GROUP BY period),
+    w AS (SELECT s.event_type, s.period,
+          CAST(s.n * 1000000 // t.nt AS BIGINT) AS w_ppm, s.r_micro
+          FROM seg s JOIN tot t ON t.period = s.period),
+    pivoted AS (
+      SELECT event_type,
+             CAST(MAX(CASE WHEN period = 1 THEN w_ppm END) AS BIGINT)
+               AS w1_ppm,
+             CAST(MAX(CASE WHEN period = 2 THEN w_ppm END) AS BIGINT)
+               AS w2_ppm,
+             CAST(MAX(CASE WHEN period = 1 THEN r_micro END) AS BIGINT)
+               AS r1_micro,
+             CAST(MAX(CASE WHEN period = 2 THEN r_micro END) AS BIGINT)
+               AS r2_micro
+      FROM w GROUP BY event_type)
+    SELECT event_type, w1_ppm, w2_ppm, r1_micro, r2_micro,
+           CAST((w2_ppm - w1_ppm) * r1_micro // 1000000 AS BIGINT)
+             AS mix_effect_micro,
+           CAST(w2_ppm * (r2_micro - r1_micro) // 1000000 AS BIGINT)
+             AS rate_effect_micro
+    FROM pivoted
+    WHERE w1_ppm IS NOT NULL AND w2_ppm IS NOT NULL
+    """,
+    doc="rate/mix (Oaxaca-Blinder) decomposition of the week-over-week "
+    "mean value change: per segment, the mix effect (Δweight at old "
+    "rate) and the rate effect (new weight × Δrate) in integer micro "
+    "units — answers 'did the metric move because behavior changed or "
+    "because the traffic mix shifted', the question slice deltas "
+    "alone cannot",
+)
+def agg_rate_mix_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Oaxaca-Blinder for metrics: Δ(overall mean) between two weeks
+    decomposes exactly as Σ_s (w₂−w₁)·r₁ + Σ_s w₂·(r₂−r₁) — the first
+    sum is pure MIX SHIFT (same behavior, different traffic), the
+    second pure RATE CHANGE. Weights and rates are truncating integer
+    ppm/micro (each product quantized per term — the residual of
+    quantization is bounded by segments·1 micro and visible by
+    comparing against the overall means downstream). Segments present
+    in only one period are excluded (the standard common-support
+    restriction); dq_delta_attribution is the volume-side sibling.
+
+    Scale: one (segment, week) aggregate (map-side combined), tiny
+    pivots and broadcasts after.
+    """
+    ev = load(spark, "events", sf_dir)
+    d = pin(
+        ev.select(
+            "event_type",
+            F.expr(
+                "cast(unix_micros(cast(ts as timestamp)) "
+                "div 604800000000 as long)"
+            ).alias("wk"),
+            F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5))
+            .cast("long")
+            .alias("qv"),
+        )
+    )
+    wks = d.agg(
+        F.max("wk").alias("w2"), (F.max("wk") - 1).alias("w1")
+    )
+    p = (
+        d.crossJoin(F.broadcast(wks))
+        .filter((F.col("wk") == F.col("w1")) | (F.col("wk") == F.col("w2")))
+        .select(
+            "event_type",
+            F.when(F.col("wk") == F.col("w2"), 2).otherwise(1).alias(
+                "period"
+            ),
+            "qv",
+        )
+    )
+    seg = p.groupBy("event_type", "period").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("cast(sum(qv) div count(*) as bigint)").alias("r_micro"),
+    )
+    tot = seg.groupBy("period").agg(F.sum("n").cast("long").alias("nt"))
+    w = seg.join(F.broadcast(tot), "period").select(
+        "event_type",
+        "period",
+        F.expr("cast(n * 1000000 div nt as bigint)").alias("w_ppm"),
+        "r_micro",
+    )
+    piv = w.groupBy("event_type").agg(
+        F.max(F.when(F.col("period") == 1, F.col("w_ppm"))).alias("w1_ppm"),
+        F.max(F.when(F.col("period") == 2, F.col("w_ppm"))).alias("w2_ppm"),
+        F.max(F.when(F.col("period") == 1, F.col("r_micro"))).alias(
+            "r1_micro"
+        ),
+        F.max(F.when(F.col("period") == 2, F.col("r_micro"))).alias(
+            "r2_micro"
+        ),
+    )
+    return (
+        piv.filter(
+            F.col("w1_ppm").isNotNull() & F.col("w2_ppm").isNotNull()
+        )
+        .select(
+            "event_type",
+            F.col("w1_ppm").cast("long").alias("w1_ppm"),
+            F.col("w2_ppm").cast("long").alias("w2_ppm"),
+            F.col("r1_micro").cast("long").alias("r1_micro"),
+            F.col("r2_micro").cast("long").alias("r2_micro"),
+            F.expr(
+                "cast(cast(w2_ppm - w1_ppm as decimal(38,0)) * r1_micro "
+                "div 1000000 as bigint)"
+            ).alias("mix_effect_micro"),
+            F.expr(
+                "cast(cast(w2_ppm as decimal(38,0)) * (r2_micro - r1_micro) "
+                "div 1000000 as bigint)"
+            ).alias("rate_effect_micro"),
+        )
+    )

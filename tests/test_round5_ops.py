@@ -495,3 +495,17 @@ def test_good_turing_identities(spark, sf_dir):
     mm = {r["missing_mass_ppm"] for r in rows}
     assert len(mm) == 1  # one global missing-mass value
     assert 0 <= mm.pop() < 1000000
+
+
+def test_rate_mix_decomposition_identity(spark, sf_dir):
+    rows = registry.queries()["agg_rate_mix_decomposition"](spark, sf_dir).collect()
+    if not rows:
+        return  # single-week corpora have no comparison period
+    # quantized effects reconstruct the overall delta within
+    # truncation slack (1 micro per product per segment)
+    total_mix = sum(r["mix_effect_micro"] for r in rows)
+    total_rate = sum(r["rate_effect_micro"] for r in rows)
+    overall1 = sum(r["w1_ppm"] * r["r1_micro"] for r in rows) // 1000000
+    overall2 = sum(r["w2_ppm"] * r["r2_micro"] for r in rows) // 1000000
+    delta = overall2 - overall1
+    assert abs((total_mix + total_rate) - delta) <= 2 * len(rows) + 2

@@ -398,6 +398,7 @@ AUDIT: dict[str, dict] = {
     "ml_offpolicy_ips": {"smj": 0, "exchange": 1},  # one scan + gather
     "sample_neyman_allocation": {"smj": 0},  # moment agg + scalar math
     "text_good_turing": {"smj": 0},       # two count aggs
+    "agg_rate_mix_decomposition": {"smj": 0},  # (seg, week) agg + pivots
     "privacy_t_closeness": {"smj": 0},    # global mix broadcasts
     "privacy_anonymize_release": {},      # class-keyed equi-join (either strategy ok)
 }
