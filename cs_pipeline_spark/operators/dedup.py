@@ -230,6 +230,48 @@ def exact_jaccard(a: Column, b: Column) -> Column:
     return inter / union
 
 
+_MINHASH_BAND_CAP = 200  # hot-band guard: all-pairs only below this size
+
+
+def _banded_candidates(bands: DataFrame) -> DataFrame:
+    """(doc_id, band_key) → bounded candidate (doc_a < doc_b) pairs.
+
+    Two-path hot-band guard (see ``dedup_minhash_lsh`` docstring):
+    small buckets all-pairs, hot buckets star-pair to the bucket min.
+    The size/rep aggregate joins back on band_key — the same shuffle
+    key as the pair self-join, so no extra exchange shape at scale.
+    """
+    sizes = bands.groupBy("band_key").agg(
+        F.count(F.lit(1)).alias("_bsz"), F.min("doc_id").alias("_brep")
+    )
+    tagged = bands.join(sizes, "band_key")
+    small = tagged.filter(F.col("_bsz") <= _MINHASH_BAND_CAP).select(
+        "band_key", "doc_id"
+    )
+    cand_small = (
+        small.alias("a")
+        .join(
+            small.alias("b"),
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+    )
+    cand_hot = (
+        tagged.filter(F.col("_bsz") > _MINHASH_BAND_CAP)
+        .filter(F.col("doc_id") != F.col("_brep"))
+        .select(
+            F.col("_brep").alias("doc_a"),  # rep = min ⇒ rep < doc_id
+            F.col("doc_id").alias("doc_b"),
+        )
+    )
+    # Dedup BEFORE the (expensive) exact-verify so each pair runs once.
+    return cand_small.union(cand_hot).dropDuplicates(["doc_a", "doc_b"])
+
+
 @register(
     "dedup_minhash_lsh",
     None,  # xxhash64 has no DuckDB twin → rows-only check
@@ -239,10 +281,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """shingle → minhash → band-bucket join → verified pairs.
 
     Scale shape: signatures are ~128 bytes/doc (not the document);
-    the bucket groupBy shuffles (band_key, doc_id, signature) only.
-    Bucket keys are hashes → uniform, no skew-salting needed. The
-    pair self-join happens per bucket (collect_list within bucket,
-    bounded by a cap) — never a global cross join.
+    the band stage shuffles (band_key, doc_id) only. Band keys are
+    hashes, so DIVERSE corpora bucket uniformly — but the workload
+    this op targets (boilerplate/template-heavy web text) produces
+    near-identical signatures, i.e. one hot band bucket holding
+    thousands of docs. The candidate stage is therefore two-path:
+
+    * buckets with ≤ ``_MINHASH_BAND_CAP`` members: all-pairs
+      self-join within the bucket (n²/2 bounded by the cap);
+    * hot buckets (> cap): STAR pairing — every member is paired
+      with the bucket's min doc_id only (n−1 pairs, O(n) work).
+      A hot bucket means the band carries no selectivity because
+      its members are near-identical, so the star preserves
+      duplicate-cluster connectivity (downstream CC / keeper
+      selection sees the same components) while killing the n²/2
+      blow-up. tests/test_dedup_skew.py pins this bound with a
+      1.2k-near-identical-doc corpus.
+
+    Never a global cross join; the bucket-size join reuses the same
+    band_key shuffle partitioning as the pair join (AQE coalesces).
     """
     docs = load(spark, "documents", sf_dir)
     # The signature computation is CPU-bound per-row map work. A small
@@ -253,30 +310,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     if docs.rdd.getNumPartitions() < par:
         docs = docs.repartition(par)
     feats = _make_minhash_features_udf()
-    base = (
+    base = pin(  # referenced 3× (bands + both pair sides): compute once
         docs.select("doc_id", feats(F.col("text")).alias("f"))
         .select("doc_id", F.col("f.sh").alias("sh"), F.col("f.sig").alias("sig"))
         .filter(F.col("sig").isNotNull())
-        .persist()  # referenced 3× (bands + both pair sides): compute once
     )
     bands = base.select(
         "doc_id", F.explode(band_keys(F.col("sig"))).alias("band_key")
     )
-    # Candidate pairs carry ONLY (doc_a, doc_b); dedup BEFORE the
-    # (expensive) exact-Jaccard verify so each pair is verified once.
-    cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])  # same pair from ≥2 bands
-    )
+    cand = _banded_candidates(bands)
     sh_a = base.select(
         F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
     )
