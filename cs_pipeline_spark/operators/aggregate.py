@@ -3960,6 +3960,26 @@ def _perm_label(k: int) -> str:
     return f"((event_id % {_SPLIT_PRIME}) * {_PERM_PRIMES[k]}) % {_SPLIT_PRIME} % 2"
 
 
+def _perm_exceed(k: int, idiv: str) -> str:
+    """One exceed-indicator term, pre-scaled against n²·x² overflow.
+
+    Both |diff| terms are floor-divided by D = 1 + n1 + n0 BEFORE the
+    cross-multiplication by the other draw's n1·n0, capping the product
+    near (Σqv)·(n²) ≈ 1e36 < 1e38 instead of the raw ≈ 1e42 that
+    silently NULLs Spark decimal(38,0) while DuckDB HUGEINT errors.
+    Identical integer math on both engines (operands non-negative, so
+    Spark ``div`` and DuckDB ``//`` truncation agree); ``idiv`` is the
+    engine's integer-division operator.
+    """
+    return (
+        f"(case when (abs(s1_{k} * n0_{k} - s0_{k} * n1_{k})"
+        f" {idiv} (1 + n1 + n0)) * (n1 * n0)"
+        f" >= (abs(s1 * n0 - s0 * n1) {idiv} (1 + n1 + n0))"
+        f" * (n1_{k} * n0_{k})"
+        f" then 1 else 0 end)"
+    )
+
+
 @register(
     "agg_rerandomization_test",
     f"""
@@ -3985,14 +4005,10 @@ def _perm_label(k: int) -> str:
              - CAST(CAST(s0 AS VARCHAR) AS DOUBLE) / CAST(n0 AS DOUBLE))
              / 1000000.0 * 1000000.0 + 0.5) AS BIGINT) AS obs_diff_micro,
            CAST({" + ".join(
-             f"(CASE WHEN ABS(s1_{k} * n0_{k} - s0_{k} * n1_{k}) * (n1 * n0)"
-             f" >= ABS(s1 * n0 - s0 * n1) * (n1_{k} * n0_{k})"
-             f" THEN 1 ELSE 0 END)" for k in range(_PERM_K))}
+             _perm_exceed(k, "//") for k in range(_PERM_K))}
              AS BIGINT) AS k_exceed,
            CAST(({" + ".join(
-             f"(CASE WHEN ABS(s1_{k} * n0_{k} - s0_{k} * n1_{k}) * (n1 * n0)"
-             f" >= ABS(s1 * n0 - s0 * n1) * (n1_{k} * n0_{k})"
-             f" THEN 1 ELSE 0 END)" for k in range(_PERM_K))} + 1)
+             _perm_exceed(k, "//") for k in range(_PERM_K))} + 1)
              * 1000000 // {_PERM_K + 1} AS BIGINT) AS p_ppm
     FROM m
     """,
@@ -4001,7 +4017,7 @@ def _perm_label(k: int) -> str:
     f"against {_PERM_K} affine-mod-prime relabelings in ONE scan "
     "(conditional-aggregate columns, the bootstrap-op pattern); "
     "p = (1 + #exceed)/(K+1) in exact ppm, cross-multiplied integer "
-    "comparisons — no division on the decision path",
+    "comparisons pre-scaled by floor-div(1+n) against 1e38 overflow",
 )
 def agg_rerandomization_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Randomization-test inference without rand(): each of the 16
@@ -4015,6 +4031,13 @@ def agg_rerandomization_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: ONE scan, one 66-column conditional aggregate (map-side
     combined) — K relabelings cost K CASE columns, never K passes.
+    Overflow: each |diff| is floor-divided by D = 1+n before the
+    cross-multiply (see ``_perm_exceed``) so the product stays near
+    (Σqv)·n² ≲ 1e36 at 1e9 rows of 1e9-micro values — inside both
+    decimal(38,0) and HUGEINT; the unscaled form hits ~1e42 and
+    diverges (Spark NULLs, DuckDB errors). The div result must fit
+    int64: |diff|/D ≤ Σqv ≈ n·x_micro, fine through 1e9 rows × 1e9
+    micro-units.
     """
     ev = load(spark, "events", sf_dir)
     q = ev.filter(
@@ -4051,12 +4074,7 @@ def agg_rerandomization_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(f"n0_{k}"),
         ]
     m = q.agg(*aggs)
-    exceed = " + ".join(
-        f"(case when abs(s1_{k} * n0_{k} - s0_{k} * n1_{k}) * (n1 * n0)"
-        f" >= abs(s1 * n0 - s0 * n1) * (n1_{k} * n0_{k})"
-        f" then 1 else 0 end)"
-        for k in range(_PERM_K)
-    )
+    exceed = " + ".join(_perm_exceed(k, "div") for k in range(_PERM_K))
     return m.select(
         F.col("n1").cast("long").alias("n_grp1"),
         F.col("n0").cast("long").alias("n_grp0"),

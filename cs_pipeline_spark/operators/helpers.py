@@ -560,7 +560,8 @@ def with_rank_targets(df, key, tiebreaks, rank_sqls, nb: int = 64):
     # the result is ≤ len(rank_sqls) rows behind a multi-stage plan
     # that consumers typically broadcast into a fact-side join — pin it
     # (builder-LRU-scoped persist) so repeated actions re-read t rows
-    # instead of re-running both refinement passes
+    # instead of re-running both refinement passes; outside a registered
+    # builder pin() is a no-op, so ad-hoc callers never leak a persist
     from cs_pipeline_spark.registry import pin
 
     return pin(singles.unionByName(picked))

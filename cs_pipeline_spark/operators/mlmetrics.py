@@ -3472,6 +3472,14 @@ def ml_als_user_solve(spark: SparkSession, sf_dir: str) -> DataFrame:
     factor and Gram tables are item-bounded broadcasts; the solve and
     residuals are expression-side. Shuffles: one on (user, item), one
     on user.
+    Overflow bound (the n²·x² rule): det is a CONSTANT ≤ (5·9+λ)(5·4+λ)
+    ≈ 2.6e3 (item factors are bounded digits over 5 event types), and
+    |resid_n| ≤ cnt·det + |u1n·v1 + u2n·v2| ≲ 8·det·cnt, so
+    SUM(resid_n²) ≲ 4e8·cnt_max²·n_cells — under 1e38 through
+    cnt_max = 1e9 events/user × n_cells = 1e10, past the 100 TB point.
+    Past that, pre-scale resid_n by integer floor-div on BOTH engines
+    (ts_haar_energy pattern) before squaring; decimal(38,0) NULLs while
+    HUGEINT errors, so the divergence would otherwise be silent.
     """
     ev = load(spark, "events", sf_dir)
     r = pin(

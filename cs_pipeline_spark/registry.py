@@ -55,12 +55,19 @@ def pin(df: DataFrame, level=None) -> DataFrame:
     and tie its cached blocks to the builder's LRU entry: evicting the
     entry unpersists every pinned intermediate. Multi-pass builders
     (train/test reuse, funnel stages) use this instead of raw
-    .persist(), which would leak blocks past eviction."""
-    out = df.persist() if level is None else df.persist(level)
+    .persist(), which would leak blocks past eviction.
+
+    Outside a registered builder (no key on the pin stack — e.g. a
+    helper exercised directly by a test) there is no LRU entry to tie
+    the blocks to, so persisting would reintroduce the untracked-leak
+    class; pin() then degrades to a no-op and returns ``df`` unchanged
+    (correctness is identical, only recompute cost differs)."""
     stack = getattr(_PIN_STACK, "s", None)
-    if stack:
-        with _PLAN_LOCK:
-            _PINNED.setdefault(stack[-1], []).append(out)
+    if not stack:
+        return df
+    out = df.persist() if level is None else df.persist(level)
+    with _PLAN_LOCK:
+        _PINNED.setdefault(stack[-1], []).append(out)
     return out
 
 
@@ -137,6 +144,18 @@ def register(name: str, oracle: str | None, doc: str = ""):
                 stack.append(key)
                 try:
                     df = fn(spark, sf_dir)
+                except BaseException:
+                    # error path: the key never reaches the LRU, so
+                    # eviction could never reclaim intermediates the
+                    # builder already pinned — unpersist them now
+                    with _PLAN_LOCK:
+                        orphans = _PINNED.pop(key, [])
+                    for o in orphans:
+                        try:
+                            o.unpersist(blocking=False)
+                        except Exception:
+                            pass
+                    raise
                 finally:
                     stack.pop()
                 _lru_put(key, df)

@@ -39,12 +39,39 @@ def test_pin_unpersists_on_eviction(spark, sf_dir):
     assert not pinned["df"].storageLevel.useMemory  # unpersisted
 
 
-def test_pin_outside_builder_is_plain_persist(spark):
+def test_pin_outside_builder_is_noop(spark):
+    # no builder key on the stack → nothing to tie the blocks to →
+    # pin() must NOT persist (an untracked persist is the leak class
+    # pin exists to kill); it returns the frame unchanged
     df = registry.pin(spark.range(5))
+    assert not df.storageLevel.useMemory
+    assert df.count() == 5
+
+
+def test_pin_error_path_unpersists(spark, sf_dir):
+    """A builder that pins then raises must not leak the persisted
+    intermediates: the key never enters the LRU, so the wrapper's
+    error path has to unpersist them eagerly."""
+    pinned = {}
+
+    @registry.register("__pin_err_test__", None)
+    def _bad(sess, sd):
+        df = registry.pin(sess.range(7))
+        df.count()  # materialize the cache
+        pinned["df"] = df
+        raise RuntimeError("builder exploded")
+
     try:
-        assert df.storageLevel.useMemory
+        import pytest
+
+        with pytest.raises(RuntimeError, match="builder exploded"):
+            _bad(spark, sf_dir)
+        key = ("__pin_err_test__", spark, sf_dir)
+        assert key not in registry._PINNED
+        assert key not in registry._PLAN_LRU
+        assert not pinned["df"].storageLevel.useMemory
     finally:
-        df.unpersist(blocking=False)
+        registry._REGISTRY.pop("__pin_err_test__", None)
 
 
 def test_pinned_builders_still_hash_correct(spark, sf_dir):
