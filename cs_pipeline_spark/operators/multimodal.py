@@ -21,10 +21,11 @@ contract.
 - ``mm_frame_sample`` — fixed-stride frame/window sampling from a
   payload: frame index + per-frame digest (audio frame / video
   keyframe selection shape). Oracle-checked.
-- ``mm_decode_image_stub`` — the mapInPandas decode pipeline:
-  payload → (width, height, channels, 8-dim feature vector), all
-  derived from a blake2b digest (STUB for a real decoder). Rows-only
-  check (Python hash has no DuckDB twin).
+- ``mm_decode_png`` (sources/png.py) — REAL image decode: binaryFile
+  scan → mapInPandas pure-python PNG reader (CRC-verified chunks,
+  zlib inflate, all five unfilters) → per-image stats, hash-checked
+  against the fixture formula. ``decode_images``/``decode_images_real``
+  below remain the generic plumbing for PIL-equipped deployments.
 """
 
 from __future__ import annotations
@@ -287,26 +288,11 @@ def decode_images_real(
     return df.mapInPandas(fn, schema=_DECODE_SCHEMA)
 
 
-@register(
-    "mm_decode_image_stub",
-    None,  # blake2b-derived fake decode has no SQL twin → rows-only
-    doc="mapInPandas image-decode pipeline (deterministic stub decoder)",
-)
-def mm_decode_image_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, "documents", sf_dir)
-    payloads = docs.select(
-        "doc_id", F.encode("text", "UTF-8").alias("payload")
-    ).repartition(spark.sparkContext.defaultParallelism)
-    decoded = decode_images(payloads, "payload", "doc_id")
-    # Judge surface: the driver canonicalizes with pandas sort_values,
-    # which cannot hash list cells — serialize the feature vector. The
-    # array-returning decode_images stays the internal API.
-    return decoded.withColumn(
-        "features",
-        F.array_join(
-            F.transform("features", lambda v: v.cast("string")), ","
-        ),
-    )
+# The former `mm_decode_image_stub` (deterministic fake decode,
+# rows-only check) is superseded by the REAL hash-checked PNG decode
+# op `mm_decode_png` in sources/png.py (VERDICT r5 item 3). The
+# decode_images / decode_images_real helpers above remain the
+# plumbing API for deployments with codec libraries installed.
 
 
 # ---------- modality routing ----------

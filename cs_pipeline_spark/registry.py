@@ -223,7 +223,13 @@ def _load_all_modules() -> None:
         windows,
     )
     from cs_pipeline_spark.plans import request_groups, validate  # noqa: F401
-    from cs_pipeline_spark.sources import pydatasource, scans, sinks, tiff  # noqa: F401
+    from cs_pipeline_spark.sources import (  # noqa: F401
+        png,
+        pydatasource,
+        scans,
+        sinks,
+        tiff,
+    )
     from cs_pipeline_spark.streaming import batch_twins  # noqa: F401
 
     _LOADED = True

@@ -52,6 +52,7 @@ AUDIT: dict[str, dict] = {
     "win_fill_forward": {"exchange": 1},
     "join_interval_buckets": {"nlj": 0},
     "mm_modality_route": {},
+    "mm_decode_png": {"smj": 0},
     "mm_audio_chunk_plan": {"exchange": 0},
     "text_contamination_check": {"smj": 0},
     "curate_corpus_e2e": {},
