@@ -375,7 +375,12 @@ def test_transform_with_state_profile_matches_batch(spark, tmp_path):
     from cs_pipeline_spark.streaming.stateful_v2 import HAS_TWS
 
     if not HAS_TWS:
-        pytest.skip("transformWithState needs google.protobuf (absent)")
+        pytest.skip(
+            "transformWithState needs google.protobuf — permanently "
+            "absent in this offline container (closed contract, "
+            "SURVEY §2.0); this replay runs on any protobuf-equipped "
+            "cluster"
+        )
 
     from pyspark.sql import functions as F
 
