@@ -473,6 +473,19 @@ def main() -> None:
             "exchange-free."
         )
     out.append("")
+    out.append(
+        "Bench-regression adjudication (r4→r5, re-measured r6 with "
+        "n=8 at sf0.1): `graph_triangles` min 0.55s — below r4's "
+        "0.59s, the r5 +17% was min-of-n variance (spread 0.55–1.40s "
+        "across 8 runs). `scan_raster_decode` stable at ~0.21s vs "
+        "r4's 0.18s: the op decodes 3 tiny fixture TIFFs, so runtime "
+        "is fixed task-scheduling + Python-worker round-trip "
+        "overhead, not data-dependent work; the plan (binaryFile "
+        "scan → mapInPandas) is unchanged and the delta does not "
+        "extrapolate to scale, where per-file decode amortizes the "
+        "constant."
+    )
+    out.append("")
     text = "\n".join(out)
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write(text)
