@@ -744,7 +744,11 @@ def _sql_band_bucket(emb: str, band: int) -> str:
 
 
 def _sql_lsh_candidates() -> str:
-    """WITH-clause body producing deduped candidate pairs (va < vb)."""
+    """WITH-clause body producing deduped candidate pairs (va < vb).
+
+    Two-path hot-bucket guard, mirroring the Spark builder exactly:
+    buckets ≤ cap all-pairs; hot buckets star-pair members to the
+    bucket's min vec_id (rep < member by construction)."""
     keys = ", ".join(
         f"{_sql_band_bucket('embedding', b)} AS k{b}"
         for b in range(_LSH_BANDS)
@@ -754,9 +758,14 @@ def _sql_lsh_candidates() -> str:
         f"FROM v a JOIN v b ON a.k{b} = b.k{b} AND a.vec_id < b.vec_id "
         f"WHERE a.c{b} <= {_LSH_BUCKET_CAP}"
         for b in range(_LSH_BANDS)
+    ] + [
+        f"SELECT r{b} AS va, vec_id AS vb FROM v "
+        f"WHERE c{b} > {_LSH_BUCKET_CAP} AND vec_id <> r{b}"
+        for b in range(_LSH_BANDS)
     ]
     counts = ", ".join(
-        f"COUNT(*) OVER (PARTITION BY k{b}) AS c{b}"
+        f"COUNT(*) OVER (PARTITION BY k{b}) AS c{b}, "
+        f"MIN(vec_id) OVER (PARTITION BY k{b}) AS r{b}"
         for b in range(_LSH_BANDS)
     )
     return (
@@ -817,14 +826,20 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Unlike ``dedup_embedding_cosine`` (all-pairs inside label blocks —
     O(B²) with an unbounded block key), work here is bounded by
     construction: each of the 4 bands hashes a vector to one of 256
-    sign-bit buckets, buckets larger than ``_LSH_BUCKET_CAP`` are
-    skipped (hot-bucket guard — a degenerate bucket means the band
-    carries no selectivity), and only bucket-mates are paired. The
-    verify stage recomputes the EXACT quantized cosine on the
-    candidate pairs, so false positives from bucketing never reach the
-    output. Hyperplanes are deterministic literals, so the DuckDB
-    oracle reproduces candidate generation bit-for-bit — the contract
-    is 'bucket-mates with cos ≥ τ', not a recall gamble.
+    sign-bit buckets, and the candidate stage is two-path — buckets
+    with ≤ ``_LSH_BUCKET_CAP`` members do exact all-pairs within the
+    bucket; hot buckets (> cap) STAR-pair every member to the
+    bucket's min vec_id (n−1 pairs, O(n)). A hot bucket means the
+    band carries no selectivity because its members are near-aligned,
+    so the star preserves duplicate-cluster connectivity (downstream
+    CC sees the same components) instead of silently dropping the
+    bucket — the sf1 scale checkpoint (SCALE.md) caught the previous
+    exclusion guard returning ZERO pairs on a fully-replicated
+    corpus. The verify stage recomputes the EXACT quantized cosine on
+    the candidate pairs, so false positives from bucketing never
+    reach the output. Hyperplanes are deterministic literals, so the
+    DuckDB oracle reproduces candidate generation bit-for-bit — the
+    contract is 'bucket-mates with cos ≥ τ', not a recall gamble.
 
     100 TB shape: the per-band self-join shuffles ids+bucket keys only
     (embeddings are hydrated per-pair afterwards, candidate set ≪
@@ -848,10 +863,12 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = None
     for b in range(_LSH_BANDS):
         band = keyed.select("vec_id", F.col(f"k{b}").alias("bkt"))
-        sizes = band.groupBy("bkt").agg(F.count(F.lit(1)).alias("sz"))
-        bounded = band.join(
-            F.broadcast(sizes.filter(F.col("sz") <= _LSH_BUCKET_CAP)),
-            "bkt",
+        sizes = band.groupBy("bkt").agg(
+            F.count(F.lit(1)).alias("sz"), F.min("vec_id").alias("rep")
+        )
+        tagged = band.join(F.broadcast(sizes), "bkt")
+        bounded = tagged.filter(F.col("sz") <= _LSH_BUCKET_CAP).select(
+            "bkt", "vec_id"
         )
         pairs = (
             bounded.alias("a")
@@ -861,6 +878,15 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb")
             )
         )
+        star = (
+            tagged.filter(F.col("sz") > _LSH_BUCKET_CAP)
+            .filter(F.col("vec_id") != F.col("rep"))
+            .select(
+                F.col("rep").alias("va"),  # rep = min ⇒ rep < vec_id
+                F.col("vec_id").alias("vb"),
+            )
+        )
+        pairs = pairs.union(star)
         cands = pairs if cands is None else cands.union(pairs)
     cands = cands.distinct()
     # Hydrate the norm alongside the vector: sqrt(qdot(e,e)) is computed

@@ -59,3 +59,28 @@ def test_minhash_e2e_still_runs(spark, sf_dir):
     rows = out.collect()
     assert all(r.jaccard >= 0.5 for r in rows)
     assert all(r.doc_a < r.doc_b for r in rows)
+
+
+def test_embedding_lsh_hot_bucket_star(spark, sf_dir, tmp_path):
+    """Replica-heavy embeddings: hot buckets must STAR-pair, not drop.
+
+    The sf1 scale checkpoint caught the old exclusion guard returning
+    ZERO pairs on a fully-replicated corpus (every bucket > cap). With
+    the star path, n copies of one vector yield ≥ n−1 cos=1 pairs,
+    bounded O(n) per hot bucket.
+    """
+    from cs_pipeline_spark.operators.dedup import (
+        _LSH_BUCKET_CAP,
+        dedup_embedding_lsh,
+    )
+
+    n = _LSH_BUCKET_CAP + 100
+    base = [0.1 * (d % 7) - 0.2 for d in range(64)]
+    rows = [(i, [float(v) for v in base]) for i in range(n)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    out = dedup_embedding_lsh(spark, str(tmp_path)).collect()
+    # all replicas join one duplicate component via the star centre
+    assert len(out) == n - 1
+    assert all(r.vec_a == 0 and r.cos_sim >= 0.999999 for r in out)
