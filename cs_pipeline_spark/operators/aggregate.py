@@ -4318,3 +4318,637 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "div nullif(tw, 0) as bigint)"
         ).alias("share_ppm"),
     )
+
+
+# ---------- Kruskal-Wallis rank test (k-sample nonparametric) ----------
+
+# pre-scale divisor against R² overflow (see docstring); 1 at test SFs
+_KW_D_SQL = "(1 + (n {idiv} 65536))"
+
+
+def _kw_term(idiv: str, big: str) -> str:
+    """Per-group H contribution 3·R²·1e9 / (n_g·N·(N+1)), integer
+    floor arithmetic, pre-scaled by D on both numerator (R//D twice)
+    and denominator (//D²) — identical truncation on both engines.
+    The scaled R is re-cast to the wide integer type ``big`` before
+    squaring (integer div narrows to int64, and R² overflows it)."""
+    d = _KW_D_SQL.format(idiv=idiv)
+    r = f"CAST(r_x2 {idiv} {d} AS {big})"
+    return (
+        f"((3 * ({r} * {r}) * 1000000000) "
+        f"{idiv} ((BIGPRODUCT) {idiv} ({d} * {d})))"
+    )
+
+
+@register(
+    "agg_kruskal_wallis",
+    f"""
+    WITH v AS (
+      SELECT event_type,
+             CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS q
+      FROM events
+    ), per AS (
+      SELECT q, event_type, CAST(COUNT(*) AS BIGINT) AS cnt_g
+      FROM v GROUP BY q, event_type
+    ), per_val AS (
+      SELECT q, CAST(SUM(cnt_g) AS BIGINT) AS cnt FROM per GROUP BY q
+    ), ranked AS (
+      SELECT q, cnt,
+             COALESCE(SUM(cnt) OVER (ORDER BY q
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM per_val
+    ), grp AS (
+      SELECT p.event_type,
+             CAST(SUM(p.cnt_g) AS BIGINT) AS n_g,
+             SUM(CAST(p.cnt_g AS HUGEINT)
+                 * (2 * r.cum_before + r.cnt + 1)) AS r_x2
+      FROM per p JOIN ranked r ON p.q = r.q GROUP BY p.event_type
+    ), tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+             SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS tie
+      FROM per_val
+    ), terms AS (
+      SELECT {_kw_term("//", "HUGEINT").replace(
+          "BIGPRODUCT", "CAST(n_g AS HUGEINT) * n * (n + 1)")} AS term
+      FROM grp CROSS JOIN tot
+    ), s AS (
+      SELECT CAST(SUM(term) AS HUGEINT) AS s_term,
+             CAST(COUNT(*) AS BIGINT) AS k FROM terms
+    ), h0 AS (
+      SELECT t.n, s.k, t.tie,
+             CAST(CAST(t.n AS HUGEINT) * t.n * t.n - t.n AS HUGEINT)
+               AS t_all,
+             FLOOR((CAST(CAST(s.s_term AS VARCHAR) AS DOUBLE)
+                    / 1000000000.0
+                    - 3.0 * (CAST(t.n AS DOUBLE) + 1.0))
+                   * 1000000.0 + 0.5) / 1000000.0 AS h
+      FROM s CROSS JOIN tot t
+    )
+    SELECT n AS n_total, k AS k_groups, h,
+           CASE WHEN t_all > tie THEN
+             FLOOR(h * (CAST(CAST(t_all AS VARCHAR) AS DOUBLE)
+                        / CAST(CAST(t_all - tie AS VARCHAR) AS DOUBLE))
+                   * 1000000.0 + 0.5) / 1000000.0
+           ELSE NULL END AS h_tie
+    FROM h0
+    """,
+    doc="Kruskal-Wallis H (rank ANOVA over all event types): doubled "
+    "midranks keep ties integer-exact, per-group R² terms in "
+    "HUGEINT/decimal(38,0) with the pre-scale-by-D convention, "
+    "tie-corrected H alongside — the k-sample extension of "
+    "agg_mann_whitney",
+)
+def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-sample rank test — does ANY event type's value distribution
+    dominate? Extends the nonparametric family (``agg_mann_whitney``
+    two-sample, ``agg_ks_test`` shape) to k groups: H is the rank-ANOVA
+    statistic 12/(N(N+1))·Σ R_j²/n_j − 3(N+1), chi-square with k−1 df
+    under H₀, plus the standard tie correction H/(1 − Σ(t³−t)/(N³−N)).
+
+    Tie discipline follows ``agg_mann_whitney``: midranks carried
+    DOUBLED (2·cum_before + cnt + 1), so per-(value, group) rank sums
+    R_x2 = 2R_j are exact integers; H absorbs the ½² as 3·R_x2².
+
+    Overflow: R_x2 ≈ N² needs decimal(38,0)/HUGEINT once squared; per
+    the pre-scale convention both R (twice, //D) and the denominator
+    n_g·N·(N+1) (//D²) are floor-divided by D = 1 + N//65536 before
+    the division — D = 1 (bit-exact) below N = 65k, and at 1e9 rows
+    keeps 3·(R/D)²·1e9 ≈ 1e37 < 1e38 while the scaled denominator
+    stays inside int64. Identical non-negative integer truncation on
+    both engines.
+
+    Scale: map-side-combined counts per (value, group); the only
+    window is the exclusive prefix over DISTINCT values
+    (``with_prefix_agg`` — bucketed two-phase, never raw rows); the
+    per-group frame is k rows. One fact scan.
+    """
+    ev = load(spark, "events", sf_dir).select(
+        "event_type",
+        F.floor(F.col("value") * 1000000.0 + F.lit(0.5))
+        .cast("long")
+        .alias("q"),
+    )
+    per = ev.groupBy("q", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt_g")
+    )
+    per_val = per.groupBy("q").agg(F.sum("cnt_g").cast("long").alias("cnt"))
+    ranked = with_prefix_agg(
+        per_val, "q", (), "cnt", "sum", out="cum_before", inclusive=False
+    ).withColumn("cum_before", F.coalesce(F.col("cum_before"), F.lit(0)))
+    j = per.join(ranked.select("q", "cnt", "cum_before"), "q")
+    grp = j.groupBy("event_type").agg(
+        F.sum("cnt_g").cast("long").alias("n_g"),
+        F.sum(
+            F.col("cnt_g").cast("decimal(38,0)")
+            * (2 * F.col("cum_before") + F.col("cnt") + 1)
+        ).alias("r_x2"),
+    )
+    tot = ranked.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(
+            F.col("cnt").cast("decimal(38,0)") * F.col("cnt") * F.col("cnt")
+            - F.col("cnt")
+        ).alias("tie"),
+    )
+    terms = grp.crossJoin(F.broadcast(tot)).select(
+        F.expr(
+            _kw_term("div", "DECIMAL(38,0)").replace(
+                "BIGPRODUCT", "CAST(n_g AS DECIMAL(38,0)) * n * (n + 1)"
+            )
+        ).alias("term"),
+        "n",
+        "tie",
+    )
+    s = terms.groupBy().agg(
+        F.sum(F.col("term").cast("decimal(38,0)")).alias("s_term"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.max("n").alias("n"),
+        F.max("tie").alias("tie"),
+    )
+    h0 = s.select(
+        F.col("n").alias("n_total"),
+        F.col("k").alias("k_groups"),
+        "tie",
+        F.expr(
+            "CAST(CAST(n AS DECIMAL(38,0)) * n * n - n AS DECIMAL(38,0))"
+        ).alias("t_all"),
+        (
+            F.floor(
+                (
+                    F.expr("CAST(CAST(s_term AS STRING) AS DOUBLE)")
+                    / F.lit(1000000000.0)
+                    - 3.0 * (F.col("n").cast("double") + 1.0)
+                )
+                * 1000000.0
+                + F.lit(0.5)
+            )
+            / 1000000.0
+        ).alias("h"),
+    )
+    return h0.select(
+        "n_total",
+        "k_groups",
+        "h",
+        F.when(
+            F.col("t_all") > F.col("tie"),
+            F.floor(
+                F.col("h")
+                * (
+                    F.expr("CAST(CAST(t_all AS STRING) AS DOUBLE)")
+                    / F.expr("CAST(CAST(t_all - tie AS STRING) AS DOUBLE)")
+                )
+                * 1000000.0
+                + F.lit(0.5)
+            )
+            / 1000000.0,
+        ).alias("h_tie"),
+    )
+
+
+# ---------- Benjamini-Hochberg FDR (multiple-testing control) ----------
+
+_BH_Q_PPB = 100000000  # q = 0.10 as parts-per-billion
+
+
+# z² from exact integer moments, evaluated in DOUBLE: the sums are
+# exact decimals (associative — shard order irrelevant), and every
+# step after aggregation (string-cast, /, *, −, sqrt) is a correctly
+# rounded IEEE op, so the scalar pipeline is bit-identical on both
+# engines without the decimal pre-scale dance. Only exp() is
+# libm-dependent — its output is quantized immediately.
+def _bh_exprs(st: str) -> tuple[str, str]:
+    """(z², var_t) SQL over cell/type moment columns; ``st`` is the
+    engine's string type spelling (STRING / VARCHAR)."""
+    mc = f"(CAST(CAST(s_c AS {st}) AS DOUBLE) / CAST(n_c AS DOUBLE))"
+    mt = f"(CAST(CAST(s_t AS {st}) AS DOUBLE) / CAST(n_t AS DOUBLE))"
+    vt = (
+        f"(CAST(CAST(q2_t AS {st}) AS DOUBLE) / CAST(n_t AS DOUBLE)"
+        f" - {mt} * {mt})"
+    )
+    z2 = f"(({mc} - {mt}) * ({mc} - {mt}) * CAST(n_c AS DOUBLE) / {vt})"
+    return z2, vt
+
+
+_BH_Z2, _BH_VT = _bh_exprs("VARCHAR")
+
+
+@register(
+    "agg_bh_fdr",
+    f"""
+    WITH v AS (
+      SELECT event_type,
+             EXTRACT(HOUR FROM CAST(ts AS TIMESTAMP)) AS hr,
+             CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS q
+      FROM events
+    ), cell AS (
+      SELECT event_type, hr,
+             CAST(COUNT(*) AS BIGINT) AS n_c,
+             CAST(SUM(CAST(q AS HUGEINT)) AS HUGEINT) AS s_c
+      FROM v GROUP BY event_type, hr
+    ), typ AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_t,
+             CAST(SUM(CAST(q AS HUGEINT)) AS HUGEINT) AS s_t,
+             CAST(SUM(CAST(q AS HUGEINT) * q) AS HUGEINT) AS q2_t
+      FROM v GROUP BY event_type
+    ), hyp AS (
+      SELECT c.event_type, c.hr, c.n_c,
+             FLOOR((2.0 / (1.0 + EXP(1.702 * SQRT({_BH_Z2}))))
+                   * 1000000000.0 + 0.5) AS p_ppb
+      FROM cell c JOIN typ t ON c.event_type = t.event_type
+      WHERE {_BH_VT} > 0 AND c.n_c > 0
+    ), ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (ORDER BY p_ppb, event_type, hr) AS rnk,
+             COUNT(*) OVER () AS m
+      FROM hyp
+    ), thr AS (
+      SELECT *, (rnk * {_BH_Q_PPB}) // m AS thr_ppb FROM ranked
+    ), kstar AS (
+      SELECT *,
+             MAX(CASE WHEN p_ppb <= thr_ppb THEN rnk ELSE 0 END)
+               OVER () AS k_star
+      FROM thr
+    )
+    SELECT event_type, CAST(hr AS BIGINT) AS hr, n_c,
+           CAST(p_ppb AS BIGINT) AS p_ppb,
+           CAST(rnk AS BIGINT) AS rnk,
+           CAST(thr_ppb AS BIGINT) AS thr_ppb,
+           COALESCE(rnk <= k_star, FALSE) AS rejected
+    FROM kstar
+    """,
+    doc="Benjamini-Hochberg FDR over the (event_type × hour) grid of "
+    "cell-vs-type mean z-tests: rank quantized p-values, reject all "
+    "ranks ≤ the largest k with p_k ≤ k·q/m (q=0.10) — the "
+    "multiple-testing control every metrics dashboard with 100+ "
+    "simultaneous cells needs before flagging 'significant' ones",
+)
+def agg_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple-testing control — the step A/B readouts skip at their
+    peril: testing 100+ (segment, hour) cells at α=0.05 yields ~5
+    false alarms by construction; BH caps the expected FALSE DISCOVERY
+    RATE at q instead. Procedure: sort the m p-values ascending,
+    find k* = max{{k : p_(k) ≤ k·q/m}}, reject hypotheses 1..k*.
+
+    p-values: cell-vs-type one-sample z. The SUMS are exact decimals
+    (associative — shard order irrelevant); the scalar z² pipeline
+    after aggregation runs in DOUBLE (string-cast → /, *, −, sqrt are
+    all correctly-rounded IEEE ops, bit-identical across engines — no
+    decimal pre-scale needed because nothing large is ever
+    re-multiplied). Φ(z) ≈ 1/(1+e^−1.702z) (Bowling et al.'s logistic
+    constant; max |err| < 0.01 — a documented approximation, computed
+    identically on both engines), and the only libm-dependent step
+    (exp) is quantized to integer ppb BEFORE ranking, so the BH
+    ordering and threshold comparisons are pure integer.
+
+    Scale: two map-side-combined aggregates over one fact scan
+    (cells, types); everything after is m ≤ 24·|types| rows — the
+    rank/threshold windows run on a BOUNDED frame (``one_part``).
+
+    Note the z-approximation makes p's ORDER exact within any one
+    monotone region; ties broken by (event_type, hr) for a total
+    order.
+    """
+    ev = load(spark, "events", sf_dir).select(
+        "event_type",
+        F.expr(f"EXTRACT(HOUR FROM {EVENTS_TS_SQL})").alias("hr"),
+        F.floor(F.col("value") * 1000000.0 + F.lit(0.5))
+        .cast("long")
+        .alias("q"),
+    )
+    cell = ev.groupBy("event_type", "hr").agg(
+        F.count(F.lit(1)).cast("long").alias("n_c"),
+        F.sum(F.col("q").cast("decimal(38,0)")).alias("s_c"),
+    )
+    typ = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_t"),
+        F.sum(F.col("q").cast("decimal(38,0)")).alias("s_t"),
+        F.sum(F.col("q").cast("decimal(38,0)") * F.col("q")).alias("q2_t"),
+    )
+    z2, vt = _bh_exprs("STRING")
+    hyp = (
+        cell.join(typ, "event_type")
+        .filter((F.expr(vt) > 0) & (F.col("n_c") > 0))
+        .select(
+            "event_type",
+            "hr",
+            "n_c",
+            F.floor(
+                (2.0 / (1.0 + F.exp(1.702 * F.sqrt(F.expr(z2)))))
+                * 1000000000.0
+                + F.lit(0.5)
+            ).alias("p_ppb"),
+        )
+    )
+    w = Window.partitionBy(one_part("n_c")).orderBy(
+        "p_ppb", "event_type", "hr"
+    )
+    wall = Window.partitionBy(one_part("n_c"))
+    ranked = hyp.select(
+        "*",
+        F.row_number().over(w).alias("rnk"),
+        F.count(F.lit(1)).over(wall).alias("m"),
+    ).withColumn(
+        "thr_ppb", F.expr(f"(CAST(rnk AS BIGINT) * {_BH_Q_PPB}) div m")
+    )
+    kstar = ranked.withColumn(
+        "k_star",
+        F.max(
+            F.when(F.col("p_ppb") <= F.col("thr_ppb"), F.col("rnk")).otherwise(
+                F.lit(0)
+            )
+        ).over(wall),
+    )
+    return kstar.select(
+        "event_type",
+        F.col("hr").cast("long").alias("hr"),
+        "n_c",
+        F.col("p_ppb").cast("long").alias("p_ppb"),
+        F.col("rnk").cast("long").alias("rnk"),
+        F.col("thr_ppb").cast("long").alias("thr_ppb"),
+        F.coalesce(F.col("rnk") <= F.col("k_star"), F.lit(False)).alias(
+            "rejected"
+        ),
+    )
+
+
+# ---------- SPRT (sequential probability ratio test) ----------
+
+# H0: conversion p0 = 0.10 vs H1: p1 = 0.12, alpha = beta = 0.05.
+# Log-likelihood-ratio increments and Wald boundaries as exact nano
+# literals (floor(ln(x)*1e9 + 0.5), precomputed — the engines never
+# evaluate a transcendental):
+_SPRT_A_NANO = 182321557  # ln(p1/p0)      = ln(1.2)
+_SPRT_B_NANO = -22472856  # ln((1-p1)/(1-p0)) = ln(0.88/0.90)
+_SPRT_U_NANO = 2944438979  # ln((1-beta)/alpha) = ln(19)
+_SPRT_L_NANO = -2944438979  # ln(beta/(1-alpha)) = -ln(19)
+
+_SPRT_CROSS = f"(cum >= {_SPRT_U_NANO} OR cum <= {_SPRT_L_NANO})"
+
+
+@register(
+    "agg_sprt_boundary",
+    f"""
+    WITH v AS (
+      SELECT event_id, user_id % 2 AS variant,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS x
+      FROM events
+    ), c AS (
+      SELECT variant, x,
+             CAST(ROW_NUMBER() OVER (PARTITION BY variant
+               ORDER BY event_id) AS BIGINT) AS idx,
+             CAST(SUM(x * {_SPRT_A_NANO} + (1 - x) * ({_SPRT_B_NANO}))
+               OVER (PARTITION BY variant ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum
+      FROM v
+    )
+    SELECT variant,
+           CAST(MAX(idx) AS BIGINT) AS n_events,
+           CAST(SUM(x) AS BIGINT) AS n_conv,
+           CAST(arg_max(cum, idx) AS BIGINT) AS llr_final_nano,
+           CAST(MIN(CASE WHEN {_SPRT_CROSS} THEN idx END) AS BIGINT)
+             AS first_cross_n,
+           CASE
+             WHEN arg_min(cum, CASE WHEN {_SPRT_CROSS} THEN idx END)
+                  IS NULL THEN 'continue'
+             WHEN arg_min(cum, CASE WHEN {_SPRT_CROSS} THEN idx END)
+                  >= {_SPRT_U_NANO} THEN 'accept_h1'
+             ELSE 'accept_h0'
+           END AS decision
+    FROM c GROUP BY variant
+    """,
+    doc="Wald SPRT over the event stream per variant: cumulative "
+    "log-likelihood ratio of click conversion (H0 p=0.10 vs H1 "
+    "p=0.12, exact nano-integer increments — ln's precomputed as "
+    "literals), first crossing of the ±ln(19) boundaries and the "
+    "accept/continue verdict — the always-valid sequential test that "
+    "lets experiments stop EARLY, unlike the fixed-horizon t/z family",
+)
+def agg_sprt_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential testing: the fixed-horizon A/B family
+    (``agg_ab_test``, ``agg_bayes_beta_posterior``) must pick n in
+    advance; Wald's SPRT instead accumulates the log-likelihood ratio
+    per observation and stops the moment it exits (L, U) — provably
+    the minimum-expected-sample test for given error rates. Increments
+    and boundaries are PRECOMPUTED nano-integer literals (ln(1.2),
+    ln(0.88/0.90), ±ln(19)), so the whole decision path is exact
+    int64 arithmetic — no transcendental ever runs in-engine.
+
+    Arrival order is event_id (the fixture's ingest sequence);
+    'first_cross_n' is the sample size at which the test would have
+    stopped, and 'decision' reads the LLR at that first crossing.
+
+    Scale: the per-variant running LLR is the bit-identical two-phase
+    prefix helper (``with_prefix_aggs`` per variant — 2 bounded
+    passes, never a single-partition window over facts); the final
+    verdict is a 2-row aggregate. At 1e9 events cum ≈ 1.8e17 nano —
+    inside int64.
+    """
+    ev = load(spark, "events", sf_dir).select(
+        "event_id",
+        (F.col("user_id") % 2).alias("variant"),
+        F.when(F.col("event_type") == "click", 1)
+        .otherwise(0)
+        .alias("x"),
+    )
+    parts = []
+    for vv in (0, 1):
+        dv = ev.filter(F.col("variant") == vv).withColumn(
+            "llr",
+            F.col("x") * F.lit(_SPRT_A_NANO)
+            + (1 - F.col("x")) * F.lit(_SPRT_B_NANO),
+        )
+        parts.append(
+            with_prefix_aggs(
+                dv,
+                "event_id",
+                (),
+                [
+                    ("llr", "sum", "cum", True),
+                    (F.lit(1), "sum", "idx", True),
+                ],
+            )
+        )
+    c = parts[0].unionByName(parts[1])
+    cross = F.expr(_SPRT_CROSS)
+    return c.groupBy("variant").agg(
+        F.max("idx").cast("long").alias("n_events"),
+        F.sum("x").cast("long").alias("n_conv"),
+        F.max_by("cum", "idx").cast("long").alias("llr_final_nano"),
+        F.min(F.when(cross, F.col("idx"))).cast("long").alias(
+            "first_cross_n"
+        ),
+        F.when(
+            F.min_by("cum", F.when(cross, F.col("idx"))).isNull(),
+            F.lit("continue"),
+        )
+        .when(
+            F.min_by("cum", F.when(cross, F.col("idx")))
+            >= F.lit(_SPRT_U_NANO),
+            F.lit("accept_h1"),
+        )
+        .otherwise(F.lit("accept_h0"))
+        .alias("decision"),
+    )
+
+
+# ---------- Shewhart control chart (Western Electric rules) ----------
+
+# Standardized deviation of a day's mean from the process mean, in
+# sigma/sqrt(n) units — exact integer sums, then an all-IEEE scalar
+# pipeline (string-cast, /, *, -, sqrt: correctly rounded, identical
+# on both engines). {st} = engine string type.
+_CC_DEV = (
+    "(CASE WHEN (CAST(CAST(qq AS {st}) AS DOUBLE) / CAST(nn AS DOUBLE)"
+    " - (CAST(CAST(ss AS {st}) AS DOUBLE) / CAST(nn AS DOUBLE))"
+    " * (CAST(CAST(ss AS {st}) AS DOUBLE) / CAST(nn AS DOUBLE))) > 0"
+    " THEN (CAST(CAST(s_d AS {st}) AS DOUBLE) / CAST(n_d AS DOUBLE)"
+    "  - CAST(CAST(ss AS {st}) AS DOUBLE) / CAST(nn AS DOUBLE))"
+    " * SQRT(CAST(n_d AS DOUBLE))"
+    " / SQRT(CAST(CAST(qq AS {st}) AS DOUBLE) / CAST(nn AS DOUBLE)"
+    "  - (CAST(CAST(ss AS {st}) AS DOUBLE) / CAST(nn AS DOUBLE))"
+    "  * (CAST(CAST(ss AS {st}) AS DOUBLE) / CAST(nn AS DOUBLE)))"
+    " ELSE NULL END)"
+)
+
+
+@register(
+    "agg_control_chart",
+    f"""
+    WITH v AS (
+      SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+             CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS q
+      FROM events
+    ), d AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS n_d,
+             CAST(SUM(CAST(q AS HUGEINT)) AS HUGEINT) AS s_d
+      FROM v GROUP BY day
+    ), g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+             CAST(SUM(CAST(q AS HUGEINT)) AS HUGEINT) AS ss,
+             CAST(SUM(CAST(q AS HUGEINT) * q) AS HUGEINT) AS qq
+      FROM v
+    ), z AS (
+      SELECT day, n_d,
+             FLOOR((CAST(CAST(s_d AS VARCHAR) AS DOUBLE)
+                    / CAST(n_d AS DOUBLE)) / 1000000.0
+                   * 1000000.0 + 0.5) / 1000000.0 AS mean_value,
+             {_CC_DEV.format(st="VARCHAR")} AS dev
+      FROM d CROSS JOIN g
+    ), r AS (
+      SELECT day, n_d, mean_value,
+             FLOOR(dev * 1000000.0 + 0.5) / 1000000.0 AS dev,
+             CASE WHEN dev > 2.0 THEN 1 ELSE 0 END AS above2,
+             CASE WHEN dev < -2.0 THEN 1 ELSE 0 END AS below2,
+             COALESCE(ABS(dev) > 3.0, FALSE) AS rule1
+      FROM z
+    )
+    SELECT CAST(day AS BIGINT) AS day, n_d, mean_value, dev, rule1,
+           COALESCE(
+             (above2 + COALESCE(LAG(above2, 1) OVER w, 0)
+                     + COALESCE(LAG(above2, 2) OVER w, 0) >= 2
+              AND above2 = 1)
+             OR
+             (below2 + COALESCE(LAG(below2, 1) OVER w, 0)
+                     + COALESCE(LAG(below2, 2) OVER w, 0) >= 2
+              AND below2 = 1),
+             FALSE) AS rule2
+    FROM r WINDOW w AS (ORDER BY day)
+    """,
+    doc="Shewhart x-bar control chart over daily means: standardized "
+    "deviation in sigma/sqrt(n) units from exact integer moments, "
+    "Western Electric rule 1 (beyond 3 sigma) and rule 2 (2-of-3 "
+    "consecutive beyond 2 sigma, same side) — the SPC out-of-control "
+    "detector behind every data-quality freshness monitor",
+)
+def agg_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical process control on the metric stream: each day's
+    mean is standardized against the whole process (dev = (x̄_d − μ)·
+    √n_d / σ) and tested with the two Western Electric zone rules that
+    catch both SPIKES (rule 1: one point beyond 3σ) and sustained
+    SHIFTS (rule 2: 2 of 3 consecutive points beyond 2σ on the same
+    side) — a mean drift too small for rule 1 trips rule 2 within
+    days.
+
+    Numerics: day/global sums are exact integer decimals; the scalar
+    dev pipeline is string-cast → IEEE /,*,−,sqrt (correctly rounded,
+    engine-identical); rule comparisons run on the raw double (same
+    value both engines), output dev floor-quantized at 1e-6. Nullable
+    rule booleans are COALESCE'd to FALSE on both sides per the
+    convention.
+
+    Scale: one map-side-combined daily aggregate + a 1-row global;
+    the rule-2 lags run over the BOUNDED day spine (``one_part``).
+    One fact scan total.
+    """
+    ev = load(spark, "events", sf_dir).select(
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        F.floor(F.col("value") * 1000000.0 + F.lit(0.5))
+        .cast("long")
+        .alias("q"),
+    )
+    d = ev.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_d"),
+        F.sum(F.col("q").cast("decimal(38,0)")).alias("s_d"),
+    )
+    g = ev.agg(
+        F.count(F.lit(1)).cast("long").alias("nn"),
+        F.sum(F.col("q").cast("decimal(38,0)")).alias("ss"),
+        F.sum(F.col("q").cast("decimal(38,0)") * F.col("q")).alias("qq"),
+    )
+    z = d.crossJoin(F.broadcast(g)).select(
+        "day",
+        "n_d",
+        (
+            F.floor(
+                (
+                    F.expr("CAST(CAST(s_d AS STRING) AS DOUBLE)")
+                    / F.col("n_d").cast("double")
+                )
+                / 1000000.0
+                * 1000000.0
+                + F.lit(0.5)
+            )
+            / 1000000.0
+        ).alias("mean_value"),
+        F.expr(_CC_DEV.format(st="STRING")).alias("dev"),
+    )
+    r = z.select(
+        "day",
+        "n_d",
+        "mean_value",
+        (F.floor(F.col("dev") * 1000000.0 + F.lit(0.5)) / 1000000.0).alias(
+            "devq"
+        ),
+        F.when(F.col("dev") > 2.0, 1).otherwise(0).alias("above2"),
+        F.when(F.col("dev") < -2.0, 1).otherwise(0).alias("below2"),
+        F.coalesce(F.abs(F.col("dev")) > 3.0, F.lit(False)).alias("rule1"),
+    )
+    w = Window.partitionBy(one_part("n_d")).orderBy("day")
+    lag = lambda c, k: F.coalesce(F.lag(c, k).over(w), F.lit(0))  # noqa: E731
+    return r.select(
+        "day",
+        "n_d",
+        "mean_value",
+        F.col("devq").alias("dev"),
+        "rule1",
+        F.coalesce(
+            (
+                (
+                    F.col("above2") + lag("above2", 1) + lag("above2", 2)
+                    >= 2
+                )
+                & (F.col("above2") == 1)
+            )
+            | (
+                (
+                    F.col("below2") + lag("below2", 1) + lag("below2", 2)
+                    >= 2
+                )
+                & (F.col("below2") == 1)
+            ),
+            F.lit(False),
+        ).alias("rule2"),
+    )

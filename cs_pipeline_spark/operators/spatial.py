@@ -21,6 +21,7 @@ from cs_pipeline_spark.functions.era5_fixture import (
 )
 from cs_pipeline_spark.operators.helpers import davg, sql_davg
 from cs_pipeline_spark.registry import register
+from cs_pipeline_spark.tables import load
 
 # Three regions over the fixture's 8×8 grid (FIXTURES.md §F5): one
 # aligned, one between grid points, one degenerate (smaller than one
@@ -932,4 +933,111 @@ def spatial_point_in_polygon(
         (F.col("py").cast("double") / F.lit(1e6)).alias("latitude"),
         "n_points",
         "n_inside",
+    )
+
+
+# ---------- geohash cells (hierarchical spatial bucketing) ----------
+
+_GH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+# Deterministic synthetic station coordinates derived from events
+# (pure integer arithmetic — identical in both engines): milli-degree
+# offsets from the south-west corner of the lat/lon domain.
+_LAT_M = "((user_id * 7919) % 180000)"
+_LON_M = "((event_id * 104729) % 360000)"
+
+
+def _gh_bits_expr(div: str, lat_m: str, lon_m: str) -> str:
+    """25-bit geohash integer (precision 5): 13 lon bits interleaved
+    with 12 lat bits, MSB-first, lon leading — the standard geohash
+    bit layout, expressed with only {+,*,%,integer division} so the
+    SAME generated text (modulo the div operator spelling) runs on
+    Spark (``div``) and DuckDB (``//``)."""
+    ilon = f"(({lon_m} * 8192) {div} 360000)"
+    ilat = f"(({lat_m} * 4096) {div} 180000)"
+    terms = []
+    for i in range(13):  # lon bits at even geohash positions
+        terms.append(
+            f"((({ilon} {div} {1 << (12 - i)}) % 2) * {1 << (24 - 2 * i)})"
+        )
+    for i in range(12):  # lat bits at odd geohash positions
+        terms.append(
+            f"((({ilat} {div} {1 << (11 - i)}) % 2) * {1 << (23 - 2 * i)})"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _gh5_expr(div: str, g: str) -> str:
+    """5-char base32 geohash string from the 25-bit integer ``g``."""
+    chars = [
+        f"SUBSTR('{_GH32}', "
+        f"CAST((({g} {div} {1 << (20 - 5 * k)}) % 32) AS INT) + 1, 1)"
+        for k in range(5)
+    ]
+    return "CONCAT(" + ", ".join(chars) + ")"
+
+
+@register(
+    "spatial_geohash_cells",
+    f"""
+    WITH pts AS (
+      SELECT {_LAT_M} AS lat_m, {_LON_M} AS lon_m, value FROM events
+    ), bits AS (
+      SELECT {_gh_bits_expr('//', 'lat_m', 'lon_m')} AS g, value FROM pts
+    ), cells AS (
+      SELECT {_gh5_expr('//', 'g')} AS gh5, value FROM bits
+    )
+    SELECT SUBSTR(gh5, 1, 2) AS gh2,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(COUNT(DISTINCT gh5) AS BIGINT) AS n_subcells,
+           {sql_davg('value')} AS avg_value
+    FROM cells GROUP BY SUBSTR(gh5, 1, 2)
+    """,
+    doc="geohash-5 encode (bit-interleave + base32, pure integer "
+    "arithmetic) rolled up to geohash-2 cells: points, distinct "
+    "subcells, mean value — the hierarchical spatial bucketing key "
+    "behind prefix-range spatial joins",
+)
+def spatial_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash encoding as a first-class engine expression: interleave
+    13 longitude + 12 latitude bits (MSB-first, lon leading) into a
+    25-bit cell id, then base32 to the standard 5-char geohash. The
+    encode is ~50 integer mul/div/mod ops generated as ONE whole-stage
+    codegen expression — no UDF — and the identical generated text
+    (``div`` vs ``//`` spelling aside) is the DuckDB oracle, so cell
+    assignment is bit-exact across engines.
+
+    Why geohash and not raw (lat, lon) buckets: the base32 string's
+    PREFIX property (shared prefix ⟺ shared ancestor cell) turns
+    spatial proximity into string-prefix equality, which is sortable,
+    range-partitionable, and join-able with plain relational
+    machinery — the same reason production geo pipelines key on
+    geohash/S2/H3 before any distance math. The op reports the
+    geohash-2 rollup (count, distinct geohash-5 subcells, mean value)
+    — the occupancy histogram that sizes a prefix-bucketed spatial
+    join.
+
+    Scale: one map-side-combined hash aggregate on a 1024-value key;
+    the encode is fused with the scan (no shuffle before the agg).
+    Skewed cells (urban hotspots) are a groupBy — AQE handles them;
+    nothing here is a join. Station coords are synthesized from event
+    ids (pure integer arithmetic) because no fixture table carries
+    raw lat/lon at station granularity.
+    """
+    ev = load(spark, "events", sf_dir).select("event_id", "user_id", "value")
+    pts = ev.select(
+        F.expr(_LAT_M).alias("lat_m"),
+        F.expr(_LON_M).alias("lon_m"),
+        "value",
+    )
+    bits = pts.select(
+        F.expr(_gh_bits_expr("div", "lat_m", "lon_m")).alias("g"), "value"
+    )
+    cells = bits.select(F.expr(_gh5_expr("div", "g")).alias("gh5"), "value")
+    return cells.groupBy(
+        F.expr("SUBSTR(gh5, 1, 2)").alias("gh2")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.countDistinct("gh5").cast("long").alias("n_subcells"),
+        davg("value").alias("avg_value"),
     )

@@ -402,6 +402,12 @@ AUDIT: dict[str, dict] = {
     "agg_rate_mix_decomposition": {"smj": 0},  # (seg, week) agg + pivots
     "privacy_t_closeness": {"smj": 0},    # global mix broadcasts
     "privacy_anonymize_release": {},      # class-keyed equi-join (either strategy ok)
+    # wave 12 (round 6)
+    "spatial_geohash_cells": {"smj": 0, "exchange": 2},  # scan-fused encode; COUNT(DISTINCT gh5) costs the 2nd (gh2,gh5)-keyed exchange
+    "agg_kruskal_wallis": {"smj": 0},     # value-spine prefix + k-row terms
+    "agg_bh_fdr": {"smj": 0},             # two moment aggs + bounded rank
+    "agg_sprt_boundary": {"smj": 0},      # per-variant two-phase prefix
+    "agg_control_chart": {"smj": 0},      # day agg + bounded-spine lags
 }
 
 
