@@ -4952,3 +4952,621 @@ def agg_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(False),
         ).alias("rule2"),
     )
+
+
+# ---------- iterative proportional fitting (raking) ----------
+
+
+@register(
+    "agg_ipf_raking",
+    """
+    WITH pop AS (
+      SELECT c_mktsegment AS seg, c_nationkey % 5 AS nb FROM customer
+    ),
+    tr AS (SELECT seg, CAST(COUNT(*) AS HUGEINT) AS t FROM pop GROUP BY seg),
+    tc AS (SELECT nb, CAST(COUNT(*) AS HUGEINT) AS t FROM pop GROUP BY nb),
+    s0 AS (
+      SELECT c_mktsegment AS seg, c_nationkey % 5 AS nb,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(1000000 AS HUGEINT) AS w0
+      FROM customer WHERE c_custkey % 2 = 0
+      GROUP BY c_mktsegment, c_nationkey % 5
+    ),
+    m1 AS (SELECT seg, SUM(n * w0) AS m FROM s0 GROUP BY seg),
+    s1 AS MATERIALIZED (
+      SELECT s0.seg, s0.nb, s0.n,
+             s0.w0 * tr.t * 1000000 // m1.m AS w1
+      FROM s0 JOIN m1 ON m1.seg = s0.seg JOIN tr ON tr.seg = s0.seg
+    ),
+    m2 AS (SELECT nb, SUM(n * w1) AS m FROM s1 GROUP BY nb),
+    s2 AS MATERIALIZED (
+      SELECT s1.seg, s1.nb, s1.n,
+             s1.w1 * tc.t * 1000000 // m2.m AS w2
+      FROM s1 JOIN m2 ON m2.nb = s1.nb JOIN tc ON tc.nb = s1.nb
+    ),
+    m3 AS (SELECT seg, SUM(n * w2) AS m FROM s2 GROUP BY seg),
+    s3 AS MATERIALIZED (
+      SELECT s2.seg, s2.nb, s2.n,
+             s2.w2 * tr.t * 1000000 // m3.m AS w3
+      FROM s2 JOIN m3 ON m3.seg = s2.seg JOIN tr ON tr.seg = s2.seg
+    ),
+    m4 AS (SELECT nb, SUM(n * w3) AS m FROM s3 GROUP BY nb),
+    s4 AS MATERIALIZED (
+      SELECT s3.seg, s3.nb, s3.n,
+             s3.w3 * tc.t * 1000000 // m4.m AS w4
+      FROM s3 JOIN m4 ON m4.nb = s3.nb JOIN tc ON tc.nb = s3.nb
+    ),
+    mr AS (SELECT seg, SUM(n * w4) AS m FROM s4 GROUP BY seg)
+    SELECT s4.seg, CAST(s4.nb AS BIGINT) AS nbucket,
+           CAST(s4.n AS BIGINT) AS n_sample,
+           CAST(s4.w4 AS BIGINT) AS w_ppm,
+           CAST(tr.t AS BIGINT) AS target_seg,
+           CAST(mr.m // 1000000 AS BIGINT) AS achieved_seg,
+           CAST(ABS(mr.m - tr.t * 1000000) * 1000000
+                // (tr.t * 1000000) AS BIGINT) AS seg_gap_ppm
+    FROM s4 JOIN tr ON tr.seg = s4.seg JOIN mr ON mr.seg = s4.seg
+    """,
+    doc="survey raking (iterative proportional fitting): a half-"
+    "population customer sample reweighted to match BOTH the "
+    "mktsegment and nation-bucket population margins, 2 full IPF "
+    "cycles unrolled in exact ppm-integer arithmetic (truncating "
+    "division each step is the shared fixed-point convention) — the "
+    "post-stratification calibration beside sample_neyman_allocation "
+    "(which plans the draw; raking repairs it after the fact)",
+)
+def agg_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raking / IPF — the standard survey-weighting fix when a sample
+    matches NEITHER of two categorical margins: alternately rescale
+    cell weights so row margins match, then column margins, and
+    repeat. Two full cycles (4 half-steps) are unrolled; each step is
+    w' = w·T·1e6 div Σ(n·w) in exact integer ppm units, so both
+    engines truncate identically and the fixed point is
+    bit-deterministic. Output carries the final per-cell weight plus
+    the achieved-vs-target segment margin (gap in ppm — after a
+    column step the row margins are off by the residual IPF hasn't
+    yet converged away; reporting it makes the convergence state
+    auditable instead of implicit).
+
+    Scale: the population margins and the sample cell table are two
+    map-side-combined aggregates over the dimension table (or fact
+    table at 100 TB — one scan each); every IPF step then runs on
+    the CELL table (|seg|×|nb| rows), margins re-aggregated from 25
+    rows and broadcast-joined back. Each half-step references the
+    previous level TWICE (margin fold + join back) — per-step eager
+    localCheckpoint / AS MATERIALIZED truncates the otherwise
+    2^steps plan doubling (the graph_k_core convention) at the cost
+    of materializing a cell-table-sized intermediate per step. Products w·T·1e6 reach
+    1e24 at fact scale — decimal(38,0)/HUGEINT per the convention.
+    """
+    cust = load(spark, "customer", sf_dir)
+    pop = cust.select(
+        F.col("c_mktsegment").alias("seg"),
+        (F.col("c_nationkey") % 5).alias("nb"),
+    )
+    tr = pop.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("t")
+    )
+    tc = pop.groupBy("nb").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("t")
+    )
+    s = (
+        cust.filter(F.col("c_custkey") % 2 == 0)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            (F.col("c_nationkey") % 5).alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"))
+        .withColumn("w", F.lit(1000000).cast("decimal(38,0)"))
+    )
+
+    def _half_step(df: DataFrame, key: str, tgt: DataFrame) -> DataFrame:
+        m = df.groupBy(key).agg(F.sum(F.expr("n * w")).alias("m"))
+        t2 = tgt.select(F.col(key), F.col("t").alias("_t"))
+        return (
+            df.join(F.broadcast(m), key)
+            .join(F.broadcast(t2), key)
+            .select(
+                "seg",
+                "nb",
+                "n",
+                F.expr("cast(w * _t * 1000000 div m as decimal(38,0))")
+                .alias("w"),
+            )
+        )
+
+    s = _half_step(s, "seg", tr).localCheckpoint(eager=True)
+    s = _half_step(s, "nb", tc).localCheckpoint(eager=True)
+    s = _half_step(s, "seg", tr).localCheckpoint(eager=True)
+    s = _half_step(s, "nb", tc).localCheckpoint(eager=True)
+    mr = s.groupBy("seg").agg(F.sum(F.expr("n * w")).alias("m"))
+    return (
+        s.join(F.broadcast(tr), "seg")
+        .join(F.broadcast(mr), "seg")
+        .select(
+            "seg",
+            F.col("nb").cast("long").alias("nbucket"),
+            F.col("n").cast("long").alias("n_sample"),
+            F.col("w").cast("long").alias("w_ppm"),
+            F.col("t").cast("long").alias("target_seg"),
+            F.expr("cast(m div 1000000 as bigint)").alias("achieved_seg"),
+            F.expr(
+                "cast(abs(m - t * 1000000) * 1000000 "
+                "div (t * 1000000) as bigint)"
+            ).alias("seg_gap_ppm"),
+        )
+    )
+
+
+# ---------- two-way factorial ANOVA ----------
+
+
+@register(
+    "agg_two_way_anova",
+    """
+    WITH q AS (
+      SELECT event_type AS a, hour(ts) // 6 AS b,
+             CAST(FLOOR(value * 1000000.0 + 0.5) AS HUGEINT) AS x
+      FROM events
+    ),
+    cell AS (
+      SELECT a, b, CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS s
+      FROM q GROUP BY a, b
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS s,
+             SUM(x * x) AS sxx,
+             CAST(COUNT(DISTINCT a) AS HUGEINT) AS ka,
+             CAST(COUNT(DISTINCT b) AS HUGEINT) AS kb
+      FROM q
+    ),
+    ssc AS (SELECT SUM(s * s // n) AS v FROM cell),
+    ssa AS (SELECT SUM(s * s // n) AS v FROM
+            (SELECT a, SUM(n) AS n, SUM(s) AS s FROM cell GROUP BY a)),
+    ssb AS (SELECT SUM(s * s // n) AS v FROM
+            (SELECT b, SUM(n) AS n, SUM(s) AS s FROM cell GROUP BY b)),
+    nc AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n_cells FROM cell),
+    sc AS (
+      SELECT tot.s * tot.s // tot.n AS cm,
+             tot.sxx - tot.s * tot.s // tot.n AS ss_tot,
+             ssa.v - tot.s * tot.s // tot.n AS ss_a,
+             ssb.v - tot.s * tot.s // tot.n AS ss_b,
+             ssc.v - ssa.v - ssb.v + tot.s * tot.s // tot.n AS ss_ab,
+             tot.sxx - ssc.v AS ss_e,
+             tot.ka - 1 AS df_a, tot.kb - 1 AS df_b,
+             (tot.ka - 1) * (tot.kb - 1) AS df_ab,
+             tot.n - nc.n_cells AS df_e, tot.n - 1 AS df_t,
+             tot.sxx - tot.s * tot.s // tot.n AS denom
+      FROM tot, ssa, ssb, ssc, nc
+    )
+    SELECT component, CAST(df AS BIGINT) AS df,
+           CAST(CAST(ss AS VARCHAR) AS DOUBLE) AS ss_micro2,
+           CAST(ss * 1000000 // denom AS BIGINT) AS eta2_ppm,
+           CASE WHEN df > 0 AND ss_e > 0 AND df_e > 0 THEN
+             FLOOR((CAST(CAST(ss AS VARCHAR) AS DOUBLE)
+                    / CAST(CAST(df AS VARCHAR) AS DOUBLE))
+                   / (CAST(CAST(ss_e AS VARCHAR) AS DOUBLE)
+                      / CAST(CAST(df_e AS VARCHAR) AS DOUBLE))
+                   * 1000000.0 + 0.5) / 1000000.0
+           END AS f_stat
+    FROM (
+      SELECT 'factor_a' AS component, df_a AS df, ss_a AS ss,
+             ss_e, df_e, denom FROM sc
+      UNION ALL
+      SELECT 'factor_b', df_b, ss_b, ss_e, df_e, denom FROM sc
+      UNION ALL
+      SELECT 'interaction', df_ab, ss_ab, ss_e, df_e, denom FROM sc
+      UNION ALL
+      SELECT 'error', df_e, ss_e, ss_e, df_e, denom FROM sc
+      UNION ALL
+      SELECT 'total', df_t, ss_tot, ss_e, df_e, denom FROM sc
+    )
+    """,
+    doc="two-way factorial ANOVA (event_type × 6h-block over value): "
+    "SS for both main effects, their interaction, and error from "
+    "exact integer cell moments (each S²//n term truncates at the "
+    "1-micro² grid on both engines — zero floats until the final "
+    "F ratio), with eta² effect sizes in integer ppm — the factorial "
+    "decomposition beside agg_kruskal_wallis (1-way ranks) and "
+    "agg_ab_test (2 groups)",
+)
+def agg_two_way_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does the value metric depend on event type, time of day, or
+    their INTERACTION (the effect one-way tests can't see — e.g.
+    errors only spike at night)? Classic factorial sums of squares:
+    SS_A/B = Σ S_m²/n_m − S²/n over marginals, SS_AB = SS_cells −
+    SS_A − SS_B + CM, SS_E = SS_total − SS_cells; η² = SS/SS_total
+    ranks practical importance, F = MS/MS_E tests it. (Unbalanced
+    designs make this the proportional/Type-I decomposition — the
+    convention is stated, not hidden.)
+
+    Determinism: every S²//n term is an exact integer floor division
+    (micro² grid — both engines truncate toward zero on positive
+    operands), so all SS values and the ppm η² are pure integer
+    arithmetic; only the final F ratio is float (two correctly-
+    rounded divisions of string-cast exact integers, 1e-6 floor-
+    quantized). Moments route through HUGEINT/decimal(38,0): S² at
+    fact scale is n²·x² — past int64 by construction.
+
+    Scale: ONE map-side-combined pass builds the a×b cell table
+    (one fact shuffle on a 20-key space — AQE coalesces); marginals,
+    totals, and the 5-component readout are cell-table folds.
+    """
+    ev = load(spark, "events", sf_dir)
+    q = ev.select(
+        F.col("event_type").alias("a"),
+        F.expr("hour(ts) div 6").alias("b"),
+        F.floor(F.col("value") * 1000000.0 + F.lit(0.5))
+        .cast("decimal(38,0)")
+        .alias("x"),
+    )
+    cell = q.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("s"),
+    )
+    tot = q.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.countDistinct("a").cast("decimal(38,0)").alias("ka"),
+        F.countDistinct("b").cast("decimal(38,0)").alias("kb"),
+    )
+    _idiv = (
+        "cast(((({x}) - (({x}) % ({n}))) / ({n})) as decimal(38,0))"
+    )
+    _cm = _idiv.format(x="s * s", n="n")
+    margin_ss = lambda key: (  # noqa: E731
+        cell.groupBy(key)
+        .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+        .agg(F.sum(F.expr(_cm)).alias("v"))
+    )
+    ssc = cell.agg(F.sum(F.expr(_cm)).alias("v"))
+    nc = cell.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n_cells"))
+    _CM2 = _idiv.format(x="s * s", n="n")
+    sc = (
+        tot.crossJoin(F.broadcast(margin_ss("a").withColumnRenamed("v", "va")))
+        .crossJoin(F.broadcast(margin_ss("b").withColumnRenamed("v", "vb")))
+        .crossJoin(F.broadcast(ssc.withColumnRenamed("v", "vc")))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            F.expr(f"sxx - {_CM2}").alias("ss_tot"),
+            F.expr(f"va - {_CM2}").alias("ss_a"),
+            F.expr(f"vb - {_CM2}").alias("ss_b"),
+            F.expr(f"vc - va - vb + {_CM2}").alias("ss_ab"),
+            F.expr("sxx - vc").alias("ss_e"),
+            F.expr("ka - 1").alias("df_a"),
+            F.expr("kb - 1").alias("df_b"),
+            F.expr("(ka - 1) * (kb - 1)").alias("df_ab"),
+            F.expr("n - n_cells").alias("df_e"),
+            F.expr("n - 1").alias("df_t"),
+        )
+    )
+    comp = sc.selectExpr(
+        "stack(5, "
+        "'factor_a', df_a, ss_a, "
+        "'factor_b', df_b, ss_b, "
+        "'interaction', df_ab, ss_ab, "
+        "'error', df_e, ss_e, "
+        "'total', df_t, ss_tot) AS (component, df, ss)",
+        "ss_e AS _sse",
+        "df_e AS _dfe",
+        "ss_tot AS _denom",
+    )
+    f_stat = F.when(
+        (F.col("df") > 0) & (F.col("_sse") > 0) & (F.col("_dfe") > 0),
+        F.floor(
+            (
+                F.expr("CAST(CAST(ss AS STRING) AS DOUBLE)")
+                / F.expr("CAST(CAST(df AS STRING) AS DOUBLE)")
+            )
+            / (
+                F.expr("CAST(CAST(_sse AS STRING) AS DOUBLE)")
+                / F.expr("CAST(CAST(_dfe AS STRING) AS DOUBLE)")
+            )
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        / F.lit(1e6),
+    )
+    return comp.select(
+        "component",
+        F.col("df").cast("long").alias("df"),
+        F.expr("CAST(CAST(ss AS STRING) AS DOUBLE)").alias("ss_micro2"),
+        F.expr("cast(ss * 1000000 div _denom as bigint)").alias(
+            "eta2_ppm"
+        ),
+        f_stat.alias("f_stat"),
+    )
+
+
+# ---------- Levene variance-homogeneity test ----------
+
+
+@register(
+    "agg_levene_test",
+    """
+    WITH q AS (
+      SELECT event_type AS g,
+             CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS x
+      FROM events
+    ),
+    mu AS (
+      SELECT g, CAST(COUNT(*) AS HUGEINT) AS n, SUM(CAST(x AS HUGEINT)) AS s
+      FROM q GROUP BY g
+    ),
+    z AS (
+      SELECT q.g, CAST(ABS(CAST(q.x AS HUGEINT) - mu.s // mu.n) AS HUGEINT)
+               AS z
+      FROM q JOIN mu ON mu.g = q.g
+    ),
+    zg AS (
+      SELECT g, CAST(COUNT(*) AS HUGEINT) AS n, SUM(z) AS s,
+             SUM(z * z) AS sxx
+      FROM z GROUP BY g
+    ),
+    tot AS (
+      SELECT SUM(n) AS n, SUM(s) AS s, SUM(sxx) AS sxx,
+             CAST(COUNT(*) AS HUGEINT) AS k,
+             SUM(s * s // n) AS vb
+      FROM zg
+    ),
+    sc AS (
+      SELECT k - 1 AS df1, n - k AS df2,
+             vb - s * s // n AS ssb,
+             sxx - vb AS ssw
+      FROM tot
+    )
+    SELECT zg.g AS event_type, CAST(zg.n AS BIGINT) AS n,
+           CAST(zg.s // zg.n AS BIGINT) AS mean_absdev_micro,
+           CAST(sc.df1 AS BIGINT) AS df1, CAST(sc.df2 AS BIGINT) AS df2,
+           CASE WHEN sc.ssw > 0 THEN
+             FLOOR((CAST(CAST(sc.ssb AS VARCHAR) AS DOUBLE)
+                    / CAST(CAST(sc.df1 AS VARCHAR) AS DOUBLE))
+                   / (CAST(CAST(sc.ssw AS VARCHAR) AS DOUBLE)
+                      / CAST(CAST(sc.df2 AS VARCHAR) AS DOUBLE))
+                   * 1000000.0 + 0.5) / 1000000.0
+           END AS levene_w
+    FROM zg, sc
+    """,
+    doc="Levene variance-homogeneity test (integer-mean variant) "
+    "across event types: z = |x − floor-mean| in exact micro "
+    "integers, one-way ANOVA F over z from HUGEINT moments — the "
+    "equal-variance precondition check for agg_ab_test / "
+    "agg_two_way_anova (heteroscedastic groups invalidate pooled-"
+    "variance inference)",
+)
+def agg_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Are group variances equal? Levene's test runs a one-way ANOVA
+    on the absolute deviations z = |x − μ_g|: large between-group
+    spread of z means the VARIANCES differ, which silently breaks
+    every pooled-variance test upstream. The engine variant centers
+    on the integer floor-mean (μ_g = S_g div n_g, exact micro) —
+    within 1 micro of the float mean, and the deviation column stays
+    an exact integer so both engines agree bitwise (the
+    Brown-Forsythe median variant trades this for outlier
+    robustness; here determinism wins and the choice is stated).
+
+    All sums of squares use the exact HUGEINT/decimal(38,0) moment
+    identities (S²//n truncating division per the ANOVA convention);
+    only the final F ratio is float (string-cast divisions, 1e-6
+    floor-quantized).
+
+    Scale: two map-side-combined fact passes (group means, then
+    deviation moments) with the 5-row mean table broadcast into the
+    second — no shuffle of raw rows, no window, no join on the fact
+    key.
+    """
+    ev = load(spark, "events", sf_dir)
+    q = ev.select(
+        F.col("event_type").alias("g"),
+        F.floor(F.col("value") * 1000000.0 + F.lit(0.5))
+        .cast("long")
+        .alias("x"),
+    )
+    mu = q.groupBy("g").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("s"),
+    )
+    z = q.join(F.broadcast(mu), "g").select(
+        "g",
+        F.expr(
+            "cast(abs(cast(x as decimal(38,0)) - "
+            "cast(((s - (s % n)) / n) as decimal(38,0))) as decimal(38,0))"
+        ).alias("z"),
+    )
+    zg = z.groupBy("g").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("z").alias("s"),
+        F.sum(F.col("z") * F.col("z")).alias("sxx"),
+    )
+    _idiv = "cast(((({x}) - (({x}) % ({n}))) / ({n})) as decimal(38,0))"
+    vb_term = _idiv.format(x="s * s", n="n")
+    tot = zg.agg(
+        F.sum("n").alias("n"),
+        F.sum("s").alias("s"),
+        F.sum("sxx").alias("sxx"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("k"),
+        F.sum(F.expr(vb_term)).alias("vb"),
+    )
+    cm = _idiv.format(x="s * s", n="n")
+    sc = tot.select(
+        F.expr("k - 1").alias("df1"),
+        F.expr("n - k").alias("df2"),
+        F.expr(f"vb - {cm}").alias("ssb"),
+        F.expr("sxx - vb").alias("ssw"),
+    )
+    f_stat = F.when(
+        F.col("ssw") > 0,
+        F.floor(
+            (
+                F.expr("CAST(CAST(ssb AS STRING) AS DOUBLE)")
+                / F.expr("CAST(CAST(df1 AS STRING) AS DOUBLE)")
+            )
+            / (
+                F.expr("CAST(CAST(ssw AS STRING) AS DOUBLE)")
+                / F.expr("CAST(CAST(df2 AS STRING) AS DOUBLE)")
+            )
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        / F.lit(1e6),
+    )
+    return zg.crossJoin(F.broadcast(sc)).select(
+        F.col("g").alias("event_type"),
+        F.col("n").cast("long").alias("n"),
+        F.expr("cast(((s - (s % n)) / n) as bigint)").alias(
+            "mean_absdev_micro"
+        ),
+        F.col("df1").cast("long").alias("df1"),
+        F.col("df2").cast("long").alias("df2"),
+        f_stat.alias("levene_w"),
+    )
+
+
+# ---------- Friedman blocked rank test ----------
+
+_FRIED_CRIT_Q6 = 9487729  # chi2(4, 0.95) = 9.487729, quantized 1e-6
+
+
+@register(
+    "agg_friedman_test",
+    f"""
+    WITH q AS (
+      SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+             event_type AS t,
+             CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS qv
+      FROM events
+    ),
+    dm AS (
+      SELECT day, t, SUM(qv) // COUNT(*) AS x FROM q GROUP BY day, t
+    ),
+    kk AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS k FROM dm),
+    full_days AS (
+      SELECT day FROM dm, kk GROUP BY day, kk.k
+      HAVING COUNT(*) = MAX(kk.k)
+    ),
+    r AS (
+      SELECT dm.day, dm.t,
+             2 * RANK() OVER (PARTITION BY dm.day ORDER BY dm.x)
+               + CAST(COUNT(*) OVER (PARTITION BY dm.day, dm.x) AS BIGINT)
+               - 1 AS dr
+      FROM dm JOIN full_days USING (day)
+    ),
+    rt AS (
+      SELECT t, CAST(SUM(dr) AS HUGEINT) AS r2,
+             CAST(COUNT(*) AS HUGEINT) AS n
+      FROM r GROUP BY t
+    ),
+    sc AS (
+      SELECT MAX(n) AS n, CAST(MAX(kk.k) AS HUGEINT) AS k,
+             SUM(r2 * r2) AS sr2
+      FROM rt, kk
+    ),
+    fin AS (
+      SELECT n, k,
+             3 * sr2 * 1000000 // (4 * n * k * (k + 1))
+               - 3 * n * (k + 1) * 1000000 AS q_q6
+      FROM sc
+    )
+    SELECT rt.t AS event_type,
+           CAST(rt.r2 // 2 AS BIGINT) AS rank_sum_x2_half,
+           CAST(rt.r2 * 1000000 // (2 * rt.n) AS BIGINT) AS mean_rank_ppm,
+           CAST(fin.n AS BIGINT) AS n_blocks,
+           CAST(fin.k AS BIGINT) AS k,
+           CAST(fin.q_q6 AS DOUBLE) / 1000000.0 AS friedman_q,
+           CASE WHEN fin.k = 5
+                THEN COALESCE(fin.q_q6 >= {_FRIED_CRIT_Q6}, FALSE) END
+             AS reject_h0
+    FROM rt, fin
+    """,
+    doc="Friedman blocked rank test (days as blocks, event types as "
+    "treatments, daily mean value as the response): doubled midranks "
+    "keep ties integer-exact, Q = 3·ΣR2²·1e6//(4nk(k+1)) − 3n(k+1) "
+    "in pure integer ppm arithmetic, verdict vs χ²(4) when k=5 — "
+    "the repeated-measures sibling of agg_kruskal_wallis (which "
+    "ignores the day blocking this test controls for)",
+)
+def agg_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do event types differ AFTER controlling for day effects? Each
+    complete day ranks its k treatment means; Friedman's Q tests
+    whether rank sums diverge. Day-to-day level shifts — which
+    inflate Kruskal-Wallis's pooled ranks — cancel inside each block,
+    so this is the right k-sample test when blocks (days, subjects,
+    sites) dominate variance.
+
+    Determinism: doubled midranks (2·rank + ties − 1) are pure
+    integers; the day-mean response is an exact integer division;
+    Q's rational term is ONE truncating integer division at the 1e-6
+    grid and the subtrahend 3n(k+1)·1e6 is exact — no floats
+    anywhere, including the χ²(4) verdict (quantized-integer
+    compare, emitted only for k = 5 where the literal applies;
+    incomplete days are excluded, stated not hidden).
+
+    Scale: one map-side-combined (day, type) aggregate off the fact
+    scan; ranks run in windows partitioned by DAY over ≤k rows each
+    (never global); everything after is k-row arithmetic. R2² at a
+    century of days ~ (2k·n)² ≈ 1e12 — HUGEINT/decimal(38,0) per
+    the convention anyway.
+    """
+    ev = load(spark, "events", sf_dir)
+    q = ev.select(
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        F.col("event_type").alias("t"),
+        F.floor(F.col("value") * 1000000.0 + F.lit(0.5))
+        .cast("long")
+        .alias("qv"),
+    )
+    dm = q.groupBy("day", "t").agg(
+        F.expr("sum(qv) div count(1)").cast("long").alias("x")
+    )
+    kk = dm.agg(F.countDistinct("t").cast("long").alias("k"))
+    full_days = (
+        dm.crossJoin(F.broadcast(kk))
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("_c"), F.max("k").alias("_k")
+        )
+        .filter(F.col("_c") == F.col("_k"))
+        .select("day")
+    )
+    wr = Window.partitionBy("day").orderBy("x")
+    wt = Window.partitionBy("day", "x")
+    r = dm.join(F.broadcast(full_days), "day").select(
+        "day",
+        "t",
+        (
+            F.lit(2) * F.rank().over(wr)
+            + F.count(F.lit(1)).over(wt).cast("long")
+            - 1
+        ).alias("dr"),
+    )
+    rt = r.groupBy("t").agg(
+        F.sum("dr").cast("decimal(38,0)").alias("r2"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+    )
+    sc = rt.crossJoin(F.broadcast(kk)).agg(
+        F.max("n").alias("n"),
+        F.max("k").cast("decimal(38,0)").alias("k"),
+        F.sum(F.col("r2") * F.col("r2")).alias("sr2"),
+    )
+    fin = sc.select(
+        F.col("n").alias("nb"),
+        "k",
+        F.expr(
+            "3 * sr2 * 1000000 div (4 * n * k * (k + 1)) "
+            "- 3 * n * (k + 1) * 1000000"
+        ).alias("q_q6"),
+    )
+    return rt.crossJoin(F.broadcast(fin)).select(
+        F.col("t").alias("event_type"),
+        F.expr("cast(r2 div 2 as bigint)").alias("rank_sum_x2_half"),
+        F.expr("cast(r2 * 1000000 div (2 * n) as bigint)").alias(
+            "mean_rank_ppm"
+        ),
+        F.col("nb").cast("long").alias("n_blocks"),
+        F.col("k").cast("long").alias("k"),
+        (F.col("q_q6").cast("double") / F.lit(1e6)).alias("friedman_q"),
+        F.when(
+            F.col("k") == 5,
+            F.coalesce(F.col("q_q6") >= _FRIED_CRIT_Q6, F.lit(False)),
+        ).alias("reject_h0"),
+    )

@@ -2074,3 +2074,143 @@ def agg_rate_mix_decomposition(
             ).alias("rate_effect_micro"),
         )
     )
+
+
+# ---------- item-item collaborative filtering ----------
+
+_II_K = 3  # neighbors kept per item
+_II_MIN_CO = 2  # noise floor: singleton co-occurrences carry no signal
+
+
+@register(
+    "rec_item_item",
+    f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ), item_cnt AS (
+      SELECT pk, CAST(COUNT(*) AS HUGEINT) AS c FROM items GROUP BY pk
+    ), pairs AS (
+      SELECT a.pk AS pa, b.pk AS pb, CAST(COUNT(*) AS HUGEINT) AS co
+      FROM items a JOIN items b ON b.ok = a.ok AND a.pk < b.pk
+      GROUP BY a.pk, b.pk
+      HAVING COUNT(*) >= {_II_MIN_CO}
+    ), sym AS (
+      SELECT pa, pb, co FROM pairs
+      UNION ALL
+      SELECT pb AS pa, pa AS pb, co FROM pairs
+    ), scored AS (
+      SELECT s.pa, s.pb, s.co,
+             CAST(s.co * s.co * 1000000000000 // (ca.c * cb.c)
+                  AS BIGINT) AS cos2_p12
+      FROM sym s
+      JOIN item_cnt ca ON ca.pk = s.pa
+      JOIN item_cnt cb ON cb.pk = s.pb
+    )
+    SELECT CAST(pa AS BIGINT) AS item, CAST(rnk AS BIGINT) AS rnk,
+           CAST(pb AS BIGINT) AS neighbor,
+           CAST(co AS BIGINT) AS n_cooccur, cos2_p12,
+           FLOOR(SQRT(CAST(cos2_p12 AS DOUBLE) / 1000000000000.0)
+                 * 1000000000.0 + 0.5) / 1000000000.0 AS cosine
+    FROM (
+      SELECT pa, pb, co, cos2_p12, ROW_NUMBER() OVER (
+        PARTITION BY pa ORDER BY cos2_p12 DESC, pb) AS rnk
+      FROM scored) t
+    WHERE rnk <= {_II_K}
+    """,
+    doc=f"item-item collaborative filtering: per-part top-{_II_K} "
+    "neighbor list by co-occurrence cosine co/sqrt(n_a*n_b) — ranked "
+    "on the exact integer co^2*1e12//(n_a*n_b) key (no float ties), "
+    "the 'customers also bought' serving table; sibling of "
+    "agg_market_basket (global pair lift) and ml_als_user_solve "
+    "(latent factors) — this is the memory-based neighbor model",
+)
+def rec_item_item(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic Amazon-style item-item recommender table: for each
+    part, the top-k other parts by co-occurrence cosine
+    co/√(n_a·n_b) over order baskets. Ranking happens on the EXACT
+    integer key co²·1e12 div (n_a·n_b) (monotone in cosine), so
+    neighbor order never depends on float comparison; the cosine
+    itself is reported via sqrt (correctly rounded per IEEE-754 —
+    safe cross-engine, unlike ln/exp) floor-quantized at 1e-9.
+
+    Distinct from ``agg_market_basket`` (one global top-N pair list
+    with support/confidence/lift) — this is the per-item normalized
+    neighbor ranking a retrieval service joins against a session's
+    items; and from ``ml_als_user_solve`` (model-based latent
+    factors) — this is the memory-based neighborhood method.
+
+    Scale: ONE fact shuffle builds sorted basket arrays; the k²
+    ordered pairs generate expression-side (baskets bounded per
+    order), map-side combine collapses them to the item-vocab-sized
+    pair table. Everything downstream — symmetrization, count joins
+    (broadcast), the per-item top-k window — runs on vocab² rows at
+    most, partitioned by item (never a global window). co² products
+    route through decimal(38,0)/HUGEINT per the overflow convention.
+    """
+    li = load(spark, "lineitem", sf_dir)
+    raw = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    )
+    baskets = raw.groupBy("ok").agg(
+        F.sort_array(F.collect_set("pk")).alias("ps")
+    )
+    item_cnt = (
+        baskets.select(F.explode("ps").alias("pk"))
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("c"))
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (a, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "b -> struct(a AS pa, b AS pb))))"
+                )
+            ).alias("pr")
+        )
+        .select(F.col("pr.pa").alias("pa"), F.col("pr.pb").alias("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("co"))
+        .filter(F.col("co") >= _II_MIN_CO)
+    )
+    sym = pairs.unionByName(
+        pairs.select(
+            F.col("pb").alias("pa"), F.col("pa").alias("pb"), "co"
+        )
+    )
+    ca = item_cnt.select(F.col("pk").alias("pa"), F.col("c").alias("ca"))
+    cb = item_cnt.select(F.col("pk").alias("pb"), F.col("c").alias("cb"))
+    scored = (
+        sym.join(F.broadcast(ca), "pa")
+        .join(F.broadcast(cb), "pb")
+        .select(
+            "pa",
+            "pb",
+            "co",
+            F.expr(
+                "cast(co * co * 1000000000000 div (ca * cb) as bigint)"
+            ).alias("cos2_p12"),
+        )
+    )
+    w = Window.partitionBy("pa").orderBy(
+        F.desc("cos2_p12"), F.asc("pb")
+    )
+    top = scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= _II_K
+    )
+    return top.select(
+        F.col("pa").cast("long").alias("item"),
+        F.col("rnk").cast("long").alias("rnk"),
+        F.col("pb").cast("long").alias("neighbor"),
+        F.col("co").cast("long").alias("n_cooccur"),
+        "cos2_p12",
+        (
+            F.floor(
+                F.sqrt(F.col("cos2_p12").cast("double") / F.lit(1e12))
+                * F.lit(1e9)
+                + F.lit(0.5)
+            )
+            / F.lit(1e9)
+        ).alias("cosine"),
+    )

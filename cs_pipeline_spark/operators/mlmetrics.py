@@ -3625,3 +3625,447 @@ def ml_offpolicy_ips(spark: SparkSession, sf_dir: str) -> DataFrame:
             "as bigint)"
         ).alias("matched_mean_micro"),
     )
+
+
+# ---------- McNemar paired-classifier test ----------
+
+_MCN_CRIT_Q6 = 3841459  # chi2(1, 0.95) = 3.841459, quantized 1e-6
+
+
+@register(
+    "ml_mcnemar_test",
+    f"""
+    WITH q AS (
+      SELECT (event_type = 'error') AS y,
+             (value >= 500.0) AS pa,
+             (hour(ts) < 6) AS pb
+      FROM events
+    ),
+    c AS (
+      SELECT
+        CAST(SUM(CASE WHEN (pa = y) AND (pb = y) THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_both,
+        CAST(SUM(CASE WHEN (pa = y) AND (pb <> y) THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_a_only,
+        CAST(SUM(CASE WHEN (pa <> y) AND (pb = y) THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_b_only,
+        CAST(SUM(CASE WHEN (pa <> y) AND (pb <> y) THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_neither
+      FROM q
+    ),
+    s AS (
+      SELECT n_both, n_a_only, n_b_only, n_neither,
+             CASE WHEN n_a_only + n_b_only > 0 THEN
+               CAST(FLOOR(
+                 CAST((ABS(n_a_only - n_b_only) - 1)
+                      * (ABS(n_a_only - n_b_only) - 1) AS DOUBLE)
+                 / CAST(n_a_only + n_b_only AS DOUBLE)
+                 * 1000000.0 + 0.5) AS BIGINT)
+             END AS chi2_q
+      FROM c
+    )
+    SELECT n_both, n_a_only, n_b_only, n_neither,
+           CAST(chi2_q AS DOUBLE) / 1000000.0 AS mcnemar_chi2,
+           COALESCE(chi2_q >= {_MCN_CRIT_Q6}, FALSE) AS differ
+    FROM s
+    """,
+    doc="McNemar paired test comparing two deterministic error "
+    "detectors (value threshold vs night-hours rule) on the same "
+    "events: discordant-pair counts, continuity-corrected "
+    "(|b−c|−1)²/(b+c) quantized 1e-6, verdict vs the χ²(1) 95% "
+    "critical value on the QUANTIZED statistic — the right test for "
+    "'is model A actually better than model B on the SAME data' "
+    "(two-proportion z on overlapping samples is wrong)",
+)
+def ml_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comparing two classifiers evaluated on the SAME rows is a
+    paired design: accuracies share the n_both/n_neither mass, so the
+    unpaired z-test double-counts it. McNemar conditions on the
+    discordant pairs only — b rows where only A is right, c where
+    only B — and tests b = c with the continuity-corrected chi².
+    Here the two 'models' are deterministic rules (a value threshold
+    and an hour-of-day rule) predicting the error label, making the
+    contingency reproducible with zero training state.
+
+    Determinism: the 2×2 discordance table is exact integer counts
+    from ONE conditional aggregation; the statistic is one float
+    division of exact integers, floor-quantized 1e-6, and the
+    verdict compares quantized integers. Degenerate b+c = 0 yields
+    NULL, verdict FALSE (COALESCE'd on both sides).
+
+    Scale: one map-side-combined fact pass to four counters. Nothing
+    else.
+    """
+    ev = load(spark, "events", sf_dir)
+    q = ev.select(
+        (F.col("event_type") == "error").alias("y"),
+        (F.col("value") >= 500.0).alias("pa"),
+        (F.hour("ts") < 6).alias("pb"),
+    )
+    cnt = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("long")  # noqa: E731
+    a_ok = F.col("pa") == F.col("y")
+    b_ok = F.col("pb") == F.col("y")
+    c = q.agg(
+        cnt(a_ok & b_ok).alias("n_both"),
+        cnt(a_ok & ~b_ok).alias("n_a_only"),
+        cnt(~a_ok & b_ok).alias("n_b_only"),
+        cnt(~a_ok & ~b_ok).alias("n_neither"),
+    )
+    chi2_q = F.when(
+        F.col("n_a_only") + F.col("n_b_only") > 0,
+        F.floor(
+            (
+                (F.abs(F.col("n_a_only") - F.col("n_b_only")) - 1)
+                * (F.abs(F.col("n_a_only") - F.col("n_b_only")) - 1)
+            ).cast("double")
+            / (F.col("n_a_only") + F.col("n_b_only")).cast("double")
+            * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    s = c.withColumn("chi2_q", chi2_q)
+    return s.select(
+        "n_both",
+        "n_a_only",
+        "n_b_only",
+        "n_neither",
+        (F.col("chi2_q").cast("double") / F.lit(1e6)).alias(
+            "mcnemar_chi2"
+        ),
+        F.coalesce(F.col("chi2_q") >= _MCN_CRIT_Q6, F.lit(False)).alias(
+            "differ"
+        ),
+    )
+
+
+# ---------- AdaBoost over two decision stumps ----------
+
+
+@register(
+    "ml_adaboost_stumps",
+    """
+    WITH q AS (
+      SELECT CAST(event_type = 'error' AS INT) AS y,
+             CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS qv,
+             CAST(hour(ts) AS BIGINT) AS hr
+      FROM events
+    ),
+    r AS (
+      SELECT qv, ROW_NUMBER() OVER (ORDER BY qv) AS rn,
+             COUNT(*) OVER () AS nn
+      FROM q
+    ),
+    thr1 AS (
+      SELECT k.k, r.qv AS t
+      FROM (SELECT unnest(range(1, 10)) AS k) k
+      JOIN r ON r.rn = (k.k * (r.nn - 1)) // 10 + 1
+    ),
+    ev1 AS (
+      SELECT thr1.t, CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(CASE WHEN (qv > t) <> (y = 1) THEN 1 ELSE 0 END)
+                  AS HUGEINT) AS ep
+      FROM q CROSS JOIN thr1 GROUP BY thr1.t
+    ),
+    cand1 AS (
+      SELECT t, n, 1 AS pol, ep AS e FROM ev1
+      UNION ALL
+      SELECT t, n, 0 AS pol, n - ep AS e FROM ev1
+    ),
+    s1 AS (
+      SELECT t, n, pol, e, ROW_NUMBER() OVER (
+        ORDER BY e ASC, t ASC, pol DESC) AS rnk
+      FROM cand1
+    ),
+    b1 AS (SELECT t, n, pol, e FROM s1 WHERE rnk = 1),
+    m1 AS (
+      SELECT q.y, q.hr,
+             CASE WHEN (CASE WHEN b1.pol = 1 THEN q.qv > b1.t
+                             ELSE q.qv <= b1.t END) <> (q.y = 1)
+                  THEN 1 ELSE 0 END AS mis1
+      FROM q, b1
+    ),
+    thr2 AS (SELECT unnest(range(0, 23)) AS t2),
+    ev2 AS (
+      SELECT thr2.t2, b1.n, b1.e,
+             CAST(SUM(CASE WHEN (hr > t2) <> (y = 1) AND mis1 = 1
+                           THEN 1 ELSE 0 END) AS HUGEINT) AS mm,
+             CAST(SUM(CASE WHEN (hr > t2) <> (y = 1) AND mis1 = 0
+                           THEN 1 ELSE 0 END) AS HUGEINT) AS mc
+      FROM m1 CROSS JOIN thr2, b1
+      GROUP BY thr2.t2, b1.n, b1.e
+    ),
+    cand2 AS (
+      SELECT t2, n, e, 1 AS pol,
+             (n - e) * mm + e * mc AS w FROM ev2
+      UNION ALL
+      SELECT t2, n, e, 0 AS pol,
+             (n - e) * (e - mm) + e * ((n - e) - mc) AS w FROM ev2
+    ),
+    s2 AS (
+      SELECT t2, n, e, pol, w, ROW_NUMBER() OVER (
+        ORDER BY w ASC, t2 ASC, pol DESC) AS rnk
+      FROM cand2
+    ),
+    b2 AS (SELECT t2, n, e, pol, w FROM s2 WHERE rnk = 1),
+    al AS (
+      SELECT b1.t AS t1, b1.pol AS pol1, b1.e AS e1, b1.n,
+             b2.t2, b2.pol AS pol2, b2.w AS w2,
+             2 * b1.e * (b1.n - b1.e) AS wtot,
+             CAST(FLOOR(0.5 * ln(
+               CAST(CAST(b1.n - b1.e AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(b1.e AS VARCHAR) AS DOUBLE))
+               * 1000000000.0 + 0.5) AS BIGINT) AS a1q,
+             CAST(FLOOR(0.5 * ln(
+               CAST(CAST(2 * b1.e * (b1.n - b1.e) - b2.w AS VARCHAR)
+                    AS DOUBLE)
+               / CAST(CAST(b2.w AS VARCHAR) AS DOUBLE))
+               * 1000000000.0 + 0.5) AS BIGINT) AS a2q
+      FROM b1, b2
+    ),
+    acc AS (
+      SELECT al.t1, al.pol1, al.e1, al.n, al.t2, al.pol2, al.w2,
+             al.wtot, al.a1q, al.a2q,
+             CAST(SUM(CASE WHEN ((
+               al.a1q * (CASE WHEN (CASE WHEN al.pol1 = 1
+                                        THEN q.qv > al.t1
+                                        ELSE q.qv <= al.t1 END)
+                              THEN 1 ELSE -1 END)
+               + al.a2q * (CASE WHEN (CASE WHEN al.pol2 = 1
+                                          THEN q.hr > al.t2
+                                          ELSE q.hr <= al.t2 END)
+                                THEN 1 ELSE -1 END)) > 0)
+               = (q.y = 1) THEN 1 ELSE 0 END) AS HUGEINT) AS ok
+      FROM q, al
+      GROUP BY al.t1, al.pol1, al.e1, al.n, al.t2, al.pol2, al.w2,
+               al.wtot, al.a1q, al.a2q
+    )
+    SELECT CAST(t1 AS DOUBLE) / 1000000.0 AS threshold1,
+           CAST(pol1 AS BIGINT) AS pol1,
+           CAST(e1 * 1000000 // n AS BIGINT) AS err1_ppm,
+           CAST(a1q AS DOUBLE) / 1000000000.0 AS alpha1,
+           CAST(t2 AS BIGINT) AS hour_threshold2,
+           CAST(pol2 AS BIGINT) AS pol2,
+           CAST(w2 * 1000000 // wtot AS BIGINT) AS err2_ppm,
+           CAST(a2q AS DOUBLE) / 1000000000.0 AS alpha2,
+           CAST(ok * 1000000 // n AS BIGINT) AS train_acc_ppm
+    FROM acc
+    """,
+    doc="AdaBoost (2 rounds) over decision stumps: round 1 picks the "
+    "best (value-decile, polarity) stump by 0-1 error, the exact "
+    "rational reweighting (mis -> n-e, correct -> e — integer "
+    "weights, no floats) trains a second stump on hour-of-day by "
+    "weighted error, alphas = half-log-odds quantized 1e-9, ensemble "
+    "train accuracy from the quantized weighted vote — the boosting "
+    "step ml_decision_stump feeds (its Gini splitter is the "
+    "weak-learner inner loop; this is the ensemble outer loop)",
+)
+def ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boosting in exact arithmetic: after round 1 the AdaBoost
+    reweighting gives every misclassified row weight 1/(2e) and every
+    correct row 1/(2(n−e)) — so RELATIVE integer weights (n−e) vs e
+    drop the normalization entirely and the round-2 weighted error is
+    a pure integer comparison ((n−e)·mis∩mis + e·mis∩corr vs the
+    total 2e(n−e)). Nothing about boosting forces floats until the
+    α = ½ln((1−ε)/ε) coefficients, which are single lns of exact
+    integer ratios quantized at 1e-9; the ensemble vote compares
+    quantized-integer sums, so the 4-leaf decision rule is
+    bit-deterministic (a tied vote predicts negative — strict >).
+
+    Round-2 candidates are the 23 hour split points (bounded
+    literal); round 1 uses the 9 exact value deciles via
+    ``with_rank_targets``. Polarity ties break toward pol=1.
+
+    Scale: three fact passes (decile evaluation, round-2 weighted
+    counts, ensemble accuracy), each a broadcast-candidate
+    conditional aggregation — no shuffle of raw rows beyond the
+    map-side combines; weight products reach n² →
+    HUGEINT/decimal(38,0) per the convention. The ≤9-row stump/alpha
+    picks are eager-localCheckpointed: each is referenced by every
+    later round, so without truncation the plan doubles per round
+    (the graph_k_core rule) — this is also exactly how deeper
+    ensembles iterate.
+    """
+    ev = load(spark, "events", sf_dir)
+    d38 = "decimal(38,0)"
+    q = pin(
+        ev.select(
+            (F.col("event_type") == "error").cast("int").alias("y"),
+            F.floor(F.col("value") * 1000000.0 + F.lit(0.5))
+            .cast("long")
+            .alias("qv"),
+            F.hour("ts").cast("long").alias("hr"),
+        )
+    )
+    thr1 = (
+        with_rank_targets(
+            q.select("qv"),
+            "qv",
+            (),
+            ["((tid + 1) * (nn - 1)) div 10 + 1"] * 9,
+        )
+        .select(F.col("value").alias("t"))
+        .localCheckpoint(eager=True)
+    )
+    ev1 = (
+        q.crossJoin(F.broadcast(thr1))
+        .groupBy("t")
+        .agg(
+            F.count(F.lit(1)).cast(d38).alias("n"),
+            F.sum(
+                F.when(
+                    (F.col("qv") > F.col("t")) != (F.col("y") == 1), 1
+                ).otherwise(0)
+            )
+            .cast(d38)
+            .alias("ep"),
+        )
+    )
+    cand1 = ev1.selectExpr(
+        "t", "n", "1 AS pol", "ep AS e"
+    ).unionByName(ev1.selectExpr("t", "n", "0 AS pol", "n - ep AS e"))
+    b1 = (
+        cand1.withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy(one_part("t")).orderBy(
+                    F.asc("e"), F.asc("t"), F.desc("pol")
+                )
+            ),
+        )
+        .filter(F.col("rnk") == 1)
+        .drop("rnk")
+        .localCheckpoint(eager=True)
+    )
+    m1 = q.crossJoin(F.broadcast(b1)).select(
+        "y",
+        "hr",
+        F.col("n"),
+        F.col("e"),
+        F.when(
+            F.expr(
+                "(CASE WHEN pol = 1 THEN qv > t ELSE qv <= t END) "
+                "<> (y = 1)"
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("mis1"),
+    )
+    thr2 = spark.range(0, 23).select(F.col("id").alias("t2"))
+    ev2 = (
+        m1.crossJoin(F.broadcast(thr2))
+        .groupBy("t2", "n", "e")
+        .agg(
+            F.sum(
+                F.when(
+                    F.expr("((hr > t2) <> (y = 1)) AND mis1 = 1"), 1
+                ).otherwise(0)
+            )
+            .cast(d38)
+            .alias("mm"),
+            F.sum(
+                F.when(
+                    F.expr("((hr > t2) <> (y = 1)) AND mis1 = 0"), 1
+                ).otherwise(0)
+            )
+            .cast(d38)
+            .alias("mc"),
+        )
+    )
+    cand2 = ev2.selectExpr(
+        "t2", "n", "e", "1 AS pol", "(n - e) * mm + e * mc AS w"
+    ).unionByName(
+        ev2.selectExpr(
+            "t2",
+            "n",
+            "e",
+            "0 AS pol",
+            "(n - e) * (e - mm) + e * ((n - e) - mc) AS w",
+        )
+    )
+    b2 = (
+        cand2.withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy(one_part("t2")).orderBy(
+                    F.asc("w"), F.asc("t2"), F.desc("pol")
+                )
+            ),
+        )
+        .filter(F.col("rnk") == 1)
+        .selectExpr("t2", "pol AS pol2", "w")
+        .localCheckpoint(eager=True)
+    )
+    qln = (
+        lambda num, den: F.floor(
+            F.lit(0.5)
+            * F.log(
+                F.expr(f"CAST(CAST({num} AS STRING) AS DOUBLE)")
+                / F.expr(f"CAST(CAST({den} AS STRING) AS DOUBLE)")
+            )
+            * F.lit(1e9)
+            + F.lit(0.5)
+        ).cast("long")
+    )  # noqa: E731
+    al = (
+        b1.selectExpr("t AS t1", "pol AS pol1", "e AS e1", "n")
+        .crossJoin(F.broadcast(b2))
+        .select(
+            "t1",
+            "pol1",
+            "e1",
+            "n",
+            "t2",
+            "pol2",
+            F.col("w").alias("w2"),
+            F.expr("2 * e1 * (n - e1)").alias("wtot"),
+            qln("n - e1", "e1").alias("a1q"),
+            qln("2 * e1 * (n - e1) - w", "w").alias("a2q"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    acc = (
+        q.crossJoin(F.broadcast(al))
+        .agg(
+            F.sum(
+                F.when(
+                    F.expr(
+                        "((a1q * (CASE WHEN (CASE WHEN pol1 = 1 "
+                        "THEN qv > t1 ELSE qv <= t1 END) "
+                        "THEN 1 ELSE -1 END) "
+                        "+ a2q * (CASE WHEN (CASE WHEN pol2 = 1 "
+                        "THEN hr > t2 ELSE hr <= t2 END) "
+                        "THEN 1 ELSE -1 END)) > 0) = (y = 1)"
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+            .cast(d38)
+            .alias("ok"),
+            F.max("t1").alias("t1"),
+            F.max("pol1").alias("pol1"),
+            F.max("e1").alias("e1"),
+            F.max("n").alias("n"),
+            F.max("t2").alias("t2"),
+            F.max("pol2").alias("pol2"),
+            F.max("w2").alias("w2"),
+            F.max("wtot").alias("wtot"),
+            F.max("a1q").alias("a1q"),
+            F.max("a2q").alias("a2q"),
+        )
+    )
+    return acc.select(
+        (F.col("t1").cast("double") / F.lit(1e6)).alias("threshold1"),
+        F.col("pol1").cast("long").alias("pol1"),
+        F.expr("cast(e1 * 1000000 div n as bigint)").alias("err1_ppm"),
+        (F.col("a1q").cast("double") / F.lit(1e9)).alias("alpha1"),
+        F.col("t2").cast("long").alias("hour_threshold2"),
+        F.col("pol2").cast("long").alias("pol2"),
+        F.expr("cast(w2 * 1000000 div wtot as bigint)").alias(
+            "err2_ppm"
+        ),
+        (F.col("a2q").cast("double") / F.lit(1e9)).alias("alpha2"),
+        F.expr("cast(ok * 1000000 div n as bigint)").alias(
+            "train_acc_ppm"
+        ),
+    )

@@ -1917,3 +1917,131 @@ def text_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("freq")
         .limit(20)
     )
+
+
+# ---------- RAKE keyword extraction ----------
+
+_RAKE_TOP = 15
+_RAKE_MAXLEN = 3
+# Python-API regex (F.regexp_replace takes the pattern directly —
+# "\\b" here; the quadruple-backslash form is only for SQL strings)
+_RAKE_STOP_RE = "\\b(" + "|".join(_STOPWORDS) + ")\\b"
+_RAKE_STOP_RE_DUCK = "\\b(" + "|".join(_STOPWORDS) + ")\\b"
+
+
+@register(
+    "text_rake_keywords",
+    f"""
+    WITH frags AS (
+      SELECT unnest(list_filter(
+               list_transform(
+                 string_split(regexp_replace({_NORM_DUCK},
+                   '{_RAKE_STOP_RE_DUCK}', '|', 'g'), '|'),
+                 p -> trim(regexp_replace(p, ' +', ' ', 'g'))),
+               p -> p <> '')) AS phrase
+      FROM documents
+    ),
+    ph AS (
+      SELECT phrase, len(string_split(phrase, ' ')) AS k FROM frags
+      WHERE len(string_split(phrase, ' ')) <= {_RAKE_MAXLEN}
+    ),
+    wstat AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(k) AS BIGINT) AS deg
+      FROM (SELECT unnest(string_split(phrase, ' ')) AS w, k FROM ph)
+      GROUP BY w
+    ),
+    pdist AS (
+      SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occur,
+             CAST(MAX(k) AS BIGINT) AS n_words
+      FROM ph GROUP BY phrase
+    ),
+    scored AS (
+      SELECT p.phrase, p.n_occur, p.n_words,
+             CAST(SUM(ws.deg * 1000000 // ws.freq) AS BIGINT) AS score_p6
+      FROM (SELECT phrase, n_occur, n_words,
+                   unnest(string_split(phrase, ' ')) AS w
+            FROM pdist) p
+      JOIN wstat ws ON ws.w = p.w
+      GROUP BY p.phrase, p.n_occur, p.n_words
+    )
+    SELECT phrase, n_occur, n_words, score_p6
+    FROM scored
+    ORDER BY score_p6 DESC, n_occur DESC, phrase
+    LIMIT {_RAKE_TOP}
+    """,
+    doc=f"RAKE keyword extraction: stopword/delimiter runs segment "
+    f"docs into candidate phrases (≤{_RAKE_MAXLEN} words), each word "
+    "scored degree·1e6//freq over the whole corpus, phrase score = "
+    "sum of member-word scores — the phrase-level keyword ranker "
+    "beside text_keywords_rare (single-token tf-df) and "
+    "text_bigram_pmi (collocation strength)",
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE (Rapid Automatic Keyword Extraction): candidate phrases
+    are the maximal runs of content words between stopword/delimiter
+    breaks; each word gets score deg/freq (deg = Σ length of phrases
+    it appears in — words that live in longer phrases score higher),
+    and a phrase scores the sum of its words. The co-occurrence
+    degree signal is what separates RAKE from plain frequency — and
+    from ``text_keywords_rare`` (token-level tf×df rarity) and
+    ``text_bigram_pmi`` (pairwise collocation): RAKE ranks variable-
+    length phrases. Runs longer than the cap are dropped (stated, not
+    hidden); scores are exact integers (deg·1e6 div freq, truncating
+    on both engines), so ranking never touches floats.
+
+    Scale: phrase segmentation is expression-side regex on the scan
+    (one fact pass, no Python); word stats and distinct-phrase tables
+    are vocabulary-sized, so the score join broadcasts. Top-N is
+    orderBy+limit → TakeOrderedAndProject, never a global window.
+    """
+    docs = load(spark, "documents", sf_dir)
+    frags = docs.select(
+        F.explode(
+            F.filter(
+                F.transform(
+                    F.split(
+                        F.regexp_replace(
+                            F.expr(_NORM), _RAKE_STOP_RE, "|"
+                        ),
+                        "\\|",
+                    ),
+                    lambda p: F.trim(F.regexp_replace(p, " +", " ")),
+                ),
+                lambda p: p != "",
+            )
+        ).alias("phrase")
+    )
+    ph = frags.select(
+        "phrase", F.size(F.split("phrase", " ")).alias("k")
+    ).filter(F.col("k") <= _RAKE_MAXLEN)
+    wstat = (
+        ph.select(F.explode(F.split("phrase", " ")).alias("w"), "k")
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("k").cast("long").alias("deg"),
+        )
+    )
+    pdist = ph.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occur"),
+        F.max("k").cast("long").alias("n_words"),
+    )
+    scored = (
+        pdist.select(
+            "phrase",
+            "n_occur",
+            "n_words",
+            F.explode(F.split("phrase", " ")).alias("w"),
+        )
+        .join(F.broadcast(wstat), "w")
+        .groupBy("phrase", "n_occur", "n_words")
+        .agg(
+            F.sum(F.expr("deg * 1000000 div freq"))
+            .cast("long")
+            .alias("score_p6")
+        )
+    )
+    return scored.orderBy(
+        F.desc("score_p6"), F.desc("n_occur"), F.asc("phrase")
+    ).limit(_RAKE_TOP)

@@ -434,3 +434,142 @@ def features_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_at_bounds"),
     )
+
+
+# ---------- weight of evidence / information value ----------
+
+
+@register(
+    "features_woe_iv",
+    """
+    WITH q AS (
+      SELECT CAST(hour(ts) AS BIGINT) AS bin_hour,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    b AS (
+      SELECT bin_hour,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(y) AS HUGEINT) AS g
+      FROM q GROUP BY bin_hour
+    ),
+    t AS (SELECT SUM(g) AS gt, SUM(n - g) AS bt FROM b),
+    w AS (
+      SELECT b.bin_hour, b.n, b.g, b.n - b.g AS bad, t.gt, t.bt,
+             CASE WHEN b.g > 0 AND b.n - b.g > 0 THEN
+               CAST(FLOOR(
+                 ln(CAST(CAST(b.g * t.bt AS VARCHAR) AS DOUBLE)
+                    / CAST(CAST((b.n - b.g) * t.gt AS VARCHAR) AS DOUBLE))
+                 * 1000000000.0 + 0.5) AS BIGINT)
+             ELSE NULL END AS woe_q
+      FROM b, t
+    ),
+    iv AS (
+      SELECT bin_hour, n, g, bad, gt, bt, woe_q,
+             CASE WHEN woe_q IS NULL THEN 0 ELSE
+               CAST(FLOOR(
+                 CAST(CAST(g * bt - bad * gt AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(gt * bt AS VARCHAR) AS DOUBLE)
+                 * (CAST(woe_q AS DOUBLE) / 1000000000.0)
+                 * 1000000000.0 + 0.5) AS BIGINT)
+             END AS term_q
+      FROM w
+    )
+    SELECT bin_hour,
+           CAST(n AS BIGINT) AS n_events,
+           CAST(g AS BIGINT) AS n_good,
+           CAST(bad AS BIGINT) AS n_bad,
+           CAST(woe_q AS DOUBLE) / 1000000000.0 AS woe,
+           CAST(term_q AS DOUBLE) / 1000000000.0 AS iv_term,
+           CAST(CAST((SELECT SUM(term_q) FROM iv) AS DOUBLE)
+             / 1000000000.0 AS DOUBLE) AS iv_total
+    FROM iv
+    """,
+    doc="weight-of-evidence feature screening: per hour-of-day bin, "
+    "WOE = ln(good-share / bad-share) of purchase conversion from "
+    "exact integer counts (each ln and IV term floor-quantized 1e-9 "
+    "before any cross-bin sum), plus the total information value — "
+    "the credit-scoring-style predictive-power screen that ranks "
+    "candidate categorical features BEFORE any model is trained",
+)
+def features_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight of evidence + information value — the standard screen
+    for 'does this categorical feature separate the binary target at
+    all': WOE_c = ln((good_c/G)/(bad_c/B)) per category, and
+    IV = Σ_c (good_c/G − bad_c/B)·WOE_c (rule of thumb: < 0.02
+    useless, > 0.3 strong). Here the feature is hour-of-day and the
+    target is purchase conversion.
+
+    Determinism: counts are exact HUGEINT/decimal(38,0); the WOE
+    ratio (g·B)/(bad·G) is one correctly-rounded double division of
+    string-cast exact integers, its ln floor-quantized to the 1e-9
+    grid; each IV term multiplies the exact share difference
+    (g·B − bad·G)/(G·B) by the QUANTIZED WOE and is itself quantized
+    before the cross-bin integer sum (the chi2/entropy convention).
+    One-sided bins (no goods or no bads) get NULL WOE and contribute
+    0 to IV — the no-smoothing convention, stated rather than hidden.
+
+    Scale: one map-side-combined pass over the fact table builds the
+    24-row bin table; totals and the IV sum are broadcast-joined
+    back. The fact table moves once; everything after is
+    dimension-sized. Products g·B reach n² — decimal(38,0)/HUGEINT
+    per the overflow convention (int64 caps near 3e9·3e9).
+    """
+    ev = load(spark, "events", sf_dir)
+    q = ev.select(
+        F.hour("ts").cast("long").alias("bin_hour"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    b = q.groupBy("bin_hour").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("y").cast("decimal(38,0)").alias("g"),
+    )
+    t = b.agg(
+        F.sum("g").alias("gt"),
+        F.sum(F.col("n") - F.col("g")).alias("bt"),
+    )
+    bad = F.col("n") - F.col("g")
+    woe_q = F.when(
+        (F.col("g") > 0) & (bad > 0),
+        F.floor(
+            F.log(
+                (F.col("g") * F.col("bt")).cast("string").cast("double")
+                / (bad * F.col("gt")).cast("string").cast("double")
+            )
+            * F.lit(1e9)
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    w = b.join(F.broadcast(t)).select(
+        "bin_hour",
+        "n",
+        "g",
+        bad.alias("bad"),
+        "gt",
+        "bt",
+        woe_q.alias("woe_q"),
+    )
+    term_q = F.when(F.col("woe_q").isNull(), F.lit(0).cast("long")).otherwise(
+        F.floor(
+            (F.col("g") * F.col("bt") - F.col("bad") * F.col("gt"))
+            .cast("string")
+            .cast("double")
+            / (F.col("gt") * F.col("bt")).cast("string").cast("double")
+            * (F.col("woe_q").cast("double") / F.lit(1e9))
+            * F.lit(1e9)
+            + F.lit(0.5)
+        ).cast("long")
+    )
+    iv = w.withColumn("term_q", term_q)
+    tot_iv = iv.agg(
+        (F.sum("term_q").cast("double") / F.lit(1e9)).alias("iv_total")
+    )
+    return iv.join(F.broadcast(tot_iv)).select(
+        "bin_hour",
+        F.col("n").cast("long").alias("n_events"),
+        F.col("g").cast("long").alias("n_good"),
+        F.col("bad").cast("long").alias("n_bad"),
+        (F.col("woe_q").cast("double") / F.lit(1e9)).alias("woe"),
+        (F.col("term_q").cast("double") / F.lit(1e9)).alias("iv_term"),
+        "iv_total",
+    )

@@ -2691,3 +2691,343 @@ def win_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sum_repaired_micro"),
     )
+
+
+# ---------- PACF via Durbin-Levinson ----------
+
+
+def _pacf_oracle() -> str:
+    from cs_pipeline_spark.registry import _REGISTRY
+
+    acf = _REGISTRY["agg_acf_lags"].oracle
+    return f"""
+    WITH acf AS ({acf}),
+    piv AS (
+      SELECT event_type,
+             CAST(MAX(n_pairs + lag_hours) AS BIGINT) AS n,
+             MAX(CASE WHEN lag_hours = 1 THEN acf END) AS r1,
+             MAX(CASE WHEN lag_hours = 2 THEN acf END) AS r2,
+             MAX(CASE WHEN lag_hours = 3 THEN acf END) AS r3
+      FROM acf WHERE lag_hours IN (1, 2, 3) GROUP BY event_type
+      HAVING COUNT(*) = 3
+    ),
+    l2 AS (
+      SELECT event_type, n, r1, r2, r3,
+             CASE WHEN 1.0 - r1 * r1 <> 0.0
+                  THEN (r2 - r1 * r1) / (1.0 - r1 * r1) END AS p2
+      FROM piv
+    ),
+    l3 AS (
+      SELECT event_type, n, r1, r2, r3, p2,
+             r1 - p2 * r1 AS a21
+      FROM l2
+    ),
+    fin AS (
+      SELECT event_type, n, r1, p2,
+             CASE WHEN 1.0 - a21 * r1 - p2 * r2 <> 0.0
+                  THEN (r3 - a21 * r2 - p2 * r1)
+                       / (1.0 - a21 * r1 - p2 * r2) END AS p3
+      FROM l3
+    ),
+    qn AS (
+      SELECT event_type, n,
+             CAST(FLOOR(r1 * 1000000.0 + 0.5) AS BIGINT) AS q1,
+             CAST(FLOOR(p2 * 1000000.0 + 0.5) AS BIGINT) AS q2,
+             CAST(FLOOR(p3 * 1000000.0 + 0.5) AS BIGINT) AS q3,
+             CAST(FLOOR(2.0 / SQRT(CAST(n AS DOUBLE)) * 1000000.0 + 0.5)
+                  AS BIGINT) AS thr
+      FROM fin
+    )
+    SELECT event_type, n AS n_hours,
+           CAST(q1 AS DOUBLE) / 1000000.0 AS pacf1,
+           CAST(q2 AS DOUBLE) / 1000000.0 AS pacf2,
+           CAST(q3 AS DOUBLE) / 1000000.0 AS pacf3,
+           CAST(CASE WHEN ABS(q3) > thr THEN 3
+                     WHEN ABS(q2) > thr THEN 2
+                     WHEN ABS(q1) > thr THEN 1 ELSE 0 END AS BIGINT)
+             AS ar_order
+    FROM qn
+    """
+
+
+@register(
+    "ts_pacf_durbin",
+    _pacf_oracle(),
+    doc="partial autocorrelation at lags 1-3 via Durbin-Levinson "
+    "over the exact-moment ACF, each PACF floor-quantized 1e-6, plus "
+    "the AR-order pick (largest lag with |PACF| beyond the 2/sqrt(n) "
+    "band, compared as integers) — the AR-order identifier beside "
+    "agg_acf_lags (MA signature) and agg_ljung_box (any-vs-none)",
+)
+def ts_pacf_durbin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PACF — the correlation at lag k with lags 1..k−1 regressed
+    out, the Box-Jenkins tool that identifies AR order (PACF cuts off
+    after p for an AR(p); the raw ACF instead tails forever and
+    identifies MA order). Levels 2-3 of the Durbin-Levinson recursion
+    are unrolled over the already-quantized ACF values:
+    φ22 = (r2 − r1²)/(1 − r1²), φ33 from the level-2 coefficients.
+
+    Determinism: the ρ_k inputs are ``agg_acf_lags``'s 1e-6-grid
+    doubles (bit-identical engines); each recursion level is a FIXED
+    expression tree of correctly-rounded +,−,·,/ — written
+    identically on both sides — so the doubles agree bitwise before
+    the final 1e-6 floor-quantize. The 2/√n significance band uses
+    IEEE-exact sqrt and the order pick compares quantized integers.
+    Degenerate denominators (|r1| = 1) yield NULL, not a crash.
+
+    Scale: the cost is agg_acf_lags (one map-side-combined fact
+    pass); everything here runs on k rows per series.
+    """
+    acf = agg_acf_lags(spark, sf_dir).filter(
+        F.col("lag_hours").isin(1, 2, 3)
+    )
+    piv = (
+        acf.groupBy("event_type")
+        .agg(
+            F.max(F.col("n_pairs") + F.col("lag_hours"))
+            .cast("long")
+            .alias("n"),
+            F.max(F.when(F.col("lag_hours") == 1, F.col("acf"))).alias(
+                "r1"
+            ),
+            F.max(F.when(F.col("lag_hours") == 2, F.col("acf"))).alias(
+                "r2"
+            ),
+            F.max(F.when(F.col("lag_hours") == 3, F.col("acf"))).alias(
+                "r3"
+            ),
+            F.count(F.lit(1)).alias("n_lags"),
+        )
+        .filter(F.col("n_lags") == 3)
+    )
+    p2 = F.when(
+        F.lit(1.0) - F.col("r1") * F.col("r1") != 0.0,
+        (F.col("r2") - F.col("r1") * F.col("r1"))
+        / (F.lit(1.0) - F.col("r1") * F.col("r1")),
+    )
+    l2 = piv.withColumn("p2", p2)
+    l3 = l2.withColumn("a21", F.col("r1") - F.col("p2") * F.col("r1"))
+    p3 = F.when(
+        F.lit(1.0)
+        - F.col("a21") * F.col("r1")
+        - F.col("p2") * F.col("r2")
+        != 0.0,
+        (
+            F.col("r3")
+            - F.col("a21") * F.col("r2")
+            - F.col("p2") * F.col("r1")
+        )
+        / (
+            F.lit(1.0)
+            - F.col("a21") * F.col("r1")
+            - F.col("p2") * F.col("r2")
+        ),
+    )
+    fin = l3.withColumn("p3", p3)
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("long")  # noqa: E731
+    qn = fin.select(
+        "event_type",
+        "n",
+        q6(F.col("r1")).alias("q1"),
+        q6(F.col("p2")).alias("q2"),
+        q6(F.col("p3")).alias("q3"),
+        q6(F.lit(2.0) / F.sqrt(F.col("n").cast("double"))).alias("thr"),
+    )
+    return qn.select(
+        "event_type",
+        F.col("n").alias("n_hours"),
+        (F.col("q1").cast("double") / F.lit(1e6)).alias("pacf1"),
+        (F.col("q2").cast("double") / F.lit(1e6)).alias("pacf2"),
+        (F.col("q3").cast("double") / F.lit(1e6)).alias("pacf3"),
+        F.when(F.abs("q3") > F.col("thr"), 3)
+        .when(F.abs("q2") > F.col("thr"), 2)
+        .when(F.abs("q1") > F.col("thr"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("ar_order"),
+    )
+
+
+# ---------- EWMA control chart ----------
+
+_EWMA_BLOCK = 32  # monitoring period: 2^31 max weight stays integer-safe
+
+
+@register(
+    "win_ewma_chart",
+    f"""
+    WITH q AS (
+      SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+             CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS qv
+      FROM events
+    ),
+    d AS (
+      SELECT day, SUM(qv) // COUNT(*) AS x FROM q GROUP BY day
+    ),
+    g AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+      FROM d
+    ),
+    ix AS (
+      SELECT day, x, ROW_NUMBER() OVER (ORDER BY day) AS t FROM d
+    ),
+    blk AS (
+      SELECT day, x, t,
+             (t - 1) // {_EWMA_BLOCK} AS block,
+             CAST(((t - 1) % {_EWMA_BLOCK}) + 1 AS BIGINT) AS j
+      FROM ix
+    ),
+    pre AS (
+      SELECT day, t, block, j, x, g.n, g.sx, g.sxx,
+             SUM(CAST((x - CAST(g.sx // g.n AS BIGINT)) AS HUGEINT)
+                 * (CAST(1 AS HUGEINT) << CAST(j - 1 AS INT))) OVER (
+               PARTITION BY block ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dd
+      FROM blk, g
+    ),
+    s AS (
+      SELECT day, t, block, j, n, dd,
+             CAST(sx // n AS BIGINT) AS mu,
+             n * sxx - sx * sx AS s2n,
+             (CAST(1 AS BIGINT) << CAST(2 * j AS INT)) - 1 AS ft
+      FROM pre
+    ),
+    o AS (
+      SELECT day, t, block, mu, dd, j,
+             CASE WHEN s2n > 0 THEN
+               ((CAST(CAST(dd AS VARCHAR) AS DOUBLE) * SQRT(3.0))
+                * CAST(CAST(n AS VARCHAR) AS DOUBLE))
+               / (SQRT(CAST(CAST(s2n AS VARCHAR) AS DOUBLE))
+                  * SQRT(CAST(ft AS DOUBLE)))
+             END AS sdev
+      FROM s
+    )
+    SELECT day, CAST(t AS BIGINT) AS t, CAST(block AS BIGINT) AS block,
+           FLOOR((CAST(mu AS DOUBLE)
+                  + CAST(CAST(dd AS VARCHAR) AS DOUBLE)
+                    / CAST(CAST(1 AS BIGINT) << CAST(j AS INT) AS DOUBLE))
+                 / 1000000.0 * 1000000.0 + 0.5) / 1000000.0 AS ewma_value,
+           FLOOR(sdev * 1000000.0 + 0.5) / 1000000.0 AS ewma_dev,
+           COALESCE(ABS(sdev) > 3.0, FALSE) AS signal
+    FROM o
+    """,
+    doc="EWMA control chart (lambda=1/2, L=3) over daily means, "
+    f"restarted every {_EWMA_BLOCK} days: the scaled state 2^t*z_t "
+    "is an exact integer weighted prefix sum, the time-varying limit "
+    "sigma*sqrt((1-4^-t)/3) enters through IEEE-exact sqrt — catches "
+    "the small sustained shifts Shewhart rule 1 misses, completing "
+    "the SPC trio (agg_control_chart, win_cusum_changepoint)",
+)
+def win_ewma_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA chart — the SPC detector tuned for SMALL persistent mean
+    shifts (a 0.5σ drift trips EWMA days before a 3σ Shewhart point;
+    CUSUM is its sequential cousin). z_t = (z_{t-1}+x_t)/2 seeded at
+    the process mean; scaling by 2^t turns the recursion into the
+    exact integer prefix sum Z_t = Σ 2^{i-1}(x_i − μ), so the state
+    never touches floats. The exact variance inflation (1 − 4^{-t})/3
+    is kept (the asymptotic-limit shortcut overflags early points).
+
+    The chart restarts every 32 days: weights ≥ 2^{-32} are BELOW the
+    1e-6 output grid, so a longer memory adds literally nothing while
+    2^t would outgrow decimal(38,0) on a years-long spine — the
+    monitoring-period restart is the standard practice made explicit
+    (and is what bounds this at any horizon).
+
+    Scale: one map-side-combined daily aggregate + a 1-row global;
+    the weighted prefix runs over the bounded day spine partitioned
+    by 32-day block. One fact scan total.
+    """
+    ev = load(spark, "events", sf_dir).select(
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        F.floor(F.col("value") * 1000000.0 + F.lit(0.5))
+        .cast("long")
+        .alias("qv"),
+    )
+    d = ev.groupBy("day").agg(
+        F.expr("sum(qv) div count(1)").cast("long").alias("x")
+    )
+    g = d.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(
+            F.col("x").cast("decimal(38,0)")
+            * F.col("x").cast("decimal(38,0)")
+        ).alias("sxx"),
+    )
+    wt = Window.partitionBy(one_part("x")).orderBy("day")
+    ix = d.withColumn("t", F.row_number().over(wt))
+    blk = ix.select(
+        "day",
+        "x",
+        "t",
+        F.expr(f"(t - 1) div {_EWMA_BLOCK}").alias("block"),
+        F.expr(f"cast(((t - 1) % {_EWMA_BLOCK}) + 1 as bigint)").alias(
+            "j"
+        ),
+    )
+    wp = (
+        Window.partitionBy("block")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = blk.crossJoin(F.broadcast(g)).withColumn(
+        "dd",
+        F.sum(
+            F.expr(
+                "cast(x - cast(sx div n as bigint) as decimal(38,0)) "
+                "* cast(shiftleft(1L, cast(j - 1 as int)) as decimal(38,0))"
+            )
+        ).over(wp),
+    )
+    s = pre.select(
+        "day",
+        "t",
+        "block",
+        "j",
+        "n",
+        "dd",
+        F.expr("cast(sx div n as bigint)").alias("mu"),
+        F.expr("n * sxx - sx * sx").alias("s2n"),
+        F.expr("shiftleft(1L, cast(2 * j as int)) - 1").alias("ft"),
+    )
+    sdev = F.when(
+        F.col("s2n") > 0,
+        (
+            F.expr("CAST(CAST(dd AS STRING) AS DOUBLE)")
+            * F.sqrt(F.lit(3.0))
+            * F.expr("CAST(CAST(n AS STRING) AS DOUBLE)")
+        )
+        / (
+            F.sqrt(F.expr("CAST(CAST(s2n AS STRING) AS DOUBLE)"))
+            * F.sqrt(F.col("ft").cast("double"))
+        ),
+    )
+    o = s.withColumn("sdev", sdev)
+    return o.select(
+        "day",
+        F.col("t").cast("long").alias("t"),
+        F.col("block").cast("long").alias("block"),
+        (
+            F.floor(
+                (
+                    F.col("mu").cast("double")
+                    + F.expr("CAST(CAST(dd AS STRING) AS DOUBLE)")
+                    / F.expr(
+                        "CAST(shiftleft(1L, cast(j as int)) AS DOUBLE)"
+                    )
+                )
+                / F.lit(1e6)
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("ewma_value"),
+        (F.floor(F.col("sdev") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "ewma_dev"
+        ),
+        F.coalesce(F.abs(F.col("sdev")) > 3.0, F.lit(False)).alias(
+            "signal"
+        ),
+    )

@@ -408,6 +408,18 @@ AUDIT: dict[str, dict] = {
     "agg_bh_fdr": {"smj": 0},             # two moment aggs + bounded rank
     "agg_sprt_boundary": {"smj": 0},      # per-variant two-phase prefix
     "agg_control_chart": {"smj": 0},      # day agg + bounded-spine lags
+    # wave 13 (round 6, cont.)
+    "features_woe_iv": {"smj": 0},        # 24-bin agg + broadcast totals
+    "rec_item_item": {"smj": 0},          # basket arrays, vocab-side window
+    "agg_ipf_raking": {"smj": 0},         # cell-table IPF, margins broadcast
+    "text_rake_keywords": {"smj": 0},     # phrase aggs + TakeOrdered
+    "ts_pacf_durbin": {"smj": 0},         # composes agg_acf_lags
+    "win_ewma_chart": {"smj": 0},         # day agg + blocked bounded window
+    "agg_two_way_anova": {"smj": 0},      # cell agg + stack readout
+    "agg_levene_test": {"smj": 0},        # two moment passes, means broadcast
+    "ml_mcnemar_test": {"smj": 0, "exchange": 1},  # one conditional agg
+    "agg_friedman_test": {"smj": 0},      # (day,type) agg + day-blocked ranks
+    "ml_adaboost_stumps": {"smj": 0},     # 3 broadcast-candidate passes
 }
 
 
