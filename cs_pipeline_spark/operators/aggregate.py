@@ -5570,3 +5570,240 @@ def agg_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("q_q6") >= _FRIED_CRIT_Q6, F.lit(False)),
         ).alias("reject_h0"),
     )
+
+
+# ---------- capture-recapture population estimate ----------
+
+
+@register(
+    "agg_capture_recapture",
+    """
+    WITH q AS (
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+      FROM events
+    ),
+    sp AS (SELECT (MIN(day) + MAX(day)) // 2 AS mid FROM q),
+    caps AS (
+      SELECT user_id,
+             MAX(CASE WHEN day <= mid THEN 1 ELSE 0 END) AS c1,
+             MAX(CASE WHEN day > mid THEN 1 ELSE 0 END) AS c2
+      FROM q, sp GROUP BY user_id
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n_true,
+             CAST(SUM(c1) AS HUGEINT) AS n1,
+             CAST(SUM(c2) AS HUGEINT) AS n2,
+             CAST(SUM(c1 * c2) AS HUGEINT) AS m
+      FROM caps
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_capture1,
+           CAST(n2 AS BIGINT) AS n_capture2,
+           CAST(m AS BIGINT) AS n_both,
+           CAST(n_true AS BIGINT) AS n_true,
+           CAST(CASE WHEN m > 0 THEN n1 * n2 // m END AS BIGINT)
+             AS lincoln_petersen,
+           CAST((n1 + 1) * (n2 + 1) // (m + 1) - 1 AS BIGINT)
+             AS chapman,
+           CAST(CASE WHEN m > 0 THEN
+             ABS(n1 * n2 // m - n_true) * 1000000 // n_true END
+             AS BIGINT) AS lp_err_ppm
+    FROM s
+    """,
+    doc="capture-recapture population estimate: users 'captured' in "
+    "each half of the day range, Lincoln-Petersen n1*n2//m and the "
+    "bias-corrected Chapman (n1+1)(n2+1)//(m+1)-1 in exact integers, "
+    "audited against the true distinct count — the mark-recapture "
+    "method that sizes what you CANNOT enumerate (total crawlable "
+    "corpus from two overlapping crawls, true user base from two "
+    "observation windows)",
+)
+def agg_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimate an unobservable population from two overlapping
+    samples: if capture 1 marks n1 users, capture 2 catches n2 of
+    which m are re-captures, independence gives N ≈ n1·n2/m
+    (Lincoln-Petersen); Chapman's +1 correction fixes the small-m
+    bias and never divides by zero. The same arithmetic estimates
+    total corpus size from two crawl snapshots or deduplicated
+    entity counts from two extraction passes — here the truth is
+    observable, so the output carries the estimation error too (the
+    method's independence assumption is exactly what the error
+    audits: event-frequent users are likelier in BOTH halves, biasing
+    N̂ low — visible in lp_err_ppm).
+
+    Determinism: captures are exact per-user MAX flags off one
+    grouped pass; both estimators are truncating integer divisions
+    (HUGEINT/decimal(38,0) — n1·n2 is n² at fact scale).
+
+    Scale: one fact projection → per-user flags (map-side combine on
+    user_id) → 1-row scalars. The day-split scalar broadcasts.
+    """
+    ev = load(spark, "events", sf_dir)
+    q = ev.select(
+        "user_id", F.expr("unix_micros(ts) div 86400000000").alias("day")
+    )
+    sp = q.agg(
+        F.expr("(min(day) + max(day)) div 2").alias("mid")
+    )
+    caps = (
+        q.crossJoin(F.broadcast(sp))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("day") <= F.col("mid"), 1).otherwise(0))
+            .alias("c1"),
+            F.max(F.when(F.col("day") > F.col("mid"), 1).otherwise(0))
+            .alias("c2"),
+        )
+    )
+    d38 = "decimal(38,0)"
+    s = caps.agg(
+        F.count(F.lit(1)).cast(d38).alias("n_true"),
+        F.sum("c1").cast(d38).alias("n1"),
+        F.sum("c2").cast(d38).alias("n2"),
+        F.sum(F.expr("c1 * c2")).cast(d38).alias("m"),
+    )
+    return s.select(
+        F.col("n1").cast("long").alias("n_capture1"),
+        F.col("n2").cast("long").alias("n_capture2"),
+        F.col("m").cast("long").alias("n_both"),
+        F.col("n_true").cast("long").alias("n_true"),
+        F.expr(
+            "cast(case when m > 0 then n1 * n2 div m end as bigint)"
+        ).alias("lincoln_petersen"),
+        F.expr(
+            "cast((n1 + 1) * (n2 + 1) div (m + 1) - 1 as bigint)"
+        ).alias("chapman"),
+        F.expr(
+            "cast(case when m > 0 then abs(n1 * n2 div m - n_true) "
+            "* 1000000 div n_true end as bigint)"
+        ).alias("lp_err_ppm"),
+    )
+
+
+# ---------- Cochran's Q (binary blocked test) ----------
+
+
+@register(
+    "agg_cochran_q",
+    f"""
+    WITH x AS (
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+             event_type
+      FROM events
+      GROUP BY user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000,
+               event_type
+    ),
+    kk AS (SELECT CAST(COUNT(DISTINCT event_type) AS HUGEINT) AS k
+           FROM x),
+    gj AS (
+      SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS g
+      FROM x GROUP BY event_type
+    ),
+    li AS (
+      SELECT user_id, d, CAST(COUNT(*) AS HUGEINT) AS l
+      FROM x GROUP BY user_id, d
+    ),
+    sc AS (
+      SELECT kk.k,
+             (SELECT CAST(COUNT(*) AS HUGEINT) FROM li) AS n_users,
+             (SELECT SUM(g * g) FROM gj) AS sg2,
+             (SELECT SUM(g) FROM gj) AS t,
+             (SELECT SUM(l) FROM li) AS sl,
+             (SELECT SUM(l * l) FROM li) AS sl2
+      FROM kk
+    ),
+    fin AS (
+      SELECT k, n_users,
+             CASE WHEN k * sl - sl2 > 0 THEN
+               (k - 1) * (k * sg2 - t * t) * 1000000
+                 // (k * sl - sl2)
+             END AS q_q6
+      FROM sc
+    )
+    SELECT gj.event_type, CAST(gj.g AS BIGINT) AS n_users_hit,
+           CAST(fin.n_users AS BIGINT) AS n_users,
+           CAST(fin.k AS BIGINT) AS k,
+           CAST(fin.q_q6 AS DOUBLE) / 1000000.0 AS cochran_q,
+           CASE WHEN fin.k = 5
+                THEN COALESCE(fin.q_q6 >= 9487729, FALSE) END
+             AS reject_h0
+    FROM gj, fin
+    """,
+    doc="Cochran's Q (binary Friedman — user-days as blocks, event "
+    "types as treatments, did-user-do-it-that-day as the response): "
+    "Q = (k−1)(kΣG² − T²)·1e6 // (kΣL − ΣL²) in pure integer ppm "
+    "arithmetic, verdict vs χ²(4) when k=5 — do reach rates differ "
+    "across event types AFTER controlling for per-user activity",
+)
+def agg_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do the k event types reach different DAILY per-user odds,
+    blocking on the (user, day)? Marginal reach rates confound type
+    popularity with user activity (heavy users hit everything);
+    Cochran's Q — the binary-response specialization of Friedman —
+    tests equal within-block hit patterns. Blocks are user-DAYS, not
+    users: over a full observation window every active user touches
+    all k types (L_i = k for every block → kΣL − ΣL² = 0 and the
+    statistic is undefined — measured, not hypothetical, at both
+    test SFs), while daily activity genuinely varies. Constant
+    blocks (all k or none) contribute zero to both kΣL − ΣL² and
+    the G spread, so no block filtering is needed — the formula
+    self-discounts them; a fully-degenerate corpus still yields
+    NULL, not a crash.
+
+    Determinism: every term is an exact integer (distinct-hit flags →
+    counts → squares in HUGEINT/decimal(38,0)); Q is ONE truncating
+    integer division at the 1e-6 grid, and the χ²(4) verdict compares
+    quantized integers (emitted only for k = 5 where the literal
+    critical value applies).
+
+    Scale: one (user, day, type) distinct pass off the fact scan
+    (map-side combine), then block- and type-sized folds. ΣL² ≤
+    k²·blocks — nowhere near the decimal bound.
+    """
+    ev = load(spark, "events", sf_dir)
+    d38 = "decimal(38,0)"
+    x = ev.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000").alias("d"),
+        "event_type",
+    ).distinct()
+    kk = x.agg(F.countDistinct("event_type").cast(d38).alias("k"))
+    gj = x.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(d38).alias("g")
+    )
+    li = x.groupBy("user_id", "d").agg(
+        F.count(F.lit(1)).cast(d38).alias("l")
+    )
+    gsc = gj.agg(
+        F.sum(F.expr("g * g")).alias("sg2"), F.sum("g").alias("t")
+    )
+    lsc = li.agg(
+        F.count(F.lit(1)).cast(d38).alias("n_users"),
+        F.sum("l").alias("sl"),
+        F.sum(F.expr("l * l")).alias("sl2"),
+    )
+    fin = (
+        kk.crossJoin(F.broadcast(gsc))
+        .crossJoin(F.broadcast(lsc))
+        .select(
+            "k",
+            "n_users",
+            F.expr(
+                "case when k * sl - sl2 > 0 then "
+                "(k - 1) * (k * sg2 - t * t) * 1000000 "
+                "div (k * sl - sl2) end"
+            ).alias("q_q6"),
+        )
+    )
+    return gj.crossJoin(F.broadcast(fin)).select(
+        "event_type",
+        F.col("g").cast("long").alias("n_users_hit"),
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("k").cast("long").alias("k"),
+        (F.col("q_q6").cast("double") / F.lit(1e6)).alias("cochran_q"),
+        F.when(
+            F.col("k") == 5,
+            F.coalesce(F.col("q_q6") >= 9487729, F.lit(False)),
+        ).alias("reject_h0"),
+    )

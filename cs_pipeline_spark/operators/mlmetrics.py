@@ -4069,3 +4069,116 @@ def ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
             "train_acc_ppm"
         ),
     )
+
+
+# ---------- Cohen's kappa inter-rater agreement ----------
+
+
+@register(
+    "ml_cohens_kappa",
+    """
+    WITH q AS (
+      SELECT CAST(value >= 500.0 AS INT) AS a,
+             CAST(hour(ts) < 6 AS INT) AS b
+      FROM events
+    ),
+    c AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(a * b) AS HUGEINT) AS n11,
+             CAST(SUM(a * (1 - b)) AS HUGEINT) AS n10,
+             CAST(SUM((1 - a) * b) AS HUGEINT) AS n01,
+             CAST(SUM((1 - a) * (1 - b)) AS HUGEINT) AS n00
+      FROM q
+    ),
+    s AS (
+      SELECT n, n11, n10, n01, n00,
+             (n11 + n10) AS a1, (n11 + n01) AS b1,
+             n * (n11 + n00) AS po_n2_part,
+             (n11 + n10) * (n11 + n01)
+               + (n - n11 - n10) * (n - n11 - n01) AS pe_n2
+      FROM c
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(n11 AS BIGINT) AS n11, CAST(n10 AS BIGINT) AS n10,
+           CAST(n01 AS BIGINT) AS n01, CAST(n00 AS BIGINT) AS n00,
+           CAST((n11 + n00) * 1000000 // n AS BIGINT) AS po_ppm,
+           CAST(pe_n2 * 1000000 // (n * n) AS BIGINT) AS pe_ppm,
+           CASE WHEN n * n - pe_n2 <> 0 THEN
+             FLOOR(CAST(CAST(po_n2_part - pe_n2 AS VARCHAR) AS DOUBLE)
+                   / CAST(CAST(n * n - pe_n2 AS VARCHAR) AS DOUBLE)
+                   * 1000000.0 + 0.5) / 1000000.0
+           END AS kappa
+    FROM s
+    """,
+    doc="Cohen's kappa between the two deterministic error detectors "
+    "(value threshold vs night-hours rule): chance-corrected "
+    "agreement (n·agree − a1·b1 − a0·b0)/(n² − a1·b1 − a0·b0) as ONE "
+    "float division of exact HUGEINT counts — the agreement "
+    "complement of ml_mcnemar_test (which tests their DIFFERENCE); "
+    "raw percent-agree overstates when both raters favor one class",
+)
+def ml_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much do two labelers agree BEYOND chance? Percent
+    agreement is inflated whenever both raters lean to the majority
+    class; kappa subtracts the agreement their marginals would
+    produce independently: κ = (p_o − p_e)/(1 − p_e). Multiplying
+    through by n² keeps every term an exact integer (p_o·n² =
+    n·(n11+n00), p_e·n² = a1·b1 + a0·b0), so the statistic is one
+    correctly-rounded division of string-cast exact integers,
+    floor-quantized 1e-6; the ppm marginals are truncating integer
+    divisions. Degenerate p_e = 1 (both raters constant) yields NULL
+    rather than 0/0. The same 2×2 table drives ``ml_mcnemar_test`` —
+    kappa asks 'do they agree', McNemar asks 'which is better'.
+
+    Scale: one map-side-combined fact pass to four counters; n² at
+    fact scale → HUGEINT/decimal(38,0) per the convention.
+    """
+    ev = load(spark, "events", sf_dir)
+    d38 = "decimal(38,0)"
+    q = ev.select(
+        (F.col("value") >= 500.0).cast("int").alias("a"),
+        (F.hour("ts") < 6).cast("int").alias("b"),
+    )
+    c = q.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.expr("a * b")).cast(d38).alias("n11"),
+        F.sum(F.expr("a * (1 - b)")).cast(d38).alias("n10"),
+        F.sum(F.expr("(1 - a) * b")).cast(d38).alias("n01"),
+        F.sum(F.expr("(1 - a) * (1 - b)")).cast(d38).alias("n00"),
+    )
+    s = c.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.expr("n * (n11 + n00)").alias("po_n2_part"),
+        F.expr(
+            "(n11 + n10) * (n11 + n01) "
+            "+ (n - n11 - n10) * (n - n11 - n01)"
+        ).alias("pe_n2"),
+    )
+    kappa = F.when(
+        F.expr("n * n - pe_n2") != 0,
+        F.floor(
+            F.expr("CAST(CAST(po_n2_part - pe_n2 AS STRING) AS DOUBLE)")
+            / F.expr("CAST(CAST(n * n - pe_n2 AS STRING) AS DOUBLE)")
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        / F.lit(1e6),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n11").cast("long").alias("n11"),
+        F.col("n10").cast("long").alias("n10"),
+        F.col("n01").cast("long").alias("n01"),
+        F.col("n00").cast("long").alias("n00"),
+        F.expr("cast((n11 + n00) * 1000000 div n as bigint)").alias(
+            "po_ppm"
+        ),
+        F.expr("cast(pe_n2 * 1000000 div (n * n) as bigint)").alias(
+            "pe_ppm"
+        ),
+        kappa.alias("kappa"),
+    )

@@ -267,3 +267,92 @@ def test_randomized_response_matches_python(spark):
         assert r.err_ppm == abs(est_ppm - true_ppm)
         # debiasing works: estimate within 20% of truth at sf0.001 n
         assert r.err_ppm < 200000
+
+
+def test_cohens_kappa_matches_python(spark):
+    from cs_pipeline_spark.operators.mlmetrics import ml_cohens_kappa
+
+    rows = duckdb.sql(
+        f"SELECT CAST(value >= 500.0 AS INT), CAST(hour(ts) < 6 AS INT) "
+        f"FROM '{SF}/events.parquet'"
+    ).fetchall()
+    n = len(rows)
+    n11 = sum(a * b for a, b in rows)
+    n10 = sum(a * (1 - b) for a, b in rows)
+    n01 = sum((1 - a) * b for a, b in rows)
+    n00 = n - n11 - n10 - n01
+    a1, b1 = n11 + n10, n11 + n01
+    pe_n2 = a1 * b1 + (n - a1) * (n - b1)
+    kappa = (n * (n11 + n00) - pe_n2) / (n * n - pe_n2)
+    (r,) = ml_cohens_kappa(spark, SF).collect()
+    assert (r.n, r.n11, r.n10, r.n01, r.n00) == (n, n11, n10, n01, n00)
+    assert r.po_ppm == (n11 + n00) * 10**6 // n
+    assert r.pe_ppm == pe_n2 * 10**6 // (n * n)
+    assert abs(r.kappa - math.floor(kappa * 1e6 + 0.5) / 1e6) < 1e-12
+
+
+def test_capture_recapture_matches_python(spark):
+    from cs_pipeline_spark.operators.aggregate import agg_capture_recapture
+
+    rows = duckdb.sql(
+        f"SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 "
+        f"FROM '{SF}/events.parquet'"
+    ).fetchall()
+    days = [d for _, d in rows]
+    mid = (min(days) + max(days)) // 2
+    c1, c2 = set(), set()
+    for u, d in rows:
+        (c1 if d <= mid else c2).add(u)
+    n1, n2, m = len(c1), len(c2), len(c1 & c2)
+    true = len(c1 | c2)
+    (r,) = agg_capture_recapture(spark, SF).collect()
+    assert (r.n_capture1, r.n_capture2, r.n_both, r.n_true) == (
+        n1,
+        n2,
+        m,
+        true,
+    )
+    assert r.lincoln_petersen == n1 * n2 // m
+    assert r.chapman == (n1 + 1) * (n2 + 1) // (m + 1) - 1
+    assert r.lp_err_ppm == abs(n1 * n2 // m - true) * 10**6 // true
+    # estimator sanity: within 30% of truth on this overlap
+    assert r.lp_err_ppm < 300000
+
+
+def test_cochran_q_matches_python(spark):
+    from cs_pipeline_spark.operators.aggregate import agg_cochran_q
+
+    rows = duckdb.sql(
+        f"SELECT DISTINCT user_id, "
+        f"epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000, event_type "
+        f"FROM '{SF}/events.parquet'"
+    ).fetchall()
+    g, li = Counter(), Counter()
+    for u, d, t in rows:
+        g[t] += 1
+        li[(u, d)] += 1
+    k = len(g)
+    sg2 = sum(v * v for v in g.values())
+    t_tot = sum(g.values())
+    sl = sum(li.values())
+    sl2 = sum(v * v for v in li.values())
+    denom = k * sl - sl2
+    # degenerate-corpus guard: if every block is constant-response
+    # the statistic is undefined and the op must yield NULL, not crash
+    # (user-day blocks are non-degenerate at both test SFs)
+    q_q6 = (
+        (k - 1) * (k * sg2 - t_tot * t_tot) * 10**6 // denom
+        if denom > 0
+        else None
+    )
+    out = {r.event_type: r for r in agg_cochran_q(spark, SF).collect()}
+    assert set(out) == set(g)
+    for t, r in out.items():
+        assert r.n_users_hit == g[t]
+        assert (r.n_users, r.k) == (len(li), k)
+        if q_q6 is None:
+            assert r.cochran_q is None
+            assert r.reject_h0 is False
+        else:
+            assert abs(r.cochran_q - q_q6 / 1e6) < 1e-12
+            assert r.reject_h0 == (q_q6 >= 9487729)

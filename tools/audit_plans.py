@@ -421,6 +421,9 @@ AUDIT: dict[str, dict] = {
     "agg_friedman_test": {"smj": 0},      # (day,type) agg + day-blocked ranks
     "ml_adaboost_stumps": {"smj": 0},     # 3 broadcast-candidate passes
     "privacy_randomized_response": {"smj": 0, "exchange": 1},  # one agg
+    "ml_cohens_kappa": {"smj": 0, "exchange": 1},  # one conditional agg
+    "agg_capture_recapture": {"smj": 0},  # user flags + scalar folds
+    "agg_cochran_q": {"smj": 0},          # (user,day,type) distinct + folds
 }
 
 
