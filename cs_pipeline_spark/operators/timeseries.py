@@ -2677,3 +2677,190 @@ def ts_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
             "div nullif(sae_naive, 0) as bigint)"
         ).alias("mase_ppm"),
     )
+
+
+# ---------- dynamic time warping ----------
+
+_DTW_BAND = 3  # Sakoe-Chiba band half-width (days)
+_DTW_INF = 1 << 50  # unreachable-cell sentinel (path sums stay << this)
+
+
+@register(
+    "ts_dtw_distance",
+    f"""
+    WITH RECURSIVE q AS (
+      SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+             event_type AS t,
+             CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS qv
+      FROM events
+    ),
+    dm AS (
+      SELECT day, t, SUM(qv) // COUNT(*) AS x FROM q GROUP BY day, t
+    ),
+    kk AS (SELECT COUNT(DISTINCT t) AS k FROM dm),
+    full_days AS (
+      SELECT day FROM dm, kk GROUP BY day, kk.k HAVING COUNT(*) = MAX(kk.k)
+    ),
+    ser AS (
+      SELECT t, list(x ORDER BY day) AS s
+      FROM (SELECT dm.day, dm.t, dm.x FROM dm JOIN full_days USING (day))
+      GROUP BY t
+    ),
+    pairs AS (
+      SELECT a.t AS ta, b.t AS tb, a.s AS sa, b.s AS sb,
+             len(a.s) AS m
+      FROM ser a JOIN ser b ON a.t < b.t
+    ),
+    base AS (
+      SELECT ta, tb, sa, sb, m, 2 AS tt,
+             list_transform(range(1, m + 1), i ->
+               CASE WHEN i = 1 THEN ABS(sa[1] - sb[1])
+                    ELSE {_DTW_INF} END) AS p,
+             list_transform(range(1, m + 1), i -> {_DTW_INF}) AS pp
+      FROM pairs
+    ),
+    rec AS (
+      SELECT * FROM base
+      UNION ALL
+      SELECT ta, tb, sa, sb, m, tt + 1,
+             list_transform(range(1, m + 1), i ->
+               CASE WHEN tt + 1 - i >= 1 AND tt + 1 - i <= m
+                         AND ABS(2 * i - (tt + 1)) <= {_DTW_BAND}
+                    THEN ABS(sa[CAST(i AS INT)]
+                             - sb[CAST(tt + 1 - i AS INT)])
+                         + LEAST(
+                             p[CAST(i AS INT)],
+                             CASE WHEN i > 1 THEN p[CAST(i - 1 AS INT)]
+                                  ELSE {_DTW_INF} END,
+                             CASE WHEN i > 1 THEN pp[CAST(i - 1 AS INT)]
+                                  ELSE {_DTW_INF} END)
+                    ELSE {_DTW_INF} END) AS p,
+             p AS pp
+      FROM rec WHERE tt < 2 * m
+    )
+    SELECT ta AS type_a, tb AS type_b, CAST(m AS BIGINT) AS n_days,
+           CAST(p[CAST(m AS INT)] AS BIGINT) AS dtw_micro,
+           CAST(p[CAST(m AS INT)] // (2 * m - 1) AS BIGINT)
+             AS dtw_per_step_micro
+    FROM rec WHERE tt = 2 * m
+    """,
+    doc=f"dynamic time warping (Sakoe-Chiba band ±{_DTW_BAND}) "
+    "between every pair of event-type daily-mean curves: the full "
+    "DP runs as an anti-diagonal fold — cells on one diagonal are "
+    "mutually independent, so each step is a pure array transform "
+    "over the previous two diagonals (one nested-HOF expression on "
+    "Spark, one recursive CTE in the oracle), exact integer micro "
+    "costs end to end — the elastic curve distance Euclidean "
+    "alignment can't express (shape match despite phase shift)",
+)
+def ts_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True DTW in one declarative expression: the textbook DP
+    D[i][j] = |a_i − b_j| + min(D[i−1][j], D[i][j−1], D[i−1][j−1])
+    looks inherently sequential, but cells along an anti-diagonal
+    t = i + j depend only on diagonals t−1 and t−2 — so the whole
+    table is a FOLD over t whose step is an independent per-cell
+    ``transform``. Spark runs it as one nested higher-order-function
+    expression (aggregate over diagonals, transform within — whole-
+    stage codegen, zero Python, zero shuffle per step); the DuckDB
+    oracle is the identical recurrence as a recursive CTE carrying
+    the last two diagonals. All arithmetic is exact integer micro
+    units — the two engines agree bit-for-bit, sentinel {2^50}
+    marking out-of-band cells (path sums stay orders below it).
+
+    The Sakoe-Chiba band (|i−j| ≤ 3 days) is the standard warping
+    constraint: it bounds work to O(m·w) useful cells and forbids
+    degenerate all-to-one alignments. Series share the complete-day
+    spine so lengths match.
+
+    Scale: series are DAY-grain (bounded spine — one map-side
+    aggregate off the fact scan); the 10 type pairs each fold a
+    ~2m-step expression over m-length arrays. At 100 TB the same op
+    runs per (entity, metric) pair after the same daily rollup —
+    thousands of independent DP folds, embarrassingly parallel, no
+    iteration-scale driver loop (compare graph_k_core's
+    localCheckpoint rounds: here the loop lives INSIDE one
+    expression because the state is bounded).
+    """
+    ev = load(spark, "events", sf_dir)
+    q = ev.select(
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        F.col("event_type").alias("t"),
+        F.floor(F.col("value") * 1000000.0 + F.lit(0.5))
+        .cast("long")
+        .alias("qv"),
+    )
+    dm = q.groupBy("day", "t").agg(
+        F.expr("sum(qv) div count(1)").cast("long").alias("x")
+    )
+    kk = dm.agg(F.countDistinct("t").alias("k"))
+    full_days = (
+        dm.crossJoin(F.broadcast(kk))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("_c"), F.max("k").alias("_k"))
+        .filter(F.col("_c") == F.col("_k"))
+        .select("day")
+    )
+    ser = (
+        dm.join(F.broadcast(full_days), "day")
+        .groupBy("t")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(day, x))), "
+                "e -> e.x)"
+            ).alias("s")
+        )
+    )
+    a = ser.select(F.col("t").alias("ta"), F.col("s").alias("sa"))
+    b = ser.select(F.col("t").alias("tb"), F.col("s").alias("sb"))
+    pairs = a.join(F.broadcast(b), F.col("ta") < F.col("tb")).withColumn(
+        "m", F.size("sa")
+    )
+    inf = str(_DTW_INF)
+    w = str(_DTW_BAND)
+    # fold over anti-diagonals t = 3 .. 2m; acc carries the previous
+    # two diagonals indexed by row i (j = t - i)
+    dp = F.expr(
+        f"""
+        aggregate(
+          sequence(3L, 2L * m),
+          named_struct(
+            'p', transform(sequence(1L, cast(m as long)), i ->
+                   CASE WHEN i = 1 THEN abs(sa[0] - sb[0])
+                        ELSE {inf}L END),
+            'pp', transform(sequence(1L, cast(m as long)), i -> {inf}L)
+          ),
+          (acc, tt) -> named_struct(
+            'p', transform(sequence(1L, cast(m as long)), i ->
+              CASE WHEN tt - i >= 1 AND tt - i <= m
+                        AND abs(2 * i - tt) <= {w}
+                   THEN abs(element_at(sa, cast(i as int))
+                            - element_at(sb, cast(tt - i as int)))
+                        + least(
+                            element_at(acc.p, cast(i as int)),
+                            CASE WHEN i > 1
+                                 THEN element_at(acc.p, cast(i - 1 as int))
+                                 ELSE {inf}L END,
+                            CASE WHEN i > 1
+                                 THEN element_at(acc.pp, cast(i - 1 as int))
+                                 ELSE {inf}L END)
+                   ELSE {inf}L END),
+            'pp', acc.p
+          ),
+          acc -> element_at(acc.p, cast(m as int))
+        )
+        """
+    )
+    return pairs.select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        F.col("m").cast("long").alias("n_days"),
+        dp.cast("long").alias("dtw_micro"),
+    ).select(
+        "type_a",
+        "type_b",
+        "n_days",
+        "dtw_micro",
+        F.expr("cast(dtw_micro div (2 * n_days - 1) as bigint)").alias(
+            "dtw_per_step_micro"
+        ),
+    )

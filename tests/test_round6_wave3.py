@@ -356,3 +356,68 @@ def test_cochran_q_matches_python(spark):
         else:
             assert abs(r.cochran_q - q_q6 / 1e6) < 1e-12
             assert r.reject_h0 == (q_q6 >= 9487729)
+
+
+def test_dtw_matches_python_dp(spark):
+    from cs_pipeline_spark.operators.timeseries import ts_dtw_distance
+
+    rows = duckdb.sql(
+        f"SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000, "
+        f"event_type, CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) "
+        f"FROM '{SF}/events.parquet'"
+    ).fetchall()
+    cells = defaultdict(lambda: [0, 0])
+    types = set()
+    for d, t, x in rows:
+        types.add(t)
+        cells[(d, t)][0] += 1
+        cells[(d, t)][1] += x
+    k = len(types)
+    dm = defaultdict(dict)
+    for (d, t), (cn, sv) in cells.items():
+        dm[d][t] = sv // cn
+    full = sorted(d for d in dm if len(dm[d]) == k)
+    ser = {t: [dm[d][t] for d in full] for t in types}
+    INF = 1 << 50
+    W = 3
+
+    def dtw(a, b):
+        m = len(a)
+        prev = [INF] * (m + 1)
+        cur = [INF] * (m + 1)
+        # plain textbook row-by-row banded DP as the independent
+        # reference (the op computes anti-diagonally — same table)
+        for i in range(1, m + 1):
+            nxt = [INF] * (m + 1)
+            for j in range(max(1, i - W), min(m, i + W) + 1):
+                best = min(
+                    cur[j],
+                    nxt[j - 1] if j > 1 else INF,
+                    cur[j - 1] if (i > 1 and j > 1) else
+                    (0 if (i == 1 and j == 1) else INF),
+                )
+                # base cell (1,1) has no predecessor: cost only
+                if i == 1 and j == 1:
+                    nxt[j] = abs(a[0] - b[0])
+                else:
+                    nxt[j] = abs(a[i - 1] - b[j - 1]) + best
+            cur, nxt = nxt, cur
+        return cur[m]
+
+    out = {
+        (r.type_a, r.type_b): r
+        for r in ts_dtw_distance(spark, SF).collect()
+    }
+    ts_sorted = sorted(types)
+    expect_pairs = {
+        (x, y) for i, x in enumerate(ts_sorted) for y in ts_sorted[i + 1 :]
+    }
+    assert set(out) == expect_pairs
+    for (x, y), r in out.items():
+        d = dtw(ser[x], ser[y])
+        assert r.n_days == len(full)
+        assert r.dtw_micro == d
+        assert r.dtw_per_step_micro == d // (2 * len(full) - 1)
+        # DTW can only improve on the rigid lock-step alignment
+        lock = sum(abs(p - q) for p, q in zip(ser[x], ser[y]))
+        assert d <= lock

@@ -424,6 +424,7 @@ AUDIT: dict[str, dict] = {
     "ml_cohens_kappa": {"smj": 0, "exchange": 1},  # one conditional agg
     "agg_capture_recapture": {"smj": 0},  # user flags + scalar folds
     "agg_cochran_q": {"smj": 0},          # (user,day,type) distinct + folds
+    "ts_dtw_distance": {"smj": 0},        # day agg + 10-pair HOF DP fold
 }
 
 
@@ -506,6 +507,24 @@ def main() -> None:
         "scan → mapInPandas) is unchanged and the delta does not "
         "extrapolate to scale, where per-file decode amortizes the "
         "constant."
+    )
+    out.append("")
+    out.append(
+        "Round-6 bench delta (61 common queries vs BENCH_r05, solo "
+        "sf0.1): 21.18s → 22.85s. The one structural regression was "
+        "`dedup_minhash_lsh` 0.20 → 1.37s — the new hot-band guard's "
+        "bands⋈sizes candidate table was re-evaluated by all three "
+        "downstream references; pinning it restored 0.39s (the "
+        "remaining ~2× over pre-guard is the size aggregate itself, "
+        "the deliberate price of skew safety). "
+        "`dedup_embedding_lsh` +28% is likewise the star-pair fix "
+        "now PROCESSING hot buckets the old guard silently dropped "
+        "(the sf1 checkpoint's zero-rows bug). The residual "
+        "+15–30% smear across unrelated sub-0.5s ops "
+        "(win_sliding_time, ts_fourier_power, ts_holt_linear) moves "
+        "together without plan changes — min-of-2 scheduling noise, "
+        "same class the r5 adjudication measured at up to 2.5× "
+        "spread on sub-second ops."
     )
     out.append("")
     text = "\n".join(out)
