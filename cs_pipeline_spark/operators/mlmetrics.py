@@ -4182,3 +4182,168 @@ def ml_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         kappa.alias("kappa"),
     )
+
+
+# ---------- isotonic calibration (PAV via minimax) ----------
+
+
+@register(
+    "ml_isotonic_calibration",
+    """
+    WITH q AS (
+      SELECT event_id,
+             CAST(event_type = 'purchase' AS INT) AS y,
+             CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS qv
+      FROM events
+    ),
+    r AS (
+      SELECT y, ROW_NUMBER() OVER (ORDER BY qv, event_id) AS rn,
+             COUNT(*) OVER () AS nn
+      FROM q
+    ),
+    b AS (
+      SELECT (rn - 1) * 10 // nn + 1 AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS s
+      FROM r GROUP BY (rn - 1) * 10 // nn + 1
+    ),
+    p AS (
+      SELECT bin, n, s,
+             SUM(n) OVER (ORDER BY bin) AS cn,
+             SUM(s) OVER (ORDER BY bin) AS cs
+      FROM b
+    ),
+    pj AS (SELECT bin AS j, cn AS cnj, cs AS csj FROM p),
+    pk AS (SELECT bin AS k, cn AS cnk, cs AS csk FROM p),
+    p0 AS (
+      SELECT j, COALESCE(prev.cn, 0) AS cn0, COALESCE(prev.cs, 0) AS cs0
+      FROM pj LEFT JOIN p prev ON prev.bin = pj.j - 1
+    ),
+    m1 AS (
+      SELECT p.bin AS i, p0.j,
+             MIN(CAST(pk.csk - p0.cs0 AS DOUBLE)
+                 / CAST(pk.cnk - p0.cn0 AS DOUBLE)) AS mn
+      FROM p JOIN p0 ON p0.j <= p.bin
+             JOIN pk ON pk.k >= p.bin
+      GROUP BY p.bin, p0.j
+    ),
+    iso AS (
+      SELECT i AS bin, MAX(mn) AS g FROM m1 GROUP BY i
+    )
+    SELECT p.bin, p.n,
+           CAST(p.s * 1000000 // p.n AS BIGINT) AS raw_rate_ppm,
+           CAST(FLOOR(iso.g * 1000000.0 + 0.5) AS BIGINT)
+             AS iso_rate_ppm,
+           CAST(ABS(CAST(FLOOR(iso.g * 1000000.0 + 0.5) AS BIGINT)
+                    - p.s * 1000000 // p.n) AS BIGINT) AS adjust_ppm
+    FROM p JOIN iso ON iso.bin = p.bin
+    """,
+    doc="isotonic calibration of the decile reliability curve via the "
+    "PAV minimax identity g(i) = max_{j<=i} min_{k>=i} mean(y, j..k): "
+    "the monotone fit computed in closed form over bounded bin "
+    "triples (no sequential pooling loop), means as single exact-"
+    "integer divisions, MIN/MAX over bit-identical doubles — the "
+    "monotone repair ml_calibration_bins' diagram feeds into "
+    "(isotonic regression is THE standard probability calibrator "
+    "beside Platt scaling)",
+)
+def ml_isotonic_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Isotonic regression without the sequential pool-adjacent-
+    violators loop: the PAV solution has the closed minimax form
+    g(i) = max_{j≤i} min_{k≥i} mean(y[j..k]), so over B bins the fit
+    is a bounded B³ enumeration — three joins over a 10-row table —
+    instead of an inherently serial merge loop. Each interval mean is
+    ONE correctly-rounded double division of exact integer prefix
+    sums (cs_k − cs_{j−1})/(cn_k − cn_{j−1}); MIN/MAX over doubles
+    that agree bitwise cross-engine pick identical values (order-
+    safe, unlike float SUM), and only the final fitted rate is
+    floor-quantized to ppm. Output: per decile the raw positive rate,
+    the isotonic (monotone, weighted-least-squares-optimal) rate, and
+    the adjustment magnitude — what a score→probability calibration
+    table ships to serving.
+
+    Scale: the fact table contributes via the same two-phase total
+    rank as ml_calibration_bins (one pass); the PAV enumeration runs
+    on B=10 rows (B³ = 1000 bounded combinations, all broadcast).
+    More bins → still B³ driver-free expression work; at B where B³
+    matters, bin first — isotonic on thousands of points is solved
+    on the binned sufficient statistics identically.
+    """
+    ev = load(spark, "events", sf_dir)
+    q = ev.select(
+        "event_id",
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+        _q6(F.col("value")).alias("qv"),
+    )
+    r = with_total_rank(q, "qv", ("event_id",), nn="nn").select(
+        "y", "rn", "nn"
+    )
+    b = r.groupBy(
+        F.expr("(rn - 1) * 10 div nn + 1").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+    )
+    w = (
+        Window.partitionBy(one_part("bin"))
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # 10 rows referenced 5x downstream — eager checkpoint truncates
+    # the two-phase total-rank lineage out of every reference (the
+    # adaboost/IPF rule: plan re-inlines pinned subtrees per use)
+    p = b.select(
+        "bin",
+        "n",
+        "s",
+        F.sum("n").over(w).alias("cn"),
+        F.sum("s").over(w).alias("cs"),
+    ).localCheckpoint(eager=True)
+    pj = p.select(F.col("bin").alias("j"))
+    pk = p.select(
+        F.col("bin").alias("k"),
+        F.col("cn").alias("cnk"),
+        F.col("cs").alias("csk"),
+    )
+    p0 = pj.join(
+        p.select(
+            (F.col("bin") + 1).alias("j"),
+            F.col("cn").alias("cn0"),
+            F.col("cs").alias("cs0"),
+        ),
+        "j",
+        "left",
+    ).select(
+        "j",
+        F.coalesce("cn0", F.lit(0)).alias("cn0"),
+        F.coalesce("cs0", F.lit(0)).alias("cs0"),
+    )
+    m1 = (
+        p.select(F.col("bin").alias("i"))
+        .join(F.broadcast(p0), F.col("j") <= F.col("i"))
+        .join(F.broadcast(pk), F.col("k") >= F.col("i"))
+        .groupBy("i", "j")
+        .agg(
+            F.min(
+                (F.col("csk") - F.col("cs0")).cast("double")
+                / (F.col("cnk") - F.col("cn0")).cast("double")
+            ).alias("mn")
+        )
+    )
+    iso = m1.groupBy(F.col("i").alias("bin")).agg(
+        F.max("mn").alias("g")
+    )
+    iso_ppm = F.floor(F.col("g") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    return p.join(F.broadcast(iso), "bin").select(
+        "bin",
+        "n",
+        F.expr("cast(s * 1000000 div n as bigint)").alias(
+            "raw_rate_ppm"
+        ),
+        iso_ppm.alias("iso_rate_ppm"),
+        F.abs(
+            iso_ppm - F.expr("cast(s * 1000000 div n as bigint)")
+        ).alias("adjust_ppm"),
+    )

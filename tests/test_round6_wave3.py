@@ -421,3 +421,60 @@ def test_dtw_matches_python_dp(spark):
         # DTW can only improve on the rigid lock-step alignment
         lock = sum(abs(p - q) for p, q in zip(ser[x], ser[y]))
         assert d <= lock
+
+
+def test_isotonic_matches_python_pav(spark):
+    from cs_pipeline_spark.operators.mlmetrics import (
+        ml_isotonic_calibration,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT CAST(event_type = 'purchase' AS INT), "
+        f"CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT), event_id "
+        f"FROM '{SF}/events.parquet' ORDER BY 2, 3"
+    ).fetchall()
+    nn = len(rows)
+    bins = defaultdict(lambda: [0, 0])
+    for rank0, (y, _, _) in enumerate(rows):
+        b = rank0 * 10 // nn + 1
+        bins[b][0] += 1
+        bins[b][1] += y
+    order = sorted(bins)
+    n = [bins[b][0] for b in order]
+    s = [bins[b][1] for b in order]
+    # reference PAV: classic sequential pool-adjacent-violators
+    blocks = [[n[i], s[i]] for i in range(len(order))]
+    merged = []
+    for blk in blocks:
+        merged.append(blk)
+        while (
+            len(merged) > 1
+            and merged[-2][1] * merged[-1][0]
+            > merged[-1][1] * merged[-2][0]
+        ):
+            b2 = merged.pop()
+            merged[-1][0] += b2[0]
+            merged[-1][1] += b2[1]
+    # expand each pooled block back to its original bins
+    iso = []
+    i = 0
+    for bn, bs in merged:
+        acc = 0
+        while acc < bn:
+            acc += n[i]
+            iso.append(bs / bn)
+            i += 1
+    out = {r.bin: r for r in ml_isotonic_calibration(spark, SF).collect()}
+    assert set(out) == set(order)
+    prev = -1
+    for idx, b in enumerate(order):
+        r = out[b]
+        assert r.n == n[idx]
+        assert r.raw_rate_ppm == s[idx] * 10**6 // n[idx]
+        expect = math.floor(iso[idx] * 1e6 + 0.5)
+        # minimax identity == sequential PAV
+        assert r.iso_rate_ppm == expect
+        assert r.adjust_ppm == abs(expect - r.raw_rate_ppm)
+        # monotone non-decreasing
+        assert r.iso_rate_ppm >= prev
+        prev = r.iso_rate_ppm

@@ -425,6 +425,7 @@ AUDIT: dict[str, dict] = {
     "agg_capture_recapture": {"smj": 0},  # user flags + scalar folds
     "agg_cochran_q": {"smj": 0},          # (user,day,type) distinct + folds
     "ts_dtw_distance": {"smj": 0},        # day agg + 10-pair HOF DP fold
+    "ml_isotonic_calibration": {"smj": 0},  # total rank + B^3 bounded PAV
 }
 
 
