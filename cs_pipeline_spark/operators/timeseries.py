@@ -914,8 +914,12 @@ def win_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("us").alias("p_us"))
     )
-    d = p.join(s, "user_id").select(
-        F.expr("(p_us - s_us) div 1000000").alias("lat_s")
+    # referenced by the rank-target passes AND the min aggregate —
+    # pin so the two fact aggregates + join run once, not per pass
+    d = pin(
+        p.join(s, "user_id").select(
+            F.expr("(p_us - s_us) div 1000000").alias("lat_s")
+        )
     )
     picks = with_rank_targets(
         d,
