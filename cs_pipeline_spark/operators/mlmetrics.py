@@ -3811,15 +3811,18 @@ def ml_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT b1.t AS t1, b1.pol AS pol1, b1.e AS e1, b1.n,
              b2.t2, b2.pol AS pol2, b2.w AS w2,
              2 * b1.e * (b1.n - b1.e) AS wtot,
-             CAST(FLOOR(0.5 * ln(
-               CAST(CAST(b1.n - b1.e AS VARCHAR) AS DOUBLE)
-               / CAST(CAST(b1.e AS VARCHAR) AS DOUBLE))
-               * 1000000000.0 + 0.5) AS BIGINT) AS a1q,
-             CAST(FLOOR(0.5 * ln(
-               CAST(CAST(2 * b1.e * (b1.n - b1.e) - b2.w AS VARCHAR)
-                    AS DOUBLE)
-               / CAST(CAST(b2.w AS VARCHAR) AS DOUBLE))
-               * 1000000000.0 + 0.5) AS BIGINT) AS a2q
+             CASE WHEN b1.e > 0 AND b1.e < b1.n THEN
+               CAST(FLOOR(0.5 * ln(
+                 CAST(CAST(b1.n - b1.e AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(b1.e AS VARCHAR) AS DOUBLE))
+                 * 1000000000.0 + 0.5) AS BIGINT) END AS a1q,
+             CASE WHEN b2.w > 0
+                       AND 2 * b1.e * (b1.n - b1.e) - b2.w > 0 THEN
+               CAST(FLOOR(0.5 * ln(
+                 CAST(CAST(2 * b1.e * (b1.n - b1.e) - b2.w AS VARCHAR)
+                      AS DOUBLE)
+                 / CAST(CAST(b2.w AS VARCHAR) AS DOUBLE))
+                 * 1000000000.0 + 0.5) AS BIGINT) END AS a2q
       FROM b1, b2
     ),
     acc AS (
@@ -3845,7 +3848,8 @@ def ml_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(a1q AS DOUBLE) / 1000000000.0 AS alpha1,
            CAST(t2 AS BIGINT) AS hour_threshold2,
            CAST(pol2 AS BIGINT) AS pol2,
-           CAST(w2 * 1000000 // wtot AS BIGINT) AS err2_ppm,
+           CAST(CASE WHEN wtot > 0 THEN w2 * 1000000 // wtot
+                END AS BIGINT) AS err2_ppm,
            CAST(a2q AS DOUBLE) / 1000000000.0 AS alpha2,
            CAST(ok * 1000000 // n AS BIGINT) AS train_acc_ppm
     FROM acc
@@ -4019,8 +4023,21 @@ def ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pol2",
             F.col("w").alias("w2"),
             F.expr("2 * e1 * (n - e1)").alias("wtot"),
-            qln("n - e1", "e1").alias("a1q"),
-            qln("2 * e1 * (n - e1) - w", "w").alias("a2q"),
+            # A PERFECT stump (e1 = 0, or a useless one e1 = n) and a
+            # zero/saturated round-2 weighted error make the half-log-
+            # odds ln hit 0 or a /0: Spark double/0.0 yields Infinity
+            # (floor -> Long.MAX alpha) while DuckDB yields NULL —
+            # guard to NULL on BOTH engines (the sibling convention:
+            # ts_pacf_durbin, features_woe_iv).
+            F.when(
+                (F.col("e1") > 0) & (F.col("e1") < F.col("n")),
+                qln("n - e1", "e1"),
+            ).alias("a1q"),
+            F.when(
+                (F.col("w") > 0)
+                & (F.expr("2 * e1 * (n - e1) - w") > 0),
+                qln("2 * e1 * (n - e1) - w", "w"),
+            ).alias("a2q"),
         )
         .localCheckpoint(eager=True)
     )
@@ -4061,9 +4078,10 @@ def ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("a1q").cast("double") / F.lit(1e9)).alias("alpha1"),
         F.col("t2").cast("long").alias("hour_threshold2"),
         F.col("pol2").cast("long").alias("pol2"),
-        F.expr("cast(w2 * 1000000 div wtot as bigint)").alias(
-            "err2_ppm"
-        ),
+        F.expr(
+            "cast(CASE WHEN wtot > 0 THEN w2 * 1000000 div wtot "
+            "END as bigint)"
+        ).alias("err2_ppm"),
         (F.col("a2q").cast("double") / F.lit(1e9)).alias("alpha2"),
         F.expr("cast(ok * 1000000 div n as bigint)").alias(
             "train_acc_ppm"

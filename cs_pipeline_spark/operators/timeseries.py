@@ -2823,8 +2823,15 @@ def ts_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = str(_DTW_BAND)
     # fold over anti-diagonals t = 3 .. 2m; acc carries the previous
     # two diagonals indexed by row i (j = t - i)
+    # m = 1 (a single complete day, seen on sparse corpora) must NOT
+    # enter the fold: sequence(3L, 2L) DESCENDS [3, 2] (Spark's default
+    # step is -1 when start > stop), folding diagonals out of order and
+    # returning a sentinel-polluted distance. The DP base case IS the
+    # answer there — DTW of two length-1 series is |a1 - b1|, exactly
+    # what the oracle's tt = 2*m recursion base yields.
     dp = F.expr(
         f"""
+        CASE WHEN m < 2 THEN abs(sa[0] - sb[0]) ELSE
         aggregate(
           sequence(3L, 2L * m),
           named_struct(
@@ -2852,6 +2859,7 @@ def ts_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
           ),
           acc -> element_at(acc.p, cast(m as int))
         )
+        END
         """
     )
     return pairs.select(

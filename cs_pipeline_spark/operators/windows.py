@@ -2850,7 +2850,7 @@ def ts_pacf_durbin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------- EWMA control chart ----------
 
-_EWMA_BLOCK = 32  # monitoring period: 2^31 max weight stays integer-safe
+_EWMA_BLOCK = 31  # monitoring period: max shift 2*j = 62 stays int64-safe
 
 
 @register(
@@ -2929,11 +2929,14 @@ def win_ewma_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     never touches floats. The exact variance inflation (1 − 4^{-t})/3
     is kept (the asymptotic-limit shortcut overflags early points).
 
-    The chart restarts every 32 days: weights ≥ 2^{-32} are BELOW the
-    1e-6 output grid, so a longer memory adds literally nothing while
-    2^t would outgrow decimal(38,0) on a years-long spine — the
-    monitoring-period restart is the standard practice made explicit
-    (and is what bounds this at any horizon).
+    The chart restarts every 31 days: weights ≥ 2^{-31} are BELOW the
+    1e-6 output grid, so a longer memory adds literally nothing, and
+    the restart is what bounds the shifts at any horizon — the block
+    length is 31 (not 32) precisely so the largest shift amount,
+    2*j = 62, stays inside int64 on BOTH engines (j = 32 would mean
+    shiftleft(1L, 64), which Spark silently masks to 0 — ft = 0 and a
+    divide-by-zero Infinity — while DuckDB throws Out of Range; the
+    ≥32-day regression is pinned by tests/test_ewma_horizon.py).
 
     Scale: one map-side-combined daily aggregate + a 1-row global;
     the weighted prefix runs over the bounded day spine partitioned
