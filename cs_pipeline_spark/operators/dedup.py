@@ -306,6 +306,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Never a global cross join; the bucket-size join reuses the same
     band_key shuffle partitioning as the pair join (AQE coalesces).
+
+    Recall: exact-replica clusters keep FULL connectivity under the
+    star guard (every member pairs with the bucket min — one CC
+    component, n−1 verified J=1 pairs minimum); near-dup pairs below
+    the cap follow the banding curve 1−(1−J^4)^4 (~98.7% at J=0.9)
+    with deterministic hashes. Pinned by
+    tests/test_recall_floor.py (planted 250-replica + J=0.902 corpus).
     """
     docs = load(spark, "documents", sf_dir)
     # The signature computation is CPU-bound per-row map work. A small
@@ -435,7 +442,14 @@ def _make_simhash_udf():
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprint per doc + bucket count per 16-bit chunk
     (docs sharing a chunk are hamming-near candidates: d ≤ 3 chunks
-    differ → at least one chunk equal, pigeonhole)."""
+    differ → at least one chunk equal, pigeonhole).
+
+    Recall: exact replicas hash to IDENTICAL fingerprints (share all
+    4 chunks — guaranteed); any pair at hamming ≤ 3 shares ≥ 1 chunk
+    by pigeonhole (guaranteed); 1-token-of-60 perturbations land at
+    hamming ≤ 3 for ≥ 85% of planted pairs on the fixture. Pinned by
+    tests/test_recall_floor.py.
+    """
     docs = load(spark, "documents", sf_dir)
     par = spark.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < par:
@@ -488,7 +502,13 @@ _DUCK_TOKENS = f"string_split({_NORM_DUCK}, ' ')"
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked exact Jaccard — the verify stage of fuzzy dedup run
     standalone. Blocking on (lang, source) bounds the pair blowup;
-    at 100 TB blocks come from LSH buckets instead."""
+    at 100 TB blocks come from LSH buckets instead.
+
+    Recall: EXACT within a block (all-pairs verify, no guard can drop
+    a pair); the only misses are cross-block pairs, which the
+    blocking key contract excludes by definition. Pinned by
+    tests/test_recall_floor.py (20/20 planted within-block pairs).
+    """
     docs = load(spark, "documents", sf_dir)
     # TWO-stage projection: materialize tokens as an attribute first.
     # Inlining the split+regex into the shingle lambda re-evaluates it
@@ -604,6 +624,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of label skew. Total pair work is the same O(n²) the
     semantics demand — ``dedup_embedding_lsh`` remains the documented
     sub-quadratic path.
+
+    Recall: EXACT — the salt split partitions pair space, it never
+    prunes it: each unordered pair lands in exactly one (ka, kb)
+    block, so every within-label pair with cos ≥ τ is returned
+    exactly once at any split factor. Pinned by
+    tests/test_recall_floor.py (cap patched to force 4 salt groups;
+    45/45 planted pairs, no duplicates).
     """
     from pyspark.sql.types import (
         DoubleType,
@@ -852,6 +879,13 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus); bucket keys are near-uniform by construction. Recall is
     tuned with more bands (union stays cheap: pairs are deduped before
     hydration).
+
+    Recall: replica clusters above the cap keep full connectivity
+    (star to bucket min — one CC component over all members);
+    near-identical vectors (cos ≥ ~0.999) recall ≥ 90% of pairs via
+    the 4-band OR. Pinned by tests/test_recall_floor.py with a
+    600-replica (> cap) planted corpus — the exact workload whose
+    zero-pairs collapse the old exclusion guard caused.
     """
     emb = load(spark, "embeddings", sf_dir).select("vec_id", "embedding")
     # pinned: the 4-band self-join pattern reads this frame 8 times and
@@ -1137,6 +1171,10 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation by MinHash underestimates (LSH recalls high-Jaccard
     pairs) — production uses suffix/shingle inverted indexes with a
     df floor for candidates, then this exact verify.
+
+    Recall: EXACT within a block — every ordered pair meeting the
+    grams floor and threshold is returned (pinned by
+    tests/test_recall_floor.py's planted excerpt⊂host pair).
     """
     docs = load(spark, "documents", sf_dir)
     toked = docs.select(

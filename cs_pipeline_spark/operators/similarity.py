@@ -284,7 +284,14 @@ def sim_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain integer column, so at scale the corpus can be *bucketed on
     disk* by it and candidate generation is a pruned scan + equi-join,
     never a cross join. Recall is tunable with more tables (OR of
-    several independent plane sets)."""
+    several independent plane sets).
+
+    Recall: an exact duplicate of a query vector is ALWAYS retrieved
+    (identical vector → identical sign bits → same bucket,
+    deterministic planes); graded recall vs brute force is measured
+    by ``sim_lsh_recall``. Pinned by tests/test_recall_floor.py's
+    planted query twin.
+    """
     corpus = _with_norm(load(spark, "embeddings", sf_dir)).withColumn(
         "bucket", _bucket_col(F.col("embedding"))
     )
