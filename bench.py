@@ -137,19 +137,36 @@ def main() -> None:
         if name in specs:
             specs[name].fn(spark, sf_dir).count()
 
-    # Timed: min of 2 runs per query — the recorded number should
-    # reflect engine throughput, not transient machine load.
+    # Timed: min of 2 runs per query, escalating to min of 5 for
+    # sub-second queries — scheduling noise on local[32] smears short
+    # runs by up to ~2.5× (PLANS.md r5 adjudication), and three rounds
+    # of verdict time went to phantom 15-30% "regressions" that were
+    # min-of-2 noise. The per-query SPREAD (max−min over the runs) is
+    # recorded alongside: only adjudicate a round-over-round delta
+    # that exceeds the recorded spread.
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
         if name not in specs:
             continue
-        best, n = float("inf"), 0
+        runs: list[float] = []
+        n = 0
         for _ in range(2):
             t0 = time.perf_counter()
             n = specs[name].fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
-        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+            runs.append(time.perf_counter() - t0)
+        if min(runs) < 1.0:
+            for _ in range(3):
+                t0 = time.perf_counter()
+                n = specs[name].fn(spark, sf_dir).count()
+                runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 4)
+        spreads[name] = round(max(runs) - min(runs), 4)
+        print(
+            f"# {name}: {n} rows in {timings[name]}s "
+            f"(±{spreads[name]}s over {len(runs)} runs)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 4)
     print(
@@ -159,6 +176,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spreads,
                 "sf": sf,
             }
         )
