@@ -112,6 +112,11 @@ HEADLINE = [
     "agg_two_way_anova",
     "win_ewma_chart",
     "text_rake_keywords",
+    # round-7: JPEG header decode (binaryFile + mapInPandas), depth-8
+    # BPE loop (8 chained checkpoint rounds — plan-size regression
+    # canary)
+    "mm_decode_jpeg_meta",
+    "text_bpe_train8",
 ]
 
 
