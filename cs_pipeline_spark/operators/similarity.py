@@ -38,6 +38,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1943,6 +1945,284 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in out_rows[1:]:
         res = res.unionByName(o)
     return res
+
+
+# ---------- SemDeDup semantic-dedup flagship ----------
+
+_SEM_TAU = 0.40  # epsilon-ball: cos >= tau within a cluster -> near-dup
+
+
+def _sql_lloyd_chain() -> list[str]:
+    """CTE chain shared with the kmeans oracle: quantized vectors
+    (plus exact squared norm qa), seed centroids, _KM_ROUNDS update
+    rounds, final assignment a{_KM_ROUNDS}."""
+    d2 = _sql_int_d2()
+    parts = [
+        "eqs AS MATERIALIZED (SELECT vec_id, eq, "
+        f"CAST(list_sum(list_transform(range(1, {_KM_DIM} + 1), "
+        "i -> eq[CAST(i AS INTEGER)] * eq[CAST(i AS INTEGER)])) "
+        "AS BIGINT) AS qa FROM ("
+        "SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"
+        ") AS eq FROM embeddings))",
+        f"c0 AS MATERIALIZED (SELECT vec_id AS cluster_id, eq AS cq "
+        f"FROM eqs WHERE vec_id < {_KM_K})",
+    ]
+    for r in range(_KM_ROUNDS + 1):
+        parts.append(
+            f"a{r} AS MATERIALIZED ("
+            f"SELECT vec_id, cluster_id, d2 FROM ("
+            f"SELECT e.vec_id, c.cluster_id, {d2} AS d2, "
+            f"ROW_NUMBER() OVER (PARTITION BY e.vec_id "
+            f"ORDER BY {d2}, c.cluster_id) AS rn "
+            f"FROM eqs e CROSS JOIN c{r} c) WHERE rn = 1)"
+        )
+        if r < _KM_ROUNDS:
+            parts.append(
+                f"u{r} AS (SELECT a.cluster_id, "
+                f"unnest(range(1, {_KM_DIM} + 1)) AS pos, "
+                f"unnest(e.eq) AS v "
+                f"FROM a{r} a JOIN eqs e ON e.vec_id = a.vec_id)"
+            )
+            parts.append(
+                f"c{r + 1} AS MATERIALIZED (SELECT cluster_id, "
+                f"list(cv ORDER BY pos) AS cq FROM ("
+                f"SELECT cluster_id, pos, SUM(v) // COUNT(*) AS cv "
+                f"FROM u{r} GROUP BY cluster_id, pos) GROUP BY cluster_id)"
+            )
+    return parts
+
+
+def _sql_semantic_e2e() -> str:
+    fin = f"a{_KM_ROUNDS}"
+    dot = (
+        f"CAST(list_sum(list_transform(range(1, {_KM_DIM} + 1), "
+        "i -> ex.eq[CAST(i AS INTEGER)] * ey.eq[CAST(i AS INTEGER)])) "
+        "AS DOUBLE)"
+    )
+    cos = f"({dot} / (SQRT(CAST(ex.qa AS DOUBLE)) * SQRT(CAST(ey.qa AS DOUBLE))))"
+    parts = _sql_lloyd_chain()
+    parts.append(
+        "prs AS MATERIALIZED ("
+        "SELECT x.vec_id AS va, y.vec_id AS vb, "
+        "CASE WHEN x.d2 > y.d2 OR (x.d2 = y.d2 AND x.vec_id < y.vec_id) "
+        "THEN y.vec_id ELSE x.vec_id END AS drop_id "
+        f"FROM {fin} x JOIN {fin} y "
+        "ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id "
+        "JOIN eqs ex ON ex.vec_id = x.vec_id "
+        "JOIN eqs ey ON ey.vec_id = y.vec_id "
+        f"WHERE {cos} >= {_SEM_TAU})"
+    )
+    funnel = (
+        "SELECT 'ingest' AS stage, CAST(COUNT(*) AS BIGINT) AS n_vecs "
+        "FROM eqs "
+        "UNION ALL SELECT 'clusters', CAST(COUNT(DISTINCT cluster_id) "
+        f"AS BIGINT) FROM {fin} "
+        "UNION ALL SELECT 'eps_pairs', CAST(COUNT(*) AS BIGINT) FROM prs "
+        "UNION ALL SELECT 'dropped', CAST(COUNT(DISTINCT drop_id) "
+        "AS BIGINT) FROM prs "
+        "UNION ALL SELECT 'kept', "
+        "CAST((SELECT COUNT(*) FROM eqs) "
+        "- (SELECT COUNT(DISTINCT drop_id) FROM prs) AS BIGINT)"
+    )
+    return "WITH " + ", ".join(parts) + " " + funnel
+
+
+@register(
+    "dedup_semantic_e2e",
+    _sql_semantic_e2e(),
+    doc="SemDeDup semantic-dedup funnel (Abbas et al. 2023): integer-"
+    f"exact k-means (k={_KM_K}, {_KM_ROUNDS} rounds) → within-cluster "
+    f"ε-ball pruning (cos ≥ {_SEM_TAU}, keep the member FARTHEST from "
+    "its centroid) → (stage, n_vecs) funnel — the embedding-space "
+    "dedup used for modern pretraining corpora, composed from the "
+    "engine's own kmeans + salted pair stages",
+)
+def dedup_semantic_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup end to end: cluster → rank within cluster → keep one
+    per ε-ball. The drop rule is the paper's one-shot ordering pass:
+    within a cluster, members are ordered by (distance-to-centroid
+    DESC, vec_id) — keeping LOW-centroid-similarity examples, the
+    policy the paper found best — and a member is dropped iff some
+    EARLIER member sits within its ε-ball (cos ≥ τ). The pairwise
+    comparison needs no rank window at all: rank_a < rank_b ⟺
+    (d2_a > d2_b) OR (d2_a = d2_b AND vec_id_a < vec_id_b), evaluated
+    per pair.
+
+    Everything is the engine's existing machinery composed: the
+    ``emb_kmeans_lloyd`` integer-grid iteration (bit-stable
+    assignments on both engines), then the ``dedup_embedding_cosine``
+    salt-split pattern for the within-cluster pair stage (a cluster
+    with n members splits into ceil(n/G) hash-salt groups; every
+    unordered pair lands in exactly one block — exact coverage at any
+    skew). The cosine is an exact int64 dot of quantized vectors
+    (≤ 64·10¹² ≪ 2⁵³, so the double conversion is lossless and both
+    engines compare identically).
+
+    Scale: k-means is one broadcast + one map-side argmin per round;
+    the ε stage is bounded per task by the salt cap regardless of
+    cluster skew (tests/test_semantic_dedup.py pins a 600-replica
+    cluster through a patched cap). At 100 TB with k ≈ 100k clusters
+    the per-cluster pair work is the SemDeDup contract itself —
+    clusters are sized so n/k keeps n²/k² tractable; the salt split
+    only bounds task memory, never drops a pair.
+    """
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from cs_pipeline_spark.operators.dedup import _COS_BLOCK_CAP
+
+    emb = load(spark, "embeddings", sf_dir)
+    eqs = pin(_quantized_eq(emb, with_label=False))
+    cents = eqs.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cluster_id"), F.col("eq").alias("cq")
+    )
+    assigned = None
+    for r in range(_KM_ROUNDS + 1):
+        scored = eqs.join(F.broadcast(cents)).select(
+            "vec_id", "eq", "cluster_id", _int_d2().alias("d2")
+        )
+        assigned = (
+            scored.groupBy("vec_id")
+            .agg(F.min(F.struct("d2", "cluster_id")).alias("b"))
+            .select(
+                "vec_id",
+                F.col("b.cluster_id").alias("cluster_id"),
+                F.col("b.d2").alias("d2"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        if r < _KM_ROUNDS:
+            upd = (
+                assigned.join(eqs, "vec_id")
+                .select(
+                    "cluster_id", F.posexplode("eq").alias("pos", "v")
+                )
+                .groupBy("cluster_id", "pos")
+                .agg(F.expr("sum(v) div count(1)").alias("cv"))
+            )
+            cents = _assemble_centroids(upd, "cluster_id").localCheckpoint(
+                eager=False
+            )
+    assigned = pin(assigned)
+
+    out_schema = StructType(
+        [
+            StructField("va", LongType()),
+            StructField("vb", LongType()),
+            StructField("drop_id", LongType()),
+            StructField("cos_sim", DoubleType()),
+        ]
+    )
+    tau = _SEM_TAU
+
+    def eps_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ka = int(pdf["ka"].iat[0])
+        kb = int(pdf["kb"].iat[0])
+
+        def prep(sub: pd.DataFrame):
+            order = np.argsort(sub["vec_id"].to_numpy())
+            ids = sub["vec_id"].to_numpy()[order]
+            E = np.stack(sub["eq"].to_numpy()[order]).astype(np.int64)
+            d2 = sub["d2"].to_numpy()[order].astype(np.int64)
+            nrm = np.sqrt((E * E).sum(axis=1).astype(np.float64))
+            return ids, E, d2, nrm
+
+        cols = {"va": [], "vb": [], "drop_id": [], "cos_sim": []}
+
+        def emit(ia, Ea, da, na, ib, Eb, db, nb, cross):
+            for i in range(len(ia)):
+                rng = slice(i + 1, len(ib)) if not cross else slice(None)
+                dots = (Ea[i][None, :] * Eb[rng]).sum(axis=1).astype(
+                    np.float64
+                )
+                cos = dots / (na[i] * nb[rng])
+                keep = cos >= tau
+                if not keep.any():
+                    continue
+                jb = np.arange(len(ib))[rng][keep]
+                for j, cs in zip(jb, cos[keep]):
+                    a_id, b_id = int(ia[i]), int(ib[j])
+                    va, vb = min(a_id, b_id), max(a_id, b_id)
+                    da_i, db_j = int(da[i]), int(db[j])
+                    # later-in-ordering member is dropped
+                    if da_i > db_j or (da_i == db_j and a_id < b_id):
+                        drop = b_id
+                    else:
+                        drop = a_id
+                    cols["va"].append(va)
+                    cols["vb"].append(vb)
+                    cols["drop_id"].append(drop)
+                    cols["cos_sim"].append(float(cs))
+
+        if ka == kb:
+            ids, E, d2, nrm = prep(pdf)
+            emit(ids, E, d2, nrm, ids, E, d2, nrm, cross=False)
+        else:
+            pa = pdf[pdf["s"] == ka]
+            pb = pdf[pdf["s"] == kb]
+            if len(pa) and len(pb):
+                A = prep(pa)
+                B = prep(pb)
+                emit(*A, *B, cross=True)
+        return pd.DataFrame(cols)
+
+    g = _COS_BLOCK_CAP // 2
+    hyd = assigned.join(eqs, "vec_id")
+    nsalt = hyd.groupBy("cluster_id").agg(
+        F.expr(f"cast((count(1) + {g} - 1) div {g} as int)").alias("ns")
+    )
+    salted = (
+        hyd.join(F.broadcast(nsalt), "cluster_id")
+        .withColumn(
+            "s", F.pmod(F.xxhash64("vec_id"), F.col("ns")).cast("int")
+        )
+        .withColumn("t", F.explode(F.sequence(F.lit(0), F.col("ns") - 1)))
+        .select(
+            "cluster_id",
+            "vec_id",
+            "eq",
+            "d2",
+            "s",
+            F.least("s", "t").alias("ka"),
+            F.greatest("s", "t").alias("kb"),
+        )
+    )
+    prs = pin(
+        salted.groupBy("cluster_id", "ka", "kb").applyInPandas(
+            eps_pairs, schema=out_schema
+        )
+    )
+
+    def stage(df: DataFrame, name: str, agg) -> DataFrame:
+        return df.agg(agg.alias("n_vecs")).select(
+            F.lit(name).alias("stage"), F.col("n_vecs").cast("long")
+        )
+
+    n_total = stage(eqs, "ingest", F.count(F.lit(1)))
+    n_clusters = stage(
+        assigned, "clusters", F.countDistinct("cluster_id")
+    )
+    n_pairs = stage(prs, "eps_pairs", F.count(F.lit(1)))
+    n_drop = stage(prs, "dropped", F.countDistinct("drop_id"))
+    kept = (
+        eqs.agg(F.count(F.lit(1)).alias("nt"))
+        .crossJoin(prs.agg(F.countDistinct("drop_id").alias("nd")))
+        .select(
+            F.lit("kept").alias("stage"),
+            (F.col("nt") - F.coalesce("nd", F.lit(0)))
+            .cast("long")
+            .alias("n_vecs"),
+        )
+    )
+    out = n_total
+    for s_df in (n_clusters, n_pairs, n_drop, kept):
+        out = out.unionByName(s_df)
+    return out
 
 
 # ---------- nearest-centroid classification (integer-exact) ----------
