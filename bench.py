@@ -114,9 +114,12 @@ HEADLINE = [
     "text_rake_keywords",
     # round-7: JPEG header decode (binaryFile + mapInPandas), depth-8
     # BPE loop (8 chained checkpoint rounds — plan-size regression
-    # canary)
+    # canary), SemDeDup funnel (kmeans + salted pair stage), index-
+    # backed incremental LSH
     "mm_decode_jpeg_meta",
     "text_bpe_train8",
+    "dedup_semantic_e2e",
+    "dedup_lsh_incremental",
 ]
 
 

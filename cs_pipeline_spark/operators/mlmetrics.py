@@ -4365,3 +4365,154 @@ def ml_isotonic_calibration(
             iso_ppm - F.expr("cast(s * 1000000 div n as bigint)")
         ).alias("adjust_ppm"),
     )
+
+
+# ---------- batch perceptron (integer-exact online-learning loop) ----------
+
+_PCT_ROUNDS = 4
+
+
+def _perceptron_sql(rounds: int) -> str:
+    """Generated unrolled batch-perceptron chain (DuckDB twin)."""
+    parts = [
+        "q AS MATERIALIZED (SELECT "
+        "CAST(CASE WHEN event_type = 'error' THEN 1 ELSE -1 END "
+        "AS HUGEINT) AS y, "
+        "CAST(FLOOR(value * 1000.0 + 0.5) AS HUGEINT) AS x1, "
+        "CAST(hour(ts) AS HUGEINT) AS x2 FROM events)",
+        "w0 AS (SELECT CAST(0 AS HUGEINT) AS w1, "
+        "CAST(0 AS HUGEINT) AS w2, CAST(0 AS HUGEINT) AS b)",
+    ]
+    mis = "q.y * (w.w1 * q.x1 + w.w2 * q.x2 + w.b) <= 0"
+    for r in range(rounds):
+        parts.append(
+            f"m{r} AS MATERIALIZED (SELECT "
+            f"SUM(CASE WHEN {mis} THEN q.y * q.x1 ELSE 0 END) AS d1, "
+            f"SUM(CASE WHEN {mis} THEN q.y * q.x2 ELSE 0 END) AS d2, "
+            f"SUM(CASE WHEN {mis} THEN q.y ELSE 0 END) AS db, "
+            f"CAST(SUM(CASE WHEN {mis} THEN 1 ELSE 0 END) AS HUGEINT) "
+            f"AS nmis, CAST(COUNT(*) AS HUGEINT) AS n "
+            f"FROM q, w{r} w)"
+        )
+        parts.append(
+            f"w{r + 1} AS (SELECT w.w1 + m.d1 AS w1, "
+            f"w.w2 + m.d2 AS w2, w.b + m.db AS b FROM w{r} w, m{r} m)"
+        )
+    union = " UNION ALL ".join(
+        (
+            f"SELECT CAST({r + 1} AS BIGINT) AS round, "
+            f"CAST(m.nmis AS BIGINT) AS n_mis, "
+            f"CAST((m.n - m.nmis) * 1000000 // m.n AS BIGINT) "
+            f"AS acc_ppm, "
+            f"CAST(w.w1 AS BIGINT) AS w1, CAST(w.w2 AS BIGINT) AS w2, "
+            f"CAST(w.b AS BIGINT) AS b "
+            f"FROM m{r} m, w{r + 1} w"
+        )
+        for r in range(rounds)
+    )
+    return "WITH " + ", ".join(parts) + " " + union
+
+
+@register(
+    "ml_perceptron_batch",
+    _perceptron_sql(_PCT_ROUNDS),
+    doc=f"batch perceptron, {_PCT_ROUNDS} full gradient rounds trained "
+    "in-engine: integer features (value milli-units, hour), weight "
+    "update w += Σ_misclassified y·x as exact HUGEINT/decimal sums, "
+    "per-round misclassification count + accuracy — the iterative "
+    "linear-classifier training loop (the online-learning primitive "
+    "the boosting/stump family doesn't cover), bit-stable across "
+    "engines and partitionings",
+)
+def ml_perceptron_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rosenblatt's perceptron as a DataFrame training loop. The
+    BATCH variant (sum the update over every currently-misclassified
+    row, then step once) replaces the sequential per-row update —
+    which has no deterministic distributed order — with one
+    map-side-combined conditional aggregate per round: the update
+    direction is order-free, so the learned weights are identical on
+    any partitioning or engine. Everything stays on the integer
+    grid: features are exact ints (value at 1e-3, hour), labels ±1,
+    so weights and margins are exact integer sums — no learning-rate
+    float ever appears (the perceptron is scale-invariant in the
+    rate, so 1 is fully general).
+
+    Weights start at 0, making round 1's margin 0 for every row —
+    all rows misclassified (the ≤ 0 rule), so the first step is the
+    class-difference centroid direction; subsequent rounds shrink
+    n_mis (the pytest asserts the trace is non-degenerate and
+    matches a python replay).
+
+    Per-round state is a 1-row weight frame, eager-localCheckpointed
+    (referenced by the next round AND the output union — the
+    adaboost/graph_k_core lineage rule).
+
+    Scale: each round is ONE broadcast of 3 integers + one map-side-
+    combined aggregate over the fact scan — no shuffle of raw rows,
+    rounds fixed. Margins reach w·x ≈ R·n·max|x|² → decimal(38,0)/
+    HUGEINT per the overflow convention.
+    """
+    ev = load(spark, "events", sf_dir)
+    d38 = "decimal(38,0)"
+    q = pin(
+        ev.select(
+            F.when(F.col("event_type") == "error", 1)
+            .otherwise(-1)
+            .cast(d38)
+            .alias("y"),
+            F.floor(F.col("value") * 1000.0 + F.lit(0.5))
+            .cast(d38)
+            .alias("x1"),
+            F.hour("ts").cast(d38).alias("x2"),
+        )
+    )
+    w = spark.range(1).select(
+        F.lit(0).cast(d38).alias("w1"),
+        F.lit(0).cast(d38).alias("w2"),
+        F.lit(0).cast(d38).alias("b"),
+    )
+    rows = []
+    for r in range(_PCT_ROUNDS):
+        mis = F.expr("y * (w1 * x1 + w2 * x2 + b) <= 0")
+        m = (
+            q.crossJoin(F.broadcast(w))
+            .agg(
+                F.sum(F.when(mis, F.expr("y * x1")).otherwise(0)).alias(
+                    "d1"
+                ),
+                F.sum(F.when(mis, F.expr("y * x2")).otherwise(0)).alias(
+                    "d2"
+                ),
+                F.sum(F.when(mis, F.col("y")).otherwise(0)).alias("db"),
+                F.sum(F.when(mis, 1).otherwise(0))
+                .cast(d38)
+                .alias("nmis"),
+                F.count(F.lit(1)).cast(d38).alias("n"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        w = (
+            w.crossJoin(F.broadcast(m))
+            .select(
+                F.expr(f"cast(w1 + d1 as {d38})").alias("w1"),
+                F.expr(f"cast(w2 + d2 as {d38})").alias("w2"),
+                F.expr(f"cast(b + db as {d38})").alias("b"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        rows.append(
+            m.crossJoin(F.broadcast(w)).select(
+                F.lit(r + 1).cast("long").alias("round"),
+                F.col("nmis").cast("long").alias("n_mis"),
+                F.expr("cast((n - nmis) * 1000000 div n as bigint)").alias(
+                    "acc_ppm"
+                ),
+                F.col("w1").cast("long").alias("w1"),
+                F.col("w2").cast("long").alias("w2"),
+                F.col("b").cast("long").alias("b"),
+            )
+        )
+    out = rows[0]
+    for o in rows[1:]:
+        out = out.unionByName(o)
+    return out

@@ -1,0 +1,123 @@
+"""Round-7 new families: Mann-Kendall trend test, Kaplan-Meier
+product-limit curve, batch perceptron — each replayed in plain python
+from the raw parquet (independent of both engines)."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+import duckdb
+import pytest
+
+from cs_pipeline_spark.registry import all_specs
+
+
+@pytest.fixture(scope="module")
+def raw(sf_dir):
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us, "
+        f"user_id, value, hour(CAST(ts AS TIMESTAMP)) AS hr "
+        f"FROM '{sf_dir}/events.parquet'"
+    ).fetchall()
+    con.close()
+    return rows
+
+
+def test_mann_kendall_python_replay(spark, sf_dir, raw):
+    got = {
+        r.event_type: r
+        for r in all_specs()["agg_mann_kendall"].fn(spark, sf_dir).collect()
+    }
+    series = defaultdict(lambda: defaultdict(lambda: [0, 0]))
+    for et, us, _u, v, _h in raw:
+        b = series[et][us // 3600000000]
+        b[0] += math.floor(v * 1e6 + 0.5)
+        b[1] += 1
+    for et, hours in series.items():
+        ys = [
+            int(s // c) if s >= 0 else -int((-s) // c)  # truncate to 0
+            for _x, (s, c) in sorted(hours.items())
+        ]
+        n = len(ys)
+        s_stat = sum(
+            (ys[j] > ys[i]) - (ys[j] < ys[i])
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        tt = sum(
+            t * (t - 1) * (2 * t + 5) for t in Counter(ys).values()
+        )
+        var18 = n * (n - 1) * (2 * n + 5) - tt
+        r = got[et]
+        assert r.n_points == n
+        assert r.s_stat == s_stat, et
+        assert r.var18 == var18, et
+        z = (s_stat - (1 if s_stat > 0 else -1 if s_stat < 0 else 0)) / (
+            math.sqrt(var18 / 18.0)
+        )
+        assert abs(r.z_stat - z) <= 1e-6
+
+
+def test_kaplan_meier_python_replay(spark, sf_dir, raw):
+    got = sorted(
+        (r.tenure_days, r.n_churned, r.n_at_risk, r.survival)
+        for r in all_specs()["agg_kaplan_meier"].fn(spark, sf_dir).collect()
+    )
+    life = defaultdict(lambda: [float("inf"), 0])
+    for _et, us, u, _v, _h in raw:
+        life[u][0] = min(life[u][0], us)
+        life[u][1] = max(life[u][1], us)
+    d = Counter((hi - lo) // 86400000000 for lo, hi in life.values())
+    days = sorted(d)
+    at_risk = {}
+    run = 0
+    for t in reversed(days):
+        run += d[t]
+        at_risk[t] = run
+    s = 10**9
+    exp = []
+    for t in days:
+        s = (s * (at_risk[t] - d[t])) // at_risk[t]
+        exp.append((t, d[t], at_risk[t], s / 1e9))
+    assert got == exp
+    # survival is monotone non-increasing and starts below 1
+    surv = [r[3] for r in got]
+    assert all(a >= b for a, b in zip(surv, surv[1:]))
+    assert surv[-1] == 0.0  # the longest lifetime ends the curve
+
+
+def test_perceptron_python_replay(spark, sf_dir, raw):
+    got = {
+        r.round: r
+        for r in all_specs()["ml_perceptron_batch"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    feats = [
+        (
+            1 if et == "error" else -1,
+            math.floor(v * 1000.0 + 0.5),
+            hr,
+        )
+        for et, _us, _u, v, hr in raw
+    ]
+    n = len(feats)
+    w1 = w2 = b = 0
+    for rnd in range(1, 5):
+        d1 = d2 = db = nmis = 0
+        for y, x1, x2 in feats:
+            if y * (w1 * x1 + w2 * x2 + b) <= 0:
+                d1 += y * x1
+                d2 += y * x2
+                db += y
+                nmis += 1
+        w1, w2, b = w1 + d1, w2 + d2, b + db
+        r = got[rnd]
+        assert (r.w1, r.w2, r.b) == (w1, w2, b), rnd
+        assert r.n_mis == nmis
+        assert r.acc_ppm == (n - nmis) * 1000000 // n
+    # training actually learns: later rounds misclassify less than
+    # round 1's all-rows start
+    assert got[4].n_mis < got[1].n_mis
