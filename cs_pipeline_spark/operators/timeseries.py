@@ -2876,3 +2876,195 @@ def ts_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dtw_per_step_micro"
         ),
     )
+
+
+# ---------- matrix profile (motif / discord discovery) ----------
+
+_MP_M = 24  # subsequence length: one day of hourly means
+_MP_EXCL = _MP_M // 2  # standard trivial-match exclusion zone
+
+
+@register(
+    "ts_matrix_profile",
+    f"""
+    WITH q AS (
+      SELECT event_type AS t,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
+             CAST(FLOOR(value * 1000.0 + 0.5) AS BIGINT) AS qv
+      FROM events
+    ),
+    ser AS (
+      SELECT t, hr, SUM(qv) // COUNT(*) AS y,
+             ROW_NUMBER() OVER (PARTITION BY t ORDER BY hr) AS rn,
+             COUNT(*) OVER (PARTITION BY t) AS n
+      FROM q GROUP BY t, hr
+    ),
+    s2 AS (
+      SELECT t, rn, n,
+             SUM(y * y) OVER (PARTITION BY t ORDER BY rn
+               ROWS BETWEEN CURRENT ROW AND {_MP_M - 1} FOLLOWING) AS ss
+      FROM ser
+    ),
+    win AS (SELECT t, rn, ss FROM s2 WHERE rn <= n - {_MP_M} + 1),
+    z AS (
+      SELECT a.t, b.rn - a.rn AS d, a.rn AS i, a.y * b.y AS zz
+      FROM ser a JOIN ser b
+        ON b.t = a.t AND b.rn >= a.rn + {_MP_EXCL}
+    ),
+    qt AS (
+      SELECT t, d, i,
+             SUM(zz) OVER (PARTITION BY t, d ORDER BY i
+               ROWS BETWEEN CURRENT ROW AND {_MP_M - 1} FOLLOWING) AS dot,
+             COUNT(*) OVER (PARTITION BY t, d ORDER BY i
+               ROWS BETWEEN CURRENT ROW AND {_MP_M - 1} FOLLOWING) AS nw
+      FROM z
+    ),
+    pr AS (
+      SELECT q.t, q.i, q.i + q.d AS j,
+             wa.ss + wb.ss - 2 * q.dot AS d2
+      FROM qt q
+      JOIN win wa ON wa.t = q.t AND wa.rn = q.i
+      JOIN win wb ON wb.t = q.t AND wb.rn = q.i + q.d
+      WHERE q.nw = {_MP_M}
+    ),
+    bo AS (
+      SELECT t, i, j, d2 FROM pr
+      UNION ALL SELECT t, j, i, d2 FROM pr
+    ),
+    mp AS (
+      SELECT t, i, d2, j,
+             ROW_NUMBER() OVER (PARTITION BY t, i ORDER BY d2, j) AS rk
+      FROM bo
+    )
+    SELECT t AS event_type, CAST(i AS BIGINT) AS win_start,
+           CAST(d2 AS BIGINT) AS mp_dist2,
+           CAST(j AS BIGINT) AS mp_index
+    FROM mp WHERE rk = 1
+    """,
+    doc=f"matrix profile (window m={_MP_M} hourly means, exclusion "
+    f"{_MP_EXCL}) per event-type series: for every window, the exact "
+    "integer squared Euclidean distance to its nearest non-trivial "
+    "neighbor + that neighbor's index — minima are motifs, maxima are "
+    "discords (the anomaly/motif-mining primitive); computed via "
+    "per-diagonal sliding dot products (prefix-sum windows), never a "
+    "per-pair m-term fold",
+)
+def ts_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The matrix profile (Yeh et al. 2016) re-expressed relationally.
+    The naive cost is O(n²·m) distance terms; the classic STOMP trick
+    — dot products along a diagonal j−i = d share all but one term —
+    becomes PURE window algebra here: per diagonal d, the products
+    z_k = y_k·y_{k+d} are one self-join row set and every window dot
+    QT(i, i+d) is a length-m FOLLOWING-frame sum over them, so the
+    whole profile is O(n²) rows with O(1) work each, inside
+    whole-stage codegen. Distances stay exact integers on the 1e-3
+    grid (unnormalized Euclidean variant: y ≤ 10⁶, m·y² ≤ 2.4·10¹³ ≪
+    int64), so min/tie-break (smallest neighbor index) is
+    bit-deterministic on both engines.
+
+    The time axis is the per-type dense hour rank (documented: gaps
+    in the hour spine are closed up, the standard treatment for
+    missing buckets in MP tooling).
+
+    Scale: windows partition by (type, diagonal) — every partition is
+    bounded by the series length (hour-grain spine), never raw
+    events. The O(n²) diagonal fan-out is per SERIES: year-long
+    series (n ≈ 8 760) give 38M product rows per series — one shuffle
+    of longs; beyond that, production MP uses the same plan per
+    (entity, metric) shard or bounds d to a motif horizon (the
+    diagonal filter is a pushed predicate, shape unchanged).
+    """
+    ev = load(spark, "events", sf_dir)
+    q = ev.select(
+        F.col("event_type").alias("t"),
+        F.expr("unix_micros(ts) div 3600000000").alias("hr"),
+        F.floor(F.col("value") * 1000.0 + F.lit(0.5))
+        .cast("long")
+        .alias("qv"),
+    )
+    wt = Window.partitionBy("t").orderBy("hr")
+    wn = Window.partitionBy("t")
+    ser = pin(
+        q.groupBy("t", "hr")
+        .agg(F.expr("sum(qv) div count(1)").cast("long").alias("y"))
+        .select(
+            "t",
+            "hr",
+            "y",
+            F.row_number().over(wt).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+    )
+    wfoll = (
+        Window.partitionBy("t")
+        .orderBy("rn")
+        .rowsBetween(Window.currentRow, _MP_M - 1)
+    )
+    win = (
+        ser.select(
+            "t",
+            "rn",
+            "n",
+            F.sum(F.expr("y * y")).over(wfoll).alias("ss"),
+        )
+        .filter(F.col("rn") <= F.col("n") - _MP_M + 1)
+        .select("t", "rn", "ss")
+    )
+    win = pin(win)
+    a = ser.select("t", F.col("rn").alias("i"), F.col("y").alias("ya"))
+    b = ser.select(
+        F.col("t").alias("tb"),
+        F.col("rn").alias("jb"),
+        F.col("y").alias("yb"),
+    )
+    z = a.join(
+        b,
+        (F.col("t") == F.col("tb"))
+        & (F.col("jb") >= F.col("i") + _MP_EXCL),
+    ).select(
+        "t",
+        (F.col("jb") - F.col("i")).alias("d"),
+        "i",
+        F.expr("ya * yb").alias("zz"),
+    )
+    wdiag = (
+        Window.partitionBy("t", "d")
+        .orderBy("i")
+        .rowsBetween(Window.currentRow, _MP_M - 1)
+    )
+    qt = z.select(
+        "t",
+        "d",
+        "i",
+        F.sum("zz").over(wdiag).alias("dot"),
+        F.count(F.lit(1)).over(wdiag).alias("nw"),
+    ).filter(F.col("nw") == _MP_M)
+    wa = win.select(
+        "t", F.col("rn").alias("i"), F.col("ss").alias("ssa")
+    )
+    wb = win.select(
+        "t", F.col("rn").alias("j"), F.col("ss").alias("ssb")
+    )
+    pr = (
+        qt.withColumn("j", F.col("i") + F.col("d"))
+        .join(wa, ["t", "i"])
+        .join(wb, ["t", "j"])
+        .select(
+            "t",
+            "i",
+            "j",
+            F.expr("ssa + ssb - 2 * dot").alias("d2"),
+        )
+    )
+    both = pr.select("t", "i", "j", "d2").union(
+        pr.select("t", F.col("j").alias("i"), F.col("i").alias("j"), "d2")
+    )
+    mp = both.groupBy("t", "i").agg(
+        F.min(F.struct("d2", "j")).alias("b")
+    )
+    return mp.select(
+        F.col("t").alias("event_type"),
+        F.col("i").cast("long").alias("win_start"),
+        F.col("b.d2").cast("long").alias("mp_dist2"),
+        F.col("b.j").cast("long").alias("mp_index"),
+    )

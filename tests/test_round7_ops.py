@@ -121,3 +121,43 @@ def test_perceptron_python_replay(spark, sf_dir, raw):
     # training actually learns: later rounds misclassify less than
     # round 1's all-rows start
     assert got[4].n_mis < got[1].n_mis
+
+
+def test_matrix_profile_numpy_replay(spark, sf_dir, raw):
+    import numpy as np
+
+    got = {
+        (r.event_type, r.win_start): (r.mp_dist2, r.mp_index)
+        for r in all_specs()["ts_matrix_profile"].fn(spark, sf_dir).collect()
+    }
+    m, excl = 24, 12
+    series = defaultdict(lambda: defaultdict(lambda: [0, 0]))
+    for et, us, _u, v, _h in raw:
+        b = series[et][us // 3600000000]
+        b[0] += math.floor(v * 1000.0 + 0.5)
+        b[1] += 1
+    n_checked = 0
+    for et, hours in series.items():
+        y = np.array(
+            [s // c for _h, (s, c) in sorted(hours.items())],
+            dtype=np.int64,
+        )
+        nw = len(y) - m + 1
+        if nw < 1:
+            continue
+        W = np.lib.stride_tricks.sliding_window_view(y, m)
+        ss = (W * W).sum(axis=1)
+        D = ss[:, None] + ss[None, :] - 2 * (W @ W.T)
+        idx = np.arange(nw)
+        D[np.abs(idx[:, None] - idx[None, :]) < excl] = np.iinfo(
+            np.int64
+        ).max
+        j = D.argmin(axis=1)  # first min -> smallest index tiebreak
+        d2 = D[idx, j]
+        for i in range(nw):
+            assert got[(et, i + 1)] == (int(d2[i]), int(j[i]) + 1), (
+                et,
+                i,
+            )
+            n_checked += 1
+    assert n_checked > 500  # the profile actually covered the corpus
