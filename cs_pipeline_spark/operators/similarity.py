@@ -4779,3 +4779,205 @@ def emb_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("pos").cast("long").alias("dim"), "w_scaled", "n_vecs"
     )
+
+
+# ---------- submodular corpus selection (facility location greedy) ----------
+
+_FL_K = 8  # selection budget
+_FL_POOL = 64  # candidate pool: vec_id < _FL_POOL (bounded by contract)
+
+
+def _sql_facility_select() -> str:
+    """Generated unrolled greedy chain (DuckDB twin)."""
+    parts = [
+        "eqs AS MATERIALIZED (SELECT vec_id, eq, "
+        f"CAST(list_sum(list_transform(range(1, {_DIM} + 1), "
+        "i -> eq[CAST(i AS INTEGER)] * eq[CAST(i AS INTEGER)])) "
+        "AS BIGINT) AS qa FROM ("
+        "SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"
+        ") AS eq FROM embeddings))",
+        # similarity matrix: every corpus vector v × every pool
+        # candidate c, cosine floor-quantized to ppb then clamped ≥ 0
+        "cq AS MATERIALIZED (SELECT v.vec_id AS vid, c.vec_id AS cid, "
+        "GREATEST(0, CAST(FLOOR("
+        f"CAST(list_sum(list_transform(range(1, {_DIM} + 1), "
+        "i -> v.eq[CAST(i AS INTEGER)] * c.eq[CAST(i AS INTEGER)])) "
+        "AS DOUBLE) / (SQRT(CAST(v.qa AS DOUBLE)) "
+        "* SQRT(CAST(c.qa AS DOUBLE))) * 1000000000.0 + 0.5) "
+        "AS BIGINT)) AS s "
+        f"FROM eqs v CROSS JOIN eqs c WHERE c.vec_id < {_FL_POOL})",
+        "b0 AS (SELECT vec_id AS vid, CAST(0 AS BIGINT) AS best "
+        "FROM eqs)",
+    ]
+    for r in range(1, _FL_K + 1):
+        excl = (
+            ""
+            if r == 1
+            else "WHERE cq.cid NOT IN ("
+            + " UNION ALL ".join(
+                f"SELECT cid FROM s{p}" for p in range(1, r)
+            )
+            + ") "
+        )
+        parts.append(
+            f"g{r} AS (SELECT cq.cid, "
+            "SUM(GREATEST(b.best, cq.s) - b.best) AS gain "
+            f"FROM cq JOIN b{r - 1} b ON b.vid = cq.vid {excl}"
+            "GROUP BY cq.cid)"
+        )
+        parts.append(
+            f"s{r} AS MATERIALIZED (SELECT cid, CAST(gain AS BIGINT) "
+            f"AS gain FROM g{r} ORDER BY gain DESC, cid LIMIT 1)"
+        )
+        parts.append(
+            f"b{r} AS MATERIALIZED (SELECT b.vid, "
+            "GREATEST(b.best, COALESCE(n.s, 0)) AS best "
+            f"FROM b{r - 1} b LEFT JOIN "
+            f"(SELECT cq.vid, cq.s FROM cq JOIN s{r} ON cq.cid = s{r}.cid) n "
+            "ON n.vid = b.vid)"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS step, "
+        f"CAST(s{r}.cid AS BIGINT) AS selected_id, s{r}.gain, "
+        f"(SELECT CAST(SUM(best) AS BIGINT) FROM b{r}) AS coverage "
+        f"FROM s{r}"
+        for r in range(1, _FL_K + 1)
+    )
+    return "WITH " + ", ".join(parts) + " " + union
+
+
+@register(
+    "corpus_facility_select",
+    _sql_facility_select(),
+    doc=f"submodular corpus selection: greedy facility location picks "
+    f"{_FL_K} of {_FL_POOL} pool candidates maximizing "
+    "Σ_v max(0, max_{s∈S} cos(v, s)) — coverage-driven coreset "
+    "selection for training data (diverse representatives, not "
+    "top-k-similar duplicates); exact integer gains on the ppb grid, "
+    "per-step (selected_id, marginal gain, total coverage)",
+)
+def corpus_facility_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximization of the facility-location function — THE
+    classic submodular objective for data-subset selection (each
+    corpus vector is 'covered' by its most similar selected example;
+    the clamp at 0 makes coverage monotone, so greedy carries the
+    (1−1/e) guarantee). Unlike top-k similarity ops, the marginal
+    gain of a candidate DROPS once a similar one is selected —
+    exactly the diversity pressure corpus curation wants.
+
+    Similarities are cosine floor-quantized to an exact ppb integer
+    once (the v × pool matrix, pinned), so every gain, argmax and
+    coverage total is integer arithmetic — greedy ties break to the
+    smaller candidate id, deterministically on both engines. Per
+    round: one join against the n-row coverage state, one
+    map-side-combined gain aggregate, a 1-row argmax
+    (TakeOrderedAndProject), and a coverage update —
+    eager-checkpointed (state feeds round r+1 AND the output row, the
+    iterative-op rule).
+
+    Scale: the pool is BOUNDED by contract (production: cluster
+    representatives or a scored shortlist, 10⁴-10⁵), so the matrix
+    stage is corpus × pool — one broadcast join, linear in the
+    corpus; coverage state is one long per corpus vector. The greedy
+    loop is k bounded rounds of hash aggregates — no n² stage
+    anywhere.
+    """
+    emb = load(spark, "embeddings", sf_dir)
+    eqs = pin(
+        _quantized_eq(emb, with_label=False).withColumn(
+            "qa", _int_d2_self()
+        )
+    )
+    pool = eqs.filter(F.col("vec_id") < _FL_POOL).select(
+        F.col("vec_id").alias("cid"),
+        F.col("eq").alias("ec"),
+        F.col("qa").alias("qc"),
+    )
+
+    @F.pandas_udf("long")
+    def row_dot(ea: pd.Series, eb: pd.Series) -> pd.Series:
+        A = np.stack([np.asarray(x, dtype=np.int64) for x in ea])
+        B = np.stack([np.asarray(x, dtype=np.int64) for x in eb])
+        return pd.Series((A * B).sum(axis=1))
+
+    cq = pin(
+        eqs.select("vec_id", "eq", "qa")
+        .crossJoin(F.broadcast(pool))
+        .select(
+            F.col("vec_id").alias("vid"),
+            "cid",
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    row_dot(F.col("eq"), F.col("ec")).cast("double")
+                    / (
+                        F.sqrt(F.col("qa").cast("double"))
+                        * F.sqrt(F.col("qc").cast("double"))
+                    )
+                    * F.lit(1e9)
+                    + F.lit(0.5)
+                ).cast("long"),
+            ).alias("s"),
+        )
+    )
+    best = eqs.select(
+        F.col("vec_id").alias("vid"), F.lit(0).cast("long").alias("best")
+    )
+    sel = None
+    rows = []
+    for r in range(1, _FL_K + 1):
+        gains = cq.join(best, "vid").groupBy("cid").agg(
+            F.sum(
+                F.greatest(F.col("best"), F.col("s")) - F.col("best")
+            )
+            .cast("long")
+            .alias("gain")
+        )
+        if sel is not None:
+            gains = gains.join(sel, "cid", "left_anti")
+        top = (
+            gains.orderBy(F.desc("gain"), F.asc("cid"))
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        sel = (
+            top.select("cid")
+            if sel is None
+            else sel.union(top.select("cid")).localCheckpoint(eager=True)
+        )
+        upd = cq.join(F.broadcast(top.select("cid")), "cid").select(
+            "vid", F.col("s").alias("ns")
+        )
+        best = (
+            best.join(upd, "vid", "left")
+            .select(
+                "vid",
+                F.greatest(
+                    F.col("best"), F.coalesce("ns", F.lit(0))
+                ).alias("best"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cov = best.agg(F.sum("best").cast("long").alias("coverage"))
+        rows.append(
+            top.crossJoin(F.broadcast(cov)).select(
+                F.lit(r).cast("long").alias("step"),
+                F.col("cid").cast("long").alias("selected_id"),
+                "gain",
+                "coverage",
+            )
+        )
+    out = rows[0]
+    for o in rows[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def _int_d2_self() -> F.Column:
+    """Σ eqᵢ² as a long Column (the vector's squared quantized norm)."""
+    return F.aggregate(
+        F.transform("eq", lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )

@@ -161,3 +161,49 @@ def test_matrix_profile_numpy_replay(spark, sf_dir, raw):
             )
             n_checked += 1
     assert n_checked > 500  # the profile actually covered the corpus
+
+
+def test_facility_select_numpy_replay(spark, sf_dir):
+    import numpy as np
+
+    got = [
+        (r.step, r.selected_id, r.gain, r.coverage)
+        for r in sorted(
+            all_specs()["corpus_facility_select"]
+            .fn(spark, sf_dir)
+            .collect(),
+            key=lambda r: r.step,
+        )
+    ]
+    con = duckdb.connect()
+    df = con.execute(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
+        "ORDER BY vec_id"
+    ).df()
+    con.close()
+    ids = df["vec_id"].to_numpy()
+    E = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    EQ = np.floor(E * 1e6 + 0.5).astype(np.int64)
+    qa = (EQ * EQ).sum(axis=1)
+    pool = ids < 64
+    dots = EQ @ EQ[pool].T
+    cos = dots / np.sqrt(qa)[:, None] / np.sqrt(qa[pool])[None, :]
+    S = np.maximum(0, np.floor(cos * 1e9 + 0.5).astype(np.int64))
+    pool_ids = ids[pool]
+    best = np.zeros(len(ids), dtype=np.int64)
+    chosen = set()
+    for step, sel_id, gain, cov in got:
+        gains = np.maximum(best[:, None], S).sum(axis=0) - best.sum()
+        order = sorted(
+            range(len(pool_ids)),
+            key=lambda c: (-gains[c], pool_ids[c]),
+        )
+        c_star = next(c for c in order if pool_ids[c] not in chosen)
+        assert sel_id == pool_ids[c_star], step
+        assert gain == gains[c_star], step
+        chosen.add(pool_ids[c_star])
+        best = np.maximum(best, S[:, c_star])
+        assert cov == best.sum(), step
+    # greedy gains are non-increasing (submodularity)
+    gains_seq = [g for _s, _i, g, _c in got]
+    assert all(a >= b for a, b in zip(gains_seq, gains_seq[1:]))
