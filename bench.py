@@ -120,6 +120,11 @@ HEADLINE = [
     "text_bpe_train8",
     "dedup_semantic_e2e",
     "dedup_lsh_incremental",
+    # round-7 wave 2: O(n²)-diagonal matrix profile, 8-round greedy
+    # facility location, 4-round batch perceptron
+    "ts_matrix_profile",
+    "corpus_facility_select",
+    "ml_perceptron_batch",
 ]
 
 
