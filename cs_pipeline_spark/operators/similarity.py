@@ -4981,3 +4981,251 @@ def _int_d2_self() -> F.Column:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+
+
+# ---------- DBSCAN density clustering (cosine space) ----------
+
+_DB_EPS = 0.35  # eps-neighborhood: cos >= eps
+_DB_MINPTS = 3  # neighborhood size floor (self included) for a core
+
+
+def _sql_dbscan() -> str:
+    dot = (
+        f"CAST(list_sum(list_transform(range(1, {_DIM} + 1), "
+        "i -> a.eq[CAST(i AS INTEGER)] * b.eq[CAST(i AS INTEGER)])) "
+        "AS DOUBLE)"
+    )
+    cos = (
+        f"({dot} / (SQRT(CAST(a.qa AS DOUBLE)) "
+        "* SQRT(CAST(b.qa AS DOUBLE))))"
+    )
+    return f"""
+    WITH RECURSIVE eqs AS MATERIALIZED (
+      SELECT vec_id, eq,
+             CAST(list_sum(list_transform(range(1, {_DIM} + 1),
+               i -> eq[CAST(i AS INTEGER)] * eq[CAST(i AS INTEGER)]))
+               AS BIGINT) AS qa
+      FROM (SELECT vec_id, list_transform(embedding,
+              x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+                        AS BIGINT)) AS eq FROM embeddings)),
+    prs AS MATERIALIZED (
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM eqs a JOIN eqs b ON a.vec_id < b.vec_id
+      WHERE {cos} >= {_DB_EPS}),
+    touch AS (SELECT va AS v, vb AS w FROM prs
+              UNION ALL SELECT vb, va FROM prs),
+    deg AS (
+      SELECT e.vec_id, 1 + COUNT(t.w) AS d
+      FROM eqs e LEFT JOIN touch t ON t.v = e.vec_id
+      GROUP BY e.vec_id),
+    core AS MATERIALIZED (
+      SELECT vec_id FROM deg WHERE d >= {_DB_MINPTS}),
+    ce AS (SELECT p.va AS src, p.vb AS dst FROM prs p
+           JOIN core ca ON ca.vec_id = p.va
+           JOIN core cb ON cb.vec_id = p.vb),
+    edges AS (SELECT src, dst FROM ce UNION ALL SELECT dst, src FROM ce),
+    reach(node, label) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
+    cl AS (SELECT node, MIN(label) AS cl FROM reach GROUP BY node),
+    ccl AS MATERIALIZED (
+      SELECT c.vec_id, COALESCE(cl.cl, c.vec_id) AS cl
+      FROM core c LEFT JOIN cl ON cl.node = c.vec_id),
+    bc AS (
+      SELECT t.w AS vec_id, MIN(ccl.cl) AS cl
+      FROM touch t
+      JOIN ccl ON ccl.vec_id = t.v
+      WHERE t.w NOT IN (SELECT vec_id FROM core)
+      GROUP BY t.w),
+    summary AS (
+      SELECT cl AS cluster_id,
+             CAST(COUNT(*) AS BIGINT) AS n_core,
+             CAST(0 AS BIGINT) AS n_border
+      FROM ccl GROUP BY cl),
+    bsum AS (SELECT cl AS cluster_id, CAST(COUNT(*) AS BIGINT) AS nb
+             FROM bc GROUP BY cl)
+    SELECT s.cluster_id, s.n_core,
+           COALESCE(b.nb, 0) AS n_border,
+           s.n_core + COALESCE(b.nb, 0) AS n_total
+    FROM summary s LEFT JOIN bsum b USING (cluster_id)
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+           (SELECT COUNT(*) FROM eqs)
+           - (SELECT COUNT(*) FROM core)
+           - (SELECT COUNT(*) FROM bc)
+    """
+
+
+@register(
+    "emb_dbscan_cosine",
+    _sql_dbscan(),
+    doc=f"DBSCAN density clustering in cosine space (eps: cos ≥ "
+    f"{_DB_EPS}, minPts {_DB_MINPTS} incl. self): core points by "
+    "neighborhood degree, clusters = connected components over "
+    "core-core edges, border points attach to their min core-"
+    "neighbor cluster, the rest is NOISE — the arbitrary-shape, "
+    "outlier-aware clustering k-means can't express; per-cluster "
+    "(n_core, n_border, n_total) census + one noise row",
+)
+def emb_dbscan_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density clustering with an explicit noise verdict — the
+    semantics k-means lacks (every k-means point is SOME cluster;
+    DBSCAN's noise class is exactly what outlier-laden embedding
+    corpora need). Core test: ≥ minPts neighbors at cos ≥ eps (self
+    included, the textbook definition); clusters are CCs of the
+    core-core graph (pointer-jumping ``connected_components``, the
+    dedup machinery reused); border points join the smallest
+    cluster id among their core neighbors (the deterministic stand-in
+    for DBSCAN's order-dependent first-found assignment); everything
+    else is noise, reported as cluster −1.
+
+    The pair stage is the ``dedup_embedding_cosine`` salt-split
+    (hash-salt groups bound every task regardless of density skew;
+    every unordered pair lands in exactly one block). Cosines are the
+    int64-dot / float-norm form shared with dedup_semantic_e2e, so
+    both engines compare identical doubles.
+
+    Scale: all-pairs is the exact-DBSCAN contract; at 100 TB the
+    neighbor stage swaps to LSH candidates + exact verify
+    (``dedup_embedding_lsh``) with identical downstream algebra —
+    density semantics live in deg/core/CC, not in how candidates
+    were found. CC is O(log n) pointer-jumping rounds on the
+    core-core graph (≪ corpus).
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from cs_pipeline_spark.operators.dedup import (
+        _COS_BLOCK_CAP,
+        connected_components,
+    )
+
+    emb = load(spark, "embeddings", sf_dir)
+    eqs = pin(
+        _quantized_eq(emb, with_label=False).withColumn(
+            "qa", _int_d2_self()
+        )
+    )
+    eps = _DB_EPS
+    out_schema = StructType(
+        [StructField("va", LongType()), StructField("vb", LongType())]
+    )
+
+    def eps_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ka, kb = int(pdf["ka"].iat[0]), int(pdf["kb"].iat[0])
+
+        def prep(sub):
+            order = np.argsort(sub["vec_id"].to_numpy())
+            ids = sub["vec_id"].to_numpy()[order]
+            E = np.stack(sub["eq"].to_numpy()[order]).astype(np.int64)
+            nrm = np.sqrt((E * E).sum(axis=1).astype(np.float64))
+            return ids, E, nrm
+
+        va, vb = [], []
+
+        def emit(ia, Ea, na, ib, Eb, nb, cross):
+            for i in range(len(ia)):
+                rng = slice(i + 1, None) if not cross else slice(None)
+                cos = (Ea[i][None, :] * Eb[rng]).sum(axis=1).astype(
+                    np.float64
+                ) / (na[i] * nb[rng])
+                keep = cos >= eps
+                jb = ib[rng][keep]
+                va.extend(np.minimum(ia[i], jb).tolist())
+                vb.extend(np.maximum(ia[i], jb).tolist())
+
+        if ka == kb:
+            ids, E, nrm = prep(pdf)
+            emit(ids, E, nrm, ids, E, nrm, cross=False)
+        else:
+            pa, pb = pdf[pdf["s"] == ka], pdf[pdf["s"] == kb]
+            if len(pa) and len(pb):
+                A, B = prep(pa), prep(pb)
+                emit(*A, *B, cross=True)
+        return pd.DataFrame({"va": va, "vb": vb})
+
+    g = _COS_BLOCK_CAP // 2
+    nsalt = eqs.agg(
+        F.expr(f"cast((count(1) + {g} - 1) div {g} as int)").alias("ns")
+    )
+    salted = (
+        eqs.crossJoin(F.broadcast(nsalt))
+        .withColumn(
+            "s", F.pmod(F.xxhash64("vec_id"), F.col("ns")).cast("int")
+        )
+        .withColumn("t", F.explode(F.sequence(F.lit(0), F.col("ns") - 1)))
+        .select(
+            "vec_id",
+            "eq",
+            "s",
+            F.least("s", "t").alias("ka"),
+            F.greatest("s", "t").alias("kb"),
+        )
+    )
+    prs = pin(
+        salted.groupBy("ka", "kb").applyInPandas(
+            eps_pairs, schema=out_schema
+        )
+    )
+    touch = prs.select(
+        F.col("va").alias("v"), F.col("vb").alias("w")
+    ).union(prs.select(F.col("vb").alias("v"), F.col("va").alias("w")))
+    deg = (
+        eqs.select("vec_id")
+        .join(touch, eqs.vec_id == touch.v, "left")
+        .groupBy("vec_id")
+        .agg((F.lit(1) + F.count("w")).alias("d"))
+    )
+    core = pin(
+        deg.filter(F.col("d") >= _DB_MINPTS).select("vec_id")
+    )
+    ca = core.select(F.col("vec_id").alias("va"))
+    cb = core.select(F.col("vec_id").alias("vb"))
+    ce = prs.join(ca, "va").join(cb, "vb").select(
+        F.col("va").alias("src"), F.col("vb").alias("dst")
+    )
+    cl = connected_components(ce)
+    ccl = pin(
+        core.join(cl, core.vec_id == cl.node, "left").select(
+            "vec_id",
+            F.coalesce("label", "vec_id").alias("cl"),
+        )
+    )
+    bc = (
+        touch.join(
+            ccl.select(F.col("vec_id").alias("v"), "cl"), "v"
+        )
+        .join(core.select(F.col("vec_id").alias("w")), "w", "left_anti")
+        .groupBy("w")
+        .agg(F.min("cl").alias("cl"))
+    )
+    csum = ccl.groupBy("cl").agg(
+        F.count(F.lit(1)).cast("long").alias("n_core")
+    )
+    bsum = bc.groupBy("cl").agg(
+        F.count(F.lit(1)).cast("long").alias("nb")
+    )
+    summary = (
+        csum.join(bsum, "cl", "left")
+        .select(
+            F.col("cl").cast("long").alias("cluster_id"),
+            "n_core",
+            F.coalesce("nb", F.lit(0)).cast("long").alias("n_border"),
+            (F.col("n_core") + F.coalesce("nb", F.lit(0)))
+            .cast("long")
+            .alias("n_total"),
+        )
+    )
+    totals = (
+        eqs.agg(F.count(F.lit(1)).alias("nt"))
+        .crossJoin(core.agg(F.count(F.lit(1)).alias("nc")))
+        .crossJoin(bc.agg(F.count(F.lit(1)).alias("nbd")))
+        .select(
+            F.lit(-1).cast("long").alias("cluster_id"),
+            F.lit(0).cast("long").alias("n_core"),
+            F.lit(0).cast("long").alias("n_border"),
+            F.expr("cast(nt - nc - nbd as bigint)").alias("n_total"),
+        )
+    )
+    return summary.unionByName(totals)

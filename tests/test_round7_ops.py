@@ -207,3 +207,60 @@ def test_facility_select_numpy_replay(spark, sf_dir):
     # greedy gains are non-increasing (submodularity)
     gains_seq = [g for _s, _i, g, _c in got]
     assert all(a >= b for a, b in zip(gains_seq, gains_seq[1:]))
+
+
+def test_dbscan_numpy_replay(spark, sf_dir):
+    import numpy as np
+
+    rows = all_specs()["emb_dbscan_cosine"].fn(spark, sf_dir).collect()
+    got = {
+        r.cluster_id: (r.n_core, r.n_border, r.n_total) for r in rows
+    }
+    con = duckdb.connect()
+    df = con.execute(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
+        "ORDER BY vec_id"
+    ).df()
+    con.close()
+    ids = df["vec_id"].to_numpy()
+    EQ = np.floor(
+        np.stack(df["embedding"].to_numpy()).astype(np.float64) * 1e6
+        + 0.5
+    ).astype(np.int64)
+    qa = (EQ * EQ).sum(axis=1)
+    C = (EQ @ EQ.T) / np.sqrt(qa)[:, None] / np.sqrt(qa)[None, :]
+    A = C >= 0.35
+    np.fill_diagonal(A, False)
+    deg = 1 + A.sum(axis=1)
+    core = deg >= 3
+    # union-find over core-core edges, canonical = min vec_id
+    parent = {int(i): int(i) for i in ids[core]}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ci, cj = np.where(A & core[:, None] & core[None, :])
+    for i, j in zip(ci, cj):
+        a, b = find(int(ids[i])), find(int(ids[j]))
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    lab = {v: find(v) for v in parent}
+    exp = defaultdict(lambda: [0, 0])
+    for v, c in lab.items():
+        exp[c][0] += 1
+    border = 0
+    for k in range(len(ids)):
+        if core[k]:
+            continue
+        nb = [lab[int(ids[j])] for j in np.where(A[k] & core)[0]]
+        if nb:
+            exp[min(nb)][1] += 1
+            border += 1
+    for c, (ncore, nbord) in exp.items():
+        assert got[c] == (ncore, nbord, ncore + nbord), c
+    noise = len(ids) - int(core.sum()) - border
+    assert got[-1] == (0, 0, noise)
+    assert noise > 0 and len(exp) > 1  # the census is non-degenerate

@@ -426,6 +426,16 @@ AUDIT: dict[str, dict] = {
     "agg_cochran_q": {"smj": 0},          # (user,day,type) distinct + folds
     "ts_dtw_distance": {"smj": 0},        # day agg + 10-pair HOF DP fold
     "ml_isotonic_calibration": {"smj": 0},  # total rank + B^3 bounded PAV
+    # wave 14 (round 7)
+    "mm_decode_jpeg_meta": {"smj": 0},    # binaryFile scan + mapInPandas
+    "text_bpe_train8": {"smj": 0},        # 8 checkpointed merge rounds
+    "dedup_semantic_e2e": {"smj": 0},     # kmeans rounds + salted pairs
+    "dedup_lsh_incremental": {"smj": 0},  # index scan + batch-side keys
+    "agg_mann_kendall": {"smj": 0},       # hourly spine pair join (pinned)
+    "agg_kaplan_meier": {"smj": 0},       # tenure spine + one fold
+    "ml_perceptron_batch": {"smj": 0},    # 4 broadcast-weight fact passes
+    "ts_matrix_profile": {"smj": 0},      # diagonal windows, (t,d) parts
+    "corpus_facility_select": {"smj": 0},  # corpus×pool broadcast + k aggs
 }
 
 
