@@ -125,6 +125,7 @@ HEADLINE = [
     "ts_matrix_profile",
     "corpus_facility_select",
     "ml_perceptron_batch",
+    "emb_dbscan_cosine",
 ]
 
 
