@@ -126,6 +126,7 @@ HEADLINE = [
     "corpus_facility_select",
     "ml_perceptron_batch",
     "emb_dbscan_cosine",
+    "text_unigram_viterbi",
 ]
 
 

@@ -5971,3 +5971,95 @@ def agg_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("q_q6") >= 9487729, F.lit(False)),
         ).alias("reject_h0"),
     )
+
+
+# ---------- Hodges–Lehmann robust location ----------
+
+
+@register(
+    "agg_hodges_lehmann",
+    """
+    WITH series AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS x,
+             SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS HUGEINT))
+               // COUNT(*) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    pm AS (
+      SELECT a.event_type, a.y + b.y AS s2
+      FROM series a JOIN series b
+        ON b.event_type = a.event_type AND b.x >= a.x
+    ),
+    ranked AS (
+      SELECT event_type, s2,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY s2, event_type) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM pm
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+           CAST(CAST(s2 AS DOUBLE) / 2.0 / 1000000.0 AS DOUBLE)
+             AS hl_location
+    FROM ranked WHERE rn = (n + 1) // 2
+    """,
+    doc="Hodges–Lehmann robust location per event-type series: the "
+    "median of all pairwise Walsh averages (y_i + y_j)/2 over the "
+    "hourly means (i ≤ j, self-pairs included per the estimator's "
+    "definition) — the location twin of agg_theil_sen's slope and the "
+    "point estimate dual of the Wilcoxon test, 29% breakdown where "
+    "the mean has none; doubled sums keep the median pick exact",
+)
+def agg_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pseudomedian: median of Walsh averages (yᵢ+yⱼ)/2 over all
+    i ≤ j. Carrying the DOUBLED sum yᵢ+yⱼ (exact integer) until the
+    final element pick sidesteps the half-integer float: the median is
+    chosen on exact integers (ties broken by value equality — ranking
+    the same multiset identically on both engines), then divided once.
+    Pairs with i = j are included — the estimator's definition, which
+    also makes it reduce to the sample median for n = 1.
+
+    Scale: same O(n²)-per-series bound as agg_theil_sen / agg_mann_
+    kendall — n is HOURS after the map-side rollup, never raw events;
+    stride the left side for year-long series.
+    """
+    ev = load(spark, "events", sf_dir)
+    series = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").alias("x"),
+    ).agg(
+        F.expr(
+            "sum(cast(floor(value * 1000000.0 + 0.5) as decimal(38,0)))"
+            " div count(1)"
+        )
+        .cast("long")
+        .alias("y")
+    )
+    a = series.select(
+        "event_type", F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    b = series.select(
+        F.col("event_type").alias("et_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+    )
+    pm = a.join(
+        b,
+        (F.col("event_type") == F.col("et_b"))
+        & (F.col("xb") >= F.col("xa")),
+    ).select("event_type", (F.col("ya") + F.col("yb")).alias("s2"))
+    wr = Window.partitionBy("event_type").orderBy("s2", "event_type")
+    wn = Window.partitionBy("event_type")
+    ranked = pm.select(
+        "event_type",
+        "s2",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return ranked.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        "event_type",
+        F.col("n").cast("long").alias("n_pairs"),
+        (F.col("s2").cast("double") / F.lit(2.0) / F.lit(1e6)).alias(
+            "hl_location"
+        ),
+    )

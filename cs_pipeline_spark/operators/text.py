@@ -2184,3 +2184,196 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.desc("score_p6"), F.desc("n_occur"), F.asc("phrase")
     ).limit(_RAKE_TOP)
+
+
+# ---------- unigram-LM tokenizer: Viterbi segmentation (E-step) ----------
+
+_UNI_MAXLEN = 16  # words longer than this are out of scope (doc'd)
+_UNI_MAXP = 4  # max piece length
+_UNI_TOPV = 150  # multi-char vocab budget (all single chars always in)
+
+
+def _unigram_sql() -> str:
+    parts = [
+        _BPE_WC_SQL,
+        f"wcl AS (SELECT w, wn FROM wc WHERE length(w) <= {_UNI_MAXLEN})",
+        "spans AS MATERIALIZED (SELECT w, wn, j, j + l AS i, "
+        "substr(w, CAST(j AS INT) + 1, CAST(l AS INT)) AS piece "
+        "FROM (SELECT w, wn, unnest(range(0, length(w))) AS j FROM wcl), "
+        f"(SELECT unnest(range(1, {_UNI_MAXP} + 1)) AS l) "
+        "WHERE j + l <= length(w))",
+        "pf AS (SELECT piece, SUM(wn) AS freq FROM "
+        "(SELECT DISTINCT w, wn, piece FROM spans) GROUP BY piece)",
+        # the LIMIT must bind to the multi-char branch ONLY — a bare
+        # UNION ALL ... ORDER BY ... LIMIT caps the WHOLE vocab and
+        # silently drops low-frequency single chars (unsegmentable
+        # words vanish from the output)
+        "vocab AS MATERIALIZED ("
+        "SELECT piece, CAST(FLOOR(ln(CAST(freq AS DOUBLE)) "
+        "* 1000000000.0 + 0.5) AS BIGINT) AS lnq FROM pf "
+        "WHERE length(piece) = 1 "
+        "UNION ALL SELECT * FROM ("
+        "SELECT piece, CAST(FLOOR(ln(CAST(freq AS DOUBLE)) "
+        "* 1000000000.0 + 0.5) AS BIGINT) AS lnq FROM pf "
+        "WHERE length(piece) >= 2 "
+        f"ORDER BY 2 DESC, 1 LIMIT {_UNI_TOPV}))",
+        # normalization is LOAD-BEARING: weights must be ln(freq/Z)
+        # (negative), else frequent single chars always outscore any
+        # multi-char piece and every word degenerates to characters
+        "z AS (SELECT CAST(FLOOR(ln(CAST(SUM(f) AS DOUBLE)) "
+        "* 1000000000.0 + 0.5) AS BIGINT) AS lnz FROM "
+        "(SELECT pf.freq AS f FROM pf JOIN vocab USING (piece)))",
+        "vsp AS MATERIALIZED (SELECT s.w, s.j, s.i, "
+        "64 * (v.lnq - z.lnz) - 1 AS wt "
+        "FROM spans s JOIN vocab v USING (piece), z)",
+        "dp0 AS (SELECT w, CAST(63 AS BIGINT) AS v FROM wcl)",
+    ]
+    for i in range(1, _UNI_MAXLEN + 1):
+        branches = " UNION ALL ".join(
+            f"SELECT s.w, d.v + s.wt AS v FROM vsp s "
+            f"JOIN dp{j} d ON d.w = s.w "
+            f"WHERE s.j = {j} AND s.i = {i}"
+            for j in range(max(0, i - _UNI_MAXP), i)
+        )
+        parts.append(
+            f"dp{i} AS MATERIALIZED (SELECT w, MAX(v) AS v "
+            f"FROM ({branches}) GROUP BY w)"
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT w, {i} AS L, v FROM dp{i}"
+        for i in range(2, _UNI_MAXLEN + 1)
+    )
+    parts.append(f"fin AS (SELECT wcl.w, wcl.wn, d.v FROM wcl "
+                 f"JOIN ({sel}) d ON d.w = wcl.w AND d.L = length(wcl.w))")
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + " SELECT w AS word, CAST(wn AS BIGINT) AS wn, "
+        # T = v−63 is NEGATIVE (normalized lnq < 0): normalize the mod
+        # with the ((x % m) + m) % m form (CLAUDE.md convention) so
+        # both engines agree regardless of % sign semantics
+        "CAST(64 - (((v - 63) % 64 + 64) % 64) AS BIGINT) AS n_pieces, "
+        "CAST((v - 63 + (64 - (((v - 63) % 64 + 64) % 64))) // 64 "
+        "AS BIGINT) AS score_lnq FROM fin"
+    )
+
+
+@register(
+    "text_unigram_viterbi",
+    _unigram_sql(),
+    doc="unigram-LM tokenizer (SentencePiece) Viterbi E-step in-"
+    "engine: substring vocab (all chars + top-150 multi-char pieces "
+    "by frequency) scored by quantized ln(freq); per word type, the "
+    "max-likelihood segmentation score AND its piece count from ONE "
+    "max-plus DP — packing (score, -pieces) as packed' = packed + "
+    "64·lnq − 1 makes the lexicographic argmax a plain integer max; "
+    "completes the tokenizer-training family beside BPE",
+)
+def text_unigram_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OTHER tokenizer-training algorithm (Kudo 2018): where BPE
+    greedily merges, unigram-LM segments each word by maximum
+    likelihood over a piece vocabulary — the Viterbi DP
+    dp[i] = max_j (dp[j] + ln p(w[j:i])). Everything is exact:
+    ln(freq) floor-quantizes to an integer (the qln convention), and
+    the (score, fewer-pieces) lexicographic objective folds into ONE
+    integer by weighting each piece 64·lnq − 1 (any 1-quantum score
+    difference ≥ 64 packed units > the ≤16 piece differential, so
+    max(packed) == lexicographic argmax); piece count and score
+    unpack from the result mod 64. The DP itself is one ``aggregate``
+    fold over word positions with the span table collected per word
+    — no loop, no UDF.
+
+    Scale: state is word TYPES × (L·4) spans (Zipf-bounded, like the
+    BPE family); the vocab build is one aggregate + TakeOrdered; the
+    fold is per-word bounded by L ≤ 16. The full EM adds a backtrace
+    fold (same shape) and a piece-count M-step aggregate — the
+    E-step here is the hard part and the demonstrated capability.
+    """
+    wc = _word_counts(load(spark, "documents", sf_dir)).filter(
+        F.length("w") <= _UNI_MAXLEN
+    )
+    spans_arr = F.expr(
+        f"""
+        flatten(transform(sequence(0, length(w) - 1), j ->
+          transform(sequence(1, least({_UNI_MAXP}, length(w) - j)), l ->
+            named_struct('j', j, 'i', j + l,
+                         'piece', substring(w, cast(j + 1 as int),
+                                            cast(l as int))))))
+        """
+    )
+    spans = pin(
+        wc.select("w", "wn", F.explode(spans_arr).alias("sp")).select(
+            "w", "wn", F.col("sp.j").alias("j"),
+            F.col("sp.i").alias("i"), F.col("sp.piece").alias("piece")
+        )
+    )
+    pf = (
+        spans.select("w", "wn", "piece")
+        .distinct()
+        .groupBy("piece")
+        .agg(F.sum("wn").cast("long").alias("freq"))
+    )
+    lnq = F.floor(
+        F.log(F.col("freq").cast("double")) * F.lit(1e9) + F.lit(0.5)
+    ).cast("long")
+    chars = pf.filter(F.length("piece") == 1).select("piece", lnq.alias("lnq"))
+    multi = (
+        pf.filter(F.length("piece") >= 2)
+        .select("piece", lnq.alias("lnq"))
+        .orderBy(F.desc("lnq"), "piece")
+        .limit(_UNI_TOPV)
+    )
+    vocab = chars.unionByName(multi)
+    # ln Z over the vocab's frequency mass: weights become ln(f/Z) < 0
+    # — without the normalization, frequent single chars always win
+    # and segmentation degenerates to characters
+    z = (
+        pf.join(vocab.select("piece"), "piece")
+        .agg(
+            F.floor(
+                F.log(F.sum("freq").cast("double")) * F.lit(1e9)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("lnz")
+        )
+    )
+    vsp = (
+        spans.join(F.broadcast(vocab), "piece")
+        .crossJoin(F.broadcast(z))
+        .select(
+            "w", "j", "i", F.expr("64 * (lnq - lnz) - 1").alias("wt")
+        )
+    )
+    trip = (
+        vsp.groupBy("w")
+        .agg(F.collect_list(F.struct("j", "i", "wt")).alias("sp3"))
+        .join(wc, "w")
+    )
+    dp = F.expr(
+        """
+        aggregate(
+          sequence(1, length(w)),
+          array(63L),
+          (acc, p) -> array_append(acc,
+            array_max(transform(
+              filter(sp3, s -> s.i = p),
+              s -> element_at(acc, cast(s.j + 1 as int)) + s.wt))),
+          acc -> element_at(acc, cast(length(w) + 1 as int)))
+        """
+    )
+    return trip.select(
+        F.col("w").alias("word"),
+        F.col("wn").cast("long").alias("wn"),
+        dp.alias("_v"),
+    ).select(
+        "word",
+        "wn",
+        F.expr(
+            "cast(64 - (((_v - 63) % 64 + 64) % 64) as bigint)"
+        ).alias("n_pieces"),
+        F.expr(
+            "cast((_v - 63 + (64 - (((_v - 63) % 64 + 64) % 64))) "
+            "div 64 as bigint)"
+        ).alias("score_lnq"),
+    )

@@ -264,3 +264,79 @@ def test_dbscan_numpy_replay(spark, sf_dir):
     noise = len(ids) - int(core.sum()) - border
     assert got[-1] == (0, 0, noise)
     assert noise > 0 and len(exp) > 1  # the census is non-degenerate
+
+
+def test_hodges_lehmann_python_replay(spark, sf_dir, raw):
+    got = {
+        r.event_type: (r.n_pairs, r.hl_location)
+        for r in all_specs()["agg_hodges_lehmann"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    series = defaultdict(lambda: defaultdict(lambda: [0, 0]))
+    for et, us, _u, v, _h in raw:
+        b = series[et][us // 3600000000]
+        b[0] += math.floor(v * 1e6 + 0.5)
+        b[1] += 1
+    for et, hours in series.items():
+        ys = [s // c for _x, (s, c) in sorted(hours.items())]
+        walsh = sorted(
+            ys[i] + ys[j]
+            for i in range(len(ys))
+            for j in range(i, len(ys))
+        )
+        n = len(walsh)
+        med2 = walsh[(n + 1) // 2 - 1]
+        assert got[et] == (n, med2 / 2.0 / 1e6), et
+
+
+def test_unigram_viterbi_python_replay(spark, sf_dir):
+    got = {
+        r.word: (r.wn, r.n_pieces, r.score_lnq)
+        for r in all_specs()["text_unigram_viterbi"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    con = duckdb.connect()
+    toks = con.execute(
+        "SELECT unnest(string_split(trim(regexp_replace(lower(text),"
+        "'\\s+', ' ', 'g')), ' ')) AS w "
+        f"FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    con.close()
+    wc = Counter(w for (w,) in toks if 2 <= len(w) <= 16)
+    # vocab: all chars + top-150 multi-char substrings by freq
+    pf = Counter()
+    for w, n in wc.items():
+        seen = set()
+        for j in range(len(w)):
+            for l in range(1, 5):
+                if j + l <= len(w):
+                    seen.add(w[j : j + l])
+        for p in seen:
+            pf[p] += n
+    lnq = {p: math.floor(math.log(f) * 1e9 + 0.5) for p, f in pf.items()}
+    multi = sorted(
+        (p for p in pf if len(p) >= 2), key=lambda p: (-lnq[p], p)
+    )[:150]
+    vocab = {p for p in pf if len(p) == 1} | set(multi)
+    z = sum(pf[p] for p in vocab)
+    lnz = math.floor(math.log(z) * 1e9 + 0.5)
+    for w, n in wc.items():
+        L = len(w)
+        dp = [-(10**18)] * (L + 1)
+        dp[0] = 63
+        for i in range(1, L + 1):
+            for j in range(max(0, i - 4), i):
+                p = w[j:i]
+                if p in vocab and dp[j] > -(10**17):
+                    dp[i] = max(
+                        dp[i], dp[j] + 64 * (lnq[p] - lnz) - 1
+                    )
+        t = dp[L] - 63
+        pieces = 64 - (t % 64)  # python % floors -> already normalized
+        score = (t + pieces) // 64
+        assert got[w] == (n, pieces, score), w
+    assert len(got) == len(wc)
+    # at least one word segments into a multi-char piece
+    assert any(p < len(w) for w, (_n, p, _s) in got.items())
