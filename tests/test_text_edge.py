@@ -25,6 +25,24 @@ def tiny_sf(tmp_path_factory, spark):
     spark.createDataFrame(pdf).coalesce(1).write.parquet(
         str(d / "documents.parquet")
     )
+    # a degenerate embeddings table too: corpus_* ops may read it
+    # (corpus_facility_select), and 5 vectors < the 64-candidate pool
+    # and < the k=8 budget exercises the pool-exhausted greedy path
+    epdf = pd.DataFrame(
+        {
+            "vec_id": [0, 1, 2, 3, 4],
+            "embedding": [
+                [float((i + j) % 3 + 1) for j in range(64)]
+                for i in range(5)
+            ],
+            "label": [0, 0, 1, 1, 2],
+        }
+    )
+    spark.createDataFrame(epdf).selectExpr(
+        "vec_id",
+        "cast(embedding as array<float>) as embedding",
+        "cast(label as int) as label",
+    ).coalesce(1).write.parquet(str(d / "embeddings.parquet"))
     return str(d)
 
 
