@@ -3068,3 +3068,204 @@ def ts_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.d2").cast("long").alias("mp_dist2"),
         F.col("b.j").cast("long").alias("mp_index"),
     )
+
+
+# ---------- Granger causality (lag-1, F-test) ----------
+
+
+def _granger_moment_sql(y: str, x: str) -> str:
+    """Centered-moment aggregate for one direction (does x -> y?)."""
+    return f"""
+      SELECT '{x}->{y}' AS direction,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM({y}) AS HUGEINT) AS sy,
+             CAST(SUM({y}1) AS HUGEINT) AS sy1,
+             CAST(SUM({x}1) AS HUGEINT) AS sx1,
+             SUM(CAST({y} AS HUGEINT) * {y}) AS syy,
+             SUM(CAST({y}1 AS HUGEINT) * {y}1) AS sy1y1,
+             SUM(CAST({x}1 AS HUGEINT) * {x}1) AS sx1x1,
+             SUM(CAST({y} AS HUGEINT) * {y}1) AS syy1,
+             SUM(CAST({y} AS HUGEINT) * {x}1) AS syx1,
+             SUM(CAST({y}1 AS HUGEINT) * {x}1) AS sy1x1
+      FROM j"""
+
+
+_GRANGER_F = """
+      CAST(n AS BIGINT) AS n_obs,
+      CASE WHEN cy1y1 > 0 AND det2 > 0
+      THEN FLOOR(
+        (CAST(n AS DOUBLE) - 3.0)
+        * (CAST(CAST(cyy AS VARCHAR) AS DOUBLE)
+             - CAST(CAST(qr AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(cy1y1 AS VARCHAR) AS DOUBLE)
+           - (CAST(CAST(cyy AS VARCHAR) AS DOUBLE)
+              - CAST(CAST(qf AS VARCHAR) AS DOUBLE)
+                / CAST(CAST(det2 AS VARCHAR) AS DOUBLE)))
+        / (CAST(CAST(cyy AS VARCHAR) AS DOUBLE)
+           - CAST(CAST(qf AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(det2 AS VARCHAR) AS DOUBLE))
+        * 1000000.0 + 0.5) / 1000000.0
+      END AS f_stat
+"""
+
+
+def _granger_sql() -> str:
+    def centered(alias: str) -> str:
+        return f"""
+        SELECT direction, n,
+               n * syy - sy * sy AS cyy,
+               n * sy1y1 - sy1 * sy1 AS cy1y1,
+               n * sx1x1 - sx1 * sx1 AS cx1x1,
+               n * syy1 - sy * sy1 AS cyy1,
+               n * syx1 - sy * sx1 AS cyx1,
+               n * sy1x1 - sy1 * sx1 AS cy1x1
+        FROM {alias}"""
+
+    return f"""
+    WITH d AS (
+      SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    j AS (
+      SELECT c.x AS x, c.y AS y, p.x AS x1, p.y AS y1
+      FROM d c JOIN d p ON p.hr = c.hr - 1
+    ),
+    mxy AS ({_granger_moment_sql('y', 'x')}),
+    myx AS ({_granger_moment_sql('x', 'y')}),
+    cen AS ({centered('mxy')} UNION ALL {centered('myx')}),
+    fin AS (
+      SELECT direction, n, cyy, cy1y1,
+             cyy1 * cyy1 AS qr,
+             cy1y1 * cx1x1 - cy1x1 * cy1x1 AS det2,
+             cyy1 * cyy1 * cx1x1
+               - 2 * cyy1 * cyx1 * cy1x1
+               + cyx1 * cyx1 * cy1y1 AS qf
+      FROM cen
+    )
+    SELECT direction, {_GRANGER_F}
+    FROM fin
+    """
+
+
+@register(
+    "ts_granger_causality",
+    _granger_sql(),
+    doc="Granger causality (lag-1 VAR) between the click and error "
+    "hourly count series, BOTH directions: restricted (y ~ y_lag) vs "
+    "full (y ~ y_lag + x_lag) OLS from exact HUGEINT/decimal centered "
+    "moments, F = (n−3)·(RSS_r − RSS_f)/RSS_f quantized 1e-6 — the "
+    "predictive-causality screen (does one stream's past improve the "
+    "other's forecast?), guarded to NULL on degenerate variance",
+)
+def ts_granger_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger's test as pure moment algebra: both OLS fits have
+    closed forms in the centered cross-moments (C = n·S₂ − S₁²,
+    exact integers — counts need no quantization grid at all), so
+    RSS_restricted = (Cyy − C²yy1/Cy1y1)/n and the full-model
+    quadratic form uses the explicit 2×2 inverse — no matrix solver,
+    no iteration. The only floats are the final scalar F expression
+    over string-cast exact integers (single IEEE-identical expression
+    on both engines, floor-quantized 1e-6). The conditional
+    `qf·Cy1y1 > qr·det2` (an exact INTEGER cross-multiplication)
+    guards F > 0 without touching floats, alongside the
+    zero-variance/singularity NULL guards.
+
+    Lag alignment is a self-join on hr−1 (gaps drop the row — the
+    standard complete-case treatment), not a window: no global sort.
+
+    Scale: one fact scan to hourly counts (map-side combined), a
+    spine self-join, two 1-row moment aggregates. Deeper lags extend
+    the same closed form (Cramer on a (p+2)² system) or move to the
+    distributed normal-equation solve used by ml_als_user_solve.
+    Moment products reach n²·x⁴ and the quadratic form C³ →
+    HUGEINT/decimal(38,0); for year-long spines with ≥10⁶-count hours
+    pre-scale the counts by integer floor-div (the rerandomization
+    convention) before the moment pass — C³ must stay under 1e38.
+    """
+    ev = load(spark, "events", sf_dir)
+    d38 = "decimal(38,0)"
+    d = ev.groupBy(
+        F.expr("unix_micros(ts) div 3600000000").alias("hr")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    )
+    d = pin(d)
+    p = d.select(
+        (F.col("hr") + 1).alias("hr"),
+        F.col("x").alias("x1"),
+        F.col("y").alias("y1"),
+    )
+    j = pin(d.join(p, "hr").select("x", "y", "x1", "y1"))
+
+    def direction(ycol: str, xcol: str) -> DataFrame:
+        yl, xl = f"{ycol}1", f"{xcol}1"
+        m = j.agg(
+            F.count(F.lit(1)).cast(d38).alias("n"),
+            F.sum(ycol).cast(d38).alias("sy"),
+            F.sum(yl).cast(d38).alias("sy1"),
+            F.sum(xl).cast(d38).alias("sx1"),
+            F.sum(F.expr(f"cast({ycol} as {d38}) * {ycol}")).alias("syy"),
+            F.sum(F.expr(f"cast({yl} as {d38}) * {yl}")).alias("sy1y1"),
+            F.sum(F.expr(f"cast({xl} as {d38}) * {xl}")).alias("sx1x1"),
+            F.sum(F.expr(f"cast({ycol} as {d38}) * {yl}")).alias("syy1"),
+            F.sum(F.expr(f"cast({ycol} as {d38}) * {xl}")).alias("syx1"),
+            F.sum(F.expr(f"cast({yl} as {d38}) * {xl}")).alias("sy1x1"),
+        )
+        cen = m.select(
+            F.lit(f"{xcol}->{ycol}").alias("direction"),
+            "n",
+            F.expr("n * syy - sy * sy").alias("cyy"),
+            F.expr("n * sy1y1 - sy1 * sy1").alias("cy1y1"),
+            F.expr("n * sx1x1 - sx1 * sx1").alias("cx1x1"),
+            F.expr("n * syy1 - sy * sy1").alias("cyy1"),
+            F.expr("n * syx1 - sy * sx1").alias("cyx1"),
+            F.expr("n * sy1x1 - sy1 * sx1").alias("cy1x1"),
+        )
+        fin = cen.select(
+            "direction",
+            "n",
+            "cyy",
+            "cy1y1",
+            F.expr("cyy1 * cyy1").alias("qr"),
+            F.expr("cy1y1 * cx1x1 - cy1x1 * cy1x1").alias("det2"),
+            F.expr(
+                "cyy1 * cyy1 * cx1x1 - 2 * cyy1 * cyx1 * cy1x1 "
+                "+ cyx1 * cyx1 * cy1y1"
+            ).alias("qf"),
+        )
+        dbl = lambda c: F.expr(  # noqa: E731
+            f"CAST(CAST({c} AS STRING) AS DOUBLE)"
+        )
+        rss_r = dbl("cyy") - dbl("qr") / dbl("cy1y1")
+        rss_f = dbl("cyy") - dbl("qf") / dbl("det2")
+        # no RSSr > RSSf guard: it holds mathematically (nested OLS)
+        # and the exact cross-multiplication qf*cy1y1 vs qr*det2 would
+        # reach C^4 ≈ 1e48 — past decimal(38,0); a float-rounding-level
+        # negative F floor-quantizes identically on both engines
+        f_stat = F.when(
+            (F.col("cy1y1") > 0) & (F.col("det2") > 0),
+            F.floor(
+                (F.col("n").cast("double") - F.lit(3.0))
+                * (rss_r - rss_f)
+                / rss_f
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6),
+        )
+        return fin.select(
+            "direction",
+            F.col("n").cast("long").alias("n_obs"),
+            f_stat.alias("f_stat"),
+        )
+
+    return direction("y", "x").unionByName(direction("x", "y"))

@@ -340,3 +340,55 @@ def test_unigram_viterbi_python_replay(spark, sf_dir):
     assert len(got) == len(wc)
     # at least one word segments into a multi-char piece
     assert any(p < len(w) for w, (_n, p, _s) in got.items())
+
+
+def test_granger_python_replay(spark, sf_dir, raw):
+    got = {
+        r.direction: (r.n_obs, r.f_stat)
+        for r in all_specs()["ts_granger_causality"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    hours = defaultdict(lambda: [0, 0])
+    for et, us, _u, _v, _h in raw:
+        h = hours[us // 3600000000]
+        if et == "click":
+            h[0] += 1
+        elif et == "error":
+            h[1] += 1
+    hrs = sorted(hours)
+    rows = [
+        (hours[h][0], hours[h][1], hours[h - 1][0], hours[h - 1][1])
+        for h in hrs
+        if h - 1 in hours
+    ]
+
+    def fstat(y_i, x_i):
+        n = len(rows)
+        y = [r[y_i] for r in rows]
+        yl = [r[y_i + 2] for r in rows]
+        xl = [r[x_i + 2] for r in rows]
+        s = lambda a, b: sum(p * q for p, q in zip(a, b))  # noqa: E731
+        cyy = n * s(y, y) - sum(y) ** 2
+        cy1y1 = n * s(yl, yl) - sum(yl) ** 2
+        cx1x1 = n * s(xl, xl) - sum(xl) ** 2
+        cyy1 = n * s(y, yl) - sum(y) * sum(yl)
+        cyx1 = n * s(y, xl) - sum(y) * sum(xl)
+        cy1x1 = n * s(yl, xl) - sum(yl) * sum(xl)
+        det2 = cy1y1 * cx1x1 - cy1x1 * cy1x1
+        qr = cyy1 * cyy1
+        qf = (
+            cyy1 * cyy1 * cx1x1
+            - 2 * cyy1 * cyx1 * cy1x1
+            + cyx1 * cyx1 * cy1y1
+        )
+        rss_r = float(cyy) - float(qr) / float(cy1y1)
+        rss_f = float(cyy) - float(qf) / float(det2)
+        f = (n - 3.0) * (rss_r - rss_f) / rss_f
+        return n, math.floor(f * 1e6 + 0.5) / 1e6
+
+    assert got["x->y"] == fstat(1, 0)
+    assert got["y->x"] == fstat(0, 1)
+    # an F-test on independent synthetic streams should be small but
+    # finite — sanity that the statistic is not NaN/degenerate
+    assert all(f is not None and f > -1.0 for _n, f in got.values())
