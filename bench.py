@@ -127,6 +127,7 @@ HEADLINE = [
     "ml_perceptron_batch",
     "emb_dbscan_cosine",
     "text_unigram_viterbi",
+    "ts_granger_causality",
 ]
 
 

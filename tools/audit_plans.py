@@ -439,6 +439,7 @@ AUDIT: dict[str, dict] = {
     "emb_dbscan_cosine": {"smj": 0},      # salted pairs + CC + census
     "agg_hodges_lehmann": {"smj": 0},     # hourly spine Walsh pairs
     "text_unigram_viterbi": {"smj": 0},   # span/vocab broadcast + fold
+    "ts_granger_causality": {"smj": 0},   # hour spine join + 1-row moments
 }
 
 
