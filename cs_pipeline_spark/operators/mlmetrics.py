@@ -4394,6 +4394,8 @@ def _perceptron_sql(rounds: int) -> str:
             f"AS nmis, CAST(COUNT(*) AS HUGEINT) AS n "
             f"FROM q, w{r} w)"
         )
+        # (empty corpus: n = 0 — the accuracy ratio must guard the
+        # division on both engines, the adaboost err2_ppm class)
         parts.append(
             f"w{r + 1} AS (SELECT w.w1 + m.d1 AS w1, "
             f"w.w2 + m.d2 AS w2, w.b + m.db AS b FROM w{r} w, m{r} m)"
@@ -4402,7 +4404,8 @@ def _perceptron_sql(rounds: int) -> str:
         (
             f"SELECT CAST({r + 1} AS BIGINT) AS round, "
             f"CAST(m.nmis AS BIGINT) AS n_mis, "
-            f"CAST((m.n - m.nmis) * 1000000 // m.n AS BIGINT) "
+            f"CAST(CASE WHEN m.n > 0 THEN "
+            f"(m.n - m.nmis) * 1000000 // m.n END AS BIGINT) "
             f"AS acc_ppm, "
             f"CAST(w.w1 AS BIGINT) AS w1, CAST(w.w2 AS BIGINT) AS w2, "
             f"CAST(w.b AS BIGINT) AS b "
@@ -4504,9 +4507,10 @@ def ml_perceptron_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             m.crossJoin(F.broadcast(w)).select(
                 F.lit(r + 1).cast("long").alias("round"),
                 F.col("nmis").cast("long").alias("n_mis"),
-                F.expr("cast((n - nmis) * 1000000 div n as bigint)").alias(
-                    "acc_ppm"
-                ),
+                F.expr(
+                    "cast(CASE WHEN n > 0 THEN "
+                    "(n - nmis) * 1000000 div n END as bigint)"
+                ).alias("acc_ppm"),
                 F.col("w1").cast("long").alias("w1"),
                 F.col("w2").cast("long").alias("w2"),
                 F.col("b").cast("long").alias("b"),

@@ -2003,6 +2003,10 @@ def _sql_semantic_e2e() -> str:
     cos = f"({dot} / (SQRT(CAST(ex.qa AS DOUBLE)) * SQRT(CAST(ey.qa AS DOUBLE))))"
     parts = _sql_lloyd_chain()
     parts.append(
+        # qa > 0 guards zero-norm vectors out of the ε stage: 0/0 is
+        # NaN and DuckDB's comparison total-order ranks NaN ABOVE the
+        # threshold while numpy's comparison is False — a silent
+        # cross-engine pair divergence without the guard
         "prs AS MATERIALIZED ("
         "SELECT x.vec_id AS va, y.vec_id AS vb, "
         "CASE WHEN x.d2 > y.d2 OR (x.d2 = y.d2 AND x.vec_id < y.vec_id) "
@@ -2011,7 +2015,7 @@ def _sql_semantic_e2e() -> str:
         "ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id "
         "JOIN eqs ex ON ex.vec_id = x.vec_id "
         "JOIN eqs ey ON ey.vec_id = y.vec_id "
-        f"WHERE {cos} >= {_SEM_TAU})"
+        f"WHERE ex.qa > 0 AND ey.qa > 0 AND {cos} >= {_SEM_TAU})"
     )
     funnel = (
         "SELECT 'ingest' AS stage, CAST(COUNT(*) AS BIGINT) AS n_vecs "
@@ -4798,14 +4802,18 @@ def _sql_facility_select() -> str:
         "x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"
         ") AS eq FROM embeddings))",
         # similarity matrix: every corpus vector v × every pool
-        # candidate c, cosine floor-quantized to ppb then clamped ≥ 0
+        # candidate c, cosine floor-quantized to ppb then clamped ≥ 0.
+        # Zero-norm vectors guard to s = 0 (NaN comparisons diverge
+        # across engines — DuckDB's total order ranks NaN above any
+        # threshold; Spark's ANSI long cast of NaN errors outright)
         "cq AS MATERIALIZED (SELECT v.vec_id AS vid, c.vec_id AS cid, "
+        "CASE WHEN v.qa > 0 AND c.qa > 0 THEN "
         "GREATEST(0, CAST(FLOOR("
         f"CAST(list_sum(list_transform(range(1, {_DIM} + 1), "
         "i -> v.eq[CAST(i AS INTEGER)] * c.eq[CAST(i AS INTEGER)])) "
         "AS DOUBLE) / (SQRT(CAST(v.qa AS DOUBLE)) "
         "* SQRT(CAST(c.qa AS DOUBLE))) * 1000000000.0 + 0.5) "
-        "AS BIGINT)) AS s "
+        "AS BIGINT)) ELSE 0 END AS s "
         f"FROM eqs v CROSS JOIN eqs c WHERE c.vec_id < {_FL_POOL})",
         "b0 AS (SELECT vec_id AS vid, CAST(0 AS BIGINT) AS best "
         "FROM eqs)",
@@ -4907,18 +4915,23 @@ def corpus_facility_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("vid"),
             "cid",
-            F.greatest(
-                F.lit(0),
-                F.floor(
-                    row_dot(F.col("eq"), F.col("ec")).cast("double")
-                    / (
-                        F.sqrt(F.col("qa").cast("double"))
-                        * F.sqrt(F.col("qc").cast("double"))
-                    )
-                    * F.lit(1e9)
-                    + F.lit(0.5)
-                ).cast("long"),
-            ).alias("s"),
+            F.when(
+                (F.col("qa") > 0) & (F.col("qc") > 0),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        row_dot(F.col("eq"), F.col("ec")).cast("double")
+                        / (
+                            F.sqrt(F.col("qa").cast("double"))
+                            * F.sqrt(F.col("qc").cast("double"))
+                        )
+                        * F.lit(1e9)
+                        + F.lit(0.5)
+                    ).cast("long"),
+                ),
+            )
+            .otherwise(F.lit(0))
+            .alias("s"),
         )
     )
     best = eqs.select(
@@ -5009,9 +5022,11 @@ def _sql_dbscan() -> str:
               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
                         AS BIGINT)) AS eq FROM embeddings)),
     prs AS MATERIALIZED (
+      -- qa > 0: zero-norm cosines are NaN; DuckDB's total order would
+      -- rank NaN >= eps TRUE while numpy's comparison is False
       SELECT a.vec_id AS va, b.vec_id AS vb
       FROM eqs a JOIN eqs b ON a.vec_id < b.vec_id
-      WHERE {cos} >= {_DB_EPS}),
+      WHERE a.qa > 0 AND b.qa > 0 AND {cos} >= {_DB_EPS}),
     touch AS (SELECT va AS v, vb AS w FROM prs
               UNION ALL SELECT vb, va FROM prs),
     deg AS (

@@ -392,3 +392,78 @@ def test_granger_python_replay(spark, sf_dir, raw):
     # an F-test on independent synthetic streams should be small but
     # finite — sanity that the statistic is not NaN/degenerate
     assert all(f is not None and f > -1.0 for _n, f in got.values())
+
+
+@pytest.fixture(scope="module")
+def degenerate_emb_sf(tmp_path_factory, spark):
+    """A zero-norm vector among normal ones + an empty events table."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import os
+
+    d = tmp_path_factory.mktemp("degsf")
+    vecs = [np.zeros(64)]
+    for i in range(1, 12):
+        v = np.sin(np.arange(64) * 0.1 * i + i)
+        vecs.append(v / np.linalg.norm(v))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(12), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array([0] * 12, pa.int32()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(str(d), "embeddings.parquet"))
+    spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double",
+    ).coalesce(1).write.parquet(os.path.join(str(d), "events.parquet"))
+    return str(d)
+
+
+def test_zero_norm_vector_is_guarded(spark, degenerate_emb_sf):
+    """Zero-norm embeddings must not crash (ANSI NaN->long cast) nor
+    emit pairs (DuckDB NaN total-order divergence class)."""
+    specs = all_specs()
+    # DBSCAN: vec 0 has no eps-neighbors -> noise, never a pair crash
+    rows = {
+        r.cluster_id: r.n_total
+        for r in specs["emb_dbscan_cosine"]
+        .fn.__wrapped__(spark, degenerate_emb_sf)
+        .collect()
+    }
+    assert rows[-1] >= 1  # the zero vector lands in noise
+    # SemDeDup: runs, zero vector never inside an eps-pair
+    out = {
+        r.stage: r.n_vecs
+        for r in specs["dedup_semantic_e2e"]
+        .fn.__wrapped__(spark, degenerate_emb_sf)
+        .collect()
+    }
+    assert out["ingest"] == 12
+    # facility selection: s(v, zero-candidate) = 0 -> still selects
+    sel = (
+        specs["corpus_facility_select"]
+        .fn.__wrapped__(spark, degenerate_emb_sf)
+        .collect()
+    )
+    assert len(sel) >= 1 and all(r.gain >= 0 for r in sel)
+
+
+def test_perceptron_empty_corpus_yields_null_accuracy(
+    spark, degenerate_emb_sf
+):
+    rows = (
+        all_specs()["ml_perceptron_batch"]
+        .fn.__wrapped__(spark, degenerate_emb_sf)
+        .collect()
+    )
+    assert len(rows) == 4
+    for r in rows:
+        assert r.acc_ppm is None  # guarded division, no ANSI error
+        # empty-aggregate SUMs are NULL on BOTH engines (consistent)
+        assert r.n_mis is None and r.w1 is None
