@@ -128,6 +128,7 @@ HEADLINE = [
     "emb_dbscan_cosine",
     "text_unigram_viterbi",
     "ts_granger_causality",
+    "anomaly_suite_e2e",
 ]
 
 

@@ -537,3 +537,126 @@ def f_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k").cast("long").alias("k_total"),
         F.countDistinct("tag").cast("long").alias("n_tags"),
     )
+
+
+# ---------- flagship: the anomaly-detection suite, end to end ----------
+
+
+def _anomaly_suite_oracle() -> str:
+    """Compose the five detectors' REGISTERED oracles: each becomes a
+    subquery whose flag column is counted — the funnel is exactly the
+    sum of what the individually-hash-checked ops emit."""
+    # force the providers to register first: _load_all_modules imports
+    # this module BEFORE windows/filters in its tuple order
+    import cs_pipeline_spark.operators.aggregate  # noqa: F401
+    import cs_pipeline_spark.operators.filters  # noqa: F401
+    import cs_pipeline_spark.operators.windows  # noqa: F401
+    from cs_pipeline_spark.registry import _REGISTRY
+
+    o = {k: _REGISTRY[k].oracle for k in (
+        "agg_control_chart",
+        "win_ewma_chart",
+        "win_cusum_changepoint",
+        "agg_mad_outliers",
+        "dq_volume_anomaly",
+    )}
+    return f"""
+    SELECT 'shewhart_we_rules' AS detector,
+           CAST(COUNT(*) AS BIGINT) AS n_flagged
+    FROM ({o['agg_control_chart']})
+    WHERE COALESCE(rule1, FALSE) OR COALESCE(rule2, FALSE)
+    UNION ALL
+    SELECT 'ewma_chart', CAST(COUNT(*) AS BIGINT)
+    FROM ({o['win_ewma_chart']}) WHERE COALESCE(signal, FALSE)
+    UNION ALL
+    SELECT 'cusum_drift', CAST(COUNT(*) AS BIGINT)
+    FROM ({o['win_cusum_changepoint']}) WHERE COALESCE(drifted, FALSE)
+    UNION ALL
+    SELECT 'mad_outliers', CAST(COALESCE(SUM(n_outliers), 0) AS BIGINT)
+    FROM ({o['agg_mad_outliers']})
+    UNION ALL
+    SELECT 'volume_z6', CAST(COUNT(*) AS BIGINT)
+    FROM ({o['dq_volume_anomaly']}) WHERE COALESCE(is_anomaly, FALSE)
+    """
+
+
+@register(
+    "anomaly_suite_e2e",
+    _anomaly_suite_oracle(),
+    doc="flagship #6: the monitoring stack end to end — Shewhart "
+    "Western-Electric rules, EWMA chart, CUSUM drift, MAD outliers, "
+    "and volume z-score composed into one (detector, n_flagged) "
+    "report; both sides literally reuse the five hash-checked "
+    "detector definitions, so the suite can never drift from its "
+    "parts",
+)
+def anomaly_suite_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One query answering 'what is alerting right now, by detector?'
+    — the page a production data-quality/monitoring stack renders.
+    Each detector covers a failure mode the others miss: Shewhart
+    rule 1 catches single 3σ points, rule 2 and EWMA catch small
+    sustained shifts, CUSUM localizes WHERE a drift started, MAD
+    flags per-event outliers robustly, the volume z-score watches
+    row-count health rather than values.
+
+    Composition is by reference, not copy: the Spark side calls the
+    five REGISTERED builders (memoized — a dashboard refresh reuses
+    their cached plans) and the oracle embeds the five registered
+    oracle strings as subqueries, so this flagship is structurally
+    incapable of disagreeing with its hash-checked parts.
+
+    Scale: each detector is its own bounded-spine plan (see the five
+    docstrings); the flagship adds only five 1-row aggregates and a
+    union — nothing new shuffles.
+    """
+    from cs_pipeline_spark.operators.aggregate import (
+        agg_control_chart,
+        agg_mad_outliers,
+    )
+    from cs_pipeline_spark.operators.filters import dq_volume_anomaly
+    from cs_pipeline_spark.operators.windows import (
+        win_cusum_changepoint,
+        win_ewma_chart,
+    )
+
+    def cnt(df: DataFrame, name: str, flag) -> DataFrame:
+        return (
+            df.filter(flag)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_flagged"))
+            .select(F.lit(name).alias("detector"), "n_flagged")
+        )
+
+    shew = cnt(
+        agg_control_chart(spark, sf_dir),
+        "shewhart_we_rules",
+        F.coalesce("rule1", F.lit(False))
+        | F.coalesce("rule2", F.lit(False)),
+    )
+    ewma = cnt(
+        win_ewma_chart(spark, sf_dir),
+        "ewma_chart",
+        F.coalesce("signal", F.lit(False)),
+    )
+    cusum = cnt(
+        win_cusum_changepoint(spark, sf_dir),
+        "cusum_drift",
+        F.coalesce("drifted", F.lit(False)),
+    )
+    mad = (
+        agg_mad_outliers(spark, sf_dir)
+        .agg(
+            F.coalesce(F.sum("n_outliers"), F.lit(0))
+            .cast("long")
+            .alias("n_flagged")
+        )
+        .select(F.lit("mad_outliers").alias("detector"), "n_flagged")
+    )
+    vol = cnt(
+        dq_volume_anomaly(spark, sf_dir),
+        "volume_z6",
+        F.coalesce("is_anomaly", F.lit(False)),
+    )
+    out = shew
+    for d in (ewma, cusum, mad, vol):
+        out = out.unionByName(d)
+    return out

@@ -467,3 +467,32 @@ def test_perceptron_empty_corpus_yields_null_accuracy(
         assert r.acc_ppm is None  # guarded division, no ANSI error
         # empty-aggregate SUMs are NULL on BOTH engines (consistent)
         assert r.n_mis is None and r.w1 is None
+
+
+def test_anomaly_suite_equals_its_parts(spark, sf_dir):
+    """The flagship must be structurally incapable of drifting from
+    the five hash-checked detectors it composes."""
+    specs = all_specs()
+    suite = {
+        r.detector: r.n_flagged
+        for r in specs["anomaly_suite_e2e"].fn(spark, sf_dir).collect()
+    }
+    assert set(suite) == {
+        "shewhart_we_rules",
+        "ewma_chart",
+        "cusum_drift",
+        "mad_outliers",
+        "volume_z6",
+    }
+    cc = specs["agg_control_chart"].fn(spark, sf_dir).collect()
+    assert suite["shewhart_we_rules"] == sum(
+        1 for r in cc if (r.rule1 or False) or (r.rule2 or False)
+    )
+    ew = specs["win_ewma_chart"].fn(spark, sf_dir).collect()
+    assert suite["ewma_chart"] == sum(1 for r in ew if r.signal)
+    cu = specs["win_cusum_changepoint"].fn(spark, sf_dir).collect()
+    assert suite["cusum_drift"] == sum(1 for r in cu if r.drifted)
+    mo = specs["agg_mad_outliers"].fn(spark, sf_dir).collect()
+    assert suite["mad_outliers"] == sum(r.n_outliers for r in mo)
+    va = specs["dq_volume_anomaly"].fn(spark, sf_dir).collect()
+    assert suite["volume_z6"] == sum(1 for r in va if r.is_anomaly)

@@ -440,6 +440,7 @@ AUDIT: dict[str, dict] = {
     "agg_hodges_lehmann": {"smj": 0},     # hourly spine Walsh pairs
     "text_unigram_viterbi": {"smj": 0},   # span/vocab broadcast + fold
     "ts_granger_causality": {"smj": 0},   # hour spine join + 1-row moments
+    "anomaly_suite_e2e": {"smj": 0},      # five detector aggs + union
 }
 
 
