@@ -1817,170 +1817,6 @@ def agg_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------- Mann–Kendall trend test ----------
-
-
-@register(
-    "agg_mann_kendall",
-    """
-    WITH series AS (
-      SELECT event_type,
-             epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS x,
-             SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS HUGEINT))
-               // COUNT(*) AS y
-      FROM events GROUP BY 1, 2
-    ),
-    s AS (
-      SELECT a.event_type,
-             CAST(SUM(CASE WHEN b.y > a.y THEN 1
-                           WHEN b.y < a.y THEN -1 ELSE 0 END)
-                  AS BIGINT) AS s_stat,
-             CAST(COUNT(*) AS BIGINT) AS n_pairs
-      FROM series a JOIN series b
-        ON b.event_type = a.event_type AND b.x > a.x
-      GROUP BY a.event_type
-    ),
-    nn AS (SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n
-           FROM series GROUP BY event_type),
-    ties AS (
-      SELECT event_type,
-             SUM(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)) AS tt
-      FROM (SELECT event_type, y, COUNT(*) AS t FROM series
-            GROUP BY event_type, y)
-      GROUP BY event_type
-    ),
-    v AS (
-      SELECT s.event_type, s.s_stat, s.n_pairs,
-             CAST(nn.n AS BIGINT) AS n_points,
-             CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5)
-                  - COALESCE(ties.tt, 0) AS BIGINT) AS var18
-      FROM s JOIN nn USING (event_type)
-      LEFT JOIN ties USING (event_type)
-    )
-    SELECT event_type, n_points, n_pairs, s_stat, var18,
-           CASE WHEN var18 > 0 THEN
-             FLOOR((CAST(s_stat AS DOUBLE)
-                    - CASE WHEN s_stat > 0 THEN 1.0
-                           WHEN s_stat < 0 THEN -1.0 ELSE 0.0 END)
-                   / SQRT(CAST(var18 AS DOUBLE) / 18.0)
-                   * 1000000.0 + 0.5) / 1000000.0
-           END AS z_stat
-    FROM v
-    """,
-    doc="Mann–Kendall trend test per event-type hourly series: exact "
-    "integer S = Σ sign(y_j − y_i) over time-ordered pairs, "
-    "tie-corrected variance 18·Var(S) as an exact integer, continuity-"
-    "corrected Z quantized 1e-6 — the significance companion to "
-    "agg_theil_sen's slope (monotonic trend without distributional "
-    "assumptions)",
-)
-def agg_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The nonparametric trend TEST beside the robust trend ESTIMATE
-    (``agg_theil_sen`` — same hourly-mean series, deliberately): S
-    counts concordant minus discordant time pairs, so it is exact
-    integer arithmetic end to end; the only floats are the final
-    (S ∓ 1)/√Var, where 18·Var(S) = n(n−1)(2n+5) − Σ t(t−1)(2t+5) is
-    itself an exact integer (tie groups t over the quantized means —
-    integer y values, so tie detection is exact, unlike float means).
-    The continuity correction (∓1) matches the standard normal
-    approximation.
-
-    Scale: identical to agg_theil_sen — the O(n²) stage is per-series
-    over HOURLY buckets (n = hours, map-side-combined upstream), never
-    raw events; year-long series stride the left side. Tie counting
-    is one extra (type, y) aggregate.
-    """
-    ev = load(spark, "events", sf_dir)
-    series = ev.groupBy(
-        "event_type",
-        F.expr("unix_micros(ts) div 3600000000").alias("x"),
-    ).agg(
-        F.expr(
-            "sum(cast(floor(value * 1000000.0 + 0.5) as decimal(38,0)))"
-            " div count(1)"
-        )
-        .cast("long")
-        .alias("y")
-    )
-    series = pin(series)  # pair join (2 sides) + counts + ties = 4 refs
-    a = series.select(
-        "event_type", F.col("x").alias("xa"), F.col("y").alias("ya")
-    )
-    b = series.select(
-        F.col("event_type").alias("et_b"),
-        F.col("x").alias("xb"),
-        F.col("y").alias("yb"),
-    )
-    s = (
-        a.join(
-            b,
-            (F.col("event_type") == F.col("et_b"))
-            & (F.col("xb") > F.col("xa")),
-        )
-        .groupBy("event_type")
-        .agg(
-            F.sum(
-                F.when(F.col("yb") > F.col("ya"), 1)
-                .when(F.col("yb") < F.col("ya"), -1)
-                .otherwise(0)
-            )
-            .cast("long")
-            .alias("s_stat"),
-            F.count(F.lit(1)).cast("long").alias("n_pairs"),
-        )
-    )
-    nn = series.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("n")
-    )
-    ties = (
-        series.groupBy("event_type", "y")
-        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("t"))
-        .groupBy("event_type")
-        .agg(
-            F.sum(
-                F.expr("t * (t - 1) * (2 * t + 5)")
-            ).alias("tt")
-        )
-    )
-    v = (
-        s.join(nn, "event_type")
-        .join(ties, "event_type", "left")
-        .select(
-            "event_type",
-            F.expr("cast(n as bigint)").alias("n_points"),
-            "n_pairs",
-            "s_stat",
-            F.expr(
-                "cast(n * (n - 1) * (2 * n + 5) - coalesce(tt, 0) "
-                "as bigint)"
-            ).alias("var18"),
-        )
-    )
-    z = F.when(
-        F.col("var18") > 0,
-        F.floor(
-            (
-                F.col("s_stat").cast("double")
-                - F.when(F.col("s_stat") > 0, F.lit(1.0))
-                .when(F.col("s_stat") < 0, F.lit(-1.0))
-                .otherwise(F.lit(0.0))
-            )
-            / F.sqrt(F.col("var18").cast("double") / F.lit(18.0))
-            * F.lit(1e6)
-            + F.lit(0.5)
-        )
-        / F.lit(1e6),
-    )
-    return v.select(
-        "event_type",
-        "n_points",
-        "n_pairs",
-        "s_stat",
-        "var18",
-        z.alias("z_stat"),
-    )
-
-
 # ---------- HLL set algebra (intersection via inclusion-exclusion) ----------
 
 

@@ -1261,112 +1261,6 @@ def agg_churn_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "agg_kaplan_meier",
-    f"""
-    WITH RECURSIVE u AS (
-      SELECT user_id,
-             (MAX(epoch_us({EVENTS_TS_SQL}))
-              - MIN(epoch_us({EVENTS_TS_SQL}))) // 86400000000 AS tenure_d
-      FROM events GROUP BY user_id
-    ), k0 AS (
-      SELECT tenure_d, CAST(COUNT(*) AS BIGINT) AS d
-      FROM u GROUP BY tenure_d
-    ), k AS (
-      SELECT tenure_d, d,
-             CAST(SUM(d) OVER (ORDER BY tenure_d DESC
-                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS r,
-             ROW_NUMBER() OVER (ORDER BY tenure_d) AS rn
-      FROM k0
-    ), rec AS (
-      SELECT rn, tenure_d, d, r,
-             (CAST(1000000000 AS HUGEINT) * (r - d)) // r AS s
-      FROM k WHERE rn = 1
-      UNION ALL
-      SELECT k.rn, k.tenure_d, k.d, k.r, (rec.s * (k.r - k.d)) // k.r
-      FROM rec JOIN k ON k.rn = rec.rn + 1
-    )
-    SELECT tenure_d AS tenure_days, d AS n_churned, r AS n_at_risk,
-           CAST(s AS DOUBLE) / 1000000000.0 AS survival
-    FROM rec
-    """,
-    doc="Kaplan-Meier product-limit survival curve over user "
-    "lifetimes: S(t) = Π (1 − d/n) computed as the exact integer "
-    "recursion S'_t = (S'_{t-1} · (n_t − d_t)) div n_t on a 1e9 grid "
-    "— the float-product-free KM curve agg_churn_hazard deliberately "
-    "left to consumers, now in-engine and bit-stable",
-)
-def agg_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The product-limit estimator without a float product: scaling
-    S by 10⁹ turns each KM step into one exact integer
-    multiply-then-truncating-divide, so the whole curve is a
-    deterministic integer recursion (each step floor-quantizes at the
-    grid — monotone non-increasing by construction, error ≤ 10⁻⁹ per
-    step). Spark runs the recursion as ONE ``aggregate`` fold over
-    the day-spine array (the win_ewma_chart/ts_dtw_distance bounded-
-    state pattern); the oracle is the identical recurrence as a
-    recursive CTE. Lifetimes/risk sets share ``agg_churn_hazard``'s
-    definitions exactly, so hazard_ppm and survival rows join on
-    tenure_days.
-
-    Scale: one fact shuffle to per-user lifetimes, one count per
-    tenure day, then a fold over the BOUNDED tenure spine (day-grain;
-    ≤ a few thousand steps for years of tenure — driver-free, the
-    recursion state is one integer). The multiply reaches 10⁹ · n →
-    decimal(38,0)/HUGEINT per the overflow convention.
-    """
-    ev = load(spark, "events", sf_dir)
-    day_us = 86400000000
-    u = ev.groupBy("user_id").agg(
-        (
-            F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))
-        ).alias("span_us")
-    )
-    k = (
-        u.select(F.expr(f"span_us div {day_us}").alias("tenure_days"))
-        .groupBy("tenure_days")
-        .agg(F.count(F.lit(1)).cast("long").alias("d"))
-    )
-    w = Window.partitionBy(one_part("tenure_days")).orderBy(
-        F.desc("tenure_days")
-    ).rowsBetween(Window.unboundedPreceding, 0)
-    kr = k.select(
-        "tenure_days", "d", F.sum("d").over(w).cast("long").alias("r")
-    )
-    spine = kr.agg(
-        F.array_sort(
-            F.collect_list(F.struct("tenure_days", "d", "r"))
-        ).alias("sp")
-    )
-    fold = F.expr(
-        """
-        aggregate(
-          sp,
-          named_struct(
-            's', 1000000000L,
-            'out', cast(array() as
-              array<struct<tenure_days: long, n_churned: long,
-                           n_at_risk: long, s: long>>)),
-          (acc, x) -> named_struct(
-            's', cast((cast(acc.s as decimal(38,0)) * (x.r - x.d))
-                      div x.r as long),
-            'out', array_append(acc.out, named_struct(
-              'tenure_days', x.tenure_days,
-              'n_churned', x.d,
-              'n_at_risk', x.r,
-              's', cast((cast(acc.s as decimal(38,0)) * (x.r - x.d))
-                        div x.r as long)))),
-          acc -> acc.out)
-        """
-    )
-    return spine.select(F.explode(fold).alias("e")).select(
-        F.col("e.tenure_days").alias("tenure_days"),
-        F.col("e.n_churned").alias("n_churned"),
-        F.col("e.n_at_risk").alias("n_at_risk"),
-        (F.col("e.s").cast("double") / F.lit(1e9)).alias("survival"),
-    )
-
-
-@register(
     "agg_ltv_cohort_curve",
     f"""
     WITH e AS (

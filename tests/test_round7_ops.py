@@ -26,9 +26,11 @@ def raw(sf_dir):
 
 
 def test_mann_kendall_python_replay(spark, sf_dir, raw):
+    """Engine-independent replay of the EXISTING ts_mann_kendall
+    (added round 7: the op predates its replay coverage)."""
     got = {
         r.event_type: r
-        for r in all_specs()["agg_mann_kendall"].fn(spark, sf_dir).collect()
+        for r in all_specs()["ts_mann_kendall"].fn(spark, sf_dir).collect()
     }
     series = defaultdict(lambda: defaultdict(lambda: [0, 0]))
     for et, us, _u, v, _h in raw:
@@ -36,8 +38,9 @@ def test_mann_kendall_python_replay(spark, sf_dir, raw):
         b[0] += math.floor(v * 1e6 + 0.5)
         b[1] += 1
     for et, hours in series.items():
+        # mq = floor(quantized-sum / count + 0.5) — the op's rounding
         ys = [
-            int(s // c) if s >= 0 else -int((-s) // c)  # truncate to 0
+            math.floor(s / c + 0.5)
             for _x, (s, c) in sorted(hours.items())
         ]
         n = len(ys)
@@ -51,19 +54,27 @@ def test_mann_kendall_python_replay(spark, sf_dir, raw):
         )
         var18 = n * (n - 1) * (2 * n + 5) - tt
         r = got[et]
-        assert r.n_points == n
+        assert r.n_hours == n
         assert r.s_stat == s_stat, et
-        assert r.var18 == var18, et
-        z = (s_stat - (1 if s_stat > 0 else -1 if s_stat < 0 else 0)) / (
-            math.sqrt(var18 / 18.0)
-        )
-        assert abs(r.z_stat - z) <= 1e-6
+        assert r.var_s18 == var18, et
+        if s_stat != 0 and var18 > 0:
+            z = (s_stat - (1 if s_stat > 0 else -1)) / math.sqrt(
+                var18 / 18.0
+            )
+            assert abs(r.z - z) <= 1e-6
 
 
 def test_kaplan_meier_python_replay(spark, sf_dir, raw):
+    """Engine-independent replay of the EXISTING win_kaplan_meier
+    (added round 7: the op predates its replay coverage). The op's
+    arithmetic: per-day factor ln(1 − d/n) floor-quantized at 1e-9,
+    exact integer cumulative sum, exp quantized at 1e-6, survival
+    pinned to 0 once the risk set dies out."""
     got = sorted(
         (r.tenure_days, r.n_churned, r.n_at_risk, r.survival)
-        for r in all_specs()["agg_kaplan_meier"].fn(spark, sf_dir).collect()
+        for r in all_specs()["win_kaplan_meier"]
+        .fn(spark, sf_dir)
+        .collect()
     )
     life = defaultdict(lambda: [float("inf"), 0])
     for _et, us, u, _v, _h in raw:
@@ -76,16 +87,25 @@ def test_kaplan_meier_python_replay(spark, sf_dir, raw):
     for t in reversed(days):
         run += d[t]
         at_risk[t] = run
-    s = 10**9
+    lsum, gone = 0, False
     exp = []
     for t in days:
-        s = (s * (at_risk[t] - d[t])) // at_risk[t]
-        exp.append((t, d[t], at_risk[t], s / 1e9))
+        n = at_risk[t]
+        if d[t] < n:
+            lsum += math.floor(math.log(1.0 - d[t] / n) * 1e9 + 0.5)
+        else:
+            gone = True
+        surv = (
+            0.0
+            if gone
+            else math.floor(math.exp(lsum / 1e9) * 1e6 + 0.5) / 1e6
+        )
+        exp.append((t, d[t], n, surv))
     assert got == exp
-    # survival is monotone non-increasing and starts below 1
+    # survival is monotone non-increasing and the curve dies out
     surv = [r[3] for r in got]
     assert all(a >= b for a, b in zip(surv, surv[1:]))
-    assert surv[-1] == 0.0  # the longest lifetime ends the curve
+    assert surv[-1] == 0.0
 
 
 def test_perceptron_python_replay(spark, sf_dir, raw):

@@ -431,8 +431,6 @@ AUDIT: dict[str, dict] = {
     "text_bpe_train8": {"smj": 0},        # 8 checkpointed merge rounds
     "dedup_semantic_e2e": {"smj": 0},     # kmeans rounds + salted pairs
     "dedup_lsh_incremental": {"smj": 0},  # index scan + batch-side keys
-    "agg_mann_kendall": {"smj": 0},       # hourly spine pair join (pinned)
-    "agg_kaplan_meier": {"smj": 0},       # tenure spine + one fold
     "ml_perceptron_batch": {"smj": 0},    # 4 broadcast-weight fact passes
     "ts_matrix_profile": {"smj": 0},      # diagonal windows, (t,d) parts
     "corpus_facility_select": {"smj": 0},  # corpus×pool broadcast + k aggs
