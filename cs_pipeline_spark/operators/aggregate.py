@@ -5855,9 +5855,9 @@ def agg_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pairs with i = j are included — the estimator's definition, which
     also makes it reduce to the sample median for n = 1.
 
-    Scale: same O(n²)-per-series bound as agg_theil_sen / agg_mann_
-    kendall — n is HOURS after the map-side rollup, never raw events;
-    stride the left side for year-long series.
+    Scale: same O(n²)-per-series bound as agg_theil_sen /
+    ts_mann_kendall — n is HOURS after the map-side rollup, never raw
+    events; stride the left side for year-long series.
     """
     ev = load(spark, "events", sf_dir)
     series = ev.groupBy(
