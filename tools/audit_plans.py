@@ -434,7 +434,9 @@ AUDIT: dict[str, dict] = {
     "ml_perceptron_batch": {"smj": 0},    # 4 broadcast-weight fact passes
     "ts_matrix_profile": {"smj": 0},      # diagonal windows, (t,d) parts
     "corpus_facility_select": {"smj": 0},  # corpus×pool broadcast + k aggs
-    "emb_dbscan_cosine": {"smj": 0},      # salted pairs + CC + census
+    # the CC label-propagation joins are node-key fact-to-fact on the
+    # core graph — SMJ is the intended plan there, as in graph_pagerank
+    "emb_dbscan_cosine": {"nlj": 0},      # salted pairs + CC + census
     "agg_hodges_lehmann": {"smj": 0},     # hourly spine Walsh pairs
     "text_unigram_viterbi": {"smj": 0},   # span/vocab broadcast + fold
     "ts_granger_causality": {"smj": 0},   # hour spine join + 1-row moments
