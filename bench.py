@@ -1,9 +1,11 @@
 """Benchmark harness (driver contract).
 
 Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
-/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
-JSON line: ``{"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}``.
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``. The LAST stdout
+line is a summary-only JSON object ``{"metric", "value": total_sec,
+"unit": "sec", "sf", "n_queries", "detail"}`` sized to survive the
+driver's ~2000-char tail capture; the per-query cold/warm/spread dicts
+are written to ``BENCH_DETAIL.json`` next to this file.
 
 Each query is built from the central registry and executed to
 completion with a count-style action (``df.write.format("noop")``
@@ -154,47 +156,82 @@ def main() -> None:
         if name in specs:
             specs[name].fn(spark, sf_dir).count()
 
-    # Timed: min of 2 runs per query, escalating to min of 5 for
-    # sub-second queries — scheduling noise on local[32] smears short
-    # runs by up to ~2.5× (PLANS.md r5 adjudication), and three rounds
-    # of verdict time went to phantom 15-30% "regressions" that were
-    # min-of-2 noise. The per-query SPREAD (max−min over the runs) is
-    # recorded alongside: only adjudicate a round-over-round delta
-    # that exceeds the recorded spread.
-    timings: dict[str, float] = {}
+    # Timed, COLD headline: each timed run first evicts the op's
+    # memoized plan (registry.evict) so plan construction AND any
+    # localCheckpoint / pinned-intermediate work is rebuilt inside the
+    # timing window. min-of-N over the memoized DataFrame only
+    # re-counted materialized state for iterative ops (dedup_clusters
+    # 0.03 s warm vs 6.4 s cold — VERDICT r7), so builder-reported and
+    # driver-recorded numbers disagreed by construction. Cold min-of-2
+    # is the headline; WARM min-of-2 (min-of-5 when sub-second —
+    # scheduling noise on local[32] smears short runs up to ~2.5×,
+    # PLANS.md r5) is kept as a secondary column. Per-query SPREAD
+    # (max−min over the cold runs) is recorded: only adjudicate a
+    # round-over-round delta exceeding the recorded spread.
+    cold: dict[str, float] = {}
+    warm: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for name in HEADLINE:
         if name not in specs:
             continue
-        runs: list[float] = []
         n = 0
+        cold_runs: list[float] = []
+        for _ in range(2):
+            registry.evict(name, spark, sf_dir)
+            t0 = time.perf_counter()
+            n = specs[name].fn(spark, sf_dir).count()
+            cold_runs.append(time.perf_counter() - t0)
+        warm_runs: list[float] = []
         for _ in range(2):
             t0 = time.perf_counter()
             n = specs[name].fn(spark, sf_dir).count()
-            runs.append(time.perf_counter() - t0)
-        if min(runs) < 1.0:
+            warm_runs.append(time.perf_counter() - t0)
+        if min(warm_runs) < 1.0:
             for _ in range(3):
                 t0 = time.perf_counter()
                 n = specs[name].fn(spark, sf_dir).count()
-                runs.append(time.perf_counter() - t0)
-        timings[name] = round(min(runs), 4)
-        spreads[name] = round(max(runs) - min(runs), 4)
+                warm_runs.append(time.perf_counter() - t0)
+        cold[name] = round(min(cold_runs), 4)
+        warm[name] = round(min(warm_runs), 4)
+        spreads[name] = round(max(cold_runs) - min(cold_runs), 4)
         print(
-            f"# {name}: {n} rows in {timings[name]}s "
-            f"(±{spreads[name]}s over {len(runs)} runs)",
+            f"# {name}: {n} rows cold {cold[name]}s "
+            f"(±{spreads[name]}s) warm {warm[name]}s",
             file=sys.stderr,
         )
 
-    total = round(sum(timings.values()), 4)
+    total = round(sum(cold.values()), 4)
+    # Per-query detail goes to a FILE: the driver's stdout tail capture
+    # is ~2000 chars, and 78-entry queries/spread dicts pushed the JSON
+    # headline past it for two rounds (BENCH_r06/r07 "parsed": null).
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": cold,
+                "warm": warm,
+                "spread": spreads,
+                "sf": sf,
+            },
+            f,
+            indent=1,
+        )
+    # LAST stdout line: summary-only JSON, short enough for any tail
+    # capture to hold whole.
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "spread": spreads,
                 "sf": sf,
+                "n_queries": len(cold),
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )

@@ -3169,10 +3169,13 @@ def ts_granger_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic form uses the explicit 2×2 inverse — no matrix solver,
     no iteration. The only floats are the final scalar F expression
     over string-cast exact integers (single IEEE-identical expression
-    on both engines, floor-quantized 1e-6). The conditional
-    `qf·Cy1y1 > qr·det2` (an exact INTEGER cross-multiplication)
-    guards F > 0 without touching floats, alongside the
-    zero-variance/singularity NULL guards.
+    on both engines, floor-quantized 1e-6). No explicit RSS_r ≥ RSS_f
+    guard is applied: it holds mathematically for nested OLS (the
+    full model's RSS can only shrink), and the exact integer
+    cross-multiplication that would enforce it (qf·Cy1y1 vs qr·det2)
+    multiplies two C³-scale terms and would exceed decimal(38,0) —
+    only the zero-variance/singularity NULL guards
+    (Cy1y1 > 0, det2 > 0) are needed.
 
     Lag alignment is a self-join on hr−1 (gaps drop the row — the
     standard complete-case treatment), not a window: no global sort.

@@ -2936,7 +2936,8 @@ def win_ewma_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     2*j = 62, stays inside int64 on BOTH engines (j = 32 would mean
     shiftleft(1L, 64), which Spark silently masks to 0 — ft = 0 and a
     divide-by-zero Infinity — while DuckDB throws Out of Range; the
-    ≥32-day regression is pinned by tests/test_ewma_horizon.py).
+    ≥32-day regression is pinned by
+    tests/test_advice_r7.py::test_ewma_chart_survives_40_day_horizon).
 
     Scale: one map-side-combined daily aggregate + a 1-row global;
     the weighted prefix runs over the bounded day spine partitioned

@@ -173,6 +173,29 @@ def register(name: str, oracle: str | None, doc: str = ""):
     return deco
 
 
+def evict(name: str, spark: SparkSession, sf_dir: str) -> bool:
+    """Drop one op's memoized plan (and its pinned intermediates) from
+    the LRU so the next call rebuilds cold.
+
+    Benchmarks need this: min-of-N over the memoized DataFrame only
+    re-counts materialized state for plans backed by localCheckpoint /
+    pin() (iterative CC, boosting, facility location), under-reporting
+    them by up to 200× vs a cold environment (VERDICT r7 "What's
+    wrong" #2). bench.py evicts before each timed run so the iterative
+    work lands inside the timing window. Returns True if an entry was
+    evicted."""
+    key = (name, spark, sf_dir)
+    with _PLAN_LOCK:
+        df = _PLAN_LRU.pop(key, None)
+        pinned = _PINNED.pop(key, [])
+    for old in ([df] if df is not None else []) + pinned:
+        try:
+            old.unpersist(blocking=False)
+        except Exception:
+            pass
+    return df is not None
+
+
 def all_specs() -> dict[str, QuerySpec]:
     _load_all_modules()
     return dict(_REGISTRY)

@@ -132,7 +132,15 @@ def encode_jpeg(i: int) -> bytes:
 
 def decode_jpeg_meta(payload: bytes) -> dict:
     """Walk the marker stream: SOF dims, EXIF orientation, segment
-    count, entropy length (unstuffed, RST markers excluded)."""
+    count, entropy length (unstuffed, RST markers excluded).
+
+    Malformed input raises ValueError — never IndexError/struct.error
+    — because on the 100 TB crawl path truncated or garbage files are
+    routine and the mapInPandas caller wants one catchable type (ADVICE
+    r7): every multi-byte read is bounds-checked, a lone trailing 0xFF
+    during the entropy scan is 'truncated JPEG', and legal 0xFF fill
+    bytes padding the gap before a marker (ITU T.81 §B.1.1.2) are
+    skipped rather than misparsed as a 0xFF-marker segment."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI")
     meta = {
@@ -150,15 +158,29 @@ def decode_jpeg_meta(payload: bytes) -> dict:
     while pos + 1 < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"marker misalignment at {pos}")
+        # any number of 0xFF fill bytes may pad the gap before the
+        # marker byte proper
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 1 >= len(payload):
+            raise ValueError("truncated JPEG: fill bytes run off the end")
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # TEM/RSTn are standalone — no length field
+        if pos + 2 > len(payload):
+            raise ValueError("truncated JPEG: missing segment length")
         seglen = struct.unpack(">H", payload[pos : pos + 2])[0]
+        if seglen < 2 or pos + seglen > len(payload):
+            raise ValueError("truncated JPEG: segment overruns payload")
         seg = payload[pos + 2 : pos + seglen]
         pos += seglen
         meta["n_segments"] += 1
         if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+            if len(seg) < 6:
+                raise ValueError("truncated JPEG: short SOF segment")
             meta["precision"] = seg[0]
             meta["height"], meta["width"] = struct.unpack(">HH", seg[1:5])
             meta["n_components"] = seg[5]
@@ -172,6 +194,10 @@ def decode_jpeg_meta(payload: bytes) -> dict:
                     meta["entropy_len"] += 1
                     pos += 1
                     continue
+                if pos + 1 >= len(payload):
+                    raise ValueError(
+                        "truncated JPEG: lone 0xFF ends entropy stream"
+                    )
                 nxt = payload[pos + 1]
                 if nxt == 0x00:  # stuffed data 0xFF
                     meta["entropy_len"] += 1
@@ -192,10 +218,16 @@ def _exif_orientation(tiff: bytes) -> int:
         e = ">"
     else:
         raise ValueError("bad TIFF byte-order mark in EXIF")
+    if len(tiff) < 8:
+        raise ValueError("truncated JPEG: short EXIF TIFF header")
     if struct.unpack(f"{e}H", tiff[2:4])[0] != 42:
         raise ValueError("bad TIFF magic in EXIF")
     ifd = struct.unpack(f"{e}I", tiff[4:8])[0]
+    if ifd + 2 > len(tiff):
+        raise ValueError("truncated JPEG: EXIF IFD offset out of range")
     n = struct.unpack(f"{e}H", tiff[ifd : ifd + 2])[0]
+    if ifd + 2 + 12 * n > len(tiff):
+        raise ValueError("truncated JPEG: EXIF IFD entries out of range")
     for k in range(n):
         off = ifd + 2 + 12 * k
         tag, typ, _cnt = struct.unpack(f"{e}HHI", tiff[off : off + 8])

@@ -78,3 +78,58 @@ def test_registered_op_matches_formula(spark, sf_dir):
         r = rows[f"img-{i:03d}.jpg"]
         for k, v in m.items():
             assert getattr(r, k) == v, (i, k)
+
+
+# ---------- ADVICE r7 #3: malformed input → ValueError, fill bytes ----------
+
+
+def test_truncated_entropy_lone_ff_raises_valueerror():
+    """Payload ending in a lone 0xFF mid-entropy used to read
+    payload[pos+1] out of range (IndexError); must be ValueError."""
+    payload = encode_jpeg(2)
+    sos = payload.index(b"\xff\xda")
+    seglen = struct.unpack(">H", payload[sos + 2 : sos + 4])[0]
+    cut = payload[: sos + 2 + seglen + 5] + b"\xff"
+    with pytest.raises(ValueError, match="truncated"):
+        decode_jpeg_meta(cut)
+
+
+def test_truncated_segment_raises_valueerror():
+    """A segment length running past the payload end used to slice
+    short and struct.error on the SOF unpack; must be ValueError."""
+    payload = encode_jpeg(1)
+    sof = payload.index(b"\xff\xc2")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_jpeg_meta(payload[: sof + 4])
+
+
+def test_truncated_length_field_raises_valueerror():
+    payload = encode_jpeg(0)
+    app0 = payload.index(b"\xff\xe0")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_jpeg_meta(payload[: app0 + 3])
+
+
+def test_fill_bytes_between_markers_are_skipped():
+    """ITU T.81 §B.1.1.2: any number of 0xFF fill bytes may pad the
+    gap before a marker; they used to be misparsed as a 0xFF-marker
+    segment. Parse must be identical with fills injected."""
+    payload = encode_jpeg(3)
+    want = decode_jpeg_meta(payload)
+    sof = payload.index(b"\xff\xc2")  # image 3 is progressive
+    padded = payload[:sof] + b"\xff\xff\xff" + payload[sof:]
+    assert decode_jpeg_meta(padded) == want
+
+
+def test_truncated_exif_raises_valueerror():
+    payload = bytearray(encode_jpeg(1))
+    app1 = payload.index(b"\xff\xe1")
+    # shrink the declared APP1 length so the TIFF IFD is cut off
+    # mid-entry while the segment itself stays in bounds
+    exif_start = app1 + 4
+    keep = 6 + 9  # 'Exif\0\0' + header(8) + 1 byte of entry count
+    struct.pack_into(">H", payload, app1 + 2, keep + 2)
+    rest = payload[exif_start + keep :]
+    cut = bytes(payload[: exif_start + keep]) + rest
+    with pytest.raises(ValueError, match="truncated|EXIF"):
+        decode_jpeg_meta(cut)
