@@ -392,8 +392,12 @@ def mm_audio_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     (duration), never by decoding bytes: one `sequence`+`explode` per
     row, zero shuffle, and the resulting (doc, chunk) rows drive the
     Arrow-batched decode stage (see ``decode_images``) with byte
-    ranges. Duration here is synthesized as n_chars·25 ms (no real
-    audio in the corpus); all chunk math is integer-exact.
+    ranges. Duration here is synthesized as n_chars·25 ms (the
+    corpus table carries no audio bytes); all chunk math is
+    integer-exact. REAL decoded durations now exist too:
+    ``mm_decode_wav`` (sources/wav.py) parses actual RIFF/PCM bytes
+    and ``mm_audio_chunk_decoded`` runs this exact chunk plan over
+    those decoded durations — decode-then-plan end to end.
     """
     docs = load(spark, "documents", sf_dir)
     dur = (F.col("n_chars") * F.lit(_MS_PER_CHAR)).alias("duration_ms")

@@ -253,6 +253,7 @@ def _load_all_modules() -> None:
         scans,
         sinks,
         tiff,
+        wav,
     )
     from cs_pipeline_spark.streaming import batch_twins  # noqa: F401
 

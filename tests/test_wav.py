@@ -1,0 +1,120 @@
+"""WAV decoder (sources/wav.py): RIFF chunk walk, PCM sample stats,
+pad-byte alignment, malformed-input errors, and the registered ops."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from cs_pipeline_spark.sources.wav import (
+    _CHUNK_AMS,
+    _N_WAVS,
+    _samples,
+    _wav_meta,
+    decode_wav,
+    encode_wav,
+    mm_audio_chunk_decoded,
+    mm_decode_wav,
+)
+
+
+@pytest.mark.parametrize("i", range(_N_WAVS))
+def test_roundtrip_every_fixture(i):
+    m = _wav_meta(i)
+    v = _samples(i)
+    got = decode_wav(encode_wav(i))
+    assert got["sample_rate"] == m["sample_rate"]
+    assert got["channels"] == m["channels"]
+    assert got["bits"] == m["bits"]
+    assert got["n_frames"] == m["n_frames"]
+    assert got["duration_ms"] == m["n_frames"] * 1000 // m["sample_rate"]
+    assert got["n_samples"] == v.size
+    assert got["amp_sum"] == int(v.sum())
+    assert got["amp_min"] == int(v.min())
+    assert got["amp_max"] == int(v.max())
+    assert got["checksum"] == int((v * (np.arange(v.size) + 1)).sum())
+
+
+def test_odd_list_chunk_forces_pad_byte():
+    """Clip 0 carries the 13-byte LIST chunk: its on-disk chunk body is
+    padded to 14; a parser advancing by raw size desyncs and fails."""
+    payload = encode_wav(0)
+    at = payload.index(b"LIST")
+    size = struct.unpack("<I", payload[at + 4 : at + 8])[0]
+    assert size % 2 == 1  # odd body...
+    assert payload[at + 8 + size] == 0  # ...followed by the pad byte
+    assert decode_wav(payload)["n_frames"] == _wav_meta(0)["n_frames"]
+
+
+def test_both_sample_widths_covered():
+    assert decode_wav(encode_wav(0))["bits"] == 8
+    assert decode_wav(encode_wav(1))["bits"] == 16
+
+
+def test_not_riff_rejected():
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"OggS" + bytes(40))
+
+
+def test_truncated_riff_size_rejected():
+    payload = encode_wav(1)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav(payload[: len(payload) // 2])
+
+
+def test_truncated_chunk_rejected():
+    payload = bytearray(encode_wav(2))
+    at = bytes(payload).index(b"data")
+    # inflate the data chunk's declared size past the payload end but
+    # shrink the RIFF size to keep the outer check satisfied
+    struct.pack_into("<I", payload, at + 4, 1 << 30)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav(bytes(payload))
+
+
+def test_non_pcm_rejected():
+    payload = bytearray(encode_wav(1))
+    at = bytes(payload).index(b"fmt ")
+    struct.pack_into("<H", payload, at + 8, 3)  # IEEE float format tag
+    with pytest.raises(ValueError, match="non-PCM"):
+        decode_wav(bytes(payload))
+
+
+def test_data_before_fmt_rejected():
+    with pytest.raises(ValueError, match="before fmt"):
+        decode_wav(
+            b"RIFF"
+            + struct.pack("<I", 12)
+            + b"WAVE"
+            + b"data"
+            + struct.pack("<I", 0)
+        )
+
+
+def test_registered_decode_matches_formula(spark, sf_dir):
+    rows = {
+        r["fname"]: r for r in mm_decode_wav(spark, sf_dir).collect()
+    }
+    assert len(rows) == _N_WAVS
+    for i in range(_N_WAVS):
+        r = rows[f"clip-{i:03d}.wav"]
+        v = _samples(i)
+        assert r["amp_sum"] == int(v.sum())
+        assert r["checksum"] == int((v * (np.arange(v.size) + 1)).sum())
+
+
+def test_chunk_plan_covers_decoded_durations(spark, sf_dir):
+    chunks = mm_audio_chunk_decoded(spark, sf_dir).collect()
+    by_file: dict[str, list] = {}
+    for r in chunks:
+        by_file.setdefault(r["fname"], []).append(r)
+    assert len(by_file) == _N_WAVS
+    for i in range(_N_WAVS):
+        m = _wav_meta(i)
+        dur = m["n_frames"] * 1000 // m["sample_rate"]
+        cs = sorted(by_file[f"clip-{i:03d}.wav"], key=lambda r: r["chunk_idx"])
+        assert len(cs) == (dur + _CHUNK_AMS - 1) // _CHUNK_AMS
+        assert sum(r["chunk_len_ms"] for r in cs) == dur
+        assert all(r["chunk_len_ms"] > 0 for r in cs)
