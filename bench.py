@@ -131,6 +131,10 @@ HEADLINE = [
     "text_unigram_viterbi",
     "ts_granger_causality",
     "anomaly_suite_e2e",
+    # round-8: real audio decode (RIFF/PCM via mapInPandas) and the
+    # baseline-JPEG DC Huffman entropy decode
+    "mm_decode_wav",
+    "mm_decode_jpeg_dc",
 ]
 
 

@@ -133,3 +133,71 @@ def test_truncated_exif_raises_valueerror():
     cut = bytes(payload[: exif_start + keep]) + rest
     with pytest.raises(ValueError, match="truncated|EXIF"):
         decode_jpeg_meta(cut)
+
+
+# ---------- baseline DC luma decode (round 8) ----------
+
+from cs_pipeline_spark.sources.jpeg import (  # noqa: E402
+    _N_DC_IMGS,
+    _dc_block_value,
+    _dc_img_meta,
+    decode_jpeg_dc,
+    encode_jpeg_dc,
+    mm_decode_jpeg_dc,
+)
+
+
+@pytest.mark.parametrize("i", range(_N_DC_IMGS))
+def test_dc_roundtrip_every_fixture(i):
+    m = _dc_img_meta(i)
+    vals = [
+        _dc_block_value(i, bx, by)
+        for by in range(m["nby"])
+        for bx in range(m["nbx"])
+    ]
+    got = decode_jpeg_dc(encode_jpeg_dc(i))
+    assert got["width"] == m["nbx"] * 8 and got["height"] == m["nby"] * 8
+    assert got["n_blocks"] == len(vals)
+    assert got["mean_sum"] == sum(vals)
+    assert got["checksum"] == sum(v * (k + 1) for k, v in enumerate(vals))
+
+
+def test_dc_blank_flag_discriminates():
+    flags = [decode_jpeg_dc(encode_jpeg_dc(i))["is_blank"] for i in range(_N_DC_IMGS)]
+    assert flags[4] == 1 and sum(flags) == 1
+
+
+def test_dc_decode_is_really_huffman():
+    """Flipping one entropy byte changes decoded means or errors —
+    proves the stats come from the bitstream, not the headers."""
+    payload = bytearray(encode_jpeg_dc(1))
+    sos = bytes(payload).index(b"\xff\xda")
+    k = sos + 2 + struct.unpack(">H", payload[sos + 2 : sos + 4])[0] + 1
+    want = decode_jpeg_dc(bytes(payload))
+    payload[k] ^= 0x55
+    try:
+        got = decode_jpeg_dc(bytes(payload))
+        assert got != want
+    except ValueError:
+        pass  # desynced bitstream is also a correct outcome
+
+
+def test_dc_truncated_entropy_raises_valueerror():
+    payload = encode_jpeg_dc(2)
+    sos = payload.index(b"\xff\xda")
+    with pytest.raises(ValueError, match="truncated|corrupt"):
+        decode_jpeg_dc(payload[: sos + 8])
+
+
+def test_dc_progressive_rejected():
+    payload = bytearray(encode_jpeg_dc(0))
+    sof = bytes(payload).index(b"\xff\xc0")
+    payload[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="baseline-only"):
+        decode_jpeg_dc(bytes(payload))
+
+
+def test_dc_registered_op(spark, sf_dir):
+    rows = {r["fname"]: r for r in mm_decode_jpeg_dc(spark, sf_dir).collect()}
+    assert len(rows) == _N_DC_IMGS
+    assert rows["dc-004.jpg"]["is_blank"] == 1
