@@ -354,3 +354,53 @@ from pyspark.sql.functions import col as F_col  # noqa: E402
 
 if __name__ == "__main__":
     sys.exit(pytest.main([__file__, "-q"]))
+
+
+@pytest.fixture(scope="module")
+def repeat_docs_sf(tmp_path_factory):
+    """Corpus with a planted LONG repeat: a 30-token passage embedded
+    verbatim inside two otherwise-unique documents (at different
+    offsets), plus a short 5-token shared phrase (below the k=8
+    anchor) and unique decoys."""
+    passage = [f"rep{j}" for j in range(30)]
+    short = [f"sh{j}" for j in range(5)]
+    host_a = [f"a{j}" for j in range(10)] + passage + [f"a{j}" for j in range(10, 25)]
+    host_b = [f"b{j}" for j in range(20)] + passage + [f"b{j}" for j in range(20, 28)]
+    rows = [
+        (1, " ".join(host_a), "en", "rep"),
+        (2, " ".join(host_b), "en", "rep"),
+        (3, " ".join([f"c{j}" for j in range(12)] + short + [f"c{j}" for j in range(12, 30)]), "en", "short"),
+        (4, " ".join([f"e{j}" for j in range(9)] + short + [f"e{j}" for j in range(9, 31)]), "en", "short"),
+    ]
+    for i in range(20):
+        rows.append((100 + i, " ".join(f"d{i}u{j}" for j in range(40)), "en", "dec"))
+    return _write_docs(tmp_path_factory.mktemp("repeats"), rows)
+
+
+def test_substring_repeat_full_span_recall(spark, repeat_docs_sf):
+    """The arbitrary-length contract: the ENTIRE 30-token planted
+    repeat (not just one anchor window) must be covered by one merged
+    span in the non-first document, the first occurrence is kept, and
+    sub-anchor (5-token) shared phrases are never cut."""
+    from cs_pipeline_spark.operators.training import (
+        _REP_K,
+        dedup_substring_repeats,
+    )
+
+    rows = dedup_substring_repeats.__wrapped__(spark, repeat_docs_sf).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1 holds the corpus-first occurrence -> kept (no cut spans)
+    assert 1 not in by_doc
+    # doc 2's copy at 1-based token 21, length 30: windows 21..43 all
+    # duplicated, merged into ONE span covering the whole passage
+    assert len(by_doc.get(2, [])) == 1
+    span = by_doc[2][0]
+    start, ln = span["span_start"], span["span_len"]
+    assert start == 21 and ln == 30  # exact maximal-span coverage
+    assert span["n_windows"] == 30 - _REP_K + 1
+    # the 5-token shared phrase is below the anchor width -> untouched
+    assert 3 not in by_doc and 4 not in by_doc
+    # decoys are unique -> no spans anywhere else
+    assert set(by_doc) == {2}
