@@ -39,3 +39,89 @@ def test_index_holds_only_non_batch_vectors(spark, sf_dir):
     idx = spark.read.parquet(_band_index_path(sf_dir))
     assert idx.filter(f"vec_id % {_INC_BATCH_MOD} = 0").count() == 0
     assert set(idx.columns) == {"vec_id", "k0", "k1", "k2", "k3"}
+
+
+# ---------- incremental IVF (round 8, the ANN twin) ----------
+
+
+def test_ivf_incremental_equals_full_recompute(spark, sf_dir):
+    """Fold-in ∪ persisted index must produce the same top-k as an
+    index rebuilt from scratch over the full corpus."""
+    from cs_pipeline_spark.operators.similarity import (
+        K_CELLS,
+        N_QUERIES,
+        TOP_K,
+        _assign_cells,
+        _with_norm,
+    )
+    from cs_pipeline_spark.tables import load
+    from pyspark.sql import functions as F
+
+    specs = all_specs()
+    inc = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in specs["sim_ivf_incremental"].fn(spark, sf_dir).collect()
+    }
+    # from-scratch rebuild: assign EVERY vector against the same
+    # centroid rule, search the same single-probe cells
+    emb = _with_norm(load(spark, "embeddings", sf_dir))
+    cen = emb.filter(
+        (F.col("vec_id") >= 1) & (F.col("vec_id") <= K_CELLS)
+    ).select(
+        F.col("vec_id").alias("cluster_id"),
+        F.col("embedding").alias("cen"),
+        F.col("nrm").alias("cnrm"),
+    )
+    cells = _assign_cells(emb, cen)
+    probes = cells.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "cluster_id"
+    )
+    from cs_pipeline_spark.operators.dedup import qdot
+
+    qe = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    full_rows = (
+        cells.join(probes, "cluster_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(emb.select("vec_id", "embedding", "nrm"), "vec_id")
+        .join(qe, "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                qdot(F.col("qe"), F.col("embedding"))
+                / (F.sqrt("qn") * F.sqrt("nrm"))
+            ).alias("cos_sim"),
+        )
+        .collect()
+    )
+    per_q: dict[int, list] = {}
+    for r in full_rows:
+        per_q.setdefault(r.query_id, []).append(r)
+    full = {}
+    for q, rows in per_q.items():
+        rows.sort(key=lambda r: (-r.cos_sim, r.neighbor_id))
+        for r in rows[:TOP_K]:
+            full[(q, r.neighbor_id)] = r.cos_sim
+    assert inc == full
+    assert len({q for q, _ in inc}) == N_QUERIES
+
+
+def test_ivf_index_holds_only_non_batch_vectors(spark, sf_dir):
+    from cs_pipeline_spark.operators.similarity import (
+        _IVF_BATCH_MOD,
+        _ivf_index_paths,
+    )
+
+    specs = all_specs()
+    specs["sim_ivf_incremental"].fn(spark, sf_dir)  # ensure fixture
+    cpath, apath = _ivf_index_paths(sf_dir)
+    assign = spark.read.parquet(apath)
+    assert assign.filter(f"vec_id % {_IVF_BATCH_MOD} = 0").count() == 0
+    assert set(assign.columns) == {"vec_id", "cluster_id"}
+    cen = spark.read.parquet(cpath)
+    assert cen.count() > 0
+    assert set(cen.columns) == {"cluster_id", "cen", "cnrm"}
