@@ -2377,3 +2377,192 @@ def text_unigram_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "div 64 as bigint)"
         ).alias("score_lnq"),
     )
+
+
+# ---------- WordPiece tokenizer training (likelihood-scored merges) ----------
+#
+# WordPiece (Schuster & Nakajima 2012; the BERT tokenizer) differs from
+# BPE in ONE place: the merge argmax maximizes the unigram-LM
+# likelihood gain score(a,b) = count(ab) / (count(a)·count(b)) instead
+# of the raw pair count — frequent pairs of already-frequent symbols
+# lose to rarer-but-cohesive pairs. Everything else (word-type state,
+# leftmost greedy rewrite, per-round lineage cuts) is the BPE loop, so
+# this op completes the in-engine tokenizer-training triad:
+# text_bpe_trainN (count argmax), text_unigram_viterbi (SentencePiece
+# E-step), text_wordpiece_train4 (likelihood-ratio argmax).
+
+_WP_TRAIN_N = 4
+_WP_SCALE = 1_000_000_000_000  # 1e12 score quantization grid
+
+
+def _wp_train_sql(n: int) -> str:
+    """Generated n-round WordPiece oracle: per round, symbol counts +
+    pair counts from the same spaced-symbol frame, the scored argmax
+    (floor(pn·1e12 / (sn_a·sn_b)) in HUGEINT, ties → higher pn, then
+    pair asc), then the BPE rewrite. AS MATERIALIZED everywhere a CTE
+    is referenced twice (the graph_k_core rule)."""
+    ctes = [
+        _BPE_WC_SQL,
+        "sp0 AS MATERIALIZED (SELECT ' ' || "
+        "trim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' ' AS s, wn "
+        "FROM wc)",
+    ]
+    for k in range(1, n + 1):
+        src = f"sp{k - 1}"
+        ctes.append(
+            f"sy{k} AS MATERIALIZED (SELECT sym, SUM(wn) AS sn FROM "
+            f"(SELECT wn, unnest(string_split(trim(s), '  ')) AS sym "
+            f"FROM {src}) GROUP BY sym)"
+        )
+        ctes.append(_bpe_pair_cte(k, src).replace(f"p{k} AS", f"wp{k} AS"))
+        ctes.append(
+            f"pc{k} AS MATERIALIZED (SELECT pair, SUM(wn) AS pn "
+            f"FROM wp{k} GROUP BY pair)"
+        )
+        mat = " MATERIALIZED" if k < n else ""
+        ctes.append(
+            f"t{k} AS{mat} (SELECT pair, CAST(pn AS BIGINT) AS n, "
+            f"CAST(CAST(pn AS HUGEINT) * {_WP_SCALE} // "
+            f"(CAST(sa.sn AS HUGEINT) * CAST(sb.sn AS HUGEINT)) "
+            f"AS BIGINT) AS score_q "
+            f"FROM pc{k}, sy{k} sa, sy{k} sb "
+            f"WHERE sa.sym = string_split(pair, ' ')[1] "
+            f"AND sb.sym = string_split(pair, ' ')[2] "
+            f"ORDER BY score_q DESC, n DESC, pair LIMIT 1)"
+        )
+        if k < n:
+            ctes.append(
+                f"sp{k} AS MATERIALIZED (SELECT "
+                f"replace(s, ' ' || replace(t{k}.pair, ' ', '  ') || ' ',"
+                f" ' ' || replace(t{k}.pair, ' ', '') || ' ') AS s, wn "
+                f"FROM sp{k - 1}, t{k})"
+            )
+    union = " UNION ALL ".join(
+        (
+            f"SELECT CAST({k} AS BIGINT) AS step, pair AS merged, n, "
+            f"score_q FROM t{k}"
+            if k == 1
+            else f"SELECT CAST({k} AS BIGINT), pair, n, score_q FROM t{k}"
+        )
+        for k in range(1, n + 1)
+    )
+    return "WITH " + ", ".join(ctes) + " " + union
+
+
+@register(
+    "text_wordpiece_train4",
+    _wp_train_sql(_WP_TRAIN_N),
+    doc=f"WordPiece tokenizer training, {_WP_TRAIN_N} full iterations "
+    "in-engine: the merge argmax maximizes the likelihood-gain score "
+    "count(ab)·1e12 // (count(a)·count(b)) (HUGEINT/decimal(38,0), "
+    "ties → higher pair count, then pair asc) instead of BPE's raw "
+    "count — completes the tokenizer-training triad beside "
+    "text_bpe_trainN and text_unigram_viterbi",
+)
+def text_wordpiece_train4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece's likelihood-scored merge loop on the BPE machinery:
+    symbol state is the sentinel-wrapped double-space word-type frame
+    (so rewrites match whole adjacent symbols only — text_bpe_train3's
+    boundary-safety), and each round computes BOTH per-symbol counts
+    and adjacent-pair counts from it, scores every pair by
+    floor(pn·1e12 / (sn_a·sn_b)) — the integer form of the unigram-LM
+    likelihood gain p(ab)/(p(a)p(b)) up to the constant total count —
+    and merges the argmax. The 1e12 grid is the determinism
+    quantization; ties resolve by higher raw pair count then
+    lexicographic pair, identically in both engines (the score
+    product sn_a·sn_b routes through HUGEINT/decimal(38,0) — counts
+    at corpus scale overflow int64 under the 1e12 scale-up).
+
+    The plain symbol alphabet (no '##' continuation marks) is the
+    declared simplification: in this word-type representation the
+    continuation mark only relabels inner symbols and never changes
+    which merge wins. Encoding with a trained WordPiece vocab is
+    greedy longest-prefix — ``text_unigram_viterbi``'s DP with max
+    piece length instead of log-probs — and is exercised there.
+
+    Scale: identical to text_bpe_train8 — all state is word TYPES
+    (Zipf-bounded) × symbol types; the score join touches pair types
+    against symbol types (both model-side, broadcast); one
+    localCheckpoint per round keeps the plan linear in depth.
+    """
+    wc = _word_counts(load(spark, "documents", sf_dir))
+    sp = wc.select(
+        F.concat(
+            F.lit(" "),
+            F.trim(F.regexp_replace(F.col("w"), "(.)", "$1  ")),
+            F.lit(" "),
+        ).alias("s"),
+        "wn",
+    )
+    pair_arr = F.expr(
+        "transform(sequence(1, greatest("
+        "size(split(trim(s), '  ')) - 1, 1)), "
+        "i -> concat(element_at(split(trim(s), '  '), i), ' ', "
+        "element_at(split(trim(s), '  '), i + 1)))"
+    )
+    steps = []
+    for step in range(1, _WP_TRAIN_N + 1):
+        syms = (
+            sp.select(
+                F.explode(F.split(F.trim("s"), "  ")).alias("sym"), "wn"
+            )
+            .groupBy("sym")
+            .agg(F.sum("wn").cast("long").alias("sn"))
+        )
+        pairs = (
+            sp.filter(F.size(F.split(F.trim("s"), "  ")) >= 2)
+            .select(F.explode(pair_arr).alias("pair"), "wn")
+            .groupBy("pair")
+            .agg(F.sum("wn").cast("long").alias("pn"))
+        )
+        scored = (
+            pairs.withColumn("a", F.split("pair", " ").getItem(0))
+            .withColumn("b", F.split("pair", " ").getItem(1))
+            .join(
+                F.broadcast(syms.select(F.col("sym").alias("a"),
+                                        F.col("sn").alias("sa"))),
+                "a",
+            )
+            .join(
+                F.broadcast(syms.select(F.col("sym").alias("b"),
+                                        F.col("sn").alias("sb"))),
+                "b",
+            )
+            .select(
+                "pair",
+                F.col("pn").alias("n"),
+                F.expr(
+                    f"cast((cast(pn as decimal(38,0)) * {_WP_SCALE}) div "
+                    "(cast(sa as decimal(38,0)) * cast(sb as decimal(38,0)))"
+                    " as bigint)"
+                ).alias("score_q"),
+            )
+        )
+        top1 = scored.orderBy(
+            F.desc("score_q"), F.desc("n"), "pair"
+        ).limit(1)
+        steps.append(
+            top1.select(
+                F.lit(step).cast("long").alias("step"),
+                F.col("pair").alias("merged"),
+                "n",
+                "score_q",
+            )
+        )
+        if step < _WP_TRAIN_N:
+            sp = (
+                sp.crossJoin(F.broadcast(top1.select("pair")))
+                .select(
+                    F.expr(
+                        "replace(s, "
+                        "concat(' ', replace(pair, ' ', '  '), ' '), "
+                        "concat(' ', replace(pair, ' ', ''), ' '))"
+                    ).alias("s"),
+                    "wn",
+                )
+                .localCheckpoint(eager=False)
+            )
+    out = steps[0]
+    for s_df in steps[1:]:
+        out = out.unionByName(s_df)
+    return out

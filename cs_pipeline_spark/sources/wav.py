@@ -343,3 +343,197 @@ def mm_audio_chunk_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("duration_ms") - F.col("chunk_idx") * _CHUNK_AMS,
         ).alias("chunk_len_ms"),
     )
+
+
+# ---------- framed audio features over decoded PCM ----------
+#
+# The analysis stage a speech/audio curation pipeline runs right after
+# decode: 50 ms frames → RMS-style energy, zero-crossing counts, peak
+# amplitude, silence flags. All integer-exact (energy = Σv², crossings
+# are sign-product tests), so the DuckDB oracle recomputes every frame
+# from the fixture formula — including the PLANTED silent frames that
+# make the silence flag discriminate.
+
+_N_EWAVS = 6
+_FRAME_MS = 50
+
+
+def _ewav_meta(i: int) -> dict:
+    rate = (8000, 16000)[i % 2]
+    return {
+        "sample_rate": rate,
+        "channels": 1 + (i % 2),
+        "bits": 16,
+        "n_frames": 3000 + 500 * i,
+        "win": rate * _FRAME_MS // 1000,  # frames per analysis window
+    }
+
+
+def _esamples(i: int) -> np.ndarray:
+    """Energy-clip samples, flat interleaved: every 5th 50 ms window
+    is SILENT (all-zero), the rest follow the affine formula."""
+    m = _ewav_meta(i)
+    idx = np.arange(m["n_frames"] * m["channels"], dtype=np.int64)
+    t, c = idx // m["channels"], idx % m["channels"]
+    v = (t * 13 + c * 7 + i * 5) % 201 - 100
+    return np.where((t // m["win"]) % 5 == 4, 0, v)
+
+
+def encode_wav_energy(i: int) -> bytes:
+    m = _ewav_meta(i)
+    ch, rate = m["channels"], m["sample_rate"]
+    block = ch * 2
+    frames = _esamples(i).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * block, block, 16)
+    riff = b"WAVE" + _chunk(b"fmt ", fmt) + _chunk(b"data", frames)
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def decode_wav_frames(payload: bytes) -> list[dict]:
+    """Per-50 ms-window features from REAL bytes: reuse the RIFF walk
+    for format fields, then numpy-reduce the PCM buffer per window.
+    Crossings are counted between CONSECUTIVE frames of the same
+    channel within a window (strict sign change: product < 0)."""
+    head = decode_wav(payload)  # full validation + fmt fields
+    rate, ch = head["sample_rate"], head["channels"]
+    win = rate * _FRAME_MS // 1000
+    if win == 0:
+        raise ValueError("unsupported WAV: sample rate below frame size")
+    # re-extract the sample buffer (decode_wav reduced it to stats)
+    at = payload.index(b"data")
+    size = struct.unpack("<I", payload[at + 4 : at + 8])[0]
+    raw = payload[at + 8 : at + 8 + size]
+    if head["bits"] == 8:
+        v = np.frombuffer(raw, dtype=np.uint8).astype(np.int64) - 128
+    else:
+        v = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+    nf = head["n_frames"]
+    v2 = v.reshape(nf, ch)
+    t = np.arange(nf)
+    fidx = t // win
+    rows = []
+    prod = v2[:-1] * v2[1:]  # consecutive-frame sign products per chan
+    same_win = (t[:-1] % win) != (win - 1)
+    for f in range(int(fidx[-1]) + 1 if nf else 0):
+        sel = fidx == f
+        block = v2[sel]
+        cross_sel = sel[:-1] & same_win
+        rows.append(
+            {
+                "frame_idx": f,
+                "n_samples": int(block.size),
+                "energy": int((block * block).sum()),
+                "zcr": int((prod[cross_sel] < 0).sum()),
+                "peak": int(np.abs(block).max()) if block.size else 0,
+                "is_silence": 1 if block.size and not np.abs(block).max() else 0,
+            }
+        )
+    return rows
+
+
+def write_wav_energy_fixtures(out_dir: str) -> list[str]:
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for i in range(_N_EWAVS):
+        p = f"{out_dir}/eclip-{i:03d}.wav"
+        if not os.path.exists(p):
+            tmp = p + ".tmp"
+            with open(tmp, "wb") as fh:
+                fh.write(encode_wav_energy(i))
+            os.replace(tmp, p)
+        paths.append(p)
+    return paths
+
+
+@_fixture
+def _fx_wav_energy(spark: SparkSession, sf_dir: str) -> None:
+    write_wav_energy_fixtures(_scratch(sf_dir, "real_wavs_energy"))
+
+
+_E_COLS = "frame_idx n_samples energy zcr peak is_silence".split()
+
+_WAV_ENERGY_ORACLE = f"""
+    WITH meta AS (
+      SELECT i,
+             CASE WHEN i % 2 = 0 THEN 8000 ELSE 16000 END AS rate,
+             1 + (i % 2) AS ch,
+             3000 + 500 * i AS nf,
+             (CASE WHEN i % 2 = 0 THEN 8000 ELSE 16000 END)
+               * {_FRAME_MS} // 1000 AS win
+      FROM (SELECT unnest(range(0, {_N_EWAVS})) AS i)
+    ),
+    samp AS (
+      SELECT m.i, m.win, m.nf, m.ch, t.t, c.c, t.t // m.win AS f,
+             CASE WHEN (t.t // m.win) % 5 = 4 THEN 0
+                  ELSE (t.t * 13 + c.c * 7 + m.i * 5) % 201 - 100
+             END AS v,
+             CASE WHEN t.t + 1 < m.nf AND (t.t % m.win) <> m.win - 1
+                  THEN (CASE WHEN ((t.t + 1) // m.win) % 5 = 4 THEN 0
+                        ELSE ((t.t + 1) * 13 + c.c * 7 + m.i * 5)
+                             % 201 - 100 END)
+                  ELSE NULL END AS vnext
+      FROM meta m,
+           (SELECT unnest(range(0, 3000 + 500 * {_N_EWAVS - 1})) AS t) t,
+           (SELECT unnest(range(0, 2)) AS c) c
+      WHERE t.t < m.nf AND c.c < m.ch)
+    SELECT printf('eclip-%03d.wav', CAST(i AS INT)) AS fname,
+           CAST(f AS BIGINT) AS frame_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(v * v) AS BIGINT) AS energy,
+           CAST(SUM(CASE WHEN vnext IS NOT NULL AND v * vnext < 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS zcr,
+           CAST(MAX(abs(v)) AS BIGINT) AS peak,
+           CAST(CASE WHEN MAX(abs(v)) = 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS is_silence
+    FROM samp GROUP BY i, f
+"""
+
+
+@register(
+    "mm_audio_energy",
+    _WAV_ENERGY_ORACLE,
+    doc="framed audio features over REAL decoded PCM: 50 ms windows → "
+    "integer energy (Σv²), per-channel zero-crossing counts, peak "
+    "amplitude, silence flag — the post-decode analysis stage of a "
+    "speech-curation pipeline, hash-checked per frame against the "
+    "fixture formula (planted all-zero windows make the silence flag "
+    "discriminate)",
+)
+def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity-style framing on real bytes: 6 fixture WAVs
+    (both rates and channel counts) with every 5th 50 ms window
+    planted SILENT; the decode walks the RIFF stream, then numpy
+    reduces each window to energy / zero-crossings / peak. Crossings
+    are strict sign changes between consecutive frames of the same
+    channel, never across window boundaries — the oracle recomputes
+    the same pairing from the closed-form v(t+1).
+
+    Scale: per-file mapInPandas decode emitting duration/50 ms rows
+    per file; no shuffle until a downstream aggregate. At 100 TB,
+    silence-run compaction (merge adjacent silent frames) is window
+    algebra over (fname, frame_idx) — the dedup_substring_repeats
+    gap-merge shape.
+    """
+    schema = "fname string, " + ", ".join(f"{c} long" for c in _E_COLS)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            frames = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                rows = decode_wav_frames(bytes(content))
+                fname = path.rsplit("/", 1)[-1]
+                for r in rows:
+                    r["fname"] = fname
+                frames.extend(rows)
+            yield pd.DataFrame(
+                frames, columns=["fname", *_E_COLS]
+            ) if frames else pd.DataFrame({k: [] for k in ["fname", *_E_COLS]})
+
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wav")
+        .load(_scratch(sf_dir, "real_wavs_energy"))
+    )
+    return bf.select("path", "content").mapInPandas(batches, schema=schema)

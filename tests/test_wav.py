@@ -118,3 +118,55 @@ def test_chunk_plan_covers_decoded_durations(spark, sf_dir):
         assert len(cs) == (dur + _CHUNK_AMS - 1) // _CHUNK_AMS
         assert sum(r["chunk_len_ms"] for r in cs) == dur
         assert all(r["chunk_len_ms"] > 0 for r in cs)
+
+
+# ---------- framed energy features (round 8) ----------
+
+from cs_pipeline_spark.sources.wav import (  # noqa: E402
+    _N_EWAVS,
+    _esamples,
+    _ewav_meta,
+    decode_wav_frames,
+    encode_wav_energy,
+    mm_audio_energy,
+)
+
+
+@pytest.mark.parametrize("i", range(_N_EWAVS))
+def test_energy_roundtrip(i):
+    m = _ewav_meta(i)
+    v = _esamples(i).reshape(m["n_frames"], m["channels"])
+    rows = decode_wav_frames(encode_wav_energy(i))
+    win = m["win"]
+    assert len(rows) == (m["n_frames"] + win - 1) // win
+    for r in rows:
+        f = r["frame_idx"]
+        block = v[f * win : (f + 1) * win]
+        assert r["energy"] == int((block * block).sum())
+        assert r["peak"] == int(np.abs(block).max())
+        assert r["is_silence"] == (1 if np.abs(block).max() == 0 else 0)
+        # crossings recomputed independently: consecutive frames of the
+        # same channel, both inside window f
+        prod = block[:-1] * block[1:]
+        assert r["zcr"] == int((prod < 0).sum())
+
+
+def test_energy_silence_plant_every_fifth_frame():
+    rows = decode_wav_frames(encode_wav_energy(2))
+    flags = [r["is_silence"] for r in rows]
+    assert all(f == 1 for i, f in enumerate(flags) if i % 5 == 4)
+    assert all(f == 0 for i, f in enumerate(flags) if i % 5 != 4)
+    assert any(r["zcr"] > 0 for r in rows)  # the formula does cross zero
+
+
+def test_energy_registered_op(spark, sf_dir):
+    rows = mm_audio_energy(spark, sf_dir).collect()
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r["fname"], []).append(r)
+    assert len(by_file) == _N_EWAVS
+    for i in range(_N_EWAVS):
+        m = _ewav_meta(i)
+        got = by_file[f"eclip-{i:03d}.wav"]
+        assert len(got) == (m["n_frames"] + m["win"] - 1) // m["win"]
+        assert sum(r["n_samples"] for r in got) == m["n_frames"] * m["channels"]
