@@ -30,8 +30,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cs_pipeline_spark.operators.dedup import _NORM, _NORM_DUCK, _tokens
-from cs_pipeline_spark.operators.helpers import dround, one_part
+from cs_pipeline_spark.operators.dedup import (
+    _NORM,
+    _NORM_DUCK,
+    _sql_shingles,
+    _tokens,
+    shingles,
+)
+from cs_pipeline_spark.operators.helpers import dround, one_part, sql_dround
 from cs_pipeline_spark.registry import pin, register
 from cs_pipeline_spark.tables import load
 
@@ -2566,3 +2572,248 @@ def text_wordpiece_train4(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s_df in steps[1:]:
         out = out.unionByName(s_df)
     return out
+
+
+# ---------- generation-eval metrics: ROUGE-N and BLEU ----------
+#
+# The evaluation side of a training pipeline: once SFT/DPO pairs exist
+# (text_sft_pairs, train_dpo_pairs), model outputs get scored against
+# references with n-gram overlap metrics. Deterministic pairing over
+# the corpus (candidate = even doc_id, reference = the next doc) keeps
+# the metric math — clipped-overlap counts, modified precisions,
+# brevity penalty — fully oracle-checkable. All counts are integers;
+# the only transcendental (the BLEU brevity penalty's exp) is
+# dround-quantized per the chi2/entropy convention.
+
+_EVAL_GRAMS_SQL = f"""
+    etoks AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+    egrams AS (
+      SELECT doc_id, 1 AS n, unnest(t) AS g FROM etoks
+      UNION ALL
+      SELECT doc_id, 2 AS n, unnest({_sql_shingles('t', 2)}) AS g
+      FROM etoks
+    ),
+    egc AS (SELECT doc_id, n, g, COUNT(*) AS c FROM egrams
+            WHERE g <> '' GROUP BY doc_id, n, g),
+    ecand AS (SELECT doc_id AS pair_id, n, g, c FROM egc
+              WHERE doc_id % 2 = 0),
+    eref AS (SELECT doc_id - 1 AS pair_id, n, g, c FROM egc
+             WHERE doc_id % 2 = 1),
+    eov AS (SELECT ecand.pair_id, ecand.n,
+                   SUM(LEAST(ecand.c, eref.c)) AS o
+            FROM ecand JOIN eref ON eref.pair_id = ecand.pair_id
+                 AND eref.n = ecand.n AND eref.g = ecand.g
+            GROUP BY ecand.pair_id, ecand.n),
+    ect AS (SELECT pair_id, n, SUM(c) AS ctot FROM ecand
+            GROUP BY pair_id, n),
+    ert AS (SELECT pair_id, n, SUM(c) AS rtot FROM eref
+            GROUP BY pair_id, n)
+"""
+
+
+def _eval_gram_counts(spark: SparkSession, sf_dir: str):
+    """Shared gram-count frames: (cand, ref, overlap, totals) keyed by
+    (pair_id, n) for n ∈ {1, 2}."""
+    docs = load(spark, "documents", sf_dir)
+    toked = docs.select("doc_id", _tokens(F.expr(_NORM)).alias("t"))
+    uni = toked.select(
+        "doc_id", F.lit(1).alias("n"), F.explode("t").alias("g")
+    )
+    bi = toked.select(
+        "doc_id",
+        F.lit(2).alias("n"),
+        F.explode(shingles(F.col("t"), 2)).alias("g"),
+    )
+    gc = (
+        uni.unionByName(bi)
+        .filter(F.col("g") != "")
+        .groupBy("doc_id", "n", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cand = gc.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("pair_id"), "n", "g", F.col("c").alias("cc")
+    )
+    ref = gc.filter(F.col("doc_id") % 2 == 1).select(
+        (F.col("doc_id") - 1).alias("pair_id"),
+        "n",
+        "g",
+        F.col("c").alias("rc"),
+    )
+    ov = (
+        cand.join(ref, ["pair_id", "n", "g"])
+        .groupBy("pair_id", "n")
+        .agg(F.sum(F.least("cc", "rc")).cast("long").alias("o"))
+    )
+    ct = cand.groupBy("pair_id", "n").agg(
+        F.sum("cc").cast("long").alias("ctot")
+    )
+    rt = ref.groupBy("pair_id", "n").agg(
+        F.sum("rc").cast("long").alias("rtot")
+    )
+    return ov, ct, rt
+
+
+@register(
+    "text_rouge_n",
+    f"""
+    WITH {_EVAL_GRAMS_SQL}
+    SELECT ect.pair_id, CAST(ect.n AS BIGINT) AS ngram,
+           CAST(COALESCE(o, 0) AS BIGINT) AS overlap,
+           CAST(ctot AS BIGINT) AS cand_ngrams,
+           CAST(rtot AS BIGINT) AS ref_ngrams,
+           CAST(COALESCE(o, 0) AS DOUBLE) / CAST(ctot AS DOUBLE)
+             AS rouge_p,
+           CAST(COALESCE(o, 0) AS DOUBLE) / CAST(rtot AS DOUBLE)
+             AS rouge_r,
+           2.0 * CAST(COALESCE(o, 0) AS DOUBLE)
+             / CAST(ctot + rtot AS DOUBLE) AS rouge_f1
+    FROM ect JOIN ert ON ert.pair_id = ect.pair_id AND ert.n = ect.n
+    LEFT JOIN eov ON eov.pair_id = ect.pair_id AND eov.n = ect.n
+    """,
+    doc="ROUGE-1/ROUGE-2 per (candidate, reference) pair: clipped "
+    "n-gram overlap Σ min(count_cand, count_ref), exact-integer "
+    "precision/recall/F1 (F1 = 2·o/(|cand|+|ref|) — one division); "
+    "pairs are (even doc_id, next doc) — the generation-eval stage "
+    "over SFT-style pairs",
+)
+def text_rouge_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall-oriented summarization/generation metric, in-engine:
+    per pair and per n ∈ {1, 2}, the CLIPPED overlap (each reference
+    n-gram credits at most its reference multiplicity — the min(),
+    not a plain intersection count), candidate/reference totals, and
+    P/R/F1 each as ONE exact integer division. Pairs where either
+    side lacks n-grams at a width drop that width's row (C4-style
+    short-doc handling); zero overlap keeps the row with metric 0.
+
+    Scale: gram counts shuffle (doc, n, 16-byte-able gram) rows with
+    map-side combine; the overlap join is gram-keyed fact-to-fact
+    (the dedup_span_corpus shape — hash grams to digests at 100 TB);
+    totals ride the same (pair, n) partitioning.
+    """
+    ov, ct, rt = _eval_gram_counts(spark, sf_dir)
+    o = F.coalesce(F.col("o"), F.lit(0).cast("long"))
+    return (
+        ct.join(rt, ["pair_id", "n"])
+        .join(ov, ["pair_id", "n"], "left")
+        .select(
+            "pair_id",
+            F.col("n").cast("long").alias("ngram"),
+            o.alias("overlap"),
+            F.col("ctot").alias("cand_ngrams"),
+            F.col("rtot").alias("ref_ngrams"),
+            (o.cast("double") / F.col("ctot").cast("double")).alias(
+                "rouge_p"
+            ),
+            (o.cast("double") / F.col("rtot").cast("double")).alias(
+                "rouge_r"
+            ),
+            (
+                F.lit(2.0)
+                * o.cast("double")
+                / (F.col("ctot") + F.col("rtot")).cast("double")
+            ).alias("rouge_f1"),
+        )
+    )
+
+
+@register(
+    "text_bleu_eval",
+    f"""
+    WITH {_EVAL_GRAMS_SQL},
+    wide AS (
+      SELECT c1.pair_id,
+             c1.ctot AS c1, r1.rtot AS r1,
+             c2.ctot AS c2,
+             COALESCE(o1.o, 0) AS o1, COALESCE(o2.o, 0) AS o2
+      FROM (SELECT * FROM ect WHERE n = 1) c1
+      JOIN (SELECT * FROM ert WHERE n = 1) r1
+        ON r1.pair_id = c1.pair_id
+      LEFT JOIN (SELECT * FROM ect WHERE n = 2) c2
+        ON c2.pair_id = c1.pair_id
+      LEFT JOIN (SELECT * FROM eov WHERE n = 1) o1
+        ON o1.pair_id = c1.pair_id
+      LEFT JOIN (SELECT * FROM eov WHERE n = 2) o2
+        ON o2.pair_id = c1.pair_id
+    ),
+    scored AS (
+      SELECT pair_id,
+             CAST(c1 AS BIGINT) AS cand_len,
+             CAST(r1 AS BIGINT) AS ref_len,
+             CAST(o1 AS DOUBLE) / CAST(c1 AS DOUBLE) AS p1,
+             CASE WHEN c2 IS NOT NULL AND c2 > 0
+                  THEN CAST(o2 AS DOUBLE) / CAST(c2 AS DOUBLE)
+                  ELSE NULL END AS p2,
+             CASE WHEN c1 >= r1 THEN 1.0
+                  ELSE {sql_dround('EXP(1.0 - CAST(r1 AS DOUBLE) / CAST(c1 AS DOUBLE))')}
+             END AS bp_q
+      FROM wide
+    )
+    SELECT pair_id, cand_len, ref_len, p1, p2, bp_q,
+           CASE WHEN p2 IS NULL THEN NULL
+                ELSE {sql_dround('bp_q * SQRT(p1 * p2)')} END AS bleu_q
+    FROM scored
+    """,
+    doc="BLEU-2 per (candidate, reference) pair: modified (clipped) "
+    "unigram/bigram precisions, brevity penalty exp(1 − r/c) "
+    "dround-quantized (the one transcendental), BLEU = BP·√(p1·p2) — "
+    "sqrt and the final product are single IEEE ops, deterministic "
+    "on both engines",
+)
+def text_bleu_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale BLEU scoring: the same clipped-overlap counts as
+    ``text_rouge_n`` pivoted wide per pair, modified precisions as
+    exact divisions, and the geometric mean taken as √(p1·p2) so no
+    logs enter the hash path. Only exp() differs across engines — the
+    brevity penalty (and the final product, which inherits its grid)
+    is floor-quantized at 1e-6 per the chi2/entropy term convention.
+    Candidates with no bigrams score NULL (n-gram order unsatisfied),
+    zero overlap scores 0 — both states distinguishable downstream.
+
+    Scale: identical to text_rouge_n (shared gram-count stages); the
+    pivot joins are per-(pair, n) aggregates, k-bounded at n ≤ 2.
+    """
+    ov, ct, rt = _eval_gram_counts(spark, sf_dir)
+    c1 = ct.filter(F.col("n") == 1).select("pair_id", F.col("ctot").alias("c1"))
+    c2 = ct.filter(F.col("n") == 2).select("pair_id", F.col("ctot").alias("c2"))
+    r1 = rt.filter(F.col("n") == 1).select("pair_id", F.col("rtot").alias("r1"))
+    o1 = ov.filter(F.col("n") == 1).select("pair_id", F.col("o").alias("o1"))
+    o2 = ov.filter(F.col("n") == 2).select("pair_id", F.col("o").alias("o2"))
+    wide = (
+        c1.join(r1, "pair_id")
+        .join(c2, "pair_id", "left")
+        .join(o1, "pair_id", "left")
+        .join(o2, "pair_id", "left")
+        .select(
+            "pair_id",
+            "c1",
+            "r1",
+            "c2",
+            F.coalesce("o1", F.lit(0).cast("long")).alias("o1"),
+            F.coalesce("o2", F.lit(0).cast("long")).alias("o2"),
+        )
+    )
+    p1 = F.col("o1").cast("double") / F.col("c1").cast("double")
+    p2 = F.when(
+        F.col("c2").isNotNull() & (F.col("c2") > 0),
+        F.col("o2").cast("double") / F.col("c2").cast("double"),
+    )
+    bp = F.when(F.col("c1") >= F.col("r1"), F.lit(1.0)).otherwise(
+        dround(
+            F.exp(F.lit(1.0) - F.col("r1").cast("double") / F.col("c1").cast("double"))
+        )
+    )
+    scored = wide.select(
+        "pair_id",
+        F.col("c1").alias("cand_len"),
+        F.col("r1").alias("ref_len"),
+        p1.alias("p1"),
+        p2.alias("p2"),
+        bp.alias("bp_q"),
+    )
+    return scored.withColumn(
+        "bleu_q",
+        F.when(
+            F.col("p2").isNotNull(),
+            dround(F.col("bp_q") * F.sqrt(F.col("p1") * F.col("p2"))),
+        ),
+    )
