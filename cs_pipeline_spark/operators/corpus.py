@@ -1253,3 +1253,153 @@ def corpus_shapley_source_value(
             ),
         )
     )
+
+
+# ---------- DSIR-style importance resampling weights ----------
+#
+# Data Selection via Importance Resampling (Xie et al. 2023): score
+# every raw document by the log likelihood ratio of a hashed
+# bag-of-n-grams multinomial fit on a TARGET domain vs one fit on the
+# RAW corpus, then resample proportional to the weights. Target here
+# is the English slice (the "high-quality domain" stand-in); features
+# are md5-hashed unigram buckets. Determinism: the per-BUCKET log
+# ratio is the only transcendental — quantized to integer nano-units
+# once over a 256-row table (the chi2/entropy term convention) — so
+# every document weight is an exact integer combination Σ c_b · lr_b.
+
+_DSIR_B = 256  # hashed feature buckets
+_DSIR_TARGET = "en"
+
+
+def _dsir_bucket_spark(tok):
+    return (
+        F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long") % _DSIR_B
+    )
+
+
+_DSIR_BUCKET_SQL = (
+    f"CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) % {_DSIR_B}"
+)
+
+_DSIR_ORACLE = f"""
+    WITH dt AS (SELECT doc_id, lang,
+                       unnest({_DUCK_TOKENS}) AS tok FROM documents),
+    tf AS (SELECT doc_id, lang, {_DSIR_BUCKET_SQL} AS b
+           FROM dt WHERE tok <> ''),
+    dc AS (SELECT doc_id, b, COUNT(*) AS c FROM tf GROUP BY doc_id, b),
+    br AS (SELECT b, COUNT(*) AS cr FROM tf GROUP BY b),
+    bt AS (SELECT b, COUNT(*) AS ct FROM tf
+           WHERE lang = '{_DSIR_TARGET}' GROUP BY b),
+    tot AS (SELECT (SELECT COUNT(*) FROM tf) AS tr,
+                   (SELECT COUNT(*) FROM tf
+                    WHERE lang = '{_DSIR_TARGET}') AS tt),
+    lr AS (SELECT br.b,
+                  CAST(FLOOR(LN(
+                    (CAST(COALESCE(ct, 0) + 1 AS DOUBLE) * (tr + {_DSIR_B}))
+                    / (CAST(cr + 1 AS DOUBLE) * (tt + {_DSIR_B}))
+                  ) * 1000000000.0 + 0.5) AS BIGINT) AS lrn
+           FROM br LEFT JOIN bt ON bt.b = br.b, tot)
+    SELECT dc.doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(SUM(c * lrn) AS BIGINT) AS logw_nano,
+           CAST(CASE WHEN SUM(c * lrn) > 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS keep
+    FROM dc JOIN lr ON lr.b = dc.b GROUP BY dc.doc_id
+"""
+
+
+@register(
+    "corpus_dsir_weights",
+    _DSIR_ORACLE,
+    doc="DSIR importance-resampling weights (Xie et al.): per-doc log "
+    "likelihood ratio of a hashed bag-of-unigrams multinomial fit on "
+    f"the '{_DSIR_TARGET}' target slice vs the raw corpus — Laplace-"
+    f"smoothed over {_DSIR_B} md5 buckets, the per-bucket log ratio "
+    "quantized to integer nanos (the ONLY transcendental), doc weight "
+    "= exact Σ c_b·lr_b; keep = weight > 1 — the pretraining "
+    "data-selection method between heuristic filters and full "
+    "classifier scoring",
+)
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR in one plan: (1) one tokenize pass buckets every token by
+    md5 hash; (2) the 256-row bucket table gets raw and target counts
+    plus the Laplace-smoothed log ratio ln(((ct+1)(Tr+B)) /
+    ((cr+1)(Tt+B))), floor-quantized at 1e-9 — term-level
+    quantization, so the cross-engine hash never sees a raw ln; (3)
+    each doc's weight is the integer dot product of its bucket counts
+    with the quantized table. keep = (logw_nano > 0) marks docs the
+    target model likes more than the raw model — the resampling
+    acceptance core (full DSIR samples ∝ exp(logw); the weights here
+    are the sufficient statistic).
+
+    Scale: the fact side is ONE tokenize + a (doc, bucket) count
+    (map-side combined, ≤256 rows per doc); the bucket model is 256
+    rows — broadcast — regardless of corpus size; totals are 1-row
+    aggregates. Exactly the published method's shape: fit once
+    (tiny model), score everything in one streaming pass. Raising
+    the feature order to hashed bigrams only changes the tokenize
+    stage.
+    """
+    docs = load(spark, "documents", sf_dir)
+    tf = pin(
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(_tokens(F.expr(_NORM))).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .select("doc_id", "lang", _dsir_bucket_spark(F.col("tok")).alias("b"))
+    )
+    dc = tf.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+    br = tf.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    bt = (
+        tf.filter(F.col("lang") == _DSIR_TARGET)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    tot = tf.agg(
+        F.count(F.lit(1)).alias("tr"),
+        F.sum(
+            F.when(F.col("lang") == _DSIR_TARGET, 1).otherwise(0)
+        ).alias("tt"),
+    )
+    lr = (
+        br.join(bt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.floor(
+                F.log(
+                    (
+                        (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                        * (F.col("tr") + _DSIR_B)
+                    )
+                    / (
+                        (F.col("cr") + 1).cast("double")
+                        * (F.col("tt") + _DSIR_B)
+                    )
+                )
+                * 1000000000.0
+                + 0.5
+            )
+            .cast("long")
+            .alias("lrn"),
+        )
+    )
+    return (
+        dc.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("lrn")).cast("long").alias("logw_nano"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "logw_nano",
+            F.when(F.col("logw_nano") > 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("keep"),
+        )
+    )
