@@ -131,10 +131,17 @@ HEADLINE = [
     "text_unigram_viterbi",
     "ts_granger_causality",
     "anomaly_suite_e2e",
-    # round-8: real audio decode (RIFF/PCM via mapInPandas) and the
-    # baseline-JPEG DC Huffman entropy decode
+    # round-8: real audio decode (RIFF/PCM via mapInPandas), the
+    # baseline-JPEG DC Huffman entropy decode, arbitrary-length
+    # substring dedup, incremental IVF fold-in, WordPiece training,
+    # generation-eval overlap metrics, DSIR selection weights
     "mm_decode_wav",
     "mm_decode_jpeg_dc",
+    "dedup_substring_repeats",
+    "sim_ivf_incremental",
+    "text_wordpiece_train4",
+    "text_rouge_n",
+    "corpus_dsir_weights",
 ]
 
 

@@ -351,3 +351,188 @@ def mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
             "checksum",
         )
     )
+
+
+# ---------- perceptual difference-hash over decoded pixels ----------
+#
+# Image near-dup detection's cheapest tier: dHash (difference hash).
+# Luma samples on a fixed 8×8 grid (index map x_k = k·w//8 — integer
+# floor, resolution-independent), one bit per horizontally-adjacent
+# sample comparison (7 per row × 8 rows = 56 bits, packed into a
+# non-negative BIGINT), and pairwise Hamming distances as the match
+# score. Runs on the REAL decode path (decode_png_df), all integer —
+# luma is the BT.601-weighted (299r+587g+114b)//1000 floor, so the
+# DuckDB oracle recomputes every bit from the pixel formula.
+
+_DH_G = 8  # sample grid
+
+
+@register(
+    "mm_image_dhash",
+    f"""
+    WITH imgs AS (SELECT unnest(range(0, {_N_IMGS})) AS i),
+    dims AS (SELECT i, 5 + i AS w, 4 + (i * 3) % 5 AS h,
+                    CASE WHEN i % 2 = 0 THEN 3 ELSE 1 END AS ch
+             FROM imgs),
+    grid AS (
+      SELECT d.i, d.w, d.h, d.ch, j.j, k.k,
+             (k.k * d.w) // {_DH_G} AS x, (j.j * d.h) // {_DH_G} AS y
+      FROM dims d,
+           (SELECT unnest(range(0, {_DH_G})) AS j) j,
+           (SELECT unnest(range(0, {_DH_G})) AS k) k),
+    lum AS (
+      SELECT i, j, k,
+             CASE WHEN ch = 3 THEN
+               (299 * ((y * 31 + x * 17 + 0 + i * 7) % 256)
+                + 587 * ((y * 31 + x * 17 + 11 + i * 7) % 256)
+                + 114 * ((y * 31 + x * 17 + 22 + i * 7) % 256)) // 1000
+             ELSE (y * 31 + x * 17 + i * 7) % 256 END AS l
+      FROM grid),
+    bits AS (
+      SELECT a.i, a.j, a.k,
+             CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bit
+      FROM lum a JOIN lum b
+        ON b.i = a.i AND b.j = a.j AND b.k = a.k + 1
+      WHERE a.k < {_DH_G - 1}),
+    hashes AS (
+      SELECT i, CAST(SUM(bit * CAST(POWER(2, j * {_DH_G - 1} + k)
+                                    AS BIGINT)) AS BIGINT) AS dh
+      FROM bits GROUP BY i),
+    ham AS (
+      SELECT a.i AS ia, b.i AS ib,
+             SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS hd
+      FROM bits a JOIN bits b
+        ON b.j = a.j AND b.k = a.k AND b.i > a.i
+      GROUP BY a.i, b.i)
+    SELECT printf('img-%03d.png', CAST(ia AS INT)) AS fname_a,
+           printf('img-%03d.png', CAST(ib AS INT)) AS fname_b,
+           ha.dh AS dhash_a, hb.dh AS dhash_b,
+           CAST(hd AS BIGINT) AS hamming
+    FROM ham JOIN hashes ha ON ha.i = ham.ia
+    JOIN hashes hb ON hb.i = ham.ib
+    """,
+    doc="perceptual dHash image near-dup tier over REAL decoded PNG "
+    "pixels: BT.601 integer luma, 8×8 index-mapped sample grid, 56 "
+    "adjacent-sample comparison bits packed into a BIGINT, pairwise "
+    "Hamming distances — the cheap screen in front of embedding-based "
+    "image dedup, fully formula-checkable",
+)
+def mm_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-hash on the real decode path: pixels come from
+    ``decode_png_df`` (CRC-verified chunks, real unfiltering), luma is
+    the floor-divided BT.601 integer combination, and the 8×8 grid
+    samples by the index map x_k = k·w//8 / y_j = j·h//8 — the
+    resolution-independence that makes dHash robust to resizing is
+    exactly this fixed-grid sampling. 56 comparison bits pack into a
+    non-negative BIGINT (the sim_hamming_topk convention — never bit
+    63); match scores are pairwise Hamming distances computed as
+    bit-level disagreements BEFORE packing, so no engine bit-op
+    differences enter the hash.
+
+    Scale: per-image work is 64 samples regardless of resolution
+    (the decode stage reads pixels; sampling prunes immediately).
+    All-pairs here spans the 6-image fixture set; at corpus scale
+    the pairing stage is bucket-joined on hash prefixes (band the 56
+    bits into 4×14-bit keys — the dedup_simhash chunk-bucket shape),
+    never a cross join.
+    """
+    px = decode_png_df(spark, _scratch(sf_dir, "real_pngs"))
+    lum = (
+        px.groupBy("fname", "width", "height", "channels", "y", "x")
+        .agg(
+            F.sum(
+                F.when(F.col("channels") == 1, F.col("v")).otherwise(
+                    F.col("v")
+                    * F.when(F.col("c") == 0, 299)
+                    .when(F.col("c") == 1, 587)
+                    .otherwise(114)
+                )
+            ).alias("lsum")
+        )
+        .select(
+            "fname",
+            "width",
+            "height",
+            "y",
+            "x",
+            F.when(
+                F.col("channels") == 1, F.col("lsum")
+            )
+            .otherwise(F.expr("lsum div 1000"))
+            .alias("l"),
+        )
+    )
+    g = F.lit(_DH_G)
+    grid = (
+        lum.select("fname", "width", "height")
+        .distinct()
+        .select(
+            "fname",
+            "width",
+            "height",
+            F.explode(F.sequence(F.lit(0), g - 1)).alias("j"),
+        )
+        .select(
+            "fname",
+            "width",
+            "height",
+            "j",
+            F.explode(F.sequence(F.lit(0), g - 1)).alias("k"),
+        )
+        .select(
+            "fname",
+            "j",
+            "k",
+            F.expr(f"(k * width) div {_DH_G}").alias("x"),
+            F.expr(f"(j * height) div {_DH_G}").alias("y"),
+        )
+    )
+    samples = grid.join(lum.select("fname", "y", "x", "l"), ["fname", "y", "x"])
+    a = samples.filter(F.col("k") < _DH_G - 1).select(
+        "fname", "j", "k", F.col("l").alias("la")
+    )
+    b = samples.select(
+        "fname", "j", (F.col("k") - 1).alias("k"), F.col("l").alias("lb")
+    )
+    bits = a.join(b, ["fname", "j", "k"]).select(
+        "fname",
+        "j",
+        "k",
+        F.when(F.col("lb") > F.col("la"), 1).otherwise(0).alias("bit"),
+    )
+    hashes = bits.groupBy("fname").agg(
+        F.sum(
+            F.col("bit")
+            * F.expr(f"shiftleft(1L, cast(j * {_DH_G - 1} + k as int))")
+        )
+        .cast("long")
+        .alias("dh")
+    )
+    ham = (
+        bits.alias("a")
+        .join(
+            bits.alias("b"),
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.fname") < F.col("b.fname")),
+        )
+        .groupBy(F.col("a.fname").alias("fname_a"), F.col("b.fname").alias("fname_b"))
+        .agg(
+            F.sum(
+                F.when(F.col("a.bit") != F.col("b.bit"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("hamming")
+        )
+    )
+    return (
+        ham.join(
+            hashes.select(F.col("fname").alias("fname_a"), F.col("dh").alias("dhash_a")),
+            "fname_a",
+        )
+        .join(
+            hashes.select(F.col("fname").alias("fname_b"), F.col("dh").alias("dhash_b")),
+            "fname_b",
+        )
+        .select("fname_a", "fname_b", "dhash_a", "dhash_b", "hamming")
+    )

@@ -1,0 +1,61 @@
+"""Crawl-path robustness contract for the binary parsers: on ANY
+malformed input they must raise ValueError (one catchable type for
+the mapInPandas decoders) — never IndexError / struct.error /
+KeyError. Hypothesis drives random payloads plus seeded mutations of
+valid fixtures (ADVICE r7 #3 hardened jpeg.py; these pin it and
+extend the guarantee to the WAV and DC-JPEG parsers)."""
+
+from __future__ import annotations
+
+import random
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from cs_pipeline_spark.sources.jpeg import (
+    decode_jpeg_dc,
+    decode_jpeg_meta,
+    encode_jpeg,
+    encode_jpeg_dc,
+)
+from cs_pipeline_spark.sources.wav import decode_wav, encode_wav
+
+_PARSERS = [
+    (decode_jpeg_meta, encode_jpeg),
+    (decode_jpeg_dc, encode_jpeg_dc),
+    (decode_wav, encode_wav),
+]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_random_bytes_never_escape_valueerror(payload):
+    for parse, _ in _PARSERS:
+        try:
+            parse(payload)
+        except ValueError:
+            pass  # the contract
+
+
+def test_truncations_of_valid_files_never_escape_valueerror():
+    for parse, encode in _PARSERS:
+        payload = encode(1)
+        for cut in range(0, len(payload), 3):
+            try:
+                parse(payload[:cut])
+            except ValueError:
+                pass
+
+
+def test_seeded_byte_flips_never_escape_valueerror():
+    rng = random.Random(12345)
+    for parse, encode in _PARSERS:
+        base = bytearray(encode(2))
+        for _ in range(300):
+            mutated = bytearray(base)
+            for _ in range(rng.randint(1, 4)):
+                mutated[rng.randrange(len(mutated))] = rng.randrange(256)
+            try:
+                parse(bytes(mutated))
+            except ValueError:
+                pass

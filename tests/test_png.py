@@ -84,3 +84,54 @@ def test_op_matches_formula(spark, sf_dir):
         assert r.n_px == len(vals)
         assert r.px_sum == sum(vals)
         assert r.px_min == min(vals) and r.px_max == max(vals)
+
+
+# ---------- perceptual dHash (round 8) ----------
+
+
+def test_dhash_matches_formula(spark, sf_dir):
+    """Recompute every hash and pairwise Hamming distance from the
+    pixel formula in plain python."""
+    from cs_pipeline_spark.sources.png import (
+        _DH_G,
+        _N_IMGS,
+        _img_dims,
+        _img_pixel,
+        mm_image_dhash,
+    )
+
+    def luma(i, y, x):
+        w, h, ch = _img_dims(i)
+        if ch == 1:
+            return _img_pixel(i, y, x, 0)
+        return (
+            299 * _img_pixel(i, y, x, 0)
+            + 587 * _img_pixel(i, y, x, 1)
+            + 114 * _img_pixel(i, y, x, 2)
+        ) // 1000
+
+    bits = {}
+    for i in range(_N_IMGS):
+        w, h, _ = _img_dims(i)
+        bits[i] = [
+            1
+            if luma(i, j * h // _DH_G, (k + 1) * w // _DH_G)
+            > luma(i, j * h // _DH_G, k * w // _DH_G)
+            else 0
+            for j in range(_DH_G)
+            for k in range(_DH_G - 1)
+        ]
+    want_hash = {
+        i: sum(b << p for p, b in enumerate(bits[i])) for i in bits
+    }
+    rows = mm_image_dhash.__wrapped__(spark, sf_dir).collect()
+    assert len(rows) == _N_IMGS * (_N_IMGS - 1) // 2
+    for r in rows:
+        ia = int(r.fname_a[4:7])
+        ib = int(r.fname_b[4:7])
+        assert r.dhash_a == want_hash[ia]
+        assert r.dhash_b == want_hash[ib]
+        assert r.hamming == sum(
+            x != y for x, y in zip(bits[ia], bits[ib])
+        )
+        assert 0 <= r.hamming <= _DH_G * (_DH_G - 1)
