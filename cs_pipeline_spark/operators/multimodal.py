@@ -941,3 +941,132 @@ def mm_modality_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("coverage_ppm"),
         F.countDistinct("source").cast("long").alias("n_sources"),
     )
+
+
+# ---------- flagship: multimodal curation report, end to end ----------
+
+_DHASH_DUP_T = 10  # Hamming ≤ 10 of 56 bits → near-duplicate pair
+
+
+def _mm_curate_oracle() -> str:
+    """Compose the REGISTERED oracles of the real byte decoders into
+    one (modality, metric, value) report — the anomaly_suite_e2e
+    pattern: each subquery is an individually hash-checked op, so the
+    flagship cannot drift from its parts."""
+    # force the providers to register (module import order is not
+    # registration order — the round-7 convention)
+    import cs_pipeline_spark.sources.jpeg  # noqa: F401
+    import cs_pipeline_spark.sources.png  # noqa: F401
+    import cs_pipeline_spark.sources.wav  # noqa: F401
+    from cs_pipeline_spark.registry import _REGISTRY
+
+    o = {
+        k: _REGISTRY[k].oracle
+        for k in (
+            "mm_decode_wav",
+            "mm_audio_energy",
+            "mm_decode_jpeg_dc",
+            "mm_image_dhash",
+        )
+    }
+    return f"""
+    SELECT 'audio' AS modality, 'n_clips' AS metric,
+           CAST(COUNT(*) AS BIGINT) AS value
+    FROM ({o['mm_decode_wav']})
+    UNION ALL
+    SELECT 'audio', 'total_ms', CAST(SUM(duration_ms) AS BIGINT)
+    FROM ({o['mm_decode_wav']})
+    UNION ALL
+    SELECT 'audio', 'silent_frames', CAST(SUM(is_silence) AS BIGINT)
+    FROM ({o['mm_audio_energy']})
+    UNION ALL
+    SELECT 'audio', 'voiced_frames',
+           CAST(SUM(1 - is_silence) AS BIGINT)
+    FROM ({o['mm_audio_energy']})
+    UNION ALL
+    SELECT 'image', 'n_jpeg', CAST(COUNT(*) AS BIGINT)
+    FROM ({o['mm_decode_jpeg_dc']})
+    UNION ALL
+    SELECT 'image', 'blank_jpeg', CAST(SUM(is_blank) AS BIGINT)
+    FROM ({o['mm_decode_jpeg_dc']})
+    UNION ALL
+    SELECT 'image', 'near_dup_pairs', CAST(COUNT(*) AS BIGINT)
+    FROM ({o['mm_image_dhash']}) WHERE hamming <= {_DHASH_DUP_T}
+    UNION ALL
+    SELECT 'image', 'compared_pairs', CAST(COUNT(*) AS BIGINT)
+    FROM ({o['mm_image_dhash']})
+    """
+
+
+@register(
+    "mm_curate_e2e",
+    _mm_curate_oracle(),
+    doc="flagship #7: the multimodal curation report end to end — real "
+    "WAV decode (clip count, total duration), framed energy (silent vs "
+    "voiced frames), baseline-JPEG DC decode (blank-image screen), and "
+    "perceptual dHash near-dup pairs composed into one (modality, "
+    "metric, value) report; both sides reuse the four hash-checked "
+    "decoder definitions by reference",
+)
+def mm_curate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-page answer to 'what is in this multimodal shard and
+    what would curation cut?' — audio inventory and silence mass
+    (VAD-style), blank-image counts from the JPEG DC screen, and
+    dHash near-duplicate pairs at Hamming ≤ 10 of 56 bits.
+
+    Composition is by reference (the anomaly_suite_e2e contract):
+    the Spark side calls the four REGISTERED decode builders
+    (memoized), the oracle embeds their registered SQL as subqueries
+    — structurally incapable of disagreeing with the parts.
+
+    Scale: every part is per-file mapInPandas decode work (see their
+    docstrings); the flagship adds 1-row aggregates and a union.
+    """
+    from cs_pipeline_spark.sources.jpeg import mm_decode_jpeg_dc
+    from cs_pipeline_spark.sources.png import mm_image_dhash
+    from cs_pipeline_spark.sources.wav import mm_audio_energy, mm_decode_wav
+
+    wav = mm_decode_wav(spark, sf_dir)
+    energy = mm_audio_energy(spark, sf_dir)
+    jdc = mm_decode_jpeg_dc(spark, sf_dir)
+    dh = mm_image_dhash(spark, sf_dir)
+
+    def row(mod: str, metric: str, agg: DataFrame) -> DataFrame:
+        return agg.select(
+            F.lit(mod).alias("modality"),
+            F.lit(metric).alias("metric"),
+            F.col("value").cast("long").alias("value"),
+        )
+
+    parts = [
+        row("audio", "n_clips", wav.agg(F.count(F.lit(1)).alias("value"))),
+        row("audio", "total_ms", wav.agg(F.sum("duration_ms").alias("value"))),
+        row(
+            "audio",
+            "silent_frames",
+            energy.agg(F.sum("is_silence").alias("value")),
+        ),
+        row(
+            "audio",
+            "voiced_frames",
+            energy.agg(F.sum(1 - F.col("is_silence")).alias("value")),
+        ),
+        row("image", "n_jpeg", jdc.agg(F.count(F.lit(1)).alias("value"))),
+        row("image", "blank_jpeg", jdc.agg(F.sum("is_blank").alias("value"))),
+        row(
+            "image",
+            "near_dup_pairs",
+            dh.filter(F.col("hamming") <= _DHASH_DUP_T).agg(
+                F.count(F.lit(1)).alias("value")
+            ),
+        ),
+        row(
+            "image",
+            "compared_pairs",
+            dh.agg(F.count(F.lit(1)).alias("value")),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
