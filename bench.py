@@ -142,6 +142,7 @@ HEADLINE = [
     "text_wordpiece_train4",
     "text_rouge_n",
     "corpus_dsir_weights",
+    "mm_curate_e2e",
 ]
 
 
