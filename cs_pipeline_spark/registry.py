@@ -250,6 +250,7 @@ def _load_all_modules() -> None:
         jpeg,
         png,
         pydatasource,
+        gif,
         scans,
         sinks,
         tiff,

@@ -18,12 +18,14 @@ from cs_pipeline_spark.sources.jpeg import (
     encode_jpeg,
     encode_jpeg_dc,
 )
+from cs_pipeline_spark.sources.gif import decode_gif_meta, encode_gif as encode_gif_anim
 from cs_pipeline_spark.sources.wav import decode_wav, encode_wav
 
 _PARSERS = [
     (decode_jpeg_meta, encode_jpeg),
     (decode_jpeg_dc, encode_jpeg_dc),
     (decode_wav, encode_wav),
+    (decode_gif_meta, encode_gif_anim),
 ]
 
 
