@@ -27,7 +27,7 @@ needed).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cs_pipeline_spark.operators.dedup import (
@@ -2816,4 +2816,138 @@ def text_bleu_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p2").isNotNull(),
             dround(F.col("bp_q") * F.sqrt(F.col("p1") * F.col("p2"))),
         ),
+    )
+
+
+# ---------- WordPiece encoding (greedy longest-match inference) ----------
+
+_WP_ENC_STEPS = 8  # unroll bound == max encodable word length
+
+
+def _wp_encode_sql() -> str:
+    """Generated oracle: vocab = corpus alphabet ∪ the 4 trained
+    merges (the REGISTERED train oracle embedded as a subquery —
+    composition by reference), then _WP_ENC_STEPS unrolled greedy
+    longest-prefix strip steps, each MATERIALIZED."""
+    ctes = [
+        _BPE_WC_SQL,
+        f"wtr AS MATERIALIZED ({_wp_train_sql(_WP_TRAIN_N)})",
+        "wpv AS MATERIALIZED ("
+        "SELECT DISTINCT piece FROM ("
+        "SELECT unnest(string_split(trim("
+        "regexp_replace(w, '(.)', '\\1  ', 'g')), '  ')) AS piece FROM wc"
+        " UNION ALL "
+        "SELECT replace(merged, ' ', '') AS piece FROM wtr))",
+        f"e0 AS (SELECT w, wn, w AS rest, '' AS enc, 0 AS np FROM wc "
+        f"WHERE length(w) <= {_WP_ENC_STEPS})",
+    ]
+    for k in range(1, _WP_ENC_STEPS + 1):
+        src = f"e{k - 1}"
+        ctes.append(
+            f"e{k} AS MATERIALIZED ("
+            f"SELECT w, wn, rest, enc, np FROM {src} WHERE rest = '' "
+            "UNION ALL "
+            "SELECT w, wn, substr(rest, length(p) + 1) AS rest, "
+            "enc || (CASE WHEN np = 0 THEN '' ELSE '|' END) || p AS enc, "
+            "np + 1 AS np "
+            "FROM (SELECT w, wn, rest, enc, np, piece AS p, "
+            "ROW_NUMBER() OVER (PARTITION BY w "
+            "ORDER BY length(piece) DESC, piece) AS rn "
+            f"FROM {src} JOIN wpv ON starts_with(rest, piece) "
+            "WHERE rest <> '') t WHERE rn = 1)"
+        )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f" SELECT w AS word, CAST(wn AS BIGINT) AS wn, "
+        f"CAST(np AS BIGINT) AS n_pieces, enc AS encoded "
+        f"FROM e{_WP_ENC_STEPS} WHERE rest = ''"
+    )
+
+
+@register(
+    "text_wordpiece_encode",
+    _wp_encode_sql(),
+    doc="WordPiece inference: greedy longest-match-first (max-munch) "
+    "segmentation of every word type against the TRAINED vocab "
+    "(corpus alphabet + text_wordpiece_train4's merges, derived by "
+    "reference) — per word: piece count and the '|'-joined encoding; "
+    f"{_WP_ENC_STEPS} unrolled strip steps, lineage cut per step",
+)
+def text_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inference half of WordPiece (BERT's runtime tokenizer):
+    repeatedly strip the LONGEST vocab piece that prefixes the
+    remaining word — greedy max-munch, not the unigram DP
+    (``text_unigram_viterbi``) and not BPE merge-order replay
+    (``text_bpe_encode``); all three inference algorithms now exist
+    beside their trainers. The vocabulary is derived BY REFERENCE:
+    the corpus alphabet plus ``text_wordpiece_train4``'s merged
+    symbols (Spark calls the registered memoized builder; the oracle
+    embeds the registered train SQL as a subquery), so train and
+    encode cannot drift. Coverage is total: every character is in
+    the vocab, so each step consumes ≥ 1 char and the unroll bound
+    equals the max encodable word length (longer words are excluded
+    by the same filter on both sides).
+
+    The longest-prefix argmax needs no tiebreak (two same-length
+    prefixes of one string are equal, and the vocab is distinct) —
+    the ORDER BY carries one anyway for belt-and-braces determinism.
+
+    Scale: state is word TYPES × a broadcast vocab; each of the
+    8 steps is one broadcast prefix join + a per-word window, with
+    ``localCheckpoint`` keeping the plan linear in steps (the BPE
+    depth contract). Real vocabularies (30k pieces) replace the
+    prefix-predicate broadcast join with an equi-join on the
+    length-k prefix per candidate length — same loop shape.
+    """
+    wc = _word_counts(load(spark, "documents", sf_dir))
+    merges = text_wordpiece_train4(spark, sf_dir).select(
+        F.replace(F.col("merged"), F.lit(" "), F.lit("")).alias("piece")
+    )
+    chars = wc.select(
+        F.explode(
+            F.split(
+                F.trim(F.regexp_replace(F.col("w"), "(.)", "$1  ")), "  "
+            )
+        ).alias("piece")
+    )
+    vocab = pin(chars.unionByName(merges).distinct())
+    st = wc.filter(F.length("w") <= _WP_ENC_STEPS).select(
+        "w",
+        "wn",
+        F.col("w").alias("rest"),
+        F.lit("").alias("enc"),
+        F.lit(0).alias("np"),
+    )
+    w_win = Window.partitionBy("w").orderBy(
+        F.desc(F.length("piece")), "piece"
+    )
+    for _ in range(_WP_ENC_STEPS):
+        done = st.filter(F.col("rest") == "")
+        todo = (
+            st.filter(F.col("rest") != "")
+            .join(
+                F.broadcast(vocab),
+                F.expr("startswith(rest, piece)"),
+            )
+            .withColumn("rn", F.row_number().over(w_win))
+            .filter(F.col("rn") == 1)
+            .select(
+                "w",
+                "wn",
+                F.expr("substring(rest, length(piece) + 1)").alias("rest"),
+                F.concat(
+                    F.col("enc"),
+                    F.when(F.col("np") == 0, F.lit("")).otherwise(F.lit("|")),
+                    F.col("piece"),
+                ).alias("enc"),
+                (F.col("np") + 1).alias("np"),
+            )
+        )
+        st = done.unionByName(todo).localCheckpoint(eager=False)
+    return st.filter(F.col("rest") == "").select(
+        F.col("w").alias("word"),
+        F.col("wn").cast("long").alias("wn"),
+        F.col("np").cast("long").alias("n_pieces"),
+        F.col("enc").alias("encoded"),
     )

@@ -84,3 +84,56 @@ def test_wordpiece_matches_registered_oracle_on_testdata(spark, sf_dir):
         for s, m, n, q in con.execute(_wp_train_sql(4)).fetchall()
     }
     assert got == want and len(got) == 4
+
+
+# ---------- greedy max-munch encoding (round 8) ----------
+
+
+def test_encode_is_greedy_longest_match(spark, tmp_path):
+    """Corpus 'abc ab ab ab a a c c bc bc': train learns merges; the
+    greedy encoder must take the LONGEST prefix first — where the
+    unigram DP might prefer a 2-piece split, max-munch commits to the
+    longest head."""
+    from cs_pipeline_spark.operators.text import (
+        text_wordpiece_encode,
+        text_wordpiece_train4,
+    )
+
+    sf = _write_docs(tmp_path, ["ab ab ab bc bc abc ca ca ca ca"])
+    merges = {
+        r.step: r.merged
+        for r in text_wordpiece_train4.__wrapped__(spark, sf).collect()
+    }
+    rows = {
+        r.word: r for r in text_wordpiece_encode.__wrapped__(spark, sf).collect()
+    }
+    # every encoding reassembles to the word and respects max-munch
+    vocab = {m.replace(" ", "") for m in merges.values()}
+    vocab |= set("abc")
+    for w, r in rows.items():
+        pieces = r.encoded.split("|")
+        assert "".join(pieces) == w
+        assert all(p in vocab for p in pieces), (w, pieces)
+        assert r.n_pieces == len(pieces)
+        # greedy: the first piece is the LONGEST vocab prefix of w
+        best = max((p for p in vocab if w.startswith(p)), key=len)
+        assert pieces[0] == best, (w, pieces, best)
+
+
+def test_encode_covers_every_word_type(spark, sf_dir):
+    from cs_pipeline_spark.operators.text import (
+        _WP_ENC_STEPS,
+        _word_counts,
+        text_wordpiece_encode,
+    )
+    from cs_pipeline_spark.tables import load
+    from pyspark.sql import functions as F
+
+    want = (
+        _word_counts(load(spark, "documents", sf_dir))
+        .filter(F.length("w") <= _WP_ENC_STEPS)
+        .count()
+    )
+    rows = text_wordpiece_encode.__wrapped__(spark, sf_dir).collect()
+    assert len(rows) == want  # total coverage: no word fails to encode
+    assert all(r.n_pieces >= 1 for r in rows)
