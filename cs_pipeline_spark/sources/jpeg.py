@@ -703,3 +703,290 @@ def mm_decode_jpeg_dc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(_scratch(sf_dir, "real_jpegs_dc"))
     )
     return bf.select("path", "content").mapInPandas(batches, schema=schema)
+
+
+# ---------- EXIF GPS sub-IFD parse (location-PII detection) ----------
+#
+# Crawl pipelines scrub location PII before training: the GPS
+# coordinates live in a SUB-IFD reached through IFD0's GPSInfo pointer
+# tag (0x8825) — a second-level walk the orientation parse never
+# touches. The writer emits real TIFF structures (IFD0 with
+# orientation + GPS pointer, GPS IFD with ASCII refs and RATIONAL
+# degree/minute/second triplets); the parser follows the pointer,
+# reads the rationals, and reduces to signed integer microdegrees
+# (floor-divided per component — deterministic, no float geometry).
+# Half the fixtures carry no GPS IFD: the absent case must parse
+# clean with NULL coordinates, not error.
+
+_N_GPS_IMGS = 8
+
+
+def _gps_meta(i: int) -> dict:
+    has = i % 2 == 0
+    if not has:
+        return {"has_gps": 0, "lat_udeg": None, "lon_udeg": None,
+                "orientation": 1 + (i * 5) % 8}
+    latd, latm, lats_n = (7 * i) % 90, (13 * i) % 60, (29 * i) % 6000
+    lond, lonm, lons_n = (11 * i) % 180, (17 * i) % 60, (41 * i) % 6000
+    lat = latd * 1_000_000 + latm * 1_000_000 // 60 + lats_n * 1_000_000 // 6000
+    lon = lond * 1_000_000 + lonm * 1_000_000 // 60 + lons_n * 1_000_000 // 6000
+    if i % 4 == 0:
+        lat = -lat  # 'S'
+    if i % 3 == 0:
+        lon = -lon  # 'W'
+    return {"has_gps": 1, "lat_udeg": lat, "lon_udeg": lon,
+            "orientation": 1 + (i * 5) % 8}
+
+
+def _exif_gps_app1(i: int) -> bytes:
+    """APP1 body: TIFF header + IFD0 (orientation, GPSInfo pointer) +
+    GPS IFD (refs + two RATIONAL[3] value blocks). Big-endian."""
+    m = _gps_meta(i)
+    e = ">"
+    tiff = b"MM" + struct.pack(f"{e}HI", 42, 8)
+    if not m["has_gps"]:
+        ifd0 = struct.pack(f"{e}H", 1)
+        ifd0 += struct.pack(f"{e}HHI", 0x0112, 3, 1) + struct.pack(
+            f"{e}H", m["orientation"]
+        ) + b"\x00\x00"
+        ifd0 += struct.pack(f"{e}I", 0)
+        return b"Exif\x00\x00" + tiff + ifd0
+    # IFD0: 2 entries (orientation, GPS pointer), then GPS IFD
+    ifd0_at = 8
+    gps_at = ifd0_at + 2 + 2 * 12 + 4
+    ifd0 = struct.pack(f"{e}H", 2)
+    ifd0 += struct.pack(f"{e}HHI", 0x0112, 3, 1) + struct.pack(
+        f"{e}H", m["orientation"]
+    ) + b"\x00\x00"
+    ifd0 += struct.pack(f"{e}HHI", 0x8825, 4, 1) + struct.pack(f"{e}I", gps_at)
+    ifd0 += struct.pack(f"{e}I", 0)
+    # GPS IFD: 4 entries + next ptr, then two 24-byte rational blocks
+    lat_vals_at = gps_at + 2 + 4 * 12 + 4
+    lon_vals_at = lat_vals_at + 24
+    latd, latm, lats_n = (7 * i) % 90, (13 * i) % 60, (29 * i) % 6000
+    lond, lonm, lons_n = (11 * i) % 180, (17 * i) % 60, (41 * i) % 6000
+    lat_ref = b"S\x00\x00\x00" if i % 4 == 0 else b"N\x00\x00\x00"
+    lon_ref = b"W\x00\x00\x00" if i % 3 == 0 else b"E\x00\x00\x00"
+    gps = struct.pack(f"{e}H", 4)
+    gps += struct.pack(f"{e}HHI", 0x0001, 2, 2) + lat_ref
+    gps += struct.pack(f"{e}HHI", 0x0002, 5, 3) + struct.pack(f"{e}I", lat_vals_at)
+    gps += struct.pack(f"{e}HHI", 0x0003, 2, 2) + lon_ref
+    gps += struct.pack(f"{e}HHI", 0x0004, 5, 3) + struct.pack(f"{e}I", lon_vals_at)
+    gps += struct.pack(f"{e}I", 0)
+    vals = struct.pack(f"{e}IIIIII", latd, 1, latm, 1, lats_n, 100)
+    vals += struct.pack(f"{e}IIIIII", lond, 1, lonm, 1, lons_n, 100)
+    return b"Exif\x00\x00" + tiff + ifd0 + gps + vals
+
+
+def encode_jpeg_gps(i: int) -> bytes:
+    """Minimal real JPEG carrying the GPS-EXIF APP1: SOI + APP1 +
+    tiny baseline body + EOI."""
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE1, _exif_gps_app1(i))
+    out += _seg(0xDB, bytes([0]) + bytes([8] * 64))
+    out += _seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    out += _seg(0xC4, bytes([0x00, 1] + [0] * 15 + [0]))
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += bytes([(k * 7 + i) % 255 for k in range(20)])  # no 0xFF bytes
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _ifd_entries(tiff: bytes, e: str, at: int) -> dict[int, tuple]:
+    """tag → (type, count, value_bytes) with bounds checks."""
+    if at + 2 > len(tiff):
+        raise ValueError("truncated JPEG: IFD offset out of range")
+    n = struct.unpack(f"{e}H", tiff[at : at + 2])[0]
+    if at + 2 + 12 * n + 4 > len(tiff):
+        raise ValueError("truncated JPEG: IFD entries out of range")
+    out = {}
+    for k in range(n):
+        off = at + 2 + 12 * k
+        tag, typ, cnt = struct.unpack(f"{e}HHI", tiff[off : off + 8])
+        out[tag] = (typ, cnt, tiff[off + 8 : off + 12])
+    return out
+
+
+def _rational3(tiff: bytes, e: str, at: int) -> tuple:
+    if at + 24 > len(tiff):
+        raise ValueError("truncated JPEG: GPS rationals out of range")
+    v = struct.unpack(f"{e}IIIIII", tiff[at : at + 24])
+    if v[1] == 0 or v[3] == 0 or v[5] == 0:
+        raise ValueError("malformed JPEG: zero GPS rational denominator")
+    return v
+
+
+def decode_jpeg_gps(payload: bytes) -> dict:
+    """Locate the EXIF APP1, walk IFD0 for orientation + the GPSInfo
+    pointer, follow it to the GPS sub-IFD, and reduce the RATIONAL
+    D/M/S triplets to signed integer microdegrees:
+    udeg = ±(D·1e6 + (M·1e6)//60 + (S_num·1e6)//(60·S_den)) — floor
+    per component, no floats. Files without a GPS IFD return
+    has_gps = 0 with NULL coordinates. ValueError on malformation."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: missing SOI")
+    pos = 2
+    while pos + 1 < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"marker misalignment at {pos}")
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 1 >= len(payload):
+            raise ValueError("truncated JPEG: fill bytes run off the end")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9 or marker == 0xDA:
+            break  # no EXIF before the scan → no GPS
+        if pos + 2 > len(payload):
+            raise ValueError("truncated JPEG: missing segment length")
+        seglen = struct.unpack(">H", payload[pos : pos + 2])[0]
+        if seglen < 2 or pos + seglen > len(payload):
+            raise ValueError("truncated JPEG: segment overruns payload")
+        seg = payload[pos + 2 : pos + seglen]
+        pos += seglen
+        if marker != 0xE1 or seg[:6] != b"Exif\x00\x00":
+            continue
+        tiff = seg[6:]
+        if len(tiff) < 8:
+            raise ValueError("truncated JPEG: short EXIF TIFF header")
+        if tiff[:2] == b"II":
+            e = "<"
+        elif tiff[:2] == b"MM":
+            e = ">"
+        else:
+            raise ValueError("bad TIFF byte-order mark in EXIF")
+        ifd0_at = struct.unpack(f"{e}I", tiff[4:8])[0]
+        ifd0 = _ifd_entries(tiff, e, ifd0_at)
+        orientation = 0
+        if 0x0112 in ifd0 and ifd0[0x0112][0] == 3:
+            orientation = struct.unpack(f"{e}H", ifd0[0x0112][2][:2])[0]
+        if 0x8825 not in ifd0:
+            return {"has_gps": 0, "lat_udeg": None, "lon_udeg": None,
+                    "orientation": orientation}
+        gps_at = struct.unpack(f"{e}I", ifd0[0x8825][2])[0]
+        gps = _ifd_entries(tiff, e, gps_at)
+        for tag in (0x0001, 0x0002, 0x0003, 0x0004):
+            if tag not in gps:
+                raise ValueError("malformed JPEG: incomplete GPS IFD")
+
+        def udeg(val_tag: int, ref_tag: int, neg_refs: bytes) -> int:
+            at = struct.unpack(f"{e}I", gps[val_tag][2])[0]
+            dn, dd, mn, md, sn, sd = _rational3(tiff, e, at)
+            u = (
+                (dn // dd) * 1_000_000
+                + (mn * 1_000_000) // (md * 60)
+                + (sn * 1_000_000) // (sd * 60)
+            )
+            ref = gps[ref_tag][2][:1]
+            return -u if ref in (neg_refs,) else u
+
+        return {
+            "has_gps": 1,
+            "lat_udeg": udeg(0x0002, 0x0001, b"S"),
+            "lon_udeg": udeg(0x0004, 0x0003, b"W"),
+            "orientation": orientation,
+        }
+    return {"has_gps": 0, "lat_udeg": None, "lon_udeg": None,
+            "orientation": 0}
+
+
+def write_jpeg_gps_fixtures(out_dir: str) -> list[str]:
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for i in range(_N_GPS_IMGS):
+        p = f"{out_dir}/gps-{i:03d}.jpg"
+        if not os.path.exists(p):
+            tmp = p + ".tmp"
+            with open(tmp, "wb") as fh:
+                fh.write(encode_jpeg_gps(i))
+            os.replace(tmp, p)
+        paths.append(p)
+    return paths
+
+
+@_fixture
+def _fx_jpeg_gps_imgs(spark: SparkSession, sf_dir: str) -> None:
+    write_jpeg_gps_fixtures(_scratch(sf_dir, "real_jpegs_gps"))
+
+
+_GPS_COLS = "has_gps lat_udeg lon_udeg orientation".split()
+
+_JPEG_GPS_ORACLE = f"""
+    WITH imgs AS (SELECT unnest(range(0, {_N_GPS_IMGS})) AS i),
+    m AS (
+      SELECT i, i % 2 = 0 AS has,
+             (7 * i) % 90 AS latd, (13 * i) % 60 AS latm,
+             (29 * i) % 6000 AS lats,
+             (11 * i) % 180 AS lond, (17 * i) % 60 AS lonm,
+             (41 * i) % 6000 AS lons
+      FROM imgs),
+    u AS (
+      SELECT i, has,
+             latd * 1000000 + latm * 1000000 // 60
+               + lats * 1000000 // 6000 AS lat_abs,
+             lond * 1000000 + lonm * 1000000 // 60
+               + lons * 1000000 // 6000 AS lon_abs
+      FROM m)
+    SELECT printf('gps-%03d.jpg', CAST(i AS INT)) AS fname,
+           CAST(CASE WHEN has THEN 1 ELSE 0 END AS BIGINT) AS has_gps,
+           CASE WHEN has THEN CAST(
+             CASE WHEN i % 4 = 0 THEN -lat_abs ELSE lat_abs END AS BIGINT)
+           END AS lat_udeg,
+           CASE WHEN has THEN CAST(
+             CASE WHEN i % 3 = 0 THEN -lon_abs ELSE lon_abs END AS BIGINT)
+           END AS lon_udeg,
+           CAST(1 + (i * 5) % 8 AS BIGINT) AS orientation
+    FROM u
+"""
+
+
+@register(
+    "mm_exif_gps",
+    _JPEG_GPS_ORACLE,
+    doc="EXIF GPS sub-IFD parse (location-PII detection): follow "
+    "IFD0's GPSInfo pointer (0x8825) into the GPS IFD, read the "
+    "RATIONAL D/M/S triplets and N/S/E/W refs, reduce to signed "
+    "integer microdegrees (floor per component — no float geometry); "
+    "GPS-less files parse clean with NULL coordinates — the binary-"
+    "side twin of text_pii_scrub, hash-checked against the fixture "
+    "formula",
+)
+def mm_exif_gps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scrub-before-training location check for crawl images: a
+    second-level TIFF walk (IFD0 → GPSInfo pointer → GPS sub-IFD)
+    that the orientation parse never exercises, RATIONAL values
+    resolved through their offset indirection with full bounds
+    checks, and coordinates reduced to integer microdegrees so the
+    cross-engine hash never sees float division. Half the fixtures
+    carry no GPS IFD — absence is a clean (0, NULL, NULL) row, not
+    an error; zero-denominator rationals and incomplete GPS IFDs
+    raise ValueError (the crawl-path contract).
+
+    Scale: see module docstring of the JPEG section — header-only
+    per-file mapInPandas; a PII gate joins `has_gps = 1` back to the
+    shard manifest as a broadcast semi-join.
+    """
+    schema = (
+        "fname string, has_gps long, lat_udeg long, lon_udeg long, "
+        "orientation long"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                m = decode_jpeg_gps(bytes(content))
+                m["fname"] = path.rsplit("/", 1)[-1]
+                rows.append(m)
+            yield pd.DataFrame(
+                rows, columns=["fname", *_GPS_COLS]
+            ) if rows else pd.DataFrame({k: [] for k in ["fname", *_GPS_COLS]})
+
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.jpg")
+        .load(_scratch(sf_dir, "real_jpegs_gps"))
+    )
+    return bf.select("path", "content").mapInPandas(batches, schema=schema)

@@ -201,3 +201,63 @@ def test_dc_registered_op(spark, sf_dir):
     rows = {r["fname"]: r for r in mm_decode_jpeg_dc(spark, sf_dir).collect()}
     assert len(rows) == _N_DC_IMGS
     assert rows["dc-004.jpg"]["is_blank"] == 1
+
+
+# ---------- EXIF GPS sub-IFD (round 8) ----------
+
+from cs_pipeline_spark.sources.jpeg import (  # noqa: E402
+    _N_GPS_IMGS,
+    _gps_meta,
+    decode_jpeg_gps,
+    encode_jpeg_gps,
+    mm_exif_gps,
+)
+
+
+@pytest.mark.parametrize("i", range(_N_GPS_IMGS))
+def test_gps_roundtrip(i):
+    assert decode_jpeg_gps(encode_jpeg_gps(i)) == _gps_meta(i)
+
+
+def test_gps_absent_is_clean_not_error():
+    got = decode_jpeg_gps(encode_jpeg_gps(1))  # odd i → no GPS IFD
+    assert got["has_gps"] == 0
+    assert got["lat_udeg"] is None and got["lon_udeg"] is None
+    assert got["orientation"] == _gps_meta(1)["orientation"]
+
+
+def test_gps_sign_refs():
+    g0 = decode_jpeg_gps(encode_jpeg_gps(0))  # i%4==0 → S, i%3==0 → W
+    assert g0["lat_udeg"] <= 0 and g0["lon_udeg"] <= 0
+    g2 = decode_jpeg_gps(encode_jpeg_gps(2))  # N, E
+    assert g2["lat_udeg"] >= 0 and g2["lon_udeg"] >= 0
+
+
+def test_gps_zero_denominator_rejected():
+    payload = bytearray(encode_jpeg_gps(2))
+    # lat rationals: last 48 bytes before EOI-side body are the two
+    # 24-byte value blocks; find them via the APP1 structure
+    app1 = bytes(payload).index(b"\xff\xe1")
+    seglen = struct.unpack(">H", payload[app1 + 2 : app1 + 4])[0]
+    vals_at = app1 + 4 + seglen - 2 - 48  # start of lat block
+    struct.pack_into(">I", payload, vals_at + 4, 0)  # deg denominator 0
+    with pytest.raises(ValueError, match="denominator"):
+        decode_jpeg_gps(bytes(payload))
+
+
+def test_gps_truncated_subifd_rejected():
+    payload = encode_jpeg_gps(4)
+    app1 = payload.index(b"\xff\xe1")
+    gps_ifd_somewhere = app1 + 60
+    with pytest.raises(ValueError, match="truncated|overruns"):
+        decode_jpeg_gps(payload[:gps_ifd_somewhere])
+
+
+def test_gps_registered_op(spark, sf_dir):
+    rows = {r.fname: r for r in mm_exif_gps(spark, sf_dir).collect()}
+    assert len(rows) == _N_GPS_IMGS
+    for i in range(_N_GPS_IMGS):
+        m = _gps_meta(i)
+        r = rows[f"gps-{i:03d}.jpg"]
+        assert r.has_gps == m["has_gps"]
+        assert r.lat_udeg == m["lat_udeg"] and r.lon_udeg == m["lon_udeg"]

@@ -14,9 +14,11 @@ from hypothesis import strategies as st
 
 from cs_pipeline_spark.sources.jpeg import (
     decode_jpeg_dc,
+    decode_jpeg_gps,
     decode_jpeg_meta,
     encode_jpeg,
     encode_jpeg_dc,
+    encode_jpeg_gps,
 )
 from cs_pipeline_spark.sources.gif import decode_gif_meta, encode_gif as encode_gif_anim
 from cs_pipeline_spark.sources.wav import decode_wav, encode_wav
@@ -24,6 +26,7 @@ from cs_pipeline_spark.sources.wav import decode_wav, encode_wav
 _PARSERS = [
     (decode_jpeg_meta, encode_jpeg),
     (decode_jpeg_dc, encode_jpeg_dc),
+    (decode_jpeg_gps, encode_jpeg_gps),
     (decode_wav, encode_wav),
     (decode_gif_meta, encode_gif_anim),
 ]
