@@ -255,6 +255,7 @@ def _load_all_modules() -> None:
         sinks,
         tiff,
         wav,
+        webp,
     )
     from cs_pipeline_spark.streaming import batch_twins  # noqa: F401
 

@@ -22,6 +22,7 @@ from cs_pipeline_spark.sources.jpeg import (
 )
 from cs_pipeline_spark.sources.gif import decode_gif_meta, encode_gif as encode_gif_anim
 from cs_pipeline_spark.sources.wav import decode_wav, encode_wav
+from cs_pipeline_spark.sources.webp import decode_webp_meta, encode_webp
 
 _PARSERS = [
     (decode_jpeg_meta, encode_jpeg),
@@ -29,6 +30,7 @@ _PARSERS = [
     (decode_jpeg_gps, encode_jpeg_gps),
     (decode_wav, encode_wav),
     (decode_gif_meta, encode_gif_anim),
+    (decode_webp_meta, encode_webp),
 ]
 
 
