@@ -955,9 +955,11 @@ def _mm_curate_oracle() -> str:
     flagship cannot drift from its parts."""
     # force the providers to register (module import order is not
     # registration order — the round-7 convention)
+    import cs_pipeline_spark.sources.gif  # noqa: F401
     import cs_pipeline_spark.sources.jpeg  # noqa: F401
     import cs_pipeline_spark.sources.png  # noqa: F401
     import cs_pipeline_spark.sources.wav  # noqa: F401
+    import cs_pipeline_spark.sources.webp  # noqa: F401
     from cs_pipeline_spark.registry import _REGISTRY
 
     o = {
@@ -967,6 +969,9 @@ def _mm_curate_oracle() -> str:
             "mm_audio_energy",
             "mm_decode_jpeg_dc",
             "mm_image_dhash",
+            "mm_decode_gif_meta",
+            "mm_decode_webp_meta",
+            "mm_exif_gps",
         )
     }
     return f"""
@@ -995,6 +1000,18 @@ def _mm_curate_oracle() -> str:
     UNION ALL
     SELECT 'image', 'compared_pairs', CAST(COUNT(*) AS BIGINT)
     FROM ({o['mm_image_dhash']})
+    UNION ALL
+    SELECT 'image', 'gif_frames', CAST(SUM(n_frames) AS BIGINT)
+    FROM ({o['mm_decode_gif_meta']})
+    UNION ALL
+    SELECT 'image', 'gif_anim_ms', CAST(SUM(total_delay_cs) * 10 AS BIGINT)
+    FROM ({o['mm_decode_gif_meta']})
+    UNION ALL
+    SELECT 'image', 'webp_alpha', CAST(SUM(has_alpha) AS BIGINT)
+    FROM ({o['mm_decode_webp_meta']})
+    UNION ALL
+    SELECT 'privacy', 'gps_tagged', CAST(SUM(has_gps) AS BIGINT)
+    FROM ({o['mm_exif_gps']})
     """
 
 
@@ -1003,10 +1020,11 @@ def _mm_curate_oracle() -> str:
     _mm_curate_oracle(),
     doc="flagship #7: the multimodal curation report end to end — real "
     "WAV decode (clip count, total duration), framed energy (silent vs "
-    "voiced frames), baseline-JPEG DC decode (blank-image screen), and "
-    "perceptual dHash near-dup pairs composed into one (modality, "
-    "metric, value) report; both sides reuse the four hash-checked "
-    "decoder definitions by reference",
+    "voiced frames), baseline-JPEG DC decode (blank-image screen), "
+    "perceptual dHash near-dup pairs, GIF frame/animation census, WebP "
+    "alpha census, and the EXIF GPS location-PII count composed into "
+    "one (modality, metric, value) report; both sides reuse the seven "
+    "hash-checked decoder definitions by reference",
 )
 def mm_curate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The one-page answer to 'what is in this multimodal shard and
@@ -1022,14 +1040,19 @@ def mm_curate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: every part is per-file mapInPandas decode work (see their
     docstrings); the flagship adds 1-row aggregates and a union.
     """
-    from cs_pipeline_spark.sources.jpeg import mm_decode_jpeg_dc
+    from cs_pipeline_spark.sources.gif import mm_decode_gif_meta
+    from cs_pipeline_spark.sources.jpeg import mm_decode_jpeg_dc, mm_exif_gps
     from cs_pipeline_spark.sources.png import mm_image_dhash
     from cs_pipeline_spark.sources.wav import mm_audio_energy, mm_decode_wav
+    from cs_pipeline_spark.sources.webp import mm_decode_webp_meta
 
     wav = mm_decode_wav(spark, sf_dir)
     energy = mm_audio_energy(spark, sf_dir)
     jdc = mm_decode_jpeg_dc(spark, sf_dir)
     dh = mm_image_dhash(spark, sf_dir)
+    gif = mm_decode_gif_meta(spark, sf_dir)
+    webp = mm_decode_webp_meta(spark, sf_dir)
+    gps = mm_exif_gps(spark, sf_dir)
 
     def row(mod: str, metric: str, agg: DataFrame) -> DataFrame:
         return agg.select(
@@ -1064,6 +1087,26 @@ def mm_curate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             "image",
             "compared_pairs",
             dh.agg(F.count(F.lit(1)).alias("value")),
+        ),
+        row(
+            "image",
+            "gif_frames",
+            gif.agg(F.sum("n_frames").alias("value")),
+        ),
+        row(
+            "image",
+            "gif_anim_ms",
+            gif.agg((F.sum("total_delay_cs") * 10).alias("value")),
+        ),
+        row(
+            "image",
+            "webp_alpha",
+            webp.agg(F.sum("has_alpha").alias("value")),
+        ),
+        row(
+            "privacy",
+            "gps_tagged",
+            gps.agg(F.sum("has_gps").alias("value")),
         ),
     ]
     out = parts[0]
