@@ -143,6 +143,12 @@ HEADLINE = [
     "text_rouge_n",
     "corpus_dsir_weights",
     "mm_curate_e2e",
+    # round-8 late wave: GIF/WebP container decodes, EXIF GPS PII,
+    # WordPiece max-munch encode (8-step loop canary)
+    "mm_decode_gif_meta",
+    "mm_decode_webp_meta",
+    "mm_exif_gps",
+    "text_wordpiece_encode",
 ]
 
 

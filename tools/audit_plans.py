@@ -454,6 +454,17 @@ AUDIT: dict[str, dict] = {
     "dedup_substring_repeats": {"smj": 0},  # digest agg + per-doc merge
     # the centroid cross join is a BOUNDED broadcast NLJ (K=8 rows)
     "sim_ivf_incremental": {"smj": 0, "nlj": 1},
+    "mm_image_dhash": {"smj": 0},         # 64 samples/image, banded at scale
+    "text_rouge_n": {"smj": 0},           # gram-keyed joins (AQE broadcasts at sf0.1)
+    "text_bleu_eval": {"smj": 0},
+    "corpus_dsir_weights": {"smj": 0},    # 256-row broadcast model
+    "text_wordpiece_train4": {"smj": 0},  # model-side broadcast score join
+    "text_wordpiece_encode": {"smj": 0},  # broadcast prefix join per step
+    "mm_decode_gif_meta": {"smj": 0, "exchange": 0},
+    "mm_decode_webp_meta": {"smj": 0, "exchange": 0},
+    "mm_exif_gps": {"smj": 0, "exchange": 0},
+    "mm_audio_energy": {"smj": 0, "exchange": 0},
+    "mm_curate_e2e": {"smj": 0},          # 1-row aggregates + union
 }
 
 
