@@ -454,17 +454,20 @@ AUDIT: dict[str, dict] = {
     "dedup_substring_repeats": {"smj": 0},  # digest agg + per-doc merge
     # the centroid cross join is a BOUNDED broadcast NLJ (K=8 rows)
     "sim_ivf_incremental": {"smj": 0, "nlj": 1},
-    "mm_image_dhash": {"smj": 0},         # 64 samples/image, banded at scale
+    # sample/luma joins SMJ over the per-pixel frame (no stats post
+    # mapInPandas) — bounded by 64 samples/image; banded at scale
+    "mm_image_dhash": {"smj": 3},
     "text_rouge_n": {"smj": 0},           # gram-keyed joins (AQE broadcasts at sf0.1)
     "text_bleu_eval": {"smj": 0},
-    "corpus_dsir_weights": {"smj": 0},    # 256-row broadcast model
+    # 1 NLJ = crossJoin(broadcast(1-row totals)); model is 256 rows
+    "corpus_dsir_weights": {"smj": 0, "nlj": 1},
     "text_wordpiece_train4": {"smj": 0},  # model-side broadcast score join
     "text_wordpiece_encode": {"smj": 0},  # broadcast prefix join per step
     "mm_decode_gif_meta": {"smj": 0, "exchange": 0},
     "mm_decode_webp_meta": {"smj": 0, "exchange": 0},
     "mm_exif_gps": {"smj": 0, "exchange": 0},
     "mm_audio_energy": {"smj": 0, "exchange": 0},
-    "mm_curate_e2e": {"smj": 0},          # 1-row aggregates + union
+    "mm_curate_e2e": {"smj": 6},          # dhash branch x2 (3 SMJ each)
 }
 
 
@@ -594,6 +597,10 @@ def main() -> None:
         "(graph_pagerank's audited shape). "
         "`ml_kfold_nb_cv` (1) — per-(doc, fold) argmax joined back to "
         "5 fold models (folds × Zipf-bounded vocab). "
+        "`mm_image_dhash` (3, ×2 inside `mm_curate_e2e`) — the "
+        "sample/luma joins over the per-pixel decode frame, bounded "
+        "by 64 grid samples per image (banded bucket keys at corpus "
+        "scale, per the docstring). "
         "These caps are now PINNED in the AUDIT table, so a future "
         "plan change that adds an unbounded sort-merge join fails the "
         "audit instead of passing silently. `emb_dbscan_cosine` also "
