@@ -247,10 +247,12 @@ def _load_all_modules() -> None:
     )
     from cs_pipeline_spark.plans import request_groups, validate  # noqa: F401
     from cs_pipeline_spark.sources import (  # noqa: F401
+        flac,
         jpeg,
         png,
         pydatasource,
         gif,
+        mp4,
         scans,
         sinks,
         tiff,

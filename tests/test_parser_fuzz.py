@@ -20,7 +20,9 @@ from cs_pipeline_spark.sources.jpeg import (
     encode_jpeg_dc,
     encode_jpeg_gps,
 )
+from cs_pipeline_spark.sources.flac import decode_flac_meta, encode_flac
 from cs_pipeline_spark.sources.gif import decode_gif_meta, encode_gif as encode_gif_anim
+from cs_pipeline_spark.sources.mp4 import decode_mp4_meta, encode_mp4
 from cs_pipeline_spark.sources.wav import decode_wav, encode_wav
 from cs_pipeline_spark.sources.webp import decode_webp_meta, encode_webp
 
@@ -31,6 +33,8 @@ _PARSERS = [
     (decode_wav, encode_wav),
     (decode_gif_meta, encode_gif_anim),
     (decode_webp_meta, encode_webp),
+    (decode_mp4_meta, encode_mp4),
+    (decode_flac_meta, encode_flac),
 ]
 
 
