@@ -537,3 +537,213 @@ def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(_scratch(sf_dir, "real_wavs_energy"))
     )
     return bf.select("path", "content").mapInPandas(batches, schema=schema)
+
+
+# ---------- silence-run census / trim points over decoded PCM ----------
+#
+# The stage after framing: merge consecutive silent 50 ms windows into
+# RUNS (the interval gap-merge / islands pattern, CLAUDE.md round-8
+# conventions) and report trim points — leading/trailing silence and
+# the kept speech span. Fixtures plant structured runs (leading run of
+# i%4 windows, trailing run of (2i)%5, interior triples on an affine
+# residue), so run lengths, counts, and trims all discriminate.
+
+_N_SWAVS = 8
+
+
+def _swav_meta(i: int) -> dict:
+    rate = (8000, 16000)[i % 2]
+    win = rate * _FRAME_MS // 1000
+    n_windows = 40 + 6 * i
+    return {
+        "sample_rate": rate,
+        "channels": 1 + (i % 2),
+        "win": win,
+        "n_windows": n_windows,
+        "n_frames": n_windows * win,
+        "lead": i % 4,
+        "trail": (2 * i) % 5,
+        "mod": 4 + i % 3,
+    }
+
+
+def _swav_silent(i: int, f: np.ndarray, m: dict) -> np.ndarray:
+    return (
+        (f < m["lead"])
+        | (f >= m["n_windows"] - m["trail"])
+        | (((f // 3) * 5 + i) % m["mod"] == 0)
+    )
+
+
+def encode_wav_silence(i: int) -> bytes:
+    m = _swav_meta(i)
+    ch, rate = m["channels"], m["sample_rate"]
+    idx = np.arange(m["n_frames"] * ch, dtype=np.int64)
+    t, c = idx // ch, idx % ch
+    f = t // m["win"]
+    v = (t * 13 + c * 7 + i * 5) % 201 - 100
+    v = np.where(_swav_silent(i, f, m), 0, v)
+    block = ch * 2
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * block, block, 16)
+    riff = b"WAVE" + _chunk(b"fmt ", fmt) + _chunk(
+        b"data", v.astype("<i2").tobytes()
+    )
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def write_wav_silence_fixtures(out_dir: str) -> list[str]:
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for i in range(_N_SWAVS):
+        p = f"{out_dir}/sclip-{i:03d}.wav"
+        if not os.path.exists(p):
+            tmp = p + ".tmp"
+            with open(tmp, "wb") as fh:
+                fh.write(encode_wav_silence(i))
+            os.replace(tmp, p)
+        paths.append(p)
+    return paths
+
+
+@_fixture
+def _fx_wav_silence(spark: SparkSession, sf_dir: str) -> None:
+    write_wav_silence_fixtures(_scratch(sf_dir, "real_wavs_silence"))
+
+
+_S_COLS = (
+    "n_windows silent_windows n_runs longest_run leading_silence "
+    "trailing_silence kept_windows"
+).split()
+
+_WAV_SILENCE_ORACLE = f"""
+    WITH meta AS (
+      SELECT i, 4 + i % 3 AS m, i % 4 AS lead, (2 * i) % 5 AS trail,
+             40 + 6 * i AS nw
+      FROM (SELECT unnest(range(0, {_N_SWAVS})) AS i)
+    ),
+    w AS (SELECT i, m, lead, trail, nw,
+                 unnest(range(0, nw)) AS f
+          FROM meta),
+    flag AS (SELECT i, nw, f,
+                    (f < lead OR f >= nw - trail
+                     OR ((f // 3) * 5 + i) % m = 0) AS silent
+             FROM w),
+    sil AS (SELECT i, nw, f,
+                   f - ROW_NUMBER() OVER (PARTITION BY i ORDER BY f)
+                     AS grp
+            FROM flag WHERE silent),
+    runs AS (SELECT i, grp, COUNT(*) AS len, MIN(f) AS f0, MAX(f) AS f1,
+                    MAX(nw) AS nw
+             FROM sil GROUP BY i, grp),
+    tot AS (SELECT i, MAX(nw) AS n_windows,
+                   SUM(CASE WHEN silent THEN 1 ELSE 0 END)
+                     AS silent_windows
+            FROM flag GROUP BY i)
+    SELECT printf('sclip-%03d.wav', CAST(t.i AS INT)) AS fname,
+           CAST(t.n_windows AS BIGINT) AS n_windows,
+           CAST(t.silent_windows AS BIGINT) AS silent_windows,
+           CAST(COUNT(r.grp) AS BIGINT) AS n_runs,
+           CAST(COALESCE(MAX(r.len), 0) AS BIGINT) AS longest_run,
+           CAST(COALESCE(MAX(CASE WHEN r.f0 = 0 THEN r.len ELSE 0 END),
+                         0) AS BIGINT) AS leading_silence,
+           CAST(COALESCE(MAX(CASE WHEN r.f1 = t.n_windows - 1
+                                  THEN r.len ELSE 0 END), 0) AS BIGINT)
+             AS trailing_silence,
+           CAST(t.n_windows
+                - COALESCE(MAX(CASE WHEN r.f0 = 0 THEN r.len ELSE 0 END),
+                           0)
+                - COALESCE(MAX(CASE WHEN r.f1 = t.n_windows - 1
+                                    THEN r.len ELSE 0 END), 0)
+                AS BIGINT) AS kept_windows
+    FROM tot t LEFT JOIN runs r ON r.i = t.i
+    GROUP BY t.i, t.n_windows, t.silent_windows
+"""
+
+
+@register(
+    "mm_audio_silence_trim",
+    _WAV_SILENCE_ORACLE,
+    doc="silence-RUN census + trim points over REAL decoded PCM: the "
+    "islands (interval gap-merge) pattern over mm_audio_energy-style "
+    "50 ms silence flags — run count, longest run, leading/trailing "
+    "silence, kept speech span — hash-checked against planted "
+    "leading/trailing/interior runs in the fixture formula",
+)
+def mm_audio_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence trimming, the step every speech-corpus pipeline runs
+    between decode and chunking: decode_wav_frames supplies per-window
+    silence flags from real bytes; consecutive silent windows merge
+    into runs via the islands pattern (frame_idx − row_number as the
+    run key — CLAUDE.md round-8 conventions, the
+    dedup_substring_repeats machinery reused, not reinvented); each
+    file reports its run census and the lead/trail trim a VAD stage
+    would cut. Planted structure: i%4 leading windows, (2i)%5
+    trailing, interior silent triples on an affine residue — so runs
+    of length 1–6 and zero-lead files both occur.
+
+    Scale: per-file mapInPandas decode; the window is partitioned by
+    fname (bounded ≤82 rows per file at any corpus size — run length
+    is per-FILE state, never global); the final aggregate is one row
+    per file. At 100 TB this is the same per-file map + bounded
+    window shape, no global ordering anywhere.
+    """
+    from pyspark.sql import Window
+
+    schema = "fname string, frame_idx long, is_silence long"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            frames = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                fname = path.rsplit("/", 1)[-1]
+                for r in decode_wav_frames(bytes(content)):
+                    frames.append(
+                        {
+                            "fname": fname,
+                            "frame_idx": r["frame_idx"],
+                            "is_silence": r["is_silence"],
+                        }
+                    )
+            cols = ["fname", "frame_idx", "is_silence"]
+            yield pd.DataFrame(frames, columns=cols) if frames else \
+                pd.DataFrame({k: [] for k in cols})
+
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wav")
+        .load(_scratch(sf_dir, "real_wavs_silence"))
+    )
+    flags = bf.select("path", "content").mapInPandas(batches, schema=schema)
+    tot = flags.groupBy("fname").agg(
+        F.count("*").alias("n_windows"),
+        F.sum("is_silence").alias("silent_windows"),
+    )
+    w = Window.partitionBy("fname").orderBy("frame_idx")
+    sil = (
+        flags.filter(F.col("is_silence") == 1)
+        .withColumn("grp", F.col("frame_idx") - F.row_number().over(w))
+    )
+    runs = sil.groupBy("fname", "grp").agg(
+        F.count("*").alias("len"),
+        F.min("frame_idx").alias("f0"),
+        F.max("frame_idx").alias("f1"),
+    )
+    j = tot.join(F.broadcast(runs), "fname", "left")
+    lead = F.coalesce(
+        F.max(F.when(F.col("f0") == 0, F.col("len"))), F.lit(0)
+    )
+    trail = F.coalesce(
+        F.max(
+            F.when(F.col("f1") == F.col("n_windows") - 1, F.col("len"))
+        ),
+        F.lit(0),
+    )
+    return j.groupBy("fname", "n_windows", "silent_windows").agg(
+        F.count("grp").alias("n_runs"),
+        F.coalesce(F.max("len"), F.lit(0)).alias("longest_run"),
+        lead.alias("leading_silence"),
+        trail.alias("trailing_silence"),
+        (F.col("n_windows") - lead - trail).alias("kept_windows"),
+    ).select("fname", *_S_COLS)

@@ -170,3 +170,78 @@ def test_energy_registered_op(spark, sf_dir):
         got = by_file[f"eclip-{i:03d}.wav"]
         assert len(got) == (m["n_frames"] + m["win"] - 1) // m["win"]
         assert sum(r["n_samples"] for r in got) == m["n_frames"] * m["channels"]
+
+
+def test_silence_trim_matches_independent_islands(spark, sf_dir):
+    """mm_audio_silence_trim's run census must equal a pure-python
+    islands computation over the fixture silence pattern."""
+    import numpy as np
+
+    from cs_pipeline_spark.sources.wav import (
+        _N_SWAVS,
+        _swav_meta,
+        _swav_silent,
+        mm_audio_silence_trim,
+    )
+
+    rows = {
+        r.fname: r for r in mm_audio_silence_trim(spark, sf_dir).collect()
+    }
+    assert len(rows) == _N_SWAVS
+    for i in range(_N_SWAVS):
+        m = _swav_meta(i)
+        f = np.arange(m["n_windows"])
+        silent = _swav_silent(i, f, m)
+        runs = []
+        k = 0
+        while k < len(silent):
+            if silent[k]:
+                j = k
+                while j < len(silent) and silent[j]:
+                    j += 1
+                runs.append((k, j - k))
+                k = j
+            else:
+                k += 1
+        r = rows[f"sclip-{i:03d}.wav"]
+        assert r.n_windows == m["n_windows"]
+        assert r.silent_windows == int(silent.sum())
+        assert r.n_runs == len(runs)
+        assert r.longest_run == max(ln for _, ln in runs)
+        lead = next((ln for st, ln in runs if st == 0), 0)
+        trail = next(
+            (ln for st, ln in runs if st + ln == m["n_windows"]), 0
+        )
+        assert r.leading_silence == lead
+        assert r.trailing_silence == trail
+        assert r.kept_windows == m["n_windows"] - lead - trail
+
+
+def test_silence_trim_run_structure_varies():
+    """The fixtures must exercise leading runs, trailing runs, and
+    multi-window interior runs — otherwise the islands logic is
+    untested against its own edge cases."""
+    import numpy as np
+
+    from cs_pipeline_spark.sources.wav import (
+        _N_SWAVS,
+        _swav_meta,
+        _swav_silent,
+    )
+
+    any_lead = any_trail = any_long = False
+    for i in range(_N_SWAVS):
+        m = _swav_meta(i)
+        f = np.arange(m["n_windows"])
+        s = _swav_silent(i, f, m)
+        if s[0]:
+            any_lead = True
+        if s[-1]:
+            any_trail = True
+        run = best = 0
+        for x in s:
+            run = run + 1 if x else 0
+            best = max(best, run)
+        if best >= 3:
+            any_long = True
+    assert any_lead and any_trail and any_long
