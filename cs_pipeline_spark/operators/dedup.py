@@ -1716,3 +1716,173 @@ def dedup_keeper_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars").cast("long").alias("keeper_chars"),
         )
     )
+
+
+# ---------- content-defined chunking (CDC) + duplicate-chunk census ----------
+#
+# Rsync/LBFS-style chunking: a chunk boundary falls wherever the
+# fingerprint of the 8-char window starting at a position ≡ 0 mod 64,
+# so boundaries are CONTENT-defined — insert one sentence at the top
+# of a document and every later chunk boundary (and hash) is
+# unchanged, which is exactly what byte-offset chunking cannot do.
+# The standard storage/corpus dedup granularity between exact-doc
+# (dedup_exact) and long-repeat spans (dedup_substring_repeats).
+
+_CDC_W = 8       # fingerprint window (chars)
+_CDC_MASK = 64   # boundary when fingerprint % 64 == 0 → ~64-char chunks
+
+
+def _cdc_fp(s: str, k: str) -> str:
+    """Unrolled polynomial fingerprint of the 8-char window of `s`
+    starting at 1-based position `k` (identical SQL on both engines —
+    no lambdas/HOFs, stays in whole-stage codegen). Codes are
+    codepoint % 256, so the max value 255·Σ131^j ≈ 1.73e17 fits
+    int64 with headroom even on non-ASCII text."""
+    return " + ".join(
+        f"cast(ascii(substring({s}, {k} + {j}, 1)) % 256 as bigint)"
+        f" * cast({131 ** (_CDC_W - 1 - j)} as bigint)"
+        for j in range(_CDC_W)
+    )
+
+
+_CDC_FP_DUCK = " + ".join(
+    f"CAST(ascii(substr(s, CAST(k + {j} AS INT), 1)) % 256 AS BIGINT)"
+    f" * CAST({131 ** (_CDC_W - 1 - j)} AS BIGINT)"
+    for j in range(_CDC_W)
+)
+
+_CDC_CHUNKS_DUCK = f"""
+    cdocs AS (SELECT doc_id, {_NORM_DUCK} AS s,
+                     length({_NORM_DUCK}) AS len
+              FROM documents),
+    cpos AS (SELECT doc_id, s, len,
+                    unnest(range(2, len - {_CDC_W - 2})) AS k
+             FROM cdocs WHERE len >= {_CDC_W + 1}),
+    bnd AS (SELECT doc_id, s, len, k FROM cpos
+            WHERE ({_CDC_FP_DUCK}) % {_CDC_MASK} = 0),
+    starts AS (
+      SELECT doc_id, s, len, CAST(1 AS BIGINT) AS k
+      FROM cdocs WHERE len > 0
+      UNION ALL
+      SELECT doc_id, s, len, k FROM bnd),
+    spans AS (SELECT doc_id, k,
+                     COALESCE(LEAD(k) OVER (PARTITION BY doc_id
+                                            ORDER BY k),
+                              len + 1) - k AS clen,
+                     s
+              FROM starts),
+    chunks AS (SELECT doc_id, k,
+                      substr(s, CAST(k AS INT), CAST(clen AS INT))
+                        AS chunk,
+                      clen
+               FROM spans),
+    freq AS (SELECT chunk, COUNT(DISTINCT doc_id) AS nd
+             FROM chunks GROUP BY chunk)
+"""
+
+
+@register(
+    "dedup_cdc_chunks",
+    f"""
+    WITH {_CDC_CHUNKS_DUCK},
+    per_doc AS (
+      SELECT c.doc_id,
+             COUNT(*) AS n_chunks,
+             MAX(c.clen) AS max_chunk_len,
+             SUM(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS dup_chunks,
+             SUM(CASE WHEN f.nd >= 2 THEN c.clen ELSE 0 END) AS dup_chars
+      FROM chunks c JOIN freq f ON f.chunk = c.chunk
+      GROUP BY c.doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_chunks, 0) AS BIGINT) AS n_chunks,
+           CAST(COALESCE(p.max_chunk_len, 0) AS BIGINT) AS max_chunk_len,
+           CAST(COALESCE(p.dup_chunks, 0) AS BIGINT) AS dup_chunks,
+           CAST(COALESCE(p.dup_chars, 0) AS BIGINT) AS dup_chars
+    FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+    """,
+    doc="content-defined chunking (LBFS/rsync): boundary where the "
+    "8-char polynomial fingerprint ≡ 0 mod 64 → shift-resistant "
+    "~64-char chunks; per-doc chunk census + the chars shared with "
+    "other docs via duplicate chunks — the storage-dedup granularity "
+    "between dedup_exact and dedup_substring_repeats",
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC chunk dedup: positions 2..len−7 of the normalized text are
+    boundary candidates; the unrolled 8-char polynomial fingerprint
+    (codepoints mod 256, base 131 — exact int64, no overflow) marks
+    ~1/64 of them as chunk starts, position 1 always starts a chunk,
+    and each chunk runs to the next start. Because boundaries depend
+    only on local content, a prefix edit shifts at most one chunk —
+    duplicated passages across docs land in IDENTICAL chunks, counted
+    by the cross-doc frequency join. Empty docs keep a zero row.
+
+    Scale: position explode is per-doc map work; the per-doc LEAD
+    window is partitioned by doc_id (bounded by doc length); the
+    frequency join shuffles (chunk-key, doc) — at 100 TB hash chunks
+    to 8-byte digests before the shuffle (dedup_span_corpus digest
+    convention) and the join is the standard gram-keyed fact-to-fact
+    shape with map-side-combined counts.
+    """
+    docs = load(spark, "documents", sf_dir)
+    base = docs.select(
+        "doc_id",
+        F.expr(_NORM).alias("s"),
+        F.length(F.expr(_NORM)).cast("long").alias("len"),
+    )
+    # candidate boundary positions 2..len-7 (all 8 window chars exist);
+    # CASE guards Spark's descending sequence(2, <2) trap
+    cpos = base.filter(F.col("len") >= _CDC_W + 1).select(
+        "doc_id",
+        "s",
+        "len",
+        F.explode(
+            F.expr(f"sequence(cast(2 as bigint), len - {_CDC_W - 1})")
+        ).alias("k"),
+    )
+    bnd = cpos.filter(
+        F.expr(f"({_cdc_fp('s', 'k')}) % {_CDC_MASK} = 0")
+    ).select("doc_id", "s", "len", "k")
+    first = base.filter(F.col("len") > 0).select(
+        "doc_id", "s", "len", F.lit(1).cast("long").alias("k")
+    )
+    starts = first.unionByName(bnd)
+    w = Window.partitionBy("doc_id").orderBy("k")
+    spans = starts.select(
+        "doc_id",
+        "k",
+        (
+            F.coalesce(F.lead("k").over(w), F.col("len") + 1) - F.col("k")
+        ).alias("clen"),
+        "s",
+    )
+    chunks = spans.select(
+        "doc_id",
+        "k",
+        F.expr("substring(s, k, clen)").alias("chunk"),
+        "clen",
+    )
+    freq = chunks.groupBy("chunk").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    per_doc = (
+        chunks.join(freq, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.max("clen").alias("max_chunk_len"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias(
+                "dup_chunks"
+            ),
+            F.sum(
+                F.when(F.col("nd") >= 2, F.col("clen")).otherwise(0)
+            ).alias("dup_chars"),
+        )
+    )
+    z = F.lit(0).cast("long")
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_chunks"), z).alias("n_chunks"),
+        F.coalesce(F.col("max_chunk_len"), z).alias("max_chunk_len"),
+        F.coalesce(F.col("dup_chunks"), z).alias("dup_chunks"),
+        F.coalesce(F.col("dup_chars"), z).alias("dup_chars"),
+    )

@@ -2951,3 +2951,164 @@ def text_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("np").cast("long").alias("n_pieces"),
         F.col("enc").alias("encoded"),
     )
+
+
+# ---------- chrF: character n-gram F-score ----------
+#
+# The third generation-eval metric after ROUGE/BLEU (Popović 2015):
+# char-level n-grams are tokenizer-free, so chrF is the standard
+# sanity metric when candidate/reference tokenizations disagree.
+# Whitespace is removed before gram extraction (the chrF convention);
+# pairing is the same (even doc_id, next doc) as text_rouge_n.
+
+_CHRF_NS = (1, 2, 3)
+_CHRF_BETA2 = 4  # β = 2 → β² = 4: recall weighted 4× precision
+
+
+def _chrf_cgrams(n: int) -> str:
+    """Char n-gram array over the space-stripped normalized text `s`.
+    Spark's sequence(1, 0) is DESCENDING [1, 0] (the shingles guard),
+    so short strings take the explicit empty branch."""
+    return (
+        f"CASE WHEN length(s) >= {n} THEN "
+        f"transform(sequence(1, length(s) - {n} + 1), "
+        f"k -> substring(s, k, {n})) "
+        f"ELSE cast(array() as array<string>) END"
+    )
+
+
+def _chrf_grams_sql() -> str:
+    branches = " UNION ALL ".join(
+        f"SELECT doc_id, {n} AS n, "
+        f"unnest(list_transform(range(1, CAST(length(s) AS BIGINT) - {n} + 2), "
+        f"k -> substr(s, k, {n}))) AS g FROM cdocs"
+        for n in _CHRF_NS
+    )
+    return f"""
+    cdocs AS (SELECT doc_id, replace({_NORM_DUCK}, ' ', '') AS s
+              FROM documents),
+    cgrams AS ({branches}),
+    cgc AS (SELECT doc_id, n, g, COUNT(*) AS c FROM cgrams
+            GROUP BY doc_id, n, g),
+    ccand AS (SELECT doc_id AS pair_id, n, g, c FROM cgc
+              WHERE doc_id % 2 = 0),
+    cref AS (SELECT doc_id - 1 AS pair_id, n, g, c FROM cgc
+             WHERE doc_id % 2 = 1),
+    cov AS (SELECT ccand.pair_id, ccand.n,
+                   SUM(LEAST(ccand.c, cref.c)) AS o
+            FROM ccand JOIN cref ON cref.pair_id = ccand.pair_id
+                 AND cref.n = ccand.n AND cref.g = ccand.g
+            GROUP BY ccand.pair_id, ccand.n),
+    cct AS (SELECT pair_id, n, SUM(c) AS ctot FROM ccand
+            GROUP BY pair_id, n),
+    crt AS (SELECT pair_id, n, SUM(c) AS rtot FROM cref
+            GROUP BY pair_id, n)
+    """
+
+
+@register(
+    "text_chrf",
+    f"""
+    WITH {_chrf_grams_sql()}
+    SELECT cct.pair_id, CAST(cct.n AS BIGINT) AS ngram,
+           CAST(COALESCE(o, 0) AS BIGINT) AS overlap,
+           CAST(ctot AS BIGINT) AS cand_ngrams,
+           CAST(rtot AS BIGINT) AS ref_ngrams,
+           CAST(COALESCE(o, 0) AS DOUBLE) / CAST(ctot AS DOUBLE)
+             AS chr_p,
+           CAST(COALESCE(o, 0) AS DOUBLE) / CAST(rtot AS DOUBLE)
+             AS chr_r,
+           CASE WHEN COALESCE(o, 0) = 0 THEN 0.0
+                ELSE {sql_dround(
+                    f'(1 + {_CHRF_BETA2}) '
+                    '* (CAST(o AS DOUBLE) / CAST(ctot AS DOUBLE)) '
+                    '* (CAST(o AS DOUBLE) / CAST(rtot AS DOUBLE)) '
+                    f'/ ({_CHRF_BETA2} '
+                    '* (CAST(o AS DOUBLE) / CAST(ctot AS DOUBLE)) '
+                    '+ (CAST(o AS DOUBLE) / CAST(rtot AS DOUBLE)))'
+                )}
+           END AS chrf2_q
+    FROM cct JOIN crt ON crt.pair_id = cct.pair_id AND crt.n = cct.n
+    LEFT JOIN cov ON cov.pair_id = cct.pair_id AND cov.n = cct.n
+    """,
+    doc="chrF2 per (candidate, reference) pair and char n ∈ {1,2,3}: "
+    "whitespace-stripped character n-grams, clipped overlap, exact "
+    "P/R divisions, F_β with β=2 (recall-weighted) dround-quantized — "
+    "the tokenizer-free generation-eval metric beside ROUGE/BLEU",
+)
+def text_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """chrF (Popović 2015) in-engine: per pair and per n ∈ {1, 2, 3},
+    CLIPPED char n-gram overlap on space-stripped normalized text,
+    then chrF2 = 5·P·R / (4·P + R). P and R are each one exact
+    integer division; the composed F ratio is floor-quantized at 1e-6
+    (the BLEU bp_q convention) so multi-op float association cannot
+    diverge across engines. Zero overlap scores 0 explicitly — the
+    4P+R denominator would be 0/0 otherwise. Pairs where either side
+    lacks n-grams at a width drop that width's row (ROUGE handling).
+
+    Scale: identical shape to text_rouge_n — gram counts shuffle
+    (doc, n, gram) with map-side combine; the overlap join is
+    gram-keyed fact-to-fact; no unbounded state. Char grams are ≤3
+    bytes-ish each; at 100 TB hash grams to 8-byte digests before the
+    shuffle (the dedup_span_corpus digest convention).
+    """
+    docs = load(spark, "documents", sf_dir)
+    s = F.regexp_replace(F.expr(_NORM), " ", "")
+    base = docs.select("doc_id", s.alias("s"))
+    per_n = [
+        base.select(
+            "doc_id",
+            F.lit(n).alias("n"),
+            F.explode(F.expr(_chrf_cgrams(n))).alias("g"),
+        )
+        for n in _CHRF_NS
+    ]
+    grams = per_n[0]
+    for p in per_n[1:]:
+        grams = grams.unionByName(p)
+    gc = grams.groupBy("doc_id", "n", "g").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cand = gc.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("pair_id"), "n", "g", F.col("c").alias("cc")
+    )
+    ref = gc.filter(F.col("doc_id") % 2 == 1).select(
+        (F.col("doc_id") - 1).alias("pair_id"),
+        "n",
+        "g",
+        F.col("c").alias("rc"),
+    )
+    ov = (
+        cand.join(ref, ["pair_id", "n", "g"])
+        .groupBy("pair_id", "n")
+        .agg(F.sum(F.least("cc", "rc")).cast("long").alias("o"))
+    )
+    ct = cand.groupBy("pair_id", "n").agg(
+        F.sum("cc").cast("long").alias("ctot")
+    )
+    rt = ref.groupBy("pair_id", "n").agg(
+        F.sum("rc").cast("long").alias("rtot")
+    )
+    o = F.coalesce(F.col("o"), F.lit(0).cast("long"))
+    p = o.cast("double") / F.col("ctot").cast("double")
+    r = o.cast("double") / F.col("rtot").cast("double")
+    return (
+        ct.join(rt, ["pair_id", "n"])
+        .join(ov, ["pair_id", "n"], "left")
+        .select(
+            "pair_id",
+            F.col("n").cast("long").alias("ngram"),
+            o.alias("overlap"),
+            F.col("ctot").alias("cand_ngrams"),
+            F.col("rtot").alias("ref_ngrams"),
+            p.alias("chr_p"),
+            r.alias("chr_r"),
+            F.when(o == 0, F.lit(0.0))
+            .otherwise(
+                dround(
+                    (1 + _CHRF_BETA2) * p * r / (_CHRF_BETA2 * p + r)
+                )
+            )
+            .alias("chrf2_q"),
+        )
+    )

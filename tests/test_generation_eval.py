@@ -67,3 +67,35 @@ def test_bleu_null_vs_zero(spark, tmp_path):
     rows = {r.pair_id: r for r in text_bleu_eval.__wrapped__(spark, sf).collect()}
     assert rows[0].p2 is None and rows[0].bleu_q is None
     assert rows[2].p1 == 0.0 and rows[2].p2 == 0.0 and rows[2].bleu_q == 0.0
+
+
+def test_chrf_perfect_and_disjoint_pairs(spark, tmp_path_factory):
+    """chrF2 must be 1.0 when candidate == reference and 0.0 when the
+    pair shares no characters; P and R must be exact count ratios."""
+    import os
+
+    import pandas as pd
+
+    from cs_pipeline_spark.operators.text import text_chrf
+
+    rows = [
+        (0, "identical text here", "en", "a"),   # cand of pair 0
+        (1, "identical text here", "en", "a"),   # ref of pair 0
+        (2, "aaaa bbbb", "en", "a"),             # cand of pair 2
+        (3, "zzzz yyyy", "en", "a"),             # ref of pair 2
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf["text"].str.len()
+    d = tmp_path_factory.mktemp("chrf")
+    pdf.to_parquet(os.path.join(d, "documents.parquet"), index=False)
+    out = {
+        (r.pair_id, r.ngram): r
+        for r in text_chrf.__wrapped__(spark, str(d)).collect()
+    }
+    for n in (1, 2, 3):
+        assert out[(0, n)].chr_p == 1.0 and out[(0, n)].chr_r == 1.0
+        assert abs(out[(0, n)].chrf2_q - 1.0) < 2e-6
+        assert out[(2, n)].overlap in (0, 1)  # n=1 may share nothing
+    # fully disjoint at n >= 2
+    assert out[(2, 2)].overlap == 0 and out[(2, 2)].chrf2_q == 0.0
+    assert out[(2, 3)].chrf2_q == 0.0

@@ -404,3 +404,44 @@ def test_substring_repeat_full_span_recall(spark, repeat_docs_sf):
     assert 3 not in by_doc and 4 not in by_doc
     # decoys are unique -> no spans anywhere else
     assert set(by_doc) == {2}
+
+
+@pytest.fixture(scope="module")
+def cdc_docs_sf(tmp_path_factory):
+    """Shift-resistance fixture: doc 2 is doc 1 with a NEW PREFIX
+    prepended (the edit byte-offset chunking cannot survive); doc 3
+    is unrelated."""
+    import random
+
+    rng = random.Random(424242)
+    words = [f"w{rng.randrange(10000)}" for _ in range(400)]
+    body = " ".join(words)
+    rows = [
+        (1, body, "en", "a"),
+        (2, "entirely fresh leading sentence inserted up front. " + body,
+         "en", "b"),
+        (3, " ".join(f"z{rng.randrange(10000)}" for _ in range(400)),
+         "en", "c"),
+    ]
+    return _write_docs(tmp_path_factory.mktemp("cdc"), rows)
+
+
+def test_cdc_chunks_survive_prefix_shift(spark, cdc_docs_sf):
+    """The CDC contract: after a prefix insertion, all chunks past the
+    first boundary re-align — docs 1 and 2 must share MOST of their
+    chunk mass, and the unrelated doc 3 must share none."""
+    from cs_pipeline_spark.operators.dedup import dedup_cdc_chunks
+
+    rows = {
+        r.doc_id: r
+        for r in dedup_cdc_chunks.__wrapped__(spark, cdc_docs_sf).collect()
+    }
+    assert set(rows) == {1, 2, 3}
+    # shift-resistance floor: >= 60% of doc 1's chunks re-occur in
+    # doc 2 despite the prefix edit (byte-offset chunking would give 0)
+    assert rows[1].dup_chunks >= 0.6 * rows[1].n_chunks > 0
+    assert rows[2].dup_chunks > 0
+    assert rows[3].dup_chunks == 0
+    # the duplicated mass is a real fraction of the ~2.4k-char body,
+    # not a lone boundary chunk
+    assert rows[1].dup_chars >= 1000
