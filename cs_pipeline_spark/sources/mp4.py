@@ -95,13 +95,24 @@ def _tkhd(track_id: int, dur: int, w: int, h: int) -> bytes:
 
 
 def _trak(track_id: int, dur: int, handler: bytes, codec: bytes,
-          n_samples: int, w: int = 0, h: int = 0) -> bytes:
+          n_samples: int, w: int = 0, h: int = 0,
+          sizes: list[int] | None = None,
+          sync: list[int] | None = None) -> bytes:
     hdlr = _full(b"hdlr", 0, struct.pack(">I", 0) + handler + b"\x00" * 12
                  + b"trk\x00")
     stsd_entry = _box(codec, b"\x00" * 8)  # opaque sample entry body
     stsd = _full(b"stsd", 0, struct.pack(">I", 1) + stsd_entry)
-    stsz = _full(b"stsz", 0, struct.pack(">II", 0, n_samples))
+    if sizes is None:
+        # constant-size samples: spec-valid stsz with no entry table
+        stsz = _full(b"stsz", 0, struct.pack(">II", 1024, n_samples))
+    else:
+        stsz = _full(b"stsz", 0, struct.pack(">II", 0, len(sizes))
+                     + b"".join(struct.pack(">I", s) for s in sizes))
     stbl = _box(b"stbl", stsd + stsz)
+    if sync is not None:
+        stss = _full(b"stss", 0, struct.pack(">I", len(sync))
+                     + b"".join(struct.pack(">I", s) for s in sync))
+        stbl = _box(b"stbl", stsd + stsz + stss)
     minf = _box(b"minf", stbl)
     mdhd = _full(b"mdhd", 0, struct.pack(">IIIIHH", 0, 0, 1000, dur, 0x55C4, 0))
     mdia = _box(b"mdia", mdhd + hdlr + minf)
@@ -257,8 +268,31 @@ def _walk(payload: bytes, start: int, end: int, meta: dict,
         elif btype == b"stsz" and ctx is not None:
             if len(body) < 12:
                 raise ValueError("truncated MP4: short stsz")
+            sample_size, count = struct.unpack(">II", body[4:12])
+            if sample_size == 0:
+                # per-sample size table follows — bounds-check it even
+                # when we don't keep it (fail loudly on the crawl path)
+                if 12 + 4 * count > len(body):
+                    raise ValueError("truncated MP4: stsz size table")
+                sizes = list(
+                    struct.unpack(f">{count}I", body[12 : 12 + 4 * count])
+                ) if count else []
+            else:
+                sizes = None  # constant-size samples
             if ctx.get("handler") == b"vide":
-                meta["sample_count"] = struct.unpack(">I", body[8:12])[0]
+                meta["sample_count"] = count
+                meta["_sizes"] = sizes
+                meta["_const_size"] = sample_size
+        elif btype == b"stss" and ctx is not None:
+            if len(body) < 8:
+                raise ValueError("truncated MP4: short stss")
+            n_sync = struct.unpack(">I", body[4:8])[0]
+            if 8 + 4 * n_sync > len(body):
+                raise ValueError("truncated MP4: stss sync table")
+            if ctx.get("handler") == b"vide":
+                meta["_keyframes"] = list(
+                    struct.unpack(f">{n_sync}I", body[8 : 8 + 4 * n_sync])
+                ) if n_sync else []
         pos = box_end
 
 
@@ -301,7 +335,7 @@ def write_mp4_fixtures(out_dir: str) -> list[str]:
 
 @_fixture
 def _fx_mp4_clips(spark: SparkSession, sf_dir: str) -> None:
-    write_mp4_fixtures(_scratch(sf_dir, "real_mp4s"))
+    write_mp4_fixtures(_scratch(sf_dir, "real_mp4s_v2"))
 
 
 _MP4_FORMULA = f"""
@@ -373,7 +407,7 @@ def mm_decode_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: see module docstring — per-file mapInPandas, header-
     proportional reads, one row per file out.
     """
-    return decode_mp4_df(spark, _scratch(sf_dir, "real_mp4s"))
+    return decode_mp4_df(spark, _scratch(sf_dir, "real_mp4s_v2"))
 
 
 _FRAME_ORACLE = f"""
@@ -410,7 +444,7 @@ def mm_frame_sample_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     (frame_idx, pts_ms) pairs drive ranged reads via the stbl
     chunk-offset tables, so sampling never scans the mdat payload.
     """
-    d = decode_mp4_df(spark, _scratch(sf_dir, "real_mp4s")).select(
+    d = decode_mp4_df(spark, _scratch(sf_dir, "real_mp4s_v2")).select(
         "fname", "duration_ms", "sample_count"
     )
     j = F.explode(
@@ -430,4 +464,182 @@ def mm_frame_sample_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"duration_ms * (2 * frame_j + 1) div {2 * _FRAME_K}"
             ).alias("pts_ms"),
         )
+    )
+
+
+# ---------- keyframe / GOP structure (stss + per-sample stsz) ----------
+#
+# The video-curation signal after container metadata: GOP structure.
+# Keyframes (sync samples, stss) partition the stream into GOPs; GOP
+# length and byte mass drive seekability checks, scene-cut density
+# estimates, and transcode-cost models. Fixtures carry a regular
+# keyframe cadence PLUS one extra "scene cut" keyframe, and I-frames
+# are ~10× larger than deltas — both recoverable from the tables
+# without touching mdat.
+
+_N_GOPS = 8
+
+
+def _gop_meta(i: int) -> dict:
+    n = 60 + 13 * i
+    g = 12 + 2 * (i % 3)
+    cut = 25 + 3 * i  # extra keyframe (scene cut), 1-based sample no.
+    keys = sorted({s for s in range(1, n + 1, g)} | {cut})
+    return {"n": n, "g": g, "cut": cut, "keyframes": keys}
+
+
+def _gop_size(i: int, s: int, is_key: bool) -> int:
+    return 200 + ((s * 37 + i * 11) % 150) + (1800 if is_key else 0)
+
+
+def encode_mp4_gop(i: int) -> bytes:
+    """Single-video-track MP4 with a real stss sync-sample table and a
+    per-sample stsz size table (sample_size == 0 variant)."""
+    m = _gop_meta(i)
+    keys = set(m["keyframes"])
+    sizes = [_gop_size(i, s, s in keys) for s in range(1, m["n"] + 1)]
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isommp42")
+    mvhd = _full(b"mvhd", 0, struct.pack(">IIII", 0, 0, 600, 600 * 30)
+                 + struct.pack(">IHH", 0x10000, 0x0100, 0) + b"\x00" * 8
+                 + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                               0x40000000) + b"\x00" * 24
+                 + struct.pack(">I", 2))
+    trak = _trak(1, 600 * 30, b"vide", b"avc1", m["n"], 640, 360,
+                 sizes=sizes, sync=m["keyframes"])
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + moov + _box(b"mdat", b"\x00" * 64)
+
+
+def decode_mp4_gop(payload: bytes) -> tuple[list[int], list[int]]:
+    """(keyframe sample numbers, per-sample sizes) for the video
+    track; ValueError on anything malformed or if either table is
+    absent/constant."""
+    meta = decode_mp4_meta(payload)
+    keys = meta.get("_keyframes")
+    sizes = meta.get("_sizes")
+    if keys is None:
+        raise ValueError("MP4 has no stss sync-sample table")
+    if sizes is None:
+        # constant-size stream: synthesize from stsz sample_size
+        sizes = [meta["_const_size"]] * meta["sample_count"]
+    return keys, sizes
+
+
+def write_mp4_gop_fixtures(out_dir: str) -> list[str]:
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for i in range(_N_GOPS):
+        p = f"{out_dir}/gclip-{i:03d}.mp4"
+        if not os.path.exists(p):
+            tmp = p + ".tmp"
+            with open(tmp, "wb") as fh:
+                fh.write(encode_mp4_gop(i))
+            os.replace(tmp, p)
+        paths.append(p)
+    return paths
+
+
+@_fixture
+def _fx_mp4_gops(spark: SparkSession, sf_dir: str) -> None:
+    write_mp4_gop_fixtures(_scratch(sf_dir, "real_mp4s_gop"))
+
+
+_GOP_ORACLE = f"""
+    WITH m AS (SELECT i, 60 + 13 * i AS n, 12 + 2 * (i % 3) AS g,
+                      25 + 3 * i AS cut
+               FROM (SELECT unnest(range(0, {_N_GOPS})) AS i)),
+    s AS (SELECT i, n, g, cut, unnest(range(1, n + 1)) AS s FROM m),
+    f AS (SELECT i, s,
+                 ((s - 1) % g = 0 OR s = cut) AS is_key,
+                 200 + ((s * 37 + i * 11) % 150)
+                   + CASE WHEN (s - 1) % g = 0 OR s = cut
+                          THEN 1800 ELSE 0 END AS size
+          FROM s),
+    gops AS (SELECT i, s, size,
+                    SUM(CASE WHEN is_key THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY i ORDER BY s) AS gop_idx
+             FROM f)
+    SELECT printf('gclip-%03d.mp4', CAST(i AS INT)) AS fname,
+           CAST(gop_idx AS BIGINT) AS gop_idx,
+           CAST(MIN(s) AS BIGINT) AS keyframe_sample,
+           CAST(COUNT(*) AS BIGINT) AS gop_len,
+           CAST(SUM(size) AS BIGINT) AS gop_bytes
+    FROM gops GROUP BY i, gop_idx
+"""
+
+
+@register(
+    "mm_video_keyframes",
+    _GOP_ORACLE,
+    doc="GOP structure from REAL stss/stsz tables: per (file, GOP) the "
+    "keyframe sample number, GOP length, and byte mass — keyframe "
+    "cadence + the planted scene-cut keyframe recovered without "
+    "touching mdat; running-count GOP assignment over per-sample rows",
+)
+def mm_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe/GOP census, the seekability + scene-cut signal video
+    curation reads before any pixel work: the box walk yields the
+    sync-sample table (stss) and the per-sample size table (stsz with
+    sample_size == 0 — the variant the metadata fixtures don't use),
+    the decoder emits one row per sample, and GOP membership is the
+    running keyframe count per file. Fixtures plant a regular cadence
+    of 12/14/16 plus one extra scene-cut keyframe, with I-frames
+    ~10× delta size — so GOP lengths are irregular exactly where the
+    cut lands.
+
+    Scale: per-file mapInPandas; the running-count window partitions
+    by fname (bounded by per-file sample count — frame tables, not
+    corpus size); one (fname, gop) aggregate. The mdat payload is
+    never read.
+    """
+    from pyspark.sql import Window
+
+    schema = "fname string, s long, size long, is_key long"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                keys, sizes = decode_mp4_gop(bytes(content))
+                kset = set(keys)
+                fname = path.rsplit("/", 1)[-1]
+                for s, sz in enumerate(sizes, start=1):
+                    rows.append(
+                        {
+                            "fname": fname,
+                            "s": s,
+                            "size": sz,
+                            "is_key": 1 if s in kset else 0,
+                        }
+                    )
+            cols = ["fname", "s", "size", "is_key"]
+            yield pd.DataFrame(rows, columns=cols) if rows else \
+                pd.DataFrame({k: [] for k in cols})
+
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.mp4")
+        .load(_scratch(sf_dir, "real_mp4s_gop"))
+    )
+    samples = bf.select("path", "content").mapInPandas(
+        batches, schema=schema
+    )
+    w = (
+        Window.partitionBy("fname")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gops = samples.withColumn("gop_idx", F.sum("is_key").over(w))
+    return gops.groupBy("fname", "gop_idx").agg(
+        F.min("s").alias("keyframe_sample"),
+        F.count(F.lit(1)).alias("gop_len"),
+        F.sum("size").alias("gop_bytes"),
+    ).select(
+        "fname",
+        F.col("gop_idx").cast("long").alias("gop_idx"),
+        "keyframe_sample",
+        "gop_len",
+        "gop_bytes",
     )

@@ -162,3 +162,52 @@ def test_flac_registered_op(spark, sf_dir):
         r = rows[f"clip-{i:03d}.flac"]
         for k, v in m.items():
             assert getattr(r, k) == v, (i, k)
+
+
+def test_gop_census_matches_formula(spark, sf_dir):
+    from cs_pipeline_spark.sources.mp4 import (
+        _N_GOPS,
+        _gop_meta,
+        _gop_size,
+        mm_video_keyframes,
+    )
+
+    rows = mm_video_keyframes(spark, sf_dir).collect()
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r.fname, {})[r.gop_idx] = r
+    assert len(by_file) == _N_GOPS
+    for i in range(_N_GOPS):
+        m = _gop_meta(i)
+        keys, n = m["keyframes"], m["n"]
+        gops = by_file[f"gclip-{i:03d}.mp4"]
+        assert len(gops) == len(keys)
+        kset = set(keys)
+        for gi, k in enumerate(keys, start=1):
+            nxt = keys[gi] if gi < len(keys) else n + 1
+            g = gops[gi]
+            assert g.keyframe_sample == k
+            assert g.gop_len == nxt - k
+            assert g.gop_bytes == sum(
+                _gop_size(i, s, s in kset) for s in range(k, nxt)
+            )
+        # an off-cadence scene cut produces a short GOP (when the cut
+        # lands exactly on the cadence — i=0 — all GOPs stay regular)
+        lens = [gops[gi].gop_len for gi in gops]
+        if (m["cut"] - 1) % m["g"] != 0:
+            assert min(lens) < m["g"]
+
+
+def test_stss_and_stsz_tables_bounds_checked():
+    import struct
+
+    from cs_pipeline_spark.sources.mp4 import decode_mp4_meta, encode_mp4_gop
+
+    payload = bytearray(encode_mp4_gop(1))
+    at = bytes(payload).index(b"stss")
+    # inflate the sync count so the table overruns the box
+    payload[at + 8 : at + 12] = struct.pack(">I", 1 << 20)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="stss"):
+        decode_mp4_meta(bytes(payload))
