@@ -149,6 +149,14 @@ HEADLINE = [
     "mm_decode_webp_meta",
     "mm_exif_gps",
     "text_wordpiece_encode",
+    # round-8 final wave: video/lossless-audio containers, GOP census,
+    # silence-run trim, chrF eval, content-defined chunk dedup
+    "mm_decode_mp4_meta",
+    "mm_video_keyframes",
+    "mm_decode_flac_meta",
+    "mm_audio_silence_trim",
+    "text_chrf",
+    "dedup_cdc_chunks",
 ]
 
 

@@ -955,8 +955,10 @@ def _mm_curate_oracle() -> str:
     flagship cannot drift from its parts."""
     # force the providers to register (module import order is not
     # registration order — the round-7 convention)
+    import cs_pipeline_spark.sources.flac  # noqa: F401
     import cs_pipeline_spark.sources.gif  # noqa: F401
     import cs_pipeline_spark.sources.jpeg  # noqa: F401
+    import cs_pipeline_spark.sources.mp4  # noqa: F401
     import cs_pipeline_spark.sources.png  # noqa: F401
     import cs_pipeline_spark.sources.wav  # noqa: F401
     import cs_pipeline_spark.sources.webp  # noqa: F401
@@ -967,11 +969,15 @@ def _mm_curate_oracle() -> str:
         for k in (
             "mm_decode_wav",
             "mm_audio_energy",
+            "mm_audio_silence_trim",
+            "mm_decode_flac_meta",
             "mm_decode_jpeg_dc",
             "mm_image_dhash",
             "mm_decode_gif_meta",
             "mm_decode_webp_meta",
             "mm_exif_gps",
+            "mm_decode_mp4_meta",
+            "mm_video_keyframes",
         )
     }
     return f"""
@@ -1012,6 +1018,31 @@ def _mm_curate_oracle() -> str:
     UNION ALL
     SELECT 'privacy', 'gps_tagged', CAST(SUM(has_gps) AS BIGINT)
     FROM ({o['mm_exif_gps']})
+    UNION ALL
+    SELECT 'audio', 'flac_clips', CAST(COUNT(*) AS BIGINT)
+    FROM ({o['mm_decode_flac_meta']})
+    UNION ALL
+    SELECT 'audio', 'flac_ms', CAST(SUM(duration_ms) AS BIGINT)
+    FROM ({o['mm_decode_flac_meta']})
+    UNION ALL
+    SELECT 'audio', 'trimmed_windows',
+           CAST(SUM(leading_silence + trailing_silence) AS BIGINT)
+    FROM ({o['mm_audio_silence_trim']})
+    UNION ALL
+    SELECT 'audio', 'kept_windows', CAST(SUM(kept_windows) AS BIGINT)
+    FROM ({o['mm_audio_silence_trim']})
+    UNION ALL
+    SELECT 'video', 'n_clips', CAST(COUNT(*) AS BIGINT)
+    FROM ({o['mm_decode_mp4_meta']})
+    UNION ALL
+    SELECT 'video', 'total_ms', CAST(SUM(duration_ms) AS BIGINT)
+    FROM ({o['mm_decode_mp4_meta']})
+    UNION ALL
+    SELECT 'video', 'keyframes', CAST(COUNT(*) AS BIGINT)
+    FROM ({o['mm_video_keyframes']})
+    UNION ALL
+    SELECT 'video', 'gop_bytes', CAST(SUM(gop_bytes) AS BIGINT)
+    FROM ({o['mm_video_keyframes']})
     """
 
 
@@ -1022,9 +1053,10 @@ def _mm_curate_oracle() -> str:
     "WAV decode (clip count, total duration), framed energy (silent vs "
     "voiced frames), baseline-JPEG DC decode (blank-image screen), "
     "perceptual dHash near-dup pairs, GIF frame/animation census, WebP "
-    "alpha census, and the EXIF GPS location-PII count composed into "
-    "one (modality, metric, value) report; both sides reuse the seven "
-    "hash-checked decoder definitions by reference",
+    "alpha census, the EXIF GPS location-PII count, FLAC inventory, "
+    "silence-trim mass, and MP4 video inventory + GOP census composed "
+    "into one (modality, metric, value) report; both sides reuse the "
+    "eleven hash-checked decoder definitions by reference",
 )
 def mm_curate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The one-page answer to 'what is in this multimodal shard and
@@ -1040,10 +1072,19 @@ def mm_curate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: every part is per-file mapInPandas decode work (see their
     docstrings); the flagship adds 1-row aggregates and a union.
     """
+    from cs_pipeline_spark.sources.flac import mm_decode_flac_meta
     from cs_pipeline_spark.sources.gif import mm_decode_gif_meta
     from cs_pipeline_spark.sources.jpeg import mm_decode_jpeg_dc, mm_exif_gps
+    from cs_pipeline_spark.sources.mp4 import (
+        mm_decode_mp4_meta,
+        mm_video_keyframes,
+    )
     from cs_pipeline_spark.sources.png import mm_image_dhash
-    from cs_pipeline_spark.sources.wav import mm_audio_energy, mm_decode_wav
+    from cs_pipeline_spark.sources.wav import (
+        mm_audio_energy,
+        mm_audio_silence_trim,
+        mm_decode_wav,
+    )
     from cs_pipeline_spark.sources.webp import mm_decode_webp_meta
 
     wav = mm_decode_wav(spark, sf_dir)
@@ -1053,6 +1094,10 @@ def mm_curate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     gif = mm_decode_gif_meta(spark, sf_dir)
     webp = mm_decode_webp_meta(spark, sf_dir)
     gps = mm_exif_gps(spark, sf_dir)
+    flac = mm_decode_flac_meta(spark, sf_dir)
+    trim = mm_audio_silence_trim(spark, sf_dir)
+    mp4 = mm_decode_mp4_meta(spark, sf_dir)
+    gop = mm_video_keyframes(spark, sf_dir)
 
     def row(mod: str, metric: str, agg: DataFrame) -> DataFrame:
         return agg.select(
@@ -1107,6 +1152,50 @@ def mm_curate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             "privacy",
             "gps_tagged",
             gps.agg(F.sum("has_gps").alias("value")),
+        ),
+        row(
+            "audio",
+            "flac_clips",
+            flac.agg(F.count(F.lit(1)).alias("value")),
+        ),
+        row(
+            "audio",
+            "flac_ms",
+            flac.agg(F.sum("duration_ms").alias("value")),
+        ),
+        row(
+            "audio",
+            "trimmed_windows",
+            trim.agg(
+                F.sum(
+                    F.col("leading_silence") + F.col("trailing_silence")
+                ).alias("value")
+            ),
+        ),
+        row(
+            "audio",
+            "kept_windows",
+            trim.agg(F.sum("kept_windows").alias("value")),
+        ),
+        row(
+            "video",
+            "n_clips",
+            mp4.agg(F.count(F.lit(1)).alias("value")),
+        ),
+        row(
+            "video",
+            "total_ms",
+            mp4.agg(F.sum("duration_ms").alias("value")),
+        ),
+        row(
+            "video",
+            "keyframes",
+            gop.agg(F.count(F.lit(1)).alias("value")),
+        ),
+        row(
+            "video",
+            "gop_bytes",
+            gop.agg(F.sum("gop_bytes").alias("value")),
         ),
     ]
     out = parts[0]

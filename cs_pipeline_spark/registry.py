@@ -252,9 +252,11 @@ def _load_all_modules() -> None:
         png,
         pydatasource,
         gif,
+        mp3,
         mp4,
         scans,
         sinks,
+        tar,
         tiff,
         wav,
         webp,

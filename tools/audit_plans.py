@@ -466,6 +466,20 @@ AUDIT: dict[str, dict] = {
     "mm_decode_gif_meta": {"smj": 0, "exchange": 0},
     "mm_decode_webp_meta": {"smj": 0, "exchange": 0},
     "mm_exif_gps": {"smj": 0, "exchange": 0},
+    # round-8 final wave: container decodes are pure per-file map work
+    # (0 exchanges); GOP census adds one per-file window + one agg
+    # shuffle; silence trim is window + agg + a broadcast runs join;
+    # chrF/CDC are the gram-keyed fact-to-fact join shape (hash
+    # partitioning reused between the count agg and the join)
+    "mm_decode_mp4_meta": {"smj": 0, "exchange": 0},
+    "mm_decode_flac_meta": {"smj": 0, "exchange": 0},
+    "mm_frame_sample_decoded": {"smj": 0, "exchange": 0},
+    "mm_video_keyframes": {"smj": 0},
+    "mm_audio_silence_trim": {"smj": 0},
+    "text_chrf": {"smj": 0},
+    "dedup_cdc_chunks": {"smj": 0},
+    "scan_tar_members": {"smj": 0, "exchange": 0},
+    "mm_decode_mp3_meta": {"smj": 0, "exchange": 0},
     "mm_audio_energy": {"smj": 0, "exchange": 0},
     "mm_curate_e2e": {"smj": 6},          # dhash branch x2 (3 SMJ each)
 }
