@@ -157,6 +157,8 @@ HEADLINE = [
     "mm_audio_silence_trim",
     "text_chrf",
     "dedup_cdc_chunks",
+    "scan_tar_members",
+    "mm_decode_mp3_meta",
 ]
 
 

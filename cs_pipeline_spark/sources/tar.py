@@ -250,3 +250,61 @@ def scan_tar_members(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(_scratch(sf_dir, "real_tars"))
     )
     return bf.select("path", "content").mapInPandas(batches, schema=schema)
+
+
+# ---------- WebDataset sample assembly over the member index ----------
+
+_WDS_ORACLE = f"""
+    WITH members AS ({_TAR_ORACLE}),
+    keyed AS (
+      SELECT shard,
+             split_part(name, '.', 1) AS sample_key,
+             split_part(name, '.', 2) AS ext,
+             size
+      FROM members)
+    SELECT shard, sample_key,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           string_agg(ext, ',' ORDER BY ext) AS exts,
+           CAST(SUM(size) AS BIGINT) AS sample_bytes
+    FROM keyed GROUP BY shard, sample_key
+"""
+
+
+@register(
+    "mm_wds_samples",
+    _WDS_ORACLE,
+    doc="WebDataset sample assembly: tar members grouped by basename "
+    "key (sample-000.txt/.cls/.bin → one training sample) — member "
+    "count, sorted extension list, byte mass per sample; composes the "
+    "registered scan_tar_members oracle by reference",
+)
+def mm_wds_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step a WebDataset loader runs on the member index: members
+    sharing a basename ARE one training sample; the loader needs each
+    sample's completeness (which extensions are present) and byte
+    mass before it issues ranged reads. Grouping key = name up to the
+    first dot — the WebDataset convention.
+
+    Scale: member-index rows (not payloads) shuffle once on
+    (shard, sample_key); at 100 TB the index is ~1e-5 of payload
+    bytes, and the downstream loader reads members via the
+    offset_blocks ranges, never re-scanning shards.
+    """
+    from pyspark.sql import functions as F
+
+    m = scan_tar_members(spark, sf_dir)
+    keyed = m.select(
+        "shard",
+        F.split_part(F.col("name"), F.lit("."), F.lit(1)).alias(
+            "sample_key"
+        ),
+        F.split_part(F.col("name"), F.lit("."), F.lit(2)).alias("ext"),
+        "size",
+    )
+    return keyed.groupBy("shard", "sample_key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.array_join(F.array_sort(F.collect_list("ext")), ",").alias(
+            "exts"
+        ),
+        F.sum("size").cast("long").alias("sample_bytes"),
+    )

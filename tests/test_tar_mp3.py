@@ -132,3 +132,19 @@ def test_mp3_registered_op(spark, sf_dir):
         for k in ("id3_bytes", "n_frames", "sample_rate", "duration_ms",
                   "is_vbr"):
             assert getattr(r, k) == m[k], (i, k)
+
+
+def test_wds_samples_assembly(spark, sf_dir):
+    from cs_pipeline_spark.sources.tar import _member_size, mm_wds_samples
+
+    rows = mm_wds_samples(spark, sf_dir).collect()
+    by = {(r.shard, r.sample_key): r for r in rows}
+    assert len(by) == sum(3 + i for i in range(_N_TARS))
+    for i in range(_N_TARS):
+        for s in range(3 + i):
+            r = by[(f"shard-{i:03d}.tar", f"sample-{s:03d}")]
+            assert r.n_members == 3
+            assert r.exts == "bin,cls,txt"
+            assert r.sample_bytes == sum(
+                _member_size(i, s, e) for e in ("txt", "cls", "bin")
+            )
