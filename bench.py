@@ -159,6 +159,8 @@ HEADLINE = [
     "dedup_cdc_chunks",
     "scan_tar_members",
     "mm_decode_mp3_meta",
+    "mm_wds_samples",
+    "scan_srt_cues",
 ]
 
 

@@ -256,6 +256,7 @@ def _load_all_modules() -> None:
         mp4,
         scans,
         sinks,
+        srt,
         tar,
         tiff,
         wav,
