@@ -161,6 +161,7 @@ HEADLINE = [
     "mm_decode_mp3_meta",
     "mm_wds_samples",
     "scan_srt_cues",
+    "mm_decode_ogg_meta",
 ]
 
 

@@ -254,6 +254,7 @@ def _load_all_modules() -> None:
         gif,
         mp3,
         mp4,
+        ogg,
         scans,
         sinks,
         srt,
