@@ -162,6 +162,7 @@ HEADLINE = [
     "mm_wds_samples",
     "scan_srt_cues",
     "mm_decode_ogg_meta",
+    "mm_decode_pdf_meta",
 ]
 
 

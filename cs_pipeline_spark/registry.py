@@ -255,6 +255,7 @@ def _load_all_modules() -> None:
         mp3,
         mp4,
         ogg,
+        pdf,
         scans,
         sinks,
         srt,
