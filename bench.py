@@ -163,6 +163,7 @@ HEADLINE = [
     "scan_srt_cues",
     "mm_decode_ogg_meta",
     "mm_decode_pdf_meta",
+    "text_html_extract",
 ]
 
 

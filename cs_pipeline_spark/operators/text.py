@@ -3112,3 +3112,99 @@ def text_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("chrf2_q"),
         )
     )
+
+
+# ---------- HTML main-content extraction ----------
+#
+# The first CommonCrawl curation step: strip markup, kill
+# script/style subtrees BEFORE tag-stripping (their text is not
+# content), decode entities, and score text-to-markup density. The
+# corpus has no HTML column, so markup is SYNTHESIZED deterministically
+# around each document (the text_pii_scrub convention): a scaffold
+# with title, optional <script>, nav boilerplate, d%5 links, and an
+# entity-bearing paragraph wrapping the real text. The PARSER is the
+# op under test; the oracle recomputes every output from the
+# synthesis formula, so a regex that leaks script text or miscounts
+# tags hash-fails.
+
+_HTML_SYNTH = (
+    "concat('<html><head><title>Doc ', doc_id, '</title>', "
+    "CASE WHEN doc_id % 3 = 0 THEN '<script>var x=1;</script>' "
+    "ELSE '' END, "
+    "'</head><body><nav>menu</nav>', "
+    "repeat('<a href=\"u\">x</a>', cast(doc_id % 5 as int)), "
+    "'<p>R&amp;D ', {norm}, '</p></body></html>')"
+)
+
+
+@register(
+    "text_html_extract",
+    f"""
+    SELECT doc_id,
+           'Doc ' || doc_id AS title,
+           CAST(12 + 2 * (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+                + 2 * (doc_id % 5) AS BIGINT) AS n_tags,
+           CAST(doc_id % 5 AS BIGINT) AS n_links,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS has_script,
+           CAST(12 + length(CAST(doc_id AS VARCHAR)) + (doc_id % 5)
+                + length({_NORM_DUCK}) AS BIGINT) AS text_chars,
+           CAST(length({_HTML_SYNTH.format(norm=_NORM_DUCK)}) AS BIGINT)
+             AS html_chars,
+           CAST((12 + length(CAST(doc_id AS VARCHAR)) + (doc_id % 5)
+                 + length({_NORM_DUCK})) * 1000000
+                // length({_HTML_SYNTH.format(norm=_NORM_DUCK)})
+                AS BIGINT) AS text_ratio_ppm
+    FROM documents
+    """,
+    doc="HTML main-content extraction: script subtrees stripped BEFORE "
+    "tag removal, entities decoded, title pulled, tag/link census, "
+    "text-to-markup density in ppm — the CommonCrawl boilerplate "
+    "screen; markup synthesized per doc, parse hash-checked against "
+    "the synthesis formula (a regex that leaks script text fails)",
+)
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate screening as crawl pipelines run it, entirely in
+    JVM regex (no UDF): (1) <script>…</script> removed with a
+    dot-matches-newline non-greedy pass — removing tags first would
+    leak 'var x=1;' into content, which the formula check catches;
+    (2) all tags stripped; (3) '&amp;' decoded; (4) density =
+    text_chars/html_chars in exact integer ppm. text_chars counts
+    'Doc N' + 'menu' + one char per link + the R&D paragraph — nav
+    text is (deliberately) retained so the density score reflects
+    extraction BEFORE boilerplate-line filtering, which is
+    text_quality_filter's job downstream.
+
+    Scale: pure per-row map over the scan — one stage, no shuffle,
+    whole-stage codegen; regex cost is linear in document size.
+    """
+    docs = load(spark, "documents", sf_dir)
+    html = F.expr(_HTML_SYNTH.format(norm=_NORM))
+    base = docs.select("doc_id", html.alias("html"))
+    no_script = F.regexp_replace(
+        "html", r"(?s)<script>.*?</script>", ""
+    )
+    content = F.regexp_replace(no_script, r"<[^>]+>", "")
+    decoded = F.replace(content, F.lit("&amp;"), F.lit("&"))
+    return base.select(
+        "doc_id",
+        F.regexp_extract("html", r"<title>([^<]*)</title>", 1).alias(
+            "title"
+        ),
+        F.expr("regexp_count(html, '<[^>]+>')").cast("long").alias(
+            "n_tags"
+        ),
+        F.expr("regexp_count(html, '<a ')").cast("long").alias(
+            "n_links"
+        ),
+        F.expr(
+            "cast(html like '%<script>%' as long)"
+        ).alias("has_script"),
+        F.length(decoded).cast("long").alias("text_chars"),
+        F.length("html").cast("long").alias("html_chars"),
+        F.expr(
+            "length(replace(regexp_replace(regexp_replace(html, "
+            "'(?s)<script>.*?</script>', ''), '<[^>]+>', ''), "
+            "'&amp;', '&')) * 1000000 div length(html)"
+        ).alias("text_ratio_ppm"),
+    )

@@ -484,6 +484,7 @@ AUDIT: dict[str, dict] = {
     "scan_srt_cues": {"smj": 0, "exchange": 0},  # pure-JVM codegen path
     "mm_decode_ogg_meta": {"smj": 0, "exchange": 0},
     "mm_decode_pdf_meta": {"smj": 0, "exchange": 0},
+    "text_html_extract": {"smj": 0, "exchange": 0},
     "mm_audio_energy": {"smj": 0, "exchange": 0},
     "mm_curate_e2e": {"smj": 6},          # dhash branch x2 (3 SMJ each)
 }
