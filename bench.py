@@ -164,6 +164,7 @@ HEADLINE = [
     "mm_decode_ogg_meta",
     "mm_decode_pdf_meta",
     "text_html_extract",
+    "scan_warc_records",
 ]
 
 

@@ -261,6 +261,7 @@ def _load_all_modules() -> None:
         srt,
         tar,
         tiff,
+        warc,
         wav,
         webp,
     )
