@@ -165,6 +165,7 @@ HEADLINE = [
     "mm_decode_pdf_meta",
     "text_html_extract",
     "scan_warc_records",
+    "crawl_ingest_e2e",
 ]
 
 

@@ -227,6 +227,7 @@ def _load_all_modules() -> None:
         joins,
         mlmetrics,
         multimodal,
+        pipeline_crawl,
         pipeline_curate,
         pipeline_e2e,
         pipeline_events,

@@ -486,6 +486,7 @@ AUDIT: dict[str, dict] = {
     "mm_decode_pdf_meta": {"smj": 0, "exchange": 0},
     "text_html_extract": {"smj": 0, "exchange": 0},
     "scan_warc_records": {"smj": 0, "exchange": 0},
+    "crawl_ingest_e2e": {"smj": 0},
     "mm_audio_energy": {"smj": 0, "exchange": 0},
     "mm_curate_e2e": {"smj": 6},          # dhash branch x2 (3 SMJ each)
 }
