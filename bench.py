@@ -166,6 +166,8 @@ HEADLINE = [
     "text_html_extract",
     "scan_warc_records",
     "crawl_ingest_e2e",
+    "scan_robots_rules",
+    "text_license_detect",
 ]
 
 

@@ -3208,3 +3208,86 @@ def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "'&amp;', '&')) * 1000000 div length(html)"
         ).alias("text_ratio_ppm"),
     )
+
+
+# ---------- license detection (training-data compliance) ----------
+#
+# Whether a document's license permits training use is a gating
+# question for any public corpus. Headers are SYNTHESIZED per doc
+# (the text_pii_scrub/text_html_extract convention): doc_id % 5
+# selects MIT / Apache-2.0 / GPL / CC-BY / none, the characteristic
+# phrase is prepended, and the DETECTOR (phrase matching with a fixed
+# priority) is the op under test — the oracle recomputes the verdict
+# from doc_id, so a detector that misses a phrase or misorders the
+# priority hash-fails.
+
+_LICENSES = (
+    ("mit", "permission is hereby granted, free of charge"),
+    ("apache-2.0", "licensed under the apache license, version 2.0"),
+    ("gpl-3.0", "gnu general public license as published by"),
+    ("cc-by-4.0", "creative commons attribution 4.0 international"),
+)
+_PERMISSIVE = {"mit", "apache-2.0", "cc-by-4.0"}
+
+_LIC_SYNTH = (
+    "concat(CASE cast(doc_id % 5 as int) "
+    + " ".join(
+        f"WHEN {k} THEN '{phrase}. '"
+        for k, (_n, phrase) in enumerate(_LICENSES)
+    )
+    + " ELSE '' END, {norm})"
+)
+
+
+@register(
+    "text_license_detect",
+    f"""
+    SELECT doc_id,
+           CASE cast(doc_id % 5 as int)
+             {" ".join(f"WHEN {k} THEN '{n}'"
+                        for k, (n, _p) in enumerate(_LICENSES))}
+             ELSE 'none' END AS license,
+           CAST(CASE WHEN doc_id % 5 IN (0, 1, 3) THEN 1 ELSE 0 END
+                AS BIGINT) AS is_permissive,
+           CAST(CASE WHEN doc_id % 5 = 4 THEN 0 ELSE 1 END AS BIGINT)
+             AS n_matches
+    FROM documents
+    """,
+    doc="license-header detection: characteristic-phrase matching with "
+    "a fixed priority over per-doc synthesized MIT/Apache/GPL/CC-BY "
+    "headers — license label, permissive flag (copyleft and unknown "
+    "are NOT permissive), match count; the training-data compliance "
+    "gate, hash-checked against the synthesis formula",
+)
+def text_license_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compliance screening: the detector scans the (synthesized)
+    document text for each license's characteristic phrase and labels
+    by FIXED priority (MIT > Apache > GPL > CC-BY — deterministic
+    when a document quotes several), with copyleft (GPL) and
+    unlicensed both non-permissive. The oracle derives the truth from
+    the synthesis id, so detection errors cannot cancel.
+
+    Scale: pure per-row map over the scan — contains() on four
+    literal phrases, whole-stage codegen, no shuffle.
+    """
+    docs = load(spark, "documents", sf_dir)
+    synth = F.expr(_LIC_SYNTH.format(norm=_NORM))
+    base = docs.select("doc_id", synth.alias("s"))
+    hits = [
+        F.col("s").contains(phrase).cast("int").alias(f"h{k}")
+        for k, (_n, phrase) in enumerate(_LICENSES)
+    ]
+    scored = base.select("doc_id", *hits)
+    label = F.lit("none")
+    for k, (name, _p) in reversed(list(enumerate(_LICENSES))):
+        label = F.when(F.col(f"h{k}") == 1, F.lit(name)).otherwise(label)
+    n_matches = sum(F.col(f"h{k}") for k in range(len(_LICENSES)))
+    permissive = F.when(
+        label.isin(*sorted(_PERMISSIVE)), F.lit(1)
+    ).otherwise(F.lit(0))
+    return scored.select(
+        "doc_id",
+        label.alias("license"),
+        permissive.cast("long").alias("is_permissive"),
+        n_matches.cast("long").alias("n_matches"),
+    )

@@ -252,6 +252,7 @@ def _load_all_modules() -> None:
         jpeg,
         png,
         pydatasource,
+        robots,
         gif,
         mp3,
         mp4,

@@ -487,6 +487,8 @@ AUDIT: dict[str, dict] = {
     "text_html_extract": {"smj": 0, "exchange": 0},
     "scan_warc_records": {"smj": 0, "exchange": 0},
     "crawl_ingest_e2e": {"smj": 0},
+    "scan_robots_rules": {"smj": 0},
+    "text_license_detect": {"smj": 0, "exchange": 0},
     "mm_audio_energy": {"smj": 0, "exchange": 0},
     "mm_curate_e2e": {"smj": 6},          # dhash branch x2 (3 SMJ each)
 }
