@@ -168,6 +168,7 @@ HEADLINE = [
     "crawl_ingest_e2e",
     "scan_robots_rules",
     "text_license_detect",
+    "scan_safetensors_meta",
 ]
 
 

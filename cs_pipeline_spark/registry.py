@@ -253,6 +253,7 @@ def _load_all_modules() -> None:
         png,
         pydatasource,
         robots,
+        safetensors,
         gif,
         mp3,
         mp4,

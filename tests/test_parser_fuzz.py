@@ -26,6 +26,10 @@ from cs_pipeline_spark.sources.mp4 import decode_mp4_meta, encode_mp4
 from cs_pipeline_spark.sources.mp3 import decode_mp3_meta, encode_mp3
 from cs_pipeline_spark.sources.ogg import decode_ogg_meta, encode_ogg
 from cs_pipeline_spark.sources.pdf import decode_pdf_meta, encode_pdf
+from cs_pipeline_spark.sources.safetensors import (
+    decode_safetensors_meta,
+    encode_safetensors,
+)
 from cs_pipeline_spark.sources.warc import decode_warc_records, encode_warc
 from cs_pipeline_spark.sources.tar import decode_tar_members, encode_tar
 from cs_pipeline_spark.sources.wav import decode_wav, encode_wav
@@ -45,6 +49,7 @@ _PARSERS = [
     (decode_ogg_meta, encode_ogg),
     (decode_pdf_meta, encode_pdf),
     (decode_warc_records, encode_warc),
+    (decode_safetensors_meta, encode_safetensors),
 ]
 
 
