@@ -512,8 +512,9 @@ def encode_mp4_gop(i: int) -> bytes:
 
 def decode_mp4_gop(payload: bytes) -> tuple[list[int], list[int]]:
     """(keyframe sample numbers, per-sample sizes) for the video
-    track; ValueError on anything malformed or if either table is
-    absent/constant."""
+    track; ValueError on anything malformed or when the stss table
+    is absent (no keyframe info). A constant-size stsz (sample_size
+    != 0) is legal and synthesized into a per-sample list."""
     meta = decode_mp4_meta(payload)
     keys = meta.get("_keyframes")
     sizes = meta.get("_sizes")

@@ -124,8 +124,8 @@ def scan_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     REP's lenient-parse rule.
 
     Scale: wholetext scan → line explode → per-file window → one
-    bounded aggregate; the sitemap count broadcasts back onto the
-    ≤2 group rows per host.
+    bounded aggregate; the sitemap census joins back onto the ≤2
+    group rows per host on the same fname key.
     """
     from pyspark.sql import Window
 
@@ -204,7 +204,9 @@ def scan_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("blocked_all"),
         )
     )
-    return groups.join(F.broadcast(sitemaps), "fname").select(
+    # no broadcast hint: the sitemap census is one row per HOST —
+    # corpus-proportional; AQE broadcasts it at small scale on its own
+    return groups.join(sitemaps, "fname").select(
         "fname",
         "agent",
         "n_disallow",

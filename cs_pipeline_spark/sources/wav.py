@@ -730,7 +730,10 @@ def mm_audio_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("frame_idx").alias("f0"),
         F.max("frame_idx").alias("f1"),
     )
-    j = tot.join(F.broadcast(runs), "fname", "left")
+    # no broadcast hint: both sides are file-keyed and the runs side
+    # grows with the corpus — at 100 TB this is a plain co-partitioned
+    # join; at fixture scale AQE broadcasts it on its own
+    j = tot.join(runs, "fname", "left")
     lead = F.coalesce(
         F.max(F.when(F.col("f0") == 0, F.col("len"))), F.lit(0)
     )
