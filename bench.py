@@ -169,6 +169,7 @@ HEADLINE = [
     "scan_robots_rules",
     "text_license_detect",
     "scan_safetensors_meta",
+    "mm_caption_align",
 ]
 
 

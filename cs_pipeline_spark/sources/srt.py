@@ -229,3 +229,133 @@ def scan_srt_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("cps_ppm"),
     )
+
+
+# ---------- cross-modal: caption-to-keyframe alignment ----------
+#
+# Video-text training pairs need each caption cue anchored to the
+# video frame it starts on — in practice the latest KEYFRAME at or
+# before the cue start, because that is where a decoder can seek.
+# This composes the two registered decoders BY REFERENCE (srt cues ×
+# mp4 GOP census; the mm_curate_e2e contract) with an as-of join.
+
+_ALIGN_N = 6  # pairs: cap-00k.srt ↔ gclip-00k.mp4 for k < 6
+_GOP_MOVIE_MS = 30000  # gclip fixtures: mvhd 600*30 at timescale 600
+
+
+def _align_oracle() -> str:
+    import cs_pipeline_spark.sources.mp4  # noqa: F401  (provider)
+    from cs_pipeline_spark.registry import _REGISTRY
+
+    gop = _REGISTRY["mm_video_keyframes"].oracle
+    srt = _REGISTRY["scan_srt_cues"].oracle
+    return f"""
+    WITH cues AS (
+      SELECT CAST(substr(fname, 5, 3) AS BIGINT) AS pair_id,
+             cue_idx, start_ms
+      FROM ({srt})
+      WHERE CAST(substr(fname, 5, 3) AS BIGINT) < {_ALIGN_N}),
+    kf AS (
+      SELECT CAST(substr(fname, 7, 3) AS BIGINT) AS pair_id,
+             gop_idx, keyframe_sample,
+             SUM(gop_len) OVER (PARTITION BY fname) AS n_samples
+      FROM ({gop})
+      WHERE CAST(substr(fname, 7, 3) AS BIGINT) < {_ALIGN_N}),
+    kfts AS (
+      SELECT pair_id, gop_idx,
+             CAST((keyframe_sample - 1) * {_GOP_MOVIE_MS} // n_samples
+                  AS BIGINT) AS kf_pts_ms
+      FROM kf),
+    best AS (
+      SELECT c.pair_id, c.cue_idx, c.start_ms,
+             CAST(MAX(k.kf_pts_ms) AS BIGINT) AS kf_pts_ms
+      FROM cues c JOIN kfts k
+        ON k.pair_id = c.pair_id AND k.kf_pts_ms <= c.start_ms
+      GROUP BY c.pair_id, c.cue_idx, c.start_ms)
+    SELECT b.pair_id, b.cue_idx, b.start_ms,
+           CAST(MAX(k.gop_idx) AS BIGINT) AS gop_idx,
+           CAST(b.kf_pts_ms AS BIGINT) AS kf_pts_ms,
+           CAST(b.start_ms - b.kf_pts_ms AS BIGINT) AS seek_gap_ms
+    FROM best b JOIN kfts k
+      ON k.pair_id = b.pair_id AND k.kf_pts_ms = b.kf_pts_ms
+    GROUP BY b.pair_id, b.cue_idx, b.start_ms, b.kf_pts_ms
+    """
+
+
+@register(
+    "mm_caption_align",
+    _align_oracle(),
+    doc="cross-modal caption-to-keyframe as-of alignment: each SRT cue "
+    "start anchored to the latest decoded keyframe at or before it "
+    "(seekable decode point), with the seek gap in ms — composes the "
+    "registered scan_srt_cues and mm_video_keyframes oracles by "
+    "reference; ties on keyframe pts resolve to the max gop_idx on "
+    "both sides",
+)
+def mm_caption_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video-text pairing step: a training sample (cue text,
+    frame span) is only loadable from the nearest preceding KEYFRAME,
+    so each cue is as-of joined to the GOP census (cue.start ≥
+    keyframe pts, argmax pts). Keyframe pts come from the decoded
+    sample index scaled by the movie clock (the gclip fixtures run a
+    fixed 30 s). Cues past the video end legitimately anchor to the
+    final keyframe.
+
+    Scale: the join is pair-keyed on BOTH sides with per-key fan-out
+    bounded by keyframes-per-video (seconds of video / GOP length —
+    never corpus-scale); the argmax is a groupBy on the cue key. The
+    same shape at 100 TB is the documented bounded-fanout as-of
+    pattern (join_asof_tolerance's disposition).
+    """
+    from cs_pipeline_spark.sources.mp4 import mm_video_keyframes
+    from pyspark.sql import Window
+
+    cues = (
+        scan_srt_cues(spark, sf_dir)
+        .select(
+            F.substring("fname", 5, 3).cast("long").alias("pair_id"),
+            "cue_idx",
+            "start_ms",
+        )
+        .filter(F.col("pair_id") < _ALIGN_N)
+    )
+    kf = (
+        mm_video_keyframes(spark, sf_dir)
+        .select(
+            F.substring("fname", 7, 3).cast("long").alias("pair_id"),
+            "gop_idx",
+            "keyframe_sample",
+            F.sum("gop_len")
+            .over(Window.partitionBy("fname"))
+            .alias("n_samples"),
+        )
+        .filter(F.col("pair_id") < _ALIGN_N)
+        .select(
+            "pair_id",
+            "gop_idx",
+            F.expr(
+                f"(keyframe_sample - 1) * {_GOP_MOVIE_MS} div n_samples"
+            ).alias("kf_pts_ms"),
+        )
+    )
+    j = cues.join(kf, "pair_id").filter(
+        F.col("kf_pts_ms") <= F.col("start_ms")
+    )
+    return (
+        j.groupBy("pair_id", "cue_idx", "start_ms")
+        .agg(
+            F.max(
+                F.struct(F.col("kf_pts_ms"), F.col("gop_idx"))
+            ).alias("m")
+        )
+        .select(
+            "pair_id",
+            "cue_idx",
+            "start_ms",
+            F.col("m.gop_idx").alias("gop_idx"),
+            F.col("m.kf_pts_ms").alias("kf_pts_ms"),
+            (F.col("start_ms") - F.col("m.kf_pts_ms")).alias(
+                "seek_gap_ms"
+            ),
+        )
+    )

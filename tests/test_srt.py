@@ -61,3 +61,37 @@ def test_malformed_time_line_keeps_row_with_null_times(
     assert r.n_lines == 1 and r.n_chars == len("hello world")
     # the rest of the file still parsed
     assert sum(r.valid_times for r in rows) == len(_srt_cues(0))
+
+
+def test_caption_align_asof_semantics(spark, sf_dir):
+    """Every cue must anchor to the LATEST keyframe at or before its
+    start — verified against an independent python as-of over the
+    two fixture formulas."""
+    from cs_pipeline_spark.sources.mp4 import _gop_meta
+    from cs_pipeline_spark.sources.srt import (
+        _ALIGN_N,
+        _GOP_MOVIE_MS,
+        mm_caption_align,
+    )
+
+    rows = {
+        (r.pair_id, r.cue_idx): r
+        for r in mm_caption_align(spark, sf_dir).collect()
+    }
+    total = 0
+    for pid in range(_ALIGN_N):
+        m = _gop_meta(pid)
+        kfs = [
+            (gi + 1, (k - 1) * _GOP_MOVIE_MS // m["n"])
+            for gi, k in enumerate(m["keyframes"])
+        ]
+        for cue in _srt_cues(pid):
+            total += 1
+            r = rows[(pid, cue["idx"])]
+            best = max(
+                (kf for kf in kfs if kf[1] <= cue["start_ms"]),
+                key=lambda kf: (kf[1], kf[0]),
+            )
+            assert (r.gop_idx, r.kf_pts_ms) == best, (pid, cue["idx"])
+            assert r.seek_gap_ms == cue["start_ms"] - best[1]
+    assert len(rows) == total

@@ -490,6 +490,7 @@ AUDIT: dict[str, dict] = {
     "scan_robots_rules": {"smj": 0},
     "text_license_detect": {"smj": 0, "exchange": 0},
     "scan_safetensors_meta": {"smj": 0, "exchange": 0},
+    "mm_caption_align": {},  # pair-keyed as-of; fan-out = keyframes/video
     "mm_audio_energy": {"smj": 0, "exchange": 0},
     "mm_curate_e2e": {"smj": 6},          # dhash branch x2 (3 SMJ each)
 }
