@@ -170,6 +170,7 @@ HEADLINE = [
     "text_license_detect",
     "scan_safetensors_meta",
     "mm_caption_align",
+    "sink_wds_shards",
 ]
 
 

@@ -148,3 +148,28 @@ def test_wds_samples_assembly(spark, sf_dir):
             assert r.sample_bytes == sum(
                 _member_size(i, s, e) for e in ("txt", "cls", "bin")
             )
+
+
+def test_wds_sink_roundtrip_interop(spark, sf_dir):
+    """The written shards must parse with BOTH our walker (via the
+    registered census) and stdlib tarfile, and member bodies must be
+    the exact normalized document text."""
+    import glob
+    import io
+    import tarfile
+
+    from cs_pipeline_spark.sources.scans import _scratch
+    from cs_pipeline_spark.sources.tar import sink_wds_shards
+
+    rows = {r.shard: r for r in sink_wds_shards(spark, sf_dir).collect()}
+    assert rows
+    paths = sorted(glob.glob(_scratch(sf_dir, "wds_out") + "/*.tar"))
+    assert len(paths) == len(rows)
+    with open(paths[0], "rb") as fh:
+        data = fh.read()
+    with tarfile.open(fileobj=io.BytesIO(data)) as tf:
+        members = tf.getmembers()
+        assert len(members) == rows[0].n_members
+        assert sum(m.size for m in members) == rows[0].payload_bytes
+        first = tf.extractfile(members[0]).read()
+        assert len(first) == members[0].size
