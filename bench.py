@@ -171,6 +171,7 @@ HEADLINE = [
     "scan_safetensors_meta",
     "mm_caption_align",
     "sink_wds_shards",
+    "scan_tfrecord_meta",
 ]
 
 

@@ -263,6 +263,7 @@ def _load_all_modules() -> None:
         sinks,
         srt,
         tar,
+        tfrecord,
         tiff,
         warc,
         wav,

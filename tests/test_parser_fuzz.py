@@ -32,6 +32,10 @@ from cs_pipeline_spark.sources.safetensors import (
 )
 from cs_pipeline_spark.sources.warc import decode_warc_records, encode_warc
 from cs_pipeline_spark.sources.tar import decode_tar_members, encode_tar
+from cs_pipeline_spark.sources.tfrecord import (
+    decode_tfrecord_meta,
+    encode_tfrecord,
+)
 from cs_pipeline_spark.sources.wav import decode_wav, encode_wav
 from cs_pipeline_spark.sources.webp import decode_webp_meta, encode_webp
 
@@ -50,6 +54,7 @@ _PARSERS = [
     (decode_pdf_meta, encode_pdf),
     (decode_warc_records, encode_warc),
     (decode_safetensors_meta, encode_safetensors),
+    (decode_tfrecord_meta, encode_tfrecord),
 ]
 
 
