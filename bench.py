@@ -172,6 +172,7 @@ HEADLINE = [
     "mm_caption_align",
     "sink_wds_shards",
     "scan_tfrecord_meta",
+    "scan_npy_header",
 ]
 
 

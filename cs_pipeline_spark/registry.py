@@ -257,6 +257,7 @@ def _load_all_modules() -> None:
         gif,
         mp3,
         mp4,
+        npy,
         ogg,
         pdf,
         scans,

@@ -24,6 +24,7 @@ from cs_pipeline_spark.sources.flac import decode_flac_meta, encode_flac
 from cs_pipeline_spark.sources.gif import decode_gif_meta, encode_gif as encode_gif_anim
 from cs_pipeline_spark.sources.mp4 import decode_mp4_meta, encode_mp4
 from cs_pipeline_spark.sources.mp3 import decode_mp3_meta, encode_mp3
+from cs_pipeline_spark.sources.npy import decode_npy_meta, encode_npy
 from cs_pipeline_spark.sources.ogg import decode_ogg_meta, encode_ogg
 from cs_pipeline_spark.sources.pdf import decode_pdf_meta, encode_pdf
 from cs_pipeline_spark.sources.safetensors import (
@@ -55,6 +56,7 @@ _PARSERS = [
     (decode_warc_records, encode_warc),
     (decode_safetensors_meta, encode_safetensors),
     (decode_tfrecord_meta, encode_tfrecord),
+    (decode_npy_meta, encode_npy),
 ]
 
 

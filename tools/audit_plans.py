@@ -493,6 +493,7 @@ AUDIT: dict[str, dict] = {
     "mm_caption_align": {},  # pair-keyed as-of; fan-out = keyframes/video
     "sink_wds_shards": {"smj": 0},
     "scan_tfrecord_meta": {"smj": 0, "exchange": 0},
+    "scan_npy_header": {"smj": 0, "exchange": 0},
     "mm_audio_energy": {"smj": 0, "exchange": 0},
     "mm_curate_e2e": {"smj": 6},          # dhash branch x2 (3 SMJ each)
 }
