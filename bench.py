@@ -173,6 +173,7 @@ HEADLINE = [
     "sink_wds_shards",
     "scan_tfrecord_meta",
     "scan_npy_header",
+    "mm_decode_quarantine",
 ]
 
 

@@ -252,6 +252,7 @@ def _load_all_modules() -> None:
         jpeg,
         png,
         pydatasource,
+        quarantine,
         robots,
         safetensors,
         gif,

@@ -92,3 +92,20 @@ def test_seeded_byte_flips_never_escape_valueerror():
                 parse(bytes(mutated))
             except ValueError:
                 pass
+
+
+def test_quarantine_boundary_is_exact(spark, sf_dir):
+    """Odd-indexed fixtures (structurally truncated) quarantine;
+    even ones parse — both directions pinned per format."""
+    from cs_pipeline_spark.sources.quarantine import (
+        _N_Q,
+        mm_decode_quarantine,
+    )
+
+    rows = {r.format: r for r in mm_decode_quarantine(spark, sf_dir).collect()}
+    assert set(rows) == {"gif", "mp3"}
+    for fmt in ("gif", "mp3"):
+        r = rows[fmt]
+        assert r.n_files == _N_Q
+        assert r.n_ok == _N_Q // 2
+        assert r.n_quarantined == _N_Q // 2
