@@ -174,6 +174,7 @@ HEADLINE = [
     "scan_tfrecord_meta",
     "scan_npy_header",
     "mm_decode_quarantine",
+    "mm_decode_bmp",
 ]
 
 

@@ -20,6 +20,7 @@ from cs_pipeline_spark.sources.jpeg import (
     encode_jpeg_dc,
     encode_jpeg_gps,
 )
+from cs_pipeline_spark.sources.bmp import decode_bmp_meta, encode_bmp
 from cs_pipeline_spark.sources.flac import decode_flac_meta, encode_flac
 from cs_pipeline_spark.sources.gif import decode_gif_meta, encode_gif as encode_gif_anim
 from cs_pipeline_spark.sources.mp4 import decode_mp4_meta, encode_mp4
@@ -57,6 +58,7 @@ _PARSERS = [
     (decode_safetensors_meta, encode_safetensors),
     (decode_tfrecord_meta, encode_tfrecord),
     (decode_npy_meta, encode_npy),
+    (decode_bmp_meta, encode_bmp),
 ]
 
 

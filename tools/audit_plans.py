@@ -495,6 +495,7 @@ AUDIT: dict[str, dict] = {
     "scan_tfrecord_meta": {"smj": 0, "exchange": 0},
     "scan_npy_header": {"smj": 0, "exchange": 0},
     "mm_decode_quarantine": {"smj": 0, "exchange": 1},
+    "mm_decode_bmp": {"smj": 0, "exchange": 0},
     "mm_audio_energy": {"smj": 0, "exchange": 0},
     "mm_curate_e2e": {"smj": 6},          # dhash branch x2 (3 SMJ each)
 }
