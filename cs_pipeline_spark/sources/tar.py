@@ -317,9 +317,9 @@ _WDS_SHARD_DOCS = 100  # docs per shard (doc_id div)
 
 @register(
     "sink_wds_shards",
-    """
+    f"""
     WITH norm AS (
-      SELECT doc_id, doc_id // 100 AS shard,
+      SELECT doc_id, doc_id // {_WDS_SHARD_DOCS} AS shard,
              length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
                AS nb
       FROM documents)
