@@ -175,6 +175,9 @@ HEADLINE = [
     "scan_npy_header",
     "mm_decode_quarantine",
     "mm_decode_bmp",
+    # round-9 wave: PDF text read path, gzip-member WARC, audio
+    # spectral features, video keyframe pixels, incremental-ingest
+    "text_pdf_extract",
 ]
 
 

@@ -27,7 +27,12 @@ from cs_pipeline_spark.sources.mp4 import decode_mp4_meta, encode_mp4
 from cs_pipeline_spark.sources.mp3 import decode_mp3_meta, encode_mp3
 from cs_pipeline_spark.sources.npy import decode_npy_meta, encode_npy
 from cs_pipeline_spark.sources.ogg import decode_ogg_meta, encode_ogg
-from cs_pipeline_spark.sources.pdf import decode_pdf_meta, encode_pdf
+from cs_pipeline_spark.sources.pdf import (
+    decode_pdf_meta,
+    encode_pdf,
+    encode_pdf_text,
+    extract_pdf_text,
+)
 from cs_pipeline_spark.sources.safetensors import (
     decode_safetensors_meta,
     encode_safetensors,
@@ -54,6 +59,7 @@ _PARSERS = [
     (decode_mp3_meta, encode_mp3),
     (decode_ogg_meta, encode_ogg),
     (decode_pdf_meta, encode_pdf),
+    (extract_pdf_text, encode_pdf_text),
     (decode_warc_records, encode_warc),
     (decode_safetensors_meta, encode_safetensors),
     (decode_tfrecord_meta, encode_tfrecord),
