@@ -178,6 +178,7 @@ HEADLINE = [
     # round-9 wave: PDF text read path, gzip-member WARC, audio
     # spectral features, video keyframe pixels, incremental-ingest
     "text_pdf_extract",
+    "scan_warc_gz_records",
 ]
 
 

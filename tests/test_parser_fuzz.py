@@ -37,7 +37,11 @@ from cs_pipeline_spark.sources.safetensors import (
     decode_safetensors_meta,
     encode_safetensors,
 )
-from cs_pipeline_spark.sources.warc import decode_warc_records, encode_warc
+from cs_pipeline_spark.sources.warc import (
+    decode_warc_records,
+    encode_warc,
+    encode_warc_gz,
+)
 from cs_pipeline_spark.sources.tar import decode_tar_members, encode_tar
 from cs_pipeline_spark.sources.tfrecord import (
     decode_tfrecord_meta,
@@ -61,6 +65,7 @@ _PARSERS = [
     (decode_pdf_meta, encode_pdf),
     (extract_pdf_text, encode_pdf_text),
     (decode_warc_records, encode_warc),
+    (decode_warc_records, encode_warc_gz),
     (decode_safetensors_meta, encode_safetensors),
     (decode_tfrecord_meta, encode_tfrecord),
     (decode_npy_meta, encode_npy),

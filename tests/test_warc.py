@@ -56,3 +56,59 @@ def test_warc_registered_op(spark, sf_dir):
         r = rows[f"crawl-{i:03d}.warc"]
         for k, v in m.items():
             assert getattr(r, k) == v, (i, k)
+
+
+# ---------- gzip-member shards (CommonCrawl layout, round 9) ----------
+
+
+def test_warc_gz_members_census_matches_plain():
+    from cs_pipeline_spark.sources.warc import encode_warc_gz
+
+    for i in range(3):
+        plain = decode_warc_records(encode_warc(i))
+        gz = decode_warc_records(encode_warc_gz(i))
+        for k in _warc_meta(i):
+            assert gz[k] == plain[k], (i, k)
+        assert gz["n_gzip_members"] == _warc_meta(i)["n_records"]
+        assert plain["n_gzip_members"] == 0
+
+
+def test_warc_gz_truncated_member_rejected():
+    from cs_pipeline_spark.sources.warc import encode_warc_gz
+
+    payload = encode_warc_gz(1)
+    with pytest.raises(ValueError, match="gzip|truncated"):
+        decode_warc_records(payload[: len(payload) - 3])
+
+
+def test_warc_gz_mixed_interleave():
+    from cs_pipeline_spark.sources.warc import (
+        _gzip_member,
+        _record,
+        encode_warc_gz,
+    )
+
+    # plain record followed by a gzip member followed by plain
+    plain = _record("request", "http://x/a", b"GET /a HTTP/1.1\r\n\r\n")
+    gz = _gzip_member(plain)
+    m = decode_warc_records(plain + gz + plain)
+    assert m["n_records"] == 3
+    assert m["n_gzip_members"] == 1
+
+
+def test_warc_gz_registered_op(spark, sf_dir):
+    from cs_pipeline_spark.sources.warc import (
+        _N_GZWARCS,
+        scan_warc_gz_records,
+    )
+
+    rows = {
+        r.fname: r for r in scan_warc_gz_records(spark, sf_dir).collect()
+    }
+    assert len(rows) == _N_GZWARCS
+    for i in range(_N_GZWARCS):
+        name = f"mix-{i:03d}.warc" + (".gz" if i % 2 == 1 else "")
+        r = rows[name]
+        m = _warc_meta(i)
+        assert r.n_records == m["n_records"]
+        assert r.n_gzip_members == (m["n_records"] if i % 2 else 0)
