@@ -179,6 +179,7 @@ HEADLINE = [
     # spectral features, video keyframe pixels, incremental-ingest
     "text_pdf_extract",
     "scan_warc_gz_records",
+    "mm_audio_features",
 ]
 
 

@@ -245,3 +245,53 @@ def test_silence_trim_run_structure_varies():
         if best >= 3:
             any_long = True
     assert any_lead and any_trail and any_long
+
+
+# ---------- spectral features (round 9) ----------
+
+
+def test_spectral_frames_count_and_band_separation():
+    import math
+
+    import numpy as np
+
+    from cs_pipeline_spark.sources.wav import (
+        _SPEC_BANDS,
+        _SPEC_FRAME,
+        _spec_tables,
+        wav_spectral_rows,
+    )
+
+    for i in range(3):
+        rows = wav_spectral_rows(encode_wav(i))
+        assert len(rows) == _wav_meta(i)["n_frames"] // _SPEC_FRAME
+        for r in rows:
+            assert r["centroid"] is None or (
+                _SPEC_BANDS[0] <= r["centroid"] <= _SPEC_BANDS[-1]
+            )
+    # a pure k=16 tone must put (almost) all power in the 16 band:
+    # build a synthetic 256-frame mono 16-bit WAV of cos(2π·16·j/256)
+    qc, qs = _spec_tables()
+    j = np.arange(256)
+    tone = np.floor(
+        100 * np.cos(math.pi * 16 * j / 128.0) + 0.5
+    ).astype("<i2")
+    import struct as st
+
+    fmt = st.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + st.pack("<I", len(fmt)) + fmt
+        + b"data" + st.pack("<I", 512) + tone.tobytes()
+    )
+    payload = b"RIFF" + st.pack("<I", len(body)) + body
+    (row,) = wav_spectral_rows(payload)
+    assert row["e_b16"] > 100 * max(row["e_b4"], row["e_b64"])
+    assert abs(row["centroid"] - 16.0) < 0.1
+
+
+def test_spectral_tail_frames_dropped():
+    from cs_pipeline_spark.sources.wav import wav_spectral_rows
+
+    rows = wav_spectral_rows(encode_wav(0))  # 2000 frames → 7 full
+    assert [r["frame"] for r in rows] == list(range(2000 // 256))
