@@ -180,6 +180,7 @@ HEADLINE = [
     "text_pdf_extract",
     "scan_warc_gz_records",
     "mm_audio_features",
+    "mm_video_keyframe_pixels",
 ]
 
 

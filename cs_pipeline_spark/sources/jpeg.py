@@ -424,12 +424,13 @@ def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple]:
     }
 
 
-def encode_jpeg_dc(i: int) -> bytes:
+def encode_jpeg_gray(nbx: int, nby: int, block_value) -> bytes:
     """Emit a real baseline grayscale JPEG whose entropy stream
     Huffman-codes the per-block DC differences (AC all zero → EOB),
-    with DC quant step 8 so block means decode integer-exact."""
-    m = _dc_img_meta(i)
-    nbx, nby = m["nbx"], m["nby"]
+    with DC quant step 8 so block means decode integer-exact.
+    ``block_value(bx, by)`` gives each 8×8 block's constant pixel
+    value (0–255). Shared by the DC fixtures and the MJPEG-in-MP4
+    keyframe fixtures (sources/mp4.py)."""
     out = bytearray(b"\xff\xd8")
     qtab = bytes([8] + [16] * 63)  # q[0]=8 (DC), rest unused (AC=0)
     out += _seg(0xDB, bytes([0]) + qtab)
@@ -446,7 +447,7 @@ def encode_jpeg_dc(i: int) -> bytes:
     prev = 0
     for by in range(nby):
         for bx in range(nbx):
-            dc = _dc_block_value(i, bx, by) - 128  # = quantized DC (q=8)
+            dc = block_value(bx, by) - 128  # = quantized DC (q=8)
             diff = dc - prev
             prev = dc
             s = abs(diff).bit_length()
@@ -459,6 +460,14 @@ def encode_jpeg_dc(i: int) -> bytes:
     out += bw.flush()
     out += b"\xff\xd9"
     return bytes(out)
+
+
+def encode_jpeg_dc(i: int) -> bytes:
+    """DC-statistics fixture i via the shared grayscale encoder."""
+    m = _dc_img_meta(i)
+    return encode_jpeg_gray(
+        m["nbx"], m["nby"], lambda bx, by: _dc_block_value(i, bx, by)
+    )
 
 
 class _BitReader:

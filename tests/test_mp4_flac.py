@@ -211,3 +211,73 @@ def test_stss_and_stsz_tables_bounds_checked():
 
     with _pytest.raises(ValueError, match="stss"):
         decode_mp4_meta(bytes(payload))
+
+
+# ---------- MJPEG keyframe pixels (round 9) ----------
+
+
+def test_mjpeg_keyframe_pixels_roundtrip():
+    from cs_pipeline_spark.sources.mp4 import (
+        _MJ_NBX,
+        _MJ_NBY,
+        _mjpeg_block,
+        _mjpeg_n_samples,
+        _N_MJPEGS,
+        decode_mp4_keyframe_pixels,
+        encode_mp4_mjpeg,
+    )
+
+    for i in range(_N_MJPEGS):
+        rows = decode_mp4_keyframe_pixels(encode_mp4_mjpeg(i))
+        n = _mjpeg_n_samples(i)
+        assert [r["sample_idx"] for r in rows] == [
+            s + 1 for s in range(n) if s % 2 == 0
+        ]
+        for r in rows:
+            s = r["sample_idx"] - 1
+            vs = [
+                _mjpeg_block(i, s, bx, by)
+                for by in range(_MJ_NBY)
+                for bx in range(_MJ_NBX)
+            ]
+            assert r["mean_sum"] == sum(vs)
+            assert r["is_blank"] == (1 if s == 2 else 0)
+            assert (r["width"], r["height"]) == (_MJ_NBX * 8, _MJ_NBY * 8)
+
+
+def test_mjpeg_only_sync_samples_decoded():
+    from cs_pipeline_spark.sources.mp4 import (
+        decode_mp4_keyframe_pixels,
+        encode_mp4_mjpeg,
+    )
+
+    # video 1 has 5 samples; non-sync (even 1-based) must not appear
+    rows = decode_mp4_keyframe_pixels(encode_mp4_mjpeg(1))
+    assert {r["sample_idx"] for r in rows} == {1, 3, 5}
+
+
+def test_mjpeg_missing_stss_rejected():
+    from cs_pipeline_spark.sources.mp4 import (
+        decode_mp4_keyframe_pixels,
+        encode_mp4_mjpeg,
+    )
+
+    payload = bytearray(encode_mp4_mjpeg(0))
+    at = bytes(payload).find(b"stss")
+    payload[at : at + 4] = b"stsX"
+    with pytest.raises(ValueError, match="stss|stsz|stco"):
+        decode_mp4_keyframe_pixels(bytes(payload))
+
+
+def test_mjpeg_corrupt_jpeg_sample_rejected():
+    from cs_pipeline_spark.sources.mp4 import (
+        decode_mp4_keyframe_pixels,
+        encode_mp4_mjpeg,
+    )
+
+    payload = bytearray(encode_mp4_mjpeg(2))
+    # corrupt the first JPEG's SOI inside mdat
+    at = bytes(payload).find(b"\xff\xd8", 8)
+    payload[at + 1] = 0x00
+    with pytest.raises(ValueError):
+        decode_mp4_keyframe_pixels(bytes(payload))

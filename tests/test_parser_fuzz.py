@@ -23,7 +23,12 @@ from cs_pipeline_spark.sources.jpeg import (
 from cs_pipeline_spark.sources.bmp import decode_bmp_meta, encode_bmp
 from cs_pipeline_spark.sources.flac import decode_flac_meta, encode_flac
 from cs_pipeline_spark.sources.gif import decode_gif_meta, encode_gif as encode_gif_anim
-from cs_pipeline_spark.sources.mp4 import decode_mp4_meta, encode_mp4
+from cs_pipeline_spark.sources.mp4 import (
+    decode_mp4_keyframe_pixels,
+    decode_mp4_meta,
+    encode_mp4,
+    encode_mp4_mjpeg,
+)
 from cs_pipeline_spark.sources.mp3 import decode_mp3_meta, encode_mp3
 from cs_pipeline_spark.sources.npy import decode_npy_meta, encode_npy
 from cs_pipeline_spark.sources.ogg import decode_ogg_meta, encode_ogg
@@ -58,6 +63,7 @@ _PARSERS = [
     (decode_gif_meta, encode_gif_anim),
     (decode_webp_meta, encode_webp),
     (decode_mp4_meta, encode_mp4),
+    (decode_mp4_keyframe_pixels, encode_mp4_mjpeg),
     (decode_flac_meta, encode_flac),
     (decode_tar_members, encode_tar),
     (decode_mp3_meta, encode_mp3),
