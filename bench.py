@@ -181,6 +181,8 @@ HEADLINE = [
     "scan_warc_gz_records",
     "mm_audio_features",
     "mm_video_keyframe_pixels",
+    "sim_ivf_retrain",
+    "ingest_incremental_e2e",
 ]
 
 

@@ -1,0 +1,181 @@
+"""Flagship #9: dedup + index maintenance at ingest, end to end.
+
+The production "what happens when today's batch arrives" story
+(VERDICT r8 ask #7): a new embedding batch is screened against the
+persisted LSH band index (``dedup_lsh_incremental``), the admitted
+count is derived from the verified near-dup pairs, the batch folds
+into the persisted IVF index and queries immediately retrieve it
+(``sim_ivf_incremental``), and the periodic retrain quantifies
+centroid drift (``sim_ivf_retrain``). Each stage is an individually
+hash-checked registered op; the flagship composes them BY REFERENCE
+(the crawl_ingest_e2e / anomaly_suite_e2e contract: the oracle embeds
+the registered SQL of its parts, the Spark side calls the registered
+builders) into one (stage, metric, value) funnel report —
+structurally incapable of disagreeing with its parts.
+
+Scale: every stage is the incremental-maintenance shape — batch ⋈
+persisted index, O(batch·K) fold-in, bounded-K retrain passes; the
+flagship adds only 1-row aggregates and a union. This is the funnel a
+1000-executor ingest job runs nightly against a petabyte index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cs_pipeline_spark.registry import register
+
+_MOD = 10  # = dedup._INC_BATCH_MOD = similarity._IVF_BATCH_MOD
+
+
+def _ingest_oracle() -> str:
+    # force providers to register (import order != registration order)
+    import cs_pipeline_spark.operators.dedup  # noqa: F401
+    import cs_pipeline_spark.operators.similarity  # noqa: F401
+    from cs_pipeline_spark.registry import _REGISTRY
+
+    o = {
+        k: _REGISTRY[k].oracle
+        for k in (
+            "dedup_lsh_incremental",
+            "sim_ivf_incremental",
+            "sim_ivf_retrain",
+        )
+    }
+    # Each part materializes ONCE (the embedded oracles are expensive
+    # full recomputes; without MATERIALIZED DuckDB would inline the
+    # LSH pipeline into every UNION branch — 2^N-work, CLAUDE.md r2).
+    return f"""
+    WITH fpairs AS MATERIALIZED ({o['dedup_lsh_incremental']}),
+    fsearch AS MATERIALIZED ({o['sim_ivf_incremental']}),
+    fretrain AS MATERIALIZED ({o['sim_ivf_retrain']}),
+    fdup AS MATERIALIZED (
+        SELECT DISTINCT x FROM (
+          SELECT vec_a AS x FROM fpairs
+          WHERE vec_a % {_MOD} = 0 AND vec_b % {_MOD} <> 0
+          UNION
+          SELECT vec_b FROM fpairs
+          WHERE vec_b % {_MOD} = 0 AND vec_a % {_MOD} <> 0
+          UNION
+          SELECT vec_b FROM fpairs
+          WHERE vec_a % {_MOD} = 0 AND vec_b % {_MOD} = 0
+        )
+    )
+    SELECT 'batch' AS stage, 'vectors' AS metric,
+           CAST(COUNT(*) AS BIGINT) AS value
+    FROM embeddings WHERE vec_id % {_MOD} = 0
+    UNION ALL
+    SELECT 'dedup', 'dup_pairs', CAST(COUNT(*) AS BIGINT) FROM fpairs
+    UNION ALL
+    SELECT 'dedup', 'dup_vectors', CAST(COUNT(*) AS BIGINT) FROM fdup
+    UNION ALL
+    SELECT 'dedup', 'admitted',
+           CAST((SELECT COUNT(*) FROM embeddings
+                 WHERE vec_id % {_MOD} = 0)
+                - (SELECT COUNT(*) FROM fdup) AS BIGINT)
+    UNION ALL
+    SELECT 'search', 'results', CAST(COUNT(*) AS BIGINT) FROM fsearch
+    UNION ALL
+    SELECT 'search', 'batch_neighbors', CAST(COUNT(*) AS BIGINT)
+    FROM fsearch WHERE neighbor_id % {_MOD} = 0
+    UNION ALL
+    SELECT 'retrain', 'max_shift_scaled',
+           CAST(MAX(shift_scaled) AS BIGINT)
+    FROM fretrain
+    UNION ALL
+    SELECT 'retrain', 'moved_abs',
+           CAST(SUM(ABS(n_after - n_before)) AS BIGINT)
+    FROM fretrain
+    """
+
+
+@register(
+    "ingest_incremental_e2e",
+    _ingest_oracle(),
+    doc="flagship #9: the dedup+index-at-ingest funnel — batch size, "
+    "verified near-dup pairs vs the persisted LSH band index, "
+    "duplicate/admitted split (a batch vector is a dup if it matches "
+    "the standing corpus, or the earlier member of a batch-batch "
+    "pair), post-fold-in top-k results and how many retrieve batch "
+    "vectors, and retrain drift (max centroid shift, gross membership "
+    "moves) — one (stage, metric, value) report composed by reference "
+    "from three hash-checked ops (VERDICT r8 ask #7)",
+)
+def ingest_incremental_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One page answering 'what did tonight's ingest do': how many
+    vectors arrived, what the standing LSH index flagged (pairs, then
+    distinct duplicate vectors under the keep-earliest rule), how many
+    were admitted, whether the maintained ANN index retrieves the new
+    batch (results + batch-neighbor hits), and what the periodic
+    retrain says about drift. Composition by reference — see module
+    docstring.
+
+    Scale: three incremental-maintenance stages (each documented in
+    its own op); the flagship adds 1-row aggregates and an 8-row
+    union.
+    """
+    from cs_pipeline_spark.operators.dedup import dedup_lsh_incremental
+    from cs_pipeline_spark.operators.similarity import (
+        sim_ivf_incremental,
+        sim_ivf_retrain,
+    )
+    from cs_pipeline_spark.tables import load
+
+    emb = load(spark, "embeddings", sf_dir)
+    pairs = dedup_lsh_incremental(spark, sf_dir)
+    search = sim_ivf_incremental(spark, sf_dir)
+    retrain = sim_ivf_retrain(spark, sf_dir)
+
+    is_b = lambda c: F.col(c) % _MOD == 0  # noqa: E731
+    dup_vecs = (
+        pairs.filter(is_b("vec_a") & ~is_b("vec_b"))
+        .select(F.col("vec_a").alias("x"))
+        .union(
+            pairs.filter(is_b("vec_b") & ~is_b("vec_a")).select("vec_b")
+        )
+        .union(
+            pairs.filter(is_b("vec_a") & is_b("vec_b")).select("vec_b")
+        )
+        .distinct()
+    )
+    batch_n = emb.filter(is_b("vec_id")).agg(
+        F.count(F.lit(1)).alias("value")
+    )
+    dup_n = dup_vecs.agg(F.count(F.lit(1)).alias("value"))
+
+    def row(stage: str, metric: str, agg: DataFrame) -> DataFrame:
+        return agg.select(
+            F.lit(stage).alias("stage"),
+            F.lit(metric).alias("metric"),
+            F.col("value").cast("long").alias("value"),
+        )
+
+    admitted = batch_n.crossJoin(
+        dup_n.withColumnRenamed("value", "d")
+    ).select((F.col("value") - F.col("d")).alias("value"))
+    parts = [
+        row("batch", "vectors", batch_n),
+        row("dedup", "dup_pairs",
+            pairs.agg(F.count(F.lit(1)).alias("value"))),
+        row("dedup", "dup_vectors", dup_n),
+        row("dedup", "admitted", admitted),
+        row("search", "results",
+            search.agg(F.count(F.lit(1)).alias("value"))),
+        row("search", "batch_neighbors",
+            search.filter(is_b("neighbor_id")).agg(
+                F.count(F.lit(1)).alias("value")
+            )),
+        row("retrain", "max_shift_scaled",
+            retrain.agg(F.max("shift_scaled").alias("value"))),
+        row("retrain", "moved_abs",
+            retrain.agg(
+                F.sum(F.abs(F.col("n_after") - F.col("n_before"))).alias(
+                    "value"
+                )
+            )),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

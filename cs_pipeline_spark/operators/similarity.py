@@ -5424,3 +5424,163 @@ def sim_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .drop("rn")
     )
+
+
+# ---------- periodic IVF retrain: the drift-compaction twin ----------
+# (VERDICT r8 ask #8: the full-recompute path sim_ivf_incremental's
+# docstring promises, with a centroid-shift report vs the persisted
+# index.)
+
+
+def _sql_ivf_retrain() -> str:
+    cos_c = (
+        _sql_qdot("n.embedding", "c0.cen")
+        + " / (SQRT(n.nrm) * SQRT(c0.cnrm))"
+    )
+    d2_new = _sql_int_d2(e="e", c="c", vec="eq", cen="cq")
+    d2_shift = _sql_int_d2(e="cold", c="cnew", vec="cq", cen="cq")
+    return (
+        "WITH n AS (SELECT vec_id, embedding, "
+        + _sql_qdot("embedding", "embedding")
+        + " AS nrm FROM embeddings), "
+        "c0 AS (SELECT vec_id AS cluster_id, embedding AS cen, "
+        f"nrm AS cnrm FROM n WHERE vec_id BETWEEN 1 AND {K_CELLS}), "
+        "cells AS MATERIALIZED (SELECT vec_id, cluster_id FROM ("
+        "SELECT n.vec_id, c0.cluster_id, ROW_NUMBER() OVER ("
+        f"PARTITION BY n.vec_id ORDER BY {cos_c} DESC, c0.cluster_id) "
+        "AS rn FROM n CROSS JOIN c0) t WHERE rn = 1), "
+        "eqs AS MATERIALIZED (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) "
+        "* 1000000.0 + 0.5) AS BIGINT)) AS eq FROM embeddings), "
+        "u AS (SELECT ce.cluster_id, "
+        f"unnest(range(1, {_KM_DIM} + 1)) AS pos, unnest(e.eq) AS v "
+        "FROM cells ce JOIN eqs e ON e.vec_id = ce.vec_id), "
+        "cnew AS MATERIALIZED (SELECT cluster_id, "
+        "list(cv ORDER BY pos) AS cq FROM ("
+        "SELECT cluster_id, pos, SUM(v) // COUNT(*) AS cv "
+        "FROM u GROUP BY cluster_id, pos) GROUP BY cluster_id), "
+        "cold AS (SELECT cluster_id, "
+        "list_transform(cen, x -> CAST(FLOOR(CAST(x AS DOUBLE) "
+        "* 1000000.0 + 0.5) AS BIGINT)) AS cq FROM c0), "
+        "a2 AS (SELECT vec_id, cluster_id FROM ("
+        f"SELECT e.vec_id, c.cluster_id, {d2_new} AS d2, "
+        "ROW_NUMBER() OVER (PARTITION BY e.vec_id "
+        f"ORDER BY {d2_new}, c.cluster_id) AS rn "
+        "FROM eqs e CROSS JOIN cnew c) t WHERE rn = 1), "
+        "nb AS (SELECT cluster_id, COUNT(*) AS n_before FROM cells "
+        "GROUP BY cluster_id), "
+        "na AS (SELECT cluster_id, COUNT(*) AS n_after FROM a2 "
+        "GROUP BY cluster_id) "
+        "SELECT CAST(c0.cluster_id AS BIGINT) AS cluster_id, "
+        "CAST(COALESCE(nb.n_before, 0) AS BIGINT) AS n_before, "
+        "CAST(COALESCE(na.n_after, 0) AS BIGINT) AS n_after, "
+        f"CAST(CAST({d2_shift} AS BIGINT) // 1000000 AS BIGINT) "
+        "AS shift_scaled "
+        "FROM c0 "
+        "LEFT JOIN nb ON nb.cluster_id = c0.cluster_id "
+        "LEFT JOIN na ON na.cluster_id = c0.cluster_id "
+        "LEFT JOIN cold ON cold.cluster_id = c0.cluster_id "
+        "LEFT JOIN cnew ON cnew.cluster_id = c0.cluster_id"
+    )
+
+
+@register(
+    "sim_ivf_retrain",
+    _sql_ivf_retrain(),
+    doc="periodic IVF retrain (the compaction path sim_ivf_incremental "
+    "documents): one exact-integer Lloyd update over the MAINTAINED "
+    "index (persisted assignments ∪ batch fold-in) — floor-div grid "
+    "centroids, d2-argmin reassignment — reported per cluster as "
+    "(n_before, n_after, centroid shift_scaled) vs the persisted "
+    "centroid table; oracle recomputes from the full corpus "
+    "(VERDICT r8 ask #8)",
+)
+def sim_ivf_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drift-compaction twin of ``sim_ivf_incremental``
+    (similarity.py:5368): when enough batches have folded in, the
+    service retrains — new centroids are the exact floor-div means of
+    each maintained cell's members on the 1e6 grid (the
+    ``emb_kmeans_lloyd`` update step), the corpus reassigns by exact
+    integer d2, and the report quantifies drift: per cluster, the
+    membership before/after and the squared centroid shift. A cell
+    whose shift_scaled stays ~0 didn't drift; a cell bleeding members
+    (n_after ≪ n_before) tells the operator WHERE the distribution
+    moved.
+
+    The maintained-index side reads the SAME persisted artifacts the
+    incremental op maintains (centroids + standing assignments, plus
+    the batch fold-in by the same pure assignment function), so this
+    op IS the promised full-recompute run against the live index
+    state — the oracle recomputes everything from the raw corpus.
+
+    Scale: one broadcast-K assignment pass, one (cluster, dim) mean
+    shuffle bounded by K·d, one broadcast-K reassignment pass — the
+    standard periodic-retrain cost, linear in corpus size with no
+    pairwise stage. Runs offline; the incremental path keeps serving
+    until the new centroid table swaps in.
+    """
+    cpath, apath = _ivf_index_paths(sf_dir)
+    emb = pin(_with_norm(load(spark, "embeddings", sf_dir)))
+    cen_old = spark.read.parquet(cpath)
+    batch = emb.filter(F.col("vec_id") % _IVF_BATCH_MOD == 0)
+    assign_before = pin(
+        spark.read.parquet(apath).unionByName(
+            _assign_cells(batch, cen_old)
+        )
+    )
+    eqs = pin(_quantized_eq(emb, with_label=False))
+    upd = (
+        assign_before.join(eqs, "vec_id")
+        .select("cluster_id", F.posexplode("eq").alias("pos", "v"))
+        .groupBy("cluster_id", "pos")
+        .agg(F.expr("sum(v) div count(1)").alias("cv"))
+    )
+    cnew = _assemble_centroids(upd, key="cluster_id").withColumnRenamed(
+        "cq", "cq_new"
+    )
+    d2 = _int_d2(vec="eq", cen="cq_new")
+    reassigned = (
+        eqs.crossJoin(F.broadcast(cnew))
+        .select("vec_id", F.col("cluster_id"), d2.alias("d2"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cluster_id")).alias("b"))
+        .select(F.col("b.cluster_id").alias("cluster_id"))
+    )
+    n_after = reassigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_after")
+    )
+    n_before = assign_before.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_before")
+    )
+    cold = cen_old.select(
+        "cluster_id",
+        F.transform(
+            "cen",
+            lambda x: F.floor(
+                x.cast("double") * F.lit(1e6) + F.lit(0.5)
+            ).cast("long"),
+        ).alias("cq_old"),
+    )
+    shift = (
+        cold.join(cnew, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            F.expr(
+                "aggregate(zip_with(cq_old, cq_new, "
+                "(a, b) -> (a - b) * (a - b)), 0L, "
+                "(acc, x) -> acc + x) div 1000000"
+            ).alias("shift_scaled"),
+        )
+    )
+    return (
+        cen_old.select("cluster_id")
+        .join(n_before, "cluster_id", "left")
+        .join(n_after, "cluster_id", "left")
+        .join(shift, "cluster_id", "left")
+        .select(
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            F.coalesce("n_before", F.lit(0)).cast("long").alias("n_before"),
+            F.coalesce("n_after", F.lit(0)).cast("long").alias("n_after"),
+            F.col("shift_scaled").cast("long").alias("shift_scaled"),
+        )
+    )

@@ -229,6 +229,7 @@ def _load_all_modules() -> None:
         multimodal,
         pipeline_crawl,
         pipeline_curate,
+        pipeline_ingest,
         pipeline_e2e,
         pipeline_events,
         pipeline_point,

@@ -1,0 +1,37 @@
+"""Flagship #9 (ingest_incremental_e2e) + sim_ivf_retrain: funnel
+consistency and retrain conservation laws at sf0.001."""
+
+from __future__ import annotations
+
+
+def test_ingest_funnel_consistency(spark, sf_dir):
+    from cs_pipeline_spark.operators.pipeline_ingest import (
+        ingest_incremental_e2e,
+    )
+
+    rows = {
+        (r.stage, r.metric): r.value
+        for r in ingest_incremental_e2e(spark, sf_dir).collect()
+    }
+    assert len(rows) == 8
+    # admitted + dup_vectors == batch vectors (the keep/drop split)
+    assert (
+        rows[("dedup", "admitted")] + rows[("dedup", "dup_vectors")]
+        == rows[("batch", "vectors")]
+    )
+    assert rows[("dedup", "dup_vectors")] <= rows[("dedup", "dup_pairs")] * 2
+    assert rows[("search", "batch_neighbors")] <= rows[("search", "results")]
+    assert all(v >= 0 for v in rows.values())
+
+
+def test_retrain_conserves_membership(spark, sf_dir):
+    from cs_pipeline_spark.operators.similarity import sim_ivf_retrain
+    from cs_pipeline_spark.tables import load
+
+    df = sim_ivf_retrain(spark, sf_dir).collect()
+    n_corpus = load(spark, "embeddings", sf_dir).count()
+    # both assignment passes cover the full corpus exactly once
+    assert sum(r.n_before for r in df) == n_corpus
+    assert sum(r.n_after for r in df) == n_corpus
+    assert all(r.shift_scaled is not None and r.shift_scaled >= 0
+               for r in df if r.n_before > 0)
