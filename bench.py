@@ -183,6 +183,7 @@ HEADLINE = [
     "mm_video_keyframe_pixels",
     "sim_ivf_retrain",
     "ingest_incremental_e2e",
+    "scan_cdx_ranged_fetch",
 ]
 
 

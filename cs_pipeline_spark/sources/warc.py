@@ -35,6 +35,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from cs_pipeline_spark.registry import register
 from cs_pipeline_spark.sources.scans import _fixture, _scratch
@@ -331,26 +332,40 @@ def _gzip_member(data: bytes) -> bytes:
     return co.compress(data) + co.flush()
 
 
-def encode_warc_gz(i: int) -> bytes:
-    """Writer twin for CommonCrawl's shard layout: the SAME records
-    as ``encode_warc(i)`` but every record is its own gzip member, so
-    a reader with (offset, length) from the CDX index can inflate one
-    record without touching the rest of the shard."""
+def _warc_gz_members(i: int) -> list[tuple[str, str, bytes]]:
+    """(record_type, url, compressed_member_bytes) in file order —
+    the member boundary list a CDX indexer records at write time."""
     n = 3 + i
-    out = bytearray()
-    out += _gzip_member(_record("warcinfo", "", _INFO_PAYLOAD.encode()))
+    out = [
+        ("warcinfo", "",
+         _gzip_member(_record("warcinfo", "", _INFO_PAYLOAD.encode())))
+    ]
     for p in range(n):
         uri = f"http://example.com/page{p}"
-        out += _gzip_member(
-            _record("request", uri, _REQ_TMPL.format(p=p).encode())
-        )
+        out.append((
+            "request", uri,
+            _gzip_member(
+                _record("request", uri, _REQ_TMPL.format(p=p).encode())
+            ),
+        ))
         if _page_status(i, p) == 200:
             body = "<html>" + "x" * (_page_body_len(i, p) - 13) + "</html>"
             resp = _H200 + body
         else:
             resp = _H404 + _BODY404
-        out += _gzip_member(_record("response", uri, resp.encode()))
-    return bytes(out)
+        out.append((
+            "response", uri, _gzip_member(_record("response", uri,
+                                                  resp.encode()))
+        ))
+    return out
+
+
+def encode_warc_gz(i: int) -> bytes:
+    """Writer twin for CommonCrawl's shard layout: the SAME records
+    as ``encode_warc(i)`` but every record is its own gzip member, so
+    a reader with (offset, length) from the CDX index can inflate one
+    record without touching the rest of the shard."""
+    return b"".join(m[2] for m in _warc_gz_members(i))
 
 
 @_fixture
@@ -450,3 +465,175 @@ def scan_warc_gz_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(_scratch(sf_dir, "real_warcs_gz"))
     )
     return bf.select("path", "content").mapInPandas(batches, schema=schema)
+
+
+# ====================================================================
+# CDX ranged fetch — the (offset, length) access pattern the gzip
+# member layout exists for: the CDX index names each response
+# record's exact compressed byte range; a fetcher slices that range,
+# inflates ONE member, and never touches the rest of the shard.
+# ====================================================================
+
+
+@_fixture
+def _fx_warc_cdx(spark: SparkSession, sf_dir: str) -> None:
+    """CDXJ-style index over the gzip shards of the mixed fixture
+    dir: one JSON line per RESPONSE record with (filename, offset,
+    length, url) — written at indexing time from the member
+    boundaries, exactly like CommonCrawl's cdx-00xxx files."""
+    import json
+    import os
+
+    out_dir = _scratch(sf_dir, "real_warcs_gz")
+    os.makedirs(out_dir, exist_ok=True)
+    p = f"{out_dir}/ranged.cdx"
+    if os.path.exists(p):
+        return
+    lines = []
+    for i in range(_N_GZWARCS):
+        if i % 2 != 1:
+            continue  # CDX covers the gzip shards
+        fname = f"mix-{i:03d}.warc.gz"
+        off = 0
+        for rtype, url, blob in _warc_gz_members(i):
+            if rtype == "response":
+                lines.append(json.dumps({
+                    "filename": fname, "offset": off,
+                    "length": len(blob), "url": url,
+                }))
+            off += len(blob)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    os.replace(tmp, p)
+
+
+def fetch_cdx_member(shard: bytes, offset: int, length: int,
+                     url: str) -> dict:
+    """Slice ONE gzip member by its CDX (offset, length), inflate it,
+    parse the single WARC response record inside, verify the
+    WARC-Target-URI matches the index, and return (status,
+    body_bytes). ValueError-only: a stale index (wrong offset, range
+    not covering exactly one member, URI mismatch) fails loudly."""
+    import zlib
+
+    if offset < 0 or length < 2 or offset + length > len(shard):
+        raise ValueError("stale CDX: range outside shard")
+    blob = shard[offset : offset + length]
+    if blob[:2] != b"\x1f\x8b":
+        raise ValueError("stale CDX: offset not at a gzip member")
+    d = zlib.decompressobj(wbits=31)
+    try:
+        rec = d.decompress(blob)
+    except zlib.error as e:
+        raise ValueError(f"malformed WARC member: {e}")
+    if not d.eof or d.unused_data:
+        raise ValueError("stale CDX: length is not exactly one member")
+    hdr_end = rec.find(b"\r\n\r\n")
+    if hdr_end < 0 or not rec.startswith(b"WARC/1."):
+        raise ValueError("malformed WARC member: bad record header")
+    head = rec[:hdr_end]
+    if f"\r\nWARC-Target-URI: {url}\r\n".encode() not in head + b"\r\n":
+        raise ValueError("stale CDX: URI mismatch")
+    body = rec[hdr_end + 4 :]
+    if body.endswith(b"\r\n\r\n"):
+        body = body[:-4]
+    sm = re.match(rb"HTTP/1\.[01] (\d{3}) ", body)
+    if not sm:
+        raise ValueError("malformed WARC member: response not HTTP")
+    http_end = body.find(b"\r\n\r\n")
+    if http_end < 0:
+        raise ValueError("malformed WARC member: HTTP headers unterminated")
+    return {
+        "status": int(sm.group(1)),
+        "body_bytes": len(body) - http_end - 4,
+    }
+
+
+_CDX_ORACLE = f"""
+    WITH shards AS (SELECT unnest([1, 3, 5]) AS i),
+    pages AS (SELECT i, unnest(range(0, 3 + i)) AS p FROM shards)
+    SELECT printf('mix-%03d.warc.gz', CAST(i AS INT)) AS fname,
+           printf('http://example.com/page%d', CAST(p AS INT)) AS url,
+           CAST(CASE WHEN (p + i) % 4 = 3 THEN 404 ELSE 200 END
+                AS BIGINT) AS status,
+           CAST(CASE WHEN (p + i) % 4 = 3 THEN {len(_BODY404)}
+                     ELSE 120 + 31 * p + i END AS BIGINT) AS body_bytes
+    FROM pages
+"""
+
+
+@register(
+    "scan_cdx_ranged_fetch",
+    _CDX_ORACLE,
+    doc="CDX ranged fetch — the CommonCrawl access pattern the gzip "
+    "member layout exists for: a CDXJ index (filename, offset, "
+    "length, url) groups per shard, each entry slices exactly one "
+    "compressed member out of the shard bytes, inflates it alone, "
+    "verifies the URI against the index, and parses the HTTP "
+    "response — per-record status + body mass hash-checked against "
+    "the fixture formula",
+)
+def scan_cdx_ranged_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How production actually reads CommonCrawl: nobody streams
+    whole shards for a URL subset — the CDX index names each response
+    record's compressed byte range and fetchers issue ranged reads.
+    The fixture CDX is written from the true member boundaries; the
+    fetch verifies the member inflates standalone (eof + no
+    unused_data — a range off by one byte fails loudly) and that the
+    record's WARC-Target-URI matches the index entry (stale-index
+    detection).
+
+    Scale: CDX entries group per shard (collect_list is bounded by
+    records-per-shard, ~50k for a 1 GB shard) and join the shard scan
+    on filename — index rows co-locate with their shard, one task per
+    shard, each slicing only the requested ranges. On object storage
+    the same plan issues actual ranged GETs instead of binaryFile.
+    """
+    import os
+
+    schema = (
+        "fname string, url string, status long, body_bytes long"
+    )
+    cols = ["fname", "url", "status", "body_bytes"]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for fname, content, entries in zip(
+                pdf["fname"], pdf["content"], pdf["entries"]
+            ):
+                shard = bytes(content)
+                for e in entries:
+                    m = fetch_cdx_member(
+                        shard, int(e["offset"]), int(e["length"]),
+                        str(e["url"]),
+                    )
+                    rows.append({
+                        "fname": fname, "url": str(e["url"]),
+                        "status": m["status"],
+                        "body_bytes": m["body_bytes"],
+                    })
+            yield pd.DataFrame(rows, columns=cols) if rows else \
+                pd.DataFrame({k: [] for k in cols})
+
+    fdir = _scratch(sf_dir, "real_warcs_gz")
+    cdx = spark.read.option("pathGlobFilter", "*.cdx").json(fdir)
+    per_shard = cdx.groupBy("filename").agg(
+        F.collect_list(F.struct("offset", "length", "url")).alias(
+            "entries"
+        )
+    )
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "mix-*.warc.gz")
+        .load(fdir)
+        .select(
+            F.substring_index(F.col("path"), "/", -1).alias("fname"),
+            "content",
+        )
+    )
+    joined = bf.join(
+        per_shard, bf["fname"] == per_shard["filename"]
+    ).select("fname", "content", "entries")
+    return joined.mapInPandas(batches, schema=schema)

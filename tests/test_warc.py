@@ -112,3 +112,59 @@ def test_warc_gz_registered_op(spark, sf_dir):
         m = _warc_meta(i)
         assert r.n_records == m["n_records"]
         assert r.n_gzip_members == (m["n_records"] if i % 2 else 0)
+
+
+# ---------- CDX ranged fetch (round 9) ----------
+
+
+def test_cdx_fetch_member_roundtrip():
+    from cs_pipeline_spark.sources.warc import (
+        _warc_gz_members,
+        encode_warc_gz,
+        fetch_cdx_member,
+    )
+
+    for i in (1, 3, 5):
+        shard = encode_warc_gz(i)
+        off = 0
+        for rtype, url, blob in _warc_gz_members(i):
+            if rtype == "response":
+                m = fetch_cdx_member(shard, off, len(blob), url)
+                p = int(url.rsplit("page", 1)[1])
+                exp_status = 404 if (p + i) % 4 == 3 else 200
+                assert m["status"] == exp_status
+            off += len(blob)
+
+
+def test_cdx_stale_index_detected():
+    from cs_pipeline_spark.sources.warc import (
+        _warc_gz_members,
+        encode_warc_gz,
+        fetch_cdx_member,
+    )
+
+    shard = encode_warc_gz(1)
+    members = _warc_gz_members(1)
+    off0 = len(members[0][2]) + len(members[1][2])  # first response
+    rtype, url, blob = members[2]
+    assert rtype == "response"
+    # off-by-one offset → not a gzip member
+    with pytest.raises(ValueError, match="gzip member|stale"):
+        fetch_cdx_member(shard, off0 + 1, len(blob), url)
+    # short length → member unterminated
+    with pytest.raises(ValueError, match="member|stale"):
+        fetch_cdx_member(shard, off0, len(blob) - 2, url)
+    # long length → covers more than one member
+    with pytest.raises(ValueError, match="exactly one member"):
+        fetch_cdx_member(shard, off0, len(blob) + len(members[3][2]), url)
+    # wrong URL → URI mismatch
+    with pytest.raises(ValueError, match="URI mismatch"):
+        fetch_cdx_member(shard, off0, len(blob), "http://example.com/nope")
+
+
+def test_cdx_registered_op(spark, sf_dir):
+    from cs_pipeline_spark.sources.warc import scan_cdx_ranged_fetch
+
+    rows = scan_cdx_ranged_fetch(spark, sf_dir).collect()
+    assert len(rows) == sum(3 + i for i in (1, 3, 5))
+    assert {r.status for r in rows} == {200, 404}
