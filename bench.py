@@ -184,6 +184,7 @@ HEADLINE = [
     "sim_ivf_retrain",
     "ingest_incremental_e2e",
     "scan_cdx_ranged_fetch",
+    "scan_parquet_footer",
 ]
 
 

@@ -262,6 +262,7 @@ def _load_all_modules() -> None:
         mp4,
         npy,
         ogg,
+        parquet_footer,
         pdf,
         scans,
         sinks,

@@ -31,6 +31,10 @@ from cs_pipeline_spark.sources.mp4 import (
 )
 from cs_pipeline_spark.sources.mp3 import decode_mp3_meta, encode_mp3
 from cs_pipeline_spark.sources.npy import decode_npy_meta, encode_npy
+from cs_pipeline_spark.sources.parquet_footer import (
+    decode_parquet_footer,
+    encode_parquet_tbl,
+)
 from cs_pipeline_spark.sources.ogg import decode_ogg_meta, encode_ogg
 from cs_pipeline_spark.sources.pdf import (
     decode_pdf_meta,
@@ -75,6 +79,7 @@ _PARSERS = [
     (decode_safetensors_meta, encode_safetensors),
     (decode_tfrecord_meta, encode_tfrecord),
     (decode_npy_meta, encode_npy),
+    (decode_parquet_footer, encode_parquet_tbl),
     (decode_bmp_meta, encode_bmp),
 ]
 
