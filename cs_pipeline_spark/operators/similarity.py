@@ -5562,7 +5562,7 @@ def sim_ivf_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cq_old"),
     )
     shift = (
-        cold.join(cnew, "cluster_id", "left")
+        cold.join(F.broadcast(cnew), "cluster_id", "left")
         .select(
             "cluster_id",
             F.expr(
@@ -5572,11 +5572,14 @@ def sim_ivf_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shift_scaled"),
         )
     )
+    # all four report sides are K-bounded (one row per cluster) —
+    # broadcast explicitly; post-aggregate frames have no stats and
+    # would otherwise plan K-row SortMergeJoins
     return (
         cen_old.select("cluster_id")
-        .join(n_before, "cluster_id", "left")
-        .join(n_after, "cluster_id", "left")
-        .join(shift, "cluster_id", "left")
+        .join(F.broadcast(n_before), "cluster_id", "left")
+        .join(F.broadcast(n_after), "cluster_id", "left")
+        .join(F.broadcast(shift), "cluster_id", "left")
         .select(
             F.col("cluster_id").cast("long").alias("cluster_id"),
             F.coalesce("n_before", F.lit(0)).cast("long").alias("n_before"),

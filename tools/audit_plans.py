@@ -498,6 +498,22 @@ AUDIT: dict[str, dict] = {
     "mm_decode_bmp": {"smj": 0, "exchange": 0},
     "mm_audio_energy": {"smj": 0, "exchange": 0},
     "mm_curate_e2e": {"smj": 6},          # dhash branch x2 (3 SMJ each)
+    # round-9 additions: per-file decode/fetch ops are map-only;
+    # CDX fetch joins the per-shard entry lists to the shard scan
+    # (bounded by shards); the ingest flagship unions 1-row aggregates
+    # over three incremental stages (persisted-index joins inside)
+    "text_pdf_extract": {"smj": 0, "exchange": 0},
+    "scan_warc_gz_records": {"smj": 0, "exchange": 0},
+    "mm_audio_features": {"smj": 0, "exchange": 0},
+    "mm_video_keyframe_pixels": {"smj": 0, "exchange": 0},
+    "scan_cdx_ranged_fetch": {"smj": 1},  # shard⋈entries: both sides
+    # file-keyed and shard-bounded; AQE broadcasts at fixture scale,
+    # co-partitioned merge at lake scale — cap pins it from growing
+    "scan_parquet_footer": {"smj": 0, "exchange": 0},
+    "sim_ivf_retrain": {"smj": 1},  # assignments⋈vectors member-mean
+    # join, vec_id-co-partitioned fact join (inherent to the update
+    # step); all cluster-keyed report joins are explicit broadcasts
+    "ingest_incremental_e2e": {},         # union of stage aggregates
 }
 
 
