@@ -185,6 +185,8 @@ HEADLINE = [
     "ingest_incremental_e2e",
     "scan_cdx_ranged_fetch",
     "scan_parquet_footer",
+    "scan_bz2_multistream",
+    "text_wiki_markup_strip",
 ]
 
 

@@ -273,6 +273,7 @@ def _load_all_modules() -> None:
         warc,
         wav,
         webp,
+        wikidump,
     )
     from cs_pipeline_spark.streaming import batch_twins  # noqa: F401
 

@@ -57,6 +57,10 @@ from cs_pipeline_spark.sources.tfrecord import (
     encode_tfrecord,
 )
 from cs_pipeline_spark.sources.wav import decode_wav, encode_wav
+from cs_pipeline_spark.sources.wikidump import (
+    decode_wikidump_pages,
+    encode_wikidump,
+)
 from cs_pipeline_spark.sources.webp import decode_webp_meta, encode_webp
 
 _PARSERS = [
@@ -64,6 +68,7 @@ _PARSERS = [
     (decode_jpeg_dc, encode_jpeg_dc),
     (decode_jpeg_gps, encode_jpeg_gps),
     (decode_wav, encode_wav),
+    (decode_wikidump_pages, encode_wikidump),
     (decode_gif_meta, encode_gif_anim),
     (decode_webp_meta, encode_webp),
     (decode_mp4_meta, encode_mp4),

@@ -510,6 +510,9 @@ AUDIT: dict[str, dict] = {
     # file-keyed and shard-bounded; AQE broadcasts at fixture scale,
     # co-partitioned merge at lake scale — cap pins it from growing
     "scan_parquet_footer": {"smj": 0, "exchange": 0},
+    "scan_bz2_multistream": {"smj": 1},  # dump⋈index-entries, both
+    # sides file-keyed and dump-bounded (the CDX-fetch shape)
+    "text_wiki_markup_strip": {"smj": 0, "exchange": 0},
     "sim_ivf_retrain": {"smj": 1},  # assignments⋈vectors member-mean
     # join, vec_id-co-partitioned fact join (inherent to the update
     # step); all cluster-keyed report joins are explicit broadcasts
