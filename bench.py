@@ -187,6 +187,7 @@ HEADLINE = [
     "scan_parquet_footer",
     "scan_bz2_multistream",
     "text_wiki_markup_strip",
+    "dedup_bloom_incremental",
 ]
 
 

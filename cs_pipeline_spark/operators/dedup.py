@@ -1886,3 +1886,145 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("dup_chunks"), z).alias("dup_chunks"),
         F.coalesce(F.col("dup_chars"), z).alias("dup_chars"),
     )
+
+
+# ---------- Bloom pre-filter at ingest: distributed bitset ----------
+
+_BLOOM_BITS = 16384  # m: bitset width (256 int64 words)
+
+
+def _sql_bloom_pos(expr: str, off: int) -> str:
+    """Bit position from an md5 hex slice — the cross-engine hash
+    (Spark conv(substr(md5,..),16,10) == DuckDB CAST('0x'||substr)."""
+    return (
+        f"CAST(('0x' || substr(md5({expr}), {off}, 8)) AS BIGINT) "
+        f"% {_BLOOM_BITS}"
+    )
+
+
+@register(
+    "dedup_bloom_incremental",
+    f"""
+    WITH norm AS (SELECT doc_id,
+                  trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                    AS n
+                  FROM documents),
+    b AS (SELECT * FROM norm WHERE doc_id % 10 = 0),
+    s AS (SELECT * FROM norm WHERE doc_id % 10 <> 0),
+    sp AS (SELECT DISTINCT pos FROM (
+        SELECT {_sql_bloom_pos('n', 1)} AS pos FROM s
+        UNION ALL
+        SELECT {_sql_bloom_pos('n', 9)} FROM s)),
+    words AS (SELECT pos // 63 AS w,
+                     bit_or(1::BIGINT << CAST(pos % 63 AS INT)) AS bits
+              FROM sp GROUP BY 1),
+    probe AS (SELECT doc_id, n,
+                     {_sql_bloom_pos('n', 1)} AS p1,
+                     {_sql_bloom_pos('n', 9)} AS p2
+              FROM b),
+    pr AS (SELECT p.doc_id, p.n,
+        COALESCE((w1.bits & (1::BIGINT << CAST(p.p1 % 63 AS INT)))
+                 <> 0, FALSE)
+        AND COALESCE((w2.bits & (1::BIGINT << CAST(p.p2 % 63 AS INT)))
+                     <> 0, FALSE) AS flagged,
+        COALESCE(p.n IN (SELECT n FROM s), FALSE) AS truth
+        FROM probe p
+        LEFT JOIN words w1 ON w1.w = p.p1 // 63
+        LEFT JOIN words w2 ON w2.w = p.p2 // 63)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_batch,
+           CAST(SUM(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged,
+           CAST(SUM(CASE WHEN truth THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_true_dups,
+           CAST(SUM(CASE WHEN flagged AND NOT truth THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_pos,
+           CAST(SUM(CASE WHEN truth AND NOT flagged THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_neg
+    FROM pr
+    """,
+    doc="Bloom pre-filter at ingest: the standing corpus folds into a "
+    f"{_BLOOM_BITS}-bit distributed bitset (bit_or of shifted bits "
+    "grouped by 63-bit word (bit 63 never set: DuckDB checks << overflow); k=2 md5-slice hashes), the batch probes "
+    "it with two broadcast word lookups, and the census verifies the "
+    "Bloom contract against exact truth — n_false_neg MUST be 0 "
+    "(no false negatives, ever), n_false_pos is the measured FP cost",
+)
+def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cheap gate BEFORE exact/LSH dedup at ingest: a petabyte
+    standing corpus reduces to a bitset (m bits total — kilobytes to
+    gigabytes, broadcastable), and most definitely-new batch docs are
+    admitted without touching the corpus at all; only Bloom-positive
+    docs proceed to the exact verify (`dedup_lsh_incremental` /
+    `dedup_exact`). The op reports the full confusion census so the
+    false-positive rate — the knob that sizes m against |corpus| —
+    is measured, not assumed, and the zero-false-negative guarantee
+    is hash-checked every run.
+
+    Scale: the bitset build is one map-side-combined bit_or over
+    (word, bit) pairs — 2 rows per standing doc, collapsing to ≤ m/63
+    words; the probe is two broadcast joins against those words.
+    Maintenance is append-only (bit_or is idempotent/commutative —
+    exactly the agg_incremental_merge contract); deletes require a
+    rebuild or a counting filter, documented here as the production
+    trade.
+    """
+    m = _BLOOM_BITS
+    docs = load(spark, "documents", sf_dir).select(
+        "doc_id",
+        F.trim(
+            F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+        ).alias("n"),
+    )
+    h = F.md5("n")
+    p1 = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % m)
+    p2 = (F.conv(F.substring(h, 9, 8), 16, 10).cast("long") % m)
+    standing = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    sp = (
+        standing.select(F.explode(F.array(p1, p2)).alias("pos"))
+        .distinct()
+    )
+    words = sp.select(
+        F.expr("pos div 63").alias("w"),
+        (F.col("pos") % 63).alias("b"),
+    ).groupBy("w").agg(
+        F.expr("bit_or(shiftleft(1L, cast(b as int)))").alias("bits")
+    )
+    probe = batch.select("doc_id", "n", p1.alias("p1"), p2.alias("p2"))
+    w1 = words.select(F.col("w").alias("w1"), F.col("bits").alias("bits1"))
+    w2 = words.select(F.col("w").alias("w2"), F.col("bits").alias("bits2"))
+    hit = lambda bits, p: F.coalesce(  # noqa: E731
+        F.expr(
+            f"({bits} & shiftleft(1L, cast({p} % 63 as int))) != 0"
+        ),
+        F.lit(False),
+    )
+    truth_norms = standing.select("n").distinct().withColumn(
+        "truth0", F.lit(True)
+    )
+    pr = (
+        probe.join(
+            F.broadcast(w1), F.expr("p1 div 63") == F.col("w1"), "left"
+        )
+        .join(F.broadcast(w2), F.expr("p2 div 63") == F.col("w2"), "left")
+        .join(truth_norms, "n", "left")
+        .select(
+            (hit("bits1", "p1") & hit("bits2", "p2")).alias("flagged"),
+            F.coalesce("truth0", F.lit(False)).alias("truth"),
+        )
+    )
+    return pr.agg(
+        F.count(F.lit(1)).cast("long").alias("n_batch"),
+        F.sum(F.col("flagged").cast("long")).cast("long").alias(
+            "n_flagged"
+        ),
+        F.sum(F.col("truth").cast("long")).cast("long").alias(
+            "n_true_dups"
+        ),
+        F.sum((F.col("flagged") & ~F.col("truth")).cast("long"))
+        .cast("long")
+        .alias("n_false_pos"),
+        F.sum((F.col("truth") & ~F.col("flagged")).cast("long"))
+        .cast("long")
+        .alias("n_false_neg"),
+    )

@@ -125,3 +125,42 @@ def test_ivf_index_holds_only_non_batch_vectors(spark, sf_dir):
     cen = spark.read.parquet(cpath)
     assert cen.count() > 0
     assert set(cen.columns) == {"cluster_id", "cen", "cnrm"}
+
+
+# ---------- Bloom pre-filter (round 9) ----------
+
+
+def test_bloom_planted_duplicates_always_flagged(spark, tmp_path):
+    """Recall floor: every true duplicate MUST be Bloom-positive
+    (zero false negatives is the structural Bloom guarantee)."""
+    from cs_pipeline_spark.operators.dedup import dedup_bloom_incremental
+
+    rows = []
+    for d in range(200):
+        # docs 0,10,20,... are the batch; plant every batch doc's text
+        # as an exact copy of standing doc d+1 when d % 20 == 0
+        if d % 10 == 0 and d % 20 == 0:
+            text = f"standing text number {d + 1}"
+        else:
+            text = f"standing text number {d}"
+        rows.append((d, text))
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    sf = str(tmp_path)
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        f"{sf}/documents.parquet"
+    )
+    r = dedup_bloom_incremental.__wrapped__(spark, sf).collect()[0]
+    assert r.n_batch == 20
+    assert r.n_true_dups == 10  # the planted copies
+    assert r.n_false_neg == 0  # Bloom can never miss a true dup
+    assert r.n_flagged >= r.n_true_dups
+
+
+def test_bloom_census_at_fixture_scale(spark, sf_dir):
+    from cs_pipeline_spark.operators.dedup import dedup_bloom_incremental
+
+    r = dedup_bloom_incremental(spark, sf_dir).collect()[0]
+    assert r.n_false_neg == 0
+    assert r.n_flagged == r.n_true_dups + r.n_false_pos

@@ -510,6 +510,8 @@ AUDIT: dict[str, dict] = {
     # file-keyed and shard-bounded; AQE broadcasts at fixture scale,
     # co-partitioned merge at lake scale — cap pins it from growing
     "scan_parquet_footer": {"smj": 0, "exchange": 0},
+    "dedup_bloom_incremental": {"nlj": 0},  # bitset words broadcast;
+    # truth semi-join is the only doc-keyed join
     "scan_bz2_multistream": {"smj": 1},  # dump⋈index-entries, both
     # sides file-keyed and dump-bounded (the CDX-fetch shape)
     "text_wiki_markup_strip": {"smj": 0, "exchange": 0},
