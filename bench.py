@@ -188,6 +188,7 @@ HEADLINE = [
     "scan_bz2_multistream",
     "text_wiki_markup_strip",
     "dedup_bloom_incremental",
+    "scan_avro_blocks",
 ]
 
 

@@ -249,6 +249,7 @@ def _load_all_modules() -> None:
     )
     from cs_pipeline_spark.plans import request_groups, validate  # noqa: F401
     from cs_pipeline_spark.sources import (  # noqa: F401
+        avro_ocf,
         bmp,
         flac,
         jpeg,

@@ -1,0 +1,332 @@
+"""Avro Object Container File decode — dependency-free block walker.
+
+Avro OCF is what Kafka archival jobs and many CDC pipelines land on
+disk — the row-oriented counterpart to parquet in almost every lake.
+Spark ships avro support as a separate package, so a dependency-free
+engine needs its own reader for triage: block framing, codec, row
+counts, and typed decode of flat records. This module follows the
+``sources/parquet_footer.py`` posture: the wire format is decoded
+from bytes — magic ``Obj\\x01``, the metadata MAP (zigzag-varint
+block counts, string pairs: ``avro.schema`` JSON + ``avro.codec``),
+the 16-byte sync marker, then data blocks of (row count, byte size,
+payload, sync) with the sync REQUIRED to match the header's after
+every block (framing validation — a wrong block size desyncs loudly).
+
+Typed decode: the schema JSON is parsed (stdlib json) and flat
+records of ``long`` / ``string`` / ``double`` fields decode row by
+row — zigzag varints, length-prefixed UTF-8, 8-byte LE doubles.
+``null`` and ``deflate`` codecs supported (stdlib zlib, raw window).
+
+Malformed input raises ValueError only (the crawl contract, pinned by
+tests/test_parser_fuzz.py).
+
+Scale: per-file mapInPandas over a binaryFile scan; blocks decode
+sequentially within a file and files fan out across executors — the
+same shape every Avro splittable-input reader uses (sync markers are
+exactly what makes OCF block-splittable at 100 TB).
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from cs_pipeline_spark.registry import register
+from cs_pipeline_spark.sources.scans import _fixture, _scratch
+
+_N_AVRO = 4
+_ROWS_PER_BLOCK = 64
+
+_SCHEMA = json.dumps({
+    "type": "record",
+    "name": "r",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "v", "type": "string"},
+        {"name": "x", "type": "double"},
+    ],
+})
+
+
+def _avro_meta(i: int) -> dict:
+    n = 300 + 77 * i
+    return {
+        "n_rows": n,
+        "n_blocks": (n + _ROWS_PER_BLOCK - 1) // _ROWS_PER_BLOCK,
+        "deflate": i % 2 == 1,
+    }
+
+
+def _row_vals(i: int, r: int) -> tuple[int, str, float]:
+    return (r * 3 + i, f"val{r % 100}", float((r * 7 + i) % 1000) / 8.0)
+
+
+# ---------- writer ----------
+
+
+def _zz(v: int) -> bytes:
+    """zigzag + ULEB128 varint encode."""
+    u = (v << 1) ^ (v >> 63) if v < 0 else v << 1
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _avro_string(s: str) -> bytes:
+    b = s.encode()
+    return _zz(len(b)) + b
+
+
+def _sync(i: int) -> bytes:
+    return bytes((i * 31 + k * 7) % 256 for k in range(16))
+
+
+def encode_avro_ocf(i: int) -> bytes:
+    m = _avro_meta(i)
+    out = bytearray(b"Obj\x01")
+    # metadata map: one block of 2 entries, then empty terminator
+    out += _zz(2)
+    out += _avro_string("avro.schema") + _avro_string(_SCHEMA)
+    out += _avro_string("avro.codec") + _avro_string(
+        "deflate" if m["deflate"] else "null"
+    )
+    out += _zz(0)
+    out += _sync(i)
+    for b0 in range(0, m["n_rows"], _ROWS_PER_BLOCK):
+        rows = bytearray()
+        for r in range(b0, min(b0 + _ROWS_PER_BLOCK, m["n_rows"])):
+            rid, v, x = _row_vals(i, r)
+            rows += _zz(rid) + _avro_string(v) + struct.pack("<d", x)
+        data = bytes(rows)
+        if m["deflate"]:
+            co = zlib.compressobj(6, zlib.DEFLATED, -15)
+            data = co.compress(data) + co.flush()
+        out += _zz(min(_ROWS_PER_BLOCK, m["n_rows"] - b0))
+        out += _zz(len(data)) + data + _sync(i)
+    return bytes(out)
+
+
+# ---------- parser ----------
+
+
+class _AR:
+    def __init__(self, buf: bytes, pos: int = 0) -> None:
+        self.b = buf
+        self.p = pos
+
+    def u8(self) -> int:
+        if self.p >= len(self.b):
+            raise ValueError("truncated avro: varint underrun")
+        v = self.b[self.p]
+        self.p += 1
+        return v
+
+    def long(self) -> int:
+        u = 0
+        shift = 0
+        for _ in range(10):
+            b = self.u8()
+            u |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return (u >> 1) ^ -(u & 1)
+            shift += 7
+        raise ValueError("malformed avro: varint too long")
+
+    def bytes_(self) -> bytes:
+        ln = self.long()
+        if ln < 0 or self.p + ln > len(self.b):
+            raise ValueError("truncated avro: bytes overrun")
+        s = self.b[self.p : self.p + ln]
+        self.p += ln
+        return s
+
+    def double(self) -> float:
+        if self.p + 8 > len(self.b):
+            raise ValueError("truncated avro: double underrun")
+        v = struct.unpack("<d", self.b[self.p : self.p + 8])[0]
+        self.p += 8
+        return v
+
+
+def decode_avro_ocf(payload: bytes) -> dict:
+    """Header map + sync + block walk + typed flat-record decode →
+    per-file census. ValueError-only."""
+    if payload[:4] != b"Obj\x01":
+        raise ValueError("not an avro OCF: bad magic")
+    r = _AR(payload, 4)
+    meta: dict[bytes, bytes] = {}
+    while True:
+        count = r.long()
+        if count == 0:
+            break
+        if count < 0:  # spec: negative count is followed by byte size
+            count = -count
+            r.long()
+        if count > 1_000_000:
+            raise ValueError("malformed avro: metadata map too large")
+        for _ in range(count):
+            # NB: assignment targets evaluate RIGHT side first in
+            # python — read key and value in explicit order
+            k = bytes(r.bytes_())
+            meta[k] = r.bytes_()
+    codec = meta.get(b"avro.codec", b"null")
+    if codec not in (b"null", b"deflate"):
+        raise ValueError(f"unsupported avro codec: {codec!r}")
+    try:
+        schema = json.loads(meta.get(b"avro.schema", b""))
+    except json.JSONDecodeError as e:
+        raise ValueError(f"malformed avro: schema not JSON: {e}")
+    if not isinstance(schema, dict) or schema.get("type") != "record":
+        raise ValueError("unsupported avro: flat record schemas only")
+    ftypes = []
+    for f in schema.get("fields", []):
+        t = f.get("type")
+        if t not in ("long", "string", "double", "int"):
+            raise ValueError(f"unsupported avro field type: {t}")
+        ftypes.append(t)
+    if not ftypes:
+        raise ValueError("malformed avro: record has no fields")
+    if r.p + 16 > len(payload):
+        raise ValueError("truncated avro: missing header sync")
+    sync = payload[r.p : r.p + 16]
+    r.p += 16
+    n_blocks = n_rows = id_sum = v_chars = 0
+    qx_sum = 0  # Σ floor(x·8) — fixture doubles are exact eighths
+    while r.p < len(payload):
+        count = r.long()
+        size = r.long()
+        if count <= 0 or size < 0 or r.p + size + 16 > len(payload):
+            raise ValueError("truncated avro: block overruns file")
+        data = payload[r.p : r.p + size]
+        r.p += size
+        if payload[r.p : r.p + 16] != sync:
+            raise ValueError("malformed avro: sync marker mismatch")
+        r.p += 16
+        if codec == b"deflate":
+            try:
+                data = zlib.decompress(data, wbits=-15)
+            except zlib.error as e:
+                raise ValueError(f"malformed avro: bad deflate block: {e}")
+        br = _AR(data)
+        for _ in range(count):
+            for t in ftypes:
+                if t in ("long", "int"):
+                    val = br.long()
+                    id_sum += val
+                elif t == "string":
+                    v_chars += len(br.bytes_())
+                else:
+                    qx_sum += int(br.double() * 8)
+        if br.p != len(data):
+            raise ValueError("malformed avro: block has trailing bytes")
+        n_blocks += 1
+        n_rows += count
+    if n_blocks == 0:
+        raise ValueError("malformed avro: no data blocks")
+    return {
+        "n_blocks": n_blocks,
+        "n_rows": n_rows,
+        "n_fields": len(ftypes),
+        "id_sum": id_sum,
+        "v_chars": v_chars,
+        "qx_sum": qx_sum,
+        "deflate": 1 if codec == b"deflate" else 0,
+    }
+
+
+# ---------- fixtures + registered op ----------
+
+
+@_fixture
+def _fx_avro_ocf(spark: SparkSession, sf_dir: str) -> None:
+    import os
+
+    out_dir = _scratch(sf_dir, "real_avro_ocf")
+    os.makedirs(out_dir, exist_ok=True)
+    for i in range(_N_AVRO):
+        p = f"{out_dir}/part-{i:03d}.avro"
+        if not os.path.exists(p):
+            tmp = p + ".tmp"
+            with open(tmp, "wb") as fh:
+                fh.write(encode_avro_ocf(i))
+            os.replace(tmp, p)
+
+
+_A_COLS = "n_blocks n_rows n_fields id_sum v_chars qx_sum deflate".split()
+
+_AVRO_ORACLE = f"""
+    WITH files AS (SELECT unnest(range(0, {_N_AVRO})) AS i),
+    m AS (SELECT i, 300 + 77 * i AS n FROM files),
+    rows_ AS (SELECT i, n, unnest(range(0, n)) AS r FROM m),
+    v AS (SELECT i, n, r,
+                 r * 3 + i AS id,
+                 length(printf('val%d', CAST(r % 100 AS INT))) AS vc,
+                 (r * 7 + i) % 1000 AS qx
+          FROM rows_)
+    SELECT printf('part-%03d.avro', CAST(i AS INT)) AS fname,
+           CAST((MAX(n) + {_ROWS_PER_BLOCK - 1}) // {_ROWS_PER_BLOCK}
+                AS BIGINT) AS n_blocks,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(3 AS BIGINT) AS n_fields,
+           CAST(SUM(id) AS BIGINT) AS id_sum,
+           CAST(SUM(vc) AS BIGINT) AS v_chars,
+           CAST(SUM(qx) AS BIGINT) AS qx_sum,
+           CAST(MAX(i) % 2 AS BIGINT) AS deflate
+    FROM v GROUP BY i
+"""
+
+
+@register(
+    "scan_avro_blocks",
+    _AVRO_ORACLE,
+    doc="Avro OCF decode from raw bytes: Obj magic, zigzag-varint "
+    "metadata map (schema JSON + codec), 16-byte sync validated "
+    "after EVERY block, typed flat-record decode (long/string/"
+    "double) under null and deflate codecs — per-file block/row/"
+    "value census hash-checked against the fixture formula",
+)
+def scan_avro_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The row-format twin of ``scan_parquet_footer``: Kafka archive
+    and CDC landing zones are Avro, and triage (block framing, row
+    counts, codec mix, value sums) is the first pass before any
+    conversion job. The per-block sync check is the real contract —
+    it is what makes OCF splittable, and a writer that miscounts a
+    block's byte size fails the very next sync compare instead of
+    silently desyncing the rest of the file. Doubles in the fixture
+    are exact eighths, so the value checksum stays integer-exact
+    (Σ x·8) with no float aggregation in the hash path.
+
+    Scale: see module docstring — per-file map work; at 100 TB the
+    sync markers allow block-level splits WITHIN large files, the
+    standard Avro input-format behavior this decode mirrors.
+    """
+    schema = "fname string, " + ", ".join(f"{c} long" for c in _A_COLS)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["fname", *_A_COLS]
+        for pdf in it:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                m = decode_avro_ocf(bytes(content))
+                m["fname"] = path.rsplit("/", 1)[-1]
+                rows.append(m)
+            yield pd.DataFrame(rows, columns=cols) if rows else \
+                pd.DataFrame({k: [] for k in cols})
+
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.avro")
+        .load(_scratch(sf_dir, "real_avro_ocf"))
+    )
+    return bf.select("path", "content").mapInPandas(batches, schema=schema)

@@ -20,6 +20,10 @@ from cs_pipeline_spark.sources.jpeg import (
     encode_jpeg_dc,
     encode_jpeg_gps,
 )
+from cs_pipeline_spark.sources.avro_ocf import (
+    decode_avro_ocf,
+    encode_avro_ocf,
+)
 from cs_pipeline_spark.sources.bmp import decode_bmp_meta, encode_bmp
 from cs_pipeline_spark.sources.flac import decode_flac_meta, encode_flac
 from cs_pipeline_spark.sources.gif import decode_gif_meta, encode_gif as encode_gif_anim
@@ -86,6 +90,7 @@ _PARSERS = [
     (decode_npy_meta, encode_npy),
     (decode_parquet_footer, encode_parquet_tbl),
     (decode_bmp_meta, encode_bmp),
+    (decode_avro_ocf, encode_avro_ocf),
 ]
 
 
