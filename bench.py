@@ -189,6 +189,7 @@ HEADLINE = [
     "text_wiki_markup_strip",
     "dedup_bloom_incremental",
     "scan_avro_blocks",
+    "sink_avro_roundtrip",
 ]
 
 

@@ -330,3 +330,145 @@ def scan_avro_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(_scratch(sf_dir, "real_avro_ocf"))
     )
     return bf.select("path", "content").mapInPandas(batches, schema=schema)
+
+
+# ---------- sink: pack documents into REAL Avro OCF shards ----------
+
+_SINK_SCHEMA = json.dumps({
+    "type": "record",
+    "name": "doc",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "v", "type": "string"},
+    ],
+})
+
+_AVRO_SHARD_DOCS = 100
+
+
+def encode_avro_rows(rows: list[tuple[int, str]], sync_seed: int,
+                     deflate: bool) -> bytes:
+    """One OCF file from (id, text) rows — the write path the block
+    decoder verifies. Deterministic sync from the shard id."""
+    out = bytearray(b"Obj\x01")
+    out += _zz(2)
+    out += _avro_string("avro.schema") + _avro_string(_SINK_SCHEMA)
+    out += _avro_string("avro.codec") + _avro_string(
+        "deflate" if deflate else "null"
+    )
+    out += _zz(0)
+    sync = _sync(sync_seed)
+    out += sync
+    for b0 in range(0, len(rows), _ROWS_PER_BLOCK):
+        blk = bytearray()
+        chunk = rows[b0 : b0 + _ROWS_PER_BLOCK]
+        for rid, v in chunk:
+            blk += _zz(rid) + _avro_string(v)
+        data = bytes(blk)
+        if deflate:
+            co = zlib.compressobj(6, zlib.DEFLATED, -15)
+            data = co.compress(data) + co.flush()
+        out += _zz(len(chunk)) + _zz(len(data)) + data + sync
+    return bytes(out)
+
+
+@register(
+    "sink_avro_roundtrip",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, doc_id // {_AVRO_SHARD_DOCS} AS shard,
+             length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+               AS nb
+      FROM documents)
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST((COUNT(*) + {_ROWS_PER_BLOCK - 1}) // {_ROWS_PER_BLOCK}
+                AS BIGINT) AS n_blocks,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(nb) AS BIGINT) AS v_chars,
+           CAST(shard % 2 AS BIGINT) AS deflate
+    FROM norm GROUP BY shard
+    """,
+    doc="Avro SINK: documents packed into REAL OCF shards (one .avro "
+    "per 100-doc group, alternating null/deflate codecs, written "
+    "distributed via applyInPandas), then decoded BACK with the "
+    "sync-validating block walker — the write/read interop check for "
+    "the row format, census hash-checked against the documents table",
+)
+def sink_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Kafka-archival WRITE path: each 100-doc group becomes one
+    real OCF written by an executor (atomic tmp+rename, idempotent),
+    alternating codecs so both the stored and deflate paths exercise
+    the writer, then the registered block decoder re-reads every
+    shard — block counts, row counts, id sums, and byte masses must
+    reproduce the documents table exactly. A writer that miscounts a
+    block's byte size fails the decoder's sync compare loudly.
+
+    Scale: one shuffle on the shard key, then per-shard sequential
+    writes — the production landing-zone shape; the verify read is
+    per-file map work. Shard size is the knob (100 docs here, ~128 MB
+    in production).
+    """
+    import os
+
+    from cs_pipeline_spark.operators.dedup import _NORM
+    from cs_pipeline_spark.tables import load
+    from pyspark.sql import functions as F
+
+    out_dir = _scratch(sf_dir, "avro_out")
+    docs = load(spark, "documents", sf_dir).select(
+        "doc_id",
+        F.expr(_NORM).alias("s"),
+        F.expr(f"doc_id div {_AVRO_SHARD_DOCS}").alias("shard"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["shard"].iloc[0])
+        pdf = pdf.sort_values("doc_id")
+        rows = [
+            (int(r["doc_id"]), str(r["s"])) for _, r in pdf.iterrows()
+        ]
+        payload = encode_avro_rows(rows, shard, shard % 2 == 1)
+        path = f"{out_dir}/docs-{shard:05d}.avro"
+        if not os.path.exists(path):
+            tmp = f"{path}.tmp-{os.getpid()}"
+            with open(tmp, "wb") as fh:
+                fh.write(payload)
+            os.replace(tmp, path)
+        return pd.DataFrame({"shard": [shard], "n": [len(rows)]})
+
+    os.makedirs(out_dir, exist_ok=True)
+    docs.groupBy("shard").applyInPandas(
+        pack, schema="shard long, n long"
+    ).count()
+
+    back = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "docs-*.avro")
+        .load(out_dir)
+    )
+
+    def census(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["shard", "n_blocks", "n_rows", "id_sum", "v_chars",
+                "deflate"]
+        for pdf in it:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                shard = int(path.rsplit("docs-", 1)[-1].split(".")[0])
+                m = decode_avro_ocf(bytes(content))
+                rows.append({
+                    "shard": shard,
+                    "n_blocks": m["n_blocks"],
+                    "n_rows": m["n_rows"],
+                    "id_sum": m["id_sum"],
+                    "v_chars": m["v_chars"],
+                    "deflate": m["deflate"],
+                })
+            yield pd.DataFrame(rows, columns=cols) if rows else \
+                pd.DataFrame({k: [] for k in cols})
+
+    return back.select("path", "content").mapInPandas(
+        census,
+        schema="shard long, n_blocks long, n_rows long, id_sum long, "
+        "v_chars long, deflate long",
+    )

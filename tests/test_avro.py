@@ -57,3 +57,15 @@ def test_registered_op(spark, sf_dir):
     assert len(rows) == _N_AVRO
     for i in range(_N_AVRO):
         assert rows[f"part-{i:03d}.avro"].n_rows == _avro_meta(i)["n_rows"]
+
+
+def test_sink_roundtrip(spark, sf_dir):
+    from cs_pipeline_spark.sources.avro_ocf import sink_avro_roundtrip
+    from cs_pipeline_spark.tables import load
+
+    rows = {r.shard: r for r in sink_avro_roundtrip(spark, sf_dir).collect()}
+    n_docs = load(spark, "documents", sf_dir).count()
+    assert sum(r.n_rows for r in rows.values()) == n_docs
+    for shard, r in rows.items():
+        assert r.deflate == shard % 2
+        assert r.n_blocks == (r.n_rows + 63) // 64

@@ -511,6 +511,7 @@ AUDIT: dict[str, dict] = {
     # co-partitioned merge at lake scale — cap pins it from growing
     "scan_parquet_footer": {"smj": 0, "exchange": 0},
     "scan_avro_blocks": {"smj": 0, "exchange": 0},
+    "sink_avro_roundtrip": {"smj": 0},  # one shard-key shuffle (write)
     "dedup_bloom_incremental": {"nlj": 0},  # bitset words broadcast;
     # truth semi-join is the only doc-keyed join
     "scan_bz2_multistream": {"smj": 1},  # dump⋈index-entries, both
