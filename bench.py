@@ -190,6 +190,7 @@ HEADLINE = [
     "dedup_bloom_incremental",
     "scan_avro_blocks",
     "sink_avro_roundtrip",
+    "scan_delta_log",
 ]
 
 

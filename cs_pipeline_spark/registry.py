@@ -251,6 +251,7 @@ def _load_all_modules() -> None:
     from cs_pipeline_spark.sources import (  # noqa: F401
         avro_ocf,
         bmp,
+        delta_log,
         flac,
         jpeg,
         png,
