@@ -120,12 +120,16 @@ def ingest_incremental_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         sim_ivf_incremental,
         sim_ivf_retrain,
     )
+    from cs_pipeline_spark.registry import pin
     from cs_pipeline_spark.tables import load
 
     emb = load(spark, "embeddings", sf_dir)
-    pairs = dedup_lsh_incremental(spark, sf_dir)
-    search = sim_ivf_incremental(spark, sf_dir)
-    retrain = sim_ivf_retrain(spark, sf_dir)
+    # pin each stage output: the funnel derives several aggregates
+    # from each (pairs feeds 4 branches) — without the pin every
+    # branch re-executes the full LSH/IVF pipeline
+    pairs = pin(dedup_lsh_incremental(spark, sf_dir))
+    search = pin(sim_ivf_incremental(spark, sf_dir))
+    retrain = pin(sim_ivf_retrain(spark, sf_dir))
 
     is_b = lambda c: F.col(c) % _MOD == 0  # noqa: E731
     dup_vecs = (
