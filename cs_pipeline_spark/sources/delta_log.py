@@ -171,12 +171,17 @@ def scan_delta_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sz",
         "recs",
     )
-    versions = spark.range(_N_COMMITS).select(
-        F.col("id").alias("v")
-    )
-    # bounded fan-out: |actions| × |versions|, both log-sized
-    fan = actions.crossJoin(F.broadcast(versions)).filter(
-        F.col("version") <= F.col("v")
+    # bounded fan-out WITHOUT a nested-loop join: an action at
+    # version x is visible in snapshots x..N-1 — explode the range
+    fan = actions.select(
+        "path",
+        "version",
+        "is_remove",
+        "sz",
+        "recs",
+        F.explode(
+            F.sequence(F.col("version"), F.lit(_N_COMMITS - 1))
+        ).alias("v"),
     )
     latest = (
         fan.groupBy("v", "path")
