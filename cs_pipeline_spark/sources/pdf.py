@@ -332,32 +332,44 @@ def _tpdf_expected_text(i: int, p: int) -> str:
     return "".join(out)
 
 
-def _tpdf_content(i: int, p: int) -> bytes:
-    """Raw (pre-Flate) content stream: one BT block, a Tj with
-    backslash-escaped parens, then a TJ array alternating wide
-    (-300, renders a word gap) and narrow (-50, intra-word kern)
-    adjustments."""
+def _tpdf_split(i: int) -> bool:
+    """Every third doc splits each page across TWO content streams
+    (`/Contents [a 0 R b 0 R]`) — the array form real PDFs use."""
+    return i % 3 == 2
+
+
+def _tpdf_content_parts(i: int, p: int) -> list[bytes]:
+    """Raw (pre-Flate) content stream parts: a Tj with backslash-
+    escaped parens, then a TJ array alternating wide (-300, renders
+    a word gap) and narrow (-50, intra-word kern) adjustments.
+    Split docs carry the two BT blocks in separate streams; the
+    extracted text is identical either way (readers concatenate)."""
     words = _tpdf_words(i, p)
     tj = []
     for j, w in enumerate(words):
         tj.append(f"({w})")
         if j < len(words) - 1:
             tj.append("-300" if j % 2 == 0 else "-50")
-    return (
-        f"BT /F1 12 Tf 72 720 Td "
-        f"(Doc {i} \\(page {p}\\): ) Tj "
-        f"[{' '.join(tj)}] TJ ET"
+    part_a = (
+        f"BT /F1 12 Tf 72 720 Td (Doc {i} \\(page {p}\\): ) Tj ET"
     ).encode()
+    part_b = f"BT [{' '.join(tj)}] TJ ET".encode()
+    if _tpdf_split(i):
+        return [part_a, part_b]
+    return [part_a[:-3] + b" " + part_b[3:]]  # one merged BT block
 
 
 def encode_pdf_text(i: int) -> bytes:
     """Writer twin for the text fixtures: same classic-xref skeleton
     as ``encode_pdf`` but every page's content stream is REAL
     zlib-compressed bytes behind ``/Filter /FlateDecode`` — the
-    layout virtually all crawled PDFs use."""
+    layout virtually all crawled PDFs use. Every third doc uses the
+    `/Contents [a 0 R b 0 R]` ARRAY form with the page split across
+    two streams."""
     import zlib
 
     n = _tpdf_pages(i)
+    streams_per_page = 2 if _tpdf_split(i) else 1
     out = bytearray()
     out += f"%PDF-1.{4 + i % 4}\n".encode()
     out += b"%\xe2\xe3\xcf\xd3\n"
@@ -371,19 +383,26 @@ def encode_pdf_text(i: int) -> bytes:
     obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
     obj(2, f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode())
     for p in range(n):
+        c0 = 3 + n + streams_per_page * p
+        contents = (
+            f"[{c0} 0 R {c0 + 1} 0 R]"
+            if streams_per_page == 2
+            else f"{c0} 0 R"
+        )
         obj(
             3 + p,
             f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-            f"/Contents {3 + n + p} 0 R >>".encode(),
+            f"/Contents {contents} >>".encode(),
         )
     for p in range(n):
-        comp = zlib.compress(_tpdf_content(i, p), 6)
-        obj(
-            3 + n + p,
-            f"<< /Length {len(comp)} /Filter /FlateDecode >>\n"
-            f"stream\n".encode() + comp + b"\nendstream",
-        )
-    info_num = 3 + 2 * n
+        for s, part in enumerate(_tpdf_content_parts(i, p)):
+            comp = zlib.compress(part, 6)
+            obj(
+                3 + n + streams_per_page * p + s,
+                f"<< /Length {len(comp)} /Filter /FlateDecode >>\n"
+                f"stream\n".encode() + comp + b"\nendstream",
+            )
+    info_num = 3 + n + streams_per_page * n
     obj(info_num, f"<< /Title (text {i}) /Producer (cs-pipeline) >>".encode())
     size = info_num + 1
     xref_at = len(out)
@@ -554,35 +573,26 @@ def extract_pdf_text(payload: bytes) -> list[dict]:
         if kid not in offsets:
             raise ValueError("malformed PDF: kid not in xref")
         page = _obj_dict(payload, offsets[kid], kid)
-        cm = re.search(rb"/Contents (\d+) 0 R", page)
-        if not cm:
-            raise ValueError("malformed PDF: page missing /Contents")
-        cnum = int(cm.group(1))
-        if cnum not in offsets:
-            raise ValueError("malformed PDF: /Contents not in xref")
-        coff = offsets[cnum]
-        cend = payload.find(b"stream", coff)
-        if cend < 0 or cend - coff > 400:
-            raise ValueError("malformed PDF: content object missing stream")
-        cdict = payload[coff:cend]
-        lm = re.search(rb"/Length (\d+)", cdict)
-        if not lm:
-            raise ValueError("malformed PDF: stream missing /Length")
-        length = int(lm.group(1))
-        data_at = cend + len(b"stream")
-        if payload[data_at : data_at + 2] == b"\r\n":
-            data_at += 2
-        elif payload[data_at : data_at + 1] == b"\n":
-            data_at += 1
-        if data_at + length > len(payload):
-            raise ValueError("truncated PDF: stream overruns file")
-        raw = payload[data_at : data_at + length]
-        if b"/FlateDecode" in cdict:
-            try:
-                raw = zlib.decompress(raw)
-            except zlib.error as e:
-                raise ValueError(f"malformed PDF: bad Flate stream: {e}")
-        text, n_kern_spaces = _walk_text_ops(raw)
+        # /Contents is a single ref OR an array of refs (readers
+        # concatenate the streams in array order)
+        am = re.search(rb"/Contents \[([^\]]*)\]", page)
+        if am:
+            cnums = [
+                int(g) for g in re.findall(rb"(\d+) 0 R", am.group(1))
+            ]
+        else:
+            cm = re.search(rb"/Contents (\d+) 0 R", page)
+            if not cm:
+                raise ValueError("malformed PDF: page missing /Contents")
+            cnums = [int(cm.group(1))]
+        if not cnums:
+            raise ValueError("malformed PDF: empty /Contents array")
+        parts: list[bytes] = []
+        for cnum in cnums:
+            if cnum not in offsets:
+                raise ValueError("malformed PDF: /Contents not in xref")
+            parts.append(_content_stream(payload, offsets[cnum]))
+        text, n_kern_spaces = _walk_text_ops(b"\n".join(parts))
         rows.append(
             {
                 "page": page_idx,
@@ -592,6 +602,35 @@ def extract_pdf_text(payload: bytes) -> list[dict]:
             }
         )
     return rows
+
+
+def _content_stream(payload: bytes, coff: int) -> bytes:
+    """Slice one content object's stream by declared /Length and
+    inflate when /Filter /FlateDecode. ValueError-only."""
+    import zlib
+
+    cend = payload.find(b"stream", coff)
+    if cend < 0 or cend - coff > 400:
+        raise ValueError("malformed PDF: content object missing stream")
+    cdict = payload[coff:cend]
+    lm = re.search(rb"/Length (\d+)", cdict)
+    if not lm:
+        raise ValueError("malformed PDF: stream missing /Length")
+    length = int(lm.group(1))
+    data_at = cend + len(b"stream")
+    if payload[data_at : data_at + 2] == b"\r\n":
+        data_at += 2
+    elif payload[data_at : data_at + 1] == b"\n":
+        data_at += 1
+    if data_at + length > len(payload):
+        raise ValueError("truncated PDF: stream overruns file")
+    raw = payload[data_at : data_at + length]
+    if b"/FlateDecode" in cdict:
+        try:
+            raw = zlib.decompress(raw)
+        except zlib.error as e:
+            raise ValueError(f"malformed PDF: bad Flate stream: {e}")
+    return raw
 
 
 @_fixture

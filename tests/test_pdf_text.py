@@ -93,3 +93,18 @@ def test_spark_op_end_to_end(spark, sf_dir):
     assert len(rows) == sum(_tpdf_pages(i) for i in range(_N_TPDF))
     r = rows[("text-003.pdf", 1)]
     assert r.text == _tpdf_expected_text(3, 1)
+
+
+def test_contents_array_form_round9():
+    """Every third doc uses /Contents [a 0 R b 0 R]; extraction must
+    concatenate the streams and produce the same text as the single-
+    stream docs' formula."""
+    from cs_pipeline_spark.sources.pdf import _tpdf_split
+
+    split_docs = [i for i in range(_N_TPDF) if _tpdf_split(i)]
+    assert split_docs  # fixture sweep includes the array form
+    for i in split_docs:
+        payload = encode_pdf_text(i)
+        assert b"/Contents [" in payload
+        for r in extract_pdf_text(payload):
+            assert r["text"] == _tpdf_expected_text(i, r["page"])
