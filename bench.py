@@ -191,6 +191,7 @@ HEADLINE = [
     "scan_avro_blocks",
     "sink_avro_roundtrip",
     "scan_delta_log",
+    "lake_audit_e2e",
 ]
 
 

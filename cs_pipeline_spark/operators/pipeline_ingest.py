@@ -183,3 +183,127 @@ def ingest_incremental_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------- flagship #10: the lake-format audit ----------
+
+
+def _lake_oracle() -> str:
+    import cs_pipeline_spark.sources.avro_ocf  # noqa: F401
+    import cs_pipeline_spark.sources.delta_log  # noqa: F401
+    import cs_pipeline_spark.sources.parquet_footer  # noqa: F401
+    from cs_pipeline_spark.registry import _REGISTRY
+
+    o = {
+        k: _REGISTRY[k].oracle
+        for k in (
+            "scan_parquet_footer",
+            "scan_avro_blocks",
+            "scan_delta_log",
+        )
+    }
+    return f"""
+    WITH pq AS MATERIALIZED ({o['scan_parquet_footer']}),
+    av AS MATERIALIZED ({o['scan_avro_blocks']}),
+    dl AS MATERIALIZED ({o['scan_delta_log']})
+    SELECT 'parquet' AS layer, 'row_groups' AS metric,
+           CAST(COUNT(*) AS BIGINT) AS value FROM pq
+    UNION ALL
+    SELECT 'parquet', 'rows', CAST(SUM(num_rows) AS BIGINT) FROM pq
+    UNION ALL
+    SELECT 'parquet', 'non_snappy_chunks',
+           CAST(SUM(n_chunks - n_snappy_chunks) AS BIGINT) FROM pq
+    UNION ALL
+    SELECT 'avro', 'blocks', CAST(SUM(n_blocks) AS BIGINT) FROM av
+    UNION ALL
+    SELECT 'avro', 'rows', CAST(SUM(n_rows) AS BIGINT) FROM av
+    UNION ALL
+    SELECT 'avro', 'deflate_files',
+           CAST(SUM(deflate) AS BIGINT) FROM av
+    UNION ALL
+    SELECT 'log', 'versions', CAST(COUNT(*) AS BIGINT) FROM dl
+    UNION ALL
+    SELECT 'log', 'live_files_head',
+           CAST(MAX(CASE WHEN version = (SELECT MAX(version) FROM dl)
+                         THEN n_live_files END) AS BIGINT) FROM dl
+    UNION ALL
+    SELECT 'log', 'net_file_growth',
+           CAST(MAX(CASE WHEN version = (SELECT MAX(version) FROM dl)
+                         THEN n_live_files END)
+                - MAX(CASE WHEN version = 0
+                           THEN n_live_files END) AS BIGINT) FROM dl
+    """
+
+
+@register(
+    "lake_audit_e2e",
+    _lake_oracle(),
+    doc="flagship #10: the lake-format audit — parquet row-group "
+    "census (byte-level thrift footer), avro block/codec census "
+    "(sync-validated walker), and transaction-log time travel (head "
+    "snapshot + net file growth) composed by reference into one "
+    "(layer, metric, value) report; the three byte-level decoders "
+    "are each individually hash-checked",
+)
+def lake_audit_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One page answering 'what is physically in the lake': columnar
+    layer (row groups, rows, codec drift), row layer (avro blocks,
+    rows, codec mix), metadata layer (log versions, live files at
+    head, net growth since version 0). Composition by reference —
+    the crawl_ingest_e2e contract.
+
+    Scale: all three inputs are metadata-sized reads (footers, block
+    headers, commit JSON); the flagship adds 1-row aggregates and a
+    9-row union. This is the nightly lake-health job.
+    """
+    from cs_pipeline_spark.registry import pin
+    from cs_pipeline_spark.sources.avro_ocf import scan_avro_blocks
+    from cs_pipeline_spark.sources.delta_log import scan_delta_log
+    from cs_pipeline_spark.sources.parquet_footer import (
+        scan_parquet_footer,
+    )
+
+    pq = pin(scan_parquet_footer(spark, sf_dir))
+    av = pin(scan_avro_blocks(spark, sf_dir))
+    dl = pin(scan_delta_log(spark, sf_dir))
+
+    def row(layer: str, metric: str, agg: DataFrame) -> DataFrame:
+        return agg.select(
+            F.lit(layer).alias("layer"),
+            F.lit(metric).alias("metric"),
+            F.col("value").cast("long").alias("value"),
+        )
+
+    head_v = dl.agg(F.max("version").alias("hv"))
+    head_files = (
+        dl.join(F.broadcast(head_v), dl["version"] == F.col("hv"))
+        .agg(F.max("n_live_files").alias("value"))
+    )
+    v0_files = dl.filter(F.col("version") == 0).agg(
+        F.max("n_live_files").alias("v0")
+    )
+    growth = head_files.withColumnRenamed("value", "hf").crossJoin(
+        v0_files
+    ).select((F.col("hf") - F.col("v0")).alias("value"))
+    parts = [
+        row("parquet", "row_groups",
+            pq.agg(F.count(F.lit(1)).alias("value"))),
+        row("parquet", "rows", pq.agg(F.sum("num_rows").alias("value"))),
+        row("parquet", "non_snappy_chunks",
+            pq.agg(
+                F.sum(
+                    F.col("n_chunks") - F.col("n_snappy_chunks")
+                ).alias("value")
+            )),
+        row("avro", "blocks", av.agg(F.sum("n_blocks").alias("value"))),
+        row("avro", "rows", av.agg(F.sum("n_rows").alias("value"))),
+        row("avro", "deflate_files",
+            av.agg(F.sum("deflate").alias("value"))),
+        row("log", "versions", dl.agg(F.count(F.lit(1)).alias("value"))),
+        row("log", "live_files_head", head_files),
+        row("log", "net_file_growth", growth),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

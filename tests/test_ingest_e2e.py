@@ -35,3 +35,18 @@ def test_retrain_conserves_membership(spark, sf_dir):
     assert sum(r.n_after for r in df) == n_corpus
     assert all(r.shift_scaled is not None and r.shift_scaled >= 0
                for r in df if r.n_before > 0)
+
+
+def test_lake_audit_consistency(spark, sf_dir):
+    from cs_pipeline_spark.operators.pipeline_ingest import lake_audit_e2e
+    from cs_pipeline_spark.sources.delta_log import _N_COMMITS
+
+    rows = {
+        (r.layer, r.metric): r.value
+        for r in lake_audit_e2e(spark, sf_dir).collect()
+    }
+    assert len(rows) == 9
+    assert rows[("log", "versions")] == _N_COMMITS
+    assert rows[("parquet", "non_snappy_chunks")] == 0
+    assert rows[("avro", "deflate_files")] == 2  # odd fixtures
+    assert rows[("log", "net_file_growth")] > 0

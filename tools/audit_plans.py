@@ -513,6 +513,7 @@ AUDIT: dict[str, dict] = {
     "scan_avro_blocks": {"smj": 0, "exchange": 0},
     "sink_avro_roundtrip": {"smj": 0},  # one shard-key shuffle (write)
     "scan_delta_log": {"smj": 0, "nlj": 0},  # log-sized fan-out only
+    "lake_audit_e2e": {"smj": 0},  # union of 1-row aggregates
     "dedup_bloom_incremental": {"nlj": 0},  # bitset words broadcast;
     # truth semi-join is the only doc-keyed join
     "scan_bz2_multistream": {"smj": 1},  # dump⋈index-entries, both
