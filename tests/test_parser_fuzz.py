@@ -143,3 +143,30 @@ def test_quarantine_boundary_is_exact(spark, sf_dir):
         assert r.n_files == _N_Q
         assert r.n_ok == _N_Q // 2
         assert r.n_quarantined == _N_Q // 2
+
+
+# ---------- round-9 property tests (encode/parse inverses) ----------
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.integers(min_value=-(2**62), max_value=2**62))
+def test_avro_zigzag_varint_roundtrip(v):
+    from cs_pipeline_spark.sources.avro_ocf import _AR, _zz
+
+    assert _AR(_zz(v)).long() == v
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(min_size=0, max_size=60))
+def test_pdf_literal_string_roundtrip(s):
+    """Escape-encode any text the way the fixture writer would, parse
+    it back with _pdf_string — must be the identity (codepoints kept
+    to latin-1 range: the writer's WinAnsi subset)."""
+    from cs_pipeline_spark.sources.pdf import _pdf_string
+
+    s = "".join(c if ord(c) < 256 and c not in "\r" else "x" for c in s)
+    enc = s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+    payload = ("(" + enc + ")").encode("latin-1")
+    text, end = _pdf_string(payload, 0)
+    assert text == s
+    assert end == len(payload)
