@@ -1890,15 +1890,100 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------- Bloom pre-filter at ingest: distributed bitset ----------
 
-_BLOOM_BITS = 16384  # m: bitset width (256 int64 words)
+_BLOOM_BITS = 16384  # default m: bitset width (261 63-bit words)
+# hash family: non-overlapping 8-hex-char md5 slices; k ≤ 4
+_BLOOM_K_OFFSETS = (1, 9, 17, 25)
+_BLOOM_K = 2  # default k: hashes per key
 
 
-def _sql_bloom_pos(expr: str, off: int) -> str:
+def _sql_bloom_pos(expr: str, off: int, m: int = _BLOOM_BITS) -> str:
     """Bit position from an md5 hex slice — the cross-engine hash
     (Spark conv(substr(md5,..),16,10) == DuckDB CAST('0x'||substr)."""
     return (
         f"CAST(('0x' || substr(md5({expr}), {off}, 8)) AS BIGINT) "
-        f"% {_BLOOM_BITS}"
+        f"% {m}"
+    )
+
+
+def bloom_census(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = _BLOOM_BITS,
+    k: int = _BLOOM_K,
+) -> DataFrame:
+    """Parameterized Bloom confusion census — m (bitset width, bits)
+    and k (md5-slice hashes per key, ≤ 4) are the FP-rate knobs the
+    op docstring promises: FP ≈ (1 − e^(−k·n/m))^k, so growing m (or
+    tuning k toward m/n·ln2) drives the measured n_false_pos down
+    while n_false_neg stays structurally 0. The registered op is this
+    census at the default (m, k); tests/test_incremental_dedup.py
+    turns the knobs and asserts the FP rate actually falls."""
+    if not 1 <= k <= len(_BLOOM_K_OFFSETS):
+        raise ValueError(f"bloom k must be 1..{len(_BLOOM_K_OFFSETS)}")
+    docs = load(spark, "documents", sf_dir).select(
+        "doc_id",
+        F.trim(
+            F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+        ).alias("n"),
+    )
+    h = F.md5("n")
+    ps = [
+        (F.conv(F.substring(h, off, 8), 16, 10).cast("long") % m)
+        for off in _BLOOM_K_OFFSETS[:k]
+    ]
+    standing = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    sp = standing.select(F.explode(F.array(*ps)).alias("pos")).distinct()
+    words = sp.select(
+        F.expr("pos div 63").alias("w"),
+        (F.col("pos") % 63).alias("b"),
+    ).groupBy("w").agg(
+        F.expr("bit_or(shiftleft(1L, cast(b as int)))").alias("bits")
+    )
+    probe = batch.select(
+        "doc_id", "n",
+        *[p.alias(f"p{i}") for i, p in enumerate(ps, 1)],
+    )
+    hit = lambda bits, p: F.coalesce(  # noqa: E731
+        F.expr(
+            f"({bits} & shiftleft(1L, cast({p} % 63 as int))) != 0"
+        ),
+        F.lit(False),
+    )
+    truth_norms = standing.select("n").distinct().withColumn(
+        "truth0", F.lit(True)
+    )
+    joined = probe
+    flagged = None
+    for i in range(1, k + 1):
+        wi = words.select(
+            F.col("w").alias(f"w{i}"), F.col("bits").alias(f"bits{i}")
+        )
+        joined = joined.join(
+            F.broadcast(wi),
+            F.expr(f"p{i} div 63") == F.col(f"w{i}"),
+            "left",
+        )
+        hi = hit(f"bits{i}", f"p{i}")
+        flagged = hi if flagged is None else (flagged & hi)
+    pr = joined.join(truth_norms, "n", "left").select(
+        flagged.alias("flagged"),
+        F.coalesce("truth0", F.lit(False)).alias("truth"),
+    )
+    return pr.agg(
+        F.count(F.lit(1)).cast("long").alias("n_batch"),
+        F.sum(F.col("flagged").cast("long")).cast("long").alias(
+            "n_flagged"
+        ),
+        F.sum(F.col("truth").cast("long")).cast("long").alias(
+            "n_true_dups"
+        ),
+        F.sum((F.col("flagged") & ~F.col("truth")).cast("long"))
+        .cast("long")
+        .alias("n_false_pos"),
+        F.sum((F.col("truth") & ~F.col("flagged")).cast("long"))
+        .cast("long")
+        .alias("n_false_neg"),
     )
 
 
@@ -1961,70 +2046,13 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     is hash-checked every run.
 
     Scale: the bitset build is one map-side-combined bit_or over
-    (word, bit) pairs — 2 rows per standing doc, collapsing to ≤ m/63
-    words; the probe is two broadcast joins against those words.
+    (word, bit) pairs — k rows per standing doc, collapsing to ≤ m/63
+    words; the probe is k broadcast joins against those words.
     Maintenance is append-only (bit_or is idempotent/commutative —
     exactly the agg_incremental_merge contract); deletes require a
     rebuild or a counting filter, documented here as the production
-    trade.
+    trade. m and k are real knobs: `bloom_census(spark, sf_dir, m, k)`
+    is this op parameterized, FP-rate-tested in
+    tests/test_incremental_dedup.py.
     """
-    m = _BLOOM_BITS
-    docs = load(spark, "documents", sf_dir).select(
-        "doc_id",
-        F.trim(
-            F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
-        ).alias("n"),
-    )
-    h = F.md5("n")
-    p1 = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % m)
-    p2 = (F.conv(F.substring(h, 9, 8), 16, 10).cast("long") % m)
-    standing = docs.filter(F.col("doc_id") % 10 != 0)
-    batch = docs.filter(F.col("doc_id") % 10 == 0)
-    sp = (
-        standing.select(F.explode(F.array(p1, p2)).alias("pos"))
-        .distinct()
-    )
-    words = sp.select(
-        F.expr("pos div 63").alias("w"),
-        (F.col("pos") % 63).alias("b"),
-    ).groupBy("w").agg(
-        F.expr("bit_or(shiftleft(1L, cast(b as int)))").alias("bits")
-    )
-    probe = batch.select("doc_id", "n", p1.alias("p1"), p2.alias("p2"))
-    w1 = words.select(F.col("w").alias("w1"), F.col("bits").alias("bits1"))
-    w2 = words.select(F.col("w").alias("w2"), F.col("bits").alias("bits2"))
-    hit = lambda bits, p: F.coalesce(  # noqa: E731
-        F.expr(
-            f"({bits} & shiftleft(1L, cast({p} % 63 as int))) != 0"
-        ),
-        F.lit(False),
-    )
-    truth_norms = standing.select("n").distinct().withColumn(
-        "truth0", F.lit(True)
-    )
-    pr = (
-        probe.join(
-            F.broadcast(w1), F.expr("p1 div 63") == F.col("w1"), "left"
-        )
-        .join(F.broadcast(w2), F.expr("p2 div 63") == F.col("w2"), "left")
-        .join(truth_norms, "n", "left")
-        .select(
-            (hit("bits1", "p1") & hit("bits2", "p2")).alias("flagged"),
-            F.coalesce("truth0", F.lit(False)).alias("truth"),
-        )
-    )
-    return pr.agg(
-        F.count(F.lit(1)).cast("long").alias("n_batch"),
-        F.sum(F.col("flagged").cast("long")).cast("long").alias(
-            "n_flagged"
-        ),
-        F.sum(F.col("truth").cast("long")).cast("long").alias(
-            "n_true_dups"
-        ),
-        F.sum((F.col("flagged") & ~F.col("truth")).cast("long"))
-        .cast("long")
-        .alias("n_false_pos"),
-        F.sum((F.col("truth") & ~F.col("flagged")).cast("long"))
-        .cast("long")
-        .alias("n_false_neg"),
-    )
+    return bloom_census(spark, sf_dir, _BLOOM_BITS, _BLOOM_K)

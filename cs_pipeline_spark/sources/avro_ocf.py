@@ -377,7 +377,11 @@ def encode_avro_rows(rows: list[tuple[int, str]], sync_seed: int,
     f"""
     WITH norm AS (
       SELECT doc_id, doc_id // {_AVRO_SHARD_DOCS} AS shard,
-             length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+             -- UTF-8 BYTES, not characters: the decoder counts the
+             -- raw avro string length (octets), so the oracle must
+             -- too or any non-ASCII doc text diverges
+             octet_length(encode(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
                AS nb
       FROM documents)
     SELECT CAST(shard AS BIGINT) AS shard,
@@ -403,6 +407,9 @@ def sink_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard — block counts, row counts, id sums, and byte masses must
     reproduce the documents table exactly. A writer that miscounts a
     block's byte size fails the decoder's sync compare loudly.
+    ``v_chars`` is UTF-8 BYTES (what an avro string length prefixes),
+    matched in the oracle via octet_length(encode(...)) so non-ASCII
+    corpora stay byte-exact (ADVICE r9).
 
     Scale: one shuffle on the shard key, then per-shard sequential
     writes — the production landing-zone shape; the verify read is

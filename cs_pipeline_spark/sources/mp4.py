@@ -809,15 +809,36 @@ def decode_mp4_keyframe_pixels(payload: bytes) -> list[dict]:
         stsz = _find_box(payload, stbl[0], stbl[1], b"stsz")
         stss = _find_box(payload, stbl[0], stbl[1], b"stss")
         stco = _find_box(payload, stbl[0], stbl[1], b"stco")
-        if stsz is None or stss is None or stco is None:
+        stsc = _find_box(payload, stbl[0], stbl[1], b"stsc")
+        if stsz is None or stss is None or stco is None or stsc is None:
             raise ValueError(
-                "unsupported MP4: keyframe pixels need stsz+stss+stco"
+                "unsupported MP4: keyframe pixels need stsz+stsc+stss+stco"
             )
         sizes = _u32_table(payload, stsz[0], stsz[1], skip=8)
         sync = _u32_table(payload, stss[0], stss[1])
         offsets = _u32_table(payload, stco[0], stco[1])
         if not offsets:
             raise ValueError("malformed MP4: empty stco")
+        # validate the single-chunk layout this decoder assumes: stsc
+        # must be exactly one (first_chunk=1, all samples, sdi=1)
+        # entry and stco one chunk — anything else would slice wrong
+        # byte ranges, so refuse loudly instead of decoding garbage
+        if stsc[0] + 8 > stsc[1]:
+            raise ValueError("truncated MP4: short stsc")
+        n_sc = struct.unpack(">I", payload[stsc[0] + 4 : stsc[0] + 8])[0]
+        if stsc[0] + 8 + 12 * n_sc > stsc[1]:
+            raise ValueError("malformed MP4: stsc overruns box")
+        sc = struct.unpack(
+            ">3I", payload[stsc[0] + 8 : stsc[0] + 20]
+        ) if n_sc == 1 else ()
+        if (
+            len(offsets) != 1
+            or n_sc != 1
+            or sc[0] != 1
+            or sc[1] < len(sizes)
+            or sc[2] != 1
+        ):
+            raise ValueError("unsupported MP4: multi-chunk stsc")
         base = offsets[0]  # single-chunk layout (stsc 1:all:1)
         starts = [base]
         for s in sizes[:-1]:

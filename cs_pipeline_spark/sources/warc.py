@@ -550,8 +550,14 @@ def fetch_cdx_member(shard: bytes, offset: int, length: int,
     }
 
 
+# gzip shards carrying CDX entries: odd i, derived from _N_GZWARCS so
+# the oracle cannot desync from the fixture's `i % 2 == 1` selection
+_CDX_SHARDS = ", ".join(
+    str(i) for i in range(_N_GZWARCS) if i % 2 == 1
+)
+
 _CDX_ORACLE = f"""
-    WITH shards AS (SELECT unnest([1, 3, 5]) AS i),
+    WITH shards AS (SELECT unnest([{_CDX_SHARDS}]) AS i),
     pages AS (SELECT i, unnest(range(0, 3 + i)) AS p FROM shards)
     SELECT printf('mix-%03d.warc.gz', CAST(i AS INT)) AS fname,
            printf('http://example.com/page%d', CAST(p AS INT)) AS url,
