@@ -11,6 +11,14 @@ Each query is built from the central registry and executed to
 completion with a count-style action (``df.write.format("noop")``
 semantics via ``_to_java_object_rdd``-free ``count()``), so the
 timing covers scan → shuffle → result, not plan construction.
+
+Cold accounting (r10, VERDICT r9 #1/#2): warmup force-builds every
+scratch fixture (index artifacts included) and asserts the sweep
+marker, pinning COLD = plan + pin/localCheckpoint rebuild — one
+documented mode; evictions block so async unpersists can't bleed
+into the next run; and every multi-second op is re-timed in a fresh
+subprocess (second JVM/session), with headline cold = min of the two
+sessions and recorded spread = the cross-session delta.
 """
 
 from __future__ import annotations
@@ -195,50 +203,64 @@ HEADLINE = [
 ]
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else -1.0
+# Multi-second ops get a CROSS-SESSION re-time (fresh subprocess =
+# fresh JVM): back-to-back min-of-N inside one process samples one
+# contention regime, and the recorded in-session spread (±0.002 s on
+# a 7 s cold) wildly understated the true variance (5.9 → 23.6 → 5.9 s
+# across identical runs — VERDICT r9 "What's wrong" #2). Per-op cold =
+# min across the two sessions; spread = |session1 − session2|.
+_XS_THRESHOLD_SEC = 2.0
 
-    from cs_pipeline_spark import registry
-    from cs_pipeline_spark.session import get_spark
 
-    spark = get_spark(app_name="cs_pipeline_bench")
-    spark.sparkContext.setLogLevel("ERROR")
-    specs = registry.all_specs()
+def _warmup(spark, specs, names, sf_dir) -> None:
+    """Untimed warmup. Pays one-time session costs (codegen/JIT,
+    file-listing, Python worker fork) AND — the pinned cold mode,
+    VERDICT r9 #1 — pre-builds every scratch fixture including the
+    persisted index artifacts (LSH band index, IVF centroids/assign),
+    so a timed "cold" run is plan + pin/localCheckpoint rebuild ONLY,
+    never a fixture write. The fixture sweep is forced explicitly and
+    its completion marker asserted, so the expensive first-eviction
+    mode r9 recorded (dedup_lsh_incremental 5.6 → 18.3 s on unchanged
+    code) is structurally impossible."""
+    from cs_pipeline_spark.sources.scans import (
+        _SCRATCH,
+        _sf_fingerprint,
+        ensure_fixtures,
+    )
 
-    # Warmup pass (untimed): first execution of each query pays one-time
-    # session costs — codegen/JIT compilation, file-listing, Python
-    # worker fork — that are amortized to ~zero on any long-running
-    # cluster job. The timed pass below measures steady-state
-    # throughput, the number that extrapolates to the 100 TB target.
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
-    for name in HEADLINE:
+    ensure_fixtures(spark, sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    marker = os.path.join(
+        _SCRATCH, f"{tag}-{_sf_fingerprint(sf_dir)}", "_fixtures_done"
+    )
+    if not os.path.exists(marker):
+        raise RuntimeError(
+            "fixture sweep incomplete before timing — cold mode unpinned"
+        )
+    for name in names:
         if name in specs:
             specs[name].fn(spark, sf_dir).count()
 
-    # Timed, COLD headline: each timed run first evicts the op's
-    # memoized plan (registry.evict) so plan construction AND any
-    # localCheckpoint / pinned-intermediate work is rebuilt inside the
-    # timing window. min-of-N over the memoized DataFrame only
-    # re-counted materialized state for iterative ops (dedup_clusters
-    # 0.03 s warm vs 6.4 s cold — VERDICT r7), so builder-reported and
-    # driver-recorded numbers disagreed by construction. Cold min-of-2
-    # is the headline; WARM min-of-2 (min-of-5 when sub-second —
-    # scheduling noise on local[32] smears short runs up to ~2.5×,
-    # PLANS.md r5) is kept as a secondary column. Per-query SPREAD
-    # (max−min over the cold runs) is recorded: only adjudicate a
-    # round-over-round delta exceeding the recorded spread.
+
+def _timed_cold(spark, registry, specs, names, sf_dir):
+    """The timed COLD protocol: evict the memoized plan (blocking, so
+    async block drops can't bleed into the next run), rebuild, count;
+    min-of-2 per op. Cold covers plan construction + pinned/
+    localCheckpoint state rebuild — the driver-cold cost minus the
+    (warmup-pinned) fixture artifacts. Warm min-of-2 (min-of-5 when
+    sub-second) stays a secondary column."""
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
     spreads: dict[str, float] = {}
-    for name in HEADLINE:
+    rows: dict[str, int] = {}
+    for name in names:
         if name not in specs:
             continue
         n = 0
         cold_runs: list[float] = []
         for _ in range(2):
-            registry.evict(name, spark, sf_dir)
+            registry.evict(name, spark, sf_dir, blocking=True)
             t0 = time.perf_counter()
             n = specs[name].fn(spark, sf_dir).count()
             cold_runs.append(time.perf_counter() - t0)
@@ -255,11 +277,91 @@ def main() -> None:
         cold[name] = round(min(cold_runs), 4)
         warm[name] = round(min(warm_runs), 4)
         spreads[name] = round(max(cold_runs) - min(cold_runs), 4)
+        rows[name] = n
         print(
             f"# {name}: {n} rows cold {cold[name]}s "
             f"(±{spreads[name]}s) warm {warm[name]}s",
             file=sys.stderr,
         )
+    return cold, warm, spreads, rows
+
+
+def _subset_main(subset_path: str, out_path: str) -> None:
+    """Internal (cross-session re-time): fresh JVM, warm up + cold-time
+    ONLY the named ops, write {"cold": {...}} to out_path."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    with open(subset_path) as f:
+        names = json.load(f)
+
+    from cs_pipeline_spark import registry
+    from cs_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="cs_pipeline_bench_xs")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = registry.all_specs()
+    _warmup(spark, specs, names, sf_dir)
+    cold, _, _, _ = _timed_cold(spark, registry, specs, names, sf_dir)
+    with open(out_path, "w") as f:
+        json.dump({"cold": cold}, f)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from cs_pipeline_spark import registry
+    from cs_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="cs_pipeline_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = registry.all_specs()
+
+    _warmup(spark, specs, HEADLINE, sf_dir)
+    cold, warm, spreads, _ = _timed_cold(
+        spark, registry, specs, HEADLINE, sf_dir
+    )
+
+    # Cross-session pass: re-time every multi-second op in a FRESH
+    # process (own JVM, own contention regime). Headline cold = min of
+    # the two sessions; recorded spread = the cross-session delta —
+    # the honest adjudication band for round-over-round comparison.
+    xs_names = sorted(n for n, c in cold.items() if c >= _XS_THRESHOLD_SEC)
+    xs_status = "skipped"
+    if xs_names:
+        import subprocess
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            sub_in = os.path.join(td, "subset.json")
+            sub_out = os.path.join(td, "cold.json")
+            with open(sub_in, "w") as f:
+                json.dump(xs_names, f)
+            try:
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--subset", sub_in, "--subset-out", sub_out],
+                    stdout=subprocess.DEVNULL,
+                    stderr=subprocess.DEVNULL,
+                    timeout=1800,
+                )
+                if r.returncode == 0 and os.path.exists(sub_out):
+                    with open(sub_out) as f:
+                        xs_cold = json.load(f)["cold"]
+                    for name, c2 in xs_cold.items():
+                        c1 = cold[name]
+                        spreads[name] = round(abs(c1 - c2), 4)
+                        cold[name] = round(min(c1, c2), 4)
+                        print(
+                            f"# xsession {name}: s1 {c1}s s2 {c2}s "
+                            f"-> cold {cold[name]}s (±{spreads[name]}s)",
+                            file=sys.stderr,
+                        )
+                    xs_status = "ok"
+                else:
+                    xs_status = f"failed rc={r.returncode}"
+            except subprocess.TimeoutExpired:
+                xs_status = "timeout"
 
     total = round(sum(cold.values()), 4)
     # Per-query detail goes to a FILE: the driver's stdout tail capture
@@ -277,6 +379,8 @@ def main() -> None:
                 "queries": cold,
                 "warm": warm,
                 "spread": spreads,
+                "xsession": xs_status,
+                "xsession_ops": xs_names,
                 "sf": sf,
             },
             f,
@@ -299,4 +403,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 5 and sys.argv[1] == "--subset":
+        _subset_main(sys.argv[2], sys.argv[4])
+    else:
+        main()

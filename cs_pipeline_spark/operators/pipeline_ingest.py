@@ -191,6 +191,7 @@ def ingest_incremental_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _lake_oracle() -> str:
     import cs_pipeline_spark.sources.avro_ocf  # noqa: F401
     import cs_pipeline_spark.sources.delta_log  # noqa: F401
+    import cs_pipeline_spark.sources.iceberg  # noqa: F401
     import cs_pipeline_spark.sources.parquet_footer  # noqa: F401
     from cs_pipeline_spark.registry import _REGISTRY
 
@@ -200,12 +201,14 @@ def _lake_oracle() -> str:
             "scan_parquet_footer",
             "scan_avro_blocks",
             "scan_delta_log",
+            "scan_iceberg_manifest",
         )
     }
     return f"""
     WITH pq AS MATERIALIZED ({o['scan_parquet_footer']}),
     av AS MATERIALIZED ({o['scan_avro_blocks']}),
-    dl AS MATERIALIZED ({o['scan_delta_log']})
+    dl AS MATERIALIZED ({o['scan_delta_log']}),
+    ic AS MATERIALIZED ({o['scan_iceberg_manifest']})
     SELECT 'parquet' AS layer, 'row_groups' AS metric,
            CAST(COUNT(*) AS BIGINT) AS value FROM pq
     UNION ALL
@@ -232,6 +235,18 @@ def _lake_oracle() -> str:
                          THEN n_live_files END)
                 - MAX(CASE WHEN version = 0
                            THEN n_live_files END) AS BIGINT) FROM dl
+    UNION ALL
+    SELECT 'iceberg', 'snapshots', CAST(COUNT(*) AS BIGINT) FROM ic
+    UNION ALL
+    SELECT 'iceberg', 'live_files_head',
+           CAST(MAX(CASE WHEN snapshot_id =
+                             (SELECT MAX(snapshot_id) FROM ic)
+                         THEN n_live_files END) AS BIGINT) FROM ic
+    UNION ALL
+    SELECT 'iceberg', 'live_records_head',
+           CAST(MAX(CASE WHEN snapshot_id =
+                             (SELECT MAX(snapshot_id) FROM ic)
+                         THEN live_records END) AS BIGINT) FROM ic
     """
 
 
@@ -240,16 +255,18 @@ def _lake_oracle() -> str:
     _lake_oracle(),
     doc="flagship #10: the lake-format audit — parquet row-group "
     "census (byte-level thrift footer), avro block/codec census "
-    "(sync-validated walker), and transaction-log time travel (head "
-    "snapshot + net file growth) composed by reference into one "
-    "(layer, metric, value) report; the three byte-level decoders "
+    "(sync-validated walker), Delta transaction-log time travel "
+    "(head snapshot + net file growth), and Iceberg snapshot replay "
+    "(manifest-list → manifest fold) composed by reference into one "
+    "(layer, metric, value) report; the four byte-level decoders "
     "are each individually hash-checked",
 )
 def lake_audit_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One page answering 'what is physically in the lake': columnar
     layer (row groups, rows, codec drift), row layer (avro blocks,
-    rows, codec mix), metadata layer (log versions, live files at
-    head, net growth since version 0). Composition by reference —
+    rows, codec mix), metadata layer (Delta log versions, live files
+    at head, net growth since version 0; Iceberg snapshots and the
+    head snapshot's live files/records). Composition by reference —
     the crawl_ingest_e2e contract.
 
     Scale: all three inputs are metadata-sized reads (footers, block
@@ -259,6 +276,7 @@ def lake_audit_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cs_pipeline_spark.registry import pin
     from cs_pipeline_spark.sources.avro_ocf import scan_avro_blocks
     from cs_pipeline_spark.sources.delta_log import scan_delta_log
+    from cs_pipeline_spark.sources.iceberg import scan_iceberg_manifest
     from cs_pipeline_spark.sources.parquet_footer import (
         scan_parquet_footer,
     )
@@ -266,6 +284,7 @@ def lake_audit_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq = pin(scan_parquet_footer(spark, sf_dir))
     av = pin(scan_avro_blocks(spark, sf_dir))
     dl = pin(scan_delta_log(spark, sf_dir))
+    ic = pin(scan_iceberg_manifest(spark, sf_dir))
 
     def row(layer: str, metric: str, agg: DataFrame) -> DataFrame:
         return agg.select(
@@ -285,6 +304,15 @@ def lake_audit_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     growth = head_files.withColumnRenamed("value", "hf").crossJoin(
         v0_files
     ).select((F.col("hf") - F.col("v0")).alias("value"))
+    ic_head = ic.agg(F.max("snapshot_id").alias("hs"))
+    ic_head_files = (
+        ic.join(F.broadcast(ic_head), ic["snapshot_id"] == F.col("hs"))
+        .agg(F.max("n_live_files").alias("value"))
+    )
+    ic_head_recs = (
+        ic.join(F.broadcast(ic_head), ic["snapshot_id"] == F.col("hs"))
+        .agg(F.max("live_records").alias("value"))
+    )
     parts = [
         row("parquet", "row_groups",
             pq.agg(F.count(F.lit(1)).alias("value"))),
@@ -302,6 +330,10 @@ def lake_audit_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         row("log", "versions", dl.agg(F.count(F.lit(1)).alias("value"))),
         row("log", "live_files_head", head_files),
         row("log", "net_file_growth", growth),
+        row("iceberg", "snapshots",
+            ic.agg(F.count(F.lit(1)).alias("value"))),
+        row("iceberg", "live_files_head", ic_head_files),
+        row("iceberg", "live_records_head", ic_head_recs),
     ]
     out = parts[0]
     for p in parts[1:]:

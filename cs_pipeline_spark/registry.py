@@ -173,7 +173,9 @@ def register(name: str, oracle: str | None, doc: str = ""):
     return deco
 
 
-def evict(name: str, spark: SparkSession, sf_dir: str) -> bool:
+def evict(
+    name: str, spark: SparkSession, sf_dir: str, blocking: bool = False
+) -> bool:
     """Drop one op's memoized plan (and its pinned intermediates) from
     the LRU so the next call rebuilds cold.
 
@@ -182,15 +184,17 @@ def evict(name: str, spark: SparkSession, sf_dir: str) -> bool:
     pin() (iterative CC, boosting, facility location), under-reporting
     them by up to 200× vs a cold environment (VERDICT r7 "What's
     wrong" #2). bench.py evicts before each timed run so the iterative
-    work lands inside the timing window. Returns True if an entry was
-    evicted."""
+    work lands inside the timing window. ``blocking=True`` waits for
+    the unpersist to complete — bench.py uses it so an async block
+    drop can't bleed contention into the next timed run (VERDICT r9
+    "What's wrong" #1). Returns True if an entry was evicted."""
     key = (name, spark, sf_dir)
     with _PLAN_LOCK:
         df = _PLAN_LRU.pop(key, None)
         pinned = _PINNED.pop(key, [])
     for old in ([df] if df is not None else []) + pinned:
         try:
-            old.unpersist(blocking=False)
+            old.unpersist(blocking=blocking)
         except Exception:
             pass
     return df is not None
@@ -253,6 +257,7 @@ def _load_all_modules() -> None:
         bmp,
         delta_log,
         flac,
+        iceberg,
         jpeg,
         png,
         pydatasource,
@@ -265,6 +270,7 @@ def _load_all_modules() -> None:
         npy,
         ogg,
         parquet_footer,
+        parquet_pages,
         pdf,
         scans,
         sinks,

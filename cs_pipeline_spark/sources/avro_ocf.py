@@ -159,9 +159,10 @@ class _AR:
         return v
 
 
-def decode_avro_ocf(payload: bytes) -> dict:
-    """Header map + sync + block walk + typed flat-record decode →
-    per-file census. ValueError-only."""
+def _read_ocf_header(payload: bytes):
+    """Magic + metadata map + schema + sync walk shared by the census
+    and row decoders → (reader, field_names, field_types, codec,
+    sync). ValueError-only."""
     if payload[:4] != b"Obj\x01":
         raise ValueError("not an avro OCF: bad magic")
     r = _AR(payload, 4)
@@ -190,19 +191,25 @@ def decode_avro_ocf(payload: bytes) -> dict:
     if not isinstance(schema, dict) or schema.get("type") != "record":
         raise ValueError("unsupported avro: flat record schemas only")
     ftypes = []
+    fnames = []
     for f in schema.get("fields", []):
         t = f.get("type")
         if t not in ("long", "string", "double", "int"):
             raise ValueError(f"unsupported avro field type: {t}")
         ftypes.append(t)
+        fnames.append(str(f.get("name", f"f{len(fnames)}")))
     if not ftypes:
         raise ValueError("malformed avro: record has no fields")
     if r.p + 16 > len(payload):
         raise ValueError("truncated avro: missing header sync")
     sync = payload[r.p : r.p + 16]
     r.p += 16
-    n_blocks = n_rows = id_sum = v_chars = 0
-    qx_sum = 0  # Σ floor(x·8) — fixture doubles are exact eighths
+    return r, fnames, ftypes, codec, sync
+
+
+def _iter_ocf_blocks(r: _AR, payload: bytes, codec: bytes, sync: bytes):
+    """Yield (row_count, decompressed_block_bytes) validating the sync
+    marker after EVERY block. ValueError-only."""
     while r.p < len(payload):
         count = r.long()
         size = r.long()
@@ -218,6 +225,44 @@ def decode_avro_ocf(payload: bytes) -> dict:
                 data = zlib.decompress(data, wbits=-15)
             except zlib.error as e:
                 raise ValueError(f"malformed avro: bad deflate block: {e}")
+        yield count, data
+
+
+def decode_avro_flat(payload: bytes) -> tuple[list[str], list[tuple]]:
+    """Row-level decode of a flat-record OCF → (field_names, rows).
+    The Iceberg manifest reader is built on this: manifests and
+    manifest lists ARE Avro OCF, and the snapshot replay needs the
+    actual entries, not a census. ValueError-only."""
+    r, fnames, ftypes, codec, sync = _read_ocf_header(payload)
+    rows: list[tuple] = []
+    n_blocks = 0
+    for count, data in _iter_ocf_blocks(r, payload, codec, sync):
+        br = _AR(data)
+        for _ in range(count):
+            vals = []
+            for t in ftypes:
+                if t in ("long", "int"):
+                    vals.append(br.long())
+                elif t == "string":
+                    vals.append(br.bytes_().decode("utf-8", "replace"))
+                else:
+                    vals.append(br.double())
+            rows.append(tuple(vals))
+        if br.p != len(data):
+            raise ValueError("malformed avro: block has trailing bytes")
+        n_blocks += 1
+    if n_blocks == 0:
+        raise ValueError("malformed avro: no data blocks")
+    return fnames, rows
+
+
+def decode_avro_ocf(payload: bytes) -> dict:
+    """Header map + sync + block walk + typed flat-record decode →
+    per-file census. ValueError-only."""
+    r, _fnames, ftypes, codec, sync = _read_ocf_header(payload)
+    n_blocks = n_rows = id_sum = v_chars = 0
+    qx_sum = 0  # Σ floor(x·8) — fixture doubles are exact eighths
+    for count, data in _iter_ocf_blocks(r, payload, codec, sync):
         br = _AR(data)
         for _ in range(count):
             for t in ftypes:

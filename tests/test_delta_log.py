@@ -6,6 +6,10 @@ from __future__ import annotations
 from cs_pipeline_spark.sources.delta_log import (
     _ADDS_PER_COMMIT,
     _N_COMMITS,
+    _READD_COMMIT,
+    _READD_PATH,
+    _READD_RECS,
+    _READD_SZ,
     _add_info,
     _remove_path,
     scan_delta_log,
@@ -18,6 +22,8 @@ def _expected(v: int) -> tuple[int, int, int]:
         for k in range(_ADDS_PER_COMMIT):
             path, sz, recs = _add_info(c, k)
             live[path] = (sz, recs)
+        if c == _READD_COMMIT:
+            live[_READD_PATH] = (_READD_SZ, _READD_RECS)
         if c >= 2:
             live.pop(_remove_path(c), None)
     return (

@@ -21,6 +21,7 @@ from cs_pipeline_spark.sources.jpeg import (
     encode_jpeg_gps,
 )
 from cs_pipeline_spark.sources.avro_ocf import (
+    decode_avro_flat,
     decode_avro_ocf,
     encode_avro_ocf,
 )
@@ -60,6 +61,10 @@ from cs_pipeline_spark.sources.tfrecord import (
     decode_tfrecord_meta,
     encode_tfrecord,
 )
+from cs_pipeline_spark.sources.iceberg import encode_iceberg_manifest
+from cs_pipeline_spark.sources.parquet_pages import (
+    decode_parquet_column_pages,
+)
 from cs_pipeline_spark.sources.wav import decode_wav, encode_wav
 from cs_pipeline_spark.sources.wikidump import (
     decode_wikidump_pages,
@@ -91,6 +96,9 @@ _PARSERS = [
     (decode_parquet_footer, encode_parquet_tbl),
     (decode_bmp_meta, encode_bmp),
     (decode_avro_ocf, encode_avro_ocf),
+    (decode_avro_flat, encode_avro_ocf),
+    (decode_avro_flat, encode_iceberg_manifest),
+    (decode_parquet_column_pages, encode_parquet_tbl),
 ]
 
 
