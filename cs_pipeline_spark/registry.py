@@ -269,6 +269,7 @@ def _load_all_modules() -> None:
         mp4,
         npy,
         ogg,
+        orc_meta,
         parquet_footer,
         parquet_pages,
         pdf,

@@ -62,6 +62,10 @@ from cs_pipeline_spark.sources.tfrecord import (
     encode_tfrecord,
 )
 from cs_pipeline_spark.sources.iceberg import encode_iceberg_manifest
+from cs_pipeline_spark.sources.orc_meta import (
+    decode_orc_postscript,
+    encode_orc_meta,
+)
 from cs_pipeline_spark.sources.parquet_pages import (
     decode_parquet_column_pages,
 )
@@ -99,6 +103,7 @@ _PARSERS = [
     (decode_avro_flat, encode_avro_ocf),
     (decode_avro_flat, encode_iceberg_manifest),
     (decode_parquet_column_pages, encode_parquet_tbl),
+    (decode_orc_postscript, encode_orc_meta),
 ]
 
 
