@@ -964,3 +964,411 @@ def mm_video_keyframe_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(_scratch(sf_dir, "real_mp4s_mjpeg"))
     )
     return bf.select("path", "content").mapInPandas(batches, schema=schema)
+
+
+# ====================================================================
+# AVC (H.264) SPS metadata — the one field video curation filters on
+# most: TRUE resolution/profile/level, parsed from the avcC record's
+# SPS NAL via exp-Golomb, not from the (frequently wrong) tkhd floats.
+# Public spec: ISO/IEC 14496-15 (avcC layout), ITU-T H.264 §7.3.2.1
+# (seq_parameter_set_rbsp) and §7.4.2.1.1 (crop-unit semantics).
+# ====================================================================
+
+_N_AVC = 6
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.bits: list[int] = []
+
+    def u(self, v: int, n: int) -> None:
+        for k in range(n - 1, -1, -1):
+            self.bits.append((v >> k) & 1)
+
+    def ue(self, v: int) -> None:
+        # exp-Golomb: leadingZeros(len(bin(v+1))-1) then v+1
+        code = v + 1
+        n = code.bit_length()
+        self.u(0, n - 1)
+        self.u(code, n)
+
+    def rbsp(self) -> bytes:
+        bits = self.bits + [1]  # rbsp_stop_one_bit
+        while len(bits) % 8:
+            bits.append(0)
+        out = bytearray()
+        for k in range(0, len(bits), 8):
+            b = 0
+            for bit in bits[k : k + 8]:
+                b = (b << 1) | bit
+            out.append(b)
+        return bytes(out)
+
+
+def _rbsp_to_ebsp(rbsp: bytes) -> bytes:
+    """Insert emulation-prevention 0x03 after any 00 00 followed by
+    00/01/02/03 — the H.264 Annex-B escape avcC SPS bytes carry."""
+    out = bytearray()
+    zeros = 0
+    for b in rbsp:
+        if zeros >= 2 and b <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
+def _ebsp_to_rbsp(ebsp: bytes) -> bytes:
+    out = bytearray()
+    zeros = 0
+    k = 0
+    while k < len(ebsp):
+        b = ebsp[k]
+        if zeros >= 2 and b == 3:
+            if k + 1 < len(ebsp) and ebsp[k + 1] > 3:
+                raise ValueError("malformed SPS: invalid emulation byte")
+            zeros = 0
+            k += 1
+            continue
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+        k += 1
+    return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, buf: bytes) -> None:
+        self.b = buf
+        self.p = 0  # bit position
+
+    def u(self, n: int) -> int:
+        if self.p + n > 8 * len(self.b):
+            raise ValueError("truncated SPS: bit underrun")
+        v = 0
+        for _ in range(n):
+            byte = self.b[self.p >> 3]
+            v = (v << 1) | ((byte >> (7 - (self.p & 7))) & 1)
+            self.p += 1
+        return v
+
+    def ue(self) -> int:
+        zeros = 0
+        while self.u(1) == 0:
+            zeros += 1
+            if zeros > 32:
+                raise ValueError("malformed SPS: exp-Golomb too long")
+        return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
+
+    def se(self) -> int:
+        k = self.ue()
+        return (k + 1) // 2 if k % 2 else -(k // 2)
+
+
+def _avc_params(i: int) -> dict:
+    crop = 1 if i % 3 == 0 else 0
+    wm, hu = 8 + i % 5, 6 + i % 4
+    return {
+        "profile_idc": 100 if i % 2 else 66,
+        "level_idc": 30 + (i % 3) * 10,
+        "wm": wm,
+        "hu": hu,
+        "crop_r": crop,  # in chroma crop units (×2 px)
+        "crop_b": 2 * crop,
+        "width": wm * 16 - 2 * crop,
+        "height": hu * 16 - 2 * (2 * crop),
+    }
+
+
+_HIGH_PROFILES = frozenset(
+    (100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135)
+)
+
+
+def encode_avc_sps(i: int) -> bytes:
+    """One SPS NAL (header byte + escaped RBSP) for the fixture
+    parameters — profile 66 (baseline path) and 100 (high path with
+    chroma/bit-depth fields) alternate."""
+    p = _avc_params(i)
+    w = _BitWriter()
+    w.u(p["profile_idc"], 8)
+    w.u(0, 8)  # constraint flags + reserved
+    w.u(p["level_idc"], 8)
+    w.ue(0)  # seq_parameter_set_id
+    if p["profile_idc"] in _HIGH_PROFILES:
+        w.ue(1)  # chroma_format_idc: 4:2:0
+        w.ue(0)  # bit_depth_luma_minus8
+        w.ue(0)  # bit_depth_chroma_minus8
+        w.u(0, 1)  # qpprime_y_zero_transform_bypass
+        w.u(0, 1)  # seq_scaling_matrix_present
+    w.ue(0)  # log2_max_frame_num_minus4
+    w.ue(0)  # pic_order_cnt_type
+    w.ue(0)  # log2_max_pic_order_cnt_lsb_minus4
+    w.ue(1)  # max_num_ref_frames
+    w.u(0, 1)  # gaps_in_frame_num_value_allowed
+    w.ue(p["wm"] - 1)  # pic_width_in_mbs_minus1
+    w.ue(p["hu"] - 1)  # pic_height_in_map_units_minus1
+    w.u(1, 1)  # frame_mbs_only_flag
+    w.u(0, 1)  # direct_8x8_inference_flag
+    if p["crop_r"] or p["crop_b"]:
+        w.u(1, 1)  # frame_cropping_flag
+        w.ue(0)
+        w.ue(p["crop_r"])
+        w.ue(0)
+        w.ue(p["crop_b"])
+    else:
+        w.u(0, 1)
+    w.u(0, 1)  # vui_parameters_present_flag
+    return bytes([0x67]) + _rbsp_to_ebsp(w.rbsp())
+
+
+def decode_avc_sps(nal: bytes) -> dict:
+    """SPS NAL → profile/level/true width/height. ValueError-only."""
+    if len(nal) < 4:
+        raise ValueError("truncated SPS: too short")
+    if nal[0] & 0x1F != 7:
+        raise ValueError("malformed SPS: not an SPS NAL")
+    r = _BitReader(_ebsp_to_rbsp(nal[1:]))
+    profile = r.u(8)
+    r.u(8)  # constraint flags
+    level = r.u(8)
+    r.ue()  # sps id
+    chroma = 1
+    if profile in _HIGH_PROFILES:
+        chroma = r.ue()
+        if chroma == 3:
+            r.u(1)  # separate_colour_plane
+        r.ue()  # bit_depth_luma_minus8
+        r.ue()  # bit_depth_chroma_minus8
+        r.u(1)  # qpprime
+        if r.u(1):
+            raise ValueError("unsupported SPS: scaling matrices")
+    r.ue()  # log2_max_frame_num_minus4
+    poc = r.ue()
+    if poc == 0:
+        r.ue()
+    elif poc == 1:
+        r.u(1)
+        r.se()
+        r.se()
+        for _ in range(r.ue()):
+            r.se()
+    elif poc > 2:
+        raise ValueError("malformed SPS: pic_order_cnt_type")
+    r.ue()  # max_num_ref_frames
+    r.u(1)  # gaps allowed
+    wm = r.ue() + 1
+    hu = r.ue() + 1
+    frame_mbs_only = r.u(1)
+    if not frame_mbs_only:
+        r.u(1)  # mb_adaptive_frame_field
+    r.u(1)  # direct_8x8
+    cl = cr = ct = cb = 0
+    if r.u(1):  # frame_cropping_flag
+        cl, cr, ct, cb = r.ue(), r.ue(), r.ue(), r.ue()
+    # crop units for 4:2:0 (and 4:2:2 horizontally); monochrome/4:4:4
+    # use unit 1 — chroma 0 or 3 per §7.4.2.1.1
+    ux = 2 if chroma in (1, 2) else 1
+    uy = (2 if chroma == 1 else 1) * (2 - frame_mbs_only)
+    width = wm * 16 - ux * (cl + cr)
+    height = (2 - frame_mbs_only) * hu * 16 - uy * (ct + cb)
+    if width <= 0 or height <= 0:
+        raise ValueError("malformed SPS: crop exceeds frame")
+    return {
+        "profile_idc": profile,
+        "level_idc": level,
+        "width": width,
+        "height": height,
+    }
+
+
+def encode_mp4_avc(i: int) -> bytes:
+    """A real ISO-BMFF container whose video trak's stsd carries an
+    avc1 VisualSampleEntry + avcC record embedding the fixture SPS
+    (plus a dummy PPS). No coded frames are needed — resolution
+    triage reads SPS metadata only, the curation access pattern."""
+    p = _avc_params(i)
+    sps = encode_avc_sps(i)
+    pps = bytes([0x68, 0xCE, 0x38, 0x80])
+    avcc = _box(
+        b"avcC",
+        bytes([1, p["profile_idc"], 0, p["level_idc"], 0xFF, 0xE1])
+        + struct.pack(">H", len(sps)) + sps
+        + bytes([1]) + struct.pack(">H", len(pps)) + pps,
+    )
+    vse = (
+        b"\x00" * 6 + struct.pack(">H", 1)  # reserved + dref index
+        + b"\x00" * 16
+        + struct.pack(">HH", p["width"], p["height"])
+        + struct.pack(">II", 0x480000, 0x480000)
+        + b"\x00" * 4 + struct.pack(">H", 1)
+        + b"\x00" * 32
+        + struct.pack(">Hh", 24, -1)
+    )
+    stsd = _full(
+        b"stsd", 0, struct.pack(">I", 1) + _box(b"avc1", vse + avcc)
+    )
+    stsz = _full(b"stsz", 0, struct.pack(">III", 0, 0, 0))
+    stsc = _full(b"stsc", 0, struct.pack(">I", 0))
+    stco = _full(b"stco", 0, struct.pack(">I", 0))
+    stbl = _box(b"stbl", stsd + stsz + stsc + stco)
+    hdlr = _full(
+        b"hdlr", 0,
+        struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"avc\x00",
+    )
+    mdhd = _full(
+        b"mdhd", 0, struct.pack(">IIIIHH", 0, 0, 1000, 0, 0x55C4, 0)
+    )
+    mdia = _box(b"mdia", mdhd + hdlr + _box(b"minf", stbl))
+    trak = _box(b"trak", _tkhd(1, 0, p["width"], p["height"]) + mdia)
+    mvhd = _full(
+        b"mvhd", 0,
+        struct.pack(">IIII", 0, 0, 1000, 0)
+        + struct.pack(">IHH", 0x10000, 0x0100, 0) + b"\x00" * 8
+        + struct.pack(
+            ">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+        )
+        + b"\x00" * 24 + struct.pack(">I", 2),
+    )
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"avc1")
+    return ftyp + _box(b"moov", mvhd + trak)
+
+
+def decode_mp4_sps_meta(payload: bytes) -> dict:
+    """First video trak's avcC → first SPS parsed: profile/level/true
+    width/height, plus the configured NAL length size and SPS count.
+    ValueError-only."""
+    end = len(payload)
+    moov = _find_box(payload, 0, end, b"moov")
+    if moov is None:
+        raise ValueError("malformed MP4: no moov box")
+    for t, tb, te in _iter_boxes(payload, moov[0], moov[1]):
+        if t != b"trak":
+            continue
+        mdia = _find_box(payload, tb, te, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _find_box(payload, mdia[0], mdia[1], b"hdlr")
+        if hdlr is None or payload[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+            continue
+        minf = _find_box(payload, mdia[0], mdia[1], b"minf")
+        stbl = _find_box(payload, minf[0], minf[1], b"stbl") \
+            if minf else None
+        stsd = _find_box(payload, stbl[0], stbl[1], b"stsd") \
+            if stbl else None
+        if stsd is None:
+            raise ValueError("malformed MP4: video trak missing stsd")
+        body = stsd[0] + 8  # version/flags + entry_count
+        if body > stsd[1]:
+            raise ValueError("truncated MP4: short stsd")
+        for et, eb, ee in _iter_boxes(payload, body, stsd[1]):
+            if et != b"avc1":
+                continue
+            if eb + 78 > ee:
+                raise ValueError("truncated MP4: short avc1 entry")
+            avcc = _find_box(payload, eb + 78, ee, b"avcC")
+            if avcc is None:
+                raise ValueError("malformed MP4: avc1 missing avcC")
+            ab, ae = avcc
+            if ab + 6 > ae or payload[ab] != 1:
+                raise ValueError("malformed MP4: bad avcC version")
+            length_size = (payload[ab + 4] & 3) + 1
+            n_sps = payload[ab + 5] & 0x1F
+            if n_sps < 1:
+                raise ValueError("malformed MP4: avcC carries no SPS")
+            q = ab + 6
+            if q + 2 > ae:
+                raise ValueError("truncated MP4: avcC SPS length")
+            sl = struct.unpack(">H", payload[q : q + 2])[0]
+            q += 2
+            if q + sl > ae:
+                raise ValueError("truncated MP4: avcC SPS overruns")
+            m = decode_avc_sps(payload[q : q + sl])
+            m["n_sps"] = n_sps
+            m["length_size"] = length_size
+            return m
+        raise ValueError("unsupported MP4: no avc1 sample entry")
+    raise ValueError("malformed MP4: no video track")
+
+
+@_fixture
+def _fx_mp4_avc(spark: SparkSession, sf_dir: str) -> None:
+    import os
+
+    out_dir = _scratch(sf_dir, "real_mp4s_avc")
+    os.makedirs(out_dir, exist_ok=True)
+    for i in range(_N_AVC):
+        p = f"{out_dir}/avc-{i:03d}.mp4"
+        if not os.path.exists(p):
+            tmp = p + ".tmp"
+            with open(tmp, "wb") as fh:
+                fh.write(encode_mp4_avc(i))
+            os.replace(tmp, p)
+
+
+_SPS_ORACLE = f"""
+    WITH vids AS (SELECT unnest(range(0, {_N_AVC})) AS i),
+    par AS (SELECT i,
+                   CASE WHEN i % 2 = 1 THEN 100 ELSE 66 END AS profile,
+                   30 + (i % 3) * 10 AS level_,
+                   8 + i % 5 AS wm, 6 + i % 4 AS hu,
+                   CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END AS cr
+            FROM vids)
+    SELECT printf('avc-%03d.mp4', CAST(i AS INT)) AS fname,
+           CAST(profile AS BIGINT) AS profile_idc,
+           CAST(level_ AS BIGINT) AS level_idc,
+           CAST(wm * 16 - 2 * cr AS BIGINT) AS width,
+           CAST(hu * 16 - 2 * (2 * cr) AS BIGINT) AS height,
+           CAST(1 AS BIGINT) AS n_sps,
+           CAST(4 AS BIGINT) AS length_size
+    FROM par
+"""
+
+
+@register(
+    "mm_video_sps_meta",
+    _SPS_ORACLE,
+    doc="AVC SPS metadata from raw MP4 bytes: stsd → avc1 → avcC → "
+    "SPS NAL, emulation-prevention stripped, exp-Golomb walk through "
+    "both the baseline and high-profile (chroma/bit-depth) field "
+    "layouts, frame-cropping applied in chroma crop units — TRUE "
+    "width/height/profile/level per file, hash-checked against the "
+    "fixture formula",
+)
+def mm_video_sps_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resolution video curation actually trusts: tkhd carries
+    display floats writers routinely leave wrong, while the SPS inside
+    avcC states the CODED frame size — (mbs × 16) minus the cropping
+    window, in crop units that depend on chroma subsampling and
+    field/frame coding. Half the fixtures use high profile (extra
+    chroma/bit-depth fields before the resolution — an off-by-one
+    branch bug shifts every later field and changes the hash) and
+    crops exercise the unit arithmetic.
+
+    Scale: header-bytes-only per-file map work over binaryFile (moov
+    is KBs); the same plan at 100 TB reads only each file's moov via
+    ranged GETs — no frame data is ever touched.
+    """
+    schema = (
+        "fname string, profile_idc long, level_idc long, width long, "
+        "height long, n_sps long, length_size long"
+    )
+    cols = ["fname", "profile_idc", "level_idc", "width", "height",
+            "n_sps", "length_size"]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                m = decode_mp4_sps_meta(bytes(content))
+                m["fname"] = path.rsplit("/", 1)[-1]
+                rows.append(m)
+            yield pd.DataFrame(rows, columns=cols) if rows else \
+                pd.DataFrame({k: [] for k in cols})
+
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.mp4")
+        .load(_scratch(sf_dir, "real_mp4s_avc"))
+    )
+    return bf.select("path", "content").mapInPandas(batches, schema=schema)

@@ -71,3 +71,40 @@ def test_inconsistent_stripe_sum_flagged():
     d = decode_orc_postscript(payload)
     assert d["rows_match"] == 0
     assert d["stripe_rows"] == 110 and d["n_rows"] == 117
+
+
+# ---------- AVC SPS (sources/mp4.py round-10 section) ----------
+
+
+def test_sps_emulation_prevention_roundtrip():
+    from cs_pipeline_spark.sources.mp4 import (
+        _ebsp_to_rbsp,
+        _rbsp_to_ebsp,
+    )
+
+    cases = [
+        b"\x00\x00\x00\x00\x01",
+        b"\x00\x00\x01\x02\x03",
+        b"\xff\x00\x00\x02",
+        b"\x00\x00",
+        b"",
+        bytes(range(256)),
+    ]
+    for rbsp in cases:
+        ebsp = _rbsp_to_ebsp(rbsp)
+        # escaped stream never contains 00 00 0x (x <= 3) at offsets
+        for k in range(len(ebsp) - 2):
+            if ebsp[k] == 0 and ebsp[k + 1] == 0:
+                assert ebsp[k + 2] > 3 or ebsp[k + 2] == 3
+        assert _ebsp_to_rbsp(ebsp) == rbsp
+
+
+def test_sps_both_profile_branches(spark, sf_dir):
+    from cs_pipeline_spark.sources.mp4 import mm_video_sps_meta
+
+    rows = mm_video_sps_meta(spark, sf_dir).collect()
+    profiles = {r.profile_idc for r in rows}
+    assert profiles == {66, 100}  # baseline AND high layouts parsed
+    for r in rows:
+        assert r.width % 2 == 0 and r.height % 4 == 0
+        assert r.n_sps == 1 and r.length_size == 4

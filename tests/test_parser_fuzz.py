@@ -30,8 +30,10 @@ from cs_pipeline_spark.sources.flac import decode_flac_meta, encode_flac
 from cs_pipeline_spark.sources.gif import decode_gif_meta, encode_gif as encode_gif_anim
 from cs_pipeline_spark.sources.mp4 import (
     decode_mp4_keyframe_pixels,
+    decode_mp4_sps_meta,
     decode_mp4_meta,
     encode_mp4,
+    encode_mp4_avc,
     encode_mp4_mjpeg,
 )
 from cs_pipeline_spark.sources.mp3 import decode_mp3_meta, encode_mp3
@@ -86,6 +88,7 @@ _PARSERS = [
     (decode_webp_meta, encode_webp),
     (decode_mp4_meta, encode_mp4),
     (decode_mp4_keyframe_pixels, encode_mp4_mjpeg),
+    (decode_mp4_sps_meta, encode_mp4_avc),
     (decode_flac_meta, encode_flac),
     (decode_tar_members, encode_tar),
     (decode_mp3_meta, encode_mp3),
