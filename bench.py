@@ -200,6 +200,16 @@ HEADLINE = [
     "sink_avro_roundtrip",
     "scan_delta_log",
     "lake_audit_e2e",
+    # round-10 wave: Iceberg snapshot replay, parquet data-page value
+    # decode (raw snappy), ORC postscript triage, AVC SPS resolution,
+    # Delta vacuum planner
+    "scan_iceberg_manifest",
+    "scan_parquet_data_pages",
+    "scan_orc_postscript",
+    "mm_video_sps_meta",
+    "lake_vacuum_plan",
+    "scan_delta_checkpoint",
+    "lake_orphan_files",
 ]
 
 

@@ -192,7 +192,9 @@ def _lake_oracle() -> str:
     import cs_pipeline_spark.sources.avro_ocf  # noqa: F401
     import cs_pipeline_spark.sources.delta_log  # noqa: F401
     import cs_pipeline_spark.sources.iceberg  # noqa: F401
+    import cs_pipeline_spark.sources.orc_meta  # noqa: F401
     import cs_pipeline_spark.sources.parquet_footer  # noqa: F401
+    import cs_pipeline_spark.sources.parquet_pages  # noqa: F401
     from cs_pipeline_spark.registry import _REGISTRY
 
     o = {
@@ -202,13 +204,17 @@ def _lake_oracle() -> str:
             "scan_avro_blocks",
             "scan_delta_log",
             "scan_iceberg_manifest",
+            "scan_parquet_data_pages",
+            "scan_orc_postscript",
         )
     }
     return f"""
     WITH pq AS MATERIALIZED ({o['scan_parquet_footer']}),
     av AS MATERIALIZED ({o['scan_avro_blocks']}),
     dl AS MATERIALIZED ({o['scan_delta_log']}),
-    ic AS MATERIALIZED ({o['scan_iceberg_manifest']})
+    ic AS MATERIALIZED ({o['scan_iceberg_manifest']}),
+    pp AS MATERIALIZED ({o['scan_parquet_data_pages']}),
+    oc AS MATERIALIZED ({o['scan_orc_postscript']})
     SELECT 'parquet' AS layer, 'row_groups' AS metric,
            CAST(COUNT(*) AS BIGINT) AS value FROM pq
     UNION ALL
@@ -247,6 +253,20 @@ def _lake_oracle() -> str:
            CAST(MAX(CASE WHEN snapshot_id =
                              (SELECT MAX(snapshot_id) FROM ic)
                          THEN live_records END) AS BIGINT) FROM ic
+    UNION ALL
+    SELECT 'parquet', 'rows_page_verified',
+           CAST(SUM(CASE WHEN rows_match = 1 THEN rows_decoded
+                         ELSE 0 END) AS BIGINT) FROM pp
+    UNION ALL
+    SELECT 'parquet', 'page_mismatch_files',
+           CAST(SUM(1 - rows_match) AS BIGINT) FROM pp
+    UNION ALL
+    SELECT 'orc', 'files', CAST(COUNT(*) AS BIGINT) FROM oc
+    UNION ALL
+    SELECT 'orc', 'rows', CAST(SUM(n_rows) AS BIGINT) FROM oc
+    UNION ALL
+    SELECT 'orc', 'stripe_mismatch_files',
+           CAST(SUM(1 - rows_match) AS BIGINT) FROM oc
     """
 
 
@@ -277,14 +297,20 @@ def lake_audit_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cs_pipeline_spark.sources.avro_ocf import scan_avro_blocks
     from cs_pipeline_spark.sources.delta_log import scan_delta_log
     from cs_pipeline_spark.sources.iceberg import scan_iceberg_manifest
+    from cs_pipeline_spark.sources.orc_meta import scan_orc_postscript
     from cs_pipeline_spark.sources.parquet_footer import (
         scan_parquet_footer,
+    )
+    from cs_pipeline_spark.sources.parquet_pages import (
+        scan_parquet_data_pages,
     )
 
     pq = pin(scan_parquet_footer(spark, sf_dir))
     av = pin(scan_avro_blocks(spark, sf_dir))
     dl = pin(scan_delta_log(spark, sf_dir))
     ic = pin(scan_iceberg_manifest(spark, sf_dir))
+    pp = pin(scan_parquet_data_pages(spark, sf_dir))
+    oc = pin(scan_orc_postscript(spark, sf_dir))
 
     def row(layer: str, metric: str, agg: DataFrame) -> DataFrame:
         return agg.select(
@@ -334,6 +360,17 @@ def lake_audit_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             ic.agg(F.count(F.lit(1)).alias("value"))),
         row("iceberg", "live_files_head", ic_head_files),
         row("iceberg", "live_records_head", ic_head_recs),
+        row("parquet", "rows_page_verified",
+            pp.agg(F.sum(
+                F.when(F.col("rows_match") == 1, F.col("rows_decoded"))
+                .otherwise(F.lit(0))
+            ).alias("value"))),
+        row("parquet", "page_mismatch_files",
+            pp.agg(F.sum(1 - F.col("rows_match")).alias("value"))),
+        row("orc", "files", oc.agg(F.count(F.lit(1)).alias("value"))),
+        row("orc", "rows", oc.agg(F.sum("n_rows").alias("value"))),
+        row("orc", "stripe_mismatch_files",
+            oc.agg(F.sum(1 - F.col("rows_match")).alias("value"))),
     ]
     out = parts[0]
     for p in parts[1:]:

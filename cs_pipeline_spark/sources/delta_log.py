@@ -394,3 +394,157 @@ def lake_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("removable"),
     )
+
+
+# ====================================================================
+# Checkpoint replay — the long-log path: fold from a materialized
+# state table + only the commits AFTER it, instead of from version 0.
+# ====================================================================
+
+_CKPT_VERSION = 3
+
+
+def _ckpt_state() -> list[tuple]:
+    """Latest-action state per path as of _CKPT_VERSION, stated by
+    the same fixture formulas the oracle recomputes — what a real
+    engine materializes into %020d.checkpoint.parquet."""
+    state: dict[str, tuple] = {}
+    for c in range(_CKPT_VERSION + 1):
+        for k in range(_ADDS_PER_COMMIT):
+            path, sz, recs = _add_info(c, k)
+            state[path] = (path, c, 0, sz, recs, _commit_ts_ms(c))
+        if c == _READD_COMMIT:  # above the checkpoint in this fixture
+            state[_READD_PATH] = (
+                _READD_PATH, c, 0, _READD_SZ, _READD_RECS,
+                _commit_ts_ms(c),
+            )
+        if c >= 2:
+            rp = _remove_path(c)
+            state[rp] = (rp, c, 1, None, None, _commit_ts_ms(c))
+    return sorted(state.values())
+
+
+@_fixture
+def _fx_delta_checkpoint(spark: SparkSession, sf_dir: str) -> None:
+    """Checkpoint parquet (sibling scratch dir: scan_delta_log globs
+    *.json in the log dir, and a Spark parquet write is a DIRECTORY
+    that would break the text reader's listing if nested there)."""
+    import os
+
+    out = _scratch(sf_dir, "real_delta_ckpt")
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return
+    schema = (
+        "path string, version long, is_remove int, sz long, "
+        "recs long, ts_ms long"
+    )
+    spark.createDataFrame(_ckpt_state(), schema=schema).coalesce(
+        1
+    ).write.mode("overwrite").parquet(out)
+
+
+_CKPT_ORACLE = f"""
+    WITH commits AS (SELECT unnest(range(0, {_N_COMMITS})) AS c),
+    adds AS (SELECT c,
+                    printf('part-%d-%d.parquet', CAST(c AS INT),
+                           CAST(k.k AS INT)) AS path,
+                    1000 + 100 * c + 10 * k.k AS sz,
+                    50 + 10 * c + k.k AS recs
+             FROM commits,
+                  (SELECT unnest(range(0, {_ADDS_PER_COMMIT})) AS k) k
+             UNION ALL
+             SELECT {_READD_COMMIT} AS c, '{_READD_PATH}' AS path,
+                    {_READD_SZ} AS sz, {_READD_RECS} AS recs),
+    rems AS (SELECT c AS rc,
+                    printf('part-%d-%d.parquet', CAST(c - 2 AS INT),
+                           CAST(c % 3 AS INT)) AS path
+             FROM commits WHERE c >= 2),
+    v AS (SELECT unnest(range({_CKPT_VERSION}, {_N_COMMITS})) AS v),
+    actions AS (
+      SELECT c AS av, path, 0 AS is_remove, sz, recs FROM adds
+      UNION ALL
+      SELECT rc AS av, path, 1 AS is_remove,
+             NULL::BIGINT AS sz, NULL::BIGINT AS recs FROM rems),
+    ranked AS (
+      SELECT v.v, a.path, a.is_remove, a.sz, a.recs,
+             ROW_NUMBER() OVER (
+               PARTITION BY v.v, a.path
+               ORDER BY a.av DESC, a.is_remove DESC) AS rn
+      FROM v JOIN actions a ON a.av <= v.v),
+    live AS (SELECT v, path, sz, recs FROM ranked
+             WHERE rn = 1 AND is_remove = 0)
+    SELECT CAST(v AS BIGINT) AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_live_files,
+           CAST(SUM(sz) AS BIGINT) AS live_bytes,
+           CAST(SUM(recs) AS BIGINT) AS live_records
+    FROM live GROUP BY v
+"""
+
+
+@register(
+    "scan_delta_checkpoint",
+    _CKPT_ORACLE,
+    doc="Delta checkpoint replay: fold from the materialized "
+    "checkpoint state table + only the commits AFTER it (the O(10)-"
+    "files long-log path), latest-action-wins exactly as the full "
+    "replay — per-version snapshot census for the checkpoint-and-"
+    "later versions, hash-checked against the same formula the full "
+    "replay hashes against (the two paths cannot drift)",
+)
+def scan_delta_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Why production replay is O(checkpoint interval), not O(log):
+    the engine periodically materializes its folded state to parquet,
+    and a reader folds that STATE TABLE plus the JSON tail. The state
+    rows re-enter the fold carrying their original versions, so the
+    same latest-action-wins aggregate serves both paths — and because
+    this op and `scan_delta_log` hash against the same formula over
+    their shared versions, an inconsistency between the two replay
+    paths is a hash failure, not a silent drift.
+
+    Scale: the checkpoint is O(live files) parquet (columnar, predicate-
+    prunable), the tail is O(interval) JSON — the replay never touches
+    older commits. Same path-keyed aggregate as the full fold.
+    """
+    ck = spark.read.parquet(_scratch(sf_dir, "real_delta_ckpt"))
+    tail = _read_actions(spark, sf_dir).filter(
+        F.col("version") > _CKPT_VERSION
+    )
+    actions = ck.select(
+        "path", "version", "is_remove", "sz", "recs"
+    ).unionByName(tail.select("path", "version", "is_remove", "sz", "recs"))
+    fan = actions.select(
+        "path",
+        "version",
+        "is_remove",
+        "sz",
+        "recs",
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("version"), F.lit(_CKPT_VERSION)),
+                F.lit(_N_COMMITS - 1),
+            )
+        ).alias("v"),
+    )
+    latest = (
+        fan.groupBy("v", "path")
+        .agg(
+            F.max(
+                F.struct("version", "is_remove", "sz", "recs")
+            ).alias("a")
+        )
+        .filter(F.col("a.is_remove") == 0)
+    )
+    return (
+        latest.groupBy("v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_live_files"),
+            F.sum("a.sz").cast("long").alias("live_bytes"),
+            F.sum("a.recs").cast("long").alias("live_records"),
+        )
+        .select(
+            F.col("v").cast("long").alias("version"),
+            "n_live_files",
+            "live_bytes",
+            "live_records",
+        )
+    )

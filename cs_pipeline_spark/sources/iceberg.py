@@ -351,3 +351,107 @@ def encode_iceberg_manifest(i: int) -> bytes:
     manifest OCF per seed, including a DELETED entry."""
     return encode_ocf_generic(_MANIFEST_FIELDS, _manifest_rows(i + 2),
                               100 + i)
+
+
+# ====================================================================
+# Orphan-file census — the cleanup pass every Iceberg operator runs:
+# files present in the object-store listing but referenced by NO
+# manifest (failed-commit leftovers). Files referenced by ANY
+# manifest — even only as DELETED entries — are NOT orphans: older
+# snapshots still plan against them (time travel safety).
+# ====================================================================
+
+_N_ORPHANS = 3
+
+
+def _orphan_info(m: int) -> tuple[str, int]:
+    return (f"data/orphan-{m}.parquet", 500 + 10 * m)
+
+
+@_fixture
+def _fx_iceberg_listing(spark: SparkSession, sf_dir: str) -> None:
+    """Object-store listing fixture: every path any manifest
+    references (data files, including later-deleted ones) plus
+    planted orphans from aborted writes."""
+    import os
+
+    md = _scratch(sf_dir, "real_iceberg")
+    os.makedirs(md, exist_ok=True)
+    p = os.path.join(md, "listing.jsonl")
+    if os.path.exists(p):
+        return
+    lines = []
+    seen = set()
+    for k in range(_N_SNAPSHOTS):
+        for row in _manifest_rows(k):
+            _status, _seq, path, sz, _recs = row
+            if path not in seen:
+                seen.add(path)
+                lines.append(json.dumps({"path": path, "size": sz}))
+    for m in range(_N_ORPHANS):
+        path, sz = _orphan_info(m)
+        lines.append(json.dumps({"path": path, "size": sz}))
+    tmp = p + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    os.replace(tmp, p)
+
+
+_ORPHAN_ORACLE = f"""
+    WITH orphans AS (SELECT unnest(range(0, {_N_ORPHANS})) AS m)
+    SELECT printf('data/orphan-%d.parquet', CAST(m AS INT)) AS path,
+           CAST(500 + 10 * m AS BIGINT) AS size_bytes
+    FROM orphans
+"""
+
+
+@register(
+    "lake_orphan_files",
+    _ORPHAN_ORACLE,
+    doc="Iceberg orphan-file census: object-store listing anti-joined "
+    "against the union of every manifest's referenced paths (DELETED "
+    "entries count as referenced — older snapshots still need them), "
+    "leaving exactly the failed-commit leftovers safe to delete — "
+    "hash-checked against the planted-orphan formula",
+)
+def lake_orphan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`remove_orphan_files`, the other cleanup next to the Delta
+    vacuum planner (delta_log.py): vacuum deletes files the LOG says
+    are dead; orphan cleanup deletes files the log has never heard
+    of. The referenced set is ALL manifest entries regardless of
+    status — treating DELETED entries as unreferenced would eat
+    time-travel data, which is why the census anti-joins the union,
+    not the head snapshot's live set.
+
+    Scale: the listing is the big side (billions of objects at
+    100 TB) and streams through the anti-join; the referenced set is
+    manifest-sized metadata and broadcasts. No shuffle on the listing
+    beyond the broadcast probe.
+    """
+    import os
+
+    md = _scratch(sf_dir, "real_iceberg")
+    listing = (
+        spark.read.option("pathGlobFilter", "listing.jsonl")
+        .json(md)
+        .select("path", F.col("size").cast("long").alias("size_bytes"))
+    )
+    manifests = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "manifest-*.avro")
+        .load(os.path.join(md, "metadata"))
+        .select("path", "content")
+        .mapInPandas(
+            lambda it: _decode_rows_batches(
+                it,
+                ["fname", "status", "seq", "file_path",
+                 "file_size", "record_count"],
+            ),
+            schema="fname string, status long, seq long, "
+            "file_path string, file_size long, record_count long",
+        )
+    )
+    referenced = manifests.select(
+        F.col("file_path").alias("path")
+    ).distinct()
+    return listing.join(F.broadcast(referenced), "path", "left_anti")

@@ -92,3 +92,47 @@ def test_vacuum_plan_flags_and_excludes_readds(spark, sf_dir):
     newest = max(rows.values(), key=lambda r: r.removed_version)
     assert newest.removable == 0
     assert any(r.removable == 1 for r in rows.values())
+
+
+def test_checkpoint_replay_equals_full_replay(spark, sf_dir):
+    """The two replay paths must agree exactly on shared versions."""
+    from cs_pipeline_spark.sources.delta_log import (
+        _CKPT_VERSION,
+        scan_delta_checkpoint,
+        scan_delta_log,
+    )
+
+    full = {
+        r.version: r
+        for r in scan_delta_log(spark, sf_dir).collect()
+        if r.version >= _CKPT_VERSION
+    }
+    ck = {
+        r.version: r
+        for r in scan_delta_checkpoint(spark, sf_dir).collect()
+    }
+    assert set(full) == set(ck) == set(
+        range(_CKPT_VERSION, _N_COMMITS)
+    )
+    for v, r in full.items():
+        c = ck[v]
+        assert (r.n_live_files, r.live_bytes, r.live_records) == (
+            c.n_live_files, c.live_bytes, c.live_records,
+        )
+
+
+def test_orphans_exclude_referenced_and_deleted(spark, sf_dir):
+    from cs_pipeline_spark.sources.iceberg import (
+        _N_ORPHANS,
+        _orphan_info,
+        lake_orphan_files,
+    )
+
+    rows = {r.path: r.size_bytes for r in
+            lake_orphan_files(spark, sf_dir).collect()}
+    assert rows == {
+        _orphan_info(m)[0]: _orphan_info(m)[1]
+        for m in range(_N_ORPHANS)
+    }
+    # a DELETED-status file (referenced by a manifest) is NOT orphaned
+    assert "data/f-0-2.parquet" not in rows
