@@ -210,6 +210,7 @@ HEADLINE = [
     "lake_vacuum_plan",
     "scan_delta_checkpoint",
     "lake_orphan_files",
+    "scan_parquet_col_stats",
 ]
 
 

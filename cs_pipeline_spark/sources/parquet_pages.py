@@ -451,3 +451,159 @@ def scan_parquet_data_pages(
     return bf.select("path", "content").mapInPandas(
         batches, schema=schema
     )
+
+
+# ====================================================================
+# Column statistics decode — the footer bytes predicate pushdown
+# actually reads: per-row-group min_value/max_value/null_count
+# (parquet.thrift Statistics, fields 5/6/3; INT64 plain-encoded LE).
+# ====================================================================
+
+
+def _read_b(r: _TC, t: int, _d: int) -> bytes:
+    if t != 8:  # thrift-compact BINARY
+        raise ValueError("malformed parquet: expected binary stat")
+    return r.string()
+
+
+_STATS = {3: _read_i, 5: _read_b, 6: _read_b}
+_COLMETA_S = {
+    1: _read_i,
+    3: _read_strlist,
+    12: _read_struct_h(_STATS),
+}
+_COLCHUNK_S = {3: _read_struct_h(_COLMETA_S)}
+_ROWGROUP_S = {1: _read_list_of_structs(_COLCHUNK_S), 3: _read_i}
+_FILEMETA_S = {3: _read_i, 4: _read_list_of_structs(_ROWGROUP_S)}
+
+_PRUNE_THRESHOLD = 5000  # demo predicate: a >= 5000
+
+
+def decode_parquet_col_stats(
+    payload: bytes, col: bytes = b"a"
+) -> list[dict]:
+    """Per-row-group Statistics for one INT64 column: min_value /
+    max_value (8-byte LE) + null_count, plus the row-group pruning
+    verdict for a fixed ``a >= 5000`` scan predicate — exactly the
+    decision a reader's filter pushdown makes from these bytes.
+    ValueError-only."""
+    if (
+        len(payload) < 12
+        or payload[:4] != b"PAR1"
+        or payload[-4:] != b"PAR1"
+    ):
+        raise ValueError("not a parquet file: bad magic")
+    flen = int.from_bytes(payload[-8:-4], "little")
+    if flen <= 0 or flen + 8 > len(payload):
+        raise ValueError("malformed parquet: footer length outside file")
+    fm = _TC(payload[-8 - flen : -8]).read_struct(_FILEMETA_S)
+    if 4 not in fm:
+        raise ValueError("malformed parquet: footer missing row groups")
+    rows: list[dict] = []
+    for rgi, rg in enumerate(fm[4]):
+        for ch in rg.get(1, []):
+            m = ch.get(3, {})
+            if m.get(3) != [col]:
+                continue
+            if m.get(1) != _TYPE_INT64:
+                raise ValueError("unsupported parquet: stats column "
+                                 "must be INT64")
+            st = m.get(12)
+            if st is None:
+                raise ValueError("malformed parquet: chunk missing "
+                                 "statistics")
+            bmin, bmax = st.get(6), st.get(5)
+            if bmin is None or bmax is None or len(bmin) != 8 \
+                    or len(bmax) != 8:
+                raise ValueError("malformed parquet: bad stat encoding")
+            mn = int.from_bytes(bmin, "little", signed=True)
+            mx = int.from_bytes(bmax, "little", signed=True)
+            if mn > mx:
+                raise ValueError("malformed parquet: min > max stat")
+            rows.append({
+                "row_group": rgi,
+                "stat_min": mn,
+                "stat_max": mx,
+                "null_count": st.get(3, 0),
+                "prunable_ge_thresh": 1 if mx < _PRUNE_THRESHOLD else 0,
+            })
+    if not rows:
+        raise ValueError("malformed parquet: stats column not found")
+    return rows
+
+
+_ST_COLS = (
+    "row_group stat_min stat_max null_count prunable_ge_thresh".split()
+)
+
+_ST_ORACLE = f"""
+    WITH files AS (SELECT unnest(range(0, {_N_PQ})) AS i),
+    m AS (SELECT i, 1000 + 137 * i AS n, 256 + 32 * i AS rgs
+          FROM files),
+    rgx AS (SELECT i, n, rgs,
+                   unnest(range(0, (n + rgs - 1) // rgs)) AS r
+            FROM m)
+    SELECT printf('tbl-%03d.parquet', CAST(i AS INT)) AS fname,
+           CAST(r AS BIGINT) AS row_group,
+           CAST(r * rgs * 7 + i AS BIGINT) AS stat_min,
+           CAST((least(n, (r + 1) * rgs) - 1) * 7 + i AS BIGINT)
+             AS stat_max,
+           CAST(0 AS BIGINT) AS null_count,
+           CAST(CASE WHEN (least(n, (r + 1) * rgs) - 1) * 7 + i
+                          < {_PRUNE_THRESHOLD}
+                     THEN 1 ELSE 0 END AS BIGINT) AS prunable_ge_thresh
+    FROM rgx
+"""
+
+
+@register(
+    "scan_parquet_col_stats",
+    _ST_ORACLE,
+    doc="parquet column-statistics decode: per-row-group min_value/"
+    "max_value/null_count for the id column straight from the thrift "
+    "footer bytes (Statistics fields 5/6/3, INT64 LE), plus the "
+    "row-group pruning verdict a pushed-down `a >= 5000` predicate "
+    "derives from them — hash-checked against the fixture formula",
+)
+def scan_parquet_col_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """What predicate pushdown actually reads: zone-map min/max per
+    row group. The exact formula check matters — stats that are
+    merely PLAUSIBLE (right order, wrong bounds) would admit wrong
+    pruning at scan time, so the oracle pins every min and max to the
+    generating formula, and the pruning verdict column demonstrates
+    the skip decision the stats exist for.
+
+    Scale: footer-bytes-only per-file map work over binaryFile (one
+    tail ranged GET per file at 100 TB); no shuffle. Pairs with
+    scan_parquet_data_pages, which verifies the pages those row
+    groups declare.
+    """
+    schema = "fname string, " + ", ".join(
+        f"{c} long" for c in _ST_COLS
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["fname", *_ST_COLS]
+        for pdf in it:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                fname = path.rsplit("/", 1)[-1]
+                for m in decode_parquet_col_stats(bytes(content)):
+                    m["fname"] = fname
+                    rows.append(m)
+            yield (
+                pd.DataFrame(rows, columns=cols)
+                if rows
+                else pd.DataFrame({k: [] for k in cols})
+            )
+
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(_scratch(sf_dir, "real_parquet_tbls"))
+    )
+    return bf.select("path", "content").mapInPandas(
+        batches, schema=schema
+    )

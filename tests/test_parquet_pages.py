@@ -78,3 +78,22 @@ def test_rle_run_overshoot_raises():
     buf = bytes([200 << 1 & 0xFF]) + b"\x01"
     with pytest.raises(ValueError):
         rle_bp_decode(bytes([100 << 1]) + b"\x01", 0, 1, 5)
+
+
+def test_col_stats_match_formula():
+    from cs_pipeline_spark.sources.parquet_pages import (
+        decode_parquet_col_stats,
+    )
+
+    for i in range(4):
+        n, rgs = 1000 + 137 * i, 256 + 32 * i
+        rows = decode_parquet_col_stats(encode_parquet_tbl(i))
+        assert len(rows) == (n + rgs - 1) // rgs
+        for r in rows:
+            g = r["row_group"]
+            assert r["stat_min"] == g * rgs * 7 + i
+            assert r["stat_max"] == (min(n, (g + 1) * rgs) - 1) * 7 + i
+            assert r["null_count"] == 0
+            assert r["prunable_ge_thresh"] == (
+                1 if r["stat_max"] < 5000 else 0
+            )

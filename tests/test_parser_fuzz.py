@@ -69,6 +69,7 @@ from cs_pipeline_spark.sources.orc_meta import (
     encode_orc_meta,
 )
 from cs_pipeline_spark.sources.parquet_pages import (
+    decode_parquet_col_stats,
     decode_parquet_column_pages,
 )
 from cs_pipeline_spark.sources.wav import decode_wav, encode_wav
@@ -106,6 +107,7 @@ _PARSERS = [
     (decode_avro_flat, encode_avro_ocf),
     (decode_avro_flat, encode_iceberg_manifest),
     (decode_parquet_column_pages, encode_parquet_tbl),
+    (decode_parquet_col_stats, encode_parquet_tbl),
     (decode_orc_postscript, encode_orc_meta),
 ]
 
