@@ -41,12 +41,22 @@ def test_lake_audit_consistency(spark, sf_dir):
     from cs_pipeline_spark.operators.pipeline_ingest import lake_audit_e2e
     from cs_pipeline_spark.sources.delta_log import _N_COMMITS
 
+    from cs_pipeline_spark.sources.iceberg import _N_SNAPSHOTS
+
     rows = {
         (r.layer, r.metric): r.value
         for r in lake_audit_e2e(spark, sf_dir).collect()
     }
-    assert len(rows) == 9
+    assert len(rows) == 17  # six layers as of round 10
     assert rows[("log", "versions")] == _N_COMMITS
     assert rows[("parquet", "non_snappy_chunks")] == 0
     assert rows[("avro", "deflate_files")] == 2  # odd fixtures
     assert rows[("log", "net_file_growth")] > 0
+    assert rows[("iceberg", "snapshots")] == _N_SNAPSHOTS
+    assert rows[("iceberg", "live_files_head")] > 0
+    assert rows[("parquet", "page_mismatch_files")] == 0
+    assert rows[("parquet", "rows_page_verified")] == rows[
+        ("parquet", "rows")
+    ]
+    assert rows[("orc", "stripe_mismatch_files")] == 0
+    assert rows[("orc", "rows")] > 0

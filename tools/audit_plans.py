@@ -523,6 +523,19 @@ AUDIT: dict[str, dict] = {
     # join, vec_id-co-partitioned fact join (inherent to the update
     # step); all cluster-keyed report joins are explicit broadcasts
     "ingest_incremental_e2e": {},         # union of stage aggregates
+    # round-10 lake/format wave: metadata-only scans (footer tails,
+    # commit logs, manifests) — no shuffle beyond bounded aggregates
+    "scan_iceberg_manifest": {"smj": 0, "nlj": 0},  # manifest map
+    # broadcast onto entries; (snapshot, path) agg is log-sized
+    "scan_parquet_data_pages": {"smj": 0, "exchange": 0},
+    "scan_parquet_col_stats": {"smj": 0, "exchange": 0},
+    "scan_orc_postscript": {"smj": 0},  # one shard-key agg over the
+    # per-file census (defensive multi-file fold)
+    "mm_video_sps_meta": {"smj": 0, "exchange": 0},
+    "lake_vacuum_plan": {"smj": 0, "nlj": 0},  # tombstones broadcast
+    "scan_delta_checkpoint": {"smj": 0, "nlj": 0},
+    "lake_orphan_files": {"smj": 0, "nlj": 0},  # referenced set
+    # broadcast anti-join; listing side streams
 }
 
 
