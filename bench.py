@@ -211,6 +211,7 @@ HEADLINE = [
     "scan_delta_checkpoint",
     "lake_orphan_files",
     "scan_parquet_col_stats",
+    "scan_parquet_string_pages",
 ]
 
 

@@ -214,15 +214,67 @@ _PG_DATA, _PG_DICT = 0, 2
 _ENC_PLAIN, _ENC_PLAIN_DICT, _ENC_RLE_DICT = 0, 2, 8
 
 
-def decode_parquet_column_pages(
-    payload: bytes, col: bytes = b"a"
+def _plain_i64_dict(raw: bytes, dn: int) -> list[int]:
+    if len(raw) != 8 * dn:
+        raise ValueError("malformed parquet: dict page size")
+    return [
+        int.from_bytes(raw[8 * k : 8 * k + 8], "little", signed=True)
+        for k in range(dn)
+    ]
+
+
+def _plain_i64_values(raw: bytes, q: int, ndef: int) -> list[int]:
+    if q + 8 * ndef > len(raw):
+        raise ValueError("malformed parquet: plain values truncated")
+    return [
+        int.from_bytes(raw[q + 8 * k : q + 8 * k + 8], "little",
+                       signed=True)
+        for k in range(ndef)
+    ]
+
+
+def _plain_ba_list(raw: bytes, q: int, count: int,
+                   exact: bool) -> list[bytes]:
+    """PLAIN BYTE_ARRAY: count × (4-byte LE length + bytes)."""
+    out: list[bytes] = []
+    for _ in range(count):
+        if q + 4 > len(raw):
+            raise ValueError("malformed parquet: byte-array length "
+                             "truncated")
+        ln = int.from_bytes(raw[q : q + 4], "little")
+        q += 4
+        if q + ln > len(raw):
+            raise ValueError("malformed parquet: byte-array overruns")
+        out.append(raw[q : q + ln])
+        q += ln
+    if exact and q != len(raw):
+        raise ValueError("malformed parquet: dict page trailing bytes")
+    return out
+
+
+_TYPE_BYTE_ARRAY = 6
+
+_CODECS = {
+    # physical type id -> (parse_dict(raw, dn), parse_plain(raw, q, n))
+    _TYPE_INT64: (
+        _plain_i64_dict,
+        _plain_i64_values,
+    ),
+    _TYPE_BYTE_ARRAY: (
+        lambda raw, dn: _plain_ba_list(raw, 0, dn, exact=True),
+        lambda raw, q, ndef: _plain_ba_list(raw, q, ndef, exact=False),
+    ),
+}
+
+
+def _walk_column_pages(
+    payload: bytes, col: bytes, type_id: int, on_value
 ) -> dict:
-    """Walk every row group's page stream for one INT64 column:
+    """Generic page-stream walk for one column of ``type_id``:
     dictionary page (PLAIN values) + v1 data pages (def levels +
     RLE/bit-packed dictionary indices, PLAIN fallback), snappy or
-    uncompressed — returning the page census, decoded row count, the
-    footer's declared row count, and the exact value sum.
-    ValueError-only."""
+    uncompressed; calls ``on_value`` per decoded value and returns
+    the page census. ValueError-only."""
     if (
         len(payload) < 12
         or payload[:4] != b"PAR1"
@@ -235,7 +287,8 @@ def decode_parquet_column_pages(
     fm = _TC(payload[-8 - flen : -8]).read_struct(_FILEMETA_P)
     if 3 not in fm or 4 not in fm:
         raise ValueError("malformed parquet: footer missing rows/groups")
-    a_sum = rows_dec = n_data = n_dict = 0
+    parse_dict, parse_plain = _CODECS[type_id]
+    rows_dec = n_data = n_dict = 0
     found = False
     for rg in fm[4]:
         for ch in rg.get(1, []):
@@ -243,9 +296,9 @@ def decode_parquet_column_pages(
             if m.get(3) != [col]:
                 continue
             found = True
-            if m.get(1) != _TYPE_INT64:
+            if m.get(1) != type_id:
                 raise ValueError("unsupported parquet: audited column "
-                                 "must be INT64")
+                                 "has unexpected physical type")
             codec = m.get(4)
             nv, tcs = m.get(5), m.get(7)
             doff, dictoff = m.get(9), m.get(11)
@@ -283,16 +336,7 @@ def decode_parquet_column_pages(
                         _ENC_PLAIN, _ENC_PLAIN_DICT,
                     ):
                         raise ValueError("malformed parquet: dict page")
-                    if len(raw) != 8 * dn:
-                        raise ValueError(
-                            "malformed parquet: dict page size"
-                        )
-                    dictvals = [
-                        int.from_bytes(
-                            raw[8 * k : 8 * k + 8], "little", signed=True
-                        )
-                        for k in range(dn)
-                    ]
+                    dictvals = parse_dict(raw, dn)
                     n_dict += 1
                 elif ptype == _PG_DATA:
                     dh = h.get(5, {})
@@ -336,19 +380,10 @@ def decode_parquet_column_pages(
                                     "malformed parquet: dict index "
                                     "out of range"
                                 )
-                            a_sum += dictvals[ix]
+                            on_value(dictvals[ix])
                     elif enc == _ENC_PLAIN:
-                        if q + 8 * ndef > len(raw):
-                            raise ValueError(
-                                "malformed parquet: plain values "
-                                "truncated"
-                            )
-                        for k in range(ndef):
-                            a_sum += int.from_bytes(
-                                raw[q + 8 * k : q + 8 * k + 8],
-                                "little",
-                                signed=True,
-                            )
+                        for v in parse_plain(raw, q, ndef):
+                            on_value(v)
                     else:
                         raise ValueError(
                             f"unsupported parquet encoding {enc}"
@@ -369,8 +404,39 @@ def decode_parquet_column_pages(
         "n_data_pages": n_data,
         "rows_decoded": rows_dec,
         "rows_footer": fm[3],
-        "a_sum": a_sum,
     }
+
+
+def decode_parquet_column_pages(
+    payload: bytes, col: bytes = b"a"
+) -> dict:
+    """INT64 column page decode → census + exact value sum (see
+    `_walk_column_pages`). ValueError-only."""
+    acc = [0]
+
+    def on_value(v: int) -> None:
+        acc[0] += v
+
+    m = _walk_column_pages(payload, col, _TYPE_INT64, on_value)
+    m["a_sum"] = acc[0]
+    return m
+
+
+def decode_parquet_string_pages(
+    payload: bytes, col: bytes = b"c"
+) -> dict:
+    """BYTE_ARRAY (string) column page decode → census + exact UTF-8
+    byte mass, the string-path twin of the INT64 sum: PLAIN byte
+    arrays are 4-byte-LE-length-prefixed both in the dictionary page
+    and in fallback data pages. ValueError-only."""
+    acc = [0]
+
+    def on_value(v: bytes) -> None:
+        acc[0] += len(v)
+
+    m = _walk_column_pages(payload, col, _TYPE_BYTE_ARRAY, on_value)
+    m["c_chars"] = acc[0]
+    return m
 
 
 _PP_COLS = (
@@ -593,6 +659,85 @@ def scan_parquet_col_stats(
                 for m in decode_parquet_col_stats(bytes(content)):
                     m["fname"] = fname
                     rows.append(m)
+            yield (
+                pd.DataFrame(rows, columns=cols)
+                if rows
+                else pd.DataFrame({k: [] for k in cols})
+            )
+
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(_scratch(sf_dir, "real_parquet_tbls"))
+    )
+    return bf.select("path", "content").mapInPandas(
+        batches, schema=schema
+    )
+
+
+_SP_COLS = (
+    "n_rgs n_dict_pages n_data_pages rows_decoded rows_footer "
+    "rows_match c_chars".split()
+)
+
+_SP_ORACLE = f"""
+    WITH files AS (SELECT unnest(range(0, {_N_PQ})) AS i),
+    m AS (SELECT i, 1000 + 137 * i AS n, 256 + 32 * i AS rgs
+          FROM files),
+    rows_ AS (SELECT i, n, rgs, unnest(range(0, n)) AS k FROM m)
+    SELECT printf('tbl-%03d.parquet', CAST(i AS INT)) AS fname,
+           CAST((MAX(n) + MAX(rgs) - 1) // MAX(rgs) AS BIGINT) AS n_rgs,
+           CAST((MAX(n) + MAX(rgs) - 1) // MAX(rgs) AS BIGINT)
+             AS n_dict_pages,
+           CAST((MAX(n) + MAX(rgs) - 1) // MAX(rgs) AS BIGINT)
+             AS n_data_pages,
+           CAST(COUNT(*) AS BIGINT) AS rows_decoded,
+           CAST(COUNT(*) AS BIGINT) AS rows_footer,
+           CAST(1 AS BIGINT) AS rows_match,
+           CAST(SUM(length(printf('r%d', CAST(k % 50 AS INT))))
+                AS BIGINT) AS c_chars
+    FROM rows_ GROUP BY i
+"""
+
+
+@register(
+    "scan_parquet_string_pages",
+    _SP_ORACLE,
+    doc="parquet BYTE_ARRAY data-page decode for the category column: "
+    "length-prefixed string dictionary page + RLE-dictionary data "
+    "pages through the raw-snappy path — decoded row count "
+    "cross-checked against the footer and the exact UTF-8 byte mass "
+    "hash-checked against the fixture formula (the string-path twin "
+    "of scan_parquet_data_pages)",
+)
+def scan_parquet_string_pages(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Strings are where page decoders break differently than ints:
+    values are variable-width (4-byte LE length + bytes) so a desync
+    doesn't land on a value boundary — it lands mid-string and every
+    later length field is garbage, which is why the byte-mass
+    checksum pins the whole stream, not just counts. Same walk,
+    codec swapped (`_CODECS[_TYPE_BYTE_ARRAY]`).
+
+    Scale: identical to scan_parquet_data_pages — per-file map work,
+    the audited column's chunks only, no shuffle.
+    """
+    schema = "fname string, " + ", ".join(
+        f"{c} long" for c in _SP_COLS
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["fname", *_SP_COLS]
+        for pdf in it:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                m = decode_parquet_string_pages(bytes(content))
+                m["rows_match"] = (
+                    1 if m["rows_decoded"] == m["rows_footer"] else 0
+                )
+                m["fname"] = path.rsplit("/", 1)[-1]
+                rows.append(m)
             yield (
                 pd.DataFrame(rows, columns=cols)
                 if rows

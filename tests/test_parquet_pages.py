@@ -97,3 +97,15 @@ def test_col_stats_match_formula():
             assert r["prunable_ge_thresh"] == (
                 1 if r["stat_max"] < 5000 else 0
             )
+
+
+def test_string_pages_byte_mass():
+    from cs_pipeline_spark.sources.parquet_pages import (
+        decode_parquet_string_pages,
+    )
+
+    for i in range(4):
+        n = 1000 + 137 * i
+        m = decode_parquet_string_pages(encode_parquet_tbl(i))
+        assert m["rows_decoded"] == m["rows_footer"] == n
+        assert m["c_chars"] == sum(len(f"r{k % 50}") for k in range(n))

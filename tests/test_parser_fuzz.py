@@ -71,6 +71,7 @@ from cs_pipeline_spark.sources.orc_meta import (
 from cs_pipeline_spark.sources.parquet_pages import (
     decode_parquet_col_stats,
     decode_parquet_column_pages,
+    decode_parquet_string_pages,
 )
 from cs_pipeline_spark.sources.wav import decode_wav, encode_wav
 from cs_pipeline_spark.sources.wikidump import (
@@ -108,6 +109,7 @@ _PARSERS = [
     (decode_avro_flat, encode_iceberg_manifest),
     (decode_parquet_column_pages, encode_parquet_tbl),
     (decode_parquet_col_stats, encode_parquet_tbl),
+    (decode_parquet_string_pages, encode_parquet_tbl),
     (decode_orc_postscript, encode_orc_meta),
 ]
 

@@ -529,6 +529,7 @@ AUDIT: dict[str, dict] = {
     # broadcast onto entries; (snapshot, path) agg is log-sized
     "scan_parquet_data_pages": {"smj": 0, "exchange": 0},
     "scan_parquet_col_stats": {"smj": 0, "exchange": 0},
+    "scan_parquet_string_pages": {"smj": 0, "exchange": 0},
     "scan_orc_postscript": {"smj": 0},  # one shard-key agg over the
     # per-file census (defensive multi-file fold)
     "mm_video_sps_meta": {"smj": 0, "exchange": 0},
