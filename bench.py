@@ -212,6 +212,16 @@ HEADLINE = [
     "lake_orphan_files",
     "scan_parquet_col_stats",
     "scan_parquet_string_pages",
+    # round-10 second wave: Hudi timeline (third table format),
+    # Iceberg v2 position deletes, parquet page index, zstd frame
+    # walk, EBML/Matroska metadata, Delta deletion vectors
+    "scan_hudi_timeline",
+    "scan_iceberg_deletes",
+    "scan_parquet_page_index",
+    "scan_zstd_frames",
+    "mm_decode_mkv_meta",
+    "scan_delta_dv",
+    "scan_parquet_lz4_pages",
 ]
 
 

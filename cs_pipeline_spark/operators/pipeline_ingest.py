@@ -190,7 +190,9 @@ def ingest_incremental_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _lake_oracle() -> str:
     import cs_pipeline_spark.sources.avro_ocf  # noqa: F401
+    import cs_pipeline_spark.sources.delta_dv  # noqa: F401
     import cs_pipeline_spark.sources.delta_log  # noqa: F401
+    import cs_pipeline_spark.sources.hudi_timeline  # noqa: F401
     import cs_pipeline_spark.sources.iceberg  # noqa: F401
     import cs_pipeline_spark.sources.orc_meta  # noqa: F401
     import cs_pipeline_spark.sources.parquet_footer  # noqa: F401
@@ -206,6 +208,9 @@ def _lake_oracle() -> str:
             "scan_iceberg_manifest",
             "scan_parquet_data_pages",
             "scan_orc_postscript",
+            "scan_hudi_timeline",
+            "scan_delta_dv",
+            "scan_iceberg_deletes",
         )
     }
     return f"""
@@ -214,7 +219,10 @@ def _lake_oracle() -> str:
     dl AS MATERIALIZED ({o['scan_delta_log']}),
     ic AS MATERIALIZED ({o['scan_iceberg_manifest']}),
     pp AS MATERIALIZED ({o['scan_parquet_data_pages']}),
-    oc AS MATERIALIZED ({o['scan_orc_postscript']})
+    oc AS MATERIALIZED ({o['scan_orc_postscript']}),
+    hu AS MATERIALIZED ({o['scan_hudi_timeline']}),
+    dv AS MATERIALIZED ({o['scan_delta_dv']}),
+    idl AS MATERIALIZED ({o['scan_iceberg_deletes']})
     SELECT 'parquet' AS layer, 'row_groups' AS metric,
            CAST(COUNT(*) AS BIGINT) AS value FROM pq
     UNION ALL
@@ -267,19 +275,45 @@ def _lake_oracle() -> str:
     UNION ALL
     SELECT 'orc', 'stripe_mismatch_files',
            CAST(SUM(1 - rows_match) AS BIGINT) FROM oc
+    UNION ALL
+    SELECT 'hudi', 'instants', CAST(COUNT(*) AS BIGINT) FROM hu
+    UNION ALL
+    SELECT 'hudi', 'file_groups_head',
+           CAST(MAX(CASE WHEN instant = (SELECT MAX(instant) FROM hu)
+                         THEN n_file_groups END) AS BIGINT) FROM hu
+    UNION ALL
+    SELECT 'hudi', 'records_head',
+           CAST(MAX(CASE WHEN instant = (SELECT MAX(instant) FROM hu)
+                         THEN total_records END) AS BIGINT) FROM hu
+    UNION ALL
+    SELECT 'dv', 'files_with_dv',
+           CAST(SUM(CASE WHEN dv_cardinality > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) FROM dv
+    UNION ALL
+    SELECT 'dv', 'deleted_rows',
+           CAST(SUM(dv_cardinality) AS BIGINT) FROM dv
+    UNION ALL
+    SELECT 'dv', 'live_rows', CAST(SUM(live_rows) AS BIGINT) FROM dv
+    UNION ALL
+    SELECT 'iceberg', 'pos_deletes_applied',
+           CAST(SUM(n_pos_deletes) AS BIGINT) FROM idl
+    UNION ALL
+    SELECT 'iceberg', 'mor_live_rows',
+           CAST(SUM(live_rows) AS BIGINT) FROM idl
     """
 
 
 @register(
     "lake_audit_e2e",
     _lake_oracle(),
-    doc="flagship #10: the lake-format audit — parquet row-group "
-    "census (byte-level thrift footer), avro block/codec census "
-    "(sync-validated walker), Delta transaction-log time travel "
-    "(head snapshot + net file growth), and Iceberg snapshot replay "
-    "(manifest-list → manifest fold) composed by reference into one "
-    "(layer, metric, value) report; the four byte-level decoders "
-    "are each individually hash-checked",
+    doc="flagship #10: the lake-format audit — parquet row-group + "
+    "page-decode census (byte-level thrift footer), avro block/codec "
+    "census, Delta transaction-log time travel + DELETION-VECTOR "
+    "row accounting (Z85+roaring), Iceberg snapshot replay + "
+    "position-delete merge-on-read rows, Hudi timeline file-group "
+    "census, and ORC postscript triage composed by reference into "
+    "one (layer, metric, value) report; every byte-level decoder is "
+    "individually hash-checked",
 )
 def lake_audit_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One page answering 'what is physically in the lake': columnar
@@ -295,8 +329,15 @@ def lake_audit_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from cs_pipeline_spark.registry import pin
     from cs_pipeline_spark.sources.avro_ocf import scan_avro_blocks
+    from cs_pipeline_spark.sources.delta_dv import scan_delta_dv
     from cs_pipeline_spark.sources.delta_log import scan_delta_log
-    from cs_pipeline_spark.sources.iceberg import scan_iceberg_manifest
+    from cs_pipeline_spark.sources.hudi_timeline import (
+        scan_hudi_timeline,
+    )
+    from cs_pipeline_spark.sources.iceberg import (
+        scan_iceberg_deletes,
+        scan_iceberg_manifest,
+    )
     from cs_pipeline_spark.sources.orc_meta import scan_orc_postscript
     from cs_pipeline_spark.sources.parquet_footer import (
         scan_parquet_footer,
@@ -311,6 +352,9 @@ def lake_audit_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     ic = pin(scan_iceberg_manifest(spark, sf_dir))
     pp = pin(scan_parquet_data_pages(spark, sf_dir))
     oc = pin(scan_orc_postscript(spark, sf_dir))
+    hu = pin(scan_hudi_timeline(spark, sf_dir))
+    dv = pin(scan_delta_dv(spark, sf_dir))
+    idl = pin(scan_iceberg_deletes(spark, sf_dir))
 
     def row(layer: str, metric: str, agg: DataFrame) -> DataFrame:
         return agg.select(
@@ -338,6 +382,15 @@ def lake_audit_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     ic_head_recs = (
         ic.join(F.broadcast(ic_head), ic["snapshot_id"] == F.col("hs"))
         .agg(F.max("live_records").alias("value"))
+    )
+    hu_head = hu.agg(F.max("instant").alias("hi"))
+    hu_head_groups = (
+        hu.join(F.broadcast(hu_head), hu["instant"] == F.col("hi"))
+        .agg(F.max("n_file_groups").alias("value"))
+    )
+    hu_head_recs = (
+        hu.join(F.broadcast(hu_head), hu["instant"] == F.col("hi"))
+        .agg(F.max("total_records").alias("value"))
     )
     parts = [
         row("parquet", "row_groups",
@@ -371,6 +424,22 @@ def lake_audit_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         row("orc", "rows", oc.agg(F.sum("n_rows").alias("value"))),
         row("orc", "stripe_mismatch_files",
             oc.agg(F.sum(1 - F.col("rows_match")).alias("value"))),
+        row("hudi", "instants",
+            hu.agg(F.count(F.lit(1)).alias("value"))),
+        row("hudi", "file_groups_head", hu_head_groups),
+        row("hudi", "records_head", hu_head_recs),
+        row("dv", "files_with_dv",
+            dv.agg(F.sum(
+                F.when(F.col("dv_cardinality") > 0, 1).otherwise(0)
+            ).alias("value"))),
+        row("dv", "deleted_rows",
+            dv.agg(F.sum("dv_cardinality").alias("value"))),
+        row("dv", "live_rows",
+            dv.agg(F.sum("live_rows").alias("value"))),
+        row("iceberg", "pos_deletes_applied",
+            idl.agg(F.sum("n_pos_deletes").alias("value"))),
+        row("iceberg", "mor_live_rows",
+            idl.agg(F.sum("live_rows").alias("value"))),
     ]
     out = parts[0]
     for p in parts[1:]:

@@ -255,10 +255,13 @@ def _load_all_modules() -> None:
     from cs_pipeline_spark.sources import (  # noqa: F401
         avro_ocf,
         bmp,
+        delta_dv,
         delta_log,
         flac,
+        hudi_timeline,
         iceberg,
         jpeg,
+        mkv,
         png,
         pydatasource,
         quarantine,
@@ -271,6 +274,7 @@ def _load_all_modules() -> None:
         ogg,
         orc_meta,
         parquet_footer,
+        parquet_pageindex,
         parquet_pages,
         pdf,
         scans,
@@ -283,6 +287,7 @@ def _load_all_modules() -> None:
         wav,
         webp,
         wikidump,
+        zstd_frame,
     )
     from cs_pipeline_spark.streaming import batch_twins  # noqa: F401
 

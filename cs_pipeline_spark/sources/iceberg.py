@@ -455,3 +455,242 @@ def lake_orphan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("file_path").alias("path")
     ).distinct()
     return listing.join(F.broadcast(referenced), "path", "left_anti")
+
+
+# ====================================================================
+# v2 merge-on-read: POSITION DELETES. A delete manifest (content=1)
+# references delete files — Avro/parquet files of (data file path,
+# row position) tombstones — and a reader subtracts the applicable
+# tombstones from each data file's record count at plan time. The
+# sequence-number gate is the subtle part: a position delete applies
+# to a data file only when delete.seq >= data.seq (you cannot delete
+# rows from a file written AFTER the delete was committed).
+# ====================================================================
+
+# (delete-file index, its data sequence number, [(target path, pos)])
+# del-0 (seq 3): hits live f-0-0 (3 rows) + live f-2-1 (2 rows) and a
+#   DEAD file f-0-2 (compacted away at manifest 2 — must be ignored).
+# del-1 (seq 1): one more f-0-0 row (applies: 1 >= 0) and 4 rows on
+#   f-3-0, whose data seq 3 > 1 — the gate must reject them.
+_DELETE_FILES: list[tuple[int, int, list[tuple[str, int]]]] = [
+    (0, 3, [
+        ("data/f-0-0.parquet", 0),
+        ("data/f-0-0.parquet", 10),
+        ("data/f-0-0.parquet", 20),
+        ("data/f-2-1.parquet", 5),
+        ("data/f-2-1.parquet", 15),
+        ("data/f-0-2.parquet", 0),
+        ("data/f-0-2.parquet", 10),
+    ]),
+    (1, 1, [
+        ("data/f-0-0.parquet", 30),
+        ("data/f-3-0.parquet", 0),
+        ("data/f-3-0.parquet", 1),
+        ("data/f-3-0.parquet", 2),
+        ("data/f-3-0.parquet", 3),
+    ]),
+]
+
+_DEL_FILE_FIELDS = [("file_path", "string"), ("pos", "long")]
+_DEL_MANIFEST_FIELDS = [
+    ("seq", "long"),
+    ("delete_file", "string"),
+    ("record_count", "long"),
+]
+
+
+@_fixture
+def _fx_iceberg_deletes(spark: SparkSession, sf_dir: str) -> None:
+    import os
+
+    base = _scratch(sf_dir, "real_iceberg")
+    dd = os.path.join(base, "deletes")
+    md = os.path.join(base, "metadata")
+    os.makedirs(dd, exist_ok=True)
+    os.makedirs(md, exist_ok=True)
+    man_rows = []
+    for d, seq, rows in _DELETE_FILES:
+        fname = f"del-{d}.avro"
+        man_rows.append((seq, fname, len(rows)))
+        p = os.path.join(dd, fname)
+        if not os.path.exists(p):
+            tmp = p + ".tmp"
+            with open(tmp, "wb") as fh:
+                fh.write(
+                    encode_ocf_generic(_DEL_FILE_FIELDS, rows, 300 + d)
+                )
+            os.replace(tmp, p)
+    p = os.path.join(md, "delete-manifest-0000.avro")
+    if not os.path.exists(p):
+        tmp = p + ".tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(
+                encode_ocf_generic(_DEL_MANIFEST_FIELDS, man_rows, 400)
+            )
+        os.replace(tmp, p)
+
+
+def _del_rows_sql() -> str:
+    parts = []
+    for _d, seq, rows in _DELETE_FILES:
+        for target, pos in rows:
+            parts.append(
+                f"SELECT {seq} AS del_seq, '{target}' AS target,"
+                f" {pos} AS pos"
+            )
+    return " UNION ALL ".join(parts)
+
+
+_ICEBERG_DELETES_ORACLE = f"""
+    WITH mans AS (SELECT unnest(range(0, {_N_SNAPSHOTS})) AS k),
+    adds AS (SELECT k,
+                    printf('data/f-%d-%d.parquet', CAST(k AS INT),
+                           CAST(j.j AS INT)) AS path,
+                    80 + 8 * k + j.j AS recs
+             FROM mans,
+                  (SELECT unnest(range(0, {_FILES_PER_MANIFEST})) AS j)
+                  j),
+    dels AS (SELECT k,
+                    printf('data/f-%d-%d.parquet', CAST(k - 2 AS INT),
+                           CAST(k % 3 AS INT)) AS path,
+                    80 + 8 * (k - 2) + (k % 3) AS recs
+             FROM mans WHERE k >= 2),
+    entries AS (
+      SELECT k AS seq, path, {_ST_ADDED} AS status, recs FROM adds
+      UNION ALL
+      SELECT k AS seq, path, {_ST_DELETED} AS status, recs FROM dels),
+    -- head snapshot: latest status per path over ALL manifests
+    ranked AS (
+      SELECT path, status, seq, recs,
+             ROW_NUMBER() OVER (PARTITION BY path
+                                ORDER BY seq DESC, status DESC) AS rn
+      FROM entries),
+    live AS (SELECT path, seq, recs FROM ranked
+             WHERE rn = 1 AND status <> {_ST_DELETED}),
+    del_rows AS ({_del_rows_sql()}),
+    applied AS (
+      SELECT l.path, COUNT(*) AS n
+      FROM del_rows d JOIN live l
+        ON l.path = d.target AND d.del_seq >= l.seq
+      GROUP BY l.path)
+    SELECT l.path,
+           CAST(l.recs AS BIGINT) AS record_count,
+           CAST(COALESCE(a.n, 0) AS BIGINT) AS n_pos_deletes,
+           CAST(l.recs - COALESCE(a.n, 0) AS BIGINT) AS live_rows
+    FROM live l LEFT JOIN applied a ON a.path = l.path
+"""
+
+
+@register(
+    "scan_iceberg_deletes",
+    _ICEBERG_DELETES_ORACLE,
+    doc="Iceberg v2 merge-on-read position deletes: delete manifest "
+    "(Avro) -> delete files (Avro rows of data-file path + row pos) "
+    "subtracted from each HEAD-live data file's record count under "
+    "the sequence gate delete.seq >= data.seq (tombstones on dead "
+    "files ignored, tombstones older than their target rejected) — "
+    "per-data-file effective row count, hash-checked against the "
+    "fixture formula",
+)
+def scan_iceberg_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What a v2 reader computes at plan time before it ever opens a
+    data file: effective (post-delete) row counts. Three semantics
+    the hash pins: (1) tombstones targeting a file that compaction
+    already removed contribute nothing (they join to no live file);
+    (2) a delete file with sequence number LOWER than its target's
+    data sequence number does not apply — del-1 (seq 1) carries 4
+    tombstones for f-3-0 (seq 3) that must all be rejected; (3)
+    counts aggregate per file across ALL applicable delete files.
+    Both Avro layers ride decode_avro_flat (avro_ocf.py), no Iceberg
+    library.
+
+    Scale: delete manifests are metadata; delete FILES are the only
+    potentially large input and they stream through one broadcast
+    join (live-file set is plan-sized) + one path-keyed count — at
+    100 TB the tombstone scan is a fraction of the data scan it
+    replaces, which is the whole point of merge-on-read.
+    """
+    import os
+
+    base = _scratch(sf_dir, "real_iceberg")
+    md = os.path.join(base, "metadata")
+
+    manifests = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "manifest-*.avro")
+        .load(md)
+        .select("path", "content")
+        .mapInPandas(
+            lambda it: _decode_rows_batches(
+                it,
+                ["fname", "status", "seq", "file_path",
+                 "file_size", "record_count"],
+            ),
+            schema="fname string, status long, seq long, "
+            "file_path string, file_size long, record_count long",
+        )
+    )
+    live = (
+        manifests.groupBy("file_path")
+        .agg(F.max(F.struct("seq", "status", "record_count")).alias("a"))
+        .filter(F.col("a.status") != _ST_DELETED)
+        .select(
+            F.col("file_path").alias("path"),
+            F.col("a.seq").alias("data_seq"),
+            F.col("a.record_count").alias("record_count"),
+        )
+    )
+
+    del_manifest = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "delete-manifest-*.avro")
+        .load(md)
+        .select("path", "content")
+        .mapInPandas(
+            lambda it: _decode_rows_batches(
+                it, ["fname", "seq", "delete_file", "record_count"]
+            ),
+            schema="fname string, seq long, delete_file string, "
+            "record_count long",
+        )
+        .select(F.col("delete_file").alias("dfname"),
+                F.col("seq").alias("del_seq"))
+    )
+    del_rows = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "del-*.avro")
+        .load(os.path.join(base, "deletes"))
+        .select("path", "content")
+        .mapInPandas(
+            lambda it: _decode_rows_batches(
+                it, ["fname", "file_path", "pos"]
+            ),
+            schema="fname string, file_path string, pos long",
+        )
+        .join(F.broadcast(del_manifest),
+              F.col("fname") == F.col("dfname"))
+        .select(F.col("file_path").alias("target"), "del_seq")
+    )
+
+    applied = (
+        del_rows.join(
+            F.broadcast(live),
+            (F.col("target") == F.col("path"))
+            & (F.col("del_seq") >= F.col("data_seq")),
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        live.join(applied, "path", "left")
+        .select(
+            "path",
+            F.col("record_count").cast("long").alias("record_count"),
+            F.coalesce(F.col("n"), F.lit(0))
+            .cast("long")
+            .alias("n_pos_deletes"),
+            (F.col("record_count") - F.coalesce(F.col("n"), F.lit(0)))
+            .cast("long")
+            .alias("live_rows"),
+        )
+    )

@@ -44,7 +44,7 @@ from cs_pipeline_spark.sources.parquet_footer import (
     _read_i,
     _read_list_of_structs,
 )
-from cs_pipeline_spark.sources.scans import _scratch
+from cs_pipeline_spark.sources.scans import _fixture, _scratch
 
 
 def snappy_decompress(buf: bytes) -> bytes:
@@ -107,6 +107,56 @@ def snappy_decompress(buf: bytes) -> bytes:
                 out.append(out[-off])
     if len(out) != ulen:
         raise ValueError("snappy: output length mismatch")
+    return bytes(out)
+
+
+def lz4_decompress(buf: bytes, max_out: int = 1 << 26) -> bytes:
+    """Raw LZ4 BLOCK decode (the format parquet's LZ4_RAW codec id 7
+    wraps — no frame header): per sequence a token byte (high nibble
+    literal length, low nibble match length − 4, 15 = extension
+    bytes), literals, then a 2-byte LE match offset + overlapping
+    LZ77 copy; the final sequence is literals-only. Public LZ4 block
+    format spec. ValueError-only."""
+    out = bytearray()
+    p = 0
+    while p < len(buf):
+        tok = buf[p]
+        p += 1
+        ln = tok >> 4
+        if ln == 15:
+            while True:
+                if p >= len(buf):
+                    raise ValueError("lz4: literal length truncated")
+                b = buf[p]
+                p += 1
+                ln += b
+                if b != 255:
+                    break
+        if p + ln > len(buf) or len(out) + ln > max_out:
+            raise ValueError("lz4: literal overruns")
+        out += buf[p : p + ln]
+        p += ln
+        if p >= len(buf):
+            break  # last sequence: literals only, no match
+        if p + 2 > len(buf):
+            raise ValueError("lz4: match offset truncated")
+        off = int.from_bytes(buf[p : p + 2], "little")
+        p += 2
+        ml = (tok & 15) + 4
+        if tok & 15 == 15:
+            while True:
+                if p >= len(buf):
+                    raise ValueError("lz4: match length truncated")
+                b = buf[p]
+                p += 1
+                ml += b
+                if b != 255:
+                    break
+        if off == 0 or off > len(out) or len(out) + ml > max_out:
+            raise ValueError("lz4: bad match copy")
+        start = len(out) - off
+        for i in range(ml):  # may overlap, LZ77-style
+            out.append(out[start + i])
     return bytes(out)
 
 
@@ -209,7 +259,7 @@ _ROWGROUP_P = {1: _read_list_of_structs(_COLCHUNK_P), 3: _read_i}
 _FILEMETA_P = {3: _read_i, 4: _read_list_of_structs(_ROWGROUP_P)}
 
 _TYPE_INT64 = 2
-_CODEC_UNCOMPRESSED, _CODEC_SNAPPY = 0, 1
+_CODEC_UNCOMPRESSED, _CODEC_SNAPPY, _CODEC_LZ4_RAW = 0, 1, 7
 _PG_DATA, _PG_DICT = 0, 2
 _ENC_PLAIN, _ENC_PLAIN_DICT, _ENC_RLE_DICT = 0, 2, 8
 
@@ -324,6 +374,8 @@ def _walk_column_pages(
                 raw = payload[body : body + csize]
                 if codec == _CODEC_SNAPPY:
                     raw = snappy_decompress(raw)
+                elif codec == _CODEC_LZ4_RAW:
+                    raw = lz4_decompress(raw, max_out=usize)
                 elif codec != _CODEC_UNCOMPRESSED:
                     raise ValueError("unsupported parquet codec")
                 if len(raw) != usize:
@@ -748,6 +800,124 @@ def scan_parquet_string_pages(
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.parquet")
         .load(_scratch(sf_dir, "real_parquet_tbls"))
+    )
+    return bf.select("path", "content").mapInPandas(
+        batches, schema=schema
+    )
+
+
+# ====================================================================
+# LZ4_RAW page decode — the third codec next to snappy/uncompressed.
+# Parquet's historical LZ4 codec (id 5) had an incompatible framing
+# mess; the format replaced it with LZ4_RAW (id 7, plain LZ4 blocks),
+# which is what pyarrow writes for compression="lz4" — and what a
+# triage engine must read, since it is now a common lake default.
+# ====================================================================
+
+_N_LZ4 = 4
+
+
+def encode_parquet_lz4(i: int) -> bytes:
+    import io
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 1100 + 141 * i
+    idx = np.arange(n, dtype=np.int64)
+    tbl = pa.table({
+        "a": pa.array(idx * 7 + i, type=pa.int64()),
+        "b": pa.array((idx % 89) / 8.0, type=pa.float64()),
+        "c": pa.array([f"r{k % 47}" for k in range(n)],
+                      type=pa.string()),
+    })
+    buf = io.BytesIO()
+    pq.write_table(tbl, buf, row_group_size=288 + 37 * i,
+                   compression="lz4")
+    return buf.getvalue()
+
+
+@_fixture
+def _fx_parquet_lz4(spark: SparkSession, sf_dir: str) -> None:
+    import os
+
+    out_dir = _scratch(sf_dir, "real_parquet_lz4")
+    os.makedirs(out_dir, exist_ok=True)
+    for i in range(_N_LZ4):
+        p = f"{out_dir}/lz4-{i:03d}.parquet"
+        if not os.path.exists(p):
+            tmp = p + ".tmp"
+            with open(tmp, "wb") as fh:
+                fh.write(encode_parquet_lz4(i))
+            os.replace(tmp, p)
+
+
+_LZ_ORACLE = f"""
+    WITH files AS (SELECT unnest(range(0, {_N_LZ4})) AS i),
+    m AS (SELECT i, 1100 + 141 * i AS n, 288 + 37 * i AS rgs
+          FROM files)
+    SELECT printf('lz4-%03d.parquet', CAST(i AS INT)) AS fname,
+           CAST((n + rgs - 1) // rgs AS BIGINT) AS n_rgs,
+           CAST((n + rgs - 1) // rgs AS BIGINT) AS n_dict_pages,
+           CAST((n + rgs - 1) // rgs AS BIGINT) AS n_data_pages,
+           CAST(n AS BIGINT) AS rows_decoded,
+           CAST(n AS BIGINT) AS rows_footer,
+           CAST(1 AS BIGINT) AS rows_match,
+           CAST(7 * (n * (n - 1) // 2) + i * n AS BIGINT) AS a_sum
+    FROM m
+"""
+
+
+@register(
+    "scan_parquet_lz4_pages",
+    _LZ_ORACLE,
+    doc="parquet LZ4_RAW (codec 7) data-page decode for the id "
+    "column: the same dictionary + RLE/bit-packed page walk as "
+    "scan_parquet_data_pages but through a dependency-free raw LZ4 "
+    "BLOCK decompressor (token/literals/overlapping-match copies) — "
+    "decoded rows cross-checked against the footer and the exact "
+    "value sum hash-checked against the fixture formula",
+)
+def scan_parquet_lz4_pages(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Completes the page-decode codec family (uncompressed, snappy,
+    LZ4_RAW — zstd pages stay triage-only in sources/zstd_frame.py
+    because their compressed blocks need an FSE/Huffman stage). The
+    value-sum hash pins the decompressor end-to-end: LZ4's
+    overlapping-match semantics (offset < match length repeats the
+    tail) is exactly the branch a naive slice-copy implementation
+    gets wrong, and a single wrong byte shifts every later int64.
+
+    Scale: identical plan shape to scan_parquet_data_pages — per-file
+    ranged-slice map work over binaryFile, no shuffle.
+    """
+    schema = "fname string, " + ", ".join(
+        f"{c} long" for c in _PP_COLS
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["fname", *_PP_COLS]
+        for pdf in it:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                m = decode_parquet_column_pages(bytes(content))
+                m["rows_match"] = (
+                    1 if m["rows_decoded"] == m["rows_footer"] else 0
+                )
+                m["fname"] = path.rsplit("/", 1)[-1]
+                rows.append(m)
+            yield (
+                pd.DataFrame(rows, columns=cols)
+                if rows
+                else pd.DataFrame({k: [] for k in cols})
+            )
+
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(_scratch(sf_dir, "real_parquet_lz4"))
     )
     return bf.select("path", "content").mapInPandas(
         batches, schema=schema

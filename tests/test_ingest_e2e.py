@@ -47,7 +47,7 @@ def test_lake_audit_consistency(spark, sf_dir):
         (r.layer, r.metric): r.value
         for r in lake_audit_e2e(spark, sf_dir).collect()
     }
-    assert len(rows) == 17  # six layers as of round 10
+    assert len(rows) == 25  # eight layers as of round 10 wave 2
     assert rows[("log", "versions")] == _N_COMMITS
     assert rows[("parquet", "non_snappy_chunks")] == 0
     assert rows[("avro", "deflate_files")] == 2  # odd fixtures
@@ -58,5 +58,10 @@ def test_lake_audit_consistency(spark, sf_dir):
     assert rows[("parquet", "rows_page_verified")] == rows[
         ("parquet", "rows")
     ]
+    assert rows[("hudi", "instants")] == 6
+    assert rows[("dv", "files_with_dv")] == 3
+    assert rows[("dv", "deleted_rows")] == 300 + 5000 + 300
+    assert rows[("iceberg", "pos_deletes_applied")] == 6
+    assert rows[("iceberg", "mor_live_rows")] > 0
     assert rows[("orc", "stripe_mismatch_files")] == 0
     assert rows[("orc", "rows")] > 0

@@ -72,6 +72,7 @@ from cs_pipeline_spark.sources.parquet_pages import (
     decode_parquet_col_stats,
     decode_parquet_column_pages,
     decode_parquet_string_pages,
+    encode_parquet_lz4,
 )
 from cs_pipeline_spark.sources.wav import decode_wav, encode_wav
 from cs_pipeline_spark.sources.wikidump import (
@@ -79,6 +80,26 @@ from cs_pipeline_spark.sources.wikidump import (
     encode_wikidump,
 )
 from cs_pipeline_spark.sources.webp import decode_webp_meta, encode_webp
+from cs_pipeline_spark.sources.parquet_pageindex import (
+    decode_parquet_page_index,
+    encode_parquet_pageidx,
+)
+from cs_pipeline_spark.sources.zstd_frame import (
+    decode_zstd_frame,
+    encode_zstd_frame,
+)
+from cs_pipeline_spark.sources.mkv import decode_mkv_meta, encode_mkv
+from cs_pipeline_spark.sources.delta_dv import (
+    roaring_deserialize,
+    roaring_serialize,
+)
+
+
+def _encode_roaring_seed(i: int) -> bytes:
+    return roaring_serialize(
+        [7 * j + i for j in range(200)]
+        + [65536 * (1 + i) + 3 * j for j in range(50)]
+    )
 
 _PARSERS = [
     (decode_jpeg_meta, encode_jpeg),
@@ -111,6 +132,11 @@ _PARSERS = [
     (decode_parquet_col_stats, encode_parquet_tbl),
     (decode_parquet_string_pages, encode_parquet_tbl),
     (decode_orc_postscript, encode_orc_meta),
+    (decode_parquet_page_index, encode_parquet_pageidx),
+    (decode_parquet_column_pages, encode_parquet_lz4),
+    (decode_zstd_frame, encode_zstd_frame),
+    (decode_mkv_meta, encode_mkv),
+    (roaring_deserialize, _encode_roaring_seed),
 ]
 
 
