@@ -222,6 +222,9 @@ HEADLINE = [
     "mm_decode_mkv_meta",
     "scan_delta_dv",
     "scan_parquet_lz4_pages",
+    "scan_orc_col_stats",
+    "scan_zstd_checksum",
+    "scan_avro_evolved",
 ]
 
 

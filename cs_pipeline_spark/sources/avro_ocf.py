@@ -524,3 +524,204 @@ def sink_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="shard long, n_blocks long, n_rows long, id_sum long, "
         "v_chars long, deflate long",
     )
+
+
+# ====================================================================
+# Schema RESOLUTION (evolution) — the Avro spec rules every long-lived
+# ingest hits: fields match by NAME not position, writer fields the
+# reader dropped are skipped, reader fields the writer predates take
+# the reader DEFAULT, and int promotes to long. The fixture has three
+# writer generations (v1: int id + string; v2: +score, id widened;
+# v3: fields REORDERED + tag added) all resolved against one reader
+# schema — the "read the whole lake with today's schema" operation.
+# ====================================================================
+
+_EVO_READER = [
+    ("id", "long", None),
+    ("v", "string", None),
+    ("score", "double", 0.25),   # exact binary fraction
+    ("tag", "string", "none"),
+]
+
+
+def _evo_writer_fields(g: int) -> list[tuple[str, str]]:
+    if g == 0:
+        return [("id", "int"), ("v", "string")]
+    if g == 1:
+        return [("id", "long"), ("v", "string"), ("score", "double")]
+    # v3: reordered + extra field the reader keeps
+    return [("score", "double"), ("id", "long"), ("v", "string"),
+            ("tag", "string")]
+
+
+def _evo_n(g: int) -> int:
+    return 120 + 30 * g
+
+
+def _evo_row(g: int, r: int) -> dict:
+    row = {"id": 5 * r + g, "v": f"w{r % 20}"}
+    if g >= 1:
+        row["score"] = (r % 40) / 4.0  # exact quarters
+    if g >= 2:
+        row["tag"] = f"t{r % 5}"
+    return row
+
+
+def encode_avro_evolved(g: int) -> bytes:
+    """One OCF written under generation g's writer schema."""
+    fields = _evo_writer_fields(g % 3)
+    schema = json.dumps({
+        "type": "record",
+        "name": "d",
+        "fields": [{"name": n, "type": t} for n, t in fields],
+    })
+    out = bytearray(b"Obj\x01")
+    out += _zz(2)
+    out += _avro_string("avro.schema") + _avro_string(schema)
+    out += _avro_string("avro.codec") + _avro_string("null")
+    out += _zz(0)
+    sync = _sync(50 + g)
+    out += sync
+    blk = bytearray()
+    n = _evo_n(g % 3)
+    for r in range(n):
+        row = _evo_row(g % 3, r)
+        for fname, t in fields:
+            v = row[fname]
+            if t in ("int", "long"):
+                blk += _zz(int(v))
+            elif t == "string":
+                blk += _avro_string(str(v))
+            else:
+                blk += struct.pack("<d", float(v))
+    out += _zz(n) + _zz(len(blk)) + bytes(blk) + sync
+    return bytes(out)
+
+
+@_fixture
+def _fx_avro_evolved(spark: SparkSession, sf_dir: str) -> None:
+    import os
+
+    out_dir = _scratch(sf_dir, "real_avro_evo")
+    os.makedirs(out_dir, exist_ok=True)
+    for g in range(3):
+        p = f"{out_dir}/gen-{g}.avro"
+        if not os.path.exists(p):
+            tmp = p + ".tmp"
+            with open(tmp, "wb") as fh:
+                fh.write(encode_avro_evolved(g))
+            os.replace(tmp, p)
+
+
+def resolve_avro_evolved(payload: bytes) -> dict:
+    """Decode under the WRITER schema, resolve to the reader schema
+    by name (defaults for missing fields, int→long promotion), and
+    return the per-file census. ValueError-only."""
+    fnames, rows = decode_avro_flat(payload)
+    name_to_i = {n: i for i, n in enumerate(fnames)}
+    n_rows = 0
+    id_sum = 0
+    score_q_sum = 0
+    tag_none = 0
+    defaulted_score = 0
+    for row in rows:
+        n_rows += 1
+        resolved = {}
+        for rname, _rt, dflt in _EVO_READER:
+            wi = name_to_i.get(rname)
+            if wi is None:
+                resolved[rname] = dflt
+            else:
+                resolved[rname] = row[wi]
+        if resolved["id"] is None:
+            raise ValueError("avro resolution: id unresolvable")
+        id_sum += int(resolved["id"])
+        sq = resolved["score"] * 4.0
+        if sq != int(sq):
+            raise ValueError("avro resolution: score not a quarter")
+        score_q_sum += int(sq)
+        if "score" not in name_to_i:
+            defaulted_score += 1
+        if resolved["tag"] == "none":
+            tag_none += 1
+    return {
+        "n_rows": n_rows,
+        "id_sum": id_sum,
+        "score_q_sum": score_q_sum,
+        "tag_none_rows": tag_none,
+        "defaulted_score_rows": defaulted_score,
+        "resolved_fields": len(_EVO_READER),
+    }
+
+
+_EVO_COLS = (
+    "n_rows id_sum score_q_sum tag_none_rows defaulted_score_rows "
+    "resolved_fields".split()
+)
+
+_EVO_ORACLE = """
+    WITH g AS (SELECT unnest(range(0, 3)) AS g),
+    rows_ AS (SELECT g, unnest(range(0, 120 + 30 * g)) AS r FROM g)
+    SELECT printf('gen-%d.avro', CAST(g AS INT)) AS fname,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(5 * r + g) AS BIGINT) AS id_sum,
+           CAST(SUM(CASE WHEN g >= 1 THEN r % 40 ELSE 1 END)
+                AS BIGINT) AS score_q_sum,
+           CAST(SUM(CASE WHEN g >= 2 THEN 0 ELSE 1 END)
+                AS BIGINT) AS tag_none_rows,
+           CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS defaulted_score_rows,
+           CAST(4 AS BIGINT) AS resolved_fields
+    FROM rows_ GROUP BY g
+"""
+
+
+@register(
+    "scan_avro_evolved",
+    _EVO_ORACLE,
+    doc="Avro schema RESOLUTION across three writer generations "
+    "(field added with reader default, int id widened to long, "
+    "fields reordered): name-based matching per the Avro spec, "
+    "defaults for pre-evolution files, promotion on decode — "
+    "per-file census of resolved values (id sum, quarter-quantized "
+    "score sum incl. defaults, default-tag rows), hash-checked "
+    "against the generation formulas",
+)
+def scan_avro_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What a long-lived lake actually contains: files written under
+    LAST YEAR'S schema, readable only because resolution is by name.
+    The reorder generation (v3 leads with score) is the hash's teeth:
+    positional decode would put doubles where longs belong and the
+    id/score sums explode; the v1 generation pins default injection
+    (score_q_sum counts 0.25 defaults as exactly 1 per row).
+
+    Scale: per-file map over binaryFile, no shuffle; resolution is a
+    per-file dict lookup — at 100 TB this is why readers never
+    rewrite old files on schema change.
+    """
+    schema = "fname string, " + ", ".join(
+        f"{c} long" for c in _EVO_COLS
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["fname", *_EVO_COLS]
+        for pdf in it:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                m = resolve_avro_evolved(bytes(content))
+                m["fname"] = path.rsplit("/", 1)[-1]
+                rows.append(m)
+            yield (
+                pd.DataFrame(rows, columns=cols)
+                if rows
+                else pd.DataFrame({k: [] for k in cols})
+            )
+
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.avro")
+        .load(_scratch(sf_dir, "real_avro_evo"))
+    )
+    return bf.select("path", "content").mapInPandas(
+        batches, schema=schema
+    )

@@ -343,3 +343,174 @@ def scan_orc_postscript(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("rows_match").cast("long").alias("rows_match"),
         F.max("compression_kind").cast("long").alias("compression_kind"),
     )
+
+
+# ====================================================================
+# File-level COLUMN STATISTICS — ORC's zone maps. Footer field 7 is
+# one ColumnStatistics per schema column id (0 = root struct):
+# numberOfValues (field 1) + IntegerStatistics (field 2: min/max/sum
+# as zigzag sint64). The ORC twin of scan_parquet_col_stats
+# (sources/parquet_pages.py) — what predicate pushdown reads.
+# ====================================================================
+
+
+def _pb_zz(v: int) -> int:
+    return (v >> 1) ^ -(v & 1)
+
+
+def decode_orc_col_stats(payload: bytes) -> list[dict]:
+    """File-level integer column statistics per column id (root
+    struct and non-integer columns are skipped). ValueError-only."""
+    if len(payload) < 8 or payload[:3] != b"ORC":
+        raise ValueError("not an ORC file: bad magic")
+    pslen = payload[-1]
+    if pslen < 1 or pslen + 1 + 3 > len(payload):
+        raise ValueError("malformed ORC: postscript length outside file")
+    ps = pb_fields(payload[-1 - pslen : -1])
+    flen_l = ps.get(1)
+    if not flen_l or not isinstance(flen_l[0], int) or flen_l[0] <= 0:
+        raise ValueError("malformed ORC: postscript missing footer len")
+    flen = flen_l[0]
+    kind = ps.get(2, [0])[0]
+    if not isinstance(kind, int):
+        raise ValueError("malformed ORC: compression kind not varint")
+    if flen + pslen + 1 + 3 > len(payload):
+        raise ValueError("malformed ORC: footer outside file")
+    fraw = payload[-1 - pslen - flen : -1 - pslen]
+    if kind != _CK_NONE:
+        fraw = _dechunk(fraw, kind)
+    ft = pb_fields(fraw)
+    out: list[dict] = []
+    for ci, sb in enumerate(ft.get(7, [])):
+        if not isinstance(sb, bytes):
+            raise ValueError("malformed ORC: statistics not a message")
+        st = pb_fields(sb)
+        nv = st.get(1, [None])[0]
+        if not isinstance(nv, int):
+            raise ValueError("malformed ORC: stats missing value count")
+        ints = st.get(2)
+        if ints is None:
+            continue  # root struct / non-integer column
+        if not isinstance(ints[0], bytes):
+            raise ValueError("malformed ORC: intStatistics not message")
+        ii = pb_fields(ints[0])
+        mn = ii.get(1, [None])[0]
+        mx = ii.get(2, [None])[0]
+        sm = ii.get(3, [None])[0]
+        if not all(isinstance(x, int) for x in (mn, mx, sm)):
+            raise ValueError("malformed ORC: intStatistics incomplete")
+        mn, mx, sm = _pb_zz(mn), _pb_zz(mx), _pb_zz(sm)
+        if mn > mx:
+            raise ValueError("malformed ORC: stat min > max")
+        out.append({
+            "col_id": ci, "n_values": nv,
+            "stat_min": mn, "stat_max": mx, "stat_sum": sm,
+        })
+    if not out:
+        raise ValueError("malformed ORC: no integer column statistics")
+    return out
+
+
+_OCS_COLS = "col_id col_name n_values stat_min stat_max stat_sum".split()
+
+_OCS_ORACLE = f"""
+    WITH base AS (SELECT doc_id // {_ORC_SHARD_DOCS} AS shard,
+                         doc_id, length(text) AS tlen
+                  FROM documents),
+    a AS (SELECT shard, 1 AS col_id, 'doc_id' AS col_name,
+                 COUNT(*) AS n, MIN(doc_id) AS mn, MAX(doc_id) AS mx,
+                 SUM(doc_id) AS sm
+          FROM base GROUP BY shard),
+    b AS (SELECT shard, 2 AS col_id, 'tlen' AS col_name,
+                 COUNT(*) AS n, MIN(tlen) AS mn, MAX(tlen) AS mx,
+                 SUM(tlen) AS sm
+          FROM base GROUP BY shard),
+    u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(col_id AS BIGINT) AS col_id,
+           col_name,
+           CAST(n AS BIGINT) AS n_values,
+           CAST(mn AS BIGINT) AS stat_min,
+           CAST(mx AS BIGINT) AS stat_max,
+           CAST(sm AS BIGINT) AS stat_sum
+    FROM u
+"""
+
+_OCS_NAMES = {1: "doc_id", 2: "tlen"}
+
+
+@register(
+    "scan_orc_col_stats",
+    _OCS_ORACLE,
+    doc="ORC file-level column statistics decode: Footer field 7 "
+    "ColumnStatistics per column id — numberOfValues + "
+    "IntegerStatistics min/max/sum as zigzag sint64, through the "
+    "snappy chunk de-framing — on SPARK-written ORC (independent "
+    "writer), per-shard values hash-checked against the documents "
+    "table they were written from (the ORC twin of "
+    "scan_parquet_col_stats)",
+)
+def scan_orc_col_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC's zone maps, decoded from the bytes predicate pushdown
+    actually reads. Unlike the parquet twin (whose fixture is
+    pyarrow-written with formula stats), this one closes the loop on
+    REAL Spark output: every min/max/sum must equal what the
+    documents table says was written — a writer/decoder disagreement
+    anywhere in the protobuf walk, zigzag, or chunk de-framing
+    changes the hash. The SUM is the strong check: min/max survive
+    many desyncs, an int64 sum over every row does not.
+
+    Scale: footer bytes only — one tail ranged GET per file; per-file
+    map over binaryFile, then a shard-keyed 2-row aggregate. No data
+    streams touched.
+    """
+    schema = "shard long, " + ", ".join(
+        f"{c} long" if c != "col_name" else "col_name string"
+        for c in _OCS_COLS
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["shard", *_OCS_COLS]
+        for pdf in it:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                import re
+
+                m = re.search(r"shard=(\d+)/", path)
+                if not m:
+                    raise ValueError("orc fixture: shard dir missing")
+                shard = int(m.group(1))
+                for st in decode_orc_col_stats(bytes(content)):
+                    st["shard"] = shard
+                    st["col_name"] = _OCS_NAMES.get(
+                        st["col_id"], f"col{st['col_id']}"
+                    )
+                    rows.append(st)
+            yield (
+                pd.DataFrame(rows, columns=cols)
+                if rows
+                else pd.DataFrame({k: [] for k in cols})
+            )
+
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.orc")
+        .option("recursiveFileLookup", "true")
+        .load(_scratch(sf_dir, "real_orc_tbl"))
+    )
+    per_file = bf.select("path", "content").mapInPandas(
+        batches, schema=schema
+    )
+    # multiple files per shard dir fold exactly (sums add, min/max
+    # nest) — robust to writer task-count changes
+    return (
+        per_file.groupBy("shard", "col_id", "col_name")
+        .agg(
+            F.sum("n_values").cast("long").alias("n_values"),
+            F.min("stat_min").cast("long").alias("stat_min"),
+            F.max("stat_max").cast("long").alias("stat_max"),
+            F.sum("stat_sum").cast("long").alias("stat_sum"),
+        )
+        .select("shard", "col_id", "col_name", "n_values",
+                "stat_min", "stat_max", "stat_sum")
+    )

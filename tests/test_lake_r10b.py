@@ -146,6 +146,70 @@ def test_lz4_pages_rows_match(spark, sf_dir):
     assert all(r.rows_match == 1 for r in rows)
 
 
+def test_orc_col_stats_match_table(spark, sf_dir):
+    """Spark-written ORC zone maps must equal what the documents
+    table says was written — writer/decoder independence."""
+    from cs_pipeline_spark.tables import load
+
+    rows = {(r.shard, r.col_name): r
+            for r in _rows(spark, sf_dir, "scan_orc_col_stats")}
+    docs = (
+        load(spark, "documents", sf_dir)
+        .selectExpr("doc_id div 100 as shard", "doc_id",
+                    "length(text) as tlen")
+        .groupBy("shard")
+        .agg({"doc_id": "sum", "tlen": "max", "*": "count"})
+        .collect()
+    )
+    for d in docs:
+        r = rows[(d["shard"], "doc_id")]
+        assert r.stat_sum == d["sum(doc_id)"]
+        assert r.n_values == d["count(1)"]
+        assert rows[(d["shard"], "tlen")].stat_max == d["max(tlen)"]
+
+
+def test_zstd_checksum_reference_verifies(spark, sf_dir):
+    """The reference zstd decoder VERIFIES content checksums — it
+    accepting our frames proves the XXH64 implementation bit-exact;
+    a corrupted trailing checksum must fail both decoders."""
+    from cs_pipeline_spark.sources.zstd_frame import (
+        _zck_blocks,
+        decode_zstd_frame,
+        encode_zstd_frame_ck,
+        xxhash64,
+    )
+
+    # spec test vectors
+    assert xxhash64(b"") == 0xEF46DB3751D8E999
+    assert xxhash64(b"a") == 0xD24EC4F1A98C6E5B
+    assert xxhash64(b"abc") == 0x44BC2CF5AD770999
+    frame = bytearray(encode_zstd_frame_ck(1))
+    payload = b"".join(d for _t, d in _zck_blocks(1))
+    out = pa.decompress(bytes(frame), decompressed_size=len(payload),
+                        codec="zstd")
+    assert bytes(out) == payload
+    frame[-1] ^= 0xFF  # corrupt the stored checksum
+    try:
+        decode_zstd_frame(bytes(frame))
+        raise AssertionError("corrupt checksum accepted")
+    except ValueError:
+        pass
+    rows = _rows(spark, sf_dir, "scan_zstd_checksum")
+    assert all(r.checksum_ok == 1 for r in rows)
+
+
+def test_avro_resolution_reorder_and_defaults(spark, sf_dir):
+    rows = {r.fname: r for r in _rows(spark, sf_dir,
+                                      "scan_avro_evolved")}
+    # v1 files: every score defaulted (0.25 -> quarter 1 per row)
+    g0 = rows["gen-0.avro"]
+    assert g0.defaulted_score_rows == g0.n_rows == g0.score_q_sum
+    # v3 reordered writer: ids still sum correctly (name matching)
+    g2 = rows["gen-2.avro"]
+    assert g2.id_sum == sum(5 * r + 2 for r in range(180))
+    assert g2.tag_none_rows == 0
+
+
 def test_roaring_bitmap_container_positions():
     """Planted-positive check (round-9 convention for membership
     structures): the bitmap-container walk must recover EXACT

@@ -87,6 +87,14 @@ from cs_pipeline_spark.sources.parquet_pageindex import (
 from cs_pipeline_spark.sources.zstd_frame import (
     decode_zstd_frame,
     encode_zstd_frame,
+    encode_zstd_frame_ck,
+)
+from cs_pipeline_spark.sources.orc_meta import (
+    decode_orc_col_stats,
+)
+from cs_pipeline_spark.sources.avro_ocf import (
+    encode_avro_evolved,
+    resolve_avro_evolved,
 )
 from cs_pipeline_spark.sources.mkv import decode_mkv_meta, encode_mkv
 from cs_pipeline_spark.sources.delta_dv import (
@@ -135,6 +143,9 @@ _PARSERS = [
     (decode_parquet_page_index, encode_parquet_pageidx),
     (decode_parquet_column_pages, encode_parquet_lz4),
     (decode_zstd_frame, encode_zstd_frame),
+    (decode_zstd_frame, encode_zstd_frame_ck),
+    (decode_orc_col_stats, encode_orc_meta),
+    (resolve_avro_evolved, encode_avro_evolved),
     (decode_mkv_meta, encode_mkv),
     (roaring_deserialize, _encode_roaring_seed),
 ]
