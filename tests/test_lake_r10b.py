@@ -210,6 +210,24 @@ def test_avro_resolution_reorder_and_defaults(spark, sf_dir):
     assert g2.tag_none_rows == 0
 
 
+def test_soundex_classic_vectors(spark, sf_dir):
+    """Pin the documented variant against the classic examples it
+    shares with standard Soundex (the first-letter-code rule cases
+    are intentionally excluded — see the op docstring)."""
+    from cs_pipeline_spark.operators.text import _soundex_col
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("robert",), ("rupert",), ("ashcraft",), ("tymczak",),
+         ("honeyman",)],
+        "tok string",
+    ).select("tok", _soundex_col(F.col("tok")).alias("code"))
+    got = {r.tok: r.code for r in df.collect()}
+    assert got == {"robert": "R163", "rupert": "R163",
+                   "ashcraft": "A261", "tymczak": "T522",
+                   "honeyman": "H555"}
+
+
 def test_roaring_bitmap_container_positions():
     """Planted-positive check (round-9 convention for membership
     structures): the bitmap-container walk must recover EXACT
