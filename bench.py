@@ -225,7 +225,7 @@ HEADLINE = [
     "scan_orc_col_stats",
     "scan_zstd_checksum",
     "scan_avro_evolved",
-    "text_soundex_blocking",
+    "dedup_soundex_blocking",
 ]
 
 

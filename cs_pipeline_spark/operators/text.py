@@ -3368,7 +3368,7 @@ _SOUNDEX_ORACLE = f"""
 
 
 @register(
-    "text_soundex_blocking",
+    "dedup_soundex_blocking",
     _SOUNDEX_ORACLE,
     doc="Soundex phonetic blocking over the part-name vocabulary: "
     "H/W-transparent digit coding, adjacent-code collapse, "
@@ -3377,7 +3377,7 @@ _SOUNDEX_ORACLE = f"""
     "candidate-pair generator beside the edit-distance family; "
     "variant pinned identically in both engines and hash-checked",
 )
-def text_soundex_blocking(
+def dedup_soundex_blocking(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Phonetic blocking beats edit-distance bands exactly where

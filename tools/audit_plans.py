@@ -537,6 +537,24 @@ AUDIT: dict[str, dict] = {
     "scan_delta_checkpoint": {"smj": 0, "nlj": 0},
     "lake_orphan_files": {"smj": 0, "nlj": 0},  # referenced set
     # broadcast anti-join; listing side streams
+    # round-10 second wave: third table format, merge-on-read,
+    # page index, deletion vectors, codec family — all metadata-only
+    "scan_hudi_timeline": {"smj": 0, "nlj": 0},  # replaced-group set
+    # broadcast left_anti; instant fan-out is timeline-sized
+    "scan_iceberg_deletes": {"smj": 0, "nlj": 0},  # live set + delete
+    # manifest broadcast; tombstone rows stream through one count
+    "scan_parquet_page_index": {"smj": 0, "exchange": 0},
+    "scan_parquet_lz4_pages": {"smj": 0, "exchange": 0},
+    "scan_zstd_frames": {"smj": 0, "exchange": 0},
+    "scan_zstd_checksum": {"smj": 0, "exchange": 0},
+    "mm_decode_mkv_meta": {"smj": 0, "exchange": 0},
+    "scan_delta_dv": {"smj": 0, "exchange": 0},  # per-action map over
+    # log rows; DV decode needs no join at all
+    "scan_orc_col_stats": {"smj": 0},  # one shard-key fold of the
+    # per-file stats (defensive multi-file merge)
+    "scan_avro_evolved": {"smj": 0, "exchange": 0},
+    "dedup_soundex_blocking": {"smj": 0},  # vocab distinct + one
+    # code-key census agg — dictionary-scale shuffles only
 }
 
 
