@@ -226,6 +226,11 @@ HEADLINE = [
     "scan_zstd_checksum",
     "scan_avro_evolved",
     "dedup_soundex_blocking",
+    # round-10 provenance wave: HEVC SPS, PNG text chunks (AI-gen
+    # detection), ID3v2 attribution tags
+    "mm_video_hevc_meta",
+    "mm_png_provenance",
+    "mm_id3_tags",
 ]
 
 

@@ -263,3 +263,195 @@ def mm_decode_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(_scratch(sf_dir, "real_mp3s"))
     )
     return bf.select("path", "content").mapInPandas(batches, schema=schema)
+
+
+# ====================================================================
+# ID3v2.3 TEXT FRAMES — the audio-curation metadata the frame walk
+# above deliberately SKIPS: title (TIT2), artist (TPE1), album
+# (TALB), year (TYER). Frame layout per the public ID3v2.3 spec:
+# 4-char id, 4-byte big-endian size (NOT synchsafe in v2.3), 2 flag
+# bytes; text frames carry an encoding byte (0 = latin-1, 1 = utf-16
+# with BOM) then the string. A curation pipeline reads these for
+# source attribution and dedup keys.
+# ====================================================================
+
+_ID3_FIELDS = ["TIT2", "TPE1", "TALB", "TYER"]
+
+
+def _id3_tags(i: int) -> dict[str, str]:
+    return {
+        "TIT2": f"track {i} sessions",
+        "TPE1": f"artist-{i % 3}",
+        "TALB": f"album {(i * 7) % 5}",
+        "TYER": str(1990 + 3 * i),
+    }
+
+
+def encode_mp3_id3(i: int) -> bytes:
+    """A real MP3 whose ID3v2.3 tag carries text frames (latin-1 and
+    utf-16 alternating) plus padding, followed by valid audio
+    frames reusing the sibling writer's framing."""
+    tags = _id3_tags(i)
+    frames = bytearray()
+    for k, fid in enumerate(_ID3_FIELDS):
+        text = tags[fid]
+        if (i + k) % 2 == 0:
+            body = bytes([0]) + text.encode("latin-1")
+        else:
+            body = bytes([1]) + b"\xff\xfe" + text.encode("utf-16-le")
+        frames += fid.encode("ascii")
+        frames += len(body).to_bytes(4, "big")
+        frames += b"\x00\x00"
+        frames += body
+    pad = 17 + i
+    tag = (b"ID3" + bytes([3, 0, 0])
+           + _synchsafe(len(frames) + pad)
+           + bytes(frames) + b"\x00" * pad)
+    # audio: two valid MPEG-1 Layer III frames (128 kbps, 44.1 kHz)
+    audio = bytearray()
+    for f in range(2):
+        size = 144 * 128 * 1000 // 44100
+        audio += bytes([0xFF, 0xFB, (9 << 4), 0x00])
+        audio += bytes((k * 13 + f * 5 + i) % 128
+                       for k in range(size - 4))
+    return bytes(tag) + bytes(audio)
+
+
+def decode_mp3_id3(payload: bytes) -> dict:
+    """ID3v2.3 text-frame decode → {frame id: text} plus tag census.
+    ValueError-only."""
+    if payload[:3] != b"ID3":
+        raise ValueError("no ID3v2 tag")
+    if len(payload) < 10:
+        raise ValueError("truncated MP3: short ID3v2 header")
+    if payload[3] != 3:
+        raise ValueError(f"unsupported ID3v2.{payload[3]} tag")
+    if any(b & 0x80 for b in payload[6:10]):
+        raise ValueError("malformed MP3: non-synchsafe ID3 size")
+    size = (payload[6] << 21) | (payload[7] << 14) \
+        | (payload[8] << 7) | payload[9]
+    end = 10 + size
+    if end > len(payload):
+        raise ValueError("truncated MP3: ID3 tag overruns payload")
+    p = 10
+    out: dict[str, str] = {}
+    n_frames = 0
+    while p + 10 <= end:
+        fid = payload[p : p + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break  # padding
+        if not all(65 <= c <= 90 or 48 <= c <= 57 for c in fid):
+            raise ValueError("malformed ID3: bad frame id")
+        fsize = int.from_bytes(payload[p + 4 : p + 8], "big")
+        body = payload[p + 10 : p + 10 + fsize]
+        if p + 10 + fsize > end:
+            raise ValueError("truncated ID3: frame overruns tag")
+        n_frames += 1
+        if fid[0:1] == b"T" and fsize >= 1:
+            enc = body[0]
+            if enc == 0:
+                text = body[1:].decode("latin-1")
+            elif enc == 1:
+                if body[1:3] == b"\xff\xfe":
+                    text = body[3:].decode("utf-16-le", "replace")
+                elif body[1:3] == b"\xfe\xff":
+                    text = body[3:].decode("utf-16-be", "replace")
+                else:
+                    raise ValueError("malformed ID3: utf-16 sans BOM")
+            else:
+                raise ValueError(f"unsupported ID3 text encoding {enc}")
+            out[fid.decode("ascii")] = text.rstrip("\x00")
+        p += 10 + fsize
+    if not out:
+        raise ValueError("malformed ID3: no text frames")
+    return {"tags": out, "n_frames": n_frames, "tag_bytes": size}
+
+
+def _id3_sql_rows() -> str:
+    parts = []
+    for i in range(6):
+        t = _id3_tags(i)
+        parts.append(
+            f"SELECT 'id3-{i:03d}.mp3' AS fname,"
+            f" '{t['TIT2']}' AS title, '{t['TPE1']}' AS artist,"
+            f" '{t['TALB']}' AS album,"
+            f" {t['TYER']} AS year_, 4 AS n_frames"
+        )
+    return " UNION ALL ".join(parts)
+
+
+_ID3_ORACLE = f"""
+    SELECT fname, title, artist, album,
+           CAST(year_ AS BIGINT) AS year_,
+           CAST(n_frames AS BIGINT) AS n_frames
+    FROM ({_id3_sql_rows()})
+"""
+
+
+@_fixture
+def _fx_mp3_id3(spark: SparkSession, sf_dir: str) -> None:
+    import os
+
+    out_dir = _scratch(sf_dir, "real_mp3_id3")
+    os.makedirs(out_dir, exist_ok=True)
+    for i in range(6):
+        p = f"{out_dir}/id3-{i:03d}.mp3"
+        if not os.path.exists(p):
+            tmp = p + ".tmp"
+            with open(tmp, "wb") as fh:
+                fh.write(encode_mp3_id3(i))
+            os.replace(tmp, p)
+
+
+@register(
+    "mm_id3_tags",
+    _ID3_ORACLE,
+    doc="ID3v2.3 text-frame decode: title/artist/album/year from the "
+    "tag mm_decode_mp3_meta skips — non-synchsafe v2.3 frame sizes, "
+    "latin-1 AND utf-16-BOM text encodings alternating per frame, "
+    "padding honored — one row per file, hash-checked against the "
+    "fixture formula",
+)
+def mm_id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-attribution metadata for audio curation: the frame walk
+    validates audio structure, this op reads WHO/WHAT the audio is —
+    the natural dedup key (artist, title) and license-era signal
+    (year) for a crawled audio corpus. The two ID3 size regimes are
+    the classic bug: the TAG header size is synchsafe, v2.3 FRAME
+    sizes are not — mixing them up desyncs after the first frame,
+    which the utf-16 frames turn into a hash failure.
+
+    Scale: tag-bytes-only per-file map over binaryFile (tags lead
+    the file — a ranged reader never touches audio frames).
+    """
+    schema = (
+        "fname string, title string, artist string, album string, "
+        "year_ long, n_frames long"
+    )
+    cols = ["fname", "title", "artist", "album", "year_", "n_frames"]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                m = decode_mp3_id3(bytes(content))
+                t = m["tags"]
+                rows.append({
+                    "fname": path.rsplit("/", 1)[-1],
+                    "title": t.get("TIT2"),
+                    "artist": t.get("TPE1"),
+                    "album": t.get("TALB"),
+                    "year_": int(t["TYER"]) if "TYER" in t else None,
+                    "n_frames": m["n_frames"],
+                })
+            yield pd.DataFrame(rows, columns=cols) if rows else \
+                pd.DataFrame({k: [] for k in cols})
+
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.mp3")
+        .load(_scratch(sf_dir, "real_mp3_id3"))
+    )
+    return bf.select("path", "content").mapInPandas(
+        batches, schema=schema
+    )

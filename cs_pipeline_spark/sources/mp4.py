@@ -1372,3 +1372,327 @@ def mm_video_sps_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(_scratch(sf_dir, "real_mp4s_avc"))
     )
     return bf.select("path", "content").mapInPandas(batches, schema=schema)
+
+
+# ====================================================================
+# HEVC (H.265) SPS metadata — the other half of modern video. Same
+# curation need as the AVC path above (TRUE resolution/profile/tier/
+# level/bit-depth from the parameter set, not the container floats),
+# different wire: a 2-byte NAL header, the profile_tier_level block
+# (12 bytes of fixed-width fields BEFORE anything variable), and
+# conformance-window cropping in chroma units. Public spec: ISO/IEC
+# 14496-15 §8.3.3.1 (hvcC layout), ITU-T H.265 §7.3.2.2 / §7.3.3.
+# ====================================================================
+
+_N_HEVC = 6
+_HEVC_NAL_SPS = 33
+
+
+def _hevc_params(i: int) -> dict:
+    crop = 1 if i % 3 == 0 else 0
+    pw, ph = 64 * (10 + i % 4), 64 * (6 + i % 3)
+    cr, cb = (1 + i % 2) * crop, 1 * crop  # in SubWidthC/SubHeightC=2
+    return {
+        "tier_flag": i % 2,
+        "profile_idc": 1 + i % 2,  # Main / Main10
+        "level_idc": 90 + 30 * (i % 3),
+        "pw": pw, "ph": ph, "cr": cr, "cb": cb,
+        "width": pw - 2 * cr,
+        "height": ph - 2 * cb,
+        "bit_depth": 8 + 2 * (i % 2),
+    }
+
+
+def encode_hevc_sps(i: int) -> bytes:
+    """One HEVC SPS NAL (2-byte header + escaped RBSP) for the
+    fixture parameters."""
+    p = _hevc_params(i)
+    w = _BitWriter()
+    w.u(0, 4)   # sps_video_parameter_set_id
+    w.u(0, 3)   # sps_max_sub_layers_minus1
+    w.u(1, 1)   # sps_temporal_id_nesting_flag
+    # profile_tier_level (general only, 0 sub-layers)
+    w.u(0, 2)   # general_profile_space
+    w.u(p["tier_flag"], 1)
+    w.u(p["profile_idc"], 5)
+    w.u(1 << (31 - p["profile_idc"]), 32)  # compatibility flags
+    w.u(0b1011, 4)  # progressive, interlaced, non_packed, frame_only
+    w.u(0, 43)  # general_reserved_zero_43bits
+    w.u(0, 1)   # general_inbld_flag (reserved)
+    w.u(p["level_idc"], 8)
+    w.ue(0)     # sps_seq_parameter_set_id
+    w.ue(1)     # chroma_format_idc: 4:2:0
+    w.ue(p["pw"])
+    w.ue(p["ph"])
+    if p["cr"] or p["cb"]:
+        w.u(1, 1)  # conformance_window_flag
+        w.ue(0)
+        w.ue(p["cr"])
+        w.ue(0)
+        w.ue(p["cb"])
+    else:
+        w.u(0, 1)
+    w.ue(p["bit_depth"] - 8)  # bit_depth_luma_minus8
+    w.ue(p["bit_depth"] - 8)  # bit_depth_chroma_minus8
+    hdr = bytes([(_HEVC_NAL_SPS << 1), 0x01])
+    return hdr + _rbsp_to_ebsp(w.rbsp())
+
+
+def decode_hevc_sps(nal: bytes) -> dict:
+    """HEVC SPS NAL → tier/profile/level/true width/height/bit depth.
+    ValueError-only."""
+    if len(nal) < 6:
+        raise ValueError("truncated HEVC SPS: too short")
+    if (nal[0] >> 1) & 0x3F != _HEVC_NAL_SPS:
+        raise ValueError("malformed HEVC SPS: not an SPS NAL")
+    r = _BitReader(_ebsp_to_rbsp(nal[2:]))
+    r.u(4)  # vps id
+    max_sub_layers = r.u(3)
+    if max_sub_layers != 0:
+        raise ValueError("unsupported HEVC SPS: sub-layers present")
+    r.u(1)  # temporal_id_nesting
+    r.u(2)  # profile_space
+    tier = r.u(1)
+    profile = r.u(5)
+    r.u(32)  # compatibility flags
+    r.u(4)   # progressive/interlaced/non_packed/frame_only
+    r.u(43)
+    r.u(1)
+    level = r.u(8)
+    r.ue()  # sps id
+    chroma = r.ue()
+    if chroma == 3:
+        r.u(1)  # separate_colour_plane
+    pw = r.ue()
+    ph = r.ue()
+    cl = cr = ct = cb = 0
+    if r.u(1):  # conformance_window_flag
+        cl, cr, ct, cb = r.ue(), r.ue(), r.ue(), r.ue()
+    bd_luma = r.ue() + 8
+    r.ue()  # bit_depth_chroma_minus8
+    # crop units per §7.4.3.2.1 (SubWidthC/SubHeightC)
+    ux = 2 if chroma in (1, 2) else 1
+    uy = 2 if chroma == 1 else 1
+    width = pw - ux * (cl + cr)
+    height = ph - uy * (ct + cb)
+    if width <= 0 or height <= 0 or pw <= 0 or ph <= 0:
+        raise ValueError("malformed HEVC SPS: crop exceeds frame")
+    return {
+        "tier_flag": tier,
+        "profile_idc": profile,
+        "level_idc": level,
+        "width": width,
+        "height": height,
+        "bit_depth": bd_luma,
+    }
+
+
+def encode_mp4_hevc(i: int) -> bytes:
+    """ISO-BMFF container whose video trak's stsd carries an hvc1
+    VisualSampleEntry + hvcC record embedding the fixture SPS — the
+    HEVC twin of encode_mp4_avc."""
+    p = _hevc_params(i)
+    sps = encode_hevc_sps(i)
+    hvcc_head = (
+        bytes([1, (p["tier_flag"] << 5) | p["profile_idc"]])
+        + struct.pack(">I", 1 << (31 - p["profile_idc"]))
+        + b"\x00" * 6
+        + bytes([p["level_idc"]])
+        + struct.pack(">H", 0xF000)
+        + bytes([0xFC, 0xFC | 1,
+                 0xF8 | (p["bit_depth"] - 8),
+                 0xF8 | (p["bit_depth"] - 8)])
+        + struct.pack(">H", 0)
+        + bytes([(0 << 6) | (1 << 3) | (1 << 2) | 3])  # len size 4
+        + bytes([1])  # numOfArrays
+        + bytes([0x80 | _HEVC_NAL_SPS])  # completeness + NAL type
+        + struct.pack(">H", 1)  # numNalus
+        + struct.pack(">H", len(sps)) + sps
+    )
+    hvcc = _box(b"hvcC", hvcc_head)
+    vse = (
+        b"\x00" * 6 + struct.pack(">H", 1)
+        + b"\x00" * 16
+        + struct.pack(">HH", p["width"], p["height"])
+        + struct.pack(">II", 0x480000, 0x480000)
+        + b"\x00" * 4 + struct.pack(">H", 1)
+        + b"\x00" * 32
+        + struct.pack(">Hh", 24, -1)
+    )
+    stsd = _full(
+        b"stsd", 0, struct.pack(">I", 1) + _box(b"hvc1", vse + hvcc)
+    )
+    stsz = _full(b"stsz", 0, struct.pack(">III", 0, 0, 0))
+    stsc = _full(b"stsc", 0, struct.pack(">I", 0))
+    stco = _full(b"stco", 0, struct.pack(">I", 0))
+    stbl = _box(b"stbl", stsd + stsz + stsc + stco)
+    hdlr = _full(
+        b"hdlr", 0,
+        struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"hvc\x00",
+    )
+    mdhd = _full(
+        b"mdhd", 0, struct.pack(">IIIIHH", 0, 0, 1000, 0, 0x55C4, 0)
+    )
+    mdia = _box(b"mdia", mdhd + hdlr + _box(b"minf", stbl))
+    trak = _box(b"trak", _tkhd(1, 0, p["width"], p["height"]) + mdia)
+    mvhd = _full(
+        b"mvhd", 0,
+        struct.pack(">IIII", 0, 0, 1000, 0)
+        + struct.pack(">IHH", 0x10000, 0x0100, 0) + b"\x00" * 8
+        + struct.pack(
+            ">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+        )
+        + b"\x00" * 24 + struct.pack(">I", 2),
+    )
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"hvc1")
+    return ftyp + _box(b"moov", mvhd + trak)
+
+
+def decode_mp4_hevc_meta(payload: bytes) -> dict:
+    """First video trak's hvcC → first SPS parsed. ValueError-only."""
+    end = len(payload)
+    moov = _find_box(payload, 0, end, b"moov")
+    if moov is None:
+        raise ValueError("malformed MP4: no moov box")
+    for t, tb, te in _iter_boxes(payload, moov[0], moov[1]):
+        if t != b"trak":
+            continue
+        mdia = _find_box(payload, tb, te, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _find_box(payload, mdia[0], mdia[1], b"hdlr")
+        if hdlr is None or payload[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+            continue
+        minf = _find_box(payload, mdia[0], mdia[1], b"minf")
+        stbl = _find_box(payload, minf[0], minf[1], b"stbl") \
+            if minf else None
+        stsd = _find_box(payload, stbl[0], stbl[1], b"stsd") \
+            if stbl else None
+        if stsd is None:
+            raise ValueError("malformed MP4: video trak missing stsd")
+        body = stsd[0] + 8
+        if body > stsd[1]:
+            raise ValueError("truncated MP4: short stsd")
+        for et, eb, ee in _iter_boxes(payload, body, stsd[1]):
+            if et not in (b"hvc1", b"hev1"):
+                continue
+            if eb + 78 > ee:
+                raise ValueError("truncated MP4: short hvc1 entry")
+            hv = _find_box(payload, eb + 78, ee, b"hvcC")
+            if hv is None:
+                raise ValueError("malformed MP4: hvc1 missing hvcC")
+            hb, he = hv
+            if hb + 23 > he or payload[hb] != 1:
+                raise ValueError("malformed MP4: bad hvcC version")
+            n_arrays = payload[hb + 22]
+            q = hb + 23
+            for _ in range(n_arrays):
+                if q + 3 > he:
+                    raise ValueError("truncated MP4: hvcC array head")
+                nal_type = payload[q] & 0x3F
+                n_nalus = struct.unpack(
+                    ">H", payload[q + 1 : q + 3]
+                )[0]
+                q += 3
+                for _n in range(n_nalus):
+                    if q + 2 > he:
+                        raise ValueError("truncated MP4: hvcC NAL len")
+                    nl = struct.unpack(">H", payload[q : q + 2])[0]
+                    q += 2
+                    if q + nl > he:
+                        raise ValueError("truncated MP4: hvcC NAL "
+                                         "overruns")
+                    if nal_type == _HEVC_NAL_SPS:
+                        m = decode_hevc_sps(payload[q : q + nl])
+                        m["length_size"] = (payload[hb + 21] & 3) + 1
+                        return m
+                    q += nl
+            raise ValueError("malformed MP4: hvcC carries no SPS")
+        raise ValueError("unsupported MP4: no hvc1 sample entry")
+    raise ValueError("malformed MP4: no video track")
+
+
+@_fixture
+def _fx_mp4_hevc(spark: SparkSession, sf_dir: str) -> None:
+    import os
+
+    out_dir = _scratch(sf_dir, "real_mp4s_hevc")
+    os.makedirs(out_dir, exist_ok=True)
+    for i in range(_N_HEVC):
+        p = f"{out_dir}/hevc-{i:03d}.mp4"
+        if not os.path.exists(p):
+            tmp = p + ".tmp"
+            with open(tmp, "wb") as fh:
+                fh.write(encode_mp4_hevc(i))
+            os.replace(tmp, p)
+
+
+_HEVC_ORACLE = f"""
+    WITH vids AS (SELECT unnest(range(0, {_N_HEVC})) AS i),
+    par AS (SELECT i,
+                   i % 2 AS tier, 1 + i % 2 AS profile,
+                   90 + 30 * (i % 3) AS level_,
+                   64 * (10 + i % 4) AS pw, 64 * (6 + i % 3) AS ph,
+                   CASE WHEN i % 3 = 0 THEN 1 + i % 2 ELSE 0 END AS cr,
+                   CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END AS cb,
+                   8 + 2 * (i % 2) AS bd
+            FROM vids)
+    SELECT printf('hevc-%03d.mp4', CAST(i AS INT)) AS fname,
+           CAST(tier AS BIGINT) AS tier_flag,
+           CAST(profile AS BIGINT) AS profile_idc,
+           CAST(level_ AS BIGINT) AS level_idc,
+           CAST(pw - 2 * cr AS BIGINT) AS width,
+           CAST(ph - 2 * cb AS BIGINT) AS height,
+           CAST(bd AS BIGINT) AS bit_depth,
+           CAST(4 AS BIGINT) AS length_size
+    FROM par
+"""
+
+
+@register(
+    "mm_video_hevc_meta",
+    _HEVC_ORACLE,
+    doc="HEVC SPS metadata from raw MP4 bytes: stsd → hvc1/hev1 → "
+    "hvcC NAL arrays → SPS NAL, emulation-prevention stripped, "
+    "profile_tier_level block then exp-Golomb walk to the "
+    "conformance window (chroma-unit cropping) and bit depth — "
+    "TRUE width/height/tier/profile/level per file, hash-checked "
+    "against the fixture formula (the H.265 twin of "
+    "mm_video_sps_meta)",
+)
+def mm_video_hevc_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half of modern video is HEVC, and its parameter-set wire
+    differs from AVC exactly where naive ports break: a 2-byte NAL
+    header (type in bits 1-6 of byte 0, not the low 5 bits), a
+    12-byte fixed-width profile_tier_level BEFORE any exp-Golomb
+    field, and luma-sample (not macroblock) dimensions cropped by a
+    conformance window. Main/Main10 alternate so the bit-depth field
+    and tier flag are both load-bearing.
+
+    Scale: header-bytes-only per-file map over binaryFile — moov-only
+    ranged reads at 100 TB, no frame data.
+    """
+    schema = (
+        "fname string, tier_flag long, profile_idc long, "
+        "level_idc long, width long, height long, bit_depth long, "
+        "length_size long"
+    )
+    cols = ["fname", "tier_flag", "profile_idc", "level_idc",
+            "width", "height", "bit_depth", "length_size"]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                m = decode_mp4_hevc_meta(bytes(content))
+                m["fname"] = path.rsplit("/", 1)[-1]
+                rows.append(m)
+            yield pd.DataFrame(rows, columns=cols) if rows else \
+                pd.DataFrame({k: [] for k in cols})
+
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.mp4")
+        .load(_scratch(sf_dir, "real_mp4s_hevc"))
+    )
+    return bf.select("path", "content").mapInPandas(batches, schema=schema)

@@ -536,3 +536,236 @@ def mm_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("fname_a", "fname_b", "dhash_a", "dhash_b", "hamming")
     )
+
+
+# ====================================================================
+# Text/provenance chunks — tEXt / zTXt / iTXt. This is where image
+# PROVENANCE lives: Stable-Diffusion writers stamp a "parameters"
+# tEXt (prompt + "Steps: ..."), editors stamp "Software", XMP rides
+# an iTXt keyed "XML:com.adobe.xmp". A training-data curation
+# pipeline reads exactly these to flag AI-generated and tool-edited
+# images before dedup/quality stages. Public spec: PNG (ISO 15948)
+# §11.3.4 (tEXt latin-1), zTXt (deflate-compressed), iTXt (utf-8 +
+# language/translated-keyword fields, optionally compressed).
+# ====================================================================
+
+
+def _png_text_payload(i: int) -> list[tuple[str, str, str]]:
+    """(kind, keyword, text) rows fixture file i carries — all by
+    formula so the oracle recomputes the census."""
+    rows = [("tEXt", "Software", f"editor-{i}")]
+    if i % 2 == 0:
+        rows.append((
+            "tEXt", "parameters",
+            f"a photo of a cat {i} Steps: {20 + i}, Sampler: k_euler",
+        ))
+    if i % 3 == 0:
+        rows.append(("zTXt", "Comment", "z" * (40 + i)))
+    if i % 2 == 1:
+        rows.append((
+            "iTXt", "XML:com.adobe.xmp",
+            f"<x:xmpmeta>{i}</x:xmpmeta>",
+        ))
+    return rows
+
+
+def encode_png_text(i: int) -> bytes:
+    """A valid PNG (tiny image) carrying the fixture's text chunks
+    spliced before IEND."""
+    w = 4 + i % 3
+    base = encode_png(
+        w, 3, 1, [(k * 7 + i) % 256 for k in range(w * 3)]
+    )
+    chunks = bytearray()
+    for kind, kw, text in _png_text_payload(i):
+        if kind == "tEXt":
+            chunks += _chunk(b"tEXt", kw.encode("latin-1") + b"\x00"
+                             + text.encode("latin-1"))
+        elif kind == "zTXt":
+            chunks += _chunk(b"zTXt", kw.encode("latin-1") + b"\x00\x00"
+                             + zlib.compress(text.encode("latin-1")))
+        else:  # iTXt, uncompressed, no language/translated keyword
+            chunks += _chunk(
+                b"iTXt",
+                kw.encode("latin-1") + b"\x00\x00\x00" + b"\x00"
+                + b"\x00" + text.encode("utf-8"),
+            )
+    return base[:-12] + bytes(chunks) + base[-12:]
+
+
+def decode_png_text(payload: bytes) -> list[dict]:
+    """CRC-verified walk extracting every tEXt/zTXt/iTXt chunk →
+    one dict per text chunk. ValueError-only."""
+    if payload[:8] != _SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos = 8
+    out: list[dict] = []
+    saw_end = False
+    while pos + 12 <= len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        if pos + 12 + ln > len(payload):
+            raise ValueError("truncated PNG: chunk overruns file")
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        crc = int.from_bytes(
+            payload[pos + 8 + ln : pos + 12 + ln], "big"
+        )
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {typ!r} chunk")
+        if typ in (b"tEXt", b"zTXt", b"iTXt"):
+            z = data.find(b"\x00")
+            if z < 1 or z > 79:
+                raise ValueError("malformed PNG: bad text keyword")
+            kw = data[:z].decode("latin-1")
+            if typ == b"tEXt":
+                text = data[z + 1 :].decode("latin-1")
+            elif typ == b"zTXt":
+                if z + 2 > len(data) or data[z + 1] != 0:
+                    raise ValueError("malformed PNG: zTXt method")
+                try:
+                    text = zlib.decompress(
+                        data[z + 2 :]
+                    ).decode("latin-1")
+                except zlib.error as e:
+                    raise ValueError(f"malformed PNG: zTXt body: {e}")
+            else:  # iTXt
+                if z + 3 > len(data):
+                    raise ValueError("malformed PNG: short iTXt")
+                comp_flag, comp_method = data[z + 1], data[z + 2]
+                rest = data[z + 3 :]
+                l1 = rest.find(b"\x00")
+                if l1 < 0:
+                    raise ValueError("malformed PNG: iTXt language")
+                l2 = rest.find(b"\x00", l1 + 1)
+                if l2 < 0:
+                    raise ValueError("malformed PNG: iTXt trans-kw")
+                body = rest[l2 + 1 :]
+                if comp_flag:
+                    if comp_method != 0:
+                        raise ValueError("malformed PNG: iTXt method")
+                    try:
+                        body = zlib.decompress(body)
+                    except zlib.error as e:
+                        raise ValueError(
+                            f"malformed PNG: iTXt body: {e}"
+                        )
+                text = body.decode("utf-8", "replace")
+            out.append({"kind": typ.decode(), "keyword": kw,
+                        "text": text})
+        if typ == b"IEND":
+            saw_end = True
+            break
+        pos += 12 + ln
+    if not saw_end:
+        raise ValueError("truncated PNG: no IEND")
+    return out
+
+
+def _prov_sql_rows() -> str:
+    parts = []
+    for i in range(8):
+        rows = _png_text_payload(i)
+        n_t = sum(1 for k, _kw, _t in rows if k == "tEXt")
+        n_z = sum(1 for k, _kw, _t in rows if k == "zTXt")
+        n_i = sum(1 for k, _kw, _t in rows if k == "iTXt")
+        ai = 1 if any(kw == "parameters" and "Steps:" in t
+                      for _k, kw, t in rows) else 0
+        chars = sum(len(t) for _k, _kw, t in rows)
+        kws = ",".join(sorted(kw for _k, kw, _t in rows))
+        parts.append(
+            f"SELECT 'prov-{i:03d}.png' AS fname, {n_t} AS n_text,"
+            f" {n_z} AS n_ztxt, {n_i} AS n_itxt, {ai} AS ai_generated,"
+            f" {chars} AS text_chars, '{kws}' AS keywords"
+        )
+    return " UNION ALL ".join(parts)
+
+
+_PROV_ORACLE = f"""
+    SELECT fname,
+           CAST(n_text AS BIGINT) AS n_text,
+           CAST(n_ztxt AS BIGINT) AS n_ztxt,
+           CAST(n_itxt AS BIGINT) AS n_itxt,
+           CAST(ai_generated AS BIGINT) AS ai_generated,
+           CAST(text_chars AS BIGINT) AS text_chars,
+           keywords
+    FROM ({_prov_sql_rows()})
+"""
+
+
+@_fixture
+def _fx_png_prov(spark: SparkSession, sf_dir: str) -> None:
+    import os
+
+    out_dir = _scratch(sf_dir, "real_png_prov")
+    os.makedirs(out_dir, exist_ok=True)
+    for i in range(8):
+        p = f"{out_dir}/prov-{i:03d}.png"
+        if not os.path.exists(p):
+            tmp = p + ".tmp"
+            with open(tmp, "wb") as fh:
+                fh.write(encode_png_text(i))
+            os.replace(tmp, p)
+
+
+@register(
+    "mm_png_provenance",
+    _PROV_ORACLE,
+    doc="PNG provenance text chunks: CRC-verified tEXt/zTXt/iTXt "
+    "walk (latin-1, deflate-compressed, and utf-8 iTXt with "
+    "language/translated-keyword fields) — per-file census with the "
+    "AI-generation flag (a 'parameters' keyword carrying 'Steps:', "
+    "the Stable-Diffusion stamp), decompressed text mass, and the "
+    "sorted keyword list, hash-checked against the fixture formula",
+)
+def mm_png_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The metadata image curation filters on FIRST: AI-generated
+    detection (SD-style 'parameters' stamps), editor provenance
+    ('Software'), and embedded XMP — all living in PNG text chunks
+    the pixel decoder (mm_decode_png) never reads. All three chunk
+    encodings decode (zTXt and compressed iTXt bodies are deflate),
+    and the text-mass + keyword-list hash pins the walk end to end.
+
+    Scale: chunk-header walk per file over binaryFile — text chunks
+    precede the image data stream in practice, so a ranged reader
+    stops after KBs; no pixel inflation, no shuffle.
+    """
+    schema = (
+        "fname string, n_text long, n_ztxt long, n_itxt long, "
+        "ai_generated long, text_chars long, keywords string"
+    )
+    cols = ["fname", "n_text", "n_ztxt", "n_itxt", "ai_generated",
+            "text_chars", "keywords"]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                texts = decode_png_text(bytes(content))
+                rows.append({
+                    "fname": path.rsplit("/", 1)[-1],
+                    "n_text": sum(1 for t in texts
+                                  if t["kind"] == "tEXt"),
+                    "n_ztxt": sum(1 for t in texts
+                                  if t["kind"] == "zTXt"),
+                    "n_itxt": sum(1 for t in texts
+                                  if t["kind"] == "iTXt"),
+                    "ai_generated": 1 if any(
+                        t["keyword"] == "parameters"
+                        and "Steps:" in t["text"] for t in texts
+                    ) else 0,
+                    "text_chars": sum(len(t["text"]) for t in texts),
+                    "keywords": ",".join(
+                        sorted(t["keyword"] for t in texts)
+                    ),
+                })
+            yield pd.DataFrame(rows, columns=cols) if rows else \
+                pd.DataFrame({k: [] for k in cols})
+
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .load(_scratch(sf_dir, "real_png_prov"))
+    )
+    return bf.select("path", "content").mapInPandas(
+        batches, schema=schema
+    )

@@ -228,6 +228,33 @@ def test_soundex_classic_vectors(spark, sf_dir):
                    "honeyman": "H555"}
 
 
+def test_hevc_meta_fields(spark, sf_dir):
+    rows = {r.fname: r for r in _rows(spark, sf_dir,
+                                      "mm_video_hevc_meta")}
+    r1 = rows["hevc-001.mp4"]  # Main10, tier 1
+    assert (r1.profile_idc, r1.tier_flag, r1.bit_depth) == (2, 1, 10)
+    r0 = rows["hevc-000.mp4"]  # cropped (i%3==0)
+    assert r0.width == 64 * 10 - 2 and r0.height == 64 * 6 - 2
+
+
+def test_png_provenance_ai_flag(spark, sf_dir):
+    rows = {r.fname: r for r in _rows(spark, sf_dir,
+                                      "mm_png_provenance")}
+    # even files carry the SD 'parameters' stamp
+    assert rows["prov-000.png"].ai_generated == 1
+    assert rows["prov-001.png"].ai_generated == 0
+    assert "XML:com.adobe.xmp" in rows["prov-001.png"].keywords
+    # zTXt text mass counts DECOMPRESSED chars
+    assert rows["prov-003.png"].n_itxt == 1
+
+
+def test_id3_utf16_and_padding(spark, sf_dir):
+    rows = {r.fname: r for r in _rows(spark, sf_dir, "mm_id3_tags")}
+    assert rows["id3-002.mp3"].artist == "artist-2"
+    assert rows["id3-005.mp3"].year_ == 1990 + 15
+    assert all(r.n_frames == 4 for r in rows.values())
+
+
 def test_roaring_bitmap_container_positions():
     """Planted-positive check (round-9 convention for membership
     structures): the bitmap-container walk must recover EXACT

@@ -29,12 +29,24 @@ from cs_pipeline_spark.sources.bmp import decode_bmp_meta, encode_bmp
 from cs_pipeline_spark.sources.flac import decode_flac_meta, encode_flac
 from cs_pipeline_spark.sources.gif import decode_gif_meta, encode_gif as encode_gif_anim
 from cs_pipeline_spark.sources.mp4 import (
+    decode_hevc_sps,
+    decode_mp4_hevc_meta,
     decode_mp4_keyframe_pixels,
     decode_mp4_sps_meta,
     decode_mp4_meta,
+    encode_hevc_sps,
     encode_mp4,
     encode_mp4_avc,
+    encode_mp4_hevc,
     encode_mp4_mjpeg,
+)
+from cs_pipeline_spark.sources.png import (
+    decode_png_text,
+    encode_png_text,
+)
+from cs_pipeline_spark.sources.mp3 import (
+    decode_mp3_id3,
+    encode_mp3_id3,
 )
 from cs_pipeline_spark.sources.mp3 import decode_mp3_meta, encode_mp3
 from cs_pipeline_spark.sources.npy import decode_npy_meta, encode_npy
@@ -148,6 +160,10 @@ _PARSERS = [
     (resolve_avro_evolved, encode_avro_evolved),
     (decode_mkv_meta, encode_mkv),
     (roaring_deserialize, _encode_roaring_seed),
+    (decode_mp4_hevc_meta, encode_mp4_hevc),
+    (decode_hevc_sps, encode_hevc_sps),
+    (decode_png_text, encode_png_text),
+    (decode_mp3_id3, encode_mp3_id3),
 ]
 
 

@@ -555,6 +555,10 @@ AUDIT: dict[str, dict] = {
     "scan_avro_evolved": {"smj": 0, "exchange": 0},
     "dedup_soundex_blocking": {"smj": 0},  # vocab distinct + one
     # code-key census agg — dictionary-scale shuffles only
+    # round-10 provenance wave — per-file metadata maps, no shuffle
+    "mm_video_hevc_meta": {"smj": 0, "exchange": 0},
+    "mm_png_provenance": {"smj": 0, "exchange": 0},
+    "mm_id3_tags": {"smj": 0, "exchange": 0},
 }
 
 
