@@ -958,6 +958,7 @@ def _mm_curate_oracle() -> str:
     import cs_pipeline_spark.sources.flac  # noqa: F401
     import cs_pipeline_spark.sources.gif  # noqa: F401
     import cs_pipeline_spark.sources.jpeg  # noqa: F401
+    import cs_pipeline_spark.sources.mp3  # noqa: F401
     import cs_pipeline_spark.sources.mp4  # noqa: F401
     import cs_pipeline_spark.sources.png  # noqa: F401
     import cs_pipeline_spark.sources.wav  # noqa: F401
@@ -978,6 +979,9 @@ def _mm_curate_oracle() -> str:
             "mm_exif_gps",
             "mm_decode_mp4_meta",
             "mm_video_keyframes",
+            "mm_video_hevc_meta",
+            "mm_png_provenance",
+            "mm_id3_tags",
         )
     }
     return f"""
@@ -1043,6 +1047,28 @@ def _mm_curate_oracle() -> str:
     UNION ALL
     SELECT 'video', 'gop_bytes', CAST(SUM(gop_bytes) AS BIGINT)
     FROM ({o['mm_video_keyframes']})
+    UNION ALL
+    SELECT 'video', 'hevc_clips', CAST(COUNT(*) AS BIGINT)
+    FROM ({o['mm_video_hevc_meta']})
+    UNION ALL
+    SELECT 'video', 'hevc_10bit', CAST(SUM(CASE WHEN bit_depth = 10
+           THEN 1 ELSE 0 END) AS BIGINT)
+    FROM ({o['mm_video_hevc_meta']})
+    UNION ALL
+    SELECT 'provenance', 'ai_generated',
+           CAST(SUM(ai_generated) AS BIGINT)
+    FROM ({o['mm_png_provenance']})
+    UNION ALL
+    SELECT 'provenance', 'text_chunks',
+           CAST(SUM(n_text + n_ztxt + n_itxt) AS BIGINT)
+    FROM ({o['mm_png_provenance']})
+    UNION ALL
+    SELECT 'provenance', 'tagged_tracks', CAST(COUNT(*) AS BIGINT)
+    FROM ({o['mm_id3_tags']})
+    UNION ALL
+    SELECT 'provenance', 'distinct_artists',
+           CAST(COUNT(DISTINCT artist) AS BIGINT)
+    FROM ({o['mm_id3_tags']})
     """
 
 
@@ -1054,9 +1080,12 @@ def _mm_curate_oracle() -> str:
     "voiced frames), baseline-JPEG DC decode (blank-image screen), "
     "perceptual dHash near-dup pairs, GIF frame/animation census, WebP "
     "alpha census, the EXIF GPS location-PII count, FLAC inventory, "
-    "silence-trim mass, and MP4 video inventory + GOP census composed "
-    "into one (modality, metric, value) report; both sides reuse the "
-    "eleven hash-checked decoder definitions by reference",
+    "silence-trim mass, MP4 video inventory + GOP census, HEVC "
+    "clip/bit-depth census, PNG provenance (AI-generation stamps, "
+    "text-chunk mass), and ID3 attribution (tagged tracks, distinct "
+    "artists) composed into one (modality, metric, value) report; "
+    "both sides reuse the fourteen hash-checked decoder definitions "
+    "by reference",
 )
 def mm_curate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The one-page answer to 'what is in this multimodal shard and
@@ -1075,11 +1104,16 @@ def mm_curate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cs_pipeline_spark.sources.flac import mm_decode_flac_meta
     from cs_pipeline_spark.sources.gif import mm_decode_gif_meta
     from cs_pipeline_spark.sources.jpeg import mm_decode_jpeg_dc, mm_exif_gps
+    from cs_pipeline_spark.sources.mp3 import mm_id3_tags
     from cs_pipeline_spark.sources.mp4 import (
         mm_decode_mp4_meta,
+        mm_video_hevc_meta,
         mm_video_keyframes,
     )
-    from cs_pipeline_spark.sources.png import mm_image_dhash
+    from cs_pipeline_spark.sources.png import (
+        mm_image_dhash,
+        mm_png_provenance,
+    )
     from cs_pipeline_spark.sources.wav import (
         mm_audio_energy,
         mm_audio_silence_trim,
@@ -1098,6 +1132,9 @@ def mm_curate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     trim = mm_audio_silence_trim(spark, sf_dir)
     mp4 = mm_decode_mp4_meta(spark, sf_dir)
     gop = mm_video_keyframes(spark, sf_dir)
+    hevc = mm_video_hevc_meta(spark, sf_dir)
+    prov = mm_png_provenance(spark, sf_dir)
+    id3 = mm_id3_tags(spark, sf_dir)
 
     def row(mod: str, metric: str, agg: DataFrame) -> DataFrame:
         return agg.select(
@@ -1196,6 +1233,40 @@ def mm_curate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             "video",
             "gop_bytes",
             gop.agg(F.sum("gop_bytes").alias("value")),
+        ),
+        row(
+            "video",
+            "hevc_clips",
+            hevc.agg(F.count(F.lit(1)).alias("value")),
+        ),
+        row(
+            "video",
+            "hevc_10bit",
+            hevc.agg(F.sum(
+                F.when(F.col("bit_depth") == 10, 1).otherwise(0)
+            ).alias("value")),
+        ),
+        row(
+            "provenance",
+            "ai_generated",
+            prov.agg(F.sum("ai_generated").alias("value")),
+        ),
+        row(
+            "provenance",
+            "text_chunks",
+            prov.agg(F.sum(
+                F.col("n_text") + F.col("n_ztxt") + F.col("n_itxt")
+            ).alias("value")),
+        ),
+        row(
+            "provenance",
+            "tagged_tracks",
+            id3.agg(F.count(F.lit(1)).alias("value")),
+        ),
+        row(
+            "provenance",
+            "distinct_artists",
+            id3.agg(F.countDistinct("artist").alias("value")),
         ),
     ]
     out = parts[0]

@@ -18,7 +18,12 @@ def test_new_modality_rows_reconcile(spark, sf_dir):
         (r.modality, r.metric): r.value
         for r in mm_curate_e2e(spark, sf_dir).collect()
     }
-    assert len(rows) == 20
+    assert len(rows) == 26  # +6 provenance/HEVC rows (round 10)
+    assert rows[("video", "hevc_clips")] == 6
+    assert rows[("video", "hevc_10bit")] == 3  # Main10 on odd i
+    assert rows[("provenance", "ai_generated")] == 4  # even prov pngs
+    assert rows[("provenance", "tagged_tracks")] == 6
+    assert rows[("provenance", "distinct_artists")] == 3
     assert rows[("video", "n_clips")] == _N_MP4S
     assert rows[("video", "total_ms")] == sum(
         _mp4_meta(i)["duration_ms"] for i in range(_N_MP4S)
