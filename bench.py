@@ -231,6 +231,8 @@ HEADLINE = [
     "mm_video_hevc_meta",
     "mm_png_provenance",
     "mm_id3_tags",
+    # round-10 third wave: Arrow IPC (hand-walked flatbuffers)
+    "scan_arrow_ipc",
 ]
 
 

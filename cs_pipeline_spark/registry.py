@@ -253,6 +253,7 @@ def _load_all_modules() -> None:
     )
     from cs_pipeline_spark.plans import request_groups, validate  # noqa: F401
     from cs_pipeline_spark.sources import (  # noqa: F401
+        arrow_ipc,
         avro_ocf,
         bmp,
         delta_dv,

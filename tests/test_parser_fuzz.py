@@ -108,6 +108,10 @@ from cs_pipeline_spark.sources.avro_ocf import (
     encode_avro_evolved,
     resolve_avro_evolved,
 )
+from cs_pipeline_spark.sources.arrow_ipc import (
+    decode_arrow_file,
+    encode_arrow_ipc,
+)
 from cs_pipeline_spark.sources.mkv import decode_mkv_meta, encode_mkv
 from cs_pipeline_spark.sources.delta_dv import (
     roaring_deserialize,
@@ -164,6 +168,7 @@ _PARSERS = [
     (decode_hevc_sps, encode_hevc_sps),
     (decode_png_text, encode_png_text),
     (decode_mp3_id3, encode_mp3_id3),
+    (decode_arrow_file, encode_arrow_ipc),
 ]
 
 
