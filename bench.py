@@ -231,8 +231,10 @@ HEADLINE = [
     "mm_video_hevc_meta",
     "mm_png_provenance",
     "mm_id3_tags",
-    # round-10 third wave: Arrow IPC (hand-walked flatbuffers)
+    # round-10 third wave: Arrow IPC (hand-walked flatbuffers),
+    # spec-complete DEFLATE inflate under the zlib wrapper
     "scan_arrow_ipc",
+    "scan_deflate_streams",
 ]
 
 

@@ -112,6 +112,10 @@ from cs_pipeline_spark.sources.arrow_ipc import (
     decode_arrow_file,
     encode_arrow_ipc,
 )
+from cs_pipeline_spark.sources.deflate import (
+    decode_zlib_multistream,
+    encode_zlib_multistream,
+)
 from cs_pipeline_spark.sources.mkv import decode_mkv_meta, encode_mkv
 from cs_pipeline_spark.sources.delta_dv import (
     roaring_deserialize,
@@ -169,6 +173,7 @@ _PARSERS = [
     (decode_png_text, encode_png_text),
     (decode_mp3_id3, encode_mp3_id3),
     (decode_arrow_file, encode_arrow_ipc),
+    (decode_zlib_multistream, encode_zlib_multistream),
 ]
 
 
