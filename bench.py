@@ -235,6 +235,7 @@ HEADLINE = [
     # spec-complete DEFLATE inflate under the zlib wrapper
     "scan_arrow_ipc",
     "scan_deflate_streams",
+    "scan_msgpack_records",
 ]
 
 

@@ -264,6 +264,7 @@ def _load_all_modules() -> None:
         iceberg,
         jpeg,
         mkv,
+        msgpack,
         png,
         pydatasource,
         quarantine,

@@ -116,6 +116,10 @@ from cs_pipeline_spark.sources.deflate import (
     decode_zlib_multistream,
     encode_zlib_multistream,
 )
+from cs_pipeline_spark.sources.msgpack import (
+    decode_msgpack_stream,
+    encode_msgpack_stream,
+)
 from cs_pipeline_spark.sources.mkv import decode_mkv_meta, encode_mkv
 from cs_pipeline_spark.sources.delta_dv import (
     roaring_deserialize,
@@ -174,6 +178,7 @@ _PARSERS = [
     (decode_mp3_id3, encode_mp3_id3),
     (decode_arrow_file, encode_arrow_ipc),
     (decode_zlib_multistream, encode_zlib_multistream),
+    (decode_msgpack_stream, encode_msgpack_stream),
 ]
 
 
