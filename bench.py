@@ -236,6 +236,7 @@ HEADLINE = [
     "scan_arrow_ipc",
     "scan_deflate_streams",
     "scan_msgpack_records",
+    "scan_xz_container",
 ]
 
 

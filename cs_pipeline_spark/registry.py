@@ -290,6 +290,7 @@ def _load_all_modules() -> None:
         wav,
         webp,
         wikidump,
+        xz_container,
         zstd_frame,
     )
     from cs_pipeline_spark.streaming import batch_twins  # noqa: F401

@@ -120,6 +120,10 @@ from cs_pipeline_spark.sources.msgpack import (
     decode_msgpack_stream,
     encode_msgpack_stream,
 )
+from cs_pipeline_spark.sources.xz_container import (
+    decode_xz_container,
+    encode_xz_multistream,
+)
 from cs_pipeline_spark.sources.mkv import decode_mkv_meta, encode_mkv
 from cs_pipeline_spark.sources.delta_dv import (
     roaring_deserialize,
@@ -179,6 +183,7 @@ _PARSERS = [
     (decode_arrow_file, encode_arrow_ipc),
     (decode_zlib_multistream, encode_zlib_multistream),
     (decode_msgpack_stream, encode_msgpack_stream),
+    (decode_xz_container, encode_xz_multistream),
 ]
 
 
