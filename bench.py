@@ -237,6 +237,7 @@ HEADLINE = [
     "scan_deflate_streams",
     "scan_msgpack_records",
     "scan_xz_container",
+    "wire_formats_e2e",
 ]
 
 

@@ -445,3 +445,134 @@ def lake_audit_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------- flagship #11: wire/interchange format triage ----------
+
+
+def _wire_oracle() -> str:
+    import cs_pipeline_spark.sources.arrow_ipc  # noqa: F401
+    import cs_pipeline_spark.sources.deflate  # noqa: F401
+    import cs_pipeline_spark.sources.msgpack  # noqa: F401
+    import cs_pipeline_spark.sources.xz_container  # noqa: F401
+    from cs_pipeline_spark.registry import _REGISTRY
+
+    o = {
+        k: _REGISTRY[k].oracle
+        for k in (
+            "scan_arrow_ipc",
+            "scan_msgpack_records",
+            "scan_deflate_streams",
+            "scan_xz_container",
+        )
+    }
+    return f"""
+    WITH ar AS MATERIALIZED ({o['scan_arrow_ipc']}),
+    mp AS MATERIALIZED ({o['scan_msgpack_records']}),
+    zl AS MATERIALIZED ({o['scan_deflate_streams']}),
+    xz AS MATERIALIZED ({o['scan_xz_container']})
+    SELECT 'arrow' AS format, 'files' AS metric,
+           CAST(COUNT(*) AS BIGINT) AS value FROM ar
+    UNION ALL
+    SELECT 'arrow', 'batches', CAST(SUM(n_batches) AS BIGINT) FROM ar
+    UNION ALL
+    SELECT 'arrow', 'rows', CAST(SUM(n_rows) AS BIGINT) FROM ar
+    UNION ALL
+    SELECT 'arrow', 'nulls', CAST(SUM(n_nulls) AS BIGINT) FROM ar
+    UNION ALL
+    SELECT 'msgpack', 'files', CAST(COUNT(*) AS BIGINT) FROM mp
+    UNION ALL
+    SELECT 'msgpack', 'records', CAST(SUM(n_records) AS BIGINT) FROM mp
+    UNION ALL
+    SELECT 'msgpack', 'nil_flags', CAST(SUM(n_nil) AS BIGINT) FROM mp
+    UNION ALL
+    SELECT 'msgpack', 'blob_bytes',
+           CAST(SUM(blob_bytes) AS BIGINT) FROM mp
+    UNION ALL
+    SELECT 'zlib', 'files', CAST(COUNT(*) AS BIGINT) FROM zl
+    UNION ALL
+    SELECT 'zlib', 'streams', CAST(SUM(n_streams) AS BIGINT) FROM zl
+    UNION ALL
+    SELECT 'zlib', 'out_bytes', CAST(SUM(out_len) AS BIGINT) FROM zl
+    UNION ALL
+    SELECT 'xz', 'files', CAST(COUNT(*) AS BIGINT) FROM xz
+    UNION ALL
+    SELECT 'xz', 'blocks', CAST(SUM(n_blocks) AS BIGINT) FROM xz
+    UNION ALL
+    SELECT 'xz', 'out_bytes', CAST(SUM(out_len) AS BIGINT) FROM xz
+    UNION ALL
+    SELECT 'xz', 'checks_verified',
+           CAST(SUM(n_crc32 + n_crc64 + n_sha256) AS BIGINT) FROM xz
+    """
+
+
+@register(
+    "wire_formats_e2e",
+    _wire_oracle(),
+    doc="flagship #11: the wire/interchange-format triage report - "
+    "Arrow IPC (hand-walked flatbuffers), MessagePack record "
+    "streams, hand-inflated zlib/DEFLATE multistreams, and the xz "
+    "container walk (CRC32/CRC64/SHA256 all verified) composed by "
+    "reference into one (format, metric, value) page; every decoder "
+    "is individually hash-checked",
+)
+def wire_formats_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One page answering 'what landed in the drop zone': columnar
+    interchange (Arrow batches/rows/nulls), event-bus records
+    (msgpack), and the two archive codecs (zlib, xz) with their
+    integrity checks - the first triage a 100 TB ingest runs before
+    any conversion. Composition by reference: the four sub-oracles
+    are the registered, hash-checked definitions (the
+    anomaly_suite_e2e / mm_curate_e2e contract), so this report
+    cannot drift from the parts.
+
+    Scale: all four inputs are per-file map work over binaryFile
+    scans; the flagship adds 1-row aggregates and a 15-row union -
+    metadata-scale, like lake_audit_e2e.
+    """
+    from cs_pipeline_spark.registry import pin
+    from cs_pipeline_spark.sources.arrow_ipc import scan_arrow_ipc
+    from cs_pipeline_spark.sources.deflate import scan_deflate_streams
+    from cs_pipeline_spark.sources.msgpack import scan_msgpack_records
+    from cs_pipeline_spark.sources.xz_container import scan_xz_container
+
+    ar = pin(scan_arrow_ipc(spark, sf_dir))
+    mp = pin(scan_msgpack_records(spark, sf_dir))
+    zl = pin(scan_deflate_streams(spark, sf_dir))
+    xz = pin(scan_xz_container(spark, sf_dir))
+
+    def row(fmt: str, metric: str, agg: DataFrame) -> DataFrame:
+        return agg.select(
+            F.lit(fmt).alias("format"),
+            F.lit(metric).alias("metric"),
+            F.col("value").cast("long").alias("value"),
+        )
+
+    parts = [
+        row("arrow", "files", ar.agg(F.count(F.lit(1)).alias("value"))),
+        row("arrow", "batches", ar.agg(F.sum("n_batches").alias("value"))),
+        row("arrow", "rows", ar.agg(F.sum("n_rows").alias("value"))),
+        row("arrow", "nulls", ar.agg(F.sum("n_nulls").alias("value"))),
+        row("msgpack", "files",
+            mp.agg(F.count(F.lit(1)).alias("value"))),
+        row("msgpack", "records",
+            mp.agg(F.sum("n_records").alias("value"))),
+        row("msgpack", "nil_flags",
+            mp.agg(F.sum("n_nil").alias("value"))),
+        row("msgpack", "blob_bytes",
+            mp.agg(F.sum("blob_bytes").alias("value"))),
+        row("zlib", "files", zl.agg(F.count(F.lit(1)).alias("value"))),
+        row("zlib", "streams", zl.agg(F.sum("n_streams").alias("value"))),
+        row("zlib", "out_bytes", zl.agg(F.sum("out_len").alias("value"))),
+        row("xz", "files", xz.agg(F.count(F.lit(1)).alias("value"))),
+        row("xz", "blocks", xz.agg(F.sum("n_blocks").alias("value"))),
+        row("xz", "out_bytes", xz.agg(F.sum("out_len").alias("value"))),
+        row("xz", "checks_verified",
+            xz.agg(F.sum(
+                F.col("n_crc32") + F.col("n_crc64") + F.col("n_sha256")
+            ).alias("value"))),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

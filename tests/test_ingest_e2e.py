@@ -65,3 +65,42 @@ def test_lake_audit_consistency(spark, sf_dir):
     assert rows[("iceberg", "mor_live_rows")] > 0
     assert rows[("orc", "stripe_mismatch_files")] == 0
     assert rows[("orc", "rows")] > 0
+
+
+def test_wire_formats_consistency(spark, sf_dir):
+    from cs_pipeline_spark.operators.pipeline_ingest import (
+        wire_formats_e2e,
+    )
+    from cs_pipeline_spark.sources.arrow_ipc import _N_ARROW
+    from cs_pipeline_spark.sources.deflate import (
+        _N_ZFILES,
+        _n_streams as _zlib_streams,
+    )
+    from cs_pipeline_spark.sources.msgpack import _N_MSGPACK, _n_records
+    from cs_pipeline_spark.sources.xz_container import (
+        _N_XZ,
+        _n_streams as _xz_streams,
+    )
+
+    rows = {
+        (r.format, r.metric): r.value
+        for r in wire_formats_e2e(spark, sf_dir).collect()
+    }
+    assert len(rows) == 15
+    assert rows[("arrow", "files")] == _N_ARROW
+    assert rows[("arrow", "rows")] == sum(
+        200 + 61 * i for i in range(_N_ARROW)
+    )
+    assert rows[("arrow", "nulls")] > 0
+    assert rows[("msgpack", "files")] == _N_MSGPACK
+    assert rows[("msgpack", "records")] == sum(
+        _n_records(i) for i in range(_N_MSGPACK)
+    )
+    assert rows[("zlib", "streams")] == sum(
+        _zlib_streams(i) for i in range(_N_ZFILES)
+    )
+    assert rows[("xz", "blocks")] == sum(
+        _xz_streams(i) for i in range(_N_XZ)
+    )
+    # every xz stream's check field verified (one per block here)
+    assert rows[("xz", "checks_verified")] == rows[("xz", "blocks")]
