@@ -238,6 +238,7 @@ HEADLINE = [
     "scan_msgpack_records",
     "scan_xz_container",
     "wire_formats_e2e",
+    "scan_sqlite_db",
 ]
 
 

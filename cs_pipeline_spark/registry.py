@@ -282,6 +282,7 @@ def _load_all_modules() -> None:
         pdf,
         scans,
         sinks,
+        sqlite_db,
         srt,
         tar,
         tfrecord,

@@ -124,6 +124,10 @@ from cs_pipeline_spark.sources.xz_container import (
     decode_xz_container,
     encode_xz_multistream,
 )
+from cs_pipeline_spark.sources.sqlite_db import (
+    decode_sqlite_db,
+    encode_sqlite_db,
+)
 from cs_pipeline_spark.sources.mkv import decode_mkv_meta, encode_mkv
 from cs_pipeline_spark.sources.delta_dv import (
     roaring_deserialize,
@@ -184,6 +188,7 @@ _PARSERS = [
     (decode_zlib_multistream, encode_zlib_multistream),
     (decode_msgpack_stream, encode_msgpack_stream),
     (decode_xz_container, encode_xz_multistream),
+    (decode_sqlite_db, encode_sqlite_db),
 ]
 
 
