@@ -239,6 +239,7 @@ HEADLINE = [
     "scan_xz_container",
     "wire_formats_e2e",
     "scan_sqlite_db",
+    "scan_arrow_stream",
 ]
 
 

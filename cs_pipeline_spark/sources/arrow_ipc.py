@@ -501,3 +501,200 @@ def scan_arrow_ipc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(_scratch(sf_dir, "real_arrow_ipc"))
     )
     return bf.select("path", "content").mapInPandas(batches, schema=schema)
+
+
+# ---------- the STREAM format (no footer; forward message walk) ----------
+
+_N_ARROW_STREAM = 3
+_STREAM_BATCH = 41
+
+
+def _stream_rows(i: int) -> int:
+    return 150 + 83 * i
+
+
+def _stream_vals(i: int, r: int):
+    rid = None if r % 6 == 2 else r * 7 + i
+    x = None if r % 9 == 5 else ((r * 5 + i) % 320) / 8.0
+    s = None if r % 8 == 1 else f"t{r % 11}"
+    b = None if r % 10 == 7 else (r % 4 == 0)
+    return rid, x, s, b
+
+
+def encode_arrow_stream(i: int) -> bytes:
+    """The STREAM wire protocol via pyarrow's reference writer:
+    Schema message, RecordBatch messages, end-of-stream marker —
+    no footer, no Block index."""
+    import pyarrow as pa
+
+    schema = pa.schema([
+        pa.field("id", pa.int64()),
+        pa.field("x", pa.float64()),
+        pa.field("s", pa.utf8()),
+        pa.field("b", pa.bool_()),
+    ])
+    n = _stream_rows(i)
+    rows = [_stream_vals(i, r) for r in range(n)]
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, schema) as w:
+        for b0 in range(0, n, _STREAM_BATCH):
+            chunk = rows[b0 : b0 + _STREAM_BATCH]
+            w.write_batch(pa.record_batch(
+                [
+                    pa.array([c[0] for c in chunk], pa.int64()),
+                    pa.array([c[1] for c in chunk], pa.float64()),
+                    pa.array([c[2] for c in chunk], pa.utf8()),
+                    pa.array([c[3] for c in chunk], pa.bool_()),
+                ],
+                schema=schema,
+            ))
+    return sink.getvalue().to_pybytes()
+
+
+def decode_arrow_stream(payload: bytes) -> dict:
+    """Forward walk of the Arrow IPC STREAM format: continuation
+    marker + metadata size per message, Schema first, RecordBatch
+    bodies located by the Message's own bodyLength field, explicit
+    end-of-stream marker required. ValueError-only."""
+    p = 0
+    fields: list[tuple[str, str]] | None = None
+    stats = {"n_batches": 0, "n_rows": 0, "n_cols": 0, "n_nulls": 0,
+             "id_sum": 0, "qx_sum": 0, "s_chars": 0, "b_true": 0}
+    saw_eos = False
+    while p < len(payload):
+        if _u32(payload, p) != 0xFFFFFFFF:
+            raise ValueError("malformed arrow stream: missing "
+                             "continuation marker")
+        msize = _i32(payload, p + 4)
+        if msize == 0:  # end-of-stream
+            saw_eos = True
+            p += 8
+            break
+        if msize < 0 or p + 8 + msize > len(payload):
+            raise ValueError("malformed arrow stream: message size "
+                             "out of range")
+        m = payload[p + 8 : p + 8 + msize]
+        mroot = _u32(m, 0)
+        htype = _fb_scalar(m, mroot, 1, _u8, 0)
+        blen = _fb_scalar(m, mroot, 3, _i64, 0)
+        if blen < 0 or p + 8 + msize + blen > len(payload):
+            raise ValueError("malformed arrow stream: body overruns")
+        body = payload[p + 8 + msize : p + 8 + msize + blen]
+        if fields is None:
+            if htype != 1:  # MessageHeader.Schema
+                raise ValueError("malformed arrow stream: first "
+                                 "message is not a Schema")
+            spos = _fb_offset(m, mroot, 2)
+            if not spos:
+                raise ValueError("malformed arrow stream: empty schema "
+                                 "message")
+            fields = _parse_schema(m, spos)
+            stats["n_cols"] = len(fields)
+        else:
+            if htype != 3:
+                raise ValueError(
+                    f"unsupported arrow message header: {htype}"
+                )
+            _decode_batch(m, body, fields, stats)
+            stats["n_batches"] += 1
+        p += 8 + msize + blen
+    if fields is None:
+        raise ValueError("truncated arrow stream: no schema")
+    if not saw_eos:
+        raise ValueError("truncated arrow stream: missing end-of-"
+                         "stream marker")
+    if p != len(payload):
+        raise ValueError("malformed arrow stream: trailing bytes")
+    if stats["n_batches"] == 0:
+        raise ValueError("malformed arrow stream: no record batches")
+    return stats
+
+
+@_fixture
+def _fx_arrow_stream(spark: SparkSession, sf_dir: str) -> None:
+    import os
+
+    out_dir = _scratch(sf_dir, "real_arrow_stream")
+    os.makedirs(out_dir, exist_ok=True)
+    for i in range(_N_ARROW_STREAM):
+        p = f"{out_dir}/part-{i:03d}.arrows"
+        if os.path.exists(p):
+            continue
+        tmp = p + ".tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(encode_arrow_stream(i))
+        os.replace(tmp, p)
+
+
+_STREAM_ORACLE = f"""
+    WITH files AS (SELECT unnest(range(0, {_N_ARROW_STREAM})) AS i),
+    m AS (SELECT i, 150 + 83 * i AS n FROM files),
+    rows_ AS (SELECT i, n, unnest(range(0, n)) AS r FROM m),
+    v AS (SELECT i, n, r,
+      CASE WHEN r % 6 = 2 THEN NULL ELSE r * 7 + i END AS id,
+      CASE WHEN r % 9 = 5 THEN NULL ELSE (r * 5 + i) % 320 END AS qx,
+      CASE WHEN r % 8 = 1 THEN NULL
+           ELSE length(printf('t%d', CAST(r % 11 AS INT))) END AS sc,
+      CASE WHEN r % 10 = 7 THEN NULL
+           ELSE CASE WHEN r % 4 = 0 THEN 1 ELSE 0 END END AS bt
+     FROM rows_)
+    SELECT printf('part-%03d.arrows', CAST(i AS INT)) AS fname,
+      CAST((MAX(n) + {_STREAM_BATCH - 1}) // {_STREAM_BATCH} AS BIGINT)
+        AS n_batches,
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(4 AS BIGINT) AS n_cols,
+      CAST(SUM((id IS NULL)::INT + (qx IS NULL)::INT
+             + (sc IS NULL)::INT + (bt IS NULL)::INT) AS BIGINT)
+        AS n_nulls,
+      CAST(SUM(COALESCE(id, 0)) AS BIGINT) AS id_sum,
+      CAST(SUM(COALESCE(qx, 0)) AS BIGINT) AS qx_sum,
+      CAST(SUM(COALESCE(sc, 0)) AS BIGINT) AS s_chars,
+      CAST(SUM(COALESCE(bt, 0)) AS BIGINT) AS b_true
+    FROM v GROUP BY i
+"""
+
+
+@register(
+    "scan_arrow_stream",
+    _STREAM_ORACLE,
+    doc="Arrow IPC STREAM format decode (the Flight / socket wire "
+    "protocol): forward message walk with continuation markers, "
+    "Schema-first ordering enforced, bodies located by each "
+    "Message's own bodyLength, explicit end-of-stream marker "
+    "required — same hand-walked flatbuffers layer and "
+    "validity-recount contract as scan_arrow_ipc, census "
+    "hash-checked against the fixture formula",
+)
+def scan_arrow_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The other Arrow wire protocol: the FILE format (scan_arrow_
+    ipc) is seekable via its footer Block index; the STREAM format
+    is what Flight sockets, IPC pipes, and .arrows spools carry —
+    no footer, so a reader must walk messages forward and trust
+    each Message's declared sizes, and truncation is detected ONLY
+    by the explicit end-of-stream marker (which this decoder
+    requires). Both protocols share one batch decoder, so the
+    validity-bitmap null recount certifies this path too.
+
+    Scale: streams are sequential by construction (that is their
+    point); parallelism is per-file/per-socket, and the decode work
+    is the same numpy-vectorized buffer math as the file variant.
+    """
+    schema = "fname string, " + ", ".join(f"{c} long" for c in _AR_COLS)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["fname", *_AR_COLS]
+        for pdf in it:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                m = decode_arrow_stream(bytes(content))
+                m["fname"] = path.rsplit("/", 1)[-1]
+                rows.append(m)
+            yield pd.DataFrame(rows, columns=cols) if rows else \
+                pd.DataFrame({k: [] for k in cols})
+
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.arrows")
+        .load(_scratch(sf_dir, "real_arrow_stream"))
+    )
+    return bf.select("path", "content").mapInPandas(batches, schema=schema)

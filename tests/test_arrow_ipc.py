@@ -94,3 +94,65 @@ def test_registered_op(spark, sf_dir):
         assert got.n_rows == exp["n_rows"]
         assert got.n_nulls == exp["n_nulls"]
         assert got.id_sum == exp["id_sum"]
+
+
+# ---------- STREAM format ----------
+
+
+def test_stream_roundtrip():
+    from cs_pipeline_spark.sources.arrow_ipc import (
+        _N_ARROW_STREAM,
+        _STREAM_BATCH,
+        _stream_rows,
+        _stream_vals,
+        decode_arrow_stream,
+        encode_arrow_stream,
+    )
+
+    for i in range(_N_ARROW_STREAM):
+        m = decode_arrow_stream(encode_arrow_stream(i))
+        n = _stream_rows(i)
+        rows = [_stream_vals(i, r) for r in range(n)]
+        assert m["n_batches"] == (n + _STREAM_BATCH - 1) // _STREAM_BATCH
+        assert m["n_rows"] == n
+        assert m["id_sum"] == sum(r[0] for r in rows if r[0] is not None)
+        assert m["b_true"] == sum(1 for r in rows if r[3] is True)
+
+
+def test_stream_missing_eos_rejected():
+    from cs_pipeline_spark.sources.arrow_ipc import (
+        decode_arrow_stream,
+        encode_arrow_stream,
+    )
+
+    payload = encode_arrow_stream(0)
+    with pytest.raises(ValueError, match="end-of-stream"):
+        decode_arrow_stream(payload[:-8])  # drop the EOS marker
+
+
+def test_stream_schema_must_come_first():
+    from cs_pipeline_spark.sources.arrow_ipc import (
+        decode_arrow_stream,
+        encode_arrow_stream,
+    )
+
+    payload = encode_arrow_stream(0)
+    # skip the schema message: find the second continuation marker
+    second = payload.find(b"\xff\xff\xff\xff", 4)
+    assert second > 0
+    with pytest.raises(ValueError, match="Schema"):
+        decode_arrow_stream(payload[second:])
+
+
+def test_stream_registered_op(spark, sf_dir):
+    from cs_pipeline_spark.sources.arrow_ipc import (
+        _N_ARROW_STREAM,
+        _stream_rows,
+        scan_arrow_stream,
+    )
+
+    rows = {r.fname: r for r in
+            scan_arrow_stream(spark, sf_dir).collect()}
+    assert len(rows) == _N_ARROW_STREAM
+    for i in range(_N_ARROW_STREAM):
+        assert rows[f"part-{i:03d}.arrows"].n_rows == _stream_rows(i)

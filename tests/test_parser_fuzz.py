@@ -110,7 +110,9 @@ from cs_pipeline_spark.sources.avro_ocf import (
 )
 from cs_pipeline_spark.sources.arrow_ipc import (
     decode_arrow_file,
+    decode_arrow_stream,
     encode_arrow_ipc,
+    encode_arrow_stream,
 )
 from cs_pipeline_spark.sources.deflate import (
     decode_zlib_multistream,
@@ -185,6 +187,7 @@ _PARSERS = [
     (decode_png_text, encode_png_text),
     (decode_mp3_id3, encode_mp3_id3),
     (decode_arrow_file, encode_arrow_ipc),
+    (decode_arrow_stream, encode_arrow_stream),
     (decode_zlib_multistream, encode_zlib_multistream),
     (decode_msgpack_stream, encode_msgpack_stream),
     (decode_xz_container, encode_xz_multistream),
