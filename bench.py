@@ -240,6 +240,7 @@ HEADLINE = [
     "wire_formats_e2e",
     "scan_sqlite_db",
     "scan_arrow_stream",
+    "scan_gzip_headers",
 ]
 
 

@@ -260,6 +260,7 @@ def _load_all_modules() -> None:
         delta_dv,
         delta_log,
         flac,
+        gzip_members,
         hudi_timeline,
         iceberg,
         jpeg,

@@ -130,6 +130,10 @@ from cs_pipeline_spark.sources.sqlite_db import (
     decode_sqlite_db,
     encode_sqlite_db,
 )
+from cs_pipeline_spark.sources.gzip_members import (
+    decode_gzip_members,
+    encode_gzip_members,
+)
 from cs_pipeline_spark.sources.mkv import decode_mkv_meta, encode_mkv
 from cs_pipeline_spark.sources.delta_dv import (
     roaring_deserialize,
@@ -192,6 +196,7 @@ _PARSERS = [
     (decode_msgpack_stream, encode_msgpack_stream),
     (decode_xz_container, encode_xz_multistream),
     (decode_sqlite_db, encode_sqlite_db),
+    (decode_gzip_members, encode_gzip_members),
 ]
 
 
