@@ -453,7 +453,9 @@ def lake_audit_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _wire_oracle() -> str:
     import cs_pipeline_spark.sources.arrow_ipc  # noqa: F401
     import cs_pipeline_spark.sources.deflate  # noqa: F401
+    import cs_pipeline_spark.sources.gzip_members  # noqa: F401
     import cs_pipeline_spark.sources.msgpack  # noqa: F401
+    import cs_pipeline_spark.sources.sqlite_db  # noqa: F401
     import cs_pipeline_spark.sources.xz_container  # noqa: F401
     from cs_pipeline_spark.registry import _REGISTRY
 
@@ -461,16 +463,22 @@ def _wire_oracle() -> str:
         k: _REGISTRY[k].oracle
         for k in (
             "scan_arrow_ipc",
+            "scan_arrow_stream",
             "scan_msgpack_records",
             "scan_deflate_streams",
             "scan_xz_container",
+            "scan_sqlite_db",
+            "scan_gzip_headers",
         )
     }
     return f"""
     WITH ar AS MATERIALIZED ({o['scan_arrow_ipc']}),
+    ast AS MATERIALIZED ({o['scan_arrow_stream']}),
     mp AS MATERIALIZED ({o['scan_msgpack_records']}),
     zl AS MATERIALIZED ({o['scan_deflate_streams']}),
-    xz AS MATERIALIZED ({o['scan_xz_container']})
+    xz AS MATERIALIZED ({o['scan_xz_container']}),
+    sq AS MATERIALIZED ({o['scan_sqlite_db']}),
+    gz AS MATERIALIZED ({o['scan_gzip_headers']})
     SELECT 'arrow' AS format, 'files' AS metric,
            CAST(COUNT(*) AS BIGINT) AS value FROM ar
     UNION ALL
@@ -503,6 +511,23 @@ def _wire_oracle() -> str:
     UNION ALL
     SELECT 'xz', 'checks_verified',
            CAST(SUM(n_crc32 + n_crc64 + n_sha256) AS BIGINT) FROM xz
+    UNION ALL
+    SELECT 'arrow_stream', 'batches',
+           CAST(SUM(n_batches) AS BIGINT) FROM ast
+    UNION ALL
+    SELECT 'arrow_stream', 'rows',
+           CAST(SUM(n_rows) AS BIGINT) FROM ast
+    UNION ALL
+    SELECT 'sqlite', 'tables', CAST(SUM(n_tables) AS BIGINT) FROM sq
+    UNION ALL
+    SELECT 'sqlite', 'rows', CAST(SUM(n_rows) AS BIGINT) FROM sq
+    UNION ALL
+    SELECT 'gzip', 'members', CAST(SUM(n_members) AS BIGINT) FROM gz
+    UNION ALL
+    SELECT 'gzip', 'out_bytes', CAST(SUM(out_len) AS BIGINT) FROM gz
+    UNION ALL
+    SELECT 'gzip', 'named_chars',
+           CAST(SUM(name_chars) AS BIGINT) FROM gz
     """
 
 
@@ -510,36 +535,47 @@ def _wire_oracle() -> str:
     "wire_formats_e2e",
     _wire_oracle(),
     doc="flagship #11: the wire/interchange-format triage report - "
-    "Arrow IPC (hand-walked flatbuffers), MessagePack record "
-    "streams, hand-inflated zlib/DEFLATE multistreams, and the xz "
-    "container walk (CRC32/CRC64/SHA256 all verified) composed by "
+    "Arrow IPC file AND stream protocols (hand-walked flatbuffers), "
+    "MessagePack record streams, hand-inflated zlib/DEFLATE "
+    "multistreams, the xz container walk (CRC32/CRC64/SHA256 all "
+    "verified), gzip member provenance (FNAME/FHCRC over the repo's "
+    "own inflate), and the SQLite b-tree decode composed by "
     "reference into one (format, metric, value) page; every decoder "
     "is individually hash-checked",
 )
 def wire_formats_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One page answering 'what landed in the drop zone': columnar
-    interchange (Arrow batches/rows/nulls), event-bus records
-    (msgpack), and the two archive codecs (zlib, xz) with their
-    integrity checks - the first triage a 100 TB ingest runs before
-    any conversion. Composition by reference: the four sub-oracles
-    are the registered, hash-checked definitions (the
-    anomaly_suite_e2e / mm_curate_e2e contract), so this report
-    cannot drift from the parts.
+    interchange (Arrow file + stream batches/rows/nulls), event-bus
+    records (msgpack), app databases (SQLite tables/rows), and the
+    archive codecs (zlib, xz, gzip members) with their integrity
+    checks - the first triage a 100 TB ingest runs before any
+    conversion. Composition by reference: the seven sub-oracles are
+    the registered, hash-checked definitions (the anomaly_suite_e2e
+    / mm_curate_e2e contract), so this report cannot drift from the
+    parts.
 
-    Scale: all four inputs are per-file map work over binaryFile
-    scans; the flagship adds 1-row aggregates and a 15-row union -
+    Scale: all seven inputs are per-file map work over binaryFile
+    scans; the flagship adds 1-row aggregates and a 22-row union -
     metadata-scale, like lake_audit_e2e.
     """
     from cs_pipeline_spark.registry import pin
-    from cs_pipeline_spark.sources.arrow_ipc import scan_arrow_ipc
+    from cs_pipeline_spark.sources.arrow_ipc import (
+        scan_arrow_ipc,
+        scan_arrow_stream,
+    )
     from cs_pipeline_spark.sources.deflate import scan_deflate_streams
+    from cs_pipeline_spark.sources.gzip_members import scan_gzip_headers
     from cs_pipeline_spark.sources.msgpack import scan_msgpack_records
+    from cs_pipeline_spark.sources.sqlite_db import scan_sqlite_db
     from cs_pipeline_spark.sources.xz_container import scan_xz_container
 
     ar = pin(scan_arrow_ipc(spark, sf_dir))
+    ast = pin(scan_arrow_stream(spark, sf_dir))
     mp = pin(scan_msgpack_records(spark, sf_dir))
     zl = pin(scan_deflate_streams(spark, sf_dir))
     xz = pin(scan_xz_container(spark, sf_dir))
+    sq = pin(scan_sqlite_db(spark, sf_dir))
+    gz = pin(scan_gzip_headers(spark, sf_dir))
 
     def row(fmt: str, metric: str, agg: DataFrame) -> DataFrame:
         return agg.select(
@@ -571,6 +607,19 @@ def wire_formats_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             xz.agg(F.sum(
                 F.col("n_crc32") + F.col("n_crc64") + F.col("n_sha256")
             ).alias("value"))),
+        row("arrow_stream", "batches",
+            ast.agg(F.sum("n_batches").alias("value"))),
+        row("arrow_stream", "rows",
+            ast.agg(F.sum("n_rows").alias("value"))),
+        row("sqlite", "tables",
+            sq.agg(F.sum("n_tables").alias("value"))),
+        row("sqlite", "rows", sq.agg(F.sum("n_rows").alias("value"))),
+        row("gzip", "members",
+            gz.agg(F.sum("n_members").alias("value"))),
+        row("gzip", "out_bytes",
+            gz.agg(F.sum("out_len").alias("value"))),
+        row("gzip", "named_chars",
+            gz.agg(F.sum("name_chars").alias("value"))),
     ]
     out = parts[0]
     for p in parts[1:]:

@@ -86,7 +86,7 @@ def test_wire_formats_consistency(spark, sf_dir):
         (r.format, r.metric): r.value
         for r in wire_formats_e2e(spark, sf_dir).collect()
     }
-    assert len(rows) == 15
+    assert len(rows) == 22
     assert rows[("arrow", "files")] == _N_ARROW
     assert rows[("arrow", "rows")] == sum(
         200 + 61 * i for i in range(_N_ARROW)
@@ -104,3 +104,13 @@ def test_wire_formats_consistency(spark, sf_dir):
     )
     # every xz stream's check field verified (one per block here)
     assert rows[("xz", "checks_verified")] == rows[("xz", "blocks")]
+    assert rows[("sqlite", "tables")] == 2 * 4
+    assert rows[("sqlite", "rows")] == sum(
+        500 + 170 * i for i in range(4)
+    )
+    assert rows[("gzip", "members")] == sum(
+        (i % 3) + 1 for i in range(4)
+    )
+    assert rows[("arrow_stream", "rows")] == sum(
+        150 + 83 * i for i in range(3)
+    )
