@@ -241,6 +241,7 @@ HEADLINE = [
     "scan_sqlite_db",
     "scan_arrow_stream",
     "scan_gzip_headers",
+    "scan_cbor_records",
 ]
 
 

@@ -255,6 +255,7 @@ def _load_all_modules() -> None:
     from cs_pipeline_spark.sources import (  # noqa: F401
         arrow_ipc,
         avro_ocf,
+        cbor,
         deflate,
         bmp,
         delta_dv,

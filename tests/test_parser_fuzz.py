@@ -134,6 +134,10 @@ from cs_pipeline_spark.sources.gzip_members import (
     decode_gzip_members,
     encode_gzip_members,
 )
+from cs_pipeline_spark.sources.cbor import (
+    decode_cbor_stream,
+    encode_cbor_stream,
+)
 from cs_pipeline_spark.sources.mkv import decode_mkv_meta, encode_mkv
 from cs_pipeline_spark.sources.delta_dv import (
     roaring_deserialize,
@@ -197,6 +201,7 @@ _PARSERS = [
     (decode_xz_container, encode_xz_multistream),
     (decode_sqlite_db, encode_sqlite_db),
     (decode_gzip_members, encode_gzip_members),
+    (decode_cbor_stream, encode_cbor_stream),
 ]
 
 
