@@ -242,6 +242,7 @@ HEADLINE = [
     "scan_arrow_stream",
     "scan_gzip_headers",
     "scan_cbor_records",
+    "scan_torrent_manifest",
 ]
 
 

@@ -288,6 +288,7 @@ def _load_all_modules() -> None:
         srt,
         tar,
         tfrecord,
+        torrent,
         tiff,
         warc,
         wav,

@@ -138,6 +138,16 @@ from cs_pipeline_spark.sources.cbor import (
     decode_cbor_stream,
     encode_cbor_stream,
 )
+from cs_pipeline_spark.sources.torrent import (
+    decode_torrent,
+    encode_torrent,
+)
+
+
+def _parse_torrent(b: bytes):
+    # fuzz shim: verify against an empty payload (mismatches count,
+    # malformed metainfo must still be ValueError-only)
+    return decode_torrent(b, b"")
 from cs_pipeline_spark.sources.mkv import decode_mkv_meta, encode_mkv
 from cs_pipeline_spark.sources.delta_dv import (
     roaring_deserialize,
@@ -202,6 +212,7 @@ _PARSERS = [
     (decode_sqlite_db, encode_sqlite_db),
     (decode_gzip_members, encode_gzip_members),
     (decode_cbor_stream, encode_cbor_stream),
+    (_parse_torrent, encode_torrent),
 ]
 
 
