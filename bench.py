@@ -243,6 +243,7 @@ HEADLINE = [
     "scan_gzip_headers",
     "scan_cbor_records",
     "scan_torrent_manifest",
+    "scan_zip_central_dir",
 ]
 
 

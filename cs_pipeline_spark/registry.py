@@ -295,6 +295,7 @@ def _load_all_modules() -> None:
         webp,
         wikidump,
         xz_container,
+        zip_cdir,
         zstd_frame,
     )
     from cs_pipeline_spark.streaming import batch_twins  # noqa: F401

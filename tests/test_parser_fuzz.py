@@ -142,6 +142,10 @@ from cs_pipeline_spark.sources.torrent import (
     decode_torrent,
     encode_torrent,
 )
+from cs_pipeline_spark.sources.zip_cdir import (
+    decode_zip_cdir,
+    encode_zip_archive,
+)
 
 
 def _parse_torrent(b: bytes):
@@ -213,6 +217,7 @@ _PARSERS = [
     (decode_gzip_members, encode_gzip_members),
     (decode_cbor_stream, encode_cbor_stream),
     (_parse_torrent, encode_torrent),
+    (decode_zip_cdir, encode_zip_archive),
 ]
 
 
