@@ -452,11 +452,14 @@ def lake_audit_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _wire_oracle() -> str:
     import cs_pipeline_spark.sources.arrow_ipc  # noqa: F401
+    import cs_pipeline_spark.sources.cbor  # noqa: F401
     import cs_pipeline_spark.sources.deflate  # noqa: F401
     import cs_pipeline_spark.sources.gzip_members  # noqa: F401
     import cs_pipeline_spark.sources.msgpack  # noqa: F401
     import cs_pipeline_spark.sources.sqlite_db  # noqa: F401
+    import cs_pipeline_spark.sources.torrent  # noqa: F401
     import cs_pipeline_spark.sources.xz_container  # noqa: F401
+    import cs_pipeline_spark.sources.zip_cdir  # noqa: F401
     from cs_pipeline_spark.registry import _REGISTRY
 
     o = {
@@ -469,6 +472,9 @@ def _wire_oracle() -> str:
             "scan_xz_container",
             "scan_sqlite_db",
             "scan_gzip_headers",
+            "scan_cbor_records",
+            "scan_torrent_manifest",
+            "scan_zip_central_dir",
         )
     }
     return f"""
@@ -478,7 +484,10 @@ def _wire_oracle() -> str:
     zl AS MATERIALIZED ({o['scan_deflate_streams']}),
     xz AS MATERIALIZED ({o['scan_xz_container']}),
     sq AS MATERIALIZED ({o['scan_sqlite_db']}),
-    gz AS MATERIALIZED ({o['scan_gzip_headers']})
+    gz AS MATERIALIZED ({o['scan_gzip_headers']}),
+    cb AS MATERIALIZED ({o['scan_cbor_records']}),
+    tor AS MATERIALIZED ({o['scan_torrent_manifest']}),
+    zc AS MATERIALIZED ({o['scan_zip_central_dir']})
     SELECT 'arrow' AS format, 'files' AS metric,
            CAST(COUNT(*) AS BIGINT) AS value FROM ar
     UNION ALL
@@ -528,6 +537,20 @@ def _wire_oracle() -> str:
     UNION ALL
     SELECT 'gzip', 'named_chars',
            CAST(SUM(name_chars) AS BIGINT) FROM gz
+    UNION ALL
+    SELECT 'cbor', 'records', CAST(SUM(n_records) AS BIGINT) FROM cb
+    UNION ALL
+    SELECT 'cbor', 'indefinite_items',
+           CAST(SUM(n_indef) AS BIGINT) FROM cb
+    UNION ALL
+    SELECT 'torrent', 'pieces', CAST(SUM(n_pieces) AS BIGINT) FROM tor
+    UNION ALL
+    SELECT 'torrent', 'pieces_verified',
+           CAST(SUM(pieces_ok) AS BIGINT) FROM tor
+    UNION ALL
+    SELECT 'zip', 'members', CAST(SUM(n_members) AS BIGINT) FROM zc
+    UNION ALL
+    SELECT 'zip', 'crc_verified', CAST(SUM(crc_ok) AS BIGINT) FROM zc
     """
 
 
@@ -539,7 +562,8 @@ def _wire_oracle() -> str:
     "MessagePack record streams, hand-inflated zlib/DEFLATE "
     "multistreams, the xz container walk (CRC32/CRC64/SHA256 all "
     "verified), gzip member provenance (FNAME/FHCRC over the repo's "
-    "own inflate), and the SQLite b-tree decode composed by "
+    "own inflate), the SQLite b-tree decode, CBOR records, torrent "
+    "piece verification, and the ZIP structural audit composed by "
     "reference into one (format, metric, value) page; every decoder "
     "is individually hash-checked",
 )
@@ -549,13 +573,13 @@ def wire_formats_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     records (msgpack), app databases (SQLite tables/rows), and the
     archive codecs (zlib, xz, gzip members) with their integrity
     checks - the first triage a 100 TB ingest runs before any
-    conversion. Composition by reference: the seven sub-oracles are
+    conversion. Composition by reference: the ten sub-oracles are
     the registered, hash-checked definitions (the anomaly_suite_e2e
     / mm_curate_e2e contract), so this report cannot drift from the
     parts.
 
-    Scale: all seven inputs are per-file map work over binaryFile
-    scans; the flagship adds 1-row aggregates and a 22-row union -
+    Scale: all ten inputs are per-file map work over binaryFile
+    scans; the flagship adds 1-row aggregates and a 28-row union -
     metadata-scale, like lake_audit_e2e.
     """
     from cs_pipeline_spark.registry import pin
@@ -563,11 +587,14 @@ def wire_formats_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         scan_arrow_ipc,
         scan_arrow_stream,
     )
+    from cs_pipeline_spark.sources.cbor import scan_cbor_records
     from cs_pipeline_spark.sources.deflate import scan_deflate_streams
     from cs_pipeline_spark.sources.gzip_members import scan_gzip_headers
     from cs_pipeline_spark.sources.msgpack import scan_msgpack_records
     from cs_pipeline_spark.sources.sqlite_db import scan_sqlite_db
+    from cs_pipeline_spark.sources.torrent import scan_torrent_manifest
     from cs_pipeline_spark.sources.xz_container import scan_xz_container
+    from cs_pipeline_spark.sources.zip_cdir import scan_zip_central_dir
 
     ar = pin(scan_arrow_ipc(spark, sf_dir))
     ast = pin(scan_arrow_stream(spark, sf_dir))
@@ -576,6 +603,9 @@ def wire_formats_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     xz = pin(scan_xz_container(spark, sf_dir))
     sq = pin(scan_sqlite_db(spark, sf_dir))
     gz = pin(scan_gzip_headers(spark, sf_dir))
+    cb = pin(scan_cbor_records(spark, sf_dir))
+    tor = pin(scan_torrent_manifest(spark, sf_dir))
+    zc = pin(scan_zip_central_dir(spark, sf_dir))
 
     def row(fmt: str, metric: str, agg: DataFrame) -> DataFrame:
         return agg.select(
@@ -620,6 +650,18 @@ def wire_formats_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             gz.agg(F.sum("out_len").alias("value"))),
         row("gzip", "named_chars",
             gz.agg(F.sum("name_chars").alias("value"))),
+        row("cbor", "records",
+            cb.agg(F.sum("n_records").alias("value"))),
+        row("cbor", "indefinite_items",
+            cb.agg(F.sum("n_indef").alias("value"))),
+        row("torrent", "pieces",
+            tor.agg(F.sum("n_pieces").alias("value"))),
+        row("torrent", "pieces_verified",
+            tor.agg(F.sum("pieces_ok").alias("value"))),
+        row("zip", "members",
+            zc.agg(F.sum("n_members").alias("value"))),
+        row("zip", "crc_verified",
+            zc.agg(F.sum("crc_ok").alias("value"))),
     ]
     out = parts[0]
     for p in parts[1:]:

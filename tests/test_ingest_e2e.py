@@ -86,7 +86,7 @@ def test_wire_formats_consistency(spark, sf_dir):
         (r.format, r.metric): r.value
         for r in wire_formats_e2e(spark, sf_dir).collect()
     }
-    assert len(rows) == 22
+    assert len(rows) == 28
     assert rows[("arrow", "files")] == _N_ARROW
     assert rows[("arrow", "rows")] == sum(
         200 + 61 * i for i in range(_N_ARROW)
@@ -114,3 +114,8 @@ def test_wire_formats_consistency(spark, sf_dir):
     assert rows[("arrow_stream", "rows")] == sum(
         150 + 83 * i for i in range(3)
     )
+    assert rows[("torrent", "pieces_verified")] == rows[
+        ("torrent", "pieces")
+    ]
+    assert rows[("zip", "crc_verified")] == rows[("zip", "members")]
+    assert rows[("cbor", "indefinite_items")] > 0
