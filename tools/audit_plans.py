@@ -559,6 +559,20 @@ AUDIT: dict[str, dict] = {
     "mm_video_hevc_meta": {"smj": 0, "exchange": 0},
     "mm_png_provenance": {"smj": 0, "exchange": 0},
     "mm_id3_tags": {"smj": 0, "exchange": 0},
+    # round-10 wire/archive wave — per-file byte decoders, no joins
+    # at all except the torrent manifest⋈payload broadcast
+    "scan_arrow_ipc": {"smj": 0, "exchange": 0},
+    "scan_arrow_stream": {"smj": 0, "exchange": 0},
+    "scan_deflate_streams": {"smj": 0, "exchange": 0},
+    "scan_msgpack_records": {"smj": 0, "exchange": 0},
+    "scan_cbor_records": {"smj": 0, "exchange": 0},
+    "scan_xz_container": {"smj": 0, "exchange": 0},
+    "scan_sqlite_db": {"smj": 0, "exchange": 0},
+    "scan_gzip_headers": {"smj": 0, "exchange": 0},
+    "scan_zip_central_dir": {"smj": 0, "exchange": 0},
+    "scan_torrent_manifest": {"smj": 0, "nlj": 0},  # payload side
+    # explicitly broadcast onto the metadata side (manifest genre)
+    "wire_formats_e2e": {"smj": 0},  # union of 1-row aggregates
 }
 
 
