@@ -757,6 +757,9 @@ def _band_plane(band: int, p: int) -> list[float]:
 
 
 def _band_bucket_col(emb: Column, band: int) -> Column:
+    """Expression-path band key (reference semantics; the hot path is
+    ``_band_keys`` below — tests/test_dedup_skew.py pins the two
+    bit-identical)."""
     out = F.lit(0)
     for p in range(_LSH_PLANES):
         plane = F.array(*[F.lit(v) for v in _band_plane(band, p)])
@@ -764,6 +767,74 @@ def _band_bucket_col(emb: Column, band: int) -> Column:
             F.lit(0)
         )
     return out
+
+
+_PLANES_NP = None
+
+
+def _planes_matrix():
+    """All 32 hyperplanes as one (bands·planes, DIM) float64 matrix."""
+    global _PLANES_NP
+    if _PLANES_NP is None:
+        _PLANES_NP = np.array(
+            [
+                _band_plane(b, p)
+                for b in range(_LSH_BANDS)
+                for p in range(_LSH_PLANES)
+            ],
+            dtype=np.float64,
+        )
+    return _PLANES_NP
+
+
+def _band_keys(emb_df: DataFrame) -> DataFrame:
+    """(vec_id, embedding) → (vec_id, k0..k{B−1}) — all band keys in
+    one vectorized numpy pass (guide §4.2).
+
+    The expression path (``_band_bucket_col``) evaluates 32
+    zip_with/aggregate higher-order functions per row — CodegenFallback,
+    interpreted per element (~2048 interpreted ops/row). This
+    ``mapInPandas`` computes the identical quantized arithmetic on
+    whole Arrow batches: per plane, Σᵢ floor((eᵢ·pᵢ)·1e6 + 0.5) as
+    int64, sign bit set iff the sum ≥ 0 (``qdot`` ≥ 0 ⟺ its integer
+    sum ≥ 0 — /1e6 never flips sign). Multiply order matches the
+    expression exactly ((x·y)·1e6; float64 ops are the same IEEE ops
+    in numpy and the JVM), so keys are bit-identical and the DuckDB
+    oracle (``_sql_band_bucket``) is untouched.
+
+    Scale: map-only (no shuffle); only (vec_id, embedding) crosses the
+    Python boundary, explicitly selected so scan pruning survives the
+    opaque node.
+    """
+    schema = "vec_id long, " + ", ".join(
+        f"k{b} int" for b in range(_LSH_BANDS)
+    )
+
+    def keys(it):
+        P = _planes_matrix()
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            bits = np.empty((len(pdf), P.shape[0]), dtype=np.int32)
+            for j in range(P.shape[0]):
+                s = (
+                    np.floor(E * P[j] * 1000000.0 + 0.5)
+                    .astype(np.int64)
+                    .sum(axis=1)
+                )
+                bits[:, j] = s >= 0
+            out = {"vec_id": pdf["vec_id"].to_numpy()}
+            for b in range(_LSH_BANDS):
+                k = np.zeros(len(pdf), dtype=np.int32)
+                for p in range(_LSH_PLANES):
+                    k |= bits[:, b * _LSH_PLANES + p] << p
+                out[f"k{b}"] = k
+            yield pd.DataFrame(out)
+
+    return emb_df.select("vec_id", "embedding").mapInPandas(
+        keys, schema=schema
+    )
 
 
 def _sql_band_bucket(emb: str, band: int) -> str:
@@ -888,18 +959,10 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero-pairs collapse the old exclusion guard caused.
     """
     emb = load(spark, "embeddings", sf_dir).select("vec_id", "embedding")
-    # pinned: the 4-band self-join pattern reads this frame 8 times and
-    # the 32 hyperplane sign dots per row are interpreted HOFs — cache
-    # them once (lifetime bounded by the registry LRU entry)
-    keyed = pin(
-        emb.select(
-            "vec_id",
-            *[
-                _band_bucket_col(F.col("embedding"), b).alias(f"k{b}")
-                for b in range(_LSH_BANDS)
-            ],
-        )
-    )
+    # pinned: the 4-band self-join pattern reads this frame 8 times;
+    # keys come from the vectorized numpy pass (bit-identical to the
+    # expression path — see _band_keys)
+    keyed = pin(_band_keys(emb))
     cands = None
     for b in range(_LSH_BANDS):
         band = keyed.select("vec_id", F.col(f"k{b}").alias("bkt"))
@@ -990,13 +1053,7 @@ def _register_index_fixture() -> None:
         emb = load(spark, "embeddings", sf_dir).filter(
             F.col("vec_id") % _INC_BATCH_MOD != 0
         )
-        emb.select(
-            "vec_id",
-            *[
-                _band_bucket_col(F.col("embedding"), b).alias(f"k{b}")
-                for b in range(_LSH_BANDS)
-            ],
-        ).write.mode("overwrite").parquet(path)
+        _band_keys(emb).write.mode("overwrite").parquet(path)
 
 
 _register_index_fixture()
@@ -1043,14 +1100,7 @@ def dedup_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load(spark, "embeddings", sf_dir).select("vec_id", "embedding")
     new = emb.filter(F.col("vec_id") % _INC_BATCH_MOD == 0)
-    new_keys = new.select(
-        "vec_id",
-        *[
-            _band_bucket_col(F.col("embedding"), b).alias(f"k{b}")
-            for b in range(_LSH_BANDS)
-        ],
-        F.lit(True).alias("is_new"),
-    )
+    new_keys = _band_keys(new).withColumn("is_new", F.lit(True))
     idx = spark.read.parquet(_band_index_path(sf_dir)).withColumn(
         "is_new", F.lit(False)
     )

@@ -84,3 +84,34 @@ def test_embedding_lsh_hot_bucket_star(spark, sf_dir, tmp_path):
     # all replicas join one duplicate component via the star centre
     assert len(out) == n - 1
     assert all(r.vec_a == 0 and r.cos_sim >= 0.999999 for r in out)
+
+
+def test_band_keys_numpy_matches_expression_path(spark, sf_dir):
+    """The vectorized mapInPandas band keys (_band_keys, the hot path)
+    must be BIT-IDENTICAL to the expression path (_band_bucket_col) —
+    same quantized floor((e·p)·1e6 + 0.5) int64 sums, same sign test —
+    on the real sf0.001 embeddings. This is the contract that lets the
+    DuckDB oracle (_sql_band_bucket) stay untouched."""
+    from cs_pipeline_spark.operators.dedup import (
+        _LSH_BANDS,
+        _band_bucket_col,
+        _band_keys,
+    )
+    from cs_pipeline_spark.tables import load
+
+    emb = load(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    expr = {
+        r["vec_id"]: tuple(r[f"k{b}"] for b in range(_LSH_BANDS))
+        for r in emb.select(
+            "vec_id",
+            *[
+                _band_bucket_col(F.col("embedding"), b).alias(f"k{b}")
+                for b in range(_LSH_BANDS)
+            ],
+        ).collect()
+    }
+    vec = {
+        r["vec_id"]: tuple(r[f"k{b}"] for b in range(_LSH_BANDS))
+        for r in _band_keys(emb).collect()
+    }
+    assert vec == expr and len(vec) > 0
