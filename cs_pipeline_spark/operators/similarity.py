@@ -4937,7 +4937,16 @@ def corpus_facility_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     best = eqs.select(
         F.col("vec_id").alias("vid"), F.lit(0).cast("long").alias("best")
     )
-    sel = None
+    # ONE job per greedy round (was 3 eager checkpoints + 2 separate
+    # aggregates): the round's argmax is a bounded 1-row collect (the
+    # iterative-scalar convention, same as the CC convergence sum);
+    # the selected set and the running coverage live on the driver —
+    # coverage_r = coverage_{r−1} + gain_r exactly, because the gain
+    # aggregate IS Σ(max(best, s) − best). Arithmetic and the
+    # (gain desc, cid asc) tiebreak are unchanged, so the output rows
+    # are identical.
+    sel: list[int] = []
+    coverage = 0
     rows = []
     for r in range(1, _FL_K + 1):
         gains = cq.join(best, "vid").groupBy("cid").agg(
@@ -4947,44 +4956,32 @@ def corpus_facility_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("gain")
         )
-        if sel is not None:
-            gains = gains.join(sel, "cid", "left_anti")
-        top = (
-            gains.orderBy(F.desc("gain"), F.asc("cid"))
-            .limit(1)
-            .localCheckpoint(eager=True)
-        )
-        sel = (
-            top.select("cid")
-            if sel is None
-            else sel.union(top.select("cid")).localCheckpoint(eager=True)
-        )
-        upd = cq.join(F.broadcast(top.select("cid")), "cid").select(
-            "vid", F.col("s").alias("ns")
-        )
-        best = (
-            best.join(upd, "vid", "left")
-            .select(
-                "vid",
-                F.greatest(
-                    F.col("best"), F.coalesce("ns", F.lit(0))
-                ).alias("best"),
+        if sel:
+            gains = gains.filter(~F.col("cid").isin(sel))
+        top = gains.orderBy(F.desc("gain"), F.asc("cid")).limit(1).collect()
+        cid, gain = int(top[0]["cid"]), int(top[0]["gain"])
+        sel.append(cid)
+        coverage += gain
+        rows.append((r, cid, gain, coverage))
+        if r < _FL_K:
+            upd = cq.filter(F.col("cid") == cid).select(
+                "vid", F.col("s").alias("ns")
             )
-            .localCheckpoint(eager=True)
-        )
-        cov = best.agg(F.sum("best").cast("long").alias("coverage"))
-        rows.append(
-            top.crossJoin(F.broadcast(cov)).select(
-                F.lit(r).cast("long").alias("step"),
-                F.col("cid").cast("long").alias("selected_id"),
-                "gain",
-                "coverage",
+            # lazy checkpoint: truncates lineage; materialized by the
+            # next round's argmax job
+            best = (
+                best.join(upd, "vid", "left")
+                .select(
+                    "vid",
+                    F.greatest(
+                        F.col("best"), F.coalesce("ns", F.lit(0))
+                    ).alias("best"),
+                )
+                .localCheckpoint(eager=False)
             )
-        )
-    out = rows[0]
-    for o in rows[1:]:
-        out = out.unionByName(o)
-    return out
+    return spark.createDataFrame(
+        rows, "step long, selected_id long, gain long, coverage long"
+    )
 
 
 def _int_d2_self() -> F.Column:
@@ -5140,15 +5137,28 @@ def emb_dbscan_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         va, vb = [], []
 
         def emit(ia, Ea, na, ib, Eb, nb, cross):
-            for i in range(len(ia)):
-                rng = slice(i + 1, None) if not cross else slice(None)
-                cos = (Ea[i][None, :] * Eb[rng]).sum(axis=1).astype(
-                    np.float64
-                ) / (na[i] * nb[rng])
+            # Chunked BLAS matmul instead of a per-row Python loop.
+            # Exact: quantized components are < 2^21, products < 2^42,
+            # 64-term sums < 2^48 — every partial sum is an integer
+            # float64 represents exactly, so the matmul equals the
+            # int64 row sums bit-for-bit and the cos doubles are the
+            # same IEEE divisions as before (guide §4.2).
+            Fa = Ea.astype(np.float64)
+            Fb = Eb.astype(np.float64)
+            for i0 in range(0, len(ia), 1024):
+                i1 = min(i0 + 1024, len(ia))
+                cos = (Fa[i0:i1] @ Fb.T) / np.outer(na[i0:i1], nb)
                 keep = cos >= eps
-                jb = ib[rng][keep]
-                va.extend(np.minimum(ia[i], jb).tolist())
-                vb.extend(np.maximum(ia[i], jb).tolist())
+                if not cross:
+                    # self block: upper triangle only (j > global i)
+                    keep &= np.arange(len(ib))[None, :] > np.arange(
+                        i0, i1
+                    )[:, None]
+                ii, jj = np.nonzero(keep)
+                ga = ia[i0:i1][ii]
+                gb = ib[jj]
+                va.extend(np.minimum(ga, gb).tolist())
+                vb.extend(np.maximum(ga, gb).tolist())
 
         if ka == kb:
             ids, E, nrm = prep(pdf)
@@ -5161,8 +5171,21 @@ def emb_dbscan_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.DataFrame({"va": va, "vb": vb})
 
     g = _COS_BLOCK_CAP // 2
+    # Salt factor: ceil(n/g) bounds per-task state (the cap contract);
+    # the least()/greatest() additionally derives a parallelism floor
+    # from the session's core count (guide §2 — scale-adaptive
+    # partitioning, not a constant): S(S+1)/2 blocks ≥ cores wants
+    # S ≈ √(2·cores), with a 256-row block floor so tiny corpora
+    # don't over-split. Pair coverage is split-invariant (each
+    # unordered pair lands in exactly one (ka, kb) block at ANY S —
+    # the dedup_embedding_cosine recall pytest pins this), so results
+    # are identical at every salt factor.
+    s_tgt = math.isqrt(2 * spark.sparkContext.defaultParallelism) + 1
     nsalt = eqs.agg(
-        F.expr(f"cast((count(1) + {g} - 1) div {g} as int)").alias("ns")
+        F.expr(
+            f"cast(greatest((count(1) + {g} - 1) div {g}, "
+            f"least({s_tgt}, (count(1) + 255) div 256)) as int)"
+        ).alias("ns")
     )
     salted = (
         eqs.crossJoin(F.broadcast(nsalt))
