@@ -417,7 +417,6 @@ def with_prefix_agg(
         df, key, tiebreaks, [(val, kind, out, inclusive)], nb=nb
     )
 
-
 def with_rank_targets(df, key, tiebreaks, rank_sqls, nb: int = 64):
     """Pick the ``key`` VALUES at specific global ranks (1-based,
     ascending key order) without sorting the whole input.
@@ -432,136 +431,224 @@ def with_rank_targets(df, key, tiebreaks, rank_sqls, nb: int = 64):
     (``tiebreaks`` are accepted for signature parity but cannot affect
     the result: the VALUE at a rank is tiebreak-independent).
 
-    Plan, skew-proof by construction:
-      1. per-bucket counts + key min/max (map-side combined, no sort);
-      2. the nb-row offset side locates each target's bucket;
-         single-valued buckets (min <=> max — includes the all-NULL
-         bucket and any point mass) answer DIRECTLY, no second pass;
-      3. remaining target buckets are re-bucketed by their own key
-         range (second refinement level) and the target SUB-bucket is
-         located the same way;
+    Plan — driver-coordinated bounded-histogram locate (the
+    ``approxQuantile`` job shape, made exact by refinement):
+      1. one scan: global key range;
+      2. one scan: nb-row bucket histogram (count + key min/max per
+         bucket, map-side combined), COLLECTED — the locate walk,
+         the rank-expression evaluation (over a one-row-per-target
+         LOCAL relation, so Spark SQL arithmetic semantics are kept
+         bit-exactly) and the single-valued-bucket short-circuit
+         (min <=> max — includes the all-NULL bucket and any point
+         mass) run on the driver over <= nb+1 rows;
+      3. for target buckets still multi-valued: one scan of those
+         buckets only -> nb-row sub-histograms, collected, located the
+         same way (single-valued SUB-buckets answer here);
       4. the final rank pick runs over DISTINCT key values of the
-         target sub-buckets only (value + multiplicity prefix sum),
-         never over raw rows.
-    A skewed distribution therefore cannot recreate a hot sort
-    partition: dense-but-continuous keys sort ~1/nb² of the distinct
-    values; exact point masses short-circuit at step 2. Use
+         located sub-buckets only (value + multiplicity prefix sum),
+         never over raw rows, with driver-known literal rank bounds.
+    The result is a LocalRelation (<= len(rank_sqls) rows): consumers
+    broadcast literal rows instead of re-executing a multi-stage
+    subplan per action, and the 8-job broadcast-exchange chain of the
+    previous all-Spark formulation collapses to <= 4 scans.
+
+    Scale: every collect is bounded by construction — <= nb+1
+    histogram rows, <= nb*t sub-histogram rows, <= t result rows —
+    independent of input size; the driver never touches raw rows. A
+    skewed distribution cannot recreate a hot sort partition:
+    dense-but-continuous keys sort ~1/nb**2 of the distinct values;
+    exact point masses short-circuit at step 2/3. Use
     ``with_total_rank`` when every row needs its rank.
     """
+    import pyspark.sql.types as T
     from pyspark.sql.window import Window
 
+    spark = df.sparkSession
     kv = _c(key)
     k = kv.cast("double")
-    stats = df.agg(F.min(k).alias("_tp_mn"), F.max(k).alias("_tp_mx"))
-    b = df.crossJoin(F.broadcast(stats)).withColumn(
-        "_tpb", _bucket_col(k, F.col("_tp_mn"), F.col("_tp_mx"), nb)
+    vtype = df.select(kv.alias("_v")).schema[0].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("tid", T.LongType()),
+            T.StructField("rank", T.LongType()),
+            T.StructField("nn", T.LongType()),
+            T.StructField("value", vtype),
+        ]
     )
-    cnts = b.groupBy("_tpb").agg(
-        F.count(F.lit(1)).alias("_bc"),
-        F.min(kv).alias("_bmn"),
-        F.max(kv).alias("_bmx"),
-        F.min(k).alias("_bdn"),
-        F.max(k).alias("_bdx"),
-    )
-    wprev = Window.partitionBy(one_part("_tpb")).orderBy("_tpb").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offs = cnts.select(
-        "_tpb",
-        "_bc",
-        "_bmn",
-        "_bmx",
-        "_bdn",
-        "_bdx",
-        F.coalesce(F.sum("_bc").over(wprev), F.lit(0)).alias("_off"),
-        F.sum("_bc")
-        .over(Window.partitionBy(one_part("_tpb")))
-        .alias("_tp_nn"),
-    )
-    spark = df.sparkSession
-    tids = spark.range(len(rank_sqls)).select(F.col("id").alias("tid"))
-    nn1 = offs.select(F.col("_tp_nn").alias("nn")).limit(1)
-    targets = (
-        tids.crossJoin(F.broadcast(nn1))
-        .select(
-            "tid",
-            "nn",
-            F.expr(
-                "CASE "
-                + " ".join(
-                    f"WHEN tid = {i} THEN CAST(({sql}) AS BIGINT)"
-                    for i, sql in enumerate(rank_sqls)
-                )
-                + " END"
-            ).alias("rank"),
+
+    # 1. global key range (one map-side-combined scan)
+    mn, mx = df.agg(F.min(k), F.max(k)).first()
+
+    # 2. nb-row first-level histogram, collected (<= nb+1 rows: null
+    #    keys park in bucket -1 via _bucket_col's coalesce; an
+    #    all-null input has mn None and every row lands there too)
+    if mn is None:
+        bexpr = F.lit(-1)
+    else:
+        bexpr = _bucket_col(k, F.lit(mn), F.lit(mx), nb)
+    hist = (
+        df.groupBy(bexpr.alias("_tpb"))
+        .agg(
+            F.count(F.lit(1)).alias("_bc"),
+            F.min(kv).alias("_bmn"),
+            F.max(kv).alias("_bmx"),
+            F.min(k).alias("_bdn"),
+            F.max(k).alias("_bdx"),
         )
+        .collect()
     )
-    located = targets.join(
-        F.broadcast(offs.drop("_tp_nn")),
-        (F.col("rank") > F.col("_off"))
-        & (F.col("rank") <= F.col("_off") + F.col("_bc")),
-    ).select(
-        "tid", "rank", "nn", "_tpb", "_off", "_bmn", "_bmx", "_bdn", "_bdx"
+    hist = sorted(hist, key=lambda r: r["_tpb"])
+    nn = sum(r["_bc"] for r in hist)
+    if nn == 0 or not rank_sqls:
+        return spark.createDataFrame([], out_schema)
+
+    # rank expressions evaluated by Spark itself over a local relation
+    # (one row per target) — identical semantics to the distributed
+    # form, no re-implementation of SQL arithmetic on the driver
+    rank_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN tid = {i} THEN CAST(({sql}) AS BIGINT)"
+            for i, sql in enumerate(rank_sqls)
+        )
+        + " END"
     )
-    # single-distinct-value buckets (incl. the all-NULL bucket): the
-    # value at ANY rank inside is the bucket's one key — answer now
-    singles = located.filter(F.col("_bmn").eqNullSafe(F.col("_bmx"))).select(
-        "tid", "rank", "nn", F.col("_bmn").alias("value")
+    targets = (
+        spark.createDataFrame(
+            [(i, nn) for i in range(len(rank_sqls))], "tid bigint, nn bigint"
+        )
+        .selectExpr("tid", "nn", f"{rank_case} AS rank")
+        .collect()
     )
-    multi = located.filter(~F.col("_bmn").eqNullSafe(F.col("_bmx")))
-    # refinement level: re-bucket the (non-null, multi-valued) target
-    # buckets over their OWN key range, then aggregate to DISTINCT
-    # values — no row ever gets sorted
-    lb = multi.select("_tpb", "_bdn", "_bdx").distinct()
-    b2 = b.join(F.broadcast(lb), "_tpb").withColumn(
-        "_tpb2", _bucket_col(k, F.col("_bdn"), F.col("_bdx"), nb)
+
+    def _veq(a, b):
+        """Driver mirror of Spark's ``eqNullSafe``: NULL<=>NULL is
+        true, and NaN equals NaN (Spark's total order), unlike
+        Python's ``==``."""
+        if a is None or b is None:
+            return a is None and b is None
+        if a != a and b != b:  # both NaN
+            return True
+        return a == b
+
+    def _locate(rows, rank):
+        """(bucket row, offset-below) whose (off, off+count] span
+        covers rank, or (None, None) when the rank is out of range —
+        the same semantics as the range-join it replaces."""
+        off = 0
+        for r in rows:
+            if off < rank <= off + r[1]:
+                return r, off
+            off += r[1]
+        return None, None
+
+    l1 = [
+        (r["_tpb"], r["_bc"], r["_bmn"], r["_bmx"], r["_bdn"], r["_bdx"])
+        for r in hist
+    ]
+    binfo = {r[0]: r for r in l1}
+    done = []  # (tid, rank, nn, value)
+    multi = []  # (tid, rank, bucket_id, local_rank)
+    for t in targets:
+        rank = t["rank"]
+        if rank is None:
+            continue
+        r, off = _locate(l1, rank)
+        if r is None:
+            continue
+        tpb, _bc, bmn, bmx, _bdn, _bdx = r
+        if _veq(bmn, bmx):
+            done.append((t["tid"], rank, nn, bmn))
+        else:
+            multi.append((t["tid"], rank, tpb, rank - off))
+    if not multi:
+        return spark.createDataFrame(done, out_schema)
+
+    # 3. refinement level: re-bucket the (non-null, multi-valued)
+    #    target buckets over their OWN key range; sub-histograms
+    #    collected (<= nb rows per target bucket)
+    tb = sorted({m[2] for m in multi})
+    # per-bucket range literals via ONE map lookup each over the
+    # pre-projected _tpb attribute — a nested when-chain here embeds
+    # the (already sizeable) bucket expression once per level and
+    # blows codegen past the 64 KB method limit (interpreted
+    # fallback); the map form stays compact
+    bdn_map = F.create_map(
+        *[x for bid in tb for x in (F.lit(int(bid)), F.lit(binfo[bid][4]))]
     )
-    vals = b2.groupBy("_tpb", "_tpb2", kv.alias("_kv")).agg(
-        F.count(F.lit(1)).alias("_vc")
+    bdx_map = F.create_map(
+        *[x for bid in tb for x in (F.lit(int(bid)), F.lit(binfo[bid][5]))]
     )
-    cnts2 = vals.groupBy("_tpb", "_tpb2").agg(F.sum("_vc").alias("_bc2"))
-    # ≤ nb rows per located bucket — bounded window
-    wprev2 = (
-        Window.partitionBy("_tpb")
-        .orderBy("_tpb2")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offs2 = cnts2.select(
+    sub0 = df.select(
+        bexpr.alias("_tpb"), k.alias("_kd"), kv.alias("_kv")
+    ).where(F.col("_tpb").isin(*[int(b) for b in tb]))
+    sub = sub0.select(
         "_tpb",
-        "_tpb2",
-        "_bc2",
-        F.coalesce(F.sum("_bc2").over(wprev2), F.lit(0)).alias("_off2"),
+        _bucket_col(
+            F.col("_kd"),
+            F.element_at(bdn_map, F.col("_tpb")),
+            F.element_at(bdx_map, F.col("_tpb")),
+            nb,
+        ).alias("_tpb2"),
+        "_kv",
     )
-    located2 = multi.join(F.broadcast(offs2), "_tpb").filter(
-        (F.col("rank") - F.col("_off") > F.col("_off2"))
-        & (F.col("rank") - F.col("_off") <= F.col("_off2") + F.col("_bc2"))
-    ).select("tid", "rank", "nn", "_tpb", "_tpb2", "_off", "_off2")
-    # rank over DISTINCT values of the target sub-buckets: multiplicity
-    # prefix sum locates the value whose cumulative span covers the rank
-    tv = vals.join(
-        F.broadcast(located2.select("_tpb", "_tpb2").distinct()),
-        ["_tpb", "_tpb2"],
+    h2 = (
+        sub.groupBy("_tpb", "_tpb2")
+        .agg(
+            F.count(F.lit(1)).alias("_bc2"),
+            F.min("_kv").alias("_bmn2"),
+            F.max("_kv").alias("_bmx2"),
+        )
+        .collect()
+    )
+    by_bucket = {}
+    for r in sorted(h2, key=lambda r: (r["_tpb"], r["_tpb2"])):
+        by_bucket.setdefault(r["_tpb"], []).append(
+            (r["_tpb2"], r["_bc2"], r["_bmn2"], r["_bmx2"])
+        )
+    multi2 = []  # (tid, rank, bucket_id, sub_bucket_id, local2_rank)
+    for tid, rank, bid, lrank in multi:
+        r, off2 = _locate(by_bucket[bid], lrank)
+        if r is None:
+            continue
+        tpb2, _bc2, bmn2, bmx2 = r
+        if _veq(bmn2, bmx2):  # keys in level-2 buckets are never null
+            done.append((tid, rank, nn, bmn2))
+        else:
+            multi2.append((tid, rank, bid, tpb2, lrank - off2))
+    if not multi2:
+        return spark.createDataFrame(done, out_schema)
+
+    # 4. final pick over DISTINCT values of the located sub-buckets
+    #    only: multiplicity prefix sum, driver-known literal bounds
+    pair_filter = None
+    for _tid, _rank, bid, b2id, _lr2 in multi2:
+        c = (F.col("_tpb") == bid) & (F.col("_tpb2") == b2id)
+        pair_filter = c if pair_filter is None else (pair_filter | c)
+    vals = (
+        sub.where(pair_filter)
+        .groupBy("_tpb", "_tpb2", "_kv")
+        .agg(F.count(F.lit(1)).alias("_vc"))
     )
     wcum = (
         Window.partitionBy("_tpb", "_tpb2")
         .orderBy("_kv")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    tv2 = tv.withColumn("_vcum", F.sum("_vc").over(wcum))
-    picked = tv2.join(
-        F.broadcast(located2),
-        ["_tpb", "_tpb2"],
-    ).filter(
-        (F.col("rank") - F.col("_off") - F.col("_off2")
-         > F.col("_vcum") - F.col("_vc"))
-        & (F.col("rank") - F.col("_off") - F.col("_off2")
-           <= F.col("_vcum"))
-    ).select("tid", "rank", "nn", F.col("_kv").alias("value"))
-    # the result is ≤ len(rank_sqls) rows behind a multi-stage plan
-    # that consumers typically broadcast into a fact-side join — pin it
-    # (builder-LRU-scoped persist) so repeated actions re-read t rows
-    # instead of re-running both refinement passes; outside a registered
-    # builder pin() is a no-op, so ad-hoc callers never leak a persist
-    from cs_pipeline_spark.registry import pin
-
-    return pin(singles.unionByName(picked))
+    tv2 = vals.withColumn("_vcum", F.sum("_vc").over(wcum))
+    t2 = spark.createDataFrame(
+        [(tid, rank, int(bid), int(b2id), lr2)
+         for tid, rank, bid, b2id, lr2 in multi2],
+        "tid bigint, rank bigint, _tpb int, _tpb2 int, _lr2 bigint",
+    )
+    picked = (
+        tv2.join(F.broadcast(t2), ["_tpb", "_tpb2"])
+        .filter(
+            (F.col("_lr2") > F.col("_vcum") - F.col("_vc"))
+            & (F.col("_lr2") <= F.col("_vcum"))
+        )
+        .select("tid", "rank", "_kv")
+        .collect()
+    )
+    done.extend((r["tid"], r["rank"], nn, r["_kv"]) for r in picked)
+    return spark.createDataFrame(done, out_schema)

@@ -4959,6 +4959,11 @@ def corpus_facility_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         if sel:
             gains = gains.filter(~F.col("cid").isin(sel))
         top = gains.orderBy(F.desc("gain"), F.asc("cid")).limit(1).collect()
+        if not top:
+            # candidate pool exhausted (or empty corpus): the selected
+            # set only grows, so every later round is empty too — the
+            # pre-rewrite form emitted zero rows for such rounds
+            break
         cid, gain = int(top[0]["cid"]), int(top[0]["gain"])
         sel.append(cid)
         coverage += gain
