@@ -3884,10 +3884,12 @@ def ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional aggregation — no shuffle of raw rows beyond the
     map-side combines; weight products reach n² →
     HUGEINT/decimal(38,0) per the convention. The ≤9-row stump/alpha
-    picks are eager-localCheckpointed: each is referenced by every
-    later round, so without truncation the plan doubles per round
-    (the graph_k_core rule) — this is also exactly how deeper
-    ensembles iterate.
+    picks are BOUNDED: their per-candidate aggregates are collected
+    and the argmin runs on the driver (exact integer compares,
+    identical tiebreaks), so each round's pick is a LocalRelation —
+    the plan stays flat across rounds without checkpoint jobs (the
+    graph_k_core plan-doubling rule satisfied by literals instead of
+    truncation) — this is also exactly how deeper ensembles iterate.
     """
     ev = load(spark, "events", sf_dir)
     d38 = "decimal(38,0)"
@@ -3900,16 +3902,12 @@ def ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.hour("ts").cast("long").alias("hr"),
         )
     )
-    thr1 = (
-        with_rank_targets(
-            q.select("qv"),
-            "qv",
-            (),
-            ["((tid + 1) * (nn - 1)) div 10 + 1"] * 9,
-        )
-        .select(F.col("value").alias("t"))
-        .localCheckpoint(eager=True)
-    )
+    thr1 = with_rank_targets(
+        q.select("qv"),
+        "qv",
+        (),
+        ["((tid + 1) * (nn - 1)) div 10 + 1"] * 9,
+    ).select(F.col("value").alias("t"))
     ev1 = (
         q.crossJoin(F.broadcast(thr1))
         .groupBy("t")
@@ -3924,21 +3922,34 @@ def ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ep"),
         )
     )
-    cand1 = ev1.selectExpr(
-        "t", "n", "1 AS pol", "ep AS e"
-    ).unionByName(ev1.selectExpr("t", "n", "0 AS pol", "n - ep AS e"))
-    b1 = (
-        cand1.withColumn(
-            "rnk",
-            F.row_number().over(
-                Window.partitionBy(one_part("t")).orderBy(
-                    F.asc("e"), F.asc("t"), F.desc("pol")
-                )
-            ),
-        )
-        .filter(F.col("rnk") == 1)
-        .drop("rnk")
-        .localCheckpoint(eager=True)
+    # the candidate tables are BOUNDED (<= 9 (t, pol) stumps here,
+    # <= 23 hour splits below): collect the per-candidate aggregates
+    # and take the argmin on the driver — exact integer compares with
+    # the identical (err asc, threshold asc, pol desc) tiebreak —
+    # instead of a one_part window + eager localCheckpoint per round.
+    # b1/b2 become LocalRelations (original column types preserved,
+    # so every downstream decimal expression is unchanged).
+    import decimal as _dec
+
+    import pyspark.sql.types as T
+
+    _d380 = T.DecimalType(38, 0)
+    cand1 = []
+    for r in ev1.collect():
+        t, n, ep = r["t"], int(r["n"]), int(r["ep"])
+        cand1.append((t, n, 1, ep))
+        cand1.append((t, n, 0, n - ep))
+    t, n, pol, e = min(cand1, key=lambda c: (c[3], c[0], -c[2]))
+    b1_schema = T.StructType(
+        [
+            T.StructField("t", T.LongType()),
+            T.StructField("n", _d380),
+            T.StructField("pol", T.IntegerType()),
+            T.StructField("e", _d380),
+        ]
+    )
+    b1 = spark.createDataFrame(
+        [(t, _dec.Decimal(n), pol, _dec.Decimal(e))], b1_schema
     )
     m1 = q.crossJoin(F.broadcast(b1)).select(
         "y",
@@ -3976,29 +3987,24 @@ def ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mc"),
         )
     )
-    cand2 = ev2.selectExpr(
-        "t2", "n", "e", "1 AS pol", "(n - e) * mm + e * mc AS w"
-    ).unionByName(
-        ev2.selectExpr(
-            "t2",
-            "n",
-            "e",
-            "0 AS pol",
-            "(n - e) * (e - mm) + e * ((n - e) - mc) AS w",
+    cand2_rows = []
+    for r in ev2.collect():
+        t2v, nn2, ee2 = r["t2"], int(r["n"]), int(r["e"])
+        mm, mc = int(r["mm"]), int(r["mc"])
+        cand2_rows.append((t2v, 1, (nn2 - ee2) * mm + ee2 * mc))
+        cand2_rows.append(
+            (t2v, 0, (nn2 - ee2) * (ee2 - mm) + ee2 * ((nn2 - ee2) - mc))
         )
-    )
-    b2 = (
-        cand2.withColumn(
-            "rnk",
-            F.row_number().over(
-                Window.partitionBy(one_part("t2")).orderBy(
-                    F.asc("w"), F.asc("t2"), F.desc("pol")
-                )
-            ),
-        )
-        .filter(F.col("rnk") == 1)
-        .selectExpr("t2", "pol AS pol2", "w")
-        .localCheckpoint(eager=True)
+    t2v, pol2, w2v = min(cand2_rows, key=lambda c: (c[2], c[0], -c[1]))
+    b2 = spark.createDataFrame(
+        [(t2v, pol2, _dec.Decimal(w2v))],
+        T.StructType(
+            [
+                T.StructField("t2", T.LongType()),
+                T.StructField("pol2", T.IntegerType()),
+                T.StructField("w", _d380),
+            ]
+        ),
     )
     qln = (
         lambda num, den: F.floor(
@@ -4039,8 +4045,12 @@ def ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
                 qln("2 * e1 * (n - e1) - w", "w"),
             ).alias("a2q"),
         )
-        .localCheckpoint(eager=True)
     )
+    # materialize the 1-row alpha table into a literal LocalRelation
+    # (a driver-local job — the ln stays JVM-evaluated): leaving it a
+    # lazy local-join subtree makes every downstream action replay
+    # the inner broadcast jobs
+    al = spark.createDataFrame(al.collect(), al.schema)
     acc = (
         q.crossJoin(F.broadcast(al))
         .agg(

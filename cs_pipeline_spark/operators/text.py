@@ -27,6 +27,7 @@ needed).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2901,55 +2902,58 @@ def text_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     length-k prefix per candidate length — same loop shape.
     """
     wc = _word_counts(load(spark, "documents", sf_dir))
-    merges = text_wordpiece_train4(spark, sf_dir).select(
-        F.replace(F.col("merged"), F.lit(" "), F.lit("")).alias("piece")
-    )
-    chars = wc.select(
-        F.explode(
-            F.split(
-                F.trim(F.regexp_replace(F.col("w"), "(.)", "$1  ")), "  "
-            )
-        ).alias("piece")
-    )
-    vocab = pin(chars.unionByName(merges).distinct())
-    st = wc.filter(F.length("w") <= _WP_ENC_STEPS).select(
-        "w",
-        "wn",
-        F.col("w").alias("rest"),
-        F.lit("").alias("enc"),
-        F.lit(0).alias("np"),
-    )
-    w_win = Window.partitionBy("w").orderBy(
-        F.desc(F.length("piece")), "piece"
-    )
-    for _ in range(_WP_ENC_STEPS):
-        done = st.filter(F.col("rest") == "")
-        todo = (
-            st.filter(F.col("rest") != "")
-            .join(
-                F.broadcast(vocab),
-                F.expr("startswith(rest, piece)"),
-            )
-            .withColumn("rn", F.row_number().over(w_win))
-            .filter(F.col("rn") == 1)
+    # trained merge pieces: BOUNDED (_WP_TRAIN_N rows) — collect them
+    # and run the greedy strip loop as ONE vectorized pass instead of
+    # 8 chained broadcast-NLJ + window + union + checkpoint stages
+    # (guide-§4.2 shape: Spark distributes, Python does the per-word
+    # loop over <= _WP_ENC_STEPS chars). The single-char half of the
+    # vocab never needs materializing: every char of w is in the
+    # alphabet by construction, so when no merge piece prefixes the
+    # rest, the longest matching piece IS the 1-char prefix. Greedy
+    # order (length desc, piece asc) is preserved: merge pieces are
+    # >= 2 chars, so any matching merge beats the char fallback, and
+    # the sorted candidate list applies the same tiebreak.
+    pieces = sorted(
+        {
+            r["piece"]
+            for r in text_wordpiece_train4(spark, sf_dir)
             .select(
-                "w",
-                "wn",
-                F.expr("substring(rest, length(piece) + 1)").alias("rest"),
-                F.concat(
-                    F.col("enc"),
-                    F.when(F.col("np") == 0, F.lit("")).otherwise(F.lit("|")),
-                    F.col("piece"),
-                ).alias("enc"),
-                (F.col("np") + 1).alias("np"),
+                F.replace(F.col("merged"), F.lit(" "), F.lit("")).alias(
+                    "piece"
+                )
             )
-        )
-        st = done.unionByName(todo).localCheckpoint(eager=False)
-    return st.filter(F.col("rest") == "").select(
-        F.col("w").alias("word"),
-        F.col("wn").cast("long").alias("wn"),
-        F.col("np").cast("long").alias("n_pieces"),
-        F.col("enc").alias("encoded"),
+            .collect()
+        },
+        key=lambda p: (-len(p), p),
+    )
+
+    def _encode(batches):
+        for pdf in batches:
+            encs, nps = [], []
+            for w in pdf["w"]:
+                rest, parts = w, []
+                while rest:
+                    for p in pieces:
+                        if rest.startswith(p):
+                            parts.append(p)
+                            rest = rest[len(p):]
+                            break
+                    else:
+                        parts.append(rest[0])
+                        rest = rest[1:]
+                encs.append("|".join(parts))
+                nps.append(len(parts))
+            yield pd.DataFrame(
+                {
+                    "word": pdf["w"],
+                    "wn": pdf["wn"],
+                    "n_pieces": pd.Series(nps, dtype="int64"),
+                    "encoded": encs,
+                }
+            )
+
+    return wc.filter(F.length("w") <= _WP_ENC_STEPS).mapInPandas(
+        _encode, "word string, wn long, n_pieces long, encoded string"
     )
 
 
