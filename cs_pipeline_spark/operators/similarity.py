@@ -4897,93 +4897,158 @@ def corpus_facility_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qa", _int_d2_self()
         )
     )
-    pool = eqs.filter(F.col("vec_id") < _FL_POOL).select(
-        F.col("vec_id").alias("cid"),
-        F.col("eq").alias("ec"),
-        F.col("qa").alias("qc"),
+    # The candidate pool is BOUNDED (< _FL_POOL rows by contract):
+    # collect it and compute the whole v × pool similarity matrix in
+    # ONE mapInPandas matmul pass over the corpus (guide §4.2) —
+    # the crossJoin form shipped n × pool rows, each carrying TWO
+    # 64-dim arrays, through Arrow to a per-row pandas UDF. Exact:
+    # quantized components are < 2^21, so products < 2^42 and 64-term
+    # sums < 2^48 — every partial sum is an integer float64 represents
+    # exactly, so the matmul equals the int64 row dots bit-for-bit;
+    # the cos → ppb floor chain applies the identical IEEE ops in the
+    # identical order (div, ×1e9, +0.5, floor), so every s is the
+    # same long as before.
+    pool_rows = sorted(
+        eqs.filter(F.col("vec_id") < _FL_POOL)
+        .select("vec_id", "eq", "qa")
+        .collect(),
+        key=lambda r: r["vec_id"],
     )
-
-    @F.pandas_udf("long")
-    def row_dot(ea: pd.Series, eb: pd.Series) -> pd.Series:
-        A = np.stack([np.asarray(x, dtype=np.int64) for x in ea])
-        B = np.stack([np.asarray(x, dtype=np.int64) for x in eb])
-        return pd.Series((A * B).sum(axis=1))
-
-    cq = pin(
-        eqs.select("vec_id", "eq", "qa")
-        .crossJoin(F.broadcast(pool))
-        .select(
-            F.col("vec_id").alias("vid"),
-            "cid",
-            F.when(
-                (F.col("qa") > 0) & (F.col("qc") > 0),
-                F.greatest(
-                    F.lit(0),
-                    F.floor(
-                        row_dot(F.col("eq"), F.col("ec")).cast("double")
-                        / (
-                            F.sqrt(F.col("qa").cast("double"))
-                            * F.sqrt(F.col("qc").cast("double"))
-                        )
-                        * F.lit(1e9)
-                        + F.lit(0.5)
-                    ).cast("long"),
-                ),
-            )
-            .otherwise(F.lit(0))
-            .alias("s"),
+    p_cid = np.array([r["vec_id"] for r in pool_rows], dtype=np.int64)
+    p_eq = (
+        np.stack(
+            [np.asarray(r["eq"], dtype=np.float64) for r in pool_rows]
         )
+        if pool_rows
+        else np.zeros((0, 1), dtype=np.float64)
     )
-    best = eqs.select(
-        F.col("vec_id").alias("vid"), F.lit(0).cast("long").alias("best")
+    p_sn = np.sqrt(
+        np.array([r["qa"] for r in pool_rows], dtype=np.float64)
     )
-    # ONE job per greedy round (was 3 eager checkpoints + 2 separate
-    # aggregates): the round's argmax is a bounded 1-row collect (the
-    # iterative-scalar convention, same as the CC convergence sum);
-    # the selected set and the running coverage live on the driver —
-    # coverage_r = coverage_{r−1} + gain_r exactly, because the gain
-    # aggregate IS Σ(max(best, s) − best). Arithmetic and the
-    # (gain desc, cid asc) tiebreak are unchanged, so the output rows
-    # are identical.
+    p_ok = np.array([r["qa"] > 0 for r in pool_rows], dtype=bool)
+
+    def sim_matrix(batches):
+        for pdf in batches:
+            if not len(pdf) or not len(p_cid):
+                continue
+            E = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf["eq"]]
+            )
+            qa = pdf["qa"].to_numpy(dtype=np.int64)
+            sn = np.sqrt(qa.astype(np.float64))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                s = np.floor(
+                    (E @ p_eq.T) / np.outer(sn, p_sn) * 1e9 + 0.5
+                )
+            ok = (qa > 0)[:, None] & p_ok[None, :]
+            s = np.where(ok, np.maximum(s, 0.0), 0.0).astype(np.int64)
+            yield pd.DataFrame({"sv": list(s)})
+
+    # per-vector similarity ROW (aligned with the sorted p_cid order)
+    # instead of n × pool skinny rows: a vector's coverage depends
+    # only on its own row, so the greedy loop below needs NO
+    # distributed best-state, joins, or checkpoints at all.
+    # Partitioning is derived from the ROW COUNT (guide §2:
+    # scale-adaptive, not a core-count constant): ~64 Ki rows ≈ 32 MB
+    # of sv per task keeps Python-worker fan-out proportional to data
+    # — 1 task here, thousands at 100 TB. eqs preserves emb's
+    # cardinality, and count() on the bare scan is answered from
+    # parquet footer metadata (no data pass).
+    n_vecs = emb.count()
+    smat = pin(
+        eqs.select("vec_id", "eq", "qa")
+        .coalesce(max(1, -(-n_vecs // 65536)))
+        .mapInPandas(sim_matrix, "sv array<long>")
+    )
+    # Each greedy round is ONE map-side pass (was: join against a
+    # carried best-vid table + hash aggregate + TakeOrdered per
+    # round, with lazy checkpoints): best_vid ≡ max(0, max_{j∈S}
+    # s_vid[j]) is recomputed per batch from the broadcast selected
+    # set (s ≥ 0, so the running greatest() fold equals this max),
+    # and the 64 candidate gains Σ max(best, s_c) − best are exact
+    # int64 numpy sums — identical arithmetic and the identical
+    # (gain desc, cid asc) tiebreak, so the output rows are
+    # unchanged. coverage_r = coverage_{r−1} + gain_r exactly as
+    # before.
+    # Each job advances TWO greedy rounds (4 adaptive jobs instead of
+    # 8 — stage latency, not data, dominates an iterative pass both
+    # here and on a cluster): given the selected set S it returns the
+    # per-batch unconditional gains g1[c] = Σ max(best, s_c) − best
+    # AND the speculative conditional matrix G2[a][c] = the same sum
+    # with best' = max(best, s_a) — whichever candidate the driver
+    # picks from g1, its follow-up gains are already in G2[pick].
+    # All sums are exact int64; argmax keeps the (gain desc, cid asc)
+    # tiebreak — round-row output is identical to the sequential form.
+    cid_idx = {int(c): i for i, c in enumerate(p_cid)}
+    n_pool = len(p_cid)
     sel: list[int] = []
     coverage = 0
     rows = []
-    for r in range(1, _FL_K + 1):
-        gains = cq.join(best, "vid").groupBy("cid").agg(
-            F.sum(
-                F.greatest(F.col("best"), F.col("s")) - F.col("best")
-            )
-            .cast("long")
-            .alias("gain")
-        )
-        if sel:
-            gains = gains.filter(~F.col("cid").isin(sel))
-        top = gains.orderBy(F.desc("gain"), F.asc("cid")).limit(1).collect()
-        if not top:
+    while len(rows) < _FL_K:
+        if n_pool == 0 or len(sel) >= n_pool:
             # candidate pool exhausted (or empty corpus): the selected
             # set only grows, so every later round is empty too — the
             # pre-rewrite form emitted zero rows for such rounds
             break
-        cid, gain = int(top[0]["cid"]), int(top[0]["gain"])
-        sel.append(cid)
-        coverage += gain
-        rows.append((r, cid, gain, coverage))
-        if r < _FL_K:
-            upd = cq.filter(F.col("cid") == cid).select(
-                "vid", F.col("s").alias("ns")
-            )
-            # lazy checkpoint: truncates lineage; materialized by the
-            # next round's argmax job
-            best = (
-                best.join(upd, "vid", "left")
-                .select(
-                    "vid",
-                    F.greatest(
-                        F.col("best"), F.coalesce("ns", F.lit(0))
-                    ).alias("best"),
+        sel_ix = np.array(
+            [cid_idx[c] for c in sel], dtype=np.int64
+        )
+
+        def round_gains(batches, _sel_ix=sel_ix):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                M = np.stack(
+                    [np.asarray(x, dtype=np.int64) for x in pdf["sv"]]
                 )
-                .localCheckpoint(eager=False)
-            )
+                if len(_sel_ix):
+                    best = M[:, _sel_ix].max(axis=1)
+                else:
+                    best = np.zeros(len(M), dtype=np.int64)
+                a_col = [-1]
+                g_col = [
+                    np.maximum(M, best[:, None]).sum(axis=0)
+                    - best.sum()
+                ]
+                for a in range(M.shape[1]):
+                    ba = np.maximum(best, M[:, a])
+                    a_col.append(a)
+                    g_col.append(
+                        np.maximum(M, ba[:, None]).sum(axis=0)
+                        - ba.sum()
+                    )
+                yield pd.DataFrame(
+                    {"a": a_col, "g": [list(g) for g in g_col]}
+                )
+
+        partials = smat.mapInPandas(
+            round_gains, "a int, g array<long>"
+        ).collect()
+        if not partials:
+            # smat is empty (empty corpus): the pre-rewrite per-round
+            # aggregate produced zero gain rows — emit nothing
+            break
+        g1 = np.zeros(n_pool, dtype=np.int64)
+        g2 = np.zeros((n_pool, n_pool), dtype=np.int64)
+        for p in partials:
+            if p["a"] < 0:
+                g1 += np.asarray(p["g"], dtype=np.int64)
+            else:
+                g2[p["a"]] += np.asarray(p["g"], dtype=np.int64)
+        for gains in (g1, None):
+            if gains is None:
+                if len(rows) >= _FL_K or len(sel) >= n_pool:
+                    break
+                gains = g2[cid_idx[sel[-1]]]
+            cands = [
+                (int(p_cid[i]), int(gains[i]))
+                for i in range(n_pool)
+                if int(p_cid[i]) not in sel
+            ]
+            cid, gain = min(cands, key=lambda cg: (-cg[1], cg[0]))
+            sel.append(cid)
+            coverage += gain
+            rows.append((len(rows) + 1, cid, gain, coverage))
     return spark.createDataFrame(
         rows, "step long, selected_id long, gain long, coverage long"
     )
