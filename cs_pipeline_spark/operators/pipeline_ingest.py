@@ -356,90 +356,98 @@ def lake_audit_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     dv = pin(scan_delta_dv(spark, sf_dir))
     idl = pin(scan_iceberg_deletes(spark, sf_dir))
 
-    def row(layer: str, metric: str, agg: DataFrame) -> DataFrame:
+    # ONE aggregate per input + stack() unpivot (guide §1.2 — fewer
+    # passes): the previous shape ran one aggregate BRANCH per metric
+    # (25 branches, plus head-version broadcast joins), i.e. ~35 tiny
+    # single-row stages of pure scheduling latency per run. Each
+    # input's metrics now ride one map+agg pass; "metric at head
+    # version" collapses to max(struct(version, metric)) — identical
+    # to the join+max form (lexicographic max picks the max version;
+    # equal versions fall back to max metric, which is exactly what
+    # MAX over the version-filtered rows returned). 25 output rows,
+    # same labels, same values.
+    def block(df: DataFrame, metrics) -> DataFrame:
+        agg = df.agg(
+            *[c.alias(f"m{i}") for i, (_, _, c) in enumerate(metrics)]
+        )
+        stack = ", ".join(
+            f"'{lay}', '{met}', cast(m{i} as long)"
+            for i, (lay, met, _) in enumerate(metrics)
+        )
         return agg.select(
-            F.lit(layer).alias("layer"),
-            F.lit(metric).alias("metric"),
-            F.col("value").cast("long").alias("value"),
+            F.expr(
+                f"stack({len(metrics)}, {stack}) "
+                "as (layer, metric, value)"
+            )
         )
 
-    head_v = dl.agg(F.max("version").alias("hv"))
-    head_files = (
-        dl.join(F.broadcast(head_v), dl["version"] == F.col("hv"))
-        .agg(F.max("n_live_files").alias("value"))
-    )
-    v0_files = dl.filter(F.col("version") == 0).agg(
-        F.max("n_live_files").alias("v0")
-    )
-    growth = head_files.withColumnRenamed("value", "hf").crossJoin(
-        v0_files
-    ).select((F.col("hf") - F.col("v0")).alias("value"))
-    ic_head = ic.agg(F.max("snapshot_id").alias("hs"))
-    ic_head_files = (
-        ic.join(F.broadcast(ic_head), ic["snapshot_id"] == F.col("hs"))
-        .agg(F.max("n_live_files").alias("value"))
-    )
-    ic_head_recs = (
-        ic.join(F.broadcast(ic_head), ic["snapshot_id"] == F.col("hs"))
-        .agg(F.max("live_records").alias("value"))
-    )
-    hu_head = hu.agg(F.max("instant").alias("hi"))
-    hu_head_groups = (
-        hu.join(F.broadcast(hu_head), hu["instant"] == F.col("hi"))
-        .agg(F.max("n_file_groups").alias("value"))
-    )
-    hu_head_recs = (
-        hu.join(F.broadcast(hu_head), hu["instant"] == F.col("hi"))
-        .agg(F.max("total_records").alias("value"))
-    )
+    def at_head(version_col: str, metric_col: str) -> F.Column:
+        return F.max(F.struct(F.col(version_col), F.col(metric_col)))[
+            metric_col
+        ]
+
+    dl_head = at_head("version", "n_live_files")
     parts = [
-        row("parquet", "row_groups",
-            pq.agg(F.count(F.lit(1)).alias("value"))),
-        row("parquet", "rows", pq.agg(F.sum("num_rows").alias("value"))),
-        row("parquet", "non_snappy_chunks",
-            pq.agg(
-                F.sum(
-                    F.col("n_chunks") - F.col("n_snappy_chunks")
-                ).alias("value")
-            )),
-        row("avro", "blocks", av.agg(F.sum("n_blocks").alias("value"))),
-        row("avro", "rows", av.agg(F.sum("n_rows").alias("value"))),
-        row("avro", "deflate_files",
-            av.agg(F.sum("deflate").alias("value"))),
-        row("log", "versions", dl.agg(F.count(F.lit(1)).alias("value"))),
-        row("log", "live_files_head", head_files),
-        row("log", "net_file_growth", growth),
-        row("iceberg", "snapshots",
-            ic.agg(F.count(F.lit(1)).alias("value"))),
-        row("iceberg", "live_files_head", ic_head_files),
-        row("iceberg", "live_records_head", ic_head_recs),
-        row("parquet", "rows_page_verified",
-            pp.agg(F.sum(
-                F.when(F.col("rows_match") == 1, F.col("rows_decoded"))
-                .otherwise(F.lit(0))
-            ).alias("value"))),
-        row("parquet", "page_mismatch_files",
-            pp.agg(F.sum(1 - F.col("rows_match")).alias("value"))),
-        row("orc", "files", oc.agg(F.count(F.lit(1)).alias("value"))),
-        row("orc", "rows", oc.agg(F.sum("n_rows").alias("value"))),
-        row("orc", "stripe_mismatch_files",
-            oc.agg(F.sum(1 - F.col("rows_match")).alias("value"))),
-        row("hudi", "instants",
-            hu.agg(F.count(F.lit(1)).alias("value"))),
-        row("hudi", "file_groups_head", hu_head_groups),
-        row("hudi", "records_head", hu_head_recs),
-        row("dv", "files_with_dv",
-            dv.agg(F.sum(
-                F.when(F.col("dv_cardinality") > 0, 1).otherwise(0)
-            ).alias("value"))),
-        row("dv", "deleted_rows",
-            dv.agg(F.sum("dv_cardinality").alias("value"))),
-        row("dv", "live_rows",
-            dv.agg(F.sum("live_rows").alias("value"))),
-        row("iceberg", "pos_deletes_applied",
-            idl.agg(F.sum("n_pos_deletes").alias("value"))),
-        row("iceberg", "mor_live_rows",
-            idl.agg(F.sum("live_rows").alias("value"))),
+        block(pq, [
+            ("parquet", "row_groups", F.count(F.lit(1))),
+            ("parquet", "rows", F.sum("num_rows")),
+            ("parquet", "non_snappy_chunks",
+             F.sum(F.col("n_chunks") - F.col("n_snappy_chunks"))),
+        ]),
+        block(av, [
+            ("avro", "blocks", F.sum("n_blocks")),
+            ("avro", "rows", F.sum("n_rows")),
+            ("avro", "deflate_files", F.sum("deflate")),
+        ]),
+        block(dl, [
+            ("log", "versions", F.count(F.lit(1))),
+            ("log", "live_files_head", dl_head),
+            ("log", "net_file_growth",
+             dl_head - F.max(
+                 F.when(F.col("version") == 0, F.col("n_live_files"))
+             )),
+        ]),
+        block(ic, [
+            ("iceberg", "snapshots", F.count(F.lit(1))),
+            ("iceberg", "live_files_head",
+             at_head("snapshot_id", "n_live_files")),
+            ("iceberg", "live_records_head",
+             at_head("snapshot_id", "live_records")),
+        ]),
+        block(pp, [
+            ("parquet", "rows_page_verified",
+             F.sum(
+                 F.when(F.col("rows_match") == 1, F.col("rows_decoded"))
+                 .otherwise(F.lit(0))
+             )),
+            ("parquet", "page_mismatch_files",
+             F.sum(1 - F.col("rows_match"))),
+        ]),
+        block(oc, [
+            ("orc", "files", F.count(F.lit(1))),
+            ("orc", "rows", F.sum("n_rows")),
+            ("orc", "stripe_mismatch_files",
+             F.sum(1 - F.col("rows_match"))),
+        ]),
+        block(hu, [
+            ("hudi", "instants", F.count(F.lit(1))),
+            ("hudi", "file_groups_head",
+             at_head("instant", "n_file_groups")),
+            ("hudi", "records_head",
+             at_head("instant", "total_records")),
+        ]),
+        block(dv, [
+            ("dv", "files_with_dv",
+             F.sum(
+                 F.when(F.col("dv_cardinality") > 0, 1).otherwise(0)
+             )),
+            ("dv", "deleted_rows", F.sum("dv_cardinality")),
+            ("dv", "live_rows", F.sum("live_rows")),
+        ]),
+        block(idl, [
+            ("iceberg", "pos_deletes_applied", F.sum("n_pos_deletes")),
+            ("iceberg", "mor_live_rows", F.sum("live_rows")),
+        ]),
     ]
     out = parts[0]
     for p in parts[1:]:
