@@ -1136,138 +1136,93 @@ def mm_curate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     prov = mm_png_provenance(spark, sf_dir)
     id3 = mm_id3_tags(spark, sf_dir)
 
-    def row(mod: str, metric: str, agg: DataFrame) -> DataFrame:
+    # ONE aggregate per decoder + stack() unpivot (the lake_audit_e2e
+    # rationale, guide §1.2): the per-metric branch form executed each
+    # decode DAG once PER METRIC (26 single-row aggregate stages, every
+    # unpinned decoder run twice); each decoder's metrics now ride one
+    # map+agg pass. The near-dup filter folds into a conditional count.
+    # Same 26 rows, labels, values.
+    def block(df: DataFrame, metrics) -> DataFrame:
+        agg = df.agg(
+            *[c.alias(f"m{i}") for i, (_, _, c) in enumerate(metrics)]
+        )
+        stack = ", ".join(
+            f"'{mod}', '{met}', cast(m{i} as long)"
+            for i, (mod, met, _) in enumerate(metrics)
+        )
         return agg.select(
-            F.lit(mod).alias("modality"),
-            F.lit(metric).alias("metric"),
-            F.col("value").cast("long").alias("value"),
+            F.expr(
+                f"stack({len(metrics)}, {stack}) "
+                "as (modality, metric, value)"
+            )
         )
 
     parts = [
-        row("audio", "n_clips", wav.agg(F.count(F.lit(1)).alias("value"))),
-        row("audio", "total_ms", wav.agg(F.sum("duration_ms").alias("value"))),
-        row(
-            "audio",
-            "silent_frames",
-            energy.agg(F.sum("is_silence").alias("value")),
-        ),
-        row(
-            "audio",
-            "voiced_frames",
-            energy.agg(F.sum(1 - F.col("is_silence")).alias("value")),
-        ),
-        row("image", "n_jpeg", jdc.agg(F.count(F.lit(1)).alias("value"))),
-        row("image", "blank_jpeg", jdc.agg(F.sum("is_blank").alias("value"))),
-        row(
-            "image",
-            "near_dup_pairs",
-            dh.filter(F.col("hamming") <= _DHASH_DUP_T).agg(
-                F.count(F.lit(1)).alias("value")
-            ),
-        ),
-        row(
-            "image",
-            "compared_pairs",
-            dh.agg(F.count(F.lit(1)).alias("value")),
-        ),
-        row(
-            "image",
-            "gif_frames",
-            gif.agg(F.sum("n_frames").alias("value")),
-        ),
-        row(
-            "image",
-            "gif_anim_ms",
-            gif.agg((F.sum("total_delay_cs") * 10).alias("value")),
-        ),
-        row(
-            "image",
-            "webp_alpha",
-            webp.agg(F.sum("has_alpha").alias("value")),
-        ),
-        row(
-            "privacy",
-            "gps_tagged",
-            gps.agg(F.sum("has_gps").alias("value")),
-        ),
-        row(
-            "audio",
-            "flac_clips",
-            flac.agg(F.count(F.lit(1)).alias("value")),
-        ),
-        row(
-            "audio",
-            "flac_ms",
-            flac.agg(F.sum("duration_ms").alias("value")),
-        ),
-        row(
-            "audio",
-            "trimmed_windows",
-            trim.agg(
-                F.sum(
-                    F.col("leading_silence") + F.col("trailing_silence")
-                ).alias("value")
-            ),
-        ),
-        row(
-            "audio",
-            "kept_windows",
-            trim.agg(F.sum("kept_windows").alias("value")),
-        ),
-        row(
-            "video",
-            "n_clips",
-            mp4.agg(F.count(F.lit(1)).alias("value")),
-        ),
-        row(
-            "video",
-            "total_ms",
-            mp4.agg(F.sum("duration_ms").alias("value")),
-        ),
-        row(
-            "video",
-            "keyframes",
-            gop.agg(F.count(F.lit(1)).alias("value")),
-        ),
-        row(
-            "video",
-            "gop_bytes",
-            gop.agg(F.sum("gop_bytes").alias("value")),
-        ),
-        row(
-            "video",
-            "hevc_clips",
-            hevc.agg(F.count(F.lit(1)).alias("value")),
-        ),
-        row(
-            "video",
-            "hevc_10bit",
-            hevc.agg(F.sum(
-                F.when(F.col("bit_depth") == 10, 1).otherwise(0)
-            ).alias("value")),
-        ),
-        row(
-            "provenance",
-            "ai_generated",
-            prov.agg(F.sum("ai_generated").alias("value")),
-        ),
-        row(
-            "provenance",
-            "text_chunks",
-            prov.agg(F.sum(
-                F.col("n_text") + F.col("n_ztxt") + F.col("n_itxt")
-            ).alias("value")),
-        ),
-        row(
-            "provenance",
-            "tagged_tracks",
-            id3.agg(F.count(F.lit(1)).alias("value")),
-        ),
-        row(
-            "provenance",
-            "distinct_artists",
-            id3.agg(F.countDistinct("artist").alias("value")),
-        ),
+        block(wav, [
+            ("audio", "n_clips", F.count(F.lit(1))),
+            ("audio", "total_ms", F.sum("duration_ms")),
+        ]),
+        block(energy, [
+            ("audio", "silent_frames", F.sum("is_silence")),
+            ("audio", "voiced_frames", F.sum(1 - F.col("is_silence"))),
+        ]),
+        block(jdc, [
+            ("image", "n_jpeg", F.count(F.lit(1))),
+            ("image", "blank_jpeg", F.sum("is_blank")),
+        ]),
+        block(dh, [
+            ("image", "near_dup_pairs",
+             F.count(
+                 F.when(F.col("hamming") <= _DHASH_DUP_T, F.lit(1))
+             )),
+            ("image", "compared_pairs", F.count(F.lit(1))),
+        ]),
+        block(gif, [
+            ("image", "gif_frames", F.sum("n_frames")),
+            ("image", "gif_anim_ms", F.sum("total_delay_cs") * 10),
+        ]),
+        block(webp, [
+            ("image", "webp_alpha", F.sum("has_alpha")),
+        ]),
+        block(gps, [
+            ("privacy", "gps_tagged", F.sum("has_gps")),
+        ]),
+        block(flac, [
+            ("audio", "flac_clips", F.count(F.lit(1))),
+            ("audio", "flac_ms", F.sum("duration_ms")),
+        ]),
+        block(trim, [
+            ("audio", "trimmed_windows",
+             F.sum(
+                 F.col("leading_silence") + F.col("trailing_silence")
+             )),
+            ("audio", "kept_windows", F.sum("kept_windows")),
+        ]),
+        block(mp4, [
+            ("video", "n_clips", F.count(F.lit(1))),
+            ("video", "total_ms", F.sum("duration_ms")),
+        ]),
+        block(gop, [
+            ("video", "keyframes", F.count(F.lit(1))),
+            ("video", "gop_bytes", F.sum("gop_bytes")),
+        ]),
+        block(hevc, [
+            ("video", "hevc_clips", F.count(F.lit(1))),
+            ("video", "hevc_10bit",
+             F.sum(F.when(F.col("bit_depth") == 10, 1).otherwise(0))),
+        ]),
+        block(prov, [
+            ("provenance", "ai_generated", F.sum("ai_generated")),
+            ("provenance", "text_chunks",
+             F.sum(
+                 F.col("n_text") + F.col("n_ztxt") + F.col("n_itxt")
+             )),
+        ]),
+        block(id3, [
+            ("provenance", "tagged_tracks", F.count(F.lit(1))),
+            ("provenance", "distinct_artists",
+             F.countDistinct("artist")),
+        ]),
     ]
     out = parts[0]
     for p in parts[1:]:

@@ -615,61 +615,77 @@ def wire_formats_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     tor = pin(scan_torrent_manifest(spark, sf_dir))
     zc = pin(scan_zip_central_dir(spark, sf_dir))
 
-    def row(fmt: str, metric: str, agg: DataFrame) -> DataFrame:
+    # ONE aggregate per input + stack() unpivot (the lake_audit_e2e
+    # rationale, guide §1.2): the per-metric branch form ran 28
+    # single-row aggregate stages; each input's metrics now ride one
+    # map+agg pass. Same 28 rows, labels, values.
+    def block(df: DataFrame, metrics) -> DataFrame:
+        agg = df.agg(
+            *[c.alias(f"m{i}") for i, (_, _, c) in enumerate(metrics)]
+        )
+        stack = ", ".join(
+            f"'{fmt}', '{met}', cast(m{i} as long)"
+            for i, (fmt, met, _) in enumerate(metrics)
+        )
         return agg.select(
-            F.lit(fmt).alias("format"),
-            F.lit(metric).alias("metric"),
-            F.col("value").cast("long").alias("value"),
+            F.expr(
+                f"stack({len(metrics)}, {stack}) "
+                "as (format, metric, value)"
+            )
         )
 
     parts = [
-        row("arrow", "files", ar.agg(F.count(F.lit(1)).alias("value"))),
-        row("arrow", "batches", ar.agg(F.sum("n_batches").alias("value"))),
-        row("arrow", "rows", ar.agg(F.sum("n_rows").alias("value"))),
-        row("arrow", "nulls", ar.agg(F.sum("n_nulls").alias("value"))),
-        row("msgpack", "files",
-            mp.agg(F.count(F.lit(1)).alias("value"))),
-        row("msgpack", "records",
-            mp.agg(F.sum("n_records").alias("value"))),
-        row("msgpack", "nil_flags",
-            mp.agg(F.sum("n_nil").alias("value"))),
-        row("msgpack", "blob_bytes",
-            mp.agg(F.sum("blob_bytes").alias("value"))),
-        row("zlib", "files", zl.agg(F.count(F.lit(1)).alias("value"))),
-        row("zlib", "streams", zl.agg(F.sum("n_streams").alias("value"))),
-        row("zlib", "out_bytes", zl.agg(F.sum("out_len").alias("value"))),
-        row("xz", "files", xz.agg(F.count(F.lit(1)).alias("value"))),
-        row("xz", "blocks", xz.agg(F.sum("n_blocks").alias("value"))),
-        row("xz", "out_bytes", xz.agg(F.sum("out_len").alias("value"))),
-        row("xz", "checks_verified",
-            xz.agg(F.sum(
-                F.col("n_crc32") + F.col("n_crc64") + F.col("n_sha256")
-            ).alias("value"))),
-        row("arrow_stream", "batches",
-            ast.agg(F.sum("n_batches").alias("value"))),
-        row("arrow_stream", "rows",
-            ast.agg(F.sum("n_rows").alias("value"))),
-        row("sqlite", "tables",
-            sq.agg(F.sum("n_tables").alias("value"))),
-        row("sqlite", "rows", sq.agg(F.sum("n_rows").alias("value"))),
-        row("gzip", "members",
-            gz.agg(F.sum("n_members").alias("value"))),
-        row("gzip", "out_bytes",
-            gz.agg(F.sum("out_len").alias("value"))),
-        row("gzip", "named_chars",
-            gz.agg(F.sum("name_chars").alias("value"))),
-        row("cbor", "records",
-            cb.agg(F.sum("n_records").alias("value"))),
-        row("cbor", "indefinite_items",
-            cb.agg(F.sum("n_indef").alias("value"))),
-        row("torrent", "pieces",
-            tor.agg(F.sum("n_pieces").alias("value"))),
-        row("torrent", "pieces_verified",
-            tor.agg(F.sum("pieces_ok").alias("value"))),
-        row("zip", "members",
-            zc.agg(F.sum("n_members").alias("value"))),
-        row("zip", "crc_verified",
-            zc.agg(F.sum("crc_ok").alias("value"))),
+        block(ar, [
+            ("arrow", "files", F.count(F.lit(1))),
+            ("arrow", "batches", F.sum("n_batches")),
+            ("arrow", "rows", F.sum("n_rows")),
+            ("arrow", "nulls", F.sum("n_nulls")),
+        ]),
+        block(mp, [
+            ("msgpack", "files", F.count(F.lit(1))),
+            ("msgpack", "records", F.sum("n_records")),
+            ("msgpack", "nil_flags", F.sum("n_nil")),
+            ("msgpack", "blob_bytes", F.sum("blob_bytes")),
+        ]),
+        block(zl, [
+            ("zlib", "files", F.count(F.lit(1))),
+            ("zlib", "streams", F.sum("n_streams")),
+            ("zlib", "out_bytes", F.sum("out_len")),
+        ]),
+        block(xz, [
+            ("xz", "files", F.count(F.lit(1))),
+            ("xz", "blocks", F.sum("n_blocks")),
+            ("xz", "out_bytes", F.sum("out_len")),
+            ("xz", "checks_verified",
+             F.sum(
+                 F.col("n_crc32") + F.col("n_crc64") + F.col("n_sha256")
+             )),
+        ]),
+        block(ast, [
+            ("arrow_stream", "batches", F.sum("n_batches")),
+            ("arrow_stream", "rows", F.sum("n_rows")),
+        ]),
+        block(sq, [
+            ("sqlite", "tables", F.sum("n_tables")),
+            ("sqlite", "rows", F.sum("n_rows")),
+        ]),
+        block(gz, [
+            ("gzip", "members", F.sum("n_members")),
+            ("gzip", "out_bytes", F.sum("out_len")),
+            ("gzip", "named_chars", F.sum("name_chars")),
+        ]),
+        block(cb, [
+            ("cbor", "records", F.sum("n_records")),
+            ("cbor", "indefinite_items", F.sum("n_indef")),
+        ]),
+        block(tor, [
+            ("torrent", "pieces", F.sum("n_pieces")),
+            ("torrent", "pieces_verified", F.sum("pieces_ok")),
+        ]),
+        block(zc, [
+            ("zip", "members", F.sum("n_members")),
+            ("zip", "crc_verified", F.sum("crc_ok")),
+        ]),
     ]
     out = parts[0]
     for p in parts[1:]:
