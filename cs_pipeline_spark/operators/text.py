@@ -2970,23 +2970,27 @@ _CHRF_BETA2 = 4  # β = 2 → β² = 4: recall weighted 4× precision
 
 
 def _chrf_cgrams(n: int) -> str:
-    """PACKED char n-grams over the space-stripped normalized text
-    `s`: each gram is the exact codepoint-packed int64
-    Σ code(s[k+j])·2^(21·(n−1−j)) — collision-free (codepoints fit 21
-    bits, n ≤ 3 → 63 bits), so the shuffle/join key is an int64
-    instead of a string (smaller rows, faster hashing at 100 TB).
-    The ORACLE keeps plain substring grams — the packed key is
-    internal; only aggregates leave this stage, so the hash check is
-    unaffected. Spark's sequence(1, 0) is DESCENDING [1, 0] (the
-    shingles guard), so short strings take the explicit empty branch."""
+    """PACKED char n-grams over the codepoint array `cs` (one
+    ``transform(split(s, ''), ascii)`` per doc): each gram is the
+    exact codepoint-packed int64 Σ code(s[k+j])·2^(21·(n−1−j)) —
+    collision-free (codepoints fit 21 bits, n ≤ 3 → 63 bits), so the
+    shuffle/join key is an int64 instead of a string (smaller rows,
+    faster hashing at 100 TB). The ORACLE keeps plain substring
+    grams — the packed key is internal; only aggregates leave this
+    stage, so the hash check is unaffected. Array reads are O(1);
+    the previous ``ascii(substring(s, k+j, 1))`` form re-scanned the
+    UTF8String from the start per position (O(len²) per doc — r10,
+    guide §1.2 per-task work: chrf explode 4.5 → 1.1 s at sf0.1).
+    Spark's sequence(1, 0) is DESCENDING [1, 0] (the shingles
+    guard), so short strings take the explicit empty branch."""
     pack = " + ".join(
-        f"cast(ascii(substring(s, k + {j}, 1)) as bigint)"
+        f"element_at(cs, k + {j})"
         f" * cast({1 << (21 * (n - 1 - j))} as bigint)"
         for j in range(n)
     )
     return (
-        f"CASE WHEN length(s) >= {n} THEN "
-        f"transform(sequence(1, length(s) - {n} + 1), "
+        f"CASE WHEN size(cs) >= {n} THEN "
+        f"transform(sequence(1, size(cs) - {n} + 1), "
         f"k -> {pack}) "
         f"ELSE cast(array() as array<bigint>) END"
     )
@@ -3062,14 +3066,22 @@ def text_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     lacks n-grams at a width drop that width's row (ROUGE handling).
 
     Scale: identical shape to text_rouge_n — gram counts shuffle
-    (doc, n, gram) with map-side combine; the overlap join is
-    gram-keyed fact-to-fact; no unbounded state. Char grams are ≤3
-    bytes-ish each; at 100 TB hash grams to 8-byte digests before the
-    shuffle (the dedup_span_corpus digest convention).
+    (doc, n, gram) with map-side combine; no unbounded state. Char
+    grams are packed int64s. The cand⋈ref gram join of the naive form
+    is folded away (r10): each pair's two docs land in the SAME
+    (pair_id, n, gram) group tagged by parity, so one aggregation
+    yields (cc, rc) per gram and the clipped overlap is a plain
+    Σ least(cc, rc) rollup — two shuffles total (gram-level with
+    map-side combine, then pair-level), no gram-scale join.
     """
     docs = load(spark, "documents", sf_dir)
     s = F.regexp_replace(F.expr(_NORM), " ", "")
-    base = docs.select("doc_id", s.alias("s"))
+    base = docs.select("doc_id", s.alias("s")).select(
+        "doc_id",
+        F.expr(
+            "transform(split(s, ''), c -> cast(ascii(c) as bigint))"
+        ).alias("cs"),
+    )
     per_n = [
         base.select(
             "doc_id",
@@ -3081,36 +3093,39 @@ def text_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = per_n[0]
     for p in per_n[1:]:
         grams = grams.unionByName(p)
-    gc = grams.groupBy("doc_id", "n", "g").agg(
-        F.count(F.lit(1)).alias("c")
+    # one gram-level aggregation, cand/ref distinguished by doc parity
+    # inside the shared (pair_id, n, g) group — bit-identical to the
+    # count-then-join form: each group holds at most one even and one
+    # odd doc's count, least(cc, rc) is 0 whenever a side is absent,
+    # and Σ least over grams is the clipped overlap.
+    even = F.col("doc_id") % 2 == 0
+    gp = (
+        grams.select(
+            (F.col("doc_id") - F.col("doc_id") % 2).alias("pair_id"),
+            "n",
+            "g",
+            F.when(even, 1).otherwise(0).alias("is_c"),
+        )
+        .groupBy("pair_id", "n", "g")
+        .agg(
+            F.sum("is_c").alias("cc"),
+            F.sum(1 - F.col("is_c")).alias("rc"),
+        )
     )
-    cand = gc.filter(F.col("doc_id") % 2 == 0).select(
-        F.col("doc_id").alias("pair_id"), "n", "g", F.col("c").alias("cc")
-    )
-    ref = gc.filter(F.col("doc_id") % 2 == 1).select(
-        (F.col("doc_id") - 1).alias("pair_id"),
-        "n",
-        "g",
-        F.col("c").alias("rc"),
-    )
-    ov = (
-        cand.join(ref, ["pair_id", "n", "g"])
-        .groupBy("pair_id", "n")
-        .agg(F.sum(F.least("cc", "rc")).cast("long").alias("o"))
-    )
-    ct = cand.groupBy("pair_id", "n").agg(
-        F.sum("cc").cast("long").alias("ctot")
-    )
-    rt = ref.groupBy("pair_id", "n").agg(
-        F.sum("rc").cast("long").alias("rtot")
+    res = (
+        gp.groupBy("pair_id", "n")
+        .agg(
+            F.sum(F.least("cc", "rc")).cast("long").alias("o"),
+            F.sum("cc").cast("long").alias("ctot"),
+            F.sum("rc").cast("long").alias("rtot"),
+        )
+        .filter((F.col("ctot") > 0) & (F.col("rtot") > 0))
     )
     o = F.coalesce(F.col("o"), F.lit(0).cast("long"))
     p = o.cast("double") / F.col("ctot").cast("double")
     r = o.cast("double") / F.col("rtot").cast("double")
     return (
-        ct.join(rt, ["pair_id", "n"])
-        .join(ov, ["pair_id", "n"], "left")
-        .select(
+        res.select(
             "pair_id",
             F.col("n").cast("long").alias("ngram"),
             o.alias("overlap"),
