@@ -2966,13 +2966,17 @@ def ts_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the hour spine are closed up, the standard treatment for
     missing buckets in MP tooling).
 
-    Scale: windows partition by (type, diagonal) — every partition is
-    bounded by the series length (hour-grain spine), never raw
-    events. The O(n²) diagonal fan-out is per SERIES: year-long
-    series (n ≈ 8 760) give 38M product rows per series — one shuffle
-    of longs; beyond that, production MP uses the same plan per
-    (entity, metric) shard or bounds d to a motif horizon (the
-    diagonal filter is a pushed predicate, shape unchanged).
+    Scale: the hour-grain aggregation is the only fact-scale stage
+    (map-side combined). One series then fits one task — a year is
+    n ≈ 8 760 int64s, 70 KB — so the STOMP diagonal loop runs as
+    vectorized int64 numpy inside ``applyInPandas`` per event type
+    (guide §4.2: Spark distributes series, native code does the
+    O(n²) arithmetic), replacing a 38M-row-per-series diagonal
+    shuffle + window pass whose per-(type) join partitions were the
+    skew bound. Exactness: all products/sums stay in int64 (y ≤ 10⁶,
+    m·y² ≤ 2.4·10¹³, cumsums ≤ 2·10¹⁷ ≪ 2⁶³) and the (d2, j)
+    lexicographic min is applied with the identical tiebreak, so the
+    result is bit-equal to the relational form (oracle unchanged).
     """
     ev = load(spark, "events", sf_dir)
     q = ev.select(
@@ -2982,91 +2986,64 @@ def ts_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("qv"),
     )
-    wt = Window.partitionBy("t").orderBy("hr")
-    wn = Window.partitionBy("t")
-    ser = pin(
-        q.groupBy("t", "hr")
-        .agg(F.expr("sum(qv) div count(1)").cast("long").alias("y"))
-        .select(
-            "t",
-            "hr",
-            "y",
-            F.row_number().over(wt).alias("rn"),
-            F.count(F.lit(1)).over(wn).alias("n"),
+    ser = q.groupBy("t", "hr").agg(
+        F.expr("sum(qv) div count(1)").cast("long").alias("y")
+    )
+
+    def stomp(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("hr")
+        y = pdf["y"].to_numpy(dtype=np.int64)
+        n = len(y)
+        nw = n - _MP_M + 1
+        cols = ["event_type", "win_start", "mp_dist2", "mp_index"]
+        if nw < 1:
+            return pd.DataFrame({c: [] for c in cols})
+        c2 = np.concatenate(([0], np.cumsum(y * y)))
+        ss = c2[_MP_M:] - c2[:-_MP_M]  # length nw
+        best_d2 = np.zeros(nw, dtype=np.int64)
+        best_j = np.zeros(nw, dtype=np.int64)
+        seen = np.zeros(nw, dtype=bool)
+        for d in range(_MP_EXCL, n):
+            k = nw - d  # valid window pairs (i, i+d), i = 0..k-1
+            if k <= 0:
+                break
+            p = y[: n - d] * y[d:]
+            cp = np.concatenate(([0], np.cumsum(p)))
+            dot = cp[_MP_M : _MP_M + k] - cp[:k]
+            d2 = ss[:k] + ss[d : d + k] - 2 * dot
+            ii = np.arange(1, k + 1, dtype=np.int64)  # 1-based i
+            jj = ii + d
+            # role a: window i sees neighbor j = i + d
+            ta, ja, sa = best_d2[:k], best_j[:k], seen[:k]
+            up = (~sa) | (d2 < ta) | ((d2 == ta) & (jj < ja))
+            best_d2[:k] = np.where(up, d2, ta)
+            best_j[:k] = np.where(up, jj, ja)
+            seen[:k] = True
+            # role b: window j sees neighbor i = j - d
+            tb = best_d2[d : d + k]
+            jb = best_j[d : d + k]
+            sb = seen[d : d + k]
+            up = (~sb) | (d2 < tb) | ((d2 == tb) & (ii < jb))
+            best_d2[d : d + k] = np.where(up, d2, tb)
+            best_j[d : d + k] = np.where(up, ii, jb)
+            seen[d : d + k] = True
+        idx = np.nonzero(seen)[0]
+        return pd.DataFrame(
+            {
+                "event_type": pdf["t"].iloc[0],
+                "win_start": idx + 1,
+                "mp_dist2": best_d2[idx],
+                "mp_index": best_j[idx],
+            }
         )
-    )
-    wfoll = (
-        Window.partitionBy("t")
-        .orderBy("rn")
-        .rowsBetween(Window.currentRow, _MP_M - 1)
-    )
-    win = (
-        ser.select(
-            "t",
-            "rn",
-            "n",
-            F.sum(F.expr("y * y")).over(wfoll).alias("ss"),
-        )
-        .filter(F.col("rn") <= F.col("n") - _MP_M + 1)
-        .select("t", "rn", "ss")
-    )
-    win = pin(win)
-    a = ser.select("t", F.col("rn").alias("i"), F.col("y").alias("ya"))
-    b = ser.select(
-        F.col("t").alias("tb"),
-        F.col("rn").alias("jb"),
-        F.col("y").alias("yb"),
-    )
-    z = a.join(
-        b,
-        (F.col("t") == F.col("tb"))
-        & (F.col("jb") >= F.col("i") + _MP_EXCL),
-    ).select(
-        "t",
-        (F.col("jb") - F.col("i")).alias("d"),
-        "i",
-        F.expr("ya * yb").alias("zz"),
-    )
-    wdiag = (
-        Window.partitionBy("t", "d")
-        .orderBy("i")
-        .rowsBetween(Window.currentRow, _MP_M - 1)
-    )
-    qt = z.select(
-        "t",
-        "d",
-        "i",
-        F.sum("zz").over(wdiag).alias("dot"),
-        F.count(F.lit(1)).over(wdiag).alias("nw"),
-    ).filter(F.col("nw") == _MP_M)
-    wa = win.select(
-        "t", F.col("rn").alias("i"), F.col("ss").alias("ssa")
-    )
-    wb = win.select(
-        "t", F.col("rn").alias("j"), F.col("ss").alias("ssb")
-    )
-    pr = (
-        qt.withColumn("j", F.col("i") + F.col("d"))
-        .join(wa, ["t", "i"])
-        .join(wb, ["t", "j"])
-        .select(
-            "t",
-            "i",
-            "j",
-            F.expr("ssa + ssb - 2 * dot").alias("d2"),
-        )
-    )
-    both = pr.select("t", "i", "j", "d2").union(
-        pr.select("t", F.col("j").alias("i"), F.col("i").alias("j"), "d2")
-    )
-    mp = both.groupBy("t", "i").agg(
-        F.min(F.struct("d2", "j")).alias("b")
-    )
-    return mp.select(
-        F.col("t").alias("event_type"),
-        F.col("i").cast("long").alias("win_start"),
-        F.col("b.d2").cast("long").alias("mp_dist2"),
-        F.col("b.j").cast("long").alias("mp_index"),
+
+    return ser.groupBy("t").applyInPandas(
+        stomp,
+        "event_type string, win_start long, mp_dist2 long, "
+        "mp_index long",
     )
 
 
