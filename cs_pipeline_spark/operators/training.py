@@ -496,10 +496,18 @@ def dedup_substring_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
     acceptable for removal (slightly more text cut, never less).
     Planted-repeat fixture: tests/test_recall_floor.py.
 
-    Scale: the anchor shuffle carries (16-byte digest, packed int64)
-    — never text; the count pass is map-side combined; the join back
-    rides the same digest partitioning (dedup_span_corpus shape). The
-    gap-merge window partitions BY DOC (bounded by doc length), never
+    Scale: the anchor shuffle carries exactly TWO int64s per window —
+    an xxhash64 anchor digest and the packed (doc_id, pos) — never
+    text (the r10 narrowing, guide §2.3: the md5 form shipped a
+    32-char string per row; doc_id/pos unpack from ``packed`` after
+    the join, so they don't ride the shuffle either; cut stage 2.4 →
+    1.5 s at sf0.1). The digest only decides anchor equality and
+    never leaves the stage, so the oracle's md5 keys give identical
+    spans absent a 64-bit collision. The count pass is map-side
+    combined; the join back rides the same digest partitioning
+    (dedup_span_corpus shape) with the duplicated-anchor filter
+    applied to the aggregated side BEFORE the join. The gap-merge
+    window partitions BY DOC (bounded by doc length), never
     globally. At 100 TB this is exactly the deduplicate-text-datasets
     two-pass shape with Spark shuffles replacing the suffix-array
     sort.
@@ -510,19 +518,25 @@ def dedup_substring_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(shingles(F.col("t"), _REP_K)).alias("pos0", "s"),
     ).select(
-        "doc_id",
-        (F.col("pos0") + 1).cast("long").alias("pos"),
-        F.md5(F.col("s")).alias("d"),
+        F.xxhash64(F.col("s")).alias("d"),
         (F.col("doc_id") * _REP_PACK + F.col("pos0") + 1).alias("packed"),
     )
-    c = occ.groupBy("d").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.min("packed").alias("first_packed"),
+    c = (
+        occ.groupBy("d")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("packed").alias("first_packed"),
+        )
+        .filter(F.col("cnt") >= 2)
+        .select("d", "first_packed")
     )
     cut = (
         occ.join(c, "d")
-        .filter((F.col("cnt") >= 2) & (F.col("packed") > F.col("first_packed")))
-        .select("doc_id", "pos")
+        .filter(F.col("packed") > F.col("first_packed"))
+        .select(
+            F.expr(f"packed div {_REP_PACK}").alias("doc_id"),
+            (F.col("packed") % _REP_PACK).alias("pos"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
     brk = cut.withColumn(
