@@ -142,6 +142,13 @@ def _stage_count(df: DataFrame, stage: str) -> DataFrame:
     doc="flagship #3: full corpus-curation funnel — holdout → quality → exact dedup → near-dup → decontamination → 80/10/10 split, one (stage, n_docs) row per stage",
 )
 def curate_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r10 shape (the lake_audit_e2e rewrite, guide §2.4): one
+    # annotated per-doc flags table (pinned once) + ONE conditional
+    # aggregate unpivoted with stack(), replacing 3 pins + 9
+    # single-row aggregate branches (~12 sequential jobs of
+    # scheduling latency). The near-dup/decontam id-sets stay their
+    # own (small) subtrees, attached to the flags row by broadcast
+    # left joins — counts are identical set algebra.
     docs = load(spark, "documents", sf_dir)
     base = docs.select(
         "doc_id",
@@ -150,8 +157,7 @@ def curate_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_NORM).alias("norm"),
         _tokens(F.expr(_NORM)).alias("t"),
     )
-    bench = base.filter(F.col("doc_id") % _BENCH_MOD == 0)
-    corp = base.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    is_bench = F.col("doc_id") % _BENCH_MOD == 0
 
     # quality (text_quality_filter predicate, on materialized tokens)
     n_tokens = F.size("t")
@@ -169,30 +175,51 @@ def curate_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         | (avg_len > _MAX_AVG_LEN)
         | (stop_ratio < _MIN_STOPWORD)
     )
-    q = corp.filter(~bad)
 
-    # exact dedup: keep smallest doc_id per normalized-text digest.
-    # ek feeds FIVE funnel branches (near-dup pairs, decontam, three
-    # splits) — persist it so the scan→quality→dedup prefix runs once
-    # (at 100 TB: persist the id-set + token arrays, not raw text).
-    w = Window.partitionBy(F.md5("norm")).orderBy("doc_id")
-    ek = pin(
-        q.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    # exact dedup: keep smallest doc_id per normalized-text digest,
+    # among quality survivors only — ordering (is_q DESC, doc_id)
+    # inside the digest partition puts quality docs first, so rn = 1
+    # ∧ is_q is exactly "the smallest-doc_id quality doc per digest".
+    ann = pin(
+        base.select(
+            "doc_id",
+            "lang",
+            "source",
+            "t",
+            is_bench.alias("is_bench"),
+            ((~is_bench) & (~bad)).alias("is_q"),
+            F.md5("norm").alias("dig"),
+        )
+        .withColumn(
+            "kept_exact", F.col("is_q") & (F.row_number().over(
+                Window.partitionBy("dig").orderBy(
+                    F.desc("is_q"), F.asc("doc_id")
+                )
+            ) == 1),
+        )
+        .drop("dig")
     )
 
-    # near-dup removal: blocked 3-gram Jaccard, keep-first
-    g3 = ek.select(
+    # near-dup removal: blocked 3-gram Jaccard, keep-first. Grams are
+    # hashed to int64 before the pairwise array_intersect (identical
+    # Jaccard absent a 64-bit collision; long intersects beat string
+    # intersects), and the removed-id set — the expensive quadratic
+    # verify's only output — is pinned so the self-join runs once,
+    # not once per downstream action.
+    g3 = ann.filter("kept_exact").select(
         "doc_id",
         "lang",
         "source",
-        F.array_distinct(shingles(F.col("t"), 3)).alias("grams"),
+        F.array_distinct(
+            F.transform(shingles(F.col("t"), 3), lambda c: F.xxhash64(c))
+        ).alias("grams"),
     )
     a, b = g3.alias("a"), g3.alias("b")
     inter = F.size(
         F.array_intersect(F.col("a.grams"), F.col("b.grams"))
     ).cast("double")
     union = F.size(F.col("a.grams")) + F.size(F.col("b.grams")) - inter
-    near_removed = (
+    near_removed = pin(
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
@@ -202,45 +229,77 @@ def curate_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(inter / union >= _NGRAM_THRESHOLD)
         .select(F.col("b.doc_id").alias("doc_id"))
         .distinct()
+        .select("doc_id", F.lit(1).alias("nr"))
     )
-    nk = pin(ek.join(near_removed, "doc_id", "left_anti"))
+    with_nr = ann.join(F.broadcast(near_removed), "doc_id", "left")
+    kept_near = F.col("kept_exact") & F.col("nr").isNull()
 
-    # decontamination: 4-gram overlap vs the held-out set
-    bench_g = bench.select(
-        F.explode(F.array_distinct(shingles(F.col("t"), 4))).alias("g")
+    # decontamination: 4-gram overlap vs the held-out set (hashed
+    # grams, same argument); the contaminated-id set is pinned for
+    # the same once-per-build reason.
+    bench_g = ann.filter("is_bench").select(
+        F.explode(
+            F.array_distinct(
+                F.transform(shingles(F.col("t"), 4), lambda c: F.xxhash64(c))
+            )
+        ).alias("g")
     ).distinct()
-    contam = (
-        nk.select(
+    contam = pin(
+        with_nr.filter(kept_near)
+        .select(
             "doc_id",
-            F.explode(F.array_distinct(shingles(F.col("t"), 4))).alias("g"),
+            F.explode(
+                F.array_distinct(
+                    F.transform(shingles(F.col("t"), 4), lambda c: F.xxhash64(c))
+                )
+            ).alias("g"),
         )
         .join(F.broadcast(bench_g), "g")
         .select("doc_id")
         .distinct()
+        .select("doc_id", F.lit(1).alias("ct"))
     )
-    dk = pin(nk.join(contam, "doc_id", "left_anti"))
 
     # 80/10/10 split (sample_train_split hash)
     bucket = (
         (F.col("doc_id") % F.lit(_SPLIT_PRIME)) * F.lit(_SPLIT_MULT)
     ) % F.lit(_SPLIT_PRIME) % F.lit(_SPLIT_MOD)
-    split = dk.select("doc_id", bucket.alias("bucket"))
-
-    return (
-        _stage_count(base, "ingest")
-        .unionByName(_stage_count(bench, "holdout_eval"))
-        .unionByName(_stage_count(q, "quality"))
-        .unionByName(_stage_count(ek, "exact_dedup"))
-        .unionByName(_stage_count(nk, "near_dedup"))
-        .unionByName(_stage_count(dk, "decontam"))
-        .unionByName(_stage_count(split.filter(F.col("bucket") < 80), "train"))
-        .unionByName(
-            _stage_count(
-                split.filter((F.col("bucket") >= 80) & (F.col("bucket") < 90)),
-                "val",
-            )
+    kept_dk = kept_near & F.col("ct").isNull()
+    cnt = lambda c, name: F.count(F.when(c, 1)).alias(name)  # noqa: E731
+    row = (
+        with_nr.join(F.broadcast(contam), "doc_id", "left")
+        .select(
+            "is_bench",
+            "is_q",
+            "kept_exact",
+            kept_near.alias("kn"),
+            kept_dk.alias("kd"),
+            bucket.alias("bucket"),
         )
-        .unionByName(_stage_count(split.filter(F.col("bucket") >= 90), "test"))
+        .agg(
+            F.count(F.lit(1)).alias("c_ing"),
+            cnt(F.col("is_bench"), "c_bench"),
+            cnt(F.col("is_q"), "c_q"),
+            cnt(F.col("kept_exact"), "c_ek"),
+            cnt(F.col("kn"), "c_nk"),
+            cnt(F.col("kd"), "c_dk"),
+            cnt(F.col("kd") & (F.col("bucket") < 80), "c_tr"),
+            cnt(
+                F.col("kd")
+                & (F.col("bucket") >= 80)
+                & (F.col("bucket") < 90),
+                "c_va",
+            ),
+            cnt(F.col("kd") & (F.col("bucket") >= 90), "c_te"),
+        )
+    )
+    return row.select(
+        F.expr(
+            "stack(9, 'ingest', c_ing, 'holdout_eval', c_bench, "
+            "'quality', c_q, 'exact_dedup', c_ek, 'near_dedup', c_nk, "
+            "'decontam', c_dk, 'train', c_tr, 'val', c_va, "
+            "'test', c_te) as (stage, n_docs)"
+        )
     )
 
 
