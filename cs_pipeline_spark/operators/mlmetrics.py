@@ -3892,7 +3892,6 @@ def ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncation) — this is also exactly how deeper ensembles iterate.
     """
     ev = load(spark, "events", sf_dir)
-    d38 = "decimal(38,0)"
     q = pin(
         ev.select(
             (F.col("event_type") == "error").cast("int").alias("y"),
@@ -3908,104 +3907,84 @@ def ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         (),
         ["((tid + 1) * (nn - 1)) div 10 + 1"] * 9,
     ).select(F.col("value").alias("t"))
-    ev1 = (
-        q.crossJoin(F.broadcast(thr1))
-        .groupBy("t")
-        .agg(
-            F.count(F.lit(1)).cast(d38).alias("n"),
-            F.sum(
-                F.when(
-                    (F.col("qv") > F.col("t")) != (F.col("y") == 1), 1
-                ).otherwise(0)
-            )
-            .cast(d38)
-            .alias("ep"),
-        )
+    # r10 cube pass (guide §2.3 "aggregate before you shuffle", taken
+    # to its limit): every per-candidate aggregate of rounds 1 and 2
+    # AND the ensemble-accuracy pass factors through the BOUNDED cube
+    # (bkt, hr, y) where bkt = |{thresholds < qv}| — ≤ 10·24·2 = 480
+    # cells. One fact pass builds it (replacing three fact passes
+    # with 9×/23× broadcast fan-outs); the candidate argmins run on
+    # the driver over the cells in exact Python ints with the
+    # identical tiebreaks. For a threshold value v, qv > v ⟺
+    # bkt ≥ #{u: u ≤ v} (thresholds with equal values behave
+    # identically), so every stump predicate is cell-derivable.
+    ts = [r["t"] for r in thr1.collect()]  # 9 decile picks (bounded)
+    # bkt as a flat sum of literal comparisons — stays inside
+    # whole-stage codegen (a filter() higher-order lambda here is
+    # interpreted per row and measurably slower)
+    bkt_expr = " + ".join(
+        f"(CASE WHEN qv > {u}L THEN 1 ELSE 0 END)" for u in sorted(ts)
     )
-    # the candidate tables are BOUNDED (<= 9 (t, pol) stumps here,
-    # <= 23 hour splits below): collect the per-candidate aggregates
-    # and take the argmin on the driver — exact integer compares with
-    # the identical (err asc, threshold asc, pol desc) tiebreak —
-    # instead of a one_part window + eager localCheckpoint per round.
-    # b1/b2 become LocalRelations (original column types preserved,
-    # so every downstream decimal expression is unchanged).
-    import decimal as _dec
-
-    import pyspark.sql.types as T
-
-    _d380 = T.DecimalType(38, 0)
+    cells = [
+        (r["bkt"], r["hr"], r["y"], r["cnt"])
+        for r in q.groupBy(
+            F.expr(bkt_expr).alias("bkt"),
+            "hr",
+            "y",
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    ]
+    big_n = sum(c[3] for c in cells)
+    # round 1: per distinct threshold value v (groupBy t merged
+    # duplicate decile picks, scaling n/ep by the multiplicity m —
+    # reproduced exactly)
     cand1 = []
-    for r in ev1.collect():
-        t, n, ep = r["t"], int(r["n"]), int(r["ep"])
-        cand1.append((t, n, 1, ep))
-        cand1.append((t, n, 0, n - ep))
+    for v in sorted(set(ts)):
+        m = sum(1 for u in ts if u == v)
+        rv = sum(1 for u in ts if u <= v)
+        ep = sum(
+            cnt
+            for bkt, _hr, y, cnt in cells
+            if (bkt >= rv) != (y == 1)
+        )
+        cand1.append((v, m * big_n, 1, m * ep))
+        cand1.append((v, m * big_n, 0, m * big_n - m * ep))
     t, n, pol, e = min(cand1, key=lambda c: (c[3], c[0], -c[2]))
-    b1_schema = T.StructType(
-        [
-            T.StructField("t", T.LongType()),
-            T.StructField("n", _d380),
-            T.StructField("pol", T.IntegerType()),
-            T.StructField("e", _d380),
-        ]
-    )
-    b1 = spark.createDataFrame(
-        [(t, _dec.Decimal(n), pol, _dec.Decimal(e))], b1_schema
-    )
-    m1 = q.crossJoin(F.broadcast(b1)).select(
-        "y",
-        "hr",
-        F.col("n"),
-        F.col("e"),
-        F.when(
-            F.expr(
-                "(CASE WHEN pol = 1 THEN qv > t ELSE qv <= t END) "
-                "<> (y = 1)"
-            ),
-            1,
-        )
-        .otherwise(0)
-        .alias("mis1"),
-    )
-    thr2 = spark.range(0, 23).select(F.col("id").alias("t2"))
-    ev2 = (
-        m1.crossJoin(F.broadcast(thr2))
-        .groupBy("t2", "n", "e")
-        .agg(
-            F.sum(
-                F.when(
-                    F.expr("((hr > t2) <> (y = 1)) AND mis1 = 1"), 1
-                ).otherwise(0)
-            )
-            .cast(d38)
-            .alias("mm"),
-            F.sum(
-                F.when(
-                    F.expr("((hr > t2) <> (y = 1)) AND mis1 = 0"), 1
-                ).otherwise(0)
-            )
-            .cast(d38)
-            .alias("mc"),
-        )
-    )
+    # round 2 over the same cells: mis1 is cell-derivable from bkt
+    rt1 = sum(1 for u in ts if u <= t)
+
+    def _gt1(bkt: int) -> bool:
+        return bkt >= rt1
+
+    def _mis1(bkt: int, y: int) -> bool:
+        pred = _gt1(bkt) if pol == 1 else not _gt1(bkt)
+        return pred != (y == 1)
+
     cand2_rows = []
-    for r in ev2.collect():
-        t2v, nn2, ee2 = r["t2"], int(r["n"]), int(r["e"])
-        mm, mc = int(r["mm"]), int(r["mc"])
-        cand2_rows.append((t2v, 1, (nn2 - ee2) * mm + ee2 * mc))
+    for t2c in range(0, 23):
+        mm = sum(
+            cnt
+            for bkt, hr, y, cnt in cells
+            if ((hr > t2c) != (y == 1)) and _mis1(bkt, y)
+        )
+        mc = sum(
+            cnt
+            for bkt, hr, y, cnt in cells
+            if ((hr > t2c) != (y == 1)) and not _mis1(bkt, y)
+        )
+        cand2_rows.append((t2c, 1, (n - e) * mm + e * mc))
         cand2_rows.append(
-            (t2v, 0, (nn2 - ee2) * (ee2 - mm) + ee2 * ((nn2 - ee2) - mc))
+            (t2c, 0, (n - e) * (e - mm) + e * ((n - e) - mc))
         )
     t2v, pol2, w2v = min(cand2_rows, key=lambda c: (c[2], c[0], -c[1]))
-    b2 = spark.createDataFrame(
-        [(t2v, pol2, _dec.Decimal(w2v))],
-        T.StructType(
-            [
-                T.StructField("t2", T.LongType()),
-                T.StructField("pol2", T.IntegerType()),
-                T.StructField("w", _d380),
-            ]
-        ),
-    )
+    # alpha coefficients: the two lns stay SPARK-evaluated (identical
+    # expression trees: exact decimal literals -> string -> double
+    # casts, same zero/saturation guards) over a pure-literal 1-row
+    # projection of spark.range(1) -- a LocalRelation after constant
+    # folding. A createDataFrame-backed row here is a Python-RDD scan
+    # re-executed on EVERY action (measured 0.75 s per count).
+    wtot = 2 * e * (n - e)
+    dlit = lambda x: F.expr(f"CAST('{x}' AS DECIMAL(38,0))")  # noqa: E731
     qln = (
         lambda num, den: F.floor(
             F.lit(0.5)
@@ -4017,71 +3996,57 @@ def ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.5)
         ).cast("long")
     )  # noqa: E731
-    al = (
-        b1.selectExpr("t AS t1", "pol AS pol1", "e AS e1", "n")
-        .crossJoin(F.broadcast(b2))
-        .select(
-            "t1",
-            "pol1",
-            "e1",
-            "n",
-            "t2",
-            "pol2",
-            F.col("w").alias("w2"),
-            F.expr("2 * e1 * (n - e1)").alias("wtot"),
-            # A PERFECT stump (e1 = 0, or a useless one e1 = n) and a
-            # zero/saturated round-2 weighted error make the half-log-
-            # odds ln hit 0 or a /0: Spark double/0.0 yields Infinity
-            # (floor -> Long.MAX alpha) while DuckDB yields NULL —
-            # guard to NULL on BOTH engines (the sibling convention:
-            # ts_pacf_durbin, features_woe_iv).
-            F.when(
-                (F.col("e1") > 0) & (F.col("e1") < F.col("n")),
-                qln("n - e1", "e1"),
-            ).alias("a1q"),
-            F.when(
-                (F.col("w") > 0)
-                & (F.expr("2 * e1 * (n - e1) - w") > 0),
-                qln("2 * e1 * (n - e1) - w", "w"),
-            ).alias("a2q"),
-        )
+    al = spark.range(1).select(
+        dlit(e).alias("e1"),
+        dlit(n).alias("n"),
+        dlit(w2v).alias("w"),
+    ).select(
+        # A PERFECT stump (e1 = 0, or a useless one e1 = n) and a
+        # zero/saturated round-2 weighted error make the half-log-
+        # odds ln hit 0 or a /0: Spark double/0.0 yields Infinity
+        # (floor -> Long.MAX alpha) while DuckDB yields NULL --
+        # guard to NULL on BOTH engines (the sibling convention:
+        # ts_pacf_durbin, features_woe_iv).
+        F.when(
+            (F.col("e1") > 0) & (F.col("e1") < F.col("n")),
+            qln("n - e1", "e1"),
+        ).alias("a1q"),
+        F.when(
+            (F.col("w") > 0)
+            & (F.expr("2 * e1 * (n - e1) - w") > 0),
+            qln("2 * e1 * (n - e1) - w", "w"),
+        ).alias("a2q"),
     )
-    # materialize the 1-row alpha table into a literal LocalRelation
-    # (a driver-local job — the ln stays JVM-evaluated): leaving it a
-    # lazy local-join subtree makes every downstream action replay
-    # the inner broadcast jobs
-    al = spark.createDataFrame(al.collect(), al.schema)
-    acc = (
-        q.crossJoin(F.broadcast(al))
-        .agg(
-            F.sum(
-                F.when(
-                    F.expr(
-                        "((a1q * (CASE WHEN (CASE WHEN pol1 = 1 "
-                        "THEN qv > t1 ELSE qv <= t1 END) "
-                        "THEN 1 ELSE -1 END) "
-                        "+ a2q * (CASE WHEN (CASE WHEN pol2 = 1 "
-                        "THEN hr > t2 ELSE hr <= t2 END) "
-                        "THEN 1 ELSE -1 END)) > 0) = (y = 1)"
-                    ),
-                    1,
-                ).otherwise(0)
-            )
-            .cast(d38)
-            .alias("ok"),
-            F.max("t1").alias("t1"),
-            F.max("pol1").alias("pol1"),
-            F.max("e1").alias("e1"),
-            F.max("n").alias("n"),
-            F.max("t2").alias("t2"),
-            F.max("pol2").alias("pol2"),
-            F.max("w2").alias("w2"),
-            F.max("wtot").alias("wtot"),
-            F.max("a1q").alias("a1q"),
-            F.max("a2q").alias("a2q"),
-        )
+    alr = al.collect()[0]
+    a1q, a2q = alr["a1q"], alr["a2q"]
+    # ensemble vote tally over the same cells in exact integer
+    # arithmetic (alphas are integer-quantized longs; a NULL alpha
+    # nulls the vote for every row -- CASE WHEN NULL -> ELSE 0, i.e.
+    # ok = 0 -- reproduced explicitly)
+    ok = 0
+    if a1q is not None and a2q is not None:
+        for bkt, hr, y, cnt in cells:
+            s1 = 1 if (_gt1(bkt) if pol == 1 else not _gt1(bkt)) else -1
+            s2 = 1 if ((hr > t2v) if pol2 == 1 else (hr <= t2v)) else -1
+            if ((a1q * s1 + a2q * s2) > 0) == (y == 1):
+                ok += cnt
+    # final row: the original output expressions over exact literals
+    # (decimal div semantics preserved) -- plan is LocalRelation +
+    # Project, no fact reference, so every re-count is milliseconds
+    row = spark.range(1).select(
+        F.lit(t).cast("long").alias("t1"),
+        F.lit(pol).alias("pol1"),
+        dlit(e).alias("e1"),
+        dlit(n).alias("n"),
+        F.lit(t2v).cast("long").alias("t2"),
+        F.lit(pol2).alias("pol2"),
+        dlit(w2v).alias("w2"),
+        dlit(wtot).alias("wtot"),
+        F.lit(a1q).cast("long").alias("a1q"),
+        F.lit(a2q).cast("long").alias("a2q"),
+        dlit(ok).alias("ok"),
     )
-    return acc.select(
+    return row.select(
         (F.col("t1").cast("double") / F.lit(1e6)).alias("threshold1"),
         F.col("pol1").cast("long").alias("pol1"),
         F.expr("cast(e1 * 1000000 div n as bigint)").alias("err1_ppm"),
