@@ -417,6 +417,39 @@ def with_prefix_agg(
         df, key, tiebreaks, [(val, kind, out, inclusive)], nb=nb
     )
 
+def literal_df(spark, rows, schema):
+    """BOUNDED driver-known rows as a JVM-literal plan (one literal
+    projection of ``spark.range(1)`` per row, unioned — constant-folds
+    to a LocalRelation at plan time). Use this instead of
+    ``spark.createDataFrame`` whenever the rows end up INSIDE a
+    returned query plan: a createDataFrame-backed table is a
+    Python-RDD scan that re-executes on every downstream action
+    (measured 0.2–0.7 s per action for even a 1-row table — the r10
+    ml_adaboost_stumps finding); a literal projection costs nothing
+    after planning. Rows must be few (≤ dozens): each row adds a
+    plan node."""
+    if not rows:
+        return (
+            spark.range(0, 1, 1, 1)
+            .select(
+                *[
+                    F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in schema.fields
+                ]
+            )
+            .where(F.lit(False))
+        )
+    cols = []
+    for ci, f in enumerate(schema.fields):
+        col = F.when(F.col("id") == 0, F.lit(rows[0][ci]))
+        for ri in range(1, len(rows)):
+            col = col.when(F.col("id") == ri, F.lit(rows[ri][ci]))
+        cols.append(col.cast(f.dataType).alias(f.name))
+    # single-partition Range + per-column CASE chains: ONE task per
+    # action (a union of one-row projections costs a task per row)
+    return spark.range(0, len(rows), 1, 1).select(*cols)
+
+
 def with_rank_targets(df, key, tiebreaks, rank_sqls, nb: int = 64):
     """Pick the ``key`` VALUES at specific global ranks (1-based,
     ascending key order) without sorting the whole input.
@@ -500,7 +533,7 @@ def with_rank_targets(df, key, tiebreaks, rank_sqls, nb: int = 64):
     hist = sorted(hist, key=lambda r: r["_tpb"])
     nn = sum(r["_bc"] for r in hist)
     if nn == 0 or not rank_sqls:
-        return spark.createDataFrame([], out_schema)
+        return literal_df(spark, [], out_schema)
 
     # rank expressions evaluated by Spark itself over a local relation
     # (one row per target) — identical semantics to the distributed
@@ -513,9 +546,18 @@ def with_rank_targets(df, key, tiebreaks, rank_sqls, nb: int = 64):
         )
         + " END"
     )
+    import pyspark.sql.types as _T
+
     targets = (
-        spark.createDataFrame(
-            [(i, nn) for i in range(len(rank_sqls))], "tid bigint, nn bigint"
+        literal_df(
+            spark,
+            [(i, nn) for i in range(len(rank_sqls))],
+            _T.StructType(
+                [
+                    _T.StructField("tid", _T.LongType()),
+                    _T.StructField("nn", _T.LongType()),
+                ]
+            ),
         )
         .selectExpr("tid", "nn", f"{rank_case} AS rank")
         .collect()
@@ -562,7 +604,7 @@ def with_rank_targets(df, key, tiebreaks, rank_sqls, nb: int = 64):
         else:
             multi.append((t["tid"], rank, tpb, rank - off))
     if not multi:
-        return spark.createDataFrame(done, out_schema)
+        return literal_df(spark, done, out_schema)
 
     # 3. refinement level: re-bucket the (non-null, multi-valued)
     #    target buckets over their OWN key range; sub-histograms
@@ -617,7 +659,7 @@ def with_rank_targets(df, key, tiebreaks, rank_sqls, nb: int = 64):
         else:
             multi2.append((tid, rank, bid, tpb2, lrank - off2))
     if not multi2:
-        return spark.createDataFrame(done, out_schema)
+        return literal_df(spark, done, out_schema)
 
     # 4. final pick over DISTINCT values of the located sub-buckets
     #    only: multiplicity prefix sum, driver-known literal bounds
@@ -636,10 +678,19 @@ def with_rank_targets(df, key, tiebreaks, rank_sqls, nb: int = 64):
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     tv2 = vals.withColumn("_vcum", F.sum("_vc").over(wcum))
-    t2 = spark.createDataFrame(
+    t2 = literal_df(
+        spark,
         [(tid, rank, int(bid), int(b2id), lr2)
          for tid, rank, bid, b2id, lr2 in multi2],
-        "tid bigint, rank bigint, _tpb int, _tpb2 int, _lr2 bigint",
+        _T.StructType(
+            [
+                _T.StructField("tid", _T.LongType()),
+                _T.StructField("rank", _T.LongType()),
+                _T.StructField("_tpb", _T.IntegerType()),
+                _T.StructField("_tpb2", _T.IntegerType()),
+                _T.StructField("_lr2", _T.LongType()),
+            ]
+        ),
     )
     picked = (
         tv2.join(F.broadcast(t2), ["_tpb", "_tpb2"])
@@ -651,4 +702,4 @@ def with_rank_targets(df, key, tiebreaks, rank_sqls, nb: int = 64):
         .collect()
     )
     done.extend((r["tid"], r["rank"], nn, r["_kv"]) for r in picked)
-    return spark.createDataFrame(done, out_schema)
+    return literal_df(spark, done, out_schema)
