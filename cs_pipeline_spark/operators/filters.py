@@ -15,7 +15,7 @@ from cs_pipeline_spark.functions.constants import (
     VARIABLES_FOR_PREDICTOR,
 )
 from cs_pipeline_spark.functions.era5_fixture import ERA5_CTE, era5_events
-from cs_pipeline_spark.operators.helpers import dround, sql_dround, with_prefix_agg
+from cs_pipeline_spark.operators.helpers import dround, sql_dround, with_prefix_agg, literal_df
 from cs_pipeline_spark.registry import register
 from cs_pipeline_spark.tables import EVENTS_TS_SQL, load
 
@@ -395,8 +395,8 @@ def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
     )
     t = o.agg(F.sum("n_obs").alias("n"))
-    b = spark.createDataFrame(
-        list(_BENFORD.items()), schema="digit bigint, expected_share double"
+    b = literal_df(
+        spark, list(_BENFORD.items()), "digit bigint, expected_share double"
     )
     share = F.coalesce(F.col("n_obs"), F.lit(0)).cast("double") / F.col("n")
     return (

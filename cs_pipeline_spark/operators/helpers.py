@@ -427,7 +427,11 @@ def literal_df(spark, rows, schema):
     (measured 0.2–0.7 s per action for even a 1-row table — the r10
     ml_adaboost_stumps finding); a literal projection costs nothing
     after planning. Rows must be few (≤ dozens): each row adds a
-    plan node."""
+    plan node. ``schema`` is a StructType or a DDL string."""
+    if isinstance(schema, str):
+        import pyspark.sql.types as _T
+
+        schema = _T.StructType.fromDDL(schema)
     if not rows:
         return (
             spark.range(0, 1, 1, 1)

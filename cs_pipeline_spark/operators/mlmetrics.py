@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cs_pipeline_spark.operators.dedup import _NORM, _NORM_DUCK
-from cs_pipeline_spark.operators.helpers import with_rank_targets, with_total_rank, one_part
+from cs_pipeline_spark.operators.helpers import with_rank_targets, with_total_rank, one_part, literal_df
 from cs_pipeline_spark.registry import pin, register
 from cs_pipeline_spark.tables import load
 
@@ -2642,9 +2642,7 @@ def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.split(F.expr(_NORM), " ")).alias("tok"),
         ).filter(F.col("tok") != "")
     )
-    tiers = spark.createDataFrame(
-        [(t,) for t in _LC_TIERS], "tier long"
-    )
+    tiers = literal_df(spark, [(t,) for t in _LC_TIERS], "tier long")
     db = docs.select("doc_id", F.expr(_LC_BUCKET).alias("bkt"), "lang")
     bc_tiers = F.broadcast(tiers)
     d_t = (
@@ -2973,7 +2971,7 @@ def ml_loo_source_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
     srcs = tr.select(F.col("source").alias("held")).distinct()
     arms = pin(
         srcs.unionByName(
-            srcs.sparkSession.createDataFrame([("__full__",)], "held string")
+            literal_df(srcs.sparkSession, [("__full__",)], "held string")
         )
     )
     dtr = tr.select("doc_id", "source", "lang_true").distinct()

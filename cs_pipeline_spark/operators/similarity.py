@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cs_pipeline_spark.operators.dedup import _sql_qdot, qdot
-from cs_pipeline_spark.operators.helpers import sql_davg, with_rank_targets, one_part
+from cs_pipeline_spark.operators.helpers import sql_davg, with_rank_targets, one_part, literal_df
 from cs_pipeline_spark.registry import pin, register
 from cs_pipeline_spark.tables import load
 
@@ -1664,8 +1664,8 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for j in range(d)
     ]
-    return spark.createDataFrame(
-        rows, schema="dim int, component double, eigval double"
+    return literal_df(
+        spark, rows, "dim int, component double, eigval double"
     )
 
 
@@ -2860,8 +2860,10 @@ def sim_ivf_nprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(
             F.broadcast(
-                corpus.sparkSession.createDataFrame(
-                    [(p,) for p in _RECALL_PROBES], "np int"
+                literal_df(
+                    corpus.sparkSession,
+                    [(p,) for p in _RECALL_PROBES],
+                    "np int",
                 )
             )
         )
@@ -2892,8 +2894,8 @@ def sim_ivf_nprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id"
     )
     np_df = F.broadcast(
-        corpus.sparkSession.createDataFrame(
-            [(p,) for p in _RECALL_PROBES], "np int"
+        literal_df(
+            corpus.sparkSession, [(p,) for p in _RECALL_PROBES], "np int"
         )
     )
     hits = topk.select(
@@ -5049,8 +5051,8 @@ def corpus_facility_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             sel.append(cid)
             coverage += gain
             rows.append((len(rows) + 1, cid, gain, coverage))
-    return spark.createDataFrame(
-        rows, "step long, selected_id long, gain long, coverage long"
+    return literal_df(
+        spark, rows, "step long, selected_id long, gain long, coverage long"
     )
 
 

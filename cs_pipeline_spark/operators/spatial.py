@@ -19,7 +19,7 @@ from cs_pipeline_spark.functions.era5_fixture import (
     era5_events,
     era5_sql,
 )
-from cs_pipeline_spark.operators.helpers import davg, sql_davg
+from cs_pipeline_spark.operators.helpers import davg, sql_davg, literal_df
 from cs_pipeline_spark.registry import register
 from cs_pipeline_spark.tables import load
 
@@ -41,8 +41,11 @@ _REGIONS_SQL = (
 
 
 def regions_frame(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(
-        _REGIONS, ["region_id", "north", "west", "south", "east"]
+    return literal_df(
+        spark,
+        _REGIONS,
+        "region_id string, north double, west double, "
+        "south double, east double",
     )
 
 
@@ -599,9 +602,10 @@ def filter_polygon_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.5)
         ).cast("long").alias("px"),
     )
-    edges = spark.createDataFrame(
+    edges = literal_df(
+        spark,
         _polygon_edges(),
-        schema="polygon_id int, x1 long, y1 long, x2 long, y2 long",
+        "polygon_id int, x1 long, y1 long, x2 long, y2 long",
     )
     cross = F.expr(_CROSS_SQL.replace("<>", "!="))
     crossings = (
@@ -674,9 +678,10 @@ def agg_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("longitude") * 1e6 + 0.5).cast("long").alias("px"),
         )
     )
-    edges = spark.createDataFrame(
+    edges = literal_df(
+        spark,
         _polygon_edges(),
-        schema="polygon_id int, x1 long, y1 long, x2 long, y2 long",
+        "polygon_id int, x1 long, y1 long, x2 long, y2 long",
     )
     cross = F.expr(_CROSS_SQL.replace("<>", "!="))
     inside = (

@@ -38,7 +38,7 @@ from cs_pipeline_spark.operators.dedup import (
     _tokens,
     shingles,
 )
-from cs_pipeline_spark.operators.helpers import dround, one_part, sql_dround
+from cs_pipeline_spark.operators.helpers import dround, one_part, sql_dround, literal_df
 from cs_pipeline_spark.registry import pin, register
 from cs_pipeline_spark.tables import load
 
@@ -1965,9 +1965,7 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked, "nwn", (F.col("w"),), "wn", kind="sum", out="cum"
     )
     tot = wc.agg(F.sum("wn").cast("long").alias("tot"))
-    targets = spark.createDataFrame(
-        [(t,) for t in _VC_TARGETS], "pct long"
-    )
+    targets = literal_df(spark, [(t,) for t in _VC_TARGETS], "pct long")
     j = (
         cum.crossJoin(F.broadcast(tot))
         .crossJoin(F.broadcast(targets))

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from cs_pipeline_spark.operators.helpers import with_prefix_agg, with_rank_targets, with_total_rank, one_part
+from cs_pipeline_spark.operators.helpers import with_prefix_agg, with_rank_targets, with_total_rank, one_part, literal_df
 from cs_pipeline_spark.registry import pin, register
 from cs_pipeline_spark.tables import EVENTS_TS_SQL, load
 
@@ -1781,7 +1781,7 @@ def ts_xcorr_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("c"))
     tot = hr.groupBy("h").agg(F.sum("c").alias("tc"))
     lags = F.broadcast(
-        spark.createDataFrame([(k,) for k in _XCORR_LAGS], "k int")
+        literal_df(spark, [(k,) for k in _XCORR_LAGS], "k int")
     )
     a = hr.select(
         "event_type", "h", F.col("c").cast("decimal(38,0)").alias("x")
@@ -2093,9 +2093,7 @@ def ts_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = hourly.crossJoin(F.broadcast(hmin)).select(
         (F.col("h") - F.col("hmin")).alias("pos"), "sq"
     )
-    levels = spark.createDataFrame(
-        [(v,) for v in _HAAR_LEVELS], "level long"
-    )
+    levels = literal_df(spark, [(v,) for v in _HAAR_LEVELS], "level long")
     d = (
         base.crossJoin(F.broadcast(levels))
         .groupBy(

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cs_pipeline_spark.functions.era5_fixture import ERA5_CTE, era5_events
-from cs_pipeline_spark.operators.helpers import dround, one_part
+from cs_pipeline_spark.operators.helpers import dround, one_part, literal_df
 from cs_pipeline_spark.registry import register
 from cs_pipeline_spark.tables import EVENTS_TS_SQL, load
 
@@ -2343,9 +2343,7 @@ def agg_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("mq")
     )
     lags = F.broadcast(
-        ev.sparkSession.createDataFrame(
-            [(k,) for k in _ACF_LAGS], "k int"
-        )
+        literal_df(ev.sparkSession, [(k,) for k in _ACF_LAGS], "k int")
     )
     a = hr.select(
         "event_type", "h", F.col("mq").cast("decimal(38,0)").alias("x")

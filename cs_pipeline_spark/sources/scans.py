@@ -993,9 +993,13 @@ def scan_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         in1, in2 = c in s1, c in s2
         status = "stable" if (in1 and in2) else ("added" if in2 else "removed")
         rows.append((c, in1, in2, status))
-    return spark.createDataFrame(
-        rows, "column_name string, in_batch1 boolean, in_batch2 boolean, "
-        "status string"
+    from cs_pipeline_spark.operators.helpers import literal_df
+
+    return literal_df(
+        spark,
+        rows,
+        "column_name string, in_batch1 boolean, in_batch2 boolean, "
+        "status string",
     )
 
 
