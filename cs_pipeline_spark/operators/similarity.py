@@ -1792,6 +1792,132 @@ def _int_d2(vec: str = "eq", cen: str = "cq") -> F.Column:
     )
 
 
+def _km_driver_rounds(eqs: DataFrame, rounds: int):
+    """Driver-coordinated Lloyd's over pinned quantized vectors.
+
+    The centroid state is BOUNDED (k·d int64s), so it lives on the
+    driver; each round is ONE vectorized int64-numpy ``mapInPandas``
+    pass over ``eqs`` emitting per-partition partials (per-cluster
+    count, Σd2 as a string — partition sums can pass 2⁶³ at scale —
+    and per-dim sums), combined exactly on the driver with
+    truncate-toward-zero division (Spark ``div``). Replaces the
+    k-broadcast-join + interpreted zip_with/aggregate d2 (64 lambda
+    evals per row per centroid per round) + argmin shuffle + per-dim
+    mean shuffle of the previous formulation — r10, guide §4.2.
+
+    Assignments are bit-identical to ``min(struct(d2, cluster_id))``:
+    D = |e|² − 2·E·Cᵀ + |c|² is exact int64 (|eq| ≤ ~2e6, d = 64 →
+    every term ≪ 2⁶³) and ``argmin`` ties fall to the first (lowest
+    cluster_id) column. Seeds are vec_id < k; empty clusters drop out
+    of the next round's table exactly as the groupBy form drops them.
+
+    Returns ``(inertias, cids, C)``: per-round Σd2 Python ints
+    (rounds+1 entries), and the FINAL centroid ids (ascending) +
+    int64 matrix for the caller's last-pass assignment.
+    """
+    seed = sorted(
+        (r["vec_id"], np.asarray(r["eq"], dtype=np.int64))
+        for r in eqs.filter(F.col("vec_id") < _KM_K).collect()
+    )
+    cids = [int(v) for v, _ in seed]
+    C = np.stack([c for _, c in seed])
+    inertias: list[int] = []
+
+    def partials_of(Cm):
+        cn = (Cm * Cm).sum(axis=1)
+
+        def gen(it):
+            for pdf in it:
+                E = np.stack(pdf["eq"].to_numpy()).astype(np.int64)
+                D = (
+                    (E * E).sum(axis=1)[:, None]
+                    - 2 * (E @ Cm.T)
+                    + cn[None, :]
+                )
+                a = D.argmin(axis=1)
+                d2 = D[np.arange(len(E)), a]
+                rows = {"ci": [], "cnt": [], "sd2": [], "sv": []}
+                for ci in range(len(Cm)):
+                    m = a == ci
+                    n = int(m.sum())
+                    if n == 0:
+                        continue
+                    rows["ci"].append(ci)
+                    rows["cnt"].append(n)
+                    rows["sd2"].append(str(int(d2[m].sum())))
+                    rows["sv"].append(
+                        [int(x) for x in E[m].sum(axis=0)]
+                    )
+                yield pd.DataFrame(rows)
+
+        return gen
+
+    for r in range(rounds + 1):
+        parts = (
+            eqs.select("eq")
+            .mapInPandas(
+                partials_of(C),
+                "ci int, cnt long, sd2 string, sv array<long>",
+            )
+            .collect()
+        )
+        inertias.append(sum(int(p["sd2"]) for p in parts))
+        if r < rounds:
+            cnt = [0] * len(C)
+            sv = [None] * len(C)
+            for p in parts:
+                ci = p["ci"]
+                cnt[ci] += p["cnt"]
+                v = np.asarray(p["sv"], dtype=object)
+                sv[ci] = v if sv[ci] is None else sv[ci] + v
+            new_ids, new_rows = [], []
+            for ci in range(len(C)):
+                if cnt[ci] == 0:
+                    continue  # empty cluster drops out (groupBy form)
+                new_ids.append(cids[ci])
+                new_rows.append(
+                    [_trunc_div(int(s), cnt[ci]) for s in sv[ci]]
+                )
+            cids = new_ids
+            C = np.array(new_rows, dtype=np.int64)
+    return inertias, cids, C
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Spark ``div`` / DuckDB ``//`` semantics: truncate toward zero
+    (Python ``//`` floors)."""
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q
+
+
+def _km_assign_df(eqs: DataFrame, cids, C) -> DataFrame:
+    """Final assignment pass against driver-known centroids —
+    (vec_id, cluster_id, d2), bit-identical to the argmin form."""
+    cn = (C * C).sum(axis=1)
+    idmap = np.asarray(cids, dtype=np.int64)
+
+    def gen(it):
+        for pdf in it:
+            E = np.stack(pdf["eq"].to_numpy()).astype(np.int64)
+            D = (
+                (E * E).sum(axis=1)[:, None]
+                - 2 * (E @ C.T)
+                + cn[None, :]
+            )
+            a = D.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cluster_id": idmap[a],
+                    "d2": D[np.arange(len(E)), a],
+                }
+            )
+
+    return eqs.select("vec_id", "eq").mapInPandas(
+        gen, "vec_id long, cluster_id long, d2 long"
+    )
+
+
 def _assemble_centroids(per_dim: DataFrame, key: str = "clabel") -> DataFrame:
     """(key, pos, cv) → (key, cq array): floor-div per-dim means back
     into position-ordered centroid arrays."""
@@ -1886,65 +2012,22 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("eq"),
     )
     eqs = pin(eqs)
-    cents = eqs.filter(F.col("vec_id") < _KM_K).select(
-        F.col("vec_id").alias("cluster_id"), F.col("eq").alias("cq")
+    # r10: driver-coordinated rounds (see _km_driver_rounds) — one
+    # vectorized pass per round, inertias as exact Python ints; the
+    # result relation is a pure literal (round int, inertia long)
+    inertias, _cids, _C = _km_driver_rounds(eqs, _KM_ROUNDS)
+    import pyspark.sql.types as T
+
+    return literal_df(
+        spark,
+        [(r, iv // 1000000) for r, iv in enumerate(inertias)],
+        T.StructType(
+            [
+                T.StructField("round", T.IntegerType()),
+                T.StructField("inertia_scaled", T.LongType()),
+            ]
+        ),
     )
-    d2 = F.aggregate(
-        F.zip_with("eq", "cq", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    out_rows = []
-    for r in range(_KM_ROUNDS + 1):
-        scored = eqs.join(F.broadcast(cents)).select(
-            "vec_id", "eq", F.col("cluster_id"), d2.alias("d2")
-        )
-        assigned = (
-            scored.groupBy("vec_id")
-            .agg(
-                F.min(
-                    F.struct(F.col("d2"), F.col("cluster_id"))
-                ).alias("b")
-            )
-            .select(
-                "vec_id",
-                F.col("b.cluster_id").alias("cluster_id"),
-                F.col("b.d2").alias("d2"),
-            )
-            .localCheckpoint(eager=False)
-        )
-        out_rows.append(
-            assigned.agg(
-                F.lit(r).alias("round"),
-                F.expr(
-                    "cast(sum(cast(d2 as decimal(38,0))) div 1000000 "
-                    "as long)"
-                ).alias("inertia_scaled"),
-            )
-        )
-        if r < _KM_ROUNDS:
-            upd = (
-                assigned.join(eqs, "vec_id")
-                .select("cluster_id", F.posexplode("eq").alias("pos", "v"))
-                .groupBy("cluster_id", "pos")
-                .agg(F.expr("sum(v) div count(1)").alias("cv"))
-            )
-            cents = (
-                upd.groupBy("cluster_id")
-                .agg(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("pos", "cv"))
-                        ),
-                        lambda s: s.getField("cv"),
-                    ).alias("cq")
-                )
-                .localCheckpoint(eager=False)
-            )
-    res = out_rows[0]
-    for o in out_rows[1:]:
-        res = res.unionByName(o)
-    return res
 
 
 # ---------- SemDeDup semantic-dedup flagship ----------
@@ -2082,37 +2165,11 @@ def dedup_semantic_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, "embeddings", sf_dir)
     eqs = pin(_quantized_eq(emb, with_label=False))
-    cents = eqs.filter(F.col("vec_id") < _KM_K).select(
-        F.col("vec_id").alias("cluster_id"), F.col("eq").alias("cq")
-    )
-    assigned = None
-    for r in range(_KM_ROUNDS + 1):
-        scored = eqs.join(F.broadcast(cents)).select(
-            "vec_id", "eq", "cluster_id", _int_d2().alias("d2")
-        )
-        assigned = (
-            scored.groupBy("vec_id")
-            .agg(F.min(F.struct("d2", "cluster_id")).alias("b"))
-            .select(
-                "vec_id",
-                F.col("b.cluster_id").alias("cluster_id"),
-                F.col("b.d2").alias("d2"),
-            )
-            .localCheckpoint(eager=False)
-        )
-        if r < _KM_ROUNDS:
-            upd = (
-                assigned.join(eqs, "vec_id")
-                .select(
-                    "cluster_id", F.posexplode("eq").alias("pos", "v")
-                )
-                .groupBy("cluster_id", "pos")
-                .agg(F.expr("sum(v) div count(1)").alias("cv"))
-            )
-            cents = _assemble_centroids(upd, "cluster_id").localCheckpoint(
-                eager=False
-            )
-    assigned = pin(assigned)
+    # r10: driver-coordinated k-means rounds + one vectorized final
+    # assignment pass (see _km_driver_rounds) — replaces the
+    # broadcast-join/argmin/per-dim-mean chain of lazy checkpoints
+    _inertias, km_cids, km_C = _km_driver_rounds(eqs, _KM_ROUNDS)
+    assigned = pin(_km_assign_df(eqs, km_cids, km_C))
 
     out_schema = StructType(
         [
