@@ -1570,57 +1570,8 @@ def text_bpe_train3(spark: SparkSession, sf_dir: str) -> DataFrame:
     Real BPE training (k≈30000 merges) runs this exact shape with the
     merge table growing by one row per round.
     """
-    wc = _word_counts(load(spark, "documents", sf_dir))
-    sp = wc.select(
-        F.concat(
-            F.lit(" "),
-            F.trim(F.regexp_replace(F.col("w"), "(.)", "$1  ")),
-            F.lit(" "),
-        ).alias("s"),
-        "wn",
-    )
-    pair_arr = F.expr(
-        "transform(sequence(1, greatest("
-        "size(split(trim(s), '  ')) - 1, 1)), "
-        "i -> concat(element_at(split(trim(s), '  '), i), ' ', "
-        "element_at(split(trim(s), '  '), i + 1)))"
-    )
-    steps = []
-    for step in (1, 2, 3):
-        pairs = (
-            sp.filter(F.size(F.split(F.trim("s"), "  ")) >= 2)
-            .select(F.explode(pair_arr).alias("pair"), "wn")
-        )
-        top1 = (
-            pairs.groupBy("pair")
-            .agg(F.sum("wn").cast("long").alias("n"))
-            .orderBy(F.desc("n"), "pair")
-            .limit(1)
-        )
-        steps.append(
-            top1.select(
-                F.lit(step).cast("long").alias("step"),
-                F.col("pair").alias("merged"),
-                "n",
-            )
-        )
-        if step < 3:
-            sp = (
-                sp.crossJoin(F.broadcast(top1.select("pair")))
-                .select(
-                    F.expr(
-                        "replace(s, "
-                        "concat(' ', replace(pair, ' ', '  '), ' '), "
-                        "concat(' ', replace(pair, ' ', ''), ' '))"
-                    ).alias("s"),
-                    "wn",
-                )
-                .localCheckpoint(eager=False)
-            )
-    out = steps[0]
-    for s_df in steps[1:]:
-        out = out.unionByName(s_df)
-    return out
+
+    return _bpe_train(spark, sf_dir, 3)
 
 
 # ---------- N-round BPE training (the depth-general loop) ----------
@@ -1698,41 +1649,42 @@ def _bpe_train(spark: SparkSession, sf_dir: str, n_rounds: int) -> DataFrame:
         "i -> concat(element_at(split(trim(s), '  '), i), ' ', "
         "element_at(split(trim(s), '  '), i + 1)))"
     )
-    steps = []
+    # r10: the per-round argmax is ONE bounded row — collect it, so
+    # (a) each round is one TakeOrdered job (the top1 subtree used to
+    # execute twice: once in the output branch, once broadcast into
+    # the rewrite), (b) the rewrite uses literal pattern strings, and
+    # (c) the merge table is a pure literal relation (the unioned
+    # top1 branches re-ran all n pair aggregates on EVERY action).
+    # An empty round leaves every later round empty in the crossJoin
+    # form — reproduced by the break.
+    steps_rows: list[tuple] = []
     for step in range(1, n_rounds + 1):
         pairs = sp.filter(
             F.size(F.split(F.trim("s"), "  ")) >= 2
         ).select(F.explode(pair_arr).alias("pair"), "wn")
-        top1 = (
+        top = (
             pairs.groupBy("pair")
             .agg(F.sum("wn").cast("long").alias("n"))
             .orderBy(F.desc("n"), "pair")
             .limit(1)
+            .collect()
         )
-        steps.append(
-            top1.select(
-                F.lit(step).cast("long").alias("step"),
-                F.col("pair").alias("merged"),
-                "n",
-            )
-        )
+        if not top:
+            break
+        pair_v, n_v = top[0]["pair"], top[0]["n"]
+        steps_rows.append((step, pair_v, n_v))
         if step < n_rounds:
-            sp = (
-                sp.crossJoin(F.broadcast(top1.select("pair")))
-                .select(
-                    F.expr(
-                        "replace(s, "
-                        "concat(' ', replace(pair, ' ', '  '), ' '), "
-                        "concat(' ', replace(pair, ' ', ''), ' '))"
-                    ).alias("s"),
-                    "wn",
-                )
-                .localCheckpoint(eager=False)
-            )
-    out = steps[0]
-    for s_df in steps[1:]:
-        out = out.unionByName(s_df)
-    return out
+            pat = " " + pair_v.replace(" ", "  ") + " "
+            rep = " " + pair_v.replace(" ", "") + " "
+            sp = sp.select(
+                F.replace(F.col("s"), F.lit(pat), F.lit(rep)).alias(
+                    "s"
+                ),
+                "wn",
+            ).localCheckpoint(eager=False)
+    return literal_df(
+        spark, steps_rows, "step long, merged string, n long"
+    )
 
 
 @register(
@@ -2505,7 +2457,7 @@ def text_wordpiece_train4(spark: SparkSession, sf_dir: str) -> DataFrame:
         "i -> concat(element_at(split(trim(s), '  '), i), ' ', "
         "element_at(split(trim(s), '  '), i + 1)))"
     )
-    steps = []
+    steps_rows: list[tuple] = []
     for step in range(1, _WP_TRAIN_N + 1):
         syms = (
             sp.select(
@@ -2543,34 +2495,31 @@ def text_wordpiece_train4(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("score_q"),
             )
         )
-        top1 = scored.orderBy(
+        # r10: driver-collected bounded argmax + literal rewrite +
+        # literal merge table (the _bpe_train rationale)
+        top = scored.orderBy(
             F.desc("score_q"), F.desc("n"), "pair"
-        ).limit(1)
-        steps.append(
-            top1.select(
-                F.lit(step).cast("long").alias("step"),
-                F.col("pair").alias("merged"),
-                "n",
-                "score_q",
-            )
+        ).limit(1).collect()
+        if not top:
+            break
+        pair_v = top[0]["pair"]
+        steps_rows.append(
+            (step, pair_v, top[0]["n"], top[0]["score_q"])
         )
         if step < _WP_TRAIN_N:
-            sp = (
-                sp.crossJoin(F.broadcast(top1.select("pair")))
-                .select(
-                    F.expr(
-                        "replace(s, "
-                        "concat(' ', replace(pair, ' ', '  '), ' '), "
-                        "concat(' ', replace(pair, ' ', ''), ' '))"
-                    ).alias("s"),
-                    "wn",
-                )
-                .localCheckpoint(eager=False)
-            )
-    out = steps[0]
-    for s_df in steps[1:]:
-        out = out.unionByName(s_df)
-    return out
+            pat = " " + pair_v.replace(" ", "  ") + " "
+            rep = " " + pair_v.replace(" ", "") + " "
+            sp = sp.select(
+                F.replace(F.col("s"), F.lit(pat), F.lit(rep)).alias(
+                    "s"
+                ),
+                "wn",
+            ).localCheckpoint(eager=False)
+    return literal_df(
+        spark,
+        steps_rows,
+        "step long, merged string, n long, score_q long",
+    )
 
 
 # ---------- generation-eval metrics: ROUGE-N and BLEU ----------

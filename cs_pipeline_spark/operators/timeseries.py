@@ -2989,45 +2989,14 @@ def ts_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def stomp(pdf):
-        import numpy as np
         import pandas as pd
 
         pdf = pdf.sort_values("hr")
-        y = pdf["y"].to_numpy(dtype=np.int64)
-        n = len(y)
-        nw = n - _MP_M + 1
-        cols = ["event_type", "win_start", "mp_dist2", "mp_index"]
-        if nw < 1:
-            return pd.DataFrame({c: [] for c in cols})
-        c2 = np.concatenate(([0], np.cumsum(y * y)))
-        ss = c2[_MP_M:] - c2[:-_MP_M]  # length nw
-        best_d2 = np.zeros(nw, dtype=np.int64)
-        best_j = np.zeros(nw, dtype=np.int64)
-        seen = np.zeros(nw, dtype=bool)
-        for d in range(_MP_EXCL, n):
-            k = nw - d  # valid window pairs (i, i+d), i = 0..k-1
-            if k <= 0:
-                break
-            p = y[: n - d] * y[d:]
-            cp = np.concatenate(([0], np.cumsum(p)))
-            dot = cp[_MP_M : _MP_M + k] - cp[:k]
-            d2 = ss[:k] + ss[d : d + k] - 2 * dot
-            ii = np.arange(1, k + 1, dtype=np.int64)  # 1-based i
-            jj = ii + d
-            # role a: window i sees neighbor j = i + d
-            ta, ja, sa = best_d2[:k], best_j[:k], seen[:k]
-            up = (~sa) | (d2 < ta) | ((d2 == ta) & (jj < ja))
-            best_d2[:k] = np.where(up, d2, ta)
-            best_j[:k] = np.where(up, jj, ja)
-            seen[:k] = True
-            # role b: window j sees neighbor i = j - d
-            tb = best_d2[d : d + k]
-            jb = best_j[d : d + k]
-            sb = seen[d : d + k]
-            up = (~sb) | (d2 < tb) | ((d2 == tb) & (ii < jb))
-            best_d2[d : d + k] = np.where(up, d2, tb)
-            best_j[d : d + k] = np.where(up, ii, jb)
-            seen[d : d + k] = True
+        best_d2, best_j, seen = _stomp_core(
+            pdf["y"].to_numpy(dtype="int64")
+        )
+        import numpy as np
+
         idx = np.nonzero(seen)[0]
         return pd.DataFrame(
             {
@@ -3043,6 +3012,50 @@ def ts_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type string, win_start long, mp_dist2 long, "
         "mp_index long",
     )
+
+
+def _stomp_core(y):
+    """Int64 STOMP over one series: per window (1-based), the exact
+    squared distance and index of its (d2, j)-lexicographic nearest
+    admissible neighbor (|j−i| ≥ _MP_EXCL). All arithmetic int64;
+    ``seen`` marks windows with at least one admissible pair."""
+    import numpy as np
+
+    n = len(y)
+    nw = n - _MP_M + 1
+    if nw < 1:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, np.zeros(0, dtype=bool)
+    c2 = np.concatenate(([0], np.cumsum(y * y)))
+    ss = c2[_MP_M:] - c2[:-_MP_M]  # length nw
+    best_d2 = np.zeros(nw, dtype=np.int64)
+    best_j = np.zeros(nw, dtype=np.int64)
+    seen = np.zeros(nw, dtype=bool)
+    for d in range(_MP_EXCL, n):
+        k = nw - d  # valid window pairs (i, i+d), i = 0..k-1
+        if k <= 0:
+            break
+        p = y[: n - d] * y[d:]
+        cp = np.concatenate(([0], np.cumsum(p)))
+        dot = cp[_MP_M : _MP_M + k] - cp[:k]
+        d2 = ss[:k] + ss[d : d + k] - 2 * dot
+        ii = np.arange(1, k + 1, dtype=np.int64)  # 1-based i
+        jj = ii + d
+        # role a: window i sees neighbor j = i + d
+        ta, ja, sa = best_d2[:k], best_j[:k], seen[:k]
+        up = (~sa) | (d2 < ta) | ((d2 == ta) & (jj < ja))
+        best_d2[:k] = np.where(up, d2, ta)
+        best_j[:k] = np.where(up, jj, ja)
+        seen[:k] = True
+        # role b: window j sees neighbor i = j - d
+        tb = best_d2[d : d + k]
+        jb = best_j[d : d + k]
+        sb = seen[d : d + k]
+        up = (~sb) | (d2 < tb) | ((d2 == tb) & (ii < jb))
+        best_d2[d : d + k] = np.where(up, d2, tb)
+        best_j[d : d + k] = np.where(up, ii, jb)
+        seen[d : d + k] = True
+    return best_d2, best_j, seen
 
 
 # ---------- Granger causality (lag-1, F-test) ----------
