@@ -126,10 +126,32 @@ def ingest_incremental_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, "embeddings", sf_dir)
     # pin each stage output: the funnel derives several aggregates
     # from each (pairs feeds 4 branches) — without the pin every
-    # branch re-executes the full LSH/IVF pipeline
-    pairs = pin(dedup_lsh_incremental(spark, sf_dir))
-    search = pin(sim_ivf_incremental(spark, sf_dir))
-    retrain = pin(sim_ivf_retrain(spark, sf_dir))
+    # branch re-executes the full LSH/IVF pipeline.
+    # The three index builds are INDEPENDENT (different persisted
+    # artifacts, no shared state beyond the memoized scan), so their
+    # build-time work and cache materialization overlap from a small
+    # thread pool (guide §2.6: back-fill idle executors with the next
+    # independent job). Each registered sub-builder pushes its own
+    # pin-stack key in its worker thread, so internal pins still tie
+    # to the right LRU entries; the outer pins below tie to this
+    # flagship's entry exactly as before.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        futs = [
+            ex.submit(fn, spark, sf_dir)
+            for fn in (
+                dedup_lsh_incremental,
+                sim_ivf_incremental,
+                sim_ivf_retrain,
+            )
+        ]
+        # pin on THIS thread (the pin stack is thread-local — in a
+        # worker it would be empty and pin() degrades to a no-op),
+        # then materialize the three caches concurrently
+        pairs, search, retrain = (pin(f.result()) for f in futs)
+        for _ in ex.map(lambda d: d.count(), (pairs, search, retrain)):
+            pass
 
     is_b = lambda c: F.col(c) % _MOD == 0  # noqa: E731
     dup_vecs = (
