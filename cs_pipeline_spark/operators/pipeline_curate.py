@@ -147,8 +147,14 @@ def curate_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate unpivoted with stack(), replacing 3 pins + 9
     # single-row aggregate branches (~12 sequential jobs of
     # scheduling latency). The near-dup/decontam id-sets stay their
-    # own (small) subtrees, attached to the flags row by broadcast
-    # left joins — counts are identical set algebra.
+    # own subtrees, attached to the flags row by left joins (no
+    # broadcast hint — they grow with the corpus; AQE broadcasts
+    # while small). Hashed-gram collision contract (ADVICE r10):
+    # 3/4-gram xxhash64 collisions can only OVER-flag (extra
+    # near-dup/contamination hits) at a birthday rate of n²/2⁶⁵
+    # distinct grams — ~10⁻⁷ of grams at 10¹³ grams (100 TB); a
+    # removal pass tolerates that, pair two independent salts if
+    # deletion precision ever becomes contractual.
     docs = load(spark, "documents", sf_dir)
     base = docs.select(
         "doc_id",
@@ -231,7 +237,10 @@ def curate_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select("doc_id", F.lit(1).alias("nr"))
     )
-    with_nr = ann.join(F.broadcast(near_removed), "doc_id", "left")
+    # no broadcast hint: the removed-id set grows with the corpus
+    # (ADVICE r10) — AQE picks broadcast at runtime while the pinned
+    # set is small and falls back to a shuffle join past the threshold
+    with_nr = ann.join(near_removed, "doc_id", "left")
     kept_near = F.col("kept_exact") & F.col("nr").isNull()
 
     # decontamination: 4-gram overlap vs the held-out set (hashed
@@ -254,6 +263,8 @@ def curate_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("g"),
         )
+        # bench_g broadcast is safe: the held-out benchmark suite is a
+        # curated BOUNDED input (thousands of docs), not corpus-scale
         .join(F.broadcast(bench_g), "g")
         .select("doc_id")
         .distinct()
@@ -267,7 +278,8 @@ def curate_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept_dk = kept_near & F.col("ct").isNull()
     cnt = lambda c, name: F.count(F.when(c, 1)).alias(name)  # noqa: E731
     row = (
-        with_nr.join(F.broadcast(contam), "doc_id", "left")
+        # contam also grows with the corpus — same no-hint rationale
+        with_nr.join(contam, "doc_id", "left")
         .select(
             "is_bench",
             "is_q",

@@ -1819,6 +1819,15 @@ def _km_driver_rounds(eqs: DataFrame, rounds: int):
         (r["vec_id"], np.asarray(r["eq"], dtype=np.int64))
         for r in eqs.filter(F.col("vec_id") < _KM_K).collect()
     )
+    if not seed:
+        # Empty seed set (empty table, or no vec_id < k): the oracle's
+        # per-round SUM(d2) over the empty assignment is NULL, and the
+        # previous relational plan emitted rounds+1 NULL-inertia rows.
+        # np.stack over [] would raise instead (ADVICE r10) — return
+        # the NULL trace and an empty centroid matrix explicitly.
+        return [None] * (rounds + 1), [], np.zeros(
+            (0, _KM_DIM), dtype=np.int64
+        )
     cids = [int(v) for v, _ in seed]
     C = np.stack([c for _, c in seed])
     inertias: list[int] = []
@@ -1828,6 +1837,8 @@ def _km_driver_rounds(eqs: DataFrame, rounds: int):
 
         def gen(it):
             for pdf in it:
+                if len(pdf) == 0:
+                    continue
                 E = np.stack(pdf["eq"].to_numpy()).astype(np.int64)
                 D = (
                     (E * E).sum(axis=1)[:, None]
@@ -1844,7 +1855,13 @@ def _km_driver_rounds(eqs: DataFrame, rounds: int):
                         continue
                     rows["ci"].append(ci)
                     rows["cnt"].append(n)
-                    rows["sd2"].append(str(int(d2[m].sum())))
+                    # object-dtype sum = arbitrary-precision Python
+                    # ints BEFORE the string cast: per-row d2 reaches
+                    # ~1e15 (|eq| ≤ 2e6, d = 64), so an int64
+                    # accumulator wraps past ~1e4 rows/partition —
+                    # the string carrier protects nothing if the sum
+                    # already wrapped (ADVICE r10).
+                    rows["sd2"].append(str(int(d2[m].astype(object).sum())))
                     rows["sv"].append(
                         [int(x) for x in E[m].sum(axis=0)]
                     )
@@ -1897,6 +1914,10 @@ def _km_assign_df(eqs: DataFrame, cids, C) -> DataFrame:
     idmap = np.asarray(cids, dtype=np.int64)
 
     def gen(it):
+        if len(idmap) == 0:
+            # no centroids (empty seed set): the oracle's final-round
+            # assignment CTE is empty — emit nothing
+            return
         for pdf in it:
             E = np.stack(pdf["eq"].to_numpy()).astype(np.int64)
             D = (
@@ -2020,7 +2041,10 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return literal_df(
         spark,
-        [(r, iv // 1000000) for r, iv in enumerate(inertias)],
+        [
+            (r, None if iv is None else iv // 1000000)
+            for r, iv in enumerate(inertias)
+        ],
         T.StructType(
             [
                 T.StructField("round", T.IntegerType()),

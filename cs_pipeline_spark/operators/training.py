@@ -503,7 +503,16 @@ def dedup_substring_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join, so they don't ride the shuffle either; cut stage 2.4 →
     1.5 s at sf0.1). The digest only decides anchor equality and
     never leaves the stage, so the oracle's md5 keys give identical
-    spans absent a 64-bit collision. The count pass is map-side
+    spans absent a 64-bit collision. Collision rate at scale
+    (birthday bound, n distinct windows): expected false-duplicate
+    anchors ≈ n²/2⁶⁵ — negligible at 2³² windows (~0.5 expected
+    collisions over 4·10⁹ windows), but at a 100 TB corpus
+    (~10¹³ windows) ≈ 2.7·10⁶ colliding pairs, i.e. ~10⁻⁷ of
+    windows falsely flagged. Since a collision only OVER-removes
+    (never under-removes) and each costs ≤ 2k+ spurious tokens cut,
+    that is ~10⁻⁷ of the corpus — acceptable for a removal pass; if
+    deletion precision ever matters, salt-and-pair two independent
+    64-bit hashes (collision odds then n²/2¹²⁹). The count pass is map-side
     combined; the join back rides the same digest partitioning
     (dedup_span_corpus shape) with the duplicated-anchor filter
     applied to the aggregated side BEFORE the join. The gap-merge
