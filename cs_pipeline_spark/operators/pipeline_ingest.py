@@ -345,11 +345,12 @@ def lake_audit_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     head snapshot's live files/records). Composition by reference —
     the crawl_ingest_e2e contract.
 
-    Scale: all three inputs are metadata-sized reads (footers, block
-    headers, commit JSON); the flagship adds 1-row aggregates and a
-    9-row union. This is the nightly lake-health job.
+    Scale: all inputs are metadata-sized reads (footers, block
+    headers, commit JSON); the flagship runs one 1-row aggregate per
+    layer as concurrent jobs (guide §2.6) and returns the bounded
+    25-row report as a literal relation. This is the nightly
+    lake-health job.
     """
-    from cs_pipeline_spark.registry import pin
     from cs_pipeline_spark.sources.avro_ocf import scan_avro_blocks
     from cs_pipeline_spark.sources.delta_dv import scan_delta_dv
     from cs_pipeline_spark.sources.delta_log import scan_delta_log
@@ -368,15 +369,16 @@ def lake_audit_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         scan_parquet_data_pages,
     )
 
-    pq = pin(scan_parquet_footer(spark, sf_dir))
-    av = pin(scan_avro_blocks(spark, sf_dir))
-    dl = pin(scan_delta_log(spark, sf_dir))
-    ic = pin(scan_iceberg_manifest(spark, sf_dir))
-    pp = pin(scan_parquet_data_pages(spark, sf_dir))
-    oc = pin(scan_orc_postscript(spark, sf_dir))
-    hu = pin(scan_hudi_timeline(spark, sf_dir))
-    dv = pin(scan_delta_dv(spark, sf_dir))
-    idl = pin(scan_iceberg_deletes(spark, sf_dir))
+    # r11: no pins — each input feeds exactly ONE aggregate job (the
+    # stack rewrite already folded the per-metric branches), so the
+    # cache write was pure cold overhead; sub-builder calls happen in
+    # the pool workers below so the 9 decode plans construct and run
+    # concurrently (guide §2.6).
+    pq, av, dl = scan_parquet_footer, scan_avro_blocks, scan_delta_log
+    ic, pp, oc = (
+        scan_iceberg_manifest, scan_parquet_data_pages, scan_orc_postscript
+    )
+    hu, dv, idl = scan_hudi_timeline, scan_delta_dv, scan_iceberg_deletes
 
     # ONE aggregate per input + stack() unpivot (guide §1.2 — fewer
     # passes): the previous shape ran one aggregate BRANCH per metric
@@ -388,20 +390,18 @@ def lake_audit_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # equal versions fall back to max metric, which is exactly what
     # MAX over the version-filtered rows returned). 25 output rows,
     # same labels, same values.
-    def block(df: DataFrame, metrics) -> DataFrame:
-        agg = df.agg(
-            *[c.alias(f"m{i}") for i, (_, _, c) in enumerate(metrics)]
+    def block(builder, metrics) -> list:
+        agg = builder(spark, sf_dir).agg(
+            *[
+                c.cast("long").alias(f"m{i}")
+                for i, (_, _, c) in enumerate(metrics)
+            ]
         )
-        stack = ", ".join(
-            f"'{lay}', '{met}', cast(m{i} as long)"
+        row = agg.collect()[0]
+        return [
+            (lay, met, row[f"m{i}"])
             for i, (lay, met, _) in enumerate(metrics)
-        )
-        return agg.select(
-            F.expr(
-                f"stack({len(metrics)}, {stack}) "
-                "as (layer, metric, value)"
-            )
-        )
+        ]
 
     def at_head(version_col: str, metric_col: str) -> F.Column:
         return F.max(F.struct(F.col(version_col), F.col(metric_col)))[
@@ -409,19 +409,19 @@ def lake_audit_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
 
     dl_head = at_head("version", "n_live_files")
-    parts = [
-        block(pq, [
+    blocks = [
+        (pq, [
             ("parquet", "row_groups", F.count(F.lit(1))),
             ("parquet", "rows", F.sum("num_rows")),
             ("parquet", "non_snappy_chunks",
              F.sum(F.col("n_chunks") - F.col("n_snappy_chunks"))),
         ]),
-        block(av, [
+        (av, [
             ("avro", "blocks", F.sum("n_blocks")),
             ("avro", "rows", F.sum("n_rows")),
             ("avro", "deflate_files", F.sum("deflate")),
         ]),
-        block(dl, [
+        (dl, [
             ("log", "versions", F.count(F.lit(1))),
             ("log", "live_files_head", dl_head),
             ("log", "net_file_growth",
@@ -429,14 +429,14 @@ def lake_audit_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.when(F.col("version") == 0, F.col("n_live_files"))
              )),
         ]),
-        block(ic, [
+        (ic, [
             ("iceberg", "snapshots", F.count(F.lit(1))),
             ("iceberg", "live_files_head",
              at_head("snapshot_id", "n_live_files")),
             ("iceberg", "live_records_head",
              at_head("snapshot_id", "live_records")),
         ]),
-        block(pp, [
+        (pp, [
             ("parquet", "rows_page_verified",
              F.sum(
                  F.when(F.col("rows_match") == 1, F.col("rows_decoded"))
@@ -445,20 +445,20 @@ def lake_audit_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("parquet", "page_mismatch_files",
              F.sum(1 - F.col("rows_match"))),
         ]),
-        block(oc, [
+        (oc, [
             ("orc", "files", F.count(F.lit(1))),
             ("orc", "rows", F.sum("n_rows")),
             ("orc", "stripe_mismatch_files",
              F.sum(1 - F.col("rows_match"))),
         ]),
-        block(hu, [
+        (hu, [
             ("hudi", "instants", F.count(F.lit(1))),
             ("hudi", "file_groups_head",
              at_head("instant", "n_file_groups")),
             ("hudi", "records_head",
              at_head("instant", "total_records")),
         ]),
-        block(dv, [
+        (dv, [
             ("dv", "files_with_dv",
              F.sum(
                  F.when(F.col("dv_cardinality") > 0, 1).otherwise(0)
@@ -466,15 +466,21 @@ def lake_audit_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("dv", "deleted_rows", F.sum("dv_cardinality")),
             ("dv", "live_rows", F.sum("live_rows")),
         ]),
-        block(idl, [
+        (idl, [
             ("iceberg", "pos_deletes_applied", F.sum("n_pos_deletes")),
             ("iceberg", "mor_live_rows", F.sum("live_rows")),
         ]),
     ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    from concurrent.futures import ThreadPoolExecutor
+
+    from cs_pipeline_spark.operators.helpers import literal_df
+
+    with ThreadPoolExecutor(max_workers=9) as ex:
+        futs = [ex.submit(block, builder, m) for builder, m in blocks]
+        rows = [r for f in futs for r in f.result()]
+    return literal_df(
+        spark, rows, "layer string, metric string, value long"
+    )
 
 
 # ---------- flagship #11: wire/interchange format triage ----------

@@ -435,106 +435,72 @@ def mm_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pairing stage is bucket-joined on hash prefixes (band the 56
     bits into 4×14-bit keys — the dedup_simhash chunk-bucket shape),
     never a cross join.
+
+    r11 shape (guide §1.2/§2.4): the previous relational pipeline ran
+    per-pixel luma groupBy → grid join → adjacent-sample join →
+    pairwise bit join (~10 shuffle stages of pure scheduling latency
+    over a few hundred pixel rows, 1.2–1.7 s cold). The hash is now
+    computed INSIDE the decode pass (same integer arithmetic:
+    l = Σ v·{{299,587,114}} div 1000 — identity for 1-channel; grid
+    x = k·w div 8, y = j·h div 8; bit_jk = l(y_j, x_{{k+1}}) >
+    l(y_j, x_k); dh = Σ bit·2^(j·7+k)), and the pairwise Hamming is
+    ``bit_count(dhash_a ^ dhash_b)`` — equal to Σ (bit_a ≠ bit_b)
+    because the packing is positional. One map pass + one bounded
+    6-row broadcast self-join; the oracle's bit-level recompute is
+    unchanged.
     """
-    px = decode_png_df(spark, _scratch(sf_dir, "real_pngs"))
-    lum = (
-        px.groupBy("fname", "width", "height", "channels", "y", "x")
-        .agg(
-            F.sum(
-                F.when(F.col("channels") == 1, F.col("v")).otherwise(
-                    F.col("v")
-                    * F.when(F.col("c") == 0, 299)
-                    .when(F.col("c") == 1, 587)
-                    .otherwise(114)
+    import numpy as np
+
+    from cs_pipeline_spark.registry import pin
+
+    def dhash_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            names: list[str] = []
+            dhs: list[int] = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                w, h, ch, vals = decode_png(bytes(content))
+                a = np.asarray(vals, dtype=np.int64).reshape(h, w, ch)
+                if ch == 1:
+                    lum = a[:, :, 0]
+                else:
+                    wts = np.array([299, 587, 114], dtype=np.int64)
+                    lum = (a * wts).sum(axis=2) // 1000
+                ys = (np.arange(_DH_G) * h) // _DH_G
+                xs = (np.arange(_DH_G) * w) // _DH_G
+                ls = lum[np.ix_(ys, xs)]
+                bits = (ls[:, 1:] > ls[:, :-1]).astype(np.int64)
+                sh = (
+                    np.arange(_DH_G)[:, None] * (_DH_G - 1)
+                    + np.arange(_DH_G - 1)[None, :]
                 )
-            ).alias("lsum")
-        )
-        .select(
-            "fname",
-            "width",
-            "height",
-            "y",
-            "x",
-            F.when(
-                F.col("channels") == 1, F.col("lsum")
-            )
-            .otherwise(F.expr("lsum div 1000"))
-            .alias("l"),
+                names.append(path.rsplit("/", 1)[-1])
+                dhs.append(int((bits << sh).sum()))
+            yield pd.DataFrame({"fname": names, "dh": dhs})
+
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .load(_scratch(sf_dir, "real_pngs"))
+    )
+    # pinned: both sides of the bounded self-join read this 6-row
+    # frame — without the pin the decode map executes twice per action
+    hashes = pin(
+        bf.select("path", "content").mapInPandas(
+            dhash_batches, schema="fname string, dh long"
         )
     )
-    g = F.lit(_DH_G)
-    grid = (
-        lum.select("fname", "width", "height")
-        .distinct()
-        .select(
-            "fname",
-            "width",
-            "height",
-            F.explode(F.sequence(F.lit(0), g - 1)).alias("j"),
-        )
-        .select(
-            "fname",
-            "width",
-            "height",
-            "j",
-            F.explode(F.sequence(F.lit(0), g - 1)).alias("k"),
-        )
-        .select(
-            "fname",
-            "j",
-            "k",
-            F.expr(f"(k * width) div {_DH_G}").alias("x"),
-            F.expr(f"(j * height) div {_DH_G}").alias("y"),
-        )
+    a = hashes.select(
+        F.col("fname").alias("fname_a"), F.col("dh").alias("dhash_a")
     )
-    samples = grid.join(lum.select("fname", "y", "x", "l"), ["fname", "y", "x"])
-    a = samples.filter(F.col("k") < _DH_G - 1).select(
-        "fname", "j", "k", F.col("l").alias("la")
+    b = hashes.select(
+        F.col("fname").alias("fname_b"), F.col("dh").alias("dhash_b")
     )
-    b = samples.select(
-        "fname", "j", (F.col("k") - 1).alias("k"), F.col("l").alias("lb")
-    )
-    bits = a.join(b, ["fname", "j", "k"]).select(
-        "fname",
-        "j",
-        "k",
-        F.when(F.col("lb") > F.col("la"), 1).otherwise(0).alias("bit"),
-    )
-    hashes = bits.groupBy("fname").agg(
-        F.sum(
-            F.col("bit")
-            * F.expr(f"shiftleft(1L, cast(j * {_DH_G - 1} + k as int))")
-        )
-        .cast("long")
-        .alias("dh")
-    )
-    ham = (
-        bits.alias("a")
-        .join(
-            bits.alias("b"),
-            (F.col("a.j") == F.col("b.j"))
-            & (F.col("a.k") == F.col("b.k"))
-            & (F.col("a.fname") < F.col("b.fname")),
-        )
-        .groupBy(F.col("a.fname").alias("fname_a"), F.col("b.fname").alias("fname_b"))
-        .agg(
-            F.sum(
-                F.when(F.col("a.bit") != F.col("b.bit"), 1).otherwise(0)
-            )
-            .cast("long")
-            .alias("hamming")
-        )
-    )
-    return (
-        ham.join(
-            hashes.select(F.col("fname").alias("fname_a"), F.col("dh").alias("dhash_a")),
-            "fname_a",
-        )
-        .join(
-            hashes.select(F.col("fname").alias("fname_b"), F.col("dh").alias("dhash_b")),
-            "fname_b",
-        )
-        .select("fname_a", "fname_b", "dhash_a", "dhash_b", "hamming")
+    return a.join(b, F.col("fname_a") < F.col("fname_b")).select(
+        "fname_a",
+        "fname_b",
+        "dhash_a",
+        "dhash_b",
+        F.expr("bit_count(dhash_a ^ dhash_b)").cast("long").alias("hamming"),
     )
 
 
