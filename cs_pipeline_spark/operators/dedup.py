@@ -959,39 +959,59 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero-pairs collapse the old exclusion guard caused.
     """
     emb = load(spark, "embeddings", sf_dir).select("vec_id", "embedding")
-    # pinned: the 4-band self-join pattern reads this frame 8 times;
-    # keys come from the vectorized numpy pass (bit-identical to the
+    # pinned: both sides of the fused self-join read this frame; keys
+    # come from the vectorized numpy pass (bit-identical to the
     # expression path — see _band_keys)
     keyed = pin(_band_keys(emb))
-    cands = None
-    for b in range(_LSH_BANDS):
-        band = keyed.select("vec_id", F.col(f"k{b}").alias("bkt"))
-        sizes = band.groupBy("bkt").agg(
-            F.count(F.lit(1)).alias("sz"), F.min("vec_id").alias("rep")
+    # r11 multi-band fusion (guide §2.3/§2.4): the band index rides
+    # the key — ONE stack() unpivot to (vec_id, b, bkt), ONE bucket-
+    # size aggregate, ONE broadcast, ONE self-join on (b, bkt) replace
+    # the 4 per-band rounds (4 aggregates + 4 broadcasts + 4 self-
+    # joins + 7 unions). Pairs from different bands carry different b
+    # so the per-band pair sets are exactly the old union branches;
+    # the same final distinct() dedups across bands.
+    stack = ", ".join(f"{b}, k{b}" for b in range(_LSH_BANDS))
+    bands = keyed.select(
+        "vec_id",
+        F.expr(f"stack({_LSH_BANDS}, {stack}) as (b, bkt)"),
+    )
+    sizes = bands.groupBy("b", "bkt").agg(
+        F.count(F.lit(1)).alias("sz"), F.min("vec_id").alias("rep")
+    )
+    tagged = bands.join(F.broadcast(sizes), ["b", "bkt"])
+    bounded = tagged.filter(F.col("sz") <= _LSH_BUCKET_CAP).select(
+        "b", "bkt", "vec_id"
+    )
+    pairs = (
+        bounded.alias("a")
+        .join(bounded.alias("b2"), ["b", "bkt"])
+        .filter(F.col("a.vec_id") < F.col("b2.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("va"), F.col("b2.vec_id").alias("vb")
         )
-        tagged = band.join(F.broadcast(sizes), "bkt")
-        bounded = tagged.filter(F.col("sz") <= _LSH_BUCKET_CAP).select(
-            "bkt", "vec_id"
+    )
+    star = (
+        tagged.filter(F.col("sz") > _LSH_BUCKET_CAP)
+        .filter(F.col("vec_id") != F.col("rep"))
+        .select(
+            F.col("rep").alias("va"),  # rep = min ⇒ rep < vec_id
+            F.col("vec_id").alias("vb"),
         )
-        pairs = (
-            bounded.alias("a")
-            .join(bounded.alias("b"), "bkt")
-            .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-            .select(
-                F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb")
-            )
-        )
-        star = (
-            tagged.filter(F.col("sz") > _LSH_BUCKET_CAP)
-            .filter(F.col("vec_id") != F.col("rep"))
-            .select(
-                F.col("rep").alias("va"),  # rep = min ⇒ rep < vec_id
-                F.col("vec_id").alias("vb"),
-            )
-        )
-        pairs = pairs.union(star)
-        cands = pairs if cands is None else cands.union(pairs)
-    cands = cands.distinct()
+    )
+    # explicit scale-adaptive partitioning for the verify stage: the
+    # candidate shuffle is tiny in BYTES (two int64s/row) but the
+    # downstream exact-cosine projection is ~2048 interpreted ops per
+    # row, and AQE's byte-based coalescing (minPartitionSize 1 MB)
+    # collapses it to ~3 partitions — serializing the verify (measured
+    # +1.4 s at sf0.1). A user-specified repartition by the pair key
+    # is exempt from coalescing, feeds dropDuplicates without a second
+    # exchange (same hashpartitioning), and scales with the cluster
+    # via defaultParallelism (guide §2.5: cheap-bytes/expensive-cpu
+    # stages must not be sized by bytes).
+    dp = spark.sparkContext.defaultParallelism
+    cands = (
+        pairs.union(star).repartition(dp, "va", "vb").dropDuplicates()
+    )
     # Hydrate the norm alongside the vector: sqrt(qdot(e,e)) is computed
     # once per VECTOR here instead of twice per PAIR inside the verify —
     # same float values (identical expression on identical data), 3×
@@ -1105,41 +1125,50 @@ def dedup_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_new", F.lit(False)
     )
     keys = pin(idx.unionByName(new_keys))
-    cands = None
-    for b in range(_LSH_BANDS):
-        band = keys.select(
-            "vec_id", F.col(f"k{b}").alias("bkt"), "is_new"
+    # r11 multi-band fusion — same rewrite as dedup_embedding_lsh:
+    # the band index rides the key, one aggregate/broadcast/self-join
+    # replaces the 4 per-band rounds; per-band pair sets are identical
+    # (different b never collide) and the final distinct() is the same
+    # cross-band dedup.
+    stack = ", ".join(f"{b}, k{b}" for b in range(_LSH_BANDS))
+    bands = keys.select(
+        "vec_id",
+        "is_new",
+        F.expr(f"stack({_LSH_BANDS}, {stack}) as (b, bkt)"),
+    )
+    sizes = bands.groupBy("b", "bkt").agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.min(F.struct("vec_id", "is_new")).alias("r"),
+    )
+    tagged = bands.join(F.broadcast(sizes), ["b", "bkt"])
+    bounded = tagged.filter(F.col("sz") <= _LSH_BUCKET_CAP).select(
+        "b", "bkt", "vec_id", "is_new"
+    )
+    pairs = (
+        bounded.alias("a")
+        .join(bounded.alias("b2"), ["b", "bkt"])
+        .filter(F.col("a.vec_id") < F.col("b2.vec_id"))
+        .filter(F.col("a.is_new") | F.col("b2.is_new"))
+        .select(
+            F.col("a.vec_id").alias("va"),
+            F.col("b2.vec_id").alias("vb"),
         )
-        sizes = band.groupBy("bkt").agg(
-            F.count(F.lit(1)).alias("sz"),
-            F.min(F.struct("vec_id", "is_new")).alias("r"),
+    )
+    star = (
+        tagged.filter(F.col("sz") > _LSH_BUCKET_CAP)
+        .filter(F.col("vec_id") != F.col("r.vec_id"))
+        .filter(F.col("is_new") | F.col("r.is_new"))
+        .select(
+            F.col("r.vec_id").alias("va"),
+            F.col("vec_id").alias("vb"),
         )
-        tagged = band.join(F.broadcast(sizes), "bkt")
-        bounded = tagged.filter(F.col("sz") <= _LSH_BUCKET_CAP).select(
-            "bkt", "vec_id", "is_new"
-        )
-        pairs = (
-            bounded.alias("a")
-            .join(bounded.alias("b"), "bkt")
-            .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-            .filter(F.col("a.is_new") | F.col("b.is_new"))
-            .select(
-                F.col("a.vec_id").alias("va"),
-                F.col("b.vec_id").alias("vb"),
-            )
-        )
-        star = (
-            tagged.filter(F.col("sz") > _LSH_BUCKET_CAP)
-            .filter(F.col("vec_id") != F.col("r.vec_id"))
-            .filter(F.col("is_new") | F.col("r.is_new"))
-            .select(
-                F.col("r.vec_id").alias("va"),
-                F.col("vec_id").alias("vb"),
-            )
-        )
-        pairs = pairs.union(star)
-        cands = pairs if cands is None else cands.union(pairs)
-    cands = cands.distinct()
+    )
+    # same scale-adaptive repartition rationale as dedup_embedding_lsh
+    # (the verify projection must not be byte-coalesced serial)
+    dp = spark.sparkContext.defaultParallelism
+    cands = (
+        pairs.union(star).repartition(dp, "va", "vb").dropDuplicates()
+    )
     hyd = pin(
         emb.withColumn(
             "nrm", F.sqrt(qdot(F.col("embedding"), F.col("embedding")))
