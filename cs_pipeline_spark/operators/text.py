@@ -2916,33 +2916,6 @@ _CHRF_NS = (1, 2, 3)
 _CHRF_BETA2 = 4  # β = 2 → β² = 4: recall weighted 4× precision
 
 
-def _chrf_cgrams(n: int) -> str:
-    """PACKED char n-grams over the codepoint array `cs` (one
-    ``transform(split(s, ''), ascii)`` per doc): each gram is the
-    exact codepoint-packed int64 Σ code(s[k+j])·2^(21·(n−1−j)) —
-    collision-free (codepoints fit 21 bits, n ≤ 3 → 63 bits), so the
-    shuffle/join key is an int64 instead of a string (smaller rows,
-    faster hashing at 100 TB). The ORACLE keeps plain substring
-    grams — the packed key is internal; only aggregates leave this
-    stage, so the hash check is unaffected. Array reads are O(1);
-    the previous ``ascii(substring(s, k+j, 1))`` form re-scanned the
-    UTF8String from the start per position (O(len²) per doc — r10,
-    guide §1.2 per-task work: chrf explode 4.5 → 1.1 s at sf0.1).
-    Spark's sequence(1, 0) is DESCENDING [1, 0] (the shingles
-    guard), so short strings take the explicit empty branch."""
-    pack = " + ".join(
-        f"element_at(cs, k + {j})"
-        f" * cast({1 << (21 * (n - 1 - j))} as bigint)"
-        for j in range(n)
-    )
-    return (
-        f"CASE WHEN size(cs) >= {n} THEN "
-        f"transform(sequence(1, size(cs) - {n} + 1), "
-        f"k -> {pack}) "
-        f"ELSE cast(array() as array<bigint>) END"
-    )
-
-
 def _chrf_grams_sql() -> str:
     branches = " UNION ALL ".join(
         f"SELECT doc_id, {n} AS n, "
@@ -3012,62 +2985,94 @@ def text_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     4P+R denominator would be 0/0 otherwise. Pairs where either side
     lacks n-grams at a width drop that width's row (ROUGE handling).
 
-    Scale: identical shape to text_rouge_n — gram counts shuffle
-    (doc, n, gram) with map-side combine; no unbounded state. Char
-    grams are packed int64s. The cand⋈ref gram join of the naive form
-    is folded away (r10): each pair's two docs land in the SAME
-    (pair_id, n, gram) group tagged by parity, so one aggregation
-    yields (cc, rc) per gram and the clipped overlap is a plain
-    Σ least(cc, rc) rollup — two shuffles total (gram-level with
-    map-side combine, then pair-level), no gram-scale join.
+    Scale (r11, guide §2.3 "shuffle keys and metadata instead of
+    payloads" inverted — here the PAYLOAD is 36× smaller than the
+    gram metadata): ONE shuffle of the whitespace-stripped text by
+    pair_id (each doc contributes len bytes, vs ~3·len exploded gram
+    rows of ~12 bytes each through TWO aggregation shuffles in the
+    relational form), then per-pair exact gram counting in vectorized
+    numpy inside ``applyInPandas`` — np.unique run-length counts per
+    width, clipped overlap = Σ min over the sorted-intersect common
+    grams. Per-task state is bounded by one pair's two documents.
+    Counts are exact integers; equality structure over codepoint
+    sequences is identical to the packed-int64 gram groups (packing
+    is injective: codepoints < 2²¹), so (o, ctot, rtot) match the
+    relational aggregation bit-for-bit, and every P/R/F division
+    below stays in the SAME Spark SQL expressions as before.
     """
+    import numpy as np
+
     docs = load(spark, "documents", sf_dir)
     s = F.regexp_replace(F.expr(_NORM), " ", "")
-    base = docs.select("doc_id", s.alias("s")).select(
-        "doc_id",
-        F.expr(
-            "transform(split(s, ''), c -> cast(ascii(c) as bigint))"
-        ).alias("cs"),
+    base = docs.select(
+        (F.col("doc_id") - F.col("doc_id") % 2).alias("pair_id"),
+        (F.col("doc_id") % 2 == 0).alias("is_c"),
+        s.alias("s"),
     )
-    per_n = [
-        base.select(
-            "doc_id",
-            F.lit(n).alias("n"),
-            F.explode(F.expr(_chrf_cgrams(n))).alias("g"),
-        )
-        for n in _CHRF_NS
-    ]
-    grams = per_n[0]
-    for p in per_n[1:]:
-        grams = grams.unionByName(p)
-    # one gram-level aggregation, cand/ref distinguished by doc parity
-    # inside the shared (pair_id, n, g) group — bit-identical to the
-    # count-then-join form: each group holds at most one even and one
-    # odd doc's count, least(cc, rc) is 0 whenever a side is absent,
-    # and Σ least over grams is the clipped overlap.
-    even = F.col("doc_id") % 2 == 0
-    gp = (
-        grams.select(
-            (F.col("doc_id") - F.col("doc_id") % 2).alias("pair_id"),
-            "n",
-            "g",
-            F.when(even, 1).otherwise(0).alias("is_c"),
-        )
-        .groupBy("pair_id", "n", "g")
-        .agg(
-            F.sum("is_c").alias("cc"),
-            F.sum(1 - F.col("is_c")).alias("rc"),
-        )
+    ns = _CHRF_NS
+    # ONE shuffle packs each pair into a single (pair_id, cand, ref)
+    # row (max over the ≤1 non-null parity value IS that value), so
+    # the Python pass is a plain mapInPandas over independent rows —
+    # no per-group applyInPandas machinery (measured at ~2.3 ms/group
+    # of pure pandas overhead for 3-row groups, 6.6 s at sf0.1).
+    # explicit scale-adaptive partitioning (the dedup_embedding_lsh
+    # verify rationale): the pair rows are few MBs but the Python
+    # gram-counting is ~0.5 ms/pair, and AQE's byte-based coalescing
+    # would run it on ~2 partitions; the user repartition is exempt,
+    # the groupBy reuses its partitioning (same key, same N — no
+    # second exchange), and N follows the cluster.
+    dp = spark.sparkContext.defaultParallelism
+    paired = base.repartition(dp, "pair_id").groupBy("pair_id").agg(
+        F.max(F.when(F.col("is_c"), F.col("s"))).alias("cand"),
+        F.max(F.when(~F.col("is_c"), F.col("s"))).alias("ref"),
     )
-    res = (
-        gp.groupBy("pair_id", "n")
-        .agg(
-            F.sum(F.least("cc", "rc")).cast("long").alias("o"),
-            F.sum("cc").cast("long").alias("ctot"),
-            F.sum("rc").cast("long").alias("rtot"),
-        )
-        .filter((F.col("ctot") > 0) & (F.col("rtot") > 0))
-    )
+
+    def pair_stats(it):
+        def cps(sv: str):
+            return np.frombuffer(
+                sv.encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int64)
+
+        def pack(cs, n: int):
+            m = len(cs) - n + 1
+            if m <= 0:
+                return np.empty(0, dtype=np.int64)
+            out = np.zeros(m, dtype=np.int64)
+            for j in range(n):
+                out += cs[j : j + m] << (21 * (n - 1 - j))
+            return out
+
+        for pdf in it:
+            rows: dict[str, list] = {
+                "pair_id": [], "n": [], "o": [], "ctot": [], "rtot": []
+            }
+            for pid, cand, ref in zip(
+                pdf["pair_id"], pdf["cand"], pdf["ref"]
+            ):
+                if cand is None or ref is None:
+                    # one-sided pair: ctot or rtot is 0 at every
+                    # width — the ctot>0 ∧ rtot>0 filter drops it
+                    continue
+                cc, rc = cps(cand), cps(ref)
+                for n in ns:
+                    gc, gr = pack(cc, n), pack(rc, n)
+                    uc, nc = np.unique(gc, return_counts=True)
+                    ur, nr = np.unique(gr, return_counts=True)
+                    _, ic, ir = np.intersect1d(
+                        uc, ur, assume_unique=True, return_indices=True
+                    )
+                    rows["pair_id"].append(int(pid))
+                    rows["n"].append(n)
+                    rows["o"].append(
+                        int(np.minimum(nc[ic], nr[ir]).sum())
+                    )
+                    rows["ctot"].append(len(gc))
+                    rows["rtot"].append(len(gr))
+            yield pd.DataFrame(rows)
+
+    res = paired.mapInPandas(
+        pair_stats, "pair_id long, n int, o long, ctot long, rtot long"
+    ).filter((F.col("ctot") > 0) & (F.col("rtot") > 0))
     o = F.coalesce(F.col("o"), F.lit(0).cast("long"))
     p = o.cast("double") / F.col("ctot").cast("double")
     r = o.cast("double") / F.col("rtot").cast("double")
