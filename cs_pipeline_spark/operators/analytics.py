@@ -1140,26 +1140,34 @@ def agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     # k² ordered pairs all derive from the basket table — zero
     # self-join, zero second fact shuffle (the a⋈b form moved the
     # fact table twice and hash-joined it).
-    baskets = raw.groupBy("ok").agg(
-        F.sort_array(F.collect_set("pk")).alias("ps")
+    # pinned (r11): three branches (order count, item counts, pair
+    # fan-out) consume the basket table — unpinned, the exchange is
+    # reused but the collect_set aggregate re-executes per branch
+    baskets = pin(
+        raw.groupBy("ok").agg(
+            F.sort_array(F.collect_set("pk")).alias("ps")
+        )
     )
     n_ord = F.broadcast(baskets.agg(F.count(F.lit(1)).alias("n")))
-    item_cnt = (
+    # pinned: ca and cb below are two broadcast builds over this
+    item_cnt = pin(
         baskets.select(F.explode("ps").alias("pk"))
         .groupBy("pk")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    # r11: pair fan-out as posexplode + slice-explode instead of the
+    # interpreted flatten(transform(.., transform(slice(..)))) lambda
+    # chain — explode/slice are codegen generators while the nested
+    # lambda built struct arrays per basket in the interpreted
+    # evaluator (noop A/B at sf0.1: pair stage + agg 1.61 -> 1.00 s).
+    # Identical pairs: ps is sorted-distinct, so elements after
+    # position i are exactly the ordered (pa < pb) partners.
     pairs = (
-        baskets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ps, (a, i) -> "
-                    "transform(slice(ps, i + 2, size(ps)), "
-                    "b -> struct(a AS pa, b AS pb))))"
-                )
-            ).alias("pr")
+        baskets.select("ps", F.posexplode("ps").alias("i", "pa"))
+        .select(
+            "pa",
+            F.explode(F.expr("slice(ps, i + 2, size(ps))")).alias("pb"),
         )
-        .select(F.col("pr.pa").alias("pa"), F.col("pr.pb").alias("pb"))
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -2151,33 +2159,43 @@ def rec_item_item(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
     )
-    baskets = raw.groupBy("ok").agg(
-        F.sort_array(F.collect_set("pk")).alias("ps")
+    # pinned (r11): the pair fan-out and item counts both re-ran the
+    # collect_set aggregate when unpinned (exchange reuse only dedups
+    # the shuffle write, not the object agg)
+    baskets = pin(
+        raw.groupBy("ok").agg(
+            F.sort_array(F.collect_set("pk")).alias("ps")
+        )
     )
-    item_cnt = (
+    item_cnt = pin(
         baskets.select(F.explode("ps").alias("pk"))
         .groupBy("pk")
         .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("c"))
     )
-    pairs = (
-        baskets.select(
+    # r11: pair fan-out as posexplode + slice-explode instead of the
+    # interpreted flatten(transform(.., transform(slice(..)))) lambda
+    # chain — explode/slice are codegen generators while the nested
+    # lambda built struct arrays per basket in the interpreted
+    # evaluator (noop A/B at sf0.1: pair stage + agg 1.61 -> 1.00 s).
+    # Identical pairs: ps is sorted-distinct, so elements after
+    # position i are exactly the ordered (pa < pb) partners.
+    # r11: symmetrize BEFORE the aggregate — every ordered (pa, pb)
+    # with pa ≠ pb in a basket is exactly one direction of one
+    # unordered pair, so ONE aggregate over the both-directions
+    # explode equals the old agg-then-union-flip (which re-ran the
+    # pair aggregate per union branch). concat(prefix, suffix) skips
+    # position i itself.
+    sym = (
+        baskets.select("ps", F.posexplode("ps").alias("i", "pa"))
+        .select(
+            "pa",
             F.explode(
-                F.expr(
-                    "flatten(transform(ps, (a, i) -> "
-                    "transform(slice(ps, i + 2, size(ps)), "
-                    "b -> struct(a AS pa, b AS pb))))"
-                )
-            ).alias("pr")
+                F.expr("concat(slice(ps, 1, i), slice(ps, i + 2, size(ps)))")
+            ).alias("pb"),
         )
-        .select(F.col("pr.pa").alias("pa"), F.col("pr.pb").alias("pb"))
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("co"))
         .filter(F.col("co") >= _II_MIN_CO)
-    )
-    sym = pairs.unionByName(
-        pairs.select(
-            F.col("pb").alias("pa"), F.col("pa").alias("pb"), "co"
-        )
     )
     ca = item_cnt.select(F.col("pk").alias("pa"), F.col("c").alias("ca"))
     cb = item_cnt.select(F.col("pk").alias("pb"), F.col("c").alias("cb"))
