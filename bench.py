@@ -411,25 +411,31 @@ def main() -> None:
     # Per-query detail goes to a FILE: the driver's stdout tail capture
     # is ~2000 chars, and 78-entry queries/spread dicts pushed the JSON
     # headline past it for two rounds (BENCH_r06/r07 "parsed": null).
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
+    detail = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": cold,
+        "warm": warm,
+        "spread": spreads,
+        "xsession": xs_status,
+        "xsession_ops": xs_names,
+        "sf": sf,
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.path.join(here, "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:
-        json.dump(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": cold,
-                "warm": warm,
-                "spread": spreads,
-                "xsession": xs_status,
-                "xsession_ops": xs_names,
-                "sf": sf,
-            },
-            f,
-            indent=1,
-        )
+        json.dump(detail, f, indent=1)
+    # Round-stamped copy (VERDICT r10 ask #7): each driver bench run
+    # overwrites BENCH_DETAIL.json, which left the round-over-round
+    # per-query comparison to git archaeology. When $SPARK_GRAFT_ROUND
+    # is set, keep an immutable per-round detail file beside it.
+    rnd = os.environ.get("SPARK_GRAFT_ROUND")
+    if rnd:
+        with open(
+            os.path.join(here, f"BENCH_DETAIL_r{rnd}.json"), "w"
+        ) as f:
+            json.dump(detail, f, indent=1)
     # LAST stdout line: summary-only JSON, short enough for any tail
     # capture to hold whole.
     print(

@@ -530,18 +530,19 @@ def dedup_substring_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.xxhash64(F.col("s")).alias("d"),
         (F.col("doc_id") * _REP_PACK + F.col("pos0") + 1).alias("packed"),
     )
-    c = (
-        occ.groupBy("d")
-        .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.min("packed").alias("first_packed"),
-        )
-        .filter(F.col("cnt") >= 2)
-        .select("d", "first_packed")
-    )
+    # r11: per-anchor min/count as a WINDOW over d instead of
+    # groupBy(d) + join back — same hashpartitioning(d) distribution
+    # (bounded by anchor multiplicity), but one shuffle and no join:
+    # the join form re-shuffled occ a second time and sort-merged it
+    # against the aggregate (cut stage noop 1.40 → 0.83 s at sf0.1).
+    wd = Window.partitionBy("d")
     cut = (
-        occ.join(c, "d")
-        .filter(F.col("packed") > F.col("first_packed"))
+        occ.withColumn("first_packed", F.min("packed").over(wd))
+        .withColumn("cnt", F.count(F.lit(1)).over(wd))
+        .filter(
+            (F.col("cnt") >= 2)
+            & (F.col("packed") > F.col("first_packed"))
+        )
         .select(
             F.expr(f"packed div {_REP_PACK}").alias("doc_id"),
             (F.col("packed") % _REP_PACK).alias("pos"),
