@@ -552,20 +552,20 @@ def with_rank_targets(df, key, tiebreaks, rank_sqls, nb: int = 64):
     )
     import pyspark.sql.types as _T
 
-    targets = (
-        literal_df(
-            spark,
-            [(i, nn) for i in range(len(rank_sqls))],
-            _T.StructType(
-                [
-                    _T.StructField("tid", _T.LongType()),
-                    _T.StructField("nn", _T.LongType()),
-                ]
-            ),
-        )
-        .selectExpr("tid", "nn", f"{rank_case} AS rank")
-        .collect()
+    # VALUES → LocalRelation: the projection constant-folds and
+    # collect() short-circuits via executeCollect — NO Spark job.
+    # The literal_df(Range) form launched a 1-task job per call
+    # (measured 0.25–0.5 s across the 11 rank-target consumers).
+    # Arithmetic still runs in Spark SQL over BIGINT columns —
+    # identical semantics to the distributed form.
+    vals = ", ".join(
+        f"(CAST({i} AS BIGINT), CAST({nn} AS BIGINT))"
+        for i in range(len(rank_sqls))
     )
+    targets = spark.sql(
+        f"SELECT tid, nn, {rank_case} AS rank "
+        f"FROM (VALUES {vals}) AS t(tid, nn)"
+    ).collect()
 
     def _veq(a, b):
         """Driver mirror of Spark's ``eqNullSafe``: NULL<=>NULL is
