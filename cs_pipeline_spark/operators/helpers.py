@@ -443,15 +443,77 @@ def literal_df(spark, rows, schema):
             )
             .where(F.lit(False))
         )
+    # r11: atomic-typed rows render as a VALUES LocalRelation — a
+    # collect()/count() over it short-circuits via executeCollect with
+    # NO Spark job at all (the Range-CASE form below still launched
+    # one no-op task per action, and its CASE chains re-JITed per cold
+    # plan). Doubles go through a string cast (java string→double
+    # parse is correctly rounded; a bare 1.5 literal would parse as
+    # DECIMAL first); strings escape backslash+quote (Spark SQL string
+    # literals treat backslash as an escape — the r8 srt.py lesson).
+    sql_rows = _values_rows(rows, schema)
+    if sql_rows is not None:
+        names = ", ".join(
+            f"c{ci} AS `{f.name}`" for ci, f in enumerate(schema.fields)
+        )
+        cnames = ", ".join(f"c{ci}" for ci in range(len(schema.fields)))
+        return spark.sql(
+            f"SELECT {names} FROM (VALUES {sql_rows}) AS t({cnames})"
+        )
     cols = []
     for ci, f in enumerate(schema.fields):
         col = F.when(F.col("id") == 0, F.lit(rows[0][ci]))
         for ri in range(1, len(rows)):
             col = col.when(F.col("id") == ri, F.lit(rows[ri][ci]))
         cols.append(col.cast(f.dataType).alias(f.name))
-    # single-partition Range + per-column CASE chains: ONE task per
-    # action (a union of one-row projections costs a task per row)
+    # non-atomic fallback — single-partition Range + per-column CASE
+    # chains: ONE task per action (a union of one-row projections
+    # costs a task per row)
     return spark.range(0, len(rows), 1, 1).select(*cols)
+
+
+def _values_rows(rows, schema):
+    """Render bounded rows as SQL VALUES cells (every cell cast to its
+    exact schema type), or None when a type is outside the atomic set
+    (array/map/struct/timestamp…) — caller falls back to Range-CASE."""
+    import math
+
+    import pyspark.sql.types as _T
+
+    def cell(v, dt):
+        ddl = dt.simpleString()
+        if v is None:
+            return f"CAST(NULL AS {ddl})"
+        if isinstance(dt, (_T.DoubleType, _T.FloatType)):
+            fv = float(v)
+            if fv != fv:
+                return f"CAST('NaN' AS {ddl})"
+            if math.isinf(fv):
+                return f"CAST('{'-' if fv < 0 else ''}Infinity' AS {ddl})"
+            return f"CAST('{fv!r}' AS {ddl})"
+        if isinstance(dt, _T.BooleanType):
+            return "TRUE" if v else "FALSE"
+        if isinstance(
+            dt, (_T.LongType, _T.IntegerType, _T.ShortType, _T.ByteType)
+        ):
+            return f"CAST({int(v)} AS {ddl})"
+        if isinstance(dt, _T.DecimalType):
+            return f"CAST('{v}' AS {ddl})"
+        if isinstance(dt, _T.StringType):
+            s = str(v).replace("\\", "\\\\").replace("'", "\\'")
+            return f"'{s}'"
+        return None
+
+    out = []
+    for row in rows:
+        cells = [
+            cell(row[ci], f.dataType)
+            for ci, f in enumerate(schema.fields)
+        ]
+        if any(c is None for c in cells):
+            return None
+        out.append("(" + ", ".join(cells) + ")")
+    return ", ".join(out)
 
 
 def with_rank_targets(df, key, tiebreaks, rank_sqls, nb: int = 64):

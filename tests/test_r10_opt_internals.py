@@ -65,13 +65,24 @@ def test_literal_df_empty(spark):
 
 
 def test_literal_df_one_task(spark):
+    # r11: atomic rows render as a VALUES LocalRelation — actions over
+    # it are JOBLESS (executeCollect), strictly better than the old
+    # one-task Range-CASE contract this test used to pin.
     df = literal_df(
         spark,
         [(i,) for i in range(9)],
         T.StructType([T.StructField("x", T.LongType())]),
     )
-    assert df.rdd.getNumPartitions() == 1
+    assert "LocalTableScan" in df._jdf.queryExecution().executedPlan().toString()
     assert sorted(r["x"] for r in df.collect()) == list(range(9))
+    # non-atomic types fall back to the single-partition Range-CASE
+    arr = literal_df(
+        spark,
+        [([1, 2],), ([3],)],
+        T.StructType([T.StructField("a", T.ArrayType(T.LongType()))]),
+    )
+    assert arr.rdd.getNumPartitions() == 1
+    assert [list(r["a"]) for r in arr.collect()] == [[1, 2], [3]]
 
 
 def test_trunc_div_matches_spark_div(spark):
