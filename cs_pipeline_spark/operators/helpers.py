@@ -134,6 +134,55 @@ def dstd_pop(col: Column | str) -> Column:
     return F.sqrt(dvar_pop(col))
 
 
+# --- Spark SQL twins (r11): ONE parsed expression instead of the
+# Column-object tree. Building davg/dstd via the Column API costs
+# ~90 py4j round trips per aggregate (measured: compile_agg_schema
+# alone was 1.3 s / 9631 round trips of the resample build); F.expr
+# of the identical SQL is one. Literals carry the D suffix so they
+# parse as DOUBLE exactly like F.lit(1e6) (a bare 1000000.0 parses
+# as DECIMAL and would change the arithmetic). Must mirror the
+# Column builders above EXACTLY — the resample hash gate pins it.
+
+
+def spark_sql_nn(expr: str) -> str:
+    """Spark-SQL twin of ``_nn``."""
+    return f"nanvl(CAST(({expr}) AS DOUBLE), CAST(NULL AS DOUBLE))"
+
+
+def _spark_sql_quant(nn: str) -> str:
+    return f"FLOOR(({nn}) * 1000000.0D + 0.5D)"
+
+
+def spark_sql_dsum(expr: str) -> str:
+    """Spark-SQL twin of ``dsum``."""
+    q = _spark_sql_quant(spark_sql_nn(expr))
+    return (
+        f"(CAST(CAST(SUM(CAST({q} AS DECIMAL(38,0))) AS STRING) "
+        f"AS DOUBLE) / 1000000.0D)"
+    )
+
+
+def spark_sql_davg(expr: str) -> str:
+    """Spark-SQL twin of ``davg``."""
+    return f"({spark_sql_dsum(expr)} / COUNT({spark_sql_nn(expr)}))"
+
+
+def spark_sql_dstd_pop(expr: str) -> str:
+    """Spark-SQL twin of ``dstd_pop`` (population variance from the
+    exact integer numerator, sqrt at the end)."""
+    nn = spark_sql_nn(expr)
+    q = _spark_sql_quant(nn)
+    s1 = f"SUM(CAST({q} AS DECIMAL(38,0)))"
+    s2 = f"SUM(CAST({q} AS DECIMAL(19,0)) * CAST({q} AS DECIMAL(19,0)))"
+    num = f"({s2} * CAST(COUNT({nn}) AS DECIMAL(20,0)) - {s1} * {s1})"
+    nd = f"CAST(COUNT({nn}) AS DOUBLE)"
+    return (
+        f"SQRT(CASE WHEN COUNT({nn}) > 0 THEN "
+        f"((CAST(CAST({num} AS STRING) AS DOUBLE) / ({nd} * {nd})) "
+        f"/ 1000000000000.0D) END)"
+    )
+
+
 # --- DuckDB SQL twins (must mirror the expressions above exactly) ---
 
 
