@@ -165,46 +165,45 @@ def ingest_incremental_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    batch_n = emb.filter(is_b("vec_id")).agg(
-        F.count(F.lit(1)).alias("value")
-    )
-    dup_n = dup_vecs.agg(F.count(F.lit(1)).alias("value"))
+    # r11 (the mm_curate_e2e shape, guide §2.6): the eight funnel
+    # aggregates run as concurrent jobs over the already-pinned stage
+    # outputs and the bounded 8-row report returns as a literal
+    # relation — admitted = batch − dup_vectors is exact driver
+    # integer arithmetic, identical to the crossJoin-subtract branch.
+    from cs_pipeline_spark.operators.helpers import literal_df
 
-    def row(stage: str, metric: str, agg: DataFrame) -> DataFrame:
-        return agg.select(
-            F.lit(stage).alias("stage"),
-            F.lit(metric).alias("metric"),
-            F.col("value").cast("long").alias("value"),
+    def lval(df, agg):
+        r = df.agg(agg.cast("long").alias("value")).collect()[0]
+        return r["value"]
+
+    with ThreadPoolExecutor(max_workers=7) as ex:
+        f_batch = ex.submit(
+            lambda: emb.filter(is_b("vec_id")).count()
         )
-
-    admitted = batch_n.crossJoin(
-        dup_n.withColumnRenamed("value", "d")
-    ).select((F.col("value") - F.col("d")).alias("value"))
-    parts = [
-        row("batch", "vectors", batch_n),
-        row("dedup", "dup_pairs",
-            pairs.agg(F.count(F.lit(1)).alias("value"))),
-        row("dedup", "dup_vectors", dup_n),
-        row("dedup", "admitted", admitted),
-        row("search", "results",
-            search.agg(F.count(F.lit(1)).alias("value"))),
-        row("search", "batch_neighbors",
-            search.filter(is_b("neighbor_id")).agg(
-                F.count(F.lit(1)).alias("value")
-            )),
-        row("retrain", "max_shift_scaled",
-            retrain.agg(F.max("shift_scaled").alias("value"))),
-        row("retrain", "moved_abs",
-            retrain.agg(
-                F.sum(F.abs(F.col("n_after") - F.col("n_before"))).alias(
-                    "value"
-                )
-            )),
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        f_pairs = ex.submit(pairs.count)
+        f_dup = ex.submit(dup_vecs.count)
+        f_search = ex.submit(search.count)
+        f_bn = ex.submit(
+            lambda: search.filter(is_b("neighbor_id")).count()
+        )
+        f_shift = ex.submit(lval, retrain, F.max("shift_scaled"))
+        f_moved = ex.submit(
+            lval, retrain, F.sum(F.abs(F.col("n_after") - F.col("n_before")))
+        )
+        batch_v, dup_v = f_batch.result(), f_dup.result()
+        rows = [
+            ("batch", "vectors", batch_v),
+            ("dedup", "dup_pairs", f_pairs.result()),
+            ("dedup", "dup_vectors", dup_v),
+            ("dedup", "admitted", batch_v - dup_v),
+            ("search", "results", f_search.result()),
+            ("search", "batch_neighbors", f_bn.result()),
+            ("retrain", "max_shift_scaled", f_shift.result()),
+            ("retrain", "moved_abs", f_moved.result()),
+        ]
+    return literal_df(
+        spark, rows, "stage string, metric string, value long"
+    )
 
 
 # ---------- flagship #10: the lake-format audit ----------
@@ -618,7 +617,6 @@ def wire_formats_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     scans; the flagship adds 1-row aggregates and a 28-row union -
     metadata-scale, like lake_audit_e2e.
     """
-    from cs_pipeline_spark.registry import pin
     from cs_pipeline_spark.sources.arrow_ipc import (
         scan_arrow_ipc,
         scan_arrow_stream,
@@ -632,55 +630,51 @@ def wire_formats_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cs_pipeline_spark.sources.xz_container import scan_xz_container
     from cs_pipeline_spark.sources.zip_cdir import scan_zip_central_dir
 
-    ar = pin(scan_arrow_ipc(spark, sf_dir))
-    ast = pin(scan_arrow_stream(spark, sf_dir))
-    mp = pin(scan_msgpack_records(spark, sf_dir))
-    zl = pin(scan_deflate_streams(spark, sf_dir))
-    xz = pin(scan_xz_container(spark, sf_dir))
-    sq = pin(scan_sqlite_db(spark, sf_dir))
-    gz = pin(scan_gzip_headers(spark, sf_dir))
-    cb = pin(scan_cbor_records(spark, sf_dir))
-    tor = pin(scan_torrent_manifest(spark, sf_dir))
-    zc = pin(scan_zip_central_dir(spark, sf_dir))
+    # r11 (the mm_curate_e2e / lake_audit_e2e shape, guide §2.6): no
+    # pins (each input feeds exactly ONE aggregate job), sub-builders
+    # called inside the pool workers, ten concurrent aggregate jobs,
+    # bounded 28-row literal report. Same rows, labels, values.
+    ar, ast, mp, zl, xz = (
+        scan_arrow_ipc, scan_arrow_stream, scan_msgpack_records,
+        scan_deflate_streams, scan_xz_container,
+    )
+    sq, gz, cb, tor, zc = (
+        scan_sqlite_db, scan_gzip_headers, scan_cbor_records,
+        scan_torrent_manifest, scan_zip_central_dir,
+    )
 
-    # ONE aggregate per input + stack() unpivot (the lake_audit_e2e
-    # rationale, guide §1.2): the per-metric branch form ran 28
-    # single-row aggregate stages; each input's metrics now ride one
-    # map+agg pass. Same 28 rows, labels, values.
-    def block(df: DataFrame, metrics) -> DataFrame:
-        agg = df.agg(
-            *[c.alias(f"m{i}") for i, (_, _, c) in enumerate(metrics)]
+    def block(builder, metrics) -> list:
+        agg = builder(spark, sf_dir).agg(
+            *[
+                c.cast("long").alias(f"m{i}")
+                for i, (_, _, c) in enumerate(metrics)
+            ]
         )
-        stack = ", ".join(
-            f"'{fmt}', '{met}', cast(m{i} as long)"
+        row = agg.collect()[0]
+        return [
+            (fmt, met, row[f"m{i}"])
             for i, (fmt, met, _) in enumerate(metrics)
-        )
-        return agg.select(
-            F.expr(
-                f"stack({len(metrics)}, {stack}) "
-                "as (format, metric, value)"
-            )
-        )
+        ]
 
-    parts = [
-        block(ar, [
+    blocks = [
+        (ar, [
             ("arrow", "files", F.count(F.lit(1))),
             ("arrow", "batches", F.sum("n_batches")),
             ("arrow", "rows", F.sum("n_rows")),
             ("arrow", "nulls", F.sum("n_nulls")),
         ]),
-        block(mp, [
+        (mp, [
             ("msgpack", "files", F.count(F.lit(1))),
             ("msgpack", "records", F.sum("n_records")),
             ("msgpack", "nil_flags", F.sum("n_nil")),
             ("msgpack", "blob_bytes", F.sum("blob_bytes")),
         ]),
-        block(zl, [
+        (zl, [
             ("zlib", "files", F.count(F.lit(1))),
             ("zlib", "streams", F.sum("n_streams")),
             ("zlib", "out_bytes", F.sum("out_len")),
         ]),
-        block(xz, [
+        (xz, [
             ("xz", "files", F.count(F.lit(1))),
             ("xz", "blocks", F.sum("n_blocks")),
             ("xz", "out_bytes", F.sum("out_len")),
@@ -689,33 +683,39 @@ def wire_formats_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("n_crc32") + F.col("n_crc64") + F.col("n_sha256")
              )),
         ]),
-        block(ast, [
+        (ast, [
             ("arrow_stream", "batches", F.sum("n_batches")),
             ("arrow_stream", "rows", F.sum("n_rows")),
         ]),
-        block(sq, [
+        (sq, [
             ("sqlite", "tables", F.sum("n_tables")),
             ("sqlite", "rows", F.sum("n_rows")),
         ]),
-        block(gz, [
+        (gz, [
             ("gzip", "members", F.sum("n_members")),
             ("gzip", "out_bytes", F.sum("out_len")),
             ("gzip", "named_chars", F.sum("name_chars")),
         ]),
-        block(cb, [
+        (cb, [
             ("cbor", "records", F.sum("n_records")),
             ("cbor", "indefinite_items", F.sum("n_indef")),
         ]),
-        block(tor, [
+        (tor, [
             ("torrent", "pieces", F.sum("n_pieces")),
             ("torrent", "pieces_verified", F.sum("pieces_ok")),
         ]),
-        block(zc, [
+        (zc, [
             ("zip", "members", F.sum("n_members")),
             ("zip", "crc_verified", F.sum("crc_ok")),
         ]),
     ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    from concurrent.futures import ThreadPoolExecutor
+
+    from cs_pipeline_spark.operators.helpers import literal_df
+
+    with ThreadPoolExecutor(max_workers=10) as ex:
+        futs = [ex.submit(block, builder, m) for builder, m in blocks]
+        rows = [r for f in futs for r in f.result()]
+    return literal_df(
+        spark, rows, "format string, metric string, value long"
+    )
