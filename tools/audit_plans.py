@@ -55,7 +55,9 @@ AUDIT: dict[str, dict] = {
     "mm_decode_png": {"smj": 0},
     "mm_audio_chunk_plan": {"exchange": 0},
     "text_contamination_check": {"smj": 0},
-    "curate_corpus_e2e": {"smj": 5},      # funnel doc-key joins ride one doc_id partitioning
+    "curate_corpus_e2e": {"smj": 3},      # near-dup/contam id-set left
+    # joins, hint-free for the 100 TB contract (ADVICE r10) — AQE
+    # converts to broadcast at runtime while the id-sets are small
     "agg_mode_per_group": {},
     "win_ntile_decile": {},
     "agg_histogram": {},
@@ -454,9 +456,9 @@ AUDIT: dict[str, dict] = {
     "dedup_substring_repeats": {"smj": 0},  # digest agg + per-doc merge
     # the centroid cross join is a BOUNDED broadcast NLJ (K=8 rows)
     "sim_ivf_incremental": {"smj": 0, "nlj": 1},
-    # sample/luma joins SMJ over the per-pixel frame (no stats post
-    # mapInPandas) — bounded by 64 samples/image; banded at scale
-    "mm_image_dhash": {"smj": 3},
+    # r11: dhash computed inside the decode pass; the only join is
+    # the bounded 6-row hamming self-join (banded at corpus scale)
+    "mm_image_dhash": {"smj": 0},
     "text_rouge_n": {"smj": 0},           # gram-keyed joins (AQE broadcasts at sf0.1)
     "text_bleu_eval": {"smj": 0},
     # 1 NLJ = crossJoin(broadcast(1-row totals)); model is 256 rows
@@ -497,7 +499,8 @@ AUDIT: dict[str, dict] = {
     "mm_decode_quarantine": {"smj": 0, "exchange": 1},
     "mm_decode_bmp": {"smj": 0, "exchange": 0},
     "mm_audio_energy": {"smj": 0, "exchange": 0},
-    "mm_curate_e2e": {"smj": 6},          # dhash branch x2 (3 SMJ each)
+    "mm_curate_e2e": {"smj": 0, "exchange": 0},  # r11: bounded literal
+    # report; the 14 decode aggregates run as concurrent build jobs
     # round-9 additions: per-file decode/fetch ops are map-only;
     # CDX fetch joins the per-shard entry lists to the shard scan
     # (bounded by shards); the ingest flagship unions 1-row aggregates
@@ -513,7 +516,7 @@ AUDIT: dict[str, dict] = {
     "scan_avro_blocks": {"smj": 0, "exchange": 0},
     "sink_avro_roundtrip": {"smj": 0},  # one shard-key shuffle (write)
     "scan_delta_log": {"smj": 0, "nlj": 0},  # log-sized fan-out only
-    "lake_audit_e2e": {"smj": 0},  # union of 1-row aggregates
+    "lake_audit_e2e": {"smj": 0, "exchange": 0},  # r11 literal report
     "dedup_bloom_incremental": {"nlj": 0},  # bitset words broadcast;
     # truth semi-join is the only doc-keyed join
     "scan_bz2_multistream": {"smj": 1},  # dump⋈index-entries, both
@@ -522,7 +525,8 @@ AUDIT: dict[str, dict] = {
     "sim_ivf_retrain": {"smj": 1},  # assignments⋈vectors member-mean
     # join, vec_id-co-partitioned fact join (inherent to the update
     # step); all cluster-keyed report joins are explicit broadcasts
-    "ingest_incremental_e2e": {},         # union of stage aggregates
+    "ingest_incremental_e2e": {"smj": 0, "exchange": 0},  # r11 literal
+    # report (stage work happens in the pooled build jobs)
     # round-10 lake/format wave: metadata-only scans (footer tails,
     # commit logs, manifests) — no shuffle beyond bounded aggregates
     "scan_iceberg_manifest": {"smj": 0, "nlj": 0},  # manifest map
@@ -693,19 +697,18 @@ def main() -> None:
         "count joins plus the (doc_id, tier) argmax; per-bucket counts "
         "are 10 × vocab × langs rows, the single fact-scale tokenize "
         "joins nothing. "
-        "`curate_corpus_e2e` (5) — funnel-stage doc-key joins "
-        "(quality ⋈ dedup-verdict ⋈ mix-weight) riding ONE shared "
-        "doc_id partitioning; the weight sides are per-(lang, source) "
-        "aggregates, k-bounded. "
+        "`curate_corpus_e2e` (3) — the near-dup/contam id-set left "
+        "joins, HINT-FREE because the id-sets grow with the corpus "
+        "(ADVICE r10): the initial plan shows SMJ, AQE converts to "
+        "broadcast at runtime while they are small. "
         "`graph_hits` (2) — hub↔authority propagation on the edge "
         "list, one SMJ per direction, edges ≪ corpus "
         "(graph_pagerank's audited shape). "
         "`ml_kfold_nb_cv` (1) — per-(doc, fold) argmax joined back to "
         "5 fold models (folds × Zipf-bounded vocab). "
-        "`mm_image_dhash` (3, ×2 inside `mm_curate_e2e`) — the "
-        "sample/luma joins over the per-pixel decode frame, bounded "
-        "by 64 grid samples per image (banded bucket keys at corpus "
-        "scale, per the docstring). "
+        "(`mm_image_dhash` left this list in r11: the dhash is "
+        "computed inside the decode pass and the only join is the "
+        "bounded 6-row hamming self-join.) "
         "These caps are now PINNED in the AUDIT table, so a future "
         "plan change that adds an unbounded sort-merge join fails the "
         "audit instead of passing silently. `emb_dbscan_cosine` also "
